@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's data plane as composable DataFrame transforms
+  * (SURVEY §2 / §7.1 `ops/`). One semantics, two drivers: batch queries call
+  * these directly; the streaming apply path reuses them inside foreachBatch.
+  *
+  * Scale notes (100 TB posture):
+  *  - `lwwCompact` and `merge` each cost exactly one shuffle on the key
+  *    columns; composed via `restoreReplay` Catalyst reuses the hash
+  *    partitioning between the window and the join, so the full replay is
+  *    shuffle-key-aligned rather than re-partitioning per step.
+  *  - Nothing here collects to the driver; every operator is a declarative
+  *    plan Catalyst can push filters through (the `ts <= T` snapshot
+  *    predicate reaches the parquet scan).
+  */
+object CdcOps {
+
+  /** A1 — content-based dedup (SQS `contentBasedDeduplication`,
+    * cdk/lib/cdk-stack.ts:48). Exact-duplicate elimination by content
+    * identity; map-side partial aggregation makes this cheap before the
+    * expensive apply stage (the reference's queue-level placement).
+    */
+  def dedup(df: DataFrame, cols: Seq[String]): DataFrame =
+    if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+
+  /** A2/W1 — last-writer-wins compaction per key: FIFO replay of an ordered
+    * buffer onto the same key keeps only the final event
+    * (implied by cdk/lib/cdk-stack.ts:47 + in-order loop
+    * app/lambdas/lambda-backfill/main.py:31-39). `order` must be a total
+    * order within a key (sequenceNumber, or ts with a unique tiebreaker) —
+    * per-key order is FIFO's actual contract; no global sort (SURVEY §7.4.2).
+    */
+  def lwwCompact(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** P7 — apply-plan projection: eventName != REMOVE => PUT(newImage) else
+    * DELETE(keys) (app/lambdas/lambda-backfill/main.py:33-39). We implement
+    * the evident intent — delete-by-key — not the reference's
+    * `DeleteRequest.Item` bug (SURVEY §2.2 fidelity note).
+    */
+  def applyPlan(eventName: Column, removeValue: String = "REMOVE"): Column =
+    when(eventName =!= removeValue, lit("PUT")).otherwise(lit("DELETE"))
+
+  /** J1 — key-addressed MERGE: full-outer join of the target snapshot with a
+    * compacted delta; PUT rows take the delta image, DELETE rows drop the
+    * key, untouched keys keep the snapshot row
+    * (semantics of batch_write_item, app/lambdas/lambda-backfill/main.py:44-46).
+    *
+    * `snapshot` and `delta` must share `keys` plus the payload columns.
+    * `opCol` in delta is PUT|DELETE. At scale: sort-merge join on the keys;
+    * when the delta is small relative to the snapshot AQE broadcasts it.
+    * Idempotent by construction — re-applying the same compacted delta
+    * yields the same table (closes the reference's UnprocessedItems TODO,
+    * SURVEY §2.9 T4).
+    */
+  def merge(snapshot: DataFrame, delta: DataFrame, keys: Seq[String],
+            opCol: String, payload: Seq[String]): DataFrame = {
+    // String-qualified refs: snapshot and delta usually share lineage
+    // (both derive from the same CDC frame), so Dataset-column refs would
+    // be ambiguous under Spark's self-join check.
+    val joined = snapshot.as("s").join(
+      delta.as("d"), keys.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _),
+      "full_outer")
+    val dOp = col(s"d.$opCol")
+    val keep = dOp.isNull || dOp === "PUT" // DELETE drops the key
+    val cols =
+      keys.map(k => coalesce(col(s"d.$k"), col(s"s.$k")).as(k)) ++
+        payload.map(c => when(dOp.isNotNull, col(s"d.$c")).otherwise(col(s"s.$c")).as(c))
+    joined.filter(keep).select(cols: _*)
+  }
+
+  /** P6 — status projection: TableStatus==ACTIVE => SUCCEEDED else
+    * IN PROGRESS (app/lambdas/check-ddb-status/main.py:26-28).
+    */
+  def statusCase(tableStatus: Column, activeValue: String = "ACTIVE"): Column =
+    when(tableStatus === activeValue, lit("SUCCEEDED")).otherwise(lit("IN PROGRESS"))
+
+  /** P4 — control-event predicate (EventBridge rule pattern,
+    * cdk/lib/cdk-stack.ts:116-123): conjunctive equality over nested fields.
+    */
+  def controlEventMatch(df: DataFrame): DataFrame =
+    df.filter(
+      col("detail.eventSource") === "dynamodb.amazonaws.com" &&
+        col("detail.eventName") === "RestoreTableToPointInTime" &&
+        col("detailType") === "AWS API Call via CloudTrail" &&
+        col("source") === "aws.dynamodb")
+
+  /** The minimum end-to-end slice (SURVEY §7.2) on a CDC-shaped frame:
+    * snapshot(ts<=T, LWW, tombstones dropped) ⊕ replay(ts>T, dedup, LWW,
+    * PUT/DELETE merge). Exercises S7 P3 P7 A1 A2 W1 J1 O1 — the reference's
+    * entire data plane.
+    *
+    * @param cdc   frame with key, order, op-discriminating and payload columns
+    * @param keys  primary-key columns
+    * @param tsCol event-time column; `asOf` splits snapshot vs buffer
+    * @param order total order within key (ascending); latest wins
+    * @param isRemove predicate marking tombstone events
+    * @param payload state columns carried into the final table
+    */
+  def restoreReplay(cdc: DataFrame, keys: Seq[String], tsCol: Column,
+                    asOf: Column, order: Seq[Column], isRemove: Column,
+                    payload: Seq[String]): DataFrame = {
+    val pre = cdc.filter(tsCol <= asOf)
+    val snapshot = lwwCompact(pre, keys, order)
+      .filter(!isRemove) // a key whose last pre-T event is a tombstone is absent from the snapshot
+      .select((keys ++ payload).map(col): _*)
+    val buffer = cdc.filter(tsCol > asOf)
+    val delta = lwwCompact(dedup(buffer, Seq.empty), keys, order)
+      .withColumn("op", when(isRemove, lit("DELETE")).otherwise(lit("PUT")))
+      .select((keys ++ payload :+ "op").map(col): _*)
+    merge(snapshot, delta, keys, "op", payload)
+  }
+}

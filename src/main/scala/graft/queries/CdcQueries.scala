@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.model.AttributeValue
+import graft.ops.CdcOps
+
+/** Reference-parity operators (SURVEY §2.1–§2.9) in batch formulation over
+  * the driver `events` table (the CDC-log proxy per FIXTURES.md §B):
+  * user_id ⇒ key, ts+event_id ⇒ per-key total order (sequenceNumber analog),
+  * event_type='error' ⇒ REMOVE tombstone, props ⇒ DynamoDB-JSON payload.
+  * Every query here is DuckDB-oracle-checkable.
+  */
+object CdcQueries {
+  private val T = "2024-01-15 00:00:00" // PITR point for the replay queries
+
+  private def events(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+  private val isRemove: Column = col("event_type") === "error"
+  private val keyOrder: Seq[Column] = Seq(col("ts"), col("event_id"))
+
+  /** Exact decimal sum of a double column, returned as double: both engines
+    * round each value to 2 decimals, sum exactly, then convert once — this
+    * removes float-summation order sensitivity from the correctness gate.
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ───── flagship: SURVEY §7.2 minimum end-to-end slice (S7 P3 P7 A1 A2 W1 J1 O1)
+    QuerySpec(
+      "cdc_restore_replay",
+      (s, d) => CdcOps.restoreReplay(
+        events(s, d),
+        keys = Seq("user_id"),
+        tsCol = col("ts"),
+        asOf = lit(T).cast("timestamp"),
+        order = keyOrder,
+        isRemove = isRemove,
+        payload = Seq("event_id", "event_type", "value")),
+      Some(s"""
+        WITH pre AS (
+          SELECT user_id, event_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events WHERE ts <= TIMESTAMP '$T'),
+        snapshot AS (
+          SELECT user_id, event_id, event_type, value FROM pre
+          WHERE rn = 1 AND event_type <> 'error'),
+        post AS (
+          SELECT user_id, event_id, event_type, value,
+                 CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'PUT' END op,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events WHERE ts > TIMESTAMP '$T'),
+        delta AS (SELECT user_id, event_id, event_type, value, op FROM post WHERE rn = 1)
+        SELECT COALESCE(d.user_id, s.user_id) AS user_id,
+               CASE WHEN d.op IS NOT NULL THEN d.event_id ELSE s.event_id END AS event_id,
+               CASE WHEN d.op IS NOT NULL THEN d.event_type ELSE s.event_type END AS event_type,
+               CASE WHEN d.op IS NOT NULL THEN d.value ELSE s.value END AS value
+        FROM snapshot s FULL OUTER JOIN delta d ON s.user_id = d.user_id
+        WHERE d.op IS NULL OR d.op = 'PUT'""")),
+
+    // ───── A2/W1 — last-writer-wins compaction per key
+    QuerySpec(
+      "cdc_lww_compact",
+      (s, d) => CdcOps.lwwCompact(events(s, d), Seq("user_id"), keyOrder)
+        .select("user_id", "event_id", "event_type", "value"),
+      Some("""
+        SELECT user_id, event_id, event_type, value FROM (
+          SELECT user_id, event_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events) WHERE rn = 1""")),
+
+    // ───── A1 — content-based dedup (duplicate delivery is injected by the
+    // self-union; dedup must restore exact original multiplicities)
+    QuerySpec(
+      "cdc_dedup",
+      (s, d) => {
+        val e = events(s, d)
+        CdcOps.dedup(e.unionAll(e), Seq("event_id"))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            dsum(col("value")).as("sum_value"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM (SELECT DISTINCT ON (event_id) event_id, event_type, value
+              FROM (SELECT * FROM events UNION ALL SELECT * FROM events))
+        GROUP BY event_type""")),
+
+    // ───── P7 — apply-plan projection (PUT vs DELETE branch)
+    QuerySpec(
+      "cdc_apply_plan",
+      (s, d) => events(s, d).select(
+        col("event_id"), col("user_id"),
+        CdcOps.applyPlan(col("event_type"), "error").as("op"),
+        col("value")),
+      Some("""
+        SELECT event_id, user_id,
+               CASE WHEN event_type <> 'error' THEN 'PUT' ELSE 'DELETE' END AS op,
+               value
+        FROM events""")),
+
+    // ───── P1 — records-present guard (schema/shape validation surface)
+    QuerySpec(
+      "cdc_guard_filter",
+      (s, d) => events(s, d)
+        .withColumn("passed",
+          col("props").isNotNull && get_json_object(col("props"), "$.k").isNotNull)
+        .groupBy("event_type", "passed").agg(count(lit(1)).as("n")),
+      Some("""
+        SELECT event_type,
+               (props IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL) AS passed,
+               count(*) AS n
+        FROM events GROUP BY 1, 2""")),
+
+    // ───── P3/F1 — parse projection: JSON body -> typed columns
+    QuerySpec(
+      "cdc_parse_project",
+      (s, d) => events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+        col("event_type")),
+      Some("""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+               event_type
+        FROM events""")),
+
+    // ───── P2/F1 — serialize projection: record -> JSON body
+    QuerySpec(
+      "cdc_serialize",
+      (s, d) => events(s, d).select(
+        col("event_id"),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("body")),
+      Some("""
+        SELECT event_id,
+               CAST(to_json(struct_pack(event_id := event_id, user_id := user_id,
+                                        event_type := event_type)) AS VARCHAR) AS body
+        FROM events""")),
+
+    // ───── P6/P8 — status projection + pass-through enrichment
+    QuerySpec(
+      "cdc_status_case",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("status", CdcOps.statusCase(col("o_orderstatus"), "F"))
+        .groupBy("o_orderstatus", "status").agg(count(lit(1)).as("n")),
+      Some("""
+        SELECT o_orderstatus,
+               CASE WHEN o_orderstatus = 'F' THEN 'SUCCEEDED' ELSE 'IN PROGRESS' END AS status,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2""")),
+
+    // ───── P4/P5 — conjunctive predicate over nested/JSON fields
+    QuerySpec(
+      "cdc_control_match",
+      (s, d) => events(s, d).filter(
+        col("event_type") === "purchase" && col("value") > 100 &&
+          get_json_object(col("props"), "$.k").cast("int") < 50)
+        .select("event_id", "user_id", "value"),
+      Some("""
+        SELECT event_id, user_id, value FROM events
+        WHERE event_type = 'purchase' AND value > 100
+          AND CAST(json_extract_string(props, '$.k') AS INTEGER) < 50""")),
+
+    // ───── O1/W2 — per-key FIFO order: gap to previous event within key
+    QuerySpec(
+      "cdc_order_within_key",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, d).select(
+          col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+               LAG(event_id) OVER w AS prev_event_id
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+
+    // ───── T9 — session windows (30-min inactivity gap), batch formulation
+    QuerySpec(
+      "cdc_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = 30L * 60 * 1000000
+        events(s, d)
+          .withColumn("new_sess",
+            when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w) > gapUs
+              || lag(col("ts"), 1).over(w).isNull, lit(1)).otherwise(lit(0)))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_id")
+          .agg(min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            dsum(col("value")).as("sum_value"))
+          .drop("sess_id")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        numbered AS (
+          SELECT user_id, ts, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM flagged)
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM numbered GROUP BY user_id, sess_id""")),
+
+    // ───── T9 — tumbling event-time window aggregation
+    QuerySpec(
+      "cdc_tumbling_window",
+      (s, d) => events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some("""
+        SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
+    // ───── T5 — deadletter routing (poison-message split), as a projection
+    QuerySpec(
+      "cdc_deadletter_split",
+      (s, d) => events(s, d)
+        .withColumn("route",
+          when(get_json_object(col("props"), "$.k").cast("int") >= 95, lit("deadletter"))
+            .otherwise(lit("applied")))
+        .groupBy("event_type", "route").agg(count(lit(1)).as("n")),
+      Some("""
+        SELECT event_type,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95
+                    THEN 'deadletter' ELSE 'applied' END AS route,
+               count(*) AS n
+        FROM events GROUP BY 1, 2""")),
+
+    // ───── §1.1a — AttributeValue decode: build DynamoDB-JSON, decode with
+    // ddb_decode, extract typed fields; the oracle computes the same values
+    // directly (decode ∘ encode = identity).
+    QuerySpec(
+      "cdc_ddb_decode",
+      (s, d) => {
+        val raw = format_string(
+          """{"pk":{"S":"u%d"},"v":{"N":"%.2f"},"t":{"S":"%s"},"tags":{"L":[{"S":"%s"},{"N":"%d"}]}}""",
+          col("user_id"), col("value"), col("event_type"), col("event_type"), col("user_id"))
+        events(s, d)
+          .select(col("event_id"), AttributeValue.ddbDecode(raw).as("decoded"))
+          .select(
+            col("event_id"),
+            get_json_object(col("decoded"), "$.pk").as("pk"),
+            get_json_object(col("decoded"), "$.v").cast("double").as("v"),
+            get_json_object(col("decoded"), "$.t").as("t"),
+            get_json_object(col("decoded"), "$.tags[1]").cast("long").as("tag1"))
+      },
+      Some("""
+        SELECT event_id, 'u' || CAST(user_id AS VARCHAR) AS pk,
+               CAST(printf('%.2f', value) AS DOUBLE) AS v,
+               event_type AS t, user_id AS tag1
+        FROM events"""))
+  )
+}
