@@ -11,7 +11,7 @@ import graft.queries._
 object SparkEntry {
   /** Every registered capability, in module order. */
   def specs: Seq[QuerySpec] =
-    CdcQueries.all
+    CdcQueries.all ++ RelationalQueries.all
 
   private lazy val maps = QuerySpec.toMaps(specs)
 

@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Generic relational surface (SURVEY §2.3–§2.8): joins (broadcast / semi /
+  * anti / outer / as-of), aggregations (hash, distinct, rollup), window
+  * functions (ranking, running frames), sorts/top-k and set operations —
+  * all declarative DataFrame plans so Catalyst picks the physical strategy
+  * (broadcast for dims under the threshold, SMJ for fact-fact, partial
+  * aggregation map-side, TakeOrderedAndProject for top-k).
+  *
+  * Determinism contract with the oracle: double aggregates go through
+  * exact DECIMAL summation and convert to double once; every top-k has a
+  * unique tiebreaker column in the sort.
+  */
+object RelationalQueries {
+
+  /** Exact decimal sum of a ~2-decimal double column, as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  /** Exact decimal sum of a per-row product (more fractional digits). */
+  private def psum(c: Column): Column = sum(c.cast("decimal(28,10)")).cast("double")
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ───── A4 hash aggregation, partial+final (TPC-H Q1 shape)
+    QuerySpec(
+      "q1_agg",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          psum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          psum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    // ───── J2 fact-fact-dim join + agg + top-k (TPC-H Q3 shape).
+    // customer is a dim => Catalyst broadcasts it; orders⋈lineitem shuffles
+    // on o_orderkey once; top-k is TakeOrderedAndProject (no global sort).
+    QuerySpec(
+      "q3_topk",
+      (s, d) => customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(psum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // ───── J2/J4 snowflake join with broadcast dims (TPC-H Q5 shape)
+    QuerySpec(
+      "q5_region_revenue",
+      (s, d) => {
+        val dims = broadcast(
+          nation(s, d).join(region(s, d).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey")))
+        customer(s, d)
+          .join(dims, col("c_nationkey") === col("n_nationkey"))
+          .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("n_name")
+          .agg(psum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+                    JOIN customer ON c_nationkey = n_nationkey
+                    JOIN orders ON o_custkey = c_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name""")),
+
+    // ───── J6 left-semi: orders having any heavy lineitem
+    QuerySpec(
+      "join_semi",
+      (s, d) => orders(s, d).join(
+        lineitem(s, d).filter(col("l_quantity") >= 49),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice"),
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""")),
+
+    // ───── J6 left-anti: customers with no orders (the MERGE delete path's
+    // join shape — load-bearing for J1)
+    QuerySpec(
+      "join_anti",
+      (s, d) => customer(s, d).join(orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // ───── J2 left-outer + agg preserving unmatched rows
+    QuerySpec(
+      "join_outer_agg",
+      (s, d) => customer(s, d).join(orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent")),
+      Some("""
+        SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+               COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name""")),
+
+    // ───── W2 ranking: top-3 orders per customer (row_number, unique tiebreak)
+    QuerySpec(
+      "window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders) WHERE rk <= 3""")),
+
+    // ───── W2 analytic frame: per-customer running spend
+    QuerySpec(
+      "window_running",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("running_spend"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        FROM orders""")),
+
+    // ───── §2.7 set ops: EXCEPT (distinct semantics in both engines)
+    QuerySpec(
+      "setop_except",
+      (s, d) => {
+        val o = orders(s, d)
+        o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+          .except(o.filter(year(col("o_orderdate")) === 2001).select("o_custkey"))
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001""")),
+
+    // ───── §2.7 set ops: INTERSECT
+    QuerySpec(
+      "setop_intersect",
+      (s, d) => {
+        val o = orders(s, d)
+        o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+          .intersect(o.filter(year(col("o_orderdate")) === 2000).select("o_custkey"))
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000""")),
+
+    // ───── A8 grouping sets: ROLLUP over flag×status
+    QuerySpec(
+      "agg_rollup",
+      (s, d) => lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")),
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // ───── A6 distinct aggregation
+    QuerySpec(
+      "agg_distinct",
+      (s, d) => orders(s, d).groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders")),
+      Some("""
+        SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority""")),
+
+    // ───── O2 global top-k (TakeOrderedAndProject, no full sort)
+    QuerySpec(
+      "topk_global",
+      (s, d) => orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+
+    // ───── J2 as-of join: each purchase matched to the user's most recent
+    // signup at-or-before it (window formulation — one shuffle on the key,
+    // no range-join explosion; SURVEY §2.3 J2–J6)
+    QuerySpec(
+      "asof_join",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .filter(col("event_type").isin("purchase", "signup"))
+          .withColumn("asof_signup_id",
+            last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "asof_signup_id")
+      },
+      Some("""
+        SELECT event_id, user_id, ts, asof_signup_id FROM (
+          SELECT event_id, user_id, ts, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_id
+          FROM events WHERE event_type IN ('purchase','signup'))
+        WHERE event_type = 'purchase'"""))
+  )
+}

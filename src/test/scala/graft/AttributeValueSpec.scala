@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.AttributeValue
+
+class AttributeValueSpec extends AnyFunSuite {
+
+  test("decodes the full tag set") {
+    val in =
+      """{"s":{"S":"hi"},"n":{"N":"1.50"},"b":{"B":"Zm9v"},"t":{"BOOL":true},
+         |"z":{"NULL":true},"l":{"L":[{"S":"a"},{"N":"2"}]},
+         |"m":{"M":{"inner":{"S":"x"}}},
+         |"ss":{"SS":["a","b"]},"ns":{"NS":["1","2.5"]},"bs":{"BS":["YQ=="]}}"""
+        .stripMargin.replaceAll("\n", "")
+    val out = AttributeValue.decode(in)
+    assert(out.contains(""""s":"hi""""))
+    assert(out.contains(""""n":1.50""")) // decimal fidelity: no double roundtrip
+    assert(out.contains(""""t":true"""))
+    assert(out.contains(""""z":null"""))
+    assert(out.contains(""""l":["a",2]"""))
+    assert(out.contains(""""m":{"inner":"x"}"""))
+    assert(out.contains(""""ss":["a","b"]"""))
+    assert(out.contains(""""ns":[1,2.5]"""))
+  }
+
+  test("keeps 38-digit N exactness (no double corruption)") {
+    val big = "12345678901234567890123456789.123456789"
+    val out = AttributeValue.decode(s"""{"x":{"N":"$big"}}""")
+    assert(out === s"""{"x":$big}""")
+  }
+
+  test("nested M-in-L-in-M survives") {
+    val in = """{"a":{"M":{"b":{"L":[{"M":{"c":{"N":"7"}}}]}}}}"""
+    assert(AttributeValue.decode(in) === """{"a":{"b":[{"c":7}]}}""")
+  }
+
+  test("null in, null out") {
+    assert(AttributeValue.decode(null) === null)
+  }
+
+  test("depth bound rejects pathological nesting instead of truncating") {
+    val deep = (1 to 40).foldLeft("""{"S":"x"}""") { (acc, _) =>
+      s"""{"M":{"k":$acc}}"""
+    }
+    assertThrows[IllegalArgumentException] {
+      AttributeValue.decode(s"""{"root":$deep}""")
+    }
+  }
+
+  test("unknown tag rejected") {
+    assertThrows[IllegalArgumentException] {
+      AttributeValue.decode("""{"x":{"Q":"?"}}""")
+    }
+  }
+}
