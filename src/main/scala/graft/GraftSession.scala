@@ -18,7 +18,9 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.filterPushdown", "true")
-    .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+  // NOTE: driver heap is NOT set here — in local mode the JVM is already
+  // running, so spark.driver.memory would silently do nothing. The heap
+  // comes from build.sbt's -Xmx javaOption (SPARK_DRIVER_MEM env).
 
   def local(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -79,7 +79,9 @@ object CdcQueries {
       "cdc_dedup",
       (s, d) => {
         val e = events(s, d)
-        CdcOps.dedup(e.unionAll(e), Seq("event_id"))
+        // Full-row (content-based) dedup — the SQS contentBasedDeduplication
+        // semantic exactly; deterministic regardless of event_id uniqueness.
+        CdcOps.dedup(e.unionAll(e), Seq.empty)
           .groupBy("event_type").agg(
             count(lit(1)).as("n"),
             dsum(col("value")).as("sum_value"))
@@ -87,8 +89,7 @@ object CdcQueries {
       Some("""
         SELECT event_type, count(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM (SELECT DISTINCT ON (event_id) event_id, event_type, value
-              FROM (SELECT * FROM events UNION ALL SELECT * FROM events))
+        FROM (SELECT DISTINCT * FROM (SELECT * FROM events UNION ALL SELECT * FROM events))
         GROUP BY event_type""")),
 
     // ───── P7 — apply-plan projection (PUT vs DELETE branch)
@@ -203,7 +204,7 @@ object CdcQueries {
       },
       Some("""
         WITH flagged AS (
-          SELECT user_id, ts, value,
+          SELECT user_id, ts, event_id, value,
                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -211,7 +212,7 @@ object CdcQueries {
           FROM events),
         numbered AS (
           SELECT user_id, ts, value,
-                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
           FROM flagged)
         SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -251,21 +252,26 @@ object CdcQueries {
     QuerySpec(
       "cdc_ddb_decode",
       (s, d) => {
+        // N payload carries integer cents (floor(value*100)): floor of a
+        // double is exact and identical in Spark and DuckDB, unlike float
+        // formatting, whose tie-rounding rules differ (java HALF_UP vs C
+        // round-half-even).
+        val cents = floor(col("value") * 100).cast("long")
         val raw = format_string(
-          """{"pk":{"S":"u%d"},"v":{"N":"%.2f"},"t":{"S":"%s"},"tags":{"L":[{"S":"%s"},{"N":"%d"}]}}""",
-          col("user_id"), col("value"), col("event_type"), col("event_type"), col("user_id"))
+          """{"pk":{"S":"u%d"},"v":{"N":"%d"},"t":{"S":"%s"},"tags":{"L":[{"S":"%s"},{"N":"%d"}]}}""",
+          col("user_id"), cents, col("event_type"), col("event_type"), col("user_id"))
         events(s, d)
           .select(col("event_id"), AttributeValue.ddbDecode(raw).as("decoded"))
           .select(
             col("event_id"),
             get_json_object(col("decoded"), "$.pk").as("pk"),
-            get_json_object(col("decoded"), "$.v").cast("double").as("v"),
+            get_json_object(col("decoded"), "$.v").cast("long").as("v"),
             get_json_object(col("decoded"), "$.t").as("t"),
             get_json_object(col("decoded"), "$.tags[1]").cast("long").as("tag1"))
       },
       Some("""
         SELECT event_id, 'u' || CAST(user_id AS VARCHAR) AS pk,
-               CAST(printf('%.2f', value) AS DOUBLE) AS v,
+               CAST(floor(value * 100) AS BIGINT) AS v,
                event_type AS t, user_id AS tag1
         FROM events"""))
   )
