@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.analytics._
 import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -11,7 +12,9 @@ import graft.queries._
 object SparkEntry {
   /** Every registered capability, in module order. */
   def specs: Seq[QuerySpec] =
-    CdcQueries.all ++ RelationalQueries.all
+    CdcQueries.all ++ RelationalQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ MultimodalQueries.all
 
   private lazy val maps = QuerySpec.toMaps(specs)
 

@@ -1,0 +1,151 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Shared corpus builders for the training-data-pipeline operators
+  * (dedup / similarity / text analysis over `documents` and `embeddings`).
+  *
+  * The driver corpus has no exact duplicates (500 distinct texts at sf0.01),
+  * so dedup queries inject them deterministically — the SAME construction is
+  * mirrored in each oracle's SQL so both engines see an identical corpus:
+  *  - exact dups: every 3rd document repeated verbatim (same doc_id —
+  *    a true duplicate delivery, so full-row dedup is deterministic);
+  *  - near dups: every 5th document with its first 3 words dropped,
+  *    re-keyed to doc_id+100000;
+  *  - embedding near dups: every 7th vector with its last 4 components
+  *    zeroed, re-keyed to vec_id+100000 (keeps the sign-LSH bucket, which
+  *    is derived from the first components, stable).
+  *
+  * Numeric determinism contract (same spirit as the dsum pattern in the
+  * relational queries): every similarity score is computed from exact
+  * integers — embedding components are quantized with floor(x*100) (floor
+  * of a double is exact in both engines, unlike round, whose tie rules
+  * differ) — with a single double division at the end. One IEEE op on
+  * integer-valued doubles < 2^53 is exactly rounded, hence bit-identical
+  * across engines.
+  *
+  * Scale posture: everything here is a per-row map (no shuffle); the
+  * pairwise stages downstream are always LSH-banded or bounded, never
+  * full O(n²) over the corpus.
+  */
+object Corpus {
+
+  /** documents ∪ near-dup variants (doc_id+100000, first 3 words dropped). */
+  def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val variants = docs
+      .filter(col("doc_id") % 5 === 0 && size(split(col("text"), " ")) > 6)
+      .select(
+        (col("doc_id") + 100000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 4, size(split(text, ' ')) - 3), ' ')")
+          .as("text"))
+    docs.unionByName(variants)
+  }
+
+  /** Oracle-side mirror of [[docsWithNearDups]] (DuckDB SQL fragment). */
+  val docsWithNearDupsSql: String = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(string_split(text, ' ')[4:], ' ') AS text
+    FROM documents
+    WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) > 6"""
+
+  /** Distinct word 3-gram shingles per document (map-only; requires >=3
+    * tokens — guaranteed for this corpus, min 7 after variant trimming,
+    * and guarded anyway because sequence(1, n) with n<1 would descend).
+    */
+  def withShingles(corpus: DataFrame): DataFrame =
+    corpus
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("shingles", expr(
+        """array_distinct(transform(
+             sequence(1, size(split(text, ' ')) - 2),
+             i -> array_join(slice(split(text, ' '), i, 3), ' ')))"""))
+
+  /** Oracle-side shingle fragment: expects a relation with (doc_id, text),
+    * yields (doc_id, shingles).
+    */
+  def shinglesSql(from: String): String = s"""
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, len(toks) - 1)]) AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $from)
+    WHERE len(toks) >= 3"""
+
+  /** Embeddings quantized to exact integers: qv[i] = floor(x_i * 100),
+    * nn = Σ qv[i]² (the squared norm, also exact).
+    */
+  def quantizedVectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 100) as bigint))")
+        .as("qv"))
+      .withColumn("nn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+
+  /** Oracle-side mirror of [[quantizedVectors]]. */
+  val quantizedVectorsSql: String = """
+    SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nn
+    FROM (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+          FROM embeddings)"""
+
+  /** quantized vectors ∪ near-dup variants (vec_id+100000, last 4 of the 64
+    * components zeroed — cos(orig, variant)² = Σ₆₀/Σ₆₄ ≈ 0.94).
+    */
+  def vecsWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val base = quantizedVectors(s, d)
+    val variants = base
+      .filter(col("vec_id") % 7 === 0)
+      .select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("concat(slice(qv, 1, 60), array(0L, 0L, 0L, 0L))").as("qv"))
+      .withColumn("nn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+    base.unionByName(variants)
+  }
+
+  /** Oracle-side mirror of [[vecsWithNearDups]]; yields (vec_id, qv, nn). */
+  val vecsWithNearDupsSql: String = s"""
+    SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nn
+    FROM (
+      SELECT vec_id, qv FROM ($quantizedVectorsSql)
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             qv[1:60] || [0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT] AS qv
+      FROM ($quantizedVectorsSql) WHERE vec_id % 7 = 0)"""
+
+  /** Signed squared cosine from exact integer dot/norms: one double
+    * division; monotone in cosine, bit-identical across engines.
+    * Both `dot` and `na*nb` stay far below 2^53 for 64-dim, |qv|<=100
+    * vectors, so the integer-to-double conversions are exact.
+    */
+  val scoreSql: String =
+    "CASE WHEN dot >= 0 THEN 1.0 ELSE -1.0 END * (CAST(dot * dot AS DOUBLE) / CAST(na * nb AS DOUBLE))"
+
+  /** Spark column for [[scoreSql]] over columns dot, na, nb. */
+  def scoreCol: Column = expr(scoreSql)
+
+  /** Exact integer dot product of two quantized vectors (Spark side). */
+  def dotCol(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+  /** Sign-LSH bucket from the first 4 quantized components (16 buckets).
+    * Axis-aligned random-hyperplane LSH: near-identical vectors land in the
+    * same bucket; at scale the bit width grows with corpus size.
+    */
+  def signBucketCol: Column = expr(
+    """cast(case when qv[0] >= 0 then 1 else 0 end
+          + case when qv[1] >= 0 then 2 else 0 end
+          + case when qv[2] >= 0 then 4 else 0 end
+          + case when qv[3] >= 0 then 8 else 0 end as int)""")
+
+  /** Oracle-side mirror of [[signBucketCol]] (DuckDB lists are 1-based). */
+  val signBucketSql: String = """
+    CAST(CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END
+       + CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END
+       + CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END
+       + CASE WHEN qv[4] >= 0 THEN 8 ELSE 0 END AS INTEGER)"""
+}

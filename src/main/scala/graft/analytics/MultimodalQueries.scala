@@ -1,0 +1,61 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.QuerySpec
+
+/** Multimodal-column plumbing: media rides through the engine as opaque
+  * `binary` columns with typed metadata extracted by a decode step.
+  *
+  * The container has no image/audio codecs, so the corpus carries
+  * deterministic fake media: `img = unhex(md5(text))` (16 bytes standing in
+  * for an encoded header). The oracle-checked query exercises the REAL
+  * Spark plumbing — BinaryType columns, byte slicing, and header-field
+  * extraction as codegen'd expressions; the actual pixel decode is the
+  * clearly-stubbed typed path in [[MultimodalOps]] (ScalaTest-covered),
+  * where a real deployment would link a codec inside `mapPartitions`.
+  *
+  * Scale posture: per-row map, no shuffle; binary payloads stay columnar
+  * in parquet and are never collected.
+  */
+object MultimodalQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ───── header decode: width/height/channels from the leading bytes of
+    // the binary payload, + derived size classification.
+    // Spark reads through the binary column (substring on BinaryType →
+    // hex → int); the oracle computes the same fields directly from the
+    // md5 hex — identical by construction since img = unhex(md5(text)).
+    QuerySpec(
+      "mm_decode_meta",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("img", unhex(md5(col("text"))))
+        .withColumn("width",
+          expr("1 + cast(conv(hex(substring(img, 1, 2)), 16, 10) as bigint) % 4096"))
+        .withColumn("height",
+          expr("1 + cast(conv(hex(substring(img, 3, 2)), 16, 10) as bigint) % 4096"))
+        .withColumn("channels",
+          expr("1 + cast(conv(hex(substring(img, 5, 1)), 16, 10) as bigint) % 3"))
+        .withColumn("n_bytes", length(col("img")).cast("long"))
+        .withColumn("n_pixels", expr("width * height * channels"))
+        .withColumn("size_class", expr(
+          """case when n_pixels >= 8000000 then 'large'
+                  when n_pixels >= 1000000 then 'medium'
+                  else 'small' end"""))
+        .select("doc_id", "width", "height", "channels", "n_bytes", "n_pixels", "size_class"),
+      Some("""
+        SELECT doc_id, width, height, channels, n_bytes,
+               width * height * channels AS n_pixels,
+               CASE WHEN width * height * channels >= 8000000 THEN 'large'
+                    WHEN width * height * channels >= 1000000 THEN 'medium'
+                    ELSE 'small' END AS size_class
+        FROM (SELECT doc_id,
+                     1 + CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 4096 AS width,
+                     1 + CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 4096 AS height,
+                     1 + CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT) % 3 AS channels,
+                     CAST(len(md5(text)) / 2 AS BIGINT) AS n_bytes
+              FROM documents)"""))
+  )
+}

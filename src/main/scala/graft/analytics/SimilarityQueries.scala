@@ -1,0 +1,99 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.QuerySpec
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two paths, as a production vector pipeline would have:
+  *  - `ann_brute_topk` — exact baseline: a small probe set (10 query
+  *    vectors) broadcast against the full corpus; one pass, no shuffle of
+  *    the big side, TakeOrdered-style window top-k per query. Cost is
+  *    O(|corpus| × |probes|) — the right plan when probes are few, at any
+  *    corpus size.
+  *  - `ann_lsh_bucket` — the scale path: corpus pre-bucketed by
+  *    sign-LSH (axis hyperplanes over the quantized components); probes
+  *    join only their bucket, cutting the candidate set by the bucket
+  *    fan-out (16 here; more bits at larger corpora). Recall is traded for
+  *    the prune, as with any LSH.
+  *
+  * Scores use the exact-integer contract from [[Corpus]] — bit-identical
+  * across engines, so top-k with a (score DESC, vec_id) sort is
+  * deterministic including ties.
+  */
+object SimilarityQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "ann_brute_topk",
+      (s, d) => {
+        val base = Corpus.quantizedVectors(s, d)
+        val probes = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("vec_id"))
+        base.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            Corpus.dotCol("qv", "q_qv").as("dot"),
+            col("nn").as("na"), col("q_nn").as("nb"))
+          .withColumn("score", Corpus.scoreCol)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("score"))
+      },
+      Some(s"""
+        WITH base AS (${Corpus.quantizedVectorsSql}),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * q.qv[i])) AS BIGINT) AS dot,
+                 c.nn AS na, q.nn AS nb
+          FROM base c JOIN base q ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        SELECT query_id, vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ${Corpus.scoreSql} DESC, vec_id) AS INTEGER) AS rank,
+               ${Corpus.scoreSql} AS score
+        FROM pairs
+        QUALIFY rank <= 5""")),
+
+    QuerySpec(
+      "ann_lsh_bucket",
+      (s, d) => {
+        val base = Corpus.quantizedVectors(s, d)
+          .withColumn("bucket", Corpus.signBucketCol)
+        val probes = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+            col("nn").as("q_nn"), col("bucket"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("vec_id"))
+        base.join(broadcast(probes), Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            Corpus.dotCol("qv", "q_qv").as("dot"),
+            col("nn").as("na"), col("q_nn").as("nb"))
+          .withColumn("score", Corpus.scoreCol)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("score"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT vec_id, qv, nn, ${Corpus.signBucketSql} AS bucket
+          FROM (${Corpus.quantizedVectorsSql})),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * q.qv[i])) AS BIGINT) AS dot,
+                 c.nn AS na, q.nn AS nb
+          FROM base c JOIN base q
+            ON c.bucket = q.bucket AND q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        SELECT query_id, vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ${Corpus.scoreSql} DESC, vec_id) AS INTEGER) AS rank,
+               ${Corpus.scoreSql} AS score
+        FROM pairs
+        QUALIFY rank <= 3"""))
+  )
+}

@@ -1,0 +1,152 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.QuerySpec
+
+/** Text-analysis operators over `documents`: token statistics, quality
+  * scoring, language identification, and content fingerprinting — the
+  * per-document map stage of a training-data pipeline. Every operator is a
+  * pure per-row projection (no shuffle, whole-stage codegen'd HOFs), so
+  * throughput scales linearly with executors at any corpus size.
+  *
+  * Determinism: all ratios are a single double division of exact integer
+  * counts (exactly rounded IEEE, bit-identical across engines); bucket
+  * thresholds compare those identical doubles, so boundary cases agree too.
+  */
+object TextQueries {
+
+  /** Language marker words — tiny stopword inventories per language.
+    * The heuristic votes by marker hits with a fixed tie-break order; on
+    * this synthetic corpus (shared English-ish vocabulary) it mostly votes
+    * 'en', and the query reports agreement against the labeled `lang`.
+    */
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  private def markerCountExpr(words: Seq[String]): String = {
+    val cond = words.map(w => s"t = '$w'").mkString(" or ")
+    s"size(filter(split(text, ' '), t -> $cond))"
+  }
+
+  private def markerCountSql(words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($set)))"
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ───── token statistics: whitespace tokens + a BPE-ish length/4
+    // subword estimate (the standard chars-per-token heuristic)
+    QuerySpec(
+      "text_tokens",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        expr("size(split(text, ' '))").as("n_tokens"),
+        expr("size(array_distinct(split(text, ' ')))").as("n_distinct"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("cast(array_max(transform(split(text, ' '), t -> length(t))) as bigint)")
+          .as("max_token_len"),
+        expr("cast(ceil(length(text) / 4.0) as bigint)").as("est_subword_tokens")),
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+               CAST(len(text) AS BIGINT) AS n_chars,
+               CAST(list_max(list_transform(string_split(text, ' '), t -> len(t))) AS BIGINT)
+                 AS max_token_len,
+               CAST(ceil(len(text) / 4.0) AS BIGINT) AS est_subword_tokens
+        FROM documents""")),
+
+    // ───── quality scoring: stopword ratio, type-token ratio, mean token
+    // length → bucket (the C4/Gopher-style cheap filters)
+    QuerySpec(
+      "text_quality",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("n_tokens", expr("size(split(text, ' '))"))
+        .withColumn("stop_cnt", expr(markerCountExpr(markers("en"))))
+        .withColumn("stop_ratio", expr("cast(stop_cnt as double) / n_tokens"))
+        .withColumn("ttr", expr("cast(size(array_distinct(split(text, ' '))) as double) / n_tokens"))
+        .withColumn("mean_token_len",
+          expr("cast(length(text) - (n_tokens - 1) as double) / n_tokens"))
+        .withColumn("quality", expr(
+          """case when stop_ratio > 0.25 or ttr < 0.2 then 'low'
+                  when n_tokens >= 50 and ttr >= 0.3 then 'high'
+                  else 'medium' end"""))
+        .select("doc_id", "n_tokens", "stop_ratio", "ttr", "mean_token_len", "quality"),
+      Some(s"""
+        SELECT doc_id,
+               CAST(n_tokens AS INTEGER) AS n_tokens,
+               CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+               CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+               CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
+               CASE WHEN CAST(stop_cnt AS DOUBLE) / n_tokens > 0.25
+                      OR CAST(n_distinct AS DOUBLE) / n_tokens < 0.2 THEN 'low'
+                    WHEN n_tokens >= 50
+                     AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3 THEN 'high'
+                    ELSE 'medium' END AS quality
+        FROM (SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     ${markerCountSql(markers("en"))} AS stop_cnt,
+                     len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                     len(text) AS n_chars
+              FROM documents)""")),
+
+    // ───── language ID: marker-word votes, argmax with fixed tie-break
+    // (en > de > es > fr), reported against the labeled lang
+    QuerySpec(
+      "text_langid",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("cnt_en", expr(markerCountExpr(markers("en"))).cast("long"))
+        .withColumn("cnt_de", expr(markerCountExpr(markers("de"))).cast("long"))
+        .withColumn("cnt_es", expr(markerCountExpr(markers("es"))).cast("long"))
+        .withColumn("cnt_fr", expr(markerCountExpr(markers("fr"))).cast("long"))
+        .withColumn("predicted", expr(
+          """case when cnt_en >= greatest(cnt_de, cnt_es, cnt_fr) then 'en'
+                  when cnt_de >= greatest(cnt_es, cnt_fr) then 'de'
+                  when cnt_es >= cnt_fr then 'es'
+                  else 'fr' end"""))
+        .select(col("doc_id"), col("cnt_en"), col("cnt_de"), col("cnt_es"), col("cnt_fr"),
+          col("predicted"), (col("predicted") === col("lang")).as("is_match")),
+      Some(s"""
+        SELECT doc_id, cnt_en, cnt_de, cnt_es, cnt_fr,
+               CASE WHEN cnt_en >= greatest(cnt_de, cnt_es, cnt_fr) THEN 'en'
+                    WHEN cnt_de >= greatest(cnt_es, cnt_fr) THEN 'de'
+                    WHEN cnt_es >= cnt_fr THEN 'es'
+                    ELSE 'fr' END AS predicted,
+               (CASE WHEN cnt_en >= greatest(cnt_de, cnt_es, cnt_fr) THEN 'en'
+                     WHEN cnt_de >= greatest(cnt_es, cnt_fr) THEN 'de'
+                     WHEN cnt_es >= cnt_fr THEN 'es'
+                     ELSE 'fr' END = lang) AS is_match
+        FROM (SELECT doc_id, lang,
+                     CAST(${markerCountSql(markers("en"))} AS BIGINT) AS cnt_en,
+                     CAST(${markerCountSql(markers("de"))} AS BIGINT) AS cnt_de,
+                     CAST(${markerCountSql(markers("es"))} AS BIGINT) AS cnt_es,
+                     CAST(${markerCountSql(markers("fr"))} AS BIGINT) AS cnt_fr
+              FROM documents)""")),
+
+    // ───── content fingerprinting: full-text digest + min-shingle digest
+    // (winnowing-style representative hash over word 5-grams)
+    QuerySpec(
+      "text_fingerprint",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(col("text")).as("fp_full"),
+        expr(
+          """array_min(transform(
+               sequence(1, size(split(text, ' ')) - 4),
+               i -> md5(array_join(slice(split(text, ' '), i, 5), ' '))))""")
+          .as("fp_shingle_min"),
+        expr("cast(size(split(text, ' ')) - 4 as bigint)").as("n_shingles")),
+      Some("""
+        SELECT doc_id, md5(text) AS fp_full,
+               list_min([md5(array_to_string(toks[i:i+4], ' '))
+                         for i in range(1, len(toks) - 3)]) AS fp_shingle_min,
+               CAST(len(toks) - 4 AS BIGINT) AS n_shingles
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)"""))
+  )
+}

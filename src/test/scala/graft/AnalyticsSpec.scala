@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics._
+
+/** Specs for the training-data-pipeline operators that are not (or not
+  * fully) covered by the DuckDB oracle: the typed multimodal decode path
+  * and structural properties of the LSH dedup/similarity pipeline.
+  */
+class AnalyticsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("decodeImages: typed batched decode matches the expression-side header fields") {
+    val docs = MultimodalOps.withFakeMedia(Tables.documents(spark, sf))
+    val typed = MultimodalOps.decodeImages(docs, batchSize = 7).collect()
+    assert(typed.nonEmpty)
+
+    // The expression path (mm_decode_meta) and the typed path must agree
+    // on every header field — same bytes, two decoders.
+    val exprSide = docs
+      .withColumn("width",
+        expr("1 + cast(conv(hex(substring(img, 1, 2)), 16, 10) as int) % 4096"))
+      .withColumn("height",
+        expr("1 + cast(conv(hex(substring(img, 3, 2)), 16, 10) as int) % 4096"))
+      .withColumn("channels",
+        expr("1 + cast(conv(hex(substring(img, 5, 1)), 16, 10) as int) % 3"))
+      .select("doc_id", "width", "height", "channels")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    typed.foreach { d =>
+      assert(exprSide(d.doc_id) === ((d.width, d.height, d.channels)),
+        s"header mismatch for doc ${d.doc_id}")
+    }
+    // stub pixels: bounded preview, values in [0,1]
+    typed.foreach { d =>
+      assert(d.pixels.length <= 16 && d.pixels.forall(p => p >= 0f && p <= 1f))
+    }
+  }
+
+  test("sampleFrames: one frame per stride offset, keyed by source doc") {
+    val docs = MultimodalOps.withFakeMedia(Tables.documents(spark, sf)).limit(5)
+    val frames = MultimodalOps.sampleFrames(docs, stride = 4)
+    val perDoc = frames.groupBy("doc_id").count().collect()
+    // 16-byte payload, stride 4 => offsets 0,4,8,12
+    assert(perDoc.nonEmpty && perDoc.forall(_.getLong(1) == 4))
+  }
+
+  test("minhash LSH finds the injected near-dups with high recall") {
+    val sh = Corpus.withShingles(Corpus.docsWithNearDups(spark, sf))
+    val out = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+    // every reported pair clears the verify threshold
+    out.foreach(r => assert(r.getDouble(2) >= 0.4))
+    val found = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val injected = sh.filter(col("doc_id") >= 100000)
+      .select((col("doc_id") - 100000).as("a"), col("doc_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // LSH is probabilistic (4 bands × 3 rows): pairs near the 0.4 Jaccard
+    // floor can miss every band; on this fixed corpus recall is high but
+    // not total, so assert the aggregate rather than each pair.
+    val recall = injected.count(found.contains).toDouble / injected.length
+    assert(recall >= 0.8, s"LSH recall $recall over injected variants")
+  }
+
+  test("sign-LSH bucketing: near-dup variants land in their original's bucket") {
+    val vecs = Corpus.vecsWithNearDups(spark, sf)
+      .withColumn("bucket", Corpus.signBucketCol)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.keys.filter(_ >= 100000).foreach { v =>
+      assert(vecs(v) == vecs(v - 100000), s"variant $v changed bucket")
+    }
+  }
+
+  test("ann_brute_topk ranks are dense 1..k per query") {
+    val out = SparkEntry.queries("ann_brute_topk")(spark, sf)
+      .select("query_id", "rank").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getInt(1)).sorted.toSeq }
+    out.values.foreach(rs => assert(rs == (1 to rs.length)))
+    assert(out.nonEmpty)
+  }
+}
