@@ -1,0 +1,87 @@
+package graft.restore
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.CdcOps
+
+/** Status of the restore target, as the poller sees it — the reference's
+  * check-ddb-status Lambda maps TableStatus==ACTIVE → SUCCEEDED else
+  * IN PROGRESS (app/lambdas/check-ddb-status/main.py:26-28; FAILED exists
+  * only as a dead Choice branch, cdk/lib/state-machine.json:41-45).
+  */
+sealed trait RestoreStatus
+object RestoreStatus {
+  case object Succeeded extends RestoreStatus
+  case object InProgress extends RestoreStatus
+  case object Failed extends RestoreStatus // dead branch, modeled for parity
+
+  /** check-ddb-status semantics on a raw table-state string. */
+  def ofTableState(state: String): RestoreStatus =
+    if (state == "ACTIVE") Succeeded else InProgress
+}
+
+/** Driver-side orchestration of a PITR restore+replay — the reference's
+  * control plane (state machine + initiate-lambda-backfill) as plain
+  * Scala around the data-plane operators. No Catalyst involvement: this
+  * is the poll/gate/retarget loop, kept out of the dataflow (SURVEY §3.2).
+  *
+  *  - `snapshotAsOf` — the "restored table": LWW state of the CDC log at
+  *    T, tombstones dropped (PITR window semantics, README.md:3,26).
+  *  - `awaitReady` — Wait-30s → poll → Choice loop
+  *    (cdk/lib/state-machine.json:10-53), with injectable clock/status
+  *    so tests run without wall-time.
+  *  - `activate` — the gated start (T2): only once the target is ready is
+  *    the drain started, pointed at the restored table — the analog of
+  *    setting destination_table + enabling the SQS mapping
+  *    (app/lambdas/initiate-lambda-backfill/main.py:31-74). Replayable
+  *    storage + checkpoint make the late start lossless.
+  */
+final class RestoreSession(
+    pollStatus: () => RestoreStatus,
+    pollIntervalMs: Long = 30000, // Wait state, state-machine.json:13
+    maxPolls: Int = 120,
+    sleep: Long => Unit = Thread.sleep) {
+
+  /** Poll until SUCCEEDED (or FAILED / poll budget exhausted).
+    * Returns the terminal status.
+    */
+  def awaitReady(): RestoreStatus = {
+    var polls = 0
+    while (polls < maxPolls) {
+      sleep(pollIntervalMs) // Wait precedes the first poll, as in the ASL
+      polls += 1
+      pollStatus() match {
+        case RestoreStatus.Succeeded => return RestoreStatus.Succeeded
+        case RestoreStatus.Failed => return RestoreStatus.Failed
+        case RestoreStatus.InProgress => ()
+      }
+    }
+    RestoreStatus.InProgress
+  }
+
+  /** Gate, then start the drain. `startDrain` receives no arguments —
+    * the caller closes over the target path (the "retarget" is a
+    * constructor parameter, not a mutable global — SURVEY §2.9 T8).
+    */
+  def activate[Q](startDrain: () => Q): Option[Q] =
+    awaitReady() match {
+      case RestoreStatus.Succeeded => Some(startDrain())
+      case _ => None
+    }
+}
+
+object RestoreSession {
+
+  /** Snapshot-as-of-T over a CDC-shaped frame: per-key LWW state at T,
+    * keys whose latest pre-T event is a tombstone absent. This is the
+    * engine's "restored table" materialization.
+    */
+  def snapshotAsOf(cdc: DataFrame, keys: Seq[String], tsCol: Column,
+                   asOf: Column, order: Seq[Column], isRemove: Column,
+                   payload: Seq[String]): DataFrame =
+    CdcOps.lwwCompact(cdc.filter(tsCol <= asOf), keys, order)
+      .filter(!isRemove)
+      .select((keys ++ payload).map(col): _*)
+}

@@ -1,0 +1,170 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.model.CdcSchema
+import graft.ops.CdcOps
+
+/** Structured Streaming drivers over the SAME batch operators (`CdcOps`) —
+  * one semantics, two drivers (SURVEY §7.1). The reference's managed-service
+  * behaviors map onto Spark primitives:
+  *
+  *  - DynamoDB Streams → Lambda push (cdk/lib/cdk-stack.ts:96-100) ⇒
+  *    `readStream` over a CDC-log directory with checkpointed offsets
+  *    (shard iterators become offsets; replayable storage replaces queue
+  *    retention, so a gated late start is lossless — SURVEY §2.9 T2).
+  *  - SQS FIFO + contentBasedDeduplication (cdk-stack.ts:47-48) ⇒
+  *    `dropDuplicatesWithinWatermark` — bounded dedup state, the same
+  *    5-minute-window idea as SQS's dedup (T3/A1).
+  *  - batch 1000 / 5 s mapping (initiate-lambda-backfill/main.py:26-27) ⇒
+  *    `Trigger.ProcessingTime` + `maxFilesPerTrigger` (T1).
+  *  - batch_write_item apply (lambda-backfill/main.py:44-46) ⇒
+  *    `foreachBatch` running dedup → LWW-compact → keyed MERGE into a
+  *    parquet target — idempotent, so checkpoint + rerun = exactly-once
+  *    (closes the reference's UnprocessedItems TODO, T4).
+  *  - DLQ after repeated failure (cdk-stack.ts:52-63) ⇒ per-batch retry
+  *    with backoff, then a deadletter parquet path with the error (T5/T6).
+  *
+  * Scale posture: each micro-batch does exactly one shuffle (the key
+  * hash for LWW + merge); state stores hold only watermark-bounded dedup
+  * keys; nothing collects to the driver.
+  */
+object CdcStream {
+
+  /** File-based CDC source: JSON lines of flat CdcRecords landing in
+    * `dir`. `maxFilesPerTrigger` is the batch-size analog of the
+    * reference's BATCH_SIZE=1000.
+    */
+  def cdcFileSource(spark: SparkSession, dir: String,
+                    maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(CdcSchema.cdcRecord)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Content dedup with bounded state — the SQS dedup window as a
+    * watermark (default mirrors SQS's 5-minute dedup interval).
+    */
+  def dedupWithinWatermark(cdc: DataFrame, delay: String = "5 minutes"): DataFrame =
+    cdc.withWatermark("approxCreationTs", delay)
+      .dropDuplicatesWithinWatermark("eventID")
+
+  /** One micro-batch of the apply path, batch-formulated: dedup →
+    * LWW-compact → PUT/DELETE plan → MERGE into the current target.
+    * Pure function of (target, batch) so it is unit-testable and
+    * idempotent (re-applying a batch is a no-op).
+    */
+  def applyBatch(target: DataFrame, batch: DataFrame): DataFrame = {
+    val delta = CdcOps
+      .lwwCompact(
+        CdcOps.dedup(batch, Seq("eventID")),
+        keys = Seq("keys"), order = Seq(col("sequenceNumber")))
+      .withColumn("op", CdcOps.applyPlan(col("eventName"), CdcSchema.Remove))
+      .select(col("keys"), col("op"), col("newImage"))
+    CdcOps.merge(target, delta, keys = Seq("keys"),
+      opCol = "op", payload = Seq("newImage"))
+  }
+
+  /** Retry an action with the reference's backoff schedule: 1 s initial,
+    * ×2, `attempts` tries (cdk/lib/state-machine.json:31-33). Returns the
+    * failure after exhausting the budget.
+    */
+  def withRetry[A](attempts: Int = 3, firstDelayMs: Long = 1000,
+                   sleep: Long => Unit = Thread.sleep)(action: => A): A = {
+    var delay = firstDelayMs
+    var tries = 0
+    while (true) {
+      tries += 1
+      try return action
+      catch {
+        case e: Throwable if tries < attempts =>
+          sleep(delay); delay *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Poison predicate: a message the apply step can never process — a
+    * PUT without an image (the reference's DLQ exists for exactly this
+    * class of message; maxReceiveCount=5 then DLQ, cdk-stack.ts:52-63).
+    */
+  def isPoison: org.apache.spark.sql.Column =
+    col("eventName") =!= CdcSchema.Remove && col("newImage").isNull
+
+  /** The streaming apply sink: maintains a keyed parquet table at
+    * `targetDir`. Each micro-batch is split — poison messages go straight
+    * to `deadletterDir` with a reason; the valid remainder is merged with
+    * retry/backoff, and a batch that still fails after the budget goes
+    * whole to the deadletter path with the error (DLQ semantics, T5/T6).
+    *
+    * Exactly-once: offsets live in `checkpointDir`; the merge itself is
+    * idempotent, so replaying a batch after a crash converges.
+    */
+  def applySink(cdc: DataFrame, targetDir: String, checkpointDir: String,
+                deadletterDir: String,
+                trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+                retryAttempts: Int = 3,
+                retrySleep: Long => Unit = Thread.sleep): DataStreamWriter[org.apache.spark.sql.Row] =
+    cdc.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val full = batch.toDF().localCheckpoint(true) // batch reused twice
+        val poison = full.filter(isPoison)
+        if (!poison.isEmpty)
+          poison
+            .withColumn("error", lit("poison: PUT without image"))
+            .withColumn("batchId", lit(batchId))
+            .write.mode("append").parquet(deadletterDir)
+        val valid = full.filter(!isPoison)
+        try {
+          withRetry(retryAttempts, sleep = retrySleep) {
+            val target = readTarget(spark, targetDir)
+            val merged = applyBatch(target, valid)
+            // localCheckpoint cuts lineage and materializes BEFORE the
+            // overwrite touches the files being read.
+            merged.localCheckpoint(eager = true)
+              .write.mode("overwrite").parquet(targetDir)
+          }
+        } catch {
+          case e: Throwable =>
+            valid
+              .withColumn("error", lit(e.getMessage))
+              .withColumn("batchId", lit(batchId))
+              .write.mode("append").parquet(deadletterDir)
+        }
+        ()
+      }
+
+  /** Current target snapshot; empty-but-schema'd before first write. */
+  def readTarget(spark: SparkSession, targetDir: String): DataFrame = {
+    val p = new java.io.File(targetDir)
+    if (p.exists() && p.listFiles() != null && p.listFiles().exists(_.getName.endsWith(".parquet")))
+      spark.read.parquet(targetDir)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("keys", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("newImage", org.apache.spark.sql.types.StringType))))
+  }
+
+  /** Tumbling event-time window aggregation over the stream (T9):
+    * counts per eventName per window, watermarked so state is bounded.
+    */
+  def windowedCounts(cdc: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    cdc.withWatermark("approxCreationTs", watermark)
+      .groupBy(window(col("approxCreationTs"), window_), col("eventName"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows by inactivity gap over the stream (T9). */
+  def sessionCounts(cdc: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    cdc.withWatermark("approxCreationTs", watermark)
+      .groupBy(session_window(col("approxCreationTs"), gap), col("keys"))
+      .agg(count(lit(1)).as("n"))
+}

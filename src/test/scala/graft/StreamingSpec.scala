@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.restore.{RestoreSession, RestoreStatus}
+import graft.streaming.CdcStream
+
+/** End-to-end streaming + orchestration specs: the apply sink converges
+  * the target table, duplicate delivery is a no-op, failed batches land in
+  * the deadletter path, and the restore gate polls/starts like the
+  * reference's state machine.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def writeCdcFile(dir: String, name: String, lines: Seq[String]): Unit = {
+    val f = new java.io.File(dir, name)
+    val w = new java.io.PrintWriter(f)
+    try lines.foreach(w.println) finally w.close()
+  }
+
+  private def rec(id: String, name: String, ts: String, seq: String,
+                  keys: String, img: Option[String]): String = {
+    val imgJson = img.map(i => s""""$i"""").getOrElse("null")
+    s"""{"eventID":"$id","eventName":"$name","approxCreationTs":"$ts","sequenceNumber":"$seq","keys":"$keys","newImage":$imgJson,"oldImage":null}"""
+  }
+
+  test("applySink: stream of puts/deletes converges the target to LWW state") {
+    val in = tmp("cdc-in"); val target = tmp("cdc-target")
+    val ckpt = tmp("cdc-ckpt"); val dlq = tmp("cdc-dlq")
+    writeCdcFile(in, "b1.json", Seq(
+      rec("e1", "INSERT", "2024-01-01T00:00:01Z", "001", "k1", Some("v1")),
+      rec("e2", "MODIFY", "2024-01-01T00:00:02Z", "002", "k1", Some("v2")),
+      rec("e3", "INSERT", "2024-01-01T00:00:03Z", "003", "k2", Some("w1"))))
+    writeCdcFile(in, "b2.json", Seq(
+      rec("e4", "REMOVE", "2024-01-01T00:00:04Z", "004", "k2", None),
+      rec("e5", "INSERT", "2024-01-01T00:00:05Z", "005", "k3", Some("x1"))))
+
+    val q = CdcStream.applySink(
+      CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
+      target, ckpt, dlq, trigger = Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val state = spark.read.parquet(target)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("k1" -> "v2", "k3" -> "x1")) // k2 deleted
+
+    // duplicate delivery of an already-applied batch: idempotent merge
+    writeCdcFile(in, "b3.json", Seq(
+      rec("e5", "INSERT", "2024-01-01T00:00:05Z", "005", "k3", Some("x1"))))
+    val q2 = CdcStream.applySink(
+      CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
+      target, ckpt, dlq, trigger = Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val state2 = spark.read.parquet(target)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state2 === state)
+  }
+
+  test("applySink: poison messages are deadlettered, valid ones still apply") {
+    val in = tmp("dlq-in"); val target = tmp("dlq-target")
+    val ckpt = tmp("dlq-ckpt"); val dlq = tmp("dlq-out")
+    writeCdcFile(in, "b1.json", Seq(
+      rec("e1", "INSERT", "2024-01-01T00:00:01Z", "001", "k1", Some("v1")),
+      rec("e2", "INSERT", "2024-01-01T00:00:02Z", "002", "k2", None))) // poison: PUT, no image
+    val q = CdcStream.applySink(
+      CdcStream.cdcFileSource(spark, in),
+      target, ckpt, dlq, trigger = Trigger.AvailableNow(),
+      retryAttempts = 2, retrySleep = _ => ()).start()
+    q.awaitTermination(60000)
+    val dead = spark.read.parquet(dlq).collect()
+    assert(dead.length == 1 && dead(0).getAs[String]("eventID") == "e2")
+    assert(dead(0).getAs[String]("error").startsWith("poison"))
+    val state = spark.read.parquet(target)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("k1" -> "v1"))
+  }
+
+  test("withRetry: backoff schedule 1s,2s then success; exhaustion rethrows") {
+    var sleeps = List.empty[Long]
+    var calls = 0
+    val out = CdcStream.withRetry(attempts = 3, sleep = d => sleeps :+= d) {
+      calls += 1
+      if (calls < 3) sys.error("transient")
+      42
+    }
+    assert(out == 42 && sleeps == List(1000L, 2000L))
+
+    var calls2 = 0
+    val e = intercept[RuntimeException] {
+      CdcStream.withRetry(attempts = 3, sleep = _ => ()) {
+        calls2 += 1; sys.error("permanent")
+      }
+    }
+    assert(calls2 == 3 && e.getMessage == "permanent")
+  }
+
+  test("dedupWithinWatermark drops exact duplicate deliveries in-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("eventID", "approxCreationTs", "payload")
+    val deduped = df.withWatermark("approxCreationTs", "5 minutes")
+      .dropDuplicatesWithinWatermark("eventID")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:01")
+    mem.addData(("a", t, "p1"), ("a", t, "p1"), ("b", t, "p2"))
+    q.processAllAvailable()
+    mem.addData(("a", t, "p1")) // still within the watermark window
+    q.processAllAvailable()
+    val rows = spark.table("dedup_out").collect()
+    q.stop()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("RestoreSession: polls until ACTIVE then starts the drain exactly once") {
+    val states = Iterator("CREATING", "CREATING", "ACTIVE")
+    var sleeps = 0
+    var drains = 0
+    val session = new RestoreSession(
+      pollStatus = () => RestoreStatus.ofTableState(states.next()),
+      pollIntervalMs = 30000, maxPolls = 10, sleep = _ => sleeps += 1)
+    val out = session.activate { () => drains += 1; "query" }
+    assert(out.contains("query") && drains == 1)
+    assert(sleeps == 3) // Wait precedes each poll, as in the state machine
+
+    val failing = new RestoreSession(
+      pollStatus = () => RestoreStatus.Failed,
+      maxPolls = 2, sleep = _ => ())
+    assert(failing.activate(() => fail("must not start")).isEmpty)
+  }
+
+  test("snapshotAsOf matches the flagship restore_replay's snapshot semantics") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val snap = RestoreSession.snapshotAsOf(
+      events, keys = Seq("user_id"), tsCol = col("ts"),
+      asOf = lit("2024-01-15 00:00:00").cast("timestamp"),
+      order = Seq(col("ts"), col("event_id")),
+      isRemove = col("event_type") === "error",
+      payload = Seq("event_id", "event_type", "value"))
+    // structurally: one row per user, no tombstones
+    assert(snap.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    assert(snap.filter(col("event_type") === "error").count() == 0)
+    assert(snap.count() > 0)
+  }
+}
