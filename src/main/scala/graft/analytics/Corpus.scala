@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorFunctions
 
 /** Shared corpus builders for the training-data-pipeline operators
   * (dedup / similarity / text analysis over `documents` and `embeddings`).
@@ -54,17 +55,30 @@ object Corpus {
     FROM documents
     WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) > 6"""
 
+  /** SQL-level let-binding: evaluates `bound` ONCE and exposes it to
+    * `body` as a lambda variable. Catalyst's CollapseProject inlines
+    * projection aliases into every reference site — for a heavy
+    * subexpression referenced n times that means n full recomputations
+    * per row (measured 30×+ blowups on the signature queries). A lambda
+    * variable, by contrast, is bound to a materialized value, so every
+    * reference is a lookup.
+    */
+  def let(name: String, bound: String, body: String): String =
+    s"element_at(transform(array($bound), $name -> ($body)), 1)"
+
   /** Distinct word 3-gram shingles per document (map-only; requires >=3
     * tokens — guaranteed for this corpus, min 7 after variant trimming,
     * and guarded anyway because sequence(1, n) with n<1 would descend).
+    * The token split is let-bound so it happens once per row, not once
+    * per shingle.
     */
   def withShingles(corpus: DataFrame): DataFrame =
     corpus
       .filter(size(split(col("text"), " ")) >= 3)
-      .withColumn("shingles", expr(
+      .withColumn("shingles", expr(let("toks", "split(text, ' ')",
         """array_distinct(transform(
-             sequence(1, size(split(text, ' ')) - 2),
-             i -> array_join(slice(split(text, ' '), i, 3), ' ')))"""))
+             sequence(1, size(toks) - 2),
+             i -> array_join(slice(toks, i, 3), ' ')))""")))
 
   /** Oracle-side shingle fragment: expects a relation with (doc_id, text),
     * yields (doc_id, shingles).
@@ -78,6 +92,13 @@ object Corpus {
 
   /** Embeddings quantized to exact integers: qv[i] = floor(x_i * 100),
     * nn = Σ qv[i]² (the squared norm, also exact).
+    *
+    * PERSISTED: every consumer feeds qv into a pairwise join, where a
+    * lazy qv would be re-derived from the raw floats once per candidate
+    * pair (CollapseProject inlines it into the join's projections). The
+    * cached frame is ~1 KB/row — at any corpus size this is the cheap
+    * side of the trade, and it is exactly what a production vector
+    * pipeline does with its quantized index.
     */
   def quantizedVectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -85,6 +106,7 @@ object Corpus {
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 100) as bigint))")
         .as("qv"))
       .withColumn("nn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+      .persist()
 
   /** Oracle-side mirror of [[quantizedVectors]]. */
   val quantizedVectorsSql: String = """
@@ -128,9 +150,13 @@ object Corpus {
   /** Spark column for [[scoreSql]] over columns dot, na, nb. */
   def scoreCol: Column = expr(scoreSql)
 
-  /** Exact integer dot product of two quantized vectors (Spark side). */
+  /** Exact integer dot product of two quantized vectors — the codegen'd
+    * native expression (graft.functions.VecDotLong): it runs once per
+    * candidate pair inside the similarity joins, where interpreted HOF
+    * lambdas are the bottleneck.
+    */
   def dotCol(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    VectorFunctions.vecDotLong(col(a), col(b))
 
   /** Sign-LSH bucket from the first 4 quantized components (16 buckets).
     * Axis-aligned random-hyperplane LSH: near-identical vectors land in the

@@ -30,6 +30,18 @@ import graft.queries.QuerySpec
   */
 object DedupQueries {
 
+  /** Universal-hash multipliers for the 12 minhash permutations:
+    * h_p(x) = (A(p) * base(x)) & (2^40-1), base(x) = first 40 bits of
+    * md5(x). One md5 per shingle instead of twelve — the md5 is the
+    * expensive part — and the multiply-mask family keeps the permutations
+    * independent enough for banding. All arithmetic stays below 2^60, so
+    * both engines compute identical exact int64 values.
+    */
+  private val minhashA: Seq[Long] = Seq(
+    999983L, 999979L, 999961L, 999959L, 999953L, 999931L,
+    999917L, 999907L, 999883L, 999863L, 999841L, 999809L)
+  private val mask40 = (1L << 40) - 1
+
   val all: Seq[QuerySpec] = Seq(
 
     // ───── exact dedup: content-digest groupBy (map-side combine; the
@@ -56,24 +68,45 @@ object DedupQueries {
     QuerySpec(
       "dedup_minhash_lsh",
       (s, d) => {
+        // Shingle sets are computed once and PERSISTED: they feed both the
+        // signature pass and the two candidate-verify rejoins, and a lazy
+        // frame would re-derive them at every reference (CollapseProject
+        // inlines aliases into each use site).
         val sh = Corpus.withShingles(Corpus.docsWithNearDups(s, d))
-        val sig = sh.withColumn("minhash", expr(
-          """transform(sequence(0, 11),
-               p -> array_min(transform(shingles, x -> md5(concat(cast(p as string), '|', x)))))"""))
-        val bands = sig
-          .select(col("doc_id"), col("shingles"),
-            explode(expr("sequence(0, 3)")).as("band"), col("minhash"))
-          .withColumn("bkey", expr(
-            "md5(concat(minhash[band*3], minhash[band*3+1], minhash[band*3+2]))"))
-          .drop("minhash")
+          .select("doc_id", "shingles").persist()
+        // ONE pass over the shingles computes all 12 minhashes (running
+        // least per permutation) and the 4 band keys in the finish
+        // lambda — every heavy value (the md5 base hash, the accumulator)
+        // is a lambda binding, referenced as a value, never recomputed.
+        // Sentinel 2^40 sorts after every masked hash; shingle sets are
+        // never empty here.
+        val aArr = minhashA.map(_ + "L").mkString("array(", ", ", ")")
+        val bkeys = sh.select(col("doc_id"), expr(
+          s"""aggregate(
+               shingles,
+               transform(sequence(0, 11), p -> ${mask40 + 1}L),
+               (acc, x) -> ${Corpus.let("h",
+                 "cast(conv(substring(md5(x), 1, 10), 16, 10) as bigint)",
+                 s"zip_with(acc, $aArr, (m, a) -> least(m, (a * h) & ${mask40}L))")},
+               acc -> transform(sequence(0, 3),
+                        b -> md5(concat(cast(element_at(acc, b*3 + 1) as string), '_',
+                                        cast(element_at(acc, b*3 + 2) as string), '_',
+                                        cast(element_at(acc, b*3 + 3) as string)))))""").as("bkeys"))
+        // Bands stay NARROW (doc_id, band, bkey): the 4-way explode and
+        // the bucket self-join move ~40 bytes/row, not the shingle sets;
+        // persisted because the self-join scans it from both sides.
+        val bands = bkeys
+          .select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
+          .persist()
         val cand = bands.as("a")
           .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
         cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
           .withColumn("jaccard", expr(
             "cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))"))
           .filter(col("jaccard") >= 0.4)
@@ -84,12 +117,16 @@ object DedupQueries {
         sh AS (${Corpus.shinglesSql("corpus")}),
         sig AS (
           SELECT doc_id, shingles,
-                 [list_min(list_transform(shingles, x -> md5(CAST(p AS VARCHAR) || '|' || x)))
+                 [CAST(list_min(list_transform(shingles,
+                    x -> (${minhashA.mkString("[", ", ", "]")}[p+1]
+                          * (('0x' || substr(md5(x), 1, 10))::BIGINT)) & ${mask40})) AS BIGINT)
                   for p in range(0, 12)] AS minhash
           FROM sh),
         bands AS (
           SELECT doc_id, shingles, b.band,
-                 md5(minhash[b.band*3+1] || minhash[b.band*3+2] || minhash[b.band*3+3]) AS bkey
+                 md5(CAST(minhash[b.band*3+1] AS VARCHAR) || '_' ||
+                     CAST(minhash[b.band*3+2] AS VARCHAR) || '_' ||
+                     CAST(minhash[b.band*3+3] AS VARCHAR)) AS bkey
           FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -110,32 +147,42 @@ object DedupQueries {
     QuerySpec(
       "dedup_simhash",
       (s, d) => {
-        val grams = Corpus.docsWithNearDups(s, d).withColumn("tl", expr(
-          """transform(sequence(1, size(split(text, ' ')) - 1),
-               i -> array_join(slice(split(text, ' '), i, 2), ' '))"""))
-        val sig = grams
-          .withColumn("th", expr(
-            "transform(tl, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"))
-          .withColumn("bits", expr(
-            """transform(sequence(0, 31),
-                 j -> case when aggregate(th, 0L,
-                        (acc, h) -> acc + (case when (shiftright(h, j) & 1) = 1 then 1 else -1 end)) > 0
-                      then 1 else 0 end)"""))
-          .select("doc_id", "bits")
+        // Signature PACKED into one BIGINT in a SINGLE pass: tokens are
+        // let-bound (split once per row), per-token hashes are computed
+        // once inside the fold, and the 32 bit-counters ride in an array
+        // accumulator. The naive per-bit formulation re-derives the whole
+        // token→md5 chain for every bit (CollapseProject inlining) —
+        // measured 30×+ slower. Downstream hamming is bit_count(xor):
+        // two codegen'd machine ops per candidate pair, which is what
+        // decides seconds-vs-minutes when correlated corpora put
+        // thousands of docs in a band bucket.
+        val sigExpr = Corpus.let("toks", "split(text, ' ')",
+          """aggregate(
+               transform(sequence(1, size(toks) - 1),
+                 i -> cast(conv(substring(md5(array_join(slice(toks, i, 2), ' ')), 1, 8), 16, 10) as bigint)),
+               transform(sequence(0, 31), j -> 0L),
+               (acc, h) -> zip_with(acc, sequence(0, 31),
+                             (c, j) -> c + (case when (shiftright(h, j) & 1) = 1 then 1 else -1 end)),
+               acc -> aggregate(
+                        zip_with(acc, sequence(0, 31),
+                          (c, j) -> case when c > 0 then shiftleft(1L, j) else 0L end),
+                        0L, (a, b) -> a + b))""")
+        // persisted: 16 bytes/doc, scanned by both sides of the self-join
+        val sig = Corpus.docsWithNearDups(s, d)
+          .select(col("doc_id"), expr(sigExpr).as("sig")).persist()
         val banded = sig
-          .select(col("doc_id"), col("bits"), explode(expr("sequence(0, 3)")).as("band"))
-          .withColumn("bkey", expr("array_join(slice(bits, band*8 + 1, 8), '')"))
+          .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 3)")).as("band"))
+          .withColumn("bkey", expr("cast(shiftright(sig, band * 8) & 255 as int)"))
+        // hamming filter BEFORE pair-dedup: the filtered set is tiny, so
+        // the dropDuplicates shuffle is over hundreds of rows, not millions
         banded.as("a")
           .join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.bits").as("bits_a"), col("b.bits").as("bits_b"))
-          .dropDuplicates("doc_a", "doc_b")
-          .withColumn("hamming", expr(
-            "aggregate(zip_with(bits_a, bits_b, (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v)"))
+            expr("cast(bit_count(a.sig ^ b.sig) as bigint)").as("hamming"))
           .filter(col("hamming") <= 3)
-          .select("doc_a", "doc_b", "hamming")
+          .dropDuplicates("doc_a", "doc_b")
       },
       Some(s"""
         WITH corpus AS (${Corpus.docsWithNearDupsSql}),
@@ -145,16 +192,15 @@ object DedupQueries {
           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
         sigs AS (
           SELECT doc_id,
-                 [CASE WHEN CAST(list_sum(list_transform(th,
+                 CAST(list_sum([CASE WHEN CAST(list_sum(list_transform(th,
                         h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
-                       THEN 1 ELSE 0 END for j in range(0, 32)] AS bits
+                       THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 32)]) AS BIGINT) AS sig
           FROM (SELECT doc_id,
                        list_transform(tl, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
                 FROM grams)),
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 CAST(list_sum(list_transform(range(1, 33),
-                   j -> CASE WHEN a.bits[j] <> b.bits[j] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+                 CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""")),
 

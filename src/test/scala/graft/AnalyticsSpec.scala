@@ -73,6 +73,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("VecDotLong matches the HOF dot product (codegen and interpreted paths)") {
+    import graft.functions.VectorFunctions.vecDotLong
+    val vecs = Corpus.quantizedVectors(spark, sf).limit(50)
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(
+        vecDotLong(col("a.qv"), col("b.qv")).as("native"),
+        expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("hof"))
+    assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
+    // interpreted path (eval) must agree too
+    val e = graft.functions.VecDotLong(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1L, 2L, 3L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(4L, 5L, 6L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    assert(e.eval(null) == 32L)
+  }
+
   test("ann_brute_topk ranks are dense 1..k per query") {
     val out = SparkEntry.queries("ann_brute_topk")(spark, sf)
       .select("query_id", "rank").collect()
