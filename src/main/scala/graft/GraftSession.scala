@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new GraftExtensions)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -73,4 +73,16 @@ object VectorFunctions {
   def vecDotLong(a: Column, b: Column): Column =
     GraftSqlBridge.column(VecDotLong(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** SQL registration entry for [[VecDotLong]] (see [[graft.GraftExtensions]]). */
+  val vecDotLongDescriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot_long"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[VecDotLong].getName, "vec_dot_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "vec_dot_long takes exactly 2 arguments")
+      VecDotLong(children(0), children(1))
+    })
 }

@@ -64,8 +64,14 @@ object CdcOps {
     // String-qualified refs: snapshot and delta usually share lineage
     // (both derive from the same CDC frame), so Dataset-column refs would
     // be ambiguous under Spark's self-join check.
+    //
+    // Plain `===` on the keys, NOT null-safe `<=>`: primary keys are
+    // non-null by contract (DynamoDB key attributes cannot be null), and
+    // `<=>` wraps the join keys in coalesce/isnull, which makes the
+    // join's required partitioning incompatible with the LWW window's
+    // hashpartitioning(keys) — costing an extra full shuffle per side.
     val joined = snapshot.as("s").join(
-      delta.as("d"), keys.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _),
+      delta.as("d"), keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _),
       "full_outer")
     val dOp = col(s"d.$opCol")
     val keep = dOp.isNull || dOp === "PUT" // DELETE drops the key
@@ -111,7 +117,13 @@ object CdcOps {
       .filter(!isRemove) // a key whose last pre-T event is a tombstone is absent from the snapshot
       .select((keys ++ payload).map(col): _*)
     val buffer = cdc.filter(tsCol > asOf)
-    val delta = lwwCompact(dedup(buffer, Seq.empty), keys, order)
+    // No explicit dedup step: content dedup is SUBSUMED by LWW
+    // compaction — exact duplicate deliveries share the key and the
+    // order position, so the compaction survivor is invariant under
+    // duplication (property-tested). The standalone dedup operator
+    // remains part of the buffer-log surface (A1); dropping it here
+    // saves a full-row shuffle on the replay path.
+    val delta = lwwCompact(buffer, keys, order)
       .withColumn("op", when(isRemove, lit("DELETE")).otherwise(lit("PUT")))
       .select((keys ++ payload :+ "op").map(col): _*)
     merge(snapshot, delta, keys, "op", payload)

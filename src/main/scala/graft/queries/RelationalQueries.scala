@@ -213,6 +213,71 @@ object RelationalQueries {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
+    // ───── A8 grouping sets: full CUBE over flag×status
+    QuerySpec(
+      "agg_cube",
+      (s, d) => lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")),
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    // ───── §2.7 set ops: UNION (distinct semantics)
+    QuerySpec(
+      "setop_union",
+      (s, d) => {
+        val o = orders(s, d)
+        o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+          .union(o.filter(year(col("o_orderdate")) === 2000).select("o_custkey"))
+          .distinct()
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        UNION
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000""")),
+
+    // ───── §2.10 generator surface: explode/unnest (the L-attribute
+    // unnesting path) — token explode + frequency aggregation
+    QuerySpec(
+      "explode_tokens",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs")),
+      Some("""
+        SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token""")),
+
+    // ───── J2 range/interval join: each purchase paired with the same
+    // user's signups in the preceding 7 days (equi-key + range predicate —
+    // the shuffle is on user_id; the range bound keeps per-key fan-out
+    // small, which is what makes interval joins tractable at scale)
+    QuerySpec(
+      "join_range",
+      (s, d) => {
+        val e = events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val g = e.filter(col("event_type") === "signup")
+          .select(col("event_id").as("s_id"), col("user_id"), col("ts").as("s_ts"))
+        p.join(g, Seq("user_id"))
+          .filter(col("s_ts") <= col("p_ts") &&
+            col("s_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"))
+          .groupBy("p_id", "user_id")
+          .agg(count(lit(1)).as("n_signups"), min(col("s_id")).as("first_signup"))
+      },
+      Some("""
+        SELECT p.event_id AS p_id, p.user_id,
+               COUNT(*) AS n_signups, MIN(s.event_id) AS first_signup
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id
+         AND s.ts <= p.ts AND s.ts > p.ts - INTERVAL 7 DAY
+        GROUP BY p.event_id, p.user_id""")),
+
     // ───── A6 distinct aggregation
     QuerySpec(
       "agg_distinct",

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions — the "would this hold at 1000×" checks.
+  * A query that silently loses its broadcast, its pushed filter, or its
+  * top-k physical operator still returns correct rows at sf0.01; these
+  * specs pin the plan shape so the regression is caught here instead of
+  * on a cluster.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q5: dimension side is broadcast (no shuffle of the fact table for dims)") {
+    assert(plan("q5_region_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("q1: shipdate filter reaches the parquet scan as a pushed filter") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q1: aggregation is two-phase (map-side partial before the shuffle)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
+  test("topk_global: TakeOrderedAndProject, not a global sort") {
+    val p = plan("topk_global")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Sort [o_totalprice"))
+  }
+
+  test("column pruning: cdc_parse_project scan reads only the needed columns") {
+    val p = plan("cdc_parse_project")
+    // events has 6 columns; the projection needs 3
+    assert(p.contains("ReadSchema: struct<event_id:bigint"))
+    assert(!p.contains("user_id"))
+  }
+
+  test("semi/anti joins stay semi/anti at the physical level") {
+    assert(plan("join_semi").contains("LeftSemi"))
+    assert(plan("join_anti").contains("LeftAnti"))
+  }
+
+  test("restore_replay: exactly one shuffle per branch, reused by the merge join") {
+    // snapshot branch window + delta branch window = 2 hash exchanges;
+    // the full-outer merge must REUSE that partitioning (plain === keys),
+    // and LWW subsumes dedup so no all-columns exchange appears
+    val p = plan("cdc_restore_replay")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges in:\n$p")
+  }
+
+  test("vec_dot_long is registered in SQL via GraftExtensions") {
+    val out = spark.sql(
+      "SELECT vec_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .collect()(0).getLong(0)
+    assert(out == 32L)
+  }
+
+  test("ann_brute_topk: probe side is broadcast, corpus is never shuffled pre-join") {
+    assert(plan("ann_brute_topk").contains("BroadcastNestedLoopJoin") ||
+      plan("ann_brute_topk").contains("BroadcastHashJoin"))
+  }
+}
