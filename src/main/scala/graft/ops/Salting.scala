@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Key-salting for skew-heavy joins (SURVEY §4 / the 100 TB posture).
+  *
+  * AQE's skew-join split handles most runtime skew, but a join whose hot
+  * key is orders of magnitude above the rest still serializes on one
+  * task at planning-blind moments (e.g. inside a streaming micro-batch,
+  * where AQE is off). Salting spreads the hot side explicitly:
+  * the SKEWED (big) side gets a uniform salt in [0, n); the SMALL side is
+  * replicated n times, one copy per salt value; the join adds the salt to
+  * the equi-keys, splitting each hot key across n tasks.
+  *
+  * The salt is `pmod(hash(rand-free columns...), n)` — derived from the
+  * row's own key columns plus a uniform spread column when provided, so
+  * the transform stays deterministic (no rand(): retries/replays keep
+  * the same placement, which exactly-once sinks need).
+  */
+object Salting {
+
+  /** Add a salt column to the skewed side. `spreadCols` should be
+    * columns that vary within a hot key (e.g. the event id); with none
+    * given, monotonically_increasing_id() spreads rows round-robin
+    * within each partition (deterministic per task layout).
+    */
+  def saltSkewed(df: DataFrame, n: Int, spreadCols: Seq[Column] = Nil): DataFrame = {
+    val spread =
+      if (spreadCols.nonEmpty) hash(spreadCols: _*)
+      else spark_partition_id() * lit(1000003) + monotonically_increasing_id()
+    df.withColumn("__salt", pmod(spread, lit(n)).cast("int"))
+  }
+
+  /** Replicate the small side once per salt value. */
+  def replicateSmall(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("__salt", explode(expr(s"sequence(0, ${n - 1})")))
+
+  /** Salted equi-join: equivalent rows to `big.join(small, keys)` but the
+    * shuffle splits every key across `n` buckets.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String], n: Int,
+                 spreadCols: Seq[Column] = Nil, joinType: String = "inner"): DataFrame =
+    saltSkewed(big, n, spreadCols)
+      .join(replicateSmall(small, n), keys :+ "__salt", joinType)
+      .drop("__salt")
+}

@@ -289,6 +289,17 @@ object RelationalQueries {
                COUNT(*) AS n_orders
         FROM orders GROUP BY o_orderpriority""")),
 
+    // ───── A4 sketch aggregation: HLL++ approximate distinct. No oracle —
+    // DuckDB's approx_count_distinct uses a different sketch, so values
+    // differ by construction; the driver records the rows-only check.
+    // The exact countDistinct rides along so the output is self-auditing.
+    QuerySpec(
+      "agg_approx_distinct",
+      (s, d) => orders(s, d).groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+          countDistinct(col("o_custkey")).as("exact_customers")),
+      None),
+
     // ───── O2 global top-k (TakeOrderedAndProject, no full sort)
     QuerySpec(
       "topk_global",

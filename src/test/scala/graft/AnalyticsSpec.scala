@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.analytics._
+import graft.functions.MinHashAgg
 
 /** Specs for the training-data-pipeline operators that are not (or not
   * fully) covered by the DuckDB oracle: the typed multimodal decode path
@@ -91,6 +92,35 @@ class AnalyticsSpec extends SparkSpec {
         Seq(4L, 5L, 6L), org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType)))
     assert(e.eval(null) == 32L)
+  }
+
+  test("MinHashAgg: merging per-doc signatures equals the signature of the union") {
+    import spark.implicits._
+    val sigs: Seq[(String, Seq[Long])] = Seq(
+      ("g1", Seq(5L, 9L, 2L)), ("g1", Seq(3L, 12L, 7L)), ("g2", Seq(8L, 1L, 4L)))
+    val agg = new MinHashAgg(3).toColumn
+    val out = sigs.toDS().groupByKey(_._1).mapValues(_._2)
+      .agg(agg.name("sig")).collect().toMap
+    assert(out("g1") == Seq(3L, 9L, 2L)) // elementwise min across members
+    assert(out("g2") == Seq(8L, 1L, 4L))
+    // associativity: re-aggregating group sketches gives the global sketch
+    val global = sigs.map(_._2).reduce((a, b) => a.zip(b).map(t => t._1 min t._2))
+    val merged = out.values.reduce((a, b) => a.zip(b).map(t => t._1 min t._2))
+    assert(merged == global)
+  }
+
+  test("saltedJoin returns exactly the rows of the unsalted join") {
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val plain = orders.join(customer,
+      orders("o_custkey") === customer("c_custkey"))
+      .select("o_orderkey", "c_custkey")
+    val salted = graft.ops.Salting.saltedJoin(
+      orders, customer.withColumnRenamed("c_custkey", "o_custkey"),
+      keys = Seq("o_custkey"), n = 8, spreadCols = Seq(col("o_orderkey")))
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
   }
 
   test("ann_brute_topk ranks are dense 1..k per query") {

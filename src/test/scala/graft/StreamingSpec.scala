@@ -120,6 +120,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("windowedCounts: streaming tumbling aggregation matches the batch equivalent") {
+    val in = tmp("win-in")
+    writeCdcFile(in, "b1.json", Seq(
+      rec("e1", "INSERT", "2024-01-01T00:10:00Z", "001", "k1", Some("v")),
+      rec("e2", "INSERT", "2024-01-01T00:20:00Z", "002", "k1", Some("v")),
+      rec("e3", "REMOVE", "2024-01-01T01:10:00Z", "003", "k1", None),
+      rec("e4", "INSERT", "2024-01-01T01:20:00Z", "004", "k2", Some("v"))))
+    val q = CdcStream.windowedCounts(CdcStream.cdcFileSource(spark, in))
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("win_out")
+      .select(col("window.start").cast("string"), col("eventName"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("2024-01-01 00:00:00", "INSERT", 2L),
+      ("2024-01-01 01:00:00", "REMOVE", 1L),
+      ("2024-01-01 01:00:00", "INSERT", 1L)))
+  }
+
+  test("sessionCounts: 30-minute inactivity gap splits sessions (batch-driven)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("k1", "2024-01-01 00:00:00"), ("k1", "2024-01-01 00:10:00"),
+      ("k1", "2024-01-01 01:00:00"), // > 30 min gap -> new session
+      ("k2", "2024-01-01 00:00:00"))
+      .toDF("keys", "ts")
+      .select(col("keys"), col("ts").cast("timestamp").as("approxCreationTs"))
+    val out = CdcStream.sessionCounts(rows)
+      .select("keys", "n").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.sorted.toSeq == Seq(("k1", 1L), ("k1", 2L), ("k2", 1L)))
+  }
+
   test("RestoreSession: polls until ACTIVE then starts the drain exactly once") {
     val states = Iterator("CREATING", "CREATING", "ACTIVE")
     var sleeps = 0
