@@ -246,6 +246,44 @@ object CdcQueries {
                count(*) AS n
         FROM events GROUP BY 1, 2""")),
 
+    // ───── S8/P3 — declared-schema JSON parse: the full stream envelope
+    // round-trips through to_json → from_json(streamEnvelope-shaped
+    // schema) → nested-field extraction (GetStructField chains). The
+    // oracle extracts the same paths from the same JSON text.
+    QuerySpec(
+      "cdc_envelope_parse",
+      (s, d) => {
+        val env = events(s, d).select(
+          col("event_id"),
+          to_json(struct(
+            col("event_id").cast("string").as("eventID"),
+            when(isRemove, lit("REMOVE")).otherwise(lit("MODIFY")).as("eventName"),
+            struct(
+              col("ts").cast("string").as("ApproximateCreationDateTime"),
+              lpad(col("event_id").cast("string"), 12, "0").as("SequenceNumber"),
+              struct(col("user_id").as("user_id")).as("Keys")).as("dynamodb")))
+            .as("body"))
+        val envelopeDdl =
+          """eventID STRING, eventName STRING,
+             dynamodb STRUCT<ApproximateCreationDateTime: STRING,
+                             SequenceNumber: STRING,
+                             Keys: STRUCT<user_id: BIGINT>>"""
+        env.select(
+          col("event_id"),
+          from_json(col("body"), envelopeDdl, Map.empty[String, String]).as("r"))
+          .select(
+            col("event_id"),
+            col("r.eventName").as("event_name"),
+            col("r.dynamodb.SequenceNumber").as("seq"),
+            col("r.dynamodb.Keys.user_id").as("key_user"))
+      },
+      Some("""
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN 'REMOVE' ELSE 'MODIFY' END AS event_name,
+               lpad(CAST(event_id AS VARCHAR), 12, '0') AS seq,
+               user_id AS key_user
+        FROM events""")),
+
     // ───── §1.1a — AttributeValue decode: build DynamoDB-JSON, decode with
     // ddb_decode, extract typed fields; the oracle computes the same values
     // directly (decode ∘ encode = identity).

@@ -55,6 +55,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges in:\n$p")
   }
 
+  test("window_rank: rank<=k filter is pushed into WindowGroupLimit (bounded per-group state)") {
+    // Spark's InferWindowGroupLimit turns row_number()<=k into a
+    // per-partition top-k pass before the full window — without it every
+    // group materializes completely at the window operator
+    assert(plan("window_rank").contains("WindowGroupLimit"))
+  }
+
   test("vec_dot_long is registered in SQL via GraftExtensions") {
     val out = spark.sql(
       "SELECT vec_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
