@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.CdcStream
+
+/** Replay-throughput measurement against the reference's only published
+  * performance fact: the SQS→Lambda drain is capped at ~200 items/s per
+  * concurrent consumer (1000 messages / 5 s batching window,
+  * app/lambdas/initiate-lambda-backfill/main.py:26-27 — derivation in
+  * BASELINE.md). This main drives the SAME streaming apply path the
+  * engine ships (CdcStream.applySink: checkpointed source → poison split
+  * → LWW compact → keyed merge → parquet target) over N synthetic CDC
+  * events and prints one JSON line with events/s.
+  *
+  * Run: sbt "runMain graft.ThroughputBench [nEvents]"
+  */
+object ThroughputBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val spark = GraftSession.local("graft-throughput")
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("tp-in").toFile.getAbsolutePath
+    val target = Files.createTempDirectory("tp-target").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("tp-ckpt").toFile.getAbsolutePath
+    val dlq = Files.createTempDirectory("tp-dlq").toFile.getAbsolutePath
+
+    // synthetic CDC log: 10% tombstones, keys drawn from n/3 hot space
+    // (so compaction and the merge both do real work), written as the
+    // same JSON the file source reads in production shape
+    spark.range(n).select(
+      concat(lit("e"), col("id")).as("eventID"),
+      when(col("id") % 10 === 0, "REMOVE").otherwise("MODIFY").as("eventName"),
+      timestamp_millis(lit(1704067200000L) + col("id")).as("approxCreationTs"),
+      lpad(col("id").cast("string"), 12, "0").as("sequenceNumber"),
+      concat(lit("k"), pmod(col("id") * 2654435761L, lit(n / 3 + 1))).as("keys"),
+      when(col("id") % 10 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("img"), col("id"))).as("newImage"),
+      lit(null).cast("string").as("oldImage"))
+      .coalesce(8)
+      .write.mode("overwrite").json(dir)
+
+    val t0 = System.nanoTime()
+    val q = CdcStream.applySink(
+      CdcStream.cdcFileSource(spark, dir, maxFilesPerTrigger = 8),
+      target, ckpt, dlq, trigger = Trigger.AvailableNow()).start()
+    q.awaitTermination(600000)
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val applied = spark.read.parquet(target).count()
+    println(f"""{"metric":"replay_throughput","events":$n,"seconds":$secs%.3f,"events_per_sec":${n / secs}%.0f,"final_keys":$applied}""")
+    spark.stop()
+  }
+}

@@ -246,6 +246,32 @@ object CdcQueries {
                count(*) AS n
         FROM events GROUP BY 1, 2""")),
 
+    // ───── F2 — the reference's name sanitization regexes, verbatim
+    // semantics (cdk/bin/cdk.ts:40-49): strip leading non-alpha, map
+    // invalid chars to '-', then validate ^[A-Za-z][A-Za-z0-9-]*$.
+    QuerySpec(
+      "cdc_name_sanitize",
+      (s, d) => {
+        val raw = concat(lit("42_"), col("event_type"), lit("."),
+          col("user_id").cast("string"))
+        events(s, d).select(
+          col("event_id"),
+          raw.as("raw_name"),
+          regexp_replace(regexp_replace(raw, "^[^A-Za-z]+", ""), "[^A-Za-z0-9-]", "-")
+            .as("sanitized"),
+          raw.rlike("^[A-Za-z][A-Za-z0-9-]*$").as("was_valid"))
+      },
+      Some("""
+        SELECT event_id,
+               '42_' || event_type || '.' || CAST(user_id AS VARCHAR) AS raw_name,
+               regexp_replace(
+                 regexp_replace('42_' || event_type || '.' || CAST(user_id AS VARCHAR),
+                                '^[^A-Za-z]+', ''),
+                 '[^A-Za-z0-9-]', '-', 'g') AS sanitized,
+               regexp_matches('42_' || event_type || '.' || CAST(user_id AS VARCHAR),
+                              '^[A-Za-z][A-Za-z0-9-]*$') AS was_valid
+        FROM events""")),
+
     // ───── S8/P3 — declared-schema JSON parse: the full stream envelope
     // round-trips through to_json → from_json(streamEnvelope-shaped
     // schema) → nested-field extraction (GetStructField chains). The
