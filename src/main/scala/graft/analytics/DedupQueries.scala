@@ -68,26 +68,35 @@ object DedupQueries {
     QuerySpec(
       "dedup_minhash_lsh",
       (s, d) => {
-        // Shingle sets are computed once and PERSISTED: they feed both the
-        // signature pass and the two candidate-verify rejoins, and a lazy
-        // frame would re-derive them at every reference (CollapseProject
-        // inlines aliases into each use site).
-        val sh = Corpus.withShingles(Corpus.docsWithNearDups(s, d))
-          .select("doc_id", "shingles").persist()
-        // ONE pass over the shingles computes all 12 minhashes (running
-        // least per permutation) and the 4 band keys in the finish
-        // lambda — every heavy value (the md5 base hash, the accumulator)
-        // is a lambda binding, referenced as a value, never recomputed.
-        // Sentinel 2^40 sorts after every masked hash; shingle sets are
-        // never empty here.
+        // The whole query runs on NUMERIC shingle hashes: one md5 per
+        // WORD (40 bits), a shingle hash combines three consecutive word
+        // hashes with small multipliers (every product/sum stays under
+        // 2^63 — both engines exact int64), and the candidate verify
+        // computes Jaccard over the distinct hash sets. No per-shingle
+        // string building or per-shingle md5 anywhere; collisions are
+        // negligible and in any case identical across engines.
+        // PERSISTED: the hash sets feed the signature pass and both
+        // verify rejoins (CollapseProject would re-derive them per use).
+        val hsets = Corpus.docsWithNearDups(s, d)
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), expr(
+            Corpus.let("ws",
+              "transform(split(text, ' '), w -> cast(conv(substring(md5(w), 1, 10), 16, 10) as bigint))",
+              s"""array_distinct(transform(sequence(1, size(ws) - 2),
+                   i -> (element_at(ws, i) * 1000003L
+                         + element_at(ws, i + 1) * 1500007L
+                         + element_at(ws, i + 2) * 2000003L) & ${mask40}L))"""))
+            .as("hs"))
+          .persist()
+        // Single fold: 12 running minima (one per permutation), band
+        // keys in the finish lambda. Sentinel 2^40 sorts after every
+        // masked hash; shingle sets are non-empty (>=3 tokens).
         val aArr = minhashA.map(_ + "L").mkString("array(", ", ", ")")
-        val bkeys = sh.select(col("doc_id"), expr(
+        val bkeys = hsets.select(col("doc_id"), expr(
           s"""aggregate(
-               shingles,
+               hs,
                transform(sequence(0, 11), p -> ${mask40 + 1}L),
-               (acc, x) -> ${Corpus.let("h",
-                 "cast(conv(substring(md5(x), 1, 10), 16, 10) as bigint)",
-                 s"zip_with(acc, $aArr, (m, a) -> least(m, (a * h) & ${mask40}L))")},
+               (acc, x) -> zip_with(acc, $aArr, (m, a) -> least(m, (a * x) & ${mask40}L)),
                acc -> transform(sequence(0, 3),
                         b -> md5(concat(cast(element_at(acc, b*3 + 1) as string), '_',
                                         cast(element_at(acc, b*3 + 2) as string), '_',
@@ -105,40 +114,48 @@ object DedupQueries {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
         cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+          .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+          .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
           .withColumn("jaccard", expr(
-            "cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))"))
+            "cast(size(array_intersect(hs_a, hs_b)) as double) / size(array_union(hs_a, hs_b))"))
           .filter(col("jaccard") >= 0.4)
           .select("doc_a", "doc_b", "jaccard")
       },
       Some(s"""
         WITH corpus AS (${Corpus.docsWithNearDupsSql}),
-        sh AS (${Corpus.shinglesSql("corpus")}),
+        hsets AS (
+          SELECT doc_id,
+                 list_distinct([(ws[i] * 1000003 + ws[i+1] * 1500007 + ws[i+2] * 2000003)
+                                & ${mask40} for i in range(1, len(ws) - 1)]) AS hs
+          FROM (SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                                      w -> ('0x' || substr(md5(w), 1, 10))::BIGINT) AS ws
+                FROM corpus
+                WHERE len(string_split(text, ' ')) >= 3)),
         sig AS (
-          SELECT doc_id, shingles,
-                 [CAST(list_min(list_transform(shingles,
-                    x -> (${minhashA.mkString("[", ", ", "]")}[p+1]
-                          * (('0x' || substr(md5(x), 1, 10))::BIGINT)) & ${mask40})) AS BIGINT)
+          SELECT doc_id,
+                 [CAST(list_min(list_transform(hs,
+                    x -> (${minhashA.mkString("[", ", ", "]")}[p+1] * x) & ${mask40})) AS BIGINT)
                   for p in range(0, 12)] AS minhash
-          FROM sh),
+          FROM hsets),
         bands AS (
-          SELECT doc_id, shingles, b.band,
+          SELECT doc_id, b.band,
                  md5(CAST(minhash[b.band*3+1] AS VARCHAR) || '_' ||
                      CAST(minhash[b.band*3+2] AS VARCHAR) || '_' ||
                      CAST(minhash[b.band*3+3] AS VARCHAR)) AS bkey
           FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
         cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.shingles AS sh_a, b.shingles AS sh_b
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b,
-               CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-                 / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
-        FROM cand
-        WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-                / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.4""")),
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.hs, sb.hs))) AS jaccard
+        FROM cand c
+        JOIN hsets sa ON sa.doc_id = c.doc_a
+        JOIN hsets sb ON sb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.4""")),
 
     // ───── SimHash near-dup: 32-bit weighted signature over word bigrams,
     // 4-byte banding (lossless for hamming<=3), hamming verify.
