@@ -7,6 +7,12 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
 import graft.model.CdcSchema
 import graft.ops.CdcOps
 
+/** Managed per-key state for [[CdcStream.statefulLatest]]: the latest
+  * applied (sequenceNumber, image); `live=false` is a tombstone.
+  */
+final case class KeyState(
+    keys: String, seq: String, image: Option[String], live: Boolean)
+
 /** Structured Streaming drivers over the SAME batch operators (`CdcOps`) —
   * one semantics, two drivers (SURVEY §7.1). The reference's managed-service
   * behaviors map onto Spark primitives:
@@ -150,6 +156,41 @@ object CdcStream {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("keys", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("newImage", org.apache.spark.sql.types.StringType))))
+  }
+
+  /** Streaming-native apply: per-key LWW state maintained in the state
+    * store via `mapGroupsWithState` (SURVEY §2.9 T9 — arbitrary stateful
+    * ops). The alternative formulation to the foreachBatch merge: instead
+    * of rewriting a keyed table per micro-batch, each key's latest image
+    * lives in managed state and every batch emits the keys it changed
+    * (an update-log, e.g. for a downstream changelog consumer).
+    *
+    * State per key is one (sequenceNumber, image) pair — bounded by key
+    * cardinality, not event volume. REMOVE is represented as a tombstone
+    * (None image) so late out-of-order events cannot resurrect a deleted
+    * key; actual state eviction would use a timeout in production.
+    */
+  def statefulLatest(cdc: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.Dataset[KeyState] = {
+    val spark = cdc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    cdc.select("keys", "eventName", "sequenceNumber", "newImage")
+      .as[(String, String, String, Option[String])]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, events: Iterator[(String, String, String, Option[String])],
+         state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
+          val prior = state.getOption
+            .getOrElse(KeyState(key, "", None, live = false))
+          // per-key order: highest sequenceNumber wins (zero-padded)
+          val latest = (events.map { case (_, name, seq, img) =>
+            KeyState(key, seq, if (name == CdcSchema.Remove) None else img,
+              live = name != CdcSchema.Remove)
+          } ++ Iterator(prior)).maxBy(_.seq)
+          state.update(latest)
+          latest
+      }
   }
 
   /** Tumbling event-time window aggregation over the stream (T9):

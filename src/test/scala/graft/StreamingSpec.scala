@@ -153,6 +153,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.sorted.toSeq == Seq(("k1", 1L), ("k1", 2L), ("k2", 1L)))
   }
 
+  test("statefulLatest: per-key state store converges to LWW across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, Option[String])]
+    val df = mem.toDF().toDF("keys", "eventName", "sequenceNumber", "newImage")
+    val q = graft.streaming.CdcStream.statefulLatest(df)
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    mem.addData(
+      ("k1", "INSERT", "001", Some("v1")),
+      ("k1", "MODIFY", "002", Some("v2")),
+      ("k2", "INSERT", "003", Some("w1")))
+    q.processAllAvailable()
+    // second micro-batch: stale event for k1 must NOT win; k2 removed
+    mem.addData(
+      ("k1", "MODIFY", "001", Some("stale")),
+      ("k2", "REMOVE", "004", None))
+    q.processAllAvailable()
+    val last = spark.table("state_out")
+      .groupBy("keys").agg(max(struct(col("seq"), col("image"), col("live"))).as("s"))
+      .select(col("keys"), col("s.image"), col("s.live"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    q.stop()
+    assert(last("k1") === (("v2", true)))  // stale seq 001 lost to 002
+    assert(last("k2") === ((null, false))) // tombstoned
+  }
+
   test("RestoreSession: polls until ACTIVE then starts the drain exactly once") {
     val states = Iterator("CREATING", "CREATING", "ACTIVE")
     var sleeps = 0
