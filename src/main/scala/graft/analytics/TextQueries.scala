@@ -129,6 +129,25 @@ object TextQueries {
                      CAST(${markerCountSql(markers("fr"))} AS BIGINT) AS cnt_fr
               FROM documents)""")),
 
+    // ───── incremental rolling hash over the character stream (the
+    // Rabin-Karp-style fingerprint a chunking pipeline would maintain):
+    // h = fold (h*31 + ascii(c)) & 2^40-1. Bounded at 2^45 per step, so
+    // both engines produce identical exact int64s.
+    QuerySpec(
+      "text_rolling_hash",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        expr("aggregate(split(text, ''), 0L, (h, c) -> (h * 31 + ascii(c)) & 1099511627775L)")
+          .as("rhash"),
+        expr("length(text)").cast("long").as("n_chars")),
+      Some("""
+        SELECT doc_id,
+               list_reduce(list_prepend(0::BIGINT,
+                             [ascii(c)::BIGINT for c in string_split(text, '')]),
+                           (h, c) -> (h * 31 + c) & 1099511627775) AS rhash,
+               CAST(len(text) AS BIGINT) AS n_chars
+        FROM documents""")),
+
     // ───── content fingerprinting: full-text digest + min-shingle digest
     // (winnowing-style representative hash over word 5-grams)
     QuerySpec(

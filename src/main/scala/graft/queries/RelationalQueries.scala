@@ -311,6 +311,72 @@ object RelationalQueries {
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
 
+    // ───── event-analytics: signup→purchase conversion funnel by monthly
+    // cohort. Two passes over events (conditional min aggregations), one
+    // shuffle on user_id, then a tiny cohort rollup — no self-join.
+    QuerySpec(
+      "events_funnel",
+      (s, d) => {
+        val perUser = events(s, d)
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+          .filter(col("first_signup").isNotNull)
+          .withColumn("converted",
+            col("first_purchase").isNotNull && col("first_purchase") >= col("first_signup"))
+          .withColumn("wait_us",
+            when(col("converted"),
+              unix_micros(col("first_purchase")) - unix_micros(col("first_signup"))))
+        perUser
+          .groupBy(date_trunc("month", col("first_signup")).as("cohort_month"))
+          .agg(
+            count(lit(1)).as("n_users"),
+            count(when(col("converted"), lit(1))).as("n_converted"),
+            sum(col("wait_us")).as("sum_wait_us"))
+      },
+      Some("""
+        SELECT date_trunc('month', first_signup) AS cohort_month,
+               COUNT(*) AS n_users,
+               COUNT(CASE WHEN converted THEN 1 END) AS n_converted,
+               CAST(SUM(wait_us) AS BIGINT) AS sum_wait_us
+        FROM (
+          SELECT user_id, first_signup, first_purchase,
+                 first_purchase IS NOT NULL AND first_purchase >= first_signup AS converted,
+                 CASE WHEN first_purchase IS NOT NULL AND first_purchase >= first_signup
+                      THEN epoch_us(first_purchase) - epoch_us(first_signup) END AS wait_us
+          FROM (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+            FROM events GROUP BY user_id)
+          WHERE first_signup IS NOT NULL)
+        GROUP BY 1""")),
+
+    // ───── A4 exact percentiles (interpolated): same rank definition
+    // p*(n-1) in both engines; inputs quantized to integer cents so the
+    // interpolation arithmetic stays on exact integer-valued doubles
+    QuerySpec(
+      "agg_percentile",
+      (s, d) => events(s, d)
+        .withColumn("cents", floor(col("value") * 100))
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(cents, array(0.5D, 0.9D))").as("pcts"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          col("pcts")(0).as("p50_cents"),
+          col("pcts")(1).as("p90_cents"),
+          col("n")),
+      Some("""
+        SELECT event_type,
+               pcts[1] AS p50_cents, pcts[2] AS p90_cents, n
+        FROM (
+          SELECT event_type,
+                 quantile_cont(floor(value * 100), [0.5, 0.9]) AS pcts,
+                 COUNT(*) AS n
+          FROM events GROUP BY event_type)""")),
+
     // ───── J2 as-of join: each purchase matched to the user's most recent
     // signup at-or-before it (window formulation — one shuffle on the key,
     // no range-join explosion; SURVEY §2.3 J2–J6)
