@@ -231,6 +231,28 @@ object CdcQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2""")),
 
+    // ───── T9 — sliding event-time windows (1 h window, 30 min slide):
+    // every event lands in exactly two windows. The oracle unnests the
+    // two candidate window starts per event — the same assignment rule
+    // Spark's window() uses.
+    QuerySpec(
+      "cdc_sliding_window",
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value")),
+      Some("""
+        SELECT win_start, event_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM (
+          SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                         time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+                   AS win_start,
+                 event_type, value
+          FROM events)
+        GROUP BY 1, 2""")),
+
     // ───── T5 — deadletter routing (poison-message split), as a projection
     QuerySpec(
       "cdc_deadletter_split",
