@@ -56,6 +56,25 @@ object MultimodalQueries {
                      1 + CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 4096 AS height,
                      1 + CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT) % 3 AS channels,
                      CAST(len(md5(text)) / 2 AS BIGINT) AS n_bytes
-              FROM documents)"""))
+              FROM documents)""")),
+
+    // ───── frame sampling as a relational op (M3, oracle-checked twin of
+    // MultimodalOps.sampleFrames): every 4th byte offset of the payload
+    // becomes a frame row keyed by source doc, with a content digest of
+    // the 4-byte frame window — the explode-to-frames shape of a video
+    // pipeline, where per-frame work then parallelizes independently of
+    // the source-document boundaries.
+    QuerySpec(
+      "mm_frame_sample",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("hex"),
+          posexplode(expr("sequence(0, 12, 4)")).as(Seq("frame_no", "frame_idx")))
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          md5(expr("substring(hex, frame_idx * 2 + 1, 8)")).as("frame_hash")),
+      Some("""
+        SELECT doc_id, o.n AS frame_no, o.n * 4 AS frame_idx,
+               md5(substr(md5(text), o.n * 8 + 1, 8)) AS frame_hash
+        FROM documents, (SELECT unnest(range(0, 4)) AS n) o"""))
   )
 }
