@@ -80,4 +80,50 @@ object MultimodalOps {
       .withColumn("frame_idx", explode(expr(s"sequence(0, length(img) - 1, $stride)")))
       .withColumn("frame_hash", md5(expr("substring(img, frame_idx + 1, 4)")))
       .select("doc_id", "frame_idx", "frame_hash")
+
+  /** ██ STUB ██ resize: decode → subsample to the target raster. The
+    * resample itself fakes nearest-neighbor over the stub pixel buffer; a
+    * real implementation swaps `decodeStub` + this sampler for a codec
+    * call, everything else (typed batch flow, bounded output schema)
+    * stays. Output buffer length is exactly targetW*targetH — resize
+    * normalizes heterogeneous media to a fixed shape, which is what lets
+    * a downstream feature stage batch uniformly.
+    */
+  def resizeImages(df: DataFrame, targetW: Int, targetH: Int,
+                   batchSize: Int = 64): Dataset[DecodedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("img"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, img) =>
+            val full = decodeStub(img, previewLen = 64)
+            val n = targetW * targetH
+            // nearest-neighbor over the preview buffer (stub resample)
+            val px = Array.tabulate(n) { i =>
+              full.pixels(((i.toLong * full.pixels.length) / n).toInt)
+            }
+            DecodedImage(id, targetW, targetH, full.channels, px)
+          }
+        }
+      }
+  }
+
+  /** ██ STUB ██ audio feature extraction: treats the payload as PCM-ish
+    * samples and emits per-window energy (mean absolute amplitude per
+    * `window`-byte hop) — the mel/MFCC shape without the codec. The
+    * explode-to-windows layout matches sampleFrames: per-window rows
+    * keyed by source doc, so feature work parallelizes past document
+    * boundaries.
+    */
+  def audioFeatures(df: DataFrame, window: Int = 4): DataFrame =
+    df.select(col("doc_id"), col("img"))
+      .withColumn("win_start", explode(expr(s"sequence(0, length(img) - $window, $window)")))
+      .withColumn("energy", expr(
+        s"""aggregate(transform(sequence(1, $window),
+              i -> cast(conv(hex(substring(img, win_start + i, 1)), 16, 10) as bigint)),
+            0L, (acc, v) -> acc + v) / cast($window as double)"""))
+      .select(col("doc_id"), (col("win_start") / window).cast("long").as("win_no"),
+        col("energy"))
 }

@@ -40,6 +40,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("resizeImages: output raster is exactly target dims regardless of source") {
+    val docs = MultimodalOps.withFakeMedia(Tables.documents(spark, sf)).limit(10)
+    val resized = MultimodalOps.resizeImages(docs, targetW = 4, targetH = 3).collect()
+    assert(resized.length == 10)
+    resized.foreach { r =>
+      assert(r.width == 4 && r.height == 3 && r.pixels.length == 12)
+      assert(r.pixels.forall(p => p >= 0f && p <= 1f))
+    }
+  }
+
+  test("audioFeatures: per-window energy rows, values in byte range") {
+    val docs = MultimodalOps.withFakeMedia(Tables.documents(spark, sf)).limit(5)
+    val feats = MultimodalOps.audioFeatures(docs, window = 4).collect()
+    // 16-byte payload, window 4 => 4 windows per doc
+    assert(feats.length == 20)
+    assert(feats.forall { r =>
+      val e = r.getDouble(2); e >= 0.0 && e <= 255.0
+    })
+  }
+
   test("sampleFrames: one frame per stride offset, keyed by source doc") {
     val docs = MultimodalOps.withFakeMedia(Tables.documents(spark, sf)).limit(5)
     val frames = MultimodalOps.sampleFrames(docs, stride = 4)
