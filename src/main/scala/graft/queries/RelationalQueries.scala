@@ -289,6 +289,51 @@ object RelationalQueries {
                COUNT(*) AS n_orders
         FROM orders GROUP BY o_orderpriority""")),
 
+    // ───── A4 pivot: event counts spread into one column per event type
+    // (explicit value list — no extra distinct-values pass, and the
+    // output schema is static, which a production pipeline needs anyway)
+    QuerySpec(
+      "agg_pivot",
+      (s, d) => events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("view"), lit(0L)).as("view"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("error"), lit(0L)).as("error")),
+      Some("""
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        FROM events GROUP BY user_id""")),
+
+    // ───── A4 unpivot/melt: wide metric columns back to (metric, value)
+    // rows — stack() is the generator form, the inverse of pivot
+    QuerySpec(
+      "agg_unpivot",
+      (s, d) => lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("""stack(3, 'quantity', l_quantity,
+                           'price', l_extendedprice,
+                           'discount', l_discount) as (metric, val)"""))
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), dsum(col("val")).as("sum_val")),
+      Some("""
+        SELECT metric, COUNT(*) AS n,
+               CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        FROM (
+          SELECT l_orderkey, l_linenumber, u.metric, u.val
+          FROM lineitem, LATERAL (VALUES ('quantity', l_quantity),
+                                         ('price', l_extendedprice),
+                                         ('discount', l_discount)) u(metric, val))
+        GROUP BY metric""")),
+
     // ───── A4 sketch aggregation: HLL++ approximate distinct. No oracle —
     // DuckDB's approx_count_distinct uses a different sketch, so values
     // differ by construction; the driver records the rows-only check.

@@ -143,6 +143,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0)
   }
 
+  test("simhash banding is lossless for hamming<=3 (pigeonhole) on the real corpus") {
+    // the query's 4-band candidate join must find EXACTLY the pairs a
+    // brute-force hamming scan finds — banding is a prune, not an
+    // approximation, at this threshold
+    val out = SparkEntry.queries("dedup_simhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reconstruct signatures by reusing the same corpus+query pipeline at
+    // threshold infinity: collect per-doc sigs via a side computation
+    val sigExpr = Corpus.let("toks", "split(text, ' ')",
+      """aggregate(
+           transform(sequence(1, size(toks) - 1),
+             i -> cast(conv(substring(md5(array_join(slice(toks, i, 2), ' ')), 1, 8), 16, 10) as bigint)),
+           transform(sequence(0, 31), j -> 0L),
+           (acc, h) -> zip_with(acc, sequence(0, 31),
+                         (c, j) -> c + (case when (shiftright(h, j) & 1) = 1 then 1 else -1 end)),
+           acc -> aggregate(
+                    zip_with(acc, sequence(0, 31),
+                      (c, j) -> case when c > 0 then shiftleft(1L, j) else 0L end),
+                    0L, (a, b) -> a + b))""")
+    val sigs = Corpus.docsWithNearDups(spark, sf)
+      .select(col("doc_id"), expr(sigExpr).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb)).toSet
+    assert(out === brute)
+  }
+
   test("ann_brute_topk ranks are dense 1..k per query") {
     val out = SparkEntry.queries("ann_brute_topk")(spark, sf)
       .select("query_id", "rank").collect()
