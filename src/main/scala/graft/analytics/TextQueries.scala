@@ -148,24 +148,35 @@ object TextQueries {
                CAST(len(text) AS BIGINT) AS n_chars
         FROM documents""")),
 
-    // ───── content fingerprinting: full-text digest + min-shingle digest
-    // (winnowing-style representative hash over word 5-grams)
+    // ───── content fingerprinting: full-text digest + min-shingle hash
+    // (winnowing-style representative over word 5-grams). The shingle
+    // hash is pure integer arithmetic over per-word hashes — one md5 per
+    // WORD, not per shingle (every product/sum bounded under 2^63, both
+    // engines exact int64).
     QuerySpec(
       "text_fingerprint",
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"),
         md5(col("text")).as("fp_full"),
-        expr(
-          """array_min(transform(
-               sequence(1, size(split(text, ' ')) - 4),
-               i -> md5(array_join(slice(split(text, ' '), i, 5), ' '))))""")
+        expr(Corpus.let("ws",
+          "transform(split(text, ' '), w -> cast(conv(substring(md5(w), 1, 10), 16, 10) as bigint))",
+          """array_min(transform(sequence(1, size(ws) - 4),
+               i -> (element_at(ws, i)     * 31L
+                   + element_at(ws, i + 1) * 37L
+                   + element_at(ws, i + 2) * 41L
+                   + element_at(ws, i + 3) * 43L
+                   + element_at(ws, i + 4) * 47L) & 1099511627775L))"""))
           .as("fp_shingle_min"),
         expr("cast(size(split(text, ' ')) - 4 as bigint)").as("n_shingles")),
       Some("""
         SELECT doc_id, md5(text) AS fp_full,
-               list_min([md5(array_to_string(toks[i:i+4], ' '))
-                         for i in range(1, len(toks) - 3)]) AS fp_shingle_min,
-               CAST(len(toks) - 4 AS BIGINT) AS n_shingles
-        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)"""))
+               CAST(list_min([(ws[i]*31 + ws[i+1]*37 + ws[i+2]*41 + ws[i+3]*43 + ws[i+4]*47)
+                              & 1099511627775
+                              for i in range(1, len(ws) - 3)]) AS BIGINT) AS fp_shingle_min,
+               CAST(len(ws) - 4 AS BIGINT) AS n_shingles
+        FROM (SELECT doc_id, text,
+                     list_transform(string_split(text, ' '),
+                                    w -> ('0x' || substr(md5(w), 1, 10))::BIGINT) AS ws
+              FROM documents)"""))
   )
 }
