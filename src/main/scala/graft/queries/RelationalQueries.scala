@@ -413,6 +413,35 @@ object RelationalQueries {
           WHERE first_signup IS NOT NULL)
         GROUP BY 1""")),
 
+    // ───── event-analytics: retention matrix — signup cohort month ×
+    // months-since-signup, distinct active users. One join of the events
+    // stream against the (small, broadcastable) per-user cohort map.
+    QuerySpec(
+      "events_retention",
+      (s, d) => {
+        val e = events(s, d)
+        val cohorts = e.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(date_trunc("month", min(col("ts"))).as("cohort"))
+        e.join(broadcast(cohorts), Seq("user_id"))
+          .filter(col("ts") >= col("cohort"))
+          .groupBy(col("cohort"),
+            (months_between(date_trunc("month", col("ts")), col("cohort")))
+              .cast("int").as("month_n"))
+          .agg(countDistinct(col("user_id")).as("active_users"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""
+        SELECT c.cohort, CAST(datediff('month', c.cohort, date_trunc('month', e.ts)) AS INTEGER) AS month_n,
+               COUNT(DISTINCT e.user_id) AS active_users,
+               COUNT(*) AS n_events
+        FROM events e
+        JOIN (SELECT user_id, date_trunc('month', MIN(ts)) AS cohort
+              FROM events WHERE event_type = 'signup' GROUP BY user_id) c
+          ON e.user_id = c.user_id
+        WHERE e.ts >= c.cohort
+        GROUP BY 1, 2""")),
+
     // ───── A4 exact percentiles (interpolated): same rank definition
     // p*(n-1) in both engines; inputs quantized to integer cents so the
     // interpolation arithmetic stays on exact integer-valued doubles
