@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior probe: replicates the corpora N× IN MEMORY (no files
+  * written; doc/vec ids re-keyed per replica) and times the signature
+  * dedup pipelines and ANN search at the inflated size. The point is the
+  * growth CURVE, not the absolute numbers — a pipeline whose cost is
+  * per-row map + bucket-bounded join should scale near-linearly until a
+  * bucket degenerates; a hidden O(n²) stage shows up immediately as a
+  * superlinear bend.
+  *
+  * Run: sbt "runMain graft.ScaleProbe [factor ...]" (default 1 4 16)
+  */
+object ScaleProbe {
+
+  private def replicateDocs(spark: SparkSession, d: String, k: Int): DataFrame = {
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+    docs.crossJoin(spark.range(k).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"), col("text"))
+  }
+
+  private def replicateVecs(spark: SparkSession, d: String, k: Int): DataFrame = {
+    val vecs = Tables.embeddings(spark, d)
+    vecs.crossJoin(spark.range(k).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * 10000000L).as("vec_id"), col("embedding"))
+  }
+
+  private def time(label: String)(a: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = a
+    println(f"""{"probe":"$label","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 16)
+    val spark = GraftSession.local("graft-scale-probe")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mask = (1L << 40) - 1
+
+    for (k <- factors) {
+      val docs = replicateDocs(spark, d, k).persist()
+      val nd = docs.count()
+
+      // minhash LSH candidate generation at k× (signature fold + band join)
+      time(s"minhash_lsh_x$k") {
+        val hsets = docs
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), expr(
+            graft.analytics.Corpus.let("ws",
+              "transform(split(text, ' '), w -> cast(conv(substring(md5(w), 1, 10), 16, 10) as bigint))",
+              s"""array_distinct(transform(sequence(1, size(ws) - 2),
+                   i -> (element_at(ws, i) * 1000003L
+                         + element_at(ws, i + 1) * 1500007L
+                         + element_at(ws, i + 2) * 2000003L) & ${mask}L))"""))
+            .as("hs"))
+          .persist()
+        val bkeys = hsets.select(col("doc_id"), expr(
+          s"""aggregate(hs, transform(sequence(0, 11), p -> ${mask + 1}L),
+               (acc, x) -> zip_with(acc,
+                 array(999983L, 999979L, 999961L, 999959L, 999953L, 999931L,
+                       999917L, 999907L, 999883L, 999863L, 999841L, 999809L),
+                 (m, a) -> least(m, (a * x) & ${mask}L)),
+               acc -> transform(sequence(0, 3),
+                        b -> md5(concat(cast(element_at(acc, b*3 + 1) as string), '_',
+                                        cast(element_at(acc, b*3 + 2) as string), '_',
+                                        cast(element_at(acc, b*3 + 3) as string)))))""").as("bkeys"))
+        val bands = bkeys
+          .select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band", "bkey"))).persist()
+        val n = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id"), col("b.doc_id")).dropDuplicates().count()
+        hsets.unpersist(); bands.unpersist()
+        n
+      }
+
+      docs.unpersist()
+
+      // ANN brute top-k at k× corpus (10 probes broadcast, full scan)
+      val vecs = replicateVecs(spark, d, k)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 100) as bigint))").as("qv"))
+        .withColumn("nn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+        .persist()
+      vecs.count()
+      time(s"ann_brute_x$k") {
+        val probes = vecs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
+        vecs.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(graft.functions.VectorFunctions.vecDotLong(col("qv"), col("q_qv")).as("dot"))
+          .filter(col("dot") =!= 0L).count()
+      }
+      vecs.unpersist()
+    }
+    spark.stop()
+  }
+}
