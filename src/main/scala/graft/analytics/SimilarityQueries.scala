@@ -59,6 +59,71 @@ object SimilarityQueries {
         FROM pairs
         QUALIFY rank <= 5""")),
 
+    // IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
+    // its nearest centroid; probes search only their centroid's inverted
+    // list. Centroids here are a fixed, deterministic subset (vec_id<16)
+    // rather than k-means output — the INDEX STRUCTURE (assignment join +
+    // per-cell search) is the scale path being exercised; swapping in
+    // trained centroids changes recall, not the plan. Assignment ties
+    // break on centroid id, so both engines agree exactly.
+    QuerySpec(
+      "ann_ivf",
+      (s, d) => {
+        val base = Corpus.quantizedVectors(s, d)
+        val centroids = base.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("score").desc, col("c_id"))
+        val assigned = base.crossJoin(broadcast(centroids))
+          .select(col("vec_id"), col("qv"), col("nn"), col("c_id"),
+            Corpus.dotCol("qv", "c_qv").as("dot"),
+            col("nn").as("na"), col("c_nn").as("nb"))
+          .withColumn("score", Corpus.scoreCol)
+          .withColumn("rk", row_number().over(wAssign))
+          .filter(col("rk") === 1)
+          .select("vec_id", "qv", "nn", "c_id")
+        val probes = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+            col("nn").as("q_nn"), col("c_id"))
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("vec_id"))
+        assigned.join(broadcast(probes), Seq("c_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            Corpus.dotCol("qv", "q_qv").as("dot"),
+            col("nn").as("na"), col("q_nn").as("nb"))
+          .withColumn("score", Corpus.scoreCol)
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("score"))
+      },
+      Some(s"""
+        WITH base AS (${Corpus.quantizedVectorsSql}),
+        cents AS (SELECT vec_id AS c_id, qv AS c_qv, nn AS c_nn FROM base WHERE vec_id < 16),
+        scored AS (
+          SELECT v.vec_id, v.qv, v.nn, c.c_id,
+                 CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i] * c.c_qv[i])) AS BIGINT) AS dot,
+                 v.nn AS na, c.c_nn AS nb
+          FROM base v CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, qv, nn, c_id FROM (
+            SELECT vec_id, qv, nn, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY ${Corpus.scoreSql} DESC, c_id) AS rk
+            FROM scored) WHERE rk = 1),
+        pairs AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                 CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i] * q.qv[i])) AS BIGINT) AS dot,
+                 v.nn AS na, q.nn AS nb
+          FROM assigned v JOIN assigned q
+            ON v.c_id = q.c_id AND q.vec_id < 10 AND v.vec_id <> q.vec_id)
+        SELECT query_id, vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ${Corpus.scoreSql} DESC, vec_id) AS INTEGER) AS rank,
+               ${Corpus.scoreSql} AS score
+        FROM pairs
+        QUALIFY rank <= 3""")),
+
     QuerySpec(
       "ann_lsh_bucket",
       (s, d) => {
