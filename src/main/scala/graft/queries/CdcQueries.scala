@@ -21,12 +21,14 @@ object CdcQueries {
   private val isRemove: Column = col("event_type") === "error"
   private val keyOrder: Seq[Column] = Seq(col("ts"), col("event_id"))
 
-  /** Exact decimal sum of a double column, returned as double: both engines
-    * round each value to 2 decimals, sum exactly, then convert once — this
-    * removes float-summation order sensitivity from the correctness gate.
+  /** Exact sum of a ~2-decimal double column, as double: values scale to
+    * BIGINT cents (codegen'd long adds), one double division at the end.
+    * Removes float-summation order sensitivity; equal to the
+    * DECIMAL(18,2)-sum oracle formulation because both compute the same
+    * exact rational.
     */
   private def dsum(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double")
+    sum(round(c * 100).cast("long")).cast("double") / 100.0
 
   val all: Seq[QuerySpec] = Seq(
 
