@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.VectorFunctions
+import graft.functions.{TextHashFunctions, VectorFunctions}
 
 /** Engine extension pack, installed with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (wired in
@@ -14,5 +14,6 @@ import graft.functions.VectorFunctions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(VectorFunctions.vecDotLongDescriptor)
+    e.injectFunction(TextHashFunctions.wordHash40Descriptor)
   }
 }

@@ -80,8 +80,7 @@ object DedupQueries {
         val hsets = Corpus.docsWithNearDups(s, d)
           .filter(size(split(col("text"), " ")) >= 3)
           .select(col("doc_id"), expr(
-            Corpus.let("ws",
-              "transform(split(text, ' '), w -> cast(conv(substring(md5(w), 1, 10), 16, 10) as bigint))",
+            Corpus.let("ws", "word_hash40(text)",
               s"""array_distinct(transform(sequence(1, size(ws) - 2),
                    i -> (element_at(ws, i) * 1000003L
                          + element_at(ws, i + 1) * 1500007L
@@ -164,19 +163,21 @@ object DedupQueries {
     QuerySpec(
       "dedup_simhash",
       (s, d) => {
-        // Signature PACKED into one BIGINT in a SINGLE pass: tokens are
-        // let-bound (split once per row), per-token hashes are computed
-        // once inside the fold, and the 32 bit-counters ride in an array
-        // accumulator. The naive per-bit formulation re-derives the whole
-        // token→md5 chain for every bit (CollapseProject inlining) —
-        // measured 30×+ slower. Downstream hamming is bit_count(xor):
-        // two codegen'd machine ops per candidate pair, which is what
-        // decides seconds-vs-minutes when correlated corpora put
-        // thousands of docs in a band bucket.
-        val sigExpr = Corpus.let("toks", "split(text, ' ')",
-          """aggregate(
-               transform(sequence(1, size(toks) - 1),
-                 i -> cast(conv(substring(md5(array_join(slice(toks, i, 2), ' ')), 1, 8), 16, 10) as bigint)),
+        // Signature PACKED into one BIGINT in a SINGLE pass: per-word
+        // hashes come from the native word_hash40 expression (one md5 per
+        // word in a compiled loop), bigram hashes are arithmetic
+        // combinations of adjacent word hashes, and the 32 bit-counters
+        // ride in an array accumulator. The naive per-bit formulation
+        // re-derived the whole token→md5 chain for every bit
+        // (CollapseProject inlining) — measured 30×+ slower. Downstream
+        // hamming is bit_count(xor): two codegen'd machine ops per
+        // candidate pair, which is what decides seconds-vs-minutes when
+        // correlated corpora put thousands of docs in a band bucket.
+        val sigExpr = Corpus.let("ws", "word_hash40(text)",
+          s"""aggregate(
+               transform(sequence(1, size(ws) - 1),
+                 i -> (element_at(ws, i) * 1000003L
+                       + element_at(ws, i + 1) * 1500007L) & ${mask40}L),
                transform(sequence(0, 31), j -> 0L),
                (acc, h) -> zip_with(acc, sequence(0, 31),
                              (c, j) -> c + (case when (shiftright(h, j) & 1) = 1 then 1 else -1 end)),
@@ -205,16 +206,18 @@ object DedupQueries {
         WITH corpus AS (${Corpus.docsWithNearDupsSql}),
         grams AS (
           SELECT doc_id,
-                 [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] AS tl
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+                 [(ws[i] * 1000003 + ws[i+1] * 1500007) & ${mask40}
+                  for i in range(1, len(ws))] AS th
+          FROM (SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                                      w -> ('0x' || substr(md5(w), 1, 10))::BIGINT) AS ws
+                FROM corpus)),
         sigs AS (
           SELECT doc_id,
                  CAST(list_sum([CASE WHEN CAST(list_sum(list_transform(th,
                         h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
                        THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 32)]) AS BIGINT) AS sig
-          FROM (SELECT doc_id,
-                       list_transform(tl, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
-                FROM grams)),
+          FROM grams),
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming

@@ -158,8 +158,7 @@ object TextQueries {
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"),
         md5(col("text")).as("fp_full"),
-        expr(Corpus.let("ws",
-          "transform(split(text, ' '), w -> cast(conv(substring(md5(w), 1, 10), 16, 10) as bigint))",
+        expr(Corpus.let("ws", "word_hash40(text)",
           """array_min(transform(sequence(1, size(ws) - 4),
                i -> (element_at(ws, i)     * 31L
                    + element_at(ws, i + 1) * 37L

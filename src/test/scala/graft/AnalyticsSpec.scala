@@ -94,6 +94,16 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("word_hash40 is bit-identical to the md5/conv SQL formulation") {
+    val docs = Tables.documents(spark, sf)
+    val mismatches = docs.select(
+      expr("word_hash40(text)").as("native"),
+      expr("transform(split(text, ' '), w -> cast(conv(substring(md5(w), 1, 10), 16, 10) as bigint))")
+        .as("sql"))
+      .filter(expr("native != sql")).count()
+    assert(mismatches == 0)
+  }
+
   test("VecDotLong matches the HOF dot product (codegen and interpreted paths)") {
     import graft.functions.VectorFunctions.vecDotLong
     val vecs = Corpus.quantizedVectors(spark, sf).limit(50)
@@ -151,10 +161,12 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // reconstruct signatures by reusing the same corpus+query pipeline at
     // threshold infinity: collect per-doc sigs via a side computation
-    val sigExpr = Corpus.let("toks", "split(text, ' ')",
-      """aggregate(
-           transform(sequence(1, size(toks) - 1),
-             i -> cast(conv(substring(md5(array_join(slice(toks, i, 2), ' ')), 1, 8), 16, 10) as bigint)),
+    val mask40 = (1L << 40) - 1
+    val sigExpr = Corpus.let("ws", "word_hash40(text)",
+      s"""aggregate(
+           transform(sequence(1, size(ws) - 1),
+             i -> (element_at(ws, i) * 1000003L
+                   + element_at(ws, i + 1) * 1500007L) & ${mask40}L),
            transform(sequence(0, 31), j -> 0L),
            (acc, h) -> zip_with(acc, sequence(0, 31),
                          (c, j) -> c + (case when (shiftright(h, j) & 1) = 1 then 1 else -1 end)),
