@@ -103,12 +103,77 @@ object AttributeValue {
       "expected single-tag AttributeValue (multiple tags found)")
   }
 
+  /** Inverse direction: plain JSON document -> DynamoDB-JSON (tag every
+    * value). Types map by JSON kind: string→S, number→N (text preserved
+    * verbatim — arbitrary precision survives), boolean→BOOL, null→NULL,
+    * array→L, object→M. Sets (SS/NS/BS) and B are not distinguishable
+    * from plain JSON, so encode never emits them; decode ∘ encode is the
+    * identity on its output domain (property-tested).
+    */
+  def encode(plainJson: String): String = {
+    if (plainJson == null) return null
+    val p = factory.createParser(plainJson)
+    val sw = new java.io.StringWriter(plainJson.length * 2)
+    val g = factory.createGenerator(sw)
+    try {
+      require(p.nextToken() == JsonToken.START_OBJECT,
+        "item must be a JSON object")
+      g.writeStartObject()
+      while (p.nextToken() == JsonToken.FIELD_NAME) {
+        g.writeFieldName(p.currentName())
+        p.nextToken()
+        encodeValue(p, g, MaxDepth)
+      }
+      g.writeEndObject()
+      g.close()
+      sw.toString
+    } finally {
+      p.close()
+    }
+  }
+
+  /** One plain value (parser AT its first token) -> tagged AttributeValue. */
+  private def encodeValue(p: JsonParser, g: JsonGenerator, depth: Int): Unit = {
+    require(depth > 0, s"nesting exceeds $MaxDepth")
+    g.writeStartObject()
+    p.currentToken() match {
+      case JsonToken.VALUE_STRING =>
+        g.writeFieldName("S"); g.writeString(p.getText)
+      case JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT =>
+        g.writeFieldName("N"); g.writeString(p.getText) // N transports as string
+      case JsonToken.VALUE_TRUE | JsonToken.VALUE_FALSE =>
+        g.writeFieldName("BOOL"); g.writeBoolean(p.getBooleanValue)
+      case JsonToken.VALUE_NULL =>
+        g.writeFieldName("NULL"); g.writeBoolean(true)
+      case JsonToken.START_ARRAY =>
+        g.writeFieldName("L"); g.writeStartArray()
+        while (p.nextToken() != JsonToken.END_ARRAY) encodeValue(p, g, depth - 1)
+        g.writeEndArray()
+      case JsonToken.START_OBJECT =>
+        g.writeFieldName("M"); g.writeStartObject()
+        while (p.nextToken() == JsonToken.FIELD_NAME) {
+          g.writeFieldName(p.currentName())
+          p.nextToken()
+          encodeValue(p, g, depth - 1)
+        }
+        g.writeEndObject()
+      case other => throw new IllegalArgumentException(s"unsupported JSON token: $other")
+    }
+    g.writeEndObject()
+  }
+
   private val decodeUdf = udf((s: String) => decode(s))
+  private val encodeUdf = udf((s: String) => encode(s))
 
   /** Column form: raw DynamoDB-JSON string -> plain JSON string. */
   def ddbDecode(c: Column): Column = decodeUdf(c)
 
-  /** Register `ddb_decode` for SQL use. */
-  def register(spark: SparkSession): Unit =
+  /** Column form: plain JSON string -> DynamoDB-JSON string. */
+  def ddbEncode(c: Column): Column = encodeUdf(c)
+
+  /** Register `ddb_decode` / `ddb_encode` for SQL use. */
+  def register(spark: SparkSession): Unit = {
     spark.udf.register("ddb_decode", (s: String) => decode(s))
+    spark.udf.register("ddb_encode", (s: String) => encode(s))
+  }
 }

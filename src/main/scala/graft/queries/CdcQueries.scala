@@ -334,6 +334,33 @@ object CdcQueries {
                user_id AS key_user
         FROM events""")),
 
+    // ───── §1.1a — AttributeValue round trip: plain JSON → ddb_encode →
+    // ddb_decode recovers the document (decode ∘ encode = identity); the
+    // oracle computes the same fields directly from the base table.
+    QuerySpec(
+      "cdc_ddb_roundtrip",
+      (s, d) => {
+        val plain = to_json(struct(
+          col("user_id").cast("string").as("pk"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          col("event_type").as("t"),
+          array(col("event_type"), col("user_id").cast("string")).as("tags")))
+        events(s, d)
+          .select(col("event_id"),
+            AttributeValue.ddbDecode(AttributeValue.ddbEncode(plain)).as("rt"))
+          .select(
+            col("event_id"),
+            get_json_object(col("rt"), "$.pk").as("pk"),
+            get_json_object(col("rt"), "$.cents").cast("long").as("cents"),
+            get_json_object(col("rt"), "$.t").as("t"),
+            get_json_object(col("rt"), "$.tags[1]").as("tag1"))
+      },
+      Some("""
+        SELECT event_id, CAST(user_id AS VARCHAR) AS pk,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               event_type AS t, CAST(user_id AS VARCHAR) AS tag1
+        FROM events""")),
+
     // ───── §1.1a — AttributeValue decode: build DynamoDB-JSON, decode with
     // ddb_decode, extract typed fields; the oracle computes the same values
     // directly (decode ∘ encode = identity).

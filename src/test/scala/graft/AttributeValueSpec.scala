@@ -53,4 +53,28 @@ class AttributeValueSpec extends AnyFunSuite {
       AttributeValue.decode("""{"x":{"Q":"?"}}""")
     }
   }
+
+  test("decode ∘ encode is the identity on plain JSON documents") {
+    val docs = Seq(
+      """{"pk":"u1","n":1.50,"ok":true,"z":null}""",
+      """{"l":["a",2,false],"m":{"x":{"y":[1,2]}}}""",
+      """{"big":12345678901234567890123456789.123456789}""",
+      """{"empty":{},"elist":[]}""")
+    docs.foreach { d =>
+      assert(AttributeValue.decode(AttributeValue.encode(d)) === d)
+    }
+  }
+
+  test("encode tags every JSON kind correctly") {
+    val out = AttributeValue.encode("""{"s":"hi","n":2.5,"b":false,"z":null,"l":[1],"m":{"k":"v"}}""")
+    assert(out === """{"s":{"S":"hi"},"n":{"N":"2.5"},"b":{"BOOL":false},""" +
+      """"z":{"NULL":true},"l":{"L":[{"N":"1"}]},"m":{"M":{"k":{"S":"v"}}}}""")
+  }
+
+  test("encode depth bound rejects pathological nesting") {
+    val deep = (1 to 40).foldLeft(""""x"""") { (acc, _) => s"""{"k":$acc}""" }
+    assertThrows[IllegalArgumentException] {
+      AttributeValue.encode(s"""{"root":$deep}""")
+    }
+  }
 }
