@@ -52,7 +52,7 @@ object ThroughputBench {
     q.awaitTermination(600000)
     val secs = (System.nanoTime() - t0) / 1e9
 
-    val applied = spark.read.parquet(target).count()
+    val applied = CdcStream.readTarget(spark, target).count()
     println(f"""{"metric":"replay_throughput","events":$n,"seconds":$secs%.3f,"events_per_sec":${n / secs}%.0f,"final_keys":$applied}""")
     spark.stop()
   }

@@ -75,18 +75,20 @@ object DedupQueries {
         // computes Jaccard over the distinct hash sets. No per-shingle
         // string building or per-shingle md5 anywhere; collisions are
         // negligible and in any case identical across engines.
-        // PERSISTED: the hash sets feed the signature pass and both
-        // verify rejoins (CollapseProject would re-derive them per use).
-        val hsets = Corpus.docsWithNearDups(s, d)
-          .filter(size(split(col("text"), " ")) >= 3)
-          .select(col("doc_id"), expr(
-            Corpus.let("ws", "word_hash40(text)",
-              s"""array_distinct(transform(sequence(1, size(ws) - 2),
-                   i -> (element_at(ws, i) * 1000003L
-                         + element_at(ws, i + 1) * 1500007L
-                         + element_at(ws, i + 2) * 2000003L) & ${mask40}L))"""))
-            .as("hs"))
-          .persist()
+        // PERSISTED (memoized per session+dir): the hash sets feed the
+        // signature pass and both verify rejoins (CollapseProject would
+        // re-derive them per use).
+        val hsets = Corpus.cached(s, d, "minhash_hsets") {
+          Corpus.docsWithNearDups(s, d)
+            .filter(size(split(col("text"), " ")) >= 3)
+            .select(col("doc_id"), expr(
+              Corpus.let("ws", "word_hash40(text)",
+                s"""array_distinct(transform(sequence(1, size(ws) - 2),
+                     i -> (element_at(ws, i) * 1000003L
+                           + element_at(ws, i + 1) * 1500007L
+                           + element_at(ws, i + 2) * 2000003L) & ${mask40}L))"""))
+              .as("hs"))
+        }
         // Single fold: 12 running minima (one per permutation), band
         // keys in the finish lambda. Sentinel 2^40 sorts after every
         // masked hash; shingle sets are non-empty (>=3 tokens).
@@ -102,10 +104,10 @@ object DedupQueries {
                                         cast(element_at(acc, b*3 + 3) as string)))))""").as("bkeys"))
         // Bands stay NARROW (doc_id, band, bkey): the 4-way explode and
         // the bucket self-join move ~40 bytes/row, not the shingle sets;
-        // persisted because the self-join scans it from both sides.
-        val bands = bkeys
-          .select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
-          .persist()
+        // persisted (memoized) because the self-join scans it from both sides.
+        val bands = Corpus.cached(s, d, "minhash_bands") {
+          bkeys.select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
+        }
         val cand = bands.as("a")
           .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -185,9 +187,11 @@ object DedupQueries {
                         zip_with(acc, sequence(0, 31),
                           (c, j) -> case when c > 0 then shiftleft(1L, j) else 0L end),
                         0L, (a, b) -> a + b))""")
-        // persisted: 16 bytes/doc, scanned by both sides of the self-join
-        val sig = Corpus.docsWithNearDups(s, d)
-          .select(col("doc_id"), expr(sigExpr).as("sig")).persist()
+        // persisted (memoized): 16 bytes/doc, scanned by both sides of the self-join
+        val sig = Corpus.cached(s, d, "simhash_sig") {
+          Corpus.docsWithNearDups(s, d)
+            .select(col("doc_id"), expr(sigExpr).as("sig"))
+        }
         val banded = sig
           .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 3)")).as("band"))
           .withColumn("bkey", expr("cast(shiftright(sig, band * 8) & 255 as int)"))

@@ -67,7 +67,7 @@ object AttributeValue {
     p.nextToken() // move to the payload
     tag match {
       case "S" | "B" => g.writeString(p.getText) // B = base64 passthrough
-      case "N" => g.writeNumber(new java.math.BigDecimal(p.getText))
+      case "N" => writeNumberText(g, p.getText)
       case "BOOL" => g.writeBoolean(p.getBooleanValue)
       case "NULL" => g.writeNull()
       case "L" =>
@@ -89,18 +89,42 @@ object AttributeValue {
       case "SS" | "BS" =>
         require(p.currentToken() == JsonToken.START_ARRAY, s"$tag payload must be an array")
         g.writeStartArray()
-        while (p.nextToken() != JsonToken.END_ARRAY) g.writeString(p.getText)
+        while (p.nextToken() != JsonToken.END_ARRAY) {
+          require(p.currentToken() == JsonToken.VALUE_STRING,
+            s"$tag elements must be strings, got ${p.currentToken()}")
+          g.writeString(p.getText)
+        }
         g.writeEndArray()
       case "NS" =>
         require(p.currentToken() == JsonToken.START_ARRAY, "NS payload must be an array")
         g.writeStartArray()
-        while (p.nextToken() != JsonToken.END_ARRAY)
-          g.writeNumber(new java.math.BigDecimal(p.getText))
+        while (p.nextToken() != JsonToken.END_ARRAY) {
+          require(p.currentToken() == JsonToken.VALUE_STRING,
+            s"NS elements must be number strings, got ${p.currentToken()}")
+          writeNumberText(g, p.getText)
+        }
         g.writeEndArray()
       case other => throw new IllegalArgumentException(s"unknown AttributeValue tag: $other")
     }
     require(p.nextToken() == JsonToken.END_OBJECT,
       "expected single-tag AttributeValue (multiple tags found)")
+  }
+
+  /** JSON number grammar (RFC 8259): what can be emitted verbatim. */
+  private val JsonNumber =
+    java.util.regex.Pattern.compile("-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?")
+
+  /** Emit an N payload. The text is validated as numeric (BigDecimal
+    * throws otherwise) and then emitted VERBATIM when it is already a
+    * legal JSON number — re-rendering through BigDecimal would change
+    * exponent spellings ("1e2" -> "1E+2") and break the documented
+    * decode∘encode identity. Only DynamoDB-legal-but-non-JSON spellings
+    * ("+5", ".5", "05") go through the BigDecimal rendering.
+    */
+  private def writeNumberText(g: JsonGenerator, text: String): Unit = {
+    val bd = new java.math.BigDecimal(text) // validation: must be numeric
+    if (JsonNumber.matcher(text).matches()) g.writeRawValue(text)
+    else g.writeNumber(bd)
   }
 
   /** Inverse direction: plain JSON document -> DynamoDB-JSON (tag every

@@ -39,6 +39,15 @@ object CdcOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Numeric order for a variable-length digit-string column (DynamoDB
+    * stream sequence numbers: up to 40 digits, NOT fixed-width). For
+    * non-negative integers without leading zeros, (length, value) order
+    * IS numeric order — and it needs no Decimal(38) cast, which a
+    * 40-digit sequence number would overflow. Plain lexicographic
+    * comparison would rank "9" above "10".
+    */
+  def numericStringOrder(c: Column): Seq[Column] = Seq(length(c), c)
+
   /** P7 — apply-plan projection: eventName != REMOVE => PUT(newImage) else
     * DELETE(keys) (app/lambdas/lambda-backfill/main.py:33-39). We implement
     * the evident intent — delete-by-key — not the reference's

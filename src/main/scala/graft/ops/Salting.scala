@@ -36,12 +36,27 @@ object Salting {
   def replicateSmall(df: DataFrame, n: Int): DataFrame =
     df.withColumn("__salt", explode(expr(s"sequence(0, ${n - 1})")))
 
+  /** Join types for which the small-side replication is row-equivalent
+    * to the unsalted join: every small-side row that REACHES the output
+    * does so by matching a (unique) salted big-side row. Right/full
+    * outer joins are excluded — they emit unmatched small-side rows,
+    * which replication would duplicate n times.
+    */
+  private val EquivalentJoinTypes = Set(
+    "inner", "cross", "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
+
   /** Salted equi-join: equivalent rows to `big.join(small, keys)` but the
-    * shuffle splits every key across `n` buckets.
+    * shuffle splits every key across `n` buckets. `joinType` is restricted
+    * to inner/left variants (see [[EquivalentJoinTypes]]).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String], n: Int,
-                 spreadCols: Seq[Column] = Nil, joinType: String = "inner"): DataFrame =
+                 spreadCols: Seq[Column] = Nil, joinType: String = "inner"): DataFrame = {
+    require(EquivalentJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin does not preserve '$joinType' semantics: unmatched small-side " +
+        "rows would appear once per salt replica; use inner/left/semi/anti variants")
     saltSkewed(big, n, spreadCols)
       .join(replicateSmall(small, n), keys :+ "__salt", joinType)
       .drop("__salt")
+  }
 }

@@ -61,12 +61,18 @@ object CdcStream {
     * LWW-compact → PUT/DELETE plan → MERGE into the current target.
     * Pure function of (target, batch) so it is unit-testable and
     * idempotent (re-applying a batch is a no-op).
+    *
+    * Ordering: DynamoDB stream sequence numbers are VARIABLE-LENGTH
+    * numeric strings ("9" vs "10"), so the LWW order is the numeric
+    * (length, value) order — lexicographic comparison alone would let a
+    * stale short sequence beat a longer newer one.
     */
   def applyBatch(target: DataFrame, batch: DataFrame): DataFrame = {
     val delta = CdcOps
       .lwwCompact(
         CdcOps.dedup(batch, Seq("eventID")),
-        keys = Seq("keys"), order = Seq(col("sequenceNumber")))
+        keys = Seq("keys"),
+        order = CdcOps.numericStringOrder(col("sequenceNumber")))
       .withColumn("op", CdcOps.applyPlan(col("eventName"), CdcSchema.Remove))
       .select(col("keys"), col("op"), col("newImage"))
     CdcOps.merge(target, delta, keys = Seq("keys"),
@@ -106,7 +112,10 @@ object CdcStream {
     * whole to the deadletter path with the error (DLQ semantics, T5/T6).
     *
     * Exactly-once: offsets live in `checkpointDir`; the merge itself is
-    * idempotent, so replaying a batch after a crash converges.
+    * idempotent, so replaying a batch after a crash converges. Snapshot
+    * publication is ATOMIC (see [[writeTarget]]): a batch that fails
+    * mid-write — including inside the retry loop — leaves the previous
+    * snapshot live, never a partial or empty table.
     */
   def applySink(cdc: DataFrame, targetDir: String, checkpointDir: String,
                 deadletterDir: String,
@@ -129,11 +138,7 @@ object CdcStream {
         try {
           withRetry(retryAttempts, sleep = retrySleep) {
             val target = readTarget(spark, targetDir)
-            val merged = applyBatch(target, valid)
-            // localCheckpoint cuts lineage and materializes BEFORE the
-            // overwrite touches the files being read.
-            merged.localCheckpoint(eager = true)
-              .write.mode("overwrite").parquet(targetDir)
+            writeTarget(applyBatch(target, valid), targetDir, batchId)
           }
         } catch {
           case e: Throwable =>
@@ -145,10 +150,68 @@ object CdcStream {
         ()
       }
 
-  /** Current target snapshot; empty-but-schema'd before first write. */
+  /** Pointer file naming the live snapshot subdirectory of a target. */
+  val CurrentPointer = "_CURRENT"
+
+  /** Target-table layout: `targetDir/_CURRENT` names the live snapshot in
+    * `targetDir/snap-<batchId>-<nonce>/`. Readers resolve the pointer;
+    * writers never touch the live snapshot — each batch writes a FRESH
+    * subdirectory and publishes it by atomically renaming a temp pointer
+    * file over `_CURRENT` (a same-directory rename, atomic on POSIX).
+    * A crash or partial write before the swap leaves the previous
+    * snapshot live; the checkpoint then replays the batch and the
+    * idempotent merge converges — the write is all-or-nothing, unlike a
+    * `mode("overwrite")` of the directory itself, which deletes the old
+    * data before the new data exists. Superseded snapshots are GC'd
+    * after the swap.
+    */
+  def writeTarget(df: DataFrame, targetDir: String, batchId: Long): Unit = {
+    val root = new java.io.File(targetDir)
+    root.mkdirs()
+    // nonce so a retried batch never collides with its failed attempt's dir
+    val name = f"snap-$batchId%012d-${System.nanoTime()}%x"
+    df.write.parquet(new java.io.File(root, name).getAbsolutePath)
+    val tmp = new java.io.File(root, s".pointer-tmp-$batchId")
+    java.nio.file.Files.write(tmp.toPath,
+      name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(root, CurrentPointer).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-") && f.getName != name)
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  /** Current target snapshot. Resolution order:
+    *  1. `_CURRENT` pointer → its snapshot dir. A pointer naming a
+    *     missing/unreadable snapshot FAILS LOUDLY: the pointer is proof
+    *     prior batches committed, so an empty fallback would silently
+    *     drop every previously applied key on the next merge.
+    *  2. No pointer, flat parquet files in `targetDir` → read them
+    *     (a pre-seeded snapshot, e.g. the PITR restore output).
+    *  3. Nothing → empty-but-schema'd frame (first batch of a fresh target).
+    */
   def readTarget(spark: SparkSession, targetDir: String): DataFrame = {
-    val p = new java.io.File(targetDir)
-    if (p.exists() && p.listFiles() != null && p.listFiles().exists(_.getName.endsWith(".parquet")))
+    val root = new java.io.File(targetDir)
+    val pointer = new java.io.File(root, CurrentPointer)
+    if (pointer.isFile) {
+      val name = new String(java.nio.file.Files.readAllBytes(pointer.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val snap = new java.io.File(root, name)
+      if (!snap.isDirectory)
+        throw new IllegalStateException(
+          s"target pointer $pointer names missing snapshot '$name': prior batches " +
+            "committed but their data is gone — refusing to continue from an empty table")
+      spark.read.parquet(snap.getAbsolutePath)
+    } else if (root.isDirectory &&
+        Option(root.listFiles()).getOrElse(Array.empty).exists(_.getName.endsWith(".parquet")))
       spark.read.parquet(targetDir)
     else
       spark.createDataFrame(
@@ -183,11 +246,14 @@ object CdcStream {
          state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
           val prior = state.getOption
             .getOrElse(KeyState(key, "", None, live = false))
-          // per-key order: highest sequenceNumber wins (zero-padded)
+          // per-key order: highest sequenceNumber wins. DynamoDB sequence
+          // numbers are variable-length NUMERIC strings, so compare by
+          // (length, value) — numeric order without a 40-digit BigInt
+          // parse per event; plain lexicographic would rank "9" > "10".
           val latest = (events.map { case (_, name, seq, img) =>
             KeyState(key, seq, if (name == CdcSchema.Remove) None else img,
               live = name != CdcSchema.Remove)
-          } ++ Iterator(prior)).maxBy(_.seq)
+          } ++ Iterator(prior)).maxBy(ks => (ks.seq.length, ks.seq))
           state.update(latest)
           latest
       }

@@ -151,6 +151,12 @@ class AnalyticsSpec extends SparkSpec {
       .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
     assert(plain.exceptAll(salted).count() == 0)
     assert(salted.exceptAll(plain).count() == 0)
+    // right/full outer would emit unmatched small-side rows once per salt
+    // replica — not equivalent to the unsalted join, so it must be rejected
+    assertThrows[IllegalArgumentException] {
+      graft.ops.Salting.saltedJoin(orders, customer,
+        keys = Seq("o_custkey"), n = 8, joinType = "right_outer")
+    }
   }
 
   test("simhash banding is lossless for hamming<=3 (pigeonhole) on the real corpus") {

@@ -65,6 +65,39 @@ class AttributeValueSpec extends AnyFunSuite {
     }
   }
 
+  test("decode ∘ encode identity holds for exponent-notation numbers") {
+    // writeRawValue keeps the textual form; BigDecimal re-rendering would
+    // turn "1e2" into "1E+2" and break the round trip
+    val docs = Seq(
+      """{"a":1e2,"b":1E2,"c":-2.5e-3,"d":0.0,"e":1.0E+10}""",
+      """{"ns":{"x":[1e2,3E-1]}}""")
+    docs.foreach { d =>
+      assert(AttributeValue.decode(AttributeValue.encode(d)) === d)
+    }
+  }
+
+  test("non-JSON but DynamoDB-legal N spellings normalize; non-numeric rejected") {
+    assert(AttributeValue.decode("""{"a":{"N":"+5"},"b":{"N":"05"}}""")
+      === """{"a":5,"b":5}""")
+    assertThrows[NumberFormatException] {
+      AttributeValue.decode("""{"a":{"N":"abc"}}""")
+    }
+  }
+
+  test("SS/BS/NS reject non-string elements instead of emitting punctuation") {
+    assertThrows[IllegalArgumentException] {
+      AttributeValue.decode("""{"s":{"SS":["ok",{"S":"nested"}]}}""")
+    }
+    assertThrows[IllegalArgumentException] {
+      AttributeValue.decode("""{"s":{"BS":[["arr"]]}}""")
+    }
+    assertThrows[IllegalArgumentException] {
+      AttributeValue.decode("""{"s":{"NS":[1]}}""") // must be number STRINGS
+    }
+    assert(AttributeValue.decode("""{"s":{"SS":["a","b"]},"n":{"NS":["1","2.5"]}}""")
+      === """{"s":["a","b"],"n":[1,2.5]}""")
+  }
+
   test("encode tags every JSON kind correctly") {
     val out = AttributeValue.encode("""{"s":"hi","n":2.5,"b":false,"z":null,"l":[1],"m":{"k":"v"}}""")
     assert(out === """{"s":{"S":"hi"},"n":{"N":"2.5"},"b":{"BOOL":false},""" +

@@ -46,7 +46,7 @@ class StreamingSpec extends SparkSpec {
       target, ckpt, dlq, trigger = Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
 
-    val state = spark.read.parquet(target)
+    val state = CdcStream.readTarget(spark, target)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state === Map("k1" -> "v2", "k3" -> "x1")) // k2 deleted
 
@@ -57,9 +57,43 @@ class StreamingSpec extends SparkSpec {
       CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
       target, ckpt, dlq, trigger = Trigger.AvailableNow()).start()
     q2.awaitTermination(60000)
-    val state2 = spark.read.parquet(target)
+    val state2 = CdcStream.readTarget(spark, target)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state2 === state)
+
+    // snapshot layout: exactly one live snapshot dir, published via pointer;
+    // superseded versions are GC'd
+    val root = new java.io.File(target)
+    val snaps = root.listFiles().filter(_.getName.startsWith("snap-"))
+    assert(snaps.length == 1)
+    assert(new java.io.File(root, CdcStream.CurrentPointer).isFile)
+  }
+
+  test("readTarget fails loudly when the pointer names a missing snapshot") {
+    val target = tmp("lost-target")
+    java.nio.file.Files.write(
+      new java.io.File(target, CdcStream.CurrentPointer).toPath,
+      "snap-000000000007-dead".getBytes)
+    val e = intercept[IllegalStateException] {
+      CdcStream.readTarget(spark, target)
+    }
+    assert(e.getMessage.contains("missing snapshot"))
+  }
+
+  test("applySink: variable-length numeric sequence numbers order numerically") {
+    val in = tmp("seq-in"); val target = tmp("seq-target")
+    val ckpt = tmp("seq-ckpt"); val dlq = tmp("seq-dlq")
+    // "9" arrives after "10" in file order but is the OLDER event
+    writeCdcFile(in, "b1.json", Seq(
+      rec("e1", "INSERT", "2024-01-01T00:00:01Z", "9", "k1", Some("old")),
+      rec("e2", "MODIFY", "2024-01-01T00:00:02Z", "10", "k1", Some("new"))))
+    val q = CdcStream.applySink(
+      CdcStream.cdcFileSource(spark, in),
+      target, ckpt, dlq, trigger = Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val state = CdcStream.readTarget(spark, target)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("k1" -> "new")) // lexicographic would keep "old"
   }
 
   test("applySink: poison messages are deadlettered, valid ones still apply") {
@@ -76,7 +110,7 @@ class StreamingSpec extends SparkSpec {
     val dead = spark.read.parquet(dlq).collect()
     assert(dead.length == 1 && dead(0).getAs[String]("eventID") == "e2")
     assert(dead(0).getAs[String]("error").startsWith("poison"))
-    val state = spark.read.parquet(target)
+    val state = CdcStream.readTarget(spark, target)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state === Map("k1" -> "v1"))
   }
