@@ -43,29 +43,28 @@ object ScaleProbe {
       val docs = replicateDocs(spark, d, k).persist()
       val nd = docs.count()
 
-      // minhash LSH candidate generation at k× (signature fold + band join)
+      // minhash LSH candidate generation at k× (signature fold + band
+      // join) — the SAME native word_hash40/minhash12 expressions the
+      // production query uses, so the curve measures the shipped path
       time(s"minhash_lsh_x$k") {
         val hsets = docs
           .filter(size(split(col("text"), " ")) >= 3)
           .select(col("doc_id"), expr(
-            graft.analytics.Corpus.let("ws",
-              "transform(split(text, ' '), w -> cast(conv(substring(md5(w), 1, 10), 16, 10) as bigint))",
+            graft.analytics.Corpus.let("ws", "word_hash40(text)",
               s"""array_distinct(transform(sequence(1, size(ws) - 2),
                    i -> (element_at(ws, i) * 1000003L
                          + element_at(ws, i + 1) * 1500007L
                          + element_at(ws, i + 2) * 2000003L) & ${mask}L))"""))
             .as("hs"))
           .persist()
-        val bkeys = hsets.select(col("doc_id"), expr(
-          s"""aggregate(hs, transform(sequence(0, 11), p -> ${mask + 1}L),
-               (acc, x) -> zip_with(acc,
-                 array(999983L, 999979L, 999961L, 999959L, 999953L, 999931L,
-                       999917L, 999907L, 999883L, 999863L, 999841L, 999809L),
-                 (m, a) -> least(m, (a * x) & ${mask}L)),
-               acc -> transform(sequence(0, 3),
-                        b -> md5(concat(cast(element_at(acc, b*3 + 1) as string), '_',
-                                        cast(element_at(acc, b*3 + 2) as string), '_',
-                                        cast(element_at(acc, b*3 + 3) as string)))))""").as("bkeys"))
+        val bkeys = hsets
+          .select(col("doc_id"),
+            graft.functions.SignatureFunctions.minHash12(col("hs")).as("mh"))
+          .select(col("doc_id"), expr(
+            """transform(sequence(0, 3),
+                 b -> md5(concat(cast(element_at(mh, b*3 + 1) as string), '_',
+                                 cast(element_at(mh, b*3 + 2) as string), '_',
+                                 cast(element_at(mh, b*3 + 3) as string))))""").as("bkeys"))
         val bands = bkeys
           .select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band", "bkey"))).persist()
         val n = bands.as("a").join(bands.as("b"),

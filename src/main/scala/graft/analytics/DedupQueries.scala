@@ -35,12 +35,13 @@ object DedupQueries {
     * md5(x). One md5 per shingle instead of twelve — the md5 is the
     * expensive part — and the multiply-mask family keeps the permutations
     * independent enough for banding. All arithmetic stays below 2^60, so
-    * both engines compute identical exact int64 values.
+    * both engines compute identical exact int64 values. Constants are
+    * shared with the native signature expressions
+    * (graft.functions.SignatureConstants) so Spark and the oracle agree
+    * by construction.
     */
-  private val minhashA: Seq[Long] = Seq(
-    999983L, 999979L, 999961L, 999959L, 999953L, 999931L,
-    999917L, 999907L, 999883L, 999863L, 999841L, 999809L)
-  private val mask40 = (1L << 40) - 1
+  private val minhashA = graft.functions.SignatureConstants.MinHashA
+  private val mask40 = graft.functions.SignatureConstants.Mask40
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -89,19 +90,18 @@ object DedupQueries {
                            + element_at(ws, i + 2) * 2000003L) & ${mask40}L))"""))
               .as("hs"))
         }
-        // Single fold: 12 running minima (one per permutation), band
-        // keys in the finish lambda. Sentinel 2^40 sorts after every
-        // masked hash; shingle sets are non-empty (>=3 tokens).
-        val aArr = minhashA.map(_ + "L").mkString("array(", ", ", ")")
-        val bkeys = hsets.select(col("doc_id"), expr(
-          s"""aggregate(
-               hs,
-               transform(sequence(0, 11), p -> ${mask40 + 1}L),
-               (acc, x) -> zip_with(acc, $aArr, (m, a) -> least(m, (a * x) & ${mask40}L)),
-               acc -> transform(sequence(0, 3),
-                        b -> md5(concat(cast(element_at(acc, b*3 + 1) as string), '_',
-                                        cast(element_at(acc, b*3 + 2) as string), '_',
-                                        cast(element_at(acc, b*3 + 3) as string)))))""").as("bkeys"))
+        // Native minhash12 (graft.functions.MinHash12): 12 running minima
+        // in ONE compiled loop — the SQL aggregate/zip_with fold allocated
+        // a 12-array and dispatched 12 interpreted lambdas per shingle.
+        // Band keys (4 md5s per doc) stay in SQL; they're cheap.
+        val bkeys = hsets
+          .select(col("doc_id"),
+            graft.functions.SignatureFunctions.minHash12(col("hs")).as("mh"))
+          .select(col("doc_id"), expr(
+            """transform(sequence(0, 3),
+                 b -> md5(concat(cast(element_at(mh, b*3 + 1) as string), '_',
+                                 cast(element_at(mh, b*3 + 2) as string), '_',
+                                 cast(element_at(mh, b*3 + 3) as string))))""").as("bkeys"))
         // Bands stay NARROW (doc_id, band, bkey): the 4-way explode and
         // the bucket self-join move ~40 bytes/row, not the shingle sets;
         // persisted (memoized) because the self-join scans it from both sides.
@@ -165,32 +165,22 @@ object DedupQueries {
     QuerySpec(
       "dedup_simhash",
       (s, d) => {
-        // Signature PACKED into one BIGINT in a SINGLE pass: per-word
-        // hashes come from the native word_hash40 expression (one md5 per
-        // word in a compiled loop), bigram hashes are arithmetic
-        // combinations of adjacent word hashes, and the 32 bit-counters
-        // ride in an array accumulator. The naive per-bit formulation
-        // re-derived the whole token→md5 chain for every bit
-        // (CollapseProject inlining) — measured 30×+ slower. Downstream
-        // hamming is bit_count(xor): two codegen'd machine ops per
-        // candidate pair, which is what decides seconds-vs-minutes when
-        // correlated corpora put thousands of docs in a band bucket.
-        val sigExpr = Corpus.let("ws", "word_hash40(text)",
-          s"""aggregate(
-               transform(sequence(1, size(ws) - 1),
-                 i -> (element_at(ws, i) * 1000003L
-                       + element_at(ws, i + 1) * 1500007L) & ${mask40}L),
-               transform(sequence(0, 31), j -> 0L),
-               (acc, h) -> zip_with(acc, sequence(0, 31),
-                             (c, j) -> c + (case when (shiftright(h, j) & 1) = 1 then 1 else -1 end)),
-               acc -> aggregate(
-                        zip_with(acc, sequence(0, 31),
-                          (c, j) -> case when c > 0 then shiftleft(1L, j) else 0L end),
-                        0L, (a, b) -> a + b))""")
+        // Signature PACKED into one BIGINT by the native simhash32
+        // expression (graft.functions.SimHash32): word hashes from
+        // word_hash40 (one md5 per word, compiled loop), then bigrams +
+        // 32 bit-counters + pack in a second compiled loop. The SQL fold
+        // this replaces allocated a 32-array per bigram; the earlier
+        // naive per-bit formulation re-derived the token→md5 chain for
+        // every bit (CollapseProject inlining) — measured 30×+ slower.
+        // Downstream hamming is bit_count(xor): two codegen'd machine ops
+        // per candidate pair, which is what decides seconds-vs-minutes
+        // when correlated corpora put thousands of docs in a band bucket.
         // persisted (memoized): 16 bytes/doc, scanned by both sides of the self-join
         val sig = Corpus.cached(s, d, "simhash_sig") {
           Corpus.docsWithNearDups(s, d)
-            .select(col("doc_id"), expr(sigExpr).as("sig"))
+            .select(col("doc_id"),
+              graft.functions.SignatureFunctions.simHash32(
+                graft.functions.TextHashFunctions.wordHash40(col("text"))).as("sig"))
         }
         val banded = sig
           .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 3)")).as("band"))

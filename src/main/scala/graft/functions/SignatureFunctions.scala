@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Shared constants of the signature pipelines — referenced by BOTH the
+  * native expressions below and the DuckDB oracle SQL builders in
+  * `analytics.DedupQueries`, so the two engines stay bit-identical by
+  * construction.
+  */
+object SignatureConstants {
+  /** 40-bit mask: every hash/product is truncated into [0, 2^40). */
+  val Mask40: Long = (1L << 40) - 1
+
+  /** Universal-hash multipliers for the 12 minhash permutations:
+    * h_p(x) = (A(p) * x) & Mask40.
+    */
+  val MinHashA: Seq[Long] = Seq(
+    999983L, 999979L, 999961L, 999959L, 999953L, 999931L,
+    999917L, 999907L, 999883L, 999863L, 999841L, 999809L)
+
+  /** Adjacent-word combiners for bigram/shingle hashes. */
+  val C1 = 1000003L
+  val C2 = 1500007L
+  val C3 = 2000003L
+}
+
+/** 12 minhash minima over a shingle-hash array, one compiled loop:
+  * out(p) = min over x in hs of (MinHashA(p) * x) & Mask40, with the
+  * sentinel 2^40 for an empty input. Semantics identical to the SQL fold
+  * `aggregate(hs, [2^40]*12, (acc, x) -> zip_with(acc, A, (m, a) ->
+  * least(m, (a*x) & mask)))` (spec-asserted) — but the fold is evaluated
+  * interpreted, allocating a fresh 12-array and dispatching 12 lambdas
+  * PER SHINGLE; here the 12 minima live in one array updated in place.
+  * CodegenFallback: the win is the compiled loop in eval, not fusion.
+  */
+case class MinHash12(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import SignatureConstants._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash12"
+
+  private val a: Array[Long] = MinHashA.toArray
+
+  override def nullSafeEval(in: Any): Any = {
+    val hs = in.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val out = Array.fill[Long](12)(Mask40 + 1)
+    var i = 0
+    while (i < n) {
+      val x = hs.getLong(i)
+      var p = 0
+      while (p < 12) {
+        val v = (a(p) * x) & Mask40
+        if (v < out(p)) out(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash12 =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash over word-bigram hashes, packed into one LONG, one
+  * compiled loop: bigram hash h_i = (ws(i)*C1 + ws(i+1)*C2) & Mask40 for
+  * consecutive word-hash pairs; each h votes +1/-1 on 32 bit counters;
+  * bit j of the result is set iff counter j ends positive. Identical to
+  * the SQL formulation (transform to bigram hashes, aggregate with a
+  * 32-counter zip_with, pack) — which allocated a 32-array per bigram.
+  */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import SignatureConstants._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.sql}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(in: Any): Any = {
+    val ws = in.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    val counters = new Array[Int](32)
+    var i = 0
+    while (i < n - 1) {
+      val h = (ws.getLong(i) * C1 + ws.getLong(i + 1) * C2) & Mask40
+      var j = 0
+      while (j < 32) {
+        counters(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) {
+      if (counters(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+object SignatureFunctions {
+  /** Column API for [[MinHash12]]. */
+  def minHash12(c: Column): Column =
+    GraftSqlBridge.column(MinHash12(GraftSqlBridge.expression(c)))
+
+  /** Column API for [[SimHash32]]. */
+  def simHash32(c: Column): Column =
+    GraftSqlBridge.column(SimHash32(GraftSqlBridge.expression(c)))
+}

@@ -345,15 +345,21 @@ object CdcQueries {
           floor(col("value") * 100).cast("long").as("cents"),
           col("event_type").as("t"),
           array(col("event_type"), col("user_id").cast("string")).as("tags")))
+        // ONE from_json parse for all extracted fields: per-field
+        // get_json_object would re-parse the document once per field
+        // (4 extra Jackson passes/row on the hottest per-row query).
         events(s, d)
           .select(col("event_id"),
-            AttributeValue.ddbDecode(AttributeValue.ddbEncode(plain)).as("rt"))
+            from_json(
+              AttributeValue.ddbDecode(AttributeValue.ddbEncode(plain)),
+              "pk STRING, cents BIGINT, t STRING, tags ARRAY<STRING>",
+              Map.empty[String, String]).as("rt"))
           .select(
             col("event_id"),
-            get_json_object(col("rt"), "$.pk").as("pk"),
-            get_json_object(col("rt"), "$.cents").cast("long").as("cents"),
-            get_json_object(col("rt"), "$.t").as("t"),
-            get_json_object(col("rt"), "$.tags[1]").as("tag1"))
+            col("rt.pk").as("pk"),
+            col("rt.cents").as("cents"),
+            col("rt.t").as("t"),
+            element_at(col("rt.tags"), 2).as("tag1"))
       },
       Some("""
         SELECT event_id, CAST(user_id AS VARCHAR) AS pk,
@@ -375,14 +381,20 @@ object CdcQueries {
         val raw = format_string(
           """{"pk":{"S":"u%d"},"v":{"N":"%d"},"t":{"S":"%s"},"tags":{"L":[{"S":"%s"},{"N":"%d"}]}}""",
           col("user_id"), cents, col("event_type"), col("event_type"), col("user_id"))
+        // single from_json parse (see cdc_ddb_roundtrip); the heterogeneous
+        // L decodes as ARRAY<STRING> — Spark's string converter takes any
+        // token's text, so the numeric element arrives as "42" → cast
         events(s, d)
-          .select(col("event_id"), AttributeValue.ddbDecode(raw).as("decoded"))
+          .select(col("event_id"),
+            from_json(AttributeValue.ddbDecode(raw),
+              "pk STRING, v BIGINT, t STRING, tags ARRAY<STRING>",
+              Map.empty[String, String]).as("r"))
           .select(
             col("event_id"),
-            get_json_object(col("decoded"), "$.pk").as("pk"),
-            get_json_object(col("decoded"), "$.v").cast("long").as("v"),
-            get_json_object(col("decoded"), "$.t").as("t"),
-            get_json_object(col("decoded"), "$.tags[1]").cast("long").as("tag1"))
+            col("r.pk").as("pk"),
+            col("r.v").as("v"),
+            col("r.t").as("t"),
+            element_at(col("r.tags"), 2).cast("long").as("tag1"))
       },
       Some("""
         SELECT event_id, 'u' || CAST(user_id AS VARCHAR) AS pk,

@@ -104,6 +104,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("minhash12 is bit-identical to the aggregate/zip_with SQL fold") {
+    import graft.functions.{SignatureConstants => SC}
+    val aArr = SC.MinHashA.map(_ + "L").mkString("array(", ", ", ")")
+    val hsets = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(expr(Corpus.let("ws", "word_hash40(text)",
+        s"""array_distinct(transform(sequence(1, size(ws) - 2),
+             i -> (element_at(ws, i) * ${SC.C1}L
+                   + element_at(ws, i + 1) * ${SC.C2}L
+                   + element_at(ws, i + 2) * ${SC.C3}L) & ${SC.Mask40}L))""")).as("hs"))
+    val mismatches = hsets.select(
+      graft.functions.SignatureFunctions.minHash12(col("hs")).as("native"),
+      expr(s"""aggregate(hs,
+           transform(sequence(0, 11), p -> ${SC.Mask40 + 1}L),
+           (acc, x) -> zip_with(acc, $aArr, (m, a) -> least(m, (a * x) & ${SC.Mask40}L)))""")
+        .as("sql"))
+      .filter(expr("native != sql")).count()
+    assert(mismatches == 0)
+  }
+
+  test("simhash32 is bit-identical to the aggregate/zip_with SQL fold") {
+    import graft.functions.{SignatureConstants => SC}
+    val mismatches = Tables.documents(spark, sf).select(
+      graft.functions.SignatureFunctions.simHash32(
+        graft.functions.TextHashFunctions.wordHash40(col("text"))).as("native"),
+      expr(Corpus.let("ws", "word_hash40(text)",
+        s"""aggregate(
+             transform(sequence(1, size(ws) - 1),
+               i -> (element_at(ws, i) * ${SC.C1}L
+                     + element_at(ws, i + 1) * ${SC.C2}L) & ${SC.Mask40}L),
+             transform(sequence(0, 31), j -> 0L),
+             (acc, h) -> zip_with(acc, sequence(0, 31),
+                           (c, j) -> c + (case when (shiftright(h, j) & 1) = 1 then 1 else -1 end)),
+             acc -> aggregate(
+                      zip_with(acc, sequence(0, 31),
+                        (c, j) -> case when c > 0 then shiftleft(1L, j) else 0L end),
+                      0L, (a, b) -> a + b))""")).as("sql"))
+      .filter(col("native") =!= col("sql")).count()
+    assert(mismatches == 0)
+  }
+
   test("VecDotLong matches the HOF dot product (codegen and interpreted paths)") {
     import graft.functions.VectorFunctions.vecDotLong
     val vecs = Corpus.quantizedVectors(spark, sf).limit(50)
