@@ -506,6 +506,146 @@ object RelationalQueries {
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_id
           FROM events WHERE event_type IN ('purchase','signup'))
-        WHERE event_type = 'purchase'"""))
+        WHERE event_type = 'purchase'""")),
+
+    // ───── W2 ntile + dense_rank: quartiles of account balance WITHIN a
+    // market segment (partitioned window — parallel by segment, never a
+    // single global sort task). Deterministic: (c_acctbal, c_custkey) is
+    // a total order within each partition.
+    QuerySpec(
+      "window_ntile",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        customer(s, d).select(
+          col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          dense_rank().over(w).as("bal_rank"))
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               CAST(DENSE_RANK() OVER w AS INTEGER) AS bal_rank
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""")),
+
+    // ───── W2 RANGE frame: per customer, count + exact-cents sum of their
+    // orders within the trailing 30 days of each order (value-based frame,
+    // not row-count-based — the two differ whenever order dates cluster).
+    // The frame key is integer days-since-epoch so both engines run the
+    // same numeric RANGE arithmetic.
+    QuerySpec(
+      "window_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("day_n"))
+          .rangeBetween(-30, Window.currentRow)
+        orders(s, d)
+          .withColumn("day_n", datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+          .select(
+            col("o_orderkey"), col("o_custkey"), col("day_n"),
+            count(lit(1)).over(w).as("n_30d"),
+            sum(round(col("o_totalprice") * 100).cast("long")).over(w).as("cents_30d"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, day_n,
+               COUNT(*) OVER w AS n_30d,
+               CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT) AS cents_30d
+        FROM (SELECT *, CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_n
+              FROM orders)
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day_n
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""")),
+
+    // ───── A7 GROUPING SETS (beyond rollup/cube: an explicit, sparse set
+    // list — (flag,status), (flag), ()). Subtotal rows are disambiguated
+    // with coalesce sentinels, portable across engines without relying on
+    // matching GROUPING_ID bit layouts.
+    QuerySpec(
+      "agg_grouping_sets",
+      (s, d) => lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("qty_cents")),
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               count(*) AS n,
+               CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")),
+
+    // ───── F5 date/time functions: truncation, field extraction, interval
+    // arithmetic, day difference. weekday is normalized to ISO Monday=0 in
+    // both engines (Spark weekday() == DuckDB isodow - 1).
+    QuerySpec(
+      "func_datetime",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        weekday(col("o_orderdate")).as("wd"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 1 MONTH")).as("next_month"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since")),
+      Some("""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(quarter(o_orderdate) AS INTEGER) AS q,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd,
+               date_trunc('month', o_orderdate) AS month_start,
+               o_orderdate + INTERVAL 1 MONTH AS next_month,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+        FROM orders""")),
+
+    // ───── F5 array functions over tokenized text: size, distinct size,
+    // slice+join, membership, sorted head — the per-row array surface a
+    // token pipeline leans on (all codegen'd built-ins, no shuffle).
+    QuerySpec(
+      "func_array",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        expr("size(split(text, ' '))").as("n_toks"),
+        expr("size(array_distinct(split(text, ' ')))").as("n_uniq"),
+        expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as("first3"),
+        expr("array_contains(split(text, ' '), 'the')").as("has_the"),
+        expr("element_at(array_sort(split(text, ' ')), 1)").as("alpha_first")),
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
+               array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+               list_contains(string_split(text, ' '), 'the') AS has_the,
+               list_sort(string_split(text, ' '))[1] AS alpha_first
+        FROM documents""")),
+
+    // ───── deterministic hash sampling: a ~10% Bernoulli sample keyed on
+    // md5 of the row key — reproducible across engines, retries, and
+    // cluster layouts (unlike rand()-based TABLESAMPLE), which is what a
+    // training-data pipeline needs for holdout/eval splits. Aggregated so
+    // the oracle checks the sample MEMBERSHIP, not just its size.
+    QuerySpec(
+      "sample_hash",
+      (s, d) => lineitem(s, d)
+        .withColumn("bucket",
+          expr("conv(substring(md5(concat(cast(l_orderkey as string), '_', cast(l_linenumber as string))), 1, 8), 16, 10)")
+            .cast("long") % 100)
+        .filter(col("bucket") < 10)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents")),
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+               CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+        FROM lineitem
+        WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+        GROUP BY l_returnflag"""))
   )
 }
