@@ -14,7 +14,8 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     CdcQueries.all ++ RelationalQueries.all ++
       TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ MultimodalQueries.all
+      SimilarityQueries.all ++ MultimodalQueries.all ++
+      PipelineQueries.all
 
   private lazy val maps = QuerySpec.toMaps(specs)
 

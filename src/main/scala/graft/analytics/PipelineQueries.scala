@@ -1,0 +1,114 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.QuerySpec
+
+/** Training-data pipeline mechanics beyond dedup/similarity/text-stats:
+  * the operators that turn a cleaned corpus into training input —
+  * stratified sampling, deterministic global shuffle + sharding for data
+  * loaders, and packing documents into fixed token budgets. All are
+  * absent from the reference (north-star surface) and all are
+  * deterministic by construction: randomness comes from md5 of the row
+  * key, never rand(), so retries, replays, and both engines agree row
+  * for row.
+  *
+  * Scale posture: every stage is a per-row map plus at most one windowed
+  * shuffle on the shard key — shard count scales with the cluster, no
+  * global sort, no driver-side state.
+  */
+object PipelineQueries {
+
+  /** Hex md5 of the doc id — the deterministic "random" key. String
+    * comparison of the hex form is identical across engines.
+    */
+  private val hkeySpark = "md5(cast(doc_id as string))"
+  private val hkeyDuck = "md5(CAST(doc_id AS VARCHAR))"
+
+  /** First 8 md5 hex digits as an integer in [0, 2^32). */
+  private val bucketSpark = s"cast(conv(substring($hkeySpark, 1, 8), 16, 10) as long)"
+  private val bucketDuck = s"('0x' || substr($hkeyDuck, 1, 8))::BIGINT"
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ───── stratified sampling: per-language rates (en kept at 50%, the
+    // rest at 10%) over the md5 bucket — the corpus-rebalancing step of a
+    // multilingual mix. Aggregated per stratum so the oracle checks
+    // MEMBERSHIP (count + char mass), not just sample size.
+    QuerySpec(
+      "sample_stratified",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("bucket", expr(bucketSpark) % 100)
+        .withColumn("rate", when(col("lang") === "en", 50).otherwise(10))
+        .filter(col("bucket") < col("rate"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")),
+      Some(s"""
+        SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE $bucketDuck % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+        GROUP BY lang""")),
+
+    // ───── deterministic shuffle + shard assignment: the data-loader
+    // layout step. Order within a shard is the md5 hex order — a stable
+    // pseudo-random permutation — and shards are md5-bucketed, so the
+    // whole layout is reproducible from the doc ids alone. One shuffle
+    // (by shard), position by row_number within it; shard count scales
+    // with the cluster.
+    QuerySpec(
+      "shard_assign",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("hkey"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), expr(hkeySpark).as("hkey"))
+          .withColumn("shard", (expr(s"cast(conv(substring(hkey, 1, 8), 16, 10) as long)") % 8).cast("int"))
+          .withColumn("pos", row_number().over(w))
+          .select("doc_id", "shard", "pos")
+      },
+      Some(s"""
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS INTEGER) AS pos
+        FROM (SELECT doc_id, $hkeyDuck AS hkey,
+                     CAST(('0x' || substr($hkeyDuck, 1, 8))::BIGINT % 8 AS INTEGER) AS shard
+              FROM documents)""")),
+
+    // ───── sequence packing: fill 2048-token context windows per shard.
+    // Offset-based packing: docs are laid out in shard order and a doc
+    // belongs to the bin its FIRST token falls in (exclusive prefix sum /
+    // 2048) — the streaming-friendly approximation of greedy bin packing
+    // (no sequential dependency, one window pass; a doc spanning a
+    // boundary stays in the earlier bin). Token estimate = ceil(chars/4),
+    // the same BPE-ish proxy as text_tokens.
+    QuerySpec(
+      "pack_sequences",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("hkey"), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), expr(hkeySpark).as("hkey"),
+            expr("cast(ceil(n_chars / 4.0) as bigint)").as("tok"))
+          .withColumn("shard", (expr(s"cast(conv(substring(hkey, 1, 8), 16, 10) as long)") % 8).cast("int"))
+          .withColumn("cum", sum(col("tok")).over(w))
+          .select(col("doc_id"), col("shard"), col("tok"),
+            floor((col("cum") - col("tok")) / 2048).as("bin"),
+            (col("cum") - col("tok") - floor((col("cum") - col("tok")) / 2048) * 2048)
+              .as("bin_offset"))
+      },
+      Some(s"""
+        SELECT doc_id, shard, tok,
+               CAST(floor((cum - tok) / 2048) AS BIGINT) AS bin,
+               CAST(cum - tok - floor((cum - tok) / 2048) * 2048 AS BIGINT) AS bin_offset
+        FROM (
+          SELECT doc_id, shard, tok,
+                 CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM (SELECT doc_id, $hkeyDuck AS hkey,
+                       CAST(('0x' || substr($hkeyDuck, 1, 8))::BIGINT % 8 AS INTEGER) AS shard,
+                       CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok
+                FROM documents))"""))
+  )
+}
