@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{TextHashFunctions, VectorFunctions}
+import graft.functions.{SignatureFunctions, TextHashFunctions, VectorFunctions}
 
 /** Engine extension pack, installed with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (wired in
@@ -15,5 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(VectorFunctions.vecDotLongDescriptor)
     e.injectFunction(TextHashFunctions.wordHash40Descriptor)
+    e.injectFunction(SignatureFunctions.minHash12Descriptor)
+    e.injectFunction(SignatureFunctions.simHash32Descriptor)
   }
 }

@@ -132,4 +132,27 @@ object SignatureFunctions {
   /** Column API for [[SimHash32]]. */
   def simHash32(c: Column): Column =
     GraftSqlBridge.column(SimHash32(GraftSqlBridge.expression(c)))
+
+  /** SQL registration entries (see [[graft.GraftExtensions]]). */
+  val minHash12Descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("minhash12"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[MinHash12].getName, "minhash12"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "minhash12 takes exactly 1 argument")
+      MinHash12(children.head)
+    })
+
+  val simHash32Descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("simhash32"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[SimHash32].getName, "simhash32"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "simhash32 takes exactly 1 argument")
+      SimHash32(children.head)
+    })
 }

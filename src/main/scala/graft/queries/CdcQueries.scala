@@ -400,6 +400,37 @@ object CdcQueries {
         SELECT event_id, 'u' || CAST(user_id AS VARCHAR) AS pk,
                CAST(floor(value * 100) AS BIGINT) AS v,
                event_type AS t, user_id AS tag1
-        FROM events"""))
+        FROM events""")),
+
+    // ───── A3 — write-chunk grouping: the reference drains each
+    // invocation batch in 25-item BatchWriteItem chunks in arrival order
+    // (CHUNK_SIZE, app/lambdas/lambda-backfill/main.py:22,41-46). Batch ≈
+    // the hour bucket, arrival order ≈ (ts, event_id); chunk occupancy
+    // and the put/delete mix per chunk fall out of a windowed row_number
+    // — the logical form of what the sink's foreachPartition grouped(25)
+    // does physically.
+    QuerySpec(
+      "cdc_write_chunks",
+      (s, d) => {
+        val w = Window.partitionBy(date_trunc("hour", col("ts")))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("batch", date_trunc("hour", col("ts")))
+          .withColumn("chunk", floor((row_number().over(w) - 1) / 25.0))
+          .groupBy("batch", "chunk")
+          .agg(count(lit(1)).as("n_items"),
+            count(when(col("event_type") =!= "error", 1)).as("n_puts"),
+            count(when(col("event_type") === "error", 1)).as("n_deletes"))
+      },
+      Some("""
+        SELECT batch, chunk, count(*) AS n_items,
+               count(CASE WHEN event_type != 'error' THEN 1 END) AS n_puts,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_deletes
+        FROM (
+          SELECT date_trunc('hour', ts) AS batch, event_type,
+                 CAST(floor((ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                   ORDER BY ts, event_id) - 1) / 25.0) AS BIGINT) AS chunk
+          FROM events)
+        GROUP BY batch, chunk"""))
   )
 }

@@ -69,6 +69,17 @@ class PlanSpec extends SparkSpec {
     assert(out == 32L)
   }
 
+  test("minhash12/simhash32 are registered in SQL via GraftExtensions") {
+    import graft.functions.{SignatureConstants => SC}
+    // one element: minima are (A(p) * 7) & mask for every p; simhash of a
+    // single word hash has no bigrams -> signature 0
+    val mh = spark.sql("SELECT minhash12(array(7L)) AS mh")
+      .collect()(0).getSeq[Long](0)
+    assert(mh == SC.MinHashA.map(a => (a * 7L) & SC.Mask40))
+    val sh = spark.sql("SELECT simhash32(array(7L)) AS sh").collect()(0).getLong(0)
+    assert(sh == 0L)
+  }
+
   test("ann_brute_topk: probe side is broadcast, corpus is never shuffled pre-join") {
     assert(plan("ann_brute_topk").contains("BroadcastNestedLoopJoin") ||
       plan("ann_brute_topk").contains("BroadcastHashJoin"))

@@ -69,6 +69,32 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(root, CdcStream.CurrentPointer).isFile)
   }
 
+  test("writeTarget publishes atomically: a failed write leaves the previous snapshot live") {
+    import spark.implicits._
+    val target = tmp("atomic-target")
+    CdcStream.writeTarget(Seq(("k1", "v1")).toDF("keys", "newImage"), target, 0L)
+    val boom = udf((s: String) => {
+      if (s != null) throw new RuntimeException("disk full"); s
+    })
+    assertThrows[Exception] {
+      CdcStream.writeTarget(
+        Seq(("k2", "v2")).toDF("keys", "newImage")
+          .withColumn("newImage", boom(col("newImage"))),
+        target, 1L)
+    }
+    // the pointer still names the batch-0 snapshot; nothing was lost
+    val state = CdcStream.readTarget(spark, target)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("k1" -> "v1"))
+    // the next successful publish supersedes and GCs every stale dir
+    CdcStream.writeTarget(Seq(("k3", "v3")).toDF("keys", "newImage"), target, 2L)
+    val snaps = new java.io.File(target).listFiles().filter(_.getName.startsWith("snap-"))
+    assert(snaps.length == 1)
+    val state2 = CdcStream.readTarget(spark, target)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state2 === Map("k3" -> "v3"))
+  }
+
   test("readTarget fails loudly when the pointer names a missing snapshot") {
     val target = tmp("lost-target")
     java.nio.file.Files.write(
