@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Scale-mechanics specs: the shuffle-elimination and skew-handling
+  * behaviors the 100 TB posture leans on, demonstrated (and pinned) at
+  * test size.
+  *
+  *  - Bucketing: two tables bucketed by the join key join WITHOUT any
+  *    Exchange — the co-located-join layout a production deployment uses
+  *    for its biggest recurring fact-fact joins.
+  *  - AQE skew split: a pathologically skewed join is split at runtime by
+  *    AQE rather than serializing one giant task (the complement to the
+  *    explicit Salting operator, which covers AQE's planning-blind spots
+  *    such as streaming micro-batches).
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    // external-table paths: bucket layout lives in temp dirs, not the
+    // session warehouse (a static conf we cannot retarget at runtime)
+    val wh = Files.createTempDirectory("graft-wh").toFile.getAbsolutePath
+    val sf = "/root/testdata/sf0.001"
+    try {
+      Tables.orders(spark, sf).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/orders_b")
+        .mode("overwrite").saveAsTable("orders_b")
+      Tables.lineitem(spark, sf).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/lineitem_b")
+        .mode("overwrite").saveAsTable("lineitem_b")
+      val joined = spark.table("lineitem_b").join(
+        spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      // disable broadcast so the join would OTHERWISE shuffle both sides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val qe = joined.queryExecution
+      qe.toRdd.count()
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      // the only exchange allowed is the post-join groupBy; neither join
+      // input may shuffle — the bucket layout already co-locates the keys
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not shuffle its inputs, got:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    // 50k rows on ONE hot key vs 5k spread keys; small thresholds so the
+    // hot partition counts as skewed at test size
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = spark.range(55000)
+        .select(when(col("id") < 50000, lit(7L)).otherwise(col("id") % 10000).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(10000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = big.join(right, "k")
+      // execute THIS queryExecution so AQE finalizes the inspected plan
+      val qe = joined.queryExecution
+      assert(qe.toRdd.count() == 55000)
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join marker in final plan:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
