@@ -17,5 +17,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(TextHashFunctions.wordHash40Descriptor)
     e.injectFunction(SignatureFunctions.minHash12Descriptor)
     e.injectFunction(SignatureFunctions.simHash32Descriptor)
+    e.injectFunction(SignatureFunctions.shingleHash40Descriptor)
   }
 }

@@ -49,13 +49,9 @@ object ScaleProbe {
       time(s"minhash_lsh_x$k") {
         val hsets = docs
           .filter(size(split(col("text"), " ")) >= 3)
-          .select(col("doc_id"), expr(
-            graft.analytics.Corpus.let("ws", "word_hash40(text)",
-              s"""array_distinct(transform(sequence(1, size(ws) - 2),
-                   i -> (element_at(ws, i) * 1000003L
-                         + element_at(ws, i + 1) * 1500007L
-                         + element_at(ws, i + 2) * 2000003L) & ${mask}L))"""))
-            .as("hs"))
+          .select(col("doc_id"),
+            graft.functions.SignatureFunctions.shingleHash40(
+              graft.functions.TextHashFunctions.wordHash40(col("text"))).as("hs"))
           .persist()
         val bkeys = hsets
           .select(col("doc_id"),

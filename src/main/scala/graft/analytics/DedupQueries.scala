@@ -82,13 +82,9 @@ object DedupQueries {
         val hsets = Corpus.cached(s, d, "minhash_hsets") {
           Corpus.docsWithNearDups(s, d)
             .filter(size(split(col("text"), " ")) >= 3)
-            .select(col("doc_id"), expr(
-              Corpus.let("ws", "word_hash40(text)",
-                s"""array_distinct(transform(sequence(1, size(ws) - 2),
-                     i -> (element_at(ws, i) * 1000003L
-                           + element_at(ws, i + 1) * 1500007L
-                           + element_at(ws, i + 2) * 2000003L) & ${mask40}L))"""))
-              .as("hs"))
+            .select(col("doc_id"),
+              graft.functions.SignatureFunctions.shingleHash40(
+                graft.functions.TextHashFunctions.wordHash40(col("text"))).as("hs"))
         }
         // Native minhash12 (graft.functions.MinHash12): 12 running minima
         // in ONE compiled loop — the SQL aggregate/zip_with fold allocated

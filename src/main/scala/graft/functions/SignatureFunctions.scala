@@ -76,6 +76,49 @@ case class MinHash12(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct word-3-gram shingle hashes from a word-hash array, one
+  * compiled loop: h_j = (ws(j)*C1 + ws(j+1)*C2 + ws(j+2)*C3) & Mask40
+  * for each consecutive triple, deduplicated preserving FIRST occurrence
+  * (the same order contract as `array_distinct(transform(...))`, which
+  * this replaces — that formulation dispatched an interpreted lambda per
+  * shingle and then re-scanned for distinctness). Fewer than 3 words →
+  * empty array (the SQL form relied on a size>=3 pre-filter because
+  * sequence(1, n) with n < 1 DESCENDS).
+  */
+case class ShingleHash40(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import SignatureConstants._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash40"
+
+  override def nullSafeEval(in: Any): Any = {
+    val ws = in.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    val out = new Array[Long](n - 2)
+    var k = 0
+    var j = 0
+    while (j < n - 2) {
+      val h = (ws.getLong(j) * C1 + ws.getLong(j + 1) * C2 + ws.getLong(j + 2) * C3) & Mask40
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash40 =
+    copy(child = newChild)
+}
+
 /** 32-bit SimHash over word-bigram hashes, packed into one LONG, one
   * compiled loop: bigram hash h_i = (ws(i)*C1 + ws(i+1)*C2) & Mask40 for
   * consecutive word-hash pairs; each h votes +1/-1 on 32 bit counters;
@@ -133,6 +176,10 @@ object SignatureFunctions {
   def simHash32(c: Column): Column =
     GraftSqlBridge.column(SimHash32(GraftSqlBridge.expression(c)))
 
+  /** Column API for [[ShingleHash40]]. */
+  def shingleHash40(c: Column): Column =
+    GraftSqlBridge.column(ShingleHash40(GraftSqlBridge.expression(c)))
+
   /** SQL registration entries (see [[graft.GraftExtensions]]). */
   val minHash12Descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
       org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
@@ -154,5 +201,16 @@ object SignatureFunctions {
     (children: Seq[Expression]) => {
       require(children.length == 1, "simhash32 takes exactly 1 argument")
       SimHash32(children.head)
+    })
+
+  val shingleHash40Descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hash40"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[ShingleHash40].getName, "shingle_hash40"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "shingle_hash40 takes exactly 1 argument")
+      ShingleHash40(children.head)
     })
 }

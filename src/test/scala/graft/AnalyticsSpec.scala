@@ -124,6 +124,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("shingle_hash40 is bit-identical to the array_distinct/transform SQL form") {
+    import graft.functions.{SignatureConstants => SC}
+    val mismatches = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(
+        graft.functions.SignatureFunctions.shingleHash40(
+          graft.functions.TextHashFunctions.wordHash40(col("text"))).as("native"),
+        expr(Corpus.let("ws", "word_hash40(text)",
+          s"""array_distinct(transform(sequence(1, size(ws) - 2),
+               i -> (element_at(ws, i) * ${SC.C1}L
+                     + element_at(ws, i + 1) * ${SC.C2}L
+                     + element_at(ws, i + 2) * ${SC.C3}L) & ${SC.Mask40}L))""")).as("sql"))
+      .filter(expr("native != sql")).count()
+    assert(mismatches == 0)
+    // SQL-registered and empty on <3 words
+    val e = spark.sql("SELECT shingle_hash40(array(1L, 2L)) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(e.isEmpty)
+  }
+
   test("simhash32 is bit-identical to the aggregate/zip_with SQL fold") {
     import graft.functions.{SignatureConstants => SC}
     val mismatches = Tables.documents(spark, sf).select(

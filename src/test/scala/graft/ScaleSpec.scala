@@ -55,6 +55,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("hive-style partitioned layout prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toFile.getAbsolutePath
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"))
+    val scan = q.queryExecution.executedPlan.toString
+    // the event_type predicate must be a PartitionFilter (directory
+    // pruning — at 100 TB this is the difference between reading one
+    // partition and reading the table), not a post-scan Filter
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition pruning in:\n$scan")
+    val expected = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "purchase").count()
+    assert(q.collect()(0).getLong(0) == expected)
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import spark.implicits._
     // 50k rows on ONE hot key vs 5k spread keys; small thresholds so the
