@@ -64,6 +64,10 @@ object CdcOps {
     * `snapshot` and `delta` must share `keys` plus the payload columns.
     * `opCol` in delta is PUT|DELETE. At scale: sort-merge join on the keys;
     * when the delta is small relative to the snapshot AQE broadcasts it.
+    * At 100 TB the target table should be BUCKETED by the key columns
+    * (ScaleSpec proves the bucketed join runs with zero input exchanges):
+    * then each micro-batch merge shuffles only the delta, never the
+    * accumulated table.
     * Idempotent by construction — re-applying the same compacted delta
     * yields the same table (closes the reference's UnprocessedItems TODO,
     * SURVEY §2.9 T4).

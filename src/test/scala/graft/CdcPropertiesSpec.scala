@@ -110,4 +110,21 @@ class CdcPropertiesSpec extends SparkSpec {
     assert(state(applyLog(empty, toDf(flip))) === Map("a" -> "second"))
     assert(state(applyLog(empty, toDf(swapped))) === Map("a" -> "first"))
   }
+
+  test("(e) numericStringOrder ranks variable-length digit strings numerically") {
+    // random non-negative BigInts rendered without leading zeros: the
+    // (length, value) column order must pick the same winner as BigInt max
+    val genSeqs: Gen[List[BigInt]] = Gen.listOfN(12,
+      Gen.choose(0L, Long.MaxValue).flatMap(a =>
+        Gen.choose(0L, Long.MaxValue).map(b => BigInt(a) * b))) // up to ~38 digits
+    check(Prop.forAll(genSeqs) { seqs =>
+      seqs.distinct.size < 2 || {
+        val df = seqs.distinct.map(s => ("k", s.toString)).toDF("pk", "seqno")
+        val winner = CdcOps.lwwCompact(df, Seq("pk"),
+          CdcOps.numericStringOrder(col("seqno")))
+          .collect()(0).getString(1)
+        BigInt(winner) == seqs.max
+      }
+    }, trials = 5)
+  }
 }
