@@ -183,6 +183,19 @@ object CdcStream {
       .foreach(deleteRecursively)
   }
 
+  /** Small-files maintenance for a streaming target: every micro-batch
+    * publish writes up to shuffle.partitions files, so a long-running
+    * sink accumulates small files (the classic streaming-sink problem —
+    * at 100 TB it degrades scan parallelism planning and NameNode/listing
+    * pressure). Compaction rewrites the CURRENT snapshot into `numFiles`
+    * files and publishes it through the same atomic pointer swap, so
+    * concurrent readers always see a complete snapshot and a crash
+    * mid-compaction changes nothing.
+    */
+  def compactTarget(spark: SparkSession, targetDir: String, numFiles: Int = 1): Unit =
+    writeTarget(readTarget(spark, targetDir).repartition(numFiles),
+      targetDir, batchId = -1L) // batchId only names the dir; nonce disambiguates
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()

@@ -95,6 +95,26 @@ class StreamingSpec extends SparkSpec {
     assert(state2 === Map("k3" -> "v3"))
   }
 
+  test("compactTarget rewrites the snapshot to fewer files via the same atomic swap") {
+    import spark.implicits._
+    val target = tmp("compact-target")
+    val df = (1 to 100).map(i => (s"k$i", s"v$i")).toDF("keys", "newImage")
+      .repartition(4)
+    CdcStream.writeTarget(df, target, 0L)
+    def snapFiles: Array[java.io.File] = {
+      val root = new java.io.File(target)
+      val snap = root.listFiles().filter(_.getName.startsWith("snap-"))
+      assert(snap.length == 1)
+      snap(0).listFiles().filter(_.getName.endsWith(".parquet"))
+    }
+    assert(snapFiles.length > 1) // the small-files state a streaming sink accumulates
+    CdcStream.compactTarget(spark, target, numFiles = 1)
+    assert(snapFiles.length == 1)
+    val state = CdcStream.readTarget(spark, target)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === (1 to 100).map(i => s"k$i" -> s"v$i").toMap)
+  }
+
   test("readTarget fails loudly when the pointer names a missing snapshot") {
     val target = tmp("lost-target")
     java.nio.file.Files.write(
