@@ -272,6 +272,36 @@ object CdcStream {
       }
   }
 
+  /** Changelog variant of [[statefulLatest]] via `flatMapGroupsWithState`
+    * (T9): emits a key's state ONLY when a batch actually changes its LWW
+    * winner — a stale or duplicate delivery produces no output row. This
+    * is the shape a downstream incremental consumer wants (e.g. feeding a
+    * secondary index or cache): update-log volume tracks real change
+    * rate, not delivery rate. Same numeric (length, value) sequence
+    * order as the rest of the engine.
+    */
+  def statefulChangelog(cdc: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.Dataset[KeyState] = {
+    val spark = cdc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    cdc.select("keys", "eventName", "sequenceNumber", "newImage")
+      .as[(String, String, String, Option[String])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, events: Iterator[(String, String, String, Option[String])],
+         state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
+          val prior = state.getOption
+            .getOrElse(KeyState(key, "", None, live = false))
+          val latest = (events.map { case (_, name, seq, img) =>
+            KeyState(key, seq, if (name == CdcSchema.Remove) None else img,
+              live = name != CdcSchema.Remove)
+          } ++ Iterator(prior)).maxBy(ks => (ks.seq.length, ks.seq))
+          if (latest == prior) Iterator.empty
+          else { state.update(latest); Iterator.single(latest) }
+      }
+  }
+
   /** Tumbling event-time window aggregation over the stream (T9):
     * counts per eventName per window, watermarked so state is bounded.
     */

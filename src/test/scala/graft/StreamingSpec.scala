@@ -261,6 +261,35 @@ class StreamingSpec extends SparkSpec {
     assert(last("k2") === ((null, false))) // tombstoned
   }
 
+  test("statefulChangelog emits only on real change (stale/duplicate deliveries are silent)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, Option[String])]
+    val df = mem.toDF().toDF("keys", "eventName", "sequenceNumber", "newImage")
+    val q = graft.streaming.CdcStream.statefulChangelog(df)
+      .writeStream.format("memory").queryName("changelog_out")
+      .outputMode("update").start()
+    mem.addData(
+      ("k1", "INSERT", "2", Some("v1")),
+      ("k2", "INSERT", "3", Some("w1")))
+    q.processAllAvailable()
+    // stale ("9" < "10" numerically... here "1" < "2"), duplicate, and a
+    // real update: only the real update may emit
+    mem.addData(
+      ("k1", "MODIFY", "1", Some("stale")),
+      ("k2", "INSERT", "3", Some("w1")),
+      ("k2", "MODIFY", "10", Some("w2")))
+    q.processAllAvailable()
+    val rows = spark.table("changelog_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toList
+    q.stop()
+    // batch 1: both keys new -> 2 rows; batch 2: only k2 changed -> 1 row
+    assert(rows.size == 3)
+    assert(rows.count(_._1 == "k1") == 1) // the stale event emitted nothing
+    assert(rows.filter(_._1 == "k2").map(_._2).toSet == Set("3", "10"))
+  }
+
   test("RestoreSession: polls until ACTIVE then starts the drain exactly once") {
     val states = Iterator("CREATING", "CREATING", "ACTIVE")
     var sleeps = 0
