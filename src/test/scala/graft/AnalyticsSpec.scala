@@ -251,6 +251,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === brute)
   }
 
+  test("kmeans: Lloyd distortion is monotonically non-increasing; assignment partitions the corpus") {
+    val vecs = Corpus.quantizedVectors(spark, sf)
+    val (assigned, centroids, distortions) =
+      Clustering.kmeans(spark, vecs, k = 4, iters = 3)
+    assert(distortions.size == 3)
+    distortions.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-6) }
+    assert(centroids.length == 4 && centroids.forall(_._2.length == 64))
+    // every vector assigned exactly once
+    assert(assigned.count() == vecs.count())
+    assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    // deterministic: a rerun reproduces the same assignment
+    val (assigned2, _, _) = Clustering.kmeans(spark, vecs, k = 4, iters = 3)
+    assert(assigned.select("vec_id", "cid").exceptAll(
+      assigned2.select("vec_id", "cid")).count() == 0)
+  }
+
   test("ann_brute_topk ranks are dense 1..k per query") {
     val out = SparkEntry.queries("ann_brute_topk")(spark, sf)
       .select("query_id", "rank").collect()
