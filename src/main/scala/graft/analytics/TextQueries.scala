@@ -176,6 +176,31 @@ object TextQueries {
         FROM (SELECT doc_id, text,
                      list_transform(string_split(text, ' '),
                                     w -> ('0x' || substr(md5(w), 1, 10))::BIGINT) AS ws
-              FROM documents)"""))
+              FROM documents)""")),
+
+    // ───── normalization: lowercase, strip non-alphanumerics, squeeze
+    // whitespace — the canonical-form step before exact dedup/hashing
+    // (two regex passes, pure per-row map). Both engines use the same
+    // POSIX-class-free patterns so Java regex and RE2 agree.
+    QuerySpec(
+      "text_normalize",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("norm",
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            " +", " ")))
+        .select(
+          col("doc_id"), col("norm"),
+          expr("cast(size(split(norm, ' ')) as int)").as("n_norm_tokens"),
+          length(col("norm")).cast("long").as("n_norm_chars")),
+      Some("""
+        SELECT doc_id, norm,
+               CAST(len(string_split(norm, ' ')) AS INTEGER) AS n_norm_tokens,
+               CAST(len(norm) AS BIGINT) AS n_norm_chars
+        FROM (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                     ' +', ' ', 'g')) AS norm
+          FROM documents)"""))
   )
 }

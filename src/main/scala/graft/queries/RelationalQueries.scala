@@ -484,6 +484,33 @@ object RelationalQueries {
                  COUNT(*) AS n
           FROM events GROUP BY event_type)""")),
 
+    // ───── A4/W2 outlier flagging: events above their type's p95 —
+    // threshold from the same exact interpolated percentile contract as
+    // agg_percentile (integer cents in, identical rank definition), then
+    // a broadcast join back. The per-group-threshold-then-flag shape is
+    // the standard cheap anomaly screen over event streams.
+    QuerySpec(
+      "events_outliers",
+      (s, d) => {
+        val cents = events(s, d)
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val thresholds = cents.groupBy("event_type")
+          .agg(expr("percentile(cents, 0.95D)").as("p95c"))
+        cents.join(broadcast(thresholds), Seq("event_type"))
+          .filter(col("cents") > col("p95c"))
+          .select("event_id", "event_type", "cents", "p95c")
+      },
+      Some("""
+        SELECT e.event_id, e.event_type, e.cents, t.p95c
+        FROM (SELECT event_id, event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS cents FROM events) e
+        JOIN (SELECT event_type,
+                     quantile_cont(CAST(floor(value * 100) AS BIGINT), 0.95) AS p95c
+              FROM events GROUP BY event_type) t
+          ON e.event_type = t.event_type
+        WHERE e.cents > t.p95c""")),
+
     // ───── J2 as-of join: each purchase matched to the user's most recent
     // signup at-or-before it (window formulation — one shuffle on the key,
     // no range-join explosion; SURVEY §2.3 J2–J6)
