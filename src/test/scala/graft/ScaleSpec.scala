@@ -73,6 +73,29 @@ class ScaleSpec extends SparkSpec {
     assert(q.collect()(0).getLong(0) == expected)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // at 100 TB this is semi-join pushdown without a broadcast: the
+    // selective side's keys become a bloom filter applied inside the fact
+    // scan, cutting shuffle input before the join. Thresholds lowered so
+    // the optimization fires at test size.
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = "/root/testdata/sf0.001"
+      val li = Tables.lineitem(spark, d)
+      val ord = Tables.orders(spark, d).filter(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val qe = q.queryExecution
+      qe.toRdd.count()
+      assert(qe.executedPlan.toString.contains("bloom_filter_agg"),
+        "expected an injected runtime bloom filter on the join key")
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import spark.implicits._
     // 50k rows on ONE hot key vs 5k spread keys; small thresholds so the
