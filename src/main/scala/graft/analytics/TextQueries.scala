@@ -179,16 +179,15 @@ object TextQueries {
               FROM documents)""")),
 
     // ───── normalization: lowercase, strip non-alphanumerics, squeeze
-    // whitespace — the canonical-form step before exact dedup/hashing
-    // (two regex passes, pure per-row map). Both engines use the same
-    // POSIX-class-free patterns so Java regex and RE2 agree.
+    // whitespace — the canonical-form step before exact dedup/hashing.
+    // ONE regex pass: a run of non-alphanumerics (spaces included)
+    // becomes a single space, which is exactly strip-then-squeeze.
+    // POSIX-class-free pattern so Java regex and RE2 agree.
     QuerySpec(
       "text_normalize",
       (s, d) => Tables.documents(s, d)
         .withColumn("norm",
-          trim(regexp_replace(
-            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
-            " +", " ")))
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
         .select(
           col("doc_id"), col("norm"),
           expr("cast(size(split(norm, ' ')) as int)").as("n_norm_tokens"),
@@ -199,8 +198,7 @@ object TextQueries {
                CAST(len(norm) AS BIGINT) AS n_norm_chars
         FROM (
           SELECT doc_id,
-                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                                     ' +', ' ', 'g')) AS norm
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
           FROM documents)"""))
   )
 }
