@@ -104,6 +104,35 @@ class AttributeValueSpec extends AnyFunSuite {
       """"z":{"NULL":true},"l":{"L":[{"N":"1"}]},"m":{"M":{"k":{"S":"v"}}}}""")
   }
 
+  test("decode ∘ encode is the identity on RANDOM plain JSON documents (property)") {
+    import org.scalacheck.{Gen, Prop}
+    val genScalar: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(s => "\"" + s.take(8) + "\""),
+      Gen.choose(-1000000L, 1000000L).map(_.toString),
+      Gen.choose(-9999.99, 9999.99).map(d => f"$d%.2f"),
+      Gen.oneOf("true", "false", "null"),
+      Gen.choose(1, 300).map(e => s"1e$e"),
+      Gen.const("12345678901234567890123456789.123456789"))
+    def genValue(depth: Int): Gen[String] =
+      if (depth <= 0) genScalar
+      else Gen.frequency(
+        4 -> genScalar,
+        1 -> Gen.listOfN(3, genValue(depth - 1)).map(_.mkString("[", ",", "]")),
+        1 -> Gen.listOfN(3, genValue(depth - 1))
+          .map(vs => vs.zipWithIndex.map { case (v, i) => s""""k$i":$v""" }
+            .mkString("{", ",", "}")))
+    val genDoc: Gen[String] = Gen.listOfN(4, genValue(3))
+      .map(vs => vs.zipWithIndex.map { case (v, i) => s""""f$i":$v""" }
+        .mkString("{", ",", "}"))
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(200).withWorkers(1)
+    val res = org.scalacheck.Test.check(params,
+      Prop.forAll(genDoc) { d =>
+        AttributeValue.decode(AttributeValue.encode(d)) == d
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("encode depth bound rejects pathological nesting") {
     val deep = (1 to 40).foldLeft(""""x"""") { (acc, _) => s"""{"k":$acc}""" }
     assertThrows[IllegalArgumentException] {
