@@ -653,6 +653,39 @@ object RelationalQueries {
                list_sort(string_split(text, ' '))[1] AS alpha_first
         FROM documents""")),
 
+    // ───── SQL-text surface (TPC-H Q6 shape): the engine's queries are
+    // DataFrame plans, but the same session serves ANSI SQL text over
+    // registered views — one query exercises that whole path (view
+    // registration → parser → same Catalyst plan). Revenue stays on the
+    // exact integer-cents contract.
+    QuerySpec(
+      "sql_q6_discount_revenue",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_v")
+        s.sql("""
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                          * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE) / 10000.0
+                   AS discount_revenue,
+                 count(*) AS n
+          FROM lineitem_v
+          WHERE l_shipdate >= timestamp'1994-01-01' AND l_shipdate < timestamp'1995-01-01'
+            AND l_discount BETWEEN 0.05 AND 0.07
+            AND l_quantity < 24
+          GROUP BY l_returnflag""")
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                             * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000.0
+                 AS discount_revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        GROUP BY l_returnflag""")),
+
     // ───── deterministic hash sampling: a ~10% Bernoulli sample keyed on
     // md5 of the row key — reproducible across engines, retries, and
     // cluster layouts (unlike rand()-based TABLESAMPLE), which is what a

@@ -98,12 +98,24 @@ object CdcStream {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The pipeline's item-size ceiling: the reference documents "item
+    * size is less than 265Kb including attribute names" (README.md:17;
+    * operatively SQS's 256 KiB message cap — every image rides through
+    * the queue). Oversized images can never be applied downstream, so
+    * they are poison, not retry material.
+    */
+  val MaxImageBytes: Int = 256 * 1024
+
   /** Poison predicate: a message the apply step can never process — a
-    * PUT without an image (the reference's DLQ exists for exactly this
-    * class of message; maxReceiveCount=5 then DLQ, cdk-stack.ts:52-63).
+    * PUT without an image, or an image over the queue-message budget
+    * (the reference's DLQ exists for exactly this class of message;
+    * maxReceiveCount=5 then DLQ, cdk-stack.ts:52-63).
     */
   def isPoison: org.apache.spark.sql.Column =
-    col("eventName") =!= CdcSchema.Remove && col("newImage").isNull
+    (col("eventName") =!= CdcSchema.Remove && col("newImage").isNull) ||
+      // coalesce: octet_length(NULL) is NULL, and a NULL predicate would
+      // silently drop REMOVE rows from BOTH filter sides
+      coalesce(octet_length(col("newImage")) > MaxImageBytes, lit(false))
 
   /** The streaming apply sink: maintains a keyed parquet table at
     * `targetDir`. Each micro-batch is split — poison messages go straight
@@ -131,7 +143,9 @@ object CdcStream {
         val poison = full.filter(isPoison)
         if (!poison.isEmpty)
           poison
-            .withColumn("error", lit("poison: PUT without image"))
+            .withColumn("error",
+              when(col("newImage").isNull, lit("poison: PUT without image"))
+                .otherwise(lit(s"poison: image exceeds $MaxImageBytes-byte queue budget")))
             .withColumn("batchId", lit(batchId))
             .write.mode("append").parquet(deadletterDir)
         val valid = full.filter(!isPoison)

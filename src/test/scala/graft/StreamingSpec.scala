@@ -147,18 +147,21 @@ class StreamingSpec extends SparkSpec {
     val ckpt = tmp("dlq-ckpt"); val dlq = tmp("dlq-out")
     writeCdcFile(in, "b1.json", Seq(
       rec("e1", "INSERT", "2024-01-01T00:00:01Z", "001", "k1", Some("v1")),
-      rec("e2", "INSERT", "2024-01-01T00:00:02Z", "002", "k2", None))) // poison: PUT, no image
+      rec("e2", "INSERT", "2024-01-01T00:00:02Z", "002", "k2", None), // poison: PUT, no image
+      rec("e3", "INSERT", "2024-01-01T00:00:03Z", "003", "k3",
+        Some("x" * (CdcStream.MaxImageBytes + 1))), // poison: over the queue budget
+      rec("e4", "REMOVE", "2024-01-01T00:00:04Z", "004", "k4", None))) // NOT poison
     val q = CdcStream.applySink(
       CdcStream.cdcFileSource(spark, in),
       target, ckpt, dlq, trigger = Trigger.AvailableNow(),
       retryAttempts = 2, retrySleep = _ => ()).start()
     q.awaitTermination(60000)
     val dead = spark.read.parquet(dlq).collect()
-    assert(dead.length == 1 && dead(0).getAs[String]("eventID") == "e2")
-    assert(dead(0).getAs[String]("error").startsWith("poison"))
+    assert(dead.map(_.getAs[String]("eventID")).sorted.toSeq == Seq("e2", "e3"))
+    assert(dead.forall(_.getAs[String]("error").startsWith("poison")))
     val state = CdcStream.readTarget(spark, target)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(state === Map("k1" -> "v1"))
+    assert(state === Map("k1" -> "v1")) // k4's REMOVE applied as a no-op, not deadlettered
   }
 
   test("withRetry: backoff schedule 1s,2s then success; exhaustion rethrows") {
