@@ -223,6 +223,36 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 01:00:00", "INSERT", 1L)))
   }
 
+  test("watermark drops late events from windowed aggregation (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("eventName", "approxCreationTs")
+    val q = CdcStream.windowedCounts(df)
+      .select(col("window.start").cast("string").as("win"), col("eventName"), col("n"))
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: two events in hour 00; advance event time far past the
+    // 10-minute watermark so hour 00 closes and emits
+    mem.addData(("INSERT", ts("2024-01-01 00:10:00")), ("INSERT", ts("2024-01-01 00:20:00")))
+    q.processAllAvailable()
+    mem.addData(("INSERT", ts("2024-01-01 03:00:00")))
+    q.processAllAvailable()
+    val afterClose = spark.table("late_out")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(afterClose.get("2024-01-01 00:00:00").contains(2L)) // hour 00 finalized
+    // batch 3: a LATE event for the closed hour-00 window — dropped, the
+    // finalized count must not change (and append mode emits no update)
+    mem.addData(("INSERT", ts("2024-01-01 00:30:00")))
+    q.processAllAvailable()
+    val afterLate = spark.table("late_out")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    q.stop()
+    assert(afterLate.get("2024-01-01 00:00:00").contains(2L))
+  }
+
   test("sessionCounts: 30-minute inactivity gap splits sessions (batch-driven)") {
     import spark.implicits._
     val rows = Seq(
