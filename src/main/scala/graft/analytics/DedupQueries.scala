@@ -239,6 +239,53 @@ object DedupQueries {
           FROM sub a JOIN sub b ON a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.3""")),
 
+    // ───── benchmark decontamination: flag corpus documents sharing >= 5
+    // distinct 3-gram shingles with an eval/blocklist set (doc_id % 97
+    // stands in for the benchmark). The blocklist's shingle inventory is
+    // tiny and BROADCAST; the corpus side explodes only its shingle
+    // hashes (narrow ints), one hash-agg — at 100 TB this is a broadcast
+    // semi-join per shingle, never a corpus self-join. The contaminated
+    // doc list is exactly what gets quarantined before training.
+    QuerySpec(
+      "dedup_decontaminate",
+      (s, d) => {
+        // near-dup corpus: variants of blocklisted docs are the
+        // contamination that must be caught (plain corpus texts are
+        // fully distinct, so overlap only exists via the variants)
+        val docs = Corpus.docsWithNearDups(s, d)
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"),
+            graft.functions.SignatureFunctions.shingleHash40(
+              graft.functions.TextHashFunctions.wordHash40(col("text"))).as("hs"))
+        val blockH = docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("hs")).as("h")).distinct()
+        docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+          .join(broadcast(blockH), "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_overlap"))
+          .filter(col("n_overlap") >= 5)
+      },
+      Some(s"""
+        WITH corpus0 AS (${Corpus.docsWithNearDupsSql}),
+        hsets AS (
+          SELECT doc_id,
+                 list_distinct([(ws[i] * 1000003 + ws[i+1] * 1500007 + ws[i+2] * 2000003)
+                                & ${mask40} for i in range(1, len(ws) - 1)]) AS hs
+          FROM (SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                                      w -> ('0x' || substr(md5(w), 1, 10))::BIGINT) AS ws
+                FROM corpus0
+                WHERE len(string_split(text, ' ')) >= 3)),
+        blockh AS (
+          SELECT DISTINCT unnest(hs) AS h FROM hsets WHERE doc_id % 97 = 0),
+        corpus AS (
+          SELECT doc_id, unnest(hs) AS h FROM hsets WHERE doc_id % 97 != 0)
+        SELECT c.doc_id, count(*) AS n_overlap
+        FROM corpus c JOIN blockh b ON c.h = b.h
+        GROUP BY c.doc_id
+        HAVING count(*) >= 5""")),
+
     // ───── embedding-cosine near-dup, sign-LSH bucketed: pairs compared
     // only within a bucket (the scale path); scores from exact integers
     QuerySpec(
