@@ -2,7 +2,6 @@ package graft.model
 
 import com.fasterxml.jackson.core.{JsonFactory, JsonGenerator, JsonParser, JsonToken}
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.udf
 
 /** DynamoDB AttributeValue ("DynamoDB JSON") codec — SURVEY §1.1a.
   *
@@ -38,22 +37,36 @@ object AttributeValue {
     val p = factory.createParser(ddbJson)
     val sw = new java.io.StringWriter(ddbJson.length)
     val g = factory.createGenerator(sw)
+    try { decodeRoot(p, g); sw.toString } finally p.close()
+  }
+
+  /** Byte-level form for the native expression: UTF-8 in, UTF-8 out —
+    * skips the UTF8String→String→UTF-16 round trip on BOTH sides of the
+    * engine's hottest per-row transform.
+    */
+  def decodeUtf8(in: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val p = factory.createParser(in.getBytes)
+    val out = new java.io.ByteArrayOutputStream(in.numBytes())
+    val g = factory.createGenerator(out, com.fasterxml.jackson.core.JsonEncoding.UTF8)
     try {
+      decodeRoot(p, g)
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(out.toByteArray)
+    } finally p.close()
+  }
+
+  private def decodeRoot(p: JsonParser, g: JsonGenerator): Unit = {
+    require(p.nextToken() == JsonToken.START_OBJECT,
+      "DynamoDB item must be a JSON object")
+    g.writeStartObject()
+    while (p.nextToken() == JsonToken.FIELD_NAME) {
+      g.writeFieldName(p.currentName())
       require(p.nextToken() == JsonToken.START_OBJECT,
-        "DynamoDB item must be a JSON object")
-      g.writeStartObject()
-      while (p.nextToken() == JsonToken.FIELD_NAME) {
-        g.writeFieldName(p.currentName())
-        require(p.nextToken() == JsonToken.START_OBJECT,
-          s"expected tagged AttributeValue for field ${p.currentName()}")
-        decodeAttr(p, g, MaxDepth)
-      }
-      g.writeEndObject()
-      g.close()
-      sw.toString
-    } finally {
-      p.close()
+        s"expected tagged AttributeValue for field ${p.currentName()}")
+      decodeAttr(p, g, MaxDepth)
     }
+    g.writeEndObject()
+    g.close()
   }
 
   /** One tagged AttributeValue: parser is AT its START_OBJECT; consumes
@@ -139,21 +152,32 @@ object AttributeValue {
     val p = factory.createParser(plainJson)
     val sw = new java.io.StringWriter(plainJson.length * 2)
     val g = factory.createGenerator(sw)
+    try { encodeRoot(p, g); sw.toString } finally p.close()
+  }
+
+  /** Byte-level form for the native expression (see [[decodeUtf8]]). */
+  def encodeUtf8(in: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val p = factory.createParser(in.getBytes)
+    val out = new java.io.ByteArrayOutputStream(in.numBytes() * 2)
+    val g = factory.createGenerator(out, com.fasterxml.jackson.core.JsonEncoding.UTF8)
     try {
-      require(p.nextToken() == JsonToken.START_OBJECT,
-        "item must be a JSON object")
-      g.writeStartObject()
-      while (p.nextToken() == JsonToken.FIELD_NAME) {
-        g.writeFieldName(p.currentName())
-        p.nextToken()
-        encodeValue(p, g, MaxDepth)
-      }
-      g.writeEndObject()
-      g.close()
-      sw.toString
-    } finally {
-      p.close()
+      encodeRoot(p, g)
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(out.toByteArray)
+    } finally p.close()
+  }
+
+  private def encodeRoot(p: JsonParser, g: JsonGenerator): Unit = {
+    require(p.nextToken() == JsonToken.START_OBJECT,
+      "item must be a JSON object")
+    g.writeStartObject()
+    while (p.nextToken() == JsonToken.FIELD_NAME) {
+      g.writeFieldName(p.currentName())
+      p.nextToken()
+      encodeValue(p, g, MaxDepth)
     }
+    g.writeEndObject()
+    g.close()
   }
 
   /** One plain value (parser AT its first token) -> tagged AttributeValue. */
@@ -186,18 +210,75 @@ object AttributeValue {
     g.writeEndObject()
   }
 
-  private val decodeUdf = udf((s: String) => decode(s))
-  private val encodeUdf = udf((s: String) => encode(s))
-
-  /** Column form: raw DynamoDB-JSON string -> plain JSON string. */
-  def ddbDecode(c: Column): Column = decodeUdf(c)
+  /** Column form: raw DynamoDB-JSON string -> plain JSON string
+    * (native expression, byte-level IO).
+    */
+  def ddbDecode(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      DdbDecode(org.apache.spark.sql.GraftSqlBridge.expression(c)))
 
   /** Column form: plain JSON string -> DynamoDB-JSON string. */
-  def ddbEncode(c: Column): Column = encodeUdf(c)
+  def ddbEncode(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      DdbEncode(org.apache.spark.sql.GraftSqlBridge.expression(c)))
 
-  /** Register `ddb_decode` / `ddb_encode` for SQL use. */
+  /** Register `ddb_decode` / `ddb_encode` for SQL use (UDF registry —
+    * the Column API above uses the native expressions directly).
+    */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("ddb_decode", (s: String) => decode(s))
     spark.udf.register("ddb_encode", (s: String) => encode(s))
   }
+}
+
+/** Native expression for [[AttributeValue.decodeUtf8]]: the streaming
+  * parse→emit pass runs directly on UTF-8 bytes — no UTF-16 conversion
+  * of either the (large) input document or the output. CodegenFallback:
+  * the win is inside eval, not expression fusion.
+  */
+case class DdbDecode(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{DataType, StringType}
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ddb_decode"
+
+  override def nullSafeEval(in: Any): Any =
+    AttributeValue.decodeUtf8(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): DdbDecode =
+    copy(child = newChild)
+}
+
+/** Native expression for [[AttributeValue.encodeUtf8]]. */
+case class DdbEncode(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{DataType, StringType}
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ddb_encode"
+
+  override def nullSafeEval(in: Any): Any =
+    AttributeValue.encodeUtf8(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): DdbEncode =
+    copy(child = newChild)
 }
