@@ -74,6 +74,28 @@ final class RestoreSession(
 
 object RestoreSession {
 
+  /** PITR window constants (README.md:3,26): restore to any point in the
+    * last 35 days; the latest restorable time lags "now" by ~5 minutes.
+    */
+  val WindowDays: Long = 35
+  val RecencyLagMinutes: Long = 5
+
+  /** Validate a requested restore point against the PITR window. Returns
+    * the reason the point is unrestorable, or None if it is valid —
+    * control-plane arithmetic the reference delegates to the DynamoDB
+    * API, surfaced here so a restore request fails fast and explicitly.
+    */
+  def validateRestorePoint(requested: java.time.Instant,
+                           now: java.time.Instant): Option[String] = {
+    val earliest = now.minus(java.time.Duration.ofDays(WindowDays))
+    val latest = now.minus(java.time.Duration.ofMinutes(RecencyLagMinutes))
+    if (requested.isBefore(earliest))
+      Some(s"restore point $requested is before the $WindowDays-day PITR window (earliest $earliest)")
+    else if (requested.isAfter(latest))
+      Some(s"restore point $requested is after the latest restorable time ($latest — 'now' minus the ~$RecencyLagMinutes-minute PITR lag)")
+    else None
+  }
+
   /** Snapshot-as-of-T over a CDC-shaped frame: per-key LWW state at T,
     * keys whose latest pre-T event is a tombstone absent. This is the
     * engine's "restored table" materialization.

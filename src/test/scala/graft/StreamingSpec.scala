@@ -340,6 +340,20 @@ class StreamingSpec extends SparkSpec {
     assert(failing.activate(() => fail("must not start")).isEmpty)
   }
 
+  test("validateRestorePoint enforces the 35-day window and 5-minute lag") {
+    import java.time.Instant
+    val now = Instant.parse("2024-02-10T12:00:00Z")
+    assert(RestoreSession.validateRestorePoint(
+      Instant.parse("2024-02-01T00:00:00Z"), now).isEmpty)
+    assert(RestoreSession.validateRestorePoint(
+      Instant.parse("2023-12-01T00:00:00Z"), now).exists(_.contains("35-day")))
+    assert(RestoreSession.validateRestorePoint(
+      Instant.parse("2024-02-10T11:58:00Z"), now).exists(_.contains("latest restorable")))
+    // boundary: exactly now-5min is restorable
+    assert(RestoreSession.validateRestorePoint(
+      Instant.parse("2024-02-10T11:55:00Z"), now).isEmpty)
+  }
+
   test("snapshotAsOf matches the flagship restore_replay's snapshot semantics") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val snap = RestoreSession.snapshotAsOf(
