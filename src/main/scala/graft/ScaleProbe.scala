@@ -37,8 +37,6 @@ object ScaleProbe {
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = GraftSession.local("graft-scale-probe")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val mask = (1L << 40) - 1
-
     for (k <- factors) {
       val docs = replicateDocs(spark, d, k).persist()
       val nd = docs.count()

@@ -1,7 +1,6 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lloyd's k-means over the quantized embedding vectors — the clustering
@@ -10,48 +9,59 @@ import org.apache.spark.sql.functions._
   * index in `ann_ivf`, whose coarse quantizer is a fixed subset today).
   *
   * Spark shape, per iteration:
-  *  - ASSIGN: centroids (k rows — small by definition) broadcast against
-  *    the corpus; nearest centroid by squared L2 via a window argmin.
-  *    One pass over the data, no shuffle of the corpus.
+  *  - ASSIGN: the k centroids (small by definition) are embedded as a
+  *    LITERAL array column and the argmin runs per row inside one
+  *    projection — no join, no window, genuinely zero shuffles of the
+  *    corpus. Tie-break is the lower cluster id (struct min on
+  *    (dist2, cid)).
   *  - UPDATE: posexplode to (cluster, dim, value) → two-level hash agg →
   *    re-assembled centroid arrays. Shuffles only k×dims aggregates, not
-  *    vectors.
+  *    vectors. A cluster that captured zero points keeps its previous
+  *    centroid (it does NOT silently vanish), so the model always has
+  *    exactly k centroids.
   *  - Only the k centroid rows ever reach the driver (for the next
-  *    broadcast) — the corpus stays distributed.
+  *    iteration's literals) — the corpus stays distributed.
   *
   * Determinism: init is the first k vec_ids (not a random sample), the
   * argmin tie-break is the lower cluster id, and iteration count is
-  * fixed — rerunning reproduces the same model bit for bit (floating
-  * averages are reduced in a fixed tree only within partitions, so
-  * centroid doubles can vary in the last ulp across partitionings; the
-  * spec therefore asserts distortion MONOTONICITY and assignment
-  * determinism, not float equality — the reason this operator has no
-  * DuckDB oracle entry).
+  * fixed — rerunning reproduces the same assignment (floating averages
+  * are reduced in a fixed tree only within partitions, so centroid
+  * doubles can vary in the last ulp across partitionings; the spec
+  * therefore asserts distortion MONOTONICITY and assignment determinism,
+  * not float equality — the reason this operator has no DuckDB oracle
+  * entry).
   */
 object Clustering {
 
-  /** (cluster id, centroid vector) pairs as a broadcastable frame. */
-  private def centroidFrame(s: SparkSession, cs: Array[(Int, Array[Double])]): DataFrame = {
-    import s.implicits._
-    cs.map { case (cid, cv) => (cid, cv.toSeq) }.toSeq.toDF("cid", "cv")
-  }
-
-  /** Nearest-centroid assignment: returns (vec_id, qv, cid, dist2). */
-  def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("dist2", expr(
-        "aggregate(zip_with(qv, cv, (x, c) -> (x - c) * (x - c)), 0D, (a, v) -> a + v)"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("qv"), col("cid"), col("dist2"))
+  /** Nearest-centroid assignment: returns (vec_id, qv, cid, dist2).
+    * Centroids ride as one literal array of (cid, cv) structs; the
+    * per-row argmin is `array_min` over (dist2, cid) structs — struct
+    * ordering is field-by-field, giving the lower-cid tie-break.
+    */
+  def assign(vecs: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val centArr = array(centroids.map { case (cid, cv) =>
+      struct(
+        array(cv.map(lit(_)): _*).as("cv"),
+        lit(cid).as("cid"))
+    }: _*)
+    vecs
+      .withColumn("__best", array_min(transform(centArr, c =>
+        struct(
+          aggregate(
+            zip_with(col("qv"), c.getField("cv"),
+              (x, v) => (x.cast("double") - v) * (x.cast("double") - v)),
+            lit(0d), (a, b) => a + b).as("dist2"),
+          c.getField("cid").as("cid")))))
+      .select(col("vec_id"), col("qv"),
+        col("__best.cid").as("cid"), col("__best.dist2").as("dist2"))
   }
 
   /** One update step: per-cluster elementwise mean, computed distributed
-    * (posexplode → hash agg → reassemble), collected as the k new
-    * centroids.
+    * (posexplode → hash agg → reassemble), collected as (cid → mean).
+    * Empty clusters are absent from the result — the caller keeps their
+    * previous centroid.
     */
-  def updateCentroids(assigned: DataFrame): Array[(Int, Array[Double])] =
+  def updateCentroids(assigned: DataFrame): Map[Int, Array[Double]] =
     assigned
       .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
       .groupBy("cid", "dim").agg(avg(col("v")).as("m"))
@@ -59,11 +69,12 @@ object Clustering {
       .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("cv"))
       .collect()
       .map { r: Row => (r.getInt(0), r.getSeq[Double](1).toArray) }
-      .sortBy(_._1)
+      .toMap
 
   /** Fixed-iteration Lloyd. Returns (assignments, centroids, distortion
     * per iteration — total squared distance, the objective Lloyd
-    * monotonically non-increases).
+    * monotonically non-increases). Requires the corpus to have at least
+    * k vectors.
     */
   def kmeans(s: SparkSession, vecs: DataFrame, k: Int, iters: Int)
       : (DataFrame, Array[(Int, Array[Double])], Seq[Double]) = {
@@ -71,13 +82,19 @@ object Clustering {
     val init = base.orderBy("vec_id").limit(k).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Long](1).map(_.toDouble).toArray) }
+    require(init.length == k,
+      s"kmeans needs at least $k vectors, corpus has ${init.length}")
     var centroids = init
     val distortions = Seq.newBuilder[Double]
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = assign(base, centroidFrame(s, centroids))
+      assigned = assign(base, centroids)
       distortions += assigned.agg(sum(col("dist2"))).collect()(0).getDouble(0)
-      centroids = updateCentroids(assigned)
+      val updated = updateCentroids(assigned)
+      // an empty cluster keeps its previous centroid: k stays k
+      centroids = centroids.map { case (cid, prev) =>
+        (cid, updated.getOrElse(cid, prev))
+      }
     }
     base.unpersist()
     (assigned, centroids, distortions.result())

@@ -43,6 +43,19 @@ object DedupQueries {
   private val minhashA = graft.functions.SignatureConstants.MinHashA
   private val mask40 = graft.functions.SignatureConstants.Mask40
 
+  /** Distinct shingle-hash sets over the near-dup corpus — shared
+    * (memoized per app+dir) by the minhash-LSH and decontamination
+    * queries, which scan it from multiple join sides.
+    */
+  private def hsetsOf(s: org.apache.spark.sql.SparkSession, d: String) =
+    Corpus.cached(s, d, "minhash_hsets") {
+      Corpus.docsWithNearDups(s, d)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          graft.functions.SignatureFunctions.shingleHash40(
+            graft.functions.TextHashFunctions.wordHash40(col("text"))).as("hs"))
+    }
+
   val all: Seq[QuerySpec] = Seq(
 
     // ───── exact dedup: content-digest groupBy (map-side combine; the
@@ -76,16 +89,10 @@ object DedupQueries {
         // computes Jaccard over the distinct hash sets. No per-shingle
         // string building or per-shingle md5 anywhere; collisions are
         // negligible and in any case identical across engines.
-        // PERSISTED (memoized per session+dir): the hash sets feed the
+        // PERSISTED (memoized per app+dir): the hash sets feed the
         // signature pass and both verify rejoins (CollapseProject would
         // re-derive them per use).
-        val hsets = Corpus.cached(s, d, "minhash_hsets") {
-          Corpus.docsWithNearDups(s, d)
-            .filter(size(split(col("text"), " ")) >= 3)
-            .select(col("doc_id"),
-              graft.functions.SignatureFunctions.shingleHash40(
-                graft.functions.TextHashFunctions.wordHash40(col("text"))).as("hs"))
-        }
+        val hsets = hsetsOf(s, d)
         // Native minhash12 (graft.functions.MinHash12): 12 running minima
         // in ONE compiled loop — the SQL aggregate/zip_with fold allocated
         // a 12-array and dispatched 12 interpreted lambdas per shingle.
@@ -251,12 +258,9 @@ object DedupQueries {
       (s, d) => {
         // near-dup corpus: variants of blocklisted docs are the
         // contamination that must be caught (plain corpus texts are
-        // fully distinct, so overlap only exists via the variants)
-        val docs = Corpus.docsWithNearDups(s, d)
-          .filter(size(split(col("text"), " ")) >= 3)
-          .select(col("doc_id"),
-            graft.functions.SignatureFunctions.shingleHash40(
-              graft.functions.TextHashFunctions.wordHash40(col("text"))).as("hs"))
+        // fully distinct, so overlap only exists via the variants);
+        // the shingle sets are the SAME memoized frame minhash-LSH uses
+        val docs = hsetsOf(s, d)
         val blockH = docs.filter(col("doc_id") % 97 === 0)
           .select(explode(col("hs")).as("h")).distinct()
         docs.filter(col("doc_id") % 97 =!= 0)

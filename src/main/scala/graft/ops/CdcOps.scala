@@ -40,13 +40,31 @@ object CdcOps {
   }
 
   /** Numeric order for a variable-length digit-string column (DynamoDB
-    * stream sequence numbers: up to 40 digits, NOT fixed-width). For
-    * non-negative integers without leading zeros, (length, value) order
-    * IS numeric order — and it needs no Decimal(38) cast, which a
+    * stream sequence numbers: up to 40 digits, NOT fixed-width). The
+    * value is canonicalized by stripping leading zeros (so zero-padded
+    * and unpadded producers order consistently — "005" < "10"), then
+    * compared by (length, value): for canonical non-negative integers
+    * that IS numeric order, and it needs no Decimal(38) cast, which a
     * 40-digit sequence number would overflow. Plain lexicographic
     * comparison would rank "9" above "10".
     */
-  def numericStringOrder(c: Column): Seq[Column] = Seq(length(c), c)
+  def numericStringOrder(c: Column): Seq[Column] = {
+    val stripped = ltrim(c, "0")
+    // all-zeros ("000") strips to empty: canonicalize to "0"; genuinely
+    // empty input stays empty (sorts below every real sequence number)
+    val canon = when(length(stripped) === 0 && length(c) > 0, lit("0"))
+      .otherwise(stripped)
+    Seq(length(canon), canon)
+  }
+
+  /** Scala-side mirror of [[numericStringOrder]] for the state-store
+    * operators: orderable key with the same canonicalization.
+    */
+  def numericStringKey(s: String): (Int, String) = {
+    val stripped = s.dropWhile(_ == '0')
+    val canon = if (stripped.isEmpty && s.nonEmpty) "0" else stripped
+    (canon.length, canon)
+  }
 
   /** P7 — apply-plan projection: eventName != REMOVE => PUT(newImage) else
     * DELETE(keys) (app/lambdas/lambda-backfill/main.py:33-39). We implement

@@ -176,9 +176,15 @@ object CdcStream {
     * snapshot live; the checkpoint then replays the batch and the
     * idempotent merge converges — the write is all-or-nothing, unlike a
     * `mode("overwrite")` of the directory itself, which deletes the old
-    * data before the new data exists. Superseded snapshots are GC'd
-    * after the swap.
+    * data before the new data exists. Superseded snapshots older than
+    * the PREVIOUS one are GC'd after the swap: the previous snapshot is
+    * retained as a grace window so a reader that resolved the pointer
+    * just before the swap can still finish its scan (same retention idea
+    * as table-format VACUUM grace periods; tighten/loosen by changing
+    * `RetainSnapshots`).
     */
+  val RetainSnapshots = 2
+
   def writeTarget(df: DataFrame, targetDir: String, batchId: Long): Unit = {
     val root = new java.io.File(targetDir)
     root.mkdirs()
@@ -192,8 +198,13 @@ object CdcStream {
       new java.io.File(root, CurrentPointer).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC: always keep the just-published snapshot, plus the most
+    // recently written (RetainSnapshots - 1) others as the grace window
+    // (recency by mtime — compaction's out-of-band names don't sort)
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("snap-") && f.getName != name)
+      .sortBy(-_.lastModified())
+      .drop(RetainSnapshots - 1)
       .foreach(deleteRecursively)
   }
 
@@ -275,12 +286,13 @@ object CdcStream {
             .getOrElse(KeyState(key, "", None, live = false))
           // per-key order: highest sequenceNumber wins. DynamoDB sequence
           // numbers are variable-length NUMERIC strings, so compare by
-          // (length, value) — numeric order without a 40-digit BigInt
-          // parse per event; plain lexicographic would rank "9" > "10".
+          // canonicalized (length, value) — numeric order without a
+          // 40-digit BigInt parse per event; plain lexicographic would
+          // rank "9" > "10" (CdcOps.numericStringKey).
           val latest = (events.map { case (_, name, seq, img) =>
             KeyState(key, seq, if (name == CdcSchema.Remove) None else img,
               live = name != CdcSchema.Remove)
-          } ++ Iterator(prior)).maxBy(ks => (ks.seq.length, ks.seq))
+          } ++ Iterator(prior)).maxBy(ks => CdcOps.numericStringKey(ks.seq))
           state.update(latest)
           latest
       }
@@ -310,7 +322,7 @@ object CdcStream {
           val latest = (events.map { case (_, name, seq, img) =>
             KeyState(key, seq, if (name == CdcSchema.Remove) None else img,
               live = name != CdcSchema.Remove)
-          } ++ Iterator(prior)).maxBy(ks => (ks.seq.length, ks.seq))
+          } ++ Iterator(prior)).maxBy(ks => CdcOps.numericStringKey(ks.seq))
           if (latest == prior) Iterator.empty
           else { state.update(latest); Iterator.single(latest) }
       }

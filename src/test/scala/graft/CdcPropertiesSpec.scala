@@ -112,18 +112,23 @@ class CdcPropertiesSpec extends SparkSpec {
   }
 
   test("(e) numericStringOrder ranks variable-length digit strings numerically") {
-    // random non-negative BigInts rendered without leading zeros: the
-    // (length, value) column order must pick the same winner as BigInt max
-    val genSeqs: Gen[List[BigInt]] = Gen.listOfN(12,
-      Gen.choose(0L, Long.MaxValue).flatMap(a =>
-        Gen.choose(0L, Long.MaxValue).map(b => BigInt(a) * b))) // up to ~38 digits
+    // random non-negative BigInts, rendered with RANDOM zero padding
+    // (mixed producers): the canonicalized (length, value) order must
+    // pick the same winner as BigInt max
+    val genSeqs: Gen[List[(BigInt, Int)]] = Gen.listOfN(12,
+      for {
+        a <- Gen.choose(0L, Long.MaxValue)
+        b <- Gen.choose(0L, Long.MaxValue)
+        pad <- Gen.choose(0, 4)
+      } yield (BigInt(a) * b, pad)) // up to ~38 digits
     check(Prop.forAll(genSeqs) { seqs =>
-      seqs.distinct.size < 2 || {
-        val df = seqs.distinct.map(s => ("k", s.toString)).toDF("pk", "seqno")
+      seqs.size < 2 || {
+        val df = seqs.map { case (s, pad) => ("k", ("0" * pad) + s.toString) }
+          .toDF("pk", "seqno")
         val winner = CdcOps.lwwCompact(df, Seq("pk"),
           CdcOps.numericStringOrder(col("seqno")))
           .collect()(0).getString(1)
-        BigInt(winner) == seqs.max
+        BigInt(winner) == seqs.map(_._1).max
       }
     }, trials = 5)
   }

@@ -61,12 +61,15 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state2 === state)
 
-    // snapshot layout: exactly one live snapshot dir, published via pointer;
-    // superseded versions are GC'd
+    // snapshot layout: pointer resolves to a live dir; superseded
+    // versions beyond the grace window are GC'd
     val root = new java.io.File(target)
     val snaps = root.listFiles().filter(_.getName.startsWith("snap-"))
-    assert(snaps.length == 1)
-    assert(new java.io.File(root, CdcStream.CurrentPointer).isFile)
+    assert(snaps.nonEmpty && snaps.length <= CdcStream.RetainSnapshots)
+    val pointer = new java.io.File(root, CdcStream.CurrentPointer)
+    assert(pointer.isFile)
+    val current = new String(java.nio.file.Files.readAllBytes(pointer.toPath)).trim
+    assert(new java.io.File(root, current).isDirectory)
   }
 
   test("writeTarget publishes atomically: a failed write leaves the previous snapshot live") {
@@ -86,13 +89,15 @@ class StreamingSpec extends SparkSpec {
     val state = CdcStream.readTarget(spark, target)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state === Map("k1" -> "v1"))
-    // the next successful publish supersedes and GCs every stale dir
+    // the next successful publish supersedes; stale dirs beyond the
+    // grace window (current + previous) are GC'd
     CdcStream.writeTarget(Seq(("k3", "v3")).toDF("keys", "newImage"), target, 2L)
+    CdcStream.writeTarget(Seq(("k4", "v4")).toDF("keys", "newImage"), target, 3L)
     val snaps = new java.io.File(target).listFiles().filter(_.getName.startsWith("snap-"))
-    assert(snaps.length == 1)
+    assert(snaps.length <= CdcStream.RetainSnapshots)
     val state2 = CdcStream.readTarget(spark, target)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(state2 === Map("k3" -> "v3"))
+    assert(state2 === Map("k4" -> "v4"))
   }
 
   test("compactTarget rewrites the snapshot to fewer files via the same atomic swap") {
@@ -101,11 +106,12 @@ class StreamingSpec extends SparkSpec {
     val df = (1 to 100).map(i => (s"k$i", s"v$i")).toDF("keys", "newImage")
       .repartition(4)
     CdcStream.writeTarget(df, target, 0L)
+    // parquet files inside the snapshot the pointer currently names
     def snapFiles: Array[java.io.File] = {
       val root = new java.io.File(target)
-      val snap = root.listFiles().filter(_.getName.startsWith("snap-"))
-      assert(snap.length == 1)
-      snap(0).listFiles().filter(_.getName.endsWith(".parquet"))
+      val current = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(root, CdcStream.CurrentPointer).toPath)).trim
+      new java.io.File(root, current).listFiles().filter(_.getName.endsWith(".parquet"))
     }
     assert(snapFiles.length > 1) // the small-files state a streaming sink accumulates
     CdcStream.compactTarget(spark, target, numFiles = 1)
@@ -129,17 +135,22 @@ class StreamingSpec extends SparkSpec {
   test("applySink: variable-length numeric sequence numbers order numerically") {
     val in = tmp("seq-in"); val target = tmp("seq-target")
     val ckpt = tmp("seq-ckpt"); val dlq = tmp("seq-dlq")
-    // "9" arrives after "10" in file order but is the OLDER event
+    // "9" arrives after "10" in file order but is the OLDER event; k2
+    // mixes a zero-padded producer ("005") with an unpadded one ("10")
     writeCdcFile(in, "b1.json", Seq(
       rec("e1", "INSERT", "2024-01-01T00:00:01Z", "9", "k1", Some("old")),
-      rec("e2", "MODIFY", "2024-01-01T00:00:02Z", "10", "k1", Some("new"))))
+      rec("e2", "MODIFY", "2024-01-01T00:00:02Z", "10", "k1", Some("new")),
+      rec("e3", "INSERT", "2024-01-01T00:00:03Z", "005", "k2", Some("old")),
+      rec("e4", "MODIFY", "2024-01-01T00:00:04Z", "10", "k2", Some("new"))))
     val q = CdcStream.applySink(
       CdcStream.cdcFileSource(spark, in),
       target, ckpt, dlq, trigger = Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
     val state = CdcStream.readTarget(spark, target)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(state === Map("k1" -> "new")) // lexicographic would keep "old"
+    // lexicographic would keep k1="old"; raw (length,value) would keep
+    // k2="old" ("005" is longer than "10")
+    assert(state === Map("k1" -> "new", "k2" -> "new"))
   }
 
   test("applySink: poison messages are deadlettered, valid ones still apply") {
