@@ -33,10 +33,15 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** Nearest-centroid assignment: returns (vec_id, qv, cid, dist2).
-    * Centroids ride as one literal array of (cid, cv) structs; the
-    * per-row argmin is `array_min` over (dist2, cid) structs — struct
-    * ordering is field-by-field, giving the lower-cid tie-break.
+  /** Nearest-centroid assignment: returns (vec_id, qv, best) where
+    * `best` is a (dist2, cid) struct. Centroids ride as one literal
+    * array of (cv, cid) structs; the per-row argmin is `array_min` over
+    * (dist2, cid) structs — struct ordering is field-by-field, giving
+    * the lower-cid tie-break. The argmin stays ONE unexpanded column:
+    * extracting cid and dist2 here would make CollapseProject inline
+    * the whole k×dims scan once per extracted field (this repo's
+    * measured HOF-blowup failure mode); consumers extract fields AFTER
+    * the frame is materialized/cached.
     */
   def assign(vecs: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
     val centArr = array(centroids.map { case (cid, cv) =>
@@ -44,16 +49,14 @@ object Clustering {
         array(cv.map(lit(_)): _*).as("cv"),
         lit(cid).as("cid"))
     }: _*)
-    vecs
-      .withColumn("__best", array_min(transform(centArr, c =>
+    vecs.select(col("vec_id"), col("qv"),
+      array_min(transform(centArr, c =>
         struct(
           aggregate(
             zip_with(col("qv"), c.getField("cv"),
               (x, v) => (x.cast("double") - v) * (x.cast("double") - v)),
             lit(0d), (a, b) => a + b).as("dist2"),
-          c.getField("cid").as("cid")))))
-      .select(col("vec_id"), col("qv"),
-        col("__best.cid").as("cid"), col("__best.dist2").as("dist2"))
+          c.getField("cid").as("cid")))).as("best"))
   }
 
   /** One update step: per-cluster elementwise mean, computed distributed
@@ -63,7 +66,7 @@ object Clustering {
     */
   def updateCentroids(assigned: DataFrame): Map[Int, Array[Double]] =
     assigned
-      .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .select(col("best.cid").as("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
       .groupBy("cid", "dim").agg(avg(col("v")).as("m"))
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("cv"))
@@ -87,16 +90,23 @@ object Clustering {
     var centroids = init
     val distortions = Seq.newBuilder[Double]
     var assigned: DataFrame = null
+    var prevAssigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = assign(base, centroids)
-      distortions += assigned.agg(sum(col("dist2"))).collect()(0).getDouble(0)
+      // persist: each iteration's assignment feeds BOTH the distortion
+      // aggregate and the centroid update — one argmin pass, not two
+      assigned = assign(base, centroids).persist()
+      distortions += assigned.agg(sum(col("best.dist2"))).collect()(0).getDouble(0)
       val updated = updateCentroids(assigned)
       // an empty cluster keeps its previous centroid: k stays k
       centroids = centroids.map { case (cid, prev) =>
         (cid, updated.getOrElse(cid, prev))
       }
+      if (prevAssigned != null) prevAssigned.unpersist()
+      prevAssigned = assigned
     }
     base.unpersist()
+    // the returned (still-cached) frame carries the final assignment;
+    // callers unpersist when done
     (assigned, centroids, distortions.result())
   }
 }

@@ -47,9 +47,14 @@ object Corpus {
     * at which persist() itself lives (the SparkContext) and, unlike an
     * identity hash, can never collide with a later restarted session.
     */
-  def cached(s: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame =
-    frameCache.computeIfAbsent((s.sparkContext.applicationId, d, name),
-      _ => build.persist())
+  def cached(s: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame = {
+    val app = s.sparkContext.applicationId
+    // purge entries of dead applications (one active SparkContext per
+    // JVM, so a different applicationId means a stopped context) — keeps
+    // the cache bounded across session restarts in one JVM
+    frameCache.keySet.removeIf(_._1 != app)
+    frameCache.computeIfAbsent((app, d, name), _ => build.persist())
+  }
 
   /** documents ∪ near-dup variants (doc_id+100000, first 3 words dropped). */
   def docsWithNearDups(s: SparkSession, d: String): DataFrame = {

@@ -54,7 +54,10 @@ object CdcOps {
     // empty input stays empty (sorts below every real sequence number)
     val canon = when(length(stripped) === 0 && length(c) > 0, lit("0"))
       .otherwise(stripped)
-    Seq(length(canon), canon)
+    // the raw column is the final tiebreaker: two RENDERINGS of the same
+    // value ("005" vs "5") tie on the canonical key, and lwwCompact's
+    // row_number needs a total order over raw rows to stay deterministic
+    Seq(length(canon), canon, length(c), c)
   }
 
   /** Scala-side mirror of [[numericStringOrder]] for the state-store

@@ -106,4 +106,19 @@ object RestoreSession {
     CdcOps.lwwCompact(cdc.filter(tsCol <= asOf), keys, order)
       .filter(!isRemove)
       .select((keys ++ payload).map(col): _*)
+
+  /** [[snapshotAsOf]] with the PITR-window gate applied: the restore
+    * request FAILS FAST with the reason when the requested instant is
+    * outside the window, instead of silently materializing a
+    * valid-looking snapshot of the wrong era.
+    */
+  def snapshotAt(cdc: DataFrame, keys: Seq[String], tsCol: Column,
+                 requested: java.time.Instant, now: java.time.Instant,
+                 order: Seq[Column], isRemove: Column,
+                 payload: Seq[String]): DataFrame = {
+    validateRestorePoint(requested, now).foreach(reason =>
+      throw new IllegalArgumentException(reason))
+    snapshotAsOf(cdc, keys, tsCol,
+      lit(java.sql.Timestamp.from(requested)), order, isRemove, payload)
+  }
 }

@@ -176,35 +176,38 @@ object CdcStream {
     * snapshot live; the checkpoint then replays the batch and the
     * idempotent merge converges — the write is all-or-nothing, unlike a
     * `mode("overwrite")` of the directory itself, which deletes the old
-    * data before the new data exists. Superseded snapshots older than
-    * the PREVIOUS one are GC'd after the swap: the previous snapshot is
-    * retained as a grace window so a reader that resolved the pointer
-    * just before the swap can still finish its scan (same retention idea
-    * as table-format VACUUM grace periods; tighten/loosen by changing
-    * `RetainSnapshots`).
+    * data before the new data exists. After the swap, every snapshot dir
+    * except the just-published one and the one the pointer named BEFORE
+    * the swap is GC'd: the previously-live snapshot is the grace window,
+    * so a reader that resolved the pointer just before the swap can
+    * still finish its scan (same retention idea as table-format VACUUM
+    * grace periods). Retention is pointer-derived, NOT recency-derived —
+    * a failed attempt's partial dir (newer mtime, never pointed to) is
+    * garbage and gets collected, never mistaken for the grace snapshot.
     */
-  val RetainSnapshots = 2
-
   def writeTarget(df: DataFrame, targetDir: String, batchId: Long): Unit = {
     val root = new java.io.File(targetDir)
     root.mkdirs()
     // nonce so a retried batch never collides with its failed attempt's dir
     val name = f"snap-$batchId%012d-${System.nanoTime()}%x"
     df.write.parquet(new java.io.File(root, name).getAbsolutePath)
+    val pointer = new java.io.File(root, CurrentPointer)
+    // the dir that is live RIGHT NOW — retained as the grace snapshot
+    val previous: Option[String] =
+      if (pointer.isFile)
+        Some(new String(java.nio.file.Files.readAllBytes(pointer.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      else None
     val tmp = new java.io.File(root, s".pointer-tmp-$batchId")
     java.nio.file.Files.write(tmp.toPath,
       name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(root, CurrentPointer).toPath,
+    java.nio.file.Files.move(tmp.toPath, pointer.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // GC: always keep the just-published snapshot, plus the most
-    // recently written (RetainSnapshots - 1) others as the grace window
-    // (recency by mtime — compaction's out-of-band names don't sort)
+    val retain = Set(name) ++ previous
     Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("snap-") && f.getName != name)
-      .sortBy(-_.lastModified())
-      .drop(RetainSnapshots - 1)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-") &&
+        !retain.contains(f.getName))
       .foreach(deleteRecursively)
   }
 
@@ -288,11 +291,13 @@ object CdcStream {
           // numbers are variable-length NUMERIC strings, so compare by
           // canonicalized (length, value) — numeric order without a
           // 40-digit BigInt parse per event; plain lexicographic would
-          // rank "9" > "10" (CdcOps.numericStringKey).
-          val latest = (events.map { case (_, name, seq, img) =>
+          // rank "9" > "10" (CdcOps.numericStringKey). `prior` leads the
+          // iterator: maxBy keeps the FIRST max, so a re-delivery whose
+          // rendering merely differs in zero padding cannot flip state.
+          val latest = (Iterator(prior) ++ events.map { case (_, name, seq, img) =>
             KeyState(key, seq, if (name == CdcSchema.Remove) None else img,
               live = name != CdcSchema.Remove)
-          } ++ Iterator(prior)).maxBy(ks => CdcOps.numericStringKey(ks.seq))
+          }).maxBy(ks => CdcOps.numericStringKey(ks.seq))
           state.update(latest)
           latest
       }
@@ -319,10 +324,13 @@ object CdcStream {
          state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
           val prior = state.getOption
             .getOrElse(KeyState(key, "", None, live = false))
-          val latest = (events.map { case (_, name, seq, img) =>
+          // prior leads: a duplicate delivery that ties on the canonical
+          // sequence key (zero-pad rendering differences included) keeps
+          // the stored state and emits NOTHING — the changelog contract
+          val latest = (Iterator(prior) ++ events.map { case (_, name, seq, img) =>
             KeyState(key, seq, if (name == CdcSchema.Remove) None else img,
               live = name != CdcSchema.Remove)
-          } ++ Iterator(prior)).maxBy(ks => CdcOps.numericStringKey(ks.seq))
+          }).maxBy(ks => CdcOps.numericStringKey(ks.seq))
           if (latest == prior) Iterator.empty
           else { state.update(latest); Iterator.single(latest) }
       }

@@ -263,8 +263,9 @@ class AnalyticsSpec extends SparkSpec {
     assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
     // deterministic: a rerun reproduces the same assignment
     val (assigned2, _, _) = Clustering.kmeans(spark, vecs, k = 4, iters = 3)
-    assert(assigned.select("vec_id", "cid").exceptAll(
-      assigned2.select("vec_id", "cid")).count() == 0)
+    assert(assigned.select(col("vec_id"), col("best.cid")).exceptAll(
+      assigned2.select(col("vec_id"), col("best.cid"))).count() == 0)
+    assigned.unpersist(); assigned2.unpersist()
   }
 
   test("ann_brute_topk ranks are dense 1..k per query") {

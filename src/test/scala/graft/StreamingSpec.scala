@@ -65,7 +65,7 @@ class StreamingSpec extends SparkSpec {
     // versions beyond the grace window are GC'd
     val root = new java.io.File(target)
     val snaps = root.listFiles().filter(_.getName.startsWith("snap-"))
-    assert(snaps.nonEmpty && snaps.length <= CdcStream.RetainSnapshots)
+    assert(snaps.nonEmpty && snaps.length <= 2) // current + grace
     val pointer = new java.io.File(root, CdcStream.CurrentPointer)
     assert(pointer.isFile)
     val current = new String(java.nio.file.Files.readAllBytes(pointer.toPath)).trim
@@ -89,12 +89,16 @@ class StreamingSpec extends SparkSpec {
     val state = CdcStream.readTarget(spark, target)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state === Map("k1" -> "v1"))
-    // the next successful publish supersedes; stale dirs beyond the
-    // grace window (current + previous) are GC'd
+    // the next successful publish retains the batch-0 snapshot (it was
+    // live until the swap) as the grace dir and GCs the failed attempt's
+    // partial dir; a further publish rotates the grace window
     CdcStream.writeTarget(Seq(("k3", "v3")).toDF("keys", "newImage"), target, 2L)
+    def snapNames = new java.io.File(target).listFiles()
+      .filter(_.getName.startsWith("snap-")).map(_.getName).toSet
+    assert(snapNames.exists(_.startsWith("snap-000000000000-"))) // grace = previously live
+    assert(!snapNames.exists(_.startsWith("snap-000000000001-"))) // partial junk GC'd
     CdcStream.writeTarget(Seq(("k4", "v4")).toDF("keys", "newImage"), target, 3L)
-    val snaps = new java.io.File(target).listFiles().filter(_.getName.startsWith("snap-"))
-    assert(snaps.length <= CdcStream.RetainSnapshots)
+    assert(snapNames.size <= 2)
     val state2 = CdcStream.readTarget(spark, target)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state2 === Map("k4" -> "v4"))
@@ -363,6 +367,22 @@ class StreamingSpec extends SparkSpec {
     // boundary: exactly now-5min is restorable
     assert(RestoreSession.validateRestorePoint(
       Instant.parse("2024-02-10T11:55:00Z"), now).isEmpty)
+
+    // the gate is load-bearing on the snapshot path: snapshotAt throws
+    // for an out-of-window point instead of materializing a wrong-era
+    // snapshot; a valid point materializes
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val args = (Seq("user_id"), col("ts"),
+      Seq(col("ts"), col("event_id")), col("event_type") === "error",
+      Seq("event_id", "event_type", "value"))
+    val e = intercept[IllegalArgumentException] {
+      RestoreSession.snapshotAt(events, args._1, args._2,
+        Instant.parse("2023-12-01T00:00:00Z"), now, args._3, args._4, args._5)
+    }
+    assert(e.getMessage.contains("35-day"))
+    val snap = RestoreSession.snapshotAt(events, args._1, args._2,
+      Instant.parse("2024-02-01T00:00:00Z"), now, args._3, args._4, args._5)
+    assert(snap.columns.contains("user_id"))
   }
 
   test("snapshotAsOf matches the flagship restore_replay's snapshot semantics") {
