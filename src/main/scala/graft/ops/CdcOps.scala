@@ -69,6 +69,45 @@ object CdcOps {
     (canon.length, canon)
   }
 
+  /** Orderable struct form of [[numericStringOrder]] for row-vs-row
+    * comparison (struct comparison is field-lexicographic).
+    */
+  def numericStringStruct(c: Column): Column = struct(numericStringOrder(c): _*)
+
+  /** J1-plus — sequence-guarded MERGE: like [[merge]], but the target
+    * stores each key's last-applied sequence number and a delta row wins
+    * ONLY when its sequence outranks the stored one (an absent target row
+    * loses to any delta). A duplicate redelivery (sequence tie) or an
+    * out-of-order stale PUT is a no-op, making the apply idempotent AND
+    * monotone — checkpoint replay after a crash, or two files landing in
+    * the same source mtime tick and being batched out of order, cannot
+    * regress a key (strengthens SURVEY §2.9 T4).
+    *
+    * A winning DELETE drops the key; no tombstone is retained, so a stale
+    * PUT arriving after a winning DELETE would resurrect the key. That is
+    * the ordered-per-key source contract the reference itself assumes (it
+    * routes every event through ONE FIFO message group,
+    * cdk/lib/cdk-stack.ts:47); [[graft.streaming.CdcStream.statefulLatest]]
+    * is the tombstone-keeping alternative when the contract is weaker.
+    */
+  def mergeLww(snapshot: DataFrame, delta: DataFrame, keys: Seq[String],
+               opCol: String, seqCol: String, payload: Seq[String]): DataFrame = {
+    val joined = snapshot.as("s").join(
+      delta.as("d"), keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _),
+      "full_outer")
+    val dOp = col(s"d.$opCol")
+    val sSeq = col(s"s.$seqCol")
+    val deltaWins = dOp.isNotNull &&
+      (sSeq.isNull || numericStringStruct(col(s"d.$seqCol")) > numericStringStruct(sSeq))
+    // a winning DELETE drops the key; a losing delta keeps the target row
+    val keep = !(deltaWins && dOp === "DELETE")
+    val cols =
+      keys.map(k => coalesce(col(s"d.$k"), col(s"s.$k")).as(k)) ++
+        (seqCol +: payload).map(c =>
+          when(deltaWins, col(s"d.$c")).otherwise(col(s"s.$c")).as(c))
+    joined.filter(keep).select(cols: _*)
+  }
+
   /** P7 — apply-plan projection: eventName != REMOVE => PUT(newImage) else
     * DELETE(keys) (app/lambdas/lambda-backfill/main.py:33-39). We implement
     * the evident intent — delete-by-key — not the reference's

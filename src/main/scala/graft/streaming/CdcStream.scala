@@ -58,9 +58,10 @@ object CdcStream {
       .dropDuplicatesWithinWatermark("eventID")
 
   /** One micro-batch of the apply path, batch-formulated: dedup →
-    * LWW-compact → PUT/DELETE plan → MERGE into the current target.
-    * Pure function of (target, batch) so it is unit-testable and
-    * idempotent (re-applying a batch is a no-op).
+    * LWW-compact → PUT/DELETE plan → sequence-guarded MERGE into the
+    * current target. Pure function of (target, batch) so it is
+    * unit-testable; idempotent AND monotone (re-applying a batch — or
+    * applying a stale one — is a no-op, [[graft.ops.CdcOps.mergeLww]]).
     *
     * Ordering: DynamoDB stream sequence numbers are VARIABLE-LENGTH
     * numeric strings ("9" vs "10"), so the LWW order is the numeric
@@ -74,9 +75,12 @@ object CdcStream {
         keys = Seq("keys"),
         order = CdcOps.numericStringOrder(col("sequenceNumber")))
       .withColumn("op", CdcOps.applyPlan(col("eventName"), CdcSchema.Remove))
-      .select(col("keys"), col("op"), col("newImage"))
-    CdcOps.merge(target, delta, keys = Seq("keys"),
-      opCol = "op", payload = Seq("newImage"))
+      .select(col("keys"), col("op"), col("sequenceNumber"), col("newImage"))
+    val t =
+      if (target.columns.contains("sequenceNumber")) target
+      else target.withColumn("sequenceNumber", lit(null).cast("string"))
+    CdcOps.mergeLww(t, delta, keys = Seq("keys"),
+      opCol = "op", seqCol = "sequenceNumber", payload = Seq("newImage"))
   }
 
   /** Retry an action with the reference's backoff schedule: 1 s initial,
@@ -91,11 +95,32 @@ object CdcStream {
       tries += 1
       try return action
       catch {
-        case e: Throwable if tries < attempts =>
+        // NonFatal only: an interrupt (query stop) or a VM error must
+        // propagate immediately, not burn the retry budget
+        case scala.util.control.NonFatal(e) if tries < attempts =>
           sleep(delay); delay *= 2
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** True when a batch failure is a shutdown artifact — the query being
+    * stopped interrupts the micro-batch thread and cancels its jobs —
+    * rather than a property of the data. Such a failure must FAIL the
+    * batch (so the checkpoint replays it on restart), never deadletter
+    * it: foreachBatch returning normally commits the batch's offsets, and
+    * deadlettering a merely-interrupted batch would commit an offset range
+    * whose events were never applied — silent loss on restart.
+    */
+  private def isShutdownFailure(e: Throwable): Boolean = {
+    var c = e
+    while (c != null) {
+      if (c.isInstanceOf[InterruptedException]) return true
+      val m = c.getMessage
+      if (m != null && (m.contains("cancelled") || m.contains("canceled"))) return true
+      c = c.getCause
+    }
+    Thread.currentThread().isInterrupted
   }
 
   /** The pipeline's item-size ceiling: the reference documents "item
@@ -117,17 +142,22 @@ object CdcStream {
       // silently drop REMOVE rows from BOTH filter sides
       coalesce(octet_length(col("newImage")) > MaxImageBytes, lit(false))
 
-  /** The streaming apply sink: maintains a keyed parquet table at
-    * `targetDir`. Each micro-batch is split — poison messages go straight
-    * to `deadletterDir` with a reason; the valid remainder is merged with
+  /** The streaming apply sink: maintains a bucket-manifest parquet table
+    * at `targetDir` (see [[SnapshotStore]]). Each micro-batch is split —
+    * poison messages go straight to `deadletterDir` with a reason; the
+    * valid remainder is compacted to a per-key delta and merged with
     * retry/backoff, and a batch that still fails after the budget goes
     * whole to the deadletter path with the error (DLQ semantics, T5/T6).
     *
     * Exactly-once: offsets live in `checkpointDir`; the merge itself is
     * idempotent, so replaying a batch after a crash converges. Snapshot
-    * publication is ATOMIC (see [[writeTarget]]): a batch that fails
-    * mid-write — including inside the retry loop — leaves the previous
-    * snapshot live, never a partial or empty table.
+    * publication is ATOMIC (see [[SnapshotStore.mergeIntoTarget]]): a
+    * batch that fails mid-write — including inside the retry loop — leaves
+    * the previous snapshot live, never a partial or empty table. Per-batch
+    * cost is O(|delta| + touched buckets), NOT O(|target|): the merge
+    * rewrites only the key-range buckets the batch touches, which is the
+    * reference's own cost model (`batch_write_item` is key-addressed,
+    * app/lambdas/lambda-backfill/main.py:44-46).
     */
   def applySink(cdc: DataFrame, targetDir: String, checkpointDir: String,
                 deadletterDir: String,
@@ -151,11 +181,18 @@ object CdcStream {
         val valid = full.filter(!isPoison)
         try {
           withRetry(retryAttempts, sleep = retrySleep) {
-            val target = readTarget(spark, targetDir)
-            writeTarget(applyBatch(target, valid), targetDir, batchId)
+            val delta = CdcOps
+              .lwwCompact(
+                CdcOps.dedup(valid, Seq("eventID")),
+                keys = Seq("keys"),
+                order = CdcOps.numericStringOrder(col("sequenceNumber")))
+              .withColumn("op", CdcOps.applyPlan(col("eventName"), CdcSchema.Remove))
+              .select(col("keys"), col("op"), col("sequenceNumber"), col("newImage"))
+            SnapshotStore.mergeIntoTarget(spark, targetDir, delta, batchId)
           }
         } catch {
-          case e: Throwable =>
+          case e: Throwable if isShutdownFailure(e) => throw e // replay on restart
+          case scala.util.control.NonFatal(e) =>
             valid
               .withColumn("error", lit(e.getMessage))
               .withColumn("batchId", lit(batchId))
@@ -164,103 +201,22 @@ object CdcStream {
         ()
       }
 
-  /** Pointer file naming the live snapshot subdirectory of a target. */
-  val CurrentPointer = "_CURRENT"
+  /** Pointer file naming the live snapshot manifest of a target. */
+  val CurrentPointer: String = SnapshotStore.CurrentPointer
 
-  /** Target-table layout: `targetDir/_CURRENT` names the live snapshot in
-    * `targetDir/snap-<batchId>-<nonce>/`. Readers resolve the pointer;
-    * writers never touch the live snapshot — each batch writes a FRESH
-    * subdirectory and publishes it by atomically renaming a temp pointer
-    * file over `_CURRENT` (a same-directory rename, atomic on POSIX).
-    * A crash or partial write before the swap leaves the previous
-    * snapshot live; the checkpoint then replays the batch and the
-    * idempotent merge converges — the write is all-or-nothing, unlike a
-    * `mode("overwrite")` of the directory itself, which deletes the old
-    * data before the new data exists. After the swap, every snapshot dir
-    * except the just-published one and the one the pointer named BEFORE
-    * the swap is GC'd: the previously-live snapshot is the grace window,
-    * so a reader that resolved the pointer just before the swap can
-    * still finish its scan (same retention idea as table-format VACUUM
-    * grace periods). Retention is pointer-derived, NOT recency-derived —
-    * a failed attempt's partial dir (newer mtime, never pointed to) is
-    * garbage and gets collected, never mistaken for the grace snapshot.
+  /** Full (non-pruned) publish — see [[SnapshotStore.writeTarget]]. */
+  def writeTarget(df: DataFrame, targetDir: String, batchId: Long): Unit =
+    SnapshotStore.writeTarget(df, targetDir, batchId)
+
+  /** Compaction through the same locked CAS publish —
+    * see [[SnapshotStore.compactTarget]].
     */
-  def writeTarget(df: DataFrame, targetDir: String, batchId: Long): Unit = {
-    val root = new java.io.File(targetDir)
-    root.mkdirs()
-    // nonce so a retried batch never collides with its failed attempt's dir
-    val name = f"snap-$batchId%012d-${System.nanoTime()}%x"
-    df.write.parquet(new java.io.File(root, name).getAbsolutePath)
-    val pointer = new java.io.File(root, CurrentPointer)
-    // the dir that is live RIGHT NOW — retained as the grace snapshot
-    val previous: Option[String] =
-      if (pointer.isFile)
-        Some(new String(java.nio.file.Files.readAllBytes(pointer.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim)
-      else None
-    val tmp = new java.io.File(root, s".pointer-tmp-$batchId")
-    java.nio.file.Files.write(tmp.toPath,
-      name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, pointer.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val retain = Set(name) ++ previous
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("snap-") &&
-        !retain.contains(f.getName))
-      .foreach(deleteRecursively)
-  }
+  def compactTarget(spark: SparkSession, targetDir: String): Unit =
+    SnapshotStore.compactTarget(spark, targetDir)
 
-  /** Small-files maintenance for a streaming target: every micro-batch
-    * publish writes up to shuffle.partitions files, so a long-running
-    * sink accumulates small files (the classic streaming-sink problem —
-    * at 100 TB it degrades scan parallelism planning and NameNode/listing
-    * pressure). Compaction rewrites the CURRENT snapshot into `numFiles`
-    * files and publishes it through the same atomic pointer swap, so
-    * concurrent readers always see a complete snapshot and a crash
-    * mid-compaction changes nothing.
-    */
-  def compactTarget(spark: SparkSession, targetDir: String, numFiles: Int = 1): Unit =
-    writeTarget(readTarget(spark, targetDir).repartition(numFiles),
-      targetDir, batchId = -1L) // batchId only names the dir; nonce disambiguates
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-    ()
-  }
-
-  /** Current target snapshot. Resolution order:
-    *  1. `_CURRENT` pointer → its snapshot dir. A pointer naming a
-    *     missing/unreadable snapshot FAILS LOUDLY: the pointer is proof
-    *     prior batches committed, so an empty fallback would silently
-    *     drop every previously applied key on the next merge.
-    *  2. No pointer, flat parquet files in `targetDir` → read them
-    *     (a pre-seeded snapshot, e.g. the PITR restore output).
-    *  3. Nothing → empty-but-schema'd frame (first batch of a fresh target).
-    */
-  def readTarget(spark: SparkSession, targetDir: String): DataFrame = {
-    val root = new java.io.File(targetDir)
-    val pointer = new java.io.File(root, CurrentPointer)
-    if (pointer.isFile) {
-      val name = new String(java.nio.file.Files.readAllBytes(pointer.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      val snap = new java.io.File(root, name)
-      if (!snap.isDirectory)
-        throw new IllegalStateException(
-          s"target pointer $pointer names missing snapshot '$name': prior batches " +
-            "committed but their data is gone — refusing to continue from an empty table")
-      spark.read.parquet(snap.getAbsolutePath)
-    } else if (root.isDirectory &&
-        Option(root.listFiles()).getOrElse(Array.empty).exists(_.getName.endsWith(".parquet")))
-      spark.read.parquet(targetDir)
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("keys", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("newImage", org.apache.spark.sql.types.StringType))))
-  }
+  /** Current target snapshot — see [[SnapshotStore.readTarget]]. */
+  def readTarget(spark: SparkSession, targetDir: String): DataFrame =
+    SnapshotStore.readTarget(spark, targetDir)
 
   /** Streaming-native apply: per-key LWW state maintained in the state
     * store via `mapGroupsWithState` (SURVEY §2.9 T9 — arbitrary stateful

@@ -57,7 +57,7 @@ class RestoreFlowSpec extends SparkSpec {
     assert(drainStarted && query.isDefined)
     query.get.awaitTermination(60000)
 
-    val state = CdcStream.readTarget(spark, target)
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     // batch restoreReplay semantics on the same inputs:
     // k1 updated, k2 tombstoned, k3 inserted

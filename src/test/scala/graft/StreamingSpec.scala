@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.restore.{RestoreSession, RestoreStatus}
-import graft.streaming.CdcStream
+import graft.streaming.{CdcStream, SnapshotStore}
 
 /** End-to-end streaming + orchestration specs: the apply sink converges
   * the target table, duplicate delivery is a no-op, failed batches land in
@@ -46,7 +46,7 @@ class StreamingSpec extends SparkSpec {
       target, ckpt, dlq, trigger = Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
 
-    val state = CdcStream.readTarget(spark, target)
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state === Map("k1" -> "v2", "k3" -> "x1")) // k2 deleted
 
@@ -57,19 +57,18 @@ class StreamingSpec extends SparkSpec {
       CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
       target, ckpt, dlq, trigger = Trigger.AvailableNow()).start()
     q2.awaitTermination(60000)
-    val state2 = CdcStream.readTarget(spark, target)
+    val state2 = CdcStream.readTarget(spark, target).select("keys", "newImage")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state2 === state)
 
-    // snapshot layout: pointer resolves to a live dir; superseded
-    // versions beyond the grace window are GC'd
+    // snapshot layout: pointer resolves to a manifest whose bucket dirs
+    // all exist; manifests beyond the grace window are GC'd
+    val (mName, m) = SnapshotStore.currentManifest(spark, target).get
+    assert(m.buckets.nonEmpty)
     val root = new java.io.File(target)
-    val snaps = root.listFiles().filter(_.getName.startsWith("snap-"))
-    assert(snaps.nonEmpty && snaps.length <= 2) // current + grace
-    val pointer = new java.io.File(root, CdcStream.CurrentPointer)
-    assert(pointer.isFile)
-    val current = new String(java.nio.file.Files.readAllBytes(pointer.toPath)).trim
-    assert(new java.io.File(root, current).isDirectory)
+    m.buckets.values.foreach(rel => assert(new java.io.File(root, rel).isDirectory))
+    val manifests = root.listFiles().filter(_.getName.startsWith("manifest-")).map(_.getName)
+    assert(manifests.contains(mName) && manifests.length <= 2) // current + grace
   }
 
   test("writeTarget publishes atomically: a failed write leaves the previous snapshot live") {
@@ -86,43 +85,84 @@ class StreamingSpec extends SparkSpec {
         target, 1L)
     }
     // the pointer still names the batch-0 snapshot; nothing was lost
-    val state = CdcStream.readTarget(spark, target)
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state === Map("k1" -> "v1"))
-    // the next successful publish retains the batch-0 snapshot (it was
-    // live until the swap) as the grace dir and GCs the failed attempt's
-    // partial dir; a further publish rotates the grace window
+    // the next successful publish retains the batch-0 manifest+data (live
+    // until the swap) as the grace window and GCs the failed attempt's
+    // partial data dir; a further publish rotates the grace window
     CdcStream.writeTarget(Seq(("k3", "v3")).toDF("keys", "newImage"), target, 2L)
-    def snapNames = new java.io.File(target).listFiles()
-      .filter(_.getName.startsWith("snap-")).map(_.getName).toSet
-    assert(snapNames.exists(_.startsWith("snap-000000000000-"))) // grace = previously live
-    assert(!snapNames.exists(_.startsWith("snap-000000000001-"))) // partial junk GC'd
+    def names = new java.io.File(target).listFiles().map(_.getName).toSet
+    assert(names.exists(_.startsWith("manifest-000000000000-"))) // grace = previously live
+    assert(names.exists(_.startsWith("data-000000000000-")))
+    assert(!names.exists(_.startsWith("data-000000000001-"))) // partial junk GC'd
     CdcStream.writeTarget(Seq(("k4", "v4")).toDF("keys", "newImage"), target, 3L)
-    assert(snapNames.size <= 2)
-    val state2 = CdcStream.readTarget(spark, target)
+    assert(!names.exists(_.startsWith("manifest-000000000000-"))) // grace rotated out
+    assert(!names.exists(_.startsWith("data-000000000000-")))
+    val state2 = CdcStream.readTarget(spark, target).select("keys", "newImage")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state2 === Map("k4" -> "v4"))
   }
 
-  test("compactTarget rewrites the snapshot to fewer files via the same atomic swap") {
+  test("compactTarget consolidates accumulated data dirs via the same locked swap") {
     import spark.implicits._
     val target = tmp("compact-target")
-    val df = (1 to 100).map(i => (s"k$i", s"v$i")).toDF("keys", "newImage")
-      .repartition(4)
-    CdcStream.writeTarget(df, target, 0L)
-    // parquet files inside the snapshot the pointer currently names
-    def snapFiles: Array[java.io.File] = {
-      val root = new java.io.File(target)
-      val current = new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(root, CdcStream.CurrentPointer).toPath)).trim
-      new java.io.File(root, current).listFiles().filter(_.getName.endsWith(".parquet"))
-    }
-    assert(snapFiles.length > 1) // the small-files state a streaming sink accumulates
-    CdcStream.compactTarget(spark, target, numFiles = 1)
-    assert(snapFiles.length == 1)
-    val state = CdcStream.readTarget(spark, target)
+    CdcStream.writeTarget(
+      (1 to 50).map(i => (s"k$i", s"v$i")).toDF("keys", "newImage"), target, 0L)
+    // three pruned merges, each adding a per-batch data dir to the manifest
+    for (b <- 1 to 3)
+      SnapshotStore.mergeIntoTarget(spark, target,
+        Seq((s"k$b", "PUT", s"00$b", s"u$b"))
+          .toDF("keys", "op", "sequenceNumber", "newImage"), b.toLong)
+    def dataDirs = SnapshotStore.currentManifest(spark, target).get
+      ._2.buckets.values.map(_.split("/")(0)).toSet
+    assert(dataDirs.size > 1) // the accumulation compaction exists for
+    CdcStream.compactTarget(spark, target)
+    assert(dataDirs.size == 1)
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(state === (1 to 100).map(i => s"k$i" -> s"v$i").toMap)
+    val expect = (1 to 50).map(i => s"k$i" -> s"v$i").toMap ++
+      (1 to 3).map(i => s"k$i" -> s"u$i")
+    assert(state === expect)
+  }
+
+  test("mergeIntoTarget rewrites only delta-touched buckets (O(delta), not O(target))") {
+    import spark.implicits._
+    val target = tmp("prune-target")
+    CdcStream.writeTarget(
+      (1 to 200).map(i => (s"k$i", s"v$i")).toDF("keys", "newImage"), target, 0L)
+    val before = SnapshotStore.currentManifest(spark, target).get._2.buckets
+    assert(before.size > 10) // the seed spans many buckets
+    SnapshotStore.mergeIntoTarget(spark, target,
+      Seq(("k7", "PUT", "001", "v7b"), ("k8", "DELETE", "002", null))
+        .toDF("keys", "op", "sequenceNumber", "newImage"), 1L)
+    val after = SnapshotStore.currentManifest(spark, target).get._2.buckets
+    val changed = (before.keySet ++ after.keySet).filter(b => before.get(b) != after.get(b))
+    // only the buckets holding k7/k8 were rewritten; every other bucket's
+    // data dir is reused BY REFERENCE — per-batch bytes scale with the
+    // delta, not with the accumulated table
+    assert(changed.nonEmpty && changed.size <= 2)
+    (before.keySet -- changed).foreach(b => assert(after(b) === before(b)))
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === (1 to 200).map(i => s"k$i" -> s"v$i").toMap - "k8" + ("k7" -> "v7b"))
+  }
+
+  test("publish CAS: a pointer moved by a concurrent writer aborts the publish") {
+    import spark.implicits._
+    val target = tmp("cas-target")
+    CdcStream.writeTarget(Seq(("k1", "v1")).toDF("keys", "newImage"), target, 0L)
+    val staleBasis = SnapshotStore.pointerValue(spark, target)
+    CdcStream.writeTarget(Seq(("k2", "v2")).toDF("keys", "newImage"), target, 1L)
+    // a writer that computed against the batch-0 snapshot must NOT be able
+    // to publish over batch 1's commit (the lost-update interleaving)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.casSwapPointer(spark, target, "manifest-bogus", staleBasis)
+    }
+    assert(e.getMessage.contains("pointer moved"))
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("k2" -> "v2")) // batch 1's commit survived intact
   }
 
   test("readTarget fails loudly when the pointer names a missing snapshot") {
@@ -131,7 +171,7 @@ class StreamingSpec extends SparkSpec {
       new java.io.File(target, CdcStream.CurrentPointer).toPath,
       "snap-000000000007-dead".getBytes)
     val e = intercept[IllegalStateException] {
-      CdcStream.readTarget(spark, target)
+      CdcStream.readTarget(spark, target).select("keys", "newImage")
     }
     assert(e.getMessage.contains("missing snapshot"))
   }
@@ -150,7 +190,7 @@ class StreamingSpec extends SparkSpec {
       CdcStream.cdcFileSource(spark, in),
       target, ckpt, dlq, trigger = Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
-    val state = CdcStream.readTarget(spark, target)
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     // lexicographic would keep k1="old"; raw (length,value) would keep
     // k2="old" ("005" is longer than "10")
@@ -174,9 +214,87 @@ class StreamingSpec extends SparkSpec {
     val dead = spark.read.parquet(dlq).collect()
     assert(dead.map(_.getAs[String]("eventID")).sorted.toSeq == Seq("e2", "e3"))
     assert(dead.forall(_.getAs[String]("error").startsWith("poison")))
-    val state = CdcStream.readTarget(spark, target)
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state === Map("k1" -> "v1")) // k4's REMOVE applied as a no-op, not deadlettered
+  }
+
+  test("restart mid-drain: a stopped query resumes from its checkpoint and converges") {
+    val in = tmp("restart-in"); val target = tmp("restart-target")
+    val ckpt = tmp("restart-ckpt"); val dlq = tmp("restart-dlq")
+    // 6 single-record files = 6 micro-batches at maxFilesPerTrigger=1;
+    // k1 takes three successive values, k2 is inserted then removed
+    val lines = Seq(
+      rec("e1", "INSERT", "2024-01-01T00:00:01Z", "001", "k1", Some("a")),
+      rec("e2", "MODIFY", "2024-01-01T00:00:02Z", "002", "k1", Some("b")),
+      rec("e3", "INSERT", "2024-01-01T00:00:03Z", "003", "k2", Some("w")),
+      rec("e4", "MODIFY", "2024-01-01T00:00:04Z", "004", "k1", Some("c")),
+      rec("e5", "REMOVE", "2024-01-01T00:00:05Z", "005", "k2", None),
+      rec("e6", "INSERT", "2024-01-01T00:00:06Z", "006", "k3", Some("x")))
+    lines.zipWithIndex.foreach { case (l, i) =>
+      writeCdcFile(in, f"b$i%02d.json", Seq(l))
+      // distinct mtimes: the file source orders by modification time, and
+      // same-tick ties have no stable order — production ordered delivery
+      // is modeled by spacing the ticks (the seq-guarded merge additionally
+      // absorbs PUT reordering; see CdcOps.mergeLww)
+      new java.io.File(in, f"b$i%02d.json").setLastModified(1700000000000L + i * 1000L)
+      ()
+    }
+
+    // phase 1: drain continuously, then STOP while input likely remains
+    val q1 = CdcStream.applySink(
+      CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
+      target, ckpt, dlq, trigger = Trigger.ProcessingTime("10 milliseconds")).start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (SnapshotStore.pointerValue(spark, target).isEmpty &&
+           System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(SnapshotStore.pointerValue(spark, target).nonEmpty) // >=1 batch committed
+    q1.stop() // interrupts any in-flight batch; its offsets must NOT commit
+
+    // phase 2: same checkpoint — the engine replays exactly the
+    // uncommitted remainder; the idempotent merge absorbs any batch whose
+    // publish landed but whose offsets didn't
+    val q2 = CdcStream.applySink(
+      CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
+      target, ckpt, dlq, trigger = Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    // nothing was deadlettered: a shutdown interrupt is a replay, not poison
+    val dlqFiles = Option(new java.io.File(dlq).listFiles()).getOrElse(Array.empty)
+    assert(dlqFiles.forall(f => !f.getName.endsWith(".parquet")),
+      s"shutdown-interrupted batch was deadlettered: ${
+        dlqFiles.map(f => s"${f.getName}(${f.length}B)").mkString("; ")}")
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("k1" -> "c", "k3" -> "x")) // exact LWW oracle; k2 removed
+    // and a third run over the same checkpoint is a no-op (all committed)
+    val q3 = CdcStream.applySink(
+      CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
+      target, ckpt, dlq, trigger = Trigger.AvailableNow()).start()
+    q3.awaitTermination(60000)
+    val state2 = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state2 === state)
+  }
+
+  test("seq-guarded apply: a stale batch delivered late cannot regress a key") {
+    val in = tmp("ooo-in"); val target = tmp("ooo-target")
+    val ckpt = tmp("ooo-ckpt"); val dlq = tmp("ooo-dlq")
+    // the NEWER event (seq 10) lands in an EARLIER micro-batch than the
+    // stale one (seq 9) — e.g. a redelivery after a restore. Blind
+    // batch-order apply would end at "old"; the seq guard must keep "new".
+    writeCdcFile(in, "a.json", Seq(
+      rec("e1", "MODIFY", "2024-01-01T00:00:02Z", "10", "k1", Some("new"))))
+    new java.io.File(in, "a.json").setLastModified(1700000000000L)
+    writeCdcFile(in, "b.json", Seq(
+      rec("e2", "MODIFY", "2024-01-01T00:00:01Z", "9", "k1", Some("old"))))
+    new java.io.File(in, "b.json").setLastModified(1700000001000L)
+    val q = CdcStream.applySink(
+      CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
+      target, ckpt, dlq, trigger = Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("k1" -> "new"))
   }
 
   test("withRetry: backoff schedule 1s,2s then success; exhaustion rethrows") {
