@@ -17,11 +17,19 @@ import graft.streaming.CdcStream
   * → LWW compact → keyed merge → parquet target) over N synthetic CDC
   * events and prints one JSON line with events/s.
   *
-  * Run: sbt "runMain graft.ThroughputBench [nEvents]"
+  * Run: sbt "runMain graft.ThroughputBench [nEvents] [preSeedKeys]"
+  *
+  * `preSeedKeys` > 0 pre-seeds the bucket-manifest target with that many
+  * keys DISJOINT from the stream's key space before the clock starts —
+  * the scale posture check: with the partition-pruned merge, per-batch
+  * cost tracks the delta and the buckets it touches, so throughput must
+  * hold against an accumulated table (the round-3 full-snapshot rewrite
+  * degraded as O(|target|) per batch).
   */
 object ThroughputBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val preSeed = args.drop(1).headOption.map(_.toLong).getOrElse(0L)
     val spark = GraftSession.local("graft-throughput")
     import spark.implicits._
 
@@ -29,6 +37,14 @@ object ThroughputBench {
     val target = Files.createTempDirectory("tp-target").toFile.getAbsolutePath
     val ckpt = Files.createTempDirectory("tp-ckpt").toFile.getAbsolutePath
     val dlq = Files.createTempDirectory("tp-dlq").toFile.getAbsolutePath
+
+    if (preSeed > 0)
+      graft.streaming.SnapshotStore.writeTarget(
+        spark.range(preSeed).select(
+          concat(lit("seed"), col("id")).as("keys"),
+          lit("0").as("sequenceNumber"),
+          concat(lit("simg"), col("id")).as("newImage")),
+        target, batchId = -2L)
 
     // synthetic CDC log: 10% tombstones, keys drawn from n/3 hot space
     // (so compaction and the merge both do real work), written as the
@@ -53,7 +69,7 @@ object ThroughputBench {
     val secs = (System.nanoTime() - t0) / 1e9
 
     val applied = CdcStream.readTarget(spark, target).count()
-    println(f"""{"metric":"replay_throughput","events":$n,"seconds":$secs%.3f,"events_per_sec":${n / secs}%.0f,"final_keys":$applied}""")
+    println(f"""{"metric":"replay_throughput","events":$n,"pre_seeded_keys":$preSeed,"seconds":$secs%.3f,"events_per_sec":${n / secs}%.0f,"final_keys":$applied}""")
     spark.stop()
   }
 }
