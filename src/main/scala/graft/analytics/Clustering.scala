@@ -81,6 +81,7 @@ object Clustering {
     */
   def kmeans(s: SparkSession, vecs: DataFrame, k: Int, iters: Int)
       : (DataFrame, Array[(Int, Array[Double])], Seq[Double]) = {
+    require(iters >= 1, s"kmeans needs at least one iteration, got $iters")
     val base = vecs.select("vec_id", "qv").persist()
     val init = base.orderBy("vec_id").limit(k).collect()
       .zipWithIndex

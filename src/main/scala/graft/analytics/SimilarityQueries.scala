@@ -1,8 +1,10 @@
 package graft.analytics
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
 import graft.queries.QuerySpec
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -24,6 +26,42 @@ import graft.queries.QuerySpec
   * deterministic including ties.
   */
 object SimilarityQueries {
+
+  /** Zero-shuffle IVF coarse assignment (V3 via V4's literal-centroid
+    * pattern, [[Clustering.assign]]): the k centroids ride as ONE literal
+    * array of (cv, cid, cnn) structs and every vector picks its
+    * max-score centroid inside a single projection — `array_max` over
+    * (score, -cid) structs, so the highest score wins and ties break to
+    * the LOWER centroid id, exactly the (score DESC, c_id) order the
+    * oracle's window uses. No join, no window, zero shuffles of the
+    * corpus; only the k centroid rows ever sit on the driver. The score
+    * mirrors [[Corpus.scoreSql]] op-for-op (exact-integer dot and norms,
+    * one double division), so the assignment is bit-identical to the SQL
+    * formulation. The argmax stays ONE unexpanded struct column until
+    * the single `c_id` extraction — extracting more fields would make
+    * CollapseProject inline the k-way scan once per field.
+    *
+    * `cents` is (cid, quantized centroid, centroid squared norm) — a
+    * deterministic corpus subset, or quantized [[Clustering.kmeans]]
+    * output (the V4→V3 integration; AnalyticsSpec exercises it).
+    */
+  def assignToCentroids(vecs: DataFrame,
+                        cents: Seq[(Int, Array[Long], Long)]): DataFrame = {
+    require(cents.nonEmpty, "assignToCentroids needs at least one centroid")
+    val centArr = array(cents.map { case (cid, cv, cnn) =>
+      struct(
+        array(cv.map(lit(_)): _*).as("cv"),
+        lit(cid).as("cid"),
+        lit(cnn).as("cnn"))
+    }: _*)
+    val best = array_max(transform(centArr, c => {
+      val dot = VectorFunctions.vecDotLong(col("qv"), c.getField("cv"))
+      val score = when(dot >= 0, lit(1.0)).otherwise(lit(-1.0)) *
+        ((dot * dot).cast("double") / (col("nn") * c.getField("cnn")).cast("double"))
+      struct(score.as("s"), (-c.getField("cid")).as("negcid"))
+    }))
+    vecs.withColumn("c_id", -best.getField("negcid"))
+  }
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -62,25 +100,23 @@ object SimilarityQueries {
     // IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
     // its nearest centroid; probes search only their centroid's inverted
     // list. Centroids here are a fixed, deterministic subset (vec_id<16)
-    // rather than k-means output — the INDEX STRUCTURE (assignment join +
-    // per-cell search) is the scale path being exercised; swapping in
-    // trained centroids changes recall, not the plan. Assignment ties
-    // break on centroid id, so both engines agree exactly.
+    // rather than k-means output — the INDEX STRUCTURE (zero-shuffle
+    // assignment + per-cell search) is the scale path being exercised;
+    // swapping in trained centroids ([[Clustering.kmeans]] →
+    // [[assignToCentroids]], AnalyticsSpec) changes recall, not the plan.
+    // Assignment ties break on centroid id, so both engines agree exactly.
     QuerySpec(
       "ann_ivf",
       (s, d) => {
         val base = Corpus.quantizedVectors(s, d)
-        val centroids = base.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nn").as("c_nn"))
-        val wAssign = Window.partitionBy("vec_id")
-          .orderBy(col("score").desc, col("c_id"))
-        val assigned = base.crossJoin(broadcast(centroids))
-          .select(col("vec_id"), col("qv"), col("nn"), col("c_id"),
-            Corpus.dotCol("qv", "c_qv").as("dot"),
-            col("nn").as("na"), col("c_nn").as("nb"))
-          .withColumn("score", Corpus.scoreCol)
-          .withColumn("rk", row_number().over(wAssign))
-          .filter(col("rk") === 1)
+        // only these k=16 rows reach the driver (the kmeans posture);
+        // assignment is then a per-row argmax — no 16n-row crossJoin, no
+        // per-vector window, zero shuffles of the corpus
+        val cents = base.filter(col("vec_id") < 16)
+          .select("vec_id", "qv", "nn").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray, r.getLong(2)))
+          .sortBy(_._1).toSeq
+        val assigned = assignToCentroids(base, cents)
           .select("vec_id", "qv", "nn", "c_id")
         val probes = assigned.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),

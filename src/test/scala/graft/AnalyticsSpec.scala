@@ -268,6 +268,39 @@ class AnalyticsSpec extends SparkSpec {
     assigned.unpersist(); assigned2.unpersist()
   }
 
+  test("kmeans centroids drive the IVF coarse quantizer (V4→V3 integration)") {
+    val vecs = Corpus.quantizedVectors(spark, sf)
+    val (assigned, centroids, _) = Clustering.kmeans(spark, vecs, k = 4, iters = 2)
+    assigned.unpersist()
+    // quantize the trained double centroids back into the engine's exact
+    // integer domain: the IVF assignment then runs the same zero-shuffle
+    // literal-centroid argmax as the fixed-subset quantizer
+    val cents = centroids.map { case (cid, cv) =>
+      val q = cv.map(Math.round)
+      (cid, q, q.map(x => x * x).sum)
+    }.toSeq
+    val out = SimilarityQueries.assignToCentroids(vecs, cents)
+      .select("vec_id", "qv", "nn", "c_id").persist()
+    // partitions the corpus: every vector lands in exactly one cell
+    assert(out.count() == vecs.count())
+    assert(out.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    val cids = cents.map(_._1).toSet
+    assert(out.select("c_id").distinct().collect().map(_.getInt(0)).toSet.subsetOf(cids))
+    // the argmax is bit-identical to exact integer arithmetic on the
+    // driver (same ops, same order: sign * dot² / (nn·cnn), lower-cid tie)
+    out.filter(col("vec_id") < 50).collect().foreach { r =>
+      val qv = r.getSeq[Long](1).toArray
+      val nn = r.getLong(2)
+      val best = cents.map { case (cid, cv, cnn) =>
+        val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+        val score = (if (dot >= 0) 1.0 else -1.0) * ((dot * dot).toDouble / (nn * cnn).toDouble)
+        (score, cid)
+      }.maxBy { case (s, cid) => (s, -cid) }._2
+      assert(r.getInt(3) == best, s"assignment mismatch for vec ${r.getLong(0)}")
+    }
+    out.unpersist()
+  }
+
   test("ann_brute_topk ranks are dense 1..k per query") {
     val out = SparkEntry.queries("ann_brute_topk")(spark, sf)
       .select("query_id", "rank").collect()

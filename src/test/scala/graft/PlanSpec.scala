@@ -84,4 +84,15 @@ class PlanSpec extends SparkSpec {
     assert(plan("ann_brute_topk").contains("BroadcastNestedLoopJoin") ||
       plan("ann_brute_topk").contains("BroadcastHashJoin"))
   }
+
+  test("ann_ivf: zero-shuffle assignment — one hash exchange total (the top-k window)") {
+    // the coarse assignment is a per-row literal-centroid argmax, so the
+    // ONLY hash exchange left is the final per-query top-k window; the
+    // cell search joins via broadcast (the r3 crossJoin+window formulation
+    // shuffled 16n rows across 3 exchanges)
+    val p = plan("ann_ivf")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges in:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
 }
