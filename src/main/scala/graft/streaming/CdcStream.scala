@@ -218,6 +218,22 @@ object CdcStream {
   def readTarget(spark: SparkSession, targetDir: String): DataFrame =
     SnapshotStore.readTarget(spark, targetDir)
 
+  /** Per-key order: highest sequenceNumber wins. DynamoDB sequence
+    * numbers are variable-length NUMERIC strings, so compare by
+    * canonicalized (length, value) — numeric order without a 40-digit
+    * BigInt parse per event; plain lexicographic would rank "9" > "10"
+    * (CdcOps.numericStringKey). `prior` leads the iterator: maxBy keeps
+    * the FIRST max, so a re-delivery whose rendering merely differs in
+    * zero padding cannot flip state.
+    */
+  private def lwwWinner(prior: KeyState, events: Iterator[KeyState]): KeyState =
+    (Iterator(prior) ++ events).maxBy(ks => CdcOps.numericStringKey(ks.seq))
+
+  private def toKeyState(key: String, name: String, seq: String,
+                         img: Option[String]): KeyState =
+    KeyState(key, seq, if (name == CdcSchema.Remove) None else img,
+      live = name != CdcSchema.Remove)
+
   /** Streaming-native apply: per-key LWW state maintained in the state
     * store via `mapGroupsWithState` (SURVEY §2.9 T9 — arbitrary stateful
     * ops). The alternative formulation to the foreachBatch merge: instead
@@ -228,35 +244,75 @@ object CdcStream {
     * State per key is one (sequenceNumber, image) pair — bounded by key
     * cardinality, not event volume. REMOVE is represented as a tombstone
     * (None image) so late out-of-order events cannot resurrect a deleted
-    * key; actual state eviction would use a timeout in production.
+    * key.
+    *
+    * State EVICTION (`retentionMs = Some(ms)`): keys event-time idle for
+    * `ms` past the watermark (input must carry `approxCreationTs`;
+    * `watermarkDelay` bounds lateness) are dropped from the store via
+    * `EventTimeTimeout` — state is then bounded by the ACTIVE key set,
+    * not all keys ever seen. An evicted key flushes its final state once
+    * and later events rebuild it from empty, so a delivery staler than
+    * the retention window can win again — the documented trade of any
+    * TTL'd store (tombstone GC included: a REMOVE tombstone only has to
+    * out-live the retention window, within which any stale resurrecting
+    * event must arrive).
     */
-  def statefulLatest(cdc: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+  def statefulLatest(cdc: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     retentionMs: Option[Long] = None,
+                     watermarkDelay: String = "10 minutes")
       : org.apache.spark.sql.Dataset[KeyState] = {
     val spark = cdc.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    cdc.select("keys", "eventName", "sequenceNumber", "newImage")
-      .as[(String, String, String, Option[String])]
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (key: String, events: Iterator[(String, String, String, Option[String])],
-         state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
-          val prior = state.getOption
-            .getOrElse(KeyState(key, "", None, live = false))
-          // per-key order: highest sequenceNumber wins. DynamoDB sequence
-          // numbers are variable-length NUMERIC strings, so compare by
-          // canonicalized (length, value) — numeric order without a
-          // 40-digit BigInt parse per event; plain lexicographic would
-          // rank "9" > "10" (CdcOps.numericStringKey). `prior` leads the
-          // iterator: maxBy keeps the FIRST max, so a re-delivery whose
-          // rendering merely differs in zero padding cannot flip state.
-          val latest = (Iterator(prior) ++ events.map { case (_, name, seq, img) =>
-            KeyState(key, seq, if (name == CdcSchema.Remove) None else img,
-              live = name != CdcSchema.Remove)
-          }).maxBy(ks => CdcOps.numericStringKey(ks.seq))
-          state.update(latest)
-          latest
-      }
+    retentionMs match {
+      case None =>
+        cdc.select("keys", "eventName", "sequenceNumber", "newImage")
+          .as[(String, String, String, Option[String])]
+          .groupByKey(_._1)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+            (key: String, events: Iterator[(String, String, String, Option[String])],
+             state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
+              val prior = state.getOption
+                .getOrElse(KeyState(key, "", None, live = false))
+              val latest = lwwWinner(prior, events.map {
+                case (_, name, seq, img) => toKeyState(key, name, seq, img)
+              })
+              state.update(latest)
+              latest
+          }
+      case Some(ret) =>
+        cdc.withWatermark("approxCreationTs", watermarkDelay)
+          .select("keys", "eventName", "sequenceNumber", "newImage", "approxCreationTs")
+          .as[(String, String, String, Option[String], java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout()) {
+            (key: String,
+             events: Iterator[(String, String, String, Option[String], java.sql.Timestamp)],
+             state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
+              if (state.hasTimedOut) {
+                // GC: event-time idle past the retention window. Flush the
+                // final state once and drop the key from the store.
+                val last = state.get
+                state.remove()
+                last
+              } else {
+                val prior = state.getOption
+                  .getOrElse(KeyState(key, "", None, live = false))
+                var maxTs = Long.MinValue
+                val latest = lwwWinner(prior, events.map {
+                  case (_, name, seq, img, ts) =>
+                    maxTs = math.max(maxTs, ts.getTime)
+                    toKeyState(key, name, seq, img)
+                })
+                state.update(latest)
+                // evict after `ret` ms of event-time inactivity; Spark
+                // rejects a timeout at-or-before the current watermark
+                state.setTimeoutTimestamp(
+                  math.max(maxTs + ret, state.getCurrentWatermarkMs + 1))
+                latest
+              }
+          }
+    }
   }
 
   /** Changelog variant of [[statefulLatest]] via `flatMapGroupsWithState`
@@ -266,30 +322,67 @@ object CdcStream {
     * secondary index or cache): update-log volume tracks real change
     * rate, not delivery rate. Same numeric (length, value) sequence
     * order as the rest of the engine.
+    *
+    * Same eviction contract as [[statefulLatest]], except a timed-out
+    * key emits NOTHING (its state was already emitted when it last
+    * changed — a GC flush would be a duplicate in a changelog).
     */
-  def statefulChangelog(cdc: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+  def statefulChangelog(cdc: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                        retentionMs: Option[Long] = None,
+                        watermarkDelay: String = "10 minutes")
       : org.apache.spark.sql.Dataset[KeyState] = {
     val spark = cdc.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    cdc.select("keys", "eventName", "sequenceNumber", "newImage")
-      .as[(String, String, String, Option[String])]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (key: String, events: Iterator[(String, String, String, Option[String])],
-         state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
-          val prior = state.getOption
-            .getOrElse(KeyState(key, "", None, live = false))
-          // prior leads: a duplicate delivery that ties on the canonical
-          // sequence key (zero-pad rendering differences included) keeps
-          // the stored state and emits NOTHING — the changelog contract
-          val latest = (Iterator(prior) ++ events.map { case (_, name, seq, img) =>
-            KeyState(key, seq, if (name == CdcSchema.Remove) None else img,
-              live = name != CdcSchema.Remove)
-          }).maxBy(ks => CdcOps.numericStringKey(ks.seq))
-          if (latest == prior) Iterator.empty
-          else { state.update(latest); Iterator.single(latest) }
-      }
+    retentionMs match {
+      case None =>
+        cdc.select("keys", "eventName", "sequenceNumber", "newImage")
+          .as[(String, String, String, Option[String])]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+            (key: String, events: Iterator[(String, String, String, Option[String])],
+             state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
+              val prior = state.getOption
+                .getOrElse(KeyState(key, "", None, live = false))
+              // prior leads: a duplicate delivery that ties on the canonical
+              // sequence key (zero-pad rendering differences included) keeps
+              // the stored state and emits NOTHING — the changelog contract
+              val latest = lwwWinner(prior, events.map {
+                case (_, name, seq, img) => toKeyState(key, name, seq, img)
+              })
+              if (latest == prior) Iterator.empty
+              else { state.update(latest); Iterator.single(latest) }
+          }
+      case Some(ret) =>
+        cdc.withWatermark("approxCreationTs", watermarkDelay)
+          .select("keys", "eventName", "sequenceNumber", "newImage", "approxCreationTs")
+          .as[(String, String, String, Option[String], java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+            (key: String,
+             events: Iterator[(String, String, String, Option[String], java.sql.Timestamp)],
+             state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
+              if (state.hasTimedOut) {
+                state.remove()
+                Iterator.empty
+              } else {
+                val prior = state.getOption
+                  .getOrElse(KeyState(key, "", None, live = false))
+                var maxTs = Long.MinValue
+                val latest = lwwWinner(prior, events.map {
+                  case (_, name, seq, img, ts) =>
+                    maxTs = math.max(maxTs, ts.getTime)
+                    toKeyState(key, name, seq, img)
+                })
+                val out =
+                  if (latest == prior) Iterator.empty
+                  else { state.update(latest); Iterator.single(latest) }
+                state.setTimeoutTimestamp(
+                  math.max(maxTs + ret, state.getCurrentWatermarkMs + 1))
+                out
+              }
+          }
+    }
   }
 
   /** Tumbling event-time window aggregation over the stream (T9):

@@ -456,6 +456,74 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(_._1 == "k2").map(_._2).toSet == Set("3", "10"))
   }
 
+  test("statefulLatest: an event-time-idle key is evicted from the state store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, Option[String], java.sql.Timestamp)]
+    val df = mem.toDF()
+      .toDF("keys", "eventName", "sequenceNumber", "newImage", "approxCreationTs")
+    val q = graft.streaming.CdcStream
+      .statefulLatest(df, retentionMs = Some(60 * 1000L), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("evict_out")
+      .outputMode("update").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      ("k1", "INSERT", "005", Some("v5"), ts("2024-01-01 00:00:00")),
+      ("k2", "INSERT", "001", Some("w1"), ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    // only k2 keeps flowing; the watermark sails past k1's 60 s timeout
+    mem.addData(("k2", "MODIFY", "002", Some("w2"), ts("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    mem.addData(("k2", "MODIFY", "003", Some("w3"), ts("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    // the store shrank to k2 alone after k1's timeout fired
+    assert(q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).contains(1L),
+      "no completed batch reported a 1-row state store (k1 never evicted)")
+    // behavioral proof the state is GONE: a sequence STALER than the
+    // evicted 005 now wins, because the key rebuilt from empty
+    mem.addData(("k1", "INSERT", "001", Some("old"), ts("2024-01-01 02:00:30")))
+    q.processAllAvailable()
+    val k1Seqs = spark.table("evict_out").filter(col("keys") === "k1")
+      .select("seq").collect().map(_.getString(0)).toSet
+    q.stop()
+    assert(k1Seqs.contains("001"), s"stale seq did not win after eviction: $k1Seqs")
+  }
+
+  test("statefulChangelog: eviction emits no flush; a rebuilt key emits again") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, Option[String], java.sql.Timestamp)]
+    val df = mem.toDF()
+      .toDF("keys", "eventName", "sequenceNumber", "newImage", "approxCreationTs")
+    val q = graft.streaming.CdcStream
+      .statefulChangelog(df, retentionMs = Some(60 * 1000L), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("evict_cl_out")
+      .outputMode("update").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      ("k1", "INSERT", "005", Some("v5"), ts("2024-01-01 00:00:00")),
+      ("k2", "INSERT", "001", Some("w1"), ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    mem.addData(("k2", "MODIFY", "002", Some("w2"), ts("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    mem.addData(("k2", "MODIFY", "003", Some("w3"), ts("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    assert(q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).contains(1L),
+      "no completed batch reported a 1-row state store (k1 never evicted)")
+    // stale seq for the evicted key: state rebuilt from empty -> it IS a
+    // change, so it emits (with a live store, 001 vs 005 would be silent)
+    mem.addData(("k1", "INSERT", "001", Some("old"), ts("2024-01-01 02:00:30")))
+    q.processAllAvailable()
+    val k1Rows = spark.table("evict_cl_out").filter(col("keys") === "k1")
+      .select("seq").collect().map(_.getString(0)).toSeq.sorted
+    q.stop()
+    // exactly the initial insert and the post-eviction rebuild — no
+    // timeout flush row in between
+    assert(k1Rows == Seq("001", "005"), s"changelog rows for k1: $k1Rows")
+  }
+
   test("RestoreSession: polls until ACTIVE then starts the drain exactly once") {
     val states = Iterator("CREATING", "CREATING", "ACTIVE")
     var sleeps = 0
