@@ -140,49 +140,84 @@ object AttributeValue {
     else g.writeNumber(bd)
   }
 
+  /** The three DynamoDB set tags a hint may name. */
+  private val SetTags = Set("SS", "NS", "BS")
+
+  /** Parse a compact hint spec `"tags:SS,meta.ids:NS"` into the path→tag
+    * map [[encode]] takes (the SQL-surface form, see `ddb_encode_set`).
+    */
+  def parseSetHints(spec: String): Map[String, String] =
+    spec.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { entry =>
+      entry.split(':') match {
+        case Array(path, tag) if SetTags.contains(tag) => path.trim -> tag
+        case _ => throw new IllegalArgumentException(
+          s"set hint must be path:SS|NS|BS, got '$entry'")
+      }
+    }.toMap
+
   /** Inverse direction: plain JSON document -> DynamoDB-JSON (tag every
     * value). Types map by JSON kind: string→S, number→N (text preserved
     * verbatim — arbitrary precision survives), boolean→BOOL, null→NULL,
-    * array→L, object→M. Sets (SS/NS/BS) and B are not distinguishable
-    * from plain JSON, so encode never emits them; decode ∘ encode is the
-    * identity on its output domain (property-tested).
+    * array→L, object→M.
+    *
+    * Sets are not distinguishable from lists in plain JSON, so SS/NS/BS
+    * emission is HINT-driven: `setHints` maps dotted attribute paths
+    * (`"tags"`, `"meta.ids"` — root fields and fields inside M; list
+    * elements are unnamed and cannot be hinted) to a set tag. A hinted
+    * array gets DynamoDB's set-on-write semantics: elements must be
+    * scalars of the set's kind, duplicates are DROPPED keeping the first
+    * occurrence (NS dedups by NUMERIC equality — "1.0" duplicates "1" —
+    * keeping the first spelling), and an empty set is rejected, exactly
+    * as DynamoDB rejects empty sets. Unhinted arrays stay L, and
+    * decode ∘ encode is the identity on its output domain
+    * (property-tested; for hinted paths, identity modulo the set dedup).
     */
-  def encode(plainJson: String): String = {
+  def encode(plainJson: String, setHints: Map[String, String] = Map.empty): String = {
     if (plainJson == null) return null
     val p = factory.createParser(plainJson)
     val sw = new java.io.StringWriter(plainJson.length * 2)
     val g = factory.createGenerator(sw)
-    try { encodeRoot(p, g); sw.toString } finally p.close()
+    try { encodeRoot(p, g, setHints); sw.toString } finally p.close()
   }
 
   /** Byte-level form for the native expression (see [[decodeUtf8]]). */
-  def encodeUtf8(in: org.apache.spark.unsafe.types.UTF8String)
+  def encodeUtf8(in: org.apache.spark.unsafe.types.UTF8String,
+                 setHints: Map[String, String] = Map.empty)
       : org.apache.spark.unsafe.types.UTF8String = {
     val p = factory.createParser(in.getBytes)
     val out = new java.io.ByteArrayOutputStream(in.numBytes() * 2)
     val g = factory.createGenerator(out, com.fasterxml.jackson.core.JsonEncoding.UTF8)
     try {
-      encodeRoot(p, g)
+      encodeRoot(p, g, setHints)
       org.apache.spark.unsafe.types.UTF8String.fromBytes(out.toByteArray)
     } finally p.close()
   }
 
-  private def encodeRoot(p: JsonParser, g: JsonGenerator): Unit = {
+  private def encodeRoot(p: JsonParser, g: JsonGenerator,
+                         hints: Map[String, String]): Unit = {
     require(p.nextToken() == JsonToken.START_OBJECT,
       "item must be a JSON object")
+    hints.valuesIterator.foreach(t => require(SetTags.contains(t),
+      s"set hint tag must be one of $SetTags, got $t"))
     g.writeStartObject()
     while (p.nextToken() == JsonToken.FIELD_NAME) {
-      g.writeFieldName(p.currentName())
+      val name = p.currentName()
+      g.writeFieldName(name)
       p.nextToken()
-      encodeValue(p, g, MaxDepth)
+      encodeValue(p, g, MaxDepth, name, hints)
     }
     g.writeEndObject()
     g.close()
   }
 
-  /** One plain value (parser AT its first token) -> tagged AttributeValue. */
-  private def encodeValue(p: JsonParser, g: JsonGenerator, depth: Int): Unit = {
+  /** One plain value (parser AT its first token) -> tagged AttributeValue.
+    * `path` is the dotted attribute path used for set-hint lookup.
+    */
+  private def encodeValue(p: JsonParser, g: JsonGenerator, depth: Int,
+                          path: String, hints: Map[String, String]): Unit = {
     require(depth > 0, s"nesting exceeds $MaxDepth")
+    require(!hints.contains(path) || p.currentToken() == JsonToken.START_ARRAY,
+      s"set-hinted path '$path' must be a JSON array, got ${p.currentToken()}")
     g.writeStartObject()
     p.currentToken() match {
       case JsonToken.VALUE_STRING =>
@@ -193,21 +228,64 @@ object AttributeValue {
         g.writeFieldName("BOOL"); g.writeBoolean(p.getBooleanValue)
       case JsonToken.VALUE_NULL =>
         g.writeFieldName("NULL"); g.writeBoolean(true)
+      case JsonToken.START_ARRAY if hints.contains(path) =>
+        encodeSet(p, g, hints(path), path)
       case JsonToken.START_ARRAY =>
         g.writeFieldName("L"); g.writeStartArray()
-        while (p.nextToken() != JsonToken.END_ARRAY) encodeValue(p, g, depth - 1)
+        // list elements are unnamed: "[]" can never collide with a field
+        // path, so hints do not reach inside L
+        while (p.nextToken() != JsonToken.END_ARRAY)
+          encodeValue(p, g, depth - 1, path + "[]", hints)
         g.writeEndArray()
       case JsonToken.START_OBJECT =>
         g.writeFieldName("M"); g.writeStartObject()
         while (p.nextToken() == JsonToken.FIELD_NAME) {
-          g.writeFieldName(p.currentName())
+          val name = p.currentName()
+          g.writeFieldName(name)
           p.nextToken()
-          encodeValue(p, g, depth - 1)
+          encodeValue(p, g, depth - 1, path + "." + name, hints)
         }
         g.writeEndObject()
       case other => throw new IllegalArgumentException(s"unsupported JSON token: $other")
     }
     g.writeEndObject()
+  }
+
+  /** Emit a hinted array as a DynamoDB set: dedup-on-write (first
+    * occurrence wins), element kinds enforced, empty sets rejected.
+    * Parser is AT the START_ARRAY; consumes through END_ARRAY.
+    */
+  private def encodeSet(p: JsonParser, g: JsonGenerator, tag: String,
+                        path: String): Unit = {
+    g.writeFieldName(tag)
+    g.writeStartArray()
+    var n = 0
+    tag match {
+      case "SS" | "BS" =>
+        val seen = new java.util.LinkedHashSet[String]()
+        while (p.nextToken() != JsonToken.END_ARRAY) {
+          require(p.currentToken() == JsonToken.VALUE_STRING,
+            s"$tag elements at '$path' must be strings, got ${p.currentToken()}")
+          seen.add(p.getText)
+        }
+        n = seen.size()
+        seen.forEach(s => g.writeString(s))
+      case "NS" =>
+        // numeric-equality dedup: key on the stripped BigDecimal so
+        // "1.0" duplicates "1"; the FIRST spelling is what transports
+        val seen = new java.util.LinkedHashMap[java.math.BigDecimal, String]()
+        while (p.nextToken() != JsonToken.END_ARRAY) {
+          val tok = p.currentToken()
+          require(tok == JsonToken.VALUE_NUMBER_INT || tok == JsonToken.VALUE_NUMBER_FLOAT,
+            s"NS elements at '$path' must be numbers, got $tok")
+          val text = p.getText
+          seen.putIfAbsent(new java.math.BigDecimal(text).stripTrailingZeros(), text)
+        }
+        n = seen.size()
+        seen.values.forEach(v => g.writeString(v)) // N transports as string
+    }
+    require(n > 0, s"DynamoDB rejects empty sets: '$path' ($tag) has no elements")
+    g.writeEndArray()
   }
 
   /** Column form: raw DynamoDB-JSON string -> plain JSON string
@@ -217,17 +295,23 @@ object AttributeValue {
     org.apache.spark.sql.GraftSqlBridge.column(
       DdbDecode(org.apache.spark.sql.GraftSqlBridge.expression(c)))
 
-  /** Column form: plain JSON string -> DynamoDB-JSON string. */
-  def ddbEncode(c: Column): Column =
+  /** Column form: plain JSON string -> DynamoDB-JSON string. Optional
+    * `setHints` drive SS/NS/BS emission (see [[encode]]).
+    */
+  def ddbEncode(c: Column, setHints: Map[String, String] = Map.empty): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
-      DdbEncode(org.apache.spark.sql.GraftSqlBridge.expression(c)))
+      DdbEncode(org.apache.spark.sql.GraftSqlBridge.expression(c), setHints))
 
-  /** Register `ddb_decode` / `ddb_encode` for SQL use (UDF registry —
-    * the Column API above uses the native expressions directly).
+  /** Register `ddb_decode` / `ddb_encode` / `ddb_encode_set` for SQL use
+    * (UDF registry — the Column API above uses the native expressions
+    * directly). `ddb_encode_set(json, 'tags:SS,meta.ids:NS')` is the SQL
+    * spelling of the hinted encode.
     */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("ddb_decode", (s: String) => decode(s))
     spark.udf.register("ddb_encode", (s: String) => encode(s))
+    spark.udf.register("ddb_encode_set",
+      (s: String, spec: String) => encode(s, parseSetHints(spec)))
   }
 }
 
@@ -259,8 +343,12 @@ case class DdbDecode(child: org.apache.spark.sql.catalyst.expressions.Expression
     copy(child = newChild)
 }
 
-/** Native expression for [[AttributeValue.encodeUtf8]]. */
-case class DdbEncode(child: org.apache.spark.sql.catalyst.expressions.Expression)
+/** Native expression for [[AttributeValue.encodeUtf8]]. `setHints` is a
+  * STATIC (plan-time) path→set-tag map — set typing is schema knowledge,
+  * not data, so it rides on the expression rather than a per-row column.
+  */
+case class DdbEncode(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                     setHints: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   import org.apache.spark.sql.types.{DataType, StringType}
@@ -276,7 +364,8 @@ case class DdbEncode(child: org.apache.spark.sql.catalyst.expressions.Expression
   override def prettyName: String = "ddb_encode"
 
   override def nullSafeEval(in: Any): Any =
-    AttributeValue.encodeUtf8(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    AttributeValue.encodeUtf8(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], setHints)
 
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): DdbEncode =

@@ -337,6 +337,10 @@ object CdcQueries {
     // ───── §1.1a — AttributeValue round trip: plain JSON → ddb_encode →
     // ddb_decode recovers the document (decode ∘ encode = identity); the
     // oracle computes the same fields directly from the base table.
+    // `tags` is hinted as an SS SET and carries a deliberate duplicate:
+    // set-dedup-on-write drops it, so element 2 is user_id — with plain
+    // L encoding (no dedup) it would be the repeated event_type, and the
+    // oracle would catch it.
     QuerySpec(
       "cdc_ddb_roundtrip",
       (s, d) => {
@@ -344,14 +348,16 @@ object CdcQueries {
           col("user_id").cast("string").as("pk"),
           floor(col("value") * 100).cast("long").as("cents"),
           col("event_type").as("t"),
-          array(col("event_type"), col("user_id").cast("string")).as("tags")))
+          array(col("event_type"), col("event_type"),
+            col("user_id").cast("string")).as("tags")))
         // ONE from_json parse for all extracted fields: per-field
         // get_json_object would re-parse the document once per field
         // (4 extra Jackson passes/row on the hottest per-row query).
         events(s, d)
           .select(col("event_id"),
             from_json(
-              AttributeValue.ddbDecode(AttributeValue.ddbEncode(plain)),
+              AttributeValue.ddbDecode(
+                AttributeValue.ddbEncode(plain, Map("tags" -> "SS"))),
               "pk STRING, cents BIGINT, t STRING, tags ARRAY<STRING>",
               Map.empty[String, String]).as("rt"))
           .select(

@@ -133,6 +133,81 @@ class AttributeValueSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("hinted set encode emits SS/NS/BS with dedup-on-write") {
+    val hints = Map("tags" -> "SS", "ids" -> "NS", "blobs" -> "BS")
+    val out = AttributeValue.encode(
+      """{"tags":["a","b","a"],"ids":[1,1.0,2],"blobs":["Zm9v","Zm9v"],"plain":["a","a"]}""",
+      hints)
+    // first occurrence wins; NS dedups by NUMERIC equality ("1.0" dups "1")
+    assert(out === """{"tags":{"SS":["a","b"]},"ids":{"NS":["1","2"]},""" +
+      """"blobs":{"BS":["Zm9v"]},"plain":{"L":[{"S":"a"},{"S":"a"}]}}""")
+  }
+
+  test("set hints reach dotted paths inside M but never inside L") {
+    val out = AttributeValue.encode(
+      """{"meta":{"ids":[3,3]},"wrap":[{"ids":[4,4]}]}""",
+      Map("meta.ids" -> "NS", "wrap.ids" -> "NS"))
+    // meta.ids is a hinted map field -> NS set; the SAME field name under
+    // a list element is unnamed ("wrap[].ids") and stays L, undeduped
+    assert(out === """{"meta":{"M":{"ids":{"NS":["3"]}}},""" +
+      """"wrap":{"L":[{"M":{"ids":{"L":[{"N":"4"},{"N":"4"}]}}}]}}""")
+  }
+
+  test("set encode rejects empty sets, wrong element kinds, and non-array hints") {
+    assertThrows[IllegalArgumentException] {
+      AttributeValue.encode("""{"tags":[]}""", Map("tags" -> "SS"))
+    }
+    assertThrows[IllegalArgumentException] {
+      AttributeValue.encode("""{"tags":[1,2]}""", Map("tags" -> "SS"))
+    }
+    assertThrows[IllegalArgumentException] {
+      AttributeValue.encode("""{"ids":["x"]}""", Map("ids" -> "NS"))
+    }
+    assertThrows[IllegalArgumentException] {
+      AttributeValue.encode("""{"tags":"scalar"}""", Map("tags" -> "SS"))
+    }
+    assertThrows[IllegalArgumentException] {
+      AttributeValue.encode("""{"tags":["a"]}""", Map("tags" -> "XX"))
+    }
+  }
+
+  test("parseSetHints parses the SQL spelling and rejects malformed specs") {
+    assert(AttributeValue.parseSetHints("tags:SS, meta.ids:NS ,b:BS")
+      === Map("tags" -> "SS", "meta.ids" -> "NS", "b" -> "BS"))
+    assertThrows[IllegalArgumentException] {
+      AttributeValue.parseSetHints("tags=SS")
+    }
+    assertThrows[IllegalArgumentException] {
+      AttributeValue.parseSetHints("tags:LIST")
+    }
+  }
+
+  test("decode ∘ encode is the identity on set payloads (property)") {
+    import org.scalacheck.{Gen, Prop}
+    // unique elements: on the duplicate-free domain the round trip is the
+    // exact identity (with duplicates it is identity-after-dedup, covered
+    // by the dedup test above)
+    val genSS = Gen.listOfN(4, Gen.alphaNumStr.map(_.take(6)))
+      .map(_.distinct).suchThat(_.nonEmpty)
+    val genNS = Gen.listOfN(4, Gen.choose(-100000L, 100000L))
+      .map(_.distinct).suchThat(_.nonEmpty)
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(200).withWorkers(1)
+    val res = org.scalacheck.Test.check(params,
+      Prop.forAll(genSS, genNS) { (ss, ns) =>
+        val doc = s"""{"tags":[${ss.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""ids":[${ns.mkString(",")}]}"""
+        val rt = AttributeValue.decode(
+          AttributeValue.encode(doc, Map("tags" -> "SS", "ids" -> "NS")))
+        rt == doc
+      })
+    assert(res.passed, res.status.toString)
+    // and the set TYPING itself round-trips through the tagged form
+    val tagged = AttributeValue.encode(
+      """{"tags":["a","b"],"ids":[1,2]}""", Map("tags" -> "SS", "ids" -> "NS"))
+    assert(tagged.contains(""""SS"""") && tagged.contains(""""NS""""))
+  }
+
   test("encode depth bound rejects pathological nesting") {
     val deep = (1 to 40).foldLeft(""""x"""") { (acc, _) => s"""{"k":$acc}""" }
     assertThrows[IllegalArgumentException] {
