@@ -27,6 +27,23 @@ object ScaleProbe {
       .select((col("vec_id") + col("rep") * 10000000L).as("vec_id"), col("embedding"))
   }
 
+  /** Replicas with per-replica deterministic SIGN jitter: replica r flips
+    * component i's sign when hash(r, i) is odd. Verbatim replication puts
+    * every copy in its original sign bucket (identical vectors cannot be
+    * split by more hyperplanes), which would measure the pathology, not
+    * the remedy — the jitter models what a 64×-larger corpus actually
+    * has: 64× the sign diversity.
+    */
+  private def replicateVecsSignJittered(spark: SparkSession, d: String, k: Int): DataFrame = {
+    val vecs = Tables.embeddings(spark, d)
+    vecs.crossJoin(spark.range(k).select(col("id").as("rep")))
+      .select(
+        (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        expr("""transform(embedding,
+                  (x, i) -> case when pmod(hash(rep, i), 2) = 0 then x
+                            else -x end)""").as("embedding"))
+  }
+
   private def time(label: String)(a: => Long): Unit = {
     val t0 = System.nanoTime()
     val n = a
@@ -87,6 +104,28 @@ object ScaleProbe {
           .filter(col("dot") =!= 0L).count()
       }
       vecs.unpersist()
+
+      // sign-LSH bucket occupancy with corpus-size-DERIVED bit width
+      // (Corpus.signBucketBits): the claim under test is that deriving
+      // bits from n holds mean occupancy near the target as the corpus
+      // grows, keeping the bucketed pair stage linear. Fixed 4-bit
+      // bucketing would show mean occupancy growing k× here.
+      val jvecs = replicateVecsSignJittered(spark, d, k)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 100) as bigint))").as("qv"))
+        .persist()
+      val nv = jvecs.count()
+      val bits = graft.analytics.Corpus.signBucketBits(nv)
+      val occ = jvecs
+        .withColumn("bucket", graft.analytics.Corpus.signBucketColBits(bits))
+        .groupBy("bucket").agg(count(lit(1)).as("occ"))
+        .agg(max(col("occ")).as("mx"), avg(col("occ")).as("mean"),
+          count(lit(1)).as("nonEmpty"))
+        .collect()(0)
+      println(f"""{"probe":"bucket_occupancy_x$k","n":$nv,"bits":$bits,""" +
+        f""""nonempty_buckets":${occ.getLong(2)},"max_occ":${occ.getLong(0)},""" +
+        f""""mean_occ":${occ.getDouble(1)}%.1f}""")
+      jvecs.unpersist()
     }
     spark.stop()
   }

@@ -182,9 +182,59 @@ object Corpus {
   def dotCol(a: String, b: String): Column =
     VectorFunctions.vecDotLong(col(a), col(b))
 
-  /** Sign-LSH bucket from the first 4 quantized components (16 buckets).
-    * Axis-aligned random-hyperplane LSH: near-identical vectors land in the
-    * same bucket; at scale the bit width grows with corpus size.
+  /** Corpus-size-derived sign-LSH width: enough hyperplanes that the
+    * MEAN bucket holds ~`targetOccupancy` vectors (2^bits buckets ⇒
+    * bits = ⌈log₂(n / target)⌉), floored at 4 (the small-corpus setting
+    * every oracle query pins) and capped at 24 (fewer than the 64
+    * available components, and 16M buckets is past any practical need).
+    * Bucketed-pair cost is Σ occ² ≈ n·occ, so holding occupancy constant
+    * as n grows keeps the candidate stage LINEAR in corpus size — this is
+    * the "more bits at scale" the sign-LSH scaladoc promises, now a
+    * function of n instead of prose. ScaleProbe charts the resulting
+    * occupancy curve; AnalyticsSpec pins the derivation.
+    */
+  def signBucketBits(corpusSize: Long, targetOccupancy: Long = 64): Int = {
+    require(corpusSize >= 0 && targetOccupancy >= 1)
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.min(24, math.max(4, needed))
+  }
+
+  /** Sign-LSH bucket over the first `bits` quantized components (2^bits
+    * buckets) — the generalized form of [[signBucketCol]] for
+    * corpus-size-derived widths. Axis-aligned random-hyperplane LSH:
+    * near-identical vectors agree on every sign, so they share a bucket
+    * at any width.
+    */
+  def signBucketColBits(bits: Int): Column = {
+    require(bits >= 1 && bits <= 32, s"sign-LSH bits must be in [1,32], got $bits")
+    expr((0 until bits)
+      .map(i => s"(case when qv[$i] >= 0 then ${1L << i}L else 0L end)")
+      .mkString("cast(", " + ", " as bigint)"))
+  }
+
+  /** MinHash banding plan derived from corpus size: all 12 signature
+    * slots, split into (bands, rowsPerBand). A random (non-similar) pair
+    * collides on one band with probability ~(1/U)^rows, and the number of
+    * random pairs grows as n² — so rows per band must grow with log(n)
+    * to keep expected false-positive candidates bounded, trading recall
+    * at fixed Jaccard (caught by the exact verify stage) for a candidate
+    * set that stays O(n). 3 rows up to 100k docs (the shipped queries'
+    * setting, oracle-pinned), 4 to 10M, then 6.
+    */
+  def minhashBandPlan(corpusSize: Long): (Int, Int) = {
+    require(corpusSize >= 0)
+    val rows = if (corpusSize <= 100000L) 3
+               else if (corpusSize <= 10000000L) 4
+               else 6
+    (12 / rows, rows)
+  }
+
+  /** Sign-LSH bucket from the first 4 quantized components (16 buckets) —
+    * the fixed small-corpus width the oracle queries pin ([[signBucketBits]]
+    * derives exactly 4 for corpora up to 1024 vectors at the default
+    * occupancy target; larger corpora should bucket with
+    * `signBucketColBits(signBucketBits(n))`).
     */
   def signBucketCol: Column = expr(
     """cast(case when qv[0] >= 0 then 1 else 0 end

@@ -268,6 +268,36 @@ class AnalyticsSpec extends SparkSpec {
     assigned.unpersist(); assigned2.unpersist()
   }
 
+  test("corpus-size-derived LSH parameters: width/bands grow with n, occupancy holds") {
+    // small corpora derive exactly the setting the oracle queries pin
+    assert(Corpus.signBucketBits(500) == 4 && Corpus.signBucketBits(1024) == 4)
+    // a 64× corpus derives +6 hyperplanes (64× the buckets): the
+    // occupancy target — and so the linear candidate-stage cost — holds
+    assert(Corpus.signBucketBits(1024L * 64) == 10)
+    // monotone in n, capped at 24
+    val sizes = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L, Long.MaxValue / 2)
+    sizes.sliding(2).foreach { case Seq(a, b) =>
+      assert(Corpus.signBucketBits(a) <= Corpus.signBucketBits(b))
+    }
+    assert(Corpus.signBucketBits(Long.MaxValue / 2) == 24)
+    // band plan: rows per band grow with corpus size, from the same 12-sig
+    assert(Corpus.minhashBandPlan(500L) == ((4, 3)))
+    assert(Corpus.minhashBandPlan(1000000L) == ((3, 4)))
+    assert(Corpus.minhashBandPlan(100000000L) == ((2, 6)))
+    // real corpus: the derived width keeps mean occupancy at/under target
+    val vecs = Corpus.quantizedVectors(spark, sf)
+    val n = vecs.count()
+    val bits = Corpus.signBucketBits(n)
+    val mean = vecs.withColumn("bucket", Corpus.signBucketColBits(bits))
+      .groupBy("bucket").count().agg(avg("count")).collect()(0).getDouble(0)
+    assert(mean <= 64.0, s"mean occupancy $mean exceeds the 64 target at n=$n")
+    // the fixed 4-bit oracle column IS the generalized form at bits=4
+    val diff = vecs.withColumn("b4", Corpus.signBucketCol.cast("long"))
+      .withColumn("bg", Corpus.signBucketColBits(4))
+      .filter(col("b4") =!= col("bg")).count()
+    assert(diff == 0)
+  }
+
   test("kmeans centroids drive the IVF coarse quantizer (V4→V3 integration)") {
     val vecs = Corpus.quantizedVectors(spark, sf)
     val (assigned, centroids, _) = Clustering.kmeans(spark, vecs, k = 4, iters = 2)
