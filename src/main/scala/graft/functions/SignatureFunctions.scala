@@ -60,12 +60,16 @@ case class MinHash12(child: Expression)
     val out = Array.fill[Long](12)(Mask40 + 1)
     var i = 0
     while (i < n) {
-      val x = hs.getLong(i)
-      var p = 0
-      while (p < 12) {
-        val v = (a(p) * x) & Mask40
-        if (v < out(p)) out(p) = v
-        p += 1
+      // skip null elements — the same outcome as the SQL fold, where
+      // least(m, (a*NULL)&mask) = least(m, NULL) keeps m
+      if (!hs.isNullAt(i)) {
+        val x = hs.getLong(i)
+        var p = 0
+        while (p < 12) {
+          val v = (a(p) * x) & Mask40
+          if (v < out(p)) out(p) = v
+          p += 1
+        }
       }
       i += 1
     }
@@ -100,15 +104,17 @@ case class ShingleHash40(child: Expression)
   override def prettyName: String = "shingle_hash40"
 
   override def nullSafeEval(in: Any): Any = {
-    val ws = in.asInstanceOf[ArrayData]
-    val n = ws.numElements()
+    // null word hashes are dropped BEFORE windowing (a null token is
+    // absent, not a garbage 0-slot); shingles form over the survivors
+    val ws = SignatureFunctions.compactNonNull(in.asInstanceOf[ArrayData])
+    val n = ws.length
     if (n < 3) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.HashSet[java.lang.Long](n * 2)
     val out = new Array[Long](n - 2)
     var k = 0
     var j = 0
     while (j < n - 2) {
-      val h = (ws.getLong(j) * C1 + ws.getLong(j + 1) * C2 + ws.getLong(j + 2) * C3) & Mask40
+      val h = (ws(j) * C1 + ws(j + 1) * C2 + ws(j + 2) * C3) & Mask40
       if (seen.add(h)) { out(k) = h; k += 1 }
       j += 1
     }
@@ -141,12 +147,13 @@ case class SimHash32(child: Expression)
   override def prettyName: String = "simhash32"
 
   override def nullSafeEval(in: Any): Any = {
-    val ws = in.asInstanceOf[ArrayData]
-    val n = ws.numElements()
+    // null word hashes dropped before bigram windowing (see ShingleHash40)
+    val ws = SignatureFunctions.compactNonNull(in.asInstanceOf[ArrayData])
+    val n = ws.length
     val counters = new Array[Int](32)
     var i = 0
     while (i < n - 1) {
-      val h = (ws.getLong(i) * C1 + ws.getLong(i + 1) * C2) & Mask40
+      val h = (ws(i) * C1 + ws(i + 1) * C2) & Mask40
       var j = 0
       while (j < 32) {
         counters(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
@@ -168,6 +175,21 @@ case class SimHash32(child: Expression)
 }
 
 object SignatureFunctions {
+  /** Long elements of `a` with nulls dropped (ArrayData.getLong on a null
+    * slot reads garbage — the signatures treat a null token as absent).
+    */
+  private[functions] def compactNonNull(a: ArrayData): Array[Long] = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) { out(k) = a.getLong(i); k += 1 }
+      i += 1
+    }
+    if (k == n) out else java.util.Arrays.copyOf(out, k)
+  }
+
   /** Column API for [[MinHash12]]. */
   def minHash12(c: Column): Column =
     GraftSqlBridge.column(MinHash12(GraftSqlBridge.expression(c)))

@@ -165,6 +165,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("signature functions skip null array elements (no garbage-slot reads)") {
+    // SQL-reachable inputs can carry nulls; a null token is ABSENT:
+    // minhash matches least()-fold null behavior, the windowed hashes
+    // shingle over the survivors
+    val row = spark.sql(
+      """SELECT minhash12(array(7L, NULL, 9L))      AS mh_n,
+               minhash12(array(7L, 9L))             AS mh,
+               shingle_hash40(array(1L, NULL, 2L, 3L, NULL, 4L)) AS sh_n,
+               shingle_hash40(array(1L, 2L, 3L, 4L))             AS sh,
+               simhash32(array(5L, NULL, 6L, 7L))   AS sim_n,
+               simhash32(array(5L, 6L, 7L))         AS sim""").collect()(0)
+    assert(row.getSeq[Long](0) == row.getSeq[Long](1))
+    assert(row.getSeq[Long](2) == row.getSeq[Long](3))
+    assert(row.getLong(4) == row.getLong(5))
+    // all-null input behaves as empty
+    val empty = spark.sql(
+      """SELECT minhash12(array(CAST(NULL AS BIGINT))) AS mh,
+               shingle_hash40(array(CAST(NULL AS BIGINT))) AS sh""").collect()(0)
+    assert(empty.getSeq[Long](0).forall(_ == (1L << 40)))
+    assert(empty.getSeq[Long](1).isEmpty)
+  }
+
   test("VecDotLong matches the HOF dot product (codegen and interpreted paths)") {
     import graft.functions.VectorFunctions.vecDotLong
     val vecs = Corpus.quantizedVectors(spark, sf).limit(50)
