@@ -201,6 +201,19 @@ object CdcStream {
         ()
       }
 
+  /** [[applySink]] over the transport seam: `source.stream(spark)` feeds
+    * the same sink, so a prod deployment swaps [[FileCdcSource]] for its
+    * Kinesis/Kafka [[CdcSource]] as a parameter — no call-site edits.
+    */
+  def applyPipeline(spark: SparkSession, source: CdcSource, targetDir: String,
+                    checkpointDir: String, deadletterDir: String,
+                    trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+                    retryAttempts: Int = 3,
+                    retrySleep: Long => Unit = Thread.sleep)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    applySink(source.stream(spark), targetDir, checkpointDir, deadletterDir,
+      trigger, retryAttempts, retrySleep)
+
   /** Pointer file naming the live snapshot manifest of a target. */
   val CurrentPointer: String = SnapshotStore.CurrentPointer
 

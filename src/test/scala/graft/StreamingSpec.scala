@@ -71,6 +71,35 @@ class StreamingSpec extends SparkSpec {
     assert(manifests.contains(mName) && manifests.length <= 2) // current + grace
   }
 
+  test("CdcSource seam: a non-file transport drives the same apply pipeline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a MemoryStream-backed connector standing in for a Kinesis/Kafka
+    // transport: only `stream` differs; sink, merge, checkpointing are
+    // untouched — the seam the prod connector plugs into
+    val mem = MemoryStream[(String, String, java.sql.Timestamp, String, String, Option[String])]
+    val memSource = new graft.streaming.CdcSource {
+      override def stream(s: org.apache.spark.sql.SparkSession) =
+        mem.toDF()
+          .toDF("eventID", "eventName", "approxCreationTs",
+            "sequenceNumber", "keys", "newImage")
+          .withColumn("oldImage", lit(null).cast("string"))
+    }
+    val target = tmp("seam-target"); val ckpt = tmp("seam-ckpt"); val dlq = tmp("seam-dlq")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      ("e1", "INSERT", ts("2024-01-01 00:00:01"), "001", "k1", Some("v1")),
+      ("e2", "MODIFY", ts("2024-01-01 00:00:02"), "002", "k1", Some("v2")),
+      ("e3", "INSERT", ts("2024-01-01 00:00:03"), "003", "k2", Some("w1")))
+    val q = CdcStream.applyPipeline(spark, memSource, target, ckpt, dlq,
+      trigger = Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("k1" -> "v2", "k2" -> "w1"))
+  }
+
   test("writeTarget publishes atomically: a failed write leaves the previous snapshot live") {
     import spark.implicits._
     val target = tmp("atomic-target")
