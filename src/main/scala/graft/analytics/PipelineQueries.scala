@@ -74,6 +74,36 @@ object PipelineQueries {
                      CAST(('0x' || substr($hkeyDuck, 1, 8))::BIGINT % 8 AS INTEGER) AS shard
               FROM documents)""")),
 
+    // ───── cluster-balanced sampling: equal-size per-cluster draws (≤8,
+    // md5-ordered so the draw is deterministic and rand-free) — the
+    // diversity-preserving curation step that stops dominant clusters
+    // from swamping the mix. Sign-LSH buckets stand in for the cluster
+    // id here because the DuckDB oracle must reproduce the clustering;
+    // with trained clusters the same query runs off
+    // Clustering.kmeans/assignToCentroids output (no oracle — float
+    // centroids, documented at V4). One shuffle (the per-bucket window).
+    QuerySpec(
+      "sample_cluster_balanced",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy(col("hkey"), col("vec_id"))
+        Corpus.quantizedVectors(s, d)
+          .withColumn("bucket", Corpus.signBucketCol)
+          .withColumn("hkey", expr("md5(concat('cb_', cast(vec_id as string)))"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 8)
+          .select(col("vec_id"), col("bucket"), col("rk"))
+      },
+      Some(s"""
+        SELECT vec_id, bucket, rk FROM (
+          SELECT vec_id, bucket,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+                                         ORDER BY hkey, vec_id) AS INTEGER) AS rk
+          FROM (SELECT vec_id, ${Corpus.signBucketSql} AS bucket,
+                       md5('cb_' || CAST(vec_id AS VARCHAR)) AS hkey
+                FROM (${Corpus.quantizedVectorsSql})))
+        WHERE rk <= 8""")),
+
     // ───── sequence packing: fill 2048-token context windows per shard.
     // Offset-based packing: docs are laid out in shard order and a doc
     // belongs to the bin its FIRST token falls in (exclusive prefix sum /

@@ -178,6 +178,92 @@ object TextQueries {
                                     w -> ('0x' || substr(md5(w), 1, 10))::BIGINT) AS ws
               FROM documents)""")),
 
+    // ───── PII scrubbing: redact emails and IPv4s before training — the
+    // compliance map stage every corpus pipeline runs. The corpus is
+    // synthetic, so PII is INJECTED deterministically from doc_id (both
+    // engines build the identical dirty text) and then scrubbed with the
+    // same two regexes. Patterns avoid Java-vs-RE2 dialect divergence
+    // (no backrefs, no lookaround, no POSIX classes). Pure per-row map,
+    // 0 exchanges.
+    QuerySpec(
+      "text_pii_scrub",
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        Tables.documents(s, d)
+          .withColumn("dirty", expr(
+            """concat(text, ' contact u', doc_id, '@mail.example.com from 10.',
+                      doc_id % 256, '.', (doc_id * 7) % 256, '.', (doc_id * 13) % 256)"""))
+          .select(
+            col("doc_id"),
+            expr(s"cast(regexp_count(dirty, '$email') as int)").as("n_emails"),
+            expr(s"cast(regexp_count(dirty, '$ip') as int)").as("n_ips"),
+            regexp_replace(regexp_replace(col("dirty"), email, "<EMAIL>"), ip, "<IP>")
+              .as("scrubbed"))
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(dirty,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(dirty,
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ips,
+               regexp_replace(regexp_replace(dirty,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS scrubbed
+        FROM (SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                          || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) AS dirty
+              FROM documents)""")),
+
+    // ───── repetition scoring (Gopher-style): most-frequent-token share
+    // and duplicate-bigram count — the cheap repetition signals that gate
+    // machine-generated/boilerplate text. Integer counts only, and the
+    // `repetitive` flag compares scaled integers (top*5 > n ⇔ share>0.2),
+    // so both engines agree exactly with no float thresholds. Each heavy
+    // HOF is let-bound (one token split per row) and referenced at most
+    // twice (count column + flag) — bounded inlining, not the measured
+    // CollapseProject blowup. Per-row map, 0 exchanges.
+    QuerySpec(
+      "text_repetition",
+      (s, d) => {
+        val topCnt = Corpus.let("toks", "split(text, ' ')",
+          """array_max(transform(array_distinct(toks),
+               t -> size(filter(toks, x -> x = t))))""")
+        val nDistinctBi = Corpus.let("toks", "split(text, ' ')",
+          """size(array_distinct(transform(
+               sequence(1, size(toks) - 1),
+               i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))))""")
+        Tables.documents(s, d)
+          .filter(expr("size(split(text, ' ')) >= 2"))
+          .select(
+            col("doc_id"),
+            expr("cast(size(split(text, ' ')) as int)").as("n_tokens"),
+            expr(s"cast($topCnt as int)").as("top_tok_cnt"),
+            expr(s"cast(size(split(text, ' ')) - 1 - $nDistinctBi as int)").as("n_dup_bigrams"),
+            expr(s"""($topCnt * 5 > size(split(text, ' ')))
+                     or (((size(split(text, ' ')) - 1) - $nDistinctBi) * 5
+                         > size(split(text, ' ')) - 1)""").as("repetitive"))
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(n_tokens AS INTEGER) AS n_tokens,
+               CAST(top_tok_cnt AS INTEGER) AS top_tok_cnt,
+               CAST(n_bigrams - n_distinct_bi AS INTEGER) AS n_dup_bigrams,
+               (top_tok_cnt * 5 > n_tokens
+                 OR (n_bigrams - n_distinct_bi) * 5 > n_bigrams) AS repetitive
+        FROM (
+          SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 list_max(list_transform(list_distinct(toks),
+                   t -> len(list_filter(toks, x -> x = t)))) AS top_tok_cnt,
+                 len(toks) - 1 AS n_bigrams,
+                 len(list_distinct([toks[i] || ' ' || toks[i+1]
+                                    for i in range(1, len(toks))])) AS n_distinct_bi
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 2)""")),
+
     // ───── normalization: lowercase, strip non-alphanumerics, squeeze
     // whitespace — the canonical-form step before exact dedup/hashing.
     // ONE regex pass: a run of non-alphanumerics (spaces included)

@@ -413,4 +413,25 @@ object CdcStream {
     cdc.withWatermark("approxCreationTs", watermark)
       .groupBy(session_window(col("approxCreationTs"), gap), col("keys"))
       .agg(count(lit(1)).as("n"))
+
+  /** Stream-stream INTERVAL join (T9): correlate each CDC event with the
+    * control-plane event that triggered it — same key, CDC event time
+    * within [ctrlTs, ctrlTs + maxDelay] (the streaming form of the batch
+    * `join_range`; e.g. attributing replay traffic to the RESTORE_STARTED
+    * that caused it). Both sides are watermarked and the join condition
+    * bounds event-time distance, so Spark derives a state-eviction bound
+    * for BOTH join state stores — state holds one interval's worth of
+    * rows per side, not the whole streams. `control` must carry
+    * (ctrlKey, ctrlTs, ...); an inner join, so matches emit immediately.
+    */
+  def correlateWithControl(cdc: DataFrame, control: DataFrame,
+                           maxDelay: String = "10 minutes",
+                           watermark: String = "10 minutes"): DataFrame = {
+    val l = cdc.withWatermark("approxCreationTs", watermark)
+    val r = control.withWatermark("ctrlTs", watermark)
+    l.join(r,
+      l("keys") === r("ctrlKey") &&
+        l("approxCreationTs") >= r("ctrlTs") &&
+        l("approxCreationTs") <= r("ctrlTs") + expr(s"interval $maxDelay"))
+  }
 }

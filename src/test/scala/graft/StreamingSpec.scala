@@ -485,6 +485,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(_._1 == "k2").map(_._2).toSet == Set("3", "10"))
   }
 
+  test("stream-stream interval join correlates CDC events with control events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cdcMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val ctrlMem = MemoryStream[(String, java.sql.Timestamp, String)]
+    val cdc = cdcMem.toDF().toDF("keys", "eventID", "approxCreationTs")
+    val ctrl = ctrlMem.toDF().toDF("ctrlKey", "ctrlTs", "action")
+    val q = CdcStream.correlateWithControl(cdc, ctrl, maxDelay = "10 minutes")
+      .select("eventID", "action")
+      .writeStream.format("memory").queryName("corr_out")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    ctrlMem.addData(("k1", ts("2024-01-01 00:00:00"), "RESTORE_STARTED"))
+    cdcMem.addData(
+      ("k1", "e1", ts("2024-01-01 00:05:00")), // in [ctrl, ctrl+10m] — match
+      ("k1", "e2", ts("2024-01-01 00:20:00")), // past the interval — no match
+      ("k2", "e3", ts("2024-01-01 00:06:00"))) // no control event — no match
+    q.processAllAvailable()
+    val rows = spark.table("corr_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(rows == Set(("e1", "RESTORE_STARTED")))
+  }
+
   test("statefulLatest: an event-time-idle key is evicted from the state store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
