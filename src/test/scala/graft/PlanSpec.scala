@@ -85,6 +85,17 @@ class PlanSpec extends SparkSpec {
       plan("ann_brute_topk").contains("BroadcastHashJoin"))
   }
 
+  test("r4 text ops are pure per-row maps: zero exchanges") {
+    Seq("text_pii_scrub", "text_repetition").foreach { q =>
+      assert(!plan(q).contains("Exchange"), s"$q shuffles: ${plan(q)}")
+    }
+  }
+
+  test("sample_cluster_balanced: exactly the one per-bucket window exchange") {
+    val p = plan("sample_cluster_balanced")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("ann_ivf: zero-shuffle assignment — one hash exchange total (the top-k window)") {
     // the coarse assignment is a per-row literal-centroid argmax, so the
     // ONLY hash exchange left is the final per-query top-k window; the
