@@ -15,10 +15,11 @@ import graft.functions.VectorFunctions
   *  - exact dups: every 3rd document repeated verbatim (same doc_id —
   *    a true duplicate delivery, so full-row dedup is deterministic);
   *  - near dups: every 5th document with its first 3 words dropped,
-  *    re-keyed to doc_id+100000;
+  *    re-keyed to doc_id+VariantOffset (10^11 — collision-proof at any
+  *    realistic corpus size);
   *  - embedding near dups: every 7th vector with its last 4 components
-  *    zeroed, re-keyed to vec_id+100000 (keeps the sign-LSH bucket, which
-  *    is derived from the first components, stable).
+  *    zeroed, re-keyed to vec_id+VariantOffset (keeps the sign-LSH bucket,
+  *    which is derived from the first components, stable).
   *
   * Numeric determinism contract (same spirit as the dsum pattern in the
   * relational queries): every similarity score is computed from exact
@@ -56,23 +57,33 @@ object Corpus {
     frameCache.computeIfAbsent((app, d, name), _ => build.persist())
   }
 
-  /** documents ∪ near-dup variants (doc_id+100000, first 3 words dropped). */
+  /** Re-key offset for injected near-dup variants. 10^11 sits far above
+    * any realistic doc/vec id (a 100 TB corpus is ~10^10 documents), so a
+    * variant id can never collide with an original id — the previous
+    * +100000 offset collided with originals at corpora past 100k rows,
+    * corrupting id-range subset filters.
+    */
+  val VariantOffset: Long = 100000000000L
+
+  /** documents ∪ near-dup variants (doc_id+[[VariantOffset]], first 3
+    * words dropped).
+    */
   def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val variants = docs
       .filter(col("doc_id") % 5 === 0 && size(split(col("text"), " ")) > 6)
       .select(
-        (col("doc_id") + 100000).as("doc_id"),
+        (col("doc_id") + VariantOffset).as("doc_id"),
         expr("array_join(slice(split(text, ' '), 4, size(split(text, ' ')) - 3), ' ')")
           .as("text"))
     docs.unionByName(variants)
   }
 
   /** Oracle-side mirror of [[docsWithNearDups]] (DuckDB SQL fragment). */
-  val docsWithNearDupsSql: String = """
+  val docsWithNearDupsSql: String = s"""
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 100000 AS doc_id,
+    SELECT doc_id + $VariantOffset AS doc_id,
            array_to_string(string_split(text, ' ')[4:], ' ') AS text
     FROM documents
     WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) > 6"""
@@ -139,15 +150,15 @@ object Corpus {
                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
           FROM embeddings)"""
 
-  /** quantized vectors ∪ near-dup variants (vec_id+100000, last 4 of the 64
-    * components zeroed — cos(orig, variant)² = Σ₆₀/Σ₆₄ ≈ 0.94).
+  /** quantized vectors ∪ near-dup variants (vec_id+[[VariantOffset]], last
+    * 4 of the 64 components zeroed — cos(orig, variant)² = Σ₆₀/Σ₆₄ ≈ 0.94).
     */
   def vecsWithNearDups(s: SparkSession, d: String): DataFrame = {
     val base = quantizedVectors(s, d)
     val variants = base
       .filter(col("vec_id") % 7 === 0)
       .select(
-        (col("vec_id") + 100000).as("vec_id"),
+        (col("vec_id") + VariantOffset).as("vec_id"),
         expr("concat(slice(qv, 1, 60), array(0L, 0L, 0L, 0L))").as("qv"))
       .withColumn("nn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
     base.unionByName(variants)
@@ -159,7 +170,7 @@ object Corpus {
     FROM (
       SELECT vec_id, qv FROM ($quantizedVectorsSql)
       UNION ALL
-      SELECT vec_id + 100000 AS vec_id,
+      SELECT vec_id + $VariantOffset AS vec_id,
              qv[1:60] || [0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT] AS qv
       FROM ($quantizedVectorsSql) WHERE vec_id % 7 = 0)"""
 

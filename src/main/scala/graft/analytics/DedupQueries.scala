@@ -223,16 +223,19 @@ object DedupQueries {
 
     // ───── exact n-gram Jaccard baseline on a bounded subset — the verify
     // primitive; full-corpus discovery belongs to minhash_lsh above.
-    // The subset is ABSOLUTELY capped: block 0's first 60 originals plus
-    // their variants (doc_id+100000) — ≤120 docs at ANY corpus size, so
-    // the pairwise stage stays O(1) as the corpus grows (the bare modulo
-    // admitted 60 docs per 100k-id block, quadratic again in disguise)
+    // The subset is ABSOLUTELY capped: the first 60 originals plus their
+    // variants (doc_id+VariantOffset — an id range no original can reach)
+    // — ≤120 docs at ANY corpus size, so the pairwise stage stays O(1) as
+    // the corpus grows (the earlier bare modulo admitted 60 docs per
+    // block, quadratic again in disguise)
     QuerySpec(
       "dedup_ngram_jaccard",
       (s, d) => {
+        val off = Corpus.VariantOffset
         val sub = Corpus.withShingles(
           Corpus.docsWithNearDups(s, d)
-            .filter(col("doc_id") % 100000 < 60 && col("doc_id") < 200000))
+            .filter(col("doc_id") < 60 ||
+              (col("doc_id") >= off && col("doc_id") < off + 60)))
         sub.as("a")
           .join(sub.as("b"), col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -242,7 +245,9 @@ object DedupQueries {
       },
       Some(s"""
         WITH corpus AS (${Corpus.docsWithNearDupsSql}),
-        sub AS (${Corpus.shinglesSql("corpus")} AND doc_id % 100000 < 60 AND doc_id < 200000),
+        sub AS (${Corpus.shinglesSql("corpus")}
+                AND (doc_id < 60 OR (doc_id >= ${Corpus.VariantOffset}
+                                     AND doc_id < ${Corpus.VariantOffset} + 60))),
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)

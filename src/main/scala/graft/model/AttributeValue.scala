@@ -197,8 +197,6 @@ object AttributeValue {
                          hints: Map[String, String]): Unit = {
     require(p.nextToken() == JsonToken.START_OBJECT,
       "item must be a JSON object")
-    hints.valuesIterator.foreach(t => require(SetTags.contains(t),
-      s"set hint tag must be one of $SetTags, got $t"))
     g.writeStartObject()
     while (p.nextToken() == JsonToken.FIELD_NAME) {
       val name = p.currentName()
@@ -261,6 +259,11 @@ object AttributeValue {
     g.writeStartArray()
     var n = 0
     tag match {
+      case "SS" | "BS" | "NS" => ()
+      case other => throw new IllegalArgumentException(
+        s"set hint tag must be one of $SetTags, got $other (path '$path')")
+    }
+    tag match {
       case "SS" | "BS" =>
         val seen = new java.util.LinkedHashSet[String]()
         while (p.nextToken() != JsonToken.END_ARRAY) {
@@ -307,11 +310,17 @@ object AttributeValue {
     * directly). `ddb_encode_set(json, 'tags:SS,meta.ids:NS')` is the SQL
     * spelling of the hinted encode.
     */
+  // the spec string is constant per query but the UDF sees it per ROW:
+  // memoize the parsed Map so N rows cost one parse, not N
+  private val hintSpecCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("ddb_decode", (s: String) => decode(s))
     spark.udf.register("ddb_encode", (s: String) => encode(s))
     spark.udf.register("ddb_encode_set",
-      (s: String, spec: String) => encode(s, parseSetHints(spec)))
+      (s: String, spec: String) =>
+        encode(s, hintSpecCache.computeIfAbsent(spec, parseSetHints)))
   }
 }
 
@@ -352,6 +361,13 @@ case class DdbEncode(child: org.apache.spark.sql.catalyst.expressions.Expression
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   import org.apache.spark.sql.types.{DataType, StringType}
+
+  // hint tags are plan-time knowledge: fail at expression construction,
+  // not once per row in eval
+  setHints.foreach { case (p, t) =>
+    require(Set("SS", "NS", "BS").contains(t),
+      s"set hint for '$p' must be SS|NS|BS, got $t")
+  }
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -69,19 +69,26 @@ object CdcStream {
     * stale short sequence beat a longer newer one.
     */
   def applyBatch(target: DataFrame, batch: DataFrame): DataFrame = {
-    val delta = CdcOps
+    val t =
+      if (target.columns.contains("sequenceNumber")) target
+      else target.withColumn("sequenceNumber", lit(null).cast("string"))
+    CdcOps.mergeLww(t, compactDelta(batch), keys = Seq("keys"),
+      opCol = "op", seqCol = "sequenceNumber", payload = Seq("newImage"))
+  }
+
+  /** Compacted per-key delta of one raw CDC micro-batch: dedup →
+    * numeric-sequence LWW → PUT/DELETE plan. The ONE delta definition —
+    * [[applyBatch]] (the pure merge) and [[applySink]] (the snapshot-store
+    * sink) both build from it, so the two apply paths cannot drift.
+    */
+  def compactDelta(batch: DataFrame): DataFrame =
+    CdcOps
       .lwwCompact(
         CdcOps.dedup(batch, Seq("eventID")),
         keys = Seq("keys"),
         order = CdcOps.numericStringOrder(col("sequenceNumber")))
       .withColumn("op", CdcOps.applyPlan(col("eventName"), CdcSchema.Remove))
       .select(col("keys"), col("op"), col("sequenceNumber"), col("newImage"))
-    val t =
-      if (target.columns.contains("sequenceNumber")) target
-      else target.withColumn("sequenceNumber", lit(null).cast("string"))
-    CdcOps.mergeLww(t, delta, keys = Seq("keys"),
-      opCol = "op", seqCol = "sequenceNumber", payload = Seq("newImage"))
-  }
 
   /** Retry an action with the reference's backoff schedule: 1 s initial,
     * ×2, `attempts` tries (cdk/lib/state-machine.json:31-33). Returns the
@@ -116,8 +123,17 @@ object CdcStream {
     var c = e
     while (c != null) {
       if (c.isInstanceOf[InterruptedException]) return true
-      val m = c.getMessage
-      if (m != null && (m.contains("cancelled") || m.contains("canceled"))) return true
+      // message sniffing is restricted to Spark's OWN exception type:
+      // query.stop() cancels the batch's jobs, surfacing as
+      // SparkException("Job ... cancelled"). A data-plane error that
+      // merely CONTAINS "cancelled" (e.g. a wrapped IO failure) must
+      // stay deadletter-eligible, not crash-loop the query.
+      c match {
+        case se: org.apache.spark.SparkException =>
+          val m = se.getMessage
+          if (m != null && (m.contains("cancelled") || m.contains("canceled"))) return true
+        case _ => ()
+      }
       c = c.getCause
     }
     Thread.currentThread().isInterrupted
@@ -154,9 +170,11 @@ object CdcStream {
     * publication is ATOMIC (see [[SnapshotStore.mergeIntoTarget]]): a
     * batch that fails mid-write — including inside the retry loop — leaves
     * the previous snapshot live, never a partial or empty table. Per-batch
-    * cost is O(|delta| + touched buckets), NOT O(|target|): the merge
-    * rewrites only the key-range buckets the batch touches, which is the
-    * reference's own cost model (`batch_write_item` is key-addressed,
+    * cost is O(|delta|), NOT O(|target|) and not even O(|touched
+    * buckets|): the delta is APPENDED as merge-on-read segments and
+    * resolved by readers' LWW pass, with per-bucket chains folded at
+    * [[SnapshotStore.FoldThreshold]] — the reference's own cost model
+    * (`batch_write_item` is key-addressed,
     * app/lambdas/lambda-backfill/main.py:44-46).
     */
   def applySink(cdc: DataFrame, targetDir: String, checkpointDir: String,
@@ -170,33 +188,32 @@ object CdcStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val full = batch.toDF().localCheckpoint(true) // batch reused twice
-        val poison = full.filter(isPoison)
-        if (!poison.isEmpty)
-          poison
-            .withColumn("error",
-              when(col("newImage").isNull, lit("poison: PUT without image"))
-                .otherwise(lit(s"poison: image exceeds $MaxImageBytes-byte queue budget")))
-            .withColumn("batchId", lit(batchId))
-            .write.mode("append").parquet(deadletterDir)
-        val valid = full.filter(!isPoison)
         try {
-          withRetry(retryAttempts, sleep = retrySleep) {
-            val delta = CdcOps
-              .lwwCompact(
-                CdcOps.dedup(valid, Seq("eventID")),
-                keys = Seq("keys"),
-                order = CdcOps.numericStringOrder(col("sequenceNumber")))
-              .withColumn("op", CdcOps.applyPlan(col("eventName"), CdcSchema.Remove))
-              .select(col("keys"), col("op"), col("sequenceNumber"), col("newImage"))
-            SnapshotStore.mergeIntoTarget(spark, targetDir, delta, batchId)
-          }
-        } catch {
-          case e: Throwable if isShutdownFailure(e) => throw e // replay on restart
-          case scala.util.control.NonFatal(e) =>
-            valid
-              .withColumn("error", lit(e.getMessage))
+          val poison = full.filter(isPoison)
+          if (!poison.isEmpty)
+            poison
+              .withColumn("error",
+                when(col("newImage").isNull, lit("poison: PUT without image"))
+                  .otherwise(lit(s"poison: image exceeds $MaxImageBytes-byte queue budget")))
               .withColumn("batchId", lit(batchId))
               .write.mode("append").parquet(deadletterDir)
+          val valid = full.filter(!isPoison)
+          try {
+            withRetry(retryAttempts, sleep = retrySleep) {
+              SnapshotStore.mergeIntoTarget(spark, targetDir, compactDelta(valid), batchId)
+            }
+          } catch {
+            case e: Throwable if isShutdownFailure(e) => throw e // replay on restart
+            case scala.util.control.NonFatal(e) =>
+              valid
+                .withColumn("error", lit(e.getMessage))
+                .withColumn("batchId", lit(batchId))
+                .write.mode("append").parquet(deadletterDir)
+          }
+        } finally {
+          // the eager checkpoint pins blocks in the block manager; a 5 s
+          // trigger would accumulate one block set per batch until GC
+          full.unpersist(); ()
         }
         ()
       }

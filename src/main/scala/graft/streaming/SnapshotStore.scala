@@ -15,43 +15,52 @@ import graft.ops.CdcOps
   * (app/lambdas/lambda-backfill/main.py:44-46). The round-3 sink modeled
   * the table as ONE parquet snapshot rewritten per micro-batch — O(|target|)
   * per 5-second batch, the scale-killer at a 100 TB target. This store
-  * restores the reference's cost model with copy-on-write at BUCKET
+  * restores the reference's cost model with MERGE-ON-READ at bucket
   * granularity:
   *
   * {{{
   * targetDir/
   *   _CURRENT                      # names the live manifest file (the commit)
-  *   manifest-<batch>-<nonce>      # "v1 buckets=N" + lines "<bucket>\t<relpath>"
+  *   _LOCK                         # cross-JVM writer lock (create-if-absent)
+  *   manifest-<batch>-<nonce>      # "v2 buckets=N" + lines "<bucket>\t<seg>;<seg>..."
   *   data-<batch>-<nonce>/         # one publish's parquet output
-  *     __bucket=K/part-*.parquet   # one key-range bucket of the table
+  *     __bucket=K/part-*.parquet   # one key-range bucket's segment
   * }}}
   *
-  * A row lives in bucket `pmod(xxhash64(keys), N)`. A micro-batch merge
-  * reads ONLY the buckets its delta touches, merges, rewrites those buckets
-  * into a fresh `data-*` dir, and publishes a manifest that references the
-  * new dirs for touched buckets and the PRIOR manifest's dirs — by name,
-  * no copy — for everything else. Per-batch I/O is O(|delta| + |touched
-  * buckets|), so at 1000 executors the sink keeps up with the stream
-  * regardless of accumulated table size (with N sized so one bucket fits a
-  * task: ~4096 buckets for 100 TB ≈ 25 GB/bucket; N is recorded in the
-  * manifest, so readers and subsequent merges always agree).
+  * A row lives in bucket `pmod(xxhash64(keys), N)`; each bucket is a CHAIN
+  * of segments (parquet dirs carrying op + sequenceNumber). A micro-batch
+  * merge APPENDS the compacted delta as one new segment per touched bucket
+  * — per-batch write is O(|delta|), never O(|touched bucket contents|), so
+  * a batch whose keys span every bucket (the uniform-hash common case)
+  * still writes only its own rows. Readers resolve a key's state by the
+  * same LWW rule the engine uses everywhere: per-key max sequence across
+  * the chain wins; a winning DELETE means absent ([[readTarget]]). Read
+  * amplification is bounded: a bucket whose chain would exceed
+  * [[FoldThreshold]] is FOLDED during that batch's publish (its chain is
+  * compacted to a single applied-state segment), amortizing O(bucket)/
+  * FoldThreshold per batch — the same base-plus-delta-log design as
+  * merge-on-read lakehouse tables. [[compactTarget]] folds every bucket.
   *
   * All paths go through `org.apache.hadoop.fs.FileSystem` — the store runs
   * unchanged on file:// and hdfs:// (HDFS rename IS atomic). Publication:
   *
-  *  1. write the new data dir (crash here: garbage, GC'd later; the live
+  *  1. acquire the per-target WRITER LOCK: the JVM monitor serializes
+  *     writers in-process, and `_LOCK` (atomic create-if-absent, stale
+  *     takeover after [[StaleLockMs]]) serializes writers across JVMs —
+  *     the interleaving where a concurrent compactor resolves an old
+  *     basis, publishes after a sink batch, and silently reverts it
+  *     cannot start, and GC can never delete another in-flight writer's
+  *     manifest (the GC runs only while holding the lock).
+  *  2. write the new data dir (crash here: garbage, GC'd later; the live
   *     manifest never referenced it)
-  *  2. write the new manifest file (same: unreferenced until the swap)
-  *  3. COMMIT = atomic rename of a temp pointer over `_CURRENT`
-  *     (`FileContext.rename(OVERWRITE)`), guarded by a compare-and-swap:
-  *     the pointer is re-read under the store's per-target lock and must
-  *     still name the manifest this write was BASED on, else the publish
-  *     aborts with `ConcurrentModificationException` (caller retries from
-  *     the new basis). The lock serializes sink batches and compaction in
-  *     one JVM; the CAS makes a cross-JVM racer fail loudly instead of
-  *     silently reverting a committed batch. (A pure object store with no
-  *     atomic rename would need a conditional-put for step 3; HDFS and
-  *     POSIX are covered.)
+  *  3. write the new manifest file (same: unreferenced until the swap)
+  *  4. COMMIT = atomic rename of a temp pointer over `_CURRENT`
+  *     (`FileContext.rename(OVERWRITE)`), still guarded by a
+  *     compare-and-swap re-read of the basis — with the file lock this is
+  *     belt-and-suspenders; without it (e.g. a pure object store with no
+  *     atomic create or rename) the CAS alone narrows but does NOT close
+  *     the race, and step 4 would need a conditional-put. HDFS and POSIX
+  *     are covered.
   *
   * GC is pointer-derived, never recency-derived: after a successful swap,
   * everything not referenced by the NEW manifest or the manifest that was
@@ -64,6 +73,9 @@ object SnapshotStore {
   /** Pointer file naming the live manifest of a target. */
   val CurrentPointer = "_CURRENT"
 
+  /** Cross-JVM writer lock file (create-if-absent; stale-broken). */
+  val LockFile = "_LOCK"
+
   /** Partition column used for the bucket layout (dropped on read). */
   val BucketCol = "__bucket"
 
@@ -73,8 +85,26 @@ object SnapshotStore {
     */
   val DefaultBuckets = 32
 
-  /** bucket -> data path relative to targetDir (absent bucket = empty). */
-  final case class Manifest(numBuckets: Int, buckets: Map[Int, String])
+  /** Max segments per bucket before a publish folds that bucket's chain
+    * into one applied-state segment. Bounds read amplification at
+    * ~FoldThreshold small segments per bucket while keeping the per-batch
+    * fold cost at |buckets|/FoldThreshold-th of the table per batch in
+    * the steady state.
+    */
+  val FoldThreshold = 8
+
+  /** A lock older than this is assumed to belong to a dead JVM and is
+    * broken by the next writer.
+    */
+  val StaleLockMs: Long = 10 * 60 * 1000L
+
+  /** How long a writer waits for the lock before failing loudly. */
+  val LockWaitMs: Long = 120 * 1000L
+
+  /** bucket -> ordered segment chain, paths relative to targetDir
+    * (absent bucket = empty; chain order is append order, oldest first).
+    */
+  final case class Manifest(numBuckets: Int, buckets: Map[Int, Seq[String]])
 
   /** Key-range bucket of a row: deterministic, version-stable 64-bit hash
     * (same xxhash64 the dedup pipeline uses) mod the table's bucket count.
@@ -84,10 +114,6 @@ object SnapshotStore {
 
   // ---------------------------------------------------------------- locking
 
-  /** One writer at a time per target (ADVICE: a compaction racing a sink
-    * publish could retire the sink's committed snapshot — lost update).
-    * Keyed by the qualified path so `/t`, `/t/`, `file:/t` share a lock.
-    */
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def lockFor(spark: SparkSession, targetDir: String): Object = {
@@ -100,6 +126,43 @@ object SnapshotStore {
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(hconf(spark))
+
+  /** One writer at a time per target — in-process via the JVM monitor,
+    * cross-JVM via `_LOCK` (atomic create-if-absent on HDFS/POSIX; a lock
+    * whose mtime is older than [[StaleLockMs]] is broken as a dead JVM's
+    * leftover). Always released, including on failed publishes.
+    */
+  private def withTargetLock[A](spark: SparkSession, targetDir: String)(body: => A): A =
+    lockFor(spark, targetDir).synchronized {
+      val fs = fsOf(spark, targetDir)
+      fs.mkdirs(new Path(targetDir))
+      val lock = new Path(targetDir, LockFile)
+      val deadline = System.currentTimeMillis() + LockWaitMs
+      var acquired = false
+      while (!acquired) {
+        try {
+          val out = fs.create(lock, false) // atomic create-if-absent
+          try out.write(
+            s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n"
+              .getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          acquired = true
+        } catch {
+          case _: java.io.IOException =>
+            val stale =
+              try System.currentTimeMillis() -
+                fs.getFileStatus(lock).getModificationTime > StaleLockMs
+              catch { case _: java.io.FileNotFoundException => false } // racer released
+            if (stale) { fs.delete(lock, false); () }
+            else if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"could not acquire writer lock $lock within ${LockWaitMs / 1000}s " +
+                  "(another writer is live, or a dead JVM's lock is not yet stale)")
+            else Thread.sleep(50)
+        }
+      }
+      try body finally { fs.delete(lock, false); () }
+    }
 
   // ------------------------------------------------------------- manifest IO
 
@@ -127,19 +190,20 @@ object SnapshotStore {
   }
 
   private def renderManifest(m: Manifest): String =
-    (s"v1 buckets=${m.numBuckets}" +:
-      m.buckets.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
-      .mkString("\n")
+    (s"v2 buckets=${m.numBuckets}" +:
+      m.buckets.toSeq.sortBy(_._1).map { case (b, segs) =>
+        s"$b\t${segs.mkString(";")}"
+      }).mkString("\n")
 
   private def parseManifest(text: String, name: String): Manifest = {
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
     val header = lines.headOption.getOrElse(
       throw new IllegalStateException(s"manifest '$name' is empty"))
-    require(header.startsWith("v1 buckets="), s"manifest '$name': bad header '$header'")
-    val n = header.stripPrefix("v1 buckets=").toInt
+    require(header.startsWith("v2 buckets="), s"manifest '$name': bad header '$header'")
+    val n = header.stripPrefix("v2 buckets=").toInt
     val entries = lines.tail.map { l =>
       val Array(b, p) = l.split("\t", 2)
-      b.toInt -> p
+      b.toInt -> p.split(";").toSeq
     }.toMap
     Manifest(n, entries)
   }
@@ -170,28 +234,62 @@ object SnapshotStore {
         org.apache.spark.sql.types.StructField("newImage",
           org.apache.spark.sql.types.StringType))))
 
-  /** Current target snapshot. Resolution order:
-    *  1. `_CURRENT` → manifest → union of its bucket dirs (missing manifest
-    *     FAILS LOUDLY; a zero-bucket manifest is the canonical empty table).
+  /** Missing merge metadata backfilled: a frame without the sequence or op
+    * column (a pre-seeded restore snapshot, or a `writeTarget` of applied
+    * state) is all-PUT with a null sequence, so every real delta outranks it.
+    */
+  private def mergeReady(df: DataFrame, opCol: String, seqCol: String): DataFrame = {
+    val withSeq =
+      if (df.columns.contains(seqCol)) df
+      else df.withColumn(seqCol, lit(null).cast("string"))
+    if (withSeq.columns.contains(opCol)) withSeq
+    else withSeq.withColumn(opCol, lit("PUT"))
+  }
+
+  /** The engine's one LWW rule as a READ: per-key winner by numeric
+    * sequence order (raw-rendering tiebreak makes it total), winning
+    * DELETE = key absent. Null op (metadata-less seed rows) counts as PUT.
+    */
+  private def compactState(df: DataFrame, keys: Seq[String],
+                           opCol: String, seqCol: String): DataFrame =
+    CdcOps.lwwCompact(df, keys, CdcOps.numericStringOrder(col(seqCol)))
+      .filter(!coalesce(col(opCol) === "DELETE", lit(false)))
+
+  private def segmentPaths(targetDir: String, m: Manifest): Seq[Path] =
+    m.buckets.toSeq.sortBy(_._1).flatMap(_._2).map(rel => new Path(targetDir, rel))
+
+  /** Current target snapshot (applied state — tombstones resolved).
+    * Resolution order:
+    *  1. `_CURRENT` → manifest → union of all segment chains, read-side
+    *     LWW compact when the segments carry merge metadata (missing
+    *     manifest/segments FAIL LOUDLY; a zero-bucket manifest is the
+    *     canonical empty table). The op column is resolved away; the
+    *     sequence column stays (it is the per-key applied watermark).
     *  2. No pointer, flat parquet files in `targetDir` → read them (a
     *     pre-seeded snapshot, e.g. the PITR restore output).
     *  3. Nothing → empty-but-schema'd frame (first batch of a fresh target).
     */
-  def readTarget(spark: SparkSession, targetDir: String): DataFrame =
+  def readTarget(spark: SparkSession, targetDir: String,
+                 keys: Seq[String] = Seq("keys"), opCol: String = "op",
+                 seqCol: String = "sequenceNumber"): DataFrame =
     currentManifest(spark, targetDir) match {
       case Some((name, m)) =>
         if (m.buckets.isEmpty) emptyCanonical(spark)
         else {
           val fs = fsOf(spark, targetDir)
-          val paths = m.buckets.toSeq.sortBy(_._1).map(e => new Path(targetDir, e._2))
+          val paths = segmentPaths(targetDir, m)
           paths.find(!fs.exists(_)).foreach { p =>
             throw new IllegalStateException(
               s"manifest '$name' references missing snapshot data '$p' — refusing " +
                 "to continue from a partial table")
           }
-          // mergeSchema: bucket dirs can span schema vintages (e.g. a
+          // mergeSchema: segments can span schema vintages (e.g. a
           // pre-seeded snapshot merged incrementally); footer-only cost
-          spark.read.option("mergeSchema", "true").parquet(paths.map(_.toString): _*)
+          val df = spark.read.option("mergeSchema", "true")
+            .parquet(paths.map(_.toString): _*)
+          // metadata-less table (pure writeTarget publish): already state
+          if (!df.columns.contains(opCol)) df
+          else compactState(df, keys, opCol, seqCol).drop(opCol)
         }
       case None =>
         val fs = fsOf(spark, targetDir)
@@ -207,7 +305,9 @@ object SnapshotStore {
   /** Atomic, CAS-guarded pointer swap (callers hold the target lock).
     * `basis` is the manifest name the writer read before computing — None
     * for a fresh table. A mismatch means another writer committed since;
-    * aborting here is what prevents the lost-update interleaving.
+    * aborting here is what prevents the lost-update interleaving. With
+    * the `_LOCK` file held this cannot fire cross-JVM either; it remains
+    * as a fail-loud invariant check.
     */
   private[graft] def casSwapPointer(spark: SparkSession, targetDir: String,
                                         newManifest: String, basis: Option[String]): Unit = {
@@ -227,7 +327,7 @@ object SnapshotStore {
 
   /** Delete everything not referenced by the retained manifests, at
     * bucket-subdir granularity (an old `data-*` dir stays alive as long as
-    * ANY retained manifest still references one of its buckets).
+    * ANY retained manifest still references one of its segments).
     */
   private def gc(fs: FileSystem, targetDir: String, retainManifests: Set[String],
                  retainData: Set[String]): Unit = {
@@ -254,11 +354,18 @@ object SnapshotStore {
   }
 
   /** Write `data`'s buckets as a fresh data dir and commit a manifest of
-    * `keep ++ <what materialized>`. Callers hold the target lock and pass
-    * the basis their `keep` map came from.
+    * `keepChains` (untouched buckets, verbatim) plus, for every bucket
+    * this publish materialized, `prefixChains(bucket) :+ <new segment>`
+    * (append mode; an absent prefix = the segment stands alone — the
+    * fold / full-write case). A prefix bucket that materializes nothing
+    * was folded to empty (every key deleted) and drops from the manifest.
+    * Callers hold the target lock and pass the basis their chains came
+    * from.
     */
   private def publish(spark: SparkSession, targetDir: String, data: DataFrame,
-                      keep: Map[Int, String], basis: Option[String],
+                      keepChains: Map[Int, Seq[String]],
+                      prefixChains: Map[Int, Seq[String]],
+                      basis: Option[String],
                       batchId: Long, numBuckets: Int): Unit = {
     val fs = fsOf(spark, targetDir)
     fs.mkdirs(new Path(targetDir))
@@ -276,7 +383,10 @@ object SnapshotStore {
         val b = s.getPath.getName.stripPrefix(s"$BucketCol=").toInt
         b -> s"$dataName/${s.getPath.getName}"
       }.toMap
-    val manifest = Manifest(numBuckets, keep ++ written)
+    val manifest = Manifest(numBuckets,
+      keepChains ++ written.map { case (b, path) =>
+        b -> (prefixChains.getOrElse(b, Nil) :+ path)
+      })
     val manifestName = f"manifest-$batchId%012d-$nonce"
     writeFile(fs, new Path(targetDir, manifestName), renderManifest(manifest))
     casSwapPointer(spark, targetDir, manifestName, basis)
@@ -284,45 +394,39 @@ object SnapshotStore {
     // readable for readers that resolved the pointer just before it
     val graceData = basis.toSeq.flatMap { b =>
       val mf = new Path(targetDir, b)
-      if (fs.exists(mf)) parseManifest(readFully(fs, mf), b).buckets.values else Nil
+      if (fs.exists(mf)) parseManifest(readFully(fs, mf), b).buckets.values.flatten else Nil
     }
     gc(fs, targetDir,
       retainManifests = Set(manifestName) ++ basis,
-      retainData = manifest.buckets.values.toSet ++ graceData)
+      retainData = manifest.buckets.values.flatten.toSet ++ graceData)
   }
 
   /** Full (non-pruned) publish of `df` as the new table state — the seed /
-    * compaction path. Bucket count comes from the live manifest when one
-    * exists (the table's N is fixed), else `numBuckets`.
+    * compaction path (every bucket becomes a single-segment chain).
+    * Bucket count comes from the live manifest when one exists (the
+    * table's N is fixed), else `numBuckets`.
     */
   def writeTarget(df: DataFrame, targetDir: String, batchId: Long,
                   keys: Seq[String] = Seq("keys"),
                   numBuckets: Int = DefaultBuckets): Unit = {
     val spark = df.sparkSession
-    lockFor(spark, targetDir).synchronized {
+    withTargetLock(spark, targetDir) {
       val basis = currentManifest(spark, targetDir)
       val n = basis.map(_._2.numBuckets).getOrElse(numBuckets)
       publish(spark, targetDir, df.withColumn(BucketCol, bucketExpr(keys, n)),
-        keep = Map.empty, basis = basis.map(_._1), batchId, n)
+        keepChains = Map.empty, prefixChains = Map.empty,
+        basis = basis.map(_._1), batchId, n)
     }
   }
 
-  /** A snapshot read for merging: union schemas across mixed-vintage
-    * bucket dirs (footer-only cost) and backfill a missing sequence
-    * column — a pre-seeded restore snapshot has no applied-sequence
-    * history, so every delta outranks it.
-    */
-  private def mergeReady(df: DataFrame, seqCol: String): DataFrame =
-    if (df.columns.contains(seqCol)) df
-    else df.withColumn(seqCol, lit(null).cast("string"))
-
-  /** The partition-pruned merge — the streaming sink's per-batch apply.
-    * Reads ONLY the buckets `delta` touches, merges
-    * ([[graft.ops.CdcOps.mergeLww]]: a PUT upserts and a DELETE drops the
-    * key, but only when the delta's sequence outranks the target's),
-    * rewrites those buckets, and re-references every untouched bucket from
-    * the basis manifest. Cost is O(|delta| + |touched buckets|); an empty
-    * delta publishes nothing.
+  /** The O(|delta|) merge — the streaming sink's per-batch apply. The
+    * compacted delta is APPENDED as one new segment per touched bucket:
+    * no existing bucket content is read or rewritten, so per-batch I/O is
+    * the delta's own rows even when the delta's keys span every bucket.
+    * Buckets whose chain would exceed [[FoldThreshold]] are folded in the
+    * same publish (chain + delta compacted to one applied-state segment),
+    * bounding read amplification; every publish commits through the
+    * locked CAS swap.
     *
     * `delta` must carry `keys ++ opCol ++ seqCol ++ payload`, already
     * deduped and LWW-compacted (one row per key).
@@ -332,56 +436,83 @@ object SnapshotStore {
                       opCol: String = "op", seqCol: String = "sequenceNumber",
                       payload: Seq[String] = Seq("newImage"),
                       numBuckets: Int = DefaultBuckets): Unit =
-    lockFor(spark, targetDir).synchronized {
+    withTargetLock(spark, targetDir) {
+      val outCols = (keys ++ Seq(opCol, seqCol) ++ payload).map(col)
       currentManifest(spark, targetDir) match {
         case Some((basisName, m)) =>
           val n = m.numBuckets
-          // delta is O(batch): checkpoint once, reuse for bucket-list + merge
+          // delta is O(batch): checkpoint once, reuse for bucket-list +
+          // write; released after the publish (a 5 s trigger would
+          // otherwise accumulate one pinned block set per batch)
           val d = delta.withColumn(BucketCol, bucketExpr(keys, n)).localCheckpoint(true)
-          val touched = d.select(BucketCol).distinct() // ≤ n rows — driver-safe
-            .collect().map(_.getInt(0)).toSet
-          if (touched.nonEmpty) {
-            val existing = touched.toSeq.sorted.flatMap(m.buckets.get)
-              .map(rel => new Path(targetDir, rel).toString)
-            val snapshot =
-              if (existing.isEmpty)
-                spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  d.select((keys ++ (seqCol +: payload)).map(col): _*).schema)
-              else spark.read.option("mergeSchema", "true").parquet(existing: _*)
-            val merged = CdcOps.mergeLww(mergeReady(snapshot, seqCol),
-                d.drop(BucketCol), keys, opCol, seqCol, payload)
-              .withColumn(BucketCol, bucketExpr(keys, n))
-            publish(spark, targetDir, merged, keep = m.buckets -- touched,
-              basis = Some(basisName), batchId, n)
-          }
+          try {
+            val touched = d.select(BucketCol).distinct() // ≤ n rows — driver-safe
+              .collect().map(_.getInt(0)).toSet
+            if (touched.nonEmpty) {
+              val foldSet = touched.filter(b =>
+                m.buckets.getOrElse(b, Nil).length + 1 > FoldThreshold)
+              val appendSet = touched -- foldSet
+              val appendRows = d.filter(col(BucketCol).isin(appendSet.toSeq: _*))
+                .select(outCols :+ col(BucketCol): _*)
+              val folded =
+                if (foldSet.isEmpty) appendRows.limit(0)
+                else {
+                  val chainPaths = foldSet.toSeq.sorted
+                    .flatMap(b => m.buckets.getOrElse(b, Nil))
+                    .map(rel => new Path(targetDir, rel).toString)
+                  val existing =
+                    if (chainPaths.isEmpty) d.select(outCols: _*).limit(0)
+                    else mergeReady(
+                      spark.read.option("mergeSchema", "true").parquet(chainPaths: _*),
+                      opCol, seqCol).select(outCols: _*)
+                  compactState(
+                    existing.unionByName(
+                      d.filter(col(BucketCol).isin(foldSet.toSeq: _*)).select(outCols: _*)),
+                    keys, opCol, seqCol)
+                    .withColumn(BucketCol, bucketExpr(keys, n))
+                    .select(outCols :+ col(BucketCol): _*)
+                }
+              publish(spark, targetDir, appendRows.unionByName(folded),
+                keepChains = m.buckets -- touched,
+                prefixChains = appendSet.map(b => b -> m.buckets.getOrElse(b, Nil)).toMap,
+                basis = Some(basisName), batchId, n)
+            }
+          } finally { d.unpersist(); () }
         case None =>
           // fresh table, or a pre-seeded flat-parquet snapshot: one full
-          // merge bucket-izes the seed; every later batch prunes
-          val seed = mergeReady(readTarget(spark, targetDir), seqCol)
-          val merged = CdcOps.mergeLww(seed, delta, keys, opCol, seqCol, payload)
+          // compacted write bucket-izes the seed; every later batch appends
+          val seed = mergeReady(readTarget(spark, targetDir), opCol, seqCol)
+            .select(outCols: _*)
+          val merged = compactState(
+            seed.unionByName(delta.select(outCols: _*)), keys, opCol, seqCol)
             .withColumn(BucketCol, bucketExpr(keys, numBuckets))
-          publish(spark, targetDir, merged, keep = Map.empty, basis = None,
-            batchId, numBuckets)
+          publish(spark, targetDir, merged,
+            keepChains = Map.empty, prefixChains = Map.empty,
+            basis = None, batchId, numBuckets)
       }
     }
 
-  /** Small-files maintenance: every publish adds up to |touched| files, so
-    * a long-running sink accumulates per-bucket file counts. Compaction
-    * rewrites the CURRENT snapshot (all buckets, one file per bucket) and
-    * publishes through the same locked CAS swap — safe to run beside the
-    * sink: the lock serializes it with in-flight publishes, so the
+  /** Maintenance fold: every publish appends up to |touched| segments, so
+    * a long-running sink accumulates chains (self-bounded at
+    * [[FoldThreshold]] by the per-batch fold). Compaction folds EVERY
+    * bucket to one applied-state segment and publishes through the same
+    * locked CAS swap — safe to run beside the sink: the writer lock
+    * serializes it with in-flight publishes (cross-JVM included), so the
     * interleaving that loses a committed batch cannot happen.
     */
   def compactTarget(spark: SparkSession, targetDir: String,
-                    keys: Seq[String] = Seq("keys")): Unit =
-    lockFor(spark, targetDir).synchronized {
+                    keys: Seq[String] = Seq("keys"), opCol: String = "op",
+                    seqCol: String = "sequenceNumber"): Unit =
+    withTargetLock(spark, targetDir) {
       currentManifest(spark, targetDir) match {
         case None => ()
         case Some((basisName, m)) =>
+          val state = mergeReady(
+            readTarget(spark, targetDir, keys, opCol, seqCol), opCol, seqCol)
           publish(spark, targetDir,
-            readTarget(spark, targetDir).withColumn(BucketCol, bucketExpr(keys, m.numBuckets)),
-            keep = Map.empty, basis = Some(basisName),
-            batchId = -1L, m.numBuckets)
+            state.withColumn(BucketCol, bucketExpr(keys, m.numBuckets)),
+            keepChains = Map.empty, prefixChains = Map.empty,
+            basis = Some(basisName), batchId = -1L, m.numBuckets)
       }
     }
 }

@@ -74,8 +74,8 @@ class AnalyticsSpec extends SparkSpec {
     // every reported pair clears the verify threshold
     out.foreach(r => assert(r.getDouble(2) >= 0.4))
     val found = out.map(r => (r.getLong(0), r.getLong(1))).toSet
-    val injected = sh.filter(col("doc_id") >= 100000)
-      .select((col("doc_id") - 100000).as("a"), col("doc_id").as("b"))
+    val injected = sh.filter(col("doc_id") >= Corpus.VariantOffset)
+      .select((col("doc_id") - Corpus.VariantOffset).as("a"), col("doc_id").as("b"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // LSH is probabilistic (4 bands × 3 rows): pairs near the 0.4 Jaccard
     // floor can miss every band; on this fixed corpus recall is high but
@@ -89,8 +89,8 @@ class AnalyticsSpec extends SparkSpec {
       .withColumn("bucket", Corpus.signBucketCol)
       .select("vec_id", "bucket").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    vecs.keys.filter(_ >= 100000).foreach { v =>
-      assert(vecs(v) == vecs(v - 100000), s"variant $v changed bucket")
+    vecs.keys.filter(_ >= Corpus.VariantOffset).foreach { v =>
+      assert(vecs(v) == vecs(v - Corpus.VariantOffset), s"variant $v changed bucket")
     }
   }
 

@@ -66,7 +66,7 @@ class StreamingSpec extends SparkSpec {
     val (mName, m) = SnapshotStore.currentManifest(spark, target).get
     assert(m.buckets.nonEmpty)
     val root = new java.io.File(target)
-    m.buckets.values.foreach(rel => assert(new java.io.File(root, rel).isDirectory))
+    m.buckets.values.flatten.foreach(rel => assert(new java.io.File(root, rel).isDirectory))
     val manifests = root.listFiles().filter(_.getName.startsWith("manifest-")).map(_.getName)
     assert(manifests.contains(mName) && manifests.length <= 2) // current + grace
   }
@@ -144,7 +144,7 @@ class StreamingSpec extends SparkSpec {
         Seq((s"k$b", "PUT", s"00$b", s"u$b"))
           .toDF("keys", "op", "sequenceNumber", "newImage"), b.toLong)
     def dataDirs = SnapshotStore.currentManifest(spark, target).get
-      ._2.buckets.values.map(_.split("/")(0)).toSet
+      ._2.buckets.values.flatten.map(_.split("/")(0)).toSet
     assert(dataDirs.size > 1) // the accumulation compaction exists for
     CdcStream.compactTarget(spark, target)
     assert(dataDirs.size == 1)
@@ -155,26 +155,89 @@ class StreamingSpec extends SparkSpec {
     assert(state === expect)
   }
 
-  test("mergeIntoTarget rewrites only delta-touched buckets (O(delta), not O(target))") {
+  test("mergeIntoTarget appends O(delta) segments: untouched chains reused, bytes scale with delta") {
     import spark.implicits._
     val target = tmp("prune-target")
     CdcStream.writeTarget(
       (1 to 200).map(i => (s"k$i", s"v$i")).toDF("keys", "newImage"), target, 0L)
     val before = SnapshotStore.currentManifest(spark, target).get._2.buckets
     assert(before.size > 10) // the seed spans many buckets
+    def bytesUnder(dir: java.io.File): Long =
+      if (dir.isFile) dir.length()
+      else Option(dir.listFiles()).map(_.map(bytesUnder).sum).getOrElse(0L)
     SnapshotStore.mergeIntoTarget(spark, target,
       Seq(("k7", "PUT", "001", "v7b"), ("k8", "DELETE", "002", null))
         .toDF("keys", "op", "sequenceNumber", "newImage"), 1L)
     val after = SnapshotStore.currentManifest(spark, target).get._2.buckets
     val changed = (before.keySet ++ after.keySet).filter(b => before.get(b) != after.get(b))
-    // only the buckets holding k7/k8 were rewritten; every other bucket's
-    // data dir is reused BY REFERENCE — per-batch bytes scale with the
-    // delta, not with the accumulated table
+    // the delta's two keys touch ≤2 buckets; those chains grew by ONE
+    // appended segment (nothing was read back or rewritten), and every
+    // other bucket's segment chain is reused BY REFERENCE
     assert(changed.nonEmpty && changed.size <= 2)
+    changed.foreach { b =>
+      assert(after(b).startsWith(before.getOrElse(b, Nil)) &&
+        after(b).length == before.getOrElse(b, Nil).length + 1)
+    }
     (before.keySet -- changed).foreach(b => assert(after(b) === before(b)))
+    // per-batch bytes: the batch-1 data dir holds only the 2-row delta,
+    // a fraction of the 200-row seed dir — O(delta), not O(target) and
+    // not O(touched bucket contents)
+    val root = new java.io.File(target)
+    val dirs = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("data-"))
+    val seedBytes = dirs.filter(_.getName.startsWith("data-000000000000")).map(bytesUnder).sum
+    val deltaBytes = dirs.filter(_.getName.startsWith("data-000000000001")).map(bytesUnder).sum
+    assert(deltaBytes > 0 && deltaBytes < seedBytes / 4,
+      s"delta publish wrote $deltaBytes bytes vs seed $seedBytes")
     val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state === (1 to 200).map(i => s"k$i" -> s"v$i").toMap - "k8" + ("k7" -> "v7b"))
+  }
+
+  test("chains fold at FoldThreshold; a delta spanning every bucket still writes O(delta)") {
+    import spark.implicits._
+    val target = tmp("fold-target")
+    // seed 64 keys over 32 buckets, then append FoldThreshold+2 single-key
+    // batches to ONE hot key: its bucket's chain must fold rather than
+    // grow without bound
+    CdcStream.writeTarget(
+      (1 to 64).map(i => (s"k$i", s"v$i")).toDF("keys", "newImage"), target, 0L)
+    for (b <- 1 to SnapshotStore.FoldThreshold + 2)
+      SnapshotStore.mergeIntoTarget(spark, target,
+        Seq(("k1", "PUT", f"$b%03d", s"u$b")).toDF("keys", "op", "sequenceNumber", "newImage"),
+        b.toLong)
+    val m = SnapshotStore.currentManifest(spark, target).get._2
+    assert(m.buckets.values.forall(_.length <= SnapshotStore.FoldThreshold),
+      s"a chain exceeded FoldThreshold: ${m.buckets.values.map(_.length).max}")
+    // correctness across the fold: hot key has the last write, others intact
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expect = (1 to 64).map(i => s"k$i" -> s"v$i").toMap +
+      ("k1" -> s"u${SnapshotStore.FoldThreshold + 2}")
+    assert(state === expect)
+    // a wide delta (every key, hence likely every bucket) appends its own
+    // rows only — the all-buckets-touched case that a rewrite-based store
+    // degrades to O(target) on
+    val wide = (1 to 64).map(i => (s"k$i", "PUT", "900", s"w$i"))
+      .toDF("keys", "op", "sequenceNumber", "newImage")
+    SnapshotStore.mergeIntoTarget(spark, target, wide, 99L)
+    val state2 = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state2 === (1 to 64).map(i => s"k$i" -> s"w$i").toMap)
+  }
+
+  test("a stale writer lock from a dead JVM is broken; the lock is released after publish") {
+    import spark.implicits._
+    val target = tmp("lock-target")
+    new java.io.File(target).mkdirs()
+    val lock = new java.io.File(target, SnapshotStore.LockFile)
+    java.nio.file.Files.write(lock.toPath, "dead-jvm@nowhere".getBytes)
+    assert(lock.setLastModified(System.currentTimeMillis() - SnapshotStore.StaleLockMs - 60000))
+    // the writer must break the stale lock instead of waiting forever
+    CdcStream.writeTarget(Seq(("k1", "v1")).toDF("keys", "newImage"), target, 0L)
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("k1" -> "v1"))
+    assert(!lock.exists(), "writer lock not released after publish")
   }
 
   test("publish CAS: a pointer moved by a concurrent writer aborts the publish") {
