@@ -21,10 +21,13 @@ import graft.streaming.CdcStream
   *
   * `preSeedKeys` > 0 pre-seeds the bucket-manifest target with that many
   * keys DISJOINT from the stream's key space before the clock starts —
-  * the scale posture check: with the partition-pruned merge, per-batch
-  * cost tracks the delta and the buckets it touches, so throughput must
+  * the scale posture check: with the merge-on-read store, per-batch cost
+  * is O(|delta|) (appended segments; chains fold at
+  * [[graft.streaming.SnapshotStore.FoldThreshold]]), so throughput must
   * hold against an accumulated table (the round-3 full-snapshot rewrite
-  * degraded as O(|target|) per batch).
+  * degraded as O(|target|) per batch; the interim bucket-rewrite store
+  * degraded whenever a batch's keys spanned every bucket — the
+  * uniform-hash common case).
   */
 object ThroughputBench {
   def main(args: Array[String]): Unit = {

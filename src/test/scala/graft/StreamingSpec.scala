@@ -368,6 +368,24 @@ class StreamingSpec extends SparkSpec {
     assert(state2 === state)
   }
 
+  test("applyBatch: the pure merge is seq-guarded and idempotent") {
+    import spark.implicits._
+    val target = Seq(("k1", "005", "v5")).toDF("keys", "sequenceNumber", "newImage")
+    val batch = Seq(
+      ("e1", "MODIFY", "004", "k1", "stale"), // loses to applied seq 005
+      ("e2", "MODIFY", "010", "k2", "w1"),
+      ("e3", "REMOVE", "011", "k2", null), // tombstone wins within the batch
+      ("e4", "INSERT", "007", "k3", "x1"))
+      .toDF("eventID", "eventName", "sequenceNumber", "keys", "newImage")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.select("keys", "newImage").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+    val once = CdcStream.applyBatch(target, batch)
+    assert(state(once) === Map("k1" -> "v5", "k3" -> "x1")) // k2 deleted
+    // idempotent: re-applying the same batch to its own result is a no-op
+    assert(state(CdcStream.applyBatch(once, batch)) === state(once))
+  }
+
   test("seq-guarded apply: a stale batch delivered late cannot regress a key") {
     val in = tmp("ooo-in"); val target = tmp("ooo-target")
     val ckpt = tmp("ooo-ckpt"); val dlq = tmp("ooo-dlq")
