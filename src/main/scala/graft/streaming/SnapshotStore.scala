@@ -45,8 +45,10 @@ import graft.ops.CdcOps
   * unchanged on file:// and hdfs:// (HDFS rename IS atomic). Publication:
   *
   *  1. acquire the per-target WRITER LOCK: the JVM monitor serializes
-  *     writers in-process, and `_LOCK` (atomic create-if-absent, stale
-  *     takeover after [[StaleLockMs]]) serializes writers across JVMs —
+  *     writers in-process, and `_LOCK` (atomic create-if-absent; the
+  *     holder heartbeats the mtime, so only a DEAD holder's lock goes
+  *     stale after [[StaleLockMs]] and is broken — by atomic rename, never
+  *     blind delete) serializes writers across JVMs —
   *     the interleaving where a concurrent compactor resolves an old
   *     basis, publishes after a sink batch, and silently reverts it
   *     cannot start, and GC can never delete another in-flight writer's
@@ -94,9 +96,15 @@ object SnapshotStore {
   val FoldThreshold = 8
 
   /** A lock older than this is assumed to belong to a dead JVM and is
-    * broken by the next writer.
+    * broken by the next writer. A LIVE holder refreshes the lock's mtime
+    * every [[HeartbeatMs]] (a quarter of this), so only a genuinely dead
+    * holder's lock ever reaches staleness — a fold or compaction that
+    * legitimately runs longer than this window keeps its lock.
     */
   val StaleLockMs: Long = 10 * 60 * 1000L
+
+  /** Lock-mtime refresh period for a live holder (see [[StaleLockMs]]). */
+  val HeartbeatMs: Long = StaleLockMs / 4
 
   /** How long a writer waits for the lock before failing loudly. */
   val LockWaitMs: Long = 120 * 1000L
@@ -127,41 +135,160 @@ object SnapshotStore {
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(hconf(spark))
 
-  /** One writer at a time per target — in-process via the JVM monitor,
-    * cross-JVM via `_LOCK` (atomic create-if-absent on HDFS/POSIX; a lock
-    * whose mtime is older than [[StaleLockMs]] is broken as a dead JVM's
-    * leftover). Always released, including on failed publishes.
+  /** A held writer lock: owner token + liveness heartbeat.
+    *
+    * The token (runtime name + nonce) is the lock file's content; every
+    * ownership-sensitive step re-reads it instead of trusting the path.
+    * The heartbeat refreshes the lock mtime every [[HeartbeatMs]] so a
+    * live holder never goes stale, and notices displacement (token no
+    * longer ours) so a holder whose lock WAS wrongly broken aborts at the
+    * commit point instead of publishing over the usurper.
     */
-  private def withTargetLock[A](spark: SparkSession, targetDir: String)(body: => A): A =
+  private final class LockHandle(fs: FileSystem, lock: Path, token: String,
+                                 heartbeatMs: Long) {
+    @volatile private var displaced = false
+    @volatile private var stopped = false
+
+    /** True iff the lock file exists and still carries our token. */
+    private def stillOwned(): Boolean =
+      try readFully(fs, lock).trim == token
+      catch { case _: java.io.IOException => false }
+
+    private val beat = new Thread({ () =>
+      while (!stopped && !displaced) {
+        try {
+          if (stillOwned())
+            fs.setTimes(lock, System.currentTimeMillis(), -1)
+          else displaced = true
+        } catch { case _: Throwable => () } // transient IO: next beat retries
+        try Thread.sleep(heartbeatMs)
+        catch { case _: InterruptedException => stopped = true }
+      }
+    }: Runnable, s"graft-lock-heartbeat-${lock.getName}")
+    beat.setDaemon(true)
+    beat.start()
+
+    /** Fail loudly if we no longer own the lock — called at the commit
+      * point (the pointer swap), where publishing without the lock could
+      * silently revert another writer's committed batch.
+      */
+    def verifyHeld(): Unit =
+      if (displaced || !stillOwned())
+        throw new java.util.ConcurrentModificationException(
+          s"writer lock $lock was taken over mid-write (held token $token); " +
+            "aborting publish — the basis may be stale")
+
+    /** Release only a lock we still own (never a usurper's fresh lock). */
+    def release(): Unit = {
+      stopped = true
+      beat.interrupt()
+      try { if (stillOwned()) { fs.delete(lock, false); () } }
+      catch { case _: java.io.IOException => () } // stale-broken later
+    }
+  }
+
+  /** The lock this thread holds while inside [[withTargetLock]]'s body —
+    * lets [[casSwapPointer]] verify ownership right before the commit
+    * rename without threading a handle through every caller.
+    */
+  private val heldLock = new ThreadLocal[LockHandle]
+
+  /** Create-if-absent that is atomic on the local filesystem too:
+    * Hadoop's RawLocalFileSystem implements `create(overwrite=false)` as a
+    * non-atomic exists-then-open, so for `file://` the O_EXCL guarantee
+    * comes from `java.nio.file.Files.createFile`. Other filesystems (HDFS)
+    * get it from `FileSystem.create` natively. If writing the token fails
+    * after the file was created, the file is removed so the writer never
+    * orphans its OWN lock (which would block every writer until stale).
+    */
+  private def atomicCreate(fs: FileSystem, lock: Path, token: String): Unit = {
+    val uri = fs.makeQualified(lock).toUri
+    if (uri.getScheme == "file") {
+      val p = java.nio.file.Paths.get(uri.getPath)
+      java.nio.file.Files.createFile(p) // O_EXCL; FileAlreadyExistsException if held
+      try { java.nio.file.Files.write(p, token.getBytes(StandardCharsets.UTF_8)); () }
+      catch { case e: Throwable =>
+        try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () }
+        throw e
+      }
+    } else {
+      val out = fs.create(lock, false)
+      try { out.write(token.getBytes(StandardCharsets.UTF_8)); out.close() }
+      catch { case e: Throwable =>
+        try out.close() catch { case _: Throwable => () }
+        try fs.delete(lock, false) catch { case _: Throwable => () }
+        throw e
+      }
+    }
+  }
+
+  /** Break a lock OBSERVED stale, without ever blind-deleting: the lock is
+    * atomically RENAMED to a tomb (only one breaker's rename succeeds), the
+    * tomb's token is checked against the token we observed when we judged
+    * it stale, and only a confirmed-stale tomb is deleted. If the rename
+    * caught a DIFFERENT lock (a fresh writer created one in the window),
+    * it is renamed straight back — and that writer's heartbeat would also
+    * self-detect the displacement before its commit.
+    */
+  private def breakStaleLock(fs: FileSystem, targetDir: String, lock: Path,
+                             observedToken: String): Unit = {
+    val tomb = new Path(targetDir, s".lock-broken-${System.nanoTime().toHexString}")
+    val renamed = try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+    if (renamed) {
+      val brokeToken = try readFully(fs, tomb).trim catch { case _: java.io.IOException => "" }
+      if (brokeToken != observedToken && !fs.rename(tomb, lock)) {
+        // couldn't restore (another lock appeared already): the displaced
+        // holder aborts via its heartbeat; drop the tomb
+        fs.delete(tomb, false); ()
+      } else if (brokeToken == observedToken) { fs.delete(tomb, false); () }
+    }
+  }
+
+  /** One writer at a time per target — in-process via the JVM monitor,
+    * cross-JVM via `_LOCK` (atomic create-if-absent — O_EXCL on local,
+    * native on HDFS; a lock whose mtime is older than `staleMs` AND whose
+    * holder's heartbeat has stopped is broken via an atomic rename). The
+    * holder heartbeats the lock mtime, verifies ownership at the commit
+    * point, and releases only a lock it still owns — including on failed
+    * publishes.
+    */
+  private[graft] def withTargetLock[A](spark: SparkSession, targetDir: String,
+                                       staleMs: Long = StaleLockMs,
+                                       waitMs: Long = LockWaitMs)(body: => A): A =
     lockFor(spark, targetDir).synchronized {
       val fs = fsOf(spark, targetDir)
       fs.mkdirs(new Path(targetDir))
       val lock = new Path(targetDir, LockFile)
-      val deadline = System.currentTimeMillis() + LockWaitMs
-      var acquired = false
-      while (!acquired) {
+      val token =
+        s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}-" +
+          System.nanoTime().toHexString
+      val deadline = System.currentTimeMillis() + waitMs
+      var handle: LockHandle = null
+      while (handle == null) {
         try {
-          val out = fs.create(lock, false) // atomic create-if-absent
-          try out.write(
-            s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n"
-              .getBytes(StandardCharsets.UTF_8))
-          finally out.close()
-          acquired = true
+          atomicCreate(fs, lock, token)
+          handle = new LockHandle(fs, lock, token, math.max(50L, staleMs / 4))
         } catch {
           case _: java.io.IOException =>
-            val stale =
-              try System.currentTimeMillis() -
-                fs.getFileStatus(lock).getModificationTime > StaleLockMs
-              catch { case _: java.io.FileNotFoundException => false } // racer released
-            if (stale) { fs.delete(lock, false); () }
-            else if (System.currentTimeMillis() > deadline)
+            // held by someone: stale only if BOTH the mtime is old and we
+            // can read whose it is (so the break can be token-conditional)
+            val observed =
+              try {
+                val st = fs.getFileStatus(lock)
+                if (System.currentTimeMillis() - st.getModificationTime > staleMs)
+                  Some(readFully(fs, lock).trim)
+                else None
+              } catch { case _: java.io.IOException => None } // racer released/broke it
+            observed.foreach(tok => breakStaleLock(fs, targetDir, lock, tok))
+            if (System.currentTimeMillis() > deadline)
               throw new IllegalStateException(
-                s"could not acquire writer lock $lock within ${LockWaitMs / 1000}s " +
+                s"could not acquire writer lock $lock within ${waitMs / 1000}s " +
                   "(another writer is live, or a dead JVM's lock is not yet stale)")
-            else Thread.sleep(50)
+            Thread.sleep(50)
         }
       }
-      try body finally { fs.delete(lock, false); () }
+      heldLock.set(handle)
+      try body finally { heldLock.remove(); handle.release() }
     }
 
   // ------------------------------------------------------------- manifest IO
@@ -278,10 +405,18 @@ object SnapshotStore {
         else {
           val fs = fsOf(spark, targetDir)
           val paths = segmentPaths(targetDir, m)
-          paths.find(!fs.exists(_)).foreach { p =>
-            throw new IllegalStateException(
-              s"manifest '$name' references missing snapshot data '$p' — refusing " +
-                "to continue from a partial table")
+          // fail-loud existence check with ONE listStatus per data dir (a
+          // few dozen), not one exists() RPC per segment (up to
+          // buckets × FoldThreshold sequential namenode round trips)
+          paths.groupBy(_.getParent).foreach { case (dir, segs) =>
+            val present =
+              try fs.listStatus(dir).map(_.getPath.getName).toSet
+              catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+            segs.find(p => !present.contains(p.getName)).foreach { p =>
+              throw new IllegalStateException(
+                s"manifest '$name' references missing snapshot data '$p' — refusing " +
+                  "to continue from a partial table")
+            }
           }
           // mergeSchema: segments can span schema vintages (e.g. a
           // pre-seeded snapshot merged incrementally); footer-only cost
@@ -312,6 +447,10 @@ object SnapshotStore {
   private[graft] def casSwapPointer(spark: SparkSession, targetDir: String,
                                         newManifest: String, basis: Option[String]): Unit = {
     val fs = fsOf(spark, targetDir)
+    // commit-point ownership check: if our lock was wrongly stale-broken
+    // mid-write, abort HERE — before the rename — instead of silently
+    // reverting whatever the usurper committed
+    Option(heldLock.get).foreach(_.verifyHeld())
     val now = pointerValue(spark, targetDir)
     if (now != basis)
       throw new java.util.ConcurrentModificationException(
@@ -339,6 +478,14 @@ object SnapshotStore {
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (st.isFile && n.startsWith("manifest-") && !retainManifests.contains(n)) {
+        fs.delete(st.getPath, false); ()
+      } else if (st.isFile && (n.startsWith(".pointer-tmp-") ||
+        (n.startsWith(".lock-broken-") &&
+          System.currentTimeMillis() - st.getModificationTime > StaleLockMs))) {
+        // crash-orphaned publish tmps (ours was already renamed away; GC
+        // runs under the writer lock) and break tombs abandoned by a
+        // crashed breaker — a tomb in an ACTIVE break protocol lives
+        // milliseconds, so only old ones are collected
         fs.delete(st.getPath, false); ()
       } else if (st.isDirectory && n.startsWith("data-")) {
         liveByDir.get(n) match {
@@ -457,14 +604,14 @@ object SnapshotStore {
               val folded =
                 if (foldSet.isEmpty) appendRows.limit(0)
                 else {
+                  // non-empty by construction: foldSet membership requires
+                  // an existing chain of >= FoldThreshold segments
                   val chainPaths = foldSet.toSeq.sorted
                     .flatMap(b => m.buckets.getOrElse(b, Nil))
                     .map(rel => new Path(targetDir, rel).toString)
-                  val existing =
-                    if (chainPaths.isEmpty) d.select(outCols: _*).limit(0)
-                    else mergeReady(
-                      spark.read.option("mergeSchema", "true").parquet(chainPaths: _*),
-                      opCol, seqCol).select(outCols: _*)
+                  val existing = mergeReady(
+                    spark.read.option("mergeSchema", "true").parquet(chainPaths: _*),
+                    opCol, seqCol).select(outCols: _*)
                   compactState(
                     existing.unionByName(
                       d.filter(col(BucketCol).isin(foldSet.toSeq: _*)).select(outCols: _*)),
@@ -507,8 +654,14 @@ object SnapshotStore {
       currentManifest(spark, targetDir) match {
         case None => ()
         case Some((basisName, m)) =>
-          val state = mergeReady(
-            readTarget(spark, targetDir, keys, opCol, seqCol), opCol, seqCol)
+          // readTarget already resolved the LWW state and dropped the op
+          // column — write it WITHOUT re-attaching op, so a freshly
+          // compacted table takes readTarget's metadata-less fast path (a
+          // plain scan, no full-table shuffle through the LWW window).
+          // Later appended deltas re-introduce op via mergeSchema; their
+          // null-op compacted rows still read as PUT (compactState
+          // coalesces null op).
+          val state = readTarget(spark, targetDir, keys, opCol, seqCol)
           publish(spark, targetDir,
             state.withColumn(BucketCol, bucketExpr(keys, m.numBuckets)),
             keepChains = Map.empty, prefixChains = Map.empty,

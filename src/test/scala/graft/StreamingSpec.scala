@@ -240,6 +240,72 @@ class StreamingSpec extends SparkSpec {
     assert(!lock.exists(), "writer lock not released after publish")
   }
 
+  test("a displaced writer aborts at the commit point and never deletes the usurper's lock") {
+    import spark.implicits._
+    val target = tmp("usurp-target")
+    CdcStream.writeTarget(Seq(("k1", "v1")).toDF("keys", "newImage"), target, 0L)
+    val lockFile = new java.io.File(target, SnapshotStore.LockFile)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.withTargetLock(spark, target) {
+        // simulate a wrongful stale-break + takeover mid-write: the lock
+        // file now carries someone else's token
+        java.nio.file.Files.write(lockFile.toPath, "usurper@other-jvm".getBytes)
+        SnapshotStore.casSwapPointer(spark, target, "manifest-bogus",
+          SnapshotStore.pointerValue(spark, target))
+      }
+    }
+    assert(e.getMessage.contains("taken over"))
+    // release must NOT have deleted the lock it no longer owns (the
+    // usurper is mid-publish; deleting would admit a third writer)
+    assert(lockFile.exists())
+    assert(new String(java.nio.file.Files.readAllBytes(lockFile.toPath)).trim
+      === "usurper@other-jvm")
+    lockFile.delete() // the "usurper" releases
+    // the aborted publish never moved the pointer
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("k1" -> "v1"))
+  }
+
+  test("the heartbeat keeps a live writer's long-held lock from going stale") {
+    val target = tmp("beat-target")
+    val lockFile = new java.io.File(target, SnapshotStore.LockFile)
+    SnapshotStore.withTargetLock(spark, target, staleMs = 400L, waitMs = 2000L) {
+      Thread.sleep(1200) // 3x the stale window, heartbeat every 100 ms
+      val age = System.currentTimeMillis() - lockFile.lastModified()
+      assert(age < 400L,
+        s"lock mtime is $age ms old — a waiter would wrongly break a LIVE writer's lock")
+    }
+    assert(!lockFile.exists(), "owned lock not released")
+  }
+
+  test("a compacted table reads as a plain scan; later deltas still resolve over it") {
+    import spark.implicits._
+    val target = tmp("fastread-target")
+    CdcStream.writeTarget(
+      (1 to 20).map(i => (s"k$i", s"v$i")).toDF("keys", "newImage"), target, 0L)
+    SnapshotStore.mergeIntoTarget(spark, target,
+      Seq(("k1", "PUT", "001", "u1")).toDF("keys", "op", "sequenceNumber", "newImage"), 1L)
+    CdcStream.compactTarget(spark, target)
+    // compacted segments carry no op column → readTarget takes the
+    // metadata-less fast path: no LWW window, no exchange — a plain scan
+    val m = SnapshotStore.currentManifest(spark, target).get._2
+    val segs = m.buckets.values.flatten.map(rel => new java.io.File(target, rel).toString)
+    assert(!spark.read.parquet(segs.toSeq: _*).columns.contains("op"))
+    val plan = CdcStream.readTarget(spark, target).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Exchange"),
+      s"compacted-table read is not a plain scan:\n$plan")
+    // a delta appended AFTER compaction outranks the compacted (null-op =
+    // PUT) rows by sequence, including a winning DELETE
+    SnapshotStore.mergeIntoTarget(spark, target,
+      Seq(("k1", "DELETE", "999", null), ("k2", "PUT", "998", "w2"))
+        .toDF("keys", "op", "sequenceNumber", "newImage"), 2L)
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === (1 to 20).map(i => s"k$i" -> s"v$i").toMap
+      - "k1" + ("k2" -> "w2"))
+  }
+
   test("publish CAS: a pointer moved by a concurrent writer aborts the publish") {
     import spark.implicits._
     val target = tmp("cas-target")
