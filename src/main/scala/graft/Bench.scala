@@ -22,8 +22,19 @@ object Bench {
         .groupBy("r_name").count()
         .selectExpr("count(*)", "aggregate(sequence(1, 8), 0L, (a, x) -> a + x)")
         .collect()
+      // JSON machinery (Jackson, JsonToStructs/StructsToJson interpreted
+      // paths) — otherwise the first JSON query pays ~0.5 s of classload
+      spark.range(1 << 16)
+        .selectExpr("from_json(to_json(named_struct('id', id)), 'id BIGINT') r")
+        .selectExpr("sum(r.id)").collect()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=name1,name2 times a subset (iteration aid; the
+    // driver never sets it, so the recorded bench always covers all)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = only.fold(SparkEntry.queries)(ns =>
+      SparkEntry.queries.view.filterKeys(ns).toMap)
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() forces FULL row materialization: a bare
       // Dataset.count() lets Catalyst prune every projection column, so

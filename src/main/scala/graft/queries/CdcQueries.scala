@@ -300,6 +300,13 @@ object CdcQueries {
     // round-trips through to_json → from_json(streamEnvelope-shaped
     // schema) → nested-field extraction (GetStructField chains). The
     // oracle extracts the same paths from the same JSON text.
+    // Measured at sf0.1: this shape is the floor — to_json beats a
+    // format_string build (Jackson writes UTF8String directly; Formatter
+    // does not), one from_json beats 3x get_json_object, and the parse is
+    // evaluated ONCE (CollapseProject keeps the non-cheap from_json out
+    // of the extraction projection). Steady-state 0.6 s / 100k rows; the
+    // bench's larger first-run number is JSON-machinery classload, warmed
+    // untimed in Bench.
     QuerySpec(
       "cdc_envelope_parse",
       (s, d) => {
