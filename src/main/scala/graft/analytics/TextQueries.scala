@@ -264,6 +264,72 @@ object TextQueries {
           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
           WHERE len(toks) >= 2)""")),
 
+    // ───── inverted-index build: corpus-level term statistics — document
+    // frequency, total term frequency, first posting — the primitive under
+    // search, idf weighting, and shingle-inventory decontamination. The
+    // scalable shape: per-document term COUNTS are computed locally (a
+    // per-row map), so each document emits each term once and df is a
+    // plain count(*) — ONE hash-agg shuffle with map-side partials. A
+    // countDistinct(doc_id) formulation instead plans the distinct-agg
+    // expand: a second shuffle on (term, doc_id) carrying every token
+    // occurrence — the shape that dies first at corpus scale. Output
+    // bounded by a df floor (rare-term tail stays distributed).
+    QuerySpec(
+      "text_inverted_index",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(Corpus.let("toks", "split(text, ' ')",
+          """transform(array_distinct(toks),
+               t -> struct(t AS term, size(filter(toks, x -> x = t)) AS cnt))""")))
+          .as("tc"))
+        .groupBy(col("tc.term").as("term"))
+        .agg(
+          count(lit(1)).as("df"),
+          sum(col("tc.cnt")).as("tf_total"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("df") >= 20),
+      Some("""
+        SELECT term,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(COUNT(*) AS BIGINT) AS tf_total,
+               MIN(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term
+        HAVING COUNT(DISTINCT doc_id) >= 20""")),
+
+    // ───── token co-occurrence: adjacent-bigram counts (the PMI numerator
+    // for phrase mining / tokenizer quality). Same one-shuffle discipline
+    // as the inverted index: per-document DISTINCT bigrams with local
+    // counts (one split per row via the let binding), so n_docs is a
+    // plain count(*) — no distinct-agg expand. The (count DESC, bigram
+    // ASC) order is total, so the LIMIT is a deterministic set; Spark
+    // executes it as TakeOrderedAndProject (no global sort).
+    QuerySpec(
+      "text_cooccurrence",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr(Corpus.let("bis",
+            Corpus.let("toks", "split(text, ' ')",
+              """transform(sequence(1, size(toks) - 1),
+                   i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""),
+            """transform(array_distinct(bis),
+                 b -> struct(b AS bigram, size(filter(bis, x -> x = b)) AS cnt))""")))
+            .as("bc"))
+        .groupBy(col("bc.bigram").as("bigram"))
+        .agg(sum(col("bc.cnt")).as("cnt"), count(lit(1)).as("n_docs"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(50),
+      Some("""
+        SELECT bigram,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM (
+          SELECT doc_id,
+                 unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        GROUP BY bigram
+        ORDER BY cnt DESC, bigram
+        LIMIT 50""")),
+
     // ───── normalization: lowercase, strip non-alphanumerics, squeeze
     // whitespace — the canonical-form step before exact dedup/hashing.
     // ONE regex pass: a run of non-alphanumerics (spaces included)

@@ -96,6 +96,20 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("text_inverted_index: one agg shuffle with map-side partial aggregation") {
+    val p = plan("text_inverted_index")
+    // explode → partial agg → ONE exchange on term → final agg; the df
+    // floor stays a post-agg filter (no second shuffle, no collect)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("text_cooccurrence: top-k via TakeOrderedAndProject, not a global sort") {
+    val p = plan("text_cooccurrence")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("ann_ivf: zero-shuffle assignment — one hash exchange total (the top-k window)") {
     // the coarse assignment is a per-row literal-centroid argmax, so the
     // ONLY hash exchange left is the final per-query top-k window; the
