@@ -686,6 +686,32 @@ object RelationalQueries {
           AND l_quantity < 24
         GROUP BY l_returnflag""")),
 
+    // ───── F7/J-surface — correlated scalar subquery: each customer's
+    // max-price order(s). Catalyst DECORRELATES this (RewriteCorrelated
+    // ScalarSubquery): the subquery becomes a per-custkey aggregate
+    // hash-joined back on custkey — two scans, one agg, one equi-join; no
+    // per-row re-execution, no nested loop (PlanSpec-pinned). The
+    // comparison is equality of stored doubles (no arithmetic), so both
+    // engines agree exactly; price ties return both rows — a
+    // deterministic set.
+    QuerySpec(
+      "sql_correlated_max",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT o_custkey, o_orderkey, o_totalprice
+          FROM orders_v o
+          WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                                FROM orders_v o2
+                                WHERE o2.o_custkey = o.o_custkey)""")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)""")),
+
     // ───── deterministic hash sampling: a ~10% Bernoulli sample keyed on
     // md5 of the row key — reproducible across engines, retries, and
     // cluster layouts (unlike rand()-based TABLESAMPLE), which is what a

@@ -110,6 +110,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("sql_correlated_max: subquery is decorrelated to an agg + equi-join") {
+    val p = plan("sql_correlated_max")
+    // no per-row subquery re-execution and no nested loop — the correlated
+    // scalar subquery must rewrite to a per-key aggregate joined back
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("ann_ivf: zero-shuffle assignment — one hash exchange total (the top-k window)") {
     // the coarse assignment is a per-row literal-centroid argmax, so the
     // ONLY hash exchange left is the final per-query top-k window; the

@@ -240,6 +240,38 @@ class StreamingSpec extends SparkSpec {
     assert(!lock.exists(), "writer lock not released after publish")
   }
 
+  test("compaction racing the merge sink loses no committed batch") {
+    import spark.implicits._
+    val target = tmp("race-target")
+    CdcStream.writeTarget(
+      (1 to 40).map(i => (s"k$i", "v0")).toDF("keys", "newImage"), target, 0L)
+    // one thread applies 12 sequential merge batches while another runs
+    // repeated full compactions — the exact interleaving the writer lock
+    // exists for: compact must never publish a basis that reverts a
+    // committed merge (the lost-update race from the r3 review)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val merger = new Thread({ () =>
+      try {
+        for (b <- 1 to 12)
+          SnapshotStore.mergeIntoTarget(spark, target,
+            Seq((s"k$b", "PUT", f"$b%03d", s"u$b"))
+              .toDF("keys", "op", "sequenceNumber", "newImage"), b.toLong)
+      } catch { case t: Throwable => failures.add(t) }
+    }: Runnable, "race-merger")
+    val compactor = new Thread({ () =>
+      try { for (_ <- 1 to 5) CdcStream.compactTarget(spark, target) }
+      catch { case t: Throwable => failures.add(t) }
+    }: Runnable, "race-compactor")
+    merger.start(); compactor.start()
+    merger.join(120000); compactor.join(120000)
+    assert(failures.isEmpty, s"concurrent writer threw: ${failures.peek()}")
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expect = (1 to 40).map(i => s"k$i" -> "v0").toMap ++
+      (1 to 12).map(b => s"k$b" -> s"u$b")
+    assert(state === expect, "a committed merge was reverted by a racing compaction")
+  }
+
   test("a displaced writer aborts at the commit point and never deletes the usurper's lock") {
     import spark.implicits._
     val target = tmp("usurp-target")
