@@ -196,8 +196,13 @@ object TextQueries {
                       doc_id % 256, '.', (doc_id * 7) % 256, '.', (doc_id * 13) % 256)"""))
           .select(
             col("doc_id"),
-            expr(s"cast(regexp_count(dirty, '$email') as int)").as("n_emails"),
-            expr(s"cast(regexp_count(dirty, '$ip') as int)").as("n_ips"),
+            // Column API, not expr(): a SQL string literal would unescape
+            // '\.' to '.' (unknown escape), silently loosening the COUNT
+            // patterns while the regexp_replace ones (Column API) and the
+            // oracle stay strict — counts would overmatch e.g. a dotless
+            // host or digit runs with single-char separators
+            regexp_count(col("dirty"), lit(email)).cast("int").as("n_emails"),
+            regexp_count(col("dirty"), lit(ip)).cast("int").as("n_ips"),
             regexp_replace(regexp_replace(col("dirty"), email, "<EMAIL>"), ip, "<IP>")
               .as("scrubbed"))
       },
@@ -306,6 +311,10 @@ object TextQueries {
     QuerySpec(
       "text_cooccurrence",
       (s, d) => Tables.documents(s, d)
+        // single-token (and empty) docs have no bigrams — and unguarded,
+        // sequence(1, 0) DESCENDS to [1, 0] and element_at(toks, 0)
+        // throws; same guard as text_repetition
+        .filter(expr("size(split(text, ' ')) >= 2"))
         .select(col("doc_id"),
           explode(expr(Corpus.let("bis",
             Corpus.let("toks", "split(text, ' ')",
@@ -325,7 +334,8 @@ object TextQueries {
         FROM (
           SELECT doc_id,
                  unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 2)
         GROUP BY bigram
         ORDER BY cnt DESC, bigram
         LIMIT 50""")),

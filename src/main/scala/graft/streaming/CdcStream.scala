@@ -68,13 +68,10 @@ object CdcStream {
     * (length, value) order — lexicographic comparison alone would let a
     * stale short sequence beat a longer newer one.
     */
-  def applyBatch(target: DataFrame, batch: DataFrame): DataFrame = {
-    val t =
-      if (target.columns.contains("sequenceNumber")) target
-      else target.withColumn("sequenceNumber", lit(null).cast("string"))
-    CdcOps.mergeLww(t, compactDelta(batch), keys = Seq("keys"),
+  def applyBatch(target: DataFrame, batch: DataFrame): DataFrame =
+    CdcOps.mergeLww(SnapshotStore.backfillSeq(target, "sequenceNumber"),
+      compactDelta(batch), keys = Seq("keys"),
       opCol = "op", seqCol = "sequenceNumber", payload = Seq("newImage"))
-  }
 
   /** Compacted per-key delta of one raw CDC micro-batch: dedup →
     * numeric-sequence LWW → PUT/DELETE plan. The ONE delta definition —
@@ -204,6 +201,14 @@ object CdcStream {
             }
           } catch {
             case e: Throwable if isShutdownFailure(e) => throw e // replay on restart
+            // transient infrastructure contention, not a data property:
+            // a live concurrent writer (long compaction) exhausted the
+            // lock wait, or the pointer moved under a publish. The data
+            // is fine — failing the batch replays it from the checkpoint;
+            // deadlettering it would commit offsets for events that were
+            // never applied (silent loss of a perfectly valid batch).
+            case e: SnapshotStore.LockTimeoutException => throw e
+            case e: java.util.ConcurrentModificationException => throw e
             case scala.util.control.NonFatal(e) =>
               valid
                 .withColumn("error", lit(e.getMessage))

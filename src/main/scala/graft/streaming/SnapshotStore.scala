@@ -103,11 +103,25 @@ object SnapshotStore {
     */
   val StaleLockMs: Long = 10 * 60 * 1000L
 
+  /** Heartbeat period for a holder of a lock with the given staleness
+    * window — a quarter of it, floored so tests with tiny windows still
+    * beat sanely. [[HeartbeatMs]] is this at the default [[StaleLockMs]].
+    */
+  def heartbeatFor(staleMs: Long): Long = math.max(50L, staleMs / 4)
+
   /** Lock-mtime refresh period for a live holder (see [[StaleLockMs]]). */
-  val HeartbeatMs: Long = StaleLockMs / 4
+  val HeartbeatMs: Long = heartbeatFor(StaleLockMs)
 
   /** How long a writer waits for the lock before failing loudly. */
   val LockWaitMs: Long = 120 * 1000L
+
+  /** Lock-wait exhaustion. A DISTINCT type because callers must treat it
+    * as transient infrastructure contention (another writer is live —
+    * e.g. a long compaction), NOT a property of the data being written:
+    * the streaming sink rethrows it so the checkpoint replays the batch,
+    * instead of deadlettering perfectly valid events.
+    */
+  final class LockTimeoutException(msg: String) extends IllegalStateException(msg)
 
   /** bucket -> ordered segment chain, paths relative to targetDir
     * (absent bucket = empty; chain order is append order, oldest first).
@@ -253,21 +267,28 @@ object SnapshotStore {
     * publishes.
     */
   private[graft] def withTargetLock[A](spark: SparkSession, targetDir: String,
-                                       staleMs: Long = StaleLockMs,
-                                       waitMs: Long = LockWaitMs)(body: => A): A =
+                                       staleMs: Long = -1L,
+                                       waitMs: Long = -1L)(body: => A): A =
     lockFor(spark, targetDir).synchronized {
+      // windows resolve caller arg > session conf > constant, so an
+      // operator can shorten the wait without threading parameters
+      // through every write entry point
+      def conf(key: String, dflt: Long) =
+        spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+      val effStale = if (staleMs > 0) staleMs else conf("spark.graft.lock.staleMs", StaleLockMs)
+      val effWait = if (waitMs > 0) waitMs else conf("spark.graft.lock.waitMs", LockWaitMs)
       val fs = fsOf(spark, targetDir)
       fs.mkdirs(new Path(targetDir))
       val lock = new Path(targetDir, LockFile)
       val token =
         s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}-" +
           System.nanoTime().toHexString
-      val deadline = System.currentTimeMillis() + waitMs
+      val deadline = System.currentTimeMillis() + effWait
       var handle: LockHandle = null
       while (handle == null) {
         try {
           atomicCreate(fs, lock, token)
-          handle = new LockHandle(fs, lock, token, math.max(50L, staleMs / 4))
+          handle = new LockHandle(fs, lock, token, heartbeatFor(effStale))
         } catch {
           case _: java.io.IOException =>
             // held by someone: stale only if BOTH the mtime is old and we
@@ -275,14 +296,14 @@ object SnapshotStore {
             val observed =
               try {
                 val st = fs.getFileStatus(lock)
-                if (System.currentTimeMillis() - st.getModificationTime > staleMs)
+                if (System.currentTimeMillis() - st.getModificationTime > effStale)
                   Some(readFully(fs, lock).trim)
                 else None
               } catch { case _: java.io.IOException => None } // racer released/broke it
             observed.foreach(tok => breakStaleLock(fs, targetDir, lock, tok))
             if (System.currentTimeMillis() > deadline)
-              throw new IllegalStateException(
-                s"could not acquire writer lock $lock within ${waitMs / 1000}s " +
+              throw new LockTimeoutException(
+                s"could not acquire writer lock $lock within ${effWait / 1000}s " +
                   "(another writer is live, or a dead JVM's lock is not yet stale)")
             Thread.sleep(50)
         }
@@ -365,10 +386,15 @@ object SnapshotStore {
     * column (a pre-seeded restore snapshot, or a `writeTarget` of applied
     * state) is all-PUT with a null sequence, so every real delta outranks it.
     */
+  /** Null-sequence backfill (shared with [[CdcStream.applyBatch]] so the
+    * two apply paths keep ONE definition of "metadata-less rows lose").
+    */
+  private[graft] def backfillSeq(df: DataFrame, seqCol: String): DataFrame =
+    if (df.columns.contains(seqCol)) df
+    else df.withColumn(seqCol, lit(null).cast("string"))
+
   private def mergeReady(df: DataFrame, opCol: String, seqCol: String): DataFrame = {
-    val withSeq =
-      if (df.columns.contains(seqCol)) df
-      else df.withColumn(seqCol, lit(null).cast("string"))
+    val withSeq = backfillSeq(df, seqCol)
     if (withSeq.columns.contains(opCol)) withSeq
     else withSeq.withColumn(opCol, lit("PUT"))
   }

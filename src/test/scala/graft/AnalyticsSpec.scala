@@ -353,6 +353,38 @@ class AnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("text queries survive an adversarial corpus (single-token docs, dotless hosts)") {
+    import spark.implicits._
+    // the shipped corpus has >=10 tokens per doc, so these edges are
+    // latent there: a 1-token doc (sequence(1,0) descends — bigram ops
+    // would throw unguarded) and an '@' without a dotted TLD plus short
+    // digit groups (loosened '\.'-as-any-char count regexes would
+    // overcount vs the strict scrub patterns)
+    val dir = java.nio.file.Files.createTempDirectory("adversarial-docs")
+      .toFile.getAbsolutePath
+    Seq(
+      (1L, "word", "en", "web", 4L),
+      (2L, "", "en", "web", 0L),
+      (3L, "mail bob@localhost and version 10 2 4 2025 end", "en", "web", 46L),
+      (4L, "real real pii at a@b.co from 10.1.2.3 end", "en", "web", 41L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // bigram/token queries: no runtime throw, 1-token docs contribute nothing
+    val co = SparkEntry.queries("text_cooccurrence")(spark, dir).collect()
+    assert(co.forall(_.getString(0).split(" ").length == 2))
+    val inv = SparkEntry.queries("text_inverted_index")(spark, dir).collect()
+    assert(inv.isEmpty) // df floor of 20 unreachable with 4 docs
+    SparkEntry.queries("text_repetition")(spark, dir).collect()
+    // PII counts must agree with what the scrub actually redacts: the
+    // injected suffix adds 1 email + 1 IP per doc; doc 3's dotless host
+    // and spaced digits must NOT count, doc 4 carries 1 real extra each
+    val pii = SparkEntry.queries("text_pii_scrub")(spark, dir)
+      .select("doc_id", "n_emails", "n_ips").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(pii(3L) === (1, 1), s"dotless host / spaced digits overcounted: ${pii(3L)}")
+    assert(pii(4L) === (2, 2))
+  }
+
   test("ann_brute_topk ranks are dense 1..k per query") {
     val out = SparkEntry.queries("ann_brute_topk")(spark, sf)
       .select("query_id", "rank").collect()

@@ -240,6 +240,37 @@ class StreamingSpec extends SparkSpec {
     assert(!lock.exists(), "writer lock not released after publish")
   }
 
+  test("lock contention fails the batch for checkpoint replay, never deadletters it") {
+    val in = tmp("lockdlq-in"); val target = tmp("lockdlq-target")
+    val ckpt = tmp("lockdlq-ckpt"); val dlq = tmp("lockdlq-dlq")
+    writeCdcFile(in, "b1.json", Seq(
+      rec("e1", "INSERT", "2024-01-01T00:00:01Z", "001", "k1", Some("v1"))))
+    // a FRESH foreign lock = a live writer in another JVM (e.g. a long
+    // compaction); the sink's wait budget is shortened via session conf
+    new java.io.File(target).mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(target, SnapshotStore.LockFile).toPath, "live-writer@other-jvm".getBytes)
+    spark.conf.set("spark.graft.lock.waitMs", "300")
+    try {
+      val q = CdcStream.applySink(
+        CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
+        target, ckpt, dlq, trigger = Trigger.AvailableNow(),
+        retryAttempts = 1, retrySleep = _ => ()).start()
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(120000); ()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+      assert(causes(failed).exists(_.isInstanceOf[SnapshotStore.LockTimeoutException]),
+        s"expected LockTimeoutException in cause chain: $failed")
+    } finally spark.conf.unset("spark.graft.lock.waitMs")
+    // the valid batch must NOT be in the DLQ (it replays from the
+    // checkpoint once the contending writer finishes)
+    val dlqFiles = Option(new java.io.File(dlq).listFiles()).getOrElse(Array.empty)
+    assert(!dlqFiles.exists(_.getName.endsWith(".parquet")),
+      "valid batch was deadlettered on transient lock contention")
+  }
+
   test("compaction racing the merge sink loses no committed batch") {
     import spark.implicits._
     val target = tmp("race-target")
