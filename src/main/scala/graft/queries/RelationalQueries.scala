@@ -367,16 +367,28 @@ object RelationalQueries {
                                          ('discount', l_discount)) u(metric, val))
         GROUP BY metric""")),
 
-    // ───── A4 sketch aggregation: HLL++ approximate distinct. No oracle —
-    // DuckDB's approx_count_distinct uses a different sketch, so values
-    // differ by construction; the driver records the rows-only check.
-    // The exact countDistinct rides along so the output is self-auditing.
+    // ───── A4 sketch aggregation: HLL++ approximate distinct. The raw
+    // estimate can't be oracle-compared (DuckDB's sketch differs by
+    // construction), so the CONTRACT is checked instead: the exact
+    // countDistinct is hash-compared, and the estimate is pinned to its
+    // documented error envelope (HLL++ default rsd 5%; flag allows 3σ) as
+    // a boolean the oracle asserts as literal truth — a Spark regression
+    // pushing the sketch out of tolerance flips the flag and FAILS the
+    // gate, where a rows-only check would shrug.
     QuerySpec(
       "agg_approx_distinct",
       (s, d) => orders(s, d).groupBy("o_orderpriority")
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
-          countDistinct(col("o_custkey")).as("exact_customers")),
-      None),
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_raw"),
+          countDistinct(col("o_custkey")).as("exact_customers"))
+        .select(col("o_orderpriority"), col("exact_customers"),
+          (abs(col("approx_raw") - col("exact_customers"))
+            <= col("exact_customers") * 0.15).as("approx_within_tolerance")),
+      Some("""
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+               true AS approx_within_tolerance
+        FROM orders
+        GROUP BY o_orderpriority""")),
 
     // ───── O2 global top-k (TakeOrderedAndProject, no full sort)
     QuerySpec(

@@ -12,11 +12,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RegistrySpec extends AnyFunSuite {
 
-  /** Queries that are rows-only BY DESIGN, with the reason on record. */
-  private val rowsOnlyByDesign = Set(
-    "agg_approx_distinct" // DuckDB's HLL sketch differs by construction;
-                          // exact countDistinct rides along in the same row
-  )
+  /** Queries that are rows-only BY DESIGN, with the reason on record.
+    * Currently empty: even the HLL sketch query is oracle-checked via its
+    * error-envelope contract (exact count hash-compared + tolerance flag).
+    */
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("query names are globally unique (a duplicate would silently drop one)") {
     val names = SparkEntry.specs.map(_.name)
