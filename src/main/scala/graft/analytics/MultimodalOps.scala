@@ -17,11 +17,16 @@ final case class DecodedImage(
   * batches so a real codec could amortize native-library setup per batch
   * (the same batch shape `mapInPandas` would give a Python pipeline).
   *
-  * ██ STUB ██ — this container ships no image/audio codecs, so
-  * `decodeStub` derives a deterministic fake pixel buffer from the header
-  * bytes instead of a real decode. Everything around it — BinaryType
-  * schema, partition iteration, batching, typed Dataset output — is the
-  * real engine plumbing a codec would drop into.
+  * Decode dispatch is by magic bytes:
+  *  - PPM (P6) and PCM-16 WAV payloads are REALLY decoded — pure byte
+  *    parsing, no codec library needed ([[MediaCodecs]]); pixels/samples
+  *    are the actual raster/waveform values.
+  *  - anything else falls to the ██ STUB ██ paths: this container ships
+  *    no image/audio codecs, so `decodeStub` derives a deterministic fake
+  *    buffer from the header bytes. Everything around the stub —
+  *    BinaryType schema, partition iteration, batching, typed Dataset
+  *    output — is the real engine plumbing a compressed-format codec
+  *    would drop into.
   *
   * Scale posture: per-partition map, no shuffle, no driver collection;
   * batch size bounds peak memory per task regardless of corpus size.
@@ -52,8 +57,20 @@ object MultimodalOps {
     DecodedImage(-1L, w, h, c, px)
   }
 
+  /** Real P6 decode: actual raster values scaled to [0,1), bounded to
+    * `previewLen` samples (the full plane of a 4k image is 50M floats —
+    * the PREVIEW bound is the row-size contract; a full-plane consumer
+    * uses [[resizeImages]], whose output size is caller-bounded).
+    */
+  private def decodePpmReal(img: Array[Byte], previewLen: Int): DecodedImage = {
+    val (w, h, c, raster) = MediaCodecs.decodePpm(img)
+    val n = math.min(previewLen, raster.length)
+    DecodedImage(-1L, w, h, c, Array.tabulate(n)(i => (raster(i) & 0xff) / 255f))
+  }
+
   /** Batched typed decode: (doc_id, img binary) → Dataset[DecodedImage].
     * Batches bound per-task memory and give codecs an amortization unit.
+    * P6 payloads decode for real; others take the stub (see object doc).
     */
   def decodeImages(df: DataFrame, batchSize: Int = 64, previewLen: Int = 16)
       : Dataset[DecodedImage] = {
@@ -65,7 +82,10 @@ object MultimodalOps {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch seam: codec/native-lib setup would happen once here
           batch.iterator.map { case (id, img) =>
-            decodeStub(img, previewLen).copy(doc_id = id)
+            val d =
+              if (MediaCodecs.isPpm(img)) decodePpmReal(img, previewLen)
+              else decodeStub(img, previewLen)
+            d.copy(doc_id = id)
           }
         }
       }
@@ -81,13 +101,13 @@ object MultimodalOps {
       .withColumn("frame_hash", md5(expr("substring(img, frame_idx + 1, 4)")))
       .select("doc_id", "frame_idx", "frame_hash")
 
-  /** ██ STUB ██ resize: decode → subsample to the target raster. The
-    * resample itself fakes nearest-neighbor over the stub pixel buffer; a
-    * real implementation swaps `decodeStub` + this sampler for a codec
-    * call, everything else (typed batch flow, bounded output schema)
-    * stays. Output buffer length is exactly targetW*targetH — resize
-    * normalizes heterogeneous media to a fixed shape, which is what lets
-    * a downstream feature stage batch uniformly.
+  /** Resize to a fixed raster — what lets a downstream feature stage
+    * batch uniformly. P6 payloads get a REAL 2D nearest-neighbor
+    * resample over the full decoded plane (output is exactly
+    * targetW×targetH×channels actual pixel values); other payloads take
+    * the ██ STUB ██ path (1D nearest-neighbor over the fake preview,
+    * targetW*targetH single-plane values) — a compressed-format codec
+    * swaps `decodeStub`, everything else stays.
     */
   def resizeImages(df: DataFrame, targetW: Int, targetH: Int,
                    batchSize: Int = 64): Dataset[DecodedImage] = {
@@ -98,24 +118,60 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, img) =>
-            val full = decodeStub(img, previewLen = 64)
-            val n = targetW * targetH
-            // nearest-neighbor over the preview buffer (stub resample)
-            val px = Array.tabulate(n) { i =>
-              full.pixels(((i.toLong * full.pixels.length) / n).toInt)
+            if (MediaCodecs.isPpm(img)) {
+              val (w, h, c, raster) = MediaCodecs.decodePpm(img)
+              // real nearest-neighbor: out(x,y,ch) = in(x*w/tw, y*h/th, ch)
+              val px = Array.tabulate(targetW * targetH * c) { i =>
+                val ch = i % c; val x = (i / c) % targetW; val y = i / (c * targetW)
+                val sx = (x.toLong * w / targetW).toInt
+                val sy = (y.toLong * h / targetH).toInt
+                (raster((sy * w + sx) * c + ch) & 0xff) / 255f
+              }
+              DecodedImage(id, targetW, targetH, c, px)
+            } else {
+              val full = decodeStub(img, previewLen = 64)
+              val n = targetW * targetH
+              // nearest-neighbor over the preview buffer (stub resample)
+              val px = Array.tabulate(n) { i =>
+                full.pixels(((i.toLong * full.pixels.length) / n).toInt)
+              }
+              DecodedImage(id, targetW, targetH, full.channels, px)
             }
-            DecodedImage(id, targetW, targetH, full.channels, px)
           }
         }
       }
   }
 
-  /** ██ STUB ██ audio feature extraction: treats the payload as PCM-ish
-    * samples and emits per-window energy (mean absolute amplitude per
-    * `window`-byte hop) — the mel/MFCC shape without the codec. The
-    * explode-to-windows layout matches sampleFrames: per-window rows
-    * keyed by source doc, so feature work parallelizes past document
-    * boundaries.
+  /** REAL audio feature extraction over PCM-16 WAV payloads: per-window
+    * RMS energy of the actual waveform (normalized to [0,1]), the first
+    * stage of any mel/MFCC pipeline. Typed mapPartitions (not a UDF):
+    * each doc explodes to (win_no, rms, sample_rate, channels) rows, so
+    * feature work parallelizes past document boundaries. Rejects non-WAV
+    * payloads loudly — mixing in compressed audio requires the stub path
+    * below, a deliberate caller decision.
+    */
+  def audioFeaturesPcm(df: DataFrame, windowSamples: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("img"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, img) =>
+          val (rate, ch, samples) = MediaCodecs.decodePcmWav(img)
+          samples.grouped(windowSamples).zipWithIndex.map { case (win, no) =>
+            val sumSq = win.foldLeft(0.0)((a, s) => a + s.toDouble * s)
+            (id, no.toLong, math.sqrt(sumSq / win.length) / 32768.0, rate, ch)
+          }
+        }
+      }
+      .toDF("doc_id", "win_no", "rms", "sample_rate", "channels")
+  }
+
+  /** ██ STUB ██ audio feature extraction for payloads without a parseable
+    * waveform: treats the bytes as PCM-ish samples and emits per-window
+    * energy (mean absolute amplitude per `window`-byte hop) — the
+    * mel/MFCC shape without the codec. The explode-to-windows layout
+    * matches sampleFrames and [[audioFeaturesPcm]].
     */
   def audioFeatures(df: DataFrame, window: Int = 4): DataFrame =
     df.select(col("doc_id"), col("img"))

@@ -60,6 +60,49 @@ class AnalyticsSpec extends SparkSpec {
     })
   }
 
+  test("PPM payloads are REALLY decoded: exact pixels, real 2D resize; stubs untouched") {
+    import spark.implicits._
+    // 2x2 P6 with a comment line: pixels (0,0,0) (255,0,0) / (0,255,0) (0,0,255)
+    val ppm = ("P6\n# test\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, -1, 0, 0, 0, -1, 0, 0, 0, -1))
+    val fake = Array.tabulate[Byte](16)(i => (i * 17).toByte) // no P6 magic → stub
+    val df = Seq((1L, ppm), (2L, fake)).toDF("doc_id", "img")
+    val dec = MultimodalOps.decodeImages(df, previewLen = 12).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert((dec(1L).width, dec(1L).height, dec(1L).channels) === ((2, 2, 3)))
+    assert(dec(1L).pixels.toSeq === Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f))
+    assert(dec(2L).width === 1 + ((0x00 << 8 | 0x11) % 4096)) // stub header path intact
+    // real resize 2x2 → 1x2: nearest-neighbor picks columns' left pixel
+    val rs = MultimodalOps.resizeImages(df.filter($"doc_id" === 1L), 1, 2).collect()(0)
+    assert(rs.pixels.length === 1 * 2 * 3)
+    assert(rs.pixels.toSeq === Seq(0f, 0f, 0f, 0f, 1f, 0f)) // row0 (0,0,0), row1 (0,255,0)
+    // malformed P6 fails loudly, never silently-wrong pixels
+    val bad = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    intercept[Exception] {
+      MultimodalOps.decodeImages(Seq((3L, bad)).toDF("doc_id", "img")).collect()
+    }
+  }
+
+  test("PCM WAV payloads are really parsed: per-window RMS over the actual waveform") {
+    import spark.implicits._
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // mono 8kHz PCM-16, 8 samples: 4x ±16384 then 4x 0
+    val samples = Seq(16384, -16384, 16384, -16384, 0, 0, 0, 0)
+    val data = samples.flatMap(le16).toArray
+    val fmt = le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val wav = "RIFF".getBytes ++ le32(4 + 8 + fmt.length + 8 + data.length) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++ le32(fmt.length) ++ fmt ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val feats = MultimodalOps.audioFeaturesPcm(
+      Seq((7L, wav)).toDF("doc_id", "img"), windowSamples = 4).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(feats.keySet === Set(0L, 1L))
+    assert(math.abs(feats(0L) - 16384.0 / 32768.0) < 1e-12) // RMS of ±16384 = 16384
+    assert(feats(1L) === 0.0)
+  }
+
   test("sampleFrames: one frame per stride offset, keyed by source doc") {
     val docs = MultimodalOps.withFakeMedia(Tables.documents(spark, sf)).limit(5)
     val frames = MultimodalOps.sampleFrames(docs, stride = 4)
