@@ -27,6 +27,15 @@ object Bench {
       spark.range(1 << 16)
         .selectExpr("from_json(to_json(named_struct('id', id)), 'id BIGINT') r")
         .selectExpr("sum(r.id)").collect()
+      // WindowExec + java.util.regex machinery — the first window/regex
+      // query otherwise carries their compile/classload in its time
+      spark.range(1 << 14)
+        .selectExpr("id % 7 AS k", "id AS v")
+        .selectExpr(
+          "sum(v) OVER (PARTITION BY k ORDER BY v " +
+            "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s",
+          "regexp_replace(cast(v AS string), '[0-9]+', 'x') AS r")
+        .selectExpr("count(distinct r)", "sum(s)").collect()
     }
     // SPARK_GRAFT_ONLY=name1,name2 times a subset (iteration aid; the
     // driver never sets it, so the recorded bench always covers all)

@@ -86,6 +86,24 @@ object ScaleProbe {
         n
       }
 
+      // inverted-index build at k× (per-doc local term counts → ONE
+      // hash-agg shuffle; the production text_inverted_index shape).
+      // Replication multiplies df per term k× but not the distinct-term
+      // count, so a linear curve here means the agg is genuinely
+      // partial-aggregated map-side (a distinct-agg expand would carry
+      // k× the token occurrences through a second shuffle and bend)
+      time(s"inverted_index_x$k") {
+        docs
+          .select(col("doc_id"), explode(expr(
+            graft.analytics.Corpus.let("toks", "split(text, ' ')",
+              """transform(array_distinct(toks),
+                   t -> struct(t AS term, size(filter(toks, x -> x = t)) AS cnt))""")))
+            .as("tc"))
+          .groupBy(col("tc.term").as("term"))
+          .agg(count(lit(1)).as("df"), sum(col("tc.cnt")).as("tf_total"))
+          .count()
+      }
+
       docs.unpersist()
 
       // ANN brute top-k at k× corpus (10 probes broadcast, full scan)
