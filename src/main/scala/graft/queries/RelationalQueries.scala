@@ -698,6 +698,30 @@ object RelationalQueries {
           AND l_quantity < 24
         GROUP BY l_returnflag""")),
 
+    // ───── F7/J4-surface — NOT EXISTS predicate subquery as SQL text:
+    // customers with no big-ticket order. Catalyst's
+    // RewritePredicateSubquery turns this into a LEFT ANTI equi-join —
+    // the other half of the subquery surface next to the scalar
+    // decorrelation below (PlanSpec pins the anti join, no nested loop).
+    QuerySpec(
+      "sql_not_exists",
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("customer_v")
+        orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT c_custkey, c_name
+          FROM customer_v c
+          WHERE NOT EXISTS (SELECT 1 FROM orders_v o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 100000)""")
+      },
+      Some("""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 100000)""")),
+
     // ───── F7/J-surface — correlated scalar subquery: each customer's
     // max-price order(s). Catalyst DECORRELATES this (RewriteCorrelated
     // ScalarSubquery): the subquery becomes a per-custkey aggregate

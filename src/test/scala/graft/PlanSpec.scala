@@ -110,6 +110,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("sql_not_exists: predicate subquery rewrites to a LEFT ANTI join") {
+    val p = plan("sql_not_exists")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("sql_correlated_max: subquery is decorrelated to an agg + equi-join") {
     val p = plan("sql_correlated_max")
     // no per-row subquery re-execution and no nested loop — the correlated
