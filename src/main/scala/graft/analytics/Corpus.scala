@@ -48,14 +48,23 @@ object Corpus {
     * at which persist() itself lives (the SparkContext) and, unlike an
     * identity hash, can never collide with a later restarted session.
     */
-  def cached(s: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame = {
-    val app = s.sparkContext.applicationId
-    // purge entries of dead applications (one active SparkContext per
-    // JVM, so a different applicationId means a stopped context) — keeps
-    // the cache bounded across session restarts in one JVM
-    frameCache.keySet.removeIf(_._1 != app)
-    frameCache.computeIfAbsent((app, d, name), _ => build.persist())
-  }
+  def cached(s: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame =
+    // synchronized, NOT computeIfAbsent: cached builders nest (the pair
+    // cache builds from the hsets/bands caches), and a nested
+    // computeIfAbsent on one ConcurrentHashMap throws "Recursive update".
+    // The monitor is reentrant, so nesting is fine; builds are lazy plan
+    // construction (no job runs under the lock).
+    frameCache.synchronized {
+      val app = s.sparkContext.applicationId
+      // purge entries of dead applications (one active SparkContext per
+      // JVM, so a different applicationId means a stopped context) — keeps
+      // the cache bounded across session restarts in one JVM
+      frameCache.keySet.removeIf(_._1 != app)
+      val k = (app, d, name)
+      val got = frameCache.get(k)
+      if (got != null) got
+      else { val b = build.persist(); frameCache.put(k, b); b }
+    }
 
   /** Re-key offset for injected near-dup variants. 10^11 sits far above
     * any realistic doc/vec id (a 100 TB corpus is ~10^10 documents), so a

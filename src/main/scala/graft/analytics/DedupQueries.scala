@@ -56,6 +56,189 @@ object DedupQueries {
             graft.functions.TextHashFunctions.wordHash40(col("text"))).as("hs"))
     }
 
+  /** Oracle CTE: `hsets` (doc_id, hs) from a `corpus` CTE — the SQL mirror
+    * of [[hsetsOf]]. Composable fragment shared by every oracle that
+    * consumes shingle-hash sets, so the construction cannot drift between
+    * queries.
+    */
+  private[analytics] val hsetsCte: String = s"""
+        hsets AS (
+          SELECT doc_id,
+                 list_distinct([(ws[i] * 1000003 + ws[i+1] * 1500007 + ws[i+2] * 2000003)
+                                & ${mask40} for i in range(1, len(ws) - 1)]) AS hs
+          FROM (SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                                      w -> ('0x' || substr(md5(w), 1, 10))::BIGINT) AS ws
+                FROM corpus
+                WHERE len(string_split(text, ' ')) >= 3))"""
+
+  /** Verified near-dup pairs (doc_a < doc_b, exact Jaccard >= 0.4) from
+    * the MinHash+LSH pipeline — the candidate-generation + verify stages
+    * shared by `dedup_minhash_lsh` (which reports them), `dedup_cluster`
+    * (which connects them into components) and `curation_funnel` (which
+    * drops the non-canonical side). Memoized per (app, dir): the pair set
+    * is tiny (one row per verified near-dup), so caching it costs nothing
+    * and saves the full signature pipeline on reuse.
+    */
+  private[analytics] def minhashPairs(s: org.apache.spark.sql.SparkSession,
+                                      d: String): org.apache.spark.sql.DataFrame =
+    Corpus.cached(s, d, "minhash_pairs") {
+      // The whole pipeline runs on NUMERIC shingle hashes: one md5 per
+      // WORD (40 bits), a shingle hash combines three consecutive word
+      // hashes with small multipliers (every product/sum stays under
+      // 2^63 — both engines exact int64), and the candidate verify
+      // computes Jaccard over the distinct hash sets. No per-shingle
+      // string building or per-shingle md5 anywhere; collisions are
+      // negligible and in any case identical across engines.
+      val hsets = hsetsOf(s, d)
+      // Native minhash12 (graft.functions.MinHash12): 12 running minima
+      // in ONE compiled loop — the SQL aggregate/zip_with fold allocated
+      // a 12-array and dispatched 12 interpreted lambdas per shingle.
+      // Band keys (4 md5s per doc) stay in SQL; they're cheap.
+      val bkeys = hsets
+        .select(col("doc_id"),
+          graft.functions.SignatureFunctions.minHash12(col("hs")).as("mh"))
+        .select(col("doc_id"), expr(
+          """transform(sequence(0, 3),
+               b -> md5(concat(cast(element_at(mh, b*3 + 1) as string), '_',
+                               cast(element_at(mh, b*3 + 2) as string), '_',
+                               cast(element_at(mh, b*3 + 3) as string))))""").as("bkeys"))
+      // Bands stay NARROW (doc_id, band, bkey): the 4-way explode and
+      // the bucket self-join move ~40 bytes/row, not the shingle sets;
+      // persisted (memoized) because the self-join scans it from both sides.
+      val bands = Corpus.cached(s, d, "minhash_bands") {
+        bkeys.select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
+      }
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      cand
+        .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+        .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+        .withColumn("jaccard", expr(
+          "cast(size(array_intersect(hs_a, hs_b)) as double) / size(array_union(hs_a, hs_b))"))
+        .filter(col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b", "jaccard")
+    }
+
+  /** Oracle CTEs: signature → bands → candidates → verified `mpairs`
+    * (doc_a, doc_b, jaccard) — the SQL mirror of [[minhashPairs]];
+    * expects the `corpus` CTE and [[hsetsCte]] upstream.
+    */
+  private[analytics] val minhashPairsCtes: String = s"""
+        sig AS (
+          SELECT doc_id,
+                 [CAST(list_min(list_transform(hs,
+                    x -> (${minhashA.mkString("[", ", ", "]")}[p+1] * x) & ${mask40})) AS BIGINT)
+                  for p in range(0, 12)] AS minhash
+          FROM hsets),
+        bands AS (
+          SELECT doc_id, b.band,
+                 md5(CAST(minhash[b.band*3+1] AS VARCHAR) || '_' ||
+                     CAST(minhash[b.band*3+2] AS VARCHAR) || '_' ||
+                     CAST(minhash[b.band*3+3] AS VARCHAR)) AS bkey
+          FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        mpairs AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.hs, sb.hs))) AS jaccard
+          FROM cand c
+          JOIN hsets sa ON sa.doc_id = c.doc_a
+          JOIN hsets sb ON sb.doc_id = c.doc_b
+          WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.4)"""
+
+  /** Contaminated documents (>= 5 distinct shingles shared with the
+    * doc_id % 97 blocklist) — shared by `dedup_decontaminate` and
+    * `curation_funnel`. See the decontamination QuerySpec for the scale
+    * argument (broadcast blocklist inventory, one hash-agg).
+    */
+  private[analytics] def contaminated(s: org.apache.spark.sql.SparkSession,
+                                      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = hsetsOf(s, d)
+    val blockH = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(blockH), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= 5)
+  }
+
+  /** Oracle CTEs: blocklist inventory → `contaminated` (doc_id,
+    * n_overlap) — the SQL mirror of [[contaminated]]; expects the
+    * `corpus` CTE and [[hsetsCte]] upstream.
+    */
+  private[analytics] val contaminatedCtes: String = """
+        blockh AS (
+          SELECT DISTINCT unnest(hs) AS h FROM hsets WHERE doc_id % 97 = 0),
+        cside AS (
+          SELECT doc_id, unnest(hs) AS h FROM hsets WHERE doc_id % 97 != 0),
+        contaminated AS (
+          SELECT c.doc_id, count(*) AS n_overlap
+          FROM cside c JOIN blockh b ON c.h = b.h
+          GROUP BY c.doc_id
+          HAVING count(*) >= 5)"""
+
+  /** Connected components of an undirected pair graph by iterative
+    * min-label propagation: label(v) starts at v, each round takes the
+    * min over the 1-hop neighborhood, fixpoint = one label per component
+    * (its minimum vertex id — deterministic). Input: (doc_a, doc_b)
+    * pairs; output: (doc_id, label) for every vertex that appears in a
+    * pair.
+    *
+    * Each round is ONE equi-join + ONE hash-agg over the narrow (u, v)
+    * edge list — nothing bigger than the edge list is ever materialized,
+    * and the per-round `changed` count is a control-plane action like
+    * k-means' distortion check ([[Clustering.kmeans]]), not a data
+    * collect. Rounds needed = max graph distance from a component's
+    * min-id vertex; near-dup components are stars/short chains
+    * (diameter <= ~3). At billion-edge scale the same loop holds
+    * (large-star/small-star would cut worst-case rounds to O(log n) if
+    * deep chains ever appeared — the documented upgrade, same join
+    * shape). Labels are localCheckpoint'd per round: eager, so `changed`
+    * counts the materialized round, and lineage-truncating, so `rounds`
+    * joins never stack into one plan.
+    */
+  def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
+                          maxRounds: Int = 25): org.apache.spark.sql.DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("v"), col("label").as("nbl")), "v")
+        .groupBy("u").agg(min("nbl").as("nbl"))
+        .select(col("u").as("doc_id"), col("nbl"))
+      val next = labels.as("o")
+        .join(nbrMin.as("n"), "doc_id")
+        .select(col("doc_id"),
+          least(col("o.label"), col("n.nbl")).as("label"),
+          (col("n.nbl") < col("o.label")).as("moved"))
+        .localCheckpoint(true)
+      changed = next.filter(col("moved")).count()
+      labels = next.select("doc_id", "label")
+      rounds += 1
+    }
+    edges.unpersist()
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    labels
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // ───── exact dedup: content-digest groupBy (map-side combine; the
@@ -81,85 +264,63 @@ object DedupQueries {
     // band-bucket join for candidates, exact Jaccard >= 0.4 verify
     QuerySpec(
       "dedup_minhash_lsh",
-      (s, d) => {
-        // The whole query runs on NUMERIC shingle hashes: one md5 per
-        // WORD (40 bits), a shingle hash combines three consecutive word
-        // hashes with small multipliers (every product/sum stays under
-        // 2^63 — both engines exact int64), and the candidate verify
-        // computes Jaccard over the distinct hash sets. No per-shingle
-        // string building or per-shingle md5 anywhere; collisions are
-        // negligible and in any case identical across engines.
-        // PERSISTED (memoized per app+dir): the hash sets feed the
-        // signature pass and both verify rejoins (CollapseProject would
-        // re-derive them per use).
-        val hsets = hsetsOf(s, d)
-        // Native minhash12 (graft.functions.MinHash12): 12 running minima
-        // in ONE compiled loop — the SQL aggregate/zip_with fold allocated
-        // a 12-array and dispatched 12 interpreted lambdas per shingle.
-        // Band keys (4 md5s per doc) stay in SQL; they're cheap.
-        val bkeys = hsets
-          .select(col("doc_id"),
-            graft.functions.SignatureFunctions.minHash12(col("hs")).as("mh"))
-          .select(col("doc_id"), expr(
-            """transform(sequence(0, 3),
-                 b -> md5(concat(cast(element_at(mh, b*3 + 1) as string), '_',
-                                 cast(element_at(mh, b*3 + 2) as string), '_',
-                                 cast(element_at(mh, b*3 + 3) as string))))""").as("bkeys"))
-        // Bands stay NARROW (doc_id, band, bkey): the 4-way explode and
-        // the bucket self-join move ~40 bytes/row, not the shingle sets;
-        // persisted (memoized) because the self-join scans it from both sides.
-        val bands = Corpus.cached(s, d, "minhash_bands") {
-          bkeys.select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
-        }
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
-        cand
-          .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-          .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-          .withColumn("jaccard", expr(
-            "cast(size(array_intersect(hs_a, hs_b)) as double) / size(array_union(hs_a, hs_b))"))
-          .filter(col("jaccard") >= 0.4)
-          .select("doc_a", "doc_b", "jaccard")
-      },
+      (s, d) => minhashPairs(s, d),
       Some(s"""
         WITH corpus AS (${Corpus.docsWithNearDupsSql}),
-        hsets AS (
-          SELECT doc_id,
-                 list_distinct([(ws[i] * 1000003 + ws[i+1] * 1500007 + ws[i+2] * 2000003)
-                                & ${mask40} for i in range(1, len(ws) - 1)]) AS hs
-          FROM (SELECT doc_id,
-                       list_transform(string_split(text, ' '),
-                                      w -> ('0x' || substr(md5(w), 1, 10))::BIGINT) AS ws
-                FROM corpus
-                WHERE len(string_split(text, ' ')) >= 3)),
-        sig AS (
-          SELECT doc_id,
-                 [CAST(list_min(list_transform(hs,
-                    x -> (${minhashA.mkString("[", ", ", "]")}[p+1] * x) & ${mask40})) AS BIGINT)
-                  for p in range(0, 12)] AS minhash
-          FROM hsets),
-        bands AS (
-          SELECT doc_id, b.band,
-                 md5(CAST(minhash[b.band*3+1] AS VARCHAR) || '_' ||
-                     CAST(minhash[b.band*3+2] AS VARCHAR) || '_' ||
-                     CAST(minhash[b.band*3+3] AS VARCHAR)) AS bkey
-          FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-        SELECT c.doc_a, c.doc_b,
-               CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-                 / len(list_distinct(list_concat(sa.hs, sb.hs))) AS jaccard
-        FROM cand c
-        JOIN hsets sa ON sa.doc_id = c.doc_a
-        JOIN hsets sb ON sb.doc_id = c.doc_b
-        WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-                / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.4""")),
+        $hsetsCte,
+        $minhashPairsCtes
+        SELECT doc_a, doc_b, jaccard FROM mpairs""")),
+
+    // ───── near-dup CLUSTERING: connect the verified LSH pairs into
+    // components and pick one canonical survivor per component — the step
+    // that turns a pair list into an actionable keep/drop set (pairs alone
+    // over-drop: {A~B, B~C} must keep exactly one of {A,B,C}, not drop
+    // both B and C's partners independently).
+    //
+    // Algorithm: iterative min-label propagation over the pair graph —
+    // label(v) starts at v, each round takes the min over the 1-hop
+    // neighborhood, fixpoint = connected components with the component's
+    // min doc_id as its id (deterministic; originals carry smaller ids
+    // than variants by construction, so the canonical doc is always the
+    // original). Each round is ONE equi-join + ONE hash-agg over the
+    // (u, v) edge list — never materializes anything bigger than the edge
+    // list itself. Rounds needed = max graph distance from a component's
+    // min-id node; dup components are stars/short chains (diameter <= ~3),
+    // and the loop stops the round after labels stop changing. At
+    // billion-edge scale the same loop holds (edges are a narrow
+    // shuffle-partitioned table; large-star/small-star would cut rounds
+    // to O(log n) if deep chains ever appeared — documented trade).
+    // Convergence is checked with one driver-side count per round — a
+    // control-plane action like k-means' distortion check, not a data
+    // collect ([[Clustering.kmeans]] sets the precedent).
+    QuerySpec(
+      "dedup_cluster",
+      (s, d) => {
+        val labels = connectedComponents(minhashPairs(s, d))
+        val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        labels.join(sizes, "label")
+          .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
+            (col("doc_id") === col("label")).as("is_canonical"))
+      },
+      Some(s"""
+        WITH RECURSIVE corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $minhashPairsCtes,
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM mpairs
+          UNION
+          SELECT doc_b AS u, doc_a AS v FROM mpairs),
+        reach(src, dst) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+        comp AS (
+          SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        sizes AS (
+          SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        SELECT c.doc_id, c.cluster_id, s.cluster_size,
+               (c.doc_id = c.cluster_id) AS is_canonical
+        FROM comp c JOIN sizes s ON s.cluster_id = c.cluster_id""")),
 
     // ───── SimHash near-dup: 32-bit weighted signature over word bigrams,
     // 4-byte banding (lossless for hamming<=3), hamming verify.
@@ -264,40 +425,16 @@ object DedupQueries {
     // doc list is exactly what gets quarantined before training.
     QuerySpec(
       "dedup_decontaminate",
-      (s, d) => {
-        // near-dup corpus: variants of blocklisted docs are the
-        // contamination that must be caught (plain corpus texts are
-        // fully distinct, so overlap only exists via the variants);
-        // the shingle sets are the SAME memoized frame minhash-LSH uses
-        val docs = hsetsOf(s, d)
-        val blockH = docs.filter(col("doc_id") % 97 === 0)
-          .select(explode(col("hs")).as("h")).distinct()
-        docs.filter(col("doc_id") % 97 =!= 0)
-          .select(col("doc_id"), explode(col("hs")).as("h"))
-          .join(broadcast(blockH), "h")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_overlap"))
-          .filter(col("n_overlap") >= 5)
-      },
+      // near-dup corpus: variants of blocklisted docs are the
+      // contamination that must be caught (plain corpus texts are
+      // fully distinct, so overlap only exists via the variants);
+      // the shingle sets are the SAME memoized frame minhash-LSH uses
+      (s, d) => contaminated(s, d),
       Some(s"""
-        WITH corpus0 AS (${Corpus.docsWithNearDupsSql}),
-        hsets AS (
-          SELECT doc_id,
-                 list_distinct([(ws[i] * 1000003 + ws[i+1] * 1500007 + ws[i+2] * 2000003)
-                                & ${mask40} for i in range(1, len(ws) - 1)]) AS hs
-          FROM (SELECT doc_id,
-                       list_transform(string_split(text, ' '),
-                                      w -> ('0x' || substr(md5(w), 1, 10))::BIGINT) AS ws
-                FROM corpus0
-                WHERE len(string_split(text, ' ')) >= 3)),
-        blockh AS (
-          SELECT DISTINCT unnest(hs) AS h FROM hsets WHERE doc_id % 97 = 0),
-        corpus AS (
-          SELECT doc_id, unnest(hs) AS h FROM hsets WHERE doc_id % 97 != 0)
-        SELECT c.doc_id, count(*) AS n_overlap
-        FROM corpus c JOIN blockh b ON c.h = b.h
-        GROUP BY c.doc_id
-        HAVING count(*) >= 5""")),
+        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $contaminatedCtes
+        SELECT doc_id, n_overlap FROM contaminated""")),
 
     // ───── embedding-cosine near-dup, sign-LSH bucketed: pairs compared
     // only within a bucket (the scale path); scores from exact integers
@@ -327,6 +464,77 @@ object DedupQueries {
           FROM vecs a JOIN vecs b
             ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         SELECT va, vb, ${Corpus.scoreSql} AS score
-        FROM pairs WHERE ${Corpus.scoreSql} >= 0.81"""))
+        FROM pairs WHERE ${Corpus.scoreSql} >= 0.81""")),
+
+    // ───── CURATION FUNNEL: the composed keep/drop decision a training-
+    // data pipeline actually ships — every document gets exactly ONE
+    // verdict from a fixed priority chain (near-dup > blocklist >
+    // contaminated > non-english > too-short > low-quality > keep), and
+    // the output is the funnel report (docs + estimated tokens per
+    // verdict). Each signal is the SAME operator verified standalone
+    // elsewhere: minhash near-dup pairs (drop the non-canonical, higher-id
+    // side), the %97 eval blocklist and its >= 5-shingle contamination set
+    // (dedup_decontaminate), the labeled language, and text_quality's
+    // stop-ratio/TTR thresholds. Scale: two narrow LEFT joins against
+    // tiny (pair/contamination) sets — broadcast at any corpus size —
+    // plus one corpus-sized equi-join for the variant→parent language
+    // lookup and one final hash-agg; all heavy signal computation is the
+    // memoized shingle pipeline already priced into the dedup queries.
+    QuerySpec(
+      "curation_funnel",
+      (s, d) => {
+        val stopCnt = TextQueries.markerCountExpr(TextQueries.markers("en"))
+        val dups = minhashPairs(s, d)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("is_dup", lit(true))
+        val cont = contaminated(s, d)
+          .select(col("doc_id")).withColumn("is_cont", lit(true))
+        val langs = graft.Tables.documents(s, d)
+          .select(col("doc_id").as("orig_id"), col("lang"))
+        Corpus.docsWithNearDups(s, d)
+          .withColumn("orig_id", col("doc_id") % Corpus.VariantOffset)
+          .join(langs, "orig_id")
+          .join(broadcast(dups), Seq("doc_id"), "left")
+          .join(broadcast(cont), Seq("doc_id"), "left")
+          .withColumn("verdict", expr(
+            s"""case when is_dup then 'near_dup'
+                     when doc_id % 97 = 0 then 'blocklist'
+                     when is_cont then 'contaminated'
+                     when lang != 'en' then 'non_english'
+                     when size(split(text, ' ')) < 10 then 'too_short'
+                     when cast($stopCnt as double) / size(split(text, ' ')) > 0.25
+                       or cast(size(array_distinct(split(text, ' '))) as double)
+                            / size(split(text, ' ')) < 0.2 then 'low_quality'
+                     else 'keep' end"""))
+          .groupBy("verdict")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("cast(ceil(length(text) / 4.0) as bigint)")).as("est_tokens"))
+      },
+      Some(s"""
+        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $minhashPairsCtes,
+        $contaminatedCtes,
+        dups AS (SELECT DISTINCT doc_b AS doc_id FROM mpairs),
+        langs AS (SELECT doc_id AS orig_id, lang FROM documents),
+        scored AS (
+          SELECT c.doc_id,
+                 CASE WHEN dp.doc_id IS NOT NULL THEN 'near_dup'
+                      WHEN c.doc_id % 97 = 0 THEN 'blocklist'
+                      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                      WHEN l.lang != 'en' THEN 'non_english'
+                      WHEN len(string_split(c.text, ' ')) < 10 THEN 'too_short'
+                      WHEN CAST(${TextQueries.markerCountSql(TextQueries.markers("en"), "c.text")}
+                             AS DOUBLE) / len(string_split(c.text, ' ')) > 0.25
+                        OR CAST(len(list_distinct(string_split(c.text, ' '))) AS DOUBLE)
+                             / len(string_split(c.text, ' ')) < 0.2 THEN 'low_quality'
+                      ELSE 'keep' END AS verdict,
+                 CAST(ceil(len(c.text) / 4.0) AS BIGINT) AS est
+          FROM corpus c
+          JOIN langs l ON l.orig_id = c.doc_id % ${Corpus.VariantOffset}
+          LEFT JOIN dups dp ON dp.doc_id = c.doc_id
+          LEFT JOIN contaminated ct ON ct.doc_id = c.doc_id)
+        SELECT verdict, count(*) AS n_docs, CAST(SUM(est) AS BIGINT) AS est_tokens
+        FROM scored GROUP BY verdict"""))
   )
 }

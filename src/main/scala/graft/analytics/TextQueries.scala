@@ -22,20 +22,21 @@ object TextQueries {
     * this synthetic corpus (shared English-ish vocabulary) it mostly votes
     * 'en', and the query reports agreement against the labeled `lang`.
     */
-  private val markers: Map[String, Seq[String]] = Map(
+  private[analytics] val markers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "is", "of", "and"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "es" -> Seq("el", "los", "las", "y", "es"),
     "fr" -> Seq("le", "la", "les", "et", "est"))
 
-  private def markerCountExpr(words: Seq[String]): String = {
+  private[analytics] def markerCountExpr(words: Seq[String]): String = {
     val cond = words.map(w => s"t = '$w'").mkString(" or ")
     s"size(filter(split(text, ' '), t -> $cond))"
   }
 
-  private def markerCountSql(words: Seq[String]): String = {
+  private[analytics] def markerCountSql(words: Seq[String],
+                                        colRef: String = "text"): String = {
     val set = words.map(w => s"'$w'").mkString(", ")
-    s"len(list_filter(string_split(text, ' '), t -> t IN ($set)))"
+    s"len(list_filter(string_split($colRef, ' '), t -> t IN ($set)))"
   }
 
   val all: Seq[QuerySpec] = Seq(

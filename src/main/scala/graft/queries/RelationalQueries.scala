@@ -594,6 +594,36 @@ object RelationalQueries {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY day_n
                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""")),
 
+    // ───── W2 distribution + positional analytics: percent_rank /
+    // cume_dist (rank-normalized position within a segment — the
+    // percentile-flavored window pair) and first_value / nth_value over
+    // an explicit ROWS frame. (c_acctbal, c_custkey) is a total order, so
+    // peer groups are single rows and both engines agree exactly; the
+    // rank ratios divide small exact integers (exactly-rounded IEEE).
+    QuerySpec(
+      "window_percent_rank",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        customer(s, d).select(
+          col("c_custkey"), col("c_mktsegment"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          first_value(col("c_acctbal")).over(wf).as("seg_min_bal"),
+          nth_value(col("c_acctbal"), 2).over(wf).as("seg_2nd_bal"))
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume,
+               FIRST_VALUE(c_acctbal) OVER wf AS seg_min_bal,
+               NTH_VALUE(c_acctbal, 2) OVER wf AS seg_2nd_bal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+               wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
+
     // ───── A7 GROUPING SETS (beyond rollup/cube: an explicit, sparse set
     // list — (flag,status), (flag), ()). Subtotal rows are disambiguated
     // with coalesce sentinels, portable across engines without relying on

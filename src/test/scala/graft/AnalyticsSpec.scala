@@ -435,4 +435,46 @@ class AnalyticsSpec extends SparkSpec {
     out.values.foreach(rs => assert(rs == (1 to rs.length)))
     assert(out.nonEmpty)
   }
+
+  test("connectedComponents: chains, stars, and singleton pairs resolve to min-id labels") {
+    import spark.implicits._
+    // component A: a 6-deep chain (forces >1 propagation round — the min
+    // label must walk the whole chain); component B: a star around 100;
+    // component C: an isolated pair; pair order deliberately shuffled
+    val pairs = Seq(
+      (3L, 4L), (1L, 2L), (100L, 103L), (4L, 5L), (200L, 201L),
+      (100L, 101L), (2L, 3L), (5L, 6L), (100L, 102L), (0L, 1L))
+      .toDF("doc_a", "doc_b")
+    val labels = DedupQueries.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 6L).foreach(v => assert(labels(v) === 0L, s"chain vertex $v"))
+    (100L to 103L).foreach(v => assert(labels(v) === 100L, s"star vertex $v"))
+    assert(labels(200L) === 200L && labels(201L) === 200L)
+    assert(labels.size === 13) // every vertex labeled exactly once
+  }
+
+  test("dedup_cluster picks one canonical doc per component and sizes agree") {
+    val out = SparkEntry.queries("dedup_cluster")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, rows) =>
+      // exactly one canonical member, and it IS the cluster id (min doc_id)
+      val canon = rows.filter(_.getAs[Boolean]("is_canonical"))
+      assert(canon.length === 1, s"cluster $cid canonical count")
+      assert(canon.head.getAs[Long]("doc_id") === cid)
+      assert(rows.map(_.getAs[Long]("doc_id")).min === cid)
+      // advertised size matches the actual member count
+      rows.foreach(r => assert(r.getAs[Long]("cluster_size") === rows.length.toLong))
+    }
+    // clustering must partition the pair graph: members appear once, and
+    // dropping all non-canonical members removes every near-dup pair
+    val keep = out.filter(_.getAs[Boolean]("is_canonical"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+    pairs.foreach { p =>
+      assert(!(keep(p.getLong(0)) && keep(p.getLong(1))),
+        s"pair (${p.getLong(0)}, ${p.getLong(1)}) survived canonical-only filter")
+    }
+  }
 }
