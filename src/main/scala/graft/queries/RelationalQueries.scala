@@ -523,6 +523,43 @@ object RelationalQueries {
           ON e.event_type = t.event_type
         WHERE e.cents > t.p95c""")),
 
+    // ───── A8 mergeable frequent-items sketch (Misra–Gries): top-talker
+    // detection over the event stream. 10% of traffic is deterministically
+    // collapsed onto 3 hot keys (user_id % 10 == 0 → key user_id % 3,
+    // mirrored in the oracle) so the uniform synthetic stream gains true
+    // heavy hitters over its 150-key population. The 64-counter sketch
+    // ([[graft.functions.FrequentItemsAgg]]) aggregates with map-side
+    // combine — one 64-pair buffer per partition crosses the wire, never
+    // the stream — and guarantees every key with freq > n/65 is among its
+    // ≤ 64 candidates; the query then verifies candidates against exact
+    // counts, so the OUTPUT (keys with freq > n/64 and their exact
+    // counts) is deterministic and engine-independent while the exact
+    // recount only ever touches ≤ 64 keys. The one-row sketch collect is
+    // the k-means pattern: O(k) driver traffic, a control-plane step,
+    // never a data collect.
+    QuerySpec(
+      "agg_heavy_hitters",
+      (s, d) => {
+        val keyed = events(s, d).select(
+          when(col("user_id") % 10 === 0, col("user_id") % 3)
+            .otherwise(col("user_id")).as("k"))
+        val fi = udaf(new graft.functions.FrequentItemsAgg(64),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val head = keyed.agg(count(lit(1)).as("n"), fi(col("k")).as("cand")).head()
+        val n = head.getLong(0)
+        val cand = head.getMap[Long, Long](1).keys.toSeq
+        val thresh = n / 64
+        keyed.filter(col("k").isin(cand: _*))
+          .groupBy("k").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > thresh)
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT CASE WHEN user_id % 10 = 0 THEN user_id % 3 ELSE user_id END AS k
+          FROM events)
+        SELECT k, count(*) AS cnt FROM keyed GROUP BY k
+        HAVING count(*) > (SELECT count(*) // 64 FROM keyed)""")),
+
     // ───── J2 as-of join: each purchase matched to the user's most recent
     // signup at-or-before it (window formulation — one shuffle on the key,
     // no range-join explosion; SURVEY §2.3 J2–J6)

@@ -436,6 +436,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("FrequentItemsAgg: Misra–Gries guarantee under the distributed shape") {
+    val k = 8
+    val agg = new graft.functions.FrequentItemsAgg(k)
+    // two true heavy keys over a 200-key tail (n = 700, bound n/(k+1) = 77)
+    val stream = Seq.fill(300)(1L) ++ Seq.fill(200)(2L) ++ (100L until 300L)
+    val mixed = stream.zipWithIndex.sortBy { case (_, i) => (i % 7, i) }.map(_._1)
+    // sketch 5 chunks independently, then merge — the map-side-combine shape
+    val merged = agg.finish(
+      mixed.grouped(140).map(_.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge))
+    val n = mixed.length.toLong
+    assert(merged.size <= k)
+    assert(merged.contains(1L) && merged.contains(2L)) // freq > n/(k+1) must survive
+    merged.foreach { case (key, est) =>
+      val truth = mixed.count(_ == key).toLong
+      assert(est <= truth, s"key $key overcounted: $est > $truth")
+      assert(truth - est <= n / (k + 1), s"key $key undercount past the bound")
+    }
+    // exact when distinct keys fit in the counters
+    val exact = agg.finish(Seq(5L, 5L, 6L, 7L, 7L, 7L).foldLeft(agg.zero)(agg.reduce))
+    assert(exact === Map(5L -> 2L, 6L -> 1L, 7L -> 3L))
+  }
+
+  test("agg_heavy_hitters output equals the exact heavy-hitter set") {
+    val out = SparkEntry.queries("agg_heavy_hitters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keyed = Tables.events(spark, sf).selectExpr(
+      "CASE WHEN user_id % 10 = 0 THEN user_id % 3 ELSE user_id END AS k")
+    val n = keyed.count()
+    val exact = keyed.groupBy("k").count()
+      .filter(col("count") > n / 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === exact)
+    assert(out.nonEmpty)
+  }
+
   test("connectedComponents: chains, stars, and singleton pairs resolve to min-id labels") {
     import spark.implicits._
     // component A: a 6-deep chain (forces >1 propagation round — the min
