@@ -496,6 +496,33 @@ object RelationalQueries {
                  COUNT(*) AS n
           FROM events GROUP BY event_type)""")),
 
+    // ───── A8 approximate percentile (KLL-style quantile sketch via
+    // Spark's approx_percentile): like agg_approx_distinct, the sketch
+    // internals are not cross-engine comparable, so the ORACLE checks the
+    // CONTRACT — the exact interpolated p50 rides along hash-compared,
+    // and the sketch estimate is pinned inside a 5% value envelope as a
+    // boolean the oracle asserts true. accuracy=1000 bounds rank error
+    // to n/1000, far inside the envelope at any group size; the sketch
+    // is the single-pass mergeable path a 100 TB percentile would take
+    // (exact percentile buffers the group — fine per-type here, not at
+    // arbitrary cardinality).
+    QuerySpec(
+      "agg_approx_percentile",
+      (s, d) => events(s, d)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(cents, 0.5D)").as("exact_p50"),
+          expr("approx_percentile(cents, 0.5D, 1000)").as("apx"))
+        .select(col("event_type"), col("exact_p50"),
+          (abs(col("apx") - col("exact_p50")) <=
+            lit(0.05) * (abs(col("exact_p50")) + lit(1.0))).as("within_env")),
+      Some("""
+        SELECT event_type,
+               quantile_cont(CAST(floor(value * 100) AS BIGINT), 0.5) AS exact_p50,
+               TRUE AS within_env
+        FROM events GROUP BY event_type""")),
+
     // ───── A4/W2 outlier flagging: events above their type's p95 —
     // threshold from the same exact interpolated percentile contract as
     // agg_percentile (integer cents in, identical rank definition), then
@@ -814,6 +841,44 @@ object RelationalQueries {
         WHERE o_totalprice = (SELECT max(o2.o_totalprice)
                               FROM orders o2
                               WHERE o2.o_custkey = o.o_custkey)""")),
+
+    // ───── F7 LATERAL join: per-group top-n as a correlated subquery in
+    // FROM — "for each region, its top-2 nations by customer count".
+    // Catalyst decorrelates the aggregate+LIMIT lateral into a join +
+    // per-group window (no per-outer-row re-execution — the dim side is
+    // broadcast, one pass over customer), which is exactly what a user
+    // migrating LATERAL-heavy warehouse SQL needs to hold at scale.
+    // (n_cust DESC, n_name) is a total order, so the top-2 is
+    // deterministic in both engines.
+    QuerySpec(
+      "sql_lateral_topn",
+      (s, d) => {
+        region(s, d).createOrReplaceTempView("region_v")
+        nation(s, d).createOrReplaceTempView("nation_v")
+        customer(s, d).createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT r.r_name, t.n_name, t.n_cust
+          FROM region_v r,
+          LATERAL (
+            SELECT n.n_name, count(*) AS n_cust
+            FROM nation_v n JOIN customer_v c ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY n_cust DESC, n.n_name
+            LIMIT 2
+          ) t""")
+      },
+      Some("""
+        SELECT r.r_name, t.n_name, t.n_cust
+        FROM region r,
+        LATERAL (
+          SELECT n.n_name, count(*) AS n_cust
+          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_cust DESC, n.n_name
+          LIMIT 2
+        ) t""")),
 
     // ───── deterministic hash sampling: a ~10% Bernoulli sample keyed on
     // md5 of the row key — reproducible across engines, retries, and

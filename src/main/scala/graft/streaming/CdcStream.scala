@@ -429,6 +429,29 @@ object CdcStream {
       .groupBy(window(col("approxCreationTs"), window_), col("eventName"))
       .agg(count(lit(1)).as("n"))
 
+  /** Per-window frequent keys over the stream (T9 + §2.10): the
+    * mergeable Misra–Gries sketch ([[graft.functions.FrequentItemsAgg]])
+    * as a streaming aggregate — per tumbling event-time window, the ≤ k
+    * hot-key candidates (by 64-bit key hash) with approximate counts,
+    * plus the window's total for thresholding. The sketch buffer is what
+    * lives in the state store (O(k) per window, bounded by the
+    * watermark), and partial aggregation across micro-batches is exactly
+    * the capacity-enforcing merge — the property that makes a sketch
+    * usable as streaming state at all. Every key with in-window
+    * frequency > n/(k+1) is guaranteed present (spec-pinned); the batch
+    * path's exact candidate recount applies downstream if true counts
+    * are needed.
+    */
+  def windowedHeavyHitters(cdc: DataFrame, k: Int = 64,
+                           window_ : String = "1 hour",
+                           watermark: String = "10 minutes"): DataFrame = {
+    val fi = udaf(new graft.functions.FrequentItemsAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    cdc.withWatermark("approxCreationTs", watermark)
+      .groupBy(window(col("approxCreationTs"), window_))
+      .agg(fi(xxhash64(col("keys"))).as("sketch"), count(lit(1)).as("n"))
+  }
+
   /** Session windows by inactivity gap over the stream (T9). */
   def sessionCounts(cdc: DataFrame, gap: String = "30 minutes",
                     watermark: String = "10 minutes"): DataFrame =

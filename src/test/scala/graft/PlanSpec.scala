@@ -135,4 +135,22 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges in:\n$p")
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("curation_funnel: the dup/contamination flag sets join via broadcast") {
+    // the two LEFT joins against the tiny flag sets must never shuffle
+    // the corpus — broadcast at any corpus size (the sets are one row
+    // per flagged doc, bounded by the near-dup/contamination rate)
+    val p = plan("curation_funnel")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"expected >=2 broadcast joins for the flag sets, got $bhj in:\n$p")
+  }
+
+  test("agg_heavy_hitters: the verify recount is candidate-pruned before the shuffle") {
+    // the exact recount must filter to the <=k sketch candidates BEFORE
+    // its aggregation shuffle (In/INSET predicate on the scan side), so
+    // post-sketch work is O(k) groups regardless of stream size
+    val p = plan("agg_heavy_hitters")
+    assert(p.contains("INSET") || p.contains(" IN ("), s"candidate filter missing in:\n$p")
+    assert(p.contains("partial_count"), s"recount agg not two-phase in:\n$p")
+  }
 }

@@ -595,6 +595,40 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 01:00:00", "INSERT", 1L)))
   }
 
+  test("windowedHeavyHitters: per-window sketch catches every true heavy key across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("keys", "approxCreationTs")
+    // k=4 counters over 12 distinct keys forces real evictions; the
+    // sketch state must merge across the two micro-batches
+    val q = graft.streaming.CdcStream.windowedHeavyHitters(df, k = 4)
+      .select(col("window.start").cast("string").as("win"), col("sketch"), col("n"))
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // hour 00: key "hot" × 30 split across batches, tail keys t0..t9 × 2
+    val hot = Seq.fill(15)("hot"); val tail = (0 until 10).map(i => s"t$i")
+    mem.addData((hot ++ tail).map(k => (k, ts("2024-01-01 00:10:00"))): _*)
+    q.processAllAvailable()
+    mem.addData((hot ++ tail ++ Seq("warm", "warm", "warm", "warm", "warm"))
+      .map(k => (k, ts("2024-01-01 00:40:00"))): _*)
+    q.processAllAvailable()
+    val rows = spark.table("hh_out").collect()
+    q.stop()
+    assert(rows.length === 1)
+    val n = rows.head.getAs[Long]("n")
+    assert(n === 55L) // 30 hot + 20 tail + 5 warm
+    val sketch = rows.head.getAs[Map[Long, Long]]("sketch")
+    assert(sketch.size <= 4)
+    // every key with freq > n/(k+1) = 11 must be present: that's "hot" (30)
+    val hotHash = spark.range(1).select(xxhash64(lit("hot"))).head.getLong(0)
+    assert(sketch.contains(hotHash), s"hot key missing from $sketch")
+    // MG never overcounts, and the undercount bound holds
+    assert(sketch(hotHash) <= 30L && 30L - sketch(hotHash) <= n / 5)
+  }
+
   test("watermark drops late events from windowed aggregation (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
