@@ -106,6 +106,21 @@ object ScaleProbe {
 
       docs.unpersist()
 
+      // connected components at k× the pair graph: 50k·k four-node path
+      // components (the worst small shape — 3 propagation rounds + 1
+      // confirm, vs 1+1 for stars). Round count is set by component
+      // DIAMETER, not graph size, so the probe should show constant
+      // rounds and near-linear time in edges; a superlinear bend would
+      // mean per-round work is not staying proportional to the edge list
+      time(s"concomp_x$k") {
+        val edges = spark.range(50000L * k)
+          .select(explode(expr(
+            """transform(sequence(0, 2),
+                 j -> struct(id*10 + j AS doc_a, id*10 + j + 1 AS doc_b))""")).as("e"))
+          .select(col("e.doc_a"), col("e.doc_b"))
+        graft.analytics.DedupQueries.connectedComponents(edges).count()
+      }
+
       // ANN brute top-k at k× corpus (10 probes broadcast, full scan)
       val vecs = replicateVecs(spark, d, k)
         .select(col("vec_id"),

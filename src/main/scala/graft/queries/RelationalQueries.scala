@@ -816,6 +816,27 @@ object RelationalQueries {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_totalprice > 100000)""")),
 
+    // ───── F7 predicate subquery, positive half: IN-subquery rewrites to
+    // a LEFT SEMI join (RewritePredicateSubquery) — the pair to
+    // sql_not_exists' LEFT ANTI. The subquery's filter prunes at ITS scan
+    // before the join, so the semi join probes only urgent orders.
+    QuerySpec(
+      "sql_in_subquery",
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("customer_v")
+        orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT c_custkey, c_mktsegment
+          FROM customer_v c
+          WHERE c_custkey IN (SELECT o_custkey FROM orders_v
+                              WHERE o_orderpriority = '1-URGENT')""")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')""")),
+
     // ───── F7/J-surface — correlated scalar subquery: each customer's
     // max-price order(s). Catalyst DECORRELATES this (RewriteCorrelated
     // ScalarSubquery): the subquery becomes a per-custkey aggregate

@@ -110,6 +110,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("sql_in_subquery: IN-subquery rewrites to a LEFT SEMI join with a pushed filter") {
+    val p = plan("sql_in_subquery")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)]"), p)
+  }
+
   test("sql_not_exists: predicate subquery rewrites to a LEFT ANTI join") {
     val p = plan("sql_not_exists")
     assert(p.contains("LeftAnti"), p)
