@@ -135,6 +135,42 @@ object RelationalQueries {
         WHERE r_name = 'ASIA'
         GROUP BY n_name""")),
 
+    // ───── TPC-H Q18 shape (large-volume orders): group-HAVING on the
+    // fact table → join the survivors back to orders/customer → global
+    // top-20. The HAVING prunes ~98.5% of orders BEFORE any join (the
+    // aggregate is partial+final over one fact shuffle), customer joins
+    // broadcast, and the final order-by-limit runs as
+    // TakeOrderedAndProject — at 100× the fact table this is one shuffle
+    // plus small-side work. Quantities sum as exact cents; the top-20
+    // tie-breaks on o_orderkey for a deterministic set.
+    QuerySpec(
+      "q18_big_orders",
+      (s, d) => {
+        val big = lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+          .filter(col("qty_cents") > 25000L) // sum(l_quantity) > 250
+        orders(s, d)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"),
+            (col("qty_cents").cast("double") / 100.0).as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               CAST(t.qty_cents AS DOUBLE) / 100.0 AS total_qty
+        FROM (SELECT l_orderkey,
+                     CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 25000) t
+        JOIN orders o ON o.o_orderkey = t.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 20""")),
+
     // ───── J6 left-semi: orders having any heavy lineitem
     QuerySpec(
       "join_semi",

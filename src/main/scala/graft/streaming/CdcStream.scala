@@ -469,14 +469,24 @@ object CdcStream {
     * rows per side, not the whole streams. `control` must carry
     * (ctrlKey, ctrlTs, ...); an inner join, so matches emit immediately.
     */
+  /** `joinType` extends the correlation to `left_outer`: a CDC event
+    * with no control match emits with null control columns once the
+    * CONTROL watermark passes its interval — i.e. only when a matching
+    * control event can no longer arrive. That makes the outer join the
+    * streaming "unattributed traffic" detector (replay events with no
+    * RESTORE_STARTED on record), with emission latency bounded by the
+    * watermark delay.
+    */
   def correlateWithControl(cdc: DataFrame, control: DataFrame,
                            maxDelay: String = "10 minutes",
-                           watermark: String = "10 minutes"): DataFrame = {
+                           watermark: String = "10 minutes",
+                           joinType: String = "inner"): DataFrame = {
     val l = cdc.withWatermark("approxCreationTs", watermark)
     val r = control.withWatermark("ctrlTs", watermark)
     l.join(r,
       l("keys") === r("ctrlKey") &&
         l("approxCreationTs") >= r("ctrlTs") &&
-        l("approxCreationTs") <= r("ctrlTs") + expr(s"interval $maxDelay"))
+        l("approxCreationTs") <= r("ctrlTs") + expr(s"interval $maxDelay"),
+      joinType)
   }
 }

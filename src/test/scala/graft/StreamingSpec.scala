@@ -754,6 +754,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("e1", "RESTORE_STARTED")))
   }
 
+  test("left-outer interval join emits unmatched CDC events once the watermark closes them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cdcMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val ctrlMem = MemoryStream[(String, java.sql.Timestamp, String)]
+    val cdc = cdcMem.toDF().toDF("keys", "eventID", "approxCreationTs")
+    val ctrl = ctrlMem.toDF().toDF("ctrlKey", "ctrlTs", "action")
+    val q = CdcStream.correlateWithControl(cdc, ctrl,
+      maxDelay = "10 minutes", watermark = "1 minute", joinType = "left_outer")
+      .select("eventID", "action")
+      .writeStream.format("memory").queryName("corr_outer_out")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    ctrlMem.addData(("k1", ts("2024-01-01 00:00:00"), "RESTORE_STARTED"))
+    cdcMem.addData(
+      ("k1", "e1", ts("2024-01-01 00:05:00")), // attributed
+      ("k2", "e2", ts("2024-01-01 00:06:00"))) // no control event — unattributed
+    q.processAllAvailable()
+    // the unmatched row must NOT emit yet: a matching control event
+    // could still arrive until the control watermark passes its interval
+    val early = spark.table("corr_outer_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(early == Set(("e1", "RESTORE_STARTED")))
+    // advance BOTH watermarks far past e2's interval — the outer side
+    // closes and e2 emits with a null control column
+    ctrlMem.addData(("zz", ts("2024-01-01 02:00:00"), "noop"))
+    cdcMem.addData(("zz", "e9", ts("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val rows = spark.table("corr_outer_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(rows.contains(("e2", null)), s"unattributed event missing from $rows")
+  }
+
   test("statefulLatest: an event-time-idle key is evicted from the state store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
