@@ -171,6 +171,58 @@ object RelationalQueries {
         ORDER BY o.o_totalprice DESC, o.o_orderkey
         LIMIT 20""")),
 
+    // ───── TPC-H Q9 shape (profit by supplier nation × ship year): the
+    // fact table joins THREE dimensions — part (2k rows), supplier
+    // (100), nation (25) — all broadcast, so the only shuffle is the
+    // final (nation, year) hash-agg with map-side partials. This is the
+    // canonical star-join: at 100× the fact table the plan is unchanged
+    // (dims stay broadcast-sized), which is exactly why it's the shape
+    // to pin. Also the first coverage of the part/supplier tables.
+    QuerySpec(
+      "q9_profit_by_nation_year",
+      (s, d) => lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .withColumn("o_year", year(col("l_shipdate")))
+        .groupBy("n_name", "o_year")
+        .agg(revenueSum.as("revenue"), count(lit(1)).as("n_items")),
+      Some(s"""
+        SELECT n_name, CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS o_year,
+               $revenueSumSql AS revenue, COUNT(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+                      JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN nation ON n_nationkey = s_nationkey
+        GROUP BY n_name, o_year""")),
+
+    // ───── TPC-H Q14 shape (promo revenue share by ship month): a
+    // conditional aggregate ratio — CASE inside the sum, one broadcast
+    // part join, one month hash-agg. The share divides two exact
+    // cents-sums as doubles (both far under 2^53, multiply-then-divide
+    // in the same order in both engines), so the ratio is bit-identical.
+    QuerySpec(
+      "q14_promo_share",
+      (s, d) => lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .withColumn("month", date_trunc("month", col("l_shipdate")).cast("date"))
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .groupBy("month")
+        .agg(
+          (sum(when(col("p_type") === "PROMO", col("cents")).otherwise(0L)).cast("double")
+            * 100.0 / sum(col("cents")).cast("double")).as("promo_share"),
+          (sum(col("cents")).cast("double") / 10000.0).as("revenue")),
+      Some("""
+        SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+               CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS DOUBLE)
+                 * 100.0 / CAST(SUM(cents) AS DOUBLE) AS promo_share,
+               CAST(SUM(cents) AS DOUBLE) / 10000.0 AS revenue
+        FROM (SELECT l_shipdate, p_type,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS cents
+              FROM lineitem JOIN part ON p_partkey = l_partkey)
+        GROUP BY month""")),
+
     // ───── J6 left-semi: orders having any heavy lineitem
     QuerySpec(
       "join_semi",
