@@ -1,20 +1,24 @@
 package graft.analytics
 
-/** REAL decoders for the uncompressed media formats that need no codec
-  * library — pure byte parsing, so they run in this container and on any
-  * executor with zero native dependencies:
+/** REAL decoders for the media formats decodable with zero external
+  * dependencies, so they run in this container and on any executor:
   *
   *  - PPM (P6): `"P6" <ws> width <ws> height <ws> maxval \n raster` with
-  *    `#` comments; 8-bit RGB raster, row-major.
+  *    `#` comments; 8-bit RGB raster, row-major — pure byte parsing.
   *  - WAV (RIFF/PCM 16-bit): `"RIFF" size "WAVE"` + chunk walk to
   *    `fmt ` (must be audioFormat=1, 16-bit) and `data`; little-endian
-  *    interleaved samples.
+  *    interleaved samples — pure byte parsing.
+  *  - PNG / JPEG / BMP / GIF: decoded through the JDK's BUILT-IN
+  *    `javax.imageio` readers ([[decodeImageIo]]) — real rasters, still
+  *    no external codec library (the readers ship with Java SE and run
+  *    headless). Lossless formats round-trip exact pixels
+  *    (spec-verified); JPEG is lossy by nature, so its raster is
+  *    deterministic per JVM but not byte-pinned by the format.
   *
-  * Compressed formats (JPEG/PNG/MP3/...) still go through the loudly
-  * marked stub in [[MultimodalOps]] — decoding those without a codec
-  * library is not honestly possible here. The dispatch is by magic bytes
-  * ([[isPpm]]/[[isPcmWav]]), so a corpus can mix real and stub payloads
-  * and each row takes its right path.
+  * Formats with no JDK reader (MP3/MP4/WebP/...) still go through the
+  * loudly marked stub in [[MultimodalOps]]. The dispatch is by magic
+  * bytes ([[isPpm]]/[[isPcmWav]]/[[isImageIoFormat]]), so a corpus can
+  * mix real and stub payloads and each row takes its right path.
   */
 object MediaCodecs {
 
@@ -25,6 +29,55 @@ object MediaCodecs {
     b.length >= 12 &&
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+
+  def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+
+  def isGif(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+  /** Any format the JDK's bundled ImageIO readers handle. */
+  def isImageIoFormat(b: Array[Byte]): Boolean =
+    isPng(b) || isJpeg(b) || isBmp(b) || isGif(b)
+
+  /** Decode PNG/JPEG/BMP/GIF via the JDK's `javax.imageio`. Returns
+    * (width, height, channels, 8-bit interleaved raster) — channels = 4
+    * (RGBA) when the image carries alpha, else 3 (RGB; grayscale expands
+    * to r=g=b, the sRGB normalization `getRGB` defines). Fails loudly on
+    * a payload no reader accepts — like the PPM path, a malformed image
+    * is poison, not silently-wrong pixels.
+    */
+  def decodeImageIo(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, "ImageIO: no registered reader accepted the payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val c = if (img.getColorModel.hasAlpha) 4 else 3
+    // one bulk sRGB conversion — deterministic for 8-bit images, and the
+    // normalization step every downstream feature stage wants anyway
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Byte](w * h * c)
+    var i = 0
+    var o = 0
+    while (i < argb.length) {
+      val v = argb(i)
+      out(o) = ((v >> 16) & 0xff).toByte
+      out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = (v & 0xff).toByte
+      if (c == 4) out(o + 3) = ((v >>> 24) & 0xff).toByte
+      i += 1
+      o += c
+    }
+    (w, h, c, out)
+  }
 
   /** Decode a P6 PPM. Returns (width, height, channels=3, raster bytes).
     * Fails loudly on truncation/garbage — a malformed "P6" payload is

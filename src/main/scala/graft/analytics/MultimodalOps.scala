@@ -21,11 +21,15 @@ final case class DecodedImage(
   *  - PPM (P6) and PCM-16 WAV payloads are REALLY decoded — pure byte
   *    parsing, no codec library needed ([[MediaCodecs]]); pixels/samples
   *    are the actual raster/waveform values.
-  *  - anything else falls to the ██ STUB ██ paths: this container ships
-  *    no image/audio codecs, so `decodeStub` derives a deterministic fake
+  *  - PNG / JPEG / BMP / GIF payloads are REALLY decoded through the
+  *    JDK's built-in `javax.imageio` readers
+  *    ([[MediaCodecs.decodeImageIo]]) — actual rasters, zero external
+  *    dependencies.
+  *  - anything else (MP3/MP4/WebP/...: no JDK reader) falls to the
+  *    ██ STUB ██ paths: `decodeStub` derives a deterministic fake
   *    buffer from the header bytes. Everything around the stub —
   *    BinaryType schema, partition iteration, batching, typed Dataset
-  *    output — is the real engine plumbing a compressed-format codec
+  *    output — is the real engine plumbing a remaining-format codec
   *    would drop into.
   *
   * Scale posture: per-partition map, no shuffle, no driver collection;
@@ -57,20 +61,31 @@ object MultimodalOps {
     DecodedImage(-1L, w, h, c, px)
   }
 
-  /** Real P6 decode: actual raster values scaled to [0,1), bounded to
-    * `previewLen` samples (the full plane of a 4k image is 50M floats —
-    * the PREVIEW bound is the row-size contract; a full-plane consumer
-    * uses [[resizeImages]], whose output size is caller-bounded).
+  /** Real raster (PPM or ImageIO) → preview-bounded DecodedImage:
+    * actual pixel values scaled to [0,1), bounded to `previewLen`
+    * samples (the full plane of a 4k image is 50M floats — the PREVIEW
+    * bound is the row-size contract; a full-plane consumer uses
+    * [[resizeImages]], whose output size is caller-bounded).
     */
-  private def decodePpmReal(img: Array[Byte], previewLen: Int): DecodedImage = {
-    val (w, h, c, raster) = MediaCodecs.decodePpm(img)
+  private def fromRaster(w: Int, h: Int, c: Int, raster: Array[Byte],
+                         previewLen: Int): DecodedImage = {
     val n = math.min(previewLen, raster.length)
     DecodedImage(-1L, w, h, c, Array.tabulate(n)(i => (raster(i) & 0xff) / 255f))
   }
 
+  /** Real decode dispatch: P6 via the byte parser, PNG/JPEG/BMP/GIF via
+    * the JDK's ImageIO readers ([[MediaCodecs.decodeImageIo]]); None for
+    * formats that must take the stub.
+    */
+  private def decodeReal(img: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    if (MediaCodecs.isPpm(img)) Some(MediaCodecs.decodePpm(img))
+    else if (MediaCodecs.isImageIoFormat(img)) Some(MediaCodecs.decodeImageIo(img))
+    else None
+
   /** Batched typed decode: (doc_id, img binary) → Dataset[DecodedImage].
     * Batches bound per-task memory and give codecs an amortization unit.
-    * P6 payloads decode for real; others take the stub (see object doc).
+    * P6 and PNG/JPEG/BMP/GIF payloads decode for real; others take the
+    * stub (see object doc).
     */
   def decodeImages(df: DataFrame, batchSize: Int = 64, previewLen: Int = 16)
       : Dataset[DecodedImage] = {
@@ -82,9 +97,10 @@ object MultimodalOps {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch seam: codec/native-lib setup would happen once here
           batch.iterator.map { case (id, img) =>
-            val d =
-              if (MediaCodecs.isPpm(img)) decodePpmReal(img, previewLen)
-              else decodeStub(img, previewLen)
+            val d = decodeReal(img) match {
+              case Some((w, h, c, raster)) => fromRaster(w, h, c, raster, previewLen)
+              case None                    => decodeStub(img, previewLen)
+            }
             d.copy(doc_id = id)
           }
         }
@@ -102,12 +118,12 @@ object MultimodalOps {
       .select("doc_id", "frame_idx", "frame_hash")
 
   /** Resize to a fixed raster — what lets a downstream feature stage
-    * batch uniformly. P6 payloads get a REAL 2D nearest-neighbor
-    * resample over the full decoded plane (output is exactly
-    * targetW×targetH×channels actual pixel values); other payloads take
-    * the ██ STUB ██ path (1D nearest-neighbor over the fake preview,
-    * targetW*targetH single-plane values) — a compressed-format codec
-    * swaps `decodeStub`, everything else stays.
+    * batch uniformly. P6 and PNG/JPEG/BMP/GIF payloads get a REAL 2D
+    * nearest-neighbor resample over the full decoded plane (output is
+    * exactly targetW×targetH×channels actual pixel values); other
+    * payloads take the ██ STUB ██ path (1D nearest-neighbor over the
+    * fake preview, targetW*targetH single-plane values) — a codec for a
+    * remaining format swaps `decodeStub`, everything else stays.
     */
   def resizeImages(df: DataFrame, targetW: Int, targetH: Int,
                    batchSize: Int = 64): Dataset[DecodedImage] = {
@@ -118,24 +134,24 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, img) =>
-            if (MediaCodecs.isPpm(img)) {
-              val (w, h, c, raster) = MediaCodecs.decodePpm(img)
-              // real nearest-neighbor: out(x,y,ch) = in(x*w/tw, y*h/th, ch)
-              val px = Array.tabulate(targetW * targetH * c) { i =>
-                val ch = i % c; val x = (i / c) % targetW; val y = i / (c * targetW)
-                val sx = (x.toLong * w / targetW).toInt
-                val sy = (y.toLong * h / targetH).toInt
-                (raster((sy * w + sx) * c + ch) & 0xff) / 255f
-              }
-              DecodedImage(id, targetW, targetH, c, px)
-            } else {
-              val full = decodeStub(img, previewLen = 64)
-              val n = targetW * targetH
-              // nearest-neighbor over the preview buffer (stub resample)
-              val px = Array.tabulate(n) { i =>
-                full.pixels(((i.toLong * full.pixels.length) / n).toInt)
-              }
-              DecodedImage(id, targetW, targetH, full.channels, px)
+            decodeReal(img) match {
+              case Some((w, h, c, raster)) =>
+                // real nearest-neighbor: out(x,y,ch) = in(x*w/tw, y*h/th, ch)
+                val px = Array.tabulate(targetW * targetH * c) { i =>
+                  val ch = i % c; val x = (i / c) % targetW; val y = i / (c * targetW)
+                  val sx = (x.toLong * w / targetW).toInt
+                  val sy = (y.toLong * h / targetH).toInt
+                  (raster((sy * w + sx) * c + ch) & 0xff) / 255f
+                }
+                DecodedImage(id, targetW, targetH, c, px)
+              case None =>
+                val full = decodeStub(img, previewLen = 64)
+                val n = targetW * targetH
+                // nearest-neighbor over the preview buffer (stub resample)
+                val px = Array.tabulate(n) { i =>
+                  full.pixels(((i.toLong * full.pixels.length) / n).toInt)
+                }
+                DecodedImage(id, targetW, targetH, full.channels, px)
             }
           }
         }

@@ -83,6 +83,47 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("PNG/BMP payloads decode via the JDK's ImageIO: exact pixels, real resize") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def encode(fmt: String, imgType: Int, rgb: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val bi = new BufferedImage(w, h, imgType)
+      bi.setRGB(0, 0, w, h, rgb.toArray, 0, w)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    // 2x2 RGB: black, red / green, blue — lossless round trip must be exact
+    val rgb = Seq(0xff000000, 0xffff0000, 0xff00ff00, 0xff0000ff)
+    val png = encode("png", BufferedImage.TYPE_INT_RGB, rgb, 2, 2)
+    val bmp = encode("bmp", BufferedImage.TYPE_INT_RGB, rgb, 2, 2)
+    assert(MediaCodecs.isPng(png) && MediaCodecs.isBmp(bmp))
+    val expected = Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f)
+    val df = Seq((1L, png), (2L, bmp)).toDF("doc_id", "img")
+    val dec = MultimodalOps.decodeImages(df, previewLen = 12).collect()
+      .map(d => d.doc_id -> d).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert((dec(id).width, dec(id).height, dec(id).channels) === ((2, 2, 3)), s"doc $id")
+      assert(dec(id).pixels.toSeq === expected, s"doc $id pixels")
+    }
+    // alpha PNG → 4 channels with the actual alpha value
+    val argbPx = Seq(0x80ff0000, 0xff00ff00, 0x00000000, 0xffffffff)
+    val apng = encode("png", BufferedImage.TYPE_INT_ARGB, argbPx, 2, 2)
+    val adec = MultimodalOps.decodeImages(Seq((3L, apng)).toDF("doc_id", "img"),
+      previewLen = 16).collect()(0)
+    assert(adec.channels === 4)
+    assert(adec.pixels.slice(0, 4).toSeq === Seq(1f, 0f, 0f, 0x80 / 255f))
+    // real 2D resize over the decoded PNG plane: 2x2 → 1x2 keeps left column
+    val rs = MultimodalOps.resizeImages(Seq((1L, png)).toDF("doc_id", "img"), 1, 2)
+      .collect()(0)
+    assert(rs.pixels.toSeq === Seq(0f, 0f, 0f, 0f, 1f, 0f))
+    // truncated PNG fails loudly (ImageIO returns null / throws), never fake pixels
+    intercept[Exception] {
+      MultimodalOps.decodeImages(
+        Seq((4L, png.take(20))).toDF("doc_id", "img")).collect()
+    }
+  }
+
   test("PCM WAV payloads are really parsed: per-window RMS over the actual waveform") {
     import spark.implicits._
     def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
