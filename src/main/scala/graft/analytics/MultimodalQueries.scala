@@ -8,13 +8,16 @@ import graft.queries.QuerySpec
 /** Multimodal-column plumbing: media rides through the engine as opaque
   * `binary` columns with typed metadata extracted by a decode step.
   *
-  * The container has no image/audio codecs, so the corpus carries
-  * deterministic fake media: `img = unhex(md5(text))` (16 bytes standing in
-  * for an encoded header). The oracle-checked query exercises the REAL
-  * Spark plumbing — BinaryType columns, byte slicing, and header-field
-  * extraction as codegen'd expressions; the actual pixel decode is the
-  * clearly-stubbed typed path in [[MultimodalOps]] (ScalaTest-covered),
-  * where a real deployment would link a codec inside `mapPartitions`.
+  * The driver corpus carries deterministic fake media — `img =
+  * unhex(md5(text))`, 16 bytes standing in for an encoded header — so
+  * `mm_decode_meta`/`mm_frame_sample` exercise the BinaryType plumbing
+  * (byte slicing, header extraction, explode-to-frames) as codegen'd
+  * expressions. `mm_codec_roundtrip` goes further: it runs the engine's
+  * REAL PNG path ([[MediaCodecs.decodeImageIo]], the JDK ImageIO
+  * readers) on per-doc deterministic rasters and puts the round-trip
+  * under the DuckDB oracle. Typed decode/resize/audio live in
+  * [[MultimodalOps]] (ScalaTest-covered); only formats with no JDK
+  * reader remain stubbed there.
   *
   * Scale posture: per-row map, no shuffle; binary payloads stay columnar
   * in parquet and are never collected.
@@ -75,6 +78,63 @@ object MultimodalQueries {
       Some("""
         SELECT doc_id, o.n AS frame_no, o.n * 4 AS frame_idx,
                md5(substr(md5(text), o.n * 8 + 1, 8)) AS frame_hash
-        FROM documents, (SELECT unnest(range(0, 4)) AS n) o"""))
+        FROM documents, (SELECT unnest(range(0, 4)) AS n) o""")),
+
+    // ───── REAL codec under the oracle gate (M2): per doc, build a
+    // deterministic RGB raster (dims and every pixel derived from
+    // doc_id), encode it to PNG and decode it back through the JDK
+    // ImageIO path the engine actually ships
+    // ([[MediaCodecs.decodeImageIo]]), verifying exact pixel equality
+    // in-row. The oracle recomputes the dims from doc_id arithmetic and
+    // asserts the round-trip flag — so a broken decoder (wrong stride,
+    // channel order, alpha handling) hash-mismatches even though DuckDB
+    // itself cannot decode PNG. Per-row map inside mapPartitions, no
+    // shuffle; 100 docs bound the encode cost.
+    QuerySpec(
+      "mm_codec_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 100).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = 1 + (id % 8).toInt
+              val h = 1 + (id % 5).toInt
+              val bi = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  // pixel linear index i = (y*w+x)*3 + ch; value = (id*31 + i) % 256
+                  val base = id * 31 + (y * w + x) * 3
+                  bi.setRGB(x, y,
+                    (((base % 256).toInt) << 16) |
+                      ((((base + 1) % 256).toInt) << 8) |
+                      (((base + 2) % 256).toInt))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(bi, "png", bos)
+              val (dw, dh, dc, raster) = MediaCodecs.decodeImageIo(bos.toByteArray)
+              var ok = dw == w && dh == h && dc == 3 && raster.length == w * h * 3
+              var i = 0
+              while (ok && i < raster.length) {
+                ok = (raster(i) & 0xff) == ((id * 31 + i) % 256).toInt
+                i += 1
+              }
+              (id, dw, dh, dc, ok)
+            }
+          }
+          .toDF("doc_id", "width", "height", "channels", "roundtrip_ok")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(1 + doc_id % 8 AS INTEGER) AS width,
+               CAST(1 + doc_id % 5 AS INTEGER) AS height,
+               3 AS channels, TRUE AS roundtrip_ok
+        FROM documents WHERE doc_id < 100"""))
   )
 }
