@@ -48,6 +48,50 @@ object MediaCodecs {
   def isImageIoFormat(b: Array[Byte]): Boolean =
     isPng(b) || isJpeg(b) || isBmp(b) || isGif(b)
 
+  /** Decode EVERY frame of an animated (or single-frame) GIF via the
+    * JDK's ImageIO sequence API: `(width, height, channels, raster)` per
+    * frame, in presentation order. Frames are decoded independently
+    * (no inter-frame composition — each frame's own raster, which is the
+    * per-frame feature-extraction contract; a player-accurate compositor
+    * would layer disposal methods on top). Fails loudly on a payload the
+    * GIF reader rejects.
+    */
+  def decodeGifFrames(b: Array[Byte]): Seq[(Int, Int, Int, Array[Byte])] = {
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    require(it.hasNext, "ImageIO: no GIF reader registered")
+    val reader = it.next()
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      reader.setInput(in, false, true)
+      val n = reader.getNumImages(true)
+      require(n >= 1, "GIF: no frames")
+      (0 until n).map { i =>
+        val img = reader.read(i)
+        val w = img.getWidth
+        val h = img.getHeight
+        val c = if (img.getColorModel.hasAlpha) 4 else 3
+        val argb = img.getRGB(0, 0, w, h, null, 0, w)
+        val out = new Array[Byte](w * h * c)
+        var p = 0
+        var o = 0
+        while (p < argb.length) {
+          val v = argb(p)
+          out(o) = ((v >> 16) & 0xff).toByte
+          out(o + 1) = ((v >> 8) & 0xff).toByte
+          out(o + 2) = (v & 0xff).toByte
+          if (c == 4) out(o + 3) = ((v >>> 24) & 0xff).toByte
+          p += 1
+          o += c
+        }
+        (w, h, c, out)
+      }
+    } finally {
+      reader.dispose()
+      in.close()
+    }
+  }
+
   /** Decode PNG/JPEG/BMP/GIF via the JDK's `javax.imageio`. Returns
     * (width, height, channels, 8-bit interleaved raster) — channels = 4
     * (RGBA) when the image carries alpha, else 3 (RGB; grayscale expands

@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
 final case class DecodedImage(
     doc_id: Long, width: Int, height: Int, channels: Int, pixels: Array[Float])
 
+/** One decoded video/animation frame from the typed extraction path. */
+final case class VideoFrame(
+    doc_id: Long, frame_no: Int, width: Int, height: Int, channels: Int,
+    frame_digest: String)
+
 /** Typed multimodal processing over opaque binary columns.
   *
   * This is the Scala analog of a vectorized-batch UDF pipeline: binary
@@ -102,6 +107,30 @@ object MultimodalOps {
               case None                    => decodeStub(img, previewLen)
             }
             d.copy(doc_id = id)
+          }
+        }
+      }
+  }
+
+  /** REAL frame extraction for animated-GIF payloads (M3): every frame
+    * decoded through the JDK's GIF sequence reader
+    * ([[MediaCodecs.decodeGifFrames]]), one row per frame keyed by the
+    * source doc with dims and a raster digest — per-frame work then
+    * parallelizes past document boundaries. Non-GIF payloads keep the
+    * stride-stub shape in [[sampleFrames]].
+    */
+  def extractFramesGif(df: DataFrame): Dataset[VideoFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("img"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, img) =>
+          MediaCodecs.decodeGifFrames(img).zipWithIndex.map {
+            case ((w, h, c, raster), i) =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(raster).map("%02x".format(_)).mkString
+              VideoFrame(id, i, w, h, c, hex)
           }
         }
       }

@@ -477,6 +477,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("animated GIF frames are REALLY extracted: per-frame dims and rasters") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // two 3x2 solid frames (red, blue) written as an animated GIF
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(0xffff0000, 0xff0000ff).foreach { argb =>
+      val bi = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+      bi.setRGB(0, 0, 3, 2, Array.fill(6)(argb), 0, 3)
+      writer.writeToSequence(new javax.imageio.IIOImage(bi, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+    assert(MediaCodecs.isGif(gif))
+    // direct decode: two frames, exact solid colors survive the palette
+    val frames = MediaCodecs.decodeGifFrames(gif)
+    assert(frames.length === 2)
+    frames.zip(Seq((255, 0, 0), (0, 0, 255))).foreach { case ((w, h, c, raster), rgbExp) =>
+      assert((w, h) === ((3, 2)))
+      raster.grouped(c).foreach { px =>
+        assert(((px(0) & 0xff, px(1) & 0xff, px(2) & 0xff)) === rgbExp)
+      }
+    }
+    // typed extraction path: one row per frame, distinct digests
+    val out = MultimodalOps.extractFramesGif(Seq((7L, gif)).toDF("doc_id", "img"))
+      .collect().sortBy(_.frame_no)
+    assert(out.map(f => (f.doc_id, f.frame_no, f.width, f.height)).toSeq ===
+      Seq((7L, 0, 3, 2), (7L, 1, 3, 2)))
+    assert(out(0).frame_digest !== out(1).frame_digest)
+  }
+
   test("FrequentItemsAgg: Misra–Gries guarantee under the distributed shape") {
     val k = 8
     val agg = new graft.functions.FrequentItemsAgg(k)
