@@ -153,6 +153,36 @@ object MediaCodecs {
     (w, h, 3, java.util.Arrays.copyOfRange(b, i, i + n))
   }
 
+  /** Decode any WAV the JDK understands: the hand-rolled PCM-16 fast
+    * path first (zero-copy chunk walk), then `javax.sound.sampled`
+    * conversion for the rest of the RIFF family (8-bit PCM, µ-law,
+    * a-law — the readers and converters ship with Java SE). Returns
+    * (sampleRate, channels, interleaved signed 16-bit samples) either
+    * way, so downstream feature code is encoding-agnostic.
+    */
+  def decodeWav(b: Array[Byte]): (Int, Int, Array[Short]) =
+    try decodePcmWav(b)
+    catch { case _: IllegalArgumentException => decodeWavViaAudioSystem(b) }
+
+  private def decodeWavViaAudioSystem(b: Array[Byte]): (Int, Int, Array[Short]) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val f = in.getFormat
+      val pcm = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+        f.getSampleRate, false)
+      val conv = javax.sound.sampled.AudioSystem.getAudioInputStream(pcm, in)
+      try {
+        val bytes = conv.readAllBytes()
+        val samples = Array.tabulate(bytes.length / 2)(k =>
+          ((bytes(2 * k) & 0xff) | (bytes(2 * k + 1) << 8)).toShort)
+        (f.getSampleRate.toInt, f.getChannels, samples)
+      } finally conv.close()
+    } finally in.close()
+  }
+
   /** Decode a PCM-16 WAV. Returns (sampleRate, channels, samples) with
     * interleaved channel samples as signed 16-bit values.
     */

@@ -187,13 +187,16 @@ object MultimodalOps {
       }
   }
 
-  /** REAL audio feature extraction over PCM-16 WAV payloads: per-window
-    * RMS energy of the actual waveform (normalized to [0,1]), the first
-    * stage of any mel/MFCC pipeline. Typed mapPartitions (not a UDF):
-    * each doc explodes to (win_no, rms, sample_rate, channels) rows, so
-    * feature work parallelizes past document boundaries. Rejects non-WAV
-    * payloads loudly — mixing in compressed audio requires the stub path
-    * below, a deliberate caller decision.
+  /** REAL audio feature extraction over WAV payloads — PCM-16 through
+    * the hand-rolled fast path, 8-bit/µ-law/a-law through the JDK's
+    * `javax.sound.sampled` converters ([[MediaCodecs.decodeWav]]):
+    * per-window RMS energy of the actual waveform (normalized to
+    * [0,1]), the first stage of any mel/MFCC pipeline. Typed
+    * mapPartitions (not a UDF): each doc explodes to (win_no, rms,
+    * sample_rate, channels) rows, so feature work parallelizes past
+    * document boundaries. Rejects non-WAV payloads loudly — mixing in
+    * formats with no JDK decoder requires the stub path below, a
+    * deliberate caller decision.
     */
   def audioFeaturesPcm(df: DataFrame, windowSamples: Int = 256): DataFrame = {
     val spark = df.sparkSession
@@ -202,7 +205,7 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, img) =>
-          val (rate, ch, samples) = MediaCodecs.decodePcmWav(img)
+          val (rate, ch, samples) = MediaCodecs.decodeWav(img)
           samples.grouped(windowSamples).zipWithIndex.map { case (win, no) =>
             val sumSq = win.foldLeft(0.0)((a, s) => a + s.toDouble * s)
             (id, no.toLong, math.sqrt(sumSq / win.length) / 32768.0, rate, ch)

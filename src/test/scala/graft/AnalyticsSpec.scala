@@ -477,6 +477,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("non-PCM WAV (u-law) decodes through the JDK audio converters") {
+    import javax.sound.sampled._
+    // PCM-16 ramp → encode as a µ-law WAV via the JDK converter
+    val n = 512
+    val pcm = Array.tabulate[Short](n)(i =>
+      (math.sin(i * 0.12) * 12000).toShort)
+    val pcmBytes = new Array[Byte](n * 2)
+    pcm.zipWithIndex.foreach { case (s, i) =>
+      pcmBytes(2 * i) = (s & 0xff).toByte; pcmBytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val srcFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val src = new AudioInputStream(new java.io.ByteArrayInputStream(pcmBytes), srcFmt, n)
+    val ulaw = AudioSystem.getAudioInputStream(ulawFmt, src)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulaw, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(MediaCodecs.isPcmWav(wav)) // RIFF/WAVE container
+    // the hand-rolled PCM-16 parser must REJECT it (audioFormat != 1)...
+    intercept[IllegalArgumentException] { MediaCodecs.decodePcmWav(wav) }
+    // ...and decodeWav must route through javax.sound.sampled and
+    // recover the waveform within µ-law's 8-bit companding error
+    val (rate, ch, out) = MediaCodecs.decodeWav(wav)
+    assert(rate === 8000 && ch === 1 && out.length === n)
+    val sigRms = math.sqrt(pcm.map(s => s.toDouble * s).sum / n)
+    val errRms = math.sqrt(pcm.zip(out).map { case (a, b) =>
+      val d = a.toDouble - b; d * d
+    }.sum / n)
+    assert(errRms < sigRms * 0.05, s"u-law error RMS $errRms vs signal RMS $sigRms")
+    // the feature op consumes it end-to-end
+    import spark.implicits._
+    val rows = MultimodalOps.audioFeaturesPcm(
+      Seq((5L, wav)).toDF("doc_id", "img"), windowSamples = 128).collect()
+    assert(rows.length === 4 && rows.forall(_.getDouble(2) > 0.0))
+  }
+
   test("animated GIF frames are REALLY extracted: per-frame dims and rasters") {
     import spark.implicits._
     import java.awt.image.BufferedImage
