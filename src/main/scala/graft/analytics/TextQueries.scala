@@ -341,6 +341,48 @@ object TextQueries {
         ORDER BY cnt DESC, bigram
         LIMIT 50""")),
 
+    // ───── tf-idf retrieval (the search primitive on top of the
+    // inverted-index machinery): score the corpus against a fixed query
+    // term set, top-20 by relevance. idf is INTEGER — (N*1000) div df,
+    // exact integer division in both engines — because log() differs in
+    // the last ulp across libm implementations and would break the hash
+    // compare; the integer idf preserves the df-based ordering that
+    // matters. Plan: the per-(doc, term) tf agg only ever sees rows
+    // matching the tiny query term set (filter pushed to the scan side
+    // of the explode), df is a ≤|terms|-row aggregate broadcast back,
+    // and the final top-20 is TakeOrderedAndProject. N (corpus size) is
+    // a driver-side scalar — one count, the k-means control-plane
+    // pattern.
+    QuerySpec(
+      "text_search_tfidf",
+      (s, d) => {
+        val n = Tables.documents(s, d).count()
+        val terms = Seq("spark", "stream", "vector")
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), "term")
+          .withColumn("w", expr(s"tf * ((${n}L * 1000L) div df)"))
+          .groupBy("doc_id").agg(sum("w").as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+          WHERE term IN ('spark', 'stream', 'vector')
+          GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id, CAST(SUM(tf * ((n.n * 1000) // dfreq.df)) AS BIGINT) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 20""")),
+
     // ───── normalization: lowercase, strip non-alphanumerics, squeeze
     // whitespace — the canonical-form step before exact dedup/hashing.
     // ONE regex pass: a run of non-alphanumerics (spaces included)

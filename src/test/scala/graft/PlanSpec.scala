@@ -142,6 +142,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("text_search_tfidf: df broadcast back, top-20 via TakeOrderedAndProject") {
+    val p = plan("text_search_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("curation_funnel: the dup/contamination flag sets join via broadcast") {
     // the two LEFT joins against the tiny flag sets must never shuffle
     // the corpus — broadcast at any corpus size (the sets are one row
