@@ -776,6 +776,34 @@ object RelationalQueries {
                wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
 
+    // ───── W2 forward-fill (gap filling): carry each user's last
+    // non-null reading forward — `last(..., ignoreNulls)` over a running
+    // ROWS frame, the IGNORE NULLS analytic pair to percent_rank's
+    // distribution pair. Nulls are injected deterministically (every 3rd
+    // event) and mirrored in the oracle; values pass through unchanged
+    // (no arithmetic), so stored doubles compare exactly. Leading rows
+    // with no prior reading stay null in both engines.
+    QuerySpec(
+      "window_forward_fill",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .withColumn("v", expr(
+            "CASE WHEN event_id % 3 = 0 THEN CAST(NULL AS DOUBLE) ELSE value END"))
+          .select(col("event_id"), col("user_id"),
+            last(col("v"), ignoreNulls = true).over(w).as("filled"))
+      },
+      Some("""
+        SELECT event_id, user_id,
+               LAST_VALUE(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM (SELECT event_id, user_id, ts,
+                     CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+              FROM events)""")),
+
     // ───── A7 GROUPING SETS (beyond rollup/cube: an explicit, sparse set
     // list — (flag,status), (flag), ()). Subtotal rows are disambiguated
     // with coalesce sentinels, portable across engines without relying on
