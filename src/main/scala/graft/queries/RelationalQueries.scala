@@ -776,6 +776,30 @@ object RelationalQueries {
                wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
 
+    // ───── skew-salted join under the oracle gate: the deterministic
+    // Salting operator (spec-proven row-equivalent) joined
+    // orders⋈customer with every custkey split across 8 salt buckets,
+    // then aggregated per market segment. The oracle is the PLAIN join —
+    // that's the whole point: salting must be invisible in the result
+    // while the shuffle key space fans out 8×. spreadCols = o_orderkey
+    // keeps the salt rand-free (replay-stable placement, the
+    // exactly-once-sink requirement).
+    QuerySpec(
+      "join_salted",
+      (s, d) => {
+        val joined = graft.ops.Salting.saltedJoin(
+          orders(s, d).withColumnRenamed("o_custkey", "c_custkey"),
+          customer(s, d), keys = Seq("c_custkey"), n = 8,
+          spreadCols = Seq(col("o_orderkey")))
+        joined.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY c_mktsegment""")),
+
     // ───── W2 forward-fill (gap filling): carry each user's last
     // non-null reading forward — `last(..., ignoreNulls)` over a running
     // ROWS frame, the IGNORE NULLS analytic pair to percent_rank's
