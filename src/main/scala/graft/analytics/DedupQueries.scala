@@ -466,6 +466,47 @@ object DedupQueries {
         SELECT va, vb, ${Corpus.scoreSql} AS score
         FROM pairs WHERE ${Corpus.scoreSql} >= 0.81""")),
 
+    // ───── mergeable MinHash union sketch under the oracle gate: per
+    // language, the minhash signature of the UNION of all documents'
+    // shingle sets, computed by aggregating per-doc signatures with
+    // [[graft.functions.MinHashAgg]] (elementwise min — associative and
+    // commutative, so map-side partials and any re-aggregation are
+    // exact). The oracle computes each slot's minimum over the unioned
+    // hash multiset directly; equality IS the mergeability proof (min of
+    // per-doc minima = min of the union), now hash-checked cross-engine.
+    // Output exploded to (lang, slot, minhash) rows — scalar columns,
+    // driver-comparator-friendly.
+    QuerySpec(
+      "agg_minhash_union",
+      (s, d) => {
+        val sigs = Tables.documents(s, d)
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select(col("lang"),
+            graft.functions.SignatureFunctions.minHash12(
+              graft.functions.SignatureFunctions.shingleHash40(
+                graft.functions.TextHashFunctions.wordHash40(col("text")))).as("sig"))
+        val mh = udaf(new graft.functions.MinHashAgg(12),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+        sigs.groupBy("lang").agg(mh(col("sig")).as("union_sig"))
+          .select(col("lang"),
+            posexplode(col("union_sig")).as(Seq("slot", "minhash")))
+      },
+      Some(s"""
+        WITH hs AS (
+          SELECT lang,
+                 unnest([(ws[i] * 1000003 + ws[i+1] * 1500007 + ws[i+2] * 2000003)
+                         & ${mask40} for i in range(1, len(ws) - 1)]) AS h
+          FROM (SELECT lang,
+                       list_transform(string_split(text, ' '),
+                                      w -> ('0x' || substr(md5(w), 1, 10))::BIGINT) AS ws
+                FROM documents
+                WHERE len(string_split(text, ' ')) >= 3))
+        SELECT lang, CAST(s.slot AS INTEGER) AS slot,
+               CAST(min((${minhashA.mkString("[", ", ", "]")}[s.slot + 1] * h) & ${mask40}) AS BIGINT)
+                 AS minhash
+        FROM hs, (SELECT unnest(range(0, 12)) AS slot) s
+        GROUP BY lang, s.slot""")),
+
     // ───── CURATION FUNNEL: the composed keep/drop decision a training-
     // data pipeline actually ships — every document gets exactly ONE
     // verdict from a fixed priority chain (near-dup > blocklist >
