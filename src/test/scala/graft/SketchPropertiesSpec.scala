@@ -1,0 +1,80 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{FrequentItemsAgg, MinHashAgg}
+
+/** ScalaCheck properties for the mergeable sketches — pure JVM (no Spark
+  * jobs), so trials are cheap and run in the hundreds.
+  *
+  * Misra–Gries ([[FrequentItemsAgg]]), over ARBITRARY streams and
+  * ARBITRARY chunk boundaries (the distributed partial-aggregation
+  * shape):
+  *  - never overcounts;
+  *  - undercount bounded by n/(k+1) — the classic MG bound, preserved by
+  *    the capacity-enforcing merge (Mergeable Summaries);
+  *  - every key with true frequency > n/(k+1) survives to the final
+  *    sketch (the completeness guarantee the heavy-hitters query's
+  *    candidate-recount correctness rests on);
+  *  - at most k counters at all times.
+  *
+  * MinHash ([[MinHashAgg]]): merging any chunking of per-element
+  * signatures equals the signature of the whole — associativity /
+  * commutativity in executable form.
+  */
+class SketchPropertiesSpec extends AnyFunSuite {
+
+  private def check(prop: Prop, trials: Int = 200): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(trials).withWorkers(1)
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("Misra–Gries bounds hold for every stream and every chunking") {
+    val k = 8
+    val gen = for {
+      // skew knob: a few hot values mixed with a long-tail key space
+      xs <- Gen.listOf(Gen.frequency(
+        3 -> Gen.const(1L), 2 -> Gen.const(2L), 5 -> Gen.chooseNum(10L, 500L)))
+      chunk <- Gen.chooseNum(1, 17)
+    } yield (xs, chunk)
+    check(Prop.forAll(gen) { case (xs, chunk) =>
+      val agg = new FrequentItemsAgg(k)
+      val merged =
+        if (xs.isEmpty) agg.zero
+        else xs.grouped(chunk)
+          .map(_.foldLeft(agg.zero)(agg.reduce))
+          .reduce(agg.merge)
+      val est = agg.finish(merged)
+      val n = xs.length.toLong
+      val bound = n / (k + 1)
+      val truth = xs.groupBy(identity).map { case (key, v) => key -> v.length.toLong }
+      val sizeOk = est.size <= k
+      val noOver = est.forall { case (key, e) => e <= truth.getOrElse(key, 0L) }
+      val underOk = est.forall { case (key, e) => truth(key) - e <= bound }
+      val complete = truth.forall { case (key, t) => t <= bound || est.contains(key) }
+      sizeOk && noOver && underOk && complete
+    })
+  }
+
+  test("MinHash union signature is invariant under chunking and order") {
+    val mask = (1L << 40) - 1
+    val gen = for {
+      sigs <- Gen.nonEmptyListOf(
+        Gen.listOfN(12, Gen.chooseNum(0L, mask)).map(_.toSeq))
+      chunk <- Gen.chooseNum(1, 7)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (sigs, chunk, seed)
+    check(Prop.forAll(gen) { case (sigs, chunk, seed) =>
+      val agg = new MinHashAgg(12)
+      def sketch(ss: Seq[Seq[Long]]): Seq[Long] =
+        agg.finish(ss.grouped(chunk).map(_.foldLeft(agg.zero)(agg.reduce))
+          .reduce(agg.merge))
+      val direct = (0 until 12).map(i => sigs.map(_(i)).min)
+      val shuffled = new scala.util.Random(seed).shuffle(sigs)
+      sketch(sigs) == direct && sketch(shuffled) == direct
+    })
+  }
+}
