@@ -173,12 +173,20 @@ object CdcStream {
     * [[SnapshotStore.FoldThreshold]] — the reference's own cost model
     * (`batch_write_item` is key-addressed,
     * app/lambdas/lambda-backfill/main.py:44-46).
+    *
+    * `compactEvery = n` (> 0) runs a best-effort full compaction every n
+    * batches ON THE SINK THREAD — the one place it can never race this
+    * stream's own publishes (writeTarget calls are serialized there; the
+    * store's lock + CAS still guard against OTHER writers). A compaction
+    * failure never fails the batch: the merge is already durable, and
+    * the next window simply retries.
     */
   def applySink(cdc: DataFrame, targetDir: String, checkpointDir: String,
                 deadletterDir: String,
                 trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
                 retryAttempts: Int = 3,
-                retrySleep: Long => Unit = Thread.sleep): DataStreamWriter[org.apache.spark.sql.Row] =
+                retrySleep: Long => Unit = Thread.sleep,
+                compactEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
     cdc.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -198,6 +206,19 @@ object CdcStream {
           try {
             withRetry(retryAttempts, sleep = retrySleep) {
               SnapshotStore.mergeIntoTarget(spark, targetDir, compactDelta(valid), batchId)
+            }
+            // Maintenance on the SINK THREAD (the safe place: writeTarget
+            // calls are naturally serialized per target, so compaction can
+            // never race a concurrent publish of this stream). Best-effort:
+            // the batch's data is already durably applied, so a compaction
+            // failure must NOT fail the batch — the next window retries.
+            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+              try SnapshotStore.compactTarget(spark, targetDir)
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  System.err.println(
+                    s"[applySink] best-effort compaction at batch $batchId failed: ${e.getMessage}")
+              }
             }
           } catch {
             case e: Throwable if isShutdownFailure(e) => throw e // replay on restart
@@ -231,10 +252,11 @@ object CdcStream {
                     checkpointDir: String, deadletterDir: String,
                     trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
                     retryAttempts: Int = 3,
-                    retrySleep: Long => Unit = Thread.sleep)
+                    retrySleep: Long => Unit = Thread.sleep,
+                    compactEvery: Int = 0)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     applySink(source.stream(spark), targetDir, checkpointDir, deadletterDir,
-      trigger, retryAttempts, retrySleep)
+      trigger, retryAttempts, retrySleep, compactEvery)
 
   /** Pointer file naming the live snapshot manifest of a target. */
   val CurrentPointer: String = SnapshotStore.CurrentPointer

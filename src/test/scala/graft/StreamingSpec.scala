@@ -71,6 +71,41 @@ class StreamingSpec extends SparkSpec {
     assert(manifests.contains(mName) && manifests.length <= 2) // current + grace
   }
 
+  test("applySink auto-compaction: sink-thread maintenance folds chains, state unchanged") {
+    val in = tmp("ac-in"); val target = tmp("ac-target")
+    val ckpt = tmp("ac-ckpt"); val dlq = tmp("ac-dlq")
+    writeCdcFile(in, "b1.json", Seq(
+      rec("e1", "INSERT", "2024-01-01T00:00:01Z", "001", "k1", Some("v1")),
+      rec("e2", "INSERT", "2024-01-01T00:00:02Z", "002", "k2", Some("w1"))))
+    writeCdcFile(in, "b2.json", Seq(
+      rec("e3", "MODIFY", "2024-01-01T00:00:03Z", "003", "k1", Some("v2"))))
+    writeCdcFile(in, "b3.json", Seq(
+      rec("e4", "REMOVE", "2024-01-01T00:00:04Z", "004", "k2", None),
+      rec("e5", "INSERT", "2024-01-01T00:00:05Z", "005", "k3", Some("x1"))))
+    val q = CdcStream.applySink(
+      CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
+      target, ckpt, dlq, trigger = Trigger.AvailableNow(), compactEvery = 3).start()
+    q.awaitTermination(60000)
+    // converged LWW state survives the compaction that ran after batch 3
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("k1" -> "v2", "k3" -> "x1"))
+    // every bucket chain folded to ONE segment (compacted basis)
+    val (_, m) = SnapshotStore.currentManifest(spark, target).get
+    assert(m.buckets.values.forall(_.length == 1),
+      s"chains not folded: ${m.buckets.values.map(_.length).toList}")
+    // a later delta still merges correctly over the compacted basis
+    writeCdcFile(in, "b4.json", Seq(
+      rec("e6", "MODIFY", "2024-01-01T00:00:06Z", "006", "k3", Some("x2"))))
+    val q2 = CdcStream.applySink(
+      CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
+      target, ckpt, dlq, trigger = Trigger.AvailableNow(), compactEvery = 3).start()
+    q2.awaitTermination(60000)
+    val state2 = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state2 === Map("k1" -> "v2", "k3" -> "x2"))
+  }
+
   test("CdcSource seam: a non-file transport drives the same apply pipeline") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
