@@ -239,6 +239,68 @@ object DedupQueries {
     labels
   }
 
+  /** Per-document curation verdict over the near-dup corpus —
+    * (doc_id, text, verdict) with the fixed priority chain (near_dup >
+    * blocklist > contaminated > non_english > too_short > low_quality >
+    * keep). The shared stage under `curation_funnel` (the per-verdict
+    * report) and `pipeline_end_to_end` (which packs only the keepers).
+    */
+  private[analytics] def curationVerdicts(s: org.apache.spark.sql.SparkSession,
+                                          d: String): org.apache.spark.sql.DataFrame = {
+    val stopCnt = TextQueries.markerCountExpr(TextQueries.markers("en"))
+    val dups = minhashPairs(s, d)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val cont = contaminated(s, d)
+      .select(col("doc_id")).withColumn("is_cont", lit(true))
+    val langs = graft.Tables.documents(s, d)
+      .select(col("doc_id").as("orig_id"), col("lang"))
+    Corpus.docsWithNearDups(s, d)
+      .withColumn("orig_id", col("doc_id") % Corpus.VariantOffset)
+      .join(langs, "orig_id")
+      .join(broadcast(dups), Seq("doc_id"), "left")
+      .join(broadcast(cont), Seq("doc_id"), "left")
+      .withColumn("verdict", expr(
+        s"""case when is_dup then 'near_dup'
+                 when doc_id % 97 = 0 then 'blocklist'
+                 when is_cont then 'contaminated'
+                 when lang != 'en' then 'non_english'
+                 when size(split(text, ' ')) < 10 then 'too_short'
+                 when cast($stopCnt as double) / size(split(text, ' ')) > 0.25
+                   or cast(size(array_distinct(split(text, ' '))) as double)
+                        / size(split(text, ' ')) < 0.2 then 'low_quality'
+                 else 'keep' end"""))
+      .select("doc_id", "text", "verdict")
+  }
+
+  /** Oracle CTE chain ending in `verdicts` (doc_id, text, verdict) — the
+    * SQL mirror of [[curationVerdicts]], self-contained (includes corpus,
+    * hsets, pair, and contamination CTEs).
+    */
+  private[analytics] def curationVerdictsCtes: String = s"""
+        corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $minhashPairsCtes,
+        $contaminatedCtes,
+        dups AS (SELECT DISTINCT doc_b AS doc_id FROM mpairs),
+        langs AS (SELECT doc_id AS orig_id, lang FROM documents),
+        verdicts AS (
+          SELECT c.doc_id, c.text,
+                 CASE WHEN dp.doc_id IS NOT NULL THEN 'near_dup'
+                      WHEN c.doc_id % 97 = 0 THEN 'blocklist'
+                      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                      WHEN l.lang != 'en' THEN 'non_english'
+                      WHEN len(string_split(c.text, ' ')) < 10 THEN 'too_short'
+                      WHEN CAST(${TextQueries.markerCountSql(TextQueries.markers("en"), "c.text")}
+                             AS DOUBLE) / len(string_split(c.text, ' ')) > 0.25
+                        OR CAST(len(list_distinct(string_split(c.text, ' '))) AS DOUBLE)
+                             / len(string_split(c.text, ' ')) < 0.2 THEN 'low_quality'
+                      ELSE 'keep' END AS verdict
+          FROM corpus c
+          JOIN langs l ON l.orig_id = c.doc_id % ${Corpus.VariantOffset}
+          LEFT JOIN dups dp ON dp.doc_id = c.doc_id
+          LEFT JOIN contaminated ct ON ct.doc_id = c.doc_id)"""
+
   val all: Seq[QuerySpec] = Seq(
 
     // ───── exact dedup: content-digest groupBy (map-side combine; the
@@ -523,59 +585,14 @@ object DedupQueries {
     // memoized shingle pipeline already priced into the dedup queries.
     QuerySpec(
       "curation_funnel",
-      (s, d) => {
-        val stopCnt = TextQueries.markerCountExpr(TextQueries.markers("en"))
-        val dups = minhashPairs(s, d)
-          .select(col("doc_b").as("doc_id")).distinct()
-          .withColumn("is_dup", lit(true))
-        val cont = contaminated(s, d)
-          .select(col("doc_id")).withColumn("is_cont", lit(true))
-        val langs = graft.Tables.documents(s, d)
-          .select(col("doc_id").as("orig_id"), col("lang"))
-        Corpus.docsWithNearDups(s, d)
-          .withColumn("orig_id", col("doc_id") % Corpus.VariantOffset)
-          .join(langs, "orig_id")
-          .join(broadcast(dups), Seq("doc_id"), "left")
-          .join(broadcast(cont), Seq("doc_id"), "left")
-          .withColumn("verdict", expr(
-            s"""case when is_dup then 'near_dup'
-                     when doc_id % 97 = 0 then 'blocklist'
-                     when is_cont then 'contaminated'
-                     when lang != 'en' then 'non_english'
-                     when size(split(text, ' ')) < 10 then 'too_short'
-                     when cast($stopCnt as double) / size(split(text, ' ')) > 0.25
-                       or cast(size(array_distinct(split(text, ' '))) as double)
-                            / size(split(text, ' ')) < 0.2 then 'low_quality'
-                     else 'keep' end"""))
-          .groupBy("verdict")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(expr("cast(ceil(length(text) / 4.0) as bigint)")).as("est_tokens"))
-      },
+      (s, d) => curationVerdicts(s, d)
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("cast(ceil(length(text) / 4.0) as bigint)")).as("est_tokens")),
       Some(s"""
-        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
-        $hsetsCte,
-        $minhashPairsCtes,
-        $contaminatedCtes,
-        dups AS (SELECT DISTINCT doc_b AS doc_id FROM mpairs),
-        langs AS (SELECT doc_id AS orig_id, lang FROM documents),
-        scored AS (
-          SELECT c.doc_id,
-                 CASE WHEN dp.doc_id IS NOT NULL THEN 'near_dup'
-                      WHEN c.doc_id % 97 = 0 THEN 'blocklist'
-                      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
-                      WHEN l.lang != 'en' THEN 'non_english'
-                      WHEN len(string_split(c.text, ' ')) < 10 THEN 'too_short'
-                      WHEN CAST(${TextQueries.markerCountSql(TextQueries.markers("en"), "c.text")}
-                             AS DOUBLE) / len(string_split(c.text, ' ')) > 0.25
-                        OR CAST(len(list_distinct(string_split(c.text, ' '))) AS DOUBLE)
-                             / len(string_split(c.text, ' ')) < 0.2 THEN 'low_quality'
-                      ELSE 'keep' END AS verdict,
-                 CAST(ceil(len(c.text) / 4.0) AS BIGINT) AS est
-          FROM corpus c
-          JOIN langs l ON l.orig_id = c.doc_id % ${Corpus.VariantOffset}
-          LEFT JOIN dups dp ON dp.doc_id = c.doc_id
-          LEFT JOIN contaminated ct ON ct.doc_id = c.doc_id)
-        SELECT verdict, count(*) AS n_docs, CAST(SUM(est) AS BIGINT) AS est_tokens
-        FROM scored GROUP BY verdict"""))
+        WITH $curationVerdictsCtes
+        SELECT verdict, count(*) AS n_docs,
+               CAST(SUM(CAST(ceil(len(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens
+        FROM verdicts GROUP BY verdict"""))
   )
 }

@@ -139,6 +139,50 @@ object PipelineQueries {
           FROM (SELECT doc_id, $hkeyDuck AS hkey,
                        CAST(('0x' || substr($hkeyDuck, 1, 8))::BIGINT % 8 AS INTEGER) AS shard,
                        CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok
-                FROM documents))"""))
+                FROM documents))""")),
+
+    // ───── END-TO-END prep pipeline: curation verdicts → keep only →
+    // deterministic sharding → offset packing → per-shard layout report
+    // (docs, token mass, 2048-token bins). One query composing the
+    // verified stages exactly as a production run would chain them: the
+    // dedup/contamination/quality signals decide membership, the md5
+    // layout decides placement, the prefix-sum packing decides the bin
+    // plan. Cost on top of the funnel is ONE windowed shuffle (the
+    // per-shard prefix sum) and a final 8-row aggregate.
+    QuerySpec(
+      "pipeline_end_to_end",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("hkey"), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        DedupQueries.curationVerdicts(s, d)
+          .filter(col("verdict") === "keep")
+          .select(col("doc_id"),
+            expr("cast(ceil(length(text) / 4.0) as bigint)").as("tok"),
+            expr(hkeySpark).as("hkey"))
+          .withColumn("shard",
+            (expr(s"cast(conv(substring(hkey, 1, 8), 16, 10) as long)") % 8).cast("int"))
+          .withColumn("cum", sum(col("tok")).over(w))
+          .withColumn("bin", floor((col("cum") - col("tok")) / 2048))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+            (max(col("bin")) + 1).as("n_bins"))
+      },
+      Some(s"""
+        WITH ${graft.analytics.DedupQueries.curationVerdictsCtes},
+        kept AS (
+          SELECT doc_id, CAST(ceil(len(text) / 4.0) AS BIGINT) AS tok,
+                 $hkeyDuck AS hkey,
+                 CAST(('0x' || substr($hkeyDuck, 1, 8))::BIGINT % 8 AS INTEGER) AS shard
+          FROM verdicts WHERE verdict = 'keep'),
+        packed AS (
+          SELECT shard, tok,
+                 CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM kept)
+        SELECT shard, count(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+               CAST(MAX(floor((cum - tok) / 2048)) AS BIGINT) + 1 AS n_bins
+        FROM packed GROUP BY shard"""))
   )
 }
