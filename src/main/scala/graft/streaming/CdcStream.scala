@@ -314,61 +314,80 @@ object CdcStream {
     * out-live the retention window, within which any stale resurrecting
     * event must arrive).
     */
+  /** `initial` bootstraps the state store from a pre-existing per-key
+    * state — the restore integration: load the restored snapshot's LWW
+    * state (e.g. from [[readTarget]]) as `Dataset[KeyState]`, then
+    * stream the CDC buffer on top. A stale buffered delivery loses to
+    * the seeded sequence number exactly as it would to a streamed one,
+    * so "restore then drain" and "streamed all along" converge to the
+    * same store (spec-pinned).
+    */
   def statefulLatest(cdc: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                      retentionMs: Option[Long] = None,
-                     watermarkDelay: String = "10 minutes")
+                     watermarkDelay: String = "10 minutes",
+                     initial: Option[org.apache.spark.sql.Dataset[KeyState]] = None)
       : org.apache.spark.sql.Dataset[KeyState] = {
     val spark = cdc.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     retentionMs match {
       case None =>
-        cdc.select("keys", "eventName", "sequenceNumber", "newImage")
+        val g = cdc.select("keys", "eventName", "sequenceNumber", "newImage")
           .as[(String, String, String, Option[String])]
           .groupByKey(_._1)
-          .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-            (key: String, events: Iterator[(String, String, String, Option[String])],
-             state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
-              val prior = state.getOption
-                .getOrElse(KeyState(key, "", None, live = false))
-              val latest = lwwWinner(prior, events.map {
-                case (_, name, seq, img) => toKeyState(key, name, seq, img)
-              })
-              state.update(latest)
-              latest
-          }
+        val f = (key: String, events: Iterator[(String, String, String, Option[String])],
+                 state: org.apache.spark.sql.streaming.GroupState[KeyState]) => {
+          val prior = state.getOption
+            .getOrElse(KeyState(key, "", None, live = false))
+          val latest = lwwWinner(prior, events.map {
+            case (_, name, seq, img) => toKeyState(key, name, seq, img)
+          })
+          state.update(latest)
+          latest
+        }
+        initial match {
+          case Some(init) =>
+            g.mapGroupsWithState(GroupStateTimeout.NoTimeout(), init.groupByKey(_.keys))(f)
+          case None =>
+            g.mapGroupsWithState(GroupStateTimeout.NoTimeout())(f)
+        }
       case Some(ret) =>
-        cdc.withWatermark("approxCreationTs", watermarkDelay)
+        val g = cdc.withWatermark("approxCreationTs", watermarkDelay)
           .select("keys", "eventName", "sequenceNumber", "newImage", "approxCreationTs")
           .as[(String, String, String, Option[String], java.sql.Timestamp)]
           .groupByKey(_._1)
-          .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout()) {
-            (key: String,
-             events: Iterator[(String, String, String, Option[String], java.sql.Timestamp)],
-             state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
-              if (state.hasTimedOut) {
-                // GC: event-time idle past the retention window. Flush the
-                // final state once and drop the key from the store.
-                val last = state.get
-                state.remove()
-                last
-              } else {
-                val prior = state.getOption
-                  .getOrElse(KeyState(key, "", None, live = false))
-                var maxTs = Long.MinValue
-                val latest = lwwWinner(prior, events.map {
-                  case (_, name, seq, img, ts) =>
-                    maxTs = math.max(maxTs, ts.getTime)
-                    toKeyState(key, name, seq, img)
-                })
-                state.update(latest)
-                // evict after `ret` ms of event-time inactivity; Spark
-                // rejects a timeout at-or-before the current watermark
-                state.setTimeoutTimestamp(
-                  math.max(maxTs + ret, state.getCurrentWatermarkMs + 1))
-                latest
-              }
+        val f = (key: String,
+                 events: Iterator[(String, String, String, Option[String], java.sql.Timestamp)],
+                 state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            // GC: event-time idle past the retention window. Flush the
+            // final state once and drop the key from the store.
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prior = state.getOption
+              .getOrElse(KeyState(key, "", None, live = false))
+            var maxTs = Long.MinValue
+            val latest = lwwWinner(prior, events.map {
+              case (_, name, seq, img, ts) =>
+                maxTs = math.max(maxTs, ts.getTime)
+                toKeyState(key, name, seq, img)
+            })
+            state.update(latest)
+            // evict after `ret` ms of event-time inactivity; Spark
+            // rejects a timeout at-or-before the current watermark
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ret, state.getCurrentWatermarkMs + 1))
+            latest
           }
+        initial match {
+          case Some(init) =>
+            g.mapGroupsWithState(
+              GroupStateTimeout.EventTimeTimeout(), init.groupByKey(_.keys))(f)
+          case None =>
+            g.mapGroupsWithState(GroupStateTimeout.EventTimeTimeout())(f)
+        }
     }
   }
 

@@ -405,8 +405,23 @@ object SnapshotStore {
     */
   private def compactState(df: DataFrame, keys: Seq[String],
                            opCol: String, seqCol: String): DataFrame =
-    CdcOps.lwwCompact(df, keys, CdcOps.numericStringOrder(col(seqCol)))
+    compactMarkers(df, keys, seqCol)
       .filter(!coalesce(col(opCol) === "DELETE", lit(false)))
+
+  /** LWW winners INCLUDING delete markers — the WRITE-side compaction.
+    * Folding or bootstrapping a chain must KEEP each dead key's
+    * tombstone row (op + sequence): dropping it would erase the
+    * sequence guard, so a stale pre-delete PUT delivered in a LATER
+    * batch would resurrect the key (the monotonicity property
+    * `applyBatch` promises — caught by the auto-compaction spec under
+    * adversarial file ordering). Markers are GC'd only by the explicit
+    * full compaction ([[compactTarget]]), whose applied-state output is
+    * the documented retention trade (a delivery staler than the last
+    * compaction can win again — same contract as the stateful ops' TTL).
+    */
+  private def compactMarkers(df: DataFrame, keys: Seq[String],
+                             seqCol: String): DataFrame =
+    CdcOps.lwwCompact(df, keys, CdcOps.numericStringOrder(col(seqCol)))
 
   private def segmentPaths(targetDir: String, m: Manifest): Seq[Path] =
     m.buckets.toSeq.sortBy(_._1).flatMap(_._2).map(rel => new Path(targetDir, rel))
@@ -638,10 +653,12 @@ object SnapshotStore {
                   val existing = mergeReady(
                     spark.read.option("mergeSchema", "true").parquet(chainPaths: _*),
                     opCol, seqCol).select(outCols: _*)
-                  compactState(
+                  // fold with MARKERS retained (see compactMarkers): the
+                  // folded segment keeps dead keys' sequence guards
+                  compactMarkers(
                     existing.unionByName(
                       d.filter(col(BucketCol).isin(foldSet.toSeq: _*)).select(outCols: _*)),
-                    keys, opCol, seqCol)
+                    keys, seqCol)
                     .withColumn(BucketCol, bucketExpr(keys, n))
                     .select(outCols :+ col(BucketCol): _*)
                 }
@@ -656,8 +673,10 @@ object SnapshotStore {
           // compacted write bucket-izes the seed; every later batch appends
           val seed = mergeReady(readTarget(spark, targetDir), opCol, seqCol)
             .select(outCols: _*)
-          val merged = compactState(
-            seed.unionByName(delta.select(outCols: _*)), keys, opCol, seqCol)
+          // markers retained: a REMOVE in the very first batch must leave
+          // its tombstone (sequence guard) in the basis segment
+          val merged = compactMarkers(
+            seed.unionByName(delta.select(outCols: _*)), keys, seqCol)
             .withColumn(BucketCol, bucketExpr(keys, numBuckets))
           publish(spark, targetDir, merged,
             keepChains = Map.empty, prefixChains = Map.empty,

@@ -71,6 +71,32 @@ class StreamingSpec extends SparkSpec {
     assert(manifests.contains(mName) && manifests.length <= 2) // current + grace
   }
 
+  test("tombstone sequence guards survive the first batch and chain folds") {
+    import spark.implicits._
+    val target = tmp("guard-target")
+    def delta(rows: (String, String, String, Option[String])*) =
+      rows.toDF("keys", "op", "sequenceNumber", "newImage")
+    // batch 0 bootstraps a FRESH table with a REMOVE in it: the basis
+    // segment must keep k2's tombstone row, not just drop the key
+    SnapshotStore.mergeIntoTarget(spark, target,
+      delta(("k2", "DELETE", "004", None), ("k3", "PUT", "005", Some("x1"))), 0L)
+    def state() = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state() === Map("k3" -> "x1"))
+    // stale pre-delete PUTs, one batch each, enough to push k2's bucket
+    // chain past FoldThreshold so the FOLD path must also retain the
+    // marker; every single one must lose to the 004 tombstone
+    (1 to SnapshotStore.FoldThreshold + 2).foreach { i =>
+      SnapshotStore.mergeIntoTarget(spark, target,
+        delta(("k2", "PUT", "001", Some(s"stale$i"))), i.toLong)
+      assert(state() === Map("k3" -> "x1"), s"k2 resurrected at batch $i")
+    }
+    // a genuinely newer PUT still wins over the tombstone
+    SnapshotStore.mergeIntoTarget(spark, target,
+      delta(("k2", "PUT", "006", Some("reborn"))), 99L)
+    assert(state() === Map("k2" -> "reborn", "k3" -> "x1"))
+  }
+
   test("applySink auto-compaction: sink-thread maintenance folds chains, state unchanged") {
     val in = tmp("ac-in"); val target = tmp("ac-target")
     val ckpt = tmp("ac-ckpt"); val dlq = tmp("ac-dlq")
@@ -733,6 +759,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(last("k1") === (("v2", true)))  // stale seq 001 lost to 002
     assert(last("k2") === ((null, false))) // tombstoned
+  }
+
+  test("statefulLatest bootstraps from an initial snapshot state (restore-then-drain)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, Option[String])]
+    val df = mem.toDF().toDF("keys", "eventName", "sequenceNumber", "newImage")
+    // seeded store: the restored snapshot's LWW state (k1@5, k2@7)
+    val initial = Seq(
+      graft.streaming.KeyState("k1", "5", Some("restored1"), live = true),
+      graft.streaming.KeyState("k2", "7", Some("restored2"), live = true)).toDS()
+    val q = graft.streaming.CdcStream.statefulLatest(df, initial = Some(initial))
+      .writeStream.format("memory").queryName("boot_out")
+      .outputMode("update").start()
+    // buffered drain: a STALE delivery for k1 (seq 3 < seeded 5), a real
+    // advance for k2 (seq 10), and a brand-new key k3
+    mem.addData(
+      ("k1", "MODIFY", "3", Some("stale")),
+      ("k2", "MODIFY", "10", Some("w2")),
+      ("k3", "INSERT", "1", Some("x1")))
+    q.processAllAvailable()
+    val last = spark.table("boot_out")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    q.stop()
+    assert(last("k1") === "restored1") // seeded state beats the stale buffer
+    assert(last("k2") === "w2")        // newer buffer advances the seed
+    assert(last("k3") === "x1")        // unseeded key builds from empty
   }
 
   test("statefulChangelog emits only on real change (stale/duplicate deliveries are silent)") {
