@@ -401,63 +401,81 @@ object CdcStream {
     *
     * Same eviction contract as [[statefulLatest]], except a timed-out
     * key emits NOTHING (its state was already emitted when it last
-    * changed — a GC flush would be a duplicate in a changelog).
+    * changed — a GC flush would be a duplicate in a changelog). Same
+    * `initial` bootstrap too: seeded keys are silent until a delivery
+    * actually beats the seed, so replaying an already-applied buffer
+    * over restored state produces an EMPTY changelog (spec-pinned).
     */
   def statefulChangelog(cdc: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                         retentionMs: Option[Long] = None,
-                        watermarkDelay: String = "10 minutes")
+                        watermarkDelay: String = "10 minutes",
+                        initial: Option[org.apache.spark.sql.Dataset[KeyState]] = None)
       : org.apache.spark.sql.Dataset[KeyState] = {
     val spark = cdc.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     retentionMs match {
       case None =>
-        cdc.select("keys", "eventName", "sequenceNumber", "newImage")
+        val g = cdc.select("keys", "eventName", "sequenceNumber", "newImage")
           .as[(String, String, String, Option[String])]
           .groupByKey(_._1)
-          .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-            (key: String, events: Iterator[(String, String, String, Option[String])],
-             state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
-              val prior = state.getOption
-                .getOrElse(KeyState(key, "", None, live = false))
-              // prior leads: a duplicate delivery that ties on the canonical
-              // sequence key (zero-pad rendering differences included) keeps
-              // the stored state and emits NOTHING — the changelog contract
-              val latest = lwwWinner(prior, events.map {
-                case (_, name, seq, img) => toKeyState(key, name, seq, img)
-              })
-              if (latest == prior) Iterator.empty
-              else { state.update(latest); Iterator.single(latest) }
-          }
+        val f = (key: String, events: Iterator[(String, String, String, Option[String])],
+                 state: org.apache.spark.sql.streaming.GroupState[KeyState]) => {
+          val prior = state.getOption
+            .getOrElse(KeyState(key, "", None, live = false))
+          // prior leads: a duplicate delivery that ties on the canonical
+          // sequence key (zero-pad rendering differences included) keeps
+          // the stored state and emits NOTHING — the changelog contract
+          // (a bootstrapped initial state is likewise silent until a
+          // delivery actually changes it)
+          val latest = lwwWinner(prior, events.map {
+            case (_, name, seq, img) => toKeyState(key, name, seq, img)
+          })
+          if (latest == prior) Iterator.empty
+          else { state.update(latest); Iterator.single(latest) }
+        }
+        initial match {
+          case Some(init) =>
+            g.flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout(),
+              init.groupByKey(_.keys))(f)
+          case None =>
+            g.flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(f)
+        }
       case Some(ret) =>
-        cdc.withWatermark("approxCreationTs", watermarkDelay)
+        val g = cdc.withWatermark("approxCreationTs", watermarkDelay)
           .select("keys", "eventName", "sequenceNumber", "newImage", "approxCreationTs")
           .as[(String, String, String, Option[String], java.sql.Timestamp)]
           .groupByKey(_._1)
-          .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
-            (key: String,
-             events: Iterator[(String, String, String, Option[String], java.sql.Timestamp)],
-             state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
-              if (state.hasTimedOut) {
-                state.remove()
-                Iterator.empty
-              } else {
-                val prior = state.getOption
-                  .getOrElse(KeyState(key, "", None, live = false))
-                var maxTs = Long.MinValue
-                val latest = lwwWinner(prior, events.map {
-                  case (_, name, seq, img, ts) =>
-                    maxTs = math.max(maxTs, ts.getTime)
-                    toKeyState(key, name, seq, img)
-                })
-                val out =
-                  if (latest == prior) Iterator.empty
-                  else { state.update(latest); Iterator.single(latest) }
-                state.setTimeoutTimestamp(
-                  math.max(maxTs + ret, state.getCurrentWatermarkMs + 1))
-                out
-              }
+        val f = (key: String,
+                 events: Iterator[(String, String, String, Option[String], java.sql.Timestamp)],
+                 state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty: Iterator[KeyState]
+          } else {
+            val prior = state.getOption
+              .getOrElse(KeyState(key, "", None, live = false))
+            var maxTs = Long.MinValue
+            val latest = lwwWinner(prior, events.map {
+              case (_, name, seq, img, ts) =>
+                maxTs = math.max(maxTs, ts.getTime)
+                toKeyState(key, name, seq, img)
+            })
+            val out =
+              if (latest == prior) Iterator.empty
+              else { state.update(latest); Iterator.single(latest) }
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ret, state.getCurrentWatermarkMs + 1))
+            out
           }
+        initial match {
+          case Some(init) =>
+            g.flatMapGroupsWithState(OutputMode.Update(),
+              GroupStateTimeout.EventTimeTimeout(), init.groupByKey(_.keys))(f)
+          case None =>
+            g.flatMapGroupsWithState(OutputMode.Update(),
+              GroupStateTimeout.EventTimeTimeout())(f)
+        }
     }
   }
 

@@ -789,6 +789,29 @@ class StreamingSpec extends SparkSpec {
     assert(last("k3") === "x1")        // unseeded key builds from empty
   }
 
+  test("statefulChangelog with bootstrapped state: stale replay is an EMPTY changelog") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, Option[String])]
+    val df = mem.toDF().toDF("keys", "eventName", "sequenceNumber", "newImage")
+    val initial = Seq(
+      graft.streaming.KeyState("k1", "5", Some("restored"), live = true)).toDS()
+    val q = graft.streaming.CdcStream.statefulChangelog(df, initial = Some(initial))
+      .writeStream.format("memory").queryName("boot_cl_out")
+      .outputMode("update").start()
+    // replay of an already-applied buffer: stale + tying deliveries only
+    mem.addData(("k1", "MODIFY", "3", Some("stale")), ("k1", "MODIFY", "5", Some("restored")))
+    q.processAllAvailable()
+    assert(spark.table("boot_cl_out").isEmpty) // nothing actually changed
+    // a genuinely newer delivery emits exactly once
+    mem.addData(("k1", "MODIFY", "7", Some("advanced")))
+    q.processAllAvailable()
+    val rows = spark.table("boot_cl_out").collect().map(r => (r.getString(0), r.getString(2)))
+    q.stop()
+    assert(rows.toSeq === Seq(("k1", "advanced")))
+  }
+
   test("statefulChangelog emits only on real change (stale/duplicate deliveries are silent)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
