@@ -43,19 +43,46 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val picked = only.fold(SparkEntry.queries)(ns =>
       SparkEntry.queries.view.filterKeys(ns).toMap)
-    val results = picked.map { case (name, fn) =>
+    // toRdd.count() forces FULL row materialization: a bare
+    // Dataset.count() lets Catalyst prune every projection column, so
+    // map-only queries would be timed without doing their actual work.
+    // A failure is RECORDED, never swallowed into a fast-looking timing:
+    // Left(error) per query, and the process exits nonzero at the end.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      // toRdd.count() forces FULL row materialization: a bare
-      // Dataset.count() lets Catalyst prune every projection column, so
-      // map-only queries would be timed without doing their actual work.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).queryExecution.toRdd.count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}") }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Two full passes, min per query: an ambient machine-load spike during
+    // one pass (the BENCH_r04 failure mode — a 0.8 s query recorded as
+    // 144 s) cannot contaminate the reported number unless it spans both.
+    val names = picked.keys.toSeq
+    val pass1 = names.map(n => n -> once(n, picked(n))).toMap
+    val pass2 = names.map(n => n -> once(n, picked(n))).toMap
+    val results = names.map { n =>
+      n -> ((pass1(n), pass2(n)) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Right(a), Left(_))  => Right(a) // one good run is a valid timing
+        case (Left(_), Right(b))  => Right(b)
+        case (Left(e), Left(_))   => Left(e)
+      })
+    }
+    val errors = results.collect { case (n, Left(e)) => n -> e }
+    val times = results.collect { case (n, Right(t)) => n -> t }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = times.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+    val total = times.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      errors.foreach { case (n, e) => System.err.println(s"BENCH FAIL $n: $e") }
+      sys.exit(1)
+    }
   }
 }
