@@ -1,8 +1,6 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,14 +39,20 @@ import graft.ops.CdcOps
   * FoldThreshold per batch — the same base-plus-delta-log design as
   * merge-on-read lakehouse tables. [[compactTarget]] folds every bucket.
   *
-  * All paths go through `org.apache.hadoop.fs.FileSystem` — the store runs
-  * unchanged on file:// and hdfs:// (HDFS rename IS atomic). Publication:
+  * All paths go through `org.apache.hadoop.fs.FileSystem`; publication
+  * commits through a pluggable [[CommitProtocol]] so the atomic step
+  * matches what the target store can actually do atomically:
+  * `file://`/`hdfs://` use a `_CURRENT` pointer swapped by atomic rename;
+  * object stores (no atomic rename) use a monotonic commit log advanced
+  * only by atomic put-if-absent ([[ConditionalPut]] — e.g. S3 conditional
+  * writes), selected automatically by scheme or explicitly via
+  * `spark.graft.store.protocol`. Publication:
   *
   *  1. acquire the per-target WRITER LOCK: the JVM monitor serializes
   *     writers in-process, and `_LOCK` (atomic create-if-absent; the
   *     holder heartbeats the mtime, so only a DEAD holder's lock goes
-  *     stale after [[StaleLockMs]] and is broken — by atomic rename, never
-  *     blind delete) serializes writers across JVMs —
+  *     stale after [[StaleLockMs]] and is broken — token-conditionally,
+  *     never blind delete) serializes writers across JVMs —
   *     the interleaving where a concurrent compactor resolves an old
   *     basis, publishes after a sink batch, and silently reverts it
   *     cannot start, and GC can never delete another in-flight writer's
@@ -56,13 +60,17 @@ import graft.ops.CdcOps
   *  2. write the new data dir (crash here: garbage, GC'd later; the live
   *     manifest never referenced it)
   *  3. write the new manifest file (same: unreferenced until the swap)
-  *  4. COMMIT = atomic rename of a temp pointer over `_CURRENT`
-  *     (`FileContext.rename(OVERWRITE)`), still guarded by a
-  *     compare-and-swap re-read of the basis — with the file lock this is
-  *     belt-and-suspenders; without it (e.g. a pure object store with no
-  *     atomic create or rename) the CAS alone narrows but does NOT close
-  *     the race, and step 4 would need a conditional-put. HDFS and POSIX
-  *     are covered.
+  *  4. COMMIT = [[CommitProtocol.commit]], guarded by a compare-and-swap
+  *     re-read of the basis. Under the rename protocol the atomic step is
+  *     `FileContext.rename(OVERWRITE)` of a temp pointer over `_CURRENT`
+  *     (with the file lock this is belt-and-suspenders). Under the
+  *     commit-log protocol the atomic step is a conditional put of the
+  *     NEXT numbered commit object — no rename anywhere on the commit
+  *     path, so the protocol holds on stores where rename is a
+  *     non-atomic copy; two same-basis writers race the SAME commit
+  *     number and the primitive admits exactly one
+  *     (CommitProtocolSpec proves both interleavings against a
+  *     deliberately non-atomic filesystem).
   *
   * GC is pointer-derived, never recency-derived: after a successful swap,
   * everything not referenced by the NEW manifest or the manifest that was
@@ -149,6 +157,16 @@ object SnapshotStore {
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(hconf(spark))
 
+  private def protocolFor(spark: SparkSession, dir: String): CommitProtocol =
+    CommitProtocol.forTarget(spark, fsOf(spark, dir), new Path(dir))
+
+  /** Register an atomic put-if-absent primitive for a filesystem scheme —
+    * required before using the commit-log protocol on that scheme (a
+    * deployment backs it with its object store's conditional PUT).
+    */
+  def registerConditionalPut(scheme: String, impl: ConditionalPut): Unit =
+    ConditionalPut.register(scheme, impl)
+
   /** A held writer lock: owner token + liveness heartbeat.
     *
     * The token (runtime name + nonce) is the lock file's content; every
@@ -159,7 +177,7 @@ object SnapshotStore {
     * commit point instead of publishing over the usurper.
     */
   private final class LockHandle(fs: FileSystem, lock: Path, token: String,
-                                 heartbeatMs: Long) {
+                                 heartbeatMs: Long, refresh: () => Unit) {
     @volatile private var displaced = false
     @volatile private var stopped = false
 
@@ -171,8 +189,7 @@ object SnapshotStore {
     private val beat = new Thread({ () =>
       while (!stopped && !displaced) {
         try {
-          if (stillOwned())
-            fs.setTimes(lock, System.currentTimeMillis(), -1)
+          if (stillOwned()) refresh()
           else displaced = true
         } catch { case _: Throwable => () } // transient IO: next beat retries
         try Thread.sleep(heartbeatMs)
@@ -207,64 +224,13 @@ object SnapshotStore {
     */
   private val heldLock = new ThreadLocal[LockHandle]
 
-  /** Create-if-absent that is atomic on the local filesystem too:
-    * Hadoop's RawLocalFileSystem implements `create(overwrite=false)` as a
-    * non-atomic exists-then-open, so for `file://` the O_EXCL guarantee
-    * comes from `java.nio.file.Files.createFile`. Other filesystems (HDFS)
-    * get it from `FileSystem.create` natively. If writing the token fails
-    * after the file was created, the file is removed so the writer never
-    * orphans its OWN lock (which would block every writer until stale).
-    */
-  private def atomicCreate(fs: FileSystem, lock: Path, token: String): Unit = {
-    val uri = fs.makeQualified(lock).toUri
-    if (uri.getScheme == "file") {
-      val p = java.nio.file.Paths.get(uri.getPath)
-      java.nio.file.Files.createFile(p) // O_EXCL; FileAlreadyExistsException if held
-      try { java.nio.file.Files.write(p, token.getBytes(StandardCharsets.UTF_8)); () }
-      catch { case e: Throwable =>
-        try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () }
-        throw e
-      }
-    } else {
-      val out = fs.create(lock, false)
-      try { out.write(token.getBytes(StandardCharsets.UTF_8)); out.close() }
-      catch { case e: Throwable =>
-        try out.close() catch { case _: Throwable => () }
-        try fs.delete(lock, false) catch { case _: Throwable => () }
-        throw e
-      }
-    }
-  }
-
-  /** Break a lock OBSERVED stale, without ever blind-deleting: the lock is
-    * atomically RENAMED to a tomb (only one breaker's rename succeeds), the
-    * tomb's token is checked against the token we observed when we judged
-    * it stale, and only a confirmed-stale tomb is deleted. If the rename
-    * caught a DIFFERENT lock (a fresh writer created one in the window),
-    * it is renamed straight back — and that writer's heartbeat would also
-    * self-detect the displacement before its commit.
-    */
-  private def breakStaleLock(fs: FileSystem, targetDir: String, lock: Path,
-                             observedToken: String): Unit = {
-    val tomb = new Path(targetDir, s".lock-broken-${System.nanoTime().toHexString}")
-    val renamed = try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
-    if (renamed) {
-      val brokeToken = try readFully(fs, tomb).trim catch { case _: java.io.IOException => "" }
-      if (brokeToken != observedToken && !fs.rename(tomb, lock)) {
-        // couldn't restore (another lock appeared already): the displaced
-        // holder aborts via its heartbeat; drop the tomb
-        fs.delete(tomb, false); ()
-      } else if (brokeToken == observedToken) { fs.delete(tomb, false); () }
-    }
-  }
-
   /** One writer at a time per target — in-process via the JVM monitor,
-    * cross-JVM via `_LOCK` (atomic create-if-absent — O_EXCL on local,
-    * native on HDFS; a lock whose mtime is older than `staleMs` AND whose
-    * holder's heartbeat has stopped is broken via an atomic rename). The
-    * holder heartbeats the lock mtime, verifies ownership at the commit
-    * point, and releases only a lock it still owns — including on failed
-    * publishes.
+    * cross-JVM via `_LOCK` (created atomically through the target's
+    * [[CommitProtocol]]; a lock whose mtime is older than `staleMs` AND
+    * whose holder's heartbeat has stopped is broken token-conditionally).
+    * The holder heartbeats the lock's liveness, verifies ownership at the
+    * commit point, and releases only a lock it still owns — including on
+    * failed publishes.
     */
   private[graft] def withTargetLock[A](spark: SparkSession, targetDir: String,
                                        staleMs: Long = -1L,
@@ -278,6 +244,7 @@ object SnapshotStore {
       val effStale = if (staleMs > 0) staleMs else conf("spark.graft.lock.staleMs", StaleLockMs)
       val effWait = if (waitMs > 0) waitMs else conf("spark.graft.lock.waitMs", LockWaitMs)
       val fs = fsOf(spark, targetDir)
+      val proto = protocolFor(spark, targetDir)
       fs.mkdirs(new Path(targetDir))
       val lock = new Path(targetDir, LockFile)
       val token =
@@ -287,8 +254,9 @@ object SnapshotStore {
       var handle: LockHandle = null
       while (handle == null) {
         try {
-          atomicCreate(fs, lock, token)
-          handle = new LockHandle(fs, lock, token, heartbeatFor(effStale))
+          proto.createLock(fs, lock, token)
+          handle = new LockHandle(fs, lock, token, heartbeatFor(effStale),
+            () => proto.refreshLock(fs, lock, token))
         } catch {
           case _: java.io.IOException =>
             // held by someone: stale only if BOTH the mtime is old and we
@@ -300,7 +268,7 @@ object SnapshotStore {
                   Some(readFully(fs, lock).trim)
                 else None
               } catch { case _: java.io.IOException => None } // racer released/broke it
-            observed.foreach(tok => breakStaleLock(fs, targetDir, lock, tok))
+            observed.foreach(tok => proto.breakLock(fs, new Path(targetDir), lock, tok))
             if (System.currentTimeMillis() > deadline)
               throw new LockTimeoutException(
                 s"could not acquire writer lock $lock within ${effWait / 1000}s " +
@@ -314,28 +282,18 @@ object SnapshotStore {
 
   // ------------------------------------------------------------- manifest IO
 
-  private def readFully(fs: FileSystem, p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
-  }
+  private def readFully(fs: FileSystem, p: Path): String = CommitProtocol.readFully(fs, p)
 
-  private def writeFile(fs: FileSystem, p: Path, content: String): Unit = {
-    val out = fs.create(p, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-  }
+  private def writeFile(fs: FileSystem, p: Path, content: String): Unit =
+    CommitProtocol.writeFile(fs, p, content)
 
-  /** Name of the live manifest, if the pointer exists. */
-  def pointerValue(spark: SparkSession, targetDir: String): Option[String] = {
-    val fs = fsOf(spark, targetDir)
-    val ptr = new Path(targetDir, CurrentPointer)
-    if (fs.exists(ptr)) Some(readFully(fs, ptr).trim) else None
-  }
+  /** Name of the live manifest, if the table has ever committed —
+    * resolved through the commit protocol (commit log when present,
+    * `_CURRENT` pointer otherwise).
+    */
+  def pointerValue(spark: SparkSession, targetDir: String): Option[String] =
+    protocolFor(spark, targetDir)
+      .currentName(fsOf(spark, targetDir), new Path(targetDir))
 
   private def renderManifest(m: Manifest): String =
     (s"v2 buckets=${m.numBuckets}" +:
@@ -478,31 +436,22 @@ object SnapshotStore {
 
   // ---------------------------------------------------------------- writing
 
-  /** Atomic, CAS-guarded pointer swap (callers hold the target lock).
-    * `basis` is the manifest name the writer read before computing — None
-    * for a fresh table. A mismatch means another writer committed since;
-    * aborting here is what prevents the lost-update interleaving. With
-    * the `_LOCK` file held this cannot fire cross-JVM either; it remains
-    * as a fail-loud invariant check.
+  /** CAS-guarded commit through the target's [[CommitProtocol]] (callers
+    * hold the target lock). `basis` is the manifest name the writer read
+    * before computing — None for a fresh table. A mismatch means another
+    * writer committed since; aborting is what prevents the lost-update
+    * interleaving. Under the rename protocol with the `_LOCK` file held
+    * this is belt-and-suspenders; under the commit-log protocol the
+    * conditional put inside `commit` is itself the atomic guard.
     */
   private[graft] def casSwapPointer(spark: SparkSession, targetDir: String,
                                         newManifest: String, basis: Option[String]): Unit = {
-    val fs = fsOf(spark, targetDir)
     // commit-point ownership check: if our lock was wrongly stale-broken
-    // mid-write, abort HERE — before the rename — instead of silently
+    // mid-write, abort HERE — before the commit — instead of silently
     // reverting whatever the usurper committed
     Option(heldLock.get).foreach(_.verifyHeld())
-    val now = pointerValue(spark, targetDir)
-    if (now != basis)
-      throw new java.util.ConcurrentModificationException(
-        s"target pointer moved ${basis.getOrElse("<none>")} -> ${now.getOrElse("<none>")} " +
-          "during this write; aborting publish (retry from the new basis)")
-    val tmp = new Path(targetDir, s".pointer-tmp-${System.nanoTime().toHexString}")
-    writeFile(fs, tmp, newManifest)
-    val fc = FileContext.getFileContext(
-      fs.makeQualified(new Path(targetDir)).toUri, hconf(spark))
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(new Path(targetDir, CurrentPointer)),
-      Options.Rename.OVERWRITE)
+    protocolFor(spark, targetDir)
+      .commit(fsOf(spark, targetDir), new Path(targetDir), newManifest, basis)
   }
 
   /** Delete everything not referenced by the retained manifests, at
@@ -587,6 +536,8 @@ object SnapshotStore {
     gc(fs, targetDir,
       retainManifests = Set(manifestName) ++ basis,
       retainData = manifest.buckets.values.flatten.toSet ++ graceData)
+    protocolFor(spark, targetDir)
+      .gcMeta(fs, new Path(targetDir), Set(manifestName) ++ basis)
   }
 
   /** Full (non-pruned) publish of `df` as the new table state — the seed /

@@ -1,0 +1,175 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.streaming.{CdcStream, CommitProtocol, ConditionalPut, SnapshotStore}
+
+/** The object-store commit protocol, proven against a filesystem whose
+  * rename and exclusive-create are deliberately NON-atomic
+  * ([[NonAtomicFileSystem]], scheme `nonatomic://`). What S3 takes away
+  * (atomic rename, exclusive create through the FS API) the protocol
+  * must not use; what S3 provides (an atomic conditional PUT, here a
+  * registered [[ConditionalPut]]) is the only atomic step. The two
+  * interleavings the round-4 class doc named as open — lost-update
+  * (two same-basis writers) and silent-revert (a compactor publishing
+  * over a later sink commit) — are driven explicitly.
+  */
+class CommitProtocolSpec extends SparkSpec {
+
+  private lazy val ready: Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setClass("fs.nonatomic.impl", classOf[NonAtomicFileSystem], classOf[FileSystem])
+    // the primitive is registered OUTSIDE the FileSystem API, as on S3
+    SnapshotStore.registerConditionalPut("nonatomic",
+      new ConditionalPut.LocalExclusiveCreate)
+    spark.conf.set("spark.graft.store.commitLogSchemes", "nonatomic")
+  }
+
+  private def tmp(prefix: String): String = {
+    ready
+    "nonatomic://" + Files.createTempDirectory(prefix).toFile.getAbsolutePath
+  }
+
+  private def fs: FileSystem =
+    new Path("nonatomic:///").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def delta(rows: (String, String, String, Option[String])*) = {
+    import spark.implicits._
+    rows.toDF("keys", "op", "sequenceNumber", "newImage")
+  }
+
+  private def state(target: String): Map[String, String] =
+    CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("conditional put admits exactly one of many racing writers") {
+    ready
+    val dir = Files.createTempDirectory("cput").toFile.getAbsolutePath
+    val p = new Path(s"nonatomic://$dir/c00000000000000000001")
+    val primitive = new ConditionalPut.LocalExclusiveCreate
+    val pool = Executors.newFixedThreadPool(16)
+    val start = new CountDownLatch(1)
+    val wins = (0 until 16).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = { start.await(); primitive.putIfAbsent(fs, p, s"writer-$i") }
+      })
+    }
+    start.countDown()
+    val results = wins.map(_.get(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(results.count(identity) === 1)
+    val winner = results.indexOf(true)
+    val content = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      dir, "c00000000000000000001")), "UTF-8")
+    assert(content === s"writer-$winner")
+  }
+
+  test("end-to-end on non-atomic store: merges + compaction, no rename on the commit path") {
+    val target = tmp("cl-target")
+    NonAtomicFileSystem.reset()
+    SnapshotStore.mergeIntoTarget(spark, target,
+      delta(("k1", "PUT", "001", Some("v1")), ("k2", "PUT", "002", Some("w1"))), 0L)
+    SnapshotStore.mergeIntoTarget(spark, target,
+      delta(("k1", "PUT", "003", Some("v2")), ("k3", "PUT", "004", Some("x1"))), 1L)
+    SnapshotStore.mergeIntoTarget(spark, target,
+      delta(("k2", "DELETE", "005", None)), 2L)
+    assert(state(target) === Map("k1" -> "v2", "k3" -> "x1"))
+    SnapshotStore.compactTarget(spark, target)
+    assert(state(target) === Map("k1" -> "v2", "k3" -> "x1"))
+    // a stale PUT older than k2's tombstone still loses after compaction
+    // of the LIVE chain (markers retained in fold segments)
+    SnapshotStore.mergeIntoTarget(spark, target,
+      delta(("k4", "PUT", "006", Some("y1"))), 3L)
+    assert(state(target) === Map("k1" -> "v2", "k3" -> "x1", "k4" -> "y1"))
+
+    // the commit is the log, not the pointer: no _CURRENT, bounded log
+    val root = new Path(target)
+    assert(!fs.exists(new Path(root, SnapshotStore.CurrentPointer)),
+      "commit-log table must not carry a _CURRENT pointer file")
+    val commits = fs.listStatus(new Path(root, CommitProtocol.CommitDir))
+      .map(_.getPath.getName).filter(_.matches(raw"c\d{20}"))
+    assert(commits.length <= 2, s"commit log not GC'd: ${commits.mkString(",")}")
+
+    // nothing on the commit path used rename or FS exclusive-create:
+    // renames may exist from parquet task commits (data dirs — harmless,
+    // single-writer, invisible until the manifest commits), but never
+    // touching the pointer, the commit log, or a pointer tmp
+    val commitRenames = NonAtomicFileSystem.renames.toArray(Array.empty[String]).filter(r =>
+      r.contains(SnapshotStore.CurrentPointer) || r.contains(CommitProtocol.CommitDir) ||
+        r.contains(".pointer-tmp-"))
+    assert(commitRenames.isEmpty, s"commit path relied on rename: ${commitRenames.toSeq}")
+    val exclusives = NonAtomicFileSystem.exclusiveCreates.toArray(Array.empty[String])
+      .filter(c => c.contains(CommitProtocol.CommitDir) ||
+        c.contains(SnapshotStore.LockFile))
+    assert(exclusives.isEmpty,
+      s"commit path used non-atomic FS exclusive-create: ${exclusives.toSeq}")
+  }
+
+  test("silent-revert interleaving: a writer with a stale basis cannot commit") {
+    val target = tmp("cl-revert")
+    SnapshotStore.mergeIntoTarget(spark, target, delta(("k1", "PUT", "001", Some("v1"))), 0L)
+    val staleBasis = SnapshotStore.pointerValue(spark, target)
+    assert(staleBasis.nonEmpty)
+    // a sink batch commits while the "compactor" holds staleBasis
+    SnapshotStore.mergeIntoTarget(spark, target, delta(("k2", "PUT", "002", Some("w1"))), 1L)
+    val live = SnapshotStore.pointerValue(spark, target)
+    assert(live !== staleBasis)
+    // the stale-basis publish must abort, not revert the sink's commit
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.casSwapPointer(spark, target, "manifest-999-dead", staleBasis)
+    }
+    assert(SnapshotStore.pointerValue(spark, target) === live)
+    assert(state(target) === Map("k1" -> "v1", "k2" -> "w1"))
+  }
+
+  test("lost-update interleaving: two same-basis writers, exactly one commit wins") {
+    val target = tmp("cl-race")
+    SnapshotStore.mergeIntoTarget(spark, target, delta(("k1", "PUT", "001", Some("v1"))), 0L)
+    val basis = SnapshotStore.pointerValue(spark, target)
+    // both writers computed from the same basis; they race the commit
+    // directly (no writer lock held — the log itself must be the guard)
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def attempt(name: String) = pool.submit(new java.util.concurrent.Callable[Option[String]] {
+      def call(): Option[String] = {
+        start.await()
+        try { SnapshotStore.casSwapPointer(spark, target, name, basis); Some(name) }
+        catch { case _: java.util.ConcurrentModificationException => None }
+      }
+    })
+    val a = attempt("manifest-000000000077-aaaa")
+    val b = attempt("manifest-000000000077-bbbb")
+    start.countDown()
+    val outcomes = Seq(a, b).map(_.get(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    val winners = outcomes.flatten
+    assert(winners.length === 1, s"expected exactly one winner, got $outcomes")
+    assert(SnapshotStore.pointerValue(spark, target) === Some(winners.head))
+  }
+
+  test("rename-protocol table migrates: commit log adopts the pointer basis") {
+    ready
+    // a table born on file:// under the rename protocol...
+    val local = Files.createTempDirectory("migrate").toFile.getAbsolutePath
+    SnapshotStore.mergeIntoTarget(spark, local, delta(("k1", "PUT", "001", Some("v1"))), 0L)
+    assert(fs.exists(new Path(local, SnapshotStore.CurrentPointer)))
+    // ...switched to the commit-log protocol (conf flip, same dir)
+    spark.conf.set("spark.graft.store.protocol", "commitlog")
+    try {
+      SnapshotStore.mergeIntoTarget(spark, local, delta(("k2", "PUT", "002", Some("w1"))), 1L)
+      assert(state(local) === Map("k1" -> "v1", "k2" -> "w1"))
+      // the log is authoritative now; the stale pointer file is gone and
+      // further commits keep working
+      SnapshotStore.mergeIntoTarget(spark, local, delta(("k1", "DELETE", "003", None)), 2L)
+      assert(state(local) === Map("k2" -> "w1"))
+    } finally spark.conf.unset("spark.graft.store.protocol")
+    // flipping BACK to rename on a commit-log table must refuse loudly
+    // rather than publish a shadowed pointer
+    intercept[IllegalStateException] {
+      SnapshotStore.mergeIntoTarget(spark, local, delta(("k9", "PUT", "009", Some("z"))), 3L)
+    }
+  }
+}
