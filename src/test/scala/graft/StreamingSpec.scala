@@ -216,6 +216,40 @@ class StreamingSpec extends SparkSpec {
     assert(state === expect)
   }
 
+  test("reader resolved just before a compaction completes against grace-retained segments") {
+    import spark.implicits._
+    val target = tmp("grace-target")
+    CdcStream.writeTarget(
+      (1 to 40).map(i => (s"k$i", s"v$i")).toDF("keys", "newImage"), target, 0L)
+    for (b <- 1 to 3)
+      SnapshotStore.mergeIntoTarget(spark, target,
+        Seq((s"k$b", "PUT", s"00$b", s"u$b"))
+          .toDF("keys", "op", "sequenceNumber", "newImage"), b.toLong)
+    val expect = (1 to 40).map(i => s"k$i" -> s"v$i").toMap ++
+      (1 to 3).map(i => s"k$i" -> s"u$i")
+    // the reader binds its manifest + segment file listing NOW...
+    val inFlight = CdcStream.readTarget(spark, target).select("keys", "newImage")
+    // ...a compaction commits (and GCs) underneath it...
+    CdcStream.compactTarget(spark, target)
+    // ...and the in-flight read still completes: the publish retains the
+    // full basis manifest + data (the grace window) precisely for readers
+    // that resolved the pointer just before the swap
+    val seen = inFlight.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(seen === expect)
+    // the window is ONE publish deep (for readers of fully-rewritten
+    // buckets): a reader two FULL rewrites behind must fail loudly,
+    // never silently return partial state. (Append-mode merges reuse
+    // chains by reference, so only full compactions age a segment out.)
+    val ancient = CdcStream.readTarget(spark, target).select("keys", "newImage")
+    SnapshotStore.compactTarget(spark, target) // rewrite 1: ancient in grace
+    SnapshotStore.compactTarget(spark, target) // rewrite 2: ancient's segments GC'd
+    intercept[Exception] { ancient.collect() }
+    // the LIVE table is intact throughout
+    val now = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(now === expect)
+  }
+
   test("mergeIntoTarget appends O(delta) segments: untouched chains reused, bytes scale with delta") {
     import spark.implicits._
     val target = tmp("prune-target")
