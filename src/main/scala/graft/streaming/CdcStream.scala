@@ -291,6 +291,27 @@ object CdcStream {
     KeyState(key, seq, if (name == CdcSchema.Remove) None else img,
       live = name != CdcSchema.Remove)
 
+  /** Default state retention for the stateful ops: evict keys event-time
+    * idle for 7 days. Finite BY DEFAULT so a long-running stream's state
+    * store is bounded by its active key set unless the caller explicitly
+    * opts in to unbounded (`retentionMs = None`) — see the eviction
+    * scaladoc on [[statefulLatest]] for the trade each side makes.
+    */
+  val DefaultRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** Bounded retention needs event time; fail loudly up front instead of
+    * surfacing an unresolved-column error from deep inside the watermark
+    * analysis — and NEVER silently degrade to unbounded state.
+    */
+  private def requireEventTimeForRetention(
+      cdc: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      retentionMs: Option[Long]): Unit =
+    require(retentionMs.isEmpty || cdc.columns.contains("approxCreationTs"),
+      "bounded state retention (the default) evicts on EVENT-TIME idleness and needs " +
+        "an 'approxCreationTs' column on the input. Either carry it, or opt in to " +
+        "unbounded state with retentionMs = None (the store then grows with the " +
+        "all-time key set).")
+
   /** Streaming-native apply: per-key LWW state maintained in the state
     * store via `mapGroupsWithState` (SURVEY §2.9 T9 — arbitrary stateful
     * ops). The alternative formulation to the foreachBatch merge: instead
@@ -303,8 +324,9 @@ object CdcStream {
     * (None image) so late out-of-order events cannot resurrect a deleted
     * key.
     *
-    * State EVICTION (`retentionMs = Some(ms)`): keys event-time idle for
-    * `ms` past the watermark (input must carry `approxCreationTs`;
+    * State EVICTION — ON BY DEFAULT (`retentionMs` defaults to
+    * [[DefaultRetentionMs]], 7 days): keys event-time idle for `ms` past
+    * the watermark (input must carry `approxCreationTs`;
     * `watermarkDelay` bounds lateness) are dropped from the store via
     * `EventTimeTimeout` — state is then bounded by the ACTIVE key set,
     * not all keys ever seen. An evicted key flushes its final state once
@@ -312,7 +334,14 @@ object CdcStream {
     * the retention window can win again — the documented trade of any
     * TTL'd store (tombstone GC included: a REMOVE tombstone only has to
     * out-live the retention window, within which any stale resurrecting
-    * event must arrive).
+    * event must arrive). UNBOUNDED state (`retentionMs = None`) is an
+    * explicit opt-in and the inverse trade: no delivery is ever too
+    * stale to be guarded against, but the store grows with the ALL-TIME
+    * key set — at a 100 TB target that is the table's entire key space
+    * held in executor state, which is only sane when the key cardinality
+    * is known-bounded. An input without `approxCreationTs` cannot have
+    * event-time eviction, so the default FAILS LOUDLY on it rather than
+    * silently falling back to unbounded.
     */
   /** `initial` bootstraps the state store from a pre-existing per-key
     * state — the restore integration: load the restored snapshot's LWW
@@ -323,13 +352,14 @@ object CdcStream {
     * same store (spec-pinned).
     */
   def statefulLatest(cdc: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                     retentionMs: Option[Long] = None,
+                     retentionMs: Option[Long] = Some(DefaultRetentionMs),
                      watermarkDelay: String = "10 minutes",
                      initial: Option[org.apache.spark.sql.Dataset[KeyState]] = None)
       : org.apache.spark.sql.Dataset[KeyState] = {
     val spark = cdc.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
+    requireEventTimeForRetention(cdc, retentionMs)
     retentionMs match {
       case None =>
         val g = cdc.select("keys", "eventName", "sequenceNumber", "newImage")
@@ -407,13 +437,14 @@ object CdcStream {
     * over restored state produces an EMPTY changelog (spec-pinned).
     */
   def statefulChangelog(cdc: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                        retentionMs: Option[Long] = None,
+                        retentionMs: Option[Long] = Some(DefaultRetentionMs),
                         watermarkDelay: String = "10 minutes",
                         initial: Option[org.apache.spark.sql.Dataset[KeyState]] = None)
       : org.apache.spark.sql.Dataset[KeyState] = {
     val spark = cdc.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    requireEventTimeForRetention(cdc, retentionMs)
     retentionMs match {
       case None =>
         val g = cdc.select("keys", "eventName", "sequenceNumber", "newImage")

@@ -773,7 +773,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, String, Option[String])]
     val df = mem.toDF().toDF("keys", "eventName", "sequenceNumber", "newImage")
-    val q = graft.streaming.CdcStream.statefulLatest(df)
+    val q = graft.streaming.CdcStream.statefulLatest(df, retentionMs = None)
       .writeStream.format("memory").queryName("state_out")
       .outputMode("update").start()
     mem.addData(
@@ -805,7 +805,7 @@ class StreamingSpec extends SparkSpec {
     val initial = Seq(
       graft.streaming.KeyState("k1", "5", Some("restored1"), live = true),
       graft.streaming.KeyState("k2", "7", Some("restored2"), live = true)).toDS()
-    val q = graft.streaming.CdcStream.statefulLatest(df, initial = Some(initial))
+    val q = graft.streaming.CdcStream.statefulLatest(df, retentionMs = None, initial = Some(initial))
       .writeStream.format("memory").queryName("boot_out")
       .outputMode("update").start()
     // buffered drain: a STALE delivery for k1 (seq 3 < seeded 5), a real
@@ -831,7 +831,7 @@ class StreamingSpec extends SparkSpec {
     val df = mem.toDF().toDF("keys", "eventName", "sequenceNumber", "newImage")
     val initial = Seq(
       graft.streaming.KeyState("k1", "5", Some("restored"), live = true)).toDS()
-    val q = graft.streaming.CdcStream.statefulChangelog(df, initial = Some(initial))
+    val q = graft.streaming.CdcStream.statefulChangelog(df, retentionMs = None, initial = Some(initial))
       .writeStream.format("memory").queryName("boot_cl_out")
       .outputMode("update").start()
     // replay of an already-applied buffer: stale + tying deliveries only
@@ -852,7 +852,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, String, Option[String])]
     val df = mem.toDF().toDF("keys", "eventName", "sequenceNumber", "newImage")
-    val q = graft.streaming.CdcStream.statefulChangelog(df)
+    val q = graft.streaming.CdcStream.statefulChangelog(df, retentionMs = None)
       .writeStream.format("memory").queryName("changelog_out")
       .outputMode("update").start()
     mem.addData(
@@ -934,6 +934,36 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     q.stop()
     assert(rows.contains(("e2", null)), s"unattributed event missing from $rows")
+  }
+
+  test("stateful ops default to FINITE retention; unbounded is an explicit opt-in") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the default is a finite event-time window...
+    assert(graft.streaming.CdcStream.DefaultRetentionMs === 7L * 24 * 60 * 60 * 1000)
+    val mem = MemoryStream[(String, String, String, Option[String], java.sql.Timestamp)]
+    val withTs = mem.toDF()
+      .toDF("keys", "eventName", "sequenceNumber", "newImage", "approxCreationTs")
+    // ...and a default-constructed op takes the EventTimeTimeout path
+    val plan = graft.streaming.CdcStream.statefulLatest(withTs)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("EventTimeTimeout"), s"default not evicting:\n$plan")
+    // an input with no event time cannot evict: the default fails loudly
+    // (naming the opt-out) instead of silently running unbounded
+    val noTs = Seq(("k1", "INSERT", "001", Some("v1")))
+      .toDF("keys", "eventName", "sequenceNumber", "newImage")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.CdcStream.statefulLatest(noTs)
+    }
+    assert(e.getMessage.contains("retentionMs = None"))
+    intercept[IllegalArgumentException] {
+      graft.streaming.CdcStream.statefulChangelog(noTs)
+    }
+    // the explicit opt-in builds the NoTimeout (unbounded) path
+    val unbounded = graft.streaming.CdcStream.statefulLatest(noTs, retentionMs = None)
+      .queryExecution.analyzed.toString
+    assert(unbounded.contains("NoTimeout"), s"opt-in not unbounded:\n$unbounded")
   }
 
   test("statefulLatest: an event-time-idle key is evicted from the state store") {
