@@ -215,10 +215,56 @@ object Corpus {
     */
   def signBucketBits(corpusSize: Long, targetOccupancy: Long = 64): Int = {
     require(corpusSize >= 0 && targetOccupancy >= 1)
-    val needed = math.ceil(
-      math.log(math.max(1.0, corpusSize.toDouble / targetOccupancy)) / math.log(2.0)).toInt
-    math.min(24, math.max(4, needed))
+    // integer-only (smallest b in [4,24] with n <= target·2^b): the
+    // float log2 formulation disagrees between engines at exact powers
+    // of two (ceil(3.9999…) vs ceil(4.0)), and this derivation now runs
+    // on BOTH sides of the oracle gate ([[signBucketBitsSqlCase]])
+    var b = 4
+    while (b < 24 && corpusSize > (targetOccupancy << b)) b += 1
+    b
   }
+
+  /** Oracle-side mirror of [[signBucketBits]] at the default occupancy
+    * target: a pure-integer CASE over the corpus-count expression
+    * `nExpr`, so both engines derive the identical width from the
+    * identical count — no floating-point log anywhere.
+    */
+  def signBucketBitsSqlCase(nExpr: String): String =
+    (4 until 24).map(b => s"WHEN $nExpr <= ${64L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 24 END")
+
+  /** Oracle-side variable-width mirror of [[signBucketColBits]]: DuckDB
+    * lists are 1-based, `bitsExpr` names the derived-width column.
+    */
+  def signBucketSqlBits(bitsExpr: String): String =
+    s"""CAST(list_sum([CASE WHEN qv[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                       for i in range(0, $bitsExpr)]) AS BIGINT)"""
+
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Long]()
+
+  /** Memoized driver-side corpus count — the control-plane pull the
+    * derived LSH parameters are computed from (ONE number per
+    * (session, dir); the oracle derives the same count in SQL). Keyed
+    * like [[cached]] so a restarted session never reads a stale count.
+    */
+  private def countOnce(s: SparkSession, d: String, name: String)(compute: => Long): Long = {
+    val app = s.sparkContext.applicationId
+    countCache.keySet.removeIf(_._1 != app)
+    countCache.computeIfAbsent((app, d, name), _ => compute).longValue()
+  }
+
+  /** Corpus size of [[quantizedVectors]] (= the embeddings table). */
+  def vecCount(s: SparkSession, d: String): Long =
+    countOnce(s, d, "vecCount")(Tables.embeddings(s, d).count())
+
+  /** Corpus size of [[vecsWithNearDups]]. */
+  def vecsWithNearDupsCount(s: SparkSession, d: String): Long =
+    countOnce(s, d, "vecsWithNearDupsCount")(vecsWithNearDups(s, d).count())
+
+  /** Corpus size of [[docsWithNearDups]]. */
+  def corpusDocCount(s: SparkSession, d: String): Long =
+    countOnce(s, d, "corpusDocCount")(docsWithNearDups(s, d).count())
 
   /** Sign-LSH bucket over the first `bits` quantized components (2^bits
     * buckets) — the generalized form of [[signBucketCol]] for
@@ -248,6 +294,27 @@ object Corpus {
                else if (corpusSize <= 10000000L) 4
                else 6
     (12 / rows, rows)
+  }
+
+  /** Oracle-side mirror of [[minhashBandPlan]]'s rows-per-band over the
+    * corpus-count expression `nExpr` (bands = 12 // rows).
+    */
+  def minhashRowsSqlCase(nExpr: String): String =
+    s"CASE WHEN $nExpr <= 100000 THEN 3 WHEN $nExpr <= 10000000 THEN 4 ELSE 6 END"
+
+  /** Band keys for a 12-slot minhash signature column `mh` under a
+    * (bands, rowsPerBand) plan — one md5 per band over its '_'-joined
+    * slots. Parameterized form of the fixed 4×3 expression the r4
+    * queries pinned; [[minhashBandPlan]] supplies the plan from corpus
+    * size, and the oracle builds the identical key from the identical
+    * plan (same join separator, same slot order, same 1-based slots).
+    */
+  def bandKeysExpr(bands: Int, rows: Int): Column = {
+    require(bands * rows <= 12 && bands >= 1 && rows >= 1)
+    expr(
+      s"""transform(sequence(0, ${bands - 1}),
+            b -> md5(concat_ws('_', transform(sequence(1, $rows),
+                   i -> cast(element_at(mh, b * $rows + i) as string)))))""")
   }
 
   /** Sign-LSH bucket from the first 4 quantized components (16 buckets) —

@@ -94,15 +94,15 @@ object DedupQueries {
       // Native minhash12 (graft.functions.MinHash12): 12 running minima
       // in ONE compiled loop — the SQL aggregate/zip_with fold allocated
       // a 12-array and dispatched 12 interpreted lambdas per shingle.
-      // Band keys (4 md5s per doc) stay in SQL; they're cheap.
+      // Band keys (one md5 per band) stay in SQL; they're cheap. The
+      // banding PLAN is corpus-size-derived (more rows per band as n²
+      // random-collision pressure grows); the oracle derives the same
+      // plan from the same count in SQL.
+      val (nBands, rowsPerBand) = Corpus.minhashBandPlan(Corpus.corpusDocCount(s, d))
       val bkeys = hsets
         .select(col("doc_id"),
           graft.functions.SignatureFunctions.minHash12(col("hs")).as("mh"))
-        .select(col("doc_id"), expr(
-          """transform(sequence(0, 3),
-               b -> md5(concat(cast(element_at(mh, b*3 + 1) as string), '_',
-                               cast(element_at(mh, b*3 + 2) as string), '_',
-                               cast(element_at(mh, b*3 + 3) as string))))""").as("bkeys"))
+        .select(col("doc_id"), Corpus.bandKeysExpr(nBands, rowsPerBand).as("bkeys"))
       // Bands stay NARROW (doc_id, band, bkey): the 4-way explode and
       // the bucket self-join move ~40 bytes/row, not the shingle sets;
       // persisted (memoized) because the self-join scans it from both sides.
@@ -129,6 +129,9 @@ object DedupQueries {
     * expects the `corpus` CTE and [[hsetsCte]] upstream.
     */
   private[analytics] val minhashPairsCtes: String = s"""
+        mhplan AS (
+          SELECT (${Corpus.minhashRowsSqlCase("n")}) AS rpb
+          FROM (SELECT count(*) AS n FROM corpus)),
         sig AS (
           SELECT doc_id,
                  [CAST(list_min(list_transform(hs,
@@ -137,10 +140,11 @@ object DedupQueries {
           FROM hsets),
         bands AS (
           SELECT doc_id, b.band,
-                 md5(CAST(minhash[b.band*3+1] AS VARCHAR) || '_' ||
-                     CAST(minhash[b.band*3+2] AS VARCHAR) || '_' ||
-                     CAST(minhash[b.band*3+3] AS VARCHAR)) AS bkey
-          FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+                 md5(array_to_string(list_transform(
+                     minhash[b.band * p.rpb + 1 : b.band * p.rpb + p.rpb],
+                     x -> CAST(x AS VARCHAR)), '_')) AS bkey
+          FROM sig, mhplan p,
+               (SELECT unnest(range(0, 12 // (SELECT rpb FROM mhplan))) AS band) b),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
@@ -499,12 +503,17 @@ object DedupQueries {
         SELECT doc_id, n_overlap FROM contaminated""")),
 
     // ───── embedding-cosine near-dup, sign-LSH bucketed: pairs compared
-    // only within a bucket (the scale path); scores from exact integers
+    // only within a bucket (the scale path); scores from exact integers.
+    // Bucket WIDTH is corpus-size-derived (constant mean occupancy ⇒
+    // candidate stage linear in n); both engines derive it from the
+    // same count, so the verified answer set stays oracle-equal at
+    // every scale factor even though the width changes across them.
     QuerySpec(
       "dedup_embed_cosine",
       (s, d) => {
+        val bits = Corpus.signBucketBits(Corpus.vecsWithNearDupsCount(s, d))
         val vecs = Corpus.vecsWithNearDups(s, d)
-          .withColumn("bucket", Corpus.signBucketCol)
+          .withColumn("bucket", Corpus.signBucketColBits(bits))
         vecs.as("a")
           .join(vecs.as("b"),
             col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -516,9 +525,12 @@ object DedupQueries {
           .select("va", "vb", "score")
       },
       Some(s"""
-        WITH vecs AS (
-          SELECT vec_id, qv, nn, ${Corpus.signBucketSql} AS bucket
-          FROM (${Corpus.vecsWithNearDupsSql})),
+        WITH vwidth AS (
+          SELECT (${Corpus.signBucketBitsSqlCase("n")}) AS bits
+          FROM (SELECT count(*) AS n FROM (${Corpus.vecsWithNearDupsSql}))),
+        vecs AS (
+          SELECT vec_id, qv, nn, ${Corpus.signBucketSqlBits("p.bits")} AS bucket
+          FROM (${Corpus.vecsWithNearDupsSql}), vwidth p),
         pairs AS (
           SELECT a.vec_id AS va, b.vec_id AS vb,
                  CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,

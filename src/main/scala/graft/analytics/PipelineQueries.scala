@@ -85,23 +85,29 @@ object PipelineQueries {
     QuerySpec(
       "sample_cluster_balanced",
       (s, d) => {
+        // cluster count (bucket width) scales with corpus size, same
+        // derivation both engines — see Corpus.signBucketBits
+        val bits = Corpus.signBucketBits(Corpus.vecCount(s, d))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("bucket").orderBy(col("hkey"), col("vec_id"))
         Corpus.quantizedVectors(s, d)
-          .withColumn("bucket", Corpus.signBucketCol)
+          .withColumn("bucket", Corpus.signBucketColBits(bits))
           .withColumn("hkey", expr("md5(concat('cb_', cast(vec_id as string)))"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 8)
           .select(col("vec_id"), col("bucket"), col("rk"))
       },
       Some(s"""
+        WITH vwidth AS (
+          SELECT (${Corpus.signBucketBitsSqlCase("n")}) AS bits
+          FROM (SELECT count(*) AS n FROM embeddings))
         SELECT vec_id, bucket, rk FROM (
           SELECT vec_id, bucket,
                  CAST(ROW_NUMBER() OVER (PARTITION BY bucket
                                          ORDER BY hkey, vec_id) AS INTEGER) AS rk
-          FROM (SELECT vec_id, ${Corpus.signBucketSql} AS bucket,
+          FROM (SELECT vec_id, ${Corpus.signBucketSqlBits("p.bits")} AS bucket,
                        md5('cb_' || CAST(vec_id AS VARCHAR)) AS hkey
-                FROM (${Corpus.quantizedVectorsSql})))
+                FROM (${Corpus.quantizedVectorsSql}), vwidth p))
         WHERE rk <= 8""")),
 
     // ───── sequence packing: fill 2048-token context windows per shard.

@@ -163,8 +163,11 @@ object SimilarityQueries {
     QuerySpec(
       "ann_lsh_bucket",
       (s, d) => {
+        // bucket width derives from corpus size (constant mean
+        // occupancy); the oracle derives the identical width in SQL
+        val bits = Corpus.signBucketBits(Corpus.vecCount(s, d))
         val base = Corpus.quantizedVectors(s, d)
-          .withColumn("bucket", Corpus.signBucketCol)
+          .withColumn("bucket", Corpus.signBucketColBits(bits))
         val probes = base.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
             col("nn").as("q_nn"), col("bucket"))
@@ -181,9 +184,12 @@ object SimilarityQueries {
           .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("score"))
       },
       Some(s"""
-        WITH base AS (
-          SELECT vec_id, qv, nn, ${Corpus.signBucketSql} AS bucket
-          FROM (${Corpus.quantizedVectorsSql})),
+        WITH vwidth AS (
+          SELECT (${Corpus.signBucketBitsSqlCase("n")}) AS bits
+          FROM (SELECT count(*) AS n FROM embeddings)),
+        base AS (
+          SELECT vec_id, qv, nn, ${Corpus.signBucketSqlBits("p.bits")} AS bucket
+          FROM (${Corpus.quantizedVectorsSql}), vwidth p),
         pairs AS (
           SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                  CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * q.qv[i])) AS BIGINT) AS dot,

@@ -123,4 +123,36 @@ class ScaleSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("LSH parameters derive from corpus size, and the registered queries consume them") {
+    import graft.analytics.Corpus
+    // width grows with n (constant mean occupancy), integer-exact at
+    // the power-of-two boundaries where a float log2 disagrees by engine
+    assert(Corpus.signBucketBits(0) === 4)
+    assert(Corpus.signBucketBits(1024) === 4)
+    assert(Corpus.signBucketBits(1025) === 5)
+    assert(Corpus.signBucketBits(100000) === 11)
+    assert(Corpus.signBucketBits(1L << 40) === 24)
+    // banding trades recall for bounded false positives as n² grows
+    assert(Corpus.minhashBandPlan(100000) === ((4, 3)))
+    assert(Corpus.minhashBandPlan(1000000) === ((3, 4)))
+    assert(Corpus.minhashBandPlan(100000000) === ((2, 6)))
+    // the REGISTERED query's plan carries the derived width: at the test
+    // corpus (500 vectors + variants) that is 4 bits = 16 buckets; the
+    // sf0.1 corpus (2000 + variants = 2286) derives 6. Both go through
+    // the same call the query makes.
+    val sfDir = "/root/testdata/sf0.001"
+    val n = Corpus.vecsWithNearDupsCount(spark, sfDir)
+    assert(Corpus.signBucketBits(n) === 4)
+    assert(Corpus.signBucketBits(2286) === 6)
+    // and the derived-width bucket column really widens: 6 bits spans
+    // buckets >= 16, which the 4-bit expression can never produce
+    import org.apache.spark.sql.functions._
+    val vecs = Corpus.vecsWithNearDups(spark, sfDir)
+    val wide = vecs.select(Corpus.signBucketColBits(6).as("b"))
+      .agg(max("b")).head().getLong(0)
+    val narrow = vecs.select(Corpus.signBucketColBits(4).as("b"))
+      .agg(max("b")).head().getLong(0)
+    assert(narrow <= 15 && wide >= 16, s"narrow=$narrow wide=$wide")
+  }
 }
