@@ -50,6 +50,32 @@ object CdcStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
+  /** Decode newline-delimited wire envelopes (one
+    * [[CdcSchema.streamEnvelope]] JSON per row in `valueCol`) into flat
+    * cdcRecord rows — the parse stage shared by any push transport
+    * ([[SocketCdcSource]]; a Kinesis/Kafka connector would feed the same
+    * decode from its record value). ONE `from_json` per line (measured
+    * cheaper than repeated `get_json_object`, see cdc_envelope_parse);
+    * `Keys`/`NewImage`/`OldImage` ride through as raw DynamoDB-JSON
+    * strings exactly as in the flat record. Unparseable lines (null
+    * eventID after parse) are dropped here so one poison line cannot
+    * fail a whole micro-batch of valid neighbors; see [[SocketCdcSource]]
+    * for the transport contract.
+    */
+  def decodeEnvelopeLines(lines: DataFrame, valueCol: String = "value"): DataFrame =
+    lines
+      .select(from_json(col(valueCol), CdcSchema.streamEnvelope).as("r"))
+      .select(
+        col("r.eventID").as("eventID"),
+        col("r.eventName").as("eventName"),
+        col("r.dynamodb.ApproximateCreationDateTime").as("approxCreationTs"),
+        col("r.dynamodb.SequenceNumber").as("sequenceNumber"),
+        col("r.dynamodb.Keys").as("keys"),
+        col("r.dynamodb.NewImage").as("newImage"),
+        col("r.dynamodb.OldImage").as("oldImage"))
+      .filter(col("eventID").isNotNull && col("sequenceNumber").isNotNull &&
+        col("keys").isNotNull)
+
   /** Content dedup with bounded state — the SQS dedup window as a
     * watermark (default mirrors SQS's 5-minute dedup interval).
     */

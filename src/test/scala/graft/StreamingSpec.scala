@@ -936,6 +936,106 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("e2", null)), s"unattributed event missing from $rows")
   }
 
+  test("SocketCdcSource: wire envelopes over TCP drive the apply pipeline, restart included") {
+    import graft.streaming.SocketCdcSource
+    def envelope(id: String, name: String, ts: String, seq: String,
+                 keys: String, img: Option[String]): String = {
+      val imgJson = img.map(i => s""""$i"""").getOrElse("null")
+      s"""{"eventID":"$id","eventName":"$name","eventVersion":"1.1","eventSource":"aws:dynamodb","awsRegion":"us-east-1","dynamodb":{"ApproximateCreationDateTime":"$ts","SequenceNumber":"$seq","SizeBytes":26,"StreamViewType":"NEW_AND_OLD_IMAGES","Keys":"$keys","NewImage":$imgJson,"OldImage":null}}"""
+    }
+    // one-connection-at-a-time envelope server. Peer liveness is probed
+    // (read() -> -1 on close) BEFORE each dequeue so a line is never
+    // consumed into a dead socket's buffer; `active` lets the test gate
+    // phase-2 sends on the connection turnover.
+    val server = new java.net.ServerSocket(0)
+    val pending = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var serving = true
+    val acceptor = new Thread({ () =>
+      while (serving) {
+        try {
+          val sock = server.accept()
+          active.incrementAndGet()
+          try {
+            sock.setSoTimeout(50)
+            val out = new java.io.PrintWriter(sock.getOutputStream, true)
+            var ok = true
+            while (serving && ok) {
+              val alive =
+                try sock.getInputStream.read() != -1
+                catch { case _: java.net.SocketTimeoutException => true }
+              if (!alive) ok = false
+              else {
+                val line = pending.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
+                if (line != null) {
+                  out.println(line)
+                  if (out.checkError()) { pending.put(line); ok = false }
+                }
+              }
+            }
+          } finally { sock.close(); active.decrementAndGet() }
+        } catch { case _: Throwable => () }
+      }
+    }: Runnable, "cdc-envelope-server")
+    acceptor.setDaemon(true); acceptor.start()
+    def awaitConns(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (active.get() != n && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(active.get() === n)
+    }
+
+    val target = tmp("sock-target"); val ckpt = tmp("sock-ckpt"); val dlq = tmp("sock-dlq")
+    def targetState(): Map[String, String] =
+      CdcStream.readTarget(spark, target).select("keys", "newImage")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def awaitState(expect: Map[String, String], timeoutMs: Long = 60000): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var last: Map[String, String] = Map.empty
+      while (System.currentTimeMillis() < deadline && { last = targetState(); last != expect })
+        Thread.sleep(250)
+      assert(last === expect)
+    }
+
+    val src = SocketCdcSource("localhost", server.getLocalPort)
+    val q = CdcStream.applySink(src.stream(spark), target, ckpt, dlq,
+      trigger = Trigger.ProcessingTime("250 milliseconds")).start()
+    try {
+      pending.put(envelope("e1", "INSERT", "2024-01-01T00:00:01Z", "001", "k1", Some("v1")))
+      pending.put(envelope("e2", "MODIFY", "2024-01-01T00:00:02Z", "002", "k1", Some("v2")))
+      pending.put("{ this line is not an envelope")
+      pending.put(envelope("e3", "INSERT", "2024-01-01T00:00:03Z", "003", "k2", Some("w1")))
+      awaitState(Map("k1" -> "v2", "k2" -> "w1"))
+    } finally q.stop()
+
+    // restart: a socket has no recoverable offsets (Spark fails fast on
+    // the old checkpoint — "Offsets committed out of order"), so a
+    // restarted query takes a FRESH checkpoint; continuity lives in the
+    // TARGET, whose idempotent + monotone apply makes the stale
+    // redelivery of e2 a no-op while new pushes apply on top. This is
+    // the stated SocketCdcSource contract, proven here.
+    awaitConns(0) // first connection fully torn down before phase 2
+    val ckpt2 = tmp("sock-ckpt2")
+    val q2 = CdcStream.applySink(src.stream(spark), target, ckpt2, dlq,
+      trigger = Trigger.ProcessingTime("250 milliseconds")).start()
+    try {
+      awaitConns(1) // q2 is connected; lines now reach the live socket
+      pending.put(envelope("e2", "MODIFY", "2024-01-01T00:00:02Z", "002", "k1", Some("v2")))
+      pending.put(envelope("e4", "REMOVE", "2024-01-01T00:00:04Z", "004", "k2", None))
+      pending.put(envelope("e5", "INSERT", "2024-01-01T00:00:05Z", "005", "k3", Some("x1")))
+      awaitState(Map("k1" -> "v2", "k3" -> "x1"))
+    } finally {
+      q2.stop()
+      serving = false
+      server.close()
+    }
+    // the malformed line was dropped at decode, not deadlettered as a
+    // batch failure, and no valid neighbor was lost
+    val fs = new java.io.File(dlq)
+    val dlqFiles = Option(fs.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+    assert(dlqFiles === 0, "poison wire line must not deadletter valid batches")
+  }
+
   test("stateful ops default to FINITE retention; unbounded is an explicit opt-in") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
