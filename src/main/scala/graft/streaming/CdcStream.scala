@@ -568,6 +568,37 @@ object CdcStream {
       .agg(fi(xxhash64(col("keys"))).as("sketch"), count(lit(1)).as("n"))
   }
 
+  /** The documented batch follow-up of [[windowedHeavyHitters]]: decode
+    * each window's sketch candidates against the window's SOURCE rows
+    * and keep only keys whose EXACT in-window count clears the
+    * `n / thresholdDiv` threshold — so downstream consumers get real
+    * keys with true counts, never raw sketch buffers, and the threshold
+    * rule lives in one place (same rule as the batch `agg_heavy_hitters`
+    * query). `source` is the same data the sketch ran over, from
+    * replayable storage (e.g. the CDC log directory read as a batch
+    * frame). Scale shape: the exploded candidate set is ≤ k rows per
+    * window — broadcast — so the decode costs ONE scan of the source,
+    * one broadcast semi-join, one bounded hash-agg; the sketch guarantee
+    * (every key with freq > n/(k+1) is among the candidates) makes the
+    * composition exact for every emitted key (StreamingSpec pins
+    * streaming-sketch + this decode ≡ the direct exact computation).
+    */
+  def decodeHeavyHitters(sketched: DataFrame, source: DataFrame,
+                         window_ : String = "1 hour",
+                         thresholdDiv: Long = 64): DataFrame = {
+    val cand = sketched.select(col("window"), col("n"),
+      explode(map_keys(col("sketch"))).as("khash"))
+    source
+      .select(col("keys"),
+        window(col("approxCreationTs"), window_).as("window"),
+        xxhash64(col("keys")).as("khash"))
+      .join(broadcast(cand), Seq("window", "khash"))
+      .groupBy(col("window"), col("keys"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > col("n") / lit(thresholdDiv))
+      .select("window", "keys", "cnt", "n")
+  }
+
   /** Session windows by inactivity gap over the stream (T9). */
   def sessionCounts(cdc: DataFrame, gap: String = "30 minutes",
                     watermark: String = "10 minutes"): DataFrame =

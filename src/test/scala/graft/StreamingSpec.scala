@@ -724,6 +724,42 @@ class StreamingSpec extends SparkSpec {
     assert(sketch(hotHash) <= 30L && 30L - sketch(hotHash) <= n / 5)
   }
 
+  test("decodeHeavyHitters: streaming sketch + batch recount = exact per-window hitters") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // hour 00: hot×30 + 10 tail keys ×2 + warm×5 (n=55); hour 01:
+    // warm×20 + 8 tail keys ×1 (n=28). k=4 counters, threshold n/5:
+    // the sketch guarantee (freq > n/(k+1) ⇒ candidate) makes the
+    // decode exact for every emitted key.
+    val win0 = (Seq.fill(30)("hot") ++ (0 until 10).flatMap(i => Seq(s"t$i", s"t$i")) ++
+      Seq.fill(5)("warm")).map(k => (k, ts("2024-01-01 00:10:00")))
+    val win1 = (Seq.fill(20)("warm") ++ (0 until 8).map(i => s"t$i"))
+      .map(k => (k, ts("2024-01-01 01:15:00")))
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("keys", "approxCreationTs")
+    val q = graft.streaming.CdcStream.windowedHeavyHitters(df, k = 4)
+      .writeStream.format("memory").queryName("hh_dec")
+      .outputMode("complete").start()
+    // split across micro-batches so the decoded surface provably rides
+    // on MERGED sketch state, not a single-batch aggregate
+    mem.addData(win0.take(20): _*); q.processAllAvailable()
+    mem.addData((win0.drop(20) ++ win1): _*); q.processAllAvailable()
+    val sketched = spark.table("hh_dec")
+    val source = (win0 ++ win1).toDF("keys", "approxCreationTs")
+    val decoded = graft.streaming.CdcStream
+      .decodeHeavyHitters(sketched, source, thresholdDiv = 5)
+      .select(col("window.start").cast("string").as("win"),
+        col("keys"), col("cnt"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    // exact per-window heavy hitters, hand-computed from the corpus
+    assert(decoded === Set(
+      ("2024-01-01 00:00:00", "hot", 30L, 55L),
+      ("2024-01-01 01:00:00", "warm", 20L, 28L)))
+  }
+
   test("watermark drops late events from windowed aggregation (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
