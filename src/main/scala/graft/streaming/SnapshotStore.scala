@@ -569,12 +569,18 @@ object SnapshotStore {
     *
     * `delta` must carry `keys ++ opCol ++ seqCol ++ payload`, already
     * deduped and LWW-compacted (one row per key).
+    *
+    * `foldThreshold` overrides [[FoldThreshold]] for this merge — the
+    * read-amplification/write-cost knob (higher = cheaper writes, longer
+    * chains = slower reads; `graft.ReadAmpBench` charts the trade that
+    * data-backs the default).
     */
   def mergeIntoTarget(spark: SparkSession, targetDir: String, delta: DataFrame,
                       batchId: Long, keys: Seq[String] = Seq("keys"),
                       opCol: String = "op", seqCol: String = "sequenceNumber",
                       payload: Seq[String] = Seq("newImage"),
-                      numBuckets: Int = DefaultBuckets): Unit =
+                      numBuckets: Int = DefaultBuckets,
+                      foldThreshold: Int = FoldThreshold): Unit =
     withTargetLock(spark, targetDir) {
       val outCols = (keys ++ Seq(opCol, seqCol) ++ payload).map(col)
       currentManifest(spark, targetDir) match {
@@ -589,7 +595,7 @@ object SnapshotStore {
               .collect().map(_.getInt(0)).toSet
             if (touched.nonEmpty) {
               val foldSet = touched.filter(b =>
-                m.buckets.getOrElse(b, Nil).length + 1 > FoldThreshold)
+                m.buckets.getOrElse(b, Nil).length + 1 > foldThreshold)
               val appendSet = touched -- foldSet
               val appendRows = d.filter(col(BucketCol).isin(appendSet.toSeq: _*))
                 .select(outCols :+ col(BucketCol): _*)
