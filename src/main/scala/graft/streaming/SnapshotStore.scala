@@ -434,6 +434,44 @@ object SnapshotStore {
         else emptyCanonical(spark)
     }
 
+  /** Point read: the applied state of `lookups` keys only, reading ONLY
+    * the segment chains of the buckets those keys hash to — the store's
+    * analog of the reference's `GetItem` (app/lambdas/check-ddb-status/
+    * main.py point reads): I/O is O(|touched buckets|·chain), never
+    * O(table), so a handful of keys against a 100 TB target reads a
+    * handful of bucket chains. The bucket set is computed by the same
+    * [[bucketExpr]] the writer used (one O(k)-row local job — control
+    * plane, like the k-means centroid pull); resolution semantics are
+    * identical to [[readTarget]] (per-key LWW, winning DELETE = absent).
+    * Single-column key targets only (the engine's `keys` shape).
+    */
+  def readKeys(spark: SparkSession, targetDir: String, lookups: Seq[String],
+               keyCol: String = "keys", opCol: String = "op",
+               seqCol: String = "sequenceNumber"): DataFrame = {
+    val keyFilter = col(keyCol).isin(lookups: _*)
+    currentManifest(spark, targetDir) match {
+      case None =>
+        readTarget(spark, targetDir, Seq(keyCol), opCol, seqCol).filter(keyFilter)
+      case Some((name, m)) =>
+        if (m.buckets.isEmpty || lookups.isEmpty) emptyCanonical(spark).filter(keyFilter)
+        else {
+          import spark.implicits._
+          val touched = lookups.toDF(keyCol)
+            .select(bucketExpr(Seq(keyCol), m.numBuckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          val paths = m.buckets.view.filterKeys(touched)
+            .values.flatten.map(rel => new Path(targetDir, rel).toString).toSeq
+          if (paths.isEmpty) emptyCanonical(spark).filter(keyFilter)
+          else {
+            val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+              .filter(keyFilter) // pushed under the LWW window's shuffle
+            if (!df.columns.contains(opCol)) df
+            else compactState(df, Seq(keyCol), opCol, seqCol).drop(opCol)
+          }
+        }
+    }
+  }
+
   // ---------------------------------------------------------------- writing
 
   /** CAS-guarded commit through the target's [[CommitProtocol]] (callers
