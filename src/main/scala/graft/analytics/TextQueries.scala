@@ -383,6 +383,113 @@ object TextQueries {
         ORDER BY score DESC, doc_id
         LIMIT 20""")),
 
+    // ───── PMI collocations: rank adjacent bigrams by pointwise mutual
+    // information — the phrase-mining signal on top of the co-occurrence
+    // counts (X9's "PMI numerator" made whole). The score is the exact
+    // RATIO form T·c(ab) / (c(a)·c(b)) (monotone in PMI = its log):
+    // every factor is an exact integer count and the single double
+    // division is exactly-rounded IEEE — bit-identical across engines,
+    // where a libm log would differ in the last ulp. T·c(ab) stays
+    // < 2^63 up to ~1e12-token corpora at c(ab) ≤ 1e6. Plan: one
+    // token-agg shuffle (unigrams), one bigram-agg shuffle, unigram
+    // counts broadcast back onto the bigram side TWICE (vocab ≪ corpus),
+    // c(ab) ≥ 5 prunes the long tail before the joins, top-20 via
+    // TakeOrderedAndProject. T is a one-scan driver scalar (the k-means
+    // control-plane pattern).
+    QuerySpec(
+      "text_pmi",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val t = docs.agg(sum(expr("size(split(text, ' '))"))).head().getLong(0)
+        val ug = docs
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("c1"))
+        val bg = docs
+          .filter(expr("size(split(text, ' ')) >= 2"))
+          .select(explode(expr(Corpus.let("toks", "split(text, ' ')",
+            """transform(sequence(1, size(toks) - 1),
+                 i -> struct(element_at(toks, i) AS t1,
+                             element_at(toks, i + 1) AS t2))"""))).as("p"))
+          .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+          .agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 5)
+        bg.join(broadcast(ug.withColumnRenamed("term", "t1")
+            .withColumnRenamed("c1", "ca")), "t1")
+          .join(broadcast(ug.withColumnRenamed("term", "t2")
+            .withColumnRenamed("c1", "cb")), "t2")
+          .select(
+            concat(col("t1"), lit(" "), col("t2")).as("bigram"),
+            col("cab"),
+            expr(s"cast(${t}L * cab as double) / cast(ca * cb as double)").as("pmi_ratio"))
+          .orderBy(col("pmi_ratio").desc, col("bigram"))
+          .limit(20)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        t AS (SELECT CAST(SUM(len(ts)) AS BIGINT) AS total FROM toks),
+        ug AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS c1
+          FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY term),
+        bg AS (
+          SELECT t1, t2, CAST(count(*) AS BIGINT) AS cab
+          FROM (
+            SELECT unnest([{'t1': ts[i], 't2': ts[i+1]} for i in range(1, len(ts))],
+                          recursive := true)
+            FROM toks WHERE len(ts) >= 2)
+          GROUP BY t1, t2
+          HAVING count(*) >= 5)
+        SELECT bg.t1 || ' ' || bg.t2 AS bigram, bg.cab,
+               CAST(t.total * bg.cab AS DOUBLE) / CAST(a.c1 * b.c1 AS DOUBLE) AS pmi_ratio
+        FROM bg
+        JOIN ug a ON a.term = bg.t1
+        JOIN ug b ON b.term = bg.t2
+        CROSS JOIN t
+        ORDER BY pmi_ratio DESC, bigram
+        LIMIT 20""")),
+
+    // ───── per-document keyword extraction: top-3 terms by tf·idf with
+    // the INTEGER idf of text_search_tfidf ((N·1000) div df — exact in
+    // both engines where log differs by ulp). The corpus-side dual of
+    // that query's probe-side retrieval: every document gets its own
+    // ranked keywords (the metadata a curation pipeline attaches before
+    // sampling). Plan: one (doc, term) tf agg shuffle, df as a
+    // vocab-sized re-agg broadcast back, one per-doc window for the
+    // top-3 — score ties broken by term, so the output is a
+    // deterministic set.
+    QuerySpec(
+      "text_keywords",
+      (s, d) => {
+        val n = Tables.documents(s, d).count()
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))
+        tf.join(broadcast(dfreq), "term")
+          .withColumn("score", expr(s"tf * ((${n}L * 1000L) div df)"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("term"), col("score"), col("rk"))
+      },
+      Some("""
+        WITH tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+          GROUP BY doc_id, term),
+        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id, term, score, rk
+        FROM (
+          SELECT doc_id, term,
+                 CAST(tf * ((n.n * 1000) // df) AS BIGINT) AS score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tf * ((n.n * 1000) // df) DESC, term) AS INTEGER) AS rk
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        WHERE rk <= 3""")),
+
     // ───── normalization: lowercase, strip non-alphanumerics, squeeze
     // whitespace — the canonical-form step before exact dedup/hashing.
     // ONE regex pass: a run of non-alphanumerics (spaces included)
