@@ -189,6 +189,55 @@ object PipelineQueries {
           FROM kept)
         SELECT shard, count(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
                CAST(MAX(floor((cum - tok) / 2048)) AS BIGINT) + 1 AS n_bins
-        FROM packed GROUP BY shard"""))
+        FROM packed GROUP BY shard""")),
+
+    // ───── per-source cap: at most 20 documents from any single source,
+    // chosen by the deterministic md5 order — the domain-cap step that
+    // keeps one over-represented crawl domain from dominating a training
+    // mix. One windowed shuffle on the source key; at corpus scale this
+    // is the same per-group top-k shape as sample_cluster_balanced, and
+    // skewed sources cost their own partition only (AQE splits them).
+    QuerySpec(
+      "sample_source_cap",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("hkey"), col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("hkey", expr("md5(concat('sc_', cast(doc_id as string)))"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select(col("doc_id"), col("source"), col("rk"))
+      },
+      Some("""
+        SELECT doc_id, source, rk FROM (
+          SELECT doc_id, source,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5('sc_' || CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+          FROM documents)
+        WHERE rk <= 20""")),
+
+    // ───── corpus report: doc/token/char/est-token mass per (lang,
+    // source) with rollup subtotals and a grand total — the one-page
+    // summary a curation run ships with its output (and the sanity
+    // check that a mix change did what it claimed). One rollup hash-agg
+    // with map-side partials; grouping_id disambiguates subtotal rows
+    // from real NULL groups.
+    QuerySpec(
+      "corpus_stats",
+      (s, d) => Tables.documents(s, d)
+        .rollup("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(expr("size(split(text, ' '))")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars_total"),
+          sum(expr("cast(ceil(length(text) / 4.0) as bigint)")).as("est_tokens"),
+          grouping_id().cast("int").as("lvl")),
+      Some("""
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+               CAST(SUM(CAST(ceil(len(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens,
+               CAST(GROUPING(lang) * 2 + GROUPING(source) AS INTEGER) AS lvl
+        FROM documents GROUP BY ROLLUP (lang, source)"""))
   )
 }

@@ -148,6 +148,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("text_pmi: unigram counts broadcast back twice, top-20 via TakeOrderedAndProject") {
+    val p = plan("text_pmi")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"expected both unigram joins broadcast, got $bhj in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text_keywords: df broadcast back, per-doc top-3 via one window shuffle") {
+    val p = plan("text_keywords")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("row_number"), p)
+    // tf agg is two-phase (map-side partials before its one shuffle)
+    assert(p.contains("partial_count"), s"tf agg not two-phase in:\n$p")
+  }
+
   test("curation_funnel: the dup/contamination flag sets join via broadcast") {
     // the two LEFT joins against the tiny flag sets must never shuffle
     // the corpus — broadcast at any corpus size (the sets are one row
