@@ -764,6 +764,44 @@ class StreamingSpec extends SparkSpec {
     assert(sketch(hotHash) <= 30L && 30L - sketch(hotHash) <= n / 5)
   }
 
+  test("streamingNearDupCandidates: per-band first-seen state flags later arrivals; eviction resets") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "approxCreationTs")
+    val q = graft.streaming.StreamingDedup
+      .streamingNearDupCandidates(df, retentionMs = 60 * 1000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("update").start()
+    // batch 1: doc 1 (first of its bands), doc 3 (disjoint vocabulary)
+    mem.addData((1L, textA, ts("2024-01-01 00:00:01")), (3L, textB, ts("2024-01-01 00:00:02")))
+    q.processAllAvailable()
+    // batch 2: doc 2 repeats doc 1's text — every band matches, so the
+    // candidate (2 -> 1) must emit; doc 3 was a first itself, no pair
+    mem.addData((2L, textA, ts("2024-01-01 00:00:10")))
+    q.processAllAvailable()
+    def cands() = spark.table("sdedup_out")
+      .select("docId", "dupOf").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(cands() === Set(2L -> 1L))
+    // advance event time far past retention (60 s) so doc 1/2's bands
+    // evict, then redeliver the same text as doc 5: it becomes the NEW
+    // first — no candidate, pinning that eviction really dropped state
+    mem.addData((4L, textB, ts("2024-01-01 02:00:00")))
+    q.processAllAvailable() // watermark advances; eviction timers fire
+    mem.addData((5L, textA, ts("2024-01-01 02:00:05")))
+    q.processAllAvailable()
+    val after = cands()
+    q.stop()
+    assert(!after.exists(_._1 == 5L),
+      s"doc 5 paired against evicted state: $after")
+    assert(after.contains(2L -> 1L)) // earlier candidates retained in sink
+  }
+
   test("decodeHeavyHitters: streaming sketch + batch recount = exact per-window hitters") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
