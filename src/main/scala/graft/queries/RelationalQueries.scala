@@ -652,6 +652,47 @@ object RelationalQueries {
     // recount only ever touches ≤ 64 keys. The one-row sketch collect is
     // the k-means pattern: O(k) driver traffic, a control-plane step,
     // never a data collect.
+    // ───── mergeable bounded top-k per group ([[graft.functions.
+    // TopKPairsAgg]]): top-3 orders by price per priority WITHOUT a
+    // window — the window formulation sorts every group's full row set
+    // through its shuffle; the aggregate keeps an O(k) buffer per group
+    // with map-side combine, so only ≤ k pairs per group per partition
+    // cross the wire (the sketch-as-aggregate pattern applied to exact
+    // top-k). Prices in exact integer cents via decimal cast (double
+    // cast rounding differs by engine); (score DESC, id ASC) is a total
+    // order, so the emitted set is deterministic. Oracle computes the
+    // same top-3 with a window — cross-engine equality IS the proof the
+    // bounded merge loses nothing.
+    QuerySpec(
+      "agg_group_topk",
+      (s, d) => {
+        val topk = udaf(new graft.functions.TopKPairsAgg(3),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+        orders(s, d)
+          .select(col("o_orderpriority"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+              .as("price_cents"),
+            col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          // tuple encoder flattens to two BIGINT params: (score, id)
+          .agg(topk(col("price_cents"), col("o_orderkey")).as("top"))
+          .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("o_orderpriority"),
+            (col("pos") + 1).cast("int").as("rank"),
+            col("t._2").as("o_orderkey"),
+            col("t._1").as("price_cents"))
+      },
+      Some("""
+        SELECT o_orderpriority, rank, o_orderkey, price_cents FROM (
+          SELECT o_orderpriority,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+                            o_orderkey) AS INTEGER) AS rank,
+                 o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+          FROM orders)
+        WHERE rank <= 3""")),
+
     QuerySpec(
       "agg_heavy_hitters",
       (s, d) => {

@@ -77,4 +77,26 @@ class SketchPropertiesSpec extends AnyFunSuite {
       sketch(sigs) == direct && sketch(shuffled) == direct
     })
   }
+
+  test("TopKPairsAgg: bounded merge equals exact top-k under every chunking and order") {
+    import graft.functions.TopKPairsAgg
+    val gen = for {
+      k <- Gen.chooseNum(1, 6)
+      // duplicate scores on purpose: the (score DESC, id ASC) tiebreak
+      // must make the result set unique regardless of arrival order
+      xs <- Gen.listOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 50L)))
+      chunk <- Gen.chooseNum(1, 9)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (k, xs, chunk, seed)
+    check(Prop.forAll(gen) { case (k, xs, chunk, seed) =>
+      val agg = new TopKPairsAgg(k)
+      def topk(ps: Seq[(Long, Long)]): Seq[(Long, Long)] =
+        if (ps.isEmpty) agg.zero
+        else agg.finish(ps.grouped(chunk).map(_.foldLeft(agg.zero)(agg.reduce))
+          .reduce(agg.merge))
+      val expect = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      val shuffled = new scala.util.Random(seed).shuffle(xs)
+      topk(xs) == expect && topk(shuffled) == expect
+    })
+  }
 }
