@@ -121,6 +121,47 @@ object ScaleProbe {
         graft.analytics.DedupQueries.connectedComponents(edges).count()
       }
 
+      // per-group top-k two ways at k× rows: the window formulation
+      // sorts every group's FULL row set through its shuffle (cost grows
+      // with n), while TopKPairsAgg carries ≤ k pairs per group per
+      // partition across the wire (shuffle cost ~ k·groups·partitions,
+      // CONSTANT in n). Both computed on the same synthetic rows and
+      // checked equal — the timing gap, not just the plan shape, is the
+      // evidence for SURVEY §2.11 A9. 2M·k rows, 32 groups, top-8.
+      {
+        val rows = spark.range(2000000L * k)
+          .select(col("id"),
+            pmod(hash(col("id")), lit(32)).as("grp"),
+            pmod(hash(col("id"), lit(7)), lit(1000000000L)).cast("long").as("score"))
+          .persist()
+        rows.count()
+        import org.apache.spark.sql.expressions.Window
+        var wRes: Array[org.apache.spark.sql.Row] = null
+        var aRes: Array[org.apache.spark.sql.Row] = null
+        time(s"topk_window_x$k") {
+          wRes = rows
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("grp").orderBy(col("score").desc, col("id"))))
+            .filter(col("rk") <= 8)
+            .select(col("grp"), col("score"), col("id"))
+            .orderBy("grp", "rk").collect()
+          wRes.length.toLong
+        }
+        time(s"topk_agg_x$k") {
+          val topk = udaf(new graft.functions.TopKPairsAgg(8),
+            org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+          aRes = rows.groupBy("grp")
+            .agg(topk(col("score"), col("id")).as("top"))
+            .select(col("grp"), posexplode(col("top")).as(Seq("pos", "t")))
+            .select(col("grp"), col("t._1").as("score"), col("t._2").as("id"))
+            .orderBy("grp", "pos").collect()
+          aRes.length.toLong
+        }
+        require(wRes.sameElements(aRes),
+          s"topk agg/window disagree at x$k: ${wRes.length} vs ${aRes.length}")
+        rows.unpersist()
+      }
+
       // ANN brute top-k at k× corpus (10 probes broadcast, full scan)
       val vecs = replicateVecs(spark, d, k)
         .select(col("vec_id"),

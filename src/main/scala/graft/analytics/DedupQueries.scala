@@ -502,6 +502,42 @@ object DedupQueries {
         $contaminatedCtes
         SELECT doc_id, n_overlap FROM contaminated""")),
 
+    // ───── decontamination, Bloom-prefiltered
+    // ([[graft.functions.BloomMightContainLong]]): same answer set as
+    // dedup_decontaminate — the 1% Bloom filter over the blocklist
+    // shingle inventory prunes the exploded corpus-shingle stream inside
+    // whole-stage codegen BEFORE the confirm join, and the exact join
+    // then removes any false positives, so the result is exact and the
+    // SAME oracle gates it. This is the scale path when the blocklist
+    // inventory outgrows an exact broadcast set (billions of shingles ≈
+    // ~1.2 bytes/element at 1% fpp vs 8+ exact): the confirm join can
+    // fall back to a shuffle join whose corpus side has already been
+    // pruned ~99% by the probe. The filter build is distributed
+    // (treeAggregate); the driver holds only the compact sketch — the
+    // k-means-centroid pattern, O(filter), never a data collect.
+    QuerySpec(
+      "dedup_decontaminate_bloom",
+      (s, d) => {
+        val docs = hsetsOf(s, d)
+        val blockH = docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("hs")).as("h")).distinct()
+        val nBlock = blockH.count() // control-plane: sizes the filter
+        val bf = s.sparkContext.broadcast(
+          blockH.stat.bloomFilter("h", math.max(nBlock, 1L), 0.01))
+        docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+          .filter(graft.functions.BloomFilterFunctions.bloomMightContain(bf)(col("h")))
+          .join(broadcast(blockH), "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_overlap"))
+          .filter(col("n_overlap") >= 5)
+      },
+      Some(s"""
+        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $contaminatedCtes
+        SELECT doc_id, n_overlap FROM contaminated""")),
+
     // ───── embedding-cosine near-dup, sign-LSH bucketed: pairs compared
     // only within a bucket (the scale path); scores from exact integers.
     // Bucket WIDTH is corpus-size-derived (constant mean occupancy ⇒

@@ -201,4 +201,52 @@ object CdcOps {
       .select((keys ++ payload :+ "op").map(col): _*)
     merge(snapshot, delta, keys, "op", payload)
   }
+
+  /** Incremental view maintenance for a linear aggregate (count + sum)
+    * grouped by `group` over the keyed table state: given the aggregate
+    * materialized at time T and the raw CDC delta after T, produce the
+    * aggregate of the POST-delta state without re-aggregating the table.
+    *
+    * The LWW-per-key semantic makes the update signed and local: a key
+    * touched by the delta retracts its old contribution (-1 · old image,
+    * read from `stateAtT` for just the touched keys — the GetItem-batch
+    * pattern; on a key-bucketed target only the touched-key list
+    * shuffles) and asserts its new one (+1 · the delta's per-key LWW
+    * winner — post-T events always outrank the stored row, so the new
+    * image never needs the old state). A winning tombstone contributes
+    * retraction only; groups whose maintained count reaches 0 drop out.
+    *
+    * Cost: O(|delta| + |touched keys| + |groups|) — independent of table
+    * size, which at 100 TB is the difference between maintaining a
+    * dashboard per micro-batch and re-scanning the table. Exactness is
+    * oracle-gated (`cdc_incremental_agg`): the maintained aggregate
+    * hash-equals a full recompute of the final state in DuckDB.
+    *
+    * @param aggAtT   materialized aggregate at T: (grp, n_keys, m_sum)
+    * @param stateAtT keyed table state at T (LWW-compacted, tombstones dropped)
+    * @param delta    raw CDC events after T
+    * @param group    grouping expression over a state/delta row
+    * @param measure  long-typed measure expression over a state/delta row
+    */
+  def incrementalAggMaintain(aggAtT: DataFrame, stateAtT: DataFrame,
+                             delta: DataFrame, keys: Seq[String],
+                             order: Seq[Column], isRemove: Column,
+                             group: Column, measure: Column): DataFrame = {
+    val touched = delta.select(keys.map(col): _*).distinct()
+    val retract = stateAtT.join(touched, keys, "left_semi")
+      .select(group.as("grp"), measure.as("m"), lit(-1L).as("sign"))
+    val assert_ = lwwCompact(delta, keys, order).filter(!isRemove)
+      .select(group.as("grp"), measure.as("m"), lit(1L).as("sign"))
+    val d = retract.unionByName(assert_)
+      .groupBy("grp")
+      .agg(sum(col("sign")).as("d_n"), sum(col("sign") * col("m")).as("d_m"))
+    // string-qualified refs: aggAtT and d usually share lineage (both
+    // derive from the same CDC frame), same rationale as in merge
+    aggAtT.as("a").join(d.as("d"), col("a.grp") === col("d.grp"), "full_outer")
+      .select(
+        coalesce(col("a.grp"), col("d.grp")).as("grp"),
+        (coalesce(col("a.n_keys"), lit(0L)) + coalesce(col("d.d_n"), lit(0L))).as("n_keys"),
+        (coalesce(col("a.m_sum"), lit(0L)) + coalesce(col("d.d_m"), lit(0L))).as("m_sum"))
+      .filter(col("n_keys") > 0)
+  }
 }

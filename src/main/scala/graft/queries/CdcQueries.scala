@@ -444,6 +444,44 @@ object CdcQueries {
                  CAST(floor((ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
                    ORDER BY ts, event_id) - 1) / 25.0) AS BIGINT) AS chunk
           FROM events)
-        GROUP BY batch, chunk"""))
+        GROUP BY batch, chunk""")),
+
+    // ───── J1-plus — incremental view maintenance
+    // ([[graft.ops.CdcOps.incrementalAggMaintain]]): a per-event-type
+    // (live keys, value sum) dashboard maintained from the post-T delta
+    // by signed retract/assert updates — the full table is NEVER
+    // re-aggregated; delta-side cost is O(|delta| + touched keys).
+    // The oracle recomputes the same aggregate from the fully-replayed
+    // final state, so cross-engine hash equality proves the incremental
+    // path exact, including tombstone retractions and groups that drain
+    // to zero. Value in exact integer cents until one final double
+    // division (the dsum discipline).
+    QuerySpec(
+      "cdc_incremental_agg",
+      (s, d) => {
+        val ev = events(s, d)
+        val tcol = lit(T).cast("timestamp")
+        val cents = expr("cast(round(value * 100) as bigint)")
+        val stateAtT = CdcOps.lwwCompact(ev.filter(col("ts") <= tcol),
+          Seq("user_id"), keyOrder).filter(!isRemove)
+        val aggAtT = stateAtT.groupBy(col("event_type").as("grp"))
+          .agg(count(lit(1)).as("n_keys"), sum(cents).as("m_sum"))
+        CdcOps.incrementalAggMaintain(
+          aggAtT, stateAtT, ev.filter(col("ts") > tcol),
+          Seq("user_id"), keyOrder, isRemove,
+          col("event_type"), cents)
+          .select(col("grp").as("event_type"), col("n_keys"),
+            (col("m_sum").cast("double") / 100.0).as("value_sum"))
+      },
+      Some(s"""
+        WITH cur AS (
+          SELECT user_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) rn
+          FROM events)
+        SELECT event_type, COUNT(*) AS n_keys,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+        FROM cur WHERE rn = 1 AND event_type <> 'error'
+        GROUP BY event_type"""))
   )
 }

@@ -172,6 +172,28 @@ class PlanSpec extends SparkSpec {
     assert(bhj >= 2, s"expected >=2 broadcast joins for the flag sets, got $bhj in:\n$p")
   }
 
+  test("dedup_decontaminate_bloom: probe prunes the shingle stream before the confirm join") {
+    val p = plan("dedup_decontaminate_bloom")
+    // the bloom predicate must sit below the join (scan-side Filter),
+    // not above it — that ordering is the entire point of the prefilter
+    val probeAt = p.indexOf("bloom_might_contain_long")
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    assert(probeAt >= 0, s"bloom probe missing from plan:\n$p")
+    assert(joinAt >= 0, s"confirm join missing from plan:\n$p")
+    assert(probeAt > joinAt, // executedPlan prints top-down: deeper = later in text
+      s"bloom probe not below the confirm join in:\n$p")
+    // a standalone Filter node (not a join-condition residual): the
+    // probe is a plannable predicate whole-stage codegen can fuse
+    assert(p.contains("Filter bloom_might_contain_long"), p)
+  }
+
+  test("cdc_incremental_agg: delta-side maintenance never re-aggregates the table") {
+    val p = plan("cdc_incremental_agg")
+    // the touched-key read is a semi join; the final merge of the
+    // materialized aggregate with the signed delta joins tiny frames
+    assert(p.contains("LeftSemi"), s"touched-key semi join missing in:\n$p")
+  }
+
   test("agg_heavy_hitters: the verify recount is candidate-pruned before the shuffle") {
     // the exact recount must filter to the <=k sketch candidates BEFORE
     // its aggregation shuffle (In/INSET predicate on the scan side), so
