@@ -216,6 +216,53 @@ object PipelineQueries {
           FROM documents)
         WHERE rk <= 20""")),
 
+    // ───── weighted source mix: the training-mix constructor. Target
+    // weights per source class (here: every 4th source up-weighted 4:1)
+    // turn a global budget into per-source quotas by pure integer
+    // arithmetic — quota_s = (budget · w_s) div Σw, with Σw summed over
+    // the DISTINCT sources actually present, so the same weights adapt
+    // to whatever sources a corpus slice contains — then each source
+    // contributes its top-quota docs in md5 order. Deterministic,
+    // rand-free, and exactly reproducible across engines (the
+    // integer-oracle rule: div on both sides, never float weights).
+    // Scale: the source→(w, quota) table is distinct-source-sized and
+    // broadcast; one windowed shuffle ranks within source. This and a
+    // per-source cap (above) compose into mix rebalancing — cap the
+    // over-crawled sources, then fill to target proportions.
+    QuerySpec(
+      "sample_weighted_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val srcW = docs.select(col("source")).distinct()
+          .withColumn("srcw", expr(
+            "case when cast(regexp_extract(source, '([0-9]+)', 1) as int) % 4 = 0 " +
+              "then 4L else 1L end"))
+        val tot = srcW.agg(sum(col("srcw")).as("totw"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("hkey"), col("doc_id"))
+        docs
+          .join(broadcast(srcW), "source")
+          .crossJoin(broadcast(tot))
+          .withColumn("quota", expr("cast((200 * srcw) div totw as bigint)"))
+          .withColumn("hkey", expr("md5(concat('wm_', cast(doc_id as string)))"))
+          .withColumn("rk", row_number().over(win).cast("int"))
+          .filter(col("rk") <= col("quota"))
+          .select(col("doc_id"), col("source"), col("rk"), col("quota"))
+      },
+      Some("""
+        WITH srcw AS (
+          SELECT source, CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4 = 0
+                              THEN 4 ELSE 1 END AS w
+          FROM (SELECT DISTINCT source FROM documents)),
+        tot AS (SELECT CAST(SUM(w) AS BIGINT) AS W FROM srcw),
+        ranked AS (
+          SELECT d.doc_id, d.source,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+                   ORDER BY md5('wm_' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS INTEGER) AS rk,
+                 CAST((200 * s.w) // t.W AS BIGINT) AS quota
+          FROM documents d JOIN srcw s USING (source) CROSS JOIN tot t)
+        SELECT doc_id, source, rk, quota FROM ranked WHERE rk <= quota""")),
+
     // ───── corpus report: doc/token/char/est-token mass per (lang,
     // source) with rollup subtotals and a grand total — the one-page
     // summary a curation run ships with its output (and the sanity

@@ -13,6 +13,15 @@ import graft.ops.CdcOps
 final case class KeyState(
     keys: String, seq: String, image: Option[String], live: Boolean)
 
+/** Signed state transition for streaming incremental view maintenance
+  * ([[CdcStream.statefulAggDeltas]]): `sign = -1` retracts the prior
+  * image's contribution from a downstream aggregate, `+1` asserts the
+  * new one. A transition emits up to two rows (retract + assert); a
+  * tombstone emits retract only.
+  */
+final case class StateDelta(keys: String, sign: Int, seq: String,
+                            image: Option[String])
+
 /** Structured Streaming drivers over the SAME batch operators (`CdcOps`) —
   * one semantics, two drivers (SURVEY §7.1). The reference's managed-service
   * behaviors map onto Spark primitives:
@@ -544,6 +553,118 @@ object CdcStream {
     cdc.withWatermark("approxCreationTs", watermark)
       .groupBy(window(col("approxCreationTs"), window_), col("eventName"))
       .agg(count(lit(1)).as("n"))
+
+  /** Streaming incremental view maintenance, stage 1 (T9 + §2.11 A10):
+    * the retract/assert change feed. Same per-key LWW state machine as
+    * [[statefulChangelog]], but each real transition emits SIGNED rows —
+    * retract the prior live image (-1), assert the new live image (+1);
+    * a winning tombstone retracts only, a stale or duplicate delivery
+    * emits nothing. Runs in APPEND output mode: the emitted rows are
+    * immutable facts about transitions (never revised), which is what
+    * lets Spark chain a downstream streaming aggregation onto a
+    * stateful operator — [[maintainedAggView]] folds this feed into a
+    * continuously-maintained per-group aggregate, the streaming dual of
+    * [[graft.ops.CdcOps.incrementalAggMaintain]] (one semantics, two
+    * drivers). Eviction/bootstrap contract as [[statefulChangelog]]:
+    * a timed-out key's state was already reflected downstream, so
+    * timeout emits nothing; seeded initial state is silent until beaten.
+    */
+  def statefulAggDeltas(cdc: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                        retentionMs: Option[Long] = Some(DefaultRetentionMs),
+                        watermarkDelay: String = "10 minutes",
+                        initial: Option[org.apache.spark.sql.Dataset[KeyState]] = None)
+      : org.apache.spark.sql.Dataset[StateDelta] = {
+    val spark = cdc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    requireEventTimeForRetention(cdc, retentionMs)
+
+    def transition(prior: KeyState, latest: KeyState,
+                   state: org.apache.spark.sql.streaming.GroupState[KeyState])
+        : Iterator[StateDelta] =
+      if (latest == prior) Iterator.empty
+      else {
+        state.update(latest)
+        (if (prior.live) Iterator.single(StateDelta(prior.keys, -1, prior.seq, prior.image))
+         else Iterator.empty) ++
+          (if (latest.live) Iterator.single(StateDelta(latest.keys, 1, latest.seq, latest.image))
+           else Iterator.empty)
+      }
+
+    retentionMs match {
+      case None =>
+        val g = cdc.select("keys", "eventName", "sequenceNumber", "newImage")
+          .as[(String, String, String, Option[String])]
+          .groupByKey(_._1)
+        val f = (key: String, events: Iterator[(String, String, String, Option[String])],
+                 state: org.apache.spark.sql.streaming.GroupState[KeyState]) => {
+          val prior = state.getOption.getOrElse(KeyState(key, "", None, live = false))
+          val latest = lwwWinner(prior, events.map {
+            case (_, name, seq, img) => toKeyState(key, name, seq, img)
+          })
+          transition(prior, latest, state)
+        }
+        initial match {
+          case Some(init) =>
+            g.flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout(),
+              init.groupByKey(_.keys))(f)
+          case None =>
+            g.flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(f)
+        }
+      case Some(ret) =>
+        val g = cdc.withWatermark("approxCreationTs", watermarkDelay)
+          .select("keys", "eventName", "sequenceNumber", "newImage", "approxCreationTs")
+          .as[(String, String, String, Option[String], java.sql.Timestamp)]
+          .groupByKey(_._1)
+        val f = (key: String,
+                 events: Iterator[(String, String, String, Option[String], java.sql.Timestamp)],
+                 state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty: Iterator[StateDelta]
+          } else {
+            val prior = state.getOption.getOrElse(KeyState(key, "", None, live = false))
+            var maxTs = Long.MinValue
+            val latest = lwwWinner(prior, events.map {
+              case (_, name, seq, img, ts) =>
+                maxTs = math.max(maxTs, ts.getTime)
+                toKeyState(key, name, seq, img)
+            })
+            val out = transition(prior, latest, state)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ret, state.getCurrentWatermarkMs + 1))
+            out
+          }
+        initial match {
+          case Some(init) =>
+            g.flatMapGroupsWithState(OutputMode.Append(),
+              GroupStateTimeout.EventTimeTimeout(), init.groupByKey(_.keys))(f)
+          case None =>
+            g.flatMapGroupsWithState(OutputMode.Append(),
+              GroupStateTimeout.EventTimeTimeout())(f)
+        }
+    }
+  }
+
+  /** Streaming incremental view maintenance, stage 2: fold the signed
+    * change feed into a per-group (live keys, measure sum) aggregate.
+    * `group`/`measure` are evaluated against each delta row (the image
+    * JSON is available as `image`). Because every retract/assert is
+    * emitted exactly once (stage 1's changelog contract), a plain
+    * streaming SUM over the signed rows IS the maintained view — run the
+    * sink in Update output mode and the per-group rows converge to the
+    * batch recompute of the final state (spec-pinned). Shuffle cost per
+    * micro-batch is the changed-key delta, never the key universe.
+    */
+  def maintainedAggView(deltas: org.apache.spark.sql.Dataset[StateDelta],
+                        group: org.apache.spark.sql.Column,
+                        measure: org.apache.spark.sql.Column): DataFrame =
+    deltas.toDF()
+      .select(group.as("grp"), col("sign").cast("long").as("sign"),
+        measure.cast("long").as("m"))
+      .groupBy("grp")
+      .agg(sum(col("sign")).as("n_keys"),
+        sum(col("sign") * col("m")).as("m_sum"))
 
   /** Per-window frequent keys over the stream (T9 + §2.10): the
     * mergeable Misra–Gries sketch ([[graft.functions.FrequentItemsAgg]])

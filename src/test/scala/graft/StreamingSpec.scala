@@ -989,6 +989,61 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(_._1 == "k2").map(_._2).toSet == Set("3", "10"))
   }
 
+  test("statefulAggDeltas + maintainedAggView: streaming IVM converges to the batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, Option[String])]
+    val df = mem.toDF().toDF("keys", "eventName", "sequenceNumber", "newImage")
+    // group = key prefix, measure = the image parsed as a long
+    val view = CdcStream.maintainedAggView(
+      CdcStream.statefulAggDeltas(df, retentionMs = None),
+      group = org.apache.spark.sql.functions.expr("substring(keys, 1, 1)"),
+      measure = org.apache.spark.sql.functions.col("image"))
+    val q = view.writeStream.format("memory").queryName("ivm_out")
+      .outputMode("update").start()
+
+    mem.addData(
+      ("a_k1", "INSERT", "2", Some("10")),
+      ("a_k2", "INSERT", "3", Some("5")),
+      ("b_k3", "INSERT", "4", Some("7")))
+    q.processAllAvailable()
+    def viewRows() = spark.table("ivm_out")
+      .groupBy("grp") // update-mode memory sink keeps superseded rows; latest wins
+      .agg(org.apache.spark.sql.functions.last("n_keys").as("n"),
+        org.apache.spark.sql.functions.last("m_sum").as("m"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viewRows() === Map("a" -> ((2L, 15L)), "b" -> ((1L, 7L))))
+
+    // modify (retract 10 / assert 20), an exact duplicate (silent), a
+    // stale delivery (silent), and a tombstone (retract only)
+    mem.addData(
+      ("a_k1", "MODIFY", "6", Some("20")),
+      ("a_k2", "INSERT", "3", Some("5")),
+      ("a_k1", "MODIFY", "1", Some("999")),
+      ("b_k3", "REMOVE", "7", None))
+    q.processAllAvailable()
+    val after = viewRows()
+    q.stop()
+    assert(after("a") === ((2L, 25L)))
+    assert(after("b") === ((0L, 0L))) // drained group: maintained to zero, not stale
+
+    // batch recompute of the same event stream's final state — the
+    // streaming view (nonzero groups) must equal it exactly
+    val batch = Seq(
+      ("a_k1", "2", 10L, false), ("a_k2", "3", 5L, false), ("b_k3", "4", 7L, false),
+      ("a_k1", "6", 20L, false), ("a_k1", "1", 999L, false), ("b_k3", "7", 0L, true))
+      .toDF("keys", "sequenceNumber", "m", "isRemove")
+    val recompute = graft.ops.CdcOps.lwwCompact(batch, Seq("keys"),
+      graft.ops.CdcOps.numericStringOrder(org.apache.spark.sql.functions.col("sequenceNumber")))
+      .filter(!org.apache.spark.sql.functions.col("isRemove"))
+      .groupBy(org.apache.spark.sql.functions.expr("substring(keys, 1, 1)").as("grp"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("m").as("m"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(after.filter(_._2._1 > 0) === recompute)
+  }
+
   test("stream-stream interval join correlates CDC events with control events") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
