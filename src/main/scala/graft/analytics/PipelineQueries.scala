@@ -263,6 +263,37 @@ object PipelineQueries {
           FROM documents d JOIN srcw s USING (source) CROSS JOIN tot t)
         SELECT doc_id, source, rk, quota FROM ranked WHERE rk <= quota""")),
 
+    // ───── rank-based tail trimming: drop each source's shortest and
+    // longest 5% of docs by ORDINAL RANK (row_number over (n_chars,
+    // doc_id)), not by percentile VALUE — rank cutoffs are pure integer
+    // arithmetic (n div 20 off each end), so both engines agree exactly
+    // where percentile interpolation rules would diverge. The
+    // winsorization step of corpus curation: truncation artifacts at
+    // the short end, concatenation/scrape artifacts at the long end.
+    // One windowed shuffle (rank and per-source count share the
+    // partition).
+    QuerySpec(
+      "sample_trim_tails",
+      (s, d) => {
+        val part = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        val byLen = part.orderBy(col("n_chars"), col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(byLen).cast("int"))
+          .withColumn("n", count(lit(1)).over(part))
+          .filter(col("rk") > expr("n div 20") &&
+            col("rk") <= col("n") - expr("n div 20"))
+          .select(col("doc_id"), col("source"), col("rk"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT doc_id, source, n_chars,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS INTEGER) AS rk,
+                 CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+          FROM documents)
+        SELECT doc_id, source, rk FROM ranked
+        WHERE rk > n // 20 AND rk <= n - n // 20""")),
+
     // ───── corpus report: doc/token/char/est-token mass per (lang,
     // source) with rollup subtotals and a grand total — the one-page
     // summary a curation run ships with its output (and the sanity

@@ -511,6 +511,48 @@ object TextQueries {
         FROM (
           SELECT doc_id,
                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-          FROM documents)"""))
+          FROM documents)""")),
+
+    // ───── boilerplate density: per doc, how much of it is 3-gram
+    // spans shared across ≥ 5 distinct docs — the templated-content
+    // signal (navigation chrome, license headers, mirrored snippets)
+    // that length/stopword quality scores miss entirely. Shape is the
+    // inverted-index discipline: per-doc-distinct grams → one hash-agg
+    // for df, then a shuffle join back on the gram key and one per-doc
+    // agg — no doc×doc comparison anywhere, so cost is linear in total
+    // gram occurrences at any corpus size. Density as integer percent
+    // (div) keeps the cross-engine hash compare sound.
+    QuerySpec(
+      "text_boilerplate",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val grams = toks.select(col("doc_id"), explode(expr(
+          """case when size(t) >= 3
+             then transform(sequence(1, size(t) - 2),
+                            i -> concat_ws(' ', slice(t, i, 3)))
+             else array() end""")).as("g"))
+        val df_ = grams.distinct().groupBy("g").agg(count(lit(1)).as("df"))
+        grams.join(df_, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            count(when(col("df") >= 5, 1)).as("n_common"))
+          .withColumn("boiler_pct",
+            expr("cast((100 * n_common) div n_grams as bigint)"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        grams AS (
+          SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS g
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+        gd AS (SELECT DISTINCT doc_id, g FROM grams),
+        df AS (SELECT g, count(*) AS df FROM gd GROUP BY g)
+        SELECT gr.doc_id, count(*) AS n_grams,
+               count(CASE WHEN d.df >= 5 THEN 1 END) AS n_common,
+               CAST((100 * count(CASE WHEN d.df >= 5 THEN 1 END)) // count(*) AS BIGINT)
+                 AS boiler_pct
+        FROM grams gr JOIN df d USING (g)
+        GROUP BY gr.doc_id"""))
   )
 }
