@@ -172,6 +172,20 @@ class PlanSpec extends SparkSpec {
     assert(bhj >= 2, s"expected >=2 broadcast joins for the flag sets, got $bhj in:\n$p")
   }
 
+  test("sample_weighted_mix: the source->quota table joins broadcast, docs never shuffle for it") {
+    val p = plan("sample_weighted_mix")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length +
+      "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"expected weight+total joins broadcast, got $bhj in:\n$p")
+    assert(p.contains("row_number"), p) // the one windowed shuffle
+  }
+
+  test("text_boilerplate: df agg is two-phase; no doc-pair stage anywhere") {
+    val p = plan("text_boilerplate")
+    assert(p.contains("partial_count"), s"df agg not map-side partial in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dedup_decontaminate_bloom: probe prunes the shingle stream before the confirm join") {
     val p = plan("dedup_decontaminate_bloom")
     // the bloom predicate must sit below the join (scan-side Filter),
