@@ -538,6 +538,57 @@ object DedupQueries {
         $contaminatedCtes
         SELECT doc_id, n_overlap FROM contaminated""")),
 
+    // ───── containment near-dup (asymmetric): doc_a is ≥ 80% contained
+    // in doc_b — the quote / excerpt / superset case a SYMMETRIC Jaccard
+    // threshold structurally misses (a short doc fully quoted inside a
+    // long one has tiny Jaccard but 100% containment). Candidates come
+    // from a self-join on RARE shingles only (df ≤ 50 — the prefix-filter
+    // idea: a hot boilerplate shingle's posting list would make the
+    // candidate stage quadratic, and a pair sharing ONLY ubiquitous
+    // shingles is noise, not quotation; the recall trade is documented
+    // and identical in both engines). Scores are exact from the full
+    // sets, integer percent. Directional output: both (a in b) and
+    // (b in a) rows can appear with different scores.
+    QuerySpec(
+      "dedup_containment",
+      (s, d) => {
+        val hsets = hsetsOf(s, d)
+        val ex = hsets.select(col("doc_id"), explode(col("hs")).as("h"))
+        val dfh = ex.groupBy("h").agg(count(lit(1)).as("df"))
+        val rare = ex.join(dfh.filter(col("df") <= 50), "h").select("doc_id", "h")
+        val cand = rare.as("a")
+          .join(rare.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .dropDuplicates()
+        cand
+          .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+          .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            expr("cast(size(array_intersect(hs_a, hs_b)) as bigint)").as("shared"),
+            expr("cast(size(hs_a) as bigint)").as("n_a"))
+          .withColumn("cont_pct", expr("cast((100 * shared) div n_a as bigint)"))
+          .filter(col("cont_pct") >= 80)
+          .select("doc_a", "doc_b", "cont_pct")
+      },
+      Some(s"""
+        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        ex AS (SELECT doc_id, unnest(hs) AS h FROM hsets),
+        dfh AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+        rare AS (SELECT e.doc_id, e.h FROM ex e JOIN dfh f USING (h) WHERE f.df <= 50),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id != b.doc_id),
+        scored AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS shared,
+                 CAST(len(sa.hs) AS BIGINT) AS n_a
+          FROM cand c JOIN hsets sa ON sa.doc_id = c.doc_a
+                      JOIN hsets sb ON sb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, CAST((100 * shared) // n_a AS BIGINT) AS cont_pct
+        FROM scored WHERE (100 * shared) // n_a >= 80""")),
+
     // ───── embedding-cosine near-dup, sign-LSH bucketed: pairs compared
     // only within a bucket (the scale path); scores from exact integers.
     // Bucket WIDTH is corpus-size-derived (constant mean occupancy ⇒
