@@ -973,6 +973,73 @@ object RelationalQueries {
           AND l_quantity < 24
         GROUP BY l_returnflag""")),
 
+    // ───── SQL-text surface, TPC-H Q20 shape: IN-subquery over a grouped
+    // aggregate WHOSE HAVING-position predicate correlates to a second
+    // scalar aggregate subquery — "suppliers shipping more than 1/6 of
+    // some part's total volume". Exercises the deepest decorrelation
+    // path registered: Catalyst must rewrite the correlated scalar agg
+    // to an equi-joined aggregate and the IN to a semi join (PlanSpec
+    // pins: no cartesian product survives). Quantities summed as BIGINT
+    // on both engines — the integer-oracle rule.
+    QuerySpec(
+      "sql_q20_dominant",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_v")
+        supplier(s, d).createOrReplaceTempView("supplier_v")
+        s.sql("""
+          SELECT s_suppkey, s_name FROM supplier_v WHERE s_suppkey IN (
+            SELECT h.l_suppkey FROM (
+              SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS sq
+              FROM lineitem_v GROUP BY l_partkey, l_suppkey) h
+            WHERE h.sq * 6 > (SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+                              FROM lineitem_v l2 WHERE l2.l_partkey = h.l_partkey))""")
+      },
+      Some("""
+        SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+          SELECT h.l_suppkey FROM (
+            SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS sq
+            FROM lineitem GROUP BY l_partkey, l_suppkey) h
+          WHERE h.sq * 6 > (SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+                            FROM lineitem l2 WHERE l2.l_partkey = h.l_partkey))""")),
+
+    // ───── time-series gap fill: the dense (hour × event_type) spine
+    // with zero-filled gaps — what a dashboard or anomaly detector needs
+    // (a MISSING hour is a signal, and an inner-join aggregate silently
+    // drops it). The spine derives from the data's own hour bounds via
+    // sequence + explode; it is |hours|·|types| rows — microscopic next
+    // to the event log at any scale — and joins BROADCAST against the
+    // one-shuffle hourly aggregate, so gap-filling adds no data-sized
+    // stage at 100 TB.
+    QuerySpec(
+      "events_gapfill",
+      (s, d) => {
+        val ev = events(s, d)
+        val bounds = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        val hours = bounds.select(
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+        val spine = hours.crossJoin(ev.select("event_type").distinct())
+        val hourly = ev
+          .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        hourly.join(broadcast(spine), Seq("hr", "event_type"), "right")
+          .select(col("hr"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n_events"))
+      },
+      Some("""
+        WITH bounds AS (
+          SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+          FROM events),
+        hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM bounds),
+        types AS (SELECT DISTINCT event_type FROM events),
+        hourly AS (
+          SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT s.hr, s.event_type, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+        FROM (SELECT hr, event_type FROM hours CROSS JOIN types) s
+        LEFT JOIN hourly d ON d.hr = s.hr AND d.event_type = s.event_type""")),
+
     // ───── F7/J4-surface — NOT EXISTS predicate subquery as SQL text:
     // customers with no big-ticket order. Catalyst's
     // RewritePredicateSubquery turns this into a LEFT ANTI equi-join —

@@ -172,6 +172,18 @@ class PlanSpec extends SparkSpec {
     assert(bhj >= 2, s"expected >=2 broadcast joins for the flag sets, got $bhj in:\n$p")
   }
 
+  test("sql_q20_dominant: double-nested subquery decorrelates (semi join, no cartesian)") {
+    val p = plan("sql_q20_dominant")
+    assert(p.contains("LeftSemi"), s"IN-subquery did not become a semi join in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("events_gapfill: the spine joins broadcast — no data-sized stage added") {
+    val p = plan("events_gapfill")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("sample_weighted_mix: the source->quota table joins broadcast, docs never shuffle for it") {
     val p = plan("sample_weighted_mix")
     val bhj = "BroadcastHashJoin".r.findAllIn(p).length +
