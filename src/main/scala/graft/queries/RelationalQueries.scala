@@ -973,6 +973,38 @@ object RelationalQueries {
           AND l_quantity < 24
         GROUP BY l_returnflag""")),
 
+    // ───── statistical mode per group, deterministic: most frequent
+    // priority per order status, ties broken by the value itself (count
+    // DESC, value ASC is a total order — a bare mode() is
+    // tie-nondeterministic and couldn't be hash-compared). Two-level
+    // shape: one hash-agg to counts (map-side partials), then a window
+    // over the COUNTS (group-cardinality rows, not the table) — the
+    // heavy data crosses one shuffle once.
+    QuerySpec(
+      "agg_mode",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("n").desc, col("o_orderpriority"))
+        orders(s, d)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") === 1)
+          .select(col("o_orderstatus"),
+            col("o_orderpriority").as("mode_priority"), col("n"))
+      },
+      Some("""
+        WITH cnt AS (
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          FROM orders GROUP BY 1, 2),
+        rk AS (
+          SELECT o_orderstatus, o_orderpriority, n,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                   ORDER BY n DESC, o_orderpriority) AS r
+          FROM cnt)
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+        FROM rk WHERE r = 1""")),
+
     // ───── SQL-text surface, TPC-H Q20 shape: IN-subquery over a grouped
     // aggregate WHOSE HAVING-position predicate correlates to a second
     // scalar aggregate subquery — "suppliers shipping more than 1/6 of
