@@ -525,14 +525,20 @@ object TextQueries {
     QuerySpec(
       "text_boilerplate",
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        val gramArr = Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
-        val grams = toks.select(col("doc_id"), explode(expr(
-          """case when size(t) >= 3
-             then transform(sequence(1, size(t) - 2),
-                            i -> concat_ws(' ', slice(t, i, 3)))
-             else array() end""")).as("g"))
-        val df_ = grams.distinct().groupBy("g").agg(count(lit(1)).as("df"))
+          .select(col("doc_id"), expr(
+            """case when size(t) >= 3
+               then transform(sequence(1, size(t) - 2),
+                              i -> concat_ws(' ', slice(t, i, 3)))
+               else array() end""").as("gs"))
+        val grams = gramArr.select(col("doc_id"), explode(col("gs")).as("g"))
+        // df from per-doc-DISTINCT grams deduped inside the row (the
+        // inverted-index trick): no (doc, gram) distinct shuffle — the
+        // only exchanges are the df agg, the join, and the per-doc agg
+        val df_ = gramArr
+          .select(explode(array_distinct(col("gs"))).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("df"))
         grams.join(df_, "g")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_grams"),
