@@ -552,21 +552,37 @@ object DedupQueries {
     QuerySpec(
       "dedup_containment",
       (s, d) => {
+        // Every shingle is rare XOR common (df cap), so the exact shared
+        // count decomposes: |S_a ∩ S_b| = rare-shared + common-shared.
+        // The rare part falls out of the SAME self-join that generates
+        // candidates (group the join by pair — no separate dedup pass,
+        // no full-set shuffle); the common part intersects each doc's
+        // common-shingle subset, which is TINY (few distinct shingles
+        // exceed the df cap) — so the full 1k-element hash sets never
+        // travel to the pair stage at all. Same result as the naive
+        // candidates+array_intersect form; 15.2 s → see BASELINE.
         val hsets = hsetsOf(s, d)
         val ex = hsets.select(col("doc_id"), explode(col("hs")).as("h"))
         val dfh = ex.groupBy("h").agg(count(lit(1)).as("df"))
-        val rare = ex.join(dfh.filter(col("df") <= 50), "h").select("doc_id", "h")
-        val cand = rare.as("a")
+        val exdf = ex.join(dfh, "h")
+        val rare = exdf.filter(col("df") <= 50).select("doc_id", "h")
+        val commonArr = exdf.filter(col("df") > 50)
+          .groupBy("doc_id").agg(collect_list(col("h")).as("ch"))
+        val sizes = hsets.select(col("doc_id"),
+          expr("cast(size(hs) as bigint)").as("n"))
+        rare.as("a")
           .join(rare.as("b"),
             col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .dropDuplicates()
-        cand
-          .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-          .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            expr("cast(size(array_intersect(hs_a, hs_b)) as bigint)").as("shared"),
-            expr("cast(size(hs_a) as bigint)").as("n_a"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("shared_rare"))
+          .join(commonArr.select(col("doc_id").as("doc_a"), col("ch").as("ch_a")),
+            Seq("doc_a"), "left")
+          .join(commonArr.select(col("doc_id").as("doc_b"), col("ch").as("ch_b")),
+            Seq("doc_b"), "left")
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+          .withColumn("shared", col("shared_rare") +
+            when(col("ch_a").isNull || col("ch_b").isNull, lit(0L))
+              .otherwise(expr("cast(size(array_intersect(ch_a, ch_b)) as bigint)")))
           .withColumn("cont_pct", expr("cast((100 * shared) div n_a as bigint)"))
           .filter(col("cont_pct") >= 80)
           .select("doc_a", "doc_b", "cont_pct")
