@@ -513,6 +513,40 @@ object TextQueries {
                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
           FROM documents)""")),
 
+    // ───── out-of-vocabulary rate: per-doc share of tokens outside the
+    // corpus top-k vocabulary (count DESC, term ASC — a total order, so
+    // both engines pick the identical vocabulary even through count
+    // ties). The cheap perplexity proxy: a doc mostly made of rare
+    // tokens is boilerplate-free but likely garbled/foreign/junk —
+    // complements text_quality's surface stats and text_boilerplate's
+    // redundancy signal. The vocabulary is k rows via TakeOrdered (no
+    // global sort) and joins BROADCAST; integer-percent rate.
+    QuerySpec(
+      "text_oov_rate",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(10)
+          .select(col("w"), lit(1).as("in_v"))
+        tok.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            count(when(col("in_v").isNull, 1)).as("n_oov"))
+          .withColumn("oov_pct", expr("cast((100 * n_oov) div n_tok as bigint)"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        vocab AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 10)
+        SELECT t.doc_id, COUNT(*) AS n_tok,
+               COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS n_oov,
+               CAST((100 * COUNT(CASE WHEN v.w IS NULL THEN 1 END)) // COUNT(*) AS BIGINT)
+                 AS oov_pct
+        FROM tok t LEFT JOIN vocab v ON t.w = v.w
+        GROUP BY t.doc_id""")),
+
     // ───── boilerplate density: per doc, how much of it is 3-gram
     // spans shared across ≥ 5 distinct docs — the templated-content
     // signal (navigation chrome, license headers, mirrored snippets)

@@ -25,6 +25,29 @@ object RelationalQueries {
     * the DECIMAL(18,2)-sum oracle formulation because both compute the
     * same exact rational.
     */
+  /** Dense zero-filled (hour × event_type) grid — shared by
+    * `events_gapfill` (which reports it) and `events_anomaly` (which
+    * flags against per-type medians over it; zero-gap hours MUST be in
+    * the population or a dead pipeline looks like a quiet one). Spine =
+    * |hours|·|types| rows from the data's own bounds, broadcast against
+    * the one-shuffle hourly agg.
+    */
+  private def gapfilledHourly(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val hours = bounds.select(
+      explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+    val spine = hours.crossJoin(ev.select("event_type").distinct())
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    hourly.join(broadcast(spine), Seq("hr", "event_type"), "right")
+      .select(col("hr"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
   private def dsum(c: Column): Column =
     sum(round(c * 100).cast("long")).cast("double") / 100.0
 
@@ -1044,21 +1067,7 @@ object RelationalQueries {
     // stage at 100 TB.
     QuerySpec(
       "events_gapfill",
-      (s, d) => {
-        val ev = events(s, d)
-        val bounds = ev.agg(
-          date_trunc("hour", min(col("ts"))).as("h0"),
-          date_trunc("hour", max(col("ts"))).as("h1"))
-        val hours = bounds.select(
-          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
-        val spine = hours.crossJoin(ev.select("event_type").distinct())
-        val hourly = ev
-          .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-        hourly.join(broadcast(spine), Seq("hr", "event_type"), "right")
-          .select(col("hr"), col("event_type"),
-            coalesce(col("n"), lit(0L)).as("n_events"))
-      },
+      (s, d) => gapfilledHourly(s, d),
       Some("""
         WITH bounds AS (
           SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
@@ -1071,6 +1080,53 @@ object RelationalQueries {
         SELECT s.hr, s.event_type, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
         FROM (SELECT hr, event_type FROM hours CROSS JOIN types) s
         LEFT JOIN hourly d ON d.hr = s.hr AND d.event_type = s.event_type""")),
+
+    // ───── volume anomaly detection over the gap-filled grid: hours
+    // whose count deviates 3× from the per-type MEDIAN — median by
+    // ORDINAL position ((cnt+1) div 2 in (n, hr) order), not percentile
+    // interpolation, so both engines pick the identical element; the
+    // median is robust where a mean would be dragged by the very spikes
+    // being hunted. Runs over the zero-filled spine so silent-pipeline
+    // hours (n=0) are flaggable — the operational reason gap-fill
+    // exists. Per-type medians are |types| rows, broadcast back.
+    QuerySpec(
+      "events_anomaly",
+      (s, d) => {
+        val filled = gapfilledHourly(s, d)
+        val byN = Window.partitionBy("event_type").orderBy(col("n_events"), col("hr"))
+        val med = filled
+          .withColumn("r", row_number().over(byN))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+          .filter(col("r") === expr("(cnt + 1) div 2"))
+          .select(col("event_type"), col("n_events").as("med"))
+        filled.join(broadcast(med), "event_type")
+          .filter(col("n_events") * 3 < col("med") ||
+            col("n_events") > col("med") * 3)
+          .select(col("hr"), col("event_type"), col("n_events"), col("med"))
+      },
+      Some("""
+        WITH bounds AS (
+          SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+          FROM events),
+        hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM bounds),
+        types AS (SELECT DISTINCT event_type FROM events),
+        hourly AS (
+          SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        filled AS (
+          SELECT s.hr, s.event_type, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+          FROM (SELECT hr, event_type FROM hours CROSS JOIN types) s
+          LEFT JOIN hourly d ON d.hr = s.hr AND d.event_type = s.event_type),
+        med AS (
+          SELECT event_type, n_events AS med FROM (
+            SELECT event_type, n_events,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY n_events, hr) AS r,
+                   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+            FROM filled) WHERE r = (cnt + 1) // 2)
+        SELECT f.hr, f.event_type, f.n_events, m.med
+        FROM filled f JOIN med m USING (event_type)
+        WHERE f.n_events * 3 < m.med OR f.n_events > m.med * 3""")),
 
     // ───── F7/J4-surface — NOT EXISTS predicate subquery as SQL text:
     // customers with no big-ticket order. Catalyst's
