@@ -30,6 +30,26 @@ import graft.streaming.CdcStream
   * uniform-hash common case).
   */
 object ThroughputBench {
+
+  /** Synthetic CDC log shared with [[IvmBench]]: 10% tombstones, keys
+    * drawn from an n/3 hot space (so compaction, the merge, and state
+    * transitions all do real work), written as the same JSON the file
+    * source reads in production shape.
+    */
+  private[graft] def synthCdcLog(spark: SparkSession, dir: String,
+                                 n: Int, parts: Int): Unit =
+    spark.range(n).select(
+      concat(lit("e"), col("id")).as("eventID"),
+      when(col("id") % 10 === 0, "REMOVE").otherwise("MODIFY").as("eventName"),
+      timestamp_millis(lit(1704067200000L) + col("id")).as("approxCreationTs"),
+      lpad(col("id").cast("string"), 12, "0").as("sequenceNumber"),
+      concat(lit("k"), pmod(col("id") * 2654435761L, lit(n / 3 + 1))).as("keys"),
+      when(col("id") % 10 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("img"), col("id"))).as("newImage"),
+      lit(null).cast("string").as("oldImage"))
+      .coalesce(parts)
+      .write.mode("overwrite").json(dir)
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val preSeed = args.drop(1).headOption.map(_.toLong).getOrElse(0L)
@@ -49,20 +69,7 @@ object ThroughputBench {
           concat(lit("simg"), col("id")).as("newImage")),
         target, batchId = -2L)
 
-    // synthetic CDC log: 10% tombstones, keys drawn from n/3 hot space
-    // (so compaction and the merge both do real work), written as the
-    // same JSON the file source reads in production shape
-    spark.range(n).select(
-      concat(lit("e"), col("id")).as("eventID"),
-      when(col("id") % 10 === 0, "REMOVE").otherwise("MODIFY").as("eventName"),
-      timestamp_millis(lit(1704067200000L) + col("id")).as("approxCreationTs"),
-      lpad(col("id").cast("string"), 12, "0").as("sequenceNumber"),
-      concat(lit("k"), pmod(col("id") * 2654435761L, lit(n / 3 + 1))).as("keys"),
-      when(col("id") % 10 === 0, lit(null).cast("string"))
-        .otherwise(concat(lit("img"), col("id"))).as("newImage"),
-      lit(null).cast("string").as("oldImage"))
-      .coalesce(8)
-      .write.mode("overwrite").json(dir)
+    synthCdcLog(spark, dir, n, parts = 8)
 
     val t0 = System.nanoTime()
     val q = CdcStream.applySink(

@@ -568,6 +568,16 @@ object CdcStream {
     * drivers). Eviction/bootstrap contract as [[statefulChangelog]]:
     * a timed-out key's state was already reflected downstream, so
     * timeout emits nothing; seeded initial state is silent until beaten.
+    *
+    * Chaining note: with finite retention (the default) Spark's
+    * global-watermark correctness check rejects a downstream stateful
+    * aggregation outright. The hazard it guards against — late rows
+    * dropped by a downstream watermark — cannot occur here because
+    * [[maintainedAggView]]'s aggregate is UNWINDOWED (it discards
+    * nothing, whenever a delta arrives); either run with
+    * `retentionMs = None`, or disable
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
+    * for the chain (what [[graft.IvmBench]] does, with the rationale).
     */
   def statefulAggDeltas(cdc: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                         retentionMs: Option[Long] = Some(DefaultRetentionMs),
