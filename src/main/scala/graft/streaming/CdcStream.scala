@@ -180,12 +180,20 @@ object CdcStream {
   val MaxImageBytes: Int = 256 * 1024
 
   /** Poison predicate: a message the apply step can never process — a
-    * PUT without an image, or an image over the queue-message budget
-    * (the reference's DLQ exists for exactly this class of message;
-    * maxReceiveCount=5 then DLQ, cdk-stack.ts:52-63).
+    * malformed record (the PERMISSIVE json reader turns an unparseable
+    * line, or one missing required fields, into nulls in the key
+    * columns; without the isNull disjuncts FIRST the remaining predicate
+    * evaluates to SQL NULL and the row would vanish from BOTH filter
+    * sides — silently lost instead of deadlettered), a PUT without an
+    * image, or an image over the queue-message budget (the reference's
+    * DLQ exists for exactly this class of message; maxReceiveCount=5
+    * then DLQ, cdk-stack.ts:52-63). TRUE OR NULL = TRUE, so once the
+    * null guards lead, the predicate is never NULL.
     */
   def isPoison: org.apache.spark.sql.Column =
-    (col("eventName") =!= CdcSchema.Remove && col("newImage").isNull) ||
+    col("keys").isNull || col("eventName").isNull ||
+      col("sequenceNumber").isNull ||
+      (col("eventName") =!= CdcSchema.Remove && col("newImage").isNull) ||
       // coalesce: octet_length(NULL) is NULL, and a NULL predicate would
       // silently drop REMOVE rows from BOTH filter sides
       coalesce(octet_length(col("newImage")) > MaxImageBytes, lit(false))
@@ -233,7 +241,10 @@ object CdcStream {
           if (!poison.isEmpty)
             poison
               .withColumn("error",
-                when(col("newImage").isNull, lit("poison: PUT without image"))
+                when(col("keys").isNull || col("eventName").isNull ||
+                    col("sequenceNumber").isNull,
+                  lit("poison: malformed record (unparseable line or missing key fields)"))
+                  .when(col("newImage").isNull, lit("poison: PUT without image"))
                   .otherwise(lit(s"poison: image exceeds $MaxImageBytes-byte queue budget")))
               .withColumn("batchId", lit(batchId))
               .write.mode("append").parquet(deadletterDir)

@@ -575,6 +575,30 @@ class StreamingSpec extends SparkSpec {
     assert(state === Map("k1" -> "v1")) // k4's REMOVE applied as a no-op, not deadlettered
   }
 
+  test("malformed lines deadletter with a reason instead of vanishing") {
+    val in = tmp("mal-in"); val target = tmp("mal-target")
+    val ckpt = tmp("mal-ckpt"); val dlq = tmp("mal-dlq")
+    // an unparseable line and a parseable record MISSING the key field:
+    // the PERMISSIVE reader nulls the schema columns, so a naive poison
+    // predicate goes SQL-NULL and the row would drop from BOTH filter
+    // sides — lost without a trace, the one thing a DLQ exists to prevent
+    writeCdcFile(in, "b1.json", Seq(
+      "{this is not json",
+      """{"eventID":"e2","eventName":"INSERT","approxCreationTs":"2024-01-01T00:00:02Z","sequenceNumber":"002","newImage":"vX","oldImage":null}""",
+      rec("e3", "INSERT", "2024-01-01T00:00:03Z", "003", "k1", Some("v1"))))
+    val q = CdcStream.applySink(
+      CdcStream.cdcFileSource(spark, in),
+      target, ckpt, dlq, trigger = Trigger.AvailableNow(),
+      retryAttempts = 2, retrySleep = _ => ()).start()
+    q.awaitTermination(60000)
+    val dead = spark.read.parquet(dlq).collect()
+    assert(dead.length == 2, s"expected 2 deadlettered rows, got ${dead.toSeq}")
+    assert(dead.forall(_.getAs[String]("error").startsWith("poison: malformed")))
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("k1" -> "v1")) // the valid record still applied
+  }
+
   test("restart mid-drain: a stopped query resumes from its checkpoint and converges") {
     val in = tmp("restart-in"); val target = tmp("restart-target")
     val ckpt = tmp("restart-ckpt"); val dlq = tmp("restart-dlq")
