@@ -358,6 +358,16 @@ object CdcStream {
         "unbounded state with retentionMs = None (the store then grows with the " +
         "all-time key set).")
 
+  /** The stateful ops have no DLQ channel: malformed rows (null key
+    * fields) must be poison-split upstream ([[isPoison]]). Defensively
+    * drop any that slip through rather than NPE the state function's
+    * sequence comparison and kill the stream.
+    */
+  private def dropMalformed(cdc: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.Dataset[org.apache.spark.sql.Row] =
+    cdc.filter(col("keys").isNotNull && col("eventName").isNotNull &&
+      col("sequenceNumber").isNotNull)
+
   /** Streaming-native apply: per-key LWW state maintained in the state
     * store via `mapGroupsWithState` (SURVEY §2.9 T9 — arbitrary stateful
     * ops). The alternative formulation to the foreachBatch merge: instead
@@ -406,9 +416,10 @@ object CdcStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     requireEventTimeForRetention(cdc, retentionMs)
+    val src = dropMalformed(cdc)
     retentionMs match {
       case None =>
-        val g = cdc.select("keys", "eventName", "sequenceNumber", "newImage")
+        val g = src.select("keys", "eventName", "sequenceNumber", "newImage")
           .as[(String, String, String, Option[String])]
           .groupByKey(_._1)
         val f = (key: String, events: Iterator[(String, String, String, Option[String])],
@@ -428,7 +439,7 @@ object CdcStream {
             g.mapGroupsWithState(GroupStateTimeout.NoTimeout())(f)
         }
       case Some(ret) =>
-        val g = cdc.withWatermark("approxCreationTs", watermarkDelay)
+        val g = src.withWatermark("approxCreationTs", watermarkDelay)
           .select("keys", "eventName", "sequenceNumber", "newImage", "approxCreationTs")
           .as[(String, String, String, Option[String], java.sql.Timestamp)]
           .groupByKey(_._1)
@@ -491,9 +502,10 @@ object CdcStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     requireEventTimeForRetention(cdc, retentionMs)
+    val src = dropMalformed(cdc)
     retentionMs match {
       case None =>
-        val g = cdc.select("keys", "eventName", "sequenceNumber", "newImage")
+        val g = src.select("keys", "eventName", "sequenceNumber", "newImage")
           .as[(String, String, String, Option[String])]
           .groupByKey(_._1)
         val f = (key: String, events: Iterator[(String, String, String, Option[String])],
@@ -519,7 +531,7 @@ object CdcStream {
             g.flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(f)
         }
       case Some(ret) =>
-        val g = cdc.withWatermark("approxCreationTs", watermarkDelay)
+        val g = src.withWatermark("approxCreationTs", watermarkDelay)
           .select("keys", "eventName", "sequenceNumber", "newImage", "approxCreationTs")
           .as[(String, String, String, Option[String], java.sql.Timestamp)]
           .groupByKey(_._1)
@@ -599,6 +611,7 @@ object CdcStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     requireEventTimeForRetention(cdc, retentionMs)
+    val src = dropMalformed(cdc)
 
     def transition(prior: KeyState, latest: KeyState,
                    state: org.apache.spark.sql.streaming.GroupState[KeyState])
@@ -614,7 +627,7 @@ object CdcStream {
 
     retentionMs match {
       case None =>
-        val g = cdc.select("keys", "eventName", "sequenceNumber", "newImage")
+        val g = src.select("keys", "eventName", "sequenceNumber", "newImage")
           .as[(String, String, String, Option[String])]
           .groupByKey(_._1)
         val f = (key: String, events: Iterator[(String, String, String, Option[String])],
@@ -633,7 +646,7 @@ object CdcStream {
             g.flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(f)
         }
       case Some(ret) =>
-        val g = cdc.withWatermark("approxCreationTs", watermarkDelay)
+        val g = src.withWatermark("approxCreationTs", watermarkDelay)
           .select("keys", "eventName", "sequenceNumber", "newImage", "approxCreationTs")
           .as[(String, String, String, Option[String], java.sql.Timestamp)]
           .groupByKey(_._1)

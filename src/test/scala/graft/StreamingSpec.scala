@@ -984,6 +984,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("k1", "advanced")))
   }
 
+  test("stateful ops drop malformed rows instead of NPEing the state function") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, Option[String])]
+    val df = mem.toDF().toDF("keys", "eventName", "sequenceNumber", "newImage")
+    val q = graft.streaming.CdcStream.statefulLatest(df, retentionMs = None)
+      .writeStream.format("memory").queryName("guard_out")
+      .outputMode("update").start()
+    // a null key, a null eventName, and a null sequence (each would NPE
+    // the numeric sequence comparison or group under a junk key) mixed
+    // with one valid record — the malformed three must be dropped, the
+    // valid one applied, the query alive
+    mem.addData(
+      (null, "INSERT", "1", Some("junk")),
+      ("k2", null, "2", Some("junk")),
+      ("k3", "INSERT", null, Some("junk")),
+      ("k1", "INSERT", "5", Some("v1")))
+    q.processAllAvailable()
+    val rows = spark.table("guard_out").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    q.stop()
+    assert(rows === Set(("k1", "v1")))
+  }
+
   test("statefulChangelog emits only on real change (stale/duplicate deliveries are silent)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
