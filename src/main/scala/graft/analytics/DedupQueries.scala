@@ -388,6 +388,38 @@ object DedupQueries {
                (c.doc_id = c.cluster_id) AS is_canonical
         FROM comp c JOIN sizes s ON s.cluster_id = c.cluster_id""")),
 
+    // ───── cluster-size histogram over the near-dup components — the
+    // one-page dedup report: how many pairs, triples, N-way mirror
+    // groups a corpus carries (the number that decides whether near-dup
+    // removal is worth a pipeline stage, and the drift alarm when a
+    // crawl change suddenly mints giant mirror clusters). One hash-agg
+    // over the component labels (a tiny frame), then one over sizes.
+    QuerySpec(
+      "dedup_cluster_stats",
+      (s, d) => {
+        connectedComponents(minhashPairs(s, d))
+          .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      },
+      Some(s"""
+        WITH RECURSIVE corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $minhashPairsCtes,
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM mpairs
+          UNION
+          SELECT doc_b AS u, doc_a AS v FROM mpairs),
+        reach(src, dst) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+        comp AS (
+          SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        sizes AS (
+          SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        SELECT cluster_size, COUNT(*) AS n_clusters
+        FROM sizes GROUP BY cluster_size""")),
+
     // ───── SimHash near-dup: 32-bit weighted signature over word bigrams,
     // 4-byte banding (lossless for hamming<=3), hamming verify.
     // The oracle brute-forces the same signatures pairwise — identical

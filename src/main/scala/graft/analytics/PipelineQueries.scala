@@ -294,6 +294,50 @@ object PipelineQueries {
         SELECT doc_id, source, rk FROM ranked
         WHERE rk > n // 20 AND rk <= n - n // 20""")),
 
+    // ───── key-skew profile: the one-row report you run BEFORE choosing
+    // a join strategy — key cardinality, max and median rows per key
+    // (median by ordinal position, engine-exact), and how many rows the
+    // top 1% of keys hold. A top-heavy profile is the signal to salt
+    // (ops/Salting) or lean on AQE skew handling; a flat one says plain
+    // hash partitioning is fine. The data crosses ONE shuffle (the
+    // per-key count agg with map-side partials); the ranking windows run
+    // over the per-key COUNT table — key-cardinality-sized, not
+    // data-sized — and collapse to a single summary row.
+    QuerySpec(
+      "profile_key_skew",
+      (s, d) => {
+        val per = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("k"))
+        val all_ = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+        per
+          .withColumn("r", row_number().over(w))
+          .withColumn("nk", count(lit(1)).over(all_))
+          .withColumn("total", sum(col("n")).over(all_))
+          .agg(
+            max(col("nk")).as("n_keys"),
+            max(col("total")).as("n_rows"),
+            max(when(col("r") === 1, col("n"))).as("max_per_key"),
+            max(when(col("r") === expr("(nk + 1) div 2"), col("n"))).as("median_per_key"),
+            sum(when(col("r") * 100 <= col("nk"), col("n")).otherwise(lit(0L)))
+              .as("top1pct_rows"))
+      },
+      Some("""
+        WITH per AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+        ranked AS (
+          SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, k) AS r,
+                 COUNT(*) OVER () AS nk,
+                 CAST(SUM(n) OVER () AS BIGINT) AS total
+          FROM per)
+        SELECT
+          CAST(MAX(nk) AS BIGINT) AS n_keys,
+          CAST(MAX(total) AS BIGINT) AS n_rows,
+          CAST(MAX(CASE WHEN r = 1 THEN n END) AS BIGINT) AS max_per_key,
+          CAST(MAX(CASE WHEN r = (nk + 1) // 2 THEN n END) AS BIGINT) AS median_per_key,
+          CAST(SUM(CASE WHEN r * 100 <= nk THEN n ELSE 0 END) AS BIGINT) AS top1pct_rows
+        FROM ranked""")),
+
     // ───── corpus report: doc/token/char/est-token mass per (lang,
     // source) with rollup subtotals and a grand total — the one-page
     // summary a curation run ships with its output (and the sanity
