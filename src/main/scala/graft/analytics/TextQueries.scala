@@ -130,6 +130,40 @@ object TextQueries {
                      CAST(${markerCountSql(markers("fr"))} AS BIGINT) AS cnt_fr
               FROM documents)""")),
 
+    // ───── classifier evaluation: the langid confusion matrix against
+    // the labeled lang column — (label, predicted, n) cells. The eval
+    // loop every heuristic in a curation pipeline needs before its
+    // threshold is trusted; same marker logic as text_langid (one
+    // per-row map), then one group-cardinality hash-agg.
+    QuerySpec(
+      "text_lang_confusion",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("cnt_en", expr(markerCountExpr(markers("en"))).cast("long"))
+        .withColumn("cnt_de", expr(markerCountExpr(markers("de"))).cast("long"))
+        .withColumn("cnt_es", expr(markerCountExpr(markers("es"))).cast("long"))
+        .withColumn("cnt_fr", expr(markerCountExpr(markers("fr"))).cast("long"))
+        .withColumn("predicted", expr(
+          """case when cnt_en >= greatest(cnt_de, cnt_es, cnt_fr) then 'en'
+                  when cnt_de >= greatest(cnt_es, cnt_fr) then 'de'
+                  when cnt_es >= cnt_fr then 'es'
+                  else 'fr' end"""))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n")),
+      Some(s"""
+        SELECT lang,
+               CASE WHEN cnt_en >= greatest(cnt_de, cnt_es, cnt_fr) THEN 'en'
+                    WHEN cnt_de >= greatest(cnt_es, cnt_fr) THEN 'de'
+                    WHEN cnt_es >= cnt_fr THEN 'es'
+                    ELSE 'fr' END AS predicted,
+               COUNT(*) AS n
+        FROM (SELECT doc_id, lang,
+                     CAST(${markerCountSql(markers("en"))} AS BIGINT) AS cnt_en,
+                     CAST(${markerCountSql(markers("de"))} AS BIGINT) AS cnt_de,
+                     CAST(${markerCountSql(markers("es"))} AS BIGINT) AS cnt_es,
+                     CAST(${markerCountSql(markers("fr"))} AS BIGINT) AS cnt_fr
+              FROM documents)
+        GROUP BY 1, 2""")),
+
     // ───── incremental rolling hash over the character stream (the
     // Rabin-Karp-style fingerprint a chunking pipeline would maintain):
     // h = fold (h*31 + ascii(c)) & 2^40-1. Bounded at 2^45 per step, so
