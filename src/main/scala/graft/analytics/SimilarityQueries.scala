@@ -71,17 +71,27 @@ object SimilarityQueries {
         val base = Corpus.quantizedVectors(s, d)
         val probes = base.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("vec_id"))
+        // top-5 via the bounded aggregate ([[graft.functions.
+        // TopKScoredAgg]]), NOT a window: a row_number window here would
+        // push EVERY scored candidate through a |probes|-partition
+        // shuffle — the whole corpus × probes into 10 reducers at 100 TB
+        // (volume AND skew). The aggregate's map-side combine reduces
+        // each scan partition to ≤ 5 pairs per probe before anything
+        // moves; ordering is the identical (score DESC, vec_id) double
+        // total order, so the emitted rows cannot differ (oracle-held).
+        val topk = udaf(new graft.functions.TopKScoredAgg(5),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
         base.crossJoin(broadcast(probes))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"),
             Corpus.dotCol("qv", "q_qv").as("dot"),
             col("nn").as("na"), col("q_nn").as("nb"))
           .withColumn("score", Corpus.scoreCol)
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("score"))
+          .groupBy("query_id")
+          .agg(topk(col("score"), col("vec_id")).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("query_id"), col("t._2").as("neighbor_id"),
+            (col("pos") + 1).cast("int").as("rank"), col("t._1").as("score"))
       },
       Some(s"""
         WITH base AS (${Corpus.quantizedVectorsSql}),

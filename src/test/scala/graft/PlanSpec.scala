@@ -85,6 +85,15 @@ class PlanSpec extends SparkSpec {
       plan("ann_brute_topk").contains("BroadcastHashJoin"))
   }
 
+  test("ann_brute_topk: candidates fold through a partial bounded aggregate, not a window") {
+    val p = plan("ann_brute_topk")
+    // r5: map-side combine keeps <=5 pairs per probe per partition; a
+    // row_number window here pushed every scored candidate through a
+    // |probes|-partition shuffle
+    assert(p.contains("partial_topkscoredagg"), s"no partial bounded agg in:\n$p")
+    assert(!p.contains("row_number"), p)
+  }
+
   test("r4 text ops are pure per-row maps: zero exchanges") {
     Seq("text_pii_scrub", "text_repetition").foreach { q =>
       assert(!plan(q).contains("Exchange"), s"$q shuffles: ${plan(q)}")

@@ -78,6 +78,27 @@ class SketchPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("TopKScoredAgg: bounded merge equals exact top-k under every chunking and order") {
+    import graft.functions.TopKScoredAgg
+    val gen = for {
+      k <- Gen.chooseNum(1, 6)
+      // coarse scores force ties; (score DESC, id ASC) must resolve them
+      xs <- Gen.listOf(Gen.zip(Gen.chooseNum(0, 8).map(_ / 4.0), Gen.chooseNum(0L, 50L)))
+      chunk <- Gen.chooseNum(1, 9)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (k, xs, chunk, seed)
+    check(Prop.forAll(gen) { case (k, xs, chunk, seed) =>
+      val agg = new TopKScoredAgg(k)
+      def topk(ps: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        if (ps.isEmpty) agg.zero
+        else agg.finish(ps.grouped(chunk).map(_.foldLeft(agg.zero)(agg.reduce))
+          .reduce(agg.merge))
+      val expect = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      val shuffled = new scala.util.Random(seed).shuffle(xs)
+      topk(xs) == expect && topk(shuffled) == expect
+    })
+  }
+
   test("TopKPairsAgg: bounded merge equals exact top-k under every chunking and order") {
     import graft.functions.TopKPairsAgg
     val gen = for {
