@@ -131,17 +131,22 @@ object SimilarityQueries {
         val probes = assigned.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
             col("nn").as("q_nn"), col("c_id"))
-        val wTop = Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("vec_id"))
+        // bounded per-probe top-k, same rationale as ann_brute_topk (r5);
+        // still one hash exchange total (the agg), now moving ≤3-pair
+        // buffers instead of every scored cell candidate
+        val topk = udaf(new graft.functions.TopKScoredAgg(3),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
         assigned.join(broadcast(probes), Seq("c_id"))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"),
             Corpus.dotCol("qv", "q_qv").as("dot"),
             col("nn").as("na"), col("q_nn").as("nb"))
           .withColumn("score", Corpus.scoreCol)
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("score"))
+          .groupBy("query_id")
+          .agg(topk(col("score"), col("vec_id")).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("query_id"), col("t._2").as("neighbor_id"),
+            (col("pos") + 1).cast("int").as("rank"), col("t._1").as("score"))
       },
       Some(s"""
         WITH base AS (${Corpus.quantizedVectorsSql}),
