@@ -708,4 +708,59 @@ object SnapshotStore {
             basis = Some(basisName), batchId = -1L, m.numBuckets)
       }
     }
+
+  /** Fork the CURRENT snapshot to `dstDir` as an independent table — the
+    * backup / fork-for-experiment primitive (the store-level analog of
+    * the reference's restore-to-new-table: a consistent point-in-time
+    * copy that later writes to either side cannot disturb). The source's
+    * live manifest is resolved once; its segment files are copied
+    * verbatim (no decode/re-encode — raw byte streams, so the copy cost
+    * is pure I/O and the clone is byte-identical), then a fresh manifest
+    * + pointer publish at the destination through the same commit
+    * protocol as any other table. The source is NOT locked: the resolved
+    * manifest stays readable for the duration under the same grace
+    * guarantee an in-flight reader gets, and the copy touches only
+    * segments that manifest references.
+    *
+    * Fails loudly if `dstDir` already holds a table (clone never
+    * overwrites) or the source has none.
+    */
+  def cloneTarget(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    val (srcName, m) = currentManifest(spark, srcDir).getOrElse(
+      throw new IllegalStateException(s"no snapshot table at '$srcDir' to clone"))
+    val fs = fsOf(spark, dstDir)
+    require(currentManifest(spark, dstDir).isEmpty,
+      s"refusing to clone onto existing table at '$dstDir'")
+    fs.mkdirs(new Path(dstDir))
+    val srcFs = fsOf(spark, srcDir)
+    def copyTree(from: Path, to: Path): Unit = {
+      val st = srcFs.getFileStatus(from)
+      if (st.isDirectory) {
+        fs.mkdirs(to)
+        srcFs.listStatus(from).foreach(c =>
+          copyTree(c.getPath, new Path(to, c.getPath.getName)))
+      } else {
+        val in = srcFs.open(from)
+        try {
+          val out = fs.create(to, false)
+          try {
+            val buf = new Array[Byte](1 << 20)
+            var n = in.read(buf)
+            while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+          } finally out.close()
+        } finally in.close()
+      }
+    }
+    // a segment path is a bucket DIRECTORY of parquet part files
+    m.buckets.values.flatten.toSet[String].foreach { rel =>
+      val to = new Path(dstDir, rel)
+      fs.mkdirs(to.getParent)
+      copyTree(new Path(srcDir, rel), to)
+    }
+    withTargetLock(spark, dstDir) {
+      val manifestName = srcName // same batch+nonce: provenance-preserving
+      writeFile(fs, new Path(dstDir, manifestName), renderManifest(m))
+      casSwapPointer(spark, dstDir, manifestName, basis = None)
+    }
+  }
 }

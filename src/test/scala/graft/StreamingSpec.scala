@@ -290,6 +290,29 @@ class StreamingSpec extends SparkSpec {
     assert(now === expect)
   }
 
+  test("cloneTarget forks a consistent snapshot that later writes cannot disturb") {
+    import spark.implicits._
+    val src = tmp("clone-src"); val dst = tmp("clone-dst")
+    CdcStream.writeTarget(
+      (1 to 30).map(i => (s"k$i", s"v$i")).toDF("keys", "newImage"), src, 0L)
+    SnapshotStore.mergeIntoTarget(spark, src,
+      Seq(("k1", "PUT", "001", "u1")).toDF("keys", "op", "sequenceNumber", "newImage"), 1L)
+    val atClone = (1 to 30).map(i => s"k$i" -> s"v$i").toMap + ("k1" -> "u1")
+    SnapshotStore.cloneTarget(spark, src, dst)
+    // diverge BOTH sides after the fork
+    SnapshotStore.mergeIntoTarget(spark, src,
+      Seq(("k2", "DELETE", "002", null: String)).toDF("keys", "op", "sequenceNumber", "newImage"), 2L)
+    SnapshotStore.compactTarget(spark, src) // src GC rewrites src segments
+    SnapshotStore.mergeIntoTarget(spark, dst,
+      Seq(("k3", "PUT", "003", "w3")).toDF("keys", "op", "sequenceNumber", "newImage"), 2L)
+    def state(dir: String) = CdcStream.readTarget(spark, dir).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state(src) === atClone - "k2")            // src moved on
+    assert(state(dst) === atClone + ("k3" -> "w3"))  // clone has its own history
+    // clone never overwrites an existing table
+    intercept[IllegalArgumentException] { SnapshotStore.cloneTarget(spark, src, dst) }
+  }
+
   test("mergeIntoTarget appends O(delta) segments: untouched chains reused, bytes scale with delta") {
     import spark.implicits._
     val target = tmp("prune-target")
