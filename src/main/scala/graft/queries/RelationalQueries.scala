@@ -996,6 +996,47 @@ object RelationalQueries {
           AND l_quantity < 24
         GROUP BY l_returnflag""")),
 
+    // ───── RFM segmentation: the classic customer-analytics rollup —
+    // recency / frequency / monetary quintiles (NTILE over a
+    // deterministic (metric, key) order; both engines share ntile's
+    // earlier-buckets-take-the-remainder rule) over the per-customer
+    // aggregate, reported as segment cells. The quintile windows run
+    // over CUSTOMER-cardinality rows — the order log itself crosses one
+    // hash-agg shuffle once; money stays in exact integer cents.
+    QuerySpec(
+      "agg_rfm_segments",
+      (s, d) => {
+        val per = orders(s, d)
+          .groupBy(col("o_custkey").as("c"))
+          .agg(max(col("o_orderdate")).as("last_order"),
+            count(lit(1)).as("freq"),
+            sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+        def quint(m: String) = ntile(5).over(
+          Window.orderBy(col(m), col("c"))).cast("int")
+        per
+          .withColumn("r_score", quint("last_order"))
+          .withColumn("f_score", quint("freq"))
+          .withColumn("m_score", quint("cents"))
+          .groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("seg_cents"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT o_custkey AS c,
+                 MAX(o_orderdate) AS last_order,
+                 COUNT(*) AS freq,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        scored AS (
+          SELECT c, cents,
+                 CAST(NTILE(5) OVER (ORDER BY last_order, c) AS INTEGER) AS r_score,
+                 CAST(NTILE(5) OVER (ORDER BY freq, c) AS INTEGER) AS f_score,
+                 CAST(NTILE(5) OVER (ORDER BY cents, c) AS INTEGER) AS m_score
+          FROM per)
+        SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS seg_cents
+        FROM scored GROUP BY 1, 2, 3""")),
+
     // ───── statistical mode per group, deterministic: most frequent
     // priority per order status, ties broken by the value itself (count
     // DESC, value ASC is a total order — a bare mode() is
