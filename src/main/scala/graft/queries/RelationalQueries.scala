@@ -996,6 +996,37 @@ object RelationalQueries {
           AND l_quantity < 24
         GROUP BY l_returnflag""")),
 
+    // ───── market-basket pair mining (frequent itemsets, k=2): which
+    // parts ship together — the relational dual of text_cooccurrence.
+    // The pair stage self-joins WITHIN an order key, so its output is
+    // bounded by basket size squared per order (≤21 pairs for TPC-H's
+    // ≤7-line orders), never part×part; one hash-agg with map-side
+    // partials counts pairs and the top-20 goes through
+    // TakeOrderedAndProject with a full (n DESC, part_a, part_b)
+    // tiebreak so the LIMIT cut is deterministic in both engines.
+    QuerySpec(
+      "basket_pairs",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        SELECT part_a, part_b, COUNT(*) AS n_orders
+        FROM pairs GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 20""")),
+
     // ───── RFM segmentation: the classic customer-analytics rollup —
     // recency / frequency / monetary quintiles (NTILE over a
     // deterministic (metric, key) order; both engines share ntile's
