@@ -996,6 +996,69 @@ object RelationalQueries {
           AND l_quantity < 24
         GROUP BY l_returnflag""")),
 
+    // ───── user-journey transition counts (the Markov-chain estimate's
+    // numerator): consecutive event-type pairs per user in (ts,
+    // event_id) order — session-flow analytics (what follows what). One
+    // windowed shuffle on user_id for the lag, one group-cardinality
+    // hash-agg; |types|² cells out.
+    QuerySpec(
+      "events_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events)
+        SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2""")),
+
+    // ───── Pareto head: the suppliers that cumulatively carry the first
+    // 80% of revenue, with running share — the concentration report
+    // behind every "80/20" decision (and the skew early-warning for
+    // supplier-keyed joins). Knee membership in PURE INTEGER form:
+    // (cum - cents)·5 < total·4 means "the share BEFORE this row is
+    // under 80%" — the knee row is included, everything after excluded,
+    // no float division anywhere near the filter. Running sums over
+    // supplier-cardinality rows; the lineitem log crosses one shuffle.
+    QuerySpec(
+      "supplier_pareto",
+      (s, d) => {
+        val per = lineitem(s, d)
+          .groupBy(col("l_suppkey").as("s"))
+          .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("cents"))
+        val byRev = Window.orderBy(col("cents").desc, col("s"))
+        val all_ = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+        per
+          .withColumn("r", row_number().over(byRev).cast("int"))
+          .withColumn("cum", sum(col("cents")).over(
+            byRev.rowsBetween(Long.MinValue, 0)))
+          .withColumn("total", sum(col("cents")).over(all_))
+          .filter((col("cum") - col("cents")) * 5 < col("total") * 4)
+          .select(col("s"), col("cents"), col("r"), col("cum"),
+            expr("cast((cum * 100) div total as bigint)").as("cum_pct"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT l_suppkey AS s,
+                 CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cents
+          FROM lineitem GROUP BY 1),
+        ranked AS (
+          SELECT s, cents,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, s) AS INTEGER) AS r,
+                 CAST(SUM(cents) OVER (ORDER BY cents DESC, s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(SUM(cents) OVER () AS BIGINT) AS total
+          FROM per)
+        SELECT s, cents, r, cum, (cum * 100) // total AS cum_pct
+        FROM ranked WHERE (cum - cents) * 5 < total * 4""")),
+
     // ───── market-basket pair mining (frequent itemsets, k=2): which
     // parts ship together — the relational dual of text_cooccurrence.
     // The pair stage self-joins WITHIN an order key, so its output is
