@@ -420,6 +420,33 @@ object DedupQueries {
         SELECT cluster_size, COUNT(*) AS n_clusters
         FROM sizes GROUP BY cluster_size""")),
 
+    // ───── shingle-frequency profile: the log2-bucketed df histogram of
+    // the shingle inventory — the profiling step BEHIND the derived LSH
+    // parameters (banding and bucket width are chosen against exactly
+    // this distribution, and a crawl change shows up here first as a
+    // fattening hot tail). Bucket = length(bin(df)) = floor(log2)+1 in
+    // PURE INTEGER form on both engines (float log2 disagrees at
+    // power-of-two boundaries — the integer-oracle rule). One df
+    // hash-agg + one histogram agg.
+    QuerySpec(
+      "dedup_shingle_profile",
+      (s, d) => {
+        hsetsOf(s, d)
+          .select(explode(col("hs")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("df"))
+          .groupBy(expr("cast(length(bin(df)) as int)").as("df_bucket"))
+          .agg(count(lit(1)).as("n_shingles"),
+            min(col("df")).as("min_df"), max(col("df")).as("max_df"))
+      },
+      Some(s"""
+        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        dfh AS (SELECT h, COUNT(*) AS df
+                FROM (SELECT doc_id, unnest(hs) AS h FROM hsets) GROUP BY h)
+        SELECT CAST(len(bin(df)) AS INTEGER) AS df_bucket, COUNT(*) AS n_shingles,
+               CAST(MIN(df) AS BIGINT) AS min_df, CAST(MAX(df) AS BIGINT) AS max_df
+        FROM dfh GROUP BY 1""")),
+
     // ───── SimHash near-dup: 32-bit weighted signature over word bigrams,
     // 4-byte banding (lossless for hamming<=3), hamming verify.
     // The oracle brute-forces the same signatures pairwise — identical

@@ -996,6 +996,36 @@ object RelationalQueries {
           AND l_quantity < 24
         GROUP BY l_returnflag""")),
 
+    // ───── DAU / rolling-7-day actives: the engagement ratio behind
+    // "stickiness" dashboards. The (day, user) distinct frame collapses
+    // the event log first (one shuffle over the log); the rolling
+    // window is then a BROADCAST range join of the tiny day spine
+    // against day-user rows — |days|·7 day-user row visits, never an
+    // event-log self-join — and one distinct-agg per day.
+    QuerySpec(
+      "events_dau_wau",
+      (s, d) => {
+        val ud = events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val days = ud.select("day").distinct()
+        ud.as("u").join(broadcast(days.as("d")),
+            col("u.day") <= col("d.day") &&
+              col("u.day") > date_sub(col("d.day"), 7))
+          .groupBy(col("d.day").as("day"))
+          .agg(
+            countDistinct(when(col("u.day") === col("d.day"), col("user_id")))
+              .as("dau"),
+            countDistinct(col("user_id")).as("wau"))
+      },
+      Some("""
+        WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        days AS (SELECT DISTINCT day FROM ud)
+        SELECT d.day,
+               COUNT(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS dau,
+               COUNT(DISTINCT u.user_id) AS wau
+        FROM days d JOIN ud u ON u.day <= d.day AND u.day > d.day - 7
+        GROUP BY d.day""")),
+
     // ───── user-journey transition counts (the Markov-chain estimate's
     // numerator): consecutive event-type pairs per user in (ts,
     // event_id) order — session-flow analytics (what follows what). One
