@@ -98,17 +98,7 @@ object DedupQueries {
       // banding PLAN is corpus-size-derived (more rows per band as n²
       // random-collision pressure grows); the oracle derives the same
       // plan from the same count in SQL.
-      val (nBands, rowsPerBand) = Corpus.minhashBandPlan(Corpus.corpusDocCount(s, d))
-      val bkeys = hsets
-        .select(col("doc_id"),
-          graft.functions.SignatureFunctions.minHash12(col("hs")).as("mh"))
-        .select(col("doc_id"), Corpus.bandKeysExpr(nBands, rowsPerBand).as("bkeys"))
-      // Bands stay NARROW (doc_id, band, bkey): the 4-way explode and
-      // the bucket self-join move ~40 bytes/row, not the shingle sets;
-      // persisted (memoized) because the self-join scans it from both sides.
-      val bands = Corpus.cached(s, d, "minhash_bands") {
-        bkeys.select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
-      }
+      val bands = bandsOf(s, d)
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -123,6 +113,26 @@ object DedupQueries {
         .filter(col("jaccard") >= 0.4)
         .select("doc_a", "doc_b", "jaccard")
     }
+
+  /** The (doc_id, band, bkey) LSH band index — memoized because every
+    * consumer scans it from at least one join side. Bands stay NARROW:
+    * the 4-way explode and the bucket joins move ~40 bytes/row, not the
+    * shingle sets. Banding PLAN is corpus-size-derived
+    * ([[Corpus.minhashBandPlan]]); native minhash12 computes the 12
+    * running minima in one compiled loop.
+    */
+  private[analytics] def bandsOf(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.sql.DataFrame = {
+    val hsets = hsetsOf(s, d)
+    val (nBands, rowsPerBand) = Corpus.minhashBandPlan(Corpus.corpusDocCount(s, d))
+    val bkeys = hsets
+      .select(col("doc_id"),
+        graft.functions.SignatureFunctions.minHash12(col("hs")).as("mh"))
+      .select(col("doc_id"), Corpus.bandKeysExpr(nBands, rowsPerBand).as("bkeys"))
+    Corpus.cached(s, d, "minhash_bands") {
+      bkeys.select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
+    }
+  }
 
   /** Oracle CTEs: signature → bands → candidates → verified `mpairs`
     * (doc_a, doc_b, jaccard) — the SQL mirror of [[minhashPairs]];
@@ -387,6 +397,41 @@ object DedupQueries {
         SELECT c.doc_id, c.cluster_id, s.cluster_size,
                (c.doc_id = c.cluster_id) AS is_canonical
         FROM comp c JOIN sizes s ON s.cluster_id = c.cluster_id""")),
+
+    // ───── incremental dedup: a NEW batch of docs (the variants stand
+    // in for today's crawl increment) checked against the EXISTING
+    // corpus's band index — old×new band join only, never old×old, so
+    // per-increment cost is O(|new| + matched buckets) instead of
+    // re-deduping the corpus. THE production dedup shape: the band
+    // index persists (memoized here, a table in production), each
+    // increment probes it. Candidates then exact-verify exactly as the
+    // full pipeline; the result is provably the old-new slice of the
+    // full pair set, which is what the oracle selects.
+    QuerySpec(
+      "dedup_incremental",
+      (s, d) => {
+        val off = Corpus.VariantOffset
+        val bands = bandsOf(s, d)
+        val hsets = hsetsOf(s, d)
+        val cand = bands.filter(col("doc_id") < off).as("a")
+          .join(bands.filter(col("doc_id") >= off).as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .dropDuplicates()
+        cand
+          .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+          .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+          .withColumn("jaccard", expr(
+            "cast(size(array_intersect(hs_a, hs_b)) as double) / size(array_union(hs_a, hs_b))"))
+          .filter(col("jaccard") >= 0.4)
+          .select("doc_a", "doc_b", "jaccard")
+      },
+      Some(s"""
+        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $minhashPairsCtes
+        SELECT doc_a, doc_b, jaccard FROM mpairs
+        WHERE doc_a < ${Corpus.VariantOffset} AND doc_b >= ${Corpus.VariantOffset}""")),
 
     // ───── cluster-size histogram over the near-dup components — the
     // one-page dedup report: how many pairs, triples, N-way mirror
