@@ -46,16 +46,28 @@ object IvmBench {
       CdcStream.statefulAggDeltas(
         CdcStream.cdcFileSource(spark, dir, maxFilesPerTrigger = 4)),
       group, measure)
-    val q = view.writeStream.format("memory").queryName("ivm_bench_out")
+    // Update-mode emits one row per changed group per micro-batch; a
+    // memory-sink + last() selection is partition-order-dependent, so
+    // tag each row with its monotone batch id and keep the max-batch
+    // row per group — order-independent by construction.
+    val latest = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+    val q = view.writeStream
       .option("checkpointLocation", ckpt)
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.collect().foreach { r =>
+          latest.merge(r.getAs[String]("grp"),
+            (batchId, r.getAs[Long]("n_keys"), r.getAs[Long]("m_sum")),
+            (a, b) => if (b._1 >= a._1) b else a)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(600000)
     val secs = (System.nanoTime() - t0) / 1e9
 
-    // latest row per group from the update-mode sink
-    val got = spark.table("ivm_bench_out")
-      .groupBy("grp").agg(last("n_keys").as("n"), last("m_sum").as("m"))
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    import scala.jdk.CollectionConverters._
+    val got = latest.asScala.toMap.map { case (g, (_, n, m)) => g -> ((n, m)) }
     // batch recompute over the same files
     val raw = spark.read.schema(graft.model.CdcSchema.cdcRecord).json(dir)
     val want = graft.ops.CdcOps.lwwCompact(raw, Seq("keys"),

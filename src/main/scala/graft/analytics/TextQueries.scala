@@ -421,10 +421,12 @@ object TextQueries {
     // information — the phrase-mining signal on top of the co-occurrence
     // counts (X9's "PMI numerator" made whole). The score is the exact
     // RATIO form T·c(ab) / (c(a)·c(b)) (monotone in PMI = its log):
-    // every factor is an exact integer count and the single double
-    // division is exactly-rounded IEEE — bit-identical across engines,
+    // every factor is an exact integer count and the double multiply /
+    // divide are exactly-rounded IEEE — bit-identical across engines,
     // where a libm log would differ in the last ulp. T·c(ab) stays
-    // < 2^63 up to ~1e12-token corpora at c(ab) ≤ 1e6. Plan: one
+    // < 2^63 up to ~1e12-token corpora at c(ab) ≤ 1e6; the DENOMINATOR
+    // multiplies in double (not Long) because c(a)·c(b) wraps int64 at
+    // ~1e9-count unigrams — exactly the corpus scale this targets. Plan: one
     // token-agg shuffle (unigrams), one bigram-agg shuffle, unigram
     // counts broadcast back onto the bigram side TWICE (vocab ≪ corpus),
     // c(ab) ≥ 5 prunes the long tail before the joins, top-20 via
@@ -454,7 +456,11 @@ object TextQueries {
           .select(
             concat(col("t1"), lit(" "), col("t2")).as("bigram"),
             col("cab"),
-            expr(s"cast(${t}L * cab as double) / cast(ca * cb as double)").as("pmi_ratio"))
+            // each factor cast to double BEFORE the multiply: ca·cb in
+            // Long wraps silently near 1e9–1e10 unigram counts (where
+            // DuckDB would raise) — double products are exact for counts
+            // < 2^53 and round identically in both engines
+            expr(s"cast(${t}L * cab as double) / (cast(ca as double) * cast(cb as double))").as("pmi_ratio"))
           .orderBy(col("pmi_ratio").desc, col("bigram"))
           .limit(20)
       },
@@ -474,7 +480,7 @@ object TextQueries {
           GROUP BY t1, t2
           HAVING count(*) >= 5)
         SELECT bg.t1 || ' ' || bg.t2 AS bigram, bg.cab,
-               CAST(t.total * bg.cab AS DOUBLE) / CAST(a.c1 * b.c1 AS DOUBLE) AS pmi_ratio
+               CAST(t.total * bg.cab AS DOUBLE) / (CAST(a.c1 AS DOUBLE) * CAST(b.c1 AS DOUBLE)) AS pmi_ratio
         FROM bg
         JOIN ug a ON a.term = bg.t1
         JOIN ug b ON b.term = bg.t2

@@ -43,7 +43,12 @@ object RelationalQueries {
     val hourly = ev
       .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    hourly.join(broadcast(spine), Seq("hr", "event_type"), "right")
+    // hourly is POST-aggregation (≤ |spine| rows), so it is the honest
+    // broadcast side — and a LeftOuter join CAN build right, whereas a
+    // broadcast hint on the preserved side of a right-outer is ignored
+    // (BHJ can't build the row-preserved side) and would silently
+    // degrade to SMJ once stats exceed the auto threshold.
+    spine.join(broadcast(hourly), Seq("hr", "event_type"), "left")
       .select(col("hr"), col("event_type"),
         coalesce(col("n"), lit(0L)).as("n_events"))
   }

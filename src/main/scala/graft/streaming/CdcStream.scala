@@ -737,10 +737,20 @@ object CdcStream {
     * (every key with freq > n/(k+1) is among the candidates) makes the
     * composition exact for every emitted key (StreamingSpec pins
     * streaming-sketch + this decode ≡ the direct exact computation).
+    *
+    * `sketchK` is the k of the Misra–Gries sketch that produced
+    * `sketched` — the exactness guarantee needs thresholdDiv ≤ k+1
+    * (a coarser sketch than the threshold silently drops true
+    * hitters), so the pairing is validated here rather than trusted.
     */
   def decodeHeavyHitters(sketched: DataFrame, source: DataFrame,
                          window_ : String = "1 hour",
-                         thresholdDiv: Long = 64): DataFrame = {
+                         thresholdDiv: Long = 64,
+                         sketchK: Int = 64): DataFrame = {
+    require(thresholdDiv <= sketchK + 1,
+      s"exactness requires thresholdDiv ($thresholdDiv) <= sketchK+1 (${sketchK + 1}): " +
+        "a Misra-Gries sketch of capacity k only guarantees candidates for keys " +
+        "with frequency > n/(k+1)")
     val cand = sketched.select(col("window"), col("n"),
       explode(map_keys(col("sketch"))).as("khash"))
     source

@@ -874,7 +874,7 @@ class StreamingSpec extends SparkSpec {
     val sketched = spark.table("hh_dec")
     val source = (win0 ++ win1).toDF("keys", "approxCreationTs")
     val decoded = graft.streaming.CdcStream
-      .decodeHeavyHitters(sketched, source, thresholdDiv = 5)
+      .decodeHeavyHitters(sketched, source, thresholdDiv = 5, sketchK = 4)
       .select(col("window.start").cast("string").as("win"),
         col("keys"), col("cnt"), col("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
@@ -883,6 +883,12 @@ class StreamingSpec extends SparkSpec {
     assert(decoded === Set(
       ("2024-01-01 00:00:00", "hot", 30L, 55L),
       ("2024-01-01 01:00:00", "warm", 20L, 28L)))
+    // a threshold finer than the sketch's guarantee is rejected, not
+    // silently inexact: k=4 only guarantees candidates above n/5
+    intercept[IllegalArgumentException] {
+      graft.streaming.CdcStream
+        .decodeHeavyHitters(sketched, source, thresholdDiv = 64, sketchK = 4)
+    }
   }
 
   test("watermark drops late events from windowed aggregation (append mode)") {
@@ -1072,19 +1078,30 @@ class StreamingSpec extends SparkSpec {
       CdcStream.statefulAggDeltas(df, retentionMs = None),
       group = org.apache.spark.sql.functions.expr("substring(keys, 1, 1)"),
       measure = org.apache.spark.sql.functions.col("image"))
-    val q = view.writeStream.format("memory").queryName("ivm_out")
-      .outputMode("update").start()
+    // update-mode emits superseded rows across micro-batches; tag each
+    // with its batch id so "latest per group" is order-independent
+    // (last() over the memory sink depends on partition order)
+    val latest = scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Long)]
+    val q = view.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.collect().foreach { r =>
+          val v = (batchId, r.getAs[Long]("n_keys"), r.getAs[Long]("m_sum"))
+          latest.updateWith(r.getAs[String]("grp")) {
+            case Some(old) if old._1 > batchId => Some(old)
+            case _                             => Some(v)
+          }
+        }
+        ()
+      }
+      .start()
 
     mem.addData(
       ("a_k1", "INSERT", "2", Some("10")),
       ("a_k2", "INSERT", "3", Some("5")),
       ("b_k3", "INSERT", "4", Some("7")))
     q.processAllAvailable()
-    def viewRows() = spark.table("ivm_out")
-      .groupBy("grp") // update-mode memory sink keeps superseded rows; latest wins
-      .agg(org.apache.spark.sql.functions.last("n_keys").as("n"),
-        org.apache.spark.sql.functions.last("m_sum").as("m"))
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def viewRows() = latest.toMap.map { case (g, (_, n, m)) => g -> ((n, m)) }
     assert(viewRows() === Map("a" -> ((2L, 15L)), "b" -> ((1L, 7L))))
 
     // modify (retract 10 / assert 20), an exact duplicate (silent), a
