@@ -1,7 +1,9 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
 
 /** Lloyd's k-means over the quantized embedding vectors — the clustering
   * primitive a curation pipeline uses for semantic grouping / cluster-
@@ -110,4 +112,143 @@ object Clustering {
     // callers unpersist when done
     (assigned, centroids, distortions.result())
   }
+
+  /** Nearest-centroid assignment under EXACT INTEGER squared-Euclidean
+    * distance: dist² = nn − 2·dot(qv,cv) + cnn, every term a Long (the
+    * dot through the codegen'd [[VectorFunctions.vecDotLong]]) — no
+    * floating point anywhere, so the argmin is trivially bit-identical
+    * in any engine. Same literal-centroid zero-shuffle shape as
+    * [[assign]]; ties break to the lower cid via the (dist2, cid)
+    * struct min. Input needs (vec_id, qv, nn); output adds a
+    * (dist2, cid) `best` struct.
+    */
+  def assignL2(vecs: DataFrame, cents: Seq[(Int, Array[Long], Long)]): DataFrame = {
+    require(cents.nonEmpty, "assignL2 needs at least one centroid")
+    val centArr = array(cents.map { case (cid, cv, cnn) =>
+      struct(
+        array(cv.map(lit(_)): _*).as("cv"),
+        lit(cid).as("cid"),
+        lit(cnn).as("cnn"))
+    }: _*)
+    vecs.select(col("vec_id"), col("qv"), col("nn"),
+      array_min(transform(centArr, c =>
+        struct(
+          (col("nn") - lit(2L) * VectorFunctions.vecDotLong(col("qv"), c.getField("cv"))
+            + c.getField("cnn")).as("dist2"),
+          c.getField("cid").as("cid")))).as("best"))
+  }
+
+  /** Per-cluster floor-quantized mean: the ONE centroid-update rule
+    * both integer k-means variants share. Distributed (posexplode →
+    * hash agg → reassemble); each per-dim mean is floor(sum / count)
+    * where the single double division is exactly-rounded IEEE on
+    * < 2^53 integers and floor makes it integral again — so the update
+    * is bit-identical in any engine. Empty clusters are absent (the
+    * caller keeps their previous centroid).
+    */
+  private def floorMeanUpdate(assigned: DataFrame, cid: Column): Map[Int, Array[Long]] =
+    assigned
+      .select(cid.as("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .groupBy("cid")
+      .agg(expr(
+        """transform(
+             array_sort(collect_list(named_struct(
+               'dim', dim,
+               'm', cast(floor(cast(s as double) / cast(c as double)) as bigint)))),
+             x -> x.m)""").as("cv"))
+      .collect()
+      .map { r: Row => (r.getInt(0), r.getSeq[Long](1).toArray) }
+      .toMap
+
+  /** Integer-arithmetic Lloyd over the QUANTIZED vectors — the
+    * oracle-shareable k-means. Every quantity in the loop is exact:
+    * assignment distance is pure Long ([[assignL2]]), and the centroid
+    * update is the floor-quantized mean ([[floorMeanUpdate]]) — so
+    * DuckDB can replay the identical Lloyd iterations CTE-by-CTE and
+    * land on bit-identical centroids (this is the [[kmeans]] float
+    * path made verifiable). Init = the first k vec_ids' vectors
+    * (deterministic, SQL-replayable); empty clusters keep their
+    * previous centroid; fixed iteration count.
+    *
+    * Spark shape per iteration, as [[kmeans]]: literal-centroid argmin
+    * (zero corpus shuffles) + a k×dims aggregate update; only k
+    * centroid rows ever reach the driver. Returns the trained
+    * (cid, cv, cnn) centroids and the exact Long distortion per
+    * iteration.
+    */
+  def kmeansQuantized(s: SparkSession, vecs: DataFrame, k: Int, iters: Int)
+      : (Seq[(Int, Array[Long], Long)], Seq[Long]) = {
+    require(iters >= 1, s"kmeansQuantized needs at least one iteration, got $iters")
+    var centroids = initCentroids(vecs, k, "kmeansQuantized")
+    val distortions = Seq.newBuilder[Long]
+    for (_ <- 1 to iters) {
+      // one argmin pass feeds both the distortion sum and the update
+      val assigned = assignL2(vecs, centroids).persist()
+      distortions += assigned.agg(sum(col("best.dist2"))).collect()(0).getLong(0)
+      val updated = floorMeanUpdate(assigned, col("best.cid"))
+      centroids = carryForward(centroids, updated)
+      assigned.unpersist()
+    }
+    (centroids, distortions.result())
+  }
+
+  /** Spherical integer k-means: assignment by max signed-cos² — the
+    * SAME score the ANN search stage ranks by ([[Corpus.scoreSql]],
+    * via [[SimilarityQueries.assignToCentroids]]) — update by the
+    * floor-quantized mean (the mean's direction is the spherical
+    * centroid; cos is scale-invariant so no normalization is needed
+    * for the argmax). This is the right trainer for a COSINE IVF
+    * index: L2 cells group by magnitude+direction while the search
+    * metric only cares about direction — training with the search
+    * metric is what makes cells contain actual neighbors (measured:
+    * the L2-trained variant lost 6/30 ground-truth hits to cell
+    * boundaries at sf0.01; this one ties the fixed-subset quantizer
+    * while keeping balanced cells).
+    *
+    * Every step is oracle-replayable: integer dot/norms, the one
+    * exactly-rounded double division per score, floor-mean updates. A
+    * degenerate all-zero mean (possible for opposing members) keeps
+    * the previous centroid — cnn > 0 stays invariant, so the score's
+    * division is always defined; the SQL replay carries the same
+    * guard.
+    */
+  def kmeansSpherical(s: SparkSession, vecs: DataFrame, k: Int, iters: Int)
+      : Seq[(Int, Array[Long], Long)] = {
+    require(iters >= 1, s"kmeansSpherical needs at least one iteration, got $iters")
+    var centroids = initCentroids(vecs, k, "kmeansSpherical")
+    for (_ <- 1 to iters) {
+      val assigned = SimilarityQueries.assignToCentroids(
+        vecs.select("vec_id", "qv", "nn"), centroids)
+      centroids = carryForward(centroids, floorMeanUpdate(assigned, col("c_id")))
+    }
+    centroids
+  }
+
+  /** Deterministic init shared by both integer k-means: the first k
+    * vec_ids' vectors (SQL-replayable, unlike a random sample).
+    */
+  private def initCentroids(vecs: DataFrame, k: Int, who: String)
+      : Seq[(Int, Array[Long], Long)] = {
+    val init = vecs.select("vec_id", "qv", "nn").orderBy("vec_id").limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1).toArray, r.getLong(2)) }
+    require(init.length == k, s"$who needs at least $k vectors, corpus has ${init.length}")
+    init.toSeq
+  }
+
+  /** Empty clusters and degenerate (all-zero) means keep the previous
+    * centroid: k stays k and cnn stays > 0.
+    */
+  private def carryForward(prev: Seq[(Int, Array[Long], Long)],
+                           updated: Map[Int, Array[Long]]): Seq[(Int, Array[Long], Long)] =
+    prev.map { case (cid, pcv, pnn) =>
+      updated.get(cid) match {
+        case Some(cv) =>
+          val nn = cv.map(x => x * x).sum
+          if (nn == 0) (cid, pcv, pnn) else (cid, cv, nn)
+        case None => (cid, pcv, pnn)
+      }
+    }
 }

@@ -469,6 +469,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(pii(4L) === (2, 2))
   }
 
+  test("kmeansQuantized: exact-integer Lloyd — k centroids, consistent norms, improving objective") {
+    val vecs = Corpus.quantizedVectors(spark, sf)
+    val (cents, distortions) = Clustering.kmeansQuantized(spark, vecs, k = 4, iters = 3)
+    assert(cents.length == 4)
+    assert(cents.map(_._1) == Seq(0, 1, 2, 3))
+    cents.foreach { case (_, cv, cnn) =>
+      assert(cv.length == 64)
+      assert(cnn == cv.map(x => x * x).sum) // norm is derived, never stale
+    }
+    // Lloyd improves the L2 objective from the raw init; with
+    // floor-quantized means a single step may wobble, but training must
+    // beat the starting point (exact Long distortions — no float noise)
+    assert(distortions.length == 3)
+    assert(distortions.last <= distortions.head,
+      s"training worsened the objective: $distortions")
+    // rerun reproduces bit-identical centroids (determinism contract)
+    val (cents2, _) = Clustering.kmeansQuantized(spark, vecs, k = 4, iters = 3)
+    assert(cents.zip(cents2).forall { case ((a, av, an), (b, bv, bn)) =>
+      a == b && an == bn && av.sameElements(bv)
+    })
+  }
+
+  test("kmeansSpherical: metric-consistent trainer keeps k live cells") {
+    val vecs = Corpus.quantizedVectors(spark, sf)
+    val cents = Clustering.kmeansSpherical(spark, vecs, k = 4, iters = 2)
+    assert(cents.length == 4)
+    cents.foreach { case (_, cv, cnn) =>
+      assert(cnn > 0, "degenerate (zero-norm) centroid escaped the carry-forward guard")
+      assert(cnn == cv.map(x => x * x).sum)
+    }
+    // assignment under the trained centroids partitions the corpus
+    val out = SimilarityQueries.assignToCentroids(vecs, cents)
+    assert(out.count() == vecs.count())
+    val used = out.select("c_id").distinct().collect().map(_.getInt(0)).toSet
+    assert(used.subsetOf(cents.map(_._1).toSet))
+  }
+
+  test("ann_recall: trained-IVF recall is >= the fixed-subset quantizer's") {
+    val rows = SparkEntry.queries("ann_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, hits, k) =>
+      assert(hits >= 0 && hits <= k, s"hits $hits outside [0, $k]")
+    }
+    val byMethod = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(byMethod.keySet == Set("ivf", "ivf_trained", "lsh"))
+    // the r6 claim under test: training the coarse quantizer (spherical
+    // k-means + multi-probe) does not lose recall vs the fixed subset
+    assert(byMethod("ivf_trained") >= byMethod("ivf"),
+      s"trained IVF recall ${byMethod("ivf_trained")} < fixed ${byMethod("ivf")}")
+  }
+
   test("ann_brute_topk ranks are dense 1..k per query") {
     val out = SparkEntry.queries("ann_brute_topk")(spark, sf)
       .select("query_id", "rank").collect()
