@@ -668,9 +668,22 @@ object DedupQueries {
         val hsets = hsetsOf(s, d)
         val ex = hsets.select(col("doc_id"), explode(col("hs")).as("h"))
         val dfh = ex.groupBy("h").agg(count(lit(1)).as("df"))
-        val exdf = ex.join(dfh, "h")
-        val rare = exdf.filter(col("df") <= 50).select("doc_id", "h")
-        val commonArr = exdf.filter(col("df") > 50)
+        // The common set (df > 50) is tiny BY CONSTRUCTION — only
+        // boilerplate shingles clear the cap — so the rare/common split
+        // must NOT shuffle the full exploded stream through an
+        // annotation join (r5's one avoidable exchange here): broadcast
+        // the common set, derive rare by broadcast ANTI and the per-doc
+        // common subsets by broadcast inner. The df aggregation itself
+        // (one map-side-combined shuffle) is the only stream-sized
+        // exchange left before the rare self-join.
+        // cached: the split is consumed four times (rare a/b sides,
+        // common a/b subsets) — without the persist each reuse re-runs
+        // the stream-sized df aggregation; with it, ONCE
+        val common = Corpus.cached(s, d, "containmentCommonShingles") {
+          dfh.filter(col("df") > 50).select("h")
+        }
+        val rare = ex.join(broadcast(common), Seq("h"), "left_anti")
+        val commonArr = ex.join(broadcast(common), Seq("h"))
           .groupBy("doc_id").agg(collect_list(col("h")).as("ch"))
         val sizes = hsets.select(col("doc_id"),
           expr("cast(size(hs) as bigint)").as("n"))

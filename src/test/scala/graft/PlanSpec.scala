@@ -222,6 +222,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Filter bloom_might_contain_long"), p)
   }
 
+  test("dedup_containment: rare/common split is broadcast; the stream-sized df agg is shared") {
+    val p = plan("dedup_containment")
+    // r6: the split must NOT shuffle the exploded shingle stream through
+    // an annotation join — rare is a broadcast ANTI against the tiny
+    // common (df>50) set, common subsets a broadcast inner
+    assert("BroadcastHashJoin .*LeftAnti".r.findAllIn(p).nonEmpty,
+      s"rare side not a broadcast anti join in:\n$p")
+    // the ONE stream-sized exchange left (the df aggregation feeding the
+    // cached common set) is shared by all four consumers of the split —
+    // repeated plan_id references, not four recomputations
+    val ids = "Exchange hashpartitioning.*plan_id=(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(ids.length > ids.distinct.length,
+      s"no shared exchange — df agg recomputed per branch in:\n$p")
+    assert(ids.distinct.length <= 6,
+      s"exchange count regressed: ${ids.distinct.length} distinct in:\n$p")
+  }
+
   test("cdc_incremental_agg: delta-side maintenance never re-aggregates the table") {
     val p = plan("cdc_incremental_agg")
     // the touched-key read is a semi join; the final merge of the
