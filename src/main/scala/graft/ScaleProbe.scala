@@ -162,6 +162,50 @@ object ScaleProbe {
         rows.unpersist()
       }
 
+      // running sum two ways at k× key cardinality (the supplier_pareto
+      // r6 rewrite): the bare global-window form executes its running
+      // sum on ONE task by construction — its time grows with n no
+      // matter how many cores exist — while the range-partitioned
+      // two-phase form (per-pid windows + broadcast prefix offsets)
+      // keeps full parallelism. Both checksummed over every (key, cum)
+      // pair and required equal, so the probe also re-proves the
+      // rewrite's correctness at sizes the oracle never sees.
+      {
+        val per = spark.range(2000000L * k)
+          .select(col("id").as("s"),
+            pmod(hash(col("id"), lit(13)), lit(1000000L)).cast("long").as("cents"))
+          .persist()
+        per.count()
+        import org.apache.spark.sql.expressions.Window
+        var gSum: Long = 0L; var tSum: Long = 0L
+        time(s"pareto_global_x$k") {
+          val w = Window.orderBy(col("cents").desc, col("s"))
+          gSum = per
+            .withColumn("cum", sum(col("cents")).over(w.rowsBetween(Long.MinValue, 0)))
+            .agg(sum(hash(col("s"), col("cum")).cast("long"))).collect()(0).getLong(0)
+          2000000L * k
+        }
+        time(s"pareto_twophase_x$k") {
+          val parted = per.repartitionByRange(32, col("cents").desc, col("s"))
+            .withColumn("pid", spark_partition_id()).persist()
+          parted.count()
+          val wIn = Window.partitionBy("pid").orderBy(col("cents").desc, col("s"))
+          val within = parted
+            .withColumn("cum_in", sum(col("cents")).over(wIn.rowsBetween(Long.MinValue, 0)))
+          val offsets = parted.groupBy("pid").agg(sum(col("cents")).as("psum"))
+            .withColumn("coff", coalesce(sum(col("psum")).over(
+              Window.orderBy("pid").rowsBetween(Long.MinValue, -1)), lit(0L)))
+            .select("pid", "coff")
+          tSum = within.join(broadcast(offsets), "pid")
+            .agg(sum(hash(col("s"), col("cum_in") + col("coff")).cast("long")))
+            .collect()(0).getLong(0)
+          parted.unpersist()
+          2000000L * k
+        }
+        require(gSum == tSum, s"two-phase running sum != global window at x$k")
+        per.unpersist()
+      }
+
       // ANN brute top-k at k× corpus (10 probes broadcast, full scan)
       val vecs = replicateVecs(spark, d, k)
         .select(col("vec_id"),

@@ -1060,21 +1060,47 @@ object RelationalQueries {
     // supplier-keyed joins). Knee membership in PURE INTEGER form:
     // (cum - cents)·5 < total·4 means "the share BEFORE this row is
     // under 80%" — the knee row is included, everything after excluded,
-    // no float division anywhere near the filter. Running sums over
-    // supplier-cardinality rows; the lineitem log crosses one shuffle.
+    // no float division anywhere near the filter.
+    //
+    // TWO-PHASE running sum (r6): supplier cardinality scales with the
+    // data, so a bare Window.orderBy would put the whole running sum on
+    // ONE task. Instead: range-repartition on the (cents DESC, s) sort
+    // key, run row_number + running sum WITHIN each partition (parallel
+    // windows), then lift them to global values by adding per-partition
+    // prefix offsets — a #partitions-row frame, cumulated in a window
+    // over ≤ |cluster partitions| rows and broadcast back. Partition-id
+    // consistency between the two consumers is pinned by persisting the
+    // ranged frame (one supplier-cardinality cache, the same trick a
+    // distributed sort-prefix-sum uses); range boundaries need not be
+    // balanced for correctness — any order-consistent split yields the
+    // identical global (r, cum), which the oracle hash-checks.
     QuerySpec(
       "supplier_pareto",
       (s, d) => {
-        val per = lineitem(s, d)
-          .groupBy(col("l_suppkey").as("s"))
-          .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("cents"))
-        val byRev = Window.orderBy(col("cents").desc, col("s"))
-        val all_ = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-        per
-          .withColumn("r", row_number().over(byRev).cast("int"))
-          .withColumn("cum", sum(col("cents")).over(
-            byRev.rowsBetween(Long.MinValue, 0)))
-          .withColumn("total", sum(col("cents")).over(all_))
+        val parted = graft.analytics.Corpus.cached(s, d, "paretoRanged") {
+          lineitem(s, d)
+            .groupBy(col("l_suppkey").as("s"))
+            .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("cents"))
+            .repartitionByRange(32, col("cents").desc, col("s"))
+            .withColumn("pid", spark_partition_id())
+        }
+        val wIn = Window.partitionBy("pid").orderBy(col("cents").desc, col("s"))
+        val within = parted
+          .withColumn("r_in", row_number().over(wIn).cast("long"))
+          .withColumn("cum_in", sum(col("cents")).over(wIn.rowsBetween(Long.MinValue, 0)))
+        val wP = Window.orderBy("pid") // #partitions rows — bounded, not data-sized
+        val offsets = parted.groupBy("pid")
+          .agg(sum(col("cents")).as("psum"), count(lit(1)).as("pcnt"))
+          .withColumn("coff",
+            coalesce(sum(col("psum")).over(wP.rowsBetween(Long.MinValue, -1)), lit(0L)))
+          .withColumn("roff",
+            coalesce(sum(col("pcnt")).over(wP.rowsBetween(Long.MinValue, -1)), lit(0L)))
+          .withColumn("total", sum(col("psum")).over(
+            Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)))
+          .select("pid", "coff", "roff", "total")
+        within.join(broadcast(offsets), "pid")
+          .withColumn("r", (col("r_in") + col("roff")).cast("int"))
+          .withColumn("cum", col("cum_in") + col("coff"))
           .filter((col("cum") - col("cents")) * 5 < col("total") * 4)
           .select(col("s"), col("cents"), col("r"), col("cum"),
             expr("cast((cum * 100) div total as bigint)").as("cum_pct"))

@@ -222,6 +222,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Filter bloom_might_contain_long"), p)
   }
 
+  test("supplier_pareto: running sum is two-phase — no data-sized single-task window") {
+    val p = plan("supplier_pareto")
+    // r6: supplier cardinality scales with data, so the running sum must
+    // NOT be a bare global window (one task by construction). The plan
+    // carries a range repartition on the sort key and pid-partitioned
+    // (parallel) windows over the data side; only the #partitions-row
+    // offsets frame may use an empty partition spec.
+    assert(p.contains("Exchange rangepartitioning"),
+      s"range repartition missing — running sum is single-task again:\n$p")
+    assert("windowspecdefinition\\(pid".r.findAllIn(p).nonEmpty,
+      s"per-partition window missing:\n$p")
+  }
+
+  test("agg_mode/profile_key_skew: global windows consume group-cardinality inputs only") {
+    // these queries keep an empty-partition window BY DESIGN: their
+    // window input is a post-aggregation frame whose cardinality is the
+    // GROUP count (modes per group / one profile row), not the data —
+    // pin that an aggregate sits below the window so a refactor can't
+    // silently feed it data-sized input
+    for (q <- Seq("agg_mode", "profile_key_skew")) {
+      val p = plan(q)
+      val win = p.indexOf("Window")
+      if (win >= 0) {
+        assert(p.indexOf("HashAggregate", win) >= 0,
+          s"$q: global window not above an aggregate (cardinality unbounded):\n$p")
+      }
+    }
+  }
+
   test("dedup_containment: rare/common split is broadcast; the stream-sized df agg is shared") {
     val p = plan("dedup_containment")
     // r6: the split must NOT shuffle the exploded shingle stream through
