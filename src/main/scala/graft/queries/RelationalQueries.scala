@@ -1253,6 +1253,106 @@ object RelationalQueries {
           WHERE h.sq * 6 > (SELECT SUM(CAST(l2.l_quantity AS BIGINT))
                             FROM lineitem l2 WHERE l2.l_partkey = h.l_partkey))""")),
 
+    // ───── SQL-text surface, TPC-H Q2 shape: a correlated scalar MIN
+    // over a FOUR-table join (lineitem⋈supplier⋈nation⋈region), equated
+    // against the outer row's price — "the supplier offering each
+    // part's minimum European price" (lineitem stands in for partsupp,
+    // which this corpus doesn't ship). The decorrelation stress is the
+    // point: Catalyst must rewrite the correlated 4-table MIN into a
+    // grouped aggregate equi-joined back on p_partkey — never a
+    // nested-loop re-execution per outer row (PlanSpec pins no
+    // BNLJ/cartesian). Price equality is exact (same parquet doubles on
+    // both engines); the LIMIT cut is deterministic because tied rows
+    // are value-identical (same part+price+supplier ⇒ same nation).
+    QuerySpec(
+      "sql_q2_min_cost",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_v")
+        supplier(s, d).createOrReplaceTempView("supplier_v")
+        part(s, d).createOrReplaceTempView("part_v")
+        nation(s, d).createOrReplaceTempView("nation_v")
+        region(s, d).createOrReplaceTempView("region_v")
+        s.sql("""
+          SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, l.l_extendedprice AS best_price
+          FROM part_v p, lineitem_v l, supplier_v s, nation_v n, region_v r
+          WHERE l.l_partkey = p.p_partkey AND s.s_suppkey = l.l_suppkey
+            AND n.n_nationkey = s.s_nationkey AND r.r_regionkey = n.n_regionkey
+            AND r.r_name = 'EUROPE' AND p.p_size <= 5
+            AND l.l_extendedprice = (
+              SELECT MIN(l2.l_extendedprice)
+              FROM lineitem_v l2, supplier_v s2, nation_v n2, region_v r2
+              WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+                AND n2.n_nationkey = s2.s_nationkey AND r2.r_regionkey = n2.n_regionkey
+                AND r2.r_name = 'EUROPE')
+          ORDER BY best_price DESC, p_partkey, s_name LIMIT 100""")
+      },
+      Some("""
+        SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, l.l_extendedprice AS best_price
+        FROM part p, lineitem l, supplier s, nation n, region r
+        WHERE l.l_partkey = p.p_partkey AND s.s_suppkey = l.l_suppkey
+          AND n.n_nationkey = s.s_nationkey AND r.r_regionkey = n.n_regionkey
+          AND r.r_name = 'EUROPE' AND p.p_size <= 5
+          AND l.l_extendedprice = (
+            SELECT MIN(l2.l_extendedprice)
+            FROM lineitem l2, supplier s2, nation n2, region r2
+            WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+              AND n2.n_nationkey = s2.s_nationkey AND r2.r_regionkey = n2.n_regionkey
+              AND r2.r_name = 'EUROPE')
+        ORDER BY best_price DESC, p_partkey, s_name LIMIT 100""")),
+
+    // ───── SQL-text surface, TPC-H Q21 shape: EXISTS and NOT EXISTS
+    // against the SAME fact with non-equi correlation — "suppliers who
+    // were the SOLE late supplier on a multi-supplier order" (late =
+    // shipped >90 days after the order date; this corpus has no
+    // commit/receipt dates). The two predicate subqueries must
+    // decorrelate to one LEFT SEMI and one LEFT ANTI join on
+    // l_orderkey with the <> residual — re-scanning the fact per outer
+    // row would be quadratic (PlanSpec pins the join types and no
+    // cartesian). numwait counts late LINES, as Q21 counts l1 rows.
+    QuerySpec(
+      "sql_q21_sole_late",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_v")
+        supplier(s, d).createOrReplaceTempView("supplier_v")
+        orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          WITH lf AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   CASE WHEN l.l_shipdate > date_add(o.o_orderdate, 90)
+                        THEN 1 ELSE 0 END AS late
+            FROM lineitem_v l JOIN orders_v o
+              ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+          SELECT s.s_name, count(*) AS numwait
+          FROM supplier_v s JOIN lf l1 ON s.s_suppkey = l1.l_suppkey
+          WHERE l1.late = 1
+            AND EXISTS (SELECT 1 FROM lf l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lf l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+          GROUP BY s.s_name
+          ORDER BY numwait DESC, s_name LIMIT 100""")
+      },
+      Some("""
+        WITH lf AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END AS late
+          FROM lineitem l JOIN orders o
+            ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier s JOIN lf l1 ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.late = 1
+          AND EXISTS (SELECT 1 FROM lf l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lf l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name LIMIT 100""")),
+
     // ───── time-series gap fill: the dense (hour × event_type) spine
     // with zero-filled gaps — what a dashboard or anomaly detector needs
     // (a MISSING hour is a signal, and an inner-join aggregate silently

@@ -222,6 +222,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Filter bloom_might_contain_long"), p)
   }
 
+  test("sql_q2_min_cost: correlated 4-table MIN decorrelates — no nested-loop re-execution") {
+    val p = plan("sql_q2_min_cost")
+    assert(!p.contains("CartesianProduct"), s"cartesian product survived:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ survived decorrelation:\n$p")
+    // the correlated MIN becomes a grouped aggregate joined back
+    assert(p.contains("HashAggregate"), s"decorrelated aggregate missing:\n$p")
+  }
+
+  test("sql_q21_sole_late: EXISTS/NOT EXISTS become one semi and one anti join") {
+    val p = plan("sql_q21_sole_late")
+    assert(p.contains("LeftSemi"), s"EXISTS not a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product survived:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ survived decorrelation:\n$p")
+  }
+
   test("supplier_pareto: running sum is two-phase — no data-sized single-task window") {
     val p = plan("supplier_pareto")
     // r6: supplier cardinality scales with data, so the running sum must
