@@ -5,10 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Decoded-image record produced by the typed decode path.
   * `pixels` is the decoded sample buffer (row-major, bounded preview —
-  * a real decode would emit the full plane).
+  * a real decode would emit the full plane). `decoder` is the
+  * provenance tag — "real-ppm" / "real-jdk" / "stub" — so a pipeline
+  * consumer can filter fabricated rasters out of training data instead
+  * of discovering them by statistics (r6; stub rows were previously
+  * indistinguishable downstream).
   */
 final case class DecodedImage(
-    doc_id: Long, width: Int, height: Int, channels: Int, pixels: Array[Float])
+    doc_id: Long, width: Int, height: Int, channels: Int, pixels: Array[Float],
+    decoder: String)
 
 /** One decoded video/animation frame from the typed extraction path. */
 final case class VideoFrame(
@@ -63,8 +68,18 @@ object MultimodalOps {
     val (w, h, c) = header(img)
     val n = math.min(previewLen, w * h * c)
     val px = Array.tabulate(n)(i => (img(i % img.length) & 0xff) / 255f)
-    DecodedImage(-1L, w, h, c, px)
+    DecodedImage(-1L, w, h, c, px, "stub")
   }
+
+  /** Provenance tag a payload gets under the decode dispatch — the
+    * magic-byte rule [[decodeImages]]/[[resizeImages]] route by, exposed
+    * so queries and specs can mirror it ("real-ppm" / "real-jdk" /
+    * "stub").
+    */
+  def decoderTag(img: Array[Byte]): String =
+    if (MediaCodecs.isPpm(img)) "real-ppm"
+    else if (MediaCodecs.isImageIoFormat(img)) "real-jdk"
+    else "stub"
 
   /** Real raster (PPM or ImageIO) → preview-bounded DecodedImage:
     * actual pixel values scaled to [0,1), bounded to `previewLen`
@@ -73,19 +88,22 @@ object MultimodalOps {
     * [[resizeImages]], whose output size is caller-bounded).
     */
   private def fromRaster(w: Int, h: Int, c: Int, raster: Array[Byte],
-                         previewLen: Int): DecodedImage = {
+                         previewLen: Int, decoder: String): DecodedImage = {
     val n = math.min(previewLen, raster.length)
-    DecodedImage(-1L, w, h, c, Array.tabulate(n)(i => (raster(i) & 0xff) / 255f))
+    DecodedImage(-1L, w, h, c, Array.tabulate(n)(i => (raster(i) & 0xff) / 255f), decoder)
   }
 
-  /** Real decode dispatch: P6 via the byte parser, PNG/JPEG/BMP/GIF via
-    * the JDK's ImageIO readers ([[MediaCodecs.decodeImageIo]]); None for
-    * formats that must take the stub.
+  /** Real decode dispatch by [[decoderTag]]: P6 via the byte parser,
+    * PNG/JPEG/BMP/GIF via the JDK's ImageIO readers
+    * ([[MediaCodecs.decodeImageIo]]); None for formats that must take
+    * the stub. The tag travels with the raster.
     */
-  private def decodeReal(img: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
-    if (MediaCodecs.isPpm(img)) Some(MediaCodecs.decodePpm(img))
-    else if (MediaCodecs.isImageIoFormat(img)) Some(MediaCodecs.decodeImageIo(img))
-    else None
+  private def decodeReal(img: Array[Byte]): Option[(String, (Int, Int, Int, Array[Byte]))] =
+    decoderTag(img) match {
+      case "real-ppm" => Some("real-ppm" -> MediaCodecs.decodePpm(img))
+      case "real-jdk" => Some("real-jdk" -> MediaCodecs.decodeImageIo(img))
+      case _          => None
+    }
 
   /** Batched typed decode: (doc_id, img binary) → Dataset[DecodedImage].
     * Batches bound per-task memory and give codecs an amortization unit.
@@ -103,8 +121,9 @@ object MultimodalOps {
           // per-batch seam: codec/native-lib setup would happen once here
           batch.iterator.map { case (id, img) =>
             val d = decodeReal(img) match {
-              case Some((w, h, c, raster)) => fromRaster(w, h, c, raster, previewLen)
-              case None                    => decodeStub(img, previewLen)
+              case Some((tag, (w, h, c, raster))) =>
+                fromRaster(w, h, c, raster, previewLen, tag)
+              case None => decodeStub(img, previewLen)
             }
             d.copy(doc_id = id)
           }
@@ -164,7 +183,7 @@ object MultimodalOps {
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, img) =>
             decodeReal(img) match {
-              case Some((w, h, c, raster)) =>
+              case Some((tag, (w, h, c, raster))) =>
                 // real nearest-neighbor: out(x,y,ch) = in(x*w/tw, y*h/th, ch)
                 val px = Array.tabulate(targetW * targetH * c) { i =>
                   val ch = i % c; val x = (i / c) % targetW; val y = i / (c * targetW)
@@ -172,7 +191,7 @@ object MultimodalOps {
                   val sy = (y.toLong * h / targetH).toInt
                   (raster((sy * w + sx) * c + ch) & 0xff) / 255f
                 }
-                DecodedImage(id, targetW, targetH, c, px)
+                DecodedImage(id, targetW, targetH, c, px, tag)
               case None =>
                 val full = decodeStub(img, previewLen = 64)
                 val n = targetW * targetH
@@ -180,7 +199,7 @@ object MultimodalOps {
                 val px = Array.tabulate(n) { i =>
                   full.pixels(((i.toLong * full.pixels.length) / n).toInt)
                 }
-                DecodedImage(id, targetW, targetH, full.channels, px)
+                DecodedImage(id, targetW, targetH, full.channels, px, "stub")
             }
           }
         }
@@ -208,11 +227,11 @@ object MultimodalOps {
           val (rate, ch, samples) = MediaCodecs.decodeWav(img)
           samples.grouped(windowSamples).zipWithIndex.map { case (win, no) =>
             val sumSq = win.foldLeft(0.0)((a, s) => a + s.toDouble * s)
-            (id, no.toLong, math.sqrt(sumSq / win.length) / 32768.0, rate, ch)
+            (id, no.toLong, math.sqrt(sumSq / win.length) / 32768.0, rate, ch, "real-wav")
           }
         }
       }
-      .toDF("doc_id", "win_no", "rms", "sample_rate", "channels")
+      .toDF("doc_id", "win_no", "rms", "sample_rate", "channels", "decoder")
   }
 
   /** ██ STUB ██ audio feature extraction for payloads without a parseable
@@ -229,5 +248,5 @@ object MultimodalOps {
               i -> cast(conv(hex(substring(img, win_start + i, 1)), 16, 10) as bigint)),
             0L, (acc, v) -> acc + v) / cast($window as double)"""))
       .select(col("doc_id"), (col("win_start") / window).cast("long").as("win_no"),
-        col("energy"))
+        col("energy"), lit("stub").as("decoder"))
 }

@@ -31,6 +31,15 @@ object MultimodalQueries {
     // Spark reads through the binary column (substring on BinaryType →
     // hex → int); the oracle computes the same fields directly from the
     // md5 hex — identical by construction since img = unhex(md5(text)).
+    // The `decoder` column (r6) is the provenance tag downstream
+    // consumers filter on — the SAME magic-byte dispatch rule the typed
+    // path routes by ([[MultimodalOps.decoderTag]]: P6+whitespace →
+    // real-ppm; PNG/JPEG/BMP/GIF magics → real-jdk; else stub),
+    // mirrored byte-for-byte in the oracle over the md5 hex, so a
+    // payload that would be really decoded is labeled as such in BOTH
+    // engines. On this fake corpus every row is 'stub' — which is
+    // exactly the point: fabricated rasters are now marked, not
+    // discovered by statistics.
     QuerySpec(
       "mm_decode_meta",
       (s, d) => Tables.documents(s, d)
@@ -47,14 +56,32 @@ object MultimodalQueries {
           """case when n_pixels >= 8000000 then 'large'
                   when n_pixels >= 1000000 then 'medium'
                   else 'small' end"""))
-        .select("doc_id", "width", "height", "channels", "n_bytes", "n_pixels", "size_class"),
+        .withColumn("decoder", expr(
+          """case when substring(img, 1, 2) = X'5036'
+                       and cast(conv(hex(substring(img, 3, 1)), 16, 10) as int)
+                           in (9, 10, 11, 12, 13, 28, 29, 30, 31, 32) then 'real-ppm'
+                  when substring(img, 1, 8) = X'89504E470D0A1A0A' then 'real-jdk'
+                  when substring(img, 1, 3) = X'FFD8FF' then 'real-jdk'
+                  when substring(img, 1, 2) = X'424D' then 'real-jdk'
+                  when substring(img, 1, 4) = X'47494638' then 'real-jdk'
+                  else 'stub' end"""))
+        .select("doc_id", "width", "height", "channels", "n_bytes", "n_pixels",
+          "size_class", "decoder"),
       Some("""
         SELECT doc_id, width, height, channels, n_bytes,
                width * height * channels AS n_pixels,
                CASE WHEN width * height * channels >= 8000000 THEN 'large'
                     WHEN width * height * channels >= 1000000 THEN 'medium'
-                    ELSE 'small' END AS size_class
-        FROM (SELECT doc_id,
+                    ELSE 'small' END AS size_class,
+               CASE WHEN substr(h, 1, 4) = '5036'
+                         AND CAST(('0x' || substr(h, 5, 2)) AS INTEGER)
+                             IN (9, 10, 11, 12, 13, 28, 29, 30, 31, 32) THEN 'real-ppm'
+                    WHEN substr(h, 1, 16) = '89504e470d0a1a0a' THEN 'real-jdk'
+                    WHEN substr(h, 1, 6) = 'ffd8ff' THEN 'real-jdk'
+                    WHEN substr(h, 1, 4) = '424d' THEN 'real-jdk'
+                    WHEN substr(h, 1, 8) = '47494638' THEN 'real-jdk'
+                    ELSE 'stub' END AS decoder
+        FROM (SELECT doc_id, md5(text) AS h,
                      1 + CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 4096 AS width,
                      1 + CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 4096 AS height,
                      1 + CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT) % 3 AS channels,

@@ -38,6 +38,14 @@ class AnalyticsSpec extends SparkSpec {
     typed.foreach { d =>
       assert(d.pixels.length <= 16 && d.pixels.forall(p => p >= 0f && p <= 1f))
     }
+    // r6 provenance: fake payloads are MARKED as stub decodes, and the
+    // typed tag agrees with the expression-side dispatch column the
+    // mm_decode_meta oracle checks
+    typed.foreach(d => assert(d.decoder == "stub", s"doc ${d.doc_id} not tagged stub"))
+    val exprTags = SparkEntry.queries("mm_decode_meta")(spark, sf)
+      .select("doc_id", "decoder").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    typed.foreach(d => assert(exprTags(d.doc_id) == d.decoder))
   }
 
   test("resizeImages: output raster is exactly target dims regardless of source") {
@@ -72,6 +80,7 @@ class AnalyticsSpec extends SparkSpec {
     assert((dec(1L).width, dec(1L).height, dec(1L).channels) === ((2, 2, 3)))
     assert(dec(1L).pixels.toSeq === Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f))
     assert(dec(2L).width === 1 + ((0x00 << 8 | 0x11) % 4096)) // stub header path intact
+    assert(dec(1L).decoder === "real-ppm" && dec(2L).decoder === "stub") // r6 provenance
     // real resize 2x2 → 1x2: nearest-neighbor picks columns' left pixel
     val rs = MultimodalOps.resizeImages(df.filter($"doc_id" === 1L), 1, 2).collect()(0)
     assert(rs.pixels.length === 1 * 2 * 3)
@@ -105,6 +114,7 @@ class AnalyticsSpec extends SparkSpec {
     Seq(1L, 2L).foreach { id =>
       assert((dec(id).width, dec(id).height, dec(id).channels) === ((2, 2, 3)), s"doc $id")
       assert(dec(id).pixels.toSeq === expected, s"doc $id pixels")
+      assert(dec(id).decoder === "real-jdk", s"doc $id provenance") // r6
     }
     // alpha PNG → 4 channels with the actual alpha value
     val argbPx = Seq(0x80ff0000, 0xff00ff00, 0x00000000, 0xffffffff)
