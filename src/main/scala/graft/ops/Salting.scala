@@ -59,4 +59,61 @@ object Salting {
       .join(replicateSmall(small, n), keys :+ "__salt", joinType)
       .drop("__salt")
   }
+
+  /** Key-skew summary of one join side — the `profile_key_skew` query's
+    * fields as a value the salting decision consumes (r6: the profile
+    * query and the operator existed; this is the wire between them).
+    */
+  final case class SkewProfile(nKeys: Long, nRows: Long, maxPerKey: Long)
+
+  /** Measure a [[SkewProfile]] over the join keys — ONE hash-agg with
+    * map-side partials over the frame, then a key-cardinality-sized
+    * summary (the profile_key_skew shape, without the ranking fields the
+    * decision doesn't need). Runs as its own (small) job; amortize it by
+    * profiling once per recurring pipeline, not per run.
+    */
+  def profileKeys(df: DataFrame, keys: Seq[String]): SkewProfile = {
+    val r = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("nk"), sum(col("n")).as("total"), max(col("n")).as("mx"))
+      .collect()(0)
+    if (r.isNullAt(1)) SkewProfile(0L, 0L, 0L)
+    else SkewProfile(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** The salting DECISION: from a measured profile, either None (plain
+    * join — AQE and ordinary hashing are enough) or Some(n), the salt
+    * factor to split the hottest key to roughly its fair task share.
+    *
+    * Rule: under uniform hashing a task's fair share is
+    * nRows/parallelism; a hot key only matters once it exceeds
+    * `tolerance` fair shares (below that, AQE's runtime skew split and
+    * ordinary scheduling absorb it — over-salting costs n× small-side
+    * replication for nothing). Above it, n = ceil(maxPerKey/fairShare)
+    * splits the hot key into fair-share-sized buckets, capped at
+    * `maxFactor` (past that the small-side replication dominates).
+    * Pure integer arithmetic — deterministic for a given profile.
+    */
+  def decideSaltFactor(profile: SkewProfile, parallelism: Int,
+                       tolerance: Long = 4L, maxFactor: Int = 64): Option[Int] = {
+    require(parallelism >= 1 && tolerance >= 1 && maxFactor >= 2)
+    val fairShare = math.max(1L, profile.nRows / parallelism)
+    if (profile.maxPerKey <= fairShare * tolerance) None
+    else Some(math.min(maxFactor.toLong,
+      (profile.maxPerKey + fairShare - 1L) / fairShare).toInt)
+  }
+
+  /** Profile-driven join: measures the big side's key skew, then either
+    * plain-joins (no skew worth paying replication for) or salted-joins
+    * at the decided factor. The composition of [[profileKeys]] →
+    * [[decideSaltFactor]] → [[saltedJoin]]; ScaleSpec pins a case where
+    * the profile flips the decision.
+    */
+  def profiledJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                   parallelism: Int, spreadCols: Seq[Column] = Nil,
+                   joinType: String = "inner",
+                   tolerance: Long = 4L, maxFactor: Int = 64): DataFrame =
+    decideSaltFactor(profileKeys(big, keys), parallelism, tolerance, maxFactor) match {
+      case Some(n) => saltedJoin(big, small, keys, n, spreadCols, joinType)
+      case None    => big.join(small, keys, joinType)
+    }
 }

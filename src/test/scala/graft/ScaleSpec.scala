@@ -124,6 +124,51 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("profiled salting: the measured skew profile flips the join decision") {
+    import spark.implicits._
+    import graft.ops.Salting
+    // UNIFORM keys: hottest key ~ fair share → the decision is a plain
+    // join (no salt column, no small-side replication paid)
+    val uniform = spark.range(32000)
+      .select((col("id") % 1000).as("k"), col("id").as("payload"))
+    val pu = Salting.profileKeys(uniform, Seq("k"))
+    assert(pu === Salting.SkewProfile(1000L, 32000L, 32L))
+    assert(Salting.decideSaltFactor(pu, parallelism = 32) === None)
+
+    // ONE hot key carrying ~91% of rows → the profile demands a salt
+    // factor, sized to split the hot key into ~fair-share buckets
+    val skewed = spark.range(33000)
+      .select(when(col("id") < 30000, lit(7L)).otherwise(col("id") % 1000).as("k"),
+        col("id").as("payload"))
+    val ps = Salting.profileKeys(skewed, Seq("k"))
+    assert(ps.maxPerKey >= 30000L)
+    val factor = Salting.decideSaltFactor(ps, parallelism = 32)
+    assert(factor.isDefined && factor.get > 1,
+      s"hot-key profile did not trigger salting: $ps -> $factor")
+
+    // the composed profiledJoin returns exactly the plain join's rows in
+    // BOTH regimes (the decision changes the plan, never the answer)
+    val small = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("v"))
+    for (big <- Seq(uniform, skewed)) {
+      val plain = big.join(small, "k").agg(count(lit(1)), sum("v"), sum("payload"))
+        .collect()(0)
+      val profiled = Salting.profiledJoin(big, small, Seq("k"),
+        parallelism = 32, spreadCols = Seq(col("payload")))
+        .agg(count(lit(1)), sum("v"), sum("payload")).collect()(0)
+      assert(plain === profiled)
+    }
+
+    // decision arithmetic at the boundaries: empty frame and
+    // all-one-key both behave (no div-by-zero, capped factor)
+    assert(Salting.decideSaltFactor(Salting.SkewProfile(0, 0, 0), 32) === None)
+    // one key owns everything: factor = parallelism (split to fair shares)...
+    assert(Salting.decideSaltFactor(
+      Salting.SkewProfile(1, 1000000, 1000000), 32) === Some(32))
+    // ...and the replication cap binds once parallelism outruns it
+    assert(Salting.decideSaltFactor(
+      Salting.SkewProfile(1, 1000000, 1000000), 1000, maxFactor = 64) === Some(64))
+  }
+
   test("LSH parameters derive from corpus size, and the registered queries consume them") {
     import graft.analytics.Corpus
     // width grows with n (constant mean occupancy), integer-exact at
