@@ -849,6 +849,48 @@ class StreamingSpec extends SparkSpec {
     assert(after.contains(2L -> 1L)) // earlier candidates retained in sink
   }
 
+  test("verifiedNearDupStream: streamed verified pairs = batch dedup_minhash_lsh, across a restart") {
+    // D9 end-to-end (r6): the all-pairs candidate stage + foreachBatch
+    // exact-Jaccard verify, fed the SAME corpus the batch query runs on,
+    // must converge to the identical verified-pair set — including a
+    // mid-drain stop/resume on one checkpoint.
+    val sfDir = "/root/testdata/sf0.001"
+    val in = tmp("sdedup-in"); val ckpt = tmp("sdedup-ckpt")
+    val corpus = graft.analytics.Corpus.docsWithNearDups(spark, sfDir)
+      .withColumn("approxCreationTs",
+        org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:01")))
+    // 24 files = 24 micro-batches at maxFilesPerTrigger=1; rows shuffle
+    // across files, so most near-dup pairs straddle batch boundaries and
+    // ride on the band-membership STATE, not on same-batch collisions
+    corpus.repartition(24).write.mode("overwrite").parquet(in)
+    val batchDocs = spark.read.parquet(in)
+    val hsets = graft.streaming.StreamingDedup.shingleSets(batchDocs)
+    val schema = batchDocs.schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    // at-least-once sink: keyed accumulation dedups redeliveries
+    val got = scala.collection.concurrent.TrieMap.empty[(Long, Long), Double]
+    val sink = (b: org.apache.spark.sql.DataFrame) => {
+      b.collect().foreach(r => got.put((r.getLong(0), r.getLong(1)), r.getDouble(2))); ()
+    }
+    // phase 1: continuous drain, STOP once verified pairs start landing
+    val q1 = graft.streaming.StreamingDedup.verifiedNearDupStream(
+      stream(), hsets, ckpt, sink,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    val deadline = System.currentTimeMillis() + 90000
+    while (got.size < 3 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    q1.stop() // may interrupt an uncommitted batch; resume must replay it
+    val atStop = got.size
+    // phase 2: same checkpoint — membership state restores, the rest drains
+    val q2 = graft.streaming.StreamingDedup.verifiedNearDupStream(
+      stream(), hsets, ckpt, sink)
+    q2.awaitTermination(120000)
+    val want = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(want.nonEmpty && got.toMap === want,
+      s"streamed ${got.size} pairs (${atStop} before restart) != batch ${want.size}")
+  }
+
   test("decodeHeavyHitters: streaming sketch + batch recount = exact per-window hitters") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
