@@ -59,3 +59,85 @@ final case class SocketCdcSource(host: String, port: Int) extends CdcSource {
       spark.readStream.format("socket")
         .option("host", host).option("port", port).load())
 }
+
+/** The subset of a shard-iterator data plane (the Kinesis/DynamoDB
+  * Streams shape) the consumer protocol needs. Sequence numbers are
+  * strings whose LEXICOGRAPHIC order is the delivery order within a
+  * shard (zero-padded numerics); `""` addresses the shard's trim
+  * horizon. A closed shard (post-reshard parent) returns its remaining
+  * records and then empty forever. `getRecords` is at-least-once: a
+  * caller that re-polls from an old position gets the same records
+  * again — deduplication is the CONSUMER's job, which is exactly what
+  * the downstream seq-guarded idempotent apply provides.
+  */
+trait ShardService {
+  /** (shardId, parentShardId, closed) for every shard, parents listed
+    * before their children (discovery order).
+    */
+  def listShards(): Seq[(String, Option[String], Boolean)]
+
+  /** Records strictly after `afterSeq` in this shard, up to `limit`,
+    * as (sequenceNumber, jsonLine).
+    */
+  def getRecords(shardId: String, afterSeq: String, limit: Int): Seq[(String, String)]
+}
+
+/** The consumer side of a shard-iterator transport (the Kinesis shape,
+  * SURVEY §2.9 S1 — the contract the unbuildable-in-sandbox production
+  * connector must satisfy), runnable against any [[ShardService]]:
+  *
+  *  - shard DISCOVERY each round, so resharding mid-stream is picked up;
+  *  - PARENT-BEFORE-CHILD draining: a child shard is never polled until
+  *    its parent is closed AND drained — the rule that preserves per-key
+  *    order across a split (a key's pre-split records all live in the
+  *    parent; its post-split records in one child);
+  *  - per-shard committed positions with an EXPLICIT commit step:
+  *    `pump(commit = false)` models the crash-before-checkpoint window,
+  *    after which the next round redelivers the same records —
+  *    at-least-once by construction, not by accident;
+  *  - delivered batches append to a replayable JSON-lines spool consumed
+  *    by the checkpointed file source, so the Spark side keeps
+  *    exactly-once through the idempotent seq-guarded apply even though
+  *    the transport deliveries duplicate (StreamingSpec drives a reshard
+  *    mid-stream plus a redelivery through the full apply pipeline).
+  */
+final class ShardSpoolConnector(service: ShardService, spoolDir: String,
+                                maxFilesPerTrigger: Int = 1000) extends CdcSource {
+  private val committed = scala.collection.mutable.Map.empty[String, String]
+  private val drained = scala.collection.mutable.Set.empty[String]
+  private var fileNo = 0
+  new java.io.File(spoolDir).mkdirs()
+
+  /** Shards this connector considers fully consumed (closed + empty). */
+  def drainedShards: Set[String] = synchronized(drained.toSet)
+
+  /** One polling round over every eligible shard; returns records
+    * delivered to the spool. With `commit = false` the positions do not
+    * advance — the next round redelivers (the crash window).
+    */
+  def pump(limit: Int = 1000, commit: Boolean = true): Int = synchronized {
+    val shards = service.listShards()
+    val known = shards.map(_._1).toSet
+    var delivered = 0
+    shards.foreach { case (id, parent, closed) =>
+      val parentDone = parent.forall(p => !known.contains(p) || drained.contains(p))
+      if (!drained.contains(id) && parentDone) {
+        val recs = service.getRecords(id, committed.getOrElse(id, ""), limit)
+        if (recs.nonEmpty) {
+          val f = new java.io.File(spoolDir, f"spool-$fileNo%06d-$id.json")
+          fileNo += 1
+          val w = new java.io.PrintWriter(f, "UTF-8")
+          try recs.foreach(r => w.println(r._2)) finally w.close()
+          delivered += recs.length
+          if (commit) committed(id) = recs.last._1
+        } else if (closed) {
+          drained += id // closed and nothing past our position: finished
+        }
+      }
+    }
+    delivered
+  }
+
+  override def stream(spark: SparkSession): DataFrame =
+    CdcStream.cdcFileSource(spark, spoolDir, maxFilesPerTrigger)
+}
