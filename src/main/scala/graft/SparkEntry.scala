@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
   /** Every registered capability, in module order. */
   def specs: Seq[QuerySpec] =
-    CdcQueries.all ++ RelationalQueries.all ++
+    CdcQueries.all ++ RelationalQueries.all ++ TpchShapes.all ++
       TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++
       PipelineQueries.all

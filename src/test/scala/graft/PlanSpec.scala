@@ -300,4 +300,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("INSET") || p.contains(" IN ("), s"candidate filter missing in:\n$p")
     assert(p.contains("partial_count"), s"recount agg not two-phase in:\n$p")
   }
+
+  test("sql_q4_late_priority: correlated EXISTS is one semi join, no re-scan per order") {
+    val p = plan("sql_q4_late_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS not a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop shape survived:\n$p")
+  }
+
+  test("sql_q17_small_quantity: both correlated scalars decorrelate to one grouped agg") {
+    val p = plan("sql_q17_small_quantity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop shape survived:\n$p")
+    assert(p.contains("HashAggregate"), s"decorrelated per-part aggregate missing:\n$p")
+  }
+
+  test("sql_q16/q22: NOT IN / NOT EXISTS execute as anti joins") {
+    assert(plan("sql_q16_supplier_variety").contains("LeftAnti"))
+    assert(plan("sql_q22_idle_rich").contains("LeftAnti"))
+  }
+
+  test("q19_disjunctive: the equi key is factored out of the OR — BHJ, not BNLJ") {
+    val p = plan("q19_disjunctive")
+    assert(p.contains("BroadcastHashJoin"), s"broadcast hash join missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"disjunction degraded the join:\n$p")
+  }
+
+  test("q7/q8/q10: dim chains broadcast — exactly one fact-fact hash shuffle pair") {
+    for (q <- Seq("q7_nation_volume", "q8_market_share", "q10_returned_topk")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: dims not broadcast:\n$p")
+      // orders⋈lineitem is the only shuffle join; everything else broadcasts
+      val smjKeys = "SortMergeJoin".r.findAllIn(p).length
+      assert(smjKeys <= 1, s"$q: expected <=1 shuffle join, got $smjKeys:\n$p")
+    }
+  }
+
+  test("q13_order_histogram: zero-bucket preserved via left outer; histogram agg two-phase") {
+    val p = plan("q13_order_histogram")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"), s"outer join lost:\n$p")
+    assert(p.contains("partial_count"), s"agg not two-phase:\n$p")
+  }
 }
