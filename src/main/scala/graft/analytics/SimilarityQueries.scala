@@ -202,6 +202,85 @@ object SimilarityQueries {
         col("nn").as("na"), col("q_nn").as("nb"))
   }
 
+  /** Candidate-pool multiplier for the SQ8 rerank: the approximate scan
+    * keeps 4·k candidates per probe, the exact pass reranks them to k.
+    */
+  private val Sq8CandMult = 4
+
+  /** Shared approximate-score SQL for the SQ8 candidate stage, over
+    * columns (adot, ana, anb). ana·anb can exceed 2^53 (reconstructed
+    * norms are ×255² of qv units), so each factor converts to double
+    * SEPARATELY while still exact (< 2^53) and the product/division are
+    * single exactly-rounded IEEE ops — deterministic and bit-identical
+    * across engines, the same contract as [[Corpus.scoreSql]] extended
+    * by one multiply. ana = 0 (an all-zero reconstruction) ranks below
+    * every real score instead of producing an engine-dependent NaN.
+    */
+  private val sq8ApproxScoreSql = """
+    CASE WHEN ana = 0 THEN -2.0 ELSE
+      (CASE WHEN adot >= 0 THEN 1.0 ELSE -1.0 END)
+      * (CAST(adot AS DOUBLE) * CAST(adot AS DOUBLE))
+      / (CAST(ana AS DOUBLE) * CAST(anb AS DOUBLE)) END"""
+
+  /** SQ8 (8-bit scalar quantization) + exact rerank — the memory-bound
+    * ANN scale path: per-dimension corpus [min,max] bounds quantize
+    * every component to an 8-bit code (64 B/vector vs 512 B for the
+    * long-array form — the compact index a 100 TB vector store scans),
+    * the approximate pass ranks RECONSTRUCTED vectors (×255 integer
+    * arithmetic — code→value is exact, no float rescale) against the
+    * exact probe, and only the 4·k survivors per probe have their full
+    * vectors fetched (broadcast candidate-id join = the point-read
+    * stage) for the exact integer rerank. Bounds are a one-pass agg
+    * collapsing to 64 (dim, mn, mx) rows on the driver — the bounded-
+    * collect pattern, independent of corpus size. Quantization error
+    * can reorder NEAR-TIED candidates, which is why the pool is 4·k —
+    * `ann_recall` measures what survives; determinism is unconditional
+    * (every ranking key is exact-integer-derived on both engines).
+    */
+  private def sq8Pairs(s: SparkSession, d: String, kk: Int): DataFrame = {
+    val base = Corpus.quantizedVectors(s, d)
+    val bounds = base
+      .select(posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val mnl = typedLit(bounds.map(_._2).toSeq)
+    val mxl = typedLit(bounds.map(_._3).toSeq)
+    val recon = base
+      .withColumn("mnl", mnl).withColumn("mxl", mxl)
+      .withColumn("code", expr(
+        """transform(qv, (x, i) ->
+             CASE WHEN element_at(mxl, i + 1) > element_at(mnl, i + 1)
+                  THEN ((x - element_at(mnl, i + 1)) * 255L)
+                       div (element_at(mxl, i + 1) - element_at(mnl, i + 1))
+                  ELSE 0L END)"""))
+      .withColumn("rv", expr(
+        """transform(code, (cx, i) ->
+             element_at(mnl, i + 1) * 255L
+             + cx * (element_at(mxl, i + 1) - element_at(mnl, i + 1)))"""))
+      .withColumn("rnn", expr("aggregate(rv, 0L, (acc, x) -> acc + x * x)"))
+      .select("vec_id", "rv", "rnn")
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
+    val apairs = recon.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Corpus.dotCol("rv", "q_qv").as("adot"),
+        col("rnn").as("ana"), col("q_nn").as("anb"))
+    val topc = udaf(new graft.functions.TopKScoredAgg(Sq8CandMult * kk),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val cands = apairs
+      .withColumn("ascore", expr(sq8ApproxScoreSql))
+      .groupBy("query_id").agg(topc(col("ascore"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t._2").as("vec_id"))
+    base.join(broadcast(cands), "vec_id")
+      .join(broadcast(probes), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Corpus.dotCol("qv", "q_qv").as("dot"),
+        col("nn").as("na"), col("q_nn").as("nb"))
+  }
+
   // ── oracle-side mirrors: WITH-clause bodies ending in a `pairs` CTE ──
 
   private val dotSql =
@@ -331,6 +410,47 @@ object SimilarityQueries {
           FROM assigned v JOIN probecells q
             ON v.c_id = q.c_id AND v.vec_id <> q.query_id)"""
 
+  /** Oracle-side SQ8 mirror: same bounds agg, same integer code /
+    * reconstruction arithmetic, same 4·k candidate window (ROW_NUMBER
+    * over the shared approx-score SQL), same exact rerank join.
+    */
+  private def sq8CtesSql(kk: Int): String = s"""
+        base AS (${Corpus.quantizedVectorsSql}),
+        dims AS (
+          SELECT t.i AS i, MIN(b.qv[t.i]) AS mn, MAX(b.qv[t.i]) AS mx
+          FROM base b CROSS JOIN range(1, 65) t(i) GROUP BY t.i),
+        bnds AS (SELECT list(mn ORDER BY i) AS mnl, list(mx ORDER BY i) AS mxl FROM dims),
+        recon AS (
+          SELECT b.vec_id,
+                 list_transform(range(1, 65), i ->
+                   p.mnl[i] * 255 +
+                   (CASE WHEN p.mxl[i] > p.mnl[i]
+                         THEN ((b.qv[i] - p.mnl[i]) * 255) // (p.mxl[i] - p.mnl[i])
+                         ELSE 0 END) * (p.mxl[i] - p.mnl[i])) AS rv
+          FROM base b, bnds p),
+        rbase AS (
+          SELECT vec_id, rv,
+                 CAST(list_sum(list_transform(rv, x -> x * x)) AS BIGINT) AS rnn
+          FROM recon),
+        sq8probes AS (SELECT vec_id, qv, nn FROM base WHERE vec_id < 10),
+        apairs AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                 CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * v.rv[i])) AS BIGINT) AS adot,
+                 v.rnn AS ana, q.nn AS anb
+          FROM rbase v JOIN sq8probes q ON v.vec_id <> q.vec_id),
+        cands AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ($sq8ApproxScoreSql) DESC, vec_id) AS rk
+            FROM apairs) WHERE rk <= ${Sq8CandMult * kk}),
+        pairs AS (
+          SELECT c.query_id, c.vec_id,
+                 CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i] * q.qv[i])) AS BIGINT) AS dot,
+                 v.nn AS na, q.nn AS nb
+          FROM cands c JOIN base v ON v.vec_id = c.vec_id
+                       JOIN base q ON q.vec_id = c.query_id)"""
+
   val all: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -376,6 +496,20 @@ object SimilarityQueries {
       (s, d) => topKPerProbe(lshPairs(s, d), 3),
       Some(annSelectSql(lshCtesSql, 3))),
 
+    // SQ8 scalar-quantized scan + exact rerank: the MEMORY-bound ANN
+    // path (LSH/IVF prune candidates; SQ8 shrinks the bytes every
+    // candidate costs — 64 B codes vs 512 B vectors, 8×). The approx
+    // pass ranks integer-reconstructed codes against the exact probe,
+    // keeps 4·k per probe through the bounded aggregate, and only those
+    // survivors touch their full vectors (broadcast candidate-id join)
+    // for the exact rerank. Every step is integer-derived on both
+    // engines, so the whole approximate→exact pipeline sits under the
+    // hash gate; `ann_recall` measures its recall@3 vs brute force.
+    QuerySpec(
+      "ann_sq8_rerank",
+      (s, d) => topKPerProbe(sq8Pairs(s, d, 3), 3),
+      Some(annSelectSql(sq8CtesSql(3), 3))),
+
     // Recall@3 of every approximate path, MEASURED (the r5 verdict's
     // "recall-for-speed tradeoff is stated but never measured"): per
     // probe, how many of the brute-force top-3 the lsh / ivf /
@@ -394,7 +528,8 @@ object SimilarityQueries {
         val methods = Seq(
           "ivf" -> ivfPairs(ivfFixedAssigned(s, d)),
           "ivf_trained" -> ivfTrainedPairs(s, d),
-          "lsh" -> lshPairs(s, d))
+          "lsh" -> lshPairs(s, d),
+          "sq8" -> sq8Pairs(s, d, 3))
         methods.map { case (nm, pairs) =>
           val hits = gt
             .join(topKPerProbe(pairs, 3).select("query_id", "neighbor_id"),
@@ -415,6 +550,8 @@ object SimilarityQueries {
           SELECT query_id, neighbor_id FROM (${annSelectSql(ivfTrainedCtesSql, 3)})),
         m_lsh AS (
           SELECT query_id, neighbor_id FROM (${annSelectSql(lshCtesSql, 3)})),
+        m_sq8 AS (
+          SELECT query_id, neighbor_id FROM (${annSelectSql(sq8CtesSql(3), 3)})),
         h_ivf AS (
           SELECT g.query_id, count(*) AS hits FROM gt g
           JOIN m_ivf t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
@@ -426,6 +563,10 @@ object SimilarityQueries {
         h_lsh AS (
           SELECT g.query_id, count(*) AS hits FROM gt g
           JOIN m_lsh t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+          GROUP BY g.query_id),
+        h_sq8 AS (
+          SELECT g.query_id, count(*) AS hits FROM gt g
+          JOIN m_sq8 t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
           GROUP BY g.query_id)
         SELECT p.query_id, 'ivf' AS method,
                CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 3 AS k
@@ -437,6 +578,10 @@ object SimilarityQueries {
         UNION ALL
         SELECT p.query_id, 'lsh' AS method,
                CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 3 AS k
-        FROM probes p LEFT JOIN h_lsh h USING (query_id)"""))
+        FROM probes p LEFT JOIN h_lsh h USING (query_id)
+        UNION ALL
+        SELECT p.query_id, 'sq8' AS method,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 3 AS k
+        FROM probes p LEFT JOIN h_sq8 h USING (query_id)"""))
   )
 }

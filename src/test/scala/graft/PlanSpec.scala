@@ -337,6 +337,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ann_sq8_rerank: approx scan folds through the bounded agg; rerank fetch is broadcast") {
+    val p = plan("ann_sq8_rerank")
+    // the 4·k candidate cut is the partial bounded aggregate (map-side
+    // combine over the code scan), never a |probes|-partition window
+    assert(p.contains("partial_topkscoredagg"), s"no partial bounded agg in:\n$p")
+    // the exact-rerank vector fetch joins the tiny candidate-id set
+    // broadcast — the full-vector table is never shuffled for it
+    assert(p.contains("BroadcastHashJoin"), s"candidate fetch not broadcast in:\n$p")
+  }
+
   test("q13_order_histogram: zero-bucket preserved via left outer; histogram agg two-phase") {
     val p = plan("q13_order_histogram")
     assert(p.contains("LeftOuter") || p.contains("RightOuter"), s"outer join lost:\n$p")
