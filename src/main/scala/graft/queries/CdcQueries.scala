@@ -482,6 +482,65 @@ object CdcQueries {
         SELECT event_type, COUNT(*) AS n_keys,
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
         FROM cur WHERE rn = 1 AND event_type <> 'error'
-        GROUP BY event_type"""))
+        GROUP BY event_type""")),
+
+    // ───── §2.9-plus — schema-drift report over the CDC stream: the
+    // attribute inventory of the item images — (attribute, DDB type) →
+    // first_seen / last_seen / occurrences. DynamoDB is schemaless per
+    // item (the reference's Lambdas apply whatever NewImage arrives,
+    // app/lambdas/lambda-cdc/main.py's blind item put), so a NEW
+    // attribute appearing mid-stream or an attribute CHANGING TYPE is
+    // invisible until a consumer breaks; this report is the monitor
+    // that catches both (the drift here: `sess` exists for only ⅓ of
+    // keys, `score` appears on 2024-01-20, `v` flips N→S on view
+    // events). Spark-first shape: the image parses ONCE as
+    // MAP<STRING,STRING> (Jackson keeps each AttributeValue's raw JSON
+    // as the map value), explode → json_object_keys picks the type tag
+    // per attribute — all per-row maps; the only shuffle is the final
+    // (attr, type)-cardinality hash agg with map-side partials. The
+    // oracle mirrors the CONSTRUCTION (conditional UNION ALL branches),
+    // not the parse — the established cdc_ddb_* pattern.
+    QuerySpec(
+      "cdc_schema_drift",
+      (s, d) => {
+        val img = concat(
+          format_string("""{"pk":{"S":"u%d"}""", col("user_id")),
+          format_string(""","v":%s""",
+            when(col("event_type") === "view",
+              format_string("""{"S":"%d"}""", floor(col("value") * 100).cast("long")))
+              .otherwise(
+                format_string("""{"N":"%d"}""", floor(col("value") * 100).cast("long")))),
+          format_string(""","t":{"S":"%s"}""", col("event_type")),
+          when(col("user_id") % 3 === 0,
+            format_string(""","sess":{"S":"s%d"}""", col("user_id"))).otherwise(""),
+          when(col("ts") >= lit("2024-01-20 00:00:00").cast("timestamp"),
+            format_string(""","score":{"N":"%d"}""", col("event_id"))).otherwise(""),
+          lit("}"))
+        events(s, d)
+          .select(col("ts"),
+            explode(from_json(img, "MAP<STRING, STRING>",
+              Map.empty[String, String])).as(Seq("attr", "av")))
+          .withColumn("avtype", element_at(json_object_keys(col("av")), 1))
+          .groupBy("attr", "avtype")
+          .agg(min(col("ts")).as("first_seen"),
+            max(col("ts")).as("last_seen"),
+            count(lit(1)).as("n"))
+          .orderBy("attr", "avtype")
+      },
+      Some("""
+        SELECT attr, avtype, min(ts) AS first_seen, max(ts) AS last_seen,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT ts, 'pk' AS attr, 'S' AS avtype FROM events
+          UNION ALL
+          SELECT ts, 'v', CASE WHEN event_type = 'view' THEN 'S' ELSE 'N' END FROM events
+          UNION ALL
+          SELECT ts, 't', 'S' FROM events
+          UNION ALL
+          SELECT ts, 'sess', 'S' FROM events WHERE user_id % 3 = 0
+          UNION ALL
+          SELECT ts, 'score', 'N' FROM events
+          WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
+        GROUP BY attr, avtype ORDER BY attr, avtype"""))
   )
 }
