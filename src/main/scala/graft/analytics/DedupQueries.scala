@@ -825,6 +825,70 @@ object DedupQueries {
         WITH $curationVerdictsCtes
         SELECT verdict, count(*) AS n_docs,
                CAST(SUM(CAST(ceil(len(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens
-        FROM verdicts GROUP BY verdict"""))
+        FROM verdicts GROUP BY verdict""")),
+
+    // ───── FUZZY KEY MATCH (entity resolution): reconcile a dirty
+    // registry (deterministic single-character typos injected from
+    // customer names — the Corpus injection pattern, mirrored in the
+    // oracle) against the clean registry at edit distance ≤ 1 WITHOUT a
+    // quadratic name×name compare. Deletion-neighborhood blocking
+    // (FastSS-style): each side explodes to {name} ∪ all 1-deletions
+    // (≤ len+1 variants, bounded by name length — the LSH-banding
+    // analog for edit distance), candidates come from ONE equi-join on
+    // the variant string, and only candidates pay the exact
+    // `levenshtein` verify (an integer, identical in both engines; the
+    // neighborhood join admits lev-2 false positives — delete different
+    // positions from each side — which the verify kills). The synthetic
+    // namespace is DENSE in edit space (ids differ by one digit), so
+    // ambiguity is real: avg ~10-17 clean candidates per dirty name —
+    // the report carries match count + deterministic best match per
+    // dirty id. Scale: explode factor ≤ 19×, one variant-join shuffle,
+    // distinct pair collapse, final dirty-id agg — never |dirty|×|clean|.
+    QuerySpec(
+      "dedup_fuzzy_names",
+      (s, d) => {
+        def delVariants(nameCol: String) = expr(
+          s"""explode(concat(array($nameCol),
+              transform(sequence(1, length($nameCol)),
+                i -> concat(substring($nameCol, 1, i - 1), substring($nameCol, i + 1)))))""")
+        val dirty = Tables.customer(s, d)
+          .filter(col("c_custkey") % 7 === 0)
+          .select(
+            (col("c_custkey") + 1000000000L).as("dirty_id"),
+            expr("""concat(substring(c_name, 1, cast(c_custkey % 10 + 8 as int)),
+                           substring(c_name, cast(c_custkey % 10 + 10 as int)))""").as("dname"))
+        val dvar = dirty.select(col("dirty_id"), col("dname"), delVariants("dname").as("v"))
+        val cvar = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), delVariants("c_name").as("v"))
+        dvar.join(cvar, "v")
+          .select("dirty_id", "dname", "c_custkey", "c_name").distinct()
+          .filter(levenshtein(col("dname"), col("c_name")) <= 1)
+          .groupBy("dirty_id")
+          .agg(count(lit(1)).as("n_matches"), min(col("c_custkey")).as("best_match"))
+          .orderBy("dirty_id")
+      },
+      Some("""
+        WITH dirty AS (
+          SELECT c_custkey + 1000000000 AS dirty_id,
+                 substr(c_name, 1, CAST(c_custkey % 10 + 8 AS INTEGER))
+                   || substr(c_name, CAST(c_custkey % 10 + 10 AS INTEGER)) AS dname
+          FROM customer WHERE c_custkey % 7 = 0),
+        dvar AS (
+          SELECT dirty_id, dname,
+                 unnest([dname] || list_transform(range(1, length(dname) + 1),
+                   i -> substr(dname, 1, i - 1) || substr(dname, i + 1))) AS v
+          FROM dirty),
+        cvar AS (
+          SELECT c_custkey, c_name,
+                 unnest([c_name] || list_transform(range(1, length(c_name) + 1),
+                   i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1))) AS v
+          FROM customer),
+        cand AS (
+          SELECT DISTINCT d.dirty_id, d.dname, c.c_custkey, c.c_name
+          FROM dvar d JOIN cvar c ON d.v = c.v),
+        ver AS (
+          SELECT dirty_id, c_custkey FROM cand WHERE levenshtein(dname, c_name) <= 1)
+        SELECT dirty_id, CAST(count(*) AS BIGINT) AS n_matches, MIN(c_custkey) AS best_match
+        FROM ver GROUP BY dirty_id ORDER BY dirty_id"""))
   )
 }

@@ -22,6 +22,12 @@ final case class KeyState(
 final case class StateDelta(keys: String, sign: Int, seq: String,
                             image: Option[String])
 
+/** First-seen inventory alarm row for [[CdcStream.schemaDriftAlarm]]:
+  * a novel (attribute, DDB type) pair and when it first arrived.
+  */
+final case class SchemaAlarm(attr: String, avtype: String,
+                             firstSeen: java.sql.Timestamp)
+
 /** Structured Streaming drivers over the SAME batch operators (`CdcOps`) —
   * one semantics, two drivers (SURVEY §7.1). The reference's managed-service
   * behaviors map onto Spark primitives:
@@ -699,6 +705,92 @@ object CdcStream {
       .groupBy("grp")
       .agg(sum(col("sign")).as("n_keys"),
         sum(col("sign") * col("m")).as("m_sum"))
+
+  /** Streaming schema-drift alarm — the streaming dual of the batch
+    * `cdc_schema_drift` report: the NewImage attribute inventory as a
+    * FIRST-SEEN changelog. One output row per novel (attribute, DDB
+    * type) pair — a new attribute appearing mid-stream or an attribute
+    * changing type alarms in the micro-batch it first arrives; every
+    * later occurrence is silent. This is the monitor a schemaless CDC
+    * pipeline runs beside the apply sink (the reference applies
+    * whatever NewImage arrives — blind to drift until a consumer
+    * breaks).
+    *
+    * Input: the decoded envelope frame (`newImage` = DDB-JSON
+    * attribute→AttributeValue object, `approxCreationTs`). The image
+    * parses ONCE as MAP<STRING,STRING> (each AttributeValue's raw JSON
+    * kept as the value), `json_object_keys` tags the type per
+    * attribute — per-row maps; the stateful op's key space is the
+    * (attr, type) INVENTORY, so state is bounded by schema cardinality,
+    * not stream length. Default event-time retention still applies
+    * (house rule: finite by default) — an attribute absent past the
+    * window re-alarms on reappearance, which for a drift monitor is a
+    * feature (it IS news). Tombstones carry no image and contribute
+    * nothing.
+    */
+  def schemaDriftAlarm(cdc: DataFrame,
+                       retentionMs: Option[Long] = Some(DefaultRetentionMs),
+                       watermarkDelay: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[SchemaAlarm] = {
+    val spark = cdc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    requireEventTimeForRetention(cdc, retentionMs)
+    val inv = cdc
+      .filter(col("newImage").isNotNull)
+      .select(col("approxCreationTs"),
+        explode(from_json(col("newImage"), "MAP<STRING, STRING>",
+          Map.empty[String, String])).as(Seq("attr", "av")))
+      .select(col("attr"),
+        element_at(json_object_keys(col("av")), 1).as("avtype"),
+        col("approxCreationTs"))
+      .filter(col("avtype").isNotNull)
+
+    retentionMs match {
+      case None =>
+        val g = inv.as[(String, String, java.sql.Timestamp)]
+          .groupByKey(t => (t._1, t._2))
+        g.flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (key: (String, String), rows: Iterator[(String, String, java.sql.Timestamp)],
+           state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+            if (state.exists) Iterator.empty
+            else {
+              state.update(true)
+              val first = rows.map(_._3).minBy(_.getTime)
+              Iterator.single(SchemaAlarm(key._1, key._2, first))
+            }
+        }
+      case Some(ret) =>
+        val g = inv.withWatermark("approxCreationTs", watermarkDelay)
+          .as[(String, String, java.sql.Timestamp)]
+          .groupByKey(t => (t._1, t._2))
+        g.flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout()) {
+          (key: (String, String), rows: Iterator[(String, String, java.sql.Timestamp)],
+           state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+            if (state.hasTimedOut) {
+              // retention GC: the pair drops from the store, so a
+              // reappearance after the window alarms again (documented)
+              state.remove()
+              Iterator.empty: Iterator[SchemaAlarm]
+            } else {
+              var maxTs = Long.MinValue
+              var minTs = Long.MaxValue
+              rows.foreach { t =>
+                maxTs = math.max(maxTs, t._3.getTime)
+                minTs = math.min(minTs, t._3.getTime)
+              }
+              val novel = !state.exists
+              state.update(true)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ret, state.getCurrentWatermarkMs + 1))
+              if (novel)
+                Iterator.single(SchemaAlarm(key._1, key._2, new java.sql.Timestamp(minTs)))
+              else Iterator.empty
+            }
+        }
+    }
+  }
 
   /** Per-window frequent keys over the stream (T9 + §2.10): the
     * mergeable Misra–Gries sketch ([[graft.functions.FrequentItemsAgg]])

@@ -400,8 +400,24 @@ object SnapshotStore {
                  seqCol: String = "sequenceNumber"): DataFrame =
     currentManifest(spark, targetDir) match {
       case Some((name, m)) =>
-        if (m.buckets.isEmpty) emptyCanonical(spark)
-        else {
+        readManifestData(spark, targetDir, name, m, keys, opCol, seqCol)
+      case None =>
+        val fs = fsOf(spark, targetDir)
+        val root = new Path(targetDir)
+        val hasFlatParquet = fs.exists(root) &&
+          fs.listStatus(root).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (hasFlatParquet) spark.read.parquet(targetDir)
+        else emptyCanonical(spark)
+    }
+
+  /** Resolve one manifest's applied state (shared by the live read and
+    * the as-of read — identical semantics, different manifest).
+    */
+  private def readManifestData(spark: SparkSession, targetDir: String,
+                               name: String, m: Manifest, keys: Seq[String],
+                               opCol: String, seqCol: String): DataFrame =
+    if (m.buckets.isEmpty) emptyCanonical(spark)
+    else {
           val fs = fsOf(spark, targetDir)
           val paths = segmentPaths(targetDir, m)
           // fail-loud existence check with ONE listStatus per data dir (a
@@ -425,14 +441,42 @@ object SnapshotStore {
           if (!df.columns.contains(opCol)) df
           else compactState(df, keys, opCol, seqCol).drop(opCol)
         }
-      case None =>
-        val fs = fsOf(spark, targetDir)
-        val root = new Path(targetDir)
-        val hasFlatParquet = fs.exists(root) &&
-          fs.listStatus(root).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        if (hasFlatParquet) spark.read.parquet(targetDir)
-        else emptyCanonical(spark)
-    }
+
+  /** Retained snapshot versions (manifest names), oldest → newest. The
+    * window is set by the writer's `retainVersions`; every listed
+    * version is fully readable via [[readTargetAsOf]].
+    */
+  def versions(spark: SparkSession, targetDir: String): Seq[String] = {
+    val fs = fsOf(spark, targetDir)
+    val root = new Path(targetDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("manifest-"))
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
+      .map(_.getPath.getName).toSeq
+  }
+
+  /** Read the applied state AS OF a retained version — the store-level
+    * point-in-time read (the reference's PITR restore-to-timestamp,
+    * restore_handler's RestoreTableToPointInTime, served from the
+    * store's own retained manifests instead of a managed backup; pair
+    * with [[cloneTarget]] to materialize the old state as a new table).
+    * Fails loudly when the version is past the retention window (GC'd):
+    * a silently-empty result would look exactly like a valid old state.
+    */
+  def readTargetAsOf(spark: SparkSession, targetDir: String, version: String,
+                     keys: Seq[String] = Seq("keys"), opCol: String = "op",
+                     seqCol: String = "sequenceNumber"): DataFrame = {
+    val fs = fsOf(spark, targetDir)
+    val mf = new Path(targetDir, version)
+    if (!fs.exists(mf))
+      throw new IllegalStateException(
+        s"version '$version' is not retained at '$targetDir' — past the writer's " +
+          "retainVersions window (or never existed); raise retainVersions on the " +
+          "writer to widen the as-of window")
+    readManifestData(spark, targetDir, version,
+      parseManifest(readFully(fs, mf), version), keys, opCol, seqCol)
+  }
 
   /** Point read: the applied state of `lookups` keys only, reading ONLY
     * the segment chains of the buckets those keys hash to — the store's
@@ -541,7 +585,8 @@ object SnapshotStore {
                       keepChains: Map[Int, Seq[String]],
                       prefixChains: Map[Int, Seq[String]],
                       basis: Option[String],
-                      batchId: Long, numBuckets: Int): Unit = {
+                      batchId: Long, numBuckets: Int,
+                      retainVersions: Int = 2): Unit = {
     val fs = fsOf(spark, targetDir)
     fs.mkdirs(new Path(targetDir))
     // nonce so a retried batch never collides with its failed attempt's dir
@@ -565,17 +610,32 @@ object SnapshotStore {
     val manifestName = f"manifest-$batchId%012d-$nonce"
     writeFile(fs, new Path(targetDir, manifestName), renderManifest(manifest))
     casSwapPointer(spark, targetDir, manifestName, basis)
-    // grace window: the manifest that was live until this swap stays fully
-    // readable for readers that resolved the pointer just before it
-    val graceData = basis.toSeq.flatMap { b =>
-      val mf = new Path(targetDir, b)
-      if (fs.exists(mf)) parseManifest(readFully(fs, mf), b).buckets.values.flatten else Nil
-    }
-    gc(fs, targetDir,
-      retainManifests = Set(manifestName) ++ basis,
-      retainData = manifest.buckets.values.flatten.toSet ++ graceData)
+    // version retention: the newest `retainVersions` manifests (this one
+    // included) stay fully readable — both the in-flight-reader grace
+    // window (a reader that resolved the pointer just before the swap)
+    // and the [[readTargetAsOf]] point-in-time window. The default 2 is
+    // the classic grace minimum (current + just-superseded basis); a
+    // writer that wants store-level PITR depth raises it. Newest-by-
+    // mtime, not by name: compaction publishes at batchId=-1, which
+    // sorts lexicographically oldest despite being newest.
+    val root = new Path(targetDir)
+    val byAge = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("manifest-"))
+      .sortBy(s => (-s.getModificationTime, s.getPath.getName))
+      .map(_.getPath.getName).toSeq
+    val keepNames =
+      (Seq(manifestName) ++ basis ++ byAge.take(math.max(1, retainVersions))).toSet
+    val keepData = keepNames.toSeq.flatMap { n =>
+      if (n == manifestName) manifest.buckets.values.flatten.toSeq
+      else {
+        val mf = new Path(targetDir, n)
+        if (fs.exists(mf)) parseManifest(readFully(fs, mf), n).buckets.values.flatten.toSeq
+        else Nil
+      }
+    }.toSet
+    gc(fs, targetDir, retainManifests = keepNames, retainData = keepData)
     protocolFor(spark, targetDir)
-      .gcMeta(fs, new Path(targetDir), Set(manifestName) ++ basis)
+      .gcMeta(fs, new Path(targetDir), keepNames)
   }
 
   /** Full (non-pruned) publish of `df` as the new table state — the seed /
@@ -585,14 +645,15 @@ object SnapshotStore {
     */
   def writeTarget(df: DataFrame, targetDir: String, batchId: Long,
                   keys: Seq[String] = Seq("keys"),
-                  numBuckets: Int = DefaultBuckets): Unit = {
+                  numBuckets: Int = DefaultBuckets,
+                  retainVersions: Int = 2): Unit = {
     val spark = df.sparkSession
     withTargetLock(spark, targetDir) {
       val basis = currentManifest(spark, targetDir)
       val n = basis.map(_._2.numBuckets).getOrElse(numBuckets)
       publish(spark, targetDir, df.withColumn(BucketCol, bucketExpr(keys, n)),
         keepChains = Map.empty, prefixChains = Map.empty,
-        basis = basis.map(_._1), batchId, n)
+        basis = basis.map(_._1), batchId, n, retainVersions)
     }
   }
 
@@ -618,7 +679,8 @@ object SnapshotStore {
                       opCol: String = "op", seqCol: String = "sequenceNumber",
                       payload: Seq[String] = Seq("newImage"),
                       numBuckets: Int = DefaultBuckets,
-                      foldThreshold: Int = FoldThreshold): Unit =
+                      foldThreshold: Int = FoldThreshold,
+                      retainVersions: Int = 2): Unit =
     withTargetLock(spark, targetDir) {
       val outCols = (keys ++ Seq(opCol, seqCol) ++ payload).map(col)
       currentManifest(spark, targetDir) match {
@@ -660,7 +722,7 @@ object SnapshotStore {
               publish(spark, targetDir, appendRows.unionByName(folded),
                 keepChains = m.buckets -- touched,
                 prefixChains = appendSet.map(b => b -> m.buckets.getOrElse(b, Nil)).toMap,
-                basis = Some(basisName), batchId, n)
+                basis = Some(basisName), batchId, n, retainVersions)
             }
           } finally { d.unpersist(); () }
         case None =>
@@ -675,7 +737,7 @@ object SnapshotStore {
             .withColumn(BucketCol, bucketExpr(keys, numBuckets))
           publish(spark, targetDir, merged,
             keepChains = Map.empty, prefixChains = Map.empty,
-            basis = None, batchId, numBuckets)
+            basis = None, batchId, numBuckets, retainVersions)
       }
     }
 
@@ -689,7 +751,8 @@ object SnapshotStore {
     */
   def compactTarget(spark: SparkSession, targetDir: String,
                     keys: Seq[String] = Seq("keys"), opCol: String = "op",
-                    seqCol: String = "sequenceNumber"): Unit =
+                    seqCol: String = "sequenceNumber",
+                    retainVersions: Int = 2): Unit =
     withTargetLock(spark, targetDir) {
       currentManifest(spark, targetDir) match {
         case None => ()
@@ -705,7 +768,7 @@ object SnapshotStore {
           publish(spark, targetDir,
             state.withColumn(BucketCol, bucketExpr(keys, m.numBuckets)),
             keepChains = Map.empty, prefixChains = Map.empty,
-            basis = Some(basisName), batchId = -1L, m.numBuckets)
+            basis = Some(basisName), batchId = -1L, m.numBuckets, retainVersions)
       }
     }
 

@@ -97,6 +97,44 @@ class StreamingSpec extends SparkSpec {
     assert(state() === Map("k2" -> "reborn", "k3" -> "x1"))
   }
 
+  test("readTargetAsOf: retained versions serve point-in-time reads; GC bounds the window") {
+    import spark.implicits._
+    val target = tmp("tt-target")
+    def delta(rows: (String, String, String, Option[String])*) =
+      rows.toDF("keys", "op", "sequenceNumber", "newImage")
+    def stateOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("keys", "newImage")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // three writes at retainVersions=3: every version stays readable
+    SnapshotStore.mergeIntoTarget(spark, target,
+      delta(("k1", "PUT", "001", Some("v1"))), 0L, retainVersions = 3)
+    val v1 = SnapshotStore.pointerValue(spark, target).get
+    SnapshotStore.mergeIntoTarget(spark, target,
+      delta(("k1", "PUT", "002", Some("v2")), ("k2", "PUT", "003", Some("w1"))),
+      1L, retainVersions = 3)
+    val v2 = SnapshotStore.pointerValue(spark, target).get
+    SnapshotStore.mergeIntoTarget(spark, target,
+      delta(("k2", "DELETE", "004", None)), 2L, retainVersions = 3)
+    // the live state reflects the delete; each as-of read is the exact
+    // state its version committed — including keys later overwritten
+    // or deleted (the store-level PITR semantics)
+    assert(stateOf(SnapshotStore.readTarget(spark, target)) === Map("k1" -> "v2"))
+    assert(stateOf(SnapshotStore.readTargetAsOf(spark, target, v1)) === Map("k1" -> "v1"))
+    assert(stateOf(SnapshotStore.readTargetAsOf(spark, target, v2)) ===
+      Map("k1" -> "v2", "k2" -> "w1"))
+    assert(SnapshotStore.versions(spark, target).length === 3)
+    assert(SnapshotStore.versions(spark, target).last ===
+      SnapshotStore.pointerValue(spark, target).get)
+    // a default-retention write narrows the window to 2: v1 must be
+    // GC'd and its as-of read must FAIL LOUDLY, never read empty
+    SnapshotStore.mergeIntoTarget(spark, target,
+      delta(("k3", "PUT", "005", Some("z1"))), 3L)
+    assert(SnapshotStore.versions(spark, target).length === 2)
+    val e = intercept[IllegalStateException](
+      SnapshotStore.readTargetAsOf(spark, target, v1).collect())
+    assert(e.getMessage.contains("not retained"))
+  }
+
   test("applySink auto-compaction: sink-thread maintenance folds chains, state unchanged") {
     val in = tmp("ac-in"); val target = tmp("ac-target")
     val ckpt = tmp("ac-ckpt"); val dlq = tmp("ac-dlq")
@@ -1345,7 +1383,9 @@ class StreamingSpec extends SparkSpec {
     }: Runnable, "cdc-envelope-server")
     acceptor.setDaemon(true); acceptor.start()
     def awaitConns(n: Int): Unit = {
-      val deadline = System.currentTimeMillis() + 30000
+      // generous: under full-suite ambient load the socket teardown /
+      // re-accept can trail the query stop/start by tens of seconds
+      val deadline = System.currentTimeMillis() + 90000
       while (active.get() != n && System.currentTimeMillis() < deadline) Thread.sleep(50)
       assert(active.get() === n)
     }
@@ -1354,12 +1394,13 @@ class StreamingSpec extends SparkSpec {
     def targetState(): Map[String, String] =
       CdcStream.readTarget(spark, target).select("keys", "newImage")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    def awaitState(expect: Map[String, String], timeoutMs: Long = 60000): Unit = {
+    def awaitState(expect: Map[String, String], timeoutMs: Long = 120000): Unit = {
       val deadline = System.currentTimeMillis() + timeoutMs
       var last: Map[String, String] = Map.empty
       while (System.currentTimeMillis() < deadline && { last = targetState(); last != expect })
         Thread.sleep(250)
-      assert(last === expect)
+      assert(last === expect,
+        s"target state did not converge within ${timeoutMs}ms; last=$last")
     }
 
     val src = SocketCdcSource("localhost", server.getLocalPort)
@@ -1400,6 +1441,41 @@ class StreamingSpec extends SparkSpec {
     val dlqFiles = Option(fs.listFiles()).getOrElse(Array.empty)
       .count(_.getName.endsWith(".parquet"))
     assert(dlqFiles === 0, "poison wire line must not deadletter valid batches")
+  }
+
+  test("schemaDriftAlarm: novel (attr, type) pairs alarm once; repeats stay silent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Option[String], java.sql.Timestamp)]
+    val alarms = CdcStream.schemaDriftAlarm(
+      mem.toDF().toDF("newImage", "approxCreationTs"))
+    val q = alarms.writeStream.format("memory").queryName("drift_alarms")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (Some("""{"pk":{"S":"u1"},"v":{"N":"1"}}"""), ts("2024-01-01 00:00:01")),
+        (Some("""{"pk":{"S":"u2"},"v":{"N":"2"}}"""), ts("2024-01-01 00:00:02")),
+        (None, ts("2024-01-01 00:00:03"))) // tombstone: no image, no alarm
+      q.processAllAvailable()
+      def seen() = spark.table("drift_alarms")
+        .as[(String, String, java.sql.Timestamp)].collect()
+      assert(seen().map(t => (t._1, t._2)).toSet === Set(("pk", "S"), ("v", "N")))
+      // the alarm carries the pair's EARLIEST arrival in its batch
+      assert(seen().find(t => t._1 == "pk").get._3 === ts("2024-01-01 00:00:01"))
+      // drift batch: a type flip (v N->S) and a new attribute alarm;
+      // the already-known pairs produce NOTHING more
+      mem.addData(
+        (Some("""{"pk":{"S":"u3"},"v":{"S":"oops"},"score":{"N":"9"}}"""),
+          ts("2024-01-01 00:00:04")),
+        (Some("""{"pk":{"S":"u4"},"v":{"N":"4"}}"""), ts("2024-01-01 00:00:05")))
+      q.processAllAvailable()
+      val after = seen().map(t => (t._1, t._2))
+      assert(after.toSet ===
+        Set(("pk", "S"), ("v", "N"), ("v", "S"), ("score", "N")))
+      assert(after.length === 4, "a known pair re-alarmed")
+    } finally q.stop()
   }
 
   test("stateful ops default to FINITE retention; unbounded is an explicit opt-in") {
