@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{SignatureFunctions, TextHashFunctions, VectorFunctions}
+import graft.functions.{PackedVectorFunctions, SignatureFunctions, TextHashFunctions, VectorFunctions}
 
 /** Engine extension pack, installed with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (wired in
@@ -14,6 +14,8 @@ import graft.functions.{SignatureFunctions, TextHashFunctions, VectorFunctions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(VectorFunctions.vecDotLongDescriptor)
+    e.injectFunction(PackedVectorFunctions.vecPackU8Descriptor)
+    e.injectFunction(PackedVectorFunctions.vecDotU8LongDescriptor)
     e.injectFunction(TextHashFunctions.wordHash40Descriptor)
     e.injectFunction(SignatureFunctions.minHash12Descriptor)
     e.injectFunction(SignatureFunctions.simHash32Descriptor)

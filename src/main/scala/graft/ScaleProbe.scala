@@ -221,6 +221,59 @@ object ScaleProbe {
           .select(graft.functions.VectorFunctions.vecDotLong(col("qv"), col("q_qv")).as("dot"))
           .filter(col("dot") =!= 0L).count()
       }
+      // SQ8 packed approx scan at k× corpus: the same 10-probe scan
+      // over the 64-byte packed-code index (native vec_dot_u8_long
+      // kernel on BINARY codes + per-probe factored constants). The
+      // time curve should track ann_brute — both are one corpus scan —
+      // while the separately-reported index bytes are the 8× memory cut,
+      // measured not claimed: at 100 TB the packed index is what decides
+      // whether the scan side fits executor memory.
+      locally {
+        val bounds = vecs
+          .select(posexplode(col("qv")).as(Seq("i", "x")))
+          .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        val mnl = typedLit(bounds.map(_._2).toSeq)
+        val mxl = typedLit(bounds.map(_._3).toSeq)
+        val index = vecs
+          .withColumn("mnl", mnl).withColumn("mxl", mxl)
+          .withColumn("code", expr(
+            """transform(qv, (x, i) ->
+                 CASE WHEN element_at(mxl, i + 1) > element_at(mnl, i + 1)
+                      THEN ((x - element_at(mnl, i + 1)) * 255L)
+                           div (element_at(mxl, i + 1) - element_at(mnl, i + 1))
+                      ELSE 0L END)"""))
+          .withColumn("rnn", expr(
+            """aggregate(transform(code, (cx, i) ->
+                 element_at(mnl, i + 1) * 255L
+                 + cx * (element_at(mxl, i + 1) - element_at(mnl, i + 1))),
+               0L, (acc, x) -> acc + x * x)"""))
+          .withColumn("code_b",
+            graft.functions.PackedVectorFunctions.vecPackU8(col("code")))
+          .select("vec_id", "code_b", "rnn")
+          .persist()
+        val nv2 = index.count()
+        val idxBytes = index
+          .agg(sum(length(col("code_b")) + 8L + 8L)).collect()(0).getLong(0)
+        println(f"""{"probe":"sq8_index_bytes_x$k","vecs":$nv2,""" +
+          f""""packed_bytes":$idxBytes,"full_bytes":${nv2 * (64L * 8 + 8 + 8)}}""")
+        time(s"ann_sq8_scan_x$k") {
+          val probes = vecs.filter(col("vec_id") < 10)
+            .withColumn("mnl", mnl).withColumn("mxl", mxl)
+            .select(col("vec_id").as("query_id"), col("nn").as("q_nn"),
+              expr("""transform(qv, (x, i) ->
+                        x * (element_at(mxl, i + 1) - element_at(mnl, i + 1)))""")
+                .as("q_scaled"),
+              (graft.functions.VectorFunctions.vecDotLong(col("qv"), mnl) * 255L).as("c0"))
+          index.crossJoin(broadcast(probes))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select((col("c0") + graft.functions.PackedVectorFunctions
+              .vecDotU8Long(col("code_b"), col("q_scaled"))).as("adot"))
+            .filter(col("adot") =!= 0L).count()
+        }
+        index.unpersist()
+      }
       vecs.unpersist()
 
       // sign-LSH bucket occupancy with corpus-size-DERIVED bit width

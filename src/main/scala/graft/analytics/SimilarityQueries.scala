@@ -246,7 +246,10 @@ object SimilarityQueries {
       .sortBy(_._1)
     val mnl = typedLit(bounds.map(_._2).toSeq)
     val mxl = typedLit(bounds.map(_._3).toSeq)
-    val recon = base
+    // INDEX layout: codes pack to BINARY via the native VecPackU8 — 64
+    // bytes/vector, the 8× compression that IS the SQ8 story; the scan
+    // side carries only (vec_id, packed codes, reconstructed norm).
+    val index = base
       .withColumn("mnl", mnl).withColumn("mxl", mxl)
       .withColumn("code", expr(
         """transform(qv, (x, i) ->
@@ -259,13 +262,25 @@ object SimilarityQueries {
              element_at(mnl, i + 1) * 255L
              + cx * (element_at(mxl, i + 1) - element_at(mnl, i + 1)))"""))
       .withColumn("rnn", expr("aggregate(rv, 0L, (acc, x) -> acc + x * x)"))
-      .select("vec_id", "rv", "rnn")
+      .withColumn("code_b", graft.functions.PackedVectorFunctions.vecPackU8(col("code")))
+      .select("vec_id", "code_b", "rnn")
+    // The approx dot factors so the scan kernel reads ONLY packed bytes:
+    //   Σ q[i]·rv[i] = 255·Σ q[i]·mn[i]  +  Σ code[i]·(q[i]·(mx[i]−mn[i]))
+    //               =      c0(probe)     +  vec_dot_u8_long(code_b, q_scaled)
+    // c0 and q_scaled are per-probe constants (10 rows), computed once.
     val probes = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
-    val apairs = recon.crossJoin(broadcast(probes))
+      .withColumn("mnl", mnl).withColumn("mxl", mxl)
+      .select(
+        col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"),
+        expr("""transform(qv, (x, i) ->
+                  x * (element_at(mxl, i + 1) - element_at(mnl, i + 1)))""")
+          .as("q_scaled"),
+        (VectorFunctions.vecDotLong(col("qv"), mnl) * 255L).as("c0"))
+    val apairs = index.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        Corpus.dotCol("rv", "q_qv").as("adot"),
+        (col("c0") + graft.functions.PackedVectorFunctions
+          .vecDotU8Long(col("code_b"), col("q_scaled"))).as("adot"),
         col("rnn").as("ana"), col("q_nn").as("anb"))
     val topc = udaf(new graft.functions.TopKScoredAgg(Sq8CandMult * kk),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())

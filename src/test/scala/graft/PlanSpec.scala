@@ -69,6 +69,17 @@ class PlanSpec extends SparkSpec {
     assert(out == 32L)
   }
 
+  test("vec_pack_u8/vec_dot_u8_long are registered and exact, incl. the 255 edge") {
+    val d = spark.sql(
+      "SELECT vec_dot_u8_long(vec_pack_u8(array(0L, 255L, 7L)), array(3L, 2L, -1L)) AS d")
+      .collect()(0).getLong(0)
+    assert(d == 0L * 3 + 255L * 2 - 7L) // unsigned byte round-trip: 255 stays 255
+    val e = intercept[Exception](
+      spark.sql("SELECT vec_pack_u8(array(256L))").collect())
+    assert(e.getMessage.contains("outside [0, 255]") ||
+      e.getCause != null && e.getCause.getMessage.contains("outside [0, 255]"))
+  }
+
   test("minhash12/simhash32 are registered in SQL via GraftExtensions") {
     import graft.functions.{SignatureConstants => SC}
     // one element: minima are (A(p) * 7) & mask for every p; simhash of a
