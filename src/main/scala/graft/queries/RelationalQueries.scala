@@ -1031,6 +1031,41 @@ object RelationalQueries {
         FROM days d JOIN ud u ON u.day <= d.day AND u.day > d.day - 7
         GROUP BY d.day""")),
 
+    // ───── cumulative adoption curve: per event_type, the running count
+    // of DISTINCT users who have EVER used it by each day — "distinct
+    // over a growing window", the classic query that is quadratic if
+    // written as a window countDistinct (every day re-counts the full
+    // prefix). Scale-correct decomposition: first-seen day per (user,
+    // type) — ONE hash agg, the only stage that touches the event log —
+    // then daily new-adopter counts, then a running sum over
+    // (type × day)-cardinality rows, bounded by the CALENDAR (a 10-year
+    // log is ~3.7k rows per type), so the per-type window is safe at
+    // any data scale.
+    QuerySpec(
+      "events_adoption",
+      (s, d) => {
+        val firstSeen = events(s, d)
+          .groupBy("user_id", "event_type")
+          .agg(min(to_date(col("ts"))).as("d"))
+        val daily = firstSeen.groupBy("event_type", "d")
+          .agg(count(lit(1)).as("new_users"))
+        val w = Window.partitionBy("event_type").orderBy("d")
+        daily
+          .withColumn("cume_adopters", sum(col("new_users")).over(w))
+          .orderBy("event_type", "d")
+      },
+      Some("""
+        WITH firstseen AS (
+          SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS d
+          FROM events GROUP BY user_id, event_type),
+        daily AS (
+          SELECT event_type, d, CAST(count(*) AS BIGINT) AS new_users
+          FROM firstseen GROUP BY 1, 2)
+        SELECT event_type, d, new_users,
+               CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT)
+                 AS cume_adopters
+        FROM daily ORDER BY event_type, d""")),
+
     // ───── user-journey transition counts (the Markov-chain estimate's
     // numerator): consecutive event-type pairs per user in (ts,
     // event_id) order — session-flow analytics (what follows what). One

@@ -120,4 +120,33 @@ class SketchPropertiesSpec extends AnyFunSuite {
       topk(xs) == expect && topk(shuffled) == expect
     })
   }
+
+  test("VecPackU8/VecDotU8Long: unsigned round-trip and exact packed dot, all code values") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType}
+    import graft.functions.{VecDotU8Long, VecPackU8}
+    val gen = for {
+      n <- Gen.chooseNum(0, 80)
+      codes <- Gen.listOfN(n, Gen.chooseNum(0L, 255L)) // full u8 range incl. both edges
+      arr <- Gen.listOfN(n, Gen.chooseNum(-100000L, 100000L))
+    } yield (codes, arr)
+    check(Prop.forAll(gen) { case (codes, arr) =>
+      val packed = VecPackU8(Literal.create(codes, ArrayType(LongType)))
+        .eval(null).asInstanceOf[Array[Byte]]
+      val dot = VecDotU8Long(
+        Literal.create(packed, BinaryType),
+        Literal.create(arr, ArrayType(LongType)))
+        .eval(null).asInstanceOf[Long]
+      // reference: plain Long arithmetic (codes·|arr| stays far under 2^63)
+      val expect = codes.zip(arr).map { case (c, a) => c * a }.sum
+      packed.length == codes.length && dot == expect
+    })
+    // the loud-failure contract: any element outside [0, 255] throws
+    intercept[IllegalArgumentException] {
+      VecPackU8(Literal.create(Seq(256L), ArrayType(LongType))).eval(null)
+    }
+    intercept[IllegalArgumentException] {
+      VecPackU8(Literal.create(Seq(-1L), ArrayType(LongType))).eval(null)
+    }
+  }
 }
