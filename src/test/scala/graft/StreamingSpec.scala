@@ -1478,6 +1478,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("schemaDriftAlarm survives restart: checkpointed inventory stays silent on knowns") {
+    import spark.implicits._
+    val in = tmp("drift-in"); val ckpt = tmp("drift-ckpt")
+    // JSON-lines files whose `img` field is the DDB-JSON image as an
+    // ESCAPED string — the declared-schema path, no raw-capture tricks
+    def line(img: String, ts: String): String =
+      s"""{"img":"${img.replace("\"", "\\\"")}","ts":"$ts"}"""
+    def alarmStream() = CdcStream.schemaDriftAlarm(
+      spark.readStream.schema("img STRING, ts TIMESTAMP").json(in)
+        .select(col("img").as("newImage"), col("ts").as("approxCreationTs")))
+    // file sink (memory sink cannot recover a checkpoint): the alarm
+    // log accumulates across both query incarnations
+    val out = tmp("drift-out")
+    def startQ() = alarmStream().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def alarmed() = spark.read.parquet(out)
+      .select("attr", "avtype").collect().map(r => (r.getString(0), r.getString(1)))
+    writeCdcFile(in, "b0.json", Seq(
+      line("""{"pk":{"S":"u1"},"v":{"N":"1"}}""", "2024-01-01T00:00:01Z"),
+      line("""{"pk":{"S":"u2"},"v":{"N":"2"}}""", "2024-01-01T00:00:02Z")))
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      assert(alarmed().toSet === Set(("pk", "S"), ("v", "N")))
+    } finally q1.stop()
+    // restart from the SAME checkpoint: known pairs must stay silent —
+    // the inventory state rebuilt from the state store, not from scratch
+    writeCdcFile(in, "b1.json", Seq(
+      line("""{"pk":{"S":"u3"},"v":{"N":"3"},"score":{"N":"9"}}""",
+        "2024-01-01T00:00:03Z")))
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      val all = alarmed()
+      assert(all.toSet === Set(("pk", "S"), ("v", "N"), ("score", "N")))
+      assert(all.length === 3,
+        s"restart re-alarmed known pairs: ${all.mkString(", ")}")
+    } finally q2.stop()
+  }
+
   test("stateful ops default to FINITE retention; unbounded is an explicit opt-in") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
