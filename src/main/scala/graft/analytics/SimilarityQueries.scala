@@ -202,6 +202,32 @@ object SimilarityQueries {
         col("nn").as("na"), col("q_nn").as("nb"))
   }
 
+  /** Incremental ANN (the vector dual of `dedup_incremental` — the
+    * daily-crawl shape): a NEW vector batch (vec_id % 11 = 0) searched
+    * against the EXISTING corpus's sign-LSH index — the join is
+    * old×new ONLY, never old×old (the existing index is not re-scored)
+    * and never new×new. Bucket width derives from the EXISTING corpus
+    * size (the index's own stat, integer-derived on both engines), so
+    * per-increment cost is O(|new| + matched buckets). Both sides
+    * partition by bucket; when the increment is broadcast-small AQE
+    * converts the join — either way the accumulated corpus never
+    * reshuffles per batch.
+    */
+  private def incrementalPairs(s: SparkSession, d: String): DataFrame = {
+    val base = Corpus.quantizedVectors(s, d)
+    val existing = base.filter(col("vec_id") % 11 =!= 0)
+    val bits = Corpus.signBucketBits(existing.count())
+    val idx = existing.withColumn("bucket", Corpus.signBucketColBits(bits))
+    val nb = base.filter(col("vec_id") % 11 === 0)
+      .withColumn("bucket", Corpus.signBucketColBits(bits))
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nn").as("q_nn"), col("bucket"))
+    idx.join(nb, Seq("bucket"))
+      .select(col("query_id"), col("vec_id"),
+        Corpus.dotCol("qv", "q_qv").as("dot"),
+        col("nn").as("na"), col("q_nn").as("nb"))
+  }
+
   /** Candidate-pool multiplier for the SQ8 rerank: the approximate scan
     * keeps 4·k candidates per probe, the exact pass reranks them to k.
     */
@@ -333,6 +359,19 @@ object SimilarityQueries {
                  v.nn AS na, q.nn AS nb
           FROM base v JOIN base q
             ON v.bucket = q.bucket AND q.vec_id < 10 AND v.vec_id <> q.vec_id)"""
+
+  private val incrementalCtesSql: String = s"""
+        vwidth AS (
+          SELECT (${Corpus.signBucketBitsSqlCase("n")}) AS bits
+          FROM (SELECT count(*) AS n FROM embeddings WHERE vec_id % 11 <> 0)),
+        base AS (
+          SELECT vec_id, qv, nn, ${Corpus.signBucketSqlBits("p.bits")} AS bucket
+          FROM (${Corpus.quantizedVectorsSql}), vwidth p),
+        pairs AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS vec_id, $dotSql AS dot,
+                 v.nn AS na, q.nn AS nb
+          FROM base v JOIN base q
+            ON v.bucket = q.bucket AND v.vec_id % 11 <> 0 AND q.vec_id % 11 = 0)"""
 
   private val ivfFixedCtesSql: String = s"""
         base AS (${Corpus.quantizedVectorsSql}),
@@ -510,6 +549,16 @@ object SimilarityQueries {
       "ann_lsh_bucket",
       (s, d) => topKPerProbe(lshPairs(s, d), 3),
       Some(annSelectSql(lshCtesSql, 3))),
+
+    // Incremental ANN — the daily-crawl shape for vectors: the new
+    // batch searches the EXISTING corpus's sign-LSH index, old×new
+    // only (see incrementalPairs). Completes the incremental story
+    // next to dedup_incremental: neither text nor vectors re-score
+    // the accumulated corpus per increment.
+    QuerySpec(
+      "ann_incremental",
+      (s, d) => topKPerProbe(incrementalPairs(s, d), 3),
+      Some(annSelectSql(incrementalCtesSql, 3))),
 
     // SQ8 scalar-quantized scan + exact rerank: the MEMORY-bound ANN
     // path (LSH/IVF prune candidates; SQ8 shrinks the bytes every
