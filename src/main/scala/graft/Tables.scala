@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders over the driver-generated test data
   * (`/root/testdata/sf*` — see TESTDATA.md). At cluster scale the same
@@ -20,18 +20,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true (GraftSession) it reads as
-    * LongType ns-since-epoch. Convert to a µs timestamp with integer
-    * division — exact (the generator emits µs precision), and matches
-    * DuckDB's µs TIMESTAMP truncation on the same file.
+  /** Normalize timestamp-bearing columns to `TimestampType` (UTC ltz) no
+    * matter which physical encoding the parquet writer chose. The driver's
+    * generator has shipped `events.ts` two ways so far:
+    *   - parquet TIMESTAMP(NANOS) → Spark `LongType` ns-since-epoch under
+    *     spark.sql.legacy.parquet.nanosAsLong=true (GraftSession); convert
+    *     with integer `DIV 1000` — exact, the generator emits µs precision,
+    *     matching DuckDB's µs TIMESTAMP truncation on the same file.
+    *   - parquet timestamp[us] (isAdjustedToUTC=false) → Spark 4
+    *     `TIMESTAMP_NTZ`; cast to `TimestampType`. The session TZ is pinned
+    *     UTC (GraftSession.tune), so the cast relabels the same instant
+    *     bit-for-bit and the DuckDB oracle (which reads the file natively)
+    *     sees identical values.
+    * Already-ltz columns pass through untouched. Every loader with a
+    * timestamp column routes through here so future testdata regeneration
+    * cannot silently change analysis-time types again.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
-  }
+  def normalizeTs(df: DataFrame, cols: String*): DataFrame =
+    cols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case LongType         => d.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
+        case TimestampNTZType => d.withColumn(c, col(c).cast(TimestampType))
+        case _                => d
+      }
+    }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -57,4 +57,53 @@ class SourcesSpec extends SparkSpec {
     df.unpersist()
     ()
   }
+
+  /** Tables.normalizeTs must converge every physical timestamp encoding the
+    * driver's generator has shipped (Long ns-since-epoch under nanosAsLong,
+    * parquet timestamp[us]/NTZ) — plus already-ltz data — onto the SAME
+    * TimestampType instants. One fixture per encoding, written as tiny
+    * parquet files, so a future testdata regeneration that flips the
+    * physical type fails here at build time, not in the round's
+    * CORRECTNESS artifact (the r6 regression class).
+    */
+  test("normalizeTs converges Long-nanos, NTZ, and LTZ encodings to identical ltz instants") {
+    import org.apache.spark.sql.types._
+    val micros = Seq(0L, 1_700_000_000_123_456L, -62_135_596_800_000_000L / 1000)
+
+    def roundTrip(dt: DataType, toVal: Long => Any): org.apache.spark.sql.DataFrame = {
+      val rows = micros.zipWithIndex.map { case (us, i) =>
+        org.apache.spark.sql.Row(i.toLong, toVal(us))
+      }
+      val schema = StructType(Seq(StructField("id", LongType), StructField("ts", dt)))
+      val dir = Files.createTempDirectory(s"ts-${dt.typeName}").toFile.getAbsolutePath
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("overwrite").parquet(dir)
+      Tables.normalizeTs(spark.read.parquet(dir), "ts")
+    }
+
+    val fromLong = roundTrip(LongType, us => us * 1000L) // ns-since-epoch
+    val fromNtz  = roundTrip(TimestampNTZType,
+      us => java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1_000_000L), (Math.floorMod(us, 1_000_000L) * 1000).toInt,
+        java.time.ZoneOffset.UTC))
+    val fromLtz  = roundTrip(TimestampType,
+      us => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1_000_000L), Math.floorMod(us, 1_000_000L) * 1000)))
+
+    for (df <- Seq(fromLong, fromNtz, fromLtz))
+      assert(df.schema("ts").dataType == TimestampType, df.schema.treeString)
+
+    val asMicros = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("id"), unix_micros(col("ts")).as("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }.toMap
+    assert(asMicros(fromLong) == expected)
+    assert(asMicros(fromNtz) == expected)
+    assert(asMicros(fromLtz) == expected)
+  }
+
+  test("normalizeTs leaves non-timestamp columns and absent names untouched") {
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(Tables.normalizeTs(df, "ts", "no_such_col").schema == df.schema)
+  }
 }
