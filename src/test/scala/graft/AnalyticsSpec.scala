@@ -524,7 +524,11 @@ class AnalyticsSpec extends SparkSpec {
       assert(hits >= 0 && hits <= k, s"hits $hits outside [0, $k]")
     }
     val byMethod = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
-    assert(byMethod.keySet == Set("ivf", "ivf_trained", "lsh", "sq8"))
+    assert(byMethod.keySet == Set("ivf", "ivf_trained", "lsh", "lsh_mp", "sq8"))
+    // the r7 claim under test: Hamming-≤2 multi-probe strictly dominates
+    // single-bucket LSH over the SAME index (1/30 → 24/30 at sf0.1)
+    assert(byMethod("lsh_mp") >= byMethod("lsh"),
+      s"multi-probe recall ${byMethod("lsh_mp")} < single-bucket ${byMethod("lsh")}")
     // the r6 claim under test: training the coarse quantizer (spherical
     // k-means + multi-probe) does not lose recall vs the fixed subset
     assert(byMethod("ivf_trained") >= byMethod("ivf"),
