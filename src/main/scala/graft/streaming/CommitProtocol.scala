@@ -65,6 +65,42 @@ object ConditionalPut {
       }
   }
 
+  /** Minimal object-store service-API surface the commit protocol needs —
+    * the shape of S3 `PutObject` with `If-None-Match: "*"` (the service
+    * answers 412 Precondition Failed when the key exists; the create is
+    * atomic and all-or-nothing at the service). A deployment implements
+    * this against its store's SDK in a few lines; no SDK binding ships
+    * in-tree (none is buildable in-sandbox), but the protocol↔API
+    * contract is fully proven by CommitProtocolSpec, which drives the
+    * complete publish/CAS/steal matrix through this interface against an
+    * emulator with exactly the service semantics.
+    */
+  trait ObjectStoreClient {
+    /** PUT `content` at (bucket, key) iff the key does not exist.
+      * @return true if this request created the object; false on
+      *         precondition failure (HTTP 412 — the key existed).
+      */
+    def putIfNoneMatch(bucket: String, key: String, content: Array[Byte]): Boolean
+  }
+
+  /** [[ConditionalPut]] backed by a service-API conditional write — the
+    * object-store production shape. The Hadoop path maps to (bucket, key)
+    * the way object-store FileSystems map them: URI authority = bucket,
+    * URI path (leading slash stripped) = key. The FileSystem handle is
+    * used only to qualify the path — the write goes through the service
+    * client, and readers see it through the FileSystem because both views
+    * are the same store (as s3a + the SDK share one bucket).
+    */
+  final class ServiceConditionalPut(client: ObjectStoreClient) extends ConditionalPut {
+    def putIfAbsent(fs: FileSystem, path: Path, content: String): Boolean = {
+      val uri = fs.makeQualified(path).toUri
+      client.putIfNoneMatch(
+        Option(uri.getAuthority).getOrElse(""),
+        uri.getPath.stripPrefix("/"),
+        content.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
   private val registry = new java.util.concurrent.ConcurrentHashMap[String, ConditionalPut]()
   registry.put("file", new LocalExclusiveCreate)
   registry.put("hdfs", new ExclusiveCreate)

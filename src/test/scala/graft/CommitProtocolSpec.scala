@@ -11,20 +11,26 @@ import graft.streaming.{CdcStream, CommitProtocol, ConditionalPut, SnapshotStore
   * rename and exclusive-create are deliberately NON-atomic
   * ([[NonAtomicFileSystem]], scheme `nonatomic://`). What S3 takes away
   * (atomic rename, exclusive create through the FS API) the protocol
-  * must not use; what S3 provides (an atomic conditional PUT, here a
-  * registered [[ConditionalPut]]) is the only atomic step. The two
-  * interleavings the round-4 class doc named as open — lost-update
-  * (two same-basis writers) and silent-revert (a compactor publishing
-  * over a later sink commit) — are driven explicitly.
+  * must not use; what S3 provides (an atomic conditional PUT) is the
+  * only atomic step — and since r7 it enters through the PRODUCTION
+  * seam: [[ConditionalPut.ServiceConditionalPut]] over the S3-API-shaped
+  * [[ConditionalPut.ObjectStoreClient]] (`PutObject` + `If-None-Match`),
+  * served by [[S3ApiEmulator]]. Every test in this suite — publish,
+  * CAS conflicts (lost-update, silent-revert), racing primitives, lock
+  * steal, protocol migration — exercises that service-API path, so a
+  * real deployment only swaps the emulator for an SDK-backed client.
   */
 class CommitProtocolSpec extends SparkSpec {
+
+  private val s3 = new S3ApiEmulator
 
   private lazy val ready: Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
     hc.setClass("fs.nonatomic.impl", classOf[NonAtomicFileSystem], classOf[FileSystem])
-    // the primitive is registered OUTSIDE the FileSystem API, as on S3
+    // the primitive is registered OUTSIDE the FileSystem API, as on S3 —
+    // through the service-client seam a production deployment implements
     SnapshotStore.registerConditionalPut("nonatomic",
-      new ConditionalPut.LocalExclusiveCreate)
+      new ConditionalPut.ServiceConditionalPut(s3))
     spark.conf.set("spark.graft.store.commitLogSchemes", "nonatomic")
   }
 
@@ -49,7 +55,7 @@ class CommitProtocolSpec extends SparkSpec {
     ready
     val dir = Files.createTempDirectory("cput").toFile.getAbsolutePath
     val p = new Path(s"nonatomic://$dir/c00000000000000000001")
-    val primitive = new ConditionalPut.LocalExclusiveCreate
+    val primitive = new ConditionalPut.ServiceConditionalPut(s3)
     val pool = Executors.newFixedThreadPool(16)
     val start = new CountDownLatch(1)
     val wins = (0 until 16).map { i =>
@@ -70,6 +76,7 @@ class CommitProtocolSpec extends SparkSpec {
   test("end-to-end on non-atomic store: merges + compaction, no rename on the commit path") {
     val target = tmp("cl-target")
     NonAtomicFileSystem.reset()
+    s3.reset()
     SnapshotStore.mergeIntoTarget(spark, target,
       delta(("k1", "PUT", "001", Some("v1")), ("k2", "PUT", "002", Some("w1"))), 0L)
     SnapshotStore.mergeIntoTarget(spark, target,
@@ -106,6 +113,41 @@ class CommitProtocolSpec extends SparkSpec {
         c.contains(SnapshotStore.LockFile))
     assert(exclusives.isEmpty,
       s"commit path used non-atomic FS exclusive-create: ${exclusives.toSeq}")
+
+    // the commits went through the SERVICE API, with the expected request
+    // pattern: 4 merges + 1 compaction = exactly 5 successful conditional
+    // PUTs on commit-log keys, zero 412s (no contention in this test)
+    val commitPuts = s3.requests.toArray(Array.empty[(String, Boolean)])
+      .filter(_._1.contains(CommitProtocol.CommitDir))
+    assert(commitPuts.count(_._2) === 5,
+      s"expected 5 service-API commit creates, saw: ${commitPuts.toSeq}")
+    assert(commitPuts.forall(_._2),
+      s"uncontended run must see no 412s on commit keys: ${commitPuts.toSeq}")
+  }
+
+  test("stale-lock steal on the object store goes through the service-API put") {
+    val target = tmp("cl-steal")
+    SnapshotStore.mergeIntoTarget(spark, target, delta(("k1", "PUT", "001", Some("v1"))), 0L)
+    // a dead JVM's lock: created through the service conditional put,
+    // never heartbeated, mtime aged past the staleness window
+    val lockPath = new Path(target, SnapshotStore.LockFile)
+    assert(new ConditionalPut.ServiceConditionalPut(s3)
+      .putIfAbsent(fs, lockPath, "dead-jvm-token"))
+    val lockLocal = new java.io.File(
+      fs.makeQualified(lockPath).toUri.getPath)
+    assert(lockLocal.setLastModified(
+      System.currentTimeMillis() - SnapshotStore.StaleLockMs - 60000))
+    s3.reset()
+    // the next writer must break the stale lock (token-checked DELETE)
+    // and acquire its own via a fresh service-API conditional put
+    SnapshotStore.mergeIntoTarget(spark, target, delta(("k2", "PUT", "002", Some("w1"))), 1L)
+    assert(state(target) === Map("k1" -> "v1", "k2" -> "w1"))
+    val lockPuts = s3.requests.toArray(Array.empty[(String, Boolean)])
+      .filter(_._1.endsWith(SnapshotStore.LockFile))
+    assert(lockPuts.exists(_._2),
+      s"steal must re-acquire through the service put: ${lockPuts.toSeq}")
+    // the dead lock is gone afterwards (released by the stealing writer)
+    assert(!fs.exists(lockPath))
   }
 
   test("silent-revert interleaving: a writer with a stale basis cannot commit") {
