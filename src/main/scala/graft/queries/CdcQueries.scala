@@ -520,7 +520,15 @@ object CdcQueries {
           .select(col("ts"),
             explode(from_json(img, "MAP<STRING, STRING>",
               Map.empty[String, String])).as(Seq("attr", "av")))
-          .withColumn("avtype", element_at(json_object_keys(col("av")), 1))
+          // The envelope is parsed ONCE (the from_json above); the value's
+          // type tag is its first object key, and from_json's raw-text
+          // capture of a nested value preserves the canonical form
+          // (`{"S":...`), so the tag is cut out with codegen'd string
+          // intrinsics — `json_object_keys` here would re-enter Jackson
+          // (CodegenFallback) once per exploded attribute row, 4-5× per
+          // event, and measured ~25% of the whole query's time.
+          .withColumn("avtype",
+            expr("""substring(av, 3, instr(substring(av, 3), '"') - 1)"""))
           .groupBy("attr", "avtype")
           .agg(min(col("ts")).as("first_seen"),
             max(col("ts")).as("last_seen"),
