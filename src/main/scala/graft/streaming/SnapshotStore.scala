@@ -772,11 +772,17 @@ object SnapshotStore {
       }
     }
 
-  /** Fork the CURRENT snapshot to `dstDir` as an independent table — the
-    * backup / fork-for-experiment primitive (the store-level analog of
-    * the reference's restore-to-new-table: a consistent point-in-time
-    * copy that later writes to either side cannot disturb). The source's
-    * live manifest is resolved once; its segment files are copied
+  /** Fork a snapshot to `dstDir` as an independent table — the backup /
+    * fork-for-experiment primitive (the store-level analog of the
+    * reference's restore-to-new-table: a consistent point-in-time copy
+    * that later writes to either side cannot disturb). By default the
+    * CURRENT version is forked; `asOf = Some(version)` forks a RETAINED
+    * older version instead — composed with the version window this is
+    * the full restore-to-point-in-time story: pick a retained version,
+    * materialize it as a brand-new table (StreamingSpec proves the
+    * composition equals an independent replay of exactly the batches
+    * that version had applied). The manifest is resolved once; its
+    * segment files are copied
     * verbatim (no decode/re-encode — raw byte streams, so the copy cost
     * is pure I/O and the clone is byte-identical), then a fresh manifest
     * + pointer publish at the destination through the same commit
@@ -788,9 +794,22 @@ object SnapshotStore {
     * Fails loudly if `dstDir` already holds a table (clone never
     * overwrites) or the source has none.
     */
-  def cloneTarget(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
-    val (srcName, m) = currentManifest(spark, srcDir).getOrElse(
-      throw new IllegalStateException(s"no snapshot table at '$srcDir' to clone"))
+  def cloneTarget(spark: SparkSession, srcDir: String, dstDir: String,
+                  asOf: Option[String] = None): Unit = {
+    val (srcName, m) = asOf match {
+      case None =>
+        currentManifest(spark, srcDir).getOrElse(
+          throw new IllegalStateException(s"no snapshot table at '$srcDir' to clone"))
+      case Some(version) =>
+        val srcFs0 = fsOf(spark, srcDir)
+        val mf = new Path(srcDir, version)
+        if (!srcFs0.exists(mf))
+          throw new IllegalStateException(
+            s"version '$version' is not retained at '$srcDir' — past the writer's " +
+              "retainVersions window (or never existed); raise retainVersions on the " +
+              "writer to widen the as-of window")
+        (version, parseManifest(readFully(srcFs0, mf), version))
+    }
     val fs = fsOf(spark, dstDir)
     require(currentManifest(spark, dstDir).isEmpty,
       s"refusing to clone onto existing table at '$dstDir'")

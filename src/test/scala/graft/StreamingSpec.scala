@@ -351,6 +351,52 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SnapshotStore.cloneTarget(spark, src, dst) }
   }
 
+  test("restore-to-point-in-time: clone as-of version k equals an independent replay to k") {
+    import spark.implicits._
+    val target = tmp("pitr-src"); val restored = tmp("pitr-dst")
+    val replay = tmp("pitr-replay")
+    def delta(rows: (String, String, String, String)*) =
+      rows.toDF("keys", "op", "sequenceNumber", "newImage")
+    // the full PITR story (the reference's core capability): a table
+    // takes N CDC batches; restore materializes the state as of batch k
+    // as a NEW table, byte-equal to replaying exactly batches 1..k.
+    val batches = Seq(
+      delta(("k1", "PUT", "001", "v1"), ("k2", "PUT", "002", "w1")),
+      delta(("k1", "PUT", "003", "v2"), ("k3", "PUT", "004", "x1")),
+      delta(("k2", "DELETE", "005", null: String), ("k4", "PUT", "006", "y1")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      SnapshotStore.mergeIntoTarget(spark, target, b, i.toLong, retainVersions = 3)
+    }
+    val versions = SnapshotStore.versions(spark, target)
+    assert(versions.length === 3)
+    val vK = versions(1) // as of batch 2 of 3
+    SnapshotStore.cloneTarget(spark, target, restored, asOf = Some(vK))
+    // the oracle: an independent table that only ever saw batches 1..2
+    batches.take(2).zipWithIndex.foreach { case (b, i) =>
+      SnapshotStore.mergeIntoTarget(spark, replay, b, i.toLong)
+    }
+    def state(dir: String) = CdcStream.readTarget(spark, dir)
+      .select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state(restored) === state(replay))
+    assert(state(restored) === Map("k1" -> "v2", "k2" -> "w1", "k3" -> "x1"))
+    // the restored table is a first-class table: it takes new writes,
+    // and neither side's future disturbs the other
+    SnapshotStore.mergeIntoTarget(spark, restored,
+      delta(("k5", "PUT", "007", "z1")), 99L)
+    assert(state(restored) === Map(
+      "k1" -> "v2", "k2" -> "w1", "k3" -> "x1", "k5" -> "z1"))
+    assert(state(target) === Map("k1" -> "v2", "k3" -> "x1", "k4" -> "y1"))
+    // a GC'd (unretained) version fails loudly, same contract as
+    // readTargetAsOf — restore never silently materializes emptiness
+    SnapshotStore.mergeIntoTarget(spark, target,
+      delta(("k6", "PUT", "008", "q1")), 3L) // default retention narrows to 2
+    val gone = versions.head
+    val e = intercept[IllegalStateException](
+      SnapshotStore.cloneTarget(spark, target, tmp("pitr-gone"), asOf = Some(gone)))
+    assert(e.getMessage.contains("not retained"))
+  }
+
   test("mergeIntoTarget appends O(delta) segments: untouched chains reused, bytes scale with delta") {
     import spark.implicits._
     val target = tmp("prune-target")
