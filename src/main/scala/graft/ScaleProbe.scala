@@ -296,6 +296,48 @@ object ScaleProbe {
       println(f"""{"probe":"bucket_occupancy_x$k","n":$nv,"bits":$bits,""" +
         f""""nonempty_buckets":${occ.getLong(2)},"max_occ":${occ.getLong(0)},""" +
         f""""mean_occ":${occ.getDouble(1)}%.1f}""")
+
+      // multi-probe LSH scan fraction (r7): radius-2 fan-out probes
+      // 1 + b + C(b,2) of the 2^b buckets, so the FRACTION of the corpus
+      // a probe scans shrinks as the derived width grows with the corpus
+      // — the claim behind ann_lsh_multiprobe's scale posture, measured
+      // here as actual candidate-pair counts (and scored walltime)
+      // against the brute scan's corpus×probes at the same factor.
+      val masks: Seq[Long] =
+        Seq(0L) ++ (0 until bits).map(1L << _) ++
+          (for { i <- 0 until bits; j <- i + 1 until bits } yield (1L << i) | (1L << j))
+      val indexed = jvecs
+        .withColumn("nn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("bucket", graft.analytics.Corpus.signBucketColBits(bits))
+        .persist()
+      val probes = indexed.filter(col("vec_id") < 10)
+        .withColumn("bucket",
+          explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+          col("nn").as("q_nn"), col("bucket"))
+      var mpCands = 0L
+      time(s"ann_multiprobe_scan_x$k") {
+        mpCands = indexed.join(broadcast(probes), Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(graft.analytics.Corpus.dotCol("qv", "q_qv").as("dot"))
+          .filter(col("dot") =!= Long.MinValue).count()
+        mpCands
+      }
+      var bruteCands = 0L
+      time(s"ann_brute_scan_x$k") {
+        val bprobes = indexed.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("qv").as("q_qv"))
+        bruteCands = indexed.crossJoin(broadcast(bprobes))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(graft.analytics.Corpus.dotCol("qv", "q_qv").as("dot"))
+          .filter(col("dot") =!= Long.MinValue).count()
+        bruteCands
+      }
+      println(f"""{"probe":"multiprobe_fraction_x$k","n":$nv,"bits":$bits,""" +
+        f""""probe_buckets":${masks.length},"total_buckets":${1L << bits},""" +
+        f""""mp_cands":$mpCands,"brute_cands":$bruteCands,""" +
+        f""""scan_fraction":${mpCands.toDouble / math.max(1L, bruteCands)}%.4f}""")
+      indexed.unpersist()
       jvecs.unpersist()
     }
     spark.stop()
