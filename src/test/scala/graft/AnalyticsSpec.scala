@@ -524,7 +524,13 @@ class AnalyticsSpec extends SparkSpec {
       assert(hits >= 0 && hits <= k, s"hits $hits outside [0, $k]")
     }
     val byMethod = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
-    assert(byMethod.keySet == Set("ivf", "ivf_trained", "lsh", "lsh_mp", "sq8"))
+    assert(byMethod.keySet ==
+      Set("ivf", "ivf_trained", "lsh", "lsh_mp", "sq8", "ivf_sq8"))
+    // the r7 composed-index claim: IVF cell pruning costs at most the
+    // quantization-absorbed recall — the composition stays at least as
+    // good as the pure trained-IVF path it prunes with
+    assert(byMethod("ivf_sq8") >= byMethod("ivf_trained"),
+      s"ivf_sq8 recall ${byMethod("ivf_sq8")} < ivf_trained ${byMethod("ivf_trained")}")
     // the r7 claim under test: Hamming-≤2 multi-probe strictly dominates
     // single-bucket LSH over the SAME index (1/30 → 24/30 at sf0.1)
     assert(byMethod("lsh_mp") >= byMethod("lsh"),
