@@ -553,6 +553,46 @@ object TextQueries {
                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
           FROM documents)""")),
 
+    // ───── overlapping chunk construction (r7): the RAG / context-window
+    // prep stage — every document split into fixed-width character
+    // windows with overlap, each chunk carrying provenance (doc_id,
+    // chunk ordinal, start offset) and an md5 content id (the downstream
+    // dedup/embedding key). Pure map + explode: nchunks is integer-
+    // derived from the length (ceil((len−w)/step)+1, covering every
+    // character with the last chunk possibly short), `sequence` +
+    // `substring` are codegen'd, ZERO exchanges — at 100 TB this is a
+    // scan-shaped stage whose output is ~len/step × input rows, the
+    // embedder's natural input partitioning. Both engines hash the same
+    // UTF-8 bytes, so chunk_md5 is the cross-engine content id.
+    QuerySpec(
+      "text_chunk_overlap",
+      (s, d) => {
+        val w = 120; val step = 90 // overlap 30
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+          .withColumn("nchunks",
+            expr(s"1 + (CASE WHEN len > $w THEN len - $w ELSE 0 END + $step - 1) DIV $step"))
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(0, nchunks - 1)")).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+            (col("chunk_id") * step + 1).cast("long").as("start"),
+            expr(s"substring(text, chunk_id * $step + 1, $w)").as("c"))
+          .select(col("doc_id"), col("chunk_id"), col("start"),
+            length(col("c")).cast("long").as("chunk_len"),
+            md5(col("c")).as("chunk_md5"))
+      },
+      Some("""
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+               CAST(i * 90 + 1 AS BIGINT) AS start,
+               CAST(len(substr(text, i * 90 + 1, 120)) AS BIGINT) AS chunk_len,
+               md5(substr(text, i * 90 + 1, 120)) AS chunk_md5
+        FROM (
+          SELECT doc_id, text,
+                 unnest(range(0,
+                   1 + ((CASE WHEN len(text) > 120 THEN len(text) - 120 ELSE 0 END) + 89) // 90))
+                   AS i
+          FROM documents)""")),
+
     // ───── out-of-vocabulary rate: per-doc share of tokens outside the
     // corpus top-k vocabulary (count DESC, term ASC — a total order, so
     // both engines pick the identical vocabulary even through count
