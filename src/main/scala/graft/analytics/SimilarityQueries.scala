@@ -95,7 +95,7 @@ object SimilarityQueries {
     * anything moves; ordering is the identical (score DESC, vec_id)
     * double total order, so the emitted rows cannot differ (oracle-held).
     */
-  private def topKPerProbe(pairs: DataFrame, kk: Int): DataFrame = {
+  private[graft] def topKPerProbe(pairs: DataFrame, kk: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKScoredAgg(kk),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     pairs

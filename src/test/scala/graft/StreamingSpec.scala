@@ -1041,6 +1041,50 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${got.size} pairs (${atStop} before restart) != batch ${want.size}")
   }
 
+  test("streamingVectorSearch: streamed top-k = batch ann_incremental, across a restart") {
+    // V8's streaming face: new vectors drain as micro-batches against
+    // the persisted LSH index; the streamed keyed result set must equal
+    // the batch ann_incremental formulation over the same arrivals —
+    // including a mid-drain stop/resume on one checkpoint.
+    val sfDir = "/root/testdata/sf0.001"
+    val in = tmp("svec-in"); val ckpt = tmp("svec-ckpt")
+    val base = graft.analytics.Corpus.quantizedVectors(spark, sfDir)
+    val existing = base.filter(col("vec_id") % 11 =!= 0)
+    // the arrival stream: the same %11 slice the batch query searches,
+    // with raw embeddings (the stream quantizes on ingest)
+    val arrivals = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 11 === 0)
+      .withColumn("approxCreationTs",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:01")))
+    arrivals.repartition(8).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    // at-least-once sink: keyed accumulation absorbs replayed batches
+    val got = scala.collection.concurrent.TrieMap.empty[(Long, Int), (Long, Double)]
+    val sink = (b: org.apache.spark.sql.DataFrame) => {
+      b.collect().foreach(r =>
+        got.put((r.getLong(0), r.getInt(2)), (r.getLong(1), r.getDouble(3)))); ()
+    }
+    // phase 1: continuous drain, stop after results start landing
+    val q1 = graft.streaming.StreamingVectorSearch.searchStream(
+      stream(), existing, ckpt, sink,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    val deadline = System.currentTimeMillis() + 90000
+    while (got.size < 3 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    q1.stop()
+    val atStop = got.size
+    // phase 2: same checkpoint — the remaining files drain
+    val q2 = graft.streaming.StreamingVectorSearch.searchStream(
+      stream(), existing, ckpt, sink)
+    q2.awaitTermination(120000)
+    val want = SparkEntry.queries("ann_incremental")(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(2)) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(want.nonEmpty && got.toMap === want,
+      s"streamed ${got.size} rows (${atStop} before restart) != batch ${want.size}")
+  }
+
   test("decodeHeavyHitters: streaming sketch + batch recount = exact per-window hitters") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
