@@ -363,4 +363,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftOuter") || p.contains("RightOuter"), s"outer join lost:\n$p")
     assert(p.contains("partial_count"), s"agg not two-phase:\n$p")
   }
+
+  test("ann_lsh_multiprobe: probe fan-out broadcast into ONE bucket equi-join; corpus unshuffled") {
+    val p = plan("ann_lsh_multiprobe")
+    // the radius-2 mask explosion happens on the 10-row probe side and
+    // broadcasts; the corpus side meets it in a single hash equi-join —
+    // never a nested-loop over the radius ball, never a corpus shuffle
+    assert(p.contains("BroadcastHashJoin"), s"bucket join not broadcast in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ crept in:\n$p")
+    assert(p.contains("partial_topkscoredagg"), s"top-k not the bounded agg in:\n$p")
+  }
+
+  test("ann_ivf_sq8: cell prune is a broadcast equi-join; both candidate cuts are bounded aggs") {
+    val p = plan("ann_ivf_sq8")
+    // probed cells broadcast into the assigned+packed index (equi-join on
+    // c_id), the 4·k pool folds through the partial bounded aggregate,
+    // and the exact-rerank fetch broadcasts the candidate-id set
+    assert(p.contains("BroadcastHashJoin"), s"cell/fetch joins not broadcast in:\n$p")
+    assert(p.contains("partial_topkscoredagg"), s"candidate cut not the bounded agg in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("text_chunk_overlap: pure map + explode — zero exchanges, no join") {
+    val p = plan("text_chunk_overlap")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+  }
 }
