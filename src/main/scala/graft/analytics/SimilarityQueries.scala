@@ -8,7 +8,7 @@ import graft.queries.QuerySpec
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
-  * Four paths, as a production vector pipeline would have:
+  * The paths a production vector pipeline would have:
   *  - `ann_brute_topk` — exact baseline: a small probe set (10 query
   *    vectors) broadcast against the full corpus; one pass, no shuffle of
   *    the big side. Cost is O(|corpus| × |probes|) — the right plan when
@@ -24,6 +24,13 @@ import graft.queries.QuerySpec
   *  - `ann_ivf_trained` — the same index over k-means-trained centroids
   *    ([[Clustering.kmeansQuantized]]), the full FAISS-style IVF posture,
   *    with the training loop itself under the oracle.
+  *  - `ann_sq8_rerank` — 8-bit scalar quantization + exact rerank: the
+  *    memory-bound scale path (64 B codes, codegen'd unsigned-byte dot).
+  *  - `ann_ivf_sq8` — IVF × SQ8 composed: cell prune × packed-code scan
+  *    × exact rerank, the production big-corpus index layout.
+  *  - `ann_incremental` — a new batch searches the EXISTING index only
+  *    (old×new); [[graft.streaming.StreamingVectorSearch]] is its
+  *    streaming face.
   *  - `ann_recall` — the measured recall@k of each approximate path
   *    against the brute-force ground truth, as integer hit counts.
   *
