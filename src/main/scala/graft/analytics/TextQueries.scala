@@ -593,6 +593,47 @@ object TextQueries {
                    AS i
           FROM documents)""")),
 
+    // ───── chunk-level exact dedup (r7): the money-saving stage a RAG /
+    // embedding pipeline runs BEFORE the embedder — cross-document
+    // duplicated chunks (license headers, navigation chrome, mirrored
+    // passages) detected by their md5 content id from the same chunk
+    // construction as text_chunk_overlap. One hash-agg on the content
+    // id (the md5 key distributes uniformly — no skew by construction),
+    // never a chunk×chunk compare; at 100 TB this is the exact-dedup
+    // groupBy shape at chunk granularity, and every duplicated chunk is
+    // an embedding call saved.
+    QuerySpec(
+      "dedup_chunks",
+      (s, d) => {
+        val w = 120; val step = 90
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+          .withColumn("nchunks",
+            expr(s"1 + (CASE WHEN len > $w THEN len - $w ELSE 0 END + $step - 1) DIV $step"))
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(0, nchunks - 1)")).as("i"))
+          .select(col("doc_id"),
+            md5(expr(s"substring(text, i * $step + 1, $w)")).as("chunk_md5"))
+          .groupBy("chunk_md5")
+          .agg(count(lit(1)).as("n_copies"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("first_doc"))
+          .filter(col("n_docs") > 1)
+      },
+      Some("""
+        SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM (
+          SELECT doc_id, md5(substr(text, i * 90 + 1, 120)) AS chunk_md5
+          FROM (
+            SELECT doc_id, text,
+                   unnest(range(0,
+                     1 + ((CASE WHEN len(text) > 120 THEN len(text) - 120 ELSE 0 END) + 89) // 90))
+                     AS i
+            FROM documents))
+        GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) > 1""")),
+
     // ───── out-of-vocabulary rate: per-doc share of tokens outside the
     // corpus top-k vocabulary (count DESC, term ASC — a total order, so
     // both engines pick the identical vocabulary even through count
