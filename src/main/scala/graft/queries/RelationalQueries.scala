@@ -1589,5 +1589,57 @@ object RelationalQueries {
         FROM lineitem
         WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
         GROUP BY l_returnflag"""))
+  ,
+
+    // ───── referential-integrity audit (r7): the data-quality gate a
+    // pipeline runs before training — per relationship, row count,
+    // distinct key count, and ORPHAN count (left rows whose key has no
+    // right-side match). Each orphan check is a LEFT ANTI join on the
+    // key (semi-join family: Catalyst pushes it to a broadcast/hash
+    // anti, never a per-row subquery); the three 1-row aggregates union
+    // into one report. On clean testdata all orphan counts are 0 — the
+    // row/key counts keep the result hash-meaningful, and any future
+    // generator drift that breaks a relationship fails this row loudly.
+    QuerySpec(
+      "audit_referential",
+      (s, d) => {
+        def rel(name: String, left: DataFrame, lk: String,
+                right: DataFrame, rk: String): DataFrame = {
+          val totals = left.agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col(lk)).as("n_keys"))
+          val orphans = left
+            .join(right.select(col(rk).as(lk)).distinct(), Seq(lk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          totals.crossJoin(orphans).select(
+            lit(name).as("rel"), col("n_rows"), col("n_keys"), col("n_orphans"))
+        }
+        rel("lineitem->orders", lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey")
+          .unionByName(rel("orders->customer", orders(s, d), "o_custkey",
+            customer(s, d), "c_custkey"))
+          .unionByName(rel("documents->embeddings", documents(s, d), "doc_id",
+            embeddings(s, d), "vec_id"))
+      },
+      Some("""
+        SELECT 'lineitem->orders' AS rel,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
+               CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'orders->customer',
+               CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT o_custkey) AS BIGINT),
+               CAST(count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+        FROM orders r LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON r.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'documents->embeddings',
+               CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT doc_id) AS BIGINT),
+               CAST(count(CASE WHEN e.vec_id IS NULL THEN 1 END) AS BIGINT)
+        FROM documents d LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e
+          ON d.doc_id = e.vec_id"""))
   )
 }
