@@ -50,6 +50,59 @@ object PipelineQueries {
         WHERE $bucketDuck % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
         GROUP BY lang""")),
 
+    // ───── temperature-weighted source mixing (r7): the multilingual /
+    // multi-source rebalancing formula over the lang strata (the skewed
+    // axis in this corpus: en ≈ 2.8× any other) — inclusion mass per
+    // stratum ∝ n^α with α = 0.5, so dominant strata are damped and the tail
+    // is upweighted relative to natural proportions (the standard
+    // temperature-sampling curve, here at the sqrt point). Everything is
+    // integer-deterministic across engines: weights are
+    // floor(sqrt(n)·1000) (sqrt and the ×1000 are correctly-rounded
+    // IEEE ops, floor exact — bit-identical on both engines), the
+    // per-source keep RATE is one integer cross-multiply
+    // (100·T·w) div (Σw·n_src) against the md5 bucket, and selection is
+    // the hash-percentile filter — no window, no rand(), one broadcast
+    // of a |sources|-row rate table against the scan. Aggregated per
+    // source so the oracle checks membership mass, not just counts.
+    QuerySpec(
+      "sample_temperature",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .groupBy("lang").agg(count(lit(1)).as("n_src"))
+          .withColumn("w", expr("cast(floor(sqrt(cast(n_src as double)) * 1000) as bigint)"))
+        val tot = counts.agg(
+          sum(col("w")).as("sumw"), sum(col("n_src")).as("n_total"))
+        val rates = counts.crossJoin(broadcast(tot))
+          .withColumn("rate", least(
+            expr("(100 * (n_total DIV 4) * w) DIV (sumw * n_src)"), lit(100L)))
+          .select("lang", "n_src", "rate")
+        Tables.documents(s, d)
+          .withColumn("bucket", expr(bucketSpark) % 100)
+          .join(broadcast(rates), "lang")
+          .filter(col("bucket") < col("rate"))
+          .groupBy("lang")
+          .agg(max(col("n_src")).as("n_src"), max(col("rate")).as("rate"),
+            count(lit(1)).as("n_sel"), sum(col("n_chars")).as("sum_chars"))
+      },
+      Some(s"""
+        WITH counts AS (
+          SELECT lang, count(*) AS n_src,
+                 CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT) AS w
+          FROM documents GROUP BY lang),
+        tot AS (
+          SELECT CAST(SUM(w) AS BIGINT) AS sumw, CAST(SUM(n_src) AS BIGINT) AS n_total
+          FROM counts),
+        rates AS (
+          SELECT lang, n_src,
+                 LEAST((100 * (t.n_total // 4) * c.w) // (t.sumw * c.n_src), 100) AS rate
+          FROM counts c, tot t)
+        SELECT d.lang, CAST(MAX(r.n_src) AS BIGINT) AS n_src,
+               CAST(MAX(r.rate) AS BIGINT) AS rate,
+               count(*) AS n_sel, CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+        FROM documents d JOIN rates r USING (lang)
+        WHERE $bucketDuck % 100 < r.rate
+        GROUP BY d.lang""")),
+
     // ───── deterministic shuffle + shard assignment: the data-loader
     // layout step. Order within a shard is the md5 hex order — a stable
     // pseudo-random permutation — and shards are md5-bucketed, so the
