@@ -71,10 +71,13 @@ final case class SocketCdcSource(host: String, port: Int) extends CdcSource {
   * the downstream seq-guarded idempotent apply provides.
   */
 trait ShardService {
-  /** (shardId, parentShardId, closed) for every shard, parents listed
-    * before their children (discovery order).
+  /** (shardId, parentShardIds, closed) for every shard, parents listed
+    * before their children (discovery order). A split child has ONE
+    * parent; a merge child has TWO (Kinesis's parentShardId +
+    * adjacentParentShardId) — the consumer's ordering rule is the same:
+    * drain EVERY parent before the child.
     */
-  def listShards(): Seq[(String, Option[String], Boolean)]
+  def listShards(): Seq[(String, Seq[String], Boolean)]
 
   /** Records strictly after `afterSeq` in this shard, up to `limit`,
     * as (sequenceNumber, jsonLine).
@@ -88,9 +91,10 @@ trait ShardService {
   *
   *  - shard DISCOVERY each round, so resharding mid-stream is picked up;
   *  - PARENT-BEFORE-CHILD draining: a child shard is never polled until
-  *    its parent is closed AND drained — the rule that preserves per-key
-  *    order across a split (a key's pre-split records all live in the
-  *    parent; its post-split records in one child);
+  *    EVERY parent is closed AND drained — the rule that preserves
+  *    per-key order across a reshard (a key's pre-reshard records all
+  *    live in a parent; its post-reshard records in one child). A split
+  *    child waits on its one parent; a MERGE child waits on both;
   *  - per-shard committed positions with an EXPLICIT commit step:
   *    `pump(commit = false)` models the crash-before-checkpoint window,
   *    after which the next round redelivers the same records —
@@ -119,8 +123,8 @@ final class ShardSpoolConnector(service: ShardService, spoolDir: String,
     val shards = service.listShards()
     val known = shards.map(_._1).toSet
     var delivered = 0
-    shards.foreach { case (id, parent, closed) =>
-      val parentDone = parent.forall(p => !known.contains(p) || drained.contains(p))
+    shards.foreach { case (id, parents, closed) =>
+      val parentDone = parents.forall(p => !known.contains(p) || drained.contains(p))
       if (!drained.contains(id) && parentDone) {
         val recs = service.getRecords(id, committed.getOrElse(id, ""), limit)
         if (recs.nonEmpty) {

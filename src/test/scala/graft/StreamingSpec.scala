@@ -1041,6 +1041,56 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${got.size} pairs (${atStop} before restart) != batch ${want.size}")
   }
 
+  test("ShardSpoolConnector: shard MERGE — child polled only after BOTH parents drain") {
+    import graft.streaming.ShardSpoolConnector
+    val spool = tmp("merge-spool"); val target = tmp("merge-target")
+    val ckpt = tmp("merge-ckpt"); val dlq = tmp("merge-dlq")
+    val sim = new KinesisSim
+    val conn = new ShardSpoolConnector(sim.service, spool, maxFilesPerTrigger = 1000)
+    def putRec(seqHint: Int, name: String, key: String, img: Option[String]): Unit = {
+      sim.put(key, rec(s"m$seqHint", name, f"2024-01-01T00:00:$seqHint%02dZ",
+        f"$seqHint%03d", key, img)); ()
+    }
+    // split first so there are two shards to merge back (scale-up then
+    // scale-down — the full reshard lifecycle)
+    val (pa, pb) = sim.split("shard-0")
+    Seq("k1", "k2", "k3", "k4").zipWithIndex.foreach { case (k, i) =>
+      putRec(i + 1, "INSERT", k, Some(s"v$k"))
+    }
+    assert(conn.pump() == 4)
+    // MERGE the halves back: the child carries BOTH parents, and there
+    // are still undelivered records in each parent at merge time
+    Seq("k1", "k2").zipWithIndex.foreach { case (k, i) =>
+      putRec(i + 5, "MODIFY", k, Some(s"u$k"))
+    }
+    val child = sim.merge(pa, pb)
+    // post-merge records land in the child
+    Seq("k3", "k4").zipWithIndex.foreach { case (k, i) =>
+      putRec(i + 7, "MODIFY", k, Some(s"w$k"))
+    }
+    // drain everything (parents finish, then the child becomes eligible)
+    var total = 0
+    (0 until 5).foreach(_ => total += conn.pump())
+    assert(total == 4, s"expected the 4 post-split records, got $total")
+    // ordering discipline: no child poll precedes the LAST parent poll —
+    // per-key order holds because every pre-merge record left first
+    val log = sim.callLog.toSeq
+    val firstChild = log.indexOf(child)
+    assert(firstChild >= 0, s"child never polled: $log")
+    assert(math.max(log.lastIndexOf(pa), log.lastIndexOf(pb)) > -1)
+    assert(conn.drainedShards.contains(pa) && conn.drainedShards.contains(pb),
+      "both parents must drain")
+    assert(log.slice(0, firstChild).contains(pa) && log.slice(0, firstChild).contains(pb),
+      s"child polled before a parent drained: $log")
+    // end-to-end: the merged stream applies to the LWW target correctly
+    val q = CdcStream.applySink(conn.stream(spark), target, ckpt, dlq,
+      trigger = Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val state = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("k1" -> "uk1", "k2" -> "uk2", "k3" -> "wk3", "k4" -> "wk4"))
+  }
+
   test("streamingVectorSearch: streamed top-k = batch ann_incremental, across a restart") {
     // V8's streaming face: new vectors drain as micro-batches against
     // the persisted LSH index; the streamed keyed result set must equal
