@@ -700,4 +700,48 @@ class AnalyticsSpec extends SparkSpec {
         s"pair (${p.getLong(0)}, ${p.getLong(1)}) survived canonical-only filter")
     }
   }
+
+  test("text_chunk_overlap: chunks tile every document exactly (r7 coverage invariant)") {
+    // window 120 / step 90: chunk i covers [i·90, i·90+120); dropping
+    // the first 30 chars of every chunk after the first leaves adjacent,
+    // non-overlapping spans — their concatenation must reproduce the
+    // document byte-for-byte, and every document must be covered. This
+    // pins the chunk-count derivation (an off-by-one would drop the
+    // tail or emit an empty chunk) against the raw text, independent of
+    // the oracle's identical-formula agreement.
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val w = 120; val step = 90
+    val chunks = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .withColumn("nchunks",
+        expr(s"1 + (CASE WHEN len > $w THEN len - $w ELSE 0 END + $step - 1) DIV $step"))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, nchunks - 1)")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(text, i * $step + 1, $w)").as("c"))
+      .collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.keySet === docs.keySet, "every document must chunk")
+    chunks.foreach { case (docId, rows) =>
+      val ordered = rows.sortBy(_.getLong(1)).map(_.getString(2))
+      ordered.foreach(c => assert(c.nonEmpty, s"doc $docId emitted an empty chunk"))
+      val rebuilt = (ordered.head +: ordered.tail.map(_.drop(w - step))).mkString
+      assert(rebuilt === docs(docId), s"doc $docId not tiled exactly")
+    }
+  }
+
+  test("sample_temperature: larger strata never keep at a higher rate (damping monotonicity)") {
+    val rows = SparkEntry.queries("sample_temperature")(spark, sf)
+      .select("lang", "n_src", "rate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    for {
+      (la, na, ra) <- rows
+      (lb, nb, rb) <- rows
+      if na > nb
+    } assert(ra <= rb,
+      s"$la (n=$na) keeps at $ra% > $lb (n=$nb) at $rb% — damping inverted")
+  }
 }
