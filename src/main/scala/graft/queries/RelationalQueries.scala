@@ -588,6 +588,52 @@ object RelationalQueries {
         WHERE e.ts >= c.cohort
         GROUP BY 1, 2""")),
 
+    // ───── Pearson correlation from exact-integer sufficient statistics
+    // (r7): corr(quantity, price) per return flag WITHOUT the built-in
+    // `corr` — its streaming-covariance accumulation is float-order-
+    // dependent, so two engines (or two partitionings of the same
+    // engine!) can disagree in the last ulps. Instead the five
+    // sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate EXACTLY as
+    // DECIMAL(38)/HUGEINT over integer cents — order-independent — and
+    // the final r = (nΣxy−ΣxΣy)/(√(nΣx²−Σx²)·√(nΣy²−Σy²)) is a fixed
+    // chain of correctly-rounded double ops, identical on both engines.
+    // The same two-phase map-side-combine plan as any hash agg; the
+    // pattern scales to any moment statistic (covariance, R², slope).
+    QuerySpec(
+      "agg_correlation",
+      (s, d) => lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("decimal(38,0)").as("x"),
+          round(col("l_extendedprice") * 100).cast("decimal(38,0)").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("l_returnflag"),
+          col("n").cast("long").as("n"),
+          expr("""cast(
+              (cast(n AS double) * cast(sxy AS double) - cast(sx AS double) * cast(sy AS double))
+              / (sqrt(cast(n AS double) * cast(sxx AS double) - cast(sx AS double) * cast(sx AS double))
+                 * sqrt(cast(n AS double) * cast(syy AS double) - cast(sy AS double) * cast(sy AS double)))
+            AS double)""").as("r")),
+      Some("""
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        FROM (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+                   CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+            FROM lineitem)
+          GROUP BY l_returnflag)""")),
+
     // ───── A4 exact percentiles (interpolated): same rank definition
     // p*(n-1) in both engines; inputs quantized to integer cents so the
     // interpolation arithmetic stays on exact integer-valued doubles
