@@ -389,4 +389,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
     assert(!p.contains("Join"), s"chunking must not join:\n$p")
   }
+
+  test("Catalyst plans the row_number<=k idiom with a PARTIAL WindowGroupLimit pre-shuffle") {
+    // The division of labor this engine relies on (SURVEY §4): for the
+    // plain rank-filter idiom, Spark's own InferWindowGroupLimit prunes
+    // every map partition to k rows per group BEFORE the exchange — so
+    // we do NOT hand-roll a rewrite rule for it, and our bounded TopK
+    // aggregates are reserved for the shapes Catalyst can't reach (array
+    // outputs composed inside larger aggregations, per-probe candidate
+    // cuts mid-join-pipeline). This pin keeps the reliance honest: the
+    // optimization is conf-disableable, and losing it would silently
+    // turn every rank-filter into a full-sort shuffle at 100 TB.
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+    df.createOrReplaceTempView("wgl_l")
+    val p = spark.sql("""
+      SELECT * FROM (
+        SELECT l_orderkey,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice DESC, l_orderkey) rn
+        FROM wgl_l) WHERE rn <= 5""").queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"partial group-limit missing — rank filters would full-sort at scale:\n$p")
+  }
 }
