@@ -588,6 +588,74 @@ object RelationalQueries {
         WHERE e.ts >= c.cohort
         GROUP BY 1, 2""")),
 
+    // ───── W2 completeness: first/last/nth value over an explicit
+    // full-partition frame (r7). The default window frame (unbounded
+    // preceding → CURRENT ROW) silently makes last_value = the current
+    // row — the classic window bug — so the frame is explicit and the
+    // order total (price, orderkey, linenumber) for cross-engine
+    // determinism; one row per flag via distinct.
+    QuerySpec(
+      "window_nth_value",
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("cents").desc, col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        lineitem(s, d)
+          .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+          .select(col("l_returnflag"),
+            first(col("cents")).over(w).as("top_cents"),
+            nth_value(col("cents"), 2).over(w).as("second_cents"),
+            last(col("cents")).over(w).as("bottom_cents"))
+          .distinct()
+      },
+      Some("""
+        SELECT DISTINCT l_returnflag,
+               first_value(cents) OVER w AS top_cents,
+               nth_value(cents, 2) OVER w AS second_cents,
+               last_value(cents) OVER w AS bottom_cents
+        FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem)
+        WINDOW w AS (PARTITION BY l_returnflag
+                     ORDER BY cents DESC, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
+
+    // ───── three-valued logic semantics (r7): the NULL edge cases every
+    // engine must agree on — null-safe equality (<=> / IS NOT DISTINCT
+    // FROM) vs plain = (null-killed), NULLIF construction, COALESCE
+    // fallback, and COUNT vs COUNT(col) null skipping — exercised over
+    // real data (nullable derived columns from lineitem), aggregated so
+    // the oracle checks the SEMANTICS in bulk, not one hand-picked row.
+    QuerySpec(
+      "func_null_semantics",
+      (s, d) => lineitem(s, d)
+        .withColumn("q", round(col("l_quantity")).cast("long"))
+        .withColumn("a", expr("nullif(q % 3, 0)"))
+        .withColumn("b", expr("nullif(q % 5, 0)"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("a")).as("n_a_nonnull"),
+          count(when(expr("a <=> b"), 1)).as("n_nullsafe_eq"),
+          count(when(expr("a = b"), 1)).as("n_plain_eq"),
+          count(when(expr("a <=> b") && col("a").isNull, 1)).as("n_both_null"),
+          sum(coalesce(col("a"), lit(0L))).as("sum_a_coalesced")),
+      Some("""
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               count(a) AS n_a_nonnull,
+               count(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 END) AS n_nullsafe_eq,
+               count(CASE WHEN a = b THEN 1 END) AS n_plain_eq,
+               count(CASE WHEN (a IS NOT DISTINCT FROM b) AND a IS NULL THEN 1 END)
+                 AS n_both_null,
+               CAST(SUM(COALESCE(a, 0)) AS BIGINT) AS sum_a_coalesced
+        FROM (
+          SELECT l_returnflag,
+                 nullif(CAST(round(l_quantity) AS BIGINT) % 3, 0) AS a,
+                 nullif(CAST(round(l_quantity) AS BIGINT) % 5, 0) AS b
+          FROM lineitem)
+        GROUP BY l_returnflag""")),
+
     // ───── Pearson correlation from exact-integer sufficient statistics
     // (r7): corr(quantity, price) per return flag WITHOUT the built-in
     // `corr` — its streaming-covariance accumulation is float-order-
