@@ -89,6 +89,114 @@ object JoinIvm {
         enriched(touched, bState), batchId)
   }
 
+  // ───────────────────────────────────────────────────────────────────
+  // Indexed maintenance (r7): a SECOND store target holds the REVERSE
+  // index fk → [referencing A-keys], maintained alongside the view, so
+  // the dim-side path needs NO view scan at all — every step is a
+  // delta-bounded point read ([[SnapshotStore.readKeys]], the bucket-
+  // pruned GetItem analog). The index is itself just a store table:
+  // LWW rows keyed by fk whose image is the sorted key list (JSON
+  // array). All driver-side materialization below is bounded by the
+  // DELTA (old+new fks of the batch, their current lists), never by
+  // table size — the same control-plane budget as the k-centroid pull.
+  // Caveat at extreme fan-out: one fk referenced by a huge share of A
+  // has a posting list to match; shard such keys (fk#n) the same way
+  // hot LSH buckets are — the spec covers the mechanism, not that
+  // tuning.
+  // ───────────────────────────────────────────────────────────────────
+
+  private def parseKeyList(img: String): Seq[String] =
+    if (img == null || img.isEmpty) Nil
+    else img.stripPrefix("[").stripSuffix("]").split(",").toSeq
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+
+  private def renderKeyList(keys: Seq[String]): String =
+    keys.sorted.distinct.mkString("[\"", "\",\"", "\"]")
+
+  /** Current fk of each A-key in `lookups`, via point reads. */
+  private def currentFks(spark: SparkSession, aTarget: String,
+                         lookups: Seq[String]): Map[String, String] =
+    SnapshotStore.readKeys(spark, aTarget, lookups)
+      .select(col("keys"),
+        from_json(col("newImage"),
+          org.apache.spark.sql.types.StructType.fromDDL("fk STRING, a_image STRING"))
+          .getField("fk").as("fk"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  /** [[applyFactDelta]] + reverse-index maintenance: before the A merge,
+    * the delta keys' PRIOR fks are point-read; after it, every fk whose
+    * membership changed (old ∪ new) gets its posting list rewritten —
+    * touched fks only, delta-bounded.
+    */
+  def applyFactDeltaIndexed(spark: SparkSession, aDelta: DataFrame, aTarget: String,
+                            bTarget: String, vTarget: String, iTarget: String,
+                            batchId: Long, seqBase: String): Unit = {
+    val rows = aDelta.select("keys", "op", "fk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val oldFks = currentFks(spark, aTarget, rows.map(_._1).toSeq)
+    applyFactDelta(spark, aDelta, aTarget, bTarget, vTarget, batchId)
+    // membership moves: key leaves old fk's list (on delete or re-point),
+    // joins new fk's list (on put)
+    val removals = rows.flatMap { case (k, op, newFk) =>
+      oldFks.get(k).filter(old => op == "DELETE" || old != newFk).map(_ -> k)
+    }
+    val additions = rows.collect { case (k, op, newFk) if op != "DELETE" => newFk -> k }
+    val touchedFks = (removals.map(_._1) ++ additions.map(_._1)).distinct.toSeq
+    if (touchedFks.nonEmpty) {
+      val current = SnapshotStore.readKeys(spark, iTarget, touchedFks)
+        .select("keys", "newImage").collect()
+        .map(r => r.getString(0) -> parseKeyList(r.getString(1))).toMap
+      val byFk = touchedFks.map { fk =>
+        val next = (current.getOrElse(fk, Nil)
+          .filterNot(k => removals.exists(r => r._1 == fk && r._2 == k))
+          ++ additions.collect { case (`fk`, k) => k }).distinct
+        (fk, next)
+      }
+      import spark.implicits._
+      val idxDelta = byFk.map { case (fk, ks) =>
+        if (ks.isEmpty) (fk, "DELETE", s"$seqBase-$fk", null: String)
+        else (fk, "PUT", s"$seqBase-$fk", renderKeyList(ks))
+      }.toSeq.toDF("keys", "op", "sequenceNumber", "newImage")
+      SnapshotStore.mergeIntoTarget(spark, iTarget, idxDelta, batchId)
+    }
+  }
+
+  /** [[applyDimDelta]] with the reverse index: the touched view rows
+    * come from index point reads (fk → key list) followed by view point
+    * reads — NO view scan anywhere; cost is delta + fan-out.
+    */
+  def applyDimDeltaIndexed(spark: SparkSession, bDelta: DataFrame,
+                           bTarget: String, vTarget: String, iTarget: String,
+                           batchId: Long, seqBase: String): Unit = {
+    SnapshotStore.mergeIntoTarget(spark, bTarget, bDelta, batchId)
+    val fks = bDelta.select("keys").collect().map(_.getString(0)).toSeq.distinct
+    val refKeys = SnapshotStore.readKeys(spark, iTarget, fks)
+      .select("newImage").collect().flatMap(r => parseKeyList(r.getString(0))).toSeq.distinct
+    if (refKeys.nonEmpty) {
+      val bState = SnapshotStore.readTarget(spark, bTarget)
+      val touched = SnapshotStore.readKeys(spark, vTarget, refKeys)
+        .select(col("keys"),
+          from_json(col("newImage"), org.apache.spark.sql.types.StructType
+            .fromDDL("fk STRING, a_image STRING, b_image STRING")).as("v"))
+        .select(col("keys"), col("v.fk").as("fk"), col("v.a_image").as("a_image"))
+        .withColumn("op", lit("PUT"))
+        .withColumn("sequenceNumber", concat(lit(seqBase), lit("-"), col("keys")))
+      SnapshotStore.mergeIntoTarget(spark, vTarget, enriched(touched, bState), batchId)
+    }
+  }
+
+  /** The true reverse mapping (the index spec's oracle): fk → sorted
+    * referencing keys from A's current state.
+    */
+  def indexRecompute(spark: SparkSession, aTarget: String): Map[String, String] =
+    SnapshotStore.readTarget(spark, aTarget)
+      .select(col("keys"),
+        from_json(col("newImage"),
+          org.apache.spark.sql.types.StructType.fromDDL("fk STRING, a_image STRING"))
+          .getField("fk").as("fk"))
+      .collect().map(r => (r.getString(1), r.getString(0)))
+      .groupBy(_._1).map { case (fk, ks) => fk -> renderKeyList(ks.map(_._2).toSeq) }
+
   /** The full recompute the maintained view must equal (the spec's
     * oracle): A-state left-joined to B-state, same packed image.
     */

@@ -78,4 +78,65 @@ class JoinIvmSpec extends SparkSpec {
     check("after replayed fact batch")
     assert(viewState().keySet === before.keySet)
   }
+
+  test("indexed maintenance: reverse index stays exact; dim path is point-read only") {
+    import spark.implicits._
+    val aT = tmp("jivmx-a"); val bT = tmp("jivmx-b")
+    val vT = tmp("jivmx-v"); val iT = tmp("jivmx-i")
+
+    def aDelta(rows: (String, String, String, String, String)*) =
+      rows.toDF("keys", "op", "sequenceNumber", "fk", "a_image")
+    def bDelta(rows: (String, String, String, String)*) =
+      rows.toDF("keys", "op", "sequenceNumber", "newImage")
+    def viewState() = SnapshotStore.readTarget(spark, vT)
+      .select("keys", "newImage").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def indexState() = SnapshotStore.readTarget(spark, iT)
+      .select("keys", "newImage").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def check(stage: String): Unit = {
+      // the view equals the full recompute AND the index equals the true
+      // reverse mapping — after every single batch
+      val want = JoinIvm.fullRecompute(spark, aT, bT)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(viewState() === want, s"$stage: view diverged")
+      assert(indexState() === JoinIvm.indexRecompute(spark, aT),
+        s"$stage: index diverged")
+    }
+
+    SnapshotStore.mergeIntoTarget(spark, bT,
+      bDelta(("d1", "PUT", "001", "dim-one"), ("d2", "PUT", "002", "dim-two")), 0L)
+    JoinIvm.applyFactDeltaIndexed(spark,
+      aDelta(("a1", "PUT", "101", "d1", "f1"),
+        ("a2", "PUT", "102", "d1", "f2"),
+        ("a3", "PUT", "103", "d2", "f3")), aT, bT, vT, iT, 1L, seqBase = "101")
+    check("seed")
+    assert(indexState()("d1") === "[\"a1\",\"a2\"]")
+
+    // re-point a2: d1 -> d2 (leaves one list, joins the other)
+    JoinIvm.applyFactDeltaIndexed(spark,
+      aDelta(("a2", "PUT", "201", "d2", "f2v2")), aT, bT, vT, iT, 2L, seqBase = "201")
+    check("re-point")
+    assert(indexState()("d1") === "[\"a1\"]" && indexState()("d2") === "[\"a2\",\"a3\"]")
+
+    // delete a1: d1's list empties and its index row disappears
+    JoinIvm.applyFactDeltaIndexed(spark,
+      aDelta(("a1", "DELETE", "301", null, null)), aT, bT, vT, iT, 3L, seqBase = "301")
+    check("fact delete")
+    assert(!indexState().contains("d1"))
+
+    // dim update through the INDEX path: only d2's referencing rows
+    // (a2, a3) re-enrich — via point reads, no view scan
+    JoinIvm.applyDimDeltaIndexed(spark,
+      bDelta(("d2", "PUT", "401", "dim-two-v2")), bT, vT, iT, 4L, seqBase = "401")
+    check("indexed dim update")
+    assert(viewState()("a2").contains("dim-two-v2"))
+    assert(viewState()("a3").contains("dim-two-v2"))
+
+    // dim update for a now-unreferenced key: index has no row, the
+    // path touches nothing, nothing breaks
+    JoinIvm.applyDimDeltaIndexed(spark,
+      bDelta(("d1", "PUT", "501", "dim-one-v9")), bT, vT, iT, 5L, seqBase = "501")
+    check("unreferenced dim update")
+  }
 }
