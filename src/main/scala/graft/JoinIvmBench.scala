@@ -82,8 +82,34 @@ object JoinIvmBench {
         (System.nanoTime() - t0) / 1e9
       }
 
+      // indexed dim path: the reverse index seeds AFTER the fact batches
+      // (they re-point fks; at a live deployment the index is maintained
+      // from day one by applyFactDeltaIndexed — the bulk seed here is
+      // bench setup), then the identical dim batches run point-read
+      val iT = Files.createTempDirectory(s"jivmb-i$k").toFile.getAbsolutePath
+      def seedIndex(): Unit = {
+        import spark.implicits._
+        val idx = JoinIvm.indexRecompute(spark, aT).toSeq
+          .map { case (fk, img) => (fk, "PUT", "0000000099", img) }
+          .toDF("keys", "op", "sequenceNumber", "newImage")
+        SnapshotStore.mergeIntoTarget(spark, iT, idx, 99L)
+      }
+      def dimBatchIndexed(b: Int): Double = {
+        val t0 = System.nanoTime()
+        JoinIvm.applyDimDeltaIndexed(spark,
+          spark.range(dimsPerBatch).select(
+            concat(lit("d"), pmod(col("id") + lit(b * 37), lit(dims))).as("keys"),
+            lit("PUT").as("op"),
+            lpad(lit(300 + b).cast("string"), 10, "0").as("sequenceNumber"),
+            concat(lit("dimw"), lit(b), lit("_"), col("id")).as("newImage")),
+          bT, vT, iT, 300L + b, seqBase = f"${300 + b}%010d")
+        (System.nanoTime() - t0) / 1e9
+      }
+
       val factSecs = (1 to 4).map(factBatch)
+      seedIndex()
       val dimSecs = (1 to 4).map(dimBatch)
+      val dimIdxSecs = (1 to 4).map(dimBatchIndexed)
 
       // refuse to report times for a wrong answer
       val got = SnapshotStore.readTarget(spark, vT).select("keys", "newImage")
@@ -93,6 +119,7 @@ object JoinIvmBench {
 
       println(f"""{"probe":"join_ivm_x$k","view_rows":$n,""" +
         f""""fact_batch_sec":${factSecs.min}%.2f,"dim_batch_sec":${dimSecs.min}%.2f,""" +
+        f""""dim_batch_indexed_sec":${dimIdxSecs.min}%.2f,""" +
         f""""touched_per_dim_batch":${dimsPerBatch * (n / dims)}}""")
     }
     spark.stop()
