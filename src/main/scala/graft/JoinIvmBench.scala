@@ -78,7 +78,7 @@ object JoinIvmBench {
             lit("PUT").as("op"),
             lpad(lit(200 + b).cast("string"), 10, "0").as("sequenceNumber"),
             concat(lit("dimv"), lit(b), lit("_"), col("id")).as("newImage")),
-          bT, vT, 200L + b, seqBase = f"${200 + b}%010d")
+          bT, vT, 200L + b)
         (System.nanoTime() - t0) / 1e9
       }
 
@@ -102,7 +102,7 @@ object JoinIvmBench {
             lit("PUT").as("op"),
             lpad(lit(300 + b).cast("string"), 10, "0").as("sequenceNumber"),
             concat(lit("dimw"), lit(b), lit("_"), col("id")).as("newImage")),
-          bT, vT, iT, 300L + b, seqBase = f"${300 + b}%010d")
+          bT, vT, iT, 300L + b)
         (System.nanoTime() - t0) / 1e9
       }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.streaming.SnapshotStore
@@ -63,27 +63,45 @@ object JoinIvm {
     SnapshotStore.mergeIntoTarget(spark, vTarget, puts.unionByName(dels), batchId)
   }
 
+  /** Re-enrichment sequence: the view's LWW lives in the FACT sequence
+    * space — a dim-driven refresh must never outrank a LATER fact
+    * update on the same key (the bug a flat "epoch" stamp has: the
+    * refresh wins forever). The store's comparator is numeric-string
+    * order — (length(canonical), canonical, length(raw), raw), leading
+    * zeros stripped — so the refresh stamp is the stored fact sequence
+    * with ONE ZERO PREPENDED: the canonical value ties the stored row
+    * (and any replay of it) and the longer raw form wins the final
+    * tiebreak, while any later fact outranks on the canonical value.
+    * Order achieved: stored "0046" < refresh "00046" < next refresh
+    * "000046" < later fact "0047"; a replayed "0046" cannot clobber a
+    * refresh. Growth is one char per refresh of an unchanged row —
+    * bounded by the control-plane refresh count, and any fact update
+    * resets the stamp.
+    */
+  private def refreshSeq: Column = concat(lit("0"), col("sequenceNumber"))
+
   /** Apply one ΔB batch (canonical keys/op/sequenceNumber/newImage) to
     * `bTarget`, then re-enrich ONLY the view rows whose fk is in the
-    * batch — the touched set. `seqBase` must exceed every sequence
-    * already in the view (the caller's monotonic batch clock).
+    * batch — the touched set. Refresh stamps come from [[refreshSeq]]
+    * (zero-prepended stored fact sequences), so refreshes layer between
+    * the stored row and any later fact update.
     */
   def applyDimDelta(spark: SparkSession, bDelta: DataFrame,
-                    bTarget: String, vTarget: String, batchId: Long,
-                    seqBase: String): Unit = {
+                    bTarget: String, vTarget: String, batchId: Long): Unit = {
     SnapshotStore.mergeIntoTarget(spark, bTarget, bDelta, batchId)
     val touchedKeys = bDelta.select(col("keys").as("fk")).distinct()
     val bState = SnapshotStore.readTarget(spark, bTarget)
     // view rows referencing the changed dim keys, re-read with their
     // stored fk/a_image (unpacked from the view image) and re-enriched
     val touched = SnapshotStore.readTarget(spark, vTarget)
-      .select(col("keys"),
+      .select(col("keys"), col("sequenceNumber"),
         from_json(col("newImage"), org.apache.spark.sql.types.StructType.fromDDL("fk STRING, a_image STRING, b_image STRING"))
           .as("v"))
-      .select(col("keys"), col("v.fk").as("fk"), col("v.a_image").as("a_image"))
+      .select(col("keys"), col("sequenceNumber"),
+        col("v.fk").as("fk"), col("v.a_image").as("a_image"))
       .join(broadcast(touchedKeys), Seq("fk"))
       .withColumn("op", lit("PUT"))
-      .withColumn("sequenceNumber", concat(lit(seqBase), lit("-"), col("keys")))
+      .withColumn("sequenceNumber", refreshSeq)
     if (!touched.isEmpty)
       SnapshotStore.mergeIntoTarget(spark, vTarget,
         enriched(touched, bState), batchId)
@@ -131,8 +149,15 @@ object JoinIvm {
   def applyFactDeltaIndexed(spark: SparkSession, aDelta: DataFrame, aTarget: String,
                             bTarget: String, vTarget: String, iTarget: String,
                             batchId: Long, seqBase: String): Unit = {
-    val rows = aDelta.select("keys", "op", "fk").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // collapse the batch to each key's LWW winner first (a PUT and a
+    // DELETE for one key can share a micro-batch; membership moves must
+    // follow the winner the store's own merge will keep, same
+    // numeric-string order)
+    val rows = aDelta.select("keys", "op", "fk", "sequenceNumber").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .groupBy(_._1).values
+      .map(_.maxBy(r => CdcOps.numericStringKey(r._4)))
+      .map(r => (r._1, r._2, r._3)).toSeq
     val oldFks = currentFks(spark, aTarget, rows.map(_._1).toSeq)
     applyFactDelta(spark, aDelta, aTarget, bTarget, vTarget, batchId)
     // membership moves: key leaves old fk's list (on delete or re-point),
@@ -167,7 +192,7 @@ object JoinIvm {
     */
   def applyDimDeltaIndexed(spark: SparkSession, bDelta: DataFrame,
                            bTarget: String, vTarget: String, iTarget: String,
-                           batchId: Long, seqBase: String): Unit = {
+                           batchId: Long): Unit = {
     SnapshotStore.mergeIntoTarget(spark, bTarget, bDelta, batchId)
     val fks = bDelta.select("keys").collect().map(_.getString(0)).toSeq.distinct
     val refKeys = SnapshotStore.readKeys(spark, iTarget, fks)
@@ -175,15 +200,57 @@ object JoinIvm {
     if (refKeys.nonEmpty) {
       val bState = SnapshotStore.readTarget(spark, bTarget)
       val touched = SnapshotStore.readKeys(spark, vTarget, refKeys)
-        .select(col("keys"),
+        .select(col("keys"), col("sequenceNumber"),
           from_json(col("newImage"), org.apache.spark.sql.types.StructType
             .fromDDL("fk STRING, a_image STRING, b_image STRING")).as("v"))
-        .select(col("keys"), col("v.fk").as("fk"), col("v.a_image").as("a_image"))
+        .select(col("keys"), col("sequenceNumber"),
+          col("v.fk").as("fk"), col("v.a_image").as("a_image"))
         .withColumn("op", lit("PUT"))
-        .withColumn("sequenceNumber", concat(lit(seqBase), lit("-"), col("keys")))
+        .withColumn("sequenceNumber", refreshSeq)
       SnapshotStore.mergeIntoTarget(spark, vTarget, enriched(touched, bState), batchId)
     }
   }
+
+  /** Streaming fact-side maintenance (r7): the CDC fact stream drives
+    * the view + reverse index through checkpointed micro-batches — the
+    * join-view dual of the aggregate IVM's streaming face. Each batch
+    * runs [[applyFactDeltaIndexed]]; the store's seq-guarded LWW merge
+    * makes a replayed batch (restart after crash-before-checkpoint)
+    * idempotent, so the maintained state is exactly-once even though
+    * delivery is at-least-once (JoinIvmSpec proves equality with the
+    * full recompute across a mid-drain restart). Dim-side deltas keep
+    * arriving as batch calls ([[applyDimDeltaIndexed]]) — dims change
+    * on control-plane cadence, facts on stream cadence.
+    *
+    * `factCdc` is a STREAMING frame with the fact-delta shape
+    * (keys, op, sequenceNumber, fk, a_image).
+    *
+    * Torn-batch window: one micro-batch merges THREE targets (A, view,
+    * index) and those merges are individually atomic but not jointly —
+    * a crash (or non-graceful stop) between them leaves the trio torn
+    * until the uncommitted batch REPLAYS on restart and its idempotent
+    * merges repair all three. Operational rule, as for any
+    * multi-target transactionless pipeline: run control-plane dim
+    * maintenance ([[applyDimDeltaIndexed]]) at a QUIESCED boundary
+    * (sink drained or gracefully stopped), never against a torn trio —
+    * a dim update issued inside the torn window can miss the torn
+    * batch's rows until it replays.
+    */
+  def factSink(factCdc: DataFrame, aTarget: String, bTarget: String,
+               vTarget: String, iTarget: String, checkpoint: String,
+               trigger: org.apache.spark.sql.streaming.Trigger =
+                 org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    factCdc.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyFactDeltaIndexed(batch.sparkSession, batch,
+          aTarget, bTarget, vTarget, iTarget, batchId,
+          seqBase = f"sb$batchId%012d")
+        ()
+      }
+      .trigger(trigger)
+      .start()
 
   /** The true reverse mapping (the index spec's oracle): fk → sorted
     * referencing keys from A's current state.

@@ -48,7 +48,7 @@ class JoinIvmSpec extends SparkSpec {
 
     // batch 2: dim UPDATE — only a1 (the d1-referencing row) re-enriches
     JoinIvm.applyDimDelta(spark,
-      bDelta(("d1", "PUT", "201", "dim-one-v2")), bT, vT, 2L, seqBase = "201")
+      bDelta(("d1", "PUT", "201", "dim-one-v2")), bT, vT, 2L)
     check("after dim update")
     assert(viewState()("a1").contains("dim-one-v2"))
     assert(viewState()("a2").contains("dim-two"))
@@ -62,7 +62,7 @@ class JoinIvmSpec extends SparkSpec {
 
     // batch 4: dim DELETE — referencing rows stay, null-enriched (left join)
     JoinIvm.applyDimDelta(spark,
-      bDelta(("d1", "DELETE", "401", null)), bT, vT, 4L, seqBase = "401")
+      bDelta(("d1", "DELETE", "401", null)), bT, vT, 4L)
     check("after dim delete")
     assert(!viewState()("a1").contains("b_image\":\"dim"))
 
@@ -128,7 +128,7 @@ class JoinIvmSpec extends SparkSpec {
     // dim update through the INDEX path: only d2's referencing rows
     // (a2, a3) re-enrich — via point reads, no view scan
     JoinIvm.applyDimDeltaIndexed(spark,
-      bDelta(("d2", "PUT", "401", "dim-two-v2")), bT, vT, iT, 4L, seqBase = "401")
+      bDelta(("d2", "PUT", "401", "dim-two-v2")), bT, vT, iT, 4L)
     check("indexed dim update")
     assert(viewState()("a2").contains("dim-two-v2"))
     assert(viewState()("a3").contains("dim-two-v2"))
@@ -136,7 +136,100 @@ class JoinIvmSpec extends SparkSpec {
     // dim update for a now-unreferenced key: index has no row, the
     // path touches nothing, nothing breaks
     JoinIvm.applyDimDeltaIndexed(spark,
-      bDelta(("d1", "PUT", "501", "dim-one-v9")), bT, vT, iT, 5L, seqBase = "501")
+      bDelta(("d1", "PUT", "501", "dim-one-v9")), bT, vT, iT, 5L)
     check("unreferenced dim update")
+  }
+
+  test("streaming fact sink: checkpointed drain, quiesced dim update, resumed drain") {
+    import spark.implicits._
+    val aT = tmp("jivms-a"); val bT = tmp("jivms-b")
+    val vT = tmp("jivms-v"); val iT = tmp("jivms-i")
+    val in = tmp("jivms-in"); val ckpt = tmp("jivms-ckpt")
+
+    SnapshotStore.mergeIntoTarget(spark, bT,
+      Seq(("d1", "PUT", "001", "dim-one"), ("d2", "PUT", "002", "dim-two"))
+        .toDF("keys", "op", "sequenceNumber", "newImage"), 0L)
+    // 60 fact events over 20 keys: upserts, re-points (parity of i%2
+    // differs across a key's events when i%20 repeats with different
+    // halves), and late deletes
+    val facts = (1 to 60).map { i =>
+      (s"a${i % 20}", if (i > 50 && i % 7 == 0) "DELETE" else "PUT",
+        f"$i%04d", s"d${1 + (i % 2)}", s"f$i")
+    }
+    def writeChunk(chunk: Seq[(String, String, String, String, String)], part: Int): Unit =
+      chunk.toDF("keys", "op", "sequenceNumber", "fk", "a_image")
+        .coalesce(1).write.mode("append").parquet(in)
+    val schema = {
+      writeChunk(facts.take(30), 0)
+      spark.read.parquet(in).schema
+    }
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+
+    def check(stage: String): Unit = {
+      val want = JoinIvm.fullRecompute(spark, aT, bT)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val got = SnapshotStore.readTarget(spark, vT)
+        .select("keys", "newImage").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got === want, s"$stage: view diverged")
+      val idx = SnapshotStore.readTarget(spark, iT)
+        .select("keys", "newImage").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(idx === JoinIvm.indexRecompute(spark, aT), s"$stage: index diverged")
+    }
+
+    // phase 1: drain the first half to a QUIESCED boundary
+    // (AvailableNow terminates when caught up — the graceful stop)
+    val q1 = JoinIvm.factSink(stream(), aT, bT, vT, iT, ckpt)
+    q1.awaitTermination(120000)
+    check("after phase-1 drain")
+
+    // control-plane dim update at the quiesced boundary (the
+    // operational rule the factSink doc states: never inside a torn
+    // batch) — through the indexed point-read path
+    JoinIvm.applyDimDeltaIndexed(spark,
+      Seq(("d1", "PUT", "9000", "dim-one-v2"))
+        .toDF("keys", "op", "sequenceNumber", "newImage"),
+      bT, vT, iT, 9000L)
+    check("after quiesced dim update")
+    assert(SnapshotStore.readTarget(spark, vT)
+      .filter(col("newImage").contains("\"fk\":\"d1\""))
+      .collect().forall(_.getAs[String]("newImage").contains("dim-one-v2")))
+
+    // phase 2: second half lands, SAME checkpoint resumes and drains it
+    writeChunk(facts.drop(30), 1)
+    val q2 = JoinIvm.factSink(stream(), aT, bT, vT, iT, ckpt)
+    q2.awaitTermination(120000)
+    check("after resumed drain")
+    assert(SnapshotStore.readTarget(spark, vT).count() > 0)
+  }
+
+  test("indexed fact batch is replay-idempotent (crash-before-checkpoint heals)") {
+    import spark.implicits._
+    val aT = tmp("jivmr-a"); val bT = tmp("jivmr-b")
+    val vT = tmp("jivmr-v"); val iT = tmp("jivmr-i")
+    SnapshotStore.mergeIntoTarget(spark, bT,
+      Seq(("d1", "PUT", "001", "dim-one"), ("d2", "PUT", "002", "dim-two"))
+        .toDF("keys", "op", "sequenceNumber", "newImage"), 0L)
+    def batch() = Seq(
+      ("a1", "PUT", "0101", "d1", "f1"),
+      ("a2", "PUT", "0102", "d2", "f2"),
+      ("a3", "DELETE", "0103", null: String, null: String))
+      .toDF("keys", "op", "sequenceNumber", "fk", "a_image")
+    JoinIvm.applyFactDeltaIndexed(spark, batch(), aT, bT, vT, iT, 1L, seqBase = "sb1")
+    val v1 = SnapshotStore.readTarget(spark, vT).select("keys", "newImage")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val i1 = SnapshotStore.readTarget(spark, iT).select("keys", "newImage")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the replay: same delta, same seqBase (the restart re-runs the
+    // batch verbatim) — every target must land exactly where it was
+    JoinIvm.applyFactDeltaIndexed(spark, batch(), aT, bT, vT, iT, 2L, seqBase = "sb1")
+    val v2 = SnapshotStore.readTarget(spark, vT).select("keys", "newImage")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val i2 = SnapshotStore.readTarget(spark, iT).select("keys", "newImage")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(v2 === v1, "replayed batch moved the view")
+    assert(i2 === i1, "replayed batch moved the index")
   }
 }
