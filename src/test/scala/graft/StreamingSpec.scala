@@ -1135,6 +1135,44 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${got.size} rows (${atStop} before restart) != batch ${want.size}")
   }
 
+  test("streamingVectorSearch radius knob: multi-probe top-k dominates single-bucket per query") {
+    // the recall lever carried over from ann_lsh_multiprobe: a wider
+    // probe ball can only ADD candidates, so per (query, rank) the
+    // radius-2 score must be >= the radius-0 score, and no query may
+    // LOSE result rows. One AvailableNow drain per radius, same stream.
+    val sfDir = "/root/testdata/sf0.001"
+    val in = tmp("svecr-in")
+    val base = graft.analytics.Corpus.quantizedVectors(spark, sfDir)
+    val existing = base.filter(col("vec_id") % 11 =!= 0)
+    Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 11 === 0)
+      .withColumn("approxCreationTs",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:01")))
+      .coalesce(2).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def run(radius: Int): Map[(Long, Int), Double] = {
+      val got = scala.collection.concurrent.TrieMap.empty[(Long, Int), Double]
+      val q = graft.streaming.StreamingVectorSearch.searchStream(
+        spark.readStream.schema(schema).parquet(in), existing,
+        tmp(s"svecr-ckpt$radius"),
+        b => { b.collect().foreach(r =>
+          got.put((r.getLong(0), r.getInt(2)), r.getDouble(3))); () },
+        radius = radius)
+      q.awaitTermination(120000)
+      got.toMap
+    }
+    val r0 = run(0); val r2 = run(2)
+    assert(r0.nonEmpty && r2.nonEmpty)
+    assert(r0.keySet.map(_._1).subsetOf(r2.keySet.map(_._1)),
+      "a query lost all results under multi-probe")
+    r0.foreach { case ((qid, rank), s0) =>
+      r2.get((qid, rank)).foreach(s2 =>
+        assert(s2 >= s0, s"query $qid rank $rank: multi-probe $s2 < single-bucket $s0"))
+    }
+    // and the widening genuinely changes something on this corpus
+    assert(r2 != r0, "radius 2 produced identical results — knob not exercised")
+  }
+
   test("decodeHeavyHitters: streaming sketch + batch recount = exact per-window hitters") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
