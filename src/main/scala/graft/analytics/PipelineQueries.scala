@@ -200,6 +200,86 @@ object PipelineQueries {
                        CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok
                 FROM documents))""")),
 
+    // ───── dedup-aware content-addressed chunk packing (r7): the stage
+    // AFTER text_chunk_overlap + dedup_chunks in a RAG/embedding
+    // pipeline — duplicated chunks collapse to ONE canonical copy (min
+    // (doc_id, chunk_id) per content id, an agg + self-join, never a
+    // window over the full chunk stream), then the UNIQUE chunks lay
+    // out content-addressed: shard and order come from chunk_md5
+    // itself, so the layout is reproducible from content alone and
+    // uniform by construction (md5 keys don't skew). Offset packing
+    // into 512-token bins via the per-shard prefix sum; per-shard
+    // report (chunks, tokens, bins) keeps the oracle compact. Every
+    // duplicated chunk that collapses here is an embedding call saved
+    // BEFORE the embedder sees the batch.
+    QuerySpec(
+      "pack_chunks_deduped",
+      (s, d) => {
+        val cw = 120; val step = 90
+        val chunks = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+          .withColumn("nchunks",
+            expr(s"1 + (CASE WHEN len > $cw THEN len - $cw ELSE 0 END + $step - 1) DIV $step"))
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(0, nchunks - 1)")).as("i"))
+          .select(col("doc_id"), col("i").cast("int").as("chunk_id"),
+            expr(s"substring(text, i * $step + 1, $cw)").as("c"))
+          .select(col("doc_id"), col("chunk_id"),
+            md5(col("c")).as("chunk_md5"),
+            length(col("c")).cast("long").as("chunk_len"))
+        val canonical = chunks.groupBy("chunk_md5")
+          .agg(min(struct(col("doc_id"), col("chunk_id"))).as("first"))
+          .select(col("chunk_md5"),
+            col("first.doc_id").as("doc_id"), col("first.chunk_id").as("chunk_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("chunk_md5")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        chunks.join(canonical, Seq("chunk_md5", "doc_id", "chunk_id"))
+          .withColumn("tok", expr("cast(ceil(chunk_len / 4.0) as bigint)"))
+          .withColumn("shard",
+            (expr("cast(conv(substring(chunk_md5, 1, 8), 16, 10) as long)") % 8).cast("int"))
+          .withColumn("cum", sum(col("tok")).over(w))
+          .withColumn("bin", floor((col("cum") - col("tok")) / 512))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_chunks"), sum(col("tok")).as("n_tokens"),
+            (max(col("bin")) + 1).as("n_bins"))
+      },
+      Some("""
+        WITH chunks AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+                 md5(substr(text, i * 90 + 1, 120)) AS chunk_md5,
+                 CAST(len(substr(text, i * 90 + 1, 120)) AS BIGINT) AS chunk_len
+          FROM (
+            SELECT doc_id, text,
+                   unnest(range(0,
+                     1 + ((CASE WHEN len(text) > 120 THEN len(text) - 120 ELSE 0 END) + 89) // 90))
+                     AS i
+            FROM documents)),
+        canonical AS (
+          SELECT chunk_md5,
+                 MIN(struct_pack(doc_id := doc_id, chunk_id := chunk_id)) AS first
+          FROM chunks GROUP BY chunk_md5),
+        kept AS (
+          SELECT c.chunk_md5, c.chunk_len
+          FROM chunks c JOIN canonical k
+            ON c.chunk_md5 = k.chunk_md5
+           AND c.doc_id = (k.first).doc_id AND c.chunk_id = (k.first).chunk_id),
+        laid AS (
+          SELECT chunk_md5,
+                 CAST(ceil(chunk_len / 4.0) AS BIGINT) AS tok,
+                 CAST(('0x' || substr(chunk_md5, 1, 8))::BIGINT % 8 AS INTEGER) AS shard
+          FROM kept),
+        packed AS (
+          SELECT shard, tok,
+                 CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY chunk_md5
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM laid)
+        SELECT shard, count(*) AS n_chunks,
+               CAST(SUM(tok) AS BIGINT) AS n_tokens,
+               CAST(MAX(floor((cum - tok) / 512)) + 1 AS BIGINT) AS n_bins
+        FROM packed GROUP BY shard""")),
+
     // ───── END-TO-END prep pipeline: curation verdicts → keep only →
     // deterministic sharding → offset packing → per-shard layout report
     // (docs, token mass, 2048-token bins). One query composing the
