@@ -128,10 +128,13 @@ object Bench {
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
-    // Individual query failures are DATA, not a process failure: they are
-    // recorded in the "errors" map above and loudly on stderr, but the
-    // process exits 0 so one broken query can never destroy the timings of
-    // the other ~140 (BENCH_r06 was rc:1/parsed:null for exactly this).
+    // Individual query failures never destroy the other ~150 timings: the
+    // full JSON (with the "errors" map) is printed and persisted FIRST
+    // (BENCH_r06 was rc:1/parsed:null for exactly this). But a run with
+    // failures still exits DISTINCTLY nonzero (2) so rc-gating automation
+    // can't mistake a broken run for a clean one — consumers get both
+    // signals: complete timings in the artifact, honest rc on the process.
     errors.foreach { case (n, e) => System.err.println(s"BENCH FAIL $n: $e") }
+    if (errors.nonEmpty) sys.exit(2)
   }
 }

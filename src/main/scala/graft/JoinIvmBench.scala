@@ -122,6 +122,50 @@ object JoinIvmBench {
         f""""dim_batch_indexed_sec":${dimIdxSecs.min}%.2f,""" +
         f""""touched_per_dim_batch":${dimsPerBatch * (n / dims)}}""")
     }
+
+    // ── backfill-sized single delta through the INDEXED path ──────────
+    // The r7 implementation diffed posting-list membership on the
+    // driver, so a backfill batch (the reference's lambda-backfill
+    // replay: one delta holding MILLIONS of rows) would have
+    // materialized the whole delta driver-side. The r8 path is
+    // DataFrame-only (the driver sees bucket-id sets, never rows); this
+    // slot proves a 1M-row batch runs it, and a second 1M-row batch
+    // re-pointing EVERY key exercises the removal/anti-join half at the
+    // same scale. Equality asserts keep the time honest.
+    val bf = 1000000L
+    val aT = Files.createTempDirectory("jivmb-bf-a").toFile.getAbsolutePath
+    val bT = Files.createTempDirectory("jivmb-bf-b").toFile.getAbsolutePath
+    val vT = Files.createTempDirectory("jivmb-bf-v").toFile.getAbsolutePath
+    val iT = Files.createTempDirectory("jivmb-bf-i").toFile.getAbsolutePath
+    SnapshotStore.mergeIntoTarget(spark, bT,
+      spark.range(dims).select(
+        concat(lit("d"), col("id")).as("keys"), lit("PUT").as("op"),
+        lit("0000000001").as("sequenceNumber"),
+        concat(lit("dim"), col("id")).as("newImage")), 0L)
+    def backfillBatch(b: Int, fkShift: Long): Double = {
+      val t0 = System.nanoTime()
+      JoinIvm.applyFactDeltaIndexed(spark,
+        spark.range(bf).select(
+          concat(lit("a"), col("id")).as("keys"), lit("PUT").as("op"),
+          lpad(lit(b).cast("string"), 10, "0").as("sequenceNumber"),
+          concat(lit("d"), pmod(col("id") + lit(fkShift), lit(dims))).as("fk"),
+          concat(lit("f"), lit(b), lit("_"), col("id")).as("a_image")),
+        aT, bT, vT, iT, b.toLong, seqBase = f"sb$b%012d")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val seedSec = backfillBatch(1, 0L)      // 1M inserts: additions only
+    val repointSec = backfillBatch(2, 1L)   // 1M re-points: every key moves lists
+    val viewDiff = {
+      val got = SnapshotStore.readTarget(spark, vT).select("keys", "newImage")
+      val want = JoinIvm.fullRecompute(spark, aT, bT)
+      got.exceptAll(want).count() + want.exceptAll(got).count()
+    }
+    require(viewDiff == 0, s"backfill view diverged ($viewDiff rows)")
+    val idx = SnapshotStore.readTarget(spark, iT).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    require(idx == JoinIvm.indexRecompute(spark, aT), "backfill index diverged")
+    println(f"""{"probe":"join_ivm_backfill","delta_rows":$bf,""" +
+      f""""insert_batch_sec":$seedSec%.2f,"repoint_batch_sec":$repointSec%.2f}""")
     spark.stop()
   }
 }

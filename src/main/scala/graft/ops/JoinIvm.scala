@@ -108,43 +108,59 @@ object JoinIvm {
   }
 
   // ───────────────────────────────────────────────────────────────────
-  // Indexed maintenance (r7): a SECOND store target holds the REVERSE
-  // index fk → [referencing A-keys], maintained alongside the view, so
-  // the dim-side path needs NO view scan at all — every step is a
-  // delta-bounded point read ([[SnapshotStore.readKeys]], the bucket-
-  // pruned GetItem analog). The index is itself just a store table:
-  // LWW rows keyed by fk whose image is the sorted key list (JSON
-  // array). All driver-side materialization below is bounded by the
-  // DELTA (old+new fks of the batch, their current lists), never by
-  // table size — the same control-plane budget as the k-centroid pull.
+  // Indexed maintenance (r7, distributed r8): a SECOND store target
+  // holds the REVERSE index fk → [referencing A-keys], maintained
+  // alongside the view, so the dim-side path needs NO view scan at all
+  // — every step is a delta-bounded point read against the store's
+  // bucket layout. The index is itself just a store table: LWW rows
+  // keyed by fk whose image is the sorted key list (JSON array, written
+  // with to_json / read with from_json — keys containing `,` or `"`
+  // survive the round trip). EVERY membership step is a DataFrame op
+  // ([[SnapshotStore.readKeysDf]] semi-joins, anti-join removal,
+  // collect_set rebuild): the only driver-side materialization anywhere
+  // on the path is the distinct-bucket-id set inside readKeysDf
+  // (≤ numBuckets ints, table-constant), so a backfill-sized delta —
+  // the reference's own lambda-backfill replay workload — streams
+  // through without ever landing on the driver.
   // Caveat at extreme fan-out: one fk referenced by a huge share of A
   // has a posting list to match; shard such keys (fk#n) the same way
   // hot LSH buckets are — the spec covers the mechanism, not that
   // tuning.
   // ───────────────────────────────────────────────────────────────────
 
-  private def parseKeyList(img: String): Seq[String] =
-    if (img == null || img.isEmpty) Nil
-    else img.stripPrefix("[").stripSuffix("]").split(",").toSeq
-      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+  private val aImageSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("fk STRING, a_image STRING")
+  private val vImageSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("fk STRING, a_image STRING, b_image STRING")
+  private val keyListSchema = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType)
 
-  private def renderKeyList(keys: Seq[String]): String =
-    keys.sorted.distinct.mkString("[\"", "\",\"", "\"]")
-
-  /** Current fk of each A-key in `lookups`, via point reads. */
-  private def currentFks(spark: SparkSession, aTarget: String,
-                         lookups: Seq[String]): Map[String, String] =
-    SnapshotStore.readKeys(spark, aTarget, lookups)
-      .select(col("keys"),
-        from_json(col("newImage"),
-          org.apache.spark.sql.types.StructType.fromDDL("fk STRING, a_image STRING"))
-          .getField("fk").as("fk"))
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-
-  /** [[applyFactDelta]] + reverse-index maintenance: before the A merge,
-    * the delta keys' PRIOR fks are point-read; after it, every fk whose
-    * membership changed (old ∪ new) gets its posting list rewritten —
-    * touched fks only, delta-bounded.
+  /** [[applyFactDelta]] + reverse-index maintenance, fully distributed.
+    *
+    * Membership moves: each delta key leaves its PRIOR fk's posting
+    * list (on delete or re-point) and joins its new fk's (on put); the
+    * prior fks come from a point read of A's PRE-MERGE state. Touched
+    * lists are rebuilt as DataFrame ops: current members (from_json +
+    * explode) minus removals (anti-join) plus additions, re-aggregated
+    * per fk with collect_set → to_json. Index rows are stamped
+    * `seqBase-fk`; a replayed batch (same seqBase) re-derives the SAME
+    * stamps, so the store's LWW merge folds it idempotently.
+    *
+    * MERGE ORDER is the crash-consistency argument: the INDEX merges
+    * FIRST, then A, then the view (inside [[applyFactDelta]]). The
+    * prior-fk read keys off A, so the replay of a batch torn at any
+    * point re-derives exactly the crashed attempt's index delta:
+    *  - torn after the index merge → A is still pre-batch, the replay
+    *    computes identical removals/additions and the identical-stamp
+    *    merge is a no-op; A and the view then catch up;
+    *  - torn after the A merge → the index already committed this
+    *    batch's moves (it merged first), the replay's removal set is
+    *    empty (old == new) and its addition rebuilds reproduce the
+    *    committed lists verbatim; the view then catches up.
+    * Were A merged first (the r7 order), a torn batch's replay would
+    * read old == new, never emit the removal, and strand the key in its
+    * pre-crash fk's posting list FOREVER — the index-first order is
+    * what makes "replays repair all three targets" actually true.
     */
   def applyFactDeltaIndexed(spark: SparkSession, aDelta: DataFrame, aTarget: String,
                             bTarget: String, vTarget: String, iTarget: String,
@@ -152,63 +168,91 @@ object JoinIvm {
     // collapse the batch to each key's LWW winner first (a PUT and a
     // DELETE for one key can share a micro-batch; membership moves must
     // follow the winner the store's own merge will keep, same
-    // numeric-string order)
-    val rows = aDelta.select("keys", "op", "fk", "sequenceNumber").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
-      .groupBy(_._1).values
-      .map(_.maxBy(r => CdcOps.numericStringKey(r._4)))
-      .map(r => (r._1, r._2, r._3)).toSeq
-    val oldFks = currentFks(spark, aTarget, rows.map(_._1).toSeq)
-    applyFactDelta(spark, aDelta, aTarget, bTarget, vTarget, batchId)
-    // membership moves: key leaves old fk's list (on delete or re-point),
-    // joins new fk's list (on put)
-    val removals = rows.flatMap { case (k, op, newFk) =>
-      oldFks.get(k).filter(old => op == "DELETE" || old != newFk).map(_ -> k)
-    }
-    val additions = rows.collect { case (k, op, newFk) if op != "DELETE" => newFk -> k }
-    val touchedFks = (removals.map(_._1) ++ additions.map(_._1)).distinct.toSeq
-    if (touchedFks.nonEmpty) {
-      val current = SnapshotStore.readKeys(spark, iTarget, touchedFks)
-        .select("keys", "newImage").collect()
-        .map(r => r.getString(0) -> parseKeyList(r.getString(1))).toMap
-      val byFk = touchedFks.map { fk =>
-        val next = (current.getOrElse(fk, Nil)
-          .filterNot(k => removals.exists(r => r._1 == fk && r._2 == k))
-          ++ additions.collect { case (`fk`, k) => k }).distinct
-        (fk, next)
-      }
-      import spark.implicits._
-      val idxDelta = byFk.map { case (fk, ks) =>
-        if (ks.isEmpty) (fk, "DELETE", s"$seqBase-$fk", null: String)
-        else (fk, "PUT", s"$seqBase-$fk", renderKeyList(ks))
-      }.toSeq.toDF("keys", "op", "sequenceNumber", "newImage")
-      SnapshotStore.mergeIntoTarget(spark, iTarget, idxDelta, batchId)
-    }
+    // numeric-string order) — distributed, and pinned (localCheckpoint)
+    // because the winner set feeds three downstream consumers
+    val winners = CdcOps.lwwCompact(
+      aDelta.select("keys", "op", "fk", "sequenceNumber"),
+      Seq("keys"), CdcOps.numericStringOrder(col("sequenceNumber")))
+      .localCheckpoint(true)
+    try {
+      // prior fk of every delta key, from A's PRE-merge state (bucket-
+      // pruned point read; semi-join keeps the lookup set off the driver)
+      val oldFk = SnapshotStore.readKeysDf(spark, aTarget, winners.select("keys"))
+        .select(col("keys"),
+          from_json(col("newImage"), aImageSchema).getField("fk").as("old_fk"))
+      val moves = winners.join(oldFk, Seq("keys"), "left").localCheckpoint(true)
+      try {
+        val removals = moves
+          .filter(col("old_fk").isNotNull &&
+            (col("op") === "DELETE" || !(col("old_fk") <=> col("fk"))))
+          .select(col("old_fk").as("fk"), col("keys"))
+        val additions = moves
+          .filter(col("op") =!= "DELETE" && col("fk").isNotNull)
+          .select(col("fk"), col("keys"))
+        val touchedFks = removals.select("fk").unionByName(additions.select("fk"))
+          .distinct().localCheckpoint(true)
+        try {
+          // rebuild: stored members of the touched lists, minus this
+          // batch's removals, plus its additions — one anti-join, one
+          // union, one collect_set aggregation, all key-partitioned
+          val currentMembers = SnapshotStore
+            .readKeysDf(spark, iTarget, touchedFks.withColumnRenamed("fk", "keys"))
+            .select(col("keys").as("fk"),
+              explode(from_json(col("newImage"), keyListSchema)).as("keys"))
+          val members = currentMembers.join(removals, Seq("fk", "keys"), "left_anti")
+            .unionByName(additions).distinct()
+          val rebuilt = touchedFks.join(
+            members.groupBy("fk")
+              .agg(to_json(sort_array(collect_set(col("keys")))).as("img")),
+            Seq("fk"), "left")
+          val idxDelta = rebuilt.select(
+            col("fk").as("keys"),
+            when(col("img").isNull, lit("DELETE")).otherwise(lit("PUT")).as("op"),
+            concat(lit(seqBase), lit("-"), col("fk")).as("sequenceNumber"),
+            col("img").as("newImage"))
+            .localCheckpoint(true)
+          try {
+            // index FIRST (see merge-order contract above), then A + view
+            if (!idxDelta.isEmpty)
+              SnapshotStore.mergeIntoTarget(spark, iTarget, idxDelta, batchId)
+            applyFactDelta(spark, aDelta, aTarget, bTarget, vTarget, batchId)
+          } finally { idxDelta.unpersist(); () }
+        } finally { touchedFks.unpersist(); () }
+      } finally { moves.unpersist(); () }
+    } finally { winners.unpersist(); () }
   }
 
   /** [[applyDimDelta]] with the reverse index: the touched view rows
-    * come from index point reads (fk → key list) followed by view point
-    * reads — NO view scan anywhere; cost is delta + fan-out.
+    * come from index point reads (fk → key list, from_json + explode)
+    * followed by view point reads — NO view scan anywhere; cost is
+    * delta + fan-out, and the fan-out set stays a DataFrame end to end
+    * (a hot dim key referenced by millions of facts never lands on the
+    * driver).
     */
   def applyDimDeltaIndexed(spark: SparkSession, bDelta: DataFrame,
                            bTarget: String, vTarget: String, iTarget: String,
                            batchId: Long): Unit = {
     SnapshotStore.mergeIntoTarget(spark, bTarget, bDelta, batchId)
-    val fks = bDelta.select("keys").collect().map(_.getString(0)).toSeq.distinct
-    val refKeys = SnapshotStore.readKeys(spark, iTarget, fks)
-      .select("newImage").collect().flatMap(r => parseKeyList(r.getString(0))).toSeq.distinct
-    if (refKeys.nonEmpty) {
-      val bState = SnapshotStore.readTarget(spark, bTarget)
-      val touched = SnapshotStore.readKeys(spark, vTarget, refKeys)
+    val refKeys = SnapshotStore.readKeysDf(spark, iTarget, bDelta.select("keys"))
+      .select(explode(from_json(col("newImage"), keyListSchema)).as("keys"))
+      .localCheckpoint(true)
+    try {
+      val touched = SnapshotStore.readKeysDf(spark, vTarget, refKeys)
         .select(col("keys"), col("sequenceNumber"),
-          from_json(col("newImage"), org.apache.spark.sql.types.StructType
-            .fromDDL("fk STRING, a_image STRING, b_image STRING")).as("v"))
+          from_json(col("newImage"), vImageSchema).as("v"))
         .select(col("keys"), col("sequenceNumber"),
           col("v.fk").as("fk"), col("v.a_image").as("a_image"))
         .withColumn("op", lit("PUT"))
         .withColumn("sequenceNumber", refreshSeq)
-      SnapshotStore.mergeIntoTarget(spark, vTarget, enriched(touched, bState), batchId)
-    }
+        .localCheckpoint(true)
+      try {
+        if (!touched.isEmpty) {
+          val bState = SnapshotStore.readTarget(spark, bTarget)
+          SnapshotStore.mergeIntoTarget(spark, vTarget,
+            enriched(touched, bState), batchId)
+        }
+      } finally { touched.unpersist(); () }
+    } finally { refKeys.unpersist(); () }
   }
 
   /** Streaming fact-side maintenance (r7): the CDC fact stream drives
@@ -225,16 +269,20 @@ object JoinIvm {
     * `factCdc` is a STREAMING frame with the fact-delta shape
     * (keys, op, sequenceNumber, fk, a_image).
     *
-    * Torn-batch window: one micro-batch merges THREE targets (A, view,
-    * index) and those merges are individually atomic but not jointly —
-    * a crash (or non-graceful stop) between them leaves the trio torn
-    * until the uncommitted batch REPLAYS on restart and its idempotent
-    * merges repair all three. Operational rule, as for any
-    * multi-target transactionless pipeline: run control-plane dim
-    * maintenance ([[applyDimDeltaIndexed]]) at a QUIESCED boundary
-    * (sink drained or gracefully stopped), never against a torn trio —
-    * a dim update issued inside the torn window can miss the torn
-    * batch's rows until it replays.
+    * Torn-batch window: one micro-batch merges THREE targets (index,
+    * A, view — in that order) and those merges are individually atomic
+    * but not jointly — a crash (or non-graceful stop) between them
+    * leaves the trio torn until the uncommitted batch REPLAYS on
+    * restart and its idempotent merges repair ALL three: the
+    * index-first order makes the replay re-derive the crashed
+    * attempt's exact index delta from A's pre-merge state (the full
+    * argument is [[applyFactDeltaIndexed]]'s merge-order contract).
+    * Operational rule, as for any multi-target transactionless
+    * pipeline: run control-plane dim maintenance
+    * ([[applyDimDeltaIndexed]]) at a QUIESCED boundary (sink drained
+    * or gracefully stopped), never against a torn trio — a dim update
+    * issued inside the torn window can miss the torn batch's rows
+    * until it replays.
     */
   def factSink(factCdc: DataFrame, aTarget: String, bTarget: String,
                vTarget: String, iTarget: String, checkpoint: String,
@@ -253,16 +301,18 @@ object JoinIvm {
       .start()
 
   /** The true reverse mapping (the index spec's oracle): fk → sorted
-    * referencing keys from A's current state.
+    * referencing keys from A's current state, rendered with the same
+    * to_json the maintenance path writes (so JSON-hostile keys compare
+    * exactly). Driver-side map: a SPEC oracle, |distinct fk| rows.
     */
   def indexRecompute(spark: SparkSession, aTarget: String): Map[String, String] =
     SnapshotStore.readTarget(spark, aTarget)
       .select(col("keys"),
-        from_json(col("newImage"),
-          org.apache.spark.sql.types.StructType.fromDDL("fk STRING, a_image STRING"))
-          .getField("fk").as("fk"))
-      .collect().map(r => (r.getString(1), r.getString(0)))
-      .groupBy(_._1).map { case (fk, ks) => fk -> renderKeyList(ks.map(_._2).toSeq) }
+        from_json(col("newImage"), aImageSchema).getField("fk").as("fk"))
+      .filter(col("fk").isNotNull)
+      .groupBy("fk")
+      .agg(to_json(sort_array(collect_set(col("keys")))).as("img"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
   /** The full recompute the maintained view must equal (the spec's
     * oracle): A-state left-joined to B-state, same packed image.

@@ -526,9 +526,17 @@ object CdcQueries {
           // (`{"S":...`), so the tag is cut out with codegen'd string
           // intrinsics — `json_object_keys` here would re-enter Jackson
           // (CodegenFallback) once per exploded attribute row, 4-5× per
-          // event, and measured ~25% of the whole query's time.
+          // event, and measured ~25% of the whole query's time. The fast
+          // path is GUARDED on the compact-canonical prefix `{"` it
+          // assumes: a pretty-printed producer (whitespace before the
+          // tag) or a non-object attribute value falls back to the
+          // robust json_object_keys parse instead of yielding a garbage
+          // tag — the guard is one codegen'd prefix compare, so the hot
+          // path stays hot.
           .withColumn("avtype",
-            expr("""substring(av, 3, instr(substring(av, 3), '"') - 1)"""))
+            when(substring(col("av"), 1, 2) === """{"""",
+              expr("""substring(av, 3, instr(substring(av, 3), '"') - 1)"""))
+              .otherwise(expr("element_at(json_object_keys(av), 1)")))
           .groupBy("attr", "avtype")
           .agg(min(col("ts")).as("first_seen"),
             max(col("ts")).as("last_seen"),

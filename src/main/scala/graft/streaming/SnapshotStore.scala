@@ -516,6 +516,53 @@ object SnapshotStore {
     }
   }
 
+  /** [[readKeys]] with the lookup set as a DATAFRAME — the delta-scale
+    * point read. [[readKeys]]'s `Seq[String]` contract caps the lookup
+    * set at what the driver can hold (and what an `isin` expression can
+    * carry); maintenance paths whose touch set is the DELTA itself
+    * (e.g. a backfill-sized fact batch resolving its keys' prior state)
+    * must never materialize that set driver-side. Here the only driver
+    * materialization is the DISTINCT BUCKET ID set (≤ numBuckets ints,
+    * table-constant — the same control-plane budget as [[readKeys]]);
+    * the key membership test is a LEFT SEMI join, which Spark executes
+    * broadcast for small lookup sets and shuffled for delta-sized ones.
+    * Cost: O(|touched buckets|·chain + |lookups|) — degrades gracefully
+    * from point read (few keys → few buckets) to full-chain semi-join
+    * (uniform delta touching every bucket), never O(driver).
+    */
+  def readKeysDf(spark: SparkSession, targetDir: String, lookups: DataFrame,
+                 keyCol: String = "keys", opCol: String = "op",
+                 seqCol: String = "sequenceNumber"): DataFrame = {
+    val lk = lookups.select(col(keyCol)).distinct()
+    // empty result in the RESOLVED shape (key, applied-watermark seq,
+    // image) so downstream selects analyze even when nothing matched
+    def emptyResolved: DataFrame =
+      emptyCanonical(spark).withColumnRenamed("keys", keyCol)
+        .withColumn(seqCol, lit(null).cast("string"))
+        .select(col(keyCol), col(seqCol), col("newImage"))
+    currentManifest(spark, targetDir) match {
+      case None =>
+        backfillSeq(readTarget(spark, targetDir, Seq(keyCol), opCol, seqCol), seqCol)
+          .join(lk, Seq(keyCol), "left_semi")
+      case Some((_, m)) =>
+        if (m.buckets.isEmpty) emptyResolved
+        else {
+          val touched = lk
+            .select(bucketExpr(Seq(keyCol), m.numBuckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet // ≤ numBuckets rows
+          val paths = m.buckets.view.filterKeys(touched)
+            .values.flatten.map(rel => new Path(targetDir, rel).toString).toSeq
+          if (paths.isEmpty) emptyResolved
+          else {
+            val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+              .join(lk, Seq(keyCol), "left_semi") // commutes with per-key LWW
+            if (!df.columns.contains(opCol)) backfillSeq(df, seqCol)
+            else compactState(df, Seq(keyCol), opCol, seqCol).drop(opCol)
+          }
+        }
+    }
+  }
+
   // ---------------------------------------------------------------- writing
 
   /** CAS-guarded commit through the target's [[CommitProtocol]] (callers

@@ -54,6 +54,12 @@ object StreamingVectorSearch {
                    k: Int = 3,
                    radius: Int = 0,
                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // fail loudly rather than silently clamp: the mask generator below
+    // only enumerates Hamming balls of radius 0/1/2 (fan-out 1, 1+b,
+    // 1+b+C(b,2)); a caller asking for 3+ would silently get radius 2
+    require(radius >= 0 && radius <= 2,
+      s"radius must be 0, 1, or 2 (got $radius): the multiprobe mask set is " +
+        "enumerated up to Hamming distance 2")
     // the index's own stats, computed ONCE at stream start: derived
     // bucket width + the bucketed index frame every batch joins
     val bits = Corpus.signBucketBits(existing.count())

@@ -205,6 +205,124 @@ class JoinIvmSpec extends SparkSpec {
     assert(SnapshotStore.readTarget(spark, vT).count() > 0)
   }
 
+  test("index posting lists survive keys containing JSON-hostile characters") {
+    import spark.implicits._
+    val aT = tmp("jivmj-a"); val bT = tmp("jivmj-b")
+    val vT = tmp("jivmj-v"); val iT = tmp("jivmj-i")
+    def aDelta(rows: (String, String, String, String, String)*) =
+      rows.toDF("keys", "op", "sequenceNumber", "fk", "a_image")
+    def indexState() = SnapshotStore.readTarget(spark, iT)
+      .select("keys", "newImage").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    SnapshotStore.mergeIntoTarget(spark, bT,
+      Seq(("d1", "PUT", "001", "dim-one")).toDF("keys", "op", "sequenceNumber", "newImage"), 0L)
+    // keys carrying the exact characters a split(",")/strip-quotes parser
+    // corrupts: embedded commas, embedded double quotes, both
+    val k1 = """a,1"""; val k2 = """a"2"""; val k3 = """a","3"""
+    JoinIvm.applyFactDeltaIndexed(spark,
+      aDelta((k1, "PUT", "101", "d1", "f1"),
+        (k2, "PUT", "102", "d1", "f2"),
+        (k3, "PUT", "103", "d1", "f3")), aT, bT, vT, iT, 1L, seqBase = "101")
+    assert(indexState() === JoinIvm.indexRecompute(spark, aT), "hostile keys corrupted the index")
+    // the stored list must round-trip to EXACTLY the three keys — a
+    // naive parser would shred k3 into fragments
+    val listed = spark.range(1).select(
+      explode(from_json(lit(indexState()("d1")),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))).as("k"))
+      .collect().map(_.getString(0)).toSet
+    assert(listed === Set(k1, k2, k3))
+    // re-point one hostile key: removal must match it exactly
+    JoinIvm.applyFactDeltaIndexed(spark,
+      aDelta((k3, "DELETE", "201", null, null)), aT, bT, vT, iT, 2L, seqBase = "201")
+    assert(indexState() === JoinIvm.indexRecompute(spark, aT), "hostile-key removal missed")
+  }
+
+  /** Hold a target's cross-JVM writer lock directly (fresh mtime, so it
+    * is not stale-breakable) and shorten the session's lock wait — the
+    * next merge against that target throws LockTimeoutException,
+    * tearing the batch at EXACTLY that merge. This drives the REAL
+    * code path into each torn state, no test seams.
+    */
+  private def withMergeCrash(target: String)(body: => Unit): Unit = {
+    val lockFile = new java.io.File(target, SnapshotStore.LockFile)
+    java.nio.file.Files.write(lockFile.toPath, "torn-batch-test".getBytes)
+    spark.conf.set("spark.graft.lock.waitMs", "300")
+    try {
+      intercept[SnapshotStore.LockTimeoutException](body)
+    } finally {
+      spark.conf.unset("spark.graft.lock.waitMs")
+      lockFile.delete(); ()
+    }
+  }
+
+  test("torn batch heals: crash between index merge and A merge, replay repairs all three") {
+    import spark.implicits._
+    val aT = tmp("jivmt1-a"); val bT = tmp("jivmt1-b")
+    val vT = tmp("jivmt1-v"); val iT = tmp("jivmt1-i")
+    def aDelta(rows: (String, String, String, String, String)*) =
+      rows.toDF("keys", "op", "sequenceNumber", "fk", "a_image")
+    SnapshotStore.mergeIntoTarget(spark, bT,
+      Seq(("d1", "PUT", "001", "dim-one"), ("d2", "PUT", "002", "dim-two"))
+        .toDF("keys", "op", "sequenceNumber", "newImage"), 0L)
+    JoinIvm.applyFactDeltaIndexed(spark,
+      aDelta(("a1", "PUT", "101", "d1", "f1"), ("a2", "PUT", "102", "d1", "f2")),
+      aT, bT, vT, iT, 1L, seqBase = "101")
+    // batch 2 re-points a1 d1→d2; the crash lands AFTER the index merge
+    // (A's lock is held), leaving index=post-batch, A/view=pre-batch
+    def batch2() = aDelta(("a1", "PUT", "201", "d2", "f1v2"))
+    withMergeCrash(aT) {
+      JoinIvm.applyFactDeltaIndexed(spark, batch2(), aT, bT, vT, iT, 2L, seqBase = "201")
+    }
+    // torn as designed: the index already moved a1 to d2, A still says d1
+    assert(SnapshotStore.readTarget(spark, iT)
+      .filter(col("keys") === "d2").select("newImage").head().getString(0).contains("a1"))
+    assert(JoinIvm.indexRecompute(spark, aT)("d1").contains("a1"))
+    // the REPLAY (checkpoint re-delivers the batch verbatim) repairs all three
+    JoinIvm.applyFactDeltaIndexed(spark, batch2(), aT, bT, vT, iT, 2L, seqBase = "201")
+    val view = SnapshotStore.readTarget(spark, vT).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = JoinIvm.fullRecompute(spark, aT, bT)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(view === want, "view did not heal after torn replay")
+    val idx = SnapshotStore.readTarget(spark, iT).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(idx === JoinIvm.indexRecompute(spark, aT), "index did not heal after torn replay")
+  }
+
+  test("torn batch heals: crash between A merge and view merge, replay repairs all three") {
+    import spark.implicits._
+    val aT = tmp("jivmt2-a"); val bT = tmp("jivmt2-b")
+    val vT = tmp("jivmt2-v"); val iT = tmp("jivmt2-i")
+    def aDelta(rows: (String, String, String, String, String)*) =
+      rows.toDF("keys", "op", "sequenceNumber", "fk", "a_image")
+    SnapshotStore.mergeIntoTarget(spark, bT,
+      Seq(("d1", "PUT", "001", "dim-one"), ("d2", "PUT", "002", "dim-two"))
+        .toDF("keys", "op", "sequenceNumber", "newImage"), 0L)
+    JoinIvm.applyFactDeltaIndexed(spark,
+      aDelta(("a1", "PUT", "101", "d1", "f1"), ("a2", "PUT", "102", "d1", "f2")),
+      aT, bT, vT, iT, 1L, seqBase = "101")
+    // the r7 bug's exact window: index AND A merged, view not — the
+    // replay's prior-fk read now sees old == new; index-first ordering
+    // means the index already holds the move, so nothing is stranded
+    def batch2() = aDelta(("a1", "PUT", "201", "d2", "f1v2"))
+    withMergeCrash(vT) {
+      JoinIvm.applyFactDeltaIndexed(spark, batch2(), aT, bT, vT, iT, 2L, seqBase = "201")
+    }
+    assert(JoinIvm.indexRecompute(spark, aT)("d2").contains("a1")) // A moved
+    JoinIvm.applyFactDeltaIndexed(spark, batch2(), aT, bT, vT, iT, 2L, seqBase = "201")
+    val view = SnapshotStore.readTarget(spark, vT).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = JoinIvm.fullRecompute(spark, aT, bT)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(view === want, "view did not heal after torn replay")
+    assert(view("a1").contains("dim-two"), "a1 not re-enriched against d2")
+    val idx = SnapshotStore.readTarget(spark, iT).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(idx === JoinIvm.indexRecompute(spark, aT),
+      "stale posting-list entry survived the torn replay (the r7 A-first ordering bug)")
+  }
+
   test("indexed fact batch is replay-idempotent (crash-before-checkpoint heals)") {
     import spark.implicits._
     val aT = tmp("jivmr-a"); val bT = tmp("jivmr-b")
