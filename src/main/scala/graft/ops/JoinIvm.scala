@@ -300,6 +300,61 @@ object JoinIvm {
       .trigger(trigger)
       .start()
 
+  /** Streaming maintenance for BOTH sides (r8): one checkpointed sink
+    * consumes a UNION stream of fact CDC and dim CDC, tagged by a
+    * `channel` column — the reference's live-retarget semantics
+    * (initiate-lambda-backfill retargets config while the stream runs)
+    * without [[factSink]]'s quiesced-boundary rule for dim changes.
+    *
+    * Why a union channel instead of a second concurrent sink: two
+    * independent sinks race on the view — a fact batch that resolved
+    * B's state BEFORE a concurrent dim batch merged B, but merged the
+    * view AFTER that dim batch's refresh pass, writes a stale
+    * enrichment that nothing ever repairs (the refresh fan-out ran
+    * before the fact row existed). Funneling both channels through ONE
+    * foreachBatch serializes them; within a batch DIMS APPLY FIRST, so
+    * the batch's facts enrich against its own dim updates — arrival
+    * order across channels inside one micro-batch is undefined anyway,
+    * and dim-first makes the merged outcome deterministic.
+    *
+    * Crash consistency: the dim half ([[applyDimDeltaIndexed]] — LWW
+    * B merge + content-stable refresh stamps) and the fact half
+    * ([[applyFactDeltaIndexed]] — the index-first merge-order
+    * contract) are each replay-idempotent, so a batch torn anywhere,
+    * including between the halves, is repaired by its replay.
+    *
+    * `cdc` schema: keys, op, sequenceNumber, channel ('fact'|'dim'),
+    * fk, a_image (fact rows), newImage (dim rows).
+    */
+  def dualSink(cdc: DataFrame, aTarget: String, bTarget: String,
+               vTarget: String, iTarget: String, checkpoint: String,
+               trigger: org.apache.spark.sql.streaming.Trigger =
+                 org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    cdc.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val dims = batch.filter(col("channel") === "dim")
+          .select("keys", "op", "sequenceNumber", "newImage")
+          .localCheckpoint(true)
+        try {
+          if (!dims.isEmpty)
+            applyDimDeltaIndexed(spark, dims, bTarget, vTarget, iTarget, batchId)
+          val facts = batch.filter(col("channel") === "fact")
+            .select("keys", "op", "sequenceNumber", "fk", "a_image")
+            .localCheckpoint(true)
+          try {
+            if (!facts.isEmpty)
+              applyFactDeltaIndexed(spark, facts, aTarget, bTarget, vTarget,
+                iTarget, batchId, seqBase = f"sb$batchId%012d")
+          } finally { facts.unpersist(); () }
+        } finally { dims.unpersist(); () }
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** The true reverse mapping (the index spec's oracle): fk → sorted
     * referencing keys from A's current state, rendered with the same
     * to_json the maintenance path writes (so JSON-hostile keys compare

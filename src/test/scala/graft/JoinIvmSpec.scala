@@ -205,6 +205,78 @@ class JoinIvmSpec extends SparkSpec {
     assert(SnapshotStore.readTarget(spark, vT).count() > 0)
   }
 
+  test("dual sink: dim updates arrive MID-DRAIN (no quiesce) and the view tracks recompute") {
+    import spark.implicits._
+    val aT = tmp("jivmd-a"); val bT = tmp("jivmd-b")
+    val vT = tmp("jivmd-v"); val iT = tmp("jivmd-i")
+    val in = tmp("jivmd-in"); val ckpt = tmp("jivmd-ckpt")
+
+    SnapshotStore.mergeIntoTarget(spark, bT,
+      Seq(("d1", "PUT", "001", "dim-one"), ("d2", "PUT", "002", "dim-two"))
+        .toDF("keys", "op", "sequenceNumber", "newImage"), 0L)
+
+    // one unioned CDC schema; channel routes each row inside the sink
+    def factRows(rows: (String, String, String, String, String)*) =
+      rows.map { case (k, op, sq, fk, img) =>
+        (k, op, sq, "fact", fk, img, null: String) }
+    def dimRows(rows: (String, String, String, String)*) =
+      rows.map { case (k, op, sq, img) =>
+        (k, op, sq, "dim", null: String, null: String, img) }
+    def writeChunk(rows: Seq[(String, String, String, String, String, String, String)]): Unit = {
+      rows.toDF("keys", "op", "sequenceNumber", "channel", "fk", "a_image", "newImage")
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(5) // distinct mtimes: one file = one micro-batch, in order
+    }
+    // interleaved channels: dim updates land BETWEEN fact batches of the
+    // SAME uninterrupted drain — the live-retarget case factSink forbids
+    writeChunk(factRows(
+      ("a1", "PUT", "0101", "d1", "f1"), ("a2", "PUT", "0102", "d1", "f2"),
+      ("a3", "PUT", "0103", "d2", "f3"), ("a4", "PUT", "0104", "d2", "f4")))
+    writeChunk(dimRows(("d1", "PUT", "0201", "dim-one-v2")))
+    writeChunk(factRows(
+      ("a1", "PUT", "0301", "d2", "f1v2"),   // re-point across the refresh
+      ("a5", "PUT", "0302", "d1", "f5"),     // new ref to the updated dim
+      ("a3", "DELETE", "0303", null, null)))
+    writeChunk(dimRows(("d2", "DELETE", "0401", null))) // null-enrich refs
+    writeChunk(factRows(("a6", "PUT", "0501", "d2", "f6"))) // ref to deleted dim
+
+    val schema = spark.read.parquet(in).schema
+    val q = JoinIvm.dualSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+      aT, bT, vT, iT, ckpt)
+    q.awaitTermination(180000)
+
+    val view = SnapshotStore.readTarget(spark, vT).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = JoinIvm.fullRecompute(spark, aT, bT)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(view === want, "view diverged under mid-drain dim updates")
+    val idx = SnapshotStore.readTarget(spark, iT).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(idx === JoinIvm.indexRecompute(spark, aT), "index diverged under dual sink")
+    // a2 was enriched with dim-one BEFORE the dim update and never
+    // touched by a later fact — only the mid-drain refresh can explain v2
+    assert(view("a2").contains("dim-one-v2"), "mid-drain dim refresh missed a2")
+    // a4 referenced d2, deleted mid-drain: left-join null enrichment
+    assert(view("a4").contains("\"b_image\":null") || !view("a4").contains("dim-two"),
+      "a4 kept a deleted dim's enrichment")
+
+    // resume the SAME checkpoint with more of both channels — replay
+    // safety and continued maintenance across a restart
+    writeChunk(dimRows(("d1", "PUT", "0601", "dim-one-v3")))
+    writeChunk(factRows(("a7", "PUT", "0701", "d1", "f7")))
+    val q2 = JoinIvm.dualSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+      aT, bT, vT, iT, ckpt)
+    q2.awaitTermination(180000)
+    val view2 = SnapshotStore.readTarget(spark, vT).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want2 = JoinIvm.fullRecompute(spark, aT, bT)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(view2 === want2, "view diverged after resumed dual drain")
+    assert(view2("a2").contains("dim-one-v3"))
+  }
+
   test("index posting lists survive keys containing JSON-hostile characters") {
     import spark.implicits._
     val aT = tmp("jivmj-a"); val bT = tmp("jivmj-b")
