@@ -104,6 +104,28 @@ object ScaleProbe {
           .count()
       }
 
+      // layout shard width derived from corpus size (Corpus.layoutShards):
+      // the claim under test is that the per-shard row count — the width
+      // of each prefix-sum window partition in the packing/layout
+      // queries — stays PINNED near the 4096 target as the corpus grows,
+      // instead of growing k× the way the old fixed 8-shard constant did
+      // (8 window tasks over a 100× corpus). Mean occupancy should sit
+      // in (2048, 4096] once above the 8-shard floor, max close behind
+      // (md5 keys are uniform at any modulus).
+      locally {
+        val nsh = graft.analytics.Corpus.layoutShards(nd)
+        val occ = docs
+          .select((expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as long)") % nsh)
+            .cast("int").as("shard"))
+          .groupBy("shard").agg(count(lit(1)).as("occ"))
+          .agg(max(col("occ")).as("mx"), avg(col("occ")).as("mean"),
+            count(lit(1)).as("nonEmpty"))
+          .collect()(0)
+        println(f"""{"probe":"layout_shards_x$k","n":$nd,"shards":$nsh,""" +
+          f""""nonempty_shards":${occ.getLong(2)},"max_rows_per_shard":${occ.getLong(0)},""" +
+          f""""mean_rows_per_shard":${occ.getDouble(1)}%.1f,"fixed8_would_be":${nd / 8}}""")
+      }
+
       docs.unpersist()
 
       // connected components at k× the pair graph: 50k·k four-node path

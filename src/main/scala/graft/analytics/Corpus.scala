@@ -240,6 +240,32 @@ object Corpus {
     s"""CAST(list_sum([CASE WHEN qv[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
                        for i in range(0, $bitsExpr)]) AS BIGINT)"""
 
+  /** Corpus-size-derived shard count for the layout/packing queries
+    * (shard_assign, pack_sequences, pack_chunks_deduped,
+    * pipeline_end_to_end): smallest power of two in [8, 2^20] holding
+    * the MEAN shard at ≤ `targetRowsPerShard` rows. The layout queries
+    * run one prefix-sum window PER SHARD — a fixed shard constant
+    * makes that window stage |shards|-task-wide forever (8 tasks over
+    * a 100× corpus), while this derivation keeps per-shard row count
+    * pinned near the target, so the window stage keeps cluster-width
+    * parallelism as the corpus grows (the [[signBucketBits]] doctrine
+    * applied to layout). Integer-only for the same oracle-exactness
+    * reason; md5 sharding keys stay uniform at any modulus.
+    */
+  def layoutShards(rows: Long, targetRowsPerShard: Long = 4096): Int = {
+    require(rows >= 0 && targetRowsPerShard >= 1)
+    var sh = 8
+    while (sh < (1 << 20) && rows > targetRowsPerShard * sh) sh <<= 1
+    sh
+  }
+
+  /** Oracle-side mirror of [[layoutShards]] at the default target: a
+    * pure-integer CASE over the row-count expression `nExpr`.
+    */
+  def layoutShardsSqlCase(nExpr: String): String =
+    (3 to 19).map(p => s"WHEN $nExpr <= ${4096L << p} THEN ${1 << p}")
+      .mkString("CASE ", " ", s" ELSE ${1 << 20} END")
+
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Long]()
 
@@ -257,6 +283,20 @@ object Corpus {
   /** Corpus size of [[quantizedVectors]] (= the embeddings table). */
   def vecCount(s: SparkSession, d: String): Long =
     countOnce(s, d, "vecCount")(Tables.embeddings(s, d).count())
+
+  /** Corpus size of the documents table — the layout queries' shard-
+    * count input.
+    */
+  def docCount(s: SparkSession, d: String): Long =
+    countOnce(s, d, "docCount")(Tables.documents(s, d).count())
+
+  /** Public memoized driver-side count for caller-built frames (e.g.
+    * the distinct-chunk count pack_chunks_deduped derives its shard
+    * width from) — same (session, dir, name) keying as the internal
+    * counts, so repeated verify/bench invocations pay the job once.
+    */
+  def countCached(s: SparkSession, d: String, name: String)(compute: => Long): Long =
+    countOnce(s, d, name)(compute)
 
   /** Corpus size of [[vecsWithNearDups]]. */
   def vecsWithNearDupsCount(s: SparkSession, d: String): Long =

@@ -107,25 +107,32 @@ object PipelineQueries {
     // layout step. Order within a shard is the md5 hex order — a stable
     // pseudo-random permutation — and shards are md5-bucketed, so the
     // whole layout is reproducible from the doc ids alone. One shuffle
-    // (by shard), position by row_number within it; shard count scales
-    // with the cluster.
+    // (by shard), position by row_number within it; shard count is
+    // DERIVED from corpus size (Corpus.layoutShards: per-shard rows
+    // pinned near 4096), so the per-shard window stage keeps
+    // cluster-width parallelism at 100× — the oracle derives the same
+    // width from the same count in pure-integer SQL.
     QuerySpec(
       "shard_assign",
       (s, d) => {
+        val nsh = Corpus.layoutShards(Corpus.docCount(s, d))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("shard").orderBy(col("hkey"), col("doc_id"))
         Tables.documents(s, d)
           .select(col("doc_id"), expr(hkeySpark).as("hkey"))
-          .withColumn("shard", (expr(s"cast(conv(substring(hkey, 1, 8), 16, 10) as long)") % 8).cast("int"))
+          .withColumn("shard", (expr(s"cast(conv(substring(hkey, 1, 8), 16, 10) as long)") % nsh).cast("int"))
           .withColumn("pos", row_number().over(w))
           .select("doc_id", "shard", "pos")
       },
       Some(s"""
+        WITH swidth AS (
+          SELECT (${Corpus.layoutShardsSqlCase("n")}) AS nsh
+          FROM (SELECT count(*) AS n FROM documents))
         SELECT doc_id, shard,
                CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS INTEGER) AS pos
         FROM (SELECT doc_id, $hkeyDuck AS hkey,
-                     CAST(('0x' || substr($hkeyDuck, 1, 8))::BIGINT % 8 AS INTEGER) AS shard
-              FROM documents)""")),
+                     CAST(('0x' || substr($hkeyDuck, 1, 8))::BIGINT % p.nsh AS INTEGER) AS shard
+              FROM documents, swidth p)""")),
 
     // ───── cluster-balanced sampling: equal-size per-cluster draws (≤8,
     // md5-ordered so the draw is deterministic and rand-free) — the
@@ -173,6 +180,7 @@ object PipelineQueries {
     QuerySpec(
       "pack_sequences",
       (s, d) => {
+        val nsh = Corpus.layoutShards(Corpus.docCount(s, d))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("shard").orderBy(col("hkey"), col("doc_id"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -180,7 +188,7 @@ object PipelineQueries {
         Tables.documents(s, d)
           .select(col("doc_id"), expr(hkeySpark).as("hkey"),
             expr("cast(ceil(n_chars / 4.0) as bigint)").as("tok"))
-          .withColumn("shard", (expr(s"cast(conv(substring(hkey, 1, 8), 16, 10) as long)") % 8).cast("int"))
+          .withColumn("shard", (expr(s"cast(conv(substring(hkey, 1, 8), 16, 10) as long)") % nsh).cast("int"))
           .withColumn("cum", sum(col("tok")).over(w))
           .select(col("doc_id"), col("shard"), col("tok"),
             floor((col("cum") - col("tok")) / 2048).as("bin"),
@@ -188,6 +196,9 @@ object PipelineQueries {
               .as("bin_offset"))
       },
       Some(s"""
+        WITH swidth AS (
+          SELECT (${Corpus.layoutShardsSqlCase("n")}) AS nsh
+          FROM (SELECT count(*) AS n FROM documents))
         SELECT doc_id, shard, tok,
                CAST(floor((cum - tok) / 2048) AS BIGINT) AS bin,
                CAST(cum - tok - floor((cum - tok) / 2048) * 2048 AS BIGINT) AS bin_offset
@@ -196,9 +207,9 @@ object PipelineQueries {
                  CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY hkey, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
           FROM (SELECT doc_id, $hkeyDuck AS hkey,
-                       CAST(('0x' || substr($hkeyDuck, 1, 8))::BIGINT % 8 AS INTEGER) AS shard,
+                       CAST(('0x' || substr($hkeyDuck, 1, 8))::BIGINT % p.nsh AS INTEGER) AS shard,
                        CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok
-                FROM documents))""")),
+                FROM documents, swidth p))""")),
 
     // ───── dedup-aware content-addressed chunk packing (r7): the stage
     // AFTER text_chunk_overlap + dedup_chunks in a RAG/embedding
@@ -231,6 +242,12 @@ object PipelineQueries {
           .agg(min(struct(col("doc_id"), col("chunk_id"))).as("first"))
           .select(col("chunk_md5"),
             col("first.doc_id").as("doc_id"), col("first.chunk_id").as("chunk_id"))
+        // shard width derived from the UNIQUE chunk count (the rows the
+        // per-shard window actually carries); memoized one extra
+        // distinct-count pass — control-plane for a layout job
+        val nsh = Corpus.layoutShards(
+          Corpus.countCached(s, d, "uniqueChunks120x90")(
+            chunks.select("chunk_md5").distinct().count()))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("shard").orderBy("chunk_md5")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -238,14 +255,14 @@ object PipelineQueries {
         chunks.join(canonical, Seq("chunk_md5", "doc_id", "chunk_id"))
           .withColumn("tok", expr("cast(ceil(chunk_len / 4.0) as bigint)"))
           .withColumn("shard",
-            (expr("cast(conv(substring(chunk_md5, 1, 8), 16, 10) as long)") % 8).cast("int"))
+            (expr("cast(conv(substring(chunk_md5, 1, 8), 16, 10) as long)") % nsh).cast("int"))
           .withColumn("cum", sum(col("tok")).over(w))
           .withColumn("bin", floor((col("cum") - col("tok")) / 512))
           .groupBy("shard")
           .agg(count(lit(1)).as("n_chunks"), sum(col("tok")).as("n_tokens"),
             (max(col("bin")) + 1).as("n_bins"))
       },
-      Some("""
+      Some(s"""
         WITH chunks AS (
           SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
                  md5(substr(text, i * 90 + 1, 120)) AS chunk_md5,
@@ -265,11 +282,14 @@ object PipelineQueries {
           FROM chunks c JOIN canonical k
             ON c.chunk_md5 = k.chunk_md5
            AND c.doc_id = (k.first).doc_id AND c.chunk_id = (k.first).chunk_id),
+        swidth AS (
+          SELECT (${Corpus.layoutShardsSqlCase("n")}) AS nsh
+          FROM (SELECT count(*) AS n FROM canonical)),
         laid AS (
           SELECT chunk_md5,
                  CAST(ceil(chunk_len / 4.0) AS BIGINT) AS tok,
-                 CAST(('0x' || substr(chunk_md5, 1, 8))::BIGINT % 8 AS INTEGER) AS shard
-          FROM kept),
+                 CAST(('0x' || substr(chunk_md5, 1, 8))::BIGINT % p.nsh AS INTEGER) AS shard
+          FROM kept, swidth p),
         packed AS (
           SELECT shard, tok,
                  CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY chunk_md5
@@ -291,6 +311,11 @@ object PipelineQueries {
     QuerySpec(
       "pipeline_end_to_end",
       (s, d) => {
+        // layout capacity planned from CORPUS size (pre-funnel), so the
+        // shard plan is stable across curation-threshold tweaks; kept
+        // mass is a corpus-proportional fraction, so per-shard rows stay
+        // pinned the same way
+        val nsh = Corpus.layoutShards(Corpus.docCount(s, d))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("shard").orderBy(col("hkey"), col("doc_id"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -301,7 +326,7 @@ object PipelineQueries {
             expr("cast(ceil(length(text) / 4.0) as bigint)").as("tok"),
             expr(hkeySpark).as("hkey"))
           .withColumn("shard",
-            (expr(s"cast(conv(substring(hkey, 1, 8), 16, 10) as long)") % 8).cast("int"))
+            (expr(s"cast(conv(substring(hkey, 1, 8), 16, 10) as long)") % nsh).cast("int"))
           .withColumn("cum", sum(col("tok")).over(w))
           .withColumn("bin", floor((col("cum") - col("tok")) / 2048))
           .groupBy("shard")
@@ -310,11 +335,14 @@ object PipelineQueries {
       },
       Some(s"""
         WITH ${graft.analytics.DedupQueries.curationVerdictsCtes},
+        swidth AS (
+          SELECT (${Corpus.layoutShardsSqlCase("n")}) AS nsh
+          FROM (SELECT count(*) AS n FROM documents)),
         kept AS (
           SELECT doc_id, CAST(ceil(len(text) / 4.0) AS BIGINT) AS tok,
                  $hkeyDuck AS hkey,
-                 CAST(('0x' || substr($hkeyDuck, 1, 8))::BIGINT % 8 AS INTEGER) AS shard
-          FROM verdicts WHERE verdict = 'keep'),
+                 CAST(('0x' || substr($hkeyDuck, 1, 8))::BIGINT % p.nsh AS INTEGER) AS shard
+          FROM verdicts, swidth p WHERE verdict = 'keep'),
         packed AS (
           SELECT shard, tok,
                  CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY hkey, doc_id
