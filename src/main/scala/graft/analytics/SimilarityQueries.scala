@@ -65,7 +65,7 @@ object SimilarityQueries {
     * lexicographic order on (s, negcid) = (score DESC, cid ASC), the
     * oracle's window order exactly.
     */
-  private def centScoredArr(cents: Seq[(Int, Array[Long], Long)]): Column = {
+  private[graft] def centScoredArr(cents: Seq[(Int, Array[Long], Long)]): Column = {
     require(cents.nonEmpty, "need at least one centroid")
     val centArr = array(cents.map { case (cid, cv, cnn) =>
       struct(
@@ -224,9 +224,9 @@ object SimilarityQueries {
     * test SFs while keeping balanced, metric-consistent cells
     * (`ann_recall` holds the numbers under the oracle).
     */
-  private val TrainedK = 16
-  private val TrainedIters = 2
-  private val TrainedNProbe = 3
+  private[graft] val TrainedK = 16
+  private[graft] val TrainedIters = 2
+  private[graft] val TrainedNProbe = 3
 
   /** Trained-IVF candidate pairs: spherical integer k-means
     * ([[Clustering.kmeansSpherical]]) as the coarse quantizer — cells
@@ -283,7 +283,7 @@ object SimilarityQueries {
   /** Candidate-pool multiplier for the SQ8 rerank: the approximate scan
     * keeps 4·k candidates per probe, the exact pass reranks them to k.
     */
-  private val Sq8CandMult = 4
+  private[graft] val Sq8CandMult = 4
 
   /** Shared approximate-score SQL for the SQ8 candidate stage, over
     * columns (adot, ana, anb). ana·anb can exceed 2^53 (reconstructed
@@ -294,7 +294,7 @@ object SimilarityQueries {
     * by one multiply. ana = 0 (an all-zero reconstruction) ranks below
     * every real score instead of producing an engine-dependent NaN.
     */
-  private val sq8ApproxScoreSql = """
+  private[graft] val sq8ApproxScoreSql = """
     CASE WHEN ana = 0 THEN -2.0 ELSE
       (CASE WHEN adot >= 0 THEN 1.0 ELSE -1.0 END)
       * (CAST(adot AS DOUBLE) * CAST(adot AS DOUBLE))
@@ -805,6 +805,26 @@ object SimilarityQueries {
     QuerySpec(
       "ann_ivf_sq8",
       (s, d) => topKPerProbe(ivfSq8Pairs(s, d, 3), 3),
+      Some(annSelectSql(ivfSq8CtesSql(3), 3))),
+
+    // IVF × SQ8 over the PERSISTED index (r8): the same search pipeline
+    // reading trained centroids + SQ8 bounds + packed codes from
+    // SnapshotStore targets ([[VectorIndexStore]]) instead of training
+    // in-query — the train-once/maintain-incrementally posture a 100 TB
+    // vector store runs. The oracle SQL is IDENTICAL to ann_ivf_sq8's:
+    // persisted artifacts are integer-deterministic, so the persisted
+    // search must reproduce the in-query formulation row for row (and
+    // the hash gate holds it there). Exact-rerank vectors come from the
+    // raw corpus (the vector table), candidate ids broadcast into it.
+    QuerySpec(
+      "ann_ivf_sq8_persisted",
+      (s, d) => {
+        val (meta, codes) = VectorIndexStore.ensureBuilt(s, d)
+        val base = Corpus.quantizedVectors(s, d)
+        topKPerProbe(
+          VectorIndexStore.searchPairs(s, base.filter(col("vec_id") < 10),
+            base, meta, codes, kk = 3), 3)
+      },
       Some(annSelectSql(ivfSq8CtesSql(3), 3))),
 
     // Recall@3 of every approximate path, MEASURED (the r5 verdict's

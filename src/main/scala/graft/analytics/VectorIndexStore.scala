@@ -1,0 +1,267 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PackedVectorFunctions, VectorFunctions}
+import graft.streaming.SnapshotStore
+
+/** Persisted IVF×SQ8 vector index as [[SnapshotStore]] targets (r8) —
+  * the "train once, maintain forever" posture a 100 TB vector store
+  * needs: `ann_ivf_sq8` trains Lloyd + computes bounds + packs codes
+  * inside the query, which is fine under the oracle but wrong
+  * operationally at scale (you do not re-run k-means over 10^10
+  * vectors per search). Here the trained artifacts MATERIALIZE:
+  *
+  *  - **meta target** (control-plane sized, k+2 rows): the trained
+  *    centroids (quantized components + squared norm) and the global
+  *    SQ8 per-dimension [min,max] bounds, each row one JSON image.
+  *    Frozen at train time — the FAISS IndexIVFScalarQuantizer
+  *    train/add split: vectors added later are encoded against the
+  *    FROZEN quantizer (recall drifts if the distribution does; retrain
+  *    is an explicit operator decision, not a per-batch cost).
+  *  - **codes target** (the compact scan side, keyed by vec_id): cell
+  *    assignment, packed 8-bit codes (base64 of the 64-byte binary —
+  *    the 8× compression that makes the scan memory-bound-friendly),
+  *    and the reconstructed norm. LWW rows: a re-ingested embedding
+  *    for an existing vec_id supersedes its old codes by sequence.
+  *
+  * Maintenance is INCREMENTAL from the vector stream ([[ingestSink]]):
+  * each micro-batch encodes only its own rows (per-row map against the
+  * broadcast meta — no shuffle) and merges O(|batch|) into the codes
+  * target through the store's checkpointed, replay-idempotent LWW
+  * merge — the same contract as every other maintained table here.
+  * Search ([[searchPairs]]) reads the persisted index and runs the
+  * exact `ann_ivf_sq8` pipeline: probe-cell prune → packed-code scan
+  * ([[PackedVectorFunctions.vecDotU8Long]]) → 4·k approximate
+  * survivors → exact integer rerank. `ann_ivf_sq8_persisted` holds the
+  * equality with the in-query formulation under the DuckDB oracle;
+  * VectorIndexSpec proves streamed ingestion (with a mid-drain
+  * restart) lands the identical index as a single batch build.
+  */
+object VectorIndexStore {
+
+  private val codeSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("c_id INT, rnn BIGINT, code STRING")
+  private val metaSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("comps ARRAY<BIGINT>, cnn BIGINT")
+
+  /** Quantize raw embeddings to the engine's exact-integer form — the
+    * same floor(x*100) contract as [[Corpus.quantizedVectors]], inlined
+    * so streaming batches of (vec_id, embedding) encode identically.
+    */
+  def quantize(vecs: DataFrame): DataFrame =
+    vecs.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 100) as bigint))")
+        .as("qv"))
+      .withColumn("nn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+
+  /** Train the coarse quantizer + SQ8 bounds on `base` (vec_id, qv, nn)
+    * and persist them as the meta target. One k-row + one 64-row driver
+    * pull — control-plane, corpus-size-independent row counts.
+    */
+  def train(spark: SparkSession, base: DataFrame, metaTarget: String,
+            k: Int = SimilarityQueries.TrainedK,
+            iters: Int = SimilarityQueries.TrainedIters): Unit = {
+    val cents = Clustering.kmeansSpherical(spark, base, k, iters)
+    val bounds = base
+      .select(posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    def arrJson(xs: Seq[Long], cnn: Long): String =
+      s"""{"comps":[${xs.mkString(",")}],"cnn":$cnn}"""
+    import spark.implicits._
+    val rows =
+      cents.map { case (cid, cv, cnn) =>
+        (s"cent_$cid", "PUT", "0000000001", arrJson(cv.toSeq, cnn))
+      } ++ Seq(
+        ("mn", "PUT", "0000000001", arrJson(bounds.map(_._2).toSeq, 0L)),
+        ("mx", "PUT", "0000000001", arrJson(bounds.map(_._3).toSeq, 0L)))
+    SnapshotStore.mergeIntoTarget(spark, metaTarget,
+      rows.toSeq.toDF("keys", "op", "sequenceNumber", "newImage"), 0L)
+  }
+
+  /** The persisted quantizer: (centroids, mn bounds, mx bounds). */
+  def readMeta(spark: SparkSession, metaTarget: String)
+      : (Seq[(Int, Array[Long], Long)], Seq[Long], Seq[Long]) = {
+    val rows = SnapshotStore.readTarget(spark, metaTarget)
+      .select(col("keys"), from_json(col("newImage"), metaSchema).as("m"))
+      .select(col("keys"), col("m.comps").as("comps"), col("m.cnn").as("cnn"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2)))
+    require(rows.nonEmpty, s"no trained index meta at '$metaTarget' — run train first")
+    val cents = rows.filter(_._1.startsWith("cent_"))
+      .map { case (k, comps, cnn) =>
+        (k.stripPrefix("cent_").toInt, comps.toArray, cnn)
+      }.sortBy(_._1).toSeq
+    def arr(name: String) = rows.find(_._1 == name).getOrElse(
+      throw new IllegalStateException(s"meta target missing '$name' bounds"))._2
+    (cents, arr("mn"), arr("mx"))
+  }
+
+  /** Encode a quantized batch against the FROZEN quantizer: cell
+    * assignment + packed codes + reconstructed norm, as canonical LWW
+    * delta rows for the codes target. Pure per-row map (centroids and
+    * bounds are literals) — no shuffle, O(|batch|).
+    */
+  private def encode(batch: DataFrame, cents: Seq[(Int, Array[Long], Long)],
+                     mn: Seq[Long], mx: Seq[Long], seqBase: String): DataFrame = {
+    val mnl = typedLit(mn); val mxl = typedLit(mx)
+    SimilarityQueries.assignToCentroids(batch, cents)
+      .withColumn("mnl", mnl).withColumn("mxl", mxl)
+      // CLAMPED quantization: the bounds are frozen at train time, so a
+      // later arrival can fall outside [mn, mx] — it saturates to the
+      // nearest code (the standard SQ add-after-train behavior; the
+      // in-query formulation never clamps because its bounds cover its
+      // own corpus, so clamping changes nothing for the oracle equality)
+      .withColumn("code", expr(
+        """transform(qv, (x, i) ->
+             CASE WHEN element_at(mxl, i + 1) > element_at(mnl, i + 1)
+                  THEN greatest(0L, least(255L,
+                       ((x - element_at(mnl, i + 1)) * 255L)
+                       div (element_at(mxl, i + 1) - element_at(mnl, i + 1))))
+                  ELSE 0L END)"""))
+      .withColumn("rv", expr(
+        """transform(code, (cx, i) ->
+             element_at(mnl, i + 1) * 255L
+             + cx * (element_at(mxl, i + 1) - element_at(mnl, i + 1)))"""))
+      .withColumn("rnn", expr("aggregate(rv, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("code_b", PackedVectorFunctions.vecPackU8(col("code")))
+      .select(
+        col("vec_id").cast("string").as("keys"),
+        lit("PUT").as("op"),
+        lit(seqBase).as("sequenceNumber"),
+        to_json(struct(col("c_id"),
+          col("rnn"), base64(col("code_b")).as("code"))).as("newImage"))
+  }
+
+  /** Add one batch of quantized vectors (vec_id, qv, nn) to the codes
+    * target, encoded against the persisted meta. Later batches
+    * supersede earlier rows for the same vec_id (LWW by batch seq).
+    */
+  def appendBatch(spark: SparkSession, batch: DataFrame, metaTarget: String,
+                  codesTarget: String, batchId: Long): Unit = {
+    val (cents, mn, mx) = readMeta(spark, metaTarget)
+    SnapshotStore.mergeIntoTarget(spark, codesTarget,
+      encode(batch, cents, mn, mx, seqBase = f"sb$batchId%012d"), batchId)
+  }
+
+  /** Incremental maintenance from the vector stream: each micro-batch
+    * of RAW (vec_id, embedding) rows quantizes, encodes against the
+    * frozen quantizer, and merges into the codes target. Checkpointed;
+    * replays fold idempotently through the store's LWW merge
+    * (VectorIndexSpec drives a mid-drain restart).
+    */
+  def ingestSink(newVecs: DataFrame, metaTarget: String, codesTarget: String,
+                 checkpoint: String,
+                 trigger: org.apache.spark.sql.streaming.Trigger =
+                   org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the frozen quantizer is read ONCE at stream start, not per batch
+    lazy val meta = readMeta(newVecs.sparkSession, metaTarget)
+    newVecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (cents, mn, mx) = meta
+        SnapshotStore.mergeIntoTarget(batch.sparkSession, codesTarget,
+          encode(quantize(batch), cents, mn, mx, seqBase = f"sb$batchId%012d"),
+          batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The persisted codes target as the IVF×SQ8 scan side:
+    * (vec_id, c_id, code_b, rnn).
+    */
+  def readIndex(spark: SparkSession, codesTarget: String): DataFrame =
+    SnapshotStore.readTarget(spark, codesTarget)
+      .select(col("keys").cast("bigint").as("vec_id"),
+        from_json(col("newImage"), codeSchema).as("c"))
+      .select(col("vec_id"), col("c.c_id").as("c_id"),
+        unbase64(col("c.code")).as("code_b"), col("c.rnn").as("rnn"))
+
+  /** IVF×SQ8 search over the PERSISTED index — the exact `ann_ivf_sq8`
+    * pipeline with the in-query trained artifacts swapped for the
+    * store's: nprobe cell prune (sorted literal slice, zero-shuffle) →
+    * packed-code scan (factored per-probe constants, the
+    * vec_dot_u8_long kernel reads only base64-decoded 64 B codes) →
+    * 4·k approximate survivors per probe (bounded aggregate) → exact
+    * integer rerank against the probes' full vectors. `exact` supplies
+    * the full vectors for the rerank point-reads (at scale: the raw
+    * vector table; candidate ids broadcast into it).
+    */
+  def searchPairs(spark: SparkSession, probesBase: DataFrame, exact: DataFrame,
+                  metaTarget: String, codesTarget: String, kk: Int,
+                  nprobe: Int = SimilarityQueries.TrainedNProbe): DataFrame = {
+    val (cents, mn, mx) = readMeta(spark, metaTarget)
+    val mnl = typedLit(mn); val mxl = typedLit(mx)
+    val index = readIndex(spark, codesTarget)
+    val probeCells = probesBase
+      .withColumn("cell",
+        explode(slice(sort_array(SimilarityQueries.centScoredArr(cents), asc = false),
+          1, nprobe)))
+      .withColumn("mnl", mnl).withColumn("mxl", mxl)
+      .select(
+        col("vec_id").as("query_id"), col("nn").as("q_nn"),
+        (-col("cell.negcid")).as("c_id"),
+        expr("""transform(qv, (x, i) ->
+                  x * (element_at(mxl, i + 1) - element_at(mnl, i + 1)))""")
+          .as("q_scaled"),
+        (VectorFunctions.vecDotLong(col("qv"), mnl) * 255L).as("c0"))
+    val apairs = index.join(broadcast(probeCells), Seq("c_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (col("c0") + PackedVectorFunctions.vecDotU8Long(col("code_b"), col("q_scaled")))
+          .as("adot"),
+        col("rnn").as("ana"), col("q_nn").as("anb"))
+    val topc = udaf(new graft.functions.TopKScoredAgg(SimilarityQueries.Sq8CandMult * kk),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val cands = apairs
+      .withColumn("ascore", expr(SimilarityQueries.sq8ApproxScoreSql))
+      .groupBy("query_id").agg(topc(col("ascore"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t._2").as("vec_id"))
+    val probesExact = probesBase
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
+    exact.join(broadcast(cands), "vec_id")
+      .join(broadcast(probesExact), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Corpus.dotCol("qv", "q_qv").as("dot"),
+        col("nn").as("na"), col("q_nn").as("nb"))
+  }
+
+  // ── per-(session, corpus) memoized build for the oracle query ──────
+  // ann_ivf_sq8_persisted needs a built index per testdata dir; the
+  // build is deterministic (integer Lloyd + integer bounds + integer
+  // codes), so building once per session per dir and searching it
+  // yields exactly the in-query formulation's rows.
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  /** Train + bulk-add the full corpus at `d` into fresh temp store
+    * targets, once per (session, dir); returns (metaTarget, codesTarget).
+    */
+  def ensureBuilt(s: SparkSession, d: String): (String, String) =
+    built.synchronized {
+      val app = s.sparkContext.applicationId
+      built.keySet.removeIf(_._1 != app)
+      val k = (app, d)
+      val got = built.get(k)
+      if (got != null) got
+      else {
+        val meta = java.nio.file.Files.createTempDirectory("graft-vidx-meta")
+          .toFile.getAbsolutePath
+        val codes = java.nio.file.Files.createTempDirectory("graft-vidx-codes")
+          .toFile.getAbsolutePath
+        val base = Corpus.quantizedVectors(s, d)
+        train(s, base, meta)
+        appendBatch(s, base, meta, codes, batchId = 1L)
+        built.put(k, (meta, codes))
+        (meta, codes)
+      }
+    }
+}

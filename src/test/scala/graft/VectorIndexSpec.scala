@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Corpus, VectorIndexStore}
+import graft.streaming.SnapshotStore
+
+/** Persisted IVF×SQ8 index (SURVEY §2.11 / r7 verdict item 5): the
+  * trained artifacts live in SnapshotStore targets, new vectors stream
+  * in against the FROZEN quantizer, and the maintained index is
+  * indistinguishable from a batch rebuild — train once, maintain
+  * incrementally. (`ann_ivf_sq8_persisted` holds search equality with
+  * the in-query formulation under the DuckDB oracle; this spec holds
+  * the maintenance story.)
+  */
+class VectorIndexSpec extends SparkSpec {
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toFile.getAbsolutePath
+  private val d = "/root/testdata/sf0.001"
+
+  test("streamed ingest (chunked, with checkpoint resume) equals one-shot batch build") {
+    val meta = tmp("vidx-meta"); val codesStream = tmp("vidx-cs")
+    val codesBatch = tmp("vidx-cb")
+    val in = tmp("vidx-in"); val ckpt = tmp("vidx-ckpt")
+
+    val base = Corpus.quantizedVectors(spark, d)
+    val existing = base.filter(col("vec_id") % 11 =!= 0)
+    // train on the EXISTING corpus only — later arrivals must encode
+    // against this frozen quantizer, not retrain it
+    VectorIndexStore.train(spark, existing, meta)
+    VectorIndexStore.appendBatch(spark, existing, meta, codesStream, 1L)
+    VectorIndexStore.appendBatch(spark, existing, meta, codesBatch, 1L)
+
+    // reference: the new vectors added in ONE batch
+    val newRaw = Tables.embeddings(spark, d).filter(col("vec_id") % 11 === 0)
+      .select("vec_id", "embedding")
+    VectorIndexStore.appendBatch(spark,
+      VectorIndexStore.quantize(newRaw), meta, codesBatch, 2L)
+
+    // streamed: the same vectors in 3 chunks, drained as separate
+    // micro-batches, with a full stop + checkpoint resume in the middle
+    val ids = newRaw.select("vec_id").collect().map(_.getLong(0)).sorted
+    val (c1, rest) = ids.splitAt(ids.length / 3)
+    val (c2, c3) = rest.splitAt(rest.length / 2)
+    def writeChunk(chunk: Array[Long]): Unit = {
+      newRaw.filter(col("vec_id").isin(chunk: _*))
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(5)
+    }
+    writeChunk(c1)
+    val schema = spark.read.parquet(in).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q1 = VectorIndexStore.ingestSink(stream(), meta, codesStream, ckpt)
+    q1.awaitTermination(120000)
+    // restart: two more chunks land, the SAME checkpoint resumes
+    writeChunk(c2); writeChunk(c3)
+    val q2 = VectorIndexStore.ingestSink(stream(), meta, codesStream, ckpt)
+    q2.awaitTermination(120000)
+
+    def indexRows(t: String) = VectorIndexStore.readIndex(spark, t)
+      .select(col("vec_id"), col("c_id"), base64(col("code_b")).as("code"), col("rnn"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(indexRows(codesStream) === indexRows(codesBatch),
+      "streamed index diverged from the batch build")
+
+    // the search over either index is byte-identical
+    val probes = base.filter(col("vec_id") < 10)
+    def searched(t: String) = graft.analytics.SimilarityQueries
+      .topKPerProbe(VectorIndexStore.searchPairs(spark, probes, base, meta, t, 3), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(searched(codesStream) === searched(codesBatch))
+
+    // LWW maintenance: a re-ingested (updated) embedding supersedes its
+    // old codes — the updated row differs and matches a fresh encode
+    val victim = ids.head
+    val updated = newRaw.filter(col("vec_id") === victim)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> x * 2.0d)").as("embedding"))
+    VectorIndexStore.appendBatch(spark,
+      VectorIndexStore.quantize(updated), meta, codesStream, 9L)
+    val before = indexRows(codesBatch).find(_._1 == victim).get
+    val after = VectorIndexStore.readIndex(spark, codesStream)
+      .filter(col("vec_id") === victim)
+      .select(col("vec_id"), col("c_id"), base64(col("code_b")).as("code"), col("rnn"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(after.length === 1)
+    assert(after.head._4 !== before._4, "re-ingest did not supersede old codes")
+
+    // meta target is control-plane sized: k centroids + 2 bounds rows
+    assert(SnapshotStore.readTarget(spark, meta).count() ===
+      graft.analytics.SimilarityQueries.TrainedK + 2L)
+  }
+}
