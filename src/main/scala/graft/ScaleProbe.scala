@@ -54,7 +54,11 @@ object ScaleProbe {
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = GraftSession.local("graft-scale-probe")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_PROBE=recall runs ONLY the recall-at-scale block (the
+    // doc/text/topk probes are unaffected by it and cost minutes at x64)
+    val recallOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("recall")
     for (k <- factors) {
+      if (!recallOnly) {
       val docs = replicateDocs(spark, d, k).persist()
       val nd = docs.count()
 
@@ -297,6 +301,7 @@ object ScaleProbe {
         index.unpersist()
       }
       vecs.unpersist()
+      } // !recallOnly
 
       // sign-LSH bucket occupancy with corpus-size-DERIVED bit width
       // (Corpus.signBucketBits): the claim under test is that deriving
@@ -359,6 +364,71 @@ object ScaleProbe {
         f""""probe_buckets":${masks.length},"total_buckets":${1L << bits},""" +
         f""""mp_cands":$mpCands,"brute_cands":$bruteCands,""" +
         f""""scan_fraction":${mpCands.toDouble / math.max(1L, bruteCands)}%.4f}""")
+
+      // recall@3 AT SCALE (r8): the production queries measure recall
+      // only at 500/2000 vectors; this probe measures it over the SAME
+      // fixed 10-probe sample at k× the corpus — where the derived
+      // bucket width b actually bites (b=11 at 128k) — for the three
+      // approximate paths a deployment would actually run. Ground truth
+      // is the brute top-3 over the jittered corpus (10 probes ×
+      // corpus — the price of measuring, not of serving).
+      locally {
+        val probes3 = indexed.filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("qv"), col("nn")).persist()
+        val probesB = probes3
+          .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+            col("nn").as("q_nn"))
+        def top3(pairs: org.apache.spark.sql.DataFrame) =
+          graft.analytics.SimilarityQueries.topKPerProbe(pairs, 3)
+            .select("query_id", "neighbor_id")
+        val gt = top3(indexed.crossJoin(broadcast(probesB))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            graft.analytics.Corpus.dotCol("qv", "q_qv").as("dot"),
+            col("nn").as("na"), col("q_nn").as("nb"))).persist()
+        val nGt = gt.count()
+        def recall(nm: String, pairs: org.apache.spark.sql.DataFrame): Unit = {
+          val hits = gt.join(top3(pairs), Seq("query_id", "neighbor_id")).count()
+          println(f"""{"probe":"recall_at_scale_x$k","method":"$nm","n":$nv,""" +
+            f""""bits":$bits,"hits":$hits,"of":$nGt}""")
+        }
+        // multi-probe sign-LSH, radius 2 over the derived width (the
+        // same mask fan-out the scan-fraction probe measured)
+        recall("lsh_mp", indexed.join(broadcast(probes), Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            graft.analytics.Corpus.dotCol("qv", "q_qv").as("dot"),
+            col("nn").as("na"), col("q_nn").as("nb")))
+        // trained IVF, nprobe=3 (the shipped ann_ivf_trained shape)
+        val cents = graft.analytics.Clustering.kmeansSpherical(
+          spark, indexed.select("vec_id", "qv", "nn"), 16, 2)
+        val assigned = graft.analytics.SimilarityQueries
+          .assignToCentroids(indexed.select("vec_id", "qv", "nn"), cents)
+        val probeCells = probes3
+          .withColumn("cell", explode(slice(
+            sort_array(graft.analytics.SimilarityQueries.centScoredArr(cents),
+              asc = false), 1, 3)))
+          .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+            col("nn").as("q_nn"), (-col("cell.negcid")).as("c_id"))
+        recall("ivf_trained", assigned.join(broadcast(probeCells), Seq("c_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            graft.analytics.Corpus.dotCol("qv", "q_qv").as("dot"),
+            col("nn").as("na"), col("q_nn").as("nb")))
+        // IVF×SQ8 through the PERSISTED index path (VectorIndexStore —
+        // the exact artifacts a deployment serves from)
+        val metaT = java.nio.file.Files.createTempDirectory(s"sp-vidx-m$k")
+          .toFile.getAbsolutePath
+        val codesT = java.nio.file.Files.createTempDirectory(s"sp-vidx-c$k")
+          .toFile.getAbsolutePath
+        graft.analytics.VectorIndexStore.train(
+          spark, indexed.select("vec_id", "qv", "nn"), metaT)
+        graft.analytics.VectorIndexStore.appendBatch(
+          spark, indexed.select("vec_id", "qv", "nn"), metaT, codesT, 1L)
+        recall("ivf_sq8_persisted", graft.analytics.VectorIndexStore.searchPairs(
+          spark, probes3, indexed.select("vec_id", "qv", "nn"), metaT, codesT, 3))
+        gt.unpersist(); probes3.unpersist()
+      }
       indexed.unpersist()
       jvecs.unpersist()
     }
