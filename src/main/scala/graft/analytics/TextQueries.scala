@@ -671,33 +671,60 @@ object TextQueries {
     // ───── boilerplate density: per doc, how much of it is 3-gram
     // spans shared across ≥ 5 distinct docs — the templated-content
     // signal (navigation chrome, license headers, mirrored snippets)
-    // that length/stopword quality scores miss entirely. Shape is the
-    // inverted-index discipline: per-doc-distinct grams → one hash-agg
-    // for df, then a shuffle join back on the gram key and one per-doc
-    // agg — no doc×doc comparison anywhere, so cost is linear in total
-    // gram occurrences at any corpus size. Density as integer percent
-    // (div) keeps the cross-engine hash compare sound.
+    // that length/stopword quality scores miss entirely. Shape (r8 —
+    // the r7 suite's slowest query, rebuilt on two observations):
+    // per-doc TOTALS need no join at all (n_grams = size of the gram
+    // array), and only the df ≥ 5 COMMON grams — the templated
+    // minority — matter for the numerator. So: per-doc-distinct grams
+    // → one hash-agg for df; the common survivors build a broadcast
+    // Bloom (the dedup_decontaminate_bloom shape, keyed on xxhash64 of
+    // the gram); every gram OCCURRENCE passes the map-side Bloom
+    // before anything shuffles, and only the tiny surviving fraction
+    // exact-joins the common-gram table (false positives die there —
+    // the Bloom changes cost, never the answer). No doc×doc comparison
+    // anywhere; the all-occurrences × all-grams join the old shape
+    // paid is gone. Density as integer percent (div) keeps the
+    // cross-engine hash compare sound.
     QuerySpec(
       "text_boilerplate",
       (s, d) => {
-        val gramArr = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .select(col("doc_id"), expr(
-            """case when size(t) >= 3
-               then transform(sequence(1, size(t) - 2),
-                              i -> concat_ws(' ', slice(t, i, 3)))
-               else array() end""").as("gs"))
-        val grams = gramArr.select(col("doc_id"), explode(col("gs")).as("g"))
-        // df from per-doc-DISTINCT grams deduped inside the row (the
-        // inverted-index trick): no (doc, gram) distinct shuffle — the
-        // only exchanges are the df agg, the join, and the per-doc agg
+        // gram construction (split + per-gram concat_ws lambdas) is the
+        // measured cost center, and THREE consumers need it (df agg,
+        // occurrence scan, per-doc totals): build once, persist (the
+        // Corpus.cached discipline the signature queries use)
+        val gramArr = Corpus.cached(s, d, "boilerGramArr") {
+          Tables.documents(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("t"))
+            .select(col("doc_id"), expr(
+              """case when size(t) >= 3
+                 then transform(sequence(1, size(t) - 2),
+                                i -> concat_ws(' ', slice(t, i, 3)))
+                 else array() end""").as("gs"))
+        }
         val df_ = gramArr
           .select(explode(array_distinct(col("gs"))).as("g"))
           .groupBy("g").agg(count(lit(1)).as("df"))
-        grams.join(df_, "g")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            count(when(col("df") >= 5, 1)).as("n_common"))
+        // the common set is SMALL (the templated minority) and feeds
+        // three consumers (count, Bloom build, exact join): pin it once
+        // so the full df pipeline — the query's one heavy shuffle —
+        // runs exactly once
+        val common = df_.filter(col("df") >= 5).select("g").localCheckpoint(true)
+        val nCommonGrams = common.count() // control-plane: sizes the filter
+        val bf = s.sparkContext.broadcast(
+          common.select(xxhash64(col("g")).as("h"))
+            .stat.bloomFilter("h", math.max(nCommonGrams, 1L), 0.01))
+        val nCommon = gramArr
+          .select(col("doc_id"), explode(col("gs")).as("g"))
+          .filter(graft.functions.BloomFilterFunctions
+            .bloomMightContain(bf)(xxhash64(col("g"))))
+          .join(common, "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+        gramArr
+          .filter(size(col("gs")) > 0)
+          .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+          .join(nCommon, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"))
           .withColumn("boiler_pct",
             expr("cast((100 * n_common) div n_grams as bigint)"))
       },
