@@ -186,11 +186,22 @@ object SnapshotStore {
       try readFully(fs, lock).trim == token
       catch { case _: java.io.IOException => false }
 
+    // HOLDER-SIDE operations (heartbeat refresh, commit-point verify,
+    // release) serialize on this handle: the object-store refreshLock is
+    // an OVERWRITE (no mtime mutation on object stores), so an
+    // unserialized verifyHeld could read the lock mid-rewrite BY ITS OWN
+    // HEARTBEAT and abort a perfectly held publish (bit r8's cloneTarget,
+    // whose lock body is milliseconds — merges never saw it because
+    // their publishes outlast the first beat). An EXTERNAL breaker never
+    // writes our lock (it renames to a tomb), so a failed synchronized
+    // read still means genuinely displaced.
     private val beat = new Thread({ () =>
       while (!stopped && !displaced) {
         try {
-          if (stillOwned()) refresh()
-          else displaced = true
+          LockHandle.this.synchronized {
+            if (stillOwned()) refresh()
+            else displaced = true
+          }
         } catch { case _: Throwable => () } // transient IO: next beat retries
         try Thread.sleep(heartbeatMs)
         catch { case _: InterruptedException => stopped = true }
@@ -203,17 +214,19 @@ object SnapshotStore {
       * point (the pointer swap), where publishing without the lock could
       * silently revert another writer's committed batch.
       */
-    def verifyHeld(): Unit =
-      if (displaced || !stillOwned())
+    def verifyHeld(): Unit = {
+      val held = this.synchronized { !displaced && stillOwned() }
+      if (!held)
         throw new java.util.ConcurrentModificationException(
           s"writer lock $lock was taken over mid-write (held token $token); " +
             "aborting publish — the basis may be stale")
+    }
 
     /** Release only a lock we still own (never a usurper's fresh lock). */
     def release(): Unit = {
       stopped = true
       beat.interrupt()
-      try { if (stillOwned()) { fs.delete(lock, false); () } }
+      try this.synchronized { if (stillOwned()) { fs.delete(lock, false); () } }
       catch { case _: java.io.IOException => () } // stale-broken later
     }
   }

@@ -192,6 +192,81 @@ class CommitProtocolSpec extends SparkSpec {
     assert(SnapshotStore.pointerValue(spark, target) === Some(winners.head))
   }
 
+  test("END-TO-END PITR drill: apply -> crash at the commit PUT -> replay -> clone-as-of, all through the service API") {
+    ready
+    // crash seam: the SAME service client, but the next commit-key PUT
+    // dies BEFORE reaching the store (process killed at the commit
+    // point: data dir + manifest written, pointer never advanced)
+    val crashy = new ConditionalPut.ObjectStoreClient {
+      @volatile var armed = false
+      def putIfNoneMatch(bucket: String, key: String, content: Array[Byte]): Boolean = {
+        if (armed && key.contains(CommitProtocol.CommitDir)) {
+          armed = false
+          throw new RuntimeException("injected crash: writer died before the commit PUT")
+        }
+        s3.putIfNoneMatch(bucket, key, content)
+      }
+    }
+    SnapshotStore.registerConditionalPut("nonatomic",
+      new ConditionalPut.ServiceConditionalPut(crashy))
+    val src = tmp("pitr-src"); val dst = tmp("pitr-clone")
+    NonAtomicFileSystem.reset(); s3.reset()
+
+    // the apply flow: six CDC batches, version retention wide enough
+    // for store-level PITR
+    def batchRows(b: Int): Seq[(String, String, String, Option[String])] = Seq(
+      (s"k${b % 4}", "PUT", f"$b%03d1", Some(s"v$b")),
+      (s"k${(b + 1) % 4}", if (b == 4) "DELETE" else "PUT", f"$b%03d2",
+        if (b == 4) None else Some(s"w$b")))
+    def applyBatch(target: String, b: Int): Unit =
+      SnapshotStore.mergeIntoTarget(spark, target, delta(batchRows(b): _*),
+        b.toLong, retainVersions = 10)
+    (0 to 2).foreach(applyBatch(src, _))
+    val preCrashVersion = SnapshotStore.pointerValue(spark, src).get
+    val preCrashState = state(src)
+
+    // CRASH: batch 3's publish dies at the commit point
+    crashy.armed = true
+    val thrown = intercept[RuntimeException](applyBatch(src, 3))
+    assert(thrown.getMessage.contains("injected crash"))
+    // the previous snapshot is STILL live — a torn publish is invisible
+    assert(SnapshotStore.pointerValue(spark, src) === Some(preCrashVersion))
+    assert(state(src) === preCrashState)
+
+    // REPLAY (checkpoint re-delivers batch 3 verbatim), then continue
+    (3 to 5).foreach(applyBatch(src, _))
+    // final state equals an independent replay of all six batches
+    val fresh = Files.createTempDirectory("pitr-fresh").toFile.getAbsolutePath
+    (0 to 5).foreach(applyBatch(fresh, _))
+    assert(state(src) === state(fresh), "replay after commit-point crash diverged")
+
+    // PITR: clone the retained PRE-CRASH version as a new table —
+    // restore-to-point-in-time composed from retention + clone
+    SnapshotStore.cloneTarget(spark, src, dst, asOf = Some(preCrashVersion))
+    assert(state(dst) === preCrashState, "clone-as-of != the pre-crash state")
+    val fresh3 = Files.createTempDirectory("pitr-fresh3").toFile.getAbsolutePath
+    (0 to 2).foreach(applyBatch(fresh3, _))
+    assert(state(dst) === state(fresh3),
+      "clone-as-of != an independent replay of exactly the pre-crash batches")
+    // the clone is independent: divergent writes on either side stay put
+    applyBatch(dst, 7)
+    assert(state(src) === state(fresh))
+    assert(state(dst) !== state(src))
+
+    // commit-path audit across the WHOLE drill: every pointer advance —
+    // source merges, replay, clone publish, post-clone merge — was a
+    // service-API conditional PUT; no renames, no FS exclusive-creates
+    val commitPuts = s3.requests.toArray(Array.empty[(String, Boolean)])
+      .filter(_._1.contains(CommitProtocol.CommitDir))
+    assert(commitPuts.count(_._2) >= 8, s"expected >=8 commit creates: ${commitPuts.length}")
+    assert(commitPuts.exists(p => p._1.contains(dst.stripPrefix("nonatomic://")) && p._2),
+      "clone publish did not commit through the service API")
+    val badRenames = NonAtomicFileSystem.renames.toArray(Array.empty[String]).filter(r =>
+      r.contains(SnapshotStore.CurrentPointer) || r.contains(CommitProtocol.CommitDir) ||
+        r.contains(".pointer-tmp-"))
+    assert(badRenames.isEmpty, s"commit path relied on rename: ${badRenames.toSeq}")
+  }
+
   test("rename-protocol table migrates: commit log adopts the pointer basis") {
     ready
     // a table born on file:// under the rename protocol...
