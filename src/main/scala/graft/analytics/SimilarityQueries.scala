@@ -374,6 +374,118 @@ object SimilarityQueries {
         col("nn").as("na"), col("q_nn").as("nb"))
   }
 
+  // ── product quantization (r8): the OTHER classic code-compression —
+  // where SQ8 quantizes each dimension independently (64 codes of the
+  // scalar range), PQ splits the vector into M subvectors and quantizes
+  // each to its nearest codeword from a per-subspace codebook: the code
+  // is M codeword IDS (8 bytes/vector here — 64× smaller than the
+  // long-array form, 8× smaller than SQ8), and search scores codes
+  // against a per-probe LOOKUP TABLE (ADC — asymmetric distance
+  // computation: LUT[m][j] = probe_subvector_m · codeword_{m,j},
+  // precomputed once per probe, so the scan does M table lookups per
+  // vector instead of D multiplies). Codebooks here are the fixed
+  // deterministic subset (vec_id < 16, the ann_ivf pattern: the INDEX
+  // STRUCTURE is what's exercised; trained per-subspace Lloyd swaps in
+  // without changing the plan); encoding ties break on codeword id so
+  // both engines agree exactly.
+  private val PqM = 8    // subspaces
+  private val PqSub = 8  // dims per subspace (M × sub = 64)
+  private val PqK = 16   // codewords per subspace
+  /** PQ's rerank pool is DEEPER than SQ8's (8·k vs 4·k): an 8-byte code
+    * is far coarser than 64 SQ8 bytes, so approximate ranks are noisier
+    * and the exact rerank needs more survivors to recover — the
+    * standard PQ posture (PQ generates candidates; rerank decides).
+    */
+  private val PqCandMult = 8
+
+  /** Fixed codebooks: the deterministic subset's subvectors (the
+    * ann_ivf pattern — exercises the PQ structure; training swaps in).
+    */
+  private def pqFixedCodebook(s: SparkSession, d: String): Seq[Seq[Seq[Long]]] = {
+    val cbRows = Corpus.quantizedVectors(s, d)
+      .filter(col("vec_id") < PqK).orderBy("vec_id")
+      .select("vec_id", "qv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    require(cbRows.length == PqK, s"PQ codebook needs $PqK vectors")
+    (0 until PqM).map(m =>
+      cbRows.toSeq.map { case (_, qv) =>
+        (0 until PqSub).map(i => qv(m * PqSub + i)) })
+  }
+
+  /** TRAINED codebooks: per-subspace integer L2 Lloyd
+    * ([[Clustering.kmeansQuantized]] — L2 is the right metric INSIDE a
+    * subspace: a subvector is a fragment, not a direction, so the
+    * spherical trainer's scale-invariance is wrong here) over each
+    * 8-dim slice. Every step is oracle-replayable; the per-subspace
+    * chains unroll in SQL exactly like the spherical trainer's.
+    */
+  private val PqTrainIters = 2
+  private def pqTrainedCodebook(s: SparkSession, d: String): Seq[Seq[Seq[Long]]] =
+    (0 until PqM).map { m =>
+      val sub = Corpus.quantizedVectors(s, d)
+        .select(col("vec_id"), expr(s"slice(qv, ${m * PqSub + 1}, $PqSub)").as("qv"))
+        .withColumn("nn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+      Clustering.kmeansQuantized(s, sub, PqK, PqTrainIters)._1
+        .sortBy(_._1).map(_._2.toSeq).toSeq
+    }
+
+  private def pqPairs(s: SparkSession, d: String, kk: Int,
+                      cb: Seq[Seq[Seq[Long]]]): DataFrame = {
+    val base = Corpus.quantizedVectors(s, d)
+    val cbl = typedLit(cb)
+    // INDEX: M codeword ids + reconstructed norm — 8 B of code/vector
+    val coded = base
+      .withColumn("cb", cbl)
+      .withColumn("code", expr(s"""
+        transform(sequence(0, ${PqM - 1}), m ->
+          array_min(transform(sequence(0, ${PqK - 1}), j ->
+            struct(aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, i) ->
+              acc + (element_at(qv, m * $PqSub + i + 1)
+                     - element_at(element_at(element_at(cb, m + 1), j + 1), i + 1))
+                  * (element_at(qv, m * $PqSub + i + 1)
+                     - element_at(element_at(element_at(cb, m + 1), j + 1), i + 1))),
+              j))).j)"""))
+      .withColumn("rnn", expr(s"""
+        aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) ->
+          acc + aggregate(
+            element_at(element_at(cb, m + 1), element_at(code, m + 1) + 1),
+            0L, (a2, x) -> a2 + x * x))"""))
+      .select("vec_id", "code", "rnn")
+    // PROBES: the ADC lookup table, built ONCE per probe (10 rows)
+    val probes = base.filter(col("vec_id") < 10)
+      .withColumn("cb", cbl)
+      .select(
+        col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"),
+        expr(s"""
+          transform(sequence(0, ${PqM - 1}), m ->
+            transform(sequence(0, ${PqK - 1}), j ->
+              aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, i) ->
+                acc + element_at(qv, m * $PqSub + i + 1)
+                    * element_at(element_at(element_at(cb, m + 1), j + 1), i + 1))))""")
+          .as("lut"))
+    // SCAN: M lookups + adds per vector — the ADC kernel
+    val apairs = coded.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr(s"""
+          aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) ->
+            acc + element_at(element_at(lut, m + 1), element_at(code, m + 1) + 1))""")
+          .as("adot"),
+        col("rnn").as("ana"), col("q_nn").as("anb"))
+    val topc = udaf(new graft.functions.TopKScoredAgg(PqCandMult * kk),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val cands = apairs
+      .withColumn("ascore", expr(sq8ApproxScoreSql))
+      .groupBy("query_id").agg(topc(col("ascore"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t._2").as("vec_id"))
+    base.join(broadcast(cands), "vec_id")
+      .join(broadcast(probes.select("query_id", "q_qv", "q_nn")), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Corpus.dotCol("qv", "q_qv").as("dot"),
+        col("nn").as("na"), col("q_nn").as("nb"))
+  }
+
   /** IVF × SQ8 composed (r7): the production big-corpus index layout —
     * FAISS IndexIVFScalarQuantizer's shape. The trained coarse quantizer
     * prunes to nprobe cells; WITHIN the probed cells the scan reads only
@@ -719,6 +831,127 @@ object SimilarityQueries {
           FROM cands c JOIN base v ON v.vec_id = c.vec_id
                        JOIN base q ON q.vec_id = c.query_id)"""
 
+  /** Oracle-side PQ mirror: codewords by subspace slice, encode by
+    * (d2, j) window rank, reconstructed norms and ADC dots re-derived
+    * from the codes — every quantity integer until the shared
+    * approximate-score expression.
+    */
+  /** Shared PQ search tail (encode → recon norms → ADC → candidates →
+    * exact rerank), expecting CTEs `base` and `cw` = (m, j, cv).
+    */
+  private def pqSearchTailSql(kk: Int): String = s"""
+        enc AS (
+          SELECT v.vec_id, w.m, w.j,
+                 CAST(list_sum([ (v.qv[w.m * $PqSub + i] - w.cv[i])
+                               * (v.qv[w.m * $PqSub + i] - w.cv[i])
+                               for i in range(1, ${PqSub + 1})]) AS BIGINT) AS d2
+          FROM base v, cw w),
+        codes AS (
+          SELECT vec_id, m, j FROM (
+            SELECT vec_id, m, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rk
+            FROM enc) WHERE rk = 1),
+        recon AS (
+          SELECT c.vec_id,
+                 CAST(SUM(list_sum([w.cv[i] * w.cv[i]
+                                    for i in range(1, ${PqSub + 1})])) AS BIGINT) AS rnn
+          FROM codes c JOIN cw w ON w.m = c.m AND w.j = c.j
+          GROUP BY c.vec_id),
+        adc AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 CAST(SUM(list_sum([q.qv[c.m * $PqSub + i] * w.cv[i]
+                                    for i in range(1, ${PqSub + 1})])) AS BIGINT) AS adot
+          FROM base q JOIN codes c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+               JOIN cw w ON w.m = c.m AND w.j = c.j
+          GROUP BY q.vec_id, c.vec_id),
+        scoredap AS (
+          SELECT a.query_id, a.vec_id, a.adot, r.rnn AS ana, q.nn AS anb
+          FROM adc a JOIN recon r ON r.vec_id = a.vec_id
+               JOIN base q ON q.vec_id = a.query_id),
+        cands AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ($sq8ApproxScoreSql) DESC, vec_id) AS rk
+            FROM scoredap) WHERE rk <= ${PqCandMult * kk}),
+        pairs AS (
+          SELECT c.query_id, c.vec_id,
+                 CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i] * q.qv[i])) AS BIGINT) AS dot,
+                 v.nn AS na, q.nn AS nb
+          FROM cands c JOIN base v ON v.vec_id = c.vec_id
+                       JOIN base q ON q.vec_id = c.query_id)"""
+
+  /** Fixed-codebook PQ oracle: codewords by deterministic-subset slice. */
+  private def pqCtesSql(kk: Int): String = s"""
+        base AS (${Corpus.quantizedVectorsSql}),
+        cw AS (
+          SELECT m.m, c.vec_id AS j,
+                 [c.qv[m.m * $PqSub + i] for i in range(1, ${PqSub + 1})] AS cv
+          FROM base c, range(0, $PqM) m(m) WHERE c.vec_id < $PqK),${pqSearchTailSql(kk)}"""
+
+  /** One subspace's unrolled integer L2 Lloyd (the quantized-k-means
+    * mirror, as [[kmeansSqlCtes]] is the spherical one): subvector
+    * slice → init from the first k vec_ids → per iteration (d2 =
+    * nn − 2·dot + cnn argmin with (d2, cid) ties → floor-mean update →
+    * empty/degenerate carry-forward). Yields `cents_s<m>_<iters>`.
+    */
+  private def pqSubKmeansSql(m: Int, k: Int, iters: Int): String = {
+    val off = m * PqSub
+    val subDef = s"""
+    sub$m AS (
+      SELECT vec_id,
+             [qv[$off + i] for i in range(1, ${PqSub + 1})] AS qv,
+             CAST(list_sum([qv[$off + i] * qv[$off + i]
+                            for i in range(1, ${PqSub + 1})]) AS BIGINT) AS nn
+      FROM base)"""
+    val init = s"""
+    cents_s${m}_0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             qv AS cv, nn AS cnn
+      FROM (SELECT vec_id, qv, nn FROM sub$m ORDER BY vec_id LIMIT $k))"""
+    val its = (1 to iters).map { t =>
+      s"""
+    scored_s${m}_$t AS (
+      SELECT b.vec_id, b.qv, c.cid,
+             CAST(b.nn - 2 * list_sum([b.qv[i] * c.cv[i]
+                                       for i in range(1, ${PqSub + 1})]) + c.cnn
+                  AS BIGINT) AS d2
+      FROM sub$m b CROSS JOIN cents_s${m}_${t - 1} c),
+    asg_s${m}_$t AS (
+      SELECT vec_id, qv, cid FROM (
+        SELECT vec_id, qv, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM scored_s${m}_$t) WHERE rk = 1),
+    upd_s${m}_$t AS (
+      SELECT cid, list(mm ORDER BY i) AS cv FROM (
+        SELECT a.cid, t.i,
+               CAST(floor(CAST(SUM(a.qv[t.i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mm
+        FROM asg_s${m}_$t a CROSS JOIN range(1, ${PqSub + 1}) t(i)
+        GROUP BY a.cid, t.i)
+      GROUP BY cid),
+    cents_s${m}_$t AS (
+      SELECT c.cid,
+             CASE WHEN u.cv IS NULL OR list_sum(list_transform(u.cv, x -> x * x)) = 0
+                  THEN c.cv ELSE u.cv END AS cv,
+             CAST(list_sum(list_transform(
+               CASE WHEN u.cv IS NULL OR list_sum(list_transform(u.cv, x -> x * x)) = 0
+                    THEN c.cv ELSE u.cv END, x -> x * x)) AS BIGINT) AS cnn
+      FROM cents_s${m}_${t - 1} c LEFT JOIN upd_s${m}_$t u ON u.cid = c.cid)"""
+    }
+    (subDef +: init +: its).mkString(",")
+  }
+
+  /** Trained-codebook PQ oracle: eight unrolled subspace Lloyd chains,
+    * unioned into the codeword table, then the shared search tail.
+    */
+  private def pqTrainedCtesSql(kk: Int): String = s"""
+        base AS (${Corpus.quantizedVectorsSql}),${
+          (0 until PqM).map(pqSubKmeansSql(_, PqK, PqTrainIters)).mkString(",")},
+        cw AS (${
+          (0 until PqM).map(m =>
+            s"SELECT $m AS m, cid AS j, cv FROM cents_s${m}_$PqTrainIters")
+            .mkString(" UNION ALL ")}),${pqSearchTailSql(kk)}"""
+
   val all: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -807,6 +1040,29 @@ object SimilarityQueries {
       (s, d) => topKPerProbe(ivfSq8Pairs(s, d, 3), 3),
       Some(annSelectSql(ivfSq8CtesSql(3), 3))),
 
+    // Product quantization + ADC (r8): M=8 subspaces × K=16 codewords —
+    // 8-byte codes (64× smaller than the long-array form, 8× smaller
+    // than SQ8's 64 B), scanned against a per-probe lookup table (8
+    // lookups+adds per vector instead of 64 multiplies), 4·k survivors
+    // exact-reranked. Codebooks are the fixed deterministic subset (the
+    // ann_ivf pattern); every encode/score step is integer-exact on
+    // both engines, so the whole PQ pipeline sits under the hash gate.
+    QuerySpec(
+      "ann_pq_adc",
+      (s, d) => topKPerProbe(pqPairs(s, d, 3, pqFixedCodebook(s, d)), 3),
+      Some(annSelectSql(pqCtesSql(3), 3))),
+
+    // PQ over TRAINED per-subspace codebooks (r8): integer L2 Lloyd in
+    // each 8-dim subspace (L2, not spherical — a subvector is a
+    // fragment, not a direction), DuckDB replaying all eight unrolled
+    // chains to bit-identical codebooks; same 8-byte codes, ADC lookup
+    // scan, and deep (8·k) rerank pool. The trained/fixed split mirrors
+    // ann_ivf_trained/ann_ivf; ann_recall holds the recall gain.
+    QuerySpec(
+      "ann_pq_trained",
+      (s, d) => topKPerProbe(pqPairs(s, d, 3, pqTrainedCodebook(s, d)), 3),
+      Some(annSelectSql(pqTrainedCtesSql(3), 3))),
+
     // IVF × SQ8 over the PERSISTED index (r8): the same search pipeline
     // reading trained centroids + SQ8 bounds + packed codes from
     // SnapshotStore targets ([[VectorIndexStore]]) instead of training
@@ -848,7 +1104,9 @@ object SimilarityQueries {
           "lsh" -> lshPairs(s, d),
           "lsh_mp" -> lshMultiprobePairs(s, d),
           "sq8" -> sq8Pairs(s, d, 3),
-          "ivf_sq8" -> ivfSq8Pairs(s, d, 3))
+          "ivf_sq8" -> ivfSq8Pairs(s, d, 3),
+          "pq" -> pqPairs(s, d, 3, pqFixedCodebook(s, d)),
+          "pq_trained" -> pqPairs(s, d, 3, pqTrainedCodebook(s, d)))
         methods.map { case (nm, pairs) =>
           val hits = gt
             .join(topKPerProbe(pairs, 3).select("query_id", "neighbor_id"),
@@ -875,6 +1133,10 @@ object SimilarityQueries {
           SELECT query_id, neighbor_id FROM (${annSelectSql(sq8CtesSql(3), 3)})),
         m_isq AS (
           SELECT query_id, neighbor_id FROM (${annSelectSql(ivfSq8CtesSql(3), 3)})),
+        m_pq AS (
+          SELECT query_id, neighbor_id FROM (${annSelectSql(pqCtesSql(3), 3)})),
+        m_pqt AS (
+          SELECT query_id, neighbor_id FROM (${annSelectSql(pqTrainedCtesSql(3), 3)})),
         h_ivf AS (
           SELECT g.query_id, count(*) AS hits FROM gt g
           JOIN m_ivf t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
@@ -898,6 +1160,14 @@ object SimilarityQueries {
         h_isq AS (
           SELECT g.query_id, count(*) AS hits FROM gt g
           JOIN m_isq t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+          GROUP BY g.query_id),
+        h_pq AS (
+          SELECT g.query_id, count(*) AS hits FROM gt g
+          JOIN m_pq t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+          GROUP BY g.query_id),
+        h_pqt AS (
+          SELECT g.query_id, count(*) AS hits FROM gt g
+          JOIN m_pqt t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
           GROUP BY g.query_id)
         SELECT p.query_id, 'ivf' AS method,
                CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 3 AS k
@@ -921,6 +1191,14 @@ object SimilarityQueries {
         UNION ALL
         SELECT p.query_id, 'ivf_sq8' AS method,
                CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 3 AS k
-        FROM probes p LEFT JOIN h_isq h USING (query_id)"""))
+        FROM probes p LEFT JOIN h_isq h USING (query_id)
+        UNION ALL
+        SELECT p.query_id, 'pq' AS method,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 3 AS k
+        FROM probes p LEFT JOIN h_pq h USING (query_id)
+        UNION ALL
+        SELECT p.query_id, 'pq_trained' AS method,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 3 AS k
+        FROM probes p LEFT JOIN h_pqt h USING (query_id)"""))
   )
 }
