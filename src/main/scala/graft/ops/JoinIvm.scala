@@ -122,10 +122,12 @@ object JoinIvm {
   // (≤ numBuckets ints, table-constant), so a backfill-sized delta —
   // the reference's own lambda-backfill replay workload — streams
   // through without ever landing on the driver.
-  // Caveat at extreme fan-out: one fk referenced by a huge share of A
-  // has a posting list to match; shard such keys (fk#n) the same way
-  // hot LSH buckets are — the spec covers the mechanism, not that
-  // tuning.
+  // Extreme fan-out (r8): `indexShards > 1` shards each fk's
+  // membership over `fk#<hash(member) mod shards>` rows — a hot fk's
+  // list spreads over bounded shards instead of one giant LWW row,
+  // at the cost of delta × shards point reads on the dim path
+  // (JoinIvmSpec's hot-fk case pins spread + exactness). Pick the
+  // shard count once per view (it is part of the index layout).
   // ───────────────────────────────────────────────────────────────────
 
   private val aImageSchema =
@@ -134,6 +136,21 @@ object JoinIvm {
     org.apache.spark.sql.types.StructType.fromDDL("fk STRING, a_image STRING, b_image STRING")
   private val keyListSchema = org.apache.spark.sql.types.ArrayType(
     org.apache.spark.sql.types.StringType)
+
+  /** Index-row key for a (fk, member) pair: the fk itself at
+    * `indexShards = 1`, else `fk#<xxhash64(member) mod shards>` — the
+    * hot-bucket sharding the r7 caveat prescribed. A member's shard is
+    * a pure function of the member key, so additions, removals, and
+    * rebuilds all address the same sharded row without coordination;
+    * an extreme-fan-out fk's membership spreads over `indexShards` LWW
+    * rows instead of one giant list, and the dim-side fan-out reads
+    * all shards of each touched fk (delta × shards point reads —
+    * control-plane sized).
+    */
+  private def idxKeyCol(fk: Column, member: Column, indexShards: Int): Column =
+    if (indexShards <= 1) fk
+    else concat(fk, lit("#"),
+      pmod(xxhash64(member), lit(indexShards.toLong)).cast("string"))
 
   /** [[applyFactDelta]] + reverse-index maintenance, fully distributed.
     *
@@ -164,7 +181,8 @@ object JoinIvm {
     */
   def applyFactDeltaIndexed(spark: SparkSession, aDelta: DataFrame, aTarget: String,
                             bTarget: String, vTarget: String, iTarget: String,
-                            batchId: Long, seqBase: String): Unit = {
+                            batchId: Long, seqBase: String,
+                            indexShards: Int = 1): Unit = {
     // collapse the batch to each key's LWW winner first (a PUT and a
     // DELETE for one key can share a micro-batch; membership moves must
     // follow the winner the store's own merge will keep, same
@@ -185,30 +203,32 @@ object JoinIvm {
         val removals = moves
           .filter(col("old_fk").isNotNull &&
             (col("op") === "DELETE" || !(col("old_fk") <=> col("fk"))))
-          .select(col("old_fk").as("fk"), col("keys"))
+          .select(idxKeyCol(col("old_fk"), col("keys"), indexShards).as("ikey"),
+            col("keys"))
         val additions = moves
           .filter(col("op") =!= "DELETE" && col("fk").isNotNull)
-          .select(col("fk"), col("keys"))
-        val touchedFks = removals.select("fk").unionByName(additions.select("fk"))
+          .select(idxKeyCol(col("fk"), col("keys"), indexShards).as("ikey"),
+            col("keys"))
+        val touchedFks = removals.select("ikey").unionByName(additions.select("ikey"))
           .distinct().localCheckpoint(true)
         try {
           // rebuild: stored members of the touched lists, minus this
           // batch's removals, plus its additions — one anti-join, one
           // union, one collect_set aggregation, all key-partitioned
           val currentMembers = SnapshotStore
-            .readKeysDf(spark, iTarget, touchedFks.withColumnRenamed("fk", "keys"))
-            .select(col("keys").as("fk"),
+            .readKeysDf(spark, iTarget, touchedFks.withColumnRenamed("ikey", "keys"))
+            .select(col("keys").as("ikey"),
               explode(from_json(col("newImage"), keyListSchema)).as("keys"))
-          val members = currentMembers.join(removals, Seq("fk", "keys"), "left_anti")
+          val members = currentMembers.join(removals, Seq("ikey", "keys"), "left_anti")
             .unionByName(additions).distinct()
           val rebuilt = touchedFks.join(
-            members.groupBy("fk")
+            members.groupBy("ikey")
               .agg(to_json(sort_array(collect_set(col("keys")))).as("img")),
-            Seq("fk"), "left")
+            Seq("ikey"), "left")
           val idxDelta = rebuilt.select(
-            col("fk").as("keys"),
+            col("ikey").as("keys"),
             when(col("img").isNull, lit("DELETE")).otherwise(lit("PUT")).as("op"),
-            concat(lit(seqBase), lit("-"), col("fk")).as("sequenceNumber"),
+            concat(lit(seqBase), lit("-"), col("ikey")).as("sequenceNumber"),
             col("img").as("newImage"))
             .localCheckpoint(true)
           try {
@@ -231,9 +251,16 @@ object JoinIvm {
     */
   def applyDimDeltaIndexed(spark: SparkSession, bDelta: DataFrame,
                            bTarget: String, vTarget: String, iTarget: String,
-                           batchId: Long): Unit = {
+                           batchId: Long, indexShards: Int = 1): Unit = {
     SnapshotStore.mergeIntoTarget(spark, bTarget, bDelta, batchId)
-    val refKeys = SnapshotStore.readKeysDf(spark, iTarget, bDelta.select("keys"))
+    // sharded index: every shard row of each touched fk is a candidate
+    // (delta × shards lookups — still delta-bounded)
+    val lookups =
+      if (indexShards <= 1) bDelta.select("keys")
+      else bDelta.select("keys").distinct()
+        .crossJoin(spark.range(indexShards.toLong).select(col("id").as("__sh")))
+        .select(concat(col("keys"), lit("#"), col("__sh").cast("string")).as("keys"))
+    val refKeys = SnapshotStore.readKeysDf(spark, iTarget, lookups)
       .select(explode(from_json(col("newImage"), keyListSchema)).as("keys"))
       .localCheckpoint(true)
     try {
@@ -287,14 +314,15 @@ object JoinIvm {
   def factSink(factCdc: DataFrame, aTarget: String, bTarget: String,
                vTarget: String, iTarget: String, checkpoint: String,
                trigger: org.apache.spark.sql.streaming.Trigger =
-                 org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                 org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+               indexShards: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
     factCdc.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyFactDeltaIndexed(batch.sparkSession, batch,
           aTarget, bTarget, vTarget, iTarget, batchId,
-          seqBase = f"sb$batchId%012d")
+          seqBase = f"sb$batchId%012d", indexShards = indexShards)
         ()
       }
       .trigger(trigger)
@@ -329,7 +357,8 @@ object JoinIvm {
   def dualSink(cdc: DataFrame, aTarget: String, bTarget: String,
                vTarget: String, iTarget: String, checkpoint: String,
                trigger: org.apache.spark.sql.streaming.Trigger =
-                 org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                 org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+               indexShards: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
     cdc.writeStream
       .option("checkpointLocation", checkpoint)
@@ -340,14 +369,16 @@ object JoinIvm {
           .localCheckpoint(true)
         try {
           if (!dims.isEmpty)
-            applyDimDeltaIndexed(spark, dims, bTarget, vTarget, iTarget, batchId)
+            applyDimDeltaIndexed(spark, dims, bTarget, vTarget, iTarget, batchId,
+              indexShards = indexShards)
           val facts = batch.filter(col("channel") === "fact")
             .select("keys", "op", "sequenceNumber", "fk", "a_image")
             .localCheckpoint(true)
           try {
             if (!facts.isEmpty)
               applyFactDeltaIndexed(spark, facts, aTarget, bTarget, vTarget,
-                iTarget, batchId, seqBase = f"sb$batchId%012d")
+                iTarget, batchId, seqBase = f"sb$batchId%012d",
+                indexShards = indexShards)
           } finally { facts.unpersist(); () }
         } finally { dims.unpersist(); () }
         ()
@@ -360,12 +391,13 @@ object JoinIvm {
     * to_json the maintenance path writes (so JSON-hostile keys compare
     * exactly). Driver-side map: a SPEC oracle, |distinct fk| rows.
     */
-  def indexRecompute(spark: SparkSession, aTarget: String): Map[String, String] =
+  def indexRecompute(spark: SparkSession, aTarget: String,
+                     indexShards: Int = 1): Map[String, String] =
     SnapshotStore.readTarget(spark, aTarget)
       .select(col("keys"),
         from_json(col("newImage"), aImageSchema).getField("fk").as("fk"))
       .filter(col("fk").isNotNull)
-      .groupBy("fk")
+      .groupBy(idxKeyCol(col("fk"), col("keys"), indexShards).as("ikey"))
       .agg(to_json(sort_array(collect_set(col("keys")))).as("img"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 

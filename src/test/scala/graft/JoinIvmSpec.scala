@@ -395,6 +395,61 @@ class JoinIvmSpec extends SparkSpec {
       "stale posting-list entry survived the torn replay (the r7 A-first ordering bug)")
   }
 
+  test("sharded posting lists: hot-fk membership spreads over fk#n rows, dim path stays exact") {
+    import spark.implicits._
+    val aT = tmp("jivmh-a"); val bT = tmp("jivmh-b")
+    val vT = tmp("jivmh-v"); val iT = tmp("jivmh-i")
+    val Shards = 4
+    SnapshotStore.mergeIntoTarget(spark, bT,
+      Seq(("d1", "PUT", "001", "dim-one"), ("d2", "PUT", "002", "dim-two"))
+        .toDF("keys", "op", "sequenceNumber", "newImage"), 0L)
+    // the hot-fk shape the unsharded index degenerates on: 500 facts all
+    // referencing ONE dim — one giant posting list vs 4 bounded shards
+    val hot = spark.range(500).select(
+      concat(lit("a"), col("id")).as("keys"), lit("PUT").as("op"),
+      lpad(col("id").cast("string"), 6, "0").as("sequenceNumber"),
+      lit("d1").as("fk"), concat(lit("f"), col("id")).as("a_image"))
+    JoinIvm.applyFactDeltaIndexed(spark, hot, aT, bT, vT, iT, 1L,
+      seqBase = "000100", indexShards = Shards)
+    def indexState() = SnapshotStore.readTarget(spark, iT)
+      .select("keys", "newImage").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val idx1 = indexState()
+    assert(idx1 === JoinIvm.indexRecompute(spark, aT, Shards), "sharded index diverged")
+    val d1Shards = idx1.keys.filter(_.startsWith("d1#"))
+    assert(d1Shards.size === Shards, s"expected $Shards shard rows, got ${d1Shards}")
+    // membership spread: no shard row carries the whole hot list
+    val sizes = d1Shards.toSeq.map(k =>
+      idx1(k).count(_ == ',') + 1)
+    assert(sizes.sum === 500 && sizes.max < 500,
+      s"hot fk not spread: $sizes")
+    // re-point a deterministic half to d2 and delete a few — removals
+    // must hit the right shard rows
+    val moves = spark.range(500).filter(col("id") % 2 === 0).select(
+      concat(lit("a"), col("id")).as("keys"), lit("PUT").as("op"),
+      lpad((col("id") + 1000).cast("string"), 6, "0").as("sequenceNumber"),
+      lit("d2").as("fk"), concat(lit("g"), col("id")).as("a_image"))
+      .unionByName(spark.range(500).filter(col("id") % 7 === 1).select(
+        concat(lit("a"), col("id")).as("keys"), lit("DELETE").as("op"),
+        lpad((col("id") + 2000).cast("string"), 6, "0").as("sequenceNumber"),
+        lit(null: String).as("fk"), lit(null: String).as("a_image")))
+    JoinIvm.applyFactDeltaIndexed(spark, moves, aT, bT, vT, iT, 2L,
+      seqBase = "002000", indexShards = Shards)
+    assert(indexState() === JoinIvm.indexRecompute(spark, aT, Shards),
+      "sharded index diverged after re-point + delete")
+    // dim update through the SHARDED path: all shards of d1 fan out
+    JoinIvm.applyDimDeltaIndexed(spark,
+      Seq(("d1", "PUT", "9000", "dim-one-v2"))
+        .toDF("keys", "op", "sequenceNumber", "newImage"),
+      bT, vT, iT, 3L, indexShards = Shards)
+    val view = SnapshotStore.readTarget(spark, vT).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = JoinIvm.fullRecompute(spark, aT, bT)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(view === want, "view diverged under sharded dim refresh")
+    assert(view.exists(_._2.contains("dim-one-v2")), "sharded dim refresh reached no rows")
+  }
+
   test("indexed fact batch is replay-idempotent (crash-before-checkpoint heals)") {
     import spark.implicits._
     val aT = tmp("jivmr-a"); val bT = tmp("jivmr-b")
