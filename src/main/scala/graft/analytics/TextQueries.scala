@@ -668,6 +668,84 @@ object TextQueries {
         FROM tok t LEFT JOIN vocab v ON t.w = v.w
         GROUP BY t.doc_id""")),
 
+    // ───── repeated-span duplication profile (r8): per document, how
+    // many of its tokens sit inside a ≥10-token span that also appears
+    // in ANOTHER document — the exact-substring dedup signal
+    // ("Deduplicating Training Data Makes Language Models Better"
+    // measures exactly this class: long verbatim repeats that n-gram
+    // Jaccard and MinHash under-weight). Production substring dedup
+    // TRIMS these ranges; this query computes the per-doc coverage a
+    // trimmer would remove. Shape: width-10 rolling window with START
+    // POSITIONS (map + explode), df per span hash from per-doc-distinct
+    // spans (the inverted-index discipline — one hash-agg), cross-doc
+    // common spans join back, and the INTERVAL UNION of covered
+    // [i, i+10) ranges folds to one window expression — for sorted
+    // starts, each start contributes min(W, next_start − start), last
+    // contributes W — so coverage needs no per-doc list materialization,
+    // just one lead() over (doc, start). Cost: two shuffles (df agg +
+    // per-doc window), both linear in span occurrences.
+    QuerySpec(
+      "text_dup_spans",
+      (s, d) => {
+        val W = 10
+        // span construction (split + per-span md5 lambdas) feeds three
+        // consumers (occurrences, df, totals): build once, persist (the
+        // boilerGramArr discipline)
+        val spans = Corpus.cached(s, d, "dupSpanArr") {
+          Tables.documents(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("t"))
+            .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+              expr(
+                s"""case when size(t) >= $W
+                    then transform(sequence(1, size(t) - ${W - 1}),
+                                   i -> struct(i AS i, md5(concat_ws(' ', slice(t, i, $W))) AS g))
+                    else array() end""").as("gs"))
+        }
+        val occ = spans.select(col("doc_id"), explode(col("gs")).as("s"))
+          .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+        // df over DISTINCT (doc, span): a span repeated inside ONE doc
+        // is self-repetition (text_repetition's business), not
+        // cross-document duplication
+        val df_ = spans
+          .select(col("doc_id"), explode(expr("array_distinct(transform(gs, x -> x.g))")).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("df"))
+        val common = df_.filter(col("df") >= 2).select("g")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i")
+        val covered = occ.join(common, "g")
+          .withColumn("contrib",
+            least(lit(W.toLong), coalesce(lead(col("i"), 1).over(w) - col("i"), lit(W.toLong))))
+          .groupBy("doc_id").agg(sum(col("contrib")).as("dup_tokens"))
+        spans.filter(col("n_tokens") > 0)
+          .select(col("doc_id"), col("n_tokens"))
+          .join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+          .withColumn("dup_pct", expr("cast((100 * dup_tokens) div n_tokens as bigint)"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        spans AS (
+          SELECT doc_id, i, md5(array_to_string(t[i : i + 9], ' ')) AS g
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i
+                FROM toks WHERE len(t) >= 10)),
+        df AS (
+          SELECT g, count(*) AS df FROM (SELECT DISTINCT doc_id, g FROM spans)
+          GROUP BY g),
+        common AS (SELECT g FROM df WHERE df >= 2),
+        covered AS (
+          SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS dup_tokens FROM (
+            SELECT s.doc_id,
+                   LEAST(10, COALESCE(LEAD(s.i) OVER (PARTITION BY s.doc_id ORDER BY s.i) - s.i, 10)) AS contrib
+            FROM spans s JOIN common c USING (g))
+          GROUP BY doc_id)
+        SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+               COALESCE(c.dup_tokens, 0) AS dup_tokens,
+               CAST((100 * COALESCE(c.dup_tokens, 0)) // len(d.t) AS BIGINT) AS dup_pct
+        FROM toks d LEFT JOIN covered c USING (doc_id)
+        WHERE len(d.t) > 0""")),
+
     // ───── boilerplate density: per doc, how much of it is 3-gram
     // spans shared across ≥ 5 distinct docs — the templated-content
     // signal (navigation chrome, license headers, mirrored snippets)
