@@ -398,6 +398,31 @@ object SimilarityQueries {
     */
   private val PqCandMult = 8
 
+  // shared PQ expression fragments (expect columns `qv` and `cb`)
+  private def pqEncodeExpr: String = s"""
+        transform(sequence(0, ${PqM - 1}), m ->
+          array_min(transform(sequence(0, ${PqK - 1}), j ->
+            struct(aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, i) ->
+              acc + (element_at(qv, m * $PqSub + i + 1)
+                     - element_at(element_at(element_at(cb, m + 1), j + 1), i + 1))
+                  * (element_at(qv, m * $PqSub + i + 1)
+                     - element_at(element_at(element_at(cb, m + 1), j + 1), i + 1))),
+              j))).j)"""
+  private def pqRnnExpr: String = s"""
+        aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) ->
+          acc + aggregate(
+            element_at(element_at(cb, m + 1), element_at(code, m + 1) + 1),
+            0L, (a2, x) -> a2 + x * x))"""
+  private def pqLutExpr: String = s"""
+          transform(sequence(0, ${PqM - 1}), m ->
+            transform(sequence(0, ${PqK - 1}), j ->
+              aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, i) ->
+                acc + element_at(qv, m * $PqSub + i + 1)
+                    * element_at(element_at(element_at(cb, m + 1), j + 1), i + 1))))"""
+  private def pqAdotExpr: String = s"""
+          aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) ->
+            acc + element_at(element_at(lut, m + 1), element_at(code, m + 1) + 1))"""
+
   /** Fixed codebooks: the deterministic subset's subvectors (the
     * ann_ivf pattern — exercises the PQ structure; training swaps in).
     */
@@ -448,42 +473,32 @@ object SimilarityQueries {
     // INDEX: M codeword ids + reconstructed norm — 8 B of code/vector
     val coded = base
       .withColumn("cb", cbl)
-      .withColumn("code", expr(s"""
-        transform(sequence(0, ${PqM - 1}), m ->
-          array_min(transform(sequence(0, ${PqK - 1}), j ->
-            struct(aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, i) ->
-              acc + (element_at(qv, m * $PqSub + i + 1)
-                     - element_at(element_at(element_at(cb, m + 1), j + 1), i + 1))
-                  * (element_at(qv, m * $PqSub + i + 1)
-                     - element_at(element_at(element_at(cb, m + 1), j + 1), i + 1))),
-              j))).j)"""))
-      .withColumn("rnn", expr(s"""
-        aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) ->
-          acc + aggregate(
-            element_at(element_at(cb, m + 1), element_at(code, m + 1) + 1),
-            0L, (a2, x) -> a2 + x * x))"""))
+      .withColumn("code", expr(pqEncodeExpr))
+      .withColumn("rnn", expr(pqRnnExpr))
       .select("vec_id", "code", "rnn")
     // PROBES: the ADC lookup table, built ONCE per probe (10 rows)
     val probes = base.filter(col("vec_id") < 10)
       .withColumn("cb", cbl)
       .select(
         col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"),
-        expr(s"""
-          transform(sequence(0, ${PqM - 1}), m ->
-            transform(sequence(0, ${PqK - 1}), j ->
-              aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, i) ->
-                acc + element_at(qv, m * $PqSub + i + 1)
-                    * element_at(element_at(element_at(cb, m + 1), j + 1), i + 1))))""")
-          .as("lut"))
+        expr(pqLutExpr).as("lut"))
     // SCAN: M lookups + adds per vector — the ADC kernel
     val apairs = coded.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        expr(s"""
-          aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) ->
-            acc + element_at(element_at(lut, m + 1), element_at(code, m + 1) + 1))""")
-          .as("adot"),
+        expr(pqAdotExpr).as("adot"),
         col("rnn").as("ana"), col("q_nn").as("anb"))
+    pqRerank(s, d, apairs, kk,
+      base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn")))
+  }
+
+  /** Shared PQ candidate selection + exact rerank: deep (8·k) pool over
+    * the approximate scores, full vectors fetched only for survivors.
+    */
+  private def pqRerank(s: SparkSession, d: String, apairs: DataFrame, kk: Int,
+                       probesExact: DataFrame): DataFrame = {
+    val base = Corpus.quantizedVectors(s, d)
     val topc = udaf(new graft.functions.TopKScoredAgg(PqCandMult * kk),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     val cands = apairs
@@ -492,10 +507,49 @@ object SimilarityQueries {
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t._2").as("vec_id"))
     base.join(broadcast(cands), "vec_id")
-      .join(broadcast(probes.select("query_id", "q_qv", "q_nn")), "query_id")
+      .join(broadcast(probesExact), "query_id")
       .select(col("query_id"), col("vec_id"),
         Corpus.dotCol("qv", "q_qv").as("dot"),
         col("nn").as("na"), col("q_nn").as("nb"))
+  }
+
+  /** IVF × PQ composed (r8) — the FAISS IndexIVFPQ shape, the most
+    * common production big-corpus index: the trained spherical coarse
+    * quantizer prunes candidate VOLUME to nprobe/k cells, the trained
+    * per-subspace PQ codes prune candidate BYTES to 8 B/vector (64×),
+    * the ADC lookup table makes the within-cell scan M lookups+adds per
+    * vector, and the deep rerank pool restores precision. Every stage
+    * is the already-oracle-held parent piece (ann_ivf_trained's
+    * train/assign/probe-select, ann_pq_trained's codebooks/encode/ADC);
+    * the composition multiplies their savings exactly as ivf_sq8 does
+    * for SQ8 — PQ trades more bytes for more rerank work.
+    */
+  private def ivfPqPairs(s: SparkSession, d: String, kk: Int): DataFrame = {
+    val base = Corpus.quantizedVectors(s, d)
+    val cents = Clustering.kmeansSpherical(s, base, TrainedK, TrainedIters)
+    val assigned = assignToCentroids(base, cents).select("vec_id", "qv", "nn", "c_id")
+    val cbl = typedLit(pqTrainedCodebook(s, d))
+    val index = assigned
+      .withColumn("cb", cbl)
+      .withColumn("code", expr(pqEncodeExpr))
+      .withColumn("rnn", expr(pqRnnExpr))
+      .select("vec_id", "c_id", "code", "rnn")
+    val probeCells = base.filter(col("vec_id") < 10)
+      .withColumn("cell",
+        explode(slice(sort_array(centScoredArr(cents), asc = false), 1, TrainedNProbe)))
+      .withColumn("cb", cbl)
+      .select(
+        col("vec_id").as("query_id"), col("nn").as("q_nn"),
+        (-col("cell.negcid")).as("c_id"),
+        expr(pqLutExpr).as("lut"))
+    val apairs = index.join(broadcast(probeCells), Seq("c_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr(pqAdotExpr).as("adot"),
+        col("rnn").as("ana"), col("q_nn").as("anb"))
+    pqRerank(s, d, apairs, kk,
+      base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn")))
   }
 
   /** IVF × SQ8 composed (r7): the production big-corpus index layout —
@@ -848,10 +902,10 @@ object SimilarityQueries {
     * from the codes — every quantity integer until the shared
     * approximate-score expression.
     */
-  /** Shared PQ search tail (encode → recon norms → ADC → candidates →
-    * exact rerank), expecting CTEs `base` and `cw` = (m, j, cv).
+  /** PQ encode CTEs (per-vector codes + reconstructed norms), expecting
+    * `base` and `cw` = (m, j, cv); yields `codes` and `recon`.
     */
-  private def pqSearchTailSql(kk: Int): String = s"""
+  private def pqEncodeSql: String = s"""
         enc AS (
           SELECT v.vec_id, w.m, w.j,
                  CAST(list_sum([ (v.qv[w.m * $PqSub + i] - w.cv[i])
@@ -868,7 +922,12 @@ object SimilarityQueries {
                  CAST(SUM(list_sum([w.cv[i] * w.cv[i]
                                     for i in range(1, ${PqSub + 1})])) AS BIGINT) AS rnn
           FROM codes c JOIN cw w ON w.m = c.m AND w.j = c.j
-          GROUP BY c.vec_id),
+          GROUP BY c.vec_id)"""
+
+  /** Flat-PQ search tail: encode + full-corpus ADC scan + candidates +
+    * exact rerank, expecting `base` and `cw`.
+    */
+  private def pqSearchTailSql(kk: Int): String = s"""$pqEncodeSql,
         adc AS (
           SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                  CAST(SUM(list_sum([q.qv[c.m * $PqSub + i] * w.cv[i]
@@ -963,6 +1022,59 @@ object SimilarityQueries {
           (0 until PqM).map(m =>
             s"SELECT $m AS m, cid AS j, cv FROM cents_s${m}_$PqTrainIters")
             .mkString(" UNION ALL ")}),${pqSearchTailSql(kk)}"""
+
+  /** Oracle-side IVF×PQ mirror: the spherical-Lloyd chain (identical
+    * unrolled CTEs → assigned / probecells) composed with the trained
+    * PQ chains (eight subspace Lloyds → codes / recon), ADC restricted
+    * to the probed cells BEFORE ranking, deep pool, exact rerank —
+    * every arithmetic step shared with the two parent mirrors.
+    */
+  private def ivfPqCtesSql(kk: Int): String = s"""
+        base AS (${Corpus.quantizedVectorsSql}),${kmeansSqlCtes(TrainedK, TrainedIters)},
+        csc AS (
+          SELECT b.vec_id, b.qv, b.nn, c.cid,
+                 CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i] * c.cv[i])) AS BIGINT) AS dot,
+                 b.nn AS na, c.cnn AS nb
+          FROM base b CROSS JOIN cents$TrainedIters c),
+        assigned AS (
+          SELECT vec_id, qv, nn, cid AS c_id FROM (
+            SELECT vec_id, qv, nn, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${Corpus.scoreSql} DESC, cid) AS rk
+            FROM csc) WHERE rk = 1),
+        probecells AS (
+          SELECT vec_id AS query_id, qv AS q_qv, nn AS q_nn, cid AS c_id FROM (
+            SELECT vec_id, qv, nn, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${Corpus.scoreSql} DESC, cid) AS rk
+            FROM csc WHERE vec_id < 10) WHERE rk <= $TrainedNProbe),${
+          (0 until PqM).map(pqSubKmeansSql(_, PqK, PqTrainIters)).mkString(",")},
+        cw AS (${
+          (0 until PqM).map(m =>
+            s"SELECT $m AS m, cid AS j, cv FROM cents_s${m}_$PqTrainIters")
+            .mkString(" UNION ALL ")}),$pqEncodeSql,
+        adc AS (
+          SELECT q.query_id, a.vec_id, q.q_nn,
+                 CAST(SUM(list_sum([q.q_qv[c.m * $PqSub + i] * w.cv[i]
+                                    for i in range(1, ${PqSub + 1})])) AS BIGINT) AS adot
+          FROM probecells q
+               JOIN assigned a ON a.c_id = q.c_id AND a.vec_id <> q.query_id
+               JOIN codes c ON c.vec_id = a.vec_id
+               JOIN cw w ON w.m = c.m AND w.j = c.j
+          GROUP BY q.query_id, a.vec_id, q.q_nn),
+        scoredap AS (
+          SELECT a.query_id, a.vec_id, a.adot, r.rnn AS ana, a.q_nn AS anb
+          FROM adc a JOIN recon r ON r.vec_id = a.vec_id),
+        cands AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ($sq8ApproxScoreSql) DESC, vec_id) AS rk
+            FROM scoredap) WHERE rk <= ${PqCandMult * kk}),
+        pairs AS (
+          SELECT c.query_id, c.vec_id,
+                 CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i] * q.qv[i])) AS BIGINT) AS dot,
+                 v.nn AS na, q.nn AS nb
+          FROM cands c JOIN base v ON v.vec_id = c.vec_id
+                       JOIN base q ON q.vec_id = c.query_id)"""
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -1075,6 +1187,16 @@ object SimilarityQueries {
       (s, d) => topKPerProbe(pqPairs(s, d, 3, pqTrainedCodebook(s, d)), 3),
       Some(annSelectSql(pqTrainedCtesSql(3), 3))),
 
+    // IVF × PQ composed (r8) — the FAISS IndexIVFPQ shape, the most
+    // common production big-corpus layout: trained coarse cells prune
+    // VOLUME, trained 8-byte PQ codes prune BYTES 64×, the ADC table
+    // makes the within-cell scan M lookups+adds, the deep pool reranks
+    // exactly. Completes the composed-index family next to ivf_sq8.
+    QuerySpec(
+      "ann_ivf_pq",
+      (s, d) => topKPerProbe(ivfPqPairs(s, d, 3), 3),
+      Some(annSelectSql(ivfPqCtesSql(3), 3))),
+
     // IVF × SQ8 over the PERSISTED index (r8): the same search pipeline
     // reading trained centroids + SQ8 bounds + packed codes from
     // SnapshotStore targets ([[VectorIndexStore]]) instead of training
@@ -1118,7 +1240,8 @@ object SimilarityQueries {
           "sq8" -> sq8Pairs(s, d, 3),
           "ivf_sq8" -> ivfSq8Pairs(s, d, 3),
           "pq" -> pqPairs(s, d, 3, pqFixedCodebook(s, d)),
-          "pq_trained" -> pqPairs(s, d, 3, pqTrainedCodebook(s, d)))
+          "pq_trained" -> pqPairs(s, d, 3, pqTrainedCodebook(s, d)),
+          "ivf_pq" -> ivfPqPairs(s, d, 3))
         methods.map { case (nm, pairs) =>
           val hits = gt
             .join(topKPerProbe(pairs, 3).select("query_id", "neighbor_id"),
@@ -1149,6 +1272,8 @@ object SimilarityQueries {
           SELECT query_id, neighbor_id FROM (${annSelectSql(pqCtesSql(3), 3)})),
         m_pqt AS (
           SELECT query_id, neighbor_id FROM (${annSelectSql(pqTrainedCtesSql(3), 3)})),
+        m_ipq AS (
+          SELECT query_id, neighbor_id FROM (${annSelectSql(ivfPqCtesSql(3), 3)})),
         h_ivf AS (
           SELECT g.query_id, count(*) AS hits FROM gt g
           JOIN m_ivf t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
@@ -1180,6 +1305,10 @@ object SimilarityQueries {
         h_pqt AS (
           SELECT g.query_id, count(*) AS hits FROM gt g
           JOIN m_pqt t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+          GROUP BY g.query_id),
+        h_ipq AS (
+          SELECT g.query_id, count(*) AS hits FROM gt g
+          JOIN m_ipq t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
           GROUP BY g.query_id)
         SELECT p.query_id, 'ivf' AS method,
                CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 3 AS k
@@ -1211,6 +1340,10 @@ object SimilarityQueries {
         UNION ALL
         SELECT p.query_id, 'pq_trained' AS method,
                CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 3 AS k
-        FROM probes p LEFT JOIN h_pqt h USING (query_id)"""))
+        FROM probes p LEFT JOIN h_pqt h USING (query_id)
+        UNION ALL
+        SELECT p.query_id, 'ivf_pq' AS method,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 3 AS k
+        FROM probes p LEFT JOIN h_ipq h USING (query_id)"""))
   )
 }
