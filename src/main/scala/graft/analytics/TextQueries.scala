@@ -746,6 +746,75 @@ object TextQueries {
         FROM toks d LEFT JOIN covered c USING (doc_id)
         WHERE len(d.t) > 0""")),
 
+    // ───── keep-first span trimming (r8): the CURATION step on top of
+    // text_dup_spans — exact-substring dedup keeps ONE copy of each
+    // duplicated ≥10-token span corpus-wide (the canonical holder =
+    // lowest doc_id containing it) and trims the rest. Per document:
+    // token mass a trimmer would remove (spans this doc holds
+    // non-canonically) and the kept remainder — the corpus-size delta a
+    // substring-dedup pass buys, BEFORE running it. Same machinery as
+    // dup_spans (cached span arrays, df agg now carrying min(doc_id),
+    // interval-union via one lead() window); canonical docs keep their
+    // copies untouched, so the full span content survives exactly once.
+    QuerySpec(
+      "text_dedup_trim",
+      (s, d) => {
+        val W = 10
+        val spans = Corpus.cached(s, d, "dupSpanArr") {
+          Tables.documents(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("t"))
+            .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+              expr(
+                s"""case when size(t) >= $W
+                    then transform(sequence(1, size(t) - ${W - 1}),
+                                   i -> struct(i AS i, md5(concat_ws(' ', slice(t, i, $W))) AS g))
+                    else array() end""").as("gs"))
+        }
+        val canon = spans
+          .select(col("doc_id"), explode(expr("array_distinct(transform(gs, x -> x.g))")).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("df"), min(col("doc_id")).as("cdoc"))
+          .filter(col("df") >= 2)
+        val trimPos = spans.select(col("doc_id"), explode(col("gs")).as("s"))
+          .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+          .join(canon, "g")
+          .filter(col("doc_id") =!= col("cdoc"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i")
+        val trimmed = trimPos
+          .withColumn("contrib",
+            least(lit(W.toLong), coalesce(lead(col("i"), 1).over(w) - col("i"), lit(W.toLong))))
+          .groupBy("doc_id").agg(sum(col("contrib")).as("trimmed_tokens"))
+        spans.filter(col("n_tokens") > 0)
+          .select(col("doc_id"), col("n_tokens"))
+          .join(trimmed, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("trimmed_tokens"), lit(0L)).as("trimmed_tokens"))
+          .withColumn("kept_tokens", col("n_tokens") - col("trimmed_tokens"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        spans AS (
+          SELECT doc_id, i, md5(array_to_string(t[i : i + 9], ' ')) AS g
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i
+                FROM toks WHERE len(t) >= 10)),
+        canon AS (
+          SELECT g, count(*) AS df, MIN(doc_id) AS cdoc
+          FROM (SELECT DISTINCT doc_id, g FROM spans)
+          GROUP BY g HAVING count(*) >= 2),
+        trimmed AS (
+          SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS trimmed_tokens FROM (
+            SELECT s.doc_id,
+                   LEAST(10, COALESCE(LEAD(s.i) OVER (PARTITION BY s.doc_id ORDER BY s.i) - s.i, 10)) AS contrib
+            FROM spans s JOIN canon c USING (g)
+            WHERE s.doc_id <> c.cdoc)
+          GROUP BY doc_id)
+        SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+               COALESCE(tr.trimmed_tokens, 0) AS trimmed_tokens,
+               CAST(len(d.t) AS BIGINT) - COALESCE(tr.trimmed_tokens, 0) AS kept_tokens
+        FROM toks d LEFT JOIN trimmed tr USING (doc_id)
+        WHERE len(d.t) > 0""")),
+
     // ───── boilerplate density: per doc, how much of it is 3-gram
     // spans shared across ≥ 5 distinct docs — the templated-content
     // signal (navigation chrome, license headers, mirrored snippets)
