@@ -525,7 +525,15 @@ class AnalyticsSpec extends SparkSpec {
     }
     val byMethod = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
     assert(byMethod.keySet ==
-      Set("ivf", "ivf_trained", "lsh", "lsh_mp", "sq8", "ivf_sq8"))
+      Set("ivf", "ivf_trained", "lsh", "lsh_mp", "sq8", "ivf_sq8",
+        "pq", "pq_trained", "ivf_pq"))
+    // r8 composed-PQ claim (the ivf_sq8-vs-ivf_trained pattern): cell
+    // pruning costs no recall vs the flat trained-PQ scan it prunes —
+    // measured ≥ at all three SFs. (No pq_trained ≥ pq pin: at 500
+    // vectors a 2-iteration Lloyd can lose to a lucky fixed subset —
+    // 24 vs 18 at sf0.001 — and that honesty is data, not a bug.)
+    assert(byMethod("ivf_pq") >= byMethod("pq_trained"),
+      s"ivf_pq recall ${byMethod("ivf_pq")} < pq_trained ${byMethod("pq_trained")}")
     // the r7 composed-index claim: IVF cell pruning costs at most the
     // quantization-absorbed recall — the composition stays at least as
     // good as the pure trained-IVF path it prunes with

@@ -384,6 +384,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
+  test("ann_ivf_pq: cell prune broadcast, candidate cut bounded, no cartesian") {
+    val p = plan("ann_ivf_pq")
+    assert(p.contains("BroadcastHashJoin"), s"cell/fetch joins not broadcast in:\n$p")
+    assert(p.contains("partial_topkscoredagg"), s"candidate cut not the bounded agg in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unbounded join crept into the composed index:\n$p")
+  }
+
+  test("text_dup_spans: inverted-index discipline — no doc×doc comparison anywhere") {
+    val p = plan("text_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span profiling must never compare doc×doc:\n$p")
+    // coverage is ONE window (the lead interval-union), not per-doc lists
+    assert(p.contains("Window"), s"interval union lost its window form:\n$p")
+  }
+
   test("text_chunk_overlap: pure map + explode — zero exchanges, no join") {
     val p = plan("text_chunk_overlap")
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
