@@ -455,18 +455,62 @@ object SnapshotStore {
           else compactState(df, keys, opCol, seqCol).drop(opCol)
         }
 
-  /** Retained snapshot versions (manifest names), oldest → newest. The
-    * window is set by the writer's `retainVersions`; every listed
-    * version is fully readable via [[readTargetAsOf]].
+  /** Committed-version journal file: one manifest name per line,
+    * appended (whole-file rewrite — it is retention-window sized) right
+    * after each successful commit, under the writer lock. Exists
+    * because a LISTING of manifest files cannot distinguish a retained
+    * old version from a crashed publish's ORPHAN (data + manifest
+    * written, pointer never advanced — the r8 PITR drill's exact crash
+    * window): exposing the orphan through [[versions]] would let a
+    * restore clone a state that never committed. Crash between commit
+    * and journal write degrades SAFELY (the version is temporarily
+    * absent from the listing, never a phantom) and SELF-HEALS: every
+    * journal rewrite re-adds the live pointer and the basis if missing.
+    */
+  private val VersionsJournal = "_VERSIONS"
+
+  private def readJournal(fs: FileSystem, targetDir: String): Seq[String] =
+    try readFully(fs, new Path(targetDir, VersionsJournal))
+      .linesIterator.map(_.trim).filter(_.startsWith("manifest-")).toSeq.distinct
+    catch { case _: java.io.IOException => Seq.empty }
+
+  /** Rewrite the journal as (previous ∩ still-on-disk) + basis + the
+    * newly committed name — called under the writer lock after a
+    * successful commit (and by GC, to drop pruned versions).
+    */
+  private def journalCommit(fs: FileSystem, targetDir: String,
+                            committed: Seq[String]): Unit = {
+    val onDisk = readJournal(fs, targetDir)
+      .filter(n => fs.exists(new Path(targetDir, n)))
+    val next = (onDisk ++ committed.filter(n => fs.exists(new Path(targetDir, n))))
+      .distinct
+    writeFile(fs, new Path(targetDir, VersionsJournal), next.mkString("\n"))
+  }
+
+  /** Retained COMMITTED snapshot versions (manifest names), oldest →
+    * newest by publish time. The window is set by the writer's
+    * `retainVersions`; every listed version is fully readable via
+    * [[readTargetAsOf]]. Resolved from the committed-version journal —
+    * never from a directory listing, which would also surface crashed
+    * publishes' orphan manifests (see [[VersionsJournal]]). Tables
+    * written before the journal existed (or a journal lost to a crash
+    * window) fall back to the live pointer only — degraded, never
+    * phantom.
     */
   def versions(spark: SparkSession, targetDir: String): Seq[String] = {
     val fs = fsOf(spark, targetDir)
     val root = new Path(targetDir)
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root)
-      .filter(s => s.isFile && s.getPath.getName.startsWith("manifest-"))
-      .sortBy(s => (s.getModificationTime, s.getPath.getName))
-      .map(_.getPath.getName).toSeq
+    else {
+      val journaled = readJournal(fs, targetDir)
+        .filter(n => fs.exists(new Path(root, n))).toSet
+      val live = pointerValue(spark, targetDir)
+      val names = journaled ++ live
+      names.toSeq
+        .map(n => (fs.getFileStatus(new Path(root, n)), n))
+        .sortBy { case (st, n) => (st.getModificationTime, n) }
+        .map(_._2)
+    }
   }
 
   /** Read the applied state AS OF a retained version — the store-level
@@ -487,6 +531,11 @@ object SnapshotStore {
         s"version '$version' is not retained at '$targetDir' — past the writer's " +
           "retainVersions window (or never existed); raise retainVersions on the " +
           "writer to widen the as-of window")
+    if (!versions(spark, targetDir).contains(version))
+      throw new IllegalStateException(
+        s"version '$version' at '$targetDir' is not a COMMITTED version — a crashed " +
+          "publish's orphan manifest (its pointer swap never happened); refusing to " +
+          "serve a state that was never live")
     readManifestData(spark, targetDir, version,
       parseManifest(readFully(fs, mf), version), keys, opCol, seqCol)
   }
@@ -696,6 +745,10 @@ object SnapshotStore {
     gc(fs, targetDir, retainManifests = keepNames, retainData = keepData)
     protocolFor(spark, targetDir)
       .gcMeta(fs, new Path(targetDir), keepNames)
+    // committed-version journal: record this commit (and self-heal the
+    // basis / any journal entry GC just pruned) — after GC so the
+    // on-disk filter reflects the retained set
+    journalCommit(fs, targetDir, basis.toSeq :+ manifestName)
   }
 
   /** Full (non-pruned) publish of `df` as the new table state — the seed /
@@ -868,6 +921,10 @@ object SnapshotStore {
             s"version '$version' is not retained at '$srcDir' — past the writer's " +
               "retainVersions window (or never existed); raise retainVersions on the " +
               "writer to widen the as-of window")
+        if (!versions(spark, srcDir).contains(version))
+          throw new IllegalStateException(
+            s"version '$version' at '$srcDir' is not a COMMITTED version — a crashed " +
+              "publish's orphan manifest; refusing to clone a state that was never live")
         (version, parseManifest(readFully(srcFs0, mf), version))
     }
     val fs = fsOf(spark, dstDir)
@@ -903,6 +960,7 @@ object SnapshotStore {
       val manifestName = srcName // same batch+nonce: provenance-preserving
       writeFile(fs, new Path(dstDir, manifestName), renderManifest(m))
       casSwapPointer(spark, dstDir, manifestName, basis = None)
+      journalCommit(fs, dstDir, Seq(manifestName))
     }
   }
 }

@@ -233,6 +233,24 @@ class CommitProtocolSpec extends SparkSpec {
     assert(SnapshotStore.pointerValue(spark, src) === Some(preCrashVersion))
     assert(state(src) === preCrashState)
 
+    // the crashed attempt wrote data + manifest but never committed:
+    // that ORPHAN manifest must not surface as a restorable version —
+    // versions() resolves from the committed journal, and both the
+    // as-of read and clone refuse the never-live state loudly
+    val onDisk = fs.listStatus(new Path(src))
+      .map(_.getPath.getName).filter(_.startsWith("manifest-")).toSet
+    val committed = SnapshotStore.versions(spark, src).toSet
+    val orphans = onDisk -- committed
+    assert(orphans.nonEmpty, "crash should have left an orphan manifest")
+    orphans.foreach { o =>
+      val e1 = intercept[IllegalStateException](
+        SnapshotStore.readTargetAsOf(spark, src, o).collect())
+      assert(e1.getMessage.contains("COMMITTED"), e1.getMessage)
+      val e2 = intercept[IllegalStateException](
+        SnapshotStore.cloneTarget(spark, src, tmp("pitr-orphan"), asOf = Some(o)))
+      assert(e2.getMessage.contains("COMMITTED"), e2.getMessage)
+    }
+
     // REPLAY (checkpoint re-delivers batch 3 verbatim), then continue
     (3 to 5).foreach(applyBatch(src, _))
     // final state equals an independent replay of all six batches
