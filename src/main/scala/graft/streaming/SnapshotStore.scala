@@ -885,6 +885,74 @@ object SnapshotStore {
       }
     }
 
+  /** DynamoDB-TTL analog (r8): expire applied rows the caller's
+    * predicate marks as past their time-to-live — the reference
+    * domain's lazy TTL deletion (DynamoDB removes items whose `ttl`
+    * attribute epoch passed, without a client delete), run as a
+    * FILTERED COMPACTION: the applied state is resolved, expired rows
+    * are DROPPED (no tombstone — exactly [[compactTarget]]'s marker-GC
+    * retention trade: a delivery staler than the expiry can win the key
+    * back, the same contract DynamoDB streams' TTL deletes have against
+    * late writers), and the survivor state publishes through the locked
+    * CAS swap. `isExpired` is any Column over the resolved row (e.g.
+    * `get_json_object(col("newImage"), "$.ttl") < lit(cutoff)`); null
+    * evaluates as NOT expired (rows without the attribute live forever
+    * — DynamoDB's rule). Returns the expired-row count. Version
+    * retention still applies: a retained pre-expiry version can
+    * restore expired data via [[readTargetAsOf]]/[[cloneTarget]] — TTL
+    * is housekeeping, not crypto-shredding (raise retention GC
+    * pressure or compact repeatedly when it must actually disappear).
+    */
+  def expireTarget(spark: SparkSession, targetDir: String, isExpired: Column,
+                   keys: Seq[String] = Seq("keys"), opCol: String = "op",
+                   seqCol: String = "sequenceNumber",
+                   retainVersions: Int = 2): Long =
+    withTargetLock(spark, targetDir) {
+      currentManifest(spark, targetDir) match {
+        case None => 0L
+        case Some((basisName, m)) =>
+          val state = readTarget(spark, targetDir, keys, opCol, seqCol)
+            .localCheckpoint(true)
+          try {
+            val keep = state.filter(!coalesce(isExpired, lit(false)))
+            val expired = state.count() - keep.count()
+            if (expired > 0)
+              publish(spark, targetDir,
+                keep.withColumn(BucketCol, bucketExpr(keys, m.numBuckets)),
+                keepChains = Map.empty, prefixChains = Map.empty,
+                basis = Some(basisName), batchId = -2L, m.numBuckets, retainVersions)
+            expired
+          } finally { state.unpersist(); () }
+      }
+    }
+
+  /** One-row operational report of a target's physical layout — the
+    * observability surface a store operator watches to time compactions
+    * and validate fold behavior: bucket count, populated buckets, total
+    * segments, the longest chain (the read-amplification worst case),
+    * and total data bytes. Metadata-only (manifest parse + file
+    * statuses), no data scan.
+    */
+  final case class StoreStats(numBuckets: Int, populatedBuckets: Int,
+                              totalSegments: Int, maxChainLength: Int,
+                              dataBytes: Long, retainedVersions: Int)
+
+  def storeStats(spark: SparkSession, targetDir: String): Option[StoreStats] =
+    currentManifest(spark, targetDir).map { case (_, m) =>
+      val fs = fsOf(spark, targetDir)
+      val bytes = m.buckets.values.flatten.toSet[String].toSeq.map { rel =>
+        val p = new Path(targetDir, rel)
+        try fs.getContentSummary(p).getLength catch { case _: java.io.IOException => 0L }
+      }.sum
+      StoreStats(
+        numBuckets = m.numBuckets,
+        populatedBuckets = m.buckets.size,
+        totalSegments = m.buckets.values.map(_.size).sum,
+        maxChainLength = if (m.buckets.isEmpty) 0 else m.buckets.values.map(_.size).max,
+        dataBytes = bytes,
+        retainedVersions = versions(spark, targetDir).length)
+    }
+
   /** Fork a snapshot to `dstDir` as an independent table — the backup /
     * fork-for-experiment primitive (the store-level analog of the
     * reference's restore-to-new-table: a consistent point-in-time copy

@@ -97,6 +97,47 @@ class StreamingSpec extends SparkSpec {
     assert(state() === Map("k2" -> "reborn", "k3" -> "x1"))
   }
 
+  test("TTL expiry: filtered compaction drops expired rows; retained versions still restore them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, get_json_object, lit}
+    val target = tmp("ttl-target")
+    def delta(rows: (String, String, String, Option[String])*) =
+      rows.toDF("keys", "op", "sequenceNumber", "newImage")
+    def stateOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("keys", "newImage")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // k1 expires at 100, k2 at 9999, k3 carries NO ttl attribute
+    SnapshotStore.mergeIntoTarget(spark, target, delta(
+      ("k1", "PUT", "001", Some("""{"v":"a","ttl":100}""")),
+      ("k2", "PUT", "002", Some("""{"v":"b","ttl":9999}""")),
+      ("k3", "PUT", "003", Some("""{"v":"c"}"""))), 0L, retainVersions = 4)
+    val preExpiry = SnapshotStore.pointerValue(spark, target).get
+    val statsBefore = SnapshotStore.storeStats(spark, target).get
+    assert(statsBefore.populatedBuckets > 0 && statsBefore.dataBytes > 0 &&
+      statsBefore.maxChainLength >= 1)
+    // expire at cutoff 500: only k1 passes; absent ttl = lives forever
+    val expired = SnapshotStore.expireTarget(spark, target,
+      get_json_object(col("newImage"), "$.ttl").cast("long") < lit(500L),
+      retainVersions = 4)
+    assert(expired === 1L)
+    assert(stateOf(SnapshotStore.readTarget(spark, target)).keySet === Set("k2", "k3"))
+    // TTL is housekeeping, not crypto-shredding: the retained pre-expiry
+    // version still serves the expired row (the PITR contract)
+    assert(stateOf(SnapshotStore.readTargetAsOf(spark, target, preExpiry))
+      .keySet === Set("k1", "k2", "k3"))
+    // documented retention trade (the compactTarget marker-GC contract):
+    // expiry drops the row WITHOUT a tombstone, so a late stale delivery
+    // wins the key back — the same window DynamoDB TTL deletes have
+    SnapshotStore.mergeIntoTarget(spark, target,
+      delta(("k1", "PUT", "0005", Some("""{"v":"late"}"""))), 9L, retainVersions = 4)
+    assert(stateOf(SnapshotStore.readTarget(spark, target)).keySet ===
+      Set("k1", "k2", "k3"))
+    // stats stay coherent after the filtered compaction + late merge
+    val statsAfter = SnapshotStore.storeStats(spark, target).get
+    assert(statsAfter.numBuckets === statsBefore.numBuckets)
+    assert(statsAfter.retainedVersions >= 2)
+  }
+
   test("readTargetAsOf: retained versions serve point-in-time reads; GC bounds the window") {
     import spark.implicits._
     val target = tmp("tt-target")
