@@ -668,6 +668,85 @@ object TextQueries {
         FROM tok t LEFT JOIN vocab v ON t.w = v.w
         GROUP BY t.doc_id""")),
 
+    // ───── BPE tokenizer training (r8): the K most frequent adjacent
+    // symbol-pair merges over the corpus's word-frequency dictionary —
+    // byte-pair encoding's training loop, the step that BUILDS the
+    // tokenizer a training pipeline tokenizes with (every prior token
+    // query consumes a tokenizer; this one produces its merge table).
+    // Classic formulation: words reduce to (distinct word, count) —
+    // corpus-size-independent state — each word renders as bracketed
+    // character symbols ('<a> <b> ...'), and each of K iterations (1)
+    // counts adjacent pairs weighted by word frequency (one hash-agg),
+    // (2) picks the argmax with the (count DESC, pair ASC) total order,
+    // (3) merges that pair corpus-wide via literal string replace (both
+    // engines scan left-to-right non-overlapping). Driver sees ONE row
+    // per iteration (the argmax — control-plane); the dictionary never
+    // leaves the cluster. The oracle unrolls the identical K iterations
+    // as CTEs; emitted rows are the merge RULES (iteration, pair, n) —
+    // the artifact a tokenizer ships.
+    QuerySpec(
+      "text_bpe_train",
+      (s, d) => {
+        val K = 6
+        import s.implicits._
+        var cur = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .select(col("cnt"), expr(
+            """concat_ws(' ', transform(sequence(1, length(w)),
+                 i -> concat('<', substring(w, i, 1), '>')))""").as("s"))
+        val rules = Seq.newBuilder[(Int, String, Long)]
+        for (it <- 1 to K) {
+          val best = cur
+            .select(col("cnt"), expr(
+              """case when size(split(s, ' ')) >= 2
+                 then transform(sequence(1, size(split(s, ' ')) - 1),
+                        i -> concat(element_at(split(s, ' '), i), ' ',
+                                    element_at(split(s, ' '), i + 1)))
+                 else array() end""").as("ps"))
+            .select(col("cnt"), explode(col("ps")).as("pair"))
+            .groupBy("pair").agg(sum(col("cnt")).as("n"))
+            .orderBy(col("n").desc, col("pair")).limit(1)
+            .collect()(0)
+          val (pair, n) = (best.getString(0), best.getLong(1))
+          rules += ((it, pair, n))
+          val merged = pair.replace("> <", "")
+          cur = cur.withColumn("s", expr(
+            s"replace(s, '${pair.replace("'", "''")}', '${merged.replace("'", "''")}')"))
+        }
+        rules.result().toDF("it", "pair", "n")
+          .select(col("it").cast("int").as("it"), col("pair"), col("n"))
+      },
+      Some {
+        val K = 6
+        val iters = (1 to K).map { t =>
+          s"""
+        p$t AS (
+          SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+            SELECT cnt,
+                   unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS pair
+            FROM (SELECT cnt, string_split(s, ' ') AS toks FROM s${t - 1}))
+          GROUP BY pair),
+        b$t AS (SELECT pair, n FROM p$t ORDER BY n DESC, pair LIMIT 1),
+        s$t AS (
+          SELECT cnt, replace(s, (SELECT pair FROM b$t),
+                              replace((SELECT pair FROM b$t), '> <', '')) AS s
+          FROM s${t - 1})"""
+        }.mkString(",")
+        s"""
+        WITH w0 AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY w),
+        s0 AS (
+          SELECT cnt,
+                 array_to_string(list_transform(range(1, len(w) + 1),
+                   i -> '<' || w[i] || '>'), ' ') AS s
+          FROM w0),$iters
+        ${(1 to K).map(t => s"SELECT $t AS it, pair, n FROM b$t").mkString("\n        UNION ALL\n        ")}"""
+      }),
+
     // ───── repeated-span duplication profile (r8): per document, how
     // many of its tokens sit inside a ≥10-token span that also appears
     // in ANOTHER document — the exact-substring dedup signal
