@@ -39,6 +39,87 @@ object TextQueries {
     s"len(list_filter(string_split($colRef, ' '), t -> t IN ($set)))"
   }
 
+  // ── BPE (r8): shared trainer for text_bpe_train / text_bpe_tokenize ──
+  private val BpeK = 6
+
+  private val bpeRulesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(Int, String, Long)]]()
+
+  /** The K merge rules, memoized per (session, corpus) — training is
+    * deterministic, and the tokenize query applies the same rules the
+    * train query emits (one driver row per iteration).
+    */
+  private def bpeRules(s: org.apache.spark.sql.SparkSession, d: String): Seq[(Int, String, Long)] =
+    bpeRulesCache.synchronized {
+      val app = s.sparkContext.applicationId
+      bpeRulesCache.keySet.removeIf(_._1 != app)
+      bpeRulesCache.computeIfAbsent((app, d), _ => {
+        var cur = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .select(col("cnt"), bpeSymbolCol(col("w")).as("s"))
+        val rules = Seq.newBuilder[(Int, String, Long)]
+        for (it <- 1 to BpeK) {
+          val best = cur
+            .select(col("cnt"), expr(
+              """case when size(split(s, ' ')) >= 2
+                 then transform(sequence(1, size(split(s, ' ')) - 1),
+                        i -> concat(element_at(split(s, ' '), i), ' ',
+                                    element_at(split(s, ' '), i + 1)))
+                 else array() end""").as("ps"))
+            .select(col("cnt"), explode(col("ps")).as("pair"))
+            .groupBy("pair").agg(sum(col("cnt")).as("n"))
+            .orderBy(col("n").desc, col("pair")).limit(1)
+            .collect()(0)
+          val (pair, n) = (best.getString(0), best.getLong(1))
+          rules += ((it, pair, n))
+          cur = cur.withColumn("s", bpeReplaceCol(col("s"), pair))
+        }
+        rules.result()
+      })
+    }
+
+  /** Word → bracketed character symbols ('<a> <b> ...'). */
+  private def bpeSymbolCol(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    expr("concat_ws(' ', transform(sequence(1, length(w)), i -> concat('<', substring(w, i, 1), '>')))")
+
+  /** Apply one merge rule as a literal replace. */
+  private def bpeReplaceCol(s: org.apache.spark.sql.Column, pair: String): org.apache.spark.sql.Column = {
+    val merged = pair.replace("> <", "")
+    org.apache.spark.sql.functions.expr(
+      s"replace(${"s"}, '${pair.replace("'", "''")}', '${merged.replace("'", "''")}')")
+  }
+
+  /** Oracle-side trainer prefix: w0/s0 + the unrolled K iterations
+    * (p/b/s chains). Yields b1..bK (the rules) and s0..sK.
+    */
+  private def bpeTrainCtesSql: String = {
+    val iters = (1 to BpeK).map { t =>
+      s"""
+        p$t AS (
+          SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+            SELECT cnt,
+                   unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS pair
+            FROM (SELECT cnt, string_split(s, ' ') AS toks FROM s${t - 1}))
+          GROUP BY pair),
+        b$t AS (SELECT pair, n FROM p$t ORDER BY n DESC, pair LIMIT 1),
+        s$t AS (
+          SELECT cnt, replace(s, (SELECT pair FROM b$t),
+                              replace((SELECT pair FROM b$t), '> <', '')) AS s
+          FROM s${t - 1})"""
+    }.mkString(",")
+    s"""w0 AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY w),
+        s0 AS (
+          SELECT cnt,
+                 array_to_string(list_transform(range(1, len(w) + 1),
+                   i -> '<' || w[i] || '>'), ' ') AS s
+          FROM w0),$iters"""
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // ───── token statistics: whitespace tokens + a BPE-ish length/4
@@ -687,64 +768,63 @@ object TextQueries {
     QuerySpec(
       "text_bpe_train",
       (s, d) => {
-        val K = 6
         import s.implicits._
-        var cur = Tables.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("cnt"))
-          .select(col("cnt"), expr(
-            """concat_ws(' ', transform(sequence(1, length(w)),
-                 i -> concat('<', substring(w, i, 1), '>')))""").as("s"))
-        val rules = Seq.newBuilder[(Int, String, Long)]
-        for (it <- 1 to K) {
-          val best = cur
-            .select(col("cnt"), expr(
-              """case when size(split(s, ' ')) >= 2
-                 then transform(sequence(1, size(split(s, ' ')) - 1),
-                        i -> concat(element_at(split(s, ' '), i), ' ',
-                                    element_at(split(s, ' '), i + 1)))
-                 else array() end""").as("ps"))
-            .select(col("cnt"), explode(col("ps")).as("pair"))
-            .groupBy("pair").agg(sum(col("cnt")).as("n"))
-            .orderBy(col("n").desc, col("pair")).limit(1)
-            .collect()(0)
-          val (pair, n) = (best.getString(0), best.getLong(1))
-          rules += ((it, pair, n))
-          val merged = pair.replace("> <", "")
-          cur = cur.withColumn("s", expr(
-            s"replace(s, '${pair.replace("'", "''")}', '${merged.replace("'", "''")}')"))
-        }
-        rules.result().toDF("it", "pair", "n")
+        bpeRules(s, d).toDF("it", "pair", "n")
           .select(col("it").cast("int").as("it"), col("pair"), col("n"))
       },
+      Some(s"""
+        WITH $bpeTrainCtesSql
+        ${(1 to BpeK).map(t => s"SELECT $t AS it, pair, n FROM b$t").mkString("\n        UNION ALL\n        ")}""")),
+
+    // ───── BPE tokenization (r8): APPLY the trained merge table — the
+    // real-tokenizer upgrade over the ceil(chars/4) estimate every
+    // packing query uses. Per word (the distinct-word dictionary, not
+    // per occurrence): render symbols, apply the K merges in training
+    // order, count the surviving symbols; per document, the BPE token
+    // count is the occurrence-weighted sum (broadcast dictionary join —
+    // the dictionary is vocabulary-sized). Oracle replays training AND
+    // application; n_words vs n_bpe_tokens is the compression the
+    // learned merges buy.
+    QuerySpec(
+      "text_bpe_tokenize",
+      (s, d) => {
+        var words = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w")).distinct()
+          .withColumn("s", bpeSymbolCol(col("w")))
+        bpeRules(s, d).foreach { case (_, pair, _) =>
+          words = words.withColumn("s", bpeReplaceCol(col("s"), pair))
+        }
+        val wordTok = words.select(col("w"),
+          size(split(col("s"), " ")).cast("long").as("ntok"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .join(broadcast(wordTok), "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_bpe_tokens"))
+      },
       Some {
-        val K = 6
-        val iters = (1 to K).map { t =>
+        val apply = (1 to BpeK).map { t =>
           s"""
-        p$t AS (
-          SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM (
-            SELECT cnt,
-                   unnest(list_transform(range(1, len(toks)),
-                            i -> toks[i] || ' ' || toks[i + 1])) AS pair
-            FROM (SELECT cnt, string_split(s, ' ') AS toks FROM s${t - 1}))
-          GROUP BY pair),
-        b$t AS (SELECT pair, n FROM p$t ORDER BY n DESC, pair LIMIT 1),
-        s$t AS (
-          SELECT cnt, replace(s, (SELECT pair FROM b$t),
-                              replace((SELECT pair FROM b$t), '> <', '')) AS s
-          FROM s${t - 1})"""
+        wt$t AS (
+          SELECT w, replace(s, (SELECT pair FROM b$t),
+                            replace((SELECT pair FROM b$t), '> <', '')) AS s
+          FROM wt${t - 1})"""
         }.mkString(",")
         s"""
-        WITH w0 AS (
-          SELECT w, CAST(count(*) AS BIGINT) AS cnt
-          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-          GROUP BY w),
-        s0 AS (
-          SELECT cnt,
-                 array_to_string(list_transform(range(1, len(w) + 1),
-                   i -> '<' || w[i] || '>'), ' ') AS s
-          FROM w0),$iters
-        ${(1 to K).map(t => s"SELECT $t AS it, pair, n FROM b$t").mkString("\n        UNION ALL\n        ")}"""
+        WITH $bpeTrainCtesSql,
+        wt0 AS (
+          SELECT w, array_to_string(list_transform(range(1, len(w) + 1),
+                      i -> '<' || w[i] || '>'), ' ') AS s
+          FROM (SELECT DISTINCT w FROM
+                (SELECT unnest(string_split(text, ' ')) AS w FROM documents))),$apply,
+        wordtok AS (
+          SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS ntok FROM wt$BpeK),
+        docw AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        SELECT doc_id, count(*) AS n_words,
+               CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens
+        FROM docw JOIN wordtok USING (w)
+        GROUP BY doc_id"""
       }),
 
     // ───── repeated-span duplication profile (r8): per document, how
