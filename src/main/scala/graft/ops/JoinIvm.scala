@@ -364,23 +364,22 @@ object JoinIvm {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val dims = batch.filter(col("channel") === "dim")
-          .select("keys", "op", "sequenceNumber", "newImage")
-          .localCheckpoint(true)
+        // pin the micro-batch ONCE (the applySink discipline): both
+        // channel filters read the checkpointed blocks, not the source
+        val full = batch.localCheckpoint(true)
         try {
+          val dims = full.filter(col("channel") === "dim")
+            .select("keys", "op", "sequenceNumber", "newImage")
           if (!dims.isEmpty)
             applyDimDeltaIndexed(spark, dims, bTarget, vTarget, iTarget, batchId,
               indexShards = indexShards)
-          val facts = batch.filter(col("channel") === "fact")
+          val facts = full.filter(col("channel") === "fact")
             .select("keys", "op", "sequenceNumber", "fk", "a_image")
-            .localCheckpoint(true)
-          try {
-            if (!facts.isEmpty)
-              applyFactDeltaIndexed(spark, facts, aTarget, bTarget, vTarget,
-                iTarget, batchId, seqBase = f"sb$batchId%012d",
-                indexShards = indexShards)
-          } finally { facts.unpersist(); () }
-        } finally { dims.unpersist(); () }
+          if (!facts.isEmpty)
+            applyFactDeltaIndexed(spark, facts, aTarget, bTarget, vTarget,
+              iTarget, batchId, seqBase = f"sb$batchId%012d",
+              indexShards = indexShards)
+        } finally { full.unpersist(); () }
         ()
       }
       .trigger(trigger)
