@@ -173,6 +173,35 @@ object VectorIndexStore {
       .start()
   }
 
+  /** Streaming SEARCH against the persisted index — the serving face
+    * next to [[ingestSink]]'s maintenance face: each micro-batch of RAW
+    * query vectors (vec_id, embedding) quantizes, searches the
+    * CURRENT persisted index (meta read per batch is k+2 rows; the
+    * codes read reflects everything [[ingestSink]] has merged so far —
+    * search-after-ingest freshness is the store's own read semantics,
+    * not extra machinery), and hands `sink` the per-query top-k.
+    * Stateless foreachBatch with checkpointed offsets: a replayed
+    * batch re-emits the same rows (at-least-once emission; a keyed
+    * downstream consumer dedupes, the house contract).
+    */
+  def searchSink(queries: DataFrame, metaTarget: String, codesTarget: String,
+                 exact: DataFrame, checkpoint: String,
+                 sink: DataFrame => Unit, k: Int = 3,
+                 trigger: org.apache.spark.sql.streaming.Trigger =
+                   org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val probes = quantize(batch)
+        sink(SimilarityQueries.topKPerProbe(
+          searchPairs(spark, probes, exact, metaTarget, codesTarget, k), k))
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** The persisted codes target as the IVF×SQ8 scan side:
     * (vec_id, c_id, code_b, rnn).
     */

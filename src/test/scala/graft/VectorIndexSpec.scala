@@ -94,4 +94,65 @@ class VectorIndexSpec extends SparkSpec {
     assert(SnapshotStore.readTarget(spark, meta).count() ===
       graft.analytics.SimilarityQueries.TrainedK + 2L)
   }
+
+  test("streaming search serves the CURRENT persisted index — fresh after streamed ingest") {
+    val meta = tmp("vidxs-meta"); val codes = tmp("vidxs-codes")
+    val qin = tmp("vidxs-qin"); val ckpt = tmp("vidxs-ckpt")
+    val iin = tmp("vidxs-iin"); val ickpt = tmp("vidxs-ickpt")
+
+    val base = Corpus.quantizedVectors(spark, d)
+    val existing = base.filter(col("vec_id") % 11 =!= 0)
+    VectorIndexStore.train(spark, existing, meta)
+    VectorIndexStore.appendBatch(spark, existing, meta, codes, 1L)
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Int)]()
+    def drainQueries(): Unit = {
+      val schema = spark.read.parquet(qin).schema
+      val q = VectorIndexStore.searchSink(
+        spark.readStream.schema(schema).parquet(qin),
+        meta, codes, exact = base, checkpoint = ckpt,
+        sink = df => df.select("query_id", "neighbor_id", "rank").collect()
+          .foreach(r => { got.add((r.getLong(0), r.getLong(1), r.getInt(2))); () }))
+      q.awaitTermination(120000)
+    }
+    def batchSearch(probesRaw: org.apache.spark.sql.DataFrame) =
+      graft.analytics.SimilarityQueries.topKPerProbe(
+        VectorIndexStore.searchPairs(spark,
+          VectorIndexStore.quantize(probesRaw), base, meta, codes, 3), 3)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // phase 1: five query vectors stream in; streamed == batch search
+    val probes1 = Tables.embeddings(spark, d)
+      .filter(col("vec_id") < 5).select("vec_id", "embedding")
+    probes1.coalesce(1).write.mode("append").parquet(qin)
+    drainQueries()
+    assert(got.toArray(Array.empty[(Long, Long, Int)]).toSet === batchSearch(probes1),
+      "streamed search diverged from batch search over the same index")
+
+    // the index GROWS via the ingest face (streamed, checkpointed)...
+    Tables.embeddings(spark, d).filter(col("vec_id") % 11 === 0)
+      .select("vec_id", "embedding").coalesce(1).write.mode("append").parquet(iin)
+    val ingSchema = spark.read.parquet(iin).schema
+    VectorIndexStore.ingestSink(
+      spark.readStream.schema(ingSchema).parquet(iin), meta, codes, ickpt)
+      .awaitTermination(120000)
+
+    // ...and phase 2's queries see the grown index with no restart of
+    // anything but the (stateless) search stream: streamed == batch
+    // search over the CURRENT codes target, whose candidate set now
+    // includes the streamed-in vectors
+    got.clear()
+    val probes2 = Tables.embeddings(spark, d)
+      .filter(col("vec_id") >= 5 && col("vec_id") < 10).select("vec_id", "embedding")
+    probes2.coalesce(1).write.mode("append").parquet(qin)
+    drainQueries()
+    val phase2 = got.toArray(Array.empty[(Long, Long, Int)]).toSet
+    assert(phase2 === batchSearch(probes2),
+      "streamed search diverged after streamed ingest")
+    // freshness evidence: at least one neighbor served in phase 2 is a
+    // vector that arrived through the ingest stream
+    assert(phase2.exists(_._2 % 11 == 0),
+      "no streamed-in vector ever surfaced as a neighbor — index not fresh")
+  }
 }
