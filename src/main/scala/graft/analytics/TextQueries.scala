@@ -905,6 +905,70 @@ object TextQueries {
         FROM toks d LEFT JOIN covered c USING (doc_id)
         WHERE len(d.t) > 0""")),
 
+    // ───── incremental span dedup (r8): the daily-crawl shape for
+    // exact-substring signals, completing the incremental family next
+    // to dedup_incremental (text) and ann_incremental (vectors): a NEW
+    // document batch (doc_id % 11 = 0) checks its ≥10-token spans
+    // against the EXISTING corpus's span index — old×new only, never
+    // old×old (the accumulated index is not re-scored) and never
+    // new×new. Per new doc: token coverage of spans the existing corpus
+    // already contains — the "how much of today's crawl is already in
+    // the training set" number. Existing-side state is the DISTINCT
+    // span set (index-sized, shrinks under dedup); per-increment cost
+    // is O(|new spans| + matched).
+    QuerySpec(
+      "dup_spans_incremental",
+      (s, d) => {
+        val W = 10
+        val spans = Corpus.cached(s, d, "dupSpanArr") {
+          Tables.documents(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("t"))
+            .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+              expr(
+                s"""case when size(t) >= $W
+                    then transform(sequence(1, size(t) - ${W - 1}),
+                                   i -> struct(i AS i, md5(concat_ws(' ', slice(t, i, $W))) AS g))
+                    else array() end""").as("gs"))
+        }
+        val existing = spans.filter(col("doc_id") % 11 =!= 0)
+          .select(explode(expr("transform(gs, x -> x.g)")).as("g")).distinct()
+        val newPos = spans.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id"), explode(col("gs")).as("s"))
+          .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i")
+        val covered = newPos.join(existing, "g")
+          .withColumn("contrib",
+            least(lit(W.toLong), coalesce(lead(col("i"), 1).over(w) - col("i"), lit(W.toLong))))
+          .groupBy("doc_id").agg(sum(col("contrib")).as("known_tokens"))
+        spans.filter(col("doc_id") % 11 === 0 && col("n_tokens") > 0)
+          .select(col("doc_id"), col("n_tokens"))
+          .join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("known_tokens"), lit(0L)).as("known_tokens"))
+          .withColumn("known_pct", expr("cast((100 * known_tokens) div n_tokens as bigint)"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        spans AS (
+          SELECT doc_id, i, md5(array_to_string(t[i : i + 9], ' ')) AS g
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i
+                FROM toks WHERE len(t) >= 10)),
+        existing AS (SELECT DISTINCT g FROM spans WHERE doc_id % 11 <> 0),
+        covered AS (
+          SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS known_tokens FROM (
+            SELECT s.doc_id,
+                   LEAST(10, COALESCE(LEAD(s.i) OVER (PARTITION BY s.doc_id ORDER BY s.i) - s.i, 10)) AS contrib
+            FROM spans s JOIN existing e USING (g)
+            WHERE s.doc_id % 11 = 0)
+          GROUP BY doc_id)
+        SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+               COALESCE(c.known_tokens, 0) AS known_tokens,
+               CAST((100 * COALESCE(c.known_tokens, 0)) // len(d.t) AS BIGINT) AS known_pct
+        FROM toks d LEFT JOIN covered c USING (doc_id)
+        WHERE d.doc_id % 11 = 0 AND len(d.t) > 0""")),
+
     // ───── keep-first span trimming (r8): the CURATION step on top of
     // text_dup_spans — exact-substring dedup keeps ONE copy of each
     // duplicated ≥10-token span corpus-wide (the canonical holder =
