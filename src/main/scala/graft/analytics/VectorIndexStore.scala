@@ -262,6 +262,29 @@ object VectorIndexStore {
         col("nn").as("na"), col("q_nn").as("nb"))
   }
 
+  /** One-row operational report of the persisted index: vector count,
+    * packed-code bytes (the memory the scan side costs), and cell
+    * balance (min/max/mean occupancy — a skewed coarse quantizer makes
+    * hot probes slow; the retrain signal). One aggregate over the codes
+    * target, k rows reduced to a summary.
+    */
+  final case class IndexStats(nVectors: Long, codeBytes: Long,
+                              cells: Int, minCell: Long, maxCell: Long)
+
+  def indexStats(spark: SparkSession, codesTarget: String): Option[IndexStats] = {
+    val idx = readIndex(spark, codesTarget)
+    val cells = idx.groupBy("c_id")
+      .agg(count(lit(1)).as("n"), sum(length(col("code_b"))).as("b"))
+      .collect()
+    if (cells.isEmpty) None
+    else Some(IndexStats(
+      nVectors = cells.map(_.getLong(1)).sum,
+      codeBytes = cells.map(_.getLong(2)).sum,
+      cells = cells.length,
+      minCell = cells.map(_.getLong(1)).min,
+      maxCell = cells.map(_.getLong(1)).max))
+  }
+
   // ── per-(session, corpus) memoized build for the oracle query ──────
   // ann_ivf_sq8_persisted needs a built index per testdata dir; the
   // build is deterministic (integer Lloyd + integer bounds + integer

@@ -154,5 +154,14 @@ class VectorIndexSpec extends SparkSpec {
     // vector that arrived through the ingest stream
     assert(phase2.exists(_._2 % 11 == 0),
       "no streamed-in vector ever surfaced as a neighbor — index not fresh")
+
+    // index observability: the stats row reflects the grown index —
+    // full corpus count, 64 B of packed code per vector, every cell
+    // bounded (the retrain signal an operator watches)
+    val stats = VectorIndexStore.indexStats(spark, codes).get
+    val n = base.count()
+    assert(stats.nVectors === n)
+    assert(stats.codeBytes === n * 64)
+    assert(stats.cells > 1 && stats.minCell >= 1 && stats.maxCell < n)
   }
 }
