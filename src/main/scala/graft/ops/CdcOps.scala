@@ -249,4 +249,80 @@ object CdcOps {
         (coalesce(col("a.m_sum"), lit(0L)) + coalesce(col("d.d_m"), lit(0L))).as("m_sum"))
       .filter(col("n_keys") > 0)
   }
+
+  /** Global-secondary-index maintenance plan from a CDC delta — the index
+    * mutation set DynamoDB derives internally for every GSI on a base-table
+    * write (public GSI semantics; the reference's restored table would carry
+    * its GSIs through exactly this per-write plan during the replay at
+    * app/lambdas/lambda-backfill/main.py:44-46):
+    *
+    *  - the index is SPARSE: an item participates only while `present`
+    *    holds (the "item has the indexed attribute" rule);
+    *  - an index-key MOVE is a DELETE(old key) + PUT(new key) pair;
+    *  - a projected-attribute change under an unchanged index key is a
+    *    bare PUT (the index item is rewritten in place);
+    *  - a base-table REMOVE deletes the index entry iff one existed.
+    *
+    * Output: one row per index mutation — base keys, `op` (PUT|DELETE),
+    * `gsi_key`, and the projected attributes (null on DELETE rows).
+    * Only keys present in the delta produce rows, so the cost is
+    * O(|delta| + touched keys): the delta LWW-compacts (one shuffle on the
+    * base key), LEFT-joins the prior state on the same key (co-partitioned
+    * with the window), and both mutation kinds come off ONE pass over the
+    * joined rows (array-of-struct + explode, not a self-union that would
+    * scan the join twice). At scale `stateAtT` is served by
+    * `SnapshotStore.readKeysDf` point reads, not a state scan.
+    *
+    * @param stateAtT   base-table state at T (LWW-compacted, tombstones dropped)
+    * @param delta      raw CDC events after T
+    * @param keys       base-table key columns
+    * @param order      per-key total order
+    * @param isRemove   tombstone predicate over a delta row
+    * @param gsiKey     index partition-key expression over a state/delta row
+    * @param present    sparse-index membership predicate over a state/delta
+    *                   row (null ⇒ absent — the missing-attribute rule)
+    * @param projection projected attributes carried into the index item
+    *                   (nulled on DELETE rows)
+    * @param carry      columns evaluated over the delta's per-key winner and
+    *                   carried on BOTH mutation kinds (provenance — e.g. the
+    *                   winning sequence number the streaming face stamps its
+    *                   merges with)
+    */
+  def gsiDelta(stateAtT: DataFrame, delta: DataFrame, keys: Seq[String],
+               order: Seq[Column], isRemove: Column,
+               gsiKey: Column, present: Column,
+               projection: Seq[(String, Column)],
+               carry: Seq[(String, Column)] = Nil): DataFrame = {
+    val projNames = projection.map(_._1)
+    val carryNames = carry.map(_._1)
+    val newSide = lwwCompact(delta, keys, order)
+      .select(keys.map(col) ++ Seq(
+        (!isRemove && coalesce(present, lit(false))).as("__new_present"),
+        gsiKey.as("__new_key")) ++
+        projection.map { case (n, c) => c.as(s"__p_$n") } ++
+        carry.map { case (n, c) => c.as(n) }: _*)
+    val oldSide = stateAtT
+      .select(keys.map(col) ++ Seq(
+        coalesce(present, lit(false)).as("__old_present"),
+        gsiKey.as("__old_key")): _*)
+    val joined = newSide.join(oldSide, keys, "left")
+      .withColumn("__old_present", coalesce(col("__old_present"), lit(false)))
+    val putStruct = when(col("__new_present"),
+      struct(lit("PUT").as("op") +: col("__new_key").as("gsi_key") +:
+        projNames.map(n => col(s"__p_$n").as(n)): _*))
+    val delStruct = when(
+      col("__old_present") &&
+        (!col("__new_present") || col("__old_key") =!= col("__new_key")),
+      struct(lit("DELETE").as("op") +: col("__old_key").as("gsi_key") +:
+        projNames.map(n =>
+          // typed null of the projection column's type, without resolving
+          // the expression here (analysis supplies the type)
+          when(lit(false), col(s"__p_$n")).as(n)): _*))
+    joined
+      .select(keys.map(col) ++ carryNames.map(col) :+
+        explode(filter(array(delStruct, putStruct), x => x.isNotNull)).as("__m"): _*)
+      .select(keys.map(col) ++
+        (Seq("op", "gsi_key") ++ projNames).map(n => col(s"__m.$n").as(n)) ++
+        carryNames.map(col): _*)
+  }
 }

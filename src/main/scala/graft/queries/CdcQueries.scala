@@ -557,6 +557,127 @@ object CdcQueries {
           UNION ALL
           SELECT ts, 'score', 'N' FROM events
           WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
-        GROUP BY attr, avtype ORDER BY attr, avtype"""))
+        GROUP BY attr, avtype ORDER BY attr, avtype""")),
+
+    // ───── GSI maintenance ([[graft.ops.CdcOps.gsiDelta]]): the index
+    // mutation plan DynamoDB derives per base-table write for every
+    // global secondary index — the restored table's GSIs ride the replay
+    // through exactly this plan. Index here: partition key = event_type,
+    // SPARSE membership = cents >= 1000 (the "item carries the indexed
+    // attribute" rule), projection = (event_id, cents). The delta's LWW
+    // winners LEFT-join the prior state on the base key (only touched
+    // keys produce rows — O(|delta|), never a state scan), and a key
+    // MOVE emits its DELETE(old)+PUT(new) pair off one joined pass.
+    // The oracle replays the same four-way transition table
+    // (absent/present × key-moved/attr-dropped/removed) in SQL.
+    QuerySpec(
+      "cdc_gsi_project",
+      (s, d) => {
+        val ev = events(s, d)
+        val tcol = lit(T).cast("timestamp")
+        val cents = expr("cast(round(value * 100) as bigint)")
+        val stateAtT = CdcOps.lwwCompact(ev.filter(col("ts") <= tcol),
+          Seq("user_id"), keyOrder).filter(!isRemove)
+        CdcOps.gsiDelta(
+          stateAtT, ev.filter(col("ts") > tcol),
+          keys = Seq("user_id"), order = keyOrder, isRemove = isRemove,
+          gsiKey = col("event_type"), present = cents >= 1000,
+          projection = Seq("event_id" -> col("event_id"), "cents" -> cents))
+          .orderBy("user_id", "op", "gsi_key")
+      },
+      Some(s"""
+        WITH oldw AS (
+          SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events WHERE ts <= TIMESTAMP '$T'),
+        old_state AS (
+          SELECT user_id, event_type AS old_key, cents >= 1000 AS old_present
+          FROM oldw WHERE rn = 1 AND event_type <> 'error'),
+        neww AS (
+          SELECT user_id, event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events WHERE ts > TIMESTAMP '$T'),
+        new_state AS (
+          SELECT user_id, event_id, event_type = 'error' AS removed,
+                 event_type AS new_key, cents
+          FROM neww WHERE rn = 1),
+        j AS (
+          SELECT n.user_id, n.event_id, n.removed, n.new_key, n.cents,
+                 NOT n.removed AND n.cents >= 1000 AS new_present,
+                 o.old_key, COALESCE(o.old_present, FALSE) AS old_present
+          FROM new_state n LEFT JOIN old_state o ON n.user_id = o.user_id)
+        SELECT user_id, 'DELETE' AS op, old_key AS gsi_key,
+               CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS cents
+        FROM j WHERE old_present AND (NOT new_present OR new_key <> old_key)
+        UNION ALL
+        SELECT user_id, 'PUT', new_key, event_id, cents FROM j WHERE new_present
+        ORDER BY user_id, op, gsi_key""")),
+
+    // ───── capacity accounting for the replay drain — the throttling plan
+    // a real backfill needs before it starts (the reference replays with no
+    // capacity model and would discover throttling in production;
+    // BatchWriteItem chunks at app/lambdas/lambda-backfill/main.py:41-46).
+    // Public DynamoDB WCU rules: a write costs ceil(item_bytes/1KB); a
+    // delete is priced by the removed item (key-only here → 1 WCU). Item
+    // bytes come from the stream envelope's own SizeBytes channel — the
+    // proxy here derives it as a declared model (fixed envelope overhead +
+    // field text lengths + cents as the payload-bytes stand-in, spanning
+    // 1..11 WCU so the ceil arithmetic is actually exercised). Per hour
+    // batch: items, API calls (25-item chunks in arrival order), total and
+    // worst-chunk WCU, and drain seconds against 1000 provisioned WCU —
+    // pure integer arithmetic end-to-end, one window + two hash-aggs.
+    QuerySpec(
+      "cdc_capacity_plan",
+      (s, d) => {
+        val w = Window.partitionBy(date_trunc("hour", col("ts")))
+          .orderBy(col("ts"), col("event_id"))
+        val cents = expr("cast(round(value * 100) as bigint)")
+        val itemBytes = lit(60L) +
+          length(col("event_id").cast("string")) + length(col("event_type")) +
+          length(col("user_id").cast("string")) + length(col("props")) + cents
+        // ceil via floor-div: /1024 is a power-of-two double division
+        // (exact for longs < 2^53), so floor+cast IS integer floor-div
+        val wcu = when(isRemove, lit(1L))
+          .otherwise(floor((itemBytes + 1023L) / lit(1024.0)).cast("long"))
+        events(s, d)
+          .withColumn("batch", date_trunc("hour", col("ts")))
+          .withColumn("chunk", floor((row_number().over(w) - 1) / 25.0))
+          .withColumn("wcu", wcu)
+          .groupBy("batch", "chunk")
+          .agg(count(lit(1)).as("n"), sum(col("wcu")).as("chunk_wcu"))
+          .groupBy("batch")
+          .agg(sum(col("n")).as("n_items"),
+            count(lit(1)).as("n_api_calls"),
+            sum(col("chunk_wcu")).as("total_wcu"),
+            max(col("chunk_wcu")).as("max_chunk_wcu"),
+            // ceil(total/1000): /1000 is not a power of two, but the
+            // rounding error (~ulp(k)) can never bridge the 1/1000 gap
+            // to the next integer, so floor+cast is still exact
+            floor((sum(col("chunk_wcu")) + 999L) / lit(1000.0)).cast("long")
+              .as("drain_s"))
+          .orderBy("batch")
+      },
+      Some("""
+        WITH sized AS (
+          SELECT date_trunc('hour', ts) AS batch,
+                 CAST(floor((ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                   ORDER BY ts, event_id) - 1) / 25.0) AS BIGINT) AS chunk,
+                 CASE WHEN event_type = 'error' THEN 1
+                      ELSE (60 + length(CAST(event_id AS VARCHAR))
+                            + length(event_type)
+                            + length(CAST(user_id AS VARCHAR)) + length(props)
+                            + CAST(round(value * 100) AS BIGINT) + 1023) // 1024
+                 END AS wcu
+          FROM events),
+        chunks AS (
+          SELECT batch, chunk, count(*) AS n,
+                 CAST(sum(wcu) AS BIGINT) AS chunk_wcu
+          FROM sized GROUP BY batch, chunk)
+        SELECT batch, CAST(sum(n) AS BIGINT) AS n_items,
+               count(*) AS n_api_calls,
+               CAST(sum(chunk_wcu) AS BIGINT) AS total_wcu,
+               max(chunk_wcu) AS max_chunk_wcu,
+               CAST((sum(chunk_wcu) + 999) // 1000 AS BIGINT) AS drain_s
+        FROM chunks GROUP BY batch ORDER BY batch"""))
   )
 }

@@ -344,14 +344,19 @@ object SnapshotStore {
 
   // ---------------------------------------------------------------- reading
 
-  private def emptyCanonical(spark: SparkSession): DataFrame =
+  /** Empty frame in the canonical applied-state shape. Key columns are
+    * caller-shaped: a composite-keyed target (e.g. a GSI's
+    * (gsi_key, ref_key)) must get ITS columns back from a fresh-table
+    * read, or the first merge's seed select fails to resolve.
+    */
+  private def emptyCanonical(spark: SparkSession,
+                             keyCols: Seq[String] = Seq("keys")): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("keys",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("newImage",
-          org.apache.spark.sql.types.StringType))))
+      org.apache.spark.sql.types.StructType(
+        (keyCols :+ "newImage").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.StringType))))
 
   /** Missing merge metadata backfilled: a frame without the sequence or op
     * column (a pre-seeded restore snapshot, or a `writeTarget` of applied
@@ -420,7 +425,7 @@ object SnapshotStore {
         val hasFlatParquet = fs.exists(root) &&
           fs.listStatus(root).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         if (hasFlatParquet) spark.read.parquet(targetDir)
-        else emptyCanonical(spark)
+        else emptyCanonical(spark, keys)
     }
 
   /** Resolve one manifest's applied state (shared by the live read and
@@ -429,7 +434,7 @@ object SnapshotStore {
   private def readManifestData(spark: SparkSession, targetDir: String,
                                name: String, m: Manifest, keys: Seq[String],
                                opCol: String, seqCol: String): DataFrame =
-    if (m.buckets.isEmpty) emptyCanonical(spark)
+    if (m.buckets.isEmpty) emptyCanonical(spark, keys)
     else {
           val fs = fsOf(spark, targetDir)
           val paths = segmentPaths(targetDir, m)
@@ -841,8 +846,8 @@ object SnapshotStore {
         case None =>
           // fresh table, or a pre-seeded flat-parquet snapshot: one full
           // compacted write bucket-izes the seed; every later batch appends
-          val seed = mergeReady(readTarget(spark, targetDir), opCol, seqCol)
-            .select(outCols: _*)
+          val seed = mergeReady(readTarget(spark, targetDir, keys, opCol, seqCol),
+            opCol, seqCol).select(outCols: _*)
           // markers retained: a REMOVE in the very first batch must leave
           // its tombstone (sequence guard) in the basis segment
           val merged = compactMarkers(
