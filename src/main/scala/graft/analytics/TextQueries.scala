@@ -1112,5 +1112,69 @@ object TextQueries {
                  AS boiler_pct
         FROM grams gr JOIN df d USING (g)
         GROUP BY gr.doc_id"""))
+  ,
+
+    // ───── X22 — bigram language-model fluency scoring: each document's
+    // mean conditional-probability "surprise" under the corpus's own
+    // bigram model — the cheap self-perplexity proxy quality pipelines
+    // rank with (high surprise = improbable transitions = boilerplate
+    // glitches, shuffled text, wrong-language fragments the unigram
+    // signals miss). No libm log: surprise(a,b) = (c(a)·1000) div c(ab)
+    // is an INTEGER monotone in -log p(b|a)'s argument, and the per-doc
+    // mean is an integer division of exact sums — bit-identical across
+    // engines (the text_pmi discipline). Shape: per-doc-distinct bigram
+    // counts (one shuffle), corpus bigram totals REUSE that exchange
+    // (same grouping key prefix), unigram counts broadcast back; never a
+    // doc×vocab stage. At 100 TB the model table shards on the bigram
+    // key like any inverted index.
+    QuerySpec(
+      "text_lm_score",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dbg = docs
+          .filter(expr("size(split(text, ' ')) >= 2"))
+          .select(col("doc_id"),
+            explode(expr(Corpus.let("toks", "split(text, ' ')",
+              """transform(sequence(1, size(toks) - 1),
+                   i -> struct(element_at(toks, i) AS t1,
+                               element_at(toks, i + 1) AS t2))"""))).as("p"))
+          .groupBy(col("doc_id"), col("p.t1").as("t1"), col("p.t2").as("t2"))
+          .agg(count(lit(1)).as("cnt"))
+        val bg = dbg.groupBy("t1", "t2").agg(sum(col("cnt")).as("cab"))
+        val ug = docs
+          .select(explode(split(col("text"), " ")).as("t1"))
+          .groupBy("t1").agg(count(lit(1)).as("ca"))
+        dbg.join(bg, Seq("t1", "t2"))
+          .join(broadcast(ug), "t1")
+          .withColumn("surprise", expr("(ca * 1000) div cab"))
+          .groupBy("doc_id")
+          .agg(sum(col("cnt")).as("n_bigrams"),
+            expr("sum(cnt * surprise) div sum(cnt)").as("avg_surprise"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH uni AS (
+          SELECT t1, CAST(count(*) AS BIGINT) AS ca
+          FROM (SELECT unnest(string_split(text, ' ')) AS t1 FROM documents)
+          GROUP BY t1),
+        occ AS (
+          SELECT doc_id,
+                 unnest([struct_pack(t1 := toks[i], t2 := toks[i + 1])
+                         for i in range(1, len(toks))]) AS p
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 2),
+        dbg AS (
+          SELECT doc_id, p.t1 AS t1, p.t2 AS t2, CAST(count(*) AS BIGINT) AS cnt
+          FROM occ GROUP BY doc_id, p.t1, p.t2),
+        bg AS (SELECT t1, t2, CAST(sum(cnt) AS BIGINT) AS cab
+               FROM dbg GROUP BY t1, t2),
+        j AS (
+          SELECT d.doc_id, d.cnt, (u.ca * 1000) // b.cab AS surprise
+          FROM dbg d
+          JOIN bg b ON d.t1 = b.t1 AND d.t2 = b.t2
+          JOIN uni u ON d.t1 = u.t1)
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+               CAST(sum(cnt * surprise) // sum(cnt) AS BIGINT) AS avg_surprise
+        FROM j GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
