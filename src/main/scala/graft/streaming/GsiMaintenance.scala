@@ -53,12 +53,12 @@ object GsiMaintenance {
     */
   final case class GsiDef(gsiKey: Column, present: Column, projected: Column)
 
-  /** The per-batch mutation set, as merged into the GSI target:
-    * (gsi_key, ref_key, op, sequenceNumber, newImage).
+  /** The per-batch mutation set for one GSI, as merged into its target:
+    * (gsi_key, ref_key, op, sequenceNumber, newImage). `prior` is the
+    * touched keys' base state — shared across every GSI of the table.
     */
-  def gsiMutations(spark: SparkSession, baseDir: String, delta: DataFrame,
-                   gsi: GsiDef): DataFrame = {
-    val prior = SnapshotStore.readKeysDf(spark, baseDir, delta.select("keys"))
+  def gsiMutations(prior: DataFrame, delta: DataFrame,
+                   gsi: GsiDef): DataFrame =
     CdcOps.gsiDelta(
       prior, delta, keys = Seq("keys"),
       order = CdcOps.numericStringOrder(col("sequenceNumber")),
@@ -68,36 +68,62 @@ object GsiMaintenance {
       carry = Seq("sequenceNumber" -> col("sequenceNumber")))
       .select(col("gsi_key"), col("keys").as("ref_key"),
         col("op"), col("sequenceNumber"), col("image").as("newImage"))
-  }
 
-  /** One micro-batch: GSI merge first (see merge-order contract above),
-    * then the base apply. `batch` is a raw canonical CDC frame.
+  /** One micro-batch: every GSI's merge first (see merge-order contract
+    * above), then the base apply. `batch` is a raw canonical CDC frame;
+    * `gsis` maps each index's target dir to its definition — a DynamoDB
+    * table carries up to 20 GSIs, and ALL of them derive from ONE
+    * prior-state point read (the compacted delta and the prior frame are
+    * pinned once; each index only adds its own transition projection and
+    * merge). Torn anywhere in the merge sequence, the replay re-derives
+    * every index's exact mutation set: the prior read keys off the base
+    * target, which merges LAST.
     */
   def applyBatchWithGsi(spark: SparkSession, batch: DataFrame,
-                        baseDir: String, gsiDir: String, batchId: Long,
-                        gsi: GsiDef): Unit = {
+                        baseDir: String, batchId: Long,
+                        gsis: Seq[(String, GsiDef)]): Unit = {
     val delta = CdcStream.compactDelta(batch).localCheckpoint(true)
     try {
-      val muts = gsiMutations(spark, baseDir, delta, gsi)
-      SnapshotStore.mergeIntoTarget(spark, gsiDir, muts, batchId,
-        keys = Seq("gsi_key", "ref_key"))
-      SnapshotStore.mergeIntoTarget(spark, baseDir, delta, batchId)
+      val prior = SnapshotStore
+        .readKeysDf(spark, baseDir, delta.select("keys"))
+        .localCheckpoint(true)
+      try {
+        gsis.foreach { case (gsiDir, gsi) =>
+          SnapshotStore.mergeIntoTarget(spark, gsiDir,
+            gsiMutations(prior, delta, gsi), batchId,
+            keys = Seq("gsi_key", "ref_key"))
+        }
+        SnapshotStore.mergeIntoTarget(spark, baseDir, delta, batchId)
+      } finally { prior.unpersist(); () }
     } finally { delta.unpersist(); () }
   }
 
-  /** The checkpointed sink: base apply + GSI maintenance per micro-batch. */
-  def sink(cdc: DataFrame, baseDir: String, gsiDir: String,
-           checkpoint: String, gsi: GsiDef,
+  /** Single-GSI convenience overload. */
+  def applyBatchWithGsi(spark: SparkSession, batch: DataFrame,
+                        baseDir: String, gsiDir: String, batchId: Long,
+                        gsi: GsiDef): Unit =
+    applyBatchWithGsi(spark, batch, baseDir, batchId, Seq(gsiDir -> gsi))
+
+  /** The checkpointed sink: base apply + maintenance of every GSI per
+    * micro-batch.
+    */
+  def sink(cdc: DataFrame, baseDir: String, checkpoint: String,
+           gsis: Seq[(String, GsiDef)],
            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     cdc.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatchWithGsi(batch.sparkSession, batch, baseDir, gsiDir,
-          batchId, gsi)
+        applyBatchWithGsi(batch.sparkSession, batch, baseDir, batchId, gsis)
         ()
       }
       .trigger(trigger)
       .start()
+
+  /** Single-GSI convenience overload. */
+  def sink(cdc: DataFrame, baseDir: String, gsiDir: String,
+           checkpoint: String, gsi: GsiDef,
+           trigger: Trigger): StreamingQuery =
+    sink(cdc, baseDir, checkpoint, Seq(gsiDir -> gsi), trigger)
 
   /** Spec oracle: the GSI recomputed from the base target's live state —
     * what the maintained index must equal after every drained batch.

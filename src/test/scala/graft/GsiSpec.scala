@@ -84,9 +84,16 @@ class GsiSpec extends SparkSpec {
     GsiMaintenance.gsiRecompute(spark, baseDir, gsi)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
 
-  test("streaming sink: maintained GSI equals recompute across moves, deletes, replay") {
+  // second GSI on the same table: keyed by the image's LAST character,
+  // dense (every imaged item participates), INCLUDE-style 1-char projection
+  private val gsi2 = GsiDef(
+    gsiKey = substring(col("newImage"), -1, 1),
+    present = length(col("newImage")) >= 1,
+    projected = substring(col("newImage"), 1, 1))
+
+  test("streaming sink: maintained GSIs equal recompute across moves, deletes, replay") {
     val in = tmp("gsi-in"); val base = tmp("gsi-base"); val idx = tmp("gsi-idx")
-    val ckpt = tmp("gsi-ckpt")
+    val idx2 = tmp("gsi-idx2"); val ckpt = tmp("gsi-ckpt")
     writeCdcFile(in, "b1.json", Seq(
       rec("e1", "INSERT", "2024-01-01T00:00:01Z", "001", "k1", Some("v1")),
       rec("e2", "MODIFY", "2024-01-01T00:00:02Z", "002", "k1", Some("v2")),
@@ -97,22 +104,30 @@ class GsiSpec extends SparkSpec {
       rec("e6", "REMOVE", "2024-01-01T00:00:06Z", "006", "k2", None),
       rec("e7", "INSERT", "2024-01-01T00:00:07Z", "007", "k3", Some("w5"))))
 
+    // BOTH indexes maintained from the one shared prior-state read
+    val gsis = Seq(idx -> gsi, idx2 -> gsi2)
     val q = GsiMaintenance.sink(
       CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
-      base, idx, ckpt, gsi, trigger = Trigger.AvailableNow())
+      base, ckpt, gsis)
     q.awaitTermination(60000)
 
-    // k1 moved v→x (the b1 v-entry must be GONE), k2 removed, k4 is
-    // sparse-absent (single-char image)
+    // gsi1: k1 moved v→x (the b1 v-entry must be GONE), k2 removed, k4
+    // is sparse-absent (single-char image)
     assert(gsiState(idx) === Set(("x", "k1", "x9"), ("w", "k3", "w5")))
     assert(gsiState(idx) === recomputed(base))
+    // gsi2 is dense: k4's single-char image participates (key 'z')
+    assert(gsiState(idx2) === Set(("9", "k1", "x"), ("5", "k3", "w"),
+      ("z", "k4", "z")))
+    assert(gsiState(idx2) ===
+      GsiMaintenance.gsiRecompute(spark, base, gsi2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
 
-    // duplicate delivery of an applied batch: idempotent on both targets
+    // duplicate delivery of an applied batch: idempotent on all targets
     writeCdcFile(in, "b3.json", Seq(
       rec("e5", "MODIFY", "2024-01-01T00:00:05Z", "005", "k1", Some("x9"))))
     val q2 = GsiMaintenance.sink(
       CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
-      base, idx, ckpt, gsi, trigger = Trigger.AvailableNow())
+      base, ckpt, gsis)
     q2.awaitTermination(60000)
     assert(gsiState(idx) === recomputed(base))
   }
@@ -128,8 +143,9 @@ class GsiSpec extends SparkSpec {
     // batch 1 moves k1 v→x; inject the torn state: the GSI merge lands,
     // the crash hits before the base merge
     val b1 = rawBatch(("e3", "MODIFY", "003", "k1", Some("x7")))
-    val muts = GsiMaintenance.gsiMutations(spark, base,
-      CdcStream.compactDelta(b1), gsi)
+    val d1 = CdcStream.compactDelta(b1)
+    val muts = GsiMaintenance.gsiMutations(
+      SnapshotStore.readKeysDf(spark, base, d1.select("keys")), d1, gsi)
     SnapshotStore.mergeIntoTarget(spark, idx, muts, 1L,
       keys = Seq("gsi_key", "ref_key"))
     // torn: index already moved, base still says v1 — the recompute and
