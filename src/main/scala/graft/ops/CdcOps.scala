@@ -202,6 +202,43 @@ object CdcOps {
     merge(snapshot, delta, keys, "op", payload)
   }
 
+  /** PITR snapshot diff: the per-key change set between two restore
+    * points T1 < T2 — what a restore to T2 would apply on top of a
+    * restore to T1 (the reference's PITR window, README.md:3,26, made
+    * queryable). Classification per key: ADDED (live at T2 only),
+    * REMOVED (live at T1 only), MODIFIED (live at both with a different
+    * LWW winner); unchanged keys are absent from the output. Both
+    * states come out of ONE hash aggregation over a single scan of the
+    * log: a conditional max_by per cutoff (rows past a cutoff contribute
+    * a NULL ordering value, which max_by skips), so the log shuffles
+    * once with map-side partials — no window stage, no two-snapshot
+    * join, cost O(|log| + |keys|) however far apart the cutoffs are.
+    * A winner that is a tombstone marks the key absent at that cutoff
+    * (same rule as [[restoreReplay]]'s snapshot side).
+    */
+  def snapshotDiff(cdc: DataFrame, keys: Seq[String], tsCol: Column,
+                   asOf1: Column, asOf2: Column, order: Seq[Column],
+                   isRemove: Column, payload: Seq[String]): DataFrame = {
+    val image = struct((payload.map(col) :+ isRemove.as("__rm")): _*)
+    def winner(cut: Column): Column =
+      max_by(image, when(tsCol <= cut, struct(order: _*)))
+    val agg = cdc.groupBy(keys.map(col): _*)
+      .agg(winner(asOf1).as("__s1"), winner(asOf2).as("__s2"))
+    val live1 = col("__s1").isNotNull && !col("__s1.__rm")
+    val live2 = col("__s2").isNotNull && !col("__s2.__rm")
+    val moved = payload.map(p => !(col(s"__s1.$p") <=> col(s"__s2.$p")))
+      .reduce(_ || _)
+    agg
+      .withColumn("change",
+        when(!live1 && live2, lit("ADDED"))
+          .when(live1 && !live2, lit("REMOVED"))
+          .when(live1 && live2 && moved, lit("MODIFIED")))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) ++ Seq(col("change")) ++
+        payload.map(p => when(live1, col(s"__s1.$p")).as(s"old_$p")) ++
+        payload.map(p => when(live2, col(s"__s2.$p")).as(s"new_$p")): _*)
+  }
+
   /** Incremental view maintenance for a linear aggregate (count + sum)
     * grouped by `group` over the keyed table state: given the aggregate
     * materialized at time T and the raw CDC delta after T, produce the

@@ -15,7 +15,8 @@ import graft.ops.CdcOps
   * Every query here is DuckDB-oracle-checkable.
   */
 object CdcQueries {
-  private val T = "2024-01-15 00:00:00" // PITR point for the replay queries
+  private val T = "2024-01-15 00:00:00"  // PITR point for the replay queries
+  private val T2 = "2024-01-25 00:00:00" // second restore point (snapshot diff)
 
   private def events(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
   private val isRemove: Column = col("event_type") === "error"
@@ -63,6 +64,43 @@ object CdcQueries {
                CASE WHEN d.op IS NOT NULL THEN d.value ELSE s.value END AS value
         FROM snapshot s FULL OUTER JOIN delta d ON s.user_id = d.user_id
         WHERE d.op IS NULL OR d.op = 'PUT'""")),
+
+    // ───── S4+6 — PITR snapshot diff: the change set between two restore
+    // points (ADDED / REMOVED / MODIFIED per key), one hash-agg over one
+    // scan via conditional max_by — no window, no two-snapshot join
+    QuerySpec(
+      "cdc_snapshot_diff",
+      (s, d) => CdcOps.snapshotDiff(
+        events(s, d), keys = Seq("user_id"), tsCol = col("ts"),
+        asOf1 = lit(T).cast("timestamp"), asOf2 = lit(T2).cast("timestamp"),
+        order = keyOrder, isRemove = isRemove,
+        payload = Seq("event_id", "event_type", "value")),
+      Some(s"""
+        WITH s1 AS (
+          SELECT user_id, event_id, event_type, value FROM (
+            SELECT user_id, event_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+            FROM events WHERE ts <= TIMESTAMP '$T')
+          WHERE rn = 1 AND event_type <> 'error'),
+        s2 AS (
+          SELECT user_id, event_id, event_type, value FROM (
+            SELECT user_id, event_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+            FROM events WHERE ts <= TIMESTAMP '$T2')
+          WHERE rn = 1 AND event_type <> 'error')
+        SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+               CASE WHEN s1.user_id IS NULL THEN 'ADDED'
+                    WHEN s2.user_id IS NULL THEN 'REMOVED'
+                    ELSE 'MODIFIED' END AS change,
+               s1.event_id AS old_event_id, s1.event_type AS old_event_type,
+               s1.value AS old_value,
+               s2.event_id AS new_event_id, s2.event_type AS new_event_type,
+               s2.value AS new_value
+        FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+        WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+           OR s1.event_id IS DISTINCT FROM s2.event_id
+           OR s1.event_type IS DISTINCT FROM s2.event_type
+           OR s1.value IS DISTINCT FROM s2.value""")),
 
     // ───── A2/W1 — last-writer-wins compaction per key
     QuerySpec(
