@@ -1217,6 +1217,63 @@ object SimilarityQueries {
       },
       Some(annSelectSql(ivfSq8CtesSql(3), 3))),
 
+    // Semantic dedup (the SemDeDup shape, r8): k-means-cluster the
+    // embedding space, then look for near-duplicate pairs ONLY within a
+    // cluster — the trained assignment replaces the quadratic corpus
+    // self-join with Σ|cell|² work, and in production k grows with the
+    // corpus to keep cells bounded (the signBucketBits derivation
+    // pattern; here the oracle-pinned TrainedK so DuckDB can replay
+    // Lloyd). Pairs at signed-cos² ≥ 0.81 collapse keep-lowest-id: each
+    // dropped doc reports its canonical keeper (min matching earlier
+    // id), best score, and match count. Same trained quantizer as
+    // `ann_ivf_trained` — train → assign → pair → collapse all sit
+    // under the hash gate. Complements `dedup_embed_cosine` (sign-LSH
+    // buckets): LSH buckets split near-dup pairs that straddle a
+    // hyperplane; metric-trained cells follow the data's own density.
+    QuerySpec(
+      "dedup_semantic",
+      (s, d) => {
+        val base = Corpus.vecsWithNearDups(s, d)
+        val cents = Clustering.kmeansSpherical(s, base, TrainedK, TrainedIters)
+        val assigned = assignToCentroids(base, cents)
+          .select("vec_id", "qv", "nn", "c_id")
+        val pairs = assigned.as("a")
+          .join(assigned.as("b"),
+            col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+            Corpus.dotCol("a.qv", "b.qv").as("dot"),
+            col("a.nn").as("na"), col("b.nn").as("nb"))
+          .withColumn("score", Corpus.scoreCol)
+          .filter(col("score") >= 0.81)
+        pairs.groupBy(col("vb").as("vec_id"))
+          .agg(min("va").as("dup_of"), max("score").as("best_score"),
+            count(lit(1)).as("n_matches"))
+      },
+      Some(s"""
+        WITH base AS (${Corpus.vecsWithNearDupsSql}),${kmeansSqlCtes(TrainedK, TrainedIters)},
+        csc AS (
+          SELECT b.vec_id, b.qv, b.nn, c.cid,
+                 CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i] * c.cv[i])) AS BIGINT) AS dot,
+                 b.nn AS na, c.cnn AS nb
+          FROM base b CROSS JOIN cents$TrainedIters c),
+        assigned AS (
+          SELECT vec_id, qv, nn, cid AS c_id FROM (
+            SELECT vec_id, qv, nn, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${Corpus.scoreSql} DESC, cid) AS rk
+            FROM csc) WHERE rk = 1),
+        spairs AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+                 a.nn AS na, b.nn AS nb
+          FROM assigned a JOIN assigned b
+            ON a.c_id = b.c_id AND a.vec_id < b.vec_id),
+        scored AS (
+          SELECT va, vb, ${Corpus.scoreSql} AS score FROM spairs
+          WHERE ${Corpus.scoreSql} >= 0.81)
+        SELECT vb AS vec_id, MIN(va) AS dup_of, MAX(score) AS best_score,
+               count(*) AS n_matches
+        FROM scored GROUP BY vb""")),
+
     // Recall@3 of every approximate path, MEASURED (the r5 verdict's
     // "recall-for-speed tradeoff is stated but never measured"): per
     // probe, how many of the brute-force top-3 the lsh / ivf /
