@@ -117,6 +117,130 @@ object MultimodalQueries {
     // channel order, alpha handling) hash-mismatches even though DuckDB
     // itself cannot decode PNG. Per-row map inside mapPartitions, no
     // shuffle; 100 docs bound the encode cost.
+    // ───── perceptual-hash image near-dup (r8): the image dual of
+    // simhash text dedup, run through the REAL codec path. Per image:
+    // deterministic RGB raster (every pixel a closed-form function of
+    // the image id) → PNG encode → the engine's actual JDK ImageIO
+    // decode ([[MediaCodecs.decodeImageIo]]) → average-hash (grayscale,
+    // 8×8 nearest-neighbor resample, above-mean bits — the classic
+    // aHash) packed as 4×16-bit bands → band-bucket candidate join
+    // (lossless for Hamming ≤ 3 by pigeonhole, the simhash banding
+    // discipline — never image×image) → exact Hamming ≤ 6 verify.
+    // Injected variants (id%5==0, a few pixels nudged +8) must all
+    // surface as near-dup pairs. The oracle computes the identical
+    // hash from the closed-form pixel arithmetic WITHOUT any codec —
+    // hash equality across the gate proves decode → gray → resample →
+    // threshold is exact end-to-end, the mm_codec_roundtrip idea
+    // extended from pixels to a derived signature. Per-image work is a
+    // row-local map; the only shuffle is the band-cardinality join.
+    QuerySpec(
+      "mm_phash_dedup",
+      (s, d) => {
+        import s.implicits._
+        val hashes = Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200).as[Long]
+          .flatMap(id =>
+            (id, false) +: (if (id % 5 == 0) Seq((id, true)) else Nil))
+          .map { case (id, perturb) =>
+            val w = 16 + (id % 16).toInt
+            val h = 16 + (id % 9).toInt
+            def px(i: Int): Int =
+              ((id * 31 + i + (if (perturb && i % 97 == 0) 8 else 0)) % 256).toInt
+            val bi = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = (y * w + x) * 3
+                bi.setRGB(x, y,
+                  (px(base) << 16) | (px(base + 1) << 8) | px(base + 2))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(bi, "png", bos)
+            val (dw, dh, _, raster) = MediaCodecs.decodeImageIo(bos.toByteArray)
+            val gray = Array.tabulate(64) { k =>
+              val sx = (k % 8) * dw / 8
+              val sy = (k / 8) * dh / 8
+              val i = (sy * dw + sx) * 3
+              ((raster(i) & 0xff) + (raster(i + 1) & 0xff) +
+                (raster(i + 2) & 0xff)) / 3
+            }
+            val mean = gray.sum / 64
+            val b = (0 until 4).map { bk =>
+              (0 until 16).foldLeft(0L)((acc, j) =>
+                if (gray(16 * bk + j) >= mean) acc | (1L << j) else acc)
+            }
+            (if (perturb) 10000L + id else id, b(0), b(1), b(2), b(3))
+          }
+          .toDF("img_id", "b0", "b1", "b2", "b3")
+          .localCheckpoint(true) // 240 rows; used by 4 band legs + 2 verify sides
+        val bands = (0 until 4).map(k =>
+          hashes.select(col("img_id"), col(s"b$k").as("bv"), lit(k).as("band")))
+          .reduce(_ unionByName _)
+        val cands = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+              col("x.img_id") < col("y.img_id"))
+          .select(col("x.img_id").as("img_a"), col("y.img_id").as("img_b"))
+          .distinct()
+        cands
+          .join(hashes.as("ha"), col("img_a") === col("ha.img_id"))
+          .join(hashes.as("hb"), col("img_b") === col("hb.img_id"))
+          .withColumn("hamming", expr(
+            "bit_count(ha.b0 ^ hb.b0) + bit_count(ha.b1 ^ hb.b1) + " +
+              "bit_count(ha.b2 ^ hb.b2) + bit_count(ha.b3 ^ hb.b3)").cast("long"))
+          .filter(col("hamming") <= 6)
+          .select(col("img_a"), col("img_b"), col("hamming"))
+      },
+      Some {
+        // px(j) for variant/base rows: the closed-form pixel byte
+        def pxSql(j: String): String =
+          s"(base_id * 31 + ($j) + CASE WHEN perturb AND ($j) % 97 = 0 THEN 8 ELSE 0 END) % 256"
+        val graySql =
+          s"""list_transform(range(0, 64), k ->
+              (${pxSql("(((k // 8) * h // 8) * w + (k % 8) * w // 8) * 3")}
+               + ${pxSql("(((k // 8) * h // 8) * w + (k % 8) * w // 8) * 3 + 1")}
+               + ${pxSql("(((k // 8) * h // 8) * w + (k % 8) * w // 8) * 3 + 2")}) // 3)"""
+        def bandSql(k: Int): String =
+          s"""CAST(list_sum(list_transform(range(0, 16), j ->
+              CASE WHEN g[${16 * k} + j + 1] >= mean THEN 1 << j ELSE 0 END)) AS BIGINT)"""
+        s"""
+        WITH imgs AS (
+          SELECT doc_id AS base_id, doc_id AS img_id, FALSE AS perturb
+          FROM documents WHERE doc_id < 200
+          UNION ALL
+          SELECT doc_id, 10000 + doc_id, TRUE
+          FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0),
+        grids AS (
+          SELECT img_id, $graySql AS g
+          FROM (SELECT img_id, base_id, perturb,
+                       16 + base_id % 16 AS w, 16 + base_id % 9 AS h
+                FROM imgs)),
+        hashes AS (
+          SELECT img_id, ${bandSql(0)} AS b0, ${bandSql(1)} AS b1,
+                 ${bandSql(2)} AS b2, ${bandSql(3)} AS b3
+          FROM (SELECT img_id, g, CAST(list_sum(g) AS BIGINT) // 64 AS mean
+                FROM grids)),
+        cands AS (
+          SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
+          FROM hashes a JOIN hashes b
+            ON a.img_id < b.img_id AND
+               (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+        SELECT c.img_a, c.img_b,
+               CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+                 AS BIGINT) AS hamming
+        FROM cands c
+        JOIN hashes x ON x.img_id = c.img_a
+        JOIN hashes y ON y.img_id = c.img_b
+        WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 6"""
+      }),
+
     QuerySpec(
       "mm_codec_roundtrip",
       (s, d) => {
