@@ -44,6 +44,77 @@ object TextQueries {
   private val PerceptronFeats = Seq("x_ttr", "x_stop", "x_len", "x_tok")
   private val PerceptronMargin = 40
 
+  /** Trained model: teacher threshold, per-feature integer means, and
+    * the per-iteration (nerr, weights-after-update) trajectory.
+    */
+  private final case class PerceptronModel(
+      thr: Long, mean: Map[String, Long], iters: Seq[(Int, Long, Array[Long])])
+
+  private val perceptronCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), PerceptronModel]()
+
+  /** Raw per-doc integer text-stat features (the classifier's input
+    * space, shared by the train and apply queries).
+    */
+  private def perceptronRaw(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      expr("(cast(size(array_distinct(split(text, ' '))) as bigint) * 1000)" +
+        " div size(split(text, ' '))").as("x_ttr"),
+      expr(s"(cast(${markerCountExpr(markers("en"))} as bigint) * 1000)" +
+        " div size(split(text, ' '))").as("x_stop"),
+      expr("(cast(length(text) as bigint) * 1000)" +
+        " div size(split(text, ' '))").as("x_len"),
+      expr("cast(size(split(text, ' ')) as bigint) * 10").as("x_tok"))
+
+  /** The training loop, memoized per (session, corpus) — train and
+    * apply share one run, the bpeRules discipline. Each iteration is
+    * ONE aggregation over the cached feature frame; weights are the
+    * only driver state.
+    */
+  private def perceptronModel(s: org.apache.spark.sql.SparkSession,
+                              d: String): PerceptronModel =
+    perceptronCache.synchronized {
+      val app = s.sparkContext.applicationId
+      perceptronCache.keySet.removeIf(_._1 != app)
+      perceptronCache.computeIfAbsent((app, d), _ => {
+        val raw = perceptronRaw(s, d)
+        val st = raw.agg(
+          count(lit(1)).as("n"),
+          sum("x_ttr").as("s_ttr"), sum("x_stop").as("s_stop"),
+          sum("x_len").as("s_len"), sum("x_tok").as("s_tok")).collect()(0)
+        val n = st.getLong(0)
+        val mean = PerceptronFeats.zipWithIndex
+          .map { case (c, i) => c -> st.getLong(i + 1) / n }.toMap
+        val thr = (2 * st.getLong(1) + st.getLong(2)) / n
+        val m2 = col("x_ttr") * 2 + col("x_stop") - lit(thr)
+        val featCols = "xb" +: PerceptronFeats
+        val feats = raw
+          .filter(abs(m2) >= PerceptronMargin)
+          .select(
+            when(m2 >= PerceptronMargin, 1L).otherwise(-1L).as("y") +:
+              lit(100L).as("xb") +:
+              PerceptronFeats.map(c => (col(c) - lit(mean(c))).as(c)): _*)
+          .cache()
+        var w = Array.fill(featCols.size)(0L)
+        val iters = (1 to PerceptronIters).map { t =>
+          val margin = featCols.zip(w)
+            .map { case (c, wi) => col(c) * lit(wi) }.reduce(_ + _)
+          val mis = col("y") * margin <= 0
+          val aggs = count(when(mis, 1)).as("nerr") +:
+            featCols.map(c =>
+              coalesce(sum(when(mis, col("y") * col(c))), lit(0L)).as(s"d_$c"))
+          val r = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+          val nerr = r.getLong(0)
+          val den = math.max(nerr, 1L) * t
+          w = w.indices.map(i => w(i) + r.getLong(i + 1) / den).toArray
+          (t, nerr, w.clone())
+        }
+        feats.unpersist()
+        PerceptronModel(thr, mean, iters)
+      })
+    }
+
   /** Oracle-side replay of the batch-perceptron loop: the unrolled
     * iterations as DuckDB CTEs over the same centered integer feature
     * frame — every margin, misclassification test, and decayed weight
@@ -340,47 +411,9 @@ object TextQueries {
       "text_classifier_train",
       (s, d) => {
         import s.implicits._
-        val raw = Tables.documents(s, d).select(
-          expr("(cast(size(array_distinct(split(text, ' '))) as bigint) * 1000)" +
-            " div size(split(text, ' '))").as("x_ttr"),
-          expr(s"(cast(${markerCountExpr(markers("en"))} as bigint) * 1000)" +
-            " div size(split(text, ' '))").as("x_stop"),
-          expr("(cast(length(text) as bigint) * 1000)" +
-            " div size(split(text, ' '))").as("x_len"),
-          expr("cast(size(split(text, ' ')) as bigint) * 10").as("x_tok"))
-        val st = raw.agg(
-          count(lit(1)).as("n"),
-          sum("x_ttr").as("s_ttr"), sum("x_stop").as("s_stop"),
-          sum("x_len").as("s_len"), sum("x_tok").as("s_tok")).collect()(0)
-        val n = st.getLong(0)
-        val mean = PerceptronFeats.zipWithIndex
-          .map { case (c, i) => c -> st.getLong(i + 1) / n }.toMap
-        val thr = (2 * st.getLong(1) + st.getLong(2)) / n
-        val m2 = col("x_ttr") * 2 + col("x_stop") - lit(thr)
-        val featCols = "xb" +: PerceptronFeats
-        val feats = raw
-          .filter(abs(m2) >= PerceptronMargin)
-          .select(
-            when(m2 >= PerceptronMargin, 1L).otherwise(-1L).as("y") +:
-              lit(100L).as("xb") +:
-              PerceptronFeats.map(c => (col(c) - lit(mean(c))).as(c)): _*)
-          .cache()
-        var w = Array.fill(featCols.size)(0L)
-        val out = (1 to PerceptronIters).map { t =>
-          val margin = featCols.zip(w)
-            .map { case (c, wi) => col(c) * lit(wi) }.reduce(_ + _)
-          val mis = col("y") * margin <= 0
-          val aggs = count(when(mis, 1)).as("nerr") +:
-            featCols.map(c =>
-              coalesce(sum(when(mis, col("y") * col(c))), lit(0L)).as(s"d_$c"))
-          val r = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
-          val nerr = r.getLong(0)
-          val den = math.max(nerr, 1L) * t
-          w = w.indices.map(i => w(i) + r.getLong(i + 1) / den).toArray
-          (t, nerr, w(0), w(1), w(2), w(3), w(4))
-        }
-        feats.unpersist()
-        out.toDF("it", "n_err", "w_bias", "w_ttr", "w_stop", "w_len", "w_tok")
+        perceptronModel(s, d).iters
+          .map { case (t, nerr, w) => (t, nerr, w(0), w(1), w(2), w(3), w(4)) }
+          .toDF("it", "n_err", "w_bias", "w_ttr", "w_stop", "w_len", "w_tok")
           .select(col("it").cast("int").as("it"), col("n_err"), col("w_bias"),
             col("w_ttr"), col("w_stop"), col("w_len"), col("w_tok"))
       },
@@ -390,6 +423,49 @@ object TextQueries {
           s"SELECT $t AS it, nerr AS n_err, wb AS w_bias, wt AS w_ttr, " +
           s"ws AS w_stop, wl AS w_len, wk AS w_tok FROM w$t")
           .mkString("\n        UNION ALL\n        ")}""")),
+
+    // ───── classifier APPLY (r8): score EVERY doc — including the
+    // margin band the trainer excluded — with the final trained weights
+    // (one run shared with text_classifier_train via the memo, the BPE
+    // train/tokenize discipline) and report the (teacher, predicted)
+    // confusion cells. Generalization in-band: the band docs the model
+    // never saw split by which side of the learned boundary they fall
+    // on. Pure per-row map over the feature scan + one tiny hash-agg.
+    QuerySpec(
+      "text_classifier_apply",
+      (s, d) => {
+        val m = perceptronModel(s, d)
+        val w = m.iters.last._3
+        val raw = perceptronRaw(s, d)
+        val m2 = col("x_ttr") * 2 + col("x_stop") - lit(m.thr)
+        val score = lit(w(0)) * 100L +
+          PerceptronFeats.zipWithIndex
+            .map { case (c, i) => (col(c) - lit(m.mean(c))) * lit(w(i + 1)) }
+            .reduce(_ + _)
+        raw
+          .withColumn("teacher",
+            when(m2 >= PerceptronMargin, "pos")
+              .when(m2 <= -PerceptronMargin, "neg").otherwise("band"))
+          .withColumn("predicted", when(score > 0, "pos").otherwise("neg"))
+          .groupBy("teacher", "predicted").agg(count(lit(1)).as("n"))
+      },
+      Some(s"""
+        WITH ${perceptronSqlCtes(PerceptronIters)}
+        SELECT teacher, predicted, COUNT(*) AS n
+        FROM (
+          SELECT CASE WHEN r.m2 >= $PerceptronMargin THEN 'pos'
+                      WHEN r.m2 <= -$PerceptronMargin THEN 'neg'
+                      ELSE 'band' END AS teacher,
+                 CASE WHEN w.wb * 100 + w.wt * (r.x_ttr - (s.s_ttr // s.n))
+                           + w.ws * (r.x_stop - (s.s_stop // s.n))
+                           + w.wl * (r.x_len - (s.s_len // s.n))
+                           + w.wk * (r.x_tok - (s.s_tok // s.n)) > 0
+                      THEN 'pos' ELSE 'neg' END AS predicted
+          FROM (SELECT r0.*, (2 * r0.x_ttr + r0.x_stop)
+                       - ((2 * s0.s_ttr + s0.s_stop) // s0.n) AS m2
+                FROM rawf r0 CROSS JOIN fstats s0) r
+          CROSS JOIN fstats s CROSS JOIN w$PerceptronIters w)
+        GROUP BY 1, 2""")),
 
     // ───── incremental rolling hash over the character stream (the
     // Rabin-Karp-style fingerprint a chunking pipeline would maintain):
