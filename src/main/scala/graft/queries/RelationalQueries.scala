@@ -1755,5 +1755,66 @@ object RelationalQueries {
                CAST(count(CASE WHEN e.vec_id IS NULL THEN 1 END) AS BIGINT)
         FROM documents d LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e
           ON d.doc_id = e.vec_id"""))
+  ,
+
+    // ───── iterative graph analytics (r8): integer PageRank over the
+    // customer↔supplier purchase graph — the second iterative graph
+    // operator next to dedup_cluster's label propagation. Edges are the
+    // DISTINCT (customer, supplier) purchase relations (orders ⋈
+    // lineitem), symmetrized so the walk is well-defined (no dangling
+    // sinks); each of 4 iterations is ONE edge-list equi-join + ONE
+    // hash-agg — per-round cost O(|edges|), the standard distributed
+    // PageRank shape, with damping 0.85 in pure integer arithmetic
+    // (rank·85 div (100·deg), base 150000 per node on a 1e6 scale;
+    // truncation leaks mass deterministically — both engines leak the
+    // SAME mass, so the unrolled DuckDB replay is bit-identical).
+    // Top-20 via TakeOrderedAndProject with a total-order tiebreak.
+    QuerySpec(
+      "graph_pagerank",
+      (s, d) => {
+        val e0 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("cnode"),
+            concat(lit("s"), col("l_suppkey")).as("snode"))
+          .distinct()
+        val edges = e0.select(col("cnode").as("src"), col("snode").as("dst"))
+          .unionByName(e0.select(col("snode").as("src"), col("cnode").as("dst")))
+          .localCheckpoint(true) // reused by degree + every iteration
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val withDeg = edges.join(deg, "src")
+        var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+        for (_ <- 1 to 4) {
+          ranks = withDeg.join(ranks, col("src") === col("node"))
+            .select(col("dst"),
+              expr("(pr * 85) div (100 * deg)").as("contrib"))
+            .groupBy(col("dst").as("node"))
+            .agg((sum("contrib") + lit(150000L)).as("pr"))
+        }
+        ranks.orderBy(col("pr").desc, col("node")).limit(20)
+      },
+      Some {
+        val iters = (1 to 4).map { t =>
+          s"""
+        r$t AS (
+          SELECT e.dst AS node,
+                 CAST(150000 + SUM((r.pr * 85) // (100 * d.deg)) AS BIGINT) AS pr
+          FROM edges e JOIN r${t - 1} r ON r.node = e.src
+                       JOIN deg d ON d.src = e.src
+          GROUP BY e.dst)"""
+        }.mkString(",")
+        s"""
+        WITH e0 AS (
+          SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+                          's' || CAST(l.l_suppkey AS VARCHAR) AS snode
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        edges AS (
+          SELECT cnode AS src, snode AS dst FROM e0
+          UNION ALL
+          SELECT snode AS src, cnode AS dst FROM e0),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT src AS node, 1000000::BIGINT AS pr FROM deg),$iters
+        SELECT node, pr FROM r4 ORDER BY pr DESC, node LIMIT 20"""
+      })
   )
 }
