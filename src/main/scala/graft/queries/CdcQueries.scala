@@ -102,6 +102,35 @@ object CdcQueries {
            OR s1.event_type IS DISTINCT FROM s2.event_type
            OR s1.value IS DISTINCT FROM s2.value""")),
 
+    // ───── S4+7 — SCD2 version history: the CDC log materialized as a
+    // slowly-changing-dimension table — per key, every version with its
+    // validity interval [valid_from, valid_to) and a current-row flag
+    // (tombstones close their interval and are never current). The
+    // relational face of what readTargetAsOf serves point-wise: ONE
+    // window shuffle (lead + row_number share the per-key spec), no
+    // joins, linear in the log.
+    QuerySpec(
+      "cdc_scd2_history",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("version_no", row_number().over(w).cast("long"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .select(col("user_id"), col("version_no"), col("event_id"),
+            col("event_type"), col("value"),
+            col("ts").as("valid_from"), col("valid_to"),
+            (col("valid_to").isNull && !isRemove).as("is_current"))
+      },
+      Some("""
+        SELECT user_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_no,
+               event_id, event_type, value,
+               ts AS valid_from,
+               LEAD(ts, 1) OVER w AS valid_to,
+               (LEAD(ts, 1) OVER w IS NULL AND event_type <> 'error') AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+
     // ───── A2/W1 — last-writer-wins compaction per key
     QuerySpec(
       "cdc_lww_compact",
