@@ -1815,6 +1815,104 @@ object RelationalQueries {
         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
         r0 AS (SELECT src AS node, 1000000::BIGINT AS pr FROM deg),$iters
         SELECT node, pr FROM r4 ORDER BY pr DESC, node LIMIT 20"""
-      })
+      }),
+
+    // ───── deterministic mergeable quantile sketch (r8): the DDSketch
+    // shape with PURE-INTEGER log buckets — msb position (length(bin(v)),
+    // the shingle-profile primitive) × 3 mantissa bits = 8 sub-buckets
+    // per octave, relative error ≤ 1/8. The sketch state is bucket
+    // counts, so partial aggregation and any re-aggregation merge by
+    // ADDITION — mergeability is structural, not a custom buffer — and
+    // unlike approx_percentile's engine-specific interpolation the
+    // ESTIMATES themselves are bit-identical cross-engine (every step is
+    // bit arithmetic), so they sit directly under the hash gate. The
+    // accuracy contract is asserted in-band per (type, quantile): the
+    // bucket lower bound never exceeds the exact ordinal value and the
+    // gap stays under the 1/8 bound — provably-true booleans the oracle
+    // must also derive (the agg_approx_distinct pattern, but with the
+    // estimate ALSO hash-compared). Scale shape: the data crosses one
+    // (type, bucket) hash-agg with map-side partials; every window runs
+    // over bucket-cardinality rows (≤ ~8·64 per type), except the exact
+    // ordinal side, which is the verification harness, not the sketch.
+    QuerySpec(
+      "agg_quantile_sketch",
+      (s, d) => {
+        import s.implicits._
+        val cents = events(s, d)
+          .select(col("event_type"),
+            expr("cast(round(value * 100) as bigint)").as("v"))
+          .filter(col("v") >= 1)
+        val bucketed = cents
+          .withColumn("m", expr("length(bin(v))"))
+          .withColumn("bucket", expr(
+            """cast(case when v < 8 then v
+                    else m * 8 + (shiftright(v, cast(m - 4 as int)) & 7)
+                    end as bigint)"""))
+        val hist = bucketed.groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("bn"))
+        val wcum = Window.partitionBy("event_type").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum("bn").over(wcum))
+        val totals = cents.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val positions = totals.crossJoin(Seq(50, 95, 99).toDF("q"))
+          .withColumn("pos", expr("(n * q + 99) div 100"))
+        val est = cum.join(positions, Seq("event_type"))
+          .filter(col("cum") >= col("pos"))
+          .groupBy("event_type", "q").agg(min("bucket").as("bucket"))
+          .withColumn("est", expr(
+            """case when bucket < 8 then bucket
+               else shiftleft(8 + bucket % 8, cast(bucket div 8 - 4 as int))
+               end"""))
+        val wrank = Window.partitionBy("event_type").orderBy("v")
+        val exact = cents.withColumn("rn", row_number().over(wrank))
+          .join(positions, Seq("event_type"))
+          .filter(col("rn") === col("pos"))
+          .select(col("event_type"), col("q"), col("v").as("exact_ord"))
+        est.join(exact, Seq("event_type", "q"))
+          .select(col("event_type"), col("q"), col("est"), col("exact_ord"),
+            (col("est") <= col("exact_ord")).as("est_le_exact"),
+            ((col("exact_ord") - col("est")) * 8 < greatest(col("est"), lit(1L)))
+              .as("bound_ok"))
+      },
+      Some("""
+        WITH cents AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+          WHERE CAST(round(value * 100) AS BIGINT) >= 1),
+        bucketed AS (
+          SELECT event_type, v,
+                 CASE WHEN v < 8 THEN v
+                      ELSE CAST(len(bin(v)) AS BIGINT) * 8
+                           + ((v >> (CAST(len(bin(v)) AS BIGINT) - 4)) & 7)
+                 END AS bucket
+          FROM cents),
+        hist AS (SELECT event_type, bucket, COUNT(*) AS bn
+                 FROM bucketed GROUP BY 1, 2),
+        cum AS (SELECT event_type, bucket,
+                       SUM(bn) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+                FROM hist),
+        totals AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM cents GROUP BY 1),
+        positions AS (SELECT t.event_type, q.q, (t.n * q.q + 99) // 100 AS pos
+                      FROM totals t CROSS JOIN (VALUES (50), (95), (99)) q(q)),
+        est AS (SELECT c.event_type, p.q, MIN(c.bucket) AS bucket
+                FROM cum c JOIN positions p
+                  ON c.event_type = p.event_type AND c.cum >= p.pos
+                GROUP BY 1, 2),
+        estv AS (SELECT event_type, q,
+                        CASE WHEN bucket < 8 THEN bucket
+                             ELSE (8 + bucket % 8) << (bucket // 8 - 4)
+                        END AS est
+                 FROM est),
+        ranked AS (SELECT event_type, v,
+                          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn
+                   FROM cents),
+        exact AS (SELECT r.event_type, p.q, r.v AS exact_ord
+                  FROM ranked r JOIN positions p
+                    ON r.event_type = p.event_type AND r.rn = p.pos)
+        SELECT e.event_type, e.q, e.est, x.exact_ord,
+               e.est <= x.exact_ord AS est_le_exact,
+               (x.exact_ord - e.est) * 8 < GREATEST(e.est, 1) AS bound_ok
+        FROM estv e JOIN exact x
+          ON e.event_type = x.event_type AND e.q = x.q"""))
   )
 }
