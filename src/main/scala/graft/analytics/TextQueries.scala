@@ -720,6 +720,71 @@ object TextQueries {
         ORDER BY score DESC, doc_id
         LIMIT 20""")),
 
+    // ───── sparse doc↔doc similarity (r8): tf-idf cosine over the
+    // inverted index — the SPARSE retrieval complement to the dense ANN
+    // family (same signed-cos² determinism contract, different vector
+    // space). Weights are integer tf·idf ((N·1000) div df — the X10
+    // discipline); the pair dot accumulates term-at-a-time through ONE
+    // equi-join on the term, restricted to RARE terms (2 ≤ df ≤ 50, the
+    // dedup_containment prefilter) so hot posting lists never go
+    // quadratic — the rare-term dot IS the score definition (common
+    // terms carry ~zero idf mass anyway). Norms use the FULL weight
+    // vector. dot² and na·nb exceed int64, so each exact integer
+    // converts to double SEPARATELY (IEEE int64→double is
+    // round-to-nearest-even in both engines) and the multiply/divide
+    // are single exactly-rounded ops — the sq8ApproxScoreSql contract.
+    // Top-20 via TakeOrderedAndProject with a full tiebreak.
+    QuerySpec(
+      "text_sparse_cosine",
+      (s, d) => {
+        val n = Tables.documents(s, d).count()
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        val w = tf.join(dfreq, "t")
+          .withColumn("w", expr(s"tf * ((${n}L * 1000L) div df)"))
+        val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm"))
+        val rare = w.filter(col("df").between(2, 50))
+        val pairs = rare.as("a")
+          .join(rare.as("b"),
+            col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(sum(col("a.w") * col("b.w")).as("dot"))
+        pairs
+          .join(norms.as("xa"), col("da") === col("xa.doc_id"))
+          .join(norms.as("xb"), col("db") === col("xb.doc_id"))
+          .select(col("da"), col("db"),
+            (col("dot").cast("double") * col("dot").cast("double") /
+              (col("xa.nrm").cast("double") * col("xb.nrm").cast("double")))
+              .as("score"))
+          .orderBy(col("score").desc, col("da"), col("db")).limit(20)
+      },
+      Some("""
+        WITH tf AS (
+          SELECT doc_id, t, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+          GROUP BY 1, 2),
+        dfv AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+        nc AS (SELECT COUNT(*) AS n FROM documents),
+        w AS (SELECT tf.doc_id, tf.t, dfv.df,
+                     tf.tf * ((nc.n * 1000) // dfv.df) AS w
+              FROM tf JOIN dfv USING (t) CROSS JOIN nc),
+        norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nrm FROM w GROUP BY 1),
+        rare AS (SELECT * FROM w WHERE df BETWEEN 2 AND 50),
+        pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                         CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+                  FROM rare a JOIN rare b ON a.t = b.t AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT p.da, p.db,
+               (CAST(p.dot AS DOUBLE) * CAST(p.dot AS DOUBLE))
+               / (CAST(x.nrm AS DOUBLE) * CAST(y.nrm AS DOUBLE)) AS score
+        FROM pairs p
+        JOIN norms x ON x.doc_id = p.da
+        JOIN norms y ON y.doc_id = p.db
+        ORDER BY score DESC, p.da, p.db
+        LIMIT 20""")),
+
     // ───── PMI collocations: rank adjacent bigrams by pointwise mutual
     // information — the phrase-mining signal on top of the co-occurrence
     // counts (X9's "PMI numerator" made whole). The score is the exact
