@@ -545,6 +545,46 @@ object SnapshotStore {
       parseManifest(readFully(fs, mf), version), keys, opCol, seqCol)
   }
 
+  /** Store-level version diff: the per-key change set between two
+    * COMMITTED retained versions — what the `cdc_snapshot_diff` query
+    * computes from a raw log, served instead from the store's own
+    * manifests (the read side of PITR: "what changed between the state
+    * I restored yesterday and today's"). Both reads go through
+    * [[readTargetAsOf]], so orphan manifests are refused and GC'd
+    * versions fail loudly; the diff itself is one full-outer join on
+    * the key with a null-safe payload compare — ADDED / REMOVED /
+    * MODIFIED rows with `old_` / `new_` images, unchanged keys absent.
+    * Merge metadata (`op`, sequence) is excluded from the compare by
+    * default: a re-put of an identical image is not a change. Payload
+    * columns missing on one side (schema drift across versions) align
+    * as nulls.
+    */
+  def diffVersions(spark: SparkSession, targetDir: String,
+                   from: String, to: String,
+                   keys: Seq[String] = Seq("keys"), opCol: String = "op",
+                   seqCol: String = "sequenceNumber"): DataFrame = {
+    val a = readTargetAsOf(spark, targetDir, from, keys, opCol, seqCol)
+    val b = readTargetAsOf(spark, targetDir, to, keys, opCol, seqCol)
+    val payload = (a.columns ++ b.columns).distinct.toSeq
+      .filterNot(keys.contains).filterNot(Seq(opCol, seqCol).contains)
+    def side(df: DataFrame, prefix: String, flag: String): DataFrame =
+      df.select(keys.map(col) ++
+        payload.map(c =>
+          (if (df.columns.contains(c)) col(c) else lit(null))
+            .as(s"$prefix$c")) :+
+        lit(true).as(flag): _*)
+    val j = side(a, "old_", "__in_a")
+      .join(side(b, "new_", "__in_b"), keys, "full_outer")
+    val moved = payload.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    j.withColumn("change",
+        when(col("__in_a").isNull, lit("ADDED"))
+          .when(col("__in_b").isNull, lit("REMOVED"))
+          .when(moved, lit("MODIFIED")))
+      .filter(col("change").isNotNull)
+      .drop("__in_a", "__in_b")
+  }
+
   /** Point read: the applied state of `lookups` keys only, reading ONLY
     * the segment chains of the buckets those keys hash to — the store's
     * analog of the reference's `GetItem` (app/lambdas/check-ddb-status/

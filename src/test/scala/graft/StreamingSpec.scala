@@ -176,6 +176,35 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("not retained"))
   }
 
+  test("diffVersions: ADDED/REMOVED/MODIFIED between retained versions; re-put of same image is no change") {
+    import spark.implicits._
+    val target = tmp("diff-target")
+    def delta(rows: (String, String, String, Option[String])*) =
+      rows.toDF("keys", "op", "sequenceNumber", "newImage")
+    // v1: k1=a, k2=b, k4=d
+    SnapshotStore.mergeIntoTarget(spark, target, delta(
+      ("k1", "PUT", "001", Some("a")), ("k2", "PUT", "002", Some("b")),
+      ("k4", "PUT", "003", Some("d"))), 0L, retainVersions = 3)
+    val v1 = SnapshotStore.pointerValue(spark, target).get
+    // v2: k1 modified, k2 deleted, k3 added, k4 re-put with the SAME image
+    SnapshotStore.mergeIntoTarget(spark, target, delta(
+      ("k1", "PUT", "004", Some("a2")), ("k2", "DELETE", "005", None),
+      ("k3", "PUT", "006", Some("c")), ("k4", "PUT", "007", Some("d"))),
+      1L, retainVersions = 3)
+    val v2 = SnapshotStore.pointerValue(spark, target).get
+    val diff = SnapshotStore.diffVersions(spark, target, v1, v2)
+      .select("keys", "change", "old_newImage", "new_newImage")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.getString(2)), Option(r.getString(3))))).toMap
+    // k4's metadata-only re-put must NOT surface; unchanged keys absent
+    assert(diff === Map(
+      "k1" -> (("MODIFIED", Some("a"), Some("a2"))),
+      "k2" -> (("REMOVED", Some("b"), None)),
+      "k3" -> (("ADDED", None, Some("c")))))
+    // identical versions diff to empty
+    assert(SnapshotStore.diffVersions(spark, target, v2, v2).count() === 0L)
+  }
+
   test("applySink auto-compaction: sink-thread maintenance folds chains, state unchanged") {
     val in = tmp("ac-in"); val target = tmp("ac-target")
     val ckpt = tmp("ac-ckpt"); val dlq = tmp("ac-dlq")
