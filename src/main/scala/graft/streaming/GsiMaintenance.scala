@@ -125,6 +125,33 @@ object GsiMaintenance {
            trigger: Trigger): StreamingQuery =
     sink(cdc, baseDir, checkpoint, Seq(gsiDir -> gsi), trigger)
 
+  /** Online GSI creation — DynamoDB's add-an-index-to-a-LIVE-table
+    * backfill: derive the new index's full content from the base
+    * target's current applied state and merge it as the GSI target's
+    * first version, after which the normal [[sink]] maintenance takes
+    * over. Each backfilled row carries its base row's OWN stored
+    * sequence number as its stamp: the entry asserts "index state as of
+    * that write", so a verbatim replay of the batch that produced the
+    * very state the backfill read is absorbed by the store's
+    * seq-guarded LWW (same stamp, same image), while any later live
+    * event outranks it — the backfill can never beat real maintenance.
+    * Cost: ONE scan of the base state (the price DynamoDB also pays —
+    * online index creation backfills the whole table) through the
+    * store's normal commit path; the stream can keep draining into the
+    * base while this runs, because maintenance batches that land after
+    * the backfill's state read carry strictly newer stamps.
+    */
+  def backfillGsi(spark: SparkSession, baseDir: String, gsiDir: String,
+                  gsi: GsiDef, batchId: Long = 0L): Unit = {
+    val rows = SnapshotStore.readTarget(spark, baseDir)
+      .filter(coalesce(gsi.present, lit(false)))
+      .select(gsi.gsiKey.as("gsi_key"), col("keys").as("ref_key"),
+        lit("PUT").as("op"), col("sequenceNumber"),
+        gsi.projected.as("newImage"))
+    SnapshotStore.mergeIntoTarget(spark, gsiDir, rows, batchId,
+      keys = Seq("gsi_key", "ref_key"))
+  }
+
   /** Spec oracle: the GSI recomputed from the base target's live state —
     * what the maintained index must equal after every drained batch.
     */

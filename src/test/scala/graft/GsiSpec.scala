@@ -132,6 +132,41 @@ class GsiSpec extends SparkSpec {
     assert(gsiState(idx) === recomputed(base))
   }
 
+  test("online GSI backfill: index created on a LIVE table converges with maintenance") {
+    val in = tmp("gsib-in"); val base = tmp("gsib-base"); val idx = tmp("gsib-idx")
+    val ckpt = tmp("gsib-ckpt")
+    writeCdcFile(in, "b1.json", Seq(
+      rec("e1", "INSERT", "2024-01-01T00:00:01Z", "001", "k1", Some("v1")),
+      rec("e2", "INSERT", "2024-01-01T00:00:02Z", "002", "k2", Some("w1")),
+      rec("e3", "MODIFY", "2024-01-01T00:00:03Z", "003", "k1", Some("v2")),
+      rec("e4", "INSERT", "2024-01-01T00:00:04Z", "004", "k4", Some("z"))))
+    // the table goes live BEFORE any index exists
+    val q = GsiMaintenance.sink(
+      CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
+      base, ckpt, gsis = Seq.empty)
+    q.awaitTermination(60000)
+    // add the GSI online: backfill from the live applied state (k4 is
+    // sparse-absent — single-char image)
+    GsiMaintenance.backfillGsi(spark, base, idx, gsi)
+    assert(gsiState(idx) === Set(("v", "k1", "v2"), ("w", "k2", "w1")))
+    assert(gsiState(idx) === recomputed(base))
+    // duplicate delivery of the very batch whose state the backfill
+    // read: same stamps, same images — absorbed by the seq-guarded LWW
+    writeCdcFile(in, "b2.json", Seq(
+      rec("e3", "MODIFY", "2024-01-01T00:00:03Z", "003", "k1", Some("v2"))))
+    // then live maintenance takes over on the SAME checkpoint: a key
+    // move and a delete must land through the normal sink path
+    writeCdcFile(in, "b3.json", Seq(
+      rec("e5", "MODIFY", "2024-01-01T00:00:05Z", "005", "k1", Some("x9")),
+      rec("e6", "REMOVE", "2024-01-01T00:00:06Z", "006", "k2", None)))
+    val q2 = GsiMaintenance.sink(
+      CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
+      base, ckpt, Seq(idx -> gsi))
+    q2.awaitTermination(60000)
+    assert(gsiState(idx) === Set(("x", "k1", "x9")))
+    assert(gsiState(idx) === recomputed(base))
+  }
+
   test("torn batch: GSI merged but base not — replay converges both targets") {
     val base = tmp("gsit-base"); val idx = tmp("gsit-idx")
     def rawBatch(rows: (String, String, String, String, Option[String])*) =
