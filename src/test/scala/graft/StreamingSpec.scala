@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.restore.{RestoreSession, RestoreStatus}
-import graft.streaming.{CdcStream, SnapshotStore}
+import graft.streaming.{CdcStream, SnapshotStore, TableExport}
 
 /** End-to-end streaming + orchestration specs: the apply sink converges
   * the target table, duplicate delivery is a no-op, failed batches land in
@@ -203,6 +203,47 @@ class StreamingSpec extends SparkSpec {
       "k3" -> (("ADDED", None, Some("c")))))
     // identical versions diff to empty
     assert(SnapshotStore.diffVersions(spark, target, v2, v2).count() === 0L)
+  }
+
+  test("DYNAMODB_JSON export/import: point-in-time export restores; live deltas outrank the import") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.get_json_object
+    val src = tmp("exp-src"); val stage = tmp("exp-stage"); val dst = tmp("exp-dst")
+    def delta(rows: (String, String, String, Option[String])*) =
+      rows.toDF("keys", "op", "sequenceNumber", "newImage")
+    def stateOf(dir: String) =
+      SnapshotStore.readTarget(spark, dir).select("keys", "newImage")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // DDB-JSON items (keys live inside the item, the DynamoDB rule)
+    def item(k: String, v: Int) = s"""{"pk":{"S":"$k"},"v":{"N":"$v"}}"""
+    SnapshotStore.mergeIntoTarget(spark, src, delta(
+      ("k1", "PUT", "001", Some(item("k1", 1))),
+      ("k2", "PUT", "002", Some(item("k2", 2)))), 0L, retainVersions = 3)
+    val v1 = SnapshotStore.pointerValue(spark, src).get
+    SnapshotStore.mergeIntoTarget(spark, src, delta(
+      ("k1", "PUT", "003", Some(item("k1", 10))),
+      ("k2", "DELETE", "004", None)), 1L, retainVersions = 3)
+    // export-to-point-in-time: the v1 export restores the v1 state
+    val n = TableExport.restoreFromExport(spark, src, stage, dst,
+      img => get_json_object(img, "$.pk.S"), asOf = Some(v1))
+    assert(n === 2L)
+    assert(TableExport.exportedItemCount(spark, stage) === 2L)
+    assert(stateOf(dst) === Map("k1" -> item("k1", 1), "k2" -> item("k2", 2)))
+    // imported rows carry the null-sequence base stamp: a real CDC
+    // delta replayed onto the restored table outranks the import
+    SnapshotStore.mergeIntoTarget(spark, dst, delta(
+      ("k1", "PUT", "003", Some(item("k1", 10)))), 5L)
+    assert(stateOf(dst) === Map("k1" -> item("k1", 10), "k2" -> item("k2", 2)))
+    // a partial export (data/ tampered) must refuse to import
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$stage/data/part-*"))
+      .head.getPath
+    fs.delete(part, false)
+    val e = intercept[IllegalStateException](
+      TableExport.importDdbJson(spark, stage, tmp("exp-dst2"),
+        img => get_json_object(img, "$.pk.S")))
+    assert(e.getMessage.contains("partial export"))
   }
 
   test("applySink auto-compaction: sink-thread maintenance folds chains, state unchanged") {
