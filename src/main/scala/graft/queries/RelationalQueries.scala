@@ -1817,6 +1817,49 @@ object RelationalQueries {
         SELECT node, pr FROM r4 ORDER BY pr DESC, node LIMIT 20"""
       }),
 
+    // ───── CEP-style sequence-pattern matching (r8): the MATCH_RECOGNIZE
+    // semantic (contiguous view→click→purchase runs per user) without a
+    // dedicated operator — each user's event-type sequence renders as a
+    // single-char-coded string in (ts, event_id) total order (ONE
+    // hash-agg with array_sort over the collected per-user events — the
+    // per-user payload is bounded; production bounds it further by
+    // sessionizing first, cdc_sessionize) and a regexp counts the
+    // pattern's non-overlapping occurrences. Both engines build the
+    // identical string (deterministic total order) and POSIX-count the
+    // same literal pattern, so the per-hit-count user histogram is
+    // hash-exact. Funnel (events_funnel) asks "did each stage EVER
+    // happen, in order"; this asks "how often did the stages happen
+    // CONSECUTIVELY" — the contiguity constraint is what needs the
+    // sequence string.
+    QuerySpec(
+      "events_pattern_match",
+      (s, d) => events(s, d)
+        .withColumn("c", expr(
+          """case event_type when 'view' then 'v' when 'click' then 'c'
+             when 'purchase' then 'p' when 'signup' then 's' else 'e' end"""))
+        .groupBy("user_id")
+        .agg(expr(
+          """concat_ws('', transform(
+               array_sort(collect_list(struct(ts, event_id, c))), x -> x.c))""")
+          .as("seq"))
+        .select(expr("size(regexp_extract_all(seq, 'vcp', 0))").cast("long")
+          .as("pattern_hits"))
+        .groupBy("pattern_hits").agg(count(lit(1)).as("n_users")),
+      Some("""
+        SELECT pattern_hits, COUNT(*) AS n_users
+        FROM (
+          SELECT CAST(len(regexp_extract_all(seq, 'vcp')) AS BIGINT) AS pattern_hits
+          FROM (
+            SELECT user_id,
+                   string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                              WHEN 'click' THEN 'c'
+                                              WHEN 'purchase' THEN 'p'
+                                              WHEN 'signup' THEN 's'
+                                              ELSE 'e' END, ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id))
+        GROUP BY 1""")),
+
     // ───── deterministic mergeable quantile sketch (r8): the DDSketch
     // shape with PURE-INTEGER log buckets — msb position (length(bin(v)),
     // the shingle-profile primitive) × 3 mantissa bits = 8 sub-buckets
