@@ -1,5 +1,6 @@
 package graft.analytics
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -826,6 +827,99 @@ object DedupQueries {
         SELECT verdict, count(*) AS n_docs,
                CAST(SUM(CAST(ceil(len(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens
         FROM verdicts GROUP BY verdict""")),
+
+    // ───── INCREMENTAL curation funnel (r8): the daily-crawl composition
+    // — the NEW batch (doc_id % 11 = 0, the incremental-family
+    // convention) gets its keep/drop verdict against the EXISTING
+    // corpus: dup_of_corpus (near-dups an existing doc, either pair
+    // orientation) > dup_in_batch (keep-first within the increment) >
+    // blocklist > contaminated > non_english > too_short > low_quality
+    // > keep, each signal the SAME standalone-verified operator. The
+    // verdict table here restricts the memoized full pair set — at
+    // production scale the pair feed is dedup_incremental's old×new
+    // band join plus a new×new join (both O(|new| + matched buckets),
+    // never old×old), which yields exactly this restriction. Output is
+    // the increment's funnel report — what a nightly ingest pipeline
+    // actually publishes before committing the batch.
+    QuerySpec(
+      "curation_incremental",
+      (s, d) => {
+        val stopCnt = TextQueries.markerCountExpr(TextQueries.markers("en"))
+        def isNew(c: Column) = c % 11 === 0
+        val pairs = minhashPairs(s, d)
+        val dupCorpus = pairs
+          .filter(isNew(col("doc_b")) && !isNew(col("doc_a")))
+          .select(col("doc_b").as("doc_id"))
+          .unionByName(pairs
+            .filter(isNew(col("doc_a")) && !isNew(col("doc_b")))
+            .select(col("doc_a").as("doc_id")))
+          .distinct().withColumn("is_dupc", lit(true))
+        val dupBatch = pairs
+          .filter(isNew(col("doc_a")) && isNew(col("doc_b")))
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("is_dupb", lit(true))
+        val cont = contaminated(s, d)
+          .select(col("doc_id")).withColumn("is_cont", lit(true))
+        val langs = Tables.documents(s, d)
+          .select(col("doc_id").as("orig_id"), col("lang"))
+        Corpus.docsWithNearDups(s, d)
+          .filter(isNew(col("doc_id")))
+          .withColumn("orig_id", col("doc_id") % Corpus.VariantOffset)
+          .join(langs, "orig_id")
+          .join(broadcast(dupCorpus), Seq("doc_id"), "left")
+          .join(broadcast(dupBatch), Seq("doc_id"), "left")
+          .join(broadcast(cont), Seq("doc_id"), "left")
+          .withColumn("verdict", expr(
+            s"""case when is_dupc then 'dup_of_corpus'
+                     when is_dupb then 'dup_in_batch'
+                     when doc_id % 97 = 0 then 'blocklist'
+                     when is_cont then 'contaminated'
+                     when lang != 'en' then 'non_english'
+                     when size(split(text, ' ')) < 10 then 'too_short'
+                     when cast($stopCnt as double) / size(split(text, ' ')) > 0.25
+                       or cast(size(array_distinct(split(text, ' '))) as double)
+                            / size(split(text, ' ')) < 0.2 then 'low_quality'
+                     else 'keep' end"""))
+          .groupBy("verdict")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("cast(ceil(length(text) / 4.0) as bigint)")).as("est_tokens"))
+      },
+      Some(s"""
+        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $minhashPairsCtes,
+        $contaminatedCtes,
+        dupc AS (
+          SELECT DISTINCT d FROM (
+            SELECT doc_b AS d FROM mpairs WHERE doc_b % 11 = 0 AND doc_a % 11 != 0
+            UNION ALL
+            SELECT doc_a FROM mpairs WHERE doc_a % 11 = 0 AND doc_b % 11 != 0)),
+        dupb AS (
+          SELECT DISTINCT doc_b AS d FROM mpairs
+          WHERE doc_a % 11 = 0 AND doc_b % 11 = 0),
+        langs AS (SELECT doc_id AS orig_id, lang FROM documents),
+        iverdicts AS (
+          SELECT c.doc_id, c.text,
+                 CASE WHEN dc.d IS NOT NULL THEN 'dup_of_corpus'
+                      WHEN db.d IS NOT NULL THEN 'dup_in_batch'
+                      WHEN c.doc_id % 97 = 0 THEN 'blocklist'
+                      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                      WHEN l.lang != 'en' THEN 'non_english'
+                      WHEN len(string_split(c.text, ' ')) < 10 THEN 'too_short'
+                      WHEN CAST(${TextQueries.markerCountSql(TextQueries.markers("en"), "c.text")}
+                             AS DOUBLE) / len(string_split(c.text, ' ')) > 0.25
+                        OR CAST(len(list_distinct(string_split(c.text, ' '))) AS DOUBLE)
+                             / len(string_split(c.text, ' ')) < 0.2 THEN 'low_quality'
+                      ELSE 'keep' END AS verdict
+          FROM corpus c
+          JOIN langs l ON l.orig_id = c.doc_id % ${Corpus.VariantOffset}
+          LEFT JOIN dupc dc ON dc.d = c.doc_id
+          LEFT JOIN dupb db ON db.d = c.doc_id
+          LEFT JOIN contaminated ct ON ct.doc_id = c.doc_id
+          WHERE c.doc_id % 11 = 0)
+        SELECT verdict, count(*) AS n_docs,
+               CAST(SUM(CAST(ceil(len(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens
+        FROM iverdicts GROUP BY verdict""")),
 
     // ───── FUZZY KEY MATCH (entity resolution): reconcile a dirty
     // registry (deterministic single-character typos injected from
