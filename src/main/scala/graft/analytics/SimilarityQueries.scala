@@ -228,6 +228,25 @@ object SimilarityQueries {
   private[graft] val TrainedIters = 2
   private[graft] val TrainedNProbe = 3
 
+  private val centCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[(Int, Array[Long], Long)]]()
+
+  /** Spherical trained centroids over the quantized corpus, memoized per
+    * (session, corpus): training is deterministic and the artifact is k
+    * driver-side rows, so ivf_trained / ivf_sq8 / ivf_pq and every
+    * ann_recall leg share ONE Lloyd run instead of retraining per query
+    * (the pqTrainedCodebook discipline).
+    */
+  private def trainedCents(s: SparkSession,
+                           d: String): Seq[(Int, Array[Long], Long)] =
+    centCache.synchronized {
+      val app = s.sparkContext.applicationId
+      centCache.keySet.removeIf(_._1 != app)
+      centCache.computeIfAbsent((app, d), _ =>
+        Clustering.kmeansSpherical(s, Corpus.quantizedVectors(s, d),
+          TrainedK, TrainedIters))
+    }
+
   /** Trained-IVF candidate pairs: spherical integer k-means
     * ([[Clustering.kmeansSpherical]]) as the coarse quantizer — cells
     * trained under the SAME signed-cos² the search ranks by — with
@@ -240,7 +259,7 @@ object SimilarityQueries {
     */
   private def ivfTrainedPairs(s: SparkSession, d: String): DataFrame = {
     val base = Corpus.quantizedVectors(s, d)
-    val cents = Clustering.kmeansSpherical(s, base, TrainedK, TrainedIters)
+    val cents = trainedCents(s, d)
     val assigned = assignToCentroids(base, cents).select("vec_id", "qv", "nn", "c_id")
     val probes = base.filter(col("vec_id") < 10)
       .withColumn("cell",
@@ -526,7 +545,7 @@ object SimilarityQueries {
     */
   private def ivfPqPairs(s: SparkSession, d: String, kk: Int): DataFrame = {
     val base = Corpus.quantizedVectors(s, d)
-    val cents = Clustering.kmeansSpherical(s, base, TrainedK, TrainedIters)
+    val cents = trainedCents(s, d)
     val assigned = assignToCentroids(base, cents).select("vec_id", "qv", "nn", "c_id")
     val cbl = typedLit(pqTrainedCodebook(s, d))
     val index = assigned
@@ -567,7 +586,7 @@ object SimilarityQueries {
     */
   private def ivfSq8Pairs(s: SparkSession, d: String, kk: Int): DataFrame = {
     val base = Corpus.quantizedVectors(s, d)
-    val cents = Clustering.kmeansSpherical(s, base, TrainedK, TrainedIters)
+    val cents = trainedCents(s, d)
     val assigned = assignToCentroids(base, cents).select("vec_id", "qv", "nn", "c_id")
     val bounds = base
       .select(posexplode(col("qv")).as(Seq("i", "x")))
