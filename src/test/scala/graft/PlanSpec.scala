@@ -428,4 +428,55 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       s"partial group-limit missing — rank filters would full-sort at scale:\n$p")
   }
+
+  test("cdc_snapshot_diff: both cutoff states from ONE hash-agg — no window, no join") {
+    val p = plan("cdc_snapshot_diff")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+    assert(!p.contains("Window"), s"snapshot diff must not need a window:\n$p")
+    assert(!p.contains("Join"), s"snapshot diff must not need a join:\n$p")
+  }
+
+  test("cdc_scd2_history: lead + row_number share ONE window exchange") {
+    val p = plan("cdc_scd2_history")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+  }
+
+  test("graph_pagerank: every round is an equi-join; top-20 via TakeOrderedAndProject") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pagerank rounds must stay equi-joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("text_sparse_cosine: rare-term equi-join, top-20 via TakeOrderedAndProject") {
+    val p = plan("text_sparse_cosine")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the pair stage must be the term equi-join, never doc×doc:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("dedup_semantic: the pair stage is the cell equi-join, never vector×vector") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster-restricted pairs must join on the cell id:\n$p")
+  }
+
+  test("mm_phash_dedup: candidates come from the band-bucket equi-join, never image×image") {
+    val p = plan("mm_phash_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phash candidates must band-join:\n$p")
+  }
+
+  test("events_pattern_match: one per-user hash-agg chain — no join anywhere") {
+    val p = plan("events_pattern_match")
+    assert(!p.contains("Join"), s"sequence build is agg-only:\n$p")
+  }
+
+  test("agg_quantile_sketch: the sketch agg is two-phase (map-side partials)") {
+    val p = plan("agg_quantile_sketch")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bucket histogram must combine map-side:\n$p")
+  }
 }
