@@ -57,7 +57,45 @@ object ScaleProbe {
     // SPARK_GRAFT_PROBE=recall runs ONLY the recall-at-scale block (the
     // doc/text/topk probes are unaffected by it and cost minutes at x64)
     val recallOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("recall")
+    // SPARK_GRAFT_PROBE=pagerank runs ONLY the pagerank-at-scale block
+    val prOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("pagerank")
     for (k <- factors) {
+      if (prOnly) {
+        // integer PageRank over the purchase graph replicated k× as
+        // DISCONNECTED copies (node ids suffixed by replica — graph size
+        // scales k×, diameter and round count stay constant, the
+        // dedup-cluster replication discipline). The claim under test:
+        // per-round cost is one edge-list equi-join + one hash-agg, so
+        // total time grows linearly in |edges| with the round count
+        // pinned at 4 — no hidden rank-table or driver-side stage.
+        time(s"pagerank_x$k") {
+          val e0 = spark.read.parquet(s"$d/lineitem.parquet")
+            .select(col("l_orderkey"), col("l_suppkey"))
+            .join(spark.read.parquet(s"$d/orders.parquet")
+              .select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(concat(lit("c"), col("o_custkey")).as("cn"),
+              concat(lit("s"), col("l_suppkey")).as("sn"))
+            .distinct()
+          val rep = e0.crossJoin(
+              spark.range(k).toDF("rep"))
+            .select(concat(col("cn"), lit("#"), col("rep")).as("cnode"),
+              concat(col("sn"), lit("#"), col("rep")).as("snode"))
+          val edges = rep.select(col("cnode").as("src"), col("snode").as("dst"))
+            .unionByName(
+              rep.select(col("snode").as("src"), col("cnode").as("dst")))
+            .localCheckpoint(true)
+          val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          val withDeg = edges.join(deg, "src")
+          var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+          for (_ <- 1 to 4)
+            ranks = withDeg.join(ranks, col("src") === col("node"))
+              .select(col("dst"), expr("(pr * 85) div (100 * deg)").as("contrib"))
+              .groupBy(col("dst").as("node"))
+              .agg((sum("contrib") + lit(150000L)).as("pr"))
+          ranks.count()
+        }
+      } else {
       if (!recallOnly) {
       val docs = replicateDocs(spark, d, k).persist()
       val nd = docs.count()
@@ -431,6 +469,7 @@ object ScaleProbe {
       }
       indexed.unpersist()
       jvecs.unpersist()
+      } // !prOnly
     }
     spark.stop()
   }
