@@ -131,6 +131,60 @@ object CdcQueries {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
 
+    // ───── S4+9 — global-tables active-active merge: two regional CDC
+    // streams (region derived deterministically from the event) converge
+    // per key by DynamoDB's global-tables rule — last-writer-wins on the
+    // write timestamp with a deterministic region tiebreak — and the
+    // report surfaces CROSS-REGION CONFLICTS: keys whose two latest
+    // writes came from different regions within a 1-hour window (the
+    // writes a multi-region app actually raced). One window pass (rank
+    // ≤ 2 per key over the unioned timeline) + one tiny hash-agg.
+    QuerySpec(
+      "cdc_global_tables",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("region").desc, col("event_id").desc)
+        events(s, d)
+          .withColumn("region",
+            when(col("event_id") % 2 === 0, "us-east-1").otherwise("eu-west-1"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .groupBy("user_id")
+          .agg(
+            max(when(col("rn") === 1, col("region"))).as("winner_region"),
+            max(when(col("rn") === 2, col("region"))).as("runner_region"),
+            max(when(col("rn") === 1, unix_timestamp(col("ts")))).as("t1"),
+            max(when(col("rn") === 2, unix_timestamp(col("ts")))).as("t2"))
+          .withColumn("conflict",
+            col("runner_region").isNotNull &&
+              col("winner_region") =!= col("runner_region") &&
+              col("t1") - col("t2") <= 3600L)
+          .groupBy("winner_region", "conflict")
+          .agg(count(lit(1)).as("n_keys"))
+      },
+      Some("""
+        SELECT winner_region, conflict, COUNT(*) AS n_keys
+        FROM (
+          SELECT user_id,
+                 MAX(CASE WHEN rn = 1 THEN region END) AS winner_region,
+                 (MAX(CASE WHEN rn = 2 THEN region END) IS NOT NULL
+                  AND MAX(CASE WHEN rn = 1 THEN region END)
+                      <> MAX(CASE WHEN rn = 2 THEN region END)
+                  AND MAX(CASE WHEN rn = 1 THEN epoch(ts)::BIGINT END)
+                      - MAX(CASE WHEN rn = 2 THEN epoch(ts)::BIGINT END) <= 3600)
+                   AS conflict
+          FROM (
+            SELECT user_id, ts, region,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, region DESC, event_id DESC) AS rn
+            FROM (SELECT user_id, ts, event_id,
+                         CASE WHEN event_id % 2 = 0 THEN 'us-east-1'
+                              ELSE 'eu-west-1' END AS region
+                  FROM events))
+          WHERE rn <= 2
+          GROUP BY user_id)
+        GROUP BY 1, 2""")),
+
     // ───── A2/W1 — last-writer-wins compaction per key
     QuerySpec(
       "cdc_lww_compact",

@@ -1817,6 +1817,55 @@ object RelationalQueries {
         SELECT node, pr FROM r4 ORDER BY pr DESC, node LIMIT 20"""
       }),
 
+    // ───── point-in-time feature assembly (r8): the feature-store join
+    // that builds a LEAKAGE-FREE training set — each label event
+    // (purchase) picks up the latest value of EVERY feature stream
+    // (views, clicks) as of its own time. Not the pairwise asof_join: N
+    // feature streams + labels assemble in ONE window pass over the
+    // unioned per-user timeline (last_value IGNORE NULLS of each
+    // stream's value, frame up to the current row — a label row's own
+    // contribution is null by construction, so nothing at-or-after the
+    // label leaks), plus integer feature staleness. One shuffle total
+    // for any number of feature streams — the N-way asof would shuffle
+    // per stream.
+    QuerySpec(
+      "join_pit_features",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .withColumn("f_view",
+            last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w))
+          .withColumn("f_click",
+            last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w))
+          .withColumn("f_view_ts",
+            last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+          .withColumn("f_view_age_s", expr(
+            // exact integer microseconds on both engines — a seconds
+            // epoch would round differently (floor vs cast-round)
+            "(unix_micros(ts) - unix_micros(f_view_ts)) div 1000000L"))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("value").as("label_value"),
+            col("f_view"), col("f_click"), col("f_view_age_s"))
+      },
+      Some("""
+        SELECT user_id, event_id, ts, value AS label_value,
+               f_view, f_click, f_view_age_s
+        FROM (
+          SELECT user_id, event_id, ts, value, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+                   OVER w AS f_view,
+                 LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+                   OVER w AS f_click,
+                 (epoch_us(ts)
+                   - epoch_us(LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                              OVER w)) // 1000000 AS f_view_age_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        WHERE event_type = 'purchase'""")),
+
     // ───── CEP-style sequence-pattern matching (r8): the MATCH_RECOGNIZE
     // semantic (contiguous view→click→purchase runs per user) without a
     // dedicated operator — each user's event-type sequence renders as a
