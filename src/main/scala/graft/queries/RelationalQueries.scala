@@ -1817,6 +1817,32 @@ object RelationalQueries {
         SELECT node, pr FROM r4 ORDER BY pr DESC, node LIMIT 20"""
       }),
 
+    // ───── exact mergeable bitmap distinct (r8): distinct users per
+    // event type via [[graft.functions.BitmapDistinctAgg]] — a fixed
+    // bitmap whose partial buffers merge by bitwise OR (associative,
+    // commutative, IDEMPOTENT: map-side combine, re-aggregation, and
+    // duplicate delivery are all exact — property-tested over arbitrary
+    // chunkings in SketchPropertiesSpec). The EXACT alternative to the
+    // HLL estimate when the id domain is bounded (dense surrogate keys):
+    // 8 KB of state per group at a 64k domain vs a full distinct-agg
+    // expand shuffling every (group, id) pair. Oracle equality against
+    // COUNT(DISTINCT) proves the sketch exact cross-engine.
+    QuerySpec(
+      "agg_bitmap_distinct",
+      (s, d) => {
+        val bd = udaf(new graft.functions.BitmapDistinctAgg(4096),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+        events(s, d)
+          .groupBy("event_type")
+          .agg(bd(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type""")),
+
     // ───── point-in-time feature assembly (r8): the feature-store join
     // that builds a LEAKAGE-FREE training set — each label event
     // (purchase) picks up the latest value of EVERY feature stream

@@ -78,6 +78,33 @@ class SketchPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("BitmapDistinctAgg: exact distinct under every chunking, order, and duplication") {
+    import graft.functions.BitmapDistinctAgg
+    val cap = 512
+    val gen = for {
+      xs <- Gen.listOf(Gen.chooseNum(0L, cap - 1L))
+      dupFactor <- Gen.chooseNum(1, 3)
+      chunk <- Gen.chooseNum(1, 7)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (xs, dupFactor, chunk, seed)
+    check(Prop.forAll(gen) { case (xs, dupFactor, chunk, seed) =>
+      val agg = new BitmapDistinctAgg(cap)
+      // duplicate delivery then shuffle then arbitrary chunk boundaries:
+      // OR-idempotence must make all of it invisible
+      val stream = new scala.util.Random(seed)
+        .shuffle(Seq.fill(dupFactor)(xs).flatten)
+      val sketched =
+        if (stream.isEmpty) agg.finish(agg.zero)
+        else agg.finish(stream.grouped(chunk)
+          .map(_.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge))
+      sketched == xs.distinct.size.toLong
+    })
+    // out-of-domain fails loudly, never silently masks
+    val agg = new BitmapDistinctAgg(cap)
+    intercept[IllegalArgumentException](agg.reduce(agg.zero, cap.toLong))
+    intercept[IllegalArgumentException](agg.reduce(agg.zero, -1L))
+  }
+
   test("TopKScoredAgg: bounded merge equals exact top-k under every chunking and order") {
     import graft.functions.TopKScoredAgg
     val gen = for {
