@@ -24,6 +24,34 @@ import graft.queries.QuerySpec
   */
 object MultimodalQueries {
 
+  /** Shared banded near-dup stage for the perceptual-hash queries: a
+    * 64-bit signature packed as 4×16-bit bands (`id`, b0..b3) →
+    * band-bucket candidate equi-join (lossless for Hamming ≤ 3 by
+    * pigeonhole — never signature×signature) → exact Hamming ≤
+    * `maxHamming` verify. Emits (`a`, `b`, hamming) with a < b.
+    */
+  private def bandNearDupPairs(hashes: org.apache.spark.sql.DataFrame,
+                               id: String, a: String, b: String,
+                               maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    val bands = (0 until 4).map(k =>
+      hashes.select(col(id), col(s"b$k").as("bv"), lit(k).as("band")))
+      .reduce(_ unionByName _)
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as(a), col(s"y.$id").as(b))
+      .distinct()
+    cands
+      .join(hashes.as("ha"), col(a) === col(s"ha.$id"))
+      .join(hashes.as("hb"), col(b) === col(s"hb.$id"))
+      .withColumn("hamming", expr(
+        "bit_count(ha.b0 ^ hb.b0) + bit_count(ha.b1 ^ hb.b1) + " +
+          "bit_count(ha.b2 ^ hb.b2) + bit_count(ha.b3 ^ hb.b3)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col(a), col(b), col("hamming"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // ───── header decode: width/height/channels from the leading bytes of
@@ -178,23 +206,7 @@ object MultimodalQueries {
           }
           .toDF("img_id", "b0", "b1", "b2", "b3")
           .localCheckpoint(true) // 240 rows; used by 4 band legs + 2 verify sides
-        val bands = (0 until 4).map(k =>
-          hashes.select(col("img_id"), col(s"b$k").as("bv"), lit(k).as("band")))
-          .reduce(_ unionByName _)
-        val cands = bands.as("x")
-          .join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-              col("x.img_id") < col("y.img_id"))
-          .select(col("x.img_id").as("img_a"), col("y.img_id").as("img_b"))
-          .distinct()
-        cands
-          .join(hashes.as("ha"), col("img_a") === col("ha.img_id"))
-          .join(hashes.as("hb"), col("img_b") === col("hb.img_id"))
-          .withColumn("hamming", expr(
-            "bit_count(ha.b0 ^ hb.b0) + bit_count(ha.b1 ^ hb.b1) + " +
-              "bit_count(ha.b2 ^ hb.b2) + bit_count(ha.b3 ^ hb.b3)").cast("long"))
-          .filter(col("hamming") <= 6)
-          .select(col("img_a"), col("img_b"), col("hamming"))
+        bandNearDupPairs(hashes, "img_id", "img_a", "img_b", maxHamming = 6)
       },
       Some {
         // px(j) for variant/base rows: the closed-form pixel byte
@@ -237,6 +249,97 @@ object MultimodalQueries {
         FROM cands c
         JOIN hashes x ON x.img_id = c.img_a
         JOIN hashes y ON y.img_id = c.img_b
+        WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 6"""
+      }),
+
+    // ───── audio fingerprint near-dup (r8): the AUDIO dual of
+    // mm_phash_dedup, through the engine's REAL WAV path. Per clip: a
+    // closed-form deterministic waveform → hand-built RIFF/PCM-16
+    // container → [[MediaCodecs.decodePcmWav]] (the actual chunk-walk
+    // parser) → energy fingerprint (64 windows × 16 samples, mean-abs
+    // energy, above-mean bits — the spectral-band-energy hashing shape
+    // with time-domain energy standing in for the FFT this container
+    // has no JDK primitive for) → the shared banded Hamming ≤ 6 verify.
+    // Injected variants (id%5==0, sparse +50 amplitude bumps) must all
+    // surface. The oracle computes the identical fingerprint from the
+    // closed-form samples WITHOUT any codec — equality proves PCM-16
+    // encode → RIFF walk → decode → windowed energy exact end-to-end.
+    QuerySpec(
+      "mm_audio_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        val hashes = Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 120).as[Long]
+          .flatMap(id =>
+            (id, false) +: (if (id % 5 == 0) Seq((id, true)) else Nil))
+          .map { case (id, perturb) =>
+            def sample(i: Int): Int =
+              ((id * 31 + i.toLong * 17) % 2048).toInt - 1024 +
+                (if (perturb && i % 89 == 0) 50 else 0)
+            def le16(v: Int) = Array[Byte](
+              (v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+            def le32(v: Int) = Array[Byte](
+              (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+              ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+            val data = Array.tabulate(1024)(sample).flatMap(le16)
+            val fmt = le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+              le16(2) ++ le16(16)
+            val wav = "RIFF".getBytes ++
+              le32(4 + 8 + fmt.length + 8 + data.length) ++
+              "WAVE".getBytes ++ "fmt ".getBytes ++ le32(fmt.length) ++ fmt ++
+              "data".getBytes ++ le32(data.length) ++ data
+            val (_, _, wf) = MediaCodecs.decodePcmWav(wav)
+            val e = Array.tabulate(64)(k =>
+              (0 until 16).map(j => math.abs(wf(k * 16 + j).toInt).toLong).sum)
+            val mean = e.sum / 64
+            val b = (0 until 4).map { bk =>
+              (0 until 16).foldLeft(0L)((acc, j) =>
+                if (e(16 * bk + j) >= mean) acc | (1L << j) else acc)
+            }
+            (if (perturb) 10000L + id else id, b(0), b(1), b(2), b(3))
+          }
+          .toDF("clip_id", "b0", "b1", "b2", "b3")
+          .localCheckpoint(true)
+        bandNearDupPairs(hashes, "clip_id", "clip_a", "clip_b", maxHamming = 6)
+      },
+      Some {
+        def sampleSql(i: String): String =
+          s"""(((base_id * 31 + ($i) * 17) % 2048) - 1024
+              + CASE WHEN perturb AND ($i) % 89 = 0 THEN 50 ELSE 0 END)"""
+        def bandSql(k: Int): String =
+          s"""CAST(list_sum(list_transform(range(0, 16), j ->
+              CASE WHEN e[${16 * k} + j + 1] >= mean THEN 1 << j ELSE 0 END)) AS BIGINT)"""
+        s"""
+        WITH clips AS (
+          SELECT doc_id AS base_id, doc_id AS clip_id, FALSE AS perturb
+          FROM documents WHERE doc_id < 120
+          UNION ALL
+          SELECT doc_id, 10000 + doc_id, TRUE
+          FROM documents WHERE doc_id < 120 AND doc_id % 5 = 0),
+        grids AS (
+          SELECT clip_id,
+                 list_transform(range(0, 64), k ->
+                   list_sum(list_transform(range(0, 16), j ->
+                     abs(${sampleSql("k * 16 + j")})))) AS e
+          FROM clips),
+        hashes AS (
+          SELECT clip_id, ${bandSql(0)} AS b0, ${bandSql(1)} AS b1,
+                 ${bandSql(2)} AS b2, ${bandSql(3)} AS b3
+          FROM (SELECT clip_id, e, CAST(list_sum(e) AS BIGINT) // 64 AS mean
+                FROM grids)),
+        cands AS (
+          SELECT DISTINCT a.clip_id AS clip_a, b.clip_id AS clip_b
+          FROM hashes a JOIN hashes b
+            ON a.clip_id < b.clip_id AND
+               (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+        SELECT c.clip_a, c.clip_b,
+               CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+                 AS BIGINT) AS hamming
+        FROM cands c
+        JOIN hashes x ON x.clip_id = c.clip_a
+        JOIN hashes y ON y.clip_id = c.clip_b
         WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 6"""
       }),
