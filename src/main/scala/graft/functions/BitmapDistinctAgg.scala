@@ -47,3 +47,24 @@ class BitmapDistinctAgg(capacity: Int)
   override def outputEncoder: Encoder[Long] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]()
 }
+
+/** [[BitmapDistinctAgg]]'s raw-bitmap sibling: finishes with the bitmap
+  * itself instead of its population count, so downstream SET ALGEBRA
+  * stays exact — intersect/union distinct sets via `zip_with` AND/OR on
+  * the word arrays (the theta-sketch use case, exact on the bounded
+  * domain). Same OR-merge buffer, same loud out-of-domain failure.
+  */
+class BitmapAgg(capacity: Int)
+    extends Aggregator[Long, Array[Long], Seq[Long]] {
+  private val inner = new BitmapDistinctAgg(capacity)
+  override def zero: Array[Long] = inner.zero
+  override def reduce(buf: Array[Long], v: Long): Array[Long] =
+    inner.reduce(buf, v)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    inner.merge(a, b)
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

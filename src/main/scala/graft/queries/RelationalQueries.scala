@@ -1817,6 +1817,105 @@ object RelationalQueries {
         SELECT node, pr FROM r4 ORDER BY pr DESC, node LIMIT 20"""
       }),
 
+    // ───── OLS regression from exact sufficient sums (r8): slope /
+    // intercept / R² per group — delivering agg_correlation's promised
+    // extension with the identical discipline: the five sums accumulate
+    // exactly as DECIMAL(38)/HUGEINT over integer cents (order-
+    // independent), then slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²), intercept =
+    // (Σy − slope·Σx)/n, R² = cov²/(varx·vary) as a FIXED chain of
+    // correctly-rounded double ops — bit-identical across engines where
+    // the built-in regr_* functions' streaming accumulation is
+    // float-order-dependent. Same two-phase hash-agg plan.
+    QuerySpec(
+      "agg_regression",
+      (s, d) => lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("decimal(38,0)").as("x"),
+          round(col("l_extendedprice") * 100).cast("decimal(38,0)").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("l_returnflag"),
+          col("n").cast("long").as("n"),
+          expr("cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)").as("cov_n"),
+          expr("cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)").as("varx_n"),
+          expr("cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)").as("vary_n"),
+          expr("cast(sx as double)").as("sxd"), expr("cast(sy as double)").as("syd"),
+          expr("cast(n as double)").as("nd"))
+        .select(col("l_returnflag"), col("n"),
+          (col("cov_n") / col("varx_n")).as("slope"),
+          ((col("syd") - col("cov_n") / col("varx_n") * col("sxd")) / col("nd"))
+            .as("intercept"),
+          (col("cov_n") * col("cov_n") / (col("varx_n") * col("vary_n"))).as("r2")),
+      Some("""
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               cov_n / varx_n AS slope,
+               (syd - cov_n / varx_n * sxd) / nd AS intercept,
+               cov_n * cov_n / (varx_n * vary_n) AS r2
+        FROM (
+          SELECT l_returnflag, n,
+                 CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+                 CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+                 CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                 CAST(n AS DOUBLE) AS nd
+          FROM (
+            SELECT l_returnflag, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM (
+              SELECT l_returnflag,
+                     CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+                     CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+              FROM lineitem)
+            GROUP BY l_returnflag))""")),
+
+    // ───── bitmap set algebra (r8): weekend vs weekday active users per
+    // event type with their EXACT intersection and union — the
+    // theta-sketch use case served exactly on the bounded id domain:
+    // [[graft.functions.BitmapAgg]] emits the raw bitmaps, zip_with
+    // AND/OR intersects/unions them as word arrays, and a codegen'd
+    // bit_count fold collapses each to its cardinality. Distinct-set
+    // OVERLAP normally needs a re-shuffle of (group, id) pairs or a
+    // self-join; here it is two hash-aggs + an array op on k-word rows.
+    QuerySpec(
+      "agg_bitmap_overlap",
+      (s, d) => {
+        val ba = udaf(new graft.functions.BitmapAgg(4096),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+        val ev = events(s, d)
+          .withColumn("wknd", dayofweek(col("ts")).isin(1, 7))
+        def side(f: Column, nm: String) = ev.filter(f)
+          .groupBy("event_type").agg(ba(col("user_id")).as(nm))
+        def pop(c: String) = expr(
+          s"aggregate($c, 0L, (acc, w) -> acc + cast(bit_count(w) as bigint))")
+        side(col("wknd"), "bm_we")
+          .join(side(!col("wknd"), "bm_wd"), Seq("event_type"), "full_outer")
+          // a type with no events on one side still reports: empty bitmap
+          .withColumn("bm_we", coalesce(col("bm_we"), expr("array_repeat(0L, 64)")))
+          .withColumn("bm_wd", coalesce(col("bm_wd"), expr("array_repeat(0L, 64)")))
+          .select(col("event_type"),
+            pop("bm_we").as("n_weekend"),
+            pop("bm_wd").as("n_weekday"),
+            pop("zip_with(bm_we, bm_wd, (a, b) -> a & b)").as("n_both"),
+            pop("zip_with(bm_we, bm_wd, (a, b) -> a | b)").as("n_either"))
+      },
+      Some("""
+        SELECT event_type,
+               CAST(SUM(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+               CAST(SUM(CASE WHEN wd THEN 1 ELSE 0 END) AS BIGINT) AS n_weekday,
+               CAST(SUM(CASE WHEN we AND wd THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+               CAST(COUNT(*) AS BIGINT) AS n_either
+        FROM (
+          SELECT event_type, user_id,
+                 bool_or(isodow(ts) >= 6) AS we,
+                 bool_or(isodow(ts) < 6) AS wd
+          FROM events GROUP BY 1, 2)
+        GROUP BY event_type""")),
+
     // ───── exact mergeable bitmap distinct (r8): distinct users per
     // event type via [[graft.functions.BitmapDistinctAgg]] — a fixed
     // bitmap whose partial buffers merge by bitwise OR (associative,
