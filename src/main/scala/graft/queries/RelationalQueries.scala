@@ -1817,6 +1817,58 @@ object RelationalQueries {
         SELECT node, pr FROM r4 ORDER BY pr DESC, node LIMIT 20"""
       }),
 
+    // ───── cohort LTV curve (r8): cumulative purchase revenue per
+    // signup-month cohort by months-since-signup, normalized per cohort
+    // member — the lifetime-value report on top of the retention
+    // machinery. Revenue in exact integer cents; the running sum's
+    // window runs over (cohort × age) rows — dozens — never the event
+    // log; cohort sizes broadcast back; per-user LTV is one integer
+    // division.
+    QuerySpec(
+      "events_ltv_cohort",
+      (s, d) => {
+        val signup = events(s, d).filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(min(date_trunc("month", col("ts"))).as("cohort"))
+        val sizes = signup.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+        val rev = events(s, d).filter(col("event_type") === "purchase")
+          .join(signup, "user_id")
+          .withColumn("age",
+            (year(col("ts")) * 12 + month(col("ts"))
+              - year(col("cohort")) * 12 - month(col("cohort"))).cast("long"))
+          .filter(col("age") >= 0)
+          .groupBy("cohort", "age")
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("rev_cents"))
+        val w = Window.partitionBy("cohort").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev.withColumn("cum_cents", sum("rev_cents").over(w))
+          .join(sizes, "cohort")
+          .select(col("cohort"), col("age"), col("rev_cents"), col("cum_cents"),
+            expr("cum_cents div n_users").as("ltv_cents_per_user"))
+      },
+      Some("""
+        WITH signup AS (
+          SELECT user_id, MIN(date_trunc('month', ts)) AS cohort
+          FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        sizes AS (SELECT cohort, COUNT(*) AS n_users FROM signup GROUP BY 1),
+        rev AS (
+          SELECT s.cohort,
+                 CAST((year(e.ts) * 12 + month(e.ts))
+                      - (year(s.cohort) * 12 + month(s.cohort)) AS BIGINT) AS age,
+                 CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+          FROM events e JOIN signup s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase'
+            AND (year(e.ts) * 12 + month(e.ts))
+                >= (year(s.cohort) * 12 + month(s.cohort))
+          GROUP BY 1, 2)
+        SELECT r.cohort, r.age, r.rev_cents,
+               CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort ORDER BY r.age
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+               CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort ORDER BY r.age
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 // z.n_users AS ltv_cents_per_user
+        FROM rev r JOIN sizes z ON z.cohort = r.cohort""")),
+
     // ───── OLS regression from exact sufficient sums (r8): slope /
     // intercept / R² per group — delivering agg_correlation's promised
     // extension with the identical discipline: the five sums accumulate
