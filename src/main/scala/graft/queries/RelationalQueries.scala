@@ -1817,6 +1817,40 @@ object RelationalQueries {
         SELECT node, pr FROM r4 ORDER BY pr DESC, node LIMIT 20"""
       }),
 
+    // ───── gaps-and-islands (r8): longest consecutive-active-day streak
+    // per user — the classic islands trick (day minus per-user ordinal is
+    // CONSTANT within a consecutive run, so runs fall out of one
+    // groupBy), reported as a streak-length histogram. The event log
+    // collapses to distinct (user, day) FIRST, so the window runs over
+    // active-day cardinality, not event cardinality; everything after is
+    // integer/date arithmetic both engines share.
+    QuerySpec(
+      "events_streaks",
+      (s, d) => {
+        val days = events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        days
+          .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+          .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+          .groupBy("user_id").agg(max("len").as("longest_streak"))
+          .groupBy("longest_streak").agg(count(lit(1)).as("n_users"))
+      },
+      Some("""
+        SELECT longest_streak, COUNT(*) AS n_users
+        FROM (
+          SELECT user_id, MAX(len) AS longest_streak
+          FROM (
+            SELECT user_id, grp, COUNT(*) AS len
+            FROM (
+              SELECT user_id,
+                     day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                                AS INTEGER) AS grp
+              FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events))
+            GROUP BY user_id, grp)
+          GROUP BY user_id)
+        GROUP BY longest_streak""")),
+
     // ───── cohort LTV curve (r8): cumulative purchase revenue per
     // signup-month cohort by months-since-signup, normalized per cohort
     // member — the lifetime-value report on top of the retention
