@@ -231,6 +231,25 @@ object SimilarityQueries {
   private val centCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Seq[(Int, Array[Long], Long)]]()
 
+  private val boundsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[(Int, Long, Long)]]()
+
+  /** Per-dimension corpus [min, max] SQ8 bounds, memoized per (session,
+    * corpus) — the 64-row driver artifact sq8 / ivf_sq8 and their
+    * ann_recall legs share (the trainedCents discipline).
+    */
+  private def sq8Bounds(s: SparkSession, d: String): Seq[(Int, Long, Long)] =
+    boundsCache.synchronized {
+      val app = s.sparkContext.applicationId
+      boundsCache.keySet.removeIf(_._1 != app)
+      boundsCache.computeIfAbsent((app, d), _ =>
+        Corpus.quantizedVectors(s, d)
+          .select(posexplode(col("qv")).as(Seq("i", "x")))
+          .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq)
+    }
+
   /** Spherical trained centroids over the quantized corpus, memoized per
     * (session, corpus): training is deterministic and the artifact is k
     * driver-side rows, so ivf_trained / ivf_sq8 / ivf_pq and every
@@ -336,11 +355,7 @@ object SimilarityQueries {
     */
   private def sq8Pairs(s: SparkSession, d: String, kk: Int): DataFrame = {
     val base = Corpus.quantizedVectors(s, d)
-    val bounds = base
-      .select(posexplode(col("qv")).as(Seq("i", "x")))
-      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
+    val bounds = sq8Bounds(s, d)
     val mnl = typedLit(bounds.map(_._2).toSeq)
     val mxl = typedLit(bounds.map(_._3).toSeq)
     // INDEX layout: codes pack to BINARY via the native VecPackU8 — 64
@@ -588,11 +603,7 @@ object SimilarityQueries {
     val base = Corpus.quantizedVectors(s, d)
     val cents = trainedCents(s, d)
     val assigned = assignToCentroids(base, cents).select("vec_id", "qv", "nn", "c_id")
-    val bounds = base
-      .select(posexplode(col("qv")).as(Seq("i", "x")))
-      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
+    val bounds = sq8Bounds(s, d)
     val mnl = typedLit(bounds.map(_._2).toSeq)
     val mxl = typedLit(bounds.map(_._3).toSeq)
     val index = assigned
