@@ -1817,6 +1817,57 @@ object RelationalQueries {
         SELECT node, pr FROM r4 ORDER BY pr DESC, node LIMIT 20"""
       }),
 
+    // ───── tiled interval join (r8): point-in-interval matching WITHOUT
+    // an equi key — the shape that becomes a cartesian at scale unless
+    // the intervals are TILED: each incident window (a deterministic
+    // subset of error events opens a 1-hour window) explodes to the
+    // hour tiles it touches (≤ 2 here — tile count is bounded by window
+    // span / tile width), each point maps to its ONE tile, candidates
+    // come from the tile equi-join, and the exact containment predicate
+    // filters the edge. A point's single tile meets an incident's tile
+    // set at most once, so no dedup stage is needed. join_range covers
+    // the equi-key + interval case; this is the no-key case every
+    // incident-attribution pipeline hits.
+    QuerySpec(
+      "join_interval_tiled",
+      (s, d) => {
+        val inc = events(s, d)
+          .filter(col("event_type") === "error" &&
+            expr("cast(round(value * 100) as bigint) % 97 = 0"))
+          .select(col("event_id").as("incident_id"), col("ts").as("t0"),
+            (col("ts") + expr("interval 1 hour")).as("t1"))
+        val tiles = inc.withColumn("hour",
+          explode(expr(
+            "sequence(date_trunc('hour', t0), date_trunc('hour', t1), interval 1 hour)")))
+        val pts = events(s, d).filter(col("event_type") =!= "error")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            date_trunc("hour", col("ts")).as("hour"))
+        tiles.join(pts, "hour")
+          .filter(col("ts") >= col("t0") && col("ts") < col("t1"))
+          .groupBy("incident_id")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""
+        SELECT incident_id, COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+        FROM (
+          SELECT i.incident_id, i.t0, i.t1,
+                 unnest(generate_series(date_trunc('hour', i.t0),
+                                        date_trunc('hour', i.t1),
+                                        INTERVAL 1 HOUR)) AS hour
+          FROM (
+            SELECT event_id AS incident_id, ts AS t0, ts + INTERVAL 1 HOUR AS t1
+            FROM events
+            WHERE event_type = 'error'
+              AND CAST(round(value * 100) AS BIGINT) % 97 = 0) i) t
+        JOIN (
+          SELECT event_id, user_id, ts, date_trunc('hour', ts) AS hour
+          FROM events WHERE event_type <> 'error') p
+          ON p.hour = t.hour
+        WHERE p.ts >= t.t0 AND p.ts < t.t1
+        GROUP BY incident_id""")),
+
     // ───── gaps-and-islands (r8): longest consecutive-active-day streak
     // per user — the classic islands trick (day minus per-user ordinal is
     // CONSTANT within a consecutive run, so runs fall out of one
