@@ -828,6 +828,46 @@ object DedupQueries {
                CAST(SUM(CAST(ceil(len(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens
         FROM verdicts GROUP BY verdict""")),
 
+    // ───── MinHash estimator calibration (r8): the measurement loop for
+    // the sketch itself — per verified near-dup pair, the SIGNATURE
+    // estimate (matching slots / 12) against the EXACT Jaccard the
+    // verify stage computed, bucketed by slot count with the exact
+    // score's min/max per bucket (min/max, not avg: a float mean is
+    // summation-order-dependent; the extremes are order-free and show
+    // the calibration envelope directly). The ann_recall idea applied
+    // to the text-dedup sketch: estimator quality is an oracle-gated
+    // number, not a prose claim. Reuses the memoized pair set + one
+    // narrow signature join per side.
+    QuerySpec(
+      "dedup_minhash_estimate",
+      (s, d) => {
+        val sigs = hsetsOf(s, d).select(col("doc_id"),
+          graft.functions.SignatureFunctions.minHash12(col("hs")).as("sig"))
+        minhashPairs(s, d)
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+          .withColumn("est_slots", expr(
+            "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
+            .cast("long"))
+          .groupBy("est_slots")
+          .agg(count(lit(1)).as("n_pairs"),
+            min("jaccard").as("min_jaccard"), max("jaccard").as("max_jaccard"))
+      },
+      Some(s"""
+        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $minhashPairsCtes
+        SELECT est_slots, COUNT(*) AS n_pairs,
+               MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
+        FROM (
+          SELECT m.jaccard,
+                 CAST(len(list_filter(range(1, 13),
+                        p -> sa.minhash[p] = sb.minhash[p])) AS BIGINT) AS est_slots
+          FROM mpairs m
+          JOIN sig sa ON sa.doc_id = m.doc_a
+          JOIN sig sb ON sb.doc_id = m.doc_b)
+        GROUP BY est_slots""")),
+
     // ───── INCREMENTAL curation funnel (r8): the daily-crawl composition
     // — the NEW batch (doc_id % 11 = 0, the incremental-family
     // convention) gets its keep/drop verdict against the EXISTING

@@ -1817,6 +1817,34 @@ object RelationalQueries {
         SELECT node, pr FROM r4 ORDER BY pr DESC, node LIMIT 20"""
       }),
 
+    // ───── column-level data profiling (r8): per-column row / null /
+    // distinct counts over the CDC log — the DESCRIBE-statistics report
+    // every ingest pipeline publishes before a table goes live (the
+    // input half of profile_key_skew's join planning). One scan per
+    // column, each pruned to THAT column at the parquet reader (a
+    // single multi-distinct aggregation would expand every row
+    // |columns|-fold through one shuffle instead); both engines
+    // enumerate the same declared column list.
+    QuerySpec(
+      "profile_columns",
+      (s, d) => {
+        val ev = events(s, d)
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+          .map(c => ev.agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"))
+            .select(lit(c).as("column_name"),
+              col("n_rows"), col("n_null"), col("n_distinct")))
+          .reduce(_ unionByName _)
+      },
+      Some(Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        .map(c =>
+          s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM events""")
+        .mkString("\n        UNION ALL\n        "))),
+
     // ───── tiled interval join (r8): point-in-interval matching WITHOUT
     // an equi key — the shape that becomes a cartesian at scale unless
     // the intervals are TILED: each incident window (a deterministic
