@@ -205,6 +205,49 @@ class StreamingSpec extends SparkSpec {
     assert(SnapshotStore.diffVersions(spark, target, v2, v2).count() === 0L)
   }
 
+  test("quantile-sketch bucket histogram runs as a STREAMING aggregate (additive state across batches)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // the agg_quantile_sketch state is bucket counts, which merge by
+    // addition — so the identical bucketing expression runs as a plain
+    // streaming aggregate, state bounded by bucket cardinality (≤ ~8·64
+    // per group), with micro-batches folding into it additively
+    val dir = tmp("qsk-in")
+    def writeFile(name: String, rows: Seq[(String, Long)]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      try rows.foreach { case (t, v) => w.println(s"""{"typ":"$t","v":$v}""") }
+      finally w.close()
+    }
+    // same buckets hit from BOTH files: the final counts prove the
+    // cross-batch additive fold, not just per-batch bucketing
+    writeFile("b1.json", Seq(("a", 1L), ("a", 9L), ("a", 1000L), ("b", 77L)))
+    writeFile("b2.json", Seq(("a", 9L), ("a", 1001L), ("b", 70L), ("b", 200000L)))
+    val bucketExpr =
+      """cast(case when v < 8 then v
+              else length(bin(v)) * 8
+                   + (shiftright(v, cast(length(bin(v)) - 4 as int)) & 7)
+              end as bigint)"""
+    val stream = spark.readStream.schema("typ STRING, v LONG")
+      .option("maxFilesPerTrigger", 1).json(dir)
+      .withColumn("bucket", expr(bucketExpr))
+      .groupBy("typ", "bucket").count()
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("qsk_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("qsk_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = spark.read.schema("typ STRING, v LONG").json(dir)
+      .withColumn("bucket", expr(bucketExpr))
+      .groupBy("typ", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    // the cross-batch fold really added: v=9 arrived once per file and
+    // its bucket (len(bin(9))=4 → 4·8 + (9 & 7) = 33) must count 2
+    val b9 = 4L * 8 + (9 & 7)
+    assert(streamed(("a", b9)) === 2L)
+    assert(batch.values.sum === 8L)
+  }
+
   test("DYNAMODB_JSON export/import: point-in-time export restores; live deltas outrank the import") {
     import spark.implicits._
     import org.apache.spark.sql.functions.get_json_object
