@@ -467,6 +467,60 @@ object TextQueries {
           CROSS JOIN fstats s CROSS JOIN w$PerceptronIters w)
         GROUP BY 1, 2""")),
 
+    // ───── compression-ratio quality signal (r8): per-doc DEFLATE ratio
+    // through the JDK's real zlib (java.util.zip, fixed level) — the
+    // entropy proxy production curation pipelines use to flag
+    // repetitive/templated documents (the CCNet/RefinedWeb-style
+    // signal; text_repetition counts token repeats, this measures
+    // information density directly). DuckDB has no zlib, so the gate is
+    // the CONTRACT pattern established by agg_approx_distinct: the
+    // oracle-checkable facts (per-class doc counts) hash-compare, and
+    // the signal's required properties ride as booleans the oracle
+    // asserts literally TRUE — ratios land strictly inside (0, 1000)
+    // per mille, and the injected repetitive class (text doubled)
+    // compresses strictly smaller than the normal class. A broken
+    // deflate path flips a boolean and fails the row. Per-row map; the
+    // report is one tiny agg + a 2-row cross-compare.
+    QuerySpec(
+      "text_compression_ratio",
+      (s, d) => {
+        import s.implicits._
+        val rated = Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(col("doc_id") % 9 === 0, "repetitive").otherwise("normal")
+              .as("variant"),
+            when(col("doc_id") % 9 === 0,
+              concat(col("text"), lit(" "), col("text"))).otherwise(col("text"))
+              .as("payload"))
+          .as[(Long, String, String)]
+          .mapPartitions(_.map { case (id, variant, payload) =>
+            val bytes = payload.getBytes("UTF-8")
+            val out = new java.io.ByteArrayOutputStream()
+            val dos = new java.util.zip.DeflaterOutputStream(out,
+              new java.util.zip.Deflater(6, false))
+            dos.write(bytes); dos.close()
+            (id, variant, bytes.length.toLong, out.size().toLong)
+          })
+          .toDF("doc_id", "variant", "raw_bytes", "gz_bytes")
+        val per = rated.groupBy("variant").agg(
+          count(lit(1)).as("n_docs"),
+          expr("(sum(gz_bytes) * 1000) div sum(raw_bytes)").as("permille"))
+        val rep = per.filter(col("variant") === "repetitive")
+          .select(col("permille").as("rep_pm"))
+        per.crossJoin(rep)
+          .select(col("variant"), col("n_docs"),
+            (col("permille") > 0 && col("permille") < 1000).as("ratio_sane"),
+            (col("variant") === "repetitive" || col("rep_pm") < col("permille"))
+              .as("repetitive_smaller"))
+      },
+      Some("""
+        SELECT CASE WHEN doc_id % 9 = 0 THEN 'repetitive' ELSE 'normal' END AS variant,
+               COUNT(*) AS n_docs,
+               TRUE AS ratio_sane,
+               TRUE AS repetitive_smaller
+        FROM documents
+        GROUP BY 1""")),
+
     // ───── incremental rolling hash over the character stream (the
     // Rabin-Karp-style fingerprint a chunking pipeline would maintain):
     // h = fold (h*31 + ascii(c)) & 2^40-1. Bounded at 2^45 per step, so
