@@ -1817,6 +1817,52 @@ object RelationalQueries {
         SELECT node, pr FROM r4 ORDER BY pr DESC, node LIMIT 20"""
       }),
 
+    // ───── last-touch attribution (r8): every purchase credits the
+    // latest preceding view/click within a 7-day window, else 'direct'
+    // — the marketing-attribution report built on the join_pit_features
+    // window (one pass over the per-user timeline, nothing at-or-after
+    // the purchase leaks); revenue in exact cents per channel, window
+    // age in exact integer microseconds.
+    QuerySpec(
+      "events_attribution",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val touch = col("event_type").isin("view", "click")
+        events(s, d)
+          .withColumn("lt_type",
+            last(when(touch, col("event_type")), ignoreNulls = true).over(w))
+          .withColumn("lt_ts",
+            last(when(touch, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .withColumn("channel",
+            when(col("lt_ts").isNull ||
+              expr("unix_micros(ts) - unix_micros(lt_ts)") > 7L * 86400L * 1000000L,
+              "direct").otherwise(col("lt_type")))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(expr("cast(round(value * 100) as bigint)")).as("rev_cents"))
+      },
+      Some("""
+        SELECT channel, COUNT(*) AS n_purchases,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM (
+          SELECT value,
+                 CASE WHEN lt_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(lt_ts) > 604800000000::BIGINT
+                      THEN 'direct' ELSE lt_type END AS channel
+          FROM (
+            SELECT ts, event_type, value,
+                   LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                                   THEN event_type END IGNORE NULLS) OVER w AS lt_type,
+                   LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                                   THEN ts END IGNORE NULLS) OVER w AS lt_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          WHERE event_type = 'purchase')
+        GROUP BY channel""")),
+
     // ───── column-level data profiling (r8): per-column row / null /
     // distinct counts over the CDC log — the DESCRIBE-statistics report
     // every ingest pipeline publishes before a table goes live (the
