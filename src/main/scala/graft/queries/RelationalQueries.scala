@@ -1817,6 +1817,35 @@ object RelationalQueries {
         SELECT node, pr FROM r4 ORDER BY pr DESC, node LIMIT 20"""
       }),
 
+    // ───── mix-diversity monitor (r8): Gini impurity of the event-type
+    // mix per hour-of-day — the diversity measure a training-data mix
+    // dashboard tracks (a collapsing mix drives impurity toward 0).
+    // Entropy needs libm log (engine-divergent in the last ulp); Gini
+    // is the EXACT-arithmetic diversity measure: 1 − Σpᵢ² =
+    // (n² − Σnᵢ²)/n², every term an exact integer and the division one
+    // correctly-rounded double op. Two tiny hash-aggs over (hour, type)
+    // cardinality.
+    QuerySpec(
+      "agg_gini_mix",
+      (s, d) => events(s, d)
+        .groupBy(hour(col("ts")).as("hod"), col("event_type"))
+        .agg(count(lit(1)).as("ni"))
+        .groupBy("hod")
+        .agg(sum("ni").as("n"), sum(col("ni") * col("ni")).as("sq"))
+        .select(col("hod"), col("n"),
+          ((col("n") * col("n") - col("sq")).cast("double") /
+            (col("n") * col("n")).cast("double")).as("gini")),
+      Some("""
+        SELECT hod, n,
+               CAST(n * n - sq AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+        FROM (
+          SELECT hod, CAST(SUM(ni) AS BIGINT) AS n,
+                 CAST(SUM(ni * ni) AS BIGINT) AS sq
+          FROM (
+            SELECT hour(ts) AS hod, event_type, COUNT(*) AS ni
+            FROM events GROUP BY 1, 2)
+          GROUP BY hod)""")),
+
     // ───── last-touch attribution (r8): every purchase credits the
     // latest preceding view/click within a 7-day window, else 'direct'
     // — the marketing-attribution report built on the join_pit_features
