@@ -24,16 +24,37 @@ import graft.queries.QuerySpec
   */
 object MultimodalQueries {
 
+  /** Band split of the 64-bit signatures: 7 bands (widths 9,9,9,9,9,9,10).
+    * Pigeonhole: a pair at Hamming ≤ 6 differs in at most 6 bands, so at
+    * least one of the 7 matches exactly — candidate generation is
+    * LOSSLESS for the Hamming ≤ 6 verify below (4×16 bands were only
+    * lossless to ≤ 3 and silently dropped 4–6 pairs with no equal band).
+    */
+  private val BandBounds: Seq[(Int, Int)] =
+    (0 until 7).map(k => (k * 64 / 7, (k + 1) * 64 / 7))
+
+  /** Pack the 64 signature bits (bit j set iff sig(j) ≥ mean) into the
+    * [[BandBounds]] band values — the one definition both queries and
+    * the oracle mirror.
+    */
+  private def packBands(bit: Int => Boolean): Seq[Long] =
+    BandBounds.map { case (lo, hi) =>
+      (lo until hi).foldLeft(0L)((acc, j) =>
+        if (bit(j)) acc | (1L << (j - lo)) else acc)
+    }
+
   /** Shared banded near-dup stage for the perceptual-hash queries: a
-    * 64-bit signature packed as 4×16-bit bands (`id`, b0..b3) →
-    * band-bucket candidate equi-join (lossless for Hamming ≤ 3 by
-    * pigeonhole — never signature×signature) → exact Hamming ≤
+    * 64-bit signature packed as the 7 [[BandBounds]] bands (`id`,
+    * b0..b6) → band-bucket candidate equi-join (lossless for Hamming ≤
+    * 6 by pigeonhole — never signature×signature) → exact Hamming ≤
     * `maxHamming` verify. Emits (`a`, `b`, hamming) with a < b.
     */
   private def bandNearDupPairs(hashes: org.apache.spark.sql.DataFrame,
                                id: String, a: String, b: String,
                                maxHamming: Int): org.apache.spark.sql.DataFrame = {
-    val bands = (0 until 4).map(k =>
+    require(maxHamming < BandBounds.size,
+      s"band candidates are lossless only for Hamming < ${BandBounds.size}")
+    val bands = BandBounds.indices.map(k =>
       hashes.select(col(id), col(s"b$k").as("bv"), lit(k).as("band")))
       .reduce(_ unionByName _)
     val cands = bands.as("x")
@@ -46,11 +67,24 @@ object MultimodalQueries {
       .join(hashes.as("ha"), col(a) === col(s"ha.$id"))
       .join(hashes.as("hb"), col(b) === col(s"hb.$id"))
       .withColumn("hamming", expr(
-        "bit_count(ha.b0 ^ hb.b0) + bit_count(ha.b1 ^ hb.b1) + " +
-          "bit_count(ha.b2 ^ hb.b2) + bit_count(ha.b3 ^ hb.b3)").cast("long"))
+        BandBounds.indices.map(k => s"bit_count(ha.b$k ^ hb.b$k)")
+          .mkString(" + ")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col(a), col(b), col("hamming"))
   }
+
+  /** Oracle-side mirrors of [[BandBounds]]/[[packBands]] and the banded
+    * join, over a 64-element signal list `arr` with threshold `mean`.
+    */
+  private def bandSelectSql(arr: String): String =
+    BandBounds.zipWithIndex.map { case ((lo, hi), k) =>
+      s"""CAST(list_sum(list_transform(range(0, ${hi - lo}), j ->
+              CASE WHEN $arr[$lo + j + 1] >= mean THEN 1 << j ELSE 0 END)) AS BIGINT) AS b$k"""
+    }.mkString(",\n                 ")
+  private val bandMatchSql: String =
+    BandBounds.indices.map(k => s"a.b$k = b.b$k").mkString(" OR ")
+  private val bandHammingSql: String =
+    BandBounds.indices.map(k => s"bit_count(xor(x.b$k, y.b$k))").mkString(" + ")
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -151,11 +185,12 @@ object MultimodalQueries {
     // the image id) → PNG encode → the engine's actual JDK ImageIO
     // decode ([[MediaCodecs.decodeImageIo]]) → average-hash (grayscale,
     // 8×8 nearest-neighbor resample, above-mean bits — the classic
-    // aHash) packed as 4×16-bit bands → band-bucket candidate join
-    // (lossless for Hamming ≤ 3 by pigeonhole, the simhash banding
-    // discipline — never image×image) → exact Hamming ≤ 6 verify.
-    // Injected variants (id%5==0, a few pixels nudged +8) must all
-    // surface as near-dup pairs. The oracle computes the identical
+    // aHash) packed as the 7 [[BandBounds]] bands → band-bucket
+    // candidate join (lossless for Hamming ≤ 6 by pigeonhole, the
+    // simhash banding discipline — never image×image) → exact
+    // Hamming ≤ 6 verify, so the emitted set is EXACTLY all pairs at
+    // Hamming ≤ 6. Injected variants (id%5==0, a few pixels nudged +8)
+    // surface whenever their perturbation stays within that radius. The oracle computes the identical
     // hash from the closed-form pixel arithmetic WITHOUT any codec —
     // hash equality across the gate proves decode → gray → resample →
     // threshold is exact end-to-end, the mm_codec_roundtrip idea
@@ -198,14 +233,12 @@ object MultimodalQueries {
                 (raster(i + 2) & 0xff)) / 3
             }
             val mean = gray.sum / 64
-            val b = (0 until 4).map { bk =>
-              (0 until 16).foldLeft(0L)((acc, j) =>
-                if (gray(16 * bk + j) >= mean) acc | (1L << j) else acc)
-            }
-            (if (perturb) 10000L + id else id, b(0), b(1), b(2), b(3))
+            val b = packBands(j => gray(j) >= mean)
+            (if (perturb) 10000L + id else id,
+              b(0), b(1), b(2), b(3), b(4), b(5), b(6))
           }
-          .toDF("img_id", "b0", "b1", "b2", "b3")
-          .localCheckpoint(true) // 240 rows; used by 4 band legs + 2 verify sides
+          .toDF("img_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6")
+          .localCheckpoint(true) // 240 rows; used by 7 band legs + 2 verify sides
         bandNearDupPairs(hashes, "img_id", "img_a", "img_b", maxHamming = 6)
       },
       Some {
@@ -217,9 +250,6 @@ object MultimodalQueries {
               (${pxSql("(((k // 8) * h // 8) * w + (k % 8) * w // 8) * 3")}
                + ${pxSql("(((k // 8) * h // 8) * w + (k % 8) * w // 8) * 3 + 1")}
                + ${pxSql("(((k // 8) * h // 8) * w + (k % 8) * w // 8) * 3 + 2")}) // 3)"""
-        def bandSql(k: Int): String =
-          s"""CAST(list_sum(list_transform(range(0, 16), j ->
-              CASE WHEN g[${16 * k} + j + 1] >= mean THEN 1 << j ELSE 0 END)) AS BIGINT)"""
         s"""
         WITH imgs AS (
           SELECT doc_id AS base_id, doc_id AS img_id, FALSE AS perturb
@@ -233,24 +263,19 @@ object MultimodalQueries {
                        16 + base_id % 16 AS w, 16 + base_id % 9 AS h
                 FROM imgs)),
         hashes AS (
-          SELECT img_id, ${bandSql(0)} AS b0, ${bandSql(1)} AS b1,
-                 ${bandSql(2)} AS b2, ${bandSql(3)} AS b3
+          SELECT img_id, ${bandSelectSql("g")}
           FROM (SELECT img_id, g, CAST(list_sum(g) AS BIGINT) // 64 AS mean
                 FROM grids)),
         cands AS (
           SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
           FROM hashes a JOIN hashes b
-            ON a.img_id < b.img_id AND
-               (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+            ON a.img_id < b.img_id AND ($bandMatchSql))
         SELECT c.img_a, c.img_b,
-               CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
-                    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
-                 AS BIGINT) AS hamming
+               CAST($bandHammingSql AS BIGINT) AS hamming
         FROM cands c
         JOIN hashes x ON x.img_id = c.img_a
         JOIN hashes y ON y.img_id = c.img_b
-        WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
-              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 6"""
+        WHERE $bandHammingSql <= 6"""
       }),
 
     // ───── audio fingerprint near-dup (r8): the AUDIO dual of
@@ -260,9 +285,11 @@ object MultimodalQueries {
     // parser) → energy fingerprint (64 windows × 16 samples, mean-abs
     // energy, above-mean bits — the spectral-band-energy hashing shape
     // with time-domain energy standing in for the FFT this container
-    // has no JDK primitive for) → the shared banded Hamming ≤ 6 verify.
-    // Injected variants (id%5==0, sparse +50 amplitude bumps) must all
-    // surface. The oracle computes the identical fingerprint from the
+    // has no JDK primitive for) → the shared banded Hamming ≤ 6 verify
+    // (7-band candidates: lossless at that radius, so the emitted set
+    // is exactly all pairs at Hamming ≤ 6). Injected variants
+    // (id%5==0, sparse +50 amplitude bumps) surface whenever their
+    // perturbation stays within that radius. The oracle computes the identical fingerprint from the
     // closed-form samples WITHOUT any codec — equality proves PCM-16
     // encode → RIFF walk → decode → windowed energy exact end-to-end.
     QuerySpec(
@@ -293,13 +320,11 @@ object MultimodalQueries {
             val e = Array.tabulate(64)(k =>
               (0 until 16).map(j => math.abs(wf(k * 16 + j).toInt).toLong).sum)
             val mean = e.sum / 64
-            val b = (0 until 4).map { bk =>
-              (0 until 16).foldLeft(0L)((acc, j) =>
-                if (e(16 * bk + j) >= mean) acc | (1L << j) else acc)
-            }
-            (if (perturb) 10000L + id else id, b(0), b(1), b(2), b(3))
+            val b = packBands(j => e(j) >= mean)
+            (if (perturb) 10000L + id else id,
+              b(0), b(1), b(2), b(3), b(4), b(5), b(6))
           }
-          .toDF("clip_id", "b0", "b1", "b2", "b3")
+          .toDF("clip_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6")
           .localCheckpoint(true)
         bandNearDupPairs(hashes, "clip_id", "clip_a", "clip_b", maxHamming = 6)
       },
@@ -307,9 +332,6 @@ object MultimodalQueries {
         def sampleSql(i: String): String =
           s"""(((base_id * 31 + ($i) * 17) % 2048) - 1024
               + CASE WHEN perturb AND ($i) % 89 = 0 THEN 50 ELSE 0 END)"""
-        def bandSql(k: Int): String =
-          s"""CAST(list_sum(list_transform(range(0, 16), j ->
-              CASE WHEN e[${16 * k} + j + 1] >= mean THEN 1 << j ELSE 0 END)) AS BIGINT)"""
         s"""
         WITH clips AS (
           SELECT doc_id AS base_id, doc_id AS clip_id, FALSE AS perturb
@@ -324,24 +346,19 @@ object MultimodalQueries {
                      abs(${sampleSql("k * 16 + j")})))) AS e
           FROM clips),
         hashes AS (
-          SELECT clip_id, ${bandSql(0)} AS b0, ${bandSql(1)} AS b1,
-                 ${bandSql(2)} AS b2, ${bandSql(3)} AS b3
+          SELECT clip_id, ${bandSelectSql("e")}
           FROM (SELECT clip_id, e, CAST(list_sum(e) AS BIGINT) // 64 AS mean
                 FROM grids)),
         cands AS (
           SELECT DISTINCT a.clip_id AS clip_a, b.clip_id AS clip_b
           FROM hashes a JOIN hashes b
-            ON a.clip_id < b.clip_id AND
-               (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+            ON a.clip_id < b.clip_id AND ($bandMatchSql))
         SELECT c.clip_a, c.clip_b,
-               CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
-                    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
-                 AS BIGINT) AS hamming
+               CAST($bandHammingSql AS BIGINT) AS hamming
         FROM cands c
         JOIN hashes x ON x.clip_id = c.clip_a
         JOIN hashes y ON y.clip_id = c.clip_b
-        WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
-              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 6"""
+        WHERE $bandHammingSql <= 6"""
       }),
 
     QuerySpec(

@@ -420,8 +420,14 @@ object TextQueries {
       Some(s"""
         WITH ${perceptronSqlCtes(PerceptronIters)}
         ${(1 to PerceptronIters).map(t =>
-          s"SELECT $t AS it, nerr AS n_err, wb AS w_bias, wt AS w_ttr, " +
-          s"ws AS w_stop, wl AS w_len, wk AS w_tok FROM w$t")
+          // CAST back to BIGINT: DuckDB's SUM(BIGINT) widens to HUGEINT,
+          // so the w-columns carry int128 through the CTE chain — values
+          // identical, but the hash gate compares typed values and
+          // HUGEINT degrades to float64 on the driver side.
+          s"SELECT $t AS it, CAST(nerr AS BIGINT) AS n_err, " +
+          s"CAST(wb AS BIGINT) AS w_bias, CAST(wt AS BIGINT) AS w_ttr, " +
+          s"CAST(ws AS BIGINT) AS w_stop, CAST(wl AS BIGINT) AS w_len, " +
+          s"CAST(wk AS BIGINT) AS w_tok FROM w$t")
           .mkString("\n        UNION ALL\n        ")}""")),
 
     // ───── classifier APPLY (r8): score EVERY doc — including the

@@ -349,7 +349,10 @@ object CdcOps {
         projNames.map(n => col(s"__p_$n").as(n)): _*))
     val delStruct = when(
       col("__old_present") &&
-        (!col("__new_present") || col("__old_key") =!= col("__new_key")),
+        // null-safe compare: a NULL gsi_key on either side must still
+        // count as a key move — plain =!= yields NULL and would drop the
+        // DELETE, stranding the old index entry forever
+        (!col("__new_present") || !(col("__old_key") <=> col("__new_key"))),
       struct(lit("DELETE").as("op") +: col("__old_key").as("gsi_key") +:
         projNames.map(n =>
           // typed null of the projection column's type, without resolving

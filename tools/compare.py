@@ -42,6 +42,16 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         exp, got = canon(exp), canon(got)
+        # The driver's gate hashes TYPED values: a DuckDB HUGEINT (from
+        # SUM(BIGINT)) degrades to float64 in pandas and hash-mismatches
+        # an int64 Spark column even when every value is equal. Catch
+        # that class locally by requiring the dtype KIND to agree.
+        kind_bad = [(c, str(exp[c].dtype), str(got[c].dtype))
+                    for c in exp.columns if exp[c].dtype.kind != got[c].dtype.kind]
+        if kind_bad:
+            print(f"FAIL {name}: dtype kind mismatch (oracle vs spark): {kind_bad}")
+            n_fail += 1
+            continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
             n_fail += 1
