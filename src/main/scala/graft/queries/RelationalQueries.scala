@@ -2182,6 +2182,72 @@ object RelationalQueries {
                COUNT(*) AS n_events
         FROM events GROUP BY event_type""")),
 
+    // ───── HyperLogLog distinct estimate (r9): distinct USER-DAYS per
+    // event type (the DAU-at-scale shape — the key domain is unbounded,
+    // so the exact bitmap sketch's bounded-domain contract doesn't
+    // apply) via [[graft.functions.HllRegistersAgg]]: 256 max-merged
+    // registers = 2 KB of state per group versus a full distinct-agg
+    // shuffling every (group, user-day) pair. The register contents are
+    // DETERMINISTIC cross-engine: both engines hash the identical key
+    // string through the same md5-hex→60-bit literal, take idx = low 8
+    // bits, rho = 53 − bitlength(remainder) (rem=0 → 53), and max-merge
+    // — so the raw-HLL estimate (alpha_256·m²·2^53/S, S = Σ2^(53−rho)
+    // exact in BIGINT, one deterministic float expression with literal
+    // constants) hash-matches exactly. n_exact and err_bp make the
+    // estimator's accuracy oracle-VISIBLE (±~6.5% expected at m=256);
+    // the small-range linear-counting correction is deliberately
+    // omitted (ln is not exactly-rounded cross-engine — n ≥ 2.5m holds
+    // at both test SFs, and the correction changes only the finish,
+    // never the mergeable register algebra).
+    QuerySpec(
+      "agg_hll_distinct",
+      (s, d) => {
+        val hll = udaf(new graft.functions.HllRegistersAgg(8),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+        events(s, d)
+          .withColumn("k", expr(
+            "concat(cast(user_id as string), '_', cast(to_date(ts) as string))"))
+          .withColumn("h", expr(
+            "cast(conv(substring(md5(k), 1, 15), 16, 10) as long)"))
+          .groupBy("event_type")
+          .agg(hll(col("h")).as("regs"),
+            count_distinct(col("k")).as("n_exact"))
+          .withColumn("s_sum", expr(
+            "aggregate(regs, 0L, (acc, r) -> acc + shiftleft(1L, 53 - cast(r as int)))"))
+          .withColumn("n_hll", expr(
+            "cast(floor(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * " +
+              "9007199254740992.0 / cast(s_sum as double)) as bigint)"))
+          .select(col("event_type"), col("n_hll"), col("n_exact"),
+            expr("abs(n_hll - n_exact) * 10000L div n_exact").as("err_bp"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT event_type,
+                 CAST(user_id AS VARCHAR) || '_' || CAST(CAST(ts AS DATE) AS VARCHAR) AS k,
+                 CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || '_'
+                        || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM events),
+        r AS (
+          SELECT event_type, h % 256 AS idx,
+                 MAX(CASE WHEN h // 256 = 0 THEN 53
+                          ELSE 53 - length(bin(h // 256)) END) AS rho
+          FROM h GROUP BY 1, 2),
+        s AS (
+          SELECT event_type,
+                 CAST(SUM(1::BIGINT << CAST(53 - rho AS INTEGER))
+                      + (256 - COUNT(*)) * (1::BIGINT << 53) AS BIGINT) AS s_sum
+          FROM r GROUP BY 1),
+        x AS (SELECT event_type, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_exact
+              FROM h GROUP BY 1)
+        SELECT s.event_type,
+               CAST(floor(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+                    * 9007199254740992.0 / CAST(s_sum AS DOUBLE)) AS BIGINT) AS n_hll,
+               n_exact,
+               abs(CAST(floor(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+                    * 9007199254740992.0 / CAST(s_sum AS DOUBLE)) AS BIGINT) - n_exact)
+                 * 10000 // n_exact AS err_bp
+        FROM s JOIN x USING (event_type)""")),
+
     // ───── point-in-time feature assembly (r8): the feature-store join
     // that builds a LEAKAGE-FREE training set — each label event
     // (purchase) picks up the latest value of EVERY feature stream

@@ -105,6 +105,46 @@ class SketchPropertiesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](agg.reduce(agg.zero, -1L))
   }
 
+  test("HllRegistersAgg: registers invariant under chunking, order, and duplication") {
+    import graft.functions.HllRegistersAgg
+    val p = 8
+    val gen = for {
+      xs <- Gen.listOf(Gen.chooseNum(0L, (1L << 60) - 1))
+      dupFactor <- Gen.chooseNum(1, 3)
+      chunk <- Gen.chooseNum(1, 7)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (xs, dupFactor, chunk, seed)
+    check(Prop.forAll(gen) { case (xs, dupFactor, chunk, seed) =>
+      val agg = new HllRegistersAgg(p)
+      // duplicate delivery then shuffle then arbitrary chunk boundaries:
+      // max-idempotence must make all of it invisible on the registers
+      val stream = new scala.util.Random(seed)
+        .shuffle(Seq.fill(dupFactor)(xs).flatten)
+      val sketched =
+        if (stream.isEmpty) agg.finish(agg.zero)
+        else agg.finish(stream.grouped(chunk)
+          .map(_.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge))
+      // reference registers: straight fold, no chunking
+      val ref = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      sketched == ref &&
+        // every register holds the rho definition: 53 - bitlength(h >> 8)
+        sketched.zipWithIndex.forall { case (r, i) =>
+          val hs = xs.filter(h => (h & 255) == i)
+          val expect =
+            if (hs.isEmpty) 0L
+            else hs.map { h =>
+              val rem = h >>> p
+              if (rem == 0) 53L else 53L - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+            }.max
+          r == expect
+        }
+    })
+    // out-of-domain fails loudly, never silently masks
+    val agg = new HllRegistersAgg(p)
+    intercept[IllegalArgumentException](agg.reduce(agg.zero, 1L << 60))
+    intercept[IllegalArgumentException](agg.reduce(agg.zero, -1L))
+  }
+
   test("TopKScoredAgg: bounded merge equals exact top-k under every chunking and order") {
     import graft.functions.TopKScoredAgg
     val gen = for {
