@@ -521,6 +521,121 @@ object PipelineQueries {
                CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
                CAST(SUM(CAST(ceil(len(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens,
                CAST(GROUPING(lang) * 2 + GROUPING(source) AS INTEGER) AS lvl
-        FROM documents GROUP BY ROLLUP (lang, source)"""))
+        FROM documents GROUP BY ROLLUP (lang, source)""")),
+
+    // ───── Z-order clustering + zone-map skipping (r9): the multi-
+    // dimensional file-layout operator (Delta/Iceberg OPTIMIZE ZORDER)
+    // with its EFFECT measured, not asserted. Rows map to equi-width
+    // value buckets bp/bs ∈ [0,256) on (l_partkey, l_suppkey) — the
+    // bucket bounds come from ONE broadcast scalar max, no rank window —
+    // then z = bit-interleave(bp, bs) and 64 model "files" are the
+    // z-ranges (z div 1024); the comparison layout sorts by partkey
+    // alone (bp div 4). Per-file min/max of BOTH keys is exactly the
+    // parquet row-group zone map; for three mid-range predicate boxes
+    // (pk-only, sk-only, conjunctive) the query reports how many files a
+    // min/max-pruning scan must touch under each layout. The measured
+    // contract: linear prunes only its sort key (sk-pred scans ALL
+    // files); z-order prunes BOTH axes and the conjunctive box touches
+    // ~1 file — the reason multi-dim layout is worth a rewrite pass at
+    // 100 TB (zone-map soundness is implicit: rows_matched rows always
+    // live in scanned files). Everything integer-deterministic; the
+    // whole pipeline is a map + one (layout,file) hash-agg over 128
+    // groups + a 3-way explode of the zone table — file count scales
+    // with data, no global sort (at cluster scale the write side is
+    // repartitionByRange on z, identical semantics).
+    QuerySpec(
+      "layout_zorder",
+      (s, d) => {
+        import org.apache.spark.sql.functions.broadcast
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        val mx = li.agg(max("pk").as("mxp"), max("sk").as("mxs"))
+        val b = li.crossJoin(broadcast(mx))
+          .withColumn("bp", expr("pk * 256L div (mxp + 1)"))
+          .withColumn("bs", expr("sk * 256L div (mxs + 1)"))
+          .withColumn("z", expr(
+            """aggregate(sequence(0, 7), 0L, (acc, i) ->
+               acc + shiftleft((bp div shiftleft(1L, i)) % 2, 2*i+1)
+                   + shiftleft((bs div shiftleft(1L, i)) % 2, 2*i))"""))
+          .withColumn("plo", expr("(mxp + 1) * 8 div 16"))
+          .withColumn("phi", expr("(mxp + 1) * 9 div 16"))
+          .withColumn("slo", expr("(mxs + 1) * 8 div 16"))
+          .withColumn("shi", expr("(mxs + 1) * 9 div 16"))
+        val layouts = b
+          .withColumn("layout", lit("zorder")).withColumn("f", expr("z div 1024"))
+          .unionByName(b
+            .withColumn("layout", lit("linear_pk")).withColumn("f", expr("bp div 4")))
+        layouts.groupBy("layout", "f")
+          .agg(count(lit(1)).as("n_rows"),
+            min("pk").as("min_pk"), max("pk").as("max_pk"),
+            min("sk").as("min_sk"), max("sk").as("max_sk"),
+            first("plo").as("plo"), first("phi").as("phi"),
+            first("slo").as("slo"), first("shi").as("shi"),
+            sum(expr("case when pk >= plo and pk < phi then 1L else 0L end")).as("m_pk"),
+            sum(expr("case when sk >= slo and sk < shi then 1L else 0L end")).as("m_sk"),
+            sum(expr("""case when pk >= plo and pk < phi
+                         and sk >= slo and sk < shi then 1L else 0L end""")).as("m_both"))
+          .withColumn("pred", explode(array(lit("pk"), lit("sk"), lit("both"))))
+          .withColumn("scan", expr(
+            """case pred
+               when 'pk' then max_pk >= plo and min_pk < phi
+               when 'sk' then max_sk >= slo and min_sk < shi
+               else max_pk >= plo and min_pk < phi
+                    and max_sk >= slo and min_sk < shi end"""))
+          .withColumn("mrows", expr(
+            "case pred when 'pk' then m_pk when 'sk' then m_sk else m_both end"))
+          .groupBy("layout", "pred")
+          .agg(count(lit(1)).as("files_total"),
+            sum(expr("case when scan then 1L else 0L end")).as("files_scanned"),
+            sum(expr("case when scan then n_rows else 0L end")).as("rows_scanned"),
+            sum("mrows").as("rows_matched"))
+      },
+      Some("""
+        WITH mx AS (SELECT MAX(l_partkey) AS mxp, MAX(l_suppkey) AS mxs FROM lineitem),
+        b AS (
+          SELECT l_partkey AS pk, l_suppkey AS sk,
+                 l_partkey * 256 // (mxp + 1) AS bp,
+                 l_suppkey * 256 // (mxs + 1) AS bs,
+                 (mxp + 1) * 8 // 16 AS plo, (mxp + 1) * 9 // 16 AS phi,
+                 (mxs + 1) * 8 // 16 AS slo, (mxs + 1) * 9 // 16 AS shi
+          FROM lineitem, mx),
+        zv AS (
+          SELECT *, CAST(list_sum(list_transform(range(0, 8), i ->
+                   (((bp >> i) & 1) << (2*i+1)) + (((bs >> i) & 1) << (2*i))))
+                 AS BIGINT) AS z
+          FROM b),
+        layouts AS (
+          SELECT 'zorder' AS layout, z // 1024 AS f, * FROM zv
+          UNION ALL
+          SELECT 'linear_pk' AS layout, bp // 4 AS f, * FROM zv),
+        zones AS (
+          -- plo..shi are global constants: grouping by them leaves the
+          -- (layout, f) grouping unchanged and keeps them referencable
+          SELECT layout, f, plo, phi, slo, shi, COUNT(*) AS n_rows,
+                 MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+                 MIN(sk) AS min_sk, MAX(sk) AS max_sk,
+                 CAST(SUM(CASE WHEN pk >= plo AND pk < phi
+                               THEN 1 ELSE 0 END) AS BIGINT) AS m_pk,
+                 CAST(SUM(CASE WHEN sk >= slo AND sk < shi
+                               THEN 1 ELSE 0 END) AS BIGINT) AS m_sk,
+                 CAST(SUM(CASE WHEN pk >= plo AND pk < phi
+                               AND sk >= slo AND sk < shi
+                               THEN 1 ELSE 0 END) AS BIGINT) AS m_both
+          FROM layouts GROUP BY 1, 2, 3, 4, 5, 6),
+        expanded AS (
+          SELECT z.*, p.pred,
+                 CASE p.pred
+                   WHEN 'pk' THEN max_pk >= plo AND min_pk < phi
+                   WHEN 'sk' THEN max_sk >= slo AND min_sk < shi
+                   ELSE max_pk >= plo AND min_pk < phi
+                        AND max_sk >= slo AND min_sk < shi END AS scan,
+                 CASE p.pred WHEN 'pk' THEN m_pk WHEN 'sk' THEN m_sk
+                   ELSE m_both END AS mrows
+          FROM zones z, (SELECT unnest(['pk', 'sk', 'both']) AS pred) p)
+        SELECT layout, pred, COUNT(*) AS files_total,
+               CAST(SUM(CASE WHEN scan THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+               CAST(SUM(CASE WHEN scan THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+               CAST(SUM(mrows) AS BIGINT) AS rows_matched
+        FROM expanded GROUP BY 1, 2"""))
   )
 }
