@@ -254,6 +254,73 @@ object DedupQueries {
     labels
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the O(log n)-round upgrade documented on
+    * [[connectedComponents]]: min-label propagation needs rounds equal
+    * to the max distance from each component's min-id vertex (a
+    * diameter-d chain takes d rounds), while the star operations HALVE
+    * path structure every round, so deep chains converge
+    * logarithmically. Each round is two (groupBy-min + equi-join)
+    * passes over the canonical edge list — the identical join shape and
+    * size discipline as propagation, just fewer rounds.
+    *
+    * large-star: for each u with neighborhood Γ(u), m = min(Γ(u) ∪ {u});
+    * re-point every GREATER neighbor at m — emit (m, v) for v ∈ Γ(u),
+    * v > u. small-star (on the canonically a<b oriented list): for each
+    * node its smaller-neighbor set N = {a : (a,b) ∈ E}, m = min(N);
+    * collapse the whole set onto m — emit (m, b) and (m, a) for a ∈ N,
+    * a ≠ m. The fixpoint is a star per component rooted at its min id;
+    * stability is checked EXACTLY (set equality via count + exceptAll —
+    * control-plane counts, like propagation's `changed`), never by
+    * checksum. Returns (labels, rounds) so callers can assert the
+    * logarithmic round bound.
+    */
+  def connectedComponentsLSSS(pairs: org.apache.spark.sql.DataFrame,
+                              maxRounds: Int = 40)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    var e = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("a").as("doc_id"))
+      .unionAll(e.select(col("b").as("doc_id"))).distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var stable = e.isEmpty
+    while (!stable && rounds < maxRounds) {
+      // large-star over the symmetrized view
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("m").as("x"), col("v").as("y"))
+        .filter(col("x") =!= col("y")).distinct()
+        .localCheckpoint(true)
+      // small-star on the (x < y) oriented result
+      val sm = ls.groupBy("y").agg(min("x").as("m"))
+      val ss = ls.join(sm, "y")
+        .select(col("m").as("a"), col("x").as("b"))
+        .filter(col("a") =!= col("b"))
+        .unionAll(sm.select(col("m").as("a"), col("y").as("b")))
+        .distinct()
+        .localCheckpoint(true)
+      val (c0, c1) = (e.count(), ss.count())
+      stable = c0 == c1 && ss.exceptAll(e).isEmpty
+      e = ss
+      rounds += 1
+    }
+    require(stable, s"large-star/small-star did not converge in $rounds rounds")
+    // fixpoint edges are (component-min, member) stars; roots label themselves
+    val lab = e.groupBy("b").agg(min("a").as("lbl"))
+      .select(col("b").as("doc_id"), col("lbl"))
+    val labels = nodes.join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("label"))
+    (labels, rounds)
+  }
+
   /** Per-document curation verdict over the near-dup corpus —
     * (doc_id, text, verdict) with the fixed priority chain (near_dup >
     * blocklist > contaminated > non_english > too_short > low_quality >

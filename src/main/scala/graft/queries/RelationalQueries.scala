@@ -1817,6 +1817,41 @@ object RelationalQueries {
         SELECT node, pr FROM r4 ORDER BY pr DESC, node LIMIT 20"""
       }),
 
+    // ───── connected components at scale (r9): large-star/small-star
+    // ([[graft.analytics.DedupQueries.connectedComponentsLSSS]]) over a
+    // graph of DEEP PATHS — each customer's orders linked in orderkey
+    // sequence (lag over the per-customer window), so component diameter
+    // = orders-per-customer (tens), exactly the regime where min-label
+    // propagation pays diameter rounds and the star operations pay
+    // O(log). The ORACLE is algorithm-independent: a chain's component
+    // is its customer's order set and its min label the customer's min
+    // orderkey, so DuckDB states the answer declaratively while Spark
+    // must EARN it through the iterated edge algebra — any mis-wired
+    // star round breaks size histogram or label sum. Output: histogram
+    // of component sizes with the per-size sum of min-id labels (labels
+    // checked in aggregate, not just counts). AnalyticsSpec asserts the
+    // logarithmic round bound on a 64-deep chain.
+    QuerySpec(
+      "graph_components",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        val e = orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+          .withColumn("prev", lag("o_orderkey", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("doc_a"), col("o_orderkey").as("doc_b"))
+        val (labels, _) = graft.analytics.DedupQueries.connectedComponentsLSSS(e)
+        labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
+          .groupBy("comp_size")
+          .agg(count(lit(1)).as("n_comps"), sum("label").as("sum_min_label"))
+      },
+      Some("""
+        SELECT comp_size, COUNT(*) AS n_comps,
+               CAST(SUM(lbl) AS BIGINT) AS sum_min_label
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS comp_size,
+                     MIN(o_orderkey) AS lbl
+              FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 2)
+        GROUP BY comp_size""")),
+
     // ───── mix-diversity monitor (r8): Gini impurity of the event-type
     // mix per hour-of-day — the diversity measure a training-data mix
     // dashboard tracks (a collapsing mix drives impurity toward 0).

@@ -684,6 +684,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(labels.size === 13) // every vertex labeled exactly once
   }
 
+  test("connectedComponentsLSSS: equals propagation everywhere; log rounds on deep chains") {
+    import spark.implicits._
+    // the same mixed graph the propagation test uses, plus a pseudo-random
+    // sparse graph — LSSS and propagation must agree label-for-label
+    val rnd = new scala.util.Random(42)
+    val randomPairs = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val mixed = (Seq(
+      (3L, 4L), (1L, 2L), (100L, 103L), (4L, 5L), (200L, 201L),
+      (100L, 101L), (2L, 3L), (5L, 6L), (100L, 102L), (0L, 1L))
+      ++ randomPairs.map { case (a, b) => (a + 1000L, b + 1000L) })
+      .toDF("doc_a", "doc_b")
+    val prop = DedupQueries.connectedComponents(mixed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (lssDf, _) = DedupQueries.connectedComponentsLSSS(mixed)
+    val lss = lssDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lss === prop)
+
+    // a 64-deep chain: propagation needs 63 rounds (its default budget of
+    // 25 gives up); the star rounds collapse it logarithmically
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException](DedupQueries.connectedComponents(chain))
+    val (chainLabels, rounds) = DedupQueries.connectedComponentsLSSS(chain)
+    val got = chainLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 64 && got.values.forall(_ == 0L))
+    assert(rounds <= 10, s"expected O(log n) rounds on a 64-chain, got $rounds")
+  }
+
   test("dedup_cluster picks one canonical doc per component and sizes agree") {
     val out = SparkEntry.queries("dedup_cluster")(spark, sf).collect()
     assert(out.nonEmpty)
