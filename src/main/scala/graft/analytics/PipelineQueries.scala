@@ -636,6 +636,100 @@ object PipelineQueries {
                CAST(SUM(CASE WHEN scan THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
                CAST(SUM(CASE WHEN scan THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
                CAST(SUM(mrows) AS BIGINT) AS rows_matched
-        FROM expanded GROUP BY 1, 2"""))
+        FROM expanded GROUP BY 1, 2""")),
+
+    // ───── leakage-safe holdout split (r9): train/val/test assignment
+    // that keeps every near-dup CLUSTER on one side of the split — the
+    // eval-integrity op (a test doc whose near-duplicate sits in train
+    // is a leaked answer, the train/test contamination mode dedup alone
+    // doesn't prevent when splits are drawn per-doc). Group id = the
+    // doc's near-dup component label (singletons group as themselves);
+    // the split hash is md5 of the GROUP id, so members move together.
+    // The query runs BOTH strategies and audits them: per (strategy,
+    // split), doc/group counts plus the number of near-dup pairs
+    // straddling the split — measured 0 for group_hash, nonzero for
+    // doc_hash (the naive split provably leaks on this corpus, the
+    // grouped one provably doesn't — the property is oracle-gated, not
+    // asserted). Cost: the pair graph + components are the dedup
+    // pipeline's own artifacts (memoized here, tables in production);
+    // the split itself is a map + two hash-aggs.
+    QuerySpec(
+      "split_grouped_holdout",
+      (s, d) => {
+        val pairs = DedupQueries.minhashPairs(s, d).select("doc_a", "doc_b")
+        val labels = DedupQueries.connectedComponents(pairs)
+        val grouped = Corpus.docsWithNearDups(s, d).select("doc_id")
+          .join(labels, Seq("doc_id"), "left")
+          .withColumn("grp", coalesce(col("label"), col("doc_id")))
+        val strat = grouped
+          .select(col("doc_id"), col("grp"),
+            lit("group_hash").as("strategy"), col("grp").as("skey"))
+          .unionByName(grouped.select(col("doc_id"), col("grp"),
+            lit("doc_hash").as("strategy"), col("doc_id").as("skey")))
+          .withColumn("b", expr(
+            "cast(conv(substring(md5(cast(skey as string)), 1, 8), 16, 10) as long) % 100"))
+          .withColumn("split", expr(
+            "case when b < 80 then 'train' when b < 90 then 'val' else 'test' end"))
+        val stats = strat.groupBy("strategy", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("grp")).as("n_groups"))
+        val asg = strat.select(col("strategy").as("st"),
+          col("doc_id").as("n"), col("split").as("sp"))
+        val leak = pairs
+          .join(asg.select(col("st"), col("n").as("doc_a"), col("sp").as("sa")), "doc_a")
+          .join(asg.select(col("st").as("st2"), col("n").as("doc_b"), col("sp").as("sb")), "doc_b")
+          .filter(col("st") === col("st2") && col("sa") =!= col("sb"))
+          .select(col("st").as("strategy"),
+            explode(array(col("sa"), col("sb"))).as("split"))
+          .groupBy("strategy", "split")
+          .agg(count(lit(1)).as("leak_pairs"))
+        stats.join(leak, Seq("strategy", "split"), "left")
+          .select(col("strategy"), col("split"), col("n_docs"), col("n_groups"),
+            coalesce(col("leak_pairs"), lit(0L)).as("cross_split_pairs"))
+      },
+      Some(s"""
+        WITH RECURSIVE corpus AS (${Corpus.docsWithNearDupsSql}),
+        ${DedupQueries.hsetsCte},
+        ${DedupQueries.minhashPairsCtes},
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM mpairs
+          UNION
+          SELECT doc_b AS u, doc_a AS v FROM mpairs),
+        reach(src, dst) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+        comp AS (SELECT src AS doc_id, MIN(dst) AS lbl FROM reach GROUP BY src),
+        grouped AS (
+          SELECT c.doc_id, COALESCE(m.lbl, c.doc_id) AS grp
+          FROM corpus c LEFT JOIN comp m ON m.doc_id = c.doc_id),
+        strat AS (
+          SELECT doc_id, grp, 'group_hash' AS strategy, grp AS skey FROM grouped
+          UNION ALL
+          SELECT doc_id, grp, 'doc_hash', doc_id FROM grouped),
+        asg AS (
+          SELECT strategy, doc_id, grp,
+                 CASE WHEN b < 80 THEN 'train'
+                      WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT *, ('0x' || substr(md5(CAST(skey AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+                FROM strat)),
+        stats AS (
+          SELECT strategy, split, COUNT(*) AS n_docs,
+                 CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups
+          FROM asg GROUP BY 1, 2),
+        leak0 AS (
+          SELECT a.strategy, a.split AS s1, b.split AS s2
+          FROM mpairs p
+          JOIN asg a ON a.doc_id = p.doc_a
+          JOIN asg b ON b.doc_id = p.doc_b AND b.strategy = a.strategy
+          WHERE a.split <> b.split),
+        leak AS (
+          SELECT strategy, split, COUNT(*) AS leak_pairs FROM (
+            SELECT strategy, s1 AS split FROM leak0
+            UNION ALL SELECT strategy, s2 FROM leak0)
+          GROUP BY 1, 2)
+        SELECT s.strategy, s.split, s.n_docs, s.n_groups,
+               CAST(COALESCE(l.leak_pairs, 0) AS BIGINT) AS cross_split_pairs
+        FROM stats s LEFT JOIN leak l USING (strategy, split)"""))
   )
 }
