@@ -1573,6 +1573,64 @@ object RelationalQueries {
         FROM filled f JOIN med m USING (event_type)
         WHERE f.n_events * 3 < m.med OR f.n_events > m.med * 3""")),
 
+    // ───── time-series forecasting (r9): Holt's linear-trend double
+    // exponential smoothing over the per-type daily count series, in
+    // EXACT integer arithmetic (levels/trends ×1000; α=0.3, β=0.2 as
+    // integer ratios). The recurrence l_t = 0.3·y_t + 0.7·(l+b),
+    // b_t = 0.2·(l_t−l_prev) + 0.8·b is inherently sequential IN TIME —
+    // but time is the SHORT axis (tens of days) while keys are the scale
+    // axis, so each series folds inside one aggregate HOF over its
+    // sorted day array: one hash-agg, keys parallelize, no driver loop,
+    // no window recursion. Truncating division is floor-normalized by a
+    // +1e9 offset so both engines round negative trends identically
+    // (DuckDB // floors, Spark div truncates — they disagree below
+    // zero). The oracle replays the identical recurrence as a RECURSIVE
+    // CTE over the day index — a genuinely different evaluation strategy
+    // converging on bit-identical (level, trend, 7-day forecast).
+    QuerySpec(
+      "events_forecast",
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy("event_type")
+        .agg(expr("transform(array_sort(collect_list(struct(day, y))), x -> x.y)").as("ys"))
+        .withColumn("fit", expr(
+          """aggregate(ys, named_struct('i', 0L, 'l', 0L, 'b', 0L),
+               (a, y) -> if(a.i = 0,
+                 named_struct('i', 1L, 'l', y * 1000L, 'b', 0L),
+                 element_at(transform(
+                   array((3L*y*1000L + 7L*(a.l + a.b) + 1000000000L) div 10L - 100000000L),
+                   ln -> named_struct('i', a.i + 1L, 'l', ln,
+                     'b', (2L*(ln - a.l) + 8L*a.b + 1000000000L) div 10L - 100000000L)), 1)))"""))
+        .select(col("event_type"),
+          expr("cast(size(ys) as bigint)").as("n_days"),
+          col("fit.l").as("level_k"), col("fit.b").as("trend_k"),
+          expr("fit.l + 7L * fit.b").as("forecast_7d_k")),
+      Some("""
+        WITH RECURSIVE daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        seq AS (
+          SELECT event_type, y,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t
+          FROM daily),
+        holt(event_type, t, l, b) AS (
+          SELECT event_type, t, y * 1000, 0::BIGINT FROM seq WHERE t = 1
+          UNION ALL
+          SELECT event_type, t, l,
+                 (2*(l - pl) + 8*pb + 1000000000) // 10 - 100000000
+          FROM (SELECT s.event_type, s.t, h.l AS pl, h.b AS pb,
+                       (3*s.y*1000 + 7*(h.l + h.b) + 1000000000) // 10 - 100000000 AS l
+                FROM holt h JOIN seq s
+                  ON s.event_type = h.event_type AND s.t = h.t + 1)),
+        fin AS (
+          SELECT h.event_type, m.mt AS n_days, h.l, h.b
+          FROM holt h JOIN (SELECT event_type, MAX(t) AS mt FROM holt GROUP BY 1) m
+            ON m.event_type = h.event_type AND h.t = m.mt)
+        SELECT event_type, n_days, l AS level_k, b AS trend_k,
+               l + 7 * b AS forecast_7d_k
+        FROM fin""")),
+
     // ───── F7/J4-surface — NOT EXISTS predicate subquery as SQL text:
     // customers with no big-ticket order. Catalyst's
     // RewritePredicateSubquery turns this into a LEFT ANTI equi-join —
