@@ -681,6 +681,171 @@ object SimilarityQueries {
                  v.nn AS na, q.nn AS nb
           FROM base v JOIN base q ON q.vec_id < 10 AND v.vec_id <> q.vec_id)"""
 
+  /** Johnson–Lindenstrauss sign projection to `dims` dimensions: every
+    * projected component is an exact integer Σᵢ ±qvᵢ with the ±1 signs
+    * drawn from a fixed integer hash of (i, j) — both engines compute
+    * the identical matrix from the same literals, so projected vectors,
+    * norms, dots, and the ranking they induce are bit-identical.
+    * Memoized per (app, dir, dims) like the quantized index itself.
+    */
+  private def rpProjectExpr(dims: Int): String =
+    s"""transform(sequence(0, ${dims - 1}), j ->
+        aggregate(sequence(0, 63), 0L, (acc, i) ->
+          acc + element_at(qv, i + 1) *
+            (1L - 2L * ((((i+1)*1103515245L + (j+1)*12345L) div 65536L) % 2L))))"""
+
+  private def rpProjected(s: SparkSession, d: String, dims: Int): DataFrame =
+    Corpus.cached(s, d, s"rp_$dims") {
+      Corpus.quantizedVectors(s, d)
+        .withColumn("pv", expr(rpProjectExpr(dims)))
+        .withColumn("pn", expr("aggregate(pv, 0L, (acc, x) -> acc + x * x)"))
+        .select("vec_id", "pv", "pn")
+    }
+
+  /** Candidate pairs scored in the PROJECTED space — same brute scan
+    * shape, but every dot is `dims`/64ths of the work and the resident
+    * index `dims`/64ths of the bytes.
+    */
+  private def rpPairs(s: SparkSession, d: String, dims: Int): DataFrame = {
+    val base = rpProjected(s, d, dims)
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("pv").as("q_pv"),
+        col("pn").as("q_pn"))
+    base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.vecDotLong(col("pv"), col("q_pv")).as("dot"),
+        col("pn").as("na"), col("q_pn").as("nb"))
+  }
+
+  /** RP candidate pool + exact full-space rerank — the production
+    * composition (project → scan small space → rerank survivors), with
+    * the PQ-depth pool (8·k): a 16-dim projection is coarse, so
+    * approximate ranks are noisy and the rerank needs more survivors.
+    */
+  private def rpRerankPairs(s: SparkSession, d: String,
+                            dims: Int, kk: Int): DataFrame = {
+    val base = Corpus.quantizedVectors(s, d)
+    val topc = udaf(new graft.functions.TopKScoredAgg(8 * kk),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val cands = rpPairs(s, d, dims)
+      .withColumn("ascore", Corpus.scoreCol)
+      .groupBy("query_id").agg(topc(col("ascore"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t._2").as("vec_id"))
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nn").as("q_nn"))
+    base.join(broadcast(cands), "vec_id")
+      .join(broadcast(probes), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Corpus.dotCol("qv", "q_qv").as("dot"),
+        col("nn").as("na"), col("q_nn").as("nb"))
+  }
+
+  /** The strong-signal half of the RP story: over the near-dup corpus
+    * (each injected variant sits at cos² ≈ 0.94 of its origin — a HUGE
+    * margin vs the isotropic background), does the origin's projected
+    * top-1 still find its variant? Emitted as (query_id, hit ∈ {0,1})
+    * per variant-carrying probe.
+    */
+  private def rpNearDupTop1(s: SparkSession, d: String, dims: Int): DataFrame = {
+    val base = Corpus.cached(s, d, s"rp_nd_$dims") {
+      Corpus.vecsWithNearDups(s, d)
+        .withColumn("pv", expr(rpProjectExpr(dims)))
+        .withColumn("pn", expr("aggregate(pv, 0L, (acc, x) -> acc + x * x)"))
+        .select("vec_id", "pv", "pn")
+    }
+    val probes = base
+      .filter(col("vec_id") % 7 === 0 && col("vec_id") < 70)
+      .select(col("vec_id").as("query_id"), col("pv").as("q_pv"),
+        col("pn").as("q_pn"))
+    val pairs = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.vecDotLong(col("pv"), col("q_pv")).as("dot"),
+        col("pn").as("na"), col("q_pn").as("nb"))
+    topKPerProbe(pairs, 1)
+      .groupBy("query_id")
+      .agg(max(when(col("neighbor_id") === col("query_id") + Corpus.VariantOffset,
+        1L).otherwise(0L)).as("hits"))
+      .select(col("query_id"), lit(s"rp${dims}_neardup").as("method"),
+        col("hits"), lit(1).as("k"))
+  }
+
+  /** Oracle-side mirror of [[rpNearDupTop1]]. */
+  private def rpNearDupCtesSql(dims: Int): String = s"""
+        basend AS (${Corpus.vecsWithNearDupsSql}),
+        proj AS (
+          SELECT vec_id,
+                 [CAST(list_sum(list_transform(range(0, 64), i ->
+                    qv[i + 1] * (1 - 2 * ((((i+1)*1103515245 + (j+1)*12345) // 65536) % 2))))
+                  AS BIGINT) for j in range(0, $dims)] AS pv
+          FROM basend),
+        basep AS (
+          SELECT vec_id, pv,
+                 CAST(list_sum(list_transform(pv, x -> x * x)) AS BIGINT) AS pn
+          FROM proj),
+        pairs AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                 CAST(list_sum(list_transform(range(1, ${dims + 1}),
+                   i -> v.pv[i] * q.pv[i])) AS BIGINT) AS dot,
+                 v.pn AS na, q.pn AS nb
+          FROM basep v JOIN basep q
+            ON q.vec_id % 7 = 0 AND q.vec_id < 70 AND v.vec_id <> q.vec_id)"""
+
+  /** Oracle-side mirror of [[rpRerankPairs]]. */
+  private def rpRerankCtesSql(dims: Int, kk: Int): String = s"""
+        base0 AS (${Corpus.quantizedVectorsSql}),
+        proj AS (
+          SELECT vec_id,
+                 [CAST(list_sum(list_transform(range(0, 64), i ->
+                    qv[i + 1] * (1 - 2 * ((((i+1)*1103515245 + (j+1)*12345) // 65536) % 2))))
+                  AS BIGINT) for j in range(0, $dims)] AS pv
+          FROM base0),
+        basep AS (
+          SELECT vec_id, pv,
+                 CAST(list_sum(list_transform(pv, x -> x * x)) AS BIGINT) AS pn
+          FROM proj),
+        ppairs AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                 CAST(list_sum(list_transform(range(1, ${dims + 1}),
+                   i -> v.pv[i] * q.pv[i])) AS BIGINT) AS dot,
+                 v.pn AS na, q.pn AS nb
+          FROM basep v JOIN basep q ON q.vec_id < 10 AND v.vec_id <> q.vec_id),
+        pool AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ${Corpus.scoreSql} DESC, vec_id) AS r
+            FROM ppairs) WHERE r <= ${8 * kk}),
+        pairs AS (
+          SELECT p.query_id, p.vec_id, $dotSql AS dot,
+                 v.nn AS na, q.nn AS nb
+          FROM pool p
+          JOIN base0 v ON v.vec_id = p.vec_id
+          JOIN base0 q ON q.vec_id = p.query_id)"""
+
+  /** Oracle-side mirror of [[rpProjected]]/[[rpPairs]]. */
+  private def rpCtesSql(dims: Int): String = s"""
+        base0 AS (${Corpus.quantizedVectorsSql}),
+        proj AS (
+          SELECT vec_id,
+                 [CAST(list_sum(list_transform(range(0, 64), i ->
+                    qv[i + 1] * (1 - 2 * ((((i+1)*1103515245 + (j+1)*12345) // 65536) % 2))))
+                  AS BIGINT) for j in range(0, $dims)] AS pv
+          FROM base0),
+        basep AS (
+          SELECT vec_id, pv,
+                 CAST(list_sum(list_transform(pv, x -> x * x)) AS BIGINT) AS pn
+          FROM proj),
+        pairs AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                 CAST(list_sum(list_transform(range(1, ${dims + 1}),
+                   i -> v.pv[i] * q.pv[i])) AS BIGINT) AS dot,
+                 v.pn AS na, q.pn AS nb
+          FROM basep v JOIN basep q ON q.vec_id < 10 AND v.vec_id <> q.vec_id)"""
+
   private val lshCtesSql: String = s"""
         vwidth AS (
           SELECT (${Corpus.signBucketBitsSqlCase("n")}) AS bits
@@ -1112,6 +1277,84 @@ object SimilarityQueries {
       "ann_brute_topk",
       (s, d) => topKPerProbe(brutePairs(s, d), 5),
       Some(annSelectSql(bruteCtesSql, 5))),
+
+    // ───── random-projection ANN (r9): Johnson–Lindenstrauss sign
+    // projection — the DIMENSIONALITY tier of the bytes-for-recall
+    // spectrum, orthogonal to SQ8/PQ's bits-per-dim tier: 64 dims → 16
+    // (4× fewer bytes AND 4× cheaper dots) and → 8, recall ORACLE-GATED
+    // per probe in the ann_recall style. The ±1 matrix is a fixed
+    // integer hash of (i,j) — no floats, no rand() — so both engines
+    // project, score, and rank bit-identically. The gated numbers carry
+    // a MEASURED NEGATIVE and its boundary (sf0.01): on the isotropic
+    // corpus, where brute top-3 margins are hairline, rp16 holds 1/30
+    // and even an 8·k-pool exact rerank only 3/30 — JL distortion at
+    // 64→16 (ε ≈ √(ln n/16)) swamps those margins, so RP is NOT a
+    // ranking tier for already-compact embeddings (that's what trained
+    // IVF/SQ8 are for; RP pays off projecting 1k+-dim raw embeddings
+    // DOWN to this engine's working width). The rp16_neardup arm marks
+    // the boundary from the other side: injected near-dup pairs
+    // (cos² ≈ 0.94 — real-margin structure) survive the same projection
+    // at 9/10 top-1, so RP IS a valid cheap prefilter tier for
+    // dedup-strength similarity. Both claims are numbers under the
+    // hash gate, not prose.
+    QuerySpec(
+      "ann_random_projection",
+      (s, d) => {
+        val gt = topKPerProbe(brutePairs(s, d), 3)
+          .select("query_id", "neighbor_id")
+        val probes = gt.select("query_id").distinct()
+        val methods = Seq(
+          "rp16" -> rpPairs(s, d, 16),
+          "rp8" -> rpPairs(s, d, 8),
+          "rp16_rerank" -> rpRerankPairs(s, d, 16, 3))
+        methods.map { case (nm, pairs) =>
+          val hits = gt
+            .join(topKPerProbe(pairs, 3).select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("hits"))
+          probes.join(hits, Seq("query_id"), "left")
+            .select(col("query_id"), lit(nm).as("method"),
+              coalesce(col("hits"), lit(0L)).as("hits"), lit(3).as("k"))
+        }.reduce(_ unionByName _)
+          .unionByName(rpNearDupTop1(s, d, 16))
+      },
+      Some(s"""
+        WITH gt AS (
+          SELECT query_id, neighbor_id FROM (${annSelectSql(bruteCtesSql, 3)})),
+        probes AS (SELECT DISTINCT query_id FROM gt),
+        m16 AS (
+          SELECT query_id, neighbor_id FROM (${annSelectSql(rpCtesSql(16), 3)})),
+        m8 AS (
+          SELECT query_id, neighbor_id FROM (${annSelectSql(rpCtesSql(8), 3)})),
+        m16r AS (
+          SELECT query_id, neighbor_id FROM (${annSelectSql(rpRerankCtesSql(16, 3), 3)})),
+        h16 AS (
+          SELECT g.query_id, count(*) AS hits FROM gt g
+          JOIN m16 t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+          GROUP BY g.query_id),
+        h8 AS (
+          SELECT g.query_id, count(*) AS hits FROM gt g
+          JOIN m8 t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+          GROUP BY g.query_id),
+        h16r AS (
+          SELECT g.query_id, count(*) AS hits FROM gt g
+          JOIN m16r t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+          GROUP BY g.query_id)
+        SELECT p.query_id, 'rp16' AS method,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 3 AS k
+        FROM probes p LEFT JOIN h16 h USING (query_id)
+        UNION ALL
+        SELECT p.query_id, 'rp8', CAST(COALESCE(h.hits, 0) AS BIGINT), 3
+        FROM probes p LEFT JOIN h8 h USING (query_id)
+        UNION ALL
+        SELECT p.query_id, 'rp16_rerank', CAST(COALESCE(h.hits, 0) AS BIGINT), 3
+        FROM probes p LEFT JOIN h16r h USING (query_id)
+        UNION ALL
+        SELECT query_id, 'rp16_neardup',
+               CAST(MAX(CASE WHEN neighbor_id = query_id + ${Corpus.VariantOffset}
+                        THEN 1 ELSE 0 END) AS BIGINT), 1
+        FROM (${annSelectSql(rpNearDupCtesSql(16), 1)})
+        GROUP BY query_id""")),
 
     // IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
     // its nearest centroid; probes search only their centroid's inverted
