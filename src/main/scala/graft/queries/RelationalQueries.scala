@@ -1815,6 +1815,72 @@ object RelationalQueries {
           ON d.doc_id = e.vec_id"""))
   ,
 
+    // ───── k-anonymity audit with a generalization ladder (r9): the
+    // privacy-governance gate a dataset passes before release (Sweeney,
+    // k-anonymity, IJUFKS 2002) — every row must be indistinguishable
+    // from ≥ k−1 others on its quasi-identifiers. QI here: (nation,
+    // market segment, account-balance band); the ladder re-audits under
+    // the two standard generalizations (drop the band; then drop
+    // nation), reporting per level how many equivalence classes exist,
+    // how many rows a k=5 release would suppress, and the smallest
+    // class — the fingerprint a data-release pipeline alerts on. Each
+    // level is ONE hash-agg over QI cardinality then a one-row rollup:
+    // nothing joins, nothing sorts, shards on the QI key at 100 TB. The
+    // balance band floor-normalizes with a +1000.00 offset so negative
+    // balances band identically under Spark's truncating div and
+    // DuckDB's flooring // (the events_forecast discipline).
+    QuerySpec(
+      "privacy_k_anon",
+      (s, d) => {
+        val qi = customer(s, d).select(
+          col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000")
+            .as("band"))
+        def level(lvl: String, keys: Seq[String]) = qi
+          .groupBy(keys.map(col): _*).agg(count(lit(1)).as("cs"))
+          .agg(count(lit(1)).as("n_classes"),
+            count(when(col("cs") < 5, 1)).as("n_unsafe_classes"),
+            coalesce(sum(when(col("cs") < 5, col("cs"))), lit(0L))
+              .as("n_suppressed_rows"),
+            coalesce(sum(when(col("cs") >= 5, col("cs"))), lit(0L))
+              .as("n_safe_rows"),
+            min(col("cs")).as("min_class_size"))
+          .select(lit(lvl).as("level"), col("n_classes"), col("n_unsafe_classes"),
+            col("n_suppressed_rows"), col("n_safe_rows"), col("min_class_size"))
+        level("L0_nat_seg_band", Seq("nat", "seg", "band"))
+          .unionAll(level("L1_nat_seg", Seq("nat", "seg")))
+          .unionAll(level("L2_seg", Seq("seg")))
+      },
+      Some("""
+        WITH qi AS (
+          SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                 (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS band
+          FROM customer),
+        l0 AS (SELECT count(*) AS cs FROM qi GROUP BY nat, seg, band),
+        l1 AS (SELECT count(*) AS cs FROM qi GROUP BY nat, seg),
+        l2 AS (SELECT count(*) AS cs FROM qi GROUP BY seg)
+        SELECT 'L0_nat_seg_band' AS level, count(*) AS n_classes,
+               CAST(count(CASE WHEN cs < 5 THEN 1 END) AS BIGINT) AS n_unsafe_classes,
+               CAST(COALESCE(SUM(CASE WHEN cs < 5 THEN cs END), 0) AS BIGINT) AS n_suppressed_rows,
+               CAST(COALESCE(SUM(CASE WHEN cs >= 5 THEN cs END), 0) AS BIGINT) AS n_safe_rows,
+               CAST(MIN(cs) AS BIGINT) AS min_class_size
+        FROM l0
+        UNION ALL
+        SELECT 'L1_nat_seg', count(*),
+               CAST(count(CASE WHEN cs < 5 THEN 1 END) AS BIGINT),
+               CAST(COALESCE(SUM(CASE WHEN cs < 5 THEN cs END), 0) AS BIGINT),
+               CAST(COALESCE(SUM(CASE WHEN cs >= 5 THEN cs END), 0) AS BIGINT),
+               CAST(MIN(cs) AS BIGINT)
+        FROM l1
+        UNION ALL
+        SELECT 'L2_seg', count(*),
+               CAST(count(CASE WHEN cs < 5 THEN 1 END) AS BIGINT),
+               CAST(COALESCE(SUM(CASE WHEN cs < 5 THEN cs END), 0) AS BIGINT),
+               CAST(COALESCE(SUM(CASE WHEN cs >= 5 THEN cs END), 0) AS BIGINT),
+               CAST(MIN(cs) AS BIGINT)
+        FROM l2"""))
+  ,
+
     // ───── iterative graph analytics (r8): integer PageRank over the
     // customer↔supplier purchase graph — the second iterative graph
     // operator next to dedup_cluster's label propagation. Edges are the
@@ -1909,6 +1975,99 @@ object RelationalQueries {
                      MIN(o_orderkey) AS lbl
               FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 2)
         GROUP BY comp_size""")),
+
+    // ───── triangle counting via degree orientation (r9): the third
+    // graph-analytics operator next to components (connectivity) and
+    // PageRank (centrality) — triangles are the local-clustering /
+    // community-density primitive. Graph: the part co-purchase edges
+    // (distinct parts sharing an order — basket_pairs' pair stage,
+    // bounded by basket size per order, never part×part). The naive
+    // wedge enumeration is Σ deg(v)² — quadratic at hub nodes ("the
+    // curse of the last reducer", Suri & Vassilvitskii WWW'11); the fix
+    // is the standard DEGREE ORIENTATION: orient every edge from the
+    // (degree, id)-smaller endpoint, so each triangle is counted exactly
+    // once at its orientation-minimum vertex and per-node out-degree is
+    // bounded by O(√|E|) — wedge volume drops from Σdeg² to Σoutdeg²,
+    // the arboricity bound. Plan: edge list built ONCE (three consumers:
+    // degrees, wedges, closing join), degrees broadcast back, wedges =
+    // one self-equi-join on the oriented source, closing = one equi-join
+    // of wedge ends against the canonical undirected edge set — every
+    // stage an equi-join that shards on node keys at 100 TB. Output is
+    // the per-node triangle-count histogram with min/sum node checksums
+    // (Σ node participation = 3·triangles), so any mis-wired round
+    // changes row cardinality or a checksum — the oracle is
+    // algorithm-independent declarative SQL.
+    QuerySpec(
+      "graph_triangles",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        val edges = graft.analytics.Corpus.cached(s, d, "triEdges") {
+          li.as("a")
+            .join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+            .agg(count(lit(1)).as("w")).select("u", "v")
+        }
+        val deg = edges.select(col("u").as("n"))
+          .unionAll(edges.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val oe = edges
+          .join(broadcast(deg.withColumnRenamed("n", "u")
+            .withColumnRenamed("deg", "du")), "u")
+          .join(broadcast(deg.withColumnRenamed("n", "v")
+            .withColumnRenamed("deg", "dv")), "v")
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("u"))
+              .otherwise(col("v")).as("s"),
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("v"))
+              .otherwise(col("u")).as("t"))
+        val tri = oe.as("e1")
+          .join(oe.as("e2"),
+            col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+          .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+          .join(edges.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+        tri.select(col("a").as("n"))
+          .unionAll(tri.select(col("b").as("n")))
+          .unionAll(tri.select(col("c").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("n_tri"))
+          .groupBy(col("n_tri").as("tri_per_node"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("n")).as("min_node"), sum(col("n")).as("node_sum"))
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        deg AS (
+          SELECT x AS n, count(*) AS d FROM (
+            SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+          GROUP BY 1),
+        oe AS (
+          SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                      THEN e.u ELSE e.v END AS s,
+                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                      THEN e.v ELSE e.u END AS t
+          FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+        tri AS (
+          SELECT e1.s AS a, e1.t AS b, e2.t AS c
+          FROM oe e1 JOIN oe e2 ON e1.s = e2.s AND e1.t < e2.t
+          JOIN edges e3 ON e3.u = e1.t AND e3.v = e2.t),
+        pernode AS (
+          SELECT n, CAST(count(*) AS BIGINT) AS n_tri FROM (
+            SELECT a AS n FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY 1)
+        SELECT n_tri AS tri_per_node, count(*) AS n_nodes,
+               CAST(min(n) AS BIGINT) AS min_node,
+               CAST(sum(n) AS BIGINT) AS node_sum
+        FROM pernode GROUP BY 1""")),
 
     // ───── mix-diversity monitor (r8): Gini impurity of the event-type
     // mix per hour-of-day — the diversity measure a training-data mix
@@ -2340,6 +2499,123 @@ object RelationalQueries {
                     * 9007199254740992.0 / CAST(s_sum AS DOUBLE)) AS BIGINT) - n_exact)
                  * 10000 // n_exact AS err_bp
         FROM s JOIN x USING (event_type)""")),
+
+    // ───── KMV / theta set-operation sketches (r9): distinct estimates
+    // for click-days, purchase-days, their UNION and their INTERSECTION
+    // — all from two 256-value [[graft.functions.KmvSketchAgg]] bottom-k
+    // sketches. This is the capability HLL structurally lacks: registers
+    // max-merge (union only), but a KMV sketch's retained hashes are a
+    // uniform sample of the set, so set ops COMPOSE ON THE SKETCHES —
+    // union = bounded sorted merge of the two arrays, intersection = the
+    // theta composition (θ = min of the two kth-minima; retained hashes
+    // below θ sample the union uniformly, so |common ∩ <θ| · 2^40 div θ
+    // estimates |A∩B|) — never re-reading data (Beyer et al. SIGMOD'07;
+    // the Apache DataSketches theta family). Hashes are the shared
+    // md5-hex literal at width 40 ((k−1)·2^40 fits int64 on both
+    // engines), every estimate one integer division, so the whole row
+    // set is hash-exact cross-engine; n_exact/err_bp make estimator
+    // accuracy oracle-VISIBLE (expected σ ≈ 1/√(k−2) ≈ 6.3% per set).
+    // One pass over the filtered event log builds both sketches + exact
+    // counts; the composition stage is one-row array arithmetic.
+    QuerySpec(
+      "agg_kmv_theta",
+      (s, d) => {
+        val kmv = udaf(new graft.functions.KmvSketchAgg(256),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+        val base = events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"), expr(
+            "concat(cast(user_id as string), '_', cast(to_date(ts) as string))").as("k"))
+          .withColumn("h", expr(
+            "cast(conv(substring(md5(k), 1, 10), 16, 10) as long)"))
+        val sk = base
+          .groupBy("event_type")
+          .agg(kmv(col("h")).as("sk"), count_distinct(col("k")).as("n_ex"))
+          .agg(
+            max(when(col("event_type") === "click", col("sk"))).as("ska"),
+            max(when(col("event_type") === "purchase", col("sk"))).as("skb"),
+            max(when(col("event_type") === "click", col("n_ex"))).as("na"),
+            max(when(col("event_type") === "purchase", col("n_ex"))).as("nb"))
+        // exact union/intersection ground truth (estimator accuracy is
+        // part of the answer, same discipline as agg_hll_distinct)
+        val ex = base.groupBy("k").agg(count_distinct(col("event_type")).as("nt"))
+          .agg(count(lit(1)).as("nu"),
+            count(when(col("nt") === 2, 1)).as("ni"))
+        sk.crossJoin(ex) // one-row × one-row composition
+          .withColumn("sku",
+            expr("slice(array_sort(array_distinct(concat(ska, skb))), 1, 256)"))
+          .withColumn("theta",
+            expr("least(element_at(ska, 256), element_at(skb, 256))"))
+          .withColumn("c",
+            expr("size(filter(array_intersect(ska, skb), x -> x < theta))"))
+          .select(expr(
+            """stack(4,
+                 'click',
+                 case when size(ska) < 256 then cast(size(ska) as bigint)
+                      else (255L * 1099511627776L) div element_at(ska, 256) end, na,
+                 'purchase',
+                 case when size(skb) < 256 then cast(size(skb) as bigint)
+                      else (255L * 1099511627776L) div element_at(skb, 256) end, nb,
+                 'union',
+                 case when size(sku) < 256 then cast(size(sku) as bigint)
+                      else (255L * 1099511627776L) div element_at(sku, 256) end, nu,
+                 'intersect',
+                 (cast(c as bigint) * 1099511627776L) div theta, ni)
+               as (set_op, n_est, n_exact)"""))
+          .withColumn("err_bp", expr("abs(n_est - n_exact) * 10000L div n_exact"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_type,
+                 CAST(user_id AS VARCHAR) || '_' || CAST(CAST(ts AS DATE) AS VARCHAR) AS k
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        h AS (
+          SELECT event_type, k,
+                 CAST(('0x' || substring(md5(k), 1, 10)) AS BIGINT) AS h
+          FROM base),
+        hd AS (SELECT DISTINCT event_type, h FROM h),
+        ka AS (SELECT h FROM hd WHERE event_type = 'click' ORDER BY h LIMIT 256),
+        kb AS (SELECT h FROM hd WHERE event_type = 'purchase' ORDER BY h LIMIT 256),
+        ku AS (SELECT DISTINCT h
+               FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+               ORDER BY h LIMIT 256),
+        sa AS (SELECT count(*) AS n, max(h) AS r FROM ka),
+        sb AS (SELECT count(*) AS n, max(h) AS r FROM kb),
+        su AS (SELECT count(*) AS n, max(h) AS r FROM ku),
+        th AS (SELECT least(sa.r, sb.r) AS t FROM sa, sb),
+        cc AS (SELECT count(*) AS c FROM ka, kb, th
+               WHERE ka.h = kb.h AND ka.h < th.t),
+        exacts AS (
+          SELECT count(DISTINCT CASE WHEN event_type = 'click' THEN k END) AS na,
+                 count(DISTINCT CASE WHEN event_type = 'purchase' THEN k END) AS nb,
+                 count(DISTINCT k) AS nu
+          FROM base),
+        ni AS (SELECT count(*) AS ni FROM (
+                 SELECT k FROM base
+                 GROUP BY k HAVING count(DISTINCT event_type) = 2)),
+        est AS (
+          SELECT 'click' AS set_op,
+                 CASE WHEN sa.n < 256 THEN sa.n
+                      ELSE (255 * 1099511627776) // sa.r END AS n_est,
+                 exacts.na AS n_exact
+          FROM sa, exacts
+          UNION ALL
+          SELECT 'purchase',
+                 CASE WHEN sb.n < 256 THEN sb.n
+                      ELSE (255 * 1099511627776) // sb.r END, exacts.nb
+          FROM sb, exacts
+          UNION ALL
+          SELECT 'union',
+                 CASE WHEN su.n < 256 THEN su.n
+                      ELSE (255 * 1099511627776) // su.r END, exacts.nu
+          FROM su, exacts
+          UNION ALL
+          SELECT 'intersect', (cc.c * 1099511627776) // th.t, ni.ni
+          FROM cc, th, ni)
+        SELECT set_op, CAST(n_est AS BIGINT) AS n_est,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(abs(n_est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+        FROM est""")),
 
     // ───── point-in-time feature assembly (r8): the feature-store join
     // that builds a LEAKAGE-FREE training set — each label event

@@ -145,6 +145,30 @@ class SketchPropertiesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](agg.reduce(agg.zero, -1L))
   }
 
+  test("KmvSketchAgg: sketch invariant under chunking, order, and duplication; " +
+    "equals sorted distinct bottom-k") {
+    import graft.functions.KmvSketchAgg
+    val k = 8
+    val gen = for {
+      xs <- Gen.listOf(Gen.chooseNum(0L, 1L << 20)) // small domain → real dupes
+      dupFactor <- Gen.chooseNum(1, 3)
+      chunk <- Gen.chooseNum(1, 7)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (xs, dupFactor, chunk, seed)
+    check(Prop.forAll(gen) { case (xs, dupFactor, chunk, seed) =>
+      val agg = new KmvSketchAgg(k)
+      // duplicate delivery + shuffle + arbitrary chunk boundaries: the
+      // dedup-inside-the-bounded-buffer rule must make all of it invisible
+      val stream = new scala.util.Random(seed)
+        .shuffle(Seq.fill(dupFactor)(xs).flatten)
+      val sketched =
+        if (stream.isEmpty) agg.finish(agg.zero)
+        else agg.finish(stream.grouped(chunk)
+          .map(_.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge))
+      sketched == xs.distinct.sorted.take(k)
+    })
+  }
+
   test("TopKScoredAgg: bounded merge equals exact top-k under every chunking and order") {
     import graft.functions.TopKScoredAgg
     val gen = for {
