@@ -248,6 +248,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.sum === 8L)
   }
 
+  test("KMV sketch runs as a STREAMING aggregate (bounded idempotent state across batches)") {
+    import org.apache.spark.sql.functions.{col, udaf}
+    // the KmvSketchAgg buffer is the sorted distinct bottom-k — its
+    // merge is associative/commutative/IDEMPOTENT, so it folds across
+    // micro-batches as a plain streaming aggregate with O(k) state per
+    // group; duplicate values across batches must be invisible
+    val dir = tmp("kmv-in")
+    def writeFile(name: String, rows: Seq[(String, Long)]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      try rows.foreach { case (t, h) => w.println(s"""{"typ":"$t","h":$h}""") }
+      finally w.close()
+    }
+    // k=3: batch 2 re-delivers 10 (dup), improves the bottom-k with 5,
+    // and adds values above the bar that must be rejected
+    writeFile("b1.json", Seq(("a", 10L), ("a", 40L), ("a", 30L), ("b", 7L)))
+    writeFile("b2.json", Seq(("a", 10L), ("a", 5L), ("a", 99L), ("b", 7L), ("b", 2L)))
+    val kmv = udaf(new graft.functions.KmvSketchAgg(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    val stream = spark.readStream.schema("typ STRING, h LONG")
+      .option("maxFilesPerTrigger", 1).json(dir)
+      .groupBy("typ").agg(kmv(col("h")).as("sk"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("kmv_stream")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed("a") === Seq(5L, 10L, 30L)) // 40 evicted, dup 10 once
+    assert(streamed("b") === Seq(2L, 7L))       // under k: the exact set
+  }
+
   test("DYNAMODB_JSON export/import: point-in-time export restores; live deltas outrank the import") {
     import spark.implicits._
     import org.apache.spark.sql.functions.get_json_object
