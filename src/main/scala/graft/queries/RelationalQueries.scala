@@ -1115,6 +1115,51 @@ object RelationalQueries {
           AND l_quantity < 24
         GROUP BY l_returnflag""")),
 
+    // ───── recursive CTE surface (r9): WITH RECURSIVE landed in Spark
+    // 4.0 (SPARK-24497) — the last big ANSI text-surface gap after the
+    // 22 TPC-H shapes and the subquery family. The query walks each
+    // customer's order chain head→tail through the recursive union
+    // (rounds = max chain depth, 25 here; each round one equi-join
+    // under Catalyst's UnionLoop) and reports the depth histogram with
+    // key checksums. The ORACLE is deliberately algorithm-independent —
+    // the declarative row_number() position histogram — so a mis-wired
+    // recursion (wrong join key, off-by-one depth, dropped heads)
+    // breaks the compare; DuckDB never replays the recursion. Scale
+    // posture: recursion is the SURFACE for bounded-depth hierarchies
+    // (BOMs, org charts, folder trees — depth tens); for unbounded or
+    // deep graphs the engine's own operators are the scale path
+    // (graph_components' large-star/small-star is O(log n) rounds where
+    // naive recursive traversal is O(diameter)).
+    QuerySpec(
+      "sql_recursive_chain",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          WITH RECURSIVE
+          edges AS (
+            SELECT o_custkey,
+                   lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev,
+                   o_orderkey AS nxt
+            FROM orders_v),
+          chain AS (
+            SELECT o_custkey, nxt AS o_orderkey, 1 AS depth
+            FROM edges WHERE prev IS NULL
+            UNION ALL
+            SELECT e.o_custkey, e.nxt, c.depth + 1
+            FROM chain c JOIN edges e
+              ON e.o_custkey = c.o_custkey AND e.prev = c.o_orderkey)
+          SELECT depth, count(*) AS n_orders, sum(o_orderkey) AS key_sum
+          FROM chain GROUP BY depth""")
+      },
+      Some("""
+        SELECT depth, count(*) AS n_orders,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM (SELECT CAST(row_number() OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderkey) AS INTEGER) AS depth,
+                     o_orderkey
+              FROM orders)
+        GROUP BY depth""")),
+
     // ───── DAU / rolling-7-day actives: the engagement ratio behind
     // "stickiness" dashboards. The (day, user) distinct frame collapses
     // the event log first (one shuffle over the log); the rolling
@@ -2499,6 +2544,111 @@ object RelationalQueries {
                     * 9007199254740992.0 / CAST(s_sum AS DOUBLE)) AS BIGINT) - n_exact)
                  * 10000 // n_exact AS err_bp
         FROM s JOIN x USING (event_type)""")),
+
+    // ───── Count-Min point-query frequency estimate (r9): per-user
+    // event counts from ONE global 4×1024 [[graft.functions.CountMinAgg]]
+    // counter matrix — the point-query member of the frequency-sketch
+    // family (Misra–Gries answers "who is heavy", CM answers "how often
+    // is THIS key" for any key). Registers merge by addition, so the
+    // sketch builds with map-side combine in one pass and composes
+    // across time partitions; 32 KB of state versus the per-key count's
+    // full (group, key) shuffle. The estimate is min over 4 rows of the
+    // addressed cells — row indices are four 10-bit slices of the
+    // shared md5-hex 60-bit literal, so registers and estimates are
+    // bit-identical cross-engine. The one-sided guarantee (est ≥ true,
+    // expected overcount ≤ N/width per row before the min) is
+    // oracle-VISIBLE: over_pm is computed against the exact count and
+    // can never be negative without failing the gate.
+    QuerySpec(
+      "agg_countmin_freq",
+      (s, d) => {
+        val cm = udaf(new graft.functions.CountMinAgg(4, 1024),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+        val ev = events(s, d).withColumn("h", expr(
+          "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as long)"))
+        val regs = ev.agg(cm(col("h")).as("regs")) // one global sketch row
+        ev.groupBy("user_id", "h").agg(count(lit(1)).as("n_exact"))
+          .crossJoin(regs) // one-row broadcast composition
+          .withColumn("n_est", expr(
+            """least(
+                 element_at(regs, cast(h & 1023 as int) + 1),
+                 element_at(regs, 1024 + cast(shiftright(h, 10) & 1023 as int) + 1),
+                 element_at(regs, 2048 + cast(shiftright(h, 20) & 1023 as int) + 1),
+                 element_at(regs, 3072 + cast(shiftright(h, 30) & 1023 as int) + 1))"""))
+          .select(col("user_id"), col("n_est"), col("n_exact"),
+            expr("(n_est - n_exact) * 1000L div n_exact").as("over_pm"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT user_id,
+                 CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+          FROM events),
+        regs AS (
+          SELECT r, (h >> CAST(10 * r AS INTEGER)) & 1023 AS idx,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM h, range(4) t(r) GROUP BY 1, 2),
+        exact AS (SELECT user_id, h, count(*) AS n_exact FROM h GROUP BY 1, 2),
+        est AS (
+          SELECT e.user_id, e.n_exact, min(g.c) AS n_est
+          FROM exact e JOIN regs g
+            ON g.idx = (e.h >> CAST(10 * g.r AS INTEGER)) & 1023
+          GROUP BY 1, 2)
+        SELECT user_id, CAST(n_est AS BIGINT) AS n_est,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               CAST((n_est - n_exact) * 1000 // n_exact AS BIGINT) AS over_pm
+        FROM est""")),
+
+    // ───── CUSUM changepoint detection (r9): where did each event
+    // type's daily level SHIFT — the Page (Biometrika 1954) cumulative-
+    // sum statistic next to events_anomaly's pointwise outliers and
+    // events_forecast's trend: CUSUM_t = Σ_{i≤t}(x_i − mean) peaks in
+    // magnitude AT the mean-shift boundary (before the shift deviations
+    // accumulate one sign, after it they unwind). All integer: the mean
+    // at ×1000 scale via div (positive operands — truncation equals
+    // floor cross-engine), deviations and the running sum exact. The
+    // windows run over (type × day) cardinality — the event log crosses
+    // one hash-agg shuffle once, everything after is calendar-sized;
+    // argmax is a row_number with a full (|cusum| DESC, day) tiebreak
+    // so the reported changepoint is deterministic in both engines.
+    QuerySpec(
+      "events_changepoint",
+      (s, d) => {
+        val tot = Window.partitionBy("event_type")
+        val wc = Window.partitionBy("event_type").orderBy("day")
+        events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("s", sum("c").over(tot))
+          .withColumn("n", count(lit(1)).over(tot))
+          .withColumn("mean_x1000", expr("s * 1000L div n"))
+          .withColumn("cusum", sum(expr("c * 1000L - mean_x1000")).over(wc))
+          .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+            .orderBy(abs(col("cusum")).desc, col("day"))))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("day").as("cp_day"),
+            abs(col("cusum")).as("max_abs_cusum"),
+            col("n").as("n_days"), col("mean_x1000"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+          FROM events GROUP BY 1, 2),
+        st AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS s, count(*) AS n
+               FROM daily GROUP BY 1),
+        cu AS (
+          SELECT d.event_type, d.day, st.n,
+                 (st.s * 1000 // st.n) AS mean_x1000,
+                 SUM(d.c * 1000 - (st.s * 1000 // st.n))
+                   OVER (PARTITION BY d.event_type ORDER BY d.day) AS cusum
+          FROM daily d JOIN st USING (event_type)),
+        pick AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                           ORDER BY abs(cusum) DESC, day) AS rn FROM cu)
+        SELECT event_type, day AS cp_day,
+               CAST(abs(cusum) AS BIGINT) AS max_abs_cusum,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(mean_x1000 AS BIGINT) AS mean_x1000
+        FROM pick WHERE rn = 1""")),
 
     // ───── KMV / theta set-operation sketches (r9): distinct estimates
     // for click-days, purchase-days, their UNION and their INTERSECTION

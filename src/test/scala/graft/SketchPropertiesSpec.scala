@@ -145,6 +145,42 @@ class SketchPropertiesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](agg.reduce(agg.zero, -1L))
   }
 
+  test("CountMinAgg: registers invariant under chunking and order; " +
+    "cells hold exact slice counts; point query never underestimates") {
+    import graft.functions.CountMinAgg
+    val (depth, width) = (4, 16)
+    val gen = for {
+      xs <- Gen.listOf(Gen.chooseNum(0L, (1L << 60) - 1))
+      chunk <- Gen.chooseNum(1, 7)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (xs, chunk, seed)
+    check(Prop.forAll(gen) { case (xs, chunk, seed) =>
+      val agg = new CountMinAgg(depth, width)
+      val stream = new scala.util.Random(seed).shuffle(xs)
+      val sketched =
+        if (stream.isEmpty) agg.finish(agg.zero)
+        else agg.finish(stream.grouped(chunk)
+          .map(_.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge))
+      // cell (r, idx) must hold the exact count of inputs hashing there
+      val cellsOk = (0 until depth).forall { r =>
+        (0 until width).forall { idx =>
+          sketched(r * width + idx) ==
+            xs.count(h => ((h >>> (10 * r)) & (width - 1)) == idx)
+        }
+      }
+      // one-sided guarantee: min-over-rows ≥ the true multiset count
+      val pointOk = xs.distinct.forall { h =>
+        val est = (0 until depth).map(r =>
+          sketched(r * width + ((h >>> (10 * r)) & (width - 1)).toInt)).min
+        est >= xs.count(_ == h)
+      }
+      cellsOk && pointOk
+    })
+    val agg = new CountMinAgg(depth, width)
+    intercept[IllegalArgumentException](agg.reduce(agg.zero, 1L << 60))
+    intercept[IllegalArgumentException](agg.reduce(agg.zero, -1L))
+  }
+
   test("KmvSketchAgg: sketch invariant under chunking, order, and duplication; " +
     "equals sorted distinct bottom-k") {
     import graft.functions.KmvSketchAgg
