@@ -1524,5 +1524,55 @@ object TextQueries {
         SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
                CAST(sum(cnt * surprise) // sum(cnt) AS BIGINT) AS avg_surprise
         FROM j GROUP BY doc_id ORDER BY doc_id"""))
+  ,
+
+    // ───── feature hashing / the hashing-trick vectorizer (r9): each
+    // document's bag-of-words projected into a FIXED 64-dim signed
+    // integer vector — idx = 6 bits of the token's md5, sign = a 7th
+    // bit (Weinberger et al., Feature hashing for large scale multitask
+    // learning, ICML 2009: the sign bit makes collisions cancel in
+    // expectation instead of biasing upward). This is the vectorization
+    // step training pipelines run ahead of linear models — no
+    // vocabulary table, no OOV problem, dimensionality fixed at write
+    // time. The vector never materializes as an array: the report is
+    // per-dim sums folded to nnz / L1 / a position-weighted checksum,
+    // via explode → (doc, dim) hash-agg → per-doc hash-agg — the
+    // inverted-index two-shuffle discipline, output cardinality
+    // |docs|, every value an exact integer the oracle replays from the
+    // same md5 bits.
+    QuerySpec(
+      "text_feature_hash",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .filter(length(col("t")) > 0)
+          .withColumn("hb", expr(
+            "cast(conv(substring(md5(t), 1, 2), 16, 10) as int)"))
+          .select(col("doc_id"), (col("hb") % 64).as("dim"),
+            when(col("hb") >= 128, lit(1L)).otherwise(lit(-1L)).as("sgn"))
+        tok.groupBy("doc_id", "dim").agg(sum(col("sgn")).as("v"))
+          .groupBy("doc_id")
+          .agg(count(when(col("v") =!= 0, 1)).as("nnz"),
+            sum(abs(col("v"))).as("l1"),
+            sum(col("v") * (col("dim") + 1)).as("checksum"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(t), 1, 2)) AS INTEGER) AS hb
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+          WHERE length(t) > 0),
+        dims AS (
+          SELECT doc_id, hb % 64 AS dim,
+                 CASE WHEN hb >= 128 THEN 1 ELSE -1 END AS sgn
+          FROM tok),
+        v AS (SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS v
+              FROM dims GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(count(CASE WHEN v <> 0 THEN 1 END) AS BIGINT) AS nnz,
+               CAST(SUM(abs(v)) AS BIGINT) AS l1,
+               CAST(SUM(v * (dim + 1)) AS BIGINT) AS checksum
+        FROM v GROUP BY doc_id"""))
   )
 }

@@ -800,5 +800,39 @@ object CdcQueries {
                max(chunk_wcu) AS max_chunk_wcu,
                CAST((sum(chunk_wcu) + 999) // 1000 AS BIGINT) AS drain_s
         FROM chunks GROUP BY batch ORDER BY batch"""))
+  ,
+
+    // ───── SCD Type-2 dimension build (r9): the warehouse-standard
+    // rendering of a CDC history — each non-tombstone version becomes
+    // an interval row [valid_from, valid_to) closed by the NEXT change
+    // of any kind (a newer version or a REMOVE both close it; a REMOVE
+    // itself opens nothing, so deleted periods are gaps, which is the
+    // SCD2 contract). One window pass in the per-key (ts, event_id)
+    // total order — the lead() must run BEFORE the tombstone filter or
+    // deletes stop closing intervals (the classic SCD2 bug; the oracle
+    // is written with the same pre-filter lead, and the gate's row
+    // cardinality + is_current flags break if either side reorders the
+    // two steps). Linear, one shuffle on the key — the same shape as
+    // cdc_order_within_key at 100 TB.
+    QuerySpec(
+      "cdc_scd2",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .filter(!isRemove)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("ts").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"))
+      },
+      Some("""
+        SELECT user_id, event_id, event_type, value, ts AS valid_from,
+               valid_to, (valid_to IS NULL) AS is_current
+        FROM (
+          SELECT user_id, event_id, event_type, value, ts,
+                 lead(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS valid_to
+          FROM events)
+        WHERE event_type <> 'error'"""))
   )
 }

@@ -2268,6 +2268,63 @@ object RelationalQueries {
         WHERE p.ts >= t.t0 AND p.ts < t.t1
         GROUP BY incident_id""")),
 
+    // ───── keyless interval×interval OVERLAP join (r9): which user-day
+    // activity intervals [first event, last event] overlap which
+    // incident windows — the harder sibling of join_interval_tiled's
+    // point-in-interval case: BOTH sides are intervals and there is no
+    // equi key, so naive is |A|×|B|. Tiling restores an equi-join: each
+    // interval explodes to the hour tiles it touches (bounded by
+    // span/width — ≤25 for a day of activity, 3 for a 2 h incident),
+    // candidates meet on the tile. A pair can share MANY tiles; instead
+    // of a dedup-distinct stage, each pair is counted at exactly ONE
+    // canonical tile — the first hour of the overlap region,
+    // date_trunc(hour, greatest(starts)), which both tile sets contain
+    // by construction — so the aggregate consumes the join output
+    // directly. Overlap duration is exact integer microseconds. The
+    // oracle is the DIRECT inequality join (DuckDB's IEJoin handles it
+    // at oracle scale) — a broken tiling or canonical-tile rule changes
+    // pair counts against an algorithm-independent answer.
+    QuerySpec(
+      "join_interval_overlap",
+      (s, d) => {
+        val act = events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min(col("ts")).as("a0"), max(col("ts")).as("a1"))
+        val inc = events(s, d)
+          .filter(col("event_type") === "error" &&
+            expr("cast(round(value * 100) as bigint) % 97 = 0"))
+          .select(col("event_id").as("incident_id"), col("ts").as("t0"),
+            (col("ts") + expr("interval 2 hours")).as("t1"))
+        val atiles = act.withColumn("hour", explode(expr(
+          "sequence(date_trunc('hour', a0), date_trunc('hour', a1), interval 1 hour)")))
+        val btiles = inc.withColumn("hour", explode(expr(
+          "sequence(date_trunc('hour', t0), date_trunc('hour', t1), interval 1 hour)")))
+        atiles.join(btiles, "hour")
+          .filter(col("a0") < col("t1") && col("t0") < col("a1"))
+          .filter(col("hour") === date_trunc("hour", greatest(col("a0"), col("t0"))))
+          .groupBy("incident_id")
+          .agg(count(lit(1)).as("n_userdays"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(expr("unix_micros(least(a1, t1)) - unix_micros(greatest(a0, t0))"))
+              .as("overlap_us"))
+      },
+      Some("""
+        WITH act AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 MIN(ts) AS a0, MAX(ts) AS a1
+          FROM events GROUP BY 1, 2),
+        inc AS (
+          SELECT event_id AS incident_id, ts AS t0, ts + INTERVAL 2 HOUR AS t1
+          FROM events
+          WHERE event_type = 'error'
+            AND CAST(round(value * 100) AS BIGINT) % 97 = 0)
+        SELECT incident_id, COUNT(*) AS n_userdays,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users,
+               CAST(SUM(epoch_us(LEAST(a.a1, i.t1)) - epoch_us(GREATEST(a.a0, i.t0)))
+                    AS BIGINT) AS overlap_us
+        FROM act a JOIN inc i ON a.a0 < i.t1 AND i.t0 < a.a1
+        GROUP BY incident_id""")),
+
     // ───── gaps-and-islands (r8): longest consecutive-active-day streak
     // per user — the classic islands trick (day minus per-user ordinal is
     // CONSTANT within a consecutive run, so runs fall out of one
@@ -2544,6 +2601,66 @@ object RelationalQueries {
                     * 9007199254740992.0 / CAST(s_sum AS DOUBLE)) AS BIGINT) - n_exact)
                  * 10000 // n_exact AS err_bp
         FROM s JOIN x USING (event_type)""")),
+
+    // ───── A/B test via the 2×2 chi-square statistic (r9): the
+    // experiment-analysis primitive — units are user-DAYS (user-level
+    // conversion is saturated on this log; day granularity gives a
+    // 36% base rate), cohorts a deterministic md5 hash split, outcome
+    // "purchased that day". χ² = n·(ad−bc)²/((a+b)(c+d)(a+c)(b+d))
+    // needs NO libm: every margin and the determinant are exact
+    // integers; each converts to double SEPARATELY (IEEE exact under
+    // 2^53) and the statistic is three exactly-rounded double ops in a
+    // pinned order — the sq8 score contract, so the gate hash-compares
+    // the float. The 95% significance verdict (df=1 critical value
+    // 3.841) rides as a boolean the oracle asserts identically. One
+    // hash-agg over user-days then a one-row fold; the hash split means
+    // assignment needs no coordination at 100 TB.
+    QuerySpec(
+      "events_ab_chisq",
+      (s, d) => {
+        val per = events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+          .withColumn("cohort", expr(
+            """cast(conv(substring(md5(concat(cast(user_id as string), '_',
+               cast(day as string))), 1, 4), 16, 10) as long) % 2"""))
+        per.agg(
+          count(when(col("cohort") === 0 && col("conv") === 1, 1)).as("a"),
+          count(when(col("cohort") === 0 && col("conv") === 0, 1)).as("b"),
+          count(when(col("cohort") === 1 && col("conv") === 1, 1)).as("c"),
+          count(when(col("cohort") === 1 && col("conv") === 0, 1)).as("d"))
+          .withColumn("chi2", expr(
+            """(cast(a + b + c + d as double)
+                * (cast(a * d - b * c as double) * cast(a * d - b * c as double)))
+               / (cast((a + b) * (c + d) as double)
+                  * cast((a + c) * (b + d) as double))"""))
+          .select(col("a"), col("b"), col("c"), col("d"), col("chi2"),
+            (col("chi2") >= lit(3.841)).as("significant_95"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY 1, 2),
+        coh AS (
+          SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || '_'
+                        || CAST(day AS VARCHAR)), 1, 4)) AS BIGINT) % 2 AS cohort,
+                 conv
+          FROM per),
+        cells AS (
+          SELECT CAST(count(CASE WHEN cohort = 0 AND conv = 1 THEN 1 END) AS BIGINT) AS a,
+                 CAST(count(CASE WHEN cohort = 0 AND conv = 0 THEN 1 END) AS BIGINT) AS b,
+                 CAST(count(CASE WHEN cohort = 1 AND conv = 1 THEN 1 END) AS BIGINT) AS c,
+                 CAST(count(CASE WHEN cohort = 1 AND conv = 0 THEN 1 END) AS BIGINT) AS d
+          FROM coh),
+        x AS (
+          SELECT a, b, c, d,
+                 (CAST(a + b + c + d AS DOUBLE)
+                  * (CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)))
+                 / (CAST((a + b) * (c + d) AS DOUBLE)
+                    * CAST((a + c) * (b + d) AS DOUBLE)) AS chi2
+          FROM cells)
+        SELECT a, b, c, d, chi2, chi2 >= 3.841 AS significant_95 FROM x""")),
 
     // ───── Count-Min point-query frequency estimate (r9): per-user
     // event counts from ONE global 4×1024 [[graft.functions.CountMinAgg]]
