@@ -407,5 +407,137 @@ object MultimodalQueries {
                CAST(1 + doc_id % 5 AS INTEGER) AS height,
                3 AS channels, TRUE AS roundtrip_ok
         FROM documents WHERE doc_id < 100"""))
+  ,
+
+    // ───── scene-cut detection (r9): the shot-boundary pass a video
+    // curation pipeline runs before per-scene sampling — consecutive
+    // frames whose perceptual hashes jump apart mark a cut. Runs
+    // through the REAL codec path end-to-end: per clip, 12
+    // deterministic RGB frames (every pixel a closed-form function of
+    // clip, scene, position; injected cuts re-seed the scene term at
+    // frames {4,8} / {6} / {} by clip id) → PNG encode → the engine's
+    // actual JDK ImageIO decode → the mm_phash aHash, packed as TWO
+    // 32-bit halves (DuckDB BIGINT rejects the 1<<63 full-pack) → ONE
+    // lag window per clip → Hamming(prev, cur) via xor + bit_count,
+    // cut iff > 6. Within a scene frames drift by a clamped ±2 jitter
+    // (hash near-stable); across an injected boundary the re-seed
+    // rewrites the pattern (measured Hamming ~25-35), so detected cuts
+    // equal injected cuts — and the oracle recomputes hashes from the
+    // closed-form pixels WITHOUT any codec, so decode → gray →
+    // resample → threshold → lag → Hamming must be exact end-to-end.
+    // Per-frame work is row-local; the window runs over frame
+    // cardinality (12/clip); frames parallelize independently of clip
+    // boundaries at 100 TB.
+    QuerySpec(
+      "mm_scene_cut",
+      (s, d) => {
+        import s.implicits._
+        val frames = Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 60).as[Long]
+          .flatMap(clip => (0 until 12).map(f => (clip, f)))
+          .map { case (clip, f) =>
+            val scene = (clip % 3) match {
+              case 0 => (if (f >= 4) 1 else 0) + (if (f >= 8) 1 else 0)
+              case 1 => if (f >= 6) 1 else 0
+              case _ => 0
+            }
+            val w = 16 + (clip % 16).toInt
+            val h = 16 + (clip % 9).toInt
+            def px(i: Int): Int = math.min(
+              ((clip * 131 + scene * 977 + i.toLong * 7) % 256).toInt + f % 3, 255)
+            val bi = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = (y * w + x) * 3
+                bi.setRGB(x, y,
+                  (px(base) << 16) | (px(base + 1) << 8) | px(base + 2))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(bi, "png", bos)
+            val (dw, dh, _, raster) = MediaCodecs.decodeImageIo(bos.toByteArray)
+            val gray = Array.tabulate(64) { k =>
+              val sx = (k % 8) * dw / 8
+              val sy = (k / 8) * dh / 8
+              val i = (sy * dw + sx) * 3
+              ((raster(i) & 0xff) + (raster(i + 1) & 0xff) +
+                (raster(i + 2) & 0xff)) / 3
+            }
+            val mean = gray.sum / 64
+            def half(lo: Int): Long = (lo until lo + 32).foldLeft(0L)((acc, k) =>
+              if (gray(k) >= mean) acc | (1L << (k - lo)) else acc)
+            (clip, f.toLong, half(0), half(32))
+          }
+          .toDF("clip_id", "frame_no", "h0", "h1")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("clip_id").orderBy("frame_no")
+        frames
+          .withColumn("p0", lag(col("h0"), 1).over(w))
+          .withColumn("p1", lag(col("h1"), 1).over(w))
+          .withColumn("dist", expr(
+            "case when p0 is null then null else bit_count(h0 ^ p0) + bit_count(h1 ^ p1) end"))
+          .groupBy("clip_id")
+          .agg(count(lit(1)).as("n_frames"),
+            count(when(col("dist") > 6, 1)).as("n_cuts"),
+            coalesce(sum(when(col("dist") > 6, col("frame_no"))), lit(0L))
+              .as("cut_pos_sum"),
+            coalesce(max(col("dist")), lit(0)).cast("long").as("max_dist"))
+          .withColumn("n_scenes", expr("n_cuts + 1L"))
+      },
+      Some {
+        def pxSql(j: String): String =
+          s"LEAST(((clip_id * 131 + scene * 977 + ($j) * 7) % 256) + f % 3, 255)"
+        val offSql = "(((k // 8) * h // 8) * w + (k % 8) * w // 8) * 3"
+        s"""
+        WITH frames AS (
+          SELECT doc_id AS clip_id, f,
+                 CASE WHEN doc_id % 3 = 0
+                        THEN (f >= 4)::INT + (f >= 8)::INT
+                      WHEN doc_id % 3 = 1 THEN (f >= 6)::INT
+                      ELSE 0 END AS scene,
+                 16 + doc_id % 16 AS w, 16 + doc_id % 9 AS h
+          FROM documents, (SELECT unnest(range(0, 12)) AS f)
+          WHERE doc_id < 60),
+        grids AS (
+          SELECT clip_id, f,
+                 list_transform(range(0, 64), k ->
+                   (${pxSql(offSql)} + ${pxSql(s"$offSql + 1")}
+                    + ${pxSql(s"$offSql + 2")}) // 3) AS g
+          FROM frames),
+        hashes AS (
+          SELECT clip_id, f,
+                 CAST(list_sum(list_transform(range(0, 32), k ->
+                   CASE WHEN g[k + 1] >= mean THEN (1::BIGINT << k)
+                        ELSE 0::BIGINT END)) AS BIGINT) AS h0,
+                 CAST(list_sum(list_transform(range(32, 64), k ->
+                   CASE WHEN g[k + 1] >= mean THEN (1::BIGINT << (k - 32))
+                        ELSE 0::BIGINT END)) AS BIGINT) AS h1
+          FROM (SELECT clip_id, f, g,
+                       CAST(list_sum(g) AS BIGINT) // 64 AS mean
+                FROM grids)),
+        lagged AS (
+          SELECT clip_id, f,
+                 lag(h0) OVER (PARTITION BY clip_id ORDER BY f) AS p0,
+                 lag(h1) OVER (PARTITION BY clip_id ORDER BY f) AS p1,
+                 h0, h1
+          FROM hashes),
+        dist AS (
+          SELECT clip_id, f,
+                 CASE WHEN p0 IS NULL THEN NULL
+                      ELSE bit_count(xor(h0, p0)) + bit_count(xor(h1, p1))
+                 END AS dist
+          FROM lagged)
+        SELECT clip_id, count(*) AS n_frames,
+               CAST(count(CASE WHEN dist > 6 THEN 1 END) AS BIGINT) AS n_cuts,
+               CAST(COALESCE(SUM(CASE WHEN dist > 6 THEN f END), 0) AS BIGINT)
+                 AS cut_pos_sum,
+               CAST(COALESCE(MAX(dist), 0) AS BIGINT) AS max_dist,
+               CAST(count(CASE WHEN dist > 6 THEN 1 END) + 1 AS BIGINT) AS n_scenes
+        FROM dist GROUP BY clip_id"""
+      })
   )
 }
