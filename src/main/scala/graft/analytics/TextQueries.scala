@@ -473,6 +473,67 @@ object TextQueries {
           CROSS JOIN fstats s CROSS JOIN w$PerceptronIters w)
         GROUP BY 1, 2""")),
 
+    // ───── classifier CALIBRATION report (r9): does the trained score
+    // MEAN anything beyond its sign — the reliability table an ML
+    // pipeline publishes next to a model (bucketed score vs empirical
+    // positive rate; a well-calibrated monotone score can be
+    // thresholded for precision targets, a miscalibrated one cannot).
+    // Shares the one memoized perceptron run with train/apply (the BPE
+    // discipline). Banding is CORPUS-DERIVED fixed-width — W =
+    // max|score| div 5 + 1 from one scalar agg, bands score div W in
+    // [-5, 5] — NOT an ntile window: no global sort, no tie order to
+    // pin, and the +6W offset normalizes Spark's truncating div to
+    // DuckDB's flooring // on negative scores (the events_forecast
+    // rule). Teacher truth here is the UNMARGINED boundary m2 > 0, so
+    // the band docs the trainer excluded are scored too —
+    // generalization is part of the report. Per-band empirical rate in
+    // exact integer per-mille.
+    QuerySpec(
+      "text_classifier_calibration",
+      (s, d) => {
+        val m = perceptronModel(s, d)
+        val w = m.iters.last._3
+        val raw = perceptronRaw(s, d)
+        val m2 = col("x_ttr") * 2 + col("x_stop") - lit(m.thr)
+        val score = lit(w(0)) * 100L +
+          PerceptronFeats.zipWithIndex
+            .map { case (c, i) => (col(c) - lit(m.mean(c))) * lit(w(i + 1)) }
+            .reduce(_ + _)
+        val sc = raw
+          .withColumn("score", score)
+          .withColumn("is_pos", (m2 > 0).cast("long"))
+        val wdiv = sc.agg(
+          expr("greatest(max(abs(score)), 1L) div 5 + 1").as("w"))
+        sc.crossJoin(wdiv) // one-row broadcast composition
+          .withColumn("band", expr("((score + 6 * w) div w) - 6"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), sum(col("is_pos")).as("n_pos"),
+            min(col("score")).as("score_lo"), max(col("score")).as("score_hi"))
+          .withColumn("pos_rate_pm", expr("n_pos * 1000L div n"))
+      },
+      Some(s"""
+        WITH ${perceptronSqlCtes(PerceptronIters)},
+        scored AS (
+          SELECT w.wb * 100
+                   + w.wt * (r.x_ttr - (s.s_ttr // s.n))
+                   + w.ws * (r.x_stop - (s.s_stop // s.n))
+                   + w.wl * (r.x_len - (s.s_len // s.n))
+                   + w.wk * (r.x_tok - (s.s_tok // s.n)) AS score,
+                 CASE WHEN (2 * r.x_ttr + r.x_stop)
+                           - ((2 * s.s_ttr + s.s_stop) // s.n) > 0
+                      THEN 1 ELSE 0 END AS is_pos
+          FROM rawf r CROSS JOIN fstats s CROSS JOIN w$PerceptronIters w),
+        wd AS (SELECT GREATEST(MAX(abs(score)), 1) // 5 + 1 AS w FROM scored),
+        banded AS (
+          SELECT ((score + 6 * w.w) // w.w) - 6 AS band, score, is_pos
+          FROM scored CROSS JOIN wd w)
+        SELECT CAST(band AS BIGINT) AS band, count(*) AS n,
+               CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+               CAST(MIN(score) AS BIGINT) AS score_lo,
+               CAST(MAX(score) AS BIGINT) AS score_hi,
+               CAST(SUM(is_pos) * 1000 // count(*) AS BIGINT) AS pos_rate_pm
+        FROM banded GROUP BY band""")),
+
     // ───── compression-ratio quality signal (r8): per-doc DEFLATE ratio
     // through the JDK's real zlib (java.util.zip, fixed level) — the
     // entropy proxy production curation pipelines use to flag

@@ -882,6 +882,84 @@ object RelationalQueries {
           FROM events WHERE event_type IN ('purchase','signup'))
         WHERE event_type = 'purchase'""")),
 
+    // ───── NEAREST as-of join (r9): each purchase matched to the nearest
+    // view/click in EITHER direction within a 24 h tolerance — the
+    // sensor-alignment variant of as-of (pandas merge_asof
+    // direction='nearest') that the backward-only J6 cannot express.
+    // Still ONE window pass over the per-user timeline: the backward
+    // candidate is last(ignoreNulls) over the preceding frame, the
+    // forward candidate first(ignoreNulls) over the following frame —
+    // same partitioning, one shuffle total — then a row-local argmin
+    // with the full tie order (|Δt|, then 'before', the merge_asof
+    // rule). Gaps are exact integer microseconds; direction/'none' is
+    // part of the answer so tolerance handling is oracle-gated too.
+    QuerySpec(
+      "asof_nearest",
+      (s, d) => {
+        val touch = col("event_type").isin("view", "click")
+        val wb = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(1, Window.unboundedFollowing)
+        val tol = 86400000000L // 24 h in microseconds
+        events(s, d)
+          .withColumn("bk_id",
+            last(when(touch, col("event_id")), ignoreNulls = true).over(wb))
+          .withColumn("bk_ts", last(when(touch, col("ts")), ignoreNulls = true).over(wb))
+          .withColumn("fw_id",
+            first(when(touch, col("event_id")), ignoreNulls = true).over(wf))
+          .withColumn("fw_ts", first(when(touch, col("ts")), ignoreNulls = true).over(wf))
+          .filter(col("event_type") === "purchase")
+          .withColumn("d_b", expr("unix_micros(ts) - unix_micros(bk_ts)"))
+          .withColumn("d_f", expr("unix_micros(fw_ts) - unix_micros(ts)"))
+          .withColumn("b_ok", col("d_b").isNotNull && col("d_b") <= tol)
+          .withColumn("f_ok", col("d_f").isNotNull && col("d_f") <= tol)
+          .select(col("event_id"), col("user_id"),
+            expr("""case when b_ok and (not f_ok or d_b <= d_f) then bk_id
+                         when f_ok then fw_id end""").as("nearest_id"),
+            expr("""case when b_ok and (not f_ok or d_b <= d_f) then 'before'
+                         when f_ok then 'after' else 'none' end""").as("direction"),
+            expr("""case when b_ok and (not f_ok or d_b <= d_f) then d_b
+                         when f_ok then d_f end""").as("gap_us"))
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CASE WHEN b_ok AND (NOT f_ok OR d_b <= d_f) THEN bk_id
+                    WHEN f_ok THEN fw_id END AS nearest_id,
+               CASE WHEN b_ok AND (NOT f_ok OR d_b <= d_f) THEN 'before'
+                    WHEN f_ok THEN 'after' ELSE 'none' END AS direction,
+               CASE WHEN b_ok AND (NOT f_ok OR d_b <= d_f) THEN d_b
+                    WHEN f_ok THEN d_f END AS gap_us
+        FROM (
+          SELECT event_id, user_id, event_type,
+                 epoch_us(ts) - epoch_us(bk_ts) AS d_b,
+                 epoch_us(fw_ts) - epoch_us(ts) AS d_f,
+                 bk_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(bk_ts) <= 86400000000 AS b_ok,
+                 fw_ts IS NOT NULL
+                   AND epoch_us(fw_ts) - epoch_us(ts) <= 86400000000 AS f_ok,
+                 bk_id, fw_id
+          FROM (
+            SELECT event_id, user_id, event_type, ts,
+                   LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                                   THEN event_id END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bk_id,
+                   LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                                   THEN ts END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bk_ts,
+                   FIRST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                                    THEN event_id END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fw_id,
+                   FIRST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                                    THEN ts END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fw_ts
+            FROM events))
+        WHERE event_type = 'purchase'""")),
+
     // ───── W2 ntile + dense_rank: quartiles of account balance WITHIN a
     // market segment (partitioned window — parallel by segment, never a
     // single global sort task). Deterministic: (c_acctbal, c_custkey) is
