@@ -20,6 +20,18 @@ import graft.queries.QuerySpec
   */
 object PipelineQueries {
 
+  /** Order-3 Hilbert curve: d at index y*8+x — the layout_hilbert
+    * lookup table, generated from the standard xy→d rotation recurrence
+    * (AnalyticsSpec re-derives it from that recurrence and checks path
+    * adjacency + permutation).
+    */
+  val HilbertLut8: Seq[Long] = Seq(
+    0, 3, 4, 5, 58, 59, 60, 63, 1, 2, 7, 6, 57, 56, 61, 62,
+    14, 13, 8, 9, 54, 55, 50, 49, 15, 12, 11, 10, 53, 52, 51, 48,
+    16, 17, 30, 31, 32, 33, 46, 47, 19, 18, 29, 28, 35, 34, 45, 44,
+    20, 23, 24, 27, 36, 39, 40, 43, 21, 22, 25, 26, 37, 38, 41, 42
+  ).map(_.toLong)
+
   /** Hex md5 of the doc id — the deterministic "random" key. String
     * comparison of the hex form is identical across engines.
     */
@@ -637,6 +649,145 @@ object PipelineQueries {
                CAST(SUM(CASE WHEN scan THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
                CAST(SUM(mrows) AS BIGINT) AS rows_matched
         FROM expanded GROUP BY 1, 2""")),
+
+    // ───── Hilbert-curve layout vs Z-order, measured (r9): the OTHER
+    // space-filling curve — Hilbert's defining property is ADJACENCY
+    // (consecutive codes are always grid-neighbors; verified for the
+    // embedded table in AnalyticsSpec), where Z-order takes "seam
+    // jumps" between quadrants. Clustering consequence (Moon et al.,
+    // TKDE 2001): a predicate box touches the same cells under either
+    // curve, but Hilbert packs them into FEWER CONTIGUOUS CODE RUNS —
+    // fewer range requests / seeks against an ordered file set. Both
+    // layouts are measured on the same 8×8 macro grid (64 files each):
+    // files scanned by the zone map AND n_runs, the contiguous-run
+    // count over scanned file ids. The order-3 curve is a 64-entry
+    // LITERAL lookup table in both engines (at any fixed order the
+    // xy→d bit recurrence is a plan-time constant — deeper grids embed
+    // a bigger table or the unrolled transform, never per-row driver
+    // work). Same harness as layout_zorder: one broadcast scalar max,
+    // map + 64-group hash-agg; the run-count window orders ≤64 rows.
+    QuerySpec(
+      "layout_hilbert",
+      (s, d) => {
+        import org.apache.spark.sql.functions.broadcast
+        val lutSql =
+          "array(" + HilbertLut8.map(_ + "L").mkString(", ") + ")"
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        val mx = li.agg(max("pk").as("mxp"), max("sk").as("mxs"))
+        val b = li.crossJoin(broadcast(mx))
+          .withColumn("bp", expr("pk * 8L div (mxp + 1)"))
+          .withColumn("bs", expr("sk * 8L div (mxs + 1)"))
+          .withColumn("hd", expr(
+            s"element_at($lutSql, cast(bs * 8 + bp as int) + 1)"))
+          .withColumn("z", expr(
+            """aggregate(sequence(0, 2), 0L, (acc, i) ->
+               acc + shiftleft((bp div shiftleft(1L, i)) % 2, 2*i+1)
+                   + shiftleft((bs div shiftleft(1L, i)) % 2, 2*i))"""))
+          .withColumn("plo", expr("(mxp + 1) * 8 div 16"))
+          .withColumn("phi", expr("(mxp + 1) * 9 div 16"))
+          .withColumn("slo", expr("(mxs + 1) * 8 div 16"))
+          .withColumn("shi", expr("(mxs + 1) * 9 div 16"))
+        val layouts = b
+          .withColumn("layout", lit("hilbert")).withColumn("f", col("hd"))
+          .unionByName(b
+            .withColumn("layout", lit("zorder8")).withColumn("f", col("z")))
+        val zones = layouts.groupBy("layout", "f")
+          .agg(count(lit(1)).as("n_rows"),
+            min("pk").as("min_pk"), max("pk").as("max_pk"),
+            min("sk").as("min_sk"), max("sk").as("max_sk"),
+            first("plo").as("plo"), first("phi").as("phi"),
+            first("slo").as("slo"), first("shi").as("shi"),
+            sum(expr("case when pk >= plo and pk < phi then 1L else 0L end")).as("m_pk"),
+            sum(expr("case when sk >= slo and sk < shi then 1L else 0L end")).as("m_sk"),
+            sum(expr("""case when pk >= plo and pk < phi
+                         and sk >= slo and sk < shi then 1L else 0L end""")).as("m_both"))
+          .withColumn("pred", explode(array(lit("pk"), lit("sk"), lit("both"))))
+          .withColumn("scan", expr(
+            """case pred
+               when 'pk' then max_pk >= plo and min_pk < phi
+               when 'sk' then max_sk >= slo and min_sk < shi
+               else max_pk >= plo and min_pk < phi
+                    and max_sk >= slo and min_sk < shi end"""))
+          .withColumn("mrows", expr(
+            "case pred when 'pk' then m_pk when 'sk' then m_sk else m_both end"))
+        val totals = zones.groupBy("layout", "pred")
+          .agg(count(lit(1)).as("files_total"),
+            sum(expr("case when scan then 1L else 0L end")).as("files_scanned"),
+            sum(expr("case when scan then n_rows else 0L end")).as("rows_scanned"),
+            sum("mrows").as("rows_matched"))
+        val wr = org.apache.spark.sql.expressions.Window.partitionBy("layout", "pred").orderBy("f")
+        val runs = zones.filter(col("scan"))
+          .withColumn("pf", lag(col("f"), 1).over(wr))
+          .withColumn("brk",
+            expr("case when pf is null or f > pf + 1 then 1L else 0L end"))
+          .groupBy("layout", "pred").agg(sum(col("brk")).as("n_runs"))
+        totals.join(runs, Seq("layout", "pred"))
+      },
+      Some("""
+        WITH lut AS (
+          SELECT unnest(range(0, 64)) AS cell,
+                 unnest([0, 3, 4, 5, 58, 59, 60, 63, 1, 2, 7, 6, 57, 56, 61, 62,
+                         14, 13, 8, 9, 54, 55, 50, 49, 15, 12, 11, 10, 53, 52, 51, 48,
+                         16, 17, 30, 31, 32, 33, 46, 47, 19, 18, 29, 28, 35, 34, 45, 44,
+                         20, 23, 24, 27, 36, 39, 40, 43, 21, 22, 25, 26, 37, 38, 41, 42]) AS d),
+        mx AS (SELECT MAX(l_partkey) AS mxp, MAX(l_suppkey) AS mxs FROM lineitem),
+        b AS (
+          SELECT l_partkey AS pk, l_suppkey AS sk,
+                 l_partkey * 8 // (mxp + 1) AS bp,
+                 l_suppkey * 8 // (mxs + 1) AS bs,
+                 (mxp + 1) * 8 // 16 AS plo, (mxp + 1) * 9 // 16 AS phi,
+                 (mxs + 1) * 8 // 16 AS slo, (mxs + 1) * 9 // 16 AS shi
+          FROM lineitem, mx),
+        hv AS (
+          SELECT b.*, lut.d AS hd,
+                 CAST(list_sum(list_transform(range(0, 3), i ->
+                   (((bp >> i) & 1) << (2*i+1)) + (((bs >> i) & 1) << (2*i))))
+                 AS BIGINT) AS z
+          FROM b JOIN lut ON lut.cell = b.bs * 8 + b.bp),
+        layouts AS (
+          SELECT 'hilbert' AS layout, hd AS f, * FROM hv
+          UNION ALL
+          SELECT 'zorder8' AS layout, z AS f, * FROM hv),
+        zones AS (
+          SELECT layout, f, plo, phi, slo, shi, COUNT(*) AS n_rows,
+                 MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+                 MIN(sk) AS min_sk, MAX(sk) AS max_sk,
+                 CAST(SUM(CASE WHEN pk >= plo AND pk < phi
+                               THEN 1 ELSE 0 END) AS BIGINT) AS m_pk,
+                 CAST(SUM(CASE WHEN sk >= slo AND sk < shi
+                               THEN 1 ELSE 0 END) AS BIGINT) AS m_sk,
+                 CAST(SUM(CASE WHEN pk >= plo AND pk < phi
+                               AND sk >= slo AND sk < shi
+                               THEN 1 ELSE 0 END) AS BIGINT) AS m_both
+          FROM layouts GROUP BY 1, 2, 3, 4, 5, 6),
+        expanded AS (
+          SELECT z.*, p.pred,
+                 CASE p.pred
+                   WHEN 'pk' THEN max_pk >= plo AND min_pk < phi
+                   WHEN 'sk' THEN max_sk >= slo AND min_sk < shi
+                   ELSE max_pk >= plo AND min_pk < phi
+                        AND max_sk >= slo AND min_sk < shi END AS scan,
+                 CASE p.pred WHEN 'pk' THEN m_pk WHEN 'sk' THEN m_sk
+                   ELSE m_both END AS mrows
+          FROM zones z, (SELECT unnest(['pk', 'sk', 'both']) AS pred) p),
+        totals AS (
+          SELECT layout, pred, COUNT(*) AS files_total,
+                 CAST(SUM(CASE WHEN scan THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+                 CAST(SUM(CASE WHEN scan THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+                 CAST(SUM(mrows) AS BIGINT) AS rows_matched
+          FROM expanded GROUP BY 1, 2),
+        runs AS (
+          SELECT layout, pred,
+                 CAST(SUM(CASE WHEN pf IS NULL OR f > pf + 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+          FROM (
+            SELECT layout, pred, f,
+                   lag(f) OVER (PARTITION BY layout, pred ORDER BY f) AS pf
+            FROM expanded WHERE scan)
+          GROUP BY 1, 2)
+        SELECT t.*, r.n_runs FROM totals t JOIN runs r USING (layout, pred)"""))
+  ,
 
     // ───── leakage-safe holdout split (r9): train/val/test assignment
     // that keeps every near-dup CLUSTER on one side of the split — the

@@ -780,4 +780,49 @@ class AnalyticsSpec extends SparkSpec {
     } assert(ra <= rb,
       s"$la (n=$na) keeps at $ra% > $lb (n=$nb) at $rb% — damping inverted")
   }
+
+  test("HilbertLut8 equals the xy->d rotation recurrence; path is adjacent; " +
+    "hilbert layout never scans more runs than z-order") {
+    // the standard iterative xy->d transform (Hilbert curve, order 3)
+    def xy2d(x0: Int, y0: Int): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 4
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val lut = PipelineQueries.HilbertLut8
+    assert(lut === (0 until 64).map(i => xy2d(i % 8, i / 8)))
+    assert(lut.sorted === (0L until 64L)) // permutation
+    val pos = lut.zipWithIndex.map { case (dv, i) => dv -> (i % 8, i / 8) }.toMap
+    for (dv <- 0L until 63L) {
+      val (ax, ay) = pos(dv); val (bx, by) = pos(dv + 1)
+      assert(math.abs(ax - bx) + math.abs(ay - by) === 1,
+        s"curve jumps between d=$dv and d=${dv + 1}")
+    }
+    // the measured clustering claim the query's docstring makes
+    val rows = SparkEntry.queries("layout_hilbert")(spark, sf)
+      .select("layout", "pred", "files_scanned", "n_runs").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // at sf0.001 a predicate box can scan zero files (the runs join
+    // then emits no row for that pred) — compare only the preds present
+    val preds = Seq("pk", "sk", "both").filter(p =>
+      rows.contains(("hilbert", p)) && rows.contains(("zorder8", p)))
+    assert(preds.nonEmpty, s"no preds measured: ${rows.keys}")
+    for (pred <- preds) {
+      val (hf, hr) = rows(("hilbert", pred))
+      val (zf, zr) = rows(("zorder8", pred))
+      assert(hr <= zr, s"pred=$pred: hilbert runs $hr > zorder runs $zr")
+      assert(hf <= zf + 2, s"pred=$pred: hilbert scans far more files ($hf vs $zf)")
+    }
+  }
 }
