@@ -834,5 +834,56 @@ object CdcQueries {
                                 ORDER BY ts, event_id) AS valid_to
           FROM events)
         WHERE event_type <> 'error'"""))
+  ,
+
+    // ───── live-key cardinality over time (r9): how many keys the
+    // target table holds at the end of each day — the table-size
+    // monitor a CDC operator alerts on (a replay bug shows up as a
+    // cardinality cliff long before anyone reads a row). Computed as a
+    // CHANGE-POINT SWEEP, the O(changes) shape: each key contributes a
+    // ±1 delta only where its live/tombstoned status FLIPS (lag over
+    // the per-key total order; a key born dead contributes nothing),
+    // deltas collapse to per-day sums joined onto the full day spine,
+    // and one running sum over |days| rows yields the timeline — never
+    // a days×keys grid, never a per-day table scan. The oracle IS the
+    // days×keys grid (DuckDB ASOF-joins every (day, key) to its latest
+    // status — the definition, affordable at oracle scale), so the
+    // sweep's every flip rule is checked against the semantics, not
+    // against itself.
+    QuerySpec(
+      "cdc_cardinality_timeline",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val flips = events(s, d)
+          .withColumn("is_live", (!isRemove).cast("int"))
+          .withColumn("prev_live", lag(col("is_live"), 1).over(w))
+          .filter((col("prev_live").isNull && col("is_live") === 1) ||
+            (col("prev_live").isNotNull && col("prev_live") =!= col("is_live")))
+          .withColumn("delta", when(col("is_live") === 1, 1L).otherwise(-1L))
+          .groupBy(to_date(col("ts")).as("day")).agg(sum(col("delta")).as("dsum"))
+        val spine = events(s, d).select(to_date(col("ts")).as("day")).distinct()
+        val wd = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(flips, Seq("day"), "left")
+          .withColumn("dsum", coalesce(col("dsum"), lit(0L)))
+          .withColumn("n_live_end", sum(col("dsum")).over(wd))
+          .select(col("day"), col("n_live_end"))
+      },
+      Some("""
+        WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        statuses AS (
+          SELECT user_id, day, let FROM (
+            SELECT user_id, CAST(ts AS DATE) AS day, event_type AS let,
+                   row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1),
+        grid AS (
+          SELECT d.day, u.user_id, s.let
+          FROM days d CROSS JOIN (SELECT DISTINCT user_id FROM events) u
+          ASOF LEFT JOIN statuses s ON s.user_id = u.user_id AND s.day <= d.day)
+        SELECT day,
+               CAST(count(CASE WHEN let IS NOT NULL AND let <> 'error' THEN 1 END)
+                    AS BIGINT) AS n_live_end
+        FROM grid GROUP BY day"""))
   )
 }
