@@ -1389,6 +1389,131 @@ object SimilarityQueries {
       (s, d) => topKPerProbe(ivfTrainedPairs(s, d), 3),
       Some(annSelectSql(ivfTrainedCtesSql, 3))),
 
+    // ───── FILTERED vector search (r9): top-k restricted to candidates
+    // sharing the probe's label — the metadata-predicate + ANN
+    // composition every production vector store fights with (language-
+    // restricted retrieval, tenant isolation, freshness filters). Three
+    // strategies over the SAME trained-IVF candidate stream, recall
+    // gated against the label-FILTERED brute ground truth:
+    //   - post_top3: filter the unfiltered top-3 — the naive
+    //     composition; with 10 labels ~90% of the pool fails the
+    //     predicate, recall collapses (measured 2/30 at sf0.01),
+    //   - post_pool24: filter an 8·k deep pool then re-rank — the
+    //     standard mitigation, pool depth buying recall back (22/30),
+    //   - pre_cells: push the predicate INTO the cell scan, before the
+    //     bounded top-k aggregate — the recall CEILING available from
+    //     the probed cells (22/30; the 24-deep pool happens to reach it
+    //     on this corpus — at stronger filters or smaller pools the two
+    //     separate) AND the cheapest shuffle (only matching candidates
+    //     reach the aggregate); the selectivity-independent path a
+    //     planner should pick for strong filters.
+    // All three arms and the filtered ground truth are oracle-replayed;
+    // the recall ladder is numbers under the hash gate, not prose.
+    QuerySpec(
+      "ann_filtered",
+      (s, d) => {
+        val labs = graft.Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+        val qlabs = broadcast(labs
+          .select(col("vec_id").as("query_id"), col("label").as("qlab")))
+        def withLabels(pairs: DataFrame) = pairs
+          .join(labs.withColumnRenamed("label", "vlab"), "vec_id")
+          .join(qlabs, "query_id")
+        val std = Seq("query_id", "vec_id", "dot", "na", "nb")
+        val gtf = topKPerProbe(
+          withLabels(brutePairs(s, d)).filter(col("vlab") === col("qlab"))
+            .select(std.map(col): _*), 3)
+          .select("query_id", "neighbor_id")
+        val probes = Corpus.quantizedVectors(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"))
+        val ivfL = withLabels(ivfTrainedPairs(s, d))
+        val ranked = topKPerProbe(ivfL.select(std.map(col): _*), 24)
+          .join(labs.select(col("vec_id").as("neighbor_id"),
+            col("label").as("vlab")), "neighbor_id")
+          .join(qlabs, "query_id")
+        val postTop3 = ranked
+          .filter(col("rank") <= 3 && col("vlab") === col("qlab"))
+          .select("query_id", "neighbor_id")
+        val w3 = org.apache.spark.sql.expressions.Window.partitionBy("query_id").orderBy("rank")
+        val postPool = ranked.filter(col("vlab") === col("qlab"))
+          .withColumn("rk2", row_number().over(w3)).filter(col("rk2") <= 3)
+          .select("query_id", "neighbor_id")
+        val pre = topKPerProbe(
+          ivfL.filter(col("vlab") === col("qlab")).select(std.map(col): _*), 3)
+          .select("query_id", "neighbor_id")
+        def arm(nm: String, sel: DataFrame) = {
+          val hits = gtf.join(sel, Seq("query_id", "neighbor_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("hits"))
+          probes.join(hits, Seq("query_id"), "left")
+            .select(col("query_id"), lit(nm).as("method"),
+              coalesce(col("hits"), lit(0L)).as("hits"), lit(3).as("k"))
+        }
+        arm("post_top3", postTop3)
+          .unionByName(arm("post_pool24", postPool))
+          .unionByName(arm("pre_cells", pre))
+      },
+      Some(s"""
+        WITH $ivfTrainedCtesSql,
+        labs AS (SELECT vec_id, label FROM embeddings),
+        bp AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS vec_id, $dotSql AS dot,
+                 v.nn AS na, q.nn AS nb
+          FROM base v JOIN base q ON q.vec_id < 10 AND v.vec_id <> q.vec_id),
+        gtf AS (
+          SELECT query_id, vec_id AS neighbor_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ${Corpus.scoreSql} DESC, vec_id) AS rk
+            FROM (SELECT bp.* FROM bp
+                  JOIN labs lv ON lv.vec_id = bp.vec_id
+                  JOIN labs lq ON lq.vec_id = bp.query_id
+                                  AND lv.label = lq.label))
+          WHERE rk <= 3),
+        ranked AS (
+          SELECT query_id, vec_id, rk, vlab, qlab FROM (
+            SELECT p.query_id, p.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                     ORDER BY ${Corpus.scoreSql} DESC, p.vec_id) AS rk,
+                   lv.label AS vlab, lq.label AS qlab
+            FROM pairs p JOIN labs lv ON lv.vec_id = p.vec_id
+                         JOIN labs lq ON lq.vec_id = p.query_id)
+          WHERE rk <= 24),
+        pre AS (
+          SELECT query_id, vec_id AS neighbor_id FROM (
+            SELECT p.query_id, p.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                     ORDER BY ${Corpus.scoreSql} DESC, p.vec_id) AS rk
+            FROM pairs p JOIN labs lv ON lv.vec_id = p.vec_id
+                         JOIN labs lq ON lq.vec_id = p.query_id
+                                         AND lv.label = lq.label)
+          WHERE rk <= 3),
+        pt3 AS (SELECT query_id, vec_id AS neighbor_id
+                FROM ranked WHERE rk <= 3 AND vlab = qlab),
+        pp24 AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rk) AS rk2
+            FROM ranked WHERE vlab = qlab)
+          WHERE rk2 <= 3),
+        probes AS (SELECT vec_id AS query_id FROM base WHERE vec_id < 10),
+        h1 AS (SELECT g.query_id, count(*) AS hits FROM gtf g
+               JOIN pt3 t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+               GROUP BY g.query_id),
+        h2 AS (SELECT g.query_id, count(*) AS hits FROM gtf g
+               JOIN pp24 t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+               GROUP BY g.query_id),
+        h3 AS (SELECT g.query_id, count(*) AS hits FROM gtf g
+               JOIN pre t ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+               GROUP BY g.query_id)
+        SELECT p.query_id, 'post_top3' AS method,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 3 AS k
+        FROM probes p LEFT JOIN h1 h USING (query_id)
+        UNION ALL
+        SELECT p.query_id, 'post_pool24', CAST(COALESCE(h.hits, 0) AS BIGINT), 3
+        FROM probes p LEFT JOIN h2 h USING (query_id)
+        UNION ALL
+        SELECT p.query_id, 'pre_cells', CAST(COALESCE(h.hits, 0) AS BIGINT), 3
+        FROM probes p LEFT JOIN h3 h USING (query_id)""")),
+
     QuerySpec(
       "ann_lsh_bucket",
       (s, d) => topKPerProbe(lshPairs(s, d), 3),
