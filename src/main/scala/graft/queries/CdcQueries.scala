@@ -885,5 +885,69 @@ object CdcQueries {
                CAST(count(CASE WHEN let IS NOT NULL AND let <> 'error' THEN 1 END)
                     AS BIGINT) AS n_live_end
         FROM grid GROUP BY day"""))
+  ,
+
+    // ───── point-in-time SCD2 dimension join (r9): each purchase fact
+    // picks up the dimension VERSION that was valid at its own
+    // timestamp — the temporal join every SCD2 warehouse runs (and the
+    // classic silent-corruption site: joining facts to the CURRENT
+    // version backfills history with today's attributes). Dimension =
+    // the per-user version stream (signup/view/click rows as versions,
+    // error as tombstone); facts = purchases. ONE window pass over the
+    // unioned per-key timeline forward-fills the last version id/value
+    // at-or-before each fact (version rows sort before facts at equal
+    // (ts, event_id) never collide — event_id is unique), a tombstone
+    // overwrites the fill with NULL so deleted periods join to nothing.
+    // The oracle is DuckDB's native ASOF JOIN against the materialized
+    // interval table — an INDEPENDENT formulation (build intervals,
+    // range-match) of the same semantics, so a fill that leaks across a
+    // tombstone or reads a version from the future breaks the compare.
+    QuerySpec(
+      "cdc_scd2_join",
+      (s, d) => {
+        val isFact = col("event_type") === "purchase"
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .withColumn("v_mark",
+            when(!isFact && !isRemove, col("event_id"))
+              .when(isRemove, lit(-1L))) // tombstone sentinel
+          .withColumn("v_fill",
+            last(col("v_mark"), ignoreNulls = true).over(w))
+          .withColumn("vv_mark",
+            when(!isFact && !isRemove, col("value")).when(isRemove, lit(-1.0)))
+          .withColumn("vv_fill",
+            last(col("vv_mark"), ignoreNulls = true).over(w))
+          .filter(isFact)
+          .select(col("event_id").as("fact_id"), col("user_id"),
+            when(col("v_fill") =!= -1L, col("v_fill")).as("dim_version_id"),
+            when(col("v_fill") =!= -1L, col("vv_fill")).as("dim_value"))
+      },
+      Some("""
+        WITH dim AS (
+          SELECT user_id, event_id AS version_id, value, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS valid_to
+          FROM events WHERE event_type <> 'purchase'),
+        live AS (
+          SELECT user_id, version_id, value, valid_from, valid_to
+          FROM (SELECT d.*, e.event_type
+                FROM dim d JOIN events e ON e.event_id = d.version_id)
+          WHERE event_type <> 'error'),
+        facts AS (
+          SELECT event_id AS fact_id, user_id, ts
+          FROM events WHERE event_type = 'purchase')
+        SELECT fact_id, user_id,
+               CASE WHEN version_id IS NOT NULL
+                     AND (valid_to IS NULL OR ts < valid_to)
+                    THEN version_id END AS dim_version_id,
+               CASE WHEN version_id IS NOT NULL
+                     AND (valid_to IS NULL OR ts < valid_to)
+                    THEN value END AS dim_value
+        FROM (
+          SELECT f.fact_id, f.user_id, f.ts, v.version_id, v.value, v.valid_to
+          FROM facts f
+          ASOF LEFT JOIN live v
+            ON v.user_id = f.user_id AND v.valid_from <= f.ts)"""))
   )
 }

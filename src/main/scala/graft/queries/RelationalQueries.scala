@@ -706,6 +706,70 @@ object RelationalQueries {
     // p*(n-1) in both engines; inputs quantized to integer cents so the
     // interpolation arithmetic stays on exact integer-valued doubles
     QuerySpec(
+      "agg_weighted_median",
+      (s, d) => {
+        // WEIGHTED median per return flag (price weighted by quantity)
+        // — the order-statistic the unweighted percentile family can't
+        // express. Scale shape: NOT one window over the group (a
+        // 3-partition window serializes the fact table through 3
+        // tasks); the two-phase bucket search instead — (1) a hash-agg
+        // histogram over 1024 corpus-derived value buckets + a window
+        // over BUCKET cardinality locates the bucket holding the
+        // weighted midpoint, (2) only THAT bucket's rows (~1/1024 of
+        // the data) are ordered to find the exact row, seeded with the
+        // preceding buckets' cumulative weight. The oracle is the
+        // single-sort definition (full cumulative weight, first row
+        // with 2·cum ≥ total) — algorithm-independent, so a bucket
+        // boundary or seed error breaks the compare.
+        val base = lineitem(s, d).select(
+          col("l_returnflag").as("flag"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+          col("l_quantity").cast("long").as("wt"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        val mxc = base.agg(max("cents").as("mxc"))
+        val bukd = base.crossJoin(broadcast(mxc))
+          .withColumn("b", expr("cents * 1024L div (mxc + 1)"))
+        val wb = Window.partitionBy("flag").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val hist = bukd.groupBy("flag", "b").agg(sum("wt").as("bw"))
+          .withColumn("cum", sum("bw").over(wb))
+          .withColumn("totw", sum("bw").over(Window.partitionBy("flag")))
+        val target = hist.filter(col("cum") * 2 >= col("totw"))
+          .groupBy("flag").agg(min("b").as("tb"),
+            max("totw").as("totw"))
+          .join(hist.select(col("flag"), col("b").as("tb"),
+            (col("cum") - col("bw")).as("seed")), Seq("flag", "tb"))
+        val win = Window.partitionBy("flag").orderBy("cents", "ok", "ln")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bukd.as("x").join(broadcast(target.as("t")),
+            col("x.flag") === col("t.flag") && col("x.b") === col("t.tb"))
+          .select(col("x.flag").as("flag"), col("cents"), col("wt"),
+            col("ok"), col("ln"), col("seed"), col("totw"))
+          .withColumn("run", sum("wt").over(win))
+          .filter((col("seed") + col("run")) * 2 >= col("totw"))
+          .groupBy("flag")
+          .agg(min(struct(col("cents"), col("ok"), col("ln"))).as("r"),
+            max("totw").as("total_weight"))
+          .select(col("flag"), col("r.cents").as("median_cents"),
+            col("total_weight"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT l_returnflag AS flag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                 CAST(l_quantity AS BIGINT) AS wt,
+                 SUM(CAST(l_quantity AS BIGINT))
+                   OVER (PARTITION BY l_returnflag
+                         ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                                  l_orderkey, l_linenumber) AS cumw,
+                 SUM(CAST(l_quantity AS BIGINT))
+                   OVER (PARTITION BY l_returnflag) AS totw
+          FROM lineitem)
+        SELECT flag, CAST(MIN(cents) AS BIGINT) AS median_cents,
+               CAST(MAX(totw) AS BIGINT) AS total_weight
+        FROM s WHERE 2 * cumw >= totw GROUP BY flag""")),
+
+    QuerySpec(
       "agg_percentile",
       (s, d) => events(s, d)
         .withColumn("cents", floor(col("value") * 100))
