@@ -2953,8 +2953,16 @@ object RelationalQueries {
         sk.crossJoin(ex) // one-row × one-row composition
           .withColumn("sku",
             expr("slice(array_sort(array_distinct(concat(ska, skb))), 1, 256)"))
-          .withColumn("theta",
-            expr("least(element_at(ska, 256), element_at(skb, 256))"))
+          // a sketch holding < k values truncated NOTHING: its theta is
+          // the full hash range 2^40, so the intersection estimate
+          // degrades to the EXACT count when both sets fit (the
+          // standard theta-sketch rule — and the reason this query
+          // cannot ANSI-crash at tiny SFs)
+          .withColumn("theta", expr(
+            """least(case when size(ska) >= 256
+                          then element_at(ska, 256) else 1099511627776L end,
+                     case when size(skb) >= 256
+                          then element_at(skb, 256) else 1099511627776L end)"""))
           .withColumn("c",
             expr("size(filter(array_intersect(ska, skb), x -> x < theta))"))
           .select(expr(
@@ -2991,7 +2999,9 @@ object RelationalQueries {
         sa AS (SELECT count(*) AS n, max(h) AS r FROM ka),
         sb AS (SELECT count(*) AS n, max(h) AS r FROM kb),
         su AS (SELECT count(*) AS n, max(h) AS r FROM ku),
-        th AS (SELECT least(sa.r, sb.r) AS t FROM sa, sb),
+        th AS (SELECT least(CASE WHEN sa.n < 256 THEN 1099511627776 ELSE sa.r END,
+                           CASE WHEN sb.n < 256 THEN 1099511627776 ELSE sb.r END) AS t
+               FROM sa, sb),
         cc AS (SELECT count(*) AS c FROM ka, kb, th
                WHERE ka.h = kb.h AND ka.h < th.t),
         exacts AS (
