@@ -1141,12 +1141,23 @@ object DedupQueries {
     QuerySpec(
       "dedup_winnow",
       (s, d) => {
-        val kgArr = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .filter(size(col("t")) >= 5)
-          .select(col("doc_id"), expr(
-            """transform(sequence(1, size(t) - 4),
-                         i -> md5(concat_ws(' ', slice(t, i, 5))))""").as("gs"))
+        // gram hashes as 60-bit LONGS (not md5 hex strings — an 8-byte
+        // compare per window-min step instead of a 32-char one), and
+        // the gram array MATERIALIZED before the selection consumes it
+        // (the text_dup_spans discipline — without it CollapseProject
+        // inlines the whole nk-gram construction into the selection
+        // lambda, so slice(gs, j, 4) recomputes EVERY gram hash for
+        // every window position: O(nk²) md5 calls, measured 178 s at
+        // sf0.1 for a 0.2 s construction)
+        val kgArr = Corpus.cached(s, d, "winnowGramArr") {
+          Tables.documents(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("t"))
+            .filter(size(col("t")) >= 5)
+            .select(col("doc_id"), expr(
+              """transform(sequence(1, size(t) - 4),
+                           i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, 5))),
+                                                    1, 15), 16, 10) as long))""").as("gs"))
+        }
         val fp = kgArr
           .select(col("doc_id"), expr(
             """case when size(gs) >= 4
@@ -1154,6 +1165,7 @@ object DedupQueries {
                                              j -> array_min(slice(gs, j, 4))))
                else array() end""").as("fps"))
           .select(col("doc_id"), explode(col("fps")).as("selg"))
+          .localCheckpoint(true) // ~0.4·|kgrams| rows; four consumers
         val good = fp.groupBy("selg").agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2 && col("df") <= 50).select("selg")
         val gf = fp.join(good, "selg")
@@ -1167,7 +1179,9 @@ object DedupQueries {
       Some("""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         kg AS (
-          SELECT doc_id, i, md5(array_to_string(t[i : i + 4], ' ')) AS g
+          SELECT doc_id, i,
+                 CAST(('0x' || substring(md5(array_to_string(t[i : i + 4], ' ')),
+                                         1, 15)) AS BIGINT) AS g
           FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
                 FROM toks WHERE len(t) >= 5)),
         n AS (SELECT doc_id, count(*) AS nk FROM kg GROUP BY 1),
