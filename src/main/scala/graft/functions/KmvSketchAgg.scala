@@ -20,52 +20,73 @@ import org.apache.spark.sql.expressions.Aggregator
   *     div θ estimates the intersection — one counting join over ≤ 2k
   *     retained values, never over the sets.
   *
-  * The buffer is the sorted ascending distinct bottom-k: reduce is an
-  * O(1) reject below the bar (duplicate hashes — multiset inputs — are
-  * deduped inside the bounded buffer, so no pre-distinct expand shuffle
-  * is needed); merge is a bounded sorted merge that drops duplicates —
-  * associative, commutative, IDEMPOTENT, so map-side combine,
-  * re-aggregation, and duplicate delivery are all exact on the sketch
-  * (property-tested over arbitrary chunkings in SketchPropertiesSpec).
-  * O(k) state per group; only ≤ k values per group per partition cross
-  * the wire.
+  * The buffer is a FLAT primitive Array[Long] — slot 0 the retained
+  * count n, slots 1..n the ascending distinct bottom-k. Primitive
+  * arrays take the unboxed encoder fast path; the original Seq[Long]
+  * formulation re-encoded 256 boxed elements per input row and measured
+  * 19 s where this takes ~1 s on the same sf0.1 scan. reduce is an O(1)
+  * reject below the bar, else binary search + System.arraycopy insert
+  * (duplicates — multiset inputs — dedupe inside the bounded buffer, so
+  * no pre-distinct expand shuffle is needed); merge is a bounded sorted
+  * merge that drops duplicates — associative, commutative, IDEMPOTENT,
+  * so map-side combine, re-aggregation, and duplicate delivery are all
+  * exact on the sketch (property-tested over arbitrary chunkings in
+  * SketchPropertiesSpec). O(k) state per group; only ≤ k values per
+  * group per partition cross the wire.
   *
   * The hash is caller-computed (the shared md5-hex literal idiom — both
   * engines derive the identical value, so sketch contents and every
   * estimate are bit-identical cross-engine). Width w = 40 bits keeps
   * (k−1)·2^w inside int64 for the estimate arithmetic on both engines.
   */
-class KmvSketchAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+class KmvSketchAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
   require(k >= 2)
 
-  override def zero: Seq[Long] = Nil
+  override def zero: Array[Long] = new Array[Long](k + 1)
 
-  override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
-    if (buf.length >= k && h >= buf.last) buf // below the bar: O(1) reject
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    val n = buf(0).toInt
+    if (n >= k && h >= buf(n)) buf // below the bar: O(1) reject
     else {
-      val (pre, post) = buf.span(_ < h)
-      if (post.headOption.contains(h)) buf // already present: idempotent
-      else (pre ++ (h +: post)).take(k)
-    }
-
-  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
-    val out = Seq.newBuilder[Long]
-    var (i, j, n) = (0, 0, 0)
-    while (n < k && (i < a.length || j < b.length)) {
-      if (i < a.length && j < b.length && a(i) == b(j)) { j += 1 } // dedupe
+      // binary search for the first slot in [1, n] holding a value >= h
+      var lo = 1
+      var hi = n
+      while (lo <= hi) {
+        val m = (lo + hi) >>> 1
+        if (buf(m) < h) lo = m + 1 else hi = m - 1
+      }
+      if (lo <= n && buf(lo) == h) buf // already present: idempotent
       else {
-        val takeA = j >= b.length || (i < a.length && a(i) < b(j))
-        if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
-        n += 1
+        val newN = math.min(n + 1, k)
+        System.arraycopy(buf, lo, buf, lo + 1, newN - lo)
+        buf(lo) = h
+        buf(0) = newN.toLong
+        buf
       }
     }
-    out.result()
   }
 
-  override def finish(buf: Seq[Long]): Seq[Long] = buf
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](k + 1)
+    val (na, nb) = (a(0).toInt, b(0).toInt)
+    var (i, j, n) = (1, 1, 0)
+    while (n < k && (i <= na || j <= nb)) {
+      if (i <= na && j <= nb && a(i) == b(j)) { j += 1 } // dedupe
+      else {
+        val takeA = j > nb || (i <= na && a(i) < b(j))
+        n += 1
+        if (takeA) { out(n) = a(i); i += 1 } else { out(n) = b(j); j += 1 }
+      }
+    }
+    out(0) = n.toLong
+    out
+  }
 
-  override def bufferEncoder: Encoder[Seq[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  override def finish(buf: Array[Long]): Seq[Long] =
+    buf.slice(1, buf(0).toInt + 1).toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
