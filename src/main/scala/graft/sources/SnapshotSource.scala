@@ -1,0 +1,243 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal, XxHash64}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.streaming.SnapshotStore
+
+/** DataSource V2 connector over the engine's bucket-manifest snapshot
+  * store: `spark.read.format("graft-snapshot").load(targetDir)` (or
+  * `.option("path", dir)`) serves the RESOLVED current state — the same
+  * rows as [[SnapshotStore.readTarget]] — as a first-class Spark table,
+  * so downstream SQL/DataFrame consumers need no engine import at all.
+  *
+  * This is the full V2 read stack, each layer doing real work:
+  *
+  *   - PARTITION PLANNING: one input partition per manifest bucket, each
+  *     carrying its ordered segment chain — buckets resolve in parallel
+  *     and a 100 TB table's parallelism is its bucket count.
+  *   - FILTER PUSHDOWN ([[SupportsPushDownFilters]]): `keys = 'x'` /
+  *     `keys IN (...)` prunes to the buckets those keys hash into —
+  *     pmod(xxhash64(key), numBuckets), the exact write-side bucket
+  *     function — so a point lookup reads ONE bucket's chain, not the
+  *     table (the pushed set is also re-applied after the scan, so
+  *     over-acceptance is impossible by construction).
+  *   - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): the reader
+  *     materializes only requested fields.
+  *   - MERGE-ON-READ in the reader: each partition replays its chain
+  *     through parquet-mr, keeping per key the LWW winner under the
+  *     engine's (canonical-length, canonical, raw-length, raw) sequence
+  *     order — [[graft.ops.CdcOps.numericStringOrder]]'s Scala mirror —
+  *     and drops DELETE tombstones; state is bounded by live keys per
+  *     BUCKET, the same memory class as a shuffle-side aggregate.
+  *
+  * Scope: the canonical single-`keys` layout (every streaming target in
+  * this engine); time travel stays on [[SnapshotStore.readTargetAsOf]].
+  * The spec gates full-scan AND point-lookup equality against
+  * readTarget, and pins the partition count a pushed filter leaves.
+  */
+class SnapshotSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-snapshot"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new SnapshotTable(Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-snapshot requires a path: .load(dir) or .option(\"path\", dir)")))
+}
+
+object SnapshotSource {
+  /** Resolved-state schema of the canonical store layout. */
+  val Schema: StructType = StructType(
+    Seq("keys", "sequenceNumber", "newImage")
+      .map(StructField(_, StringType)))
+
+  /** Driver/executor-shared mirror of the store's bucket function:
+    * pmod(xxhash64(keys), n) with Spark's default seed.
+    */
+  def bucketOf(key: String, n: Int): Int = {
+    val h = new XxHash64(Seq(Literal(UTF8String.fromString(key), StringType)))
+      .eval(InternalRow.empty).asInstanceOf[Long]
+    (((h % n) + n) % n).toInt
+  }
+}
+
+private[sources] class SnapshotTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_snapshot(`$path`)"
+  override def schema(): StructType = SnapshotSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(path)
+}
+
+private[sources] class SnapshotScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = SnapshotSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+  private var keyLookups: Option[Set[String]] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val keySets = filters.collect {
+      case EqualTo("keys", v: String) => Set(v)
+      case In("keys", vs) if vs.forall(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String]).toSet
+    }
+    if (keySets.nonEmpty) {
+      keyLookups = Some(keySets.reduce(_ intersect _))
+      pushed = filters.filter {
+        case EqualTo("keys", _: String) => true
+        case In("keys", vs) => vs.forall(_.isInstanceOf[String])
+        case _ => false
+      }
+    }
+    filters // everything re-applied post-scan: pruning, never semantics
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (requiredSchema.fields.nonEmpty) required = requiredSchema
+
+  override def build(): Scan = new SnapshotScan(path, required, keyLookups)
+}
+
+private[sources] case class SnapshotInputPartition(
+    bucket: Int, segmentDirs: Seq[String]) extends InputPartition
+
+private[sources] class SnapshotScan(path: String, required: StructType,
+                                    keyLookups: Option[Set[String]])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot $path${keyLookups.map(k => s" [${k.size} key lookups]").getOrElse("")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    SnapshotStore.currentManifest(spark, path) match {
+      case None => Array.empty
+      case Some((_, m)) =>
+        val wanted = keyLookups.map(_.map(SnapshotSource.bucketOf(_, m.numBuckets)))
+        m.buckets.toSeq.sortBy(_._1)
+          .filter { case (b, _) => wanted.forall(_.contains(b)) }
+          .map { case (b, segs) =>
+            SnapshotInputPartition(b, segs.map(new Path(path, _).toString))
+              : InputPartition
+          }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(required.fieldNames.toSeq)
+}
+
+private[sources] class SnapshotReaderFactory(cols: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SnapshotPartitionReader(
+      partition.asInstanceOf[SnapshotInputPartition], cols)
+}
+
+/** Per-bucket merge-on-read resolve through parquet-mr (the executor has
+  * no SparkSession; parquet-hadoop ships with Spark). Chain order is
+  * irrelevant to the result — the LWW order is total over (sequence,
+  * raw) — so segments stream in manifest order purely for locality.
+  */
+private[sources] class SnapshotPartitionReader(
+    p: SnapshotInputPartition, cols: Seq[String])
+    extends PartitionReader[InternalRow] {
+
+  // key -> (ordKey, op, seq, image)
+  private type Ord = (Int, String, Int, String)
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val conf = new Configuration()
+    val fs = new Path(p.segmentDirs.head).getFileSystem(conf)
+    val state = mutable.HashMap.empty[String, (Ord, String, String, String)]
+    for {
+      dir <- p.segmentDirs
+      st <- fs.listStatus(new Path(dir)).toSeq.sortBy(_.getPath.getName)
+      if st.isFile && st.getPath.getName.endsWith(".parquet")
+    } readFile(conf, st.getPath, state)
+    state.iterator.collect {
+      case (k, (_, op, seq, img)) if op != "DELETE" =>
+        val vals: Map[String, String] =
+          Map("keys" -> k, "sequenceNumber" -> seq, "newImage" -> img)
+        new GenericInternalRow(
+          cols.map(c => UTF8String.fromString(vals.getOrElse(c, null))
+            : Any).toArray)
+    }
+  }
+
+  private def ordKey(seq: String): Ord = {
+    val (cl, canon) = graft.ops.CdcOps.numericStringKey(seq)
+    (cl, canon, seq.length, seq)
+  }
+
+  private def readFile(conf: Configuration, file: Path,
+                       state: mutable.HashMap[String, (Ord, String, String, String)]): Unit = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      def idx(n: String): Int =
+        if (schema.containsField(n)) schema.getFieldIndex(n) else -1
+      val (ki, oi, si, ii) =
+        (idx("keys"), idx("op"), idx("sequenceNumber"), idx("newImage"))
+      require(ki >= 0, s"segment $file has no 'keys' column")
+      val colIO = new ColumnIOFactory().getColumnIO(schema)
+      var pages = reader.readNextRowGroup()
+      while (pages != null) {
+        val rr = colIO.getRecordReader(pages, new GroupRecordConverter(schema))
+        var i = 0L
+        val n = pages.getRowCount
+        while (i < n) {
+          val g = rr.read()
+          def str(fi: Int): String =
+            if (fi >= 0 && g.getFieldRepetitionCount(fi) > 0)
+              g.getValueToString(fi, 0)
+            else null
+          val k = str(ki)
+          if (k != null) {
+            val seq = Option(str(si)).getOrElse("")
+            val op = Option(str(oi)).getOrElse("PUT")
+            val ord = ordKey(seq)
+            val better = state.get(k).forall { case (o, _, _, _) =>
+              Ordering[Ord].gt(ord, o)
+            }
+            if (better) state.update(k, (ord, op, seq, str(ii)))
+          }
+          i += 1
+        }
+        pages = reader.readNextRowGroup()
+      }
+    } finally reader.close()
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
