@@ -84,13 +84,26 @@ object SnapshotSource {
   }
 }
 
-private[sources] class SnapshotTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"graft_snapshot(`$path`)"
+private[sources] class SnapshotTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String = s"graft_snapshot $path"
   override def schema(): StructType = SnapshotSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      // the WRITE shape is the 4-column CDC delta (keys, op,
+      // sequenceNumber, newImage) while the READ shape is the resolved
+      // 3-column state — ACCEPT_ANY_SCHEMA opts out of Spark's
+      // write-vs-table-schema resolution and the WriteBuilder validates
+      // the delta shape itself (fails at plan time with the real
+      // requirement)
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SnapshotWriteBuilder(path,
+      Option(info.options.get("batchId")).map(_.toLong), info.schema())
 }
 
 private[sources] class SnapshotScanBuilder(path: String) extends ScanBuilder

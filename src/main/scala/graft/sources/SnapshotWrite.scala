@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.schema.{MessageType, PrimitiveType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.LogicalTypeAnnotation.stringType
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+
+import graft.streaming.SnapshotStore
+
+/** DataSource V2 WRITE path for the snapshot store:
+  * `df.write.format("graft-snapshot").mode("append").save(dir)` applies
+  * the DataFrame as a CDC delta batch. Executors STAGE the delta (one
+  * parquet file per task, written with parquet-mr — no SparkSession on
+  * executors), and `BatchWrite.commit` — which Spark runs ON THE DRIVER
+  * exactly once after every task has reported success — feeds the staged
+  * files through [[SnapshotStore.mergeIntoTarget]]: the same
+  * writer-locked, manifest-swapped, journaled merge the streaming sink
+  * uses. The connector adds NO second commit protocol; exactly-once and
+  * crash atomicity are inherited from the store's (a failed job aborts →
+  * staging is deleted, the pointer never moved). `batchId` defaults to
+  * the current max staged batch + 1 via the option of the same name.
+  *
+  * Input schema: the canonical delta shape (keys, op, sequenceNumber,
+  * newImage) — the V2 `Write` validates it up front so a mis-shaped
+  * frame fails at plan time, not mid-merge.
+  */
+private[sources] object SnapshotWrite {
+  val Fields: Seq[String] = Seq("keys", "op", "sequenceNumber", "newImage")
+
+  val ParquetSchema: MessageType = {
+    val b = Types.buildMessage()
+    Fields.foreach { f =>
+      b.addField(Types.optional(PrimitiveTypeName.BINARY)
+        .as(stringType()).named(f): PrimitiveType)
+    }
+    b.named("graft_delta")
+  }
+}
+
+private[sources] class SnapshotWriteBuilder(path: String, batchId: Option[Long],
+                                            schema: org.apache.spark.sql.types.StructType)
+    extends WriteBuilder {
+  override def build(): Write = {
+    val missing = SnapshotWrite.Fields.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"graft-snapshot write requires columns ${SnapshotWrite.Fields.mkString(", ")}; " +
+        s"missing: ${missing.mkString(", ")}")
+    new Write {
+      override def toBatch: BatchWrite =
+        new SnapshotBatchWrite(path, batchId,
+          SnapshotWrite.Fields.map(schema.fieldIndex))
+    }
+  }
+}
+
+private[sources] class SnapshotBatchWrite(path: String, batchId: Option[Long],
+                                          fieldIdx: Seq[Int]) extends BatchWrite {
+  private val staging = s"$path/_staging-${java.util.UUID.randomUUID().toString.take(12)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SnapshotDataWriterFactory(staging, fieldIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val files = messages.collect { case m: SnapshotWriteMessage if m.rows > 0 => m.file }
+    try {
+      if (files.nonEmpty) {
+        val delta = spark.read.parquet(files: _*)
+        val id = batchId.getOrElse(System.currentTimeMillis() / 1000)
+        SnapshotStore.mergeIntoTarget(spark, path, delta, batchId = id)
+      }
+    } finally cleanup(spark)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanup(SparkSession.active)
+
+  private def cleanup(spark: SparkSession): Unit = {
+    val p = new Path(staging)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+}
+
+private[sources] case class SnapshotWriteMessage(file: String, rows: Long)
+    extends WriterCommitMessage
+
+private[sources] class SnapshotDataWriterFactory(staging: String, fieldIdx: Seq[Int])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriter(s"$staging/part-$partitionId-$taskId.parquet", fieldIdx)
+}
+
+private[sources] class SnapshotDataWriter(file: String, fieldIdx: Seq[Int])
+    extends DataWriter[InternalRow] {
+  private val factory = new SimpleGroupFactory(SnapshotWrite.ParquetSchema)
+  private lazy val writer = ExampleParquetWriter
+    .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+      .fromPath(new Path(file), new Configuration()))
+    .withType(SnapshotWrite.ParquetSchema)
+    .withCompressionCodec(CompressionCodecName.SNAPPY)
+    .build()
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    val g = factory.newGroup()
+    SnapshotWrite.Fields.zip(fieldIdx).foreach { case (f, i) =>
+      if (!record.isNullAt(i)) g.append(f, record.getUTF8String(i).toString)
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    SnapshotWriteMessage(file, rows)
+  }
+  override def abort(): Unit = writer.close()
+  override def close(): Unit = ()
+}

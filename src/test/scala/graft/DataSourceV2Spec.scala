@@ -67,6 +67,36 @@ class DataSourceV2Spec extends SparkSpec {
     assert(collectRows(inq).map(_._1) === Set("k1", "k5"))
   }
 
+  test("V2 write path: df.write appends a delta batch through the store's own commit") {
+    val dir = tmp("dsv2-write")
+    buildTarget(dir)
+    // append through the connector: overwrite k1, delete k4, add k6 —
+    // and re-deliver the stale k2 PUT, which must STILL lose
+    delta(
+      ("k1", "PUT", "021", Some("""{"v":11}""")),
+      ("k4", "DELETE", "024", None),
+      ("k6", "PUT", "026", Some("""{"v":6}""")),
+      ("k2", "PUT", "005", Some("""{"v":-9}""")))
+      .write.format("graft-snapshot").option("batchId", "9")
+      .mode("append").save(dir)
+    val got = collectRows(SnapshotStore.readTarget(spark, dir))
+    assert(got.map(_._1) === Set("k1", "k2", "k5", "k6"))
+    assert(got.find(_._1 == "k1").get._3 === """{"v":11}""")
+    assert(got.find(_._1 == "k2").get._3 === """{"v":22}""") // stale lost again
+    // round trip: the V2 read sees the V2 write
+    assert(collectRows(spark.read.format("graft-snapshot").load(dir)) === got)
+    // no staging residue
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.startsWith("_staging-")))
+    // a mis-shaped frame fails at plan time, before any merge
+    intercept[Exception] {
+      Seq(("x", "y")).toDF("keys", "nope")
+        .write.format("graft-snapshot").mode("append").save(dir)
+    }
+  }
+
   test("column pruning: a newImage-only projection still resolves correctly") {
     val dir = tmp("dsv2-prune")
     buildTarget(dir)
