@@ -210,7 +210,37 @@ private[sources] class SnapshotPartitionReader(
   }
 
   private def readFile(conf: Configuration, file: Path,
-                       state: mutable.HashMap[String, (Ord, String, String, String)]): Unit = {
+                       state: mutable.HashMap[String, (Ord, String, String, String)]): Unit =
+    ParquetSegments.foreachRow(conf, file) { (k, op, seq, img) =>
+      val ord = ordKey(seq)
+      val better = state.get(k).forall { case (o, _, _, _) =>
+        Ordering[Ord].gt(ord, o)
+      }
+      if (better) state.update(k, (ord, op, seq, img))
+    }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Shared parquet-mr row walk over a segment file: yields each row's
+  * (keys, op, sequenceNumber, newImage) with op defaulted to PUT for
+  * metadata-less rows — the one definition both the resolving batch
+  * reader and the raw change-feed reader consume.
+  */
+private[sources] object ParquetSegments {
+  def listParquet(conf: Configuration, dir: String): Seq[Path] = {
+    val p = new Path(dir)
+    p.getFileSystem(conf).listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+  }
+
+  def foreachRow(conf: Configuration, file: Path)
+                (f: (String, String, String, String) => Unit): Unit = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
@@ -232,25 +262,13 @@ private[sources] class SnapshotPartitionReader(
               g.getValueToString(fi, 0)
             else null
           val k = str(ki)
-          if (k != null) {
-            val seq = Option(str(si)).getOrElse("")
-            val op = Option(str(oi)).getOrElse("PUT")
-            val ord = ordKey(seq)
-            val better = state.get(k).forall { case (o, _, _, _) =>
-              Ordering[Ord].gt(ord, o)
-            }
-            if (better) state.update(k, (ord, op, seq, str(ii)))
-          }
+          if (k != null)
+            f(k, Option(str(oi)).getOrElse("PUT"),
+              Option(str(si)).getOrElse(""), str(ii))
           i += 1
         }
         pages = reader.readNextRowGroup()
       }
     } finally reader.close()
   }
-
-  private var current: InternalRow = _
-  override def next(): Boolean =
-    if (rows.hasNext) { current = rows.next(); true } else false
-  override def get(): InternalRow = current
-  override def close(): Unit = ()
 }

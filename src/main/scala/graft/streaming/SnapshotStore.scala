@@ -327,6 +327,19 @@ object SnapshotStore {
     Manifest(n, entries)
   }
 
+  /** A committed manifest by name (the V2 change-feed's lookup): None if
+    * the file is gone — e.g. pruned by version retention — so callers
+    * can degrade to their documented at-least-once fallback instead of
+    * failing a stream over housekeeping.
+    */
+  def manifestNamed(spark: SparkSession, targetDir: String,
+                    name: String): Option[Manifest] = {
+    val fs = fsOf(spark, targetDir)
+    val p = new Path(targetDir, name)
+    if (!fs.exists(p)) None
+    else Some(parseManifest(readFully(fs, p), name))
+  }
+
   /** The live (name, manifest). Fails loudly if the pointer names a missing
     * manifest: the pointer is proof prior batches committed, so an empty
     * fallback would silently drop every applied key on the next merge.

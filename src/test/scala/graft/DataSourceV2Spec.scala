@@ -97,6 +97,46 @@ class DataSourceV2Spec extends SparkSpec {
     }
   }
 
+  test("change feed: readStream tails committed versions, resumes from checkpoint") {
+    val dir = tmp("dsv2-feed")
+    val ckpt = tmp("dsv2-feed-ckpt")
+    val out = tmp("dsv2-feed-out")
+    buildTarget(dir)
+    // parquet sink: supports checkpoint RECOVERY (the memory sink does
+    // not), so the second drain genuinely resumes the same stream
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot-changes").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); ()
+    }
+    def rows() = spark.read.parquet(out)
+      .select("keys", "op", "sequenceNumber").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    drain()
+    // all three committed batches' raw delta rows, tombstone + stale included
+    val firstBatches = Set(
+      ("k1", "PUT", "001"), ("k2", "PUT", "002"), ("k3", "PUT", "003"),
+      ("k4", "PUT", "004"),
+      ("k2", "PUT", "012"), ("k3", "DELETE", "013"), ("k5", "PUT", "015"),
+      ("k2", "PUT", "005"))
+    assert(rows() === firstBatches)
+    // every row carries the committing version tag
+    assert(spark.read.parquet(out).select("_version").distinct().count() === 1)
+    // a fourth batch through the V2 WRITE path; the resumed stream
+    // delivers ONLY its rows (no re-delivery of the first eight)
+    delta(("k6", "PUT", "026", Some("""{"v":6}""")),
+      ("k4", "DELETE", "027", None))
+      .write.format("graft-snapshot").option("batchId", "4")
+      .mode("append").save(dir)
+    drain()
+    assert(rows() === firstBatches ++ Set(
+      ("k6", "PUT", "026"), ("k4", "DELETE", "027")))
+    assert(spark.read.parquet(out).select("_version").distinct().count() === 2)
+  }
+
   test("column pruning: a newImage-only projection still resolves correctly") {
     val dir = tmp("dsv2-prune")
     buildTarget(dir)
