@@ -760,10 +760,14 @@ class StreamingSpec extends SparkSpec {
   test("the heartbeat keeps a live writer's long-held lock from going stale") {
     val target = tmp("beat-target")
     val lockFile = new java.io.File(target, SnapshotStore.LockFile)
-    SnapshotStore.withTargetLock(spark, target, staleMs = 400L, waitMs = 2000L) {
-      Thread.sleep(1200) // 3x the stale window, heartbeat every 100 ms
+    // stale window sized so the assertion tolerates ~1 s of scheduler
+    // stall on a loaded machine (a 100 ms-beat/400 ms-stale variant
+    // flaked when one heartbeat tick was delayed 380 ms under ambient
+    // load): heartbeat = stale/4 = 375 ms, hold 2x the stale window
+    SnapshotStore.withTargetLock(spark, target, staleMs = 1500L, waitMs = 4000L) {
+      Thread.sleep(3000) // 2x the stale window
       val age = System.currentTimeMillis() - lockFile.lastModified()
-      assert(age < 400L,
+      assert(age < 1500L,
         s"lock mtime is $age ms old — a waiter would wrongly break a LIVE writer's lock")
     }
     assert(!lockFile.exists(), "owned lock not released")
