@@ -98,7 +98,7 @@ private[sources] class SnapshotTable(path: String) extends Table
       // requirement)
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(path)
+    new SnapshotScanBuilder(path, Option(options.get("versionAsOf")))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -106,7 +106,9 @@ private[sources] class SnapshotTable(path: String) extends Table
       Option(info.options.get("batchId")).map(_.toLong), info.schema())
 }
 
-private[sources] class SnapshotScanBuilder(path: String) extends ScanBuilder
+private[sources] class SnapshotScanBuilder(path: String,
+                                            versionAsOf: Option[String] = None)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = SnapshotSource.Schema
   private var pushed: Array[Filter] = Array.empty
@@ -133,23 +135,36 @@ private[sources] class SnapshotScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (requiredSchema.fields.nonEmpty) required = requiredSchema
 
-  override def build(): Scan = new SnapshotScan(path, required, keyLookups)
+  override def build(): Scan = new SnapshotScan(path, required, keyLookups, versionAsOf)
 }
 
 private[sources] case class SnapshotInputPartition(
     bucket: Int, segmentDirs: Seq[String]) extends InputPartition
 
 private[sources] class SnapshotScan(path: String, required: StructType,
-                                    keyLookups: Option[Set[String]])
+                                    keyLookups: Option[Set[String]],
+                                    versionAsOf: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-snapshot $path${keyLookups.map(k => s" [${k.size} key lookups]").getOrElse("")}"
+    s"graft-snapshot $path${keyLookups.map(k => s" [${k.size} key lookups]").getOrElse("")}" +
+      versionAsOf.map(v => s" asOf=$v").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    SnapshotStore.currentManifest(spark, path) match {
+    // TIME TRAVEL: .option("versionAsOf", <manifest>) reads a retained
+    // committed version through the same pruned/parallel scan; the
+    // committed-set check mirrors readTargetAsOf (a crashed publish's
+    // orphan manifest must not be readable as if it had committed)
+    val manifest = versionAsOf match {
+      case Some(v) =>
+        require(SnapshotStore.versions(spark, path).contains(v),
+          s"versionAsOf '$v' is not a committed retained version of '$path'")
+        SnapshotStore.manifestNamed(spark, path, v).map(("", _))
+      case None => SnapshotStore.currentManifest(spark, path)
+    }
+    manifest match {
       case None => Array.empty
       case Some((_, m)) =>
         val wanted = keyLookups.map(_.map(SnapshotSource.bucketOf(_, m.numBuckets)))

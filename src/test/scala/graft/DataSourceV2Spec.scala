@@ -179,6 +179,42 @@ class DataSourceV2Spec extends SparkSpec {
     assert(applied === expect)
   }
 
+  test("time travel: versionAsOf reads a retained committed version; orphans refused") {
+    val dir = tmp("dsv2-asof")
+    // explicit retention: the default window prunes to 2 and the test
+    // wants the FIRST commit readable
+    SnapshotStore.mergeIntoTarget(spark, dir, batchId = 1, retainVersions = 5,
+      delta = delta(
+        ("k1", "PUT", "001", Some("""{"v":1}""")),
+        ("k2", "PUT", "002", Some("""{"v":2}""")),
+        ("k3", "PUT", "003", Some("""{"v":3}""")),
+        ("k4", "PUT", "004", Some("""{"v":4}"""))))
+    SnapshotStore.mergeIntoTarget(spark, dir, batchId = 2, retainVersions = 5,
+      delta = delta(
+        ("k2", "PUT", "012", Some("""{"v":22}""")),
+        ("k3", "DELETE", "013", None),
+        ("k5", "PUT", "015", Some("""{"v":5}"""))))
+    val v = SnapshotStore.versions(spark, dir)
+    assert(v.size >= 2)
+    // as of the FIRST commit: k1..k4 live, nothing overwritten/deleted yet
+    val asOf1 = spark.read.format("graft-snapshot")
+      .option("versionAsOf", v.head).load(dir)
+    assert(collectRows(asOf1) ===
+      collectRows(SnapshotStore.readTargetAsOf(spark, dir, v.head)))
+    assert(collectRows(asOf1).map(_._1) === Set("k1", "k2", "k3", "k4"))
+    // pushdown composes with time travel: point lookup = one bucket
+    val point = spark.read.format("graft-snapshot")
+      .option("versionAsOf", v.head).load(dir)
+      .filter(col("keys") === "k3")
+    assert(point.rdd.getNumPartitions === 1)
+    assert(point.count() === 1L) // k3 alive at v1, deleted at head
+    // a name that never committed is refused
+    intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .option("versionAsOf", "manifest-nope").load(dir).count()
+    }
+  }
+
   test("column pruning: a newImage-only projection still resolves correctly") {
     val dir = tmp("dsv2-prune")
     buildTarget(dir)
