@@ -2858,6 +2858,51 @@ object RelationalQueries {
                CAST((n_est - n_exact) * 1000 // n_exact AS BIGINT) AS over_pm
         FROM est""")),
 
+    // ───── day-of-week seasonal decomposition (r9): the multiplicative
+    // seasonal index per (event type, ISO weekday) — dow_mean / overall
+    // mean in exact integer per-mille (the STL-lite every traffic
+    // dashboard runs before flagging "weekend dips" as anomalies; the
+    // companion to events_changepoint's level shifts and
+    // events_forecast's trend — together the classic decomposition
+    // triple). Weekday via Spark weekday()+1 ≡ DuckDB isodow (both
+    // Monday=1), means as x1000-scaled truncating divisions of exact
+    // counts. Everything after the one daily hash-agg runs over
+    // (type × dow) cardinality.
+    QuerySpec(
+      "events_seasonality",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val tot = daily.groupBy("event_type")
+          .agg(sum("c").as("t"), count(lit(1)).as("n"))
+          .withColumn("mean_x1000", expr("t * 1000L div n"))
+        daily
+          .withColumn("dow", expr("weekday(day) + 1"))
+          .groupBy("event_type", "dow")
+          .agg(sum("c").as("dow_total"), count(lit(1)).as("n_days"))
+          .withColumn("dow_mean_x1000", expr("dow_total * 1000L div n_days"))
+          .join(broadcast(tot.select("event_type", "mean_x1000")), "event_type")
+          .select(col("event_type"), col("dow"), col("n_days"), col("dow_total"),
+            expr("dow_mean_x1000 * 1000L div mean_x1000").as("idx_pm"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type,
+                 (CAST(SUM(c) AS BIGINT) * 1000) // count(*) AS mean_x1000
+          FROM daily GROUP BY 1),
+        dw AS (
+          SELECT event_type, CAST(isodow(day) AS INTEGER) AS dow,
+                 count(*) AS n_days, CAST(SUM(c) AS BIGINT) AS dow_total
+          FROM daily GROUP BY 1, 2)
+        SELECT d.event_type, d.dow, d.n_days, d.dow_total,
+               CAST((d.dow_total * 1000 // d.n_days) * 1000 // t.mean_x1000
+                    AS BIGINT) AS idx_pm
+        FROM dw d JOIN tot t USING (event_type)""")),
+
     // ───── CUSUM changepoint detection (r9): where did each event
     // type's daily level SHIFT — the Page (Biometrika 1954) cumulative-
     // sum statistic next to events_anomaly's pointwise outliers and
