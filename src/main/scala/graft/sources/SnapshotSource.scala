@@ -51,7 +51,9 @@ import graft.streaming.SnapshotStore
   *     BUCKET, the same memory class as a shuffle-side aggregate.
   *
   * Scope: the canonical single-`keys` layout (every streaming target in
-  * this engine); time travel stays on [[SnapshotStore.readTargetAsOf]].
+  * this engine); time travel rides the connector too —
+  * `.option("versionAsOf", <manifest>)` reads a retained committed
+  * version through the same pruned scan (orphan manifests refused).
   * The spec gates full-scan AND point-lookup equality against
   * readTarget, and pins the partition count a pushed filter leaves.
   */
