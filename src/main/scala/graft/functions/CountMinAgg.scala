@@ -28,8 +28,13 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class CountMinAgg(depth: Int, width: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
   require(depth >= 1 && depth <= 6, s"depth must be in [1,6], got $depth")
-  require(width >= 2 && (width & (width - 1)) == 0 && depth * 10 <= 60,
-    s"width must be a power of two with depth*10 <= 60 hash bits, got $width")
+  // width <= 1024: row r reads exactly the 10-bit slice [10r, 10r+10) of
+  // the hash, so a wider power of two would overlap row r+1's slice —
+  // correlated rows, and the per-row error bound E[est-true] <= 2N/width
+  // no longer holds (only one-sidedness would survive)
+  require(width >= 2 && width <= 1024 && (width & (width - 1)) == 0 &&
+    depth * 10 <= 60,
+    s"width must be a power of two in [2,1024] with depth*10 <= 60 hash bits, got $width")
 
   override def zero: Array[Long] = new Array[Long](depth * width)
 

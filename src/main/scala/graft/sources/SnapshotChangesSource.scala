@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.streaming.SnapshotStore
 
@@ -122,37 +123,56 @@ private[sources] class SnapshotChangesStream(path: String) extends MicroBatchStr
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // driver-captured SESSION Hadoop conf (not a bare Configuration) so
+    // spark.hadoop.* object-store credentials reach executor-side I/O
+    val conf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new SnapshotChangesReader(p.asInstanceOf[SnapshotChangesPartition])
+        new SnapshotChangesReader(p.asInstanceOf[SnapshotChangesPartition],
+          conf.value)
     }
+  }
 }
 
 private[sources] case class SnapshotChangesPartition(
     bucket: Int, version: String, segmentDirs: Seq[String]) extends InputPartition
 
-/** Raw delta rows — no resolve: a change feed delivers what was written. */
-private[sources] class SnapshotChangesReader(p: SnapshotChangesPartition)
+/** Raw delta rows — no resolve: a change feed delivers what was written.
+  * Rows stream lazily file-by-file, row-group-by-row-group (memory is
+  * ONE row group, not the partition): a large committed version — or the
+  * empty-base full re-delivery window — must not buffer a whole bucket
+  * chain in executor memory when the resolving batch reader's state is
+  * bounded by live keys.
+  */
+private[sources] class SnapshotChangesReader(p: SnapshotChangesPartition,
+                                             conf: Configuration)
     extends PartitionReader[InternalRow] {
+  // the currently-open file walk, tracked so close() can release it even
+  // when Spark abandons the scan mid-partition (e.g. a LIMIT)
+  private var open: ParquetSegments.RowGroupIterator = _
+
   private lazy val rows: Iterator[InternalRow] = {
-    val conf = new Configuration()
     val ver = UTF8String.fromString(p.version)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    for {
-      dir <- p.segmentDirs
-      file <- ParquetSegments.listParquet(conf, dir)
-    } ParquetSegments.foreachRow(conf, file) { (k, op, seq, img) =>
-      buf += new GenericInternalRow(Array[Any](
-        UTF8String.fromString(k), UTF8String.fromString(op),
-        UTF8String.fromString(seq),
-        if (img == null) null else UTF8String.fromString(img), ver))
-    }
-    buf.iterator
+    p.segmentDirs.iterator
+      .flatMap(dir => ParquetSegments.listParquet(conf, dir).iterator)
+      .flatMap { file =>
+        val it = new ParquetSegments.RowGroupIterator(conf, file)
+        open = it
+        it
+      }
+      .flatten
+      .map { case (k, op, seq, img) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(k), UTF8String.fromString(op),
+          UTF8String.fromString(seq),
+          if (img == null) null else UTF8String.fromString(img), ver))
+      }
   }
   private var current: InternalRow = _
   override def next(): Boolean =
     if (rows.hasNext) { current = rows.next(); true } else false
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (open != null) open.close()
 }

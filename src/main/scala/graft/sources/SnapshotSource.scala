@@ -21,6 +21,7 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.streaming.SnapshotStore
 
@@ -163,7 +164,15 @@ private[sources] class SnapshotScan(path: String, required: StructType,
       case Some(v) =>
         require(SnapshotStore.versions(spark, path).contains(v),
           s"versionAsOf '$v' is not a committed retained version of '$path'")
-        SnapshotStore.manifestNamed(spark, path, v).map(("", _))
+        // fail-loud like readTargetAsOf: if retention GC'd the manifest
+        // between the committed-set check and here, an empty scan would
+        // silently serve an EMPTY table for a version we just claimed
+        // committed
+        Some(("", SnapshotStore.manifestNamed(spark, path, v).getOrElse(
+          throw new IllegalStateException(
+            s"versionAsOf '$v' of '$path' was committed but its manifest " +
+              "is gone — retention pruned it during planning; raise " +
+              "retainVersions or pick a newer retained version"))))
       case None => SnapshotStore.currentManifest(spark, path)
     }
     manifest match {
@@ -180,14 +189,22 @@ private[sources] class SnapshotScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(required.fieldNames.toSeq)
+    // capture the SESSION Hadoop conf (spark.hadoop.* / runtime conf) on
+    // the driver and ship it: executor-side parquet I/O with a bare
+    // `new Configuration()` would silently drop S3A/GCS credentials and
+    // endpoints set through Spark conf — works on local FS, fails on
+    // any real object store
+    new SnapshotReaderFactory(required.fieldNames.toSeq,
+      new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 }
 
-private[sources] class SnapshotReaderFactory(cols: Seq[String])
+private[sources] class SnapshotReaderFactory(cols: Seq[String],
+                                             conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SnapshotPartitionReader(
-      partition.asInstanceOf[SnapshotInputPartition], cols)
+      partition.asInstanceOf[SnapshotInputPartition], cols, conf.value)
 }
 
 /** Per-bucket merge-on-read resolve through parquet-mr (the executor has
@@ -196,14 +213,13 @@ private[sources] class SnapshotReaderFactory(cols: Seq[String])
   * raw) — so segments stream in manifest order purely for locality.
   */
 private[sources] class SnapshotPartitionReader(
-    p: SnapshotInputPartition, cols: Seq[String])
+    p: SnapshotInputPartition, cols: Seq[String], conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   // key -> (ordKey, op, seq, image)
   private type Ord = (Int, String, Int, String)
 
   private lazy val rows: Iterator[InternalRow] = {
-    val conf = new Configuration()
     val fs = new Path(p.segmentDirs.head).getFileSystem(conf)
     val state = mutable.HashMap.empty[String, (Ord, String, String, String)]
     for {
@@ -258,34 +274,61 @@ private[sources] object ParquetSegments {
 
   def foreachRow(conf: Configuration, file: Path)
                 (f: (String, String, String, String) => Unit): Unit = {
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try {
-      val schema = reader.getFooter.getFileMetaData.getSchema
-      def idx(n: String): Int =
-        if (schema.containsField(n)) schema.getFieldIndex(n) else -1
-      val (ki, oi, si, ii) =
-        (idx("keys"), idx("op"), idx("sequenceNumber"), idx("newImage"))
-      require(ki >= 0, s"segment $file has no 'keys' column")
-      val colIO = new ColumnIOFactory().getColumnIO(schema)
-      var pages = reader.readNextRowGroup()
-      while (pages != null) {
-        val rr = colIO.getRecordReader(pages, new GroupRecordConverter(schema))
-        var i = 0L
-        val n = pages.getRowCount
-        while (i < n) {
-          val g = rr.read()
-          def str(fi: Int): String =
-            if (fi >= 0 && g.getFieldRepetitionCount(fi) > 0)
-              g.getValueToString(fi, 0)
-            else null
-          val k = str(ki)
-          if (k != null)
-            f(k, Option(str(oi)).getOrElse("PUT"),
-              Option(str(si)).getOrElse(""), str(ii))
-          i += 1
-        }
-        pages = reader.readNextRowGroup()
+    val it = new RowGroupIterator(conf, file)
+    try it.foreach(_.foreach { case (k, op, seq, img) => f(k, op, seq, img) })
+    finally it.close()
+  }
+
+  /** Lazy per-row-group walk over one segment file: each `next()` yields
+    * ONE row group's (keys, op, sequenceNumber, newImage) tuples, so a
+    * consumer's memory is bounded by a single row group — never the file,
+    * let alone a whole partition's segment chain. The file handle closes
+    * itself at exhaustion; a consumer that abandons mid-file must call
+    * `close()` (the change-feed PartitionReader does, from its own
+    * close()).
+    */
+  final class RowGroupIterator(conf: Configuration, file: Path)
+      extends Iterator[Seq[(String, String, String, String)]] with AutoCloseable {
+    private var reader: ParquetFileReader =
+      ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    private val schema = reader.getFooter.getFileMetaData.getSchema
+    private def idx(n: String): Int =
+      if (schema.containsField(n)) schema.getFieldIndex(n) else -1
+    private val (ki, oi, si, ii) =
+      (idx("keys"), idx("op"), idx("sequenceNumber"), idx("newImage"))
+    require(ki >= 0, s"segment $file has no 'keys' column")
+    private val colIO = new ColumnIOFactory().getColumnIO(schema)
+    private var pages = reader.readNextRowGroup()
+    if (pages == null) close()
+
+    override def hasNext: Boolean = pages != null
+
+    override def next(): Seq[(String, String, String, String)] = {
+      if (!hasNext) throw new NoSuchElementException(file.toString)
+      val rr = colIO.getRecordReader(pages, new GroupRecordConverter(schema))
+      val out = Seq.newBuilder[(String, String, String, String)]
+      var i = 0L
+      val n = pages.getRowCount
+      while (i < n) {
+        val g = rr.read()
+        def str(fi: Int): String =
+          if (fi >= 0 && g.getFieldRepetitionCount(fi) > 0)
+            g.getValueToString(fi, 0)
+          else null
+        val k = str(ki)
+        if (k != null)
+          out += ((k, Option(str(oi)).getOrElse("PUT"),
+            Option(str(si)).getOrElse(""), str(ii)))
+        i += 1
       }
-    } finally reader.close()
+      pages = if (reader == null) null else reader.readNextRowGroup()
+      if (pages == null) close()
+      out.result()
+    }
+
+    override def close(): Unit = {
+      if (reader != null) { reader.close(); reader = null }
+      pages = null
+    }
   }
 }

@@ -24,8 +24,10 @@ import graft.streaming.SnapshotStore
   * writer-locked, manifest-swapped, journaled merge the streaming sink
   * uses. The connector adds NO second commit protocol; exactly-once and
   * crash atomicity are inherited from the store's (a failed job aborts →
-  * staging is deleted, the pointer never moved). `batchId` defaults to
-  * the current max staged batch + 1 via the option of the same name.
+  * staging is deleted, the pointer never moved). `batchId` comes from
+  * the option of the same name, defaulting to the max batch id among
+  * retained manifests + 1 (see [[SnapshotBatchWrite.nextBatchId]] for
+  * the concurrent-writer caveat).
   *
   * Input schema: the canonical delta shape (keys, op, sequenceNumber,
   * newImage) — the V2 `Write` validates it up front so a mis-shaped
@@ -65,7 +67,31 @@ private[sources] class SnapshotBatchWrite(path: String, batchId: Option[Long],
   private val staging = s"$path/_staging-${java.util.UUID.randomUUID().toString.take(12)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new SnapshotDataWriterFactory(staging, fieldIdx)
+    // driver-captured SESSION Hadoop conf: executors staging parquet with
+    // a bare `new Configuration()` would drop spark.hadoop.* credentials
+    // on any non-default filesystem
+    new SnapshotDataWriterFactory(staging, fieldIdx,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+
+  /** Default batchId when no option is given: max batch id named by a
+    * retained manifest, + 1 — deterministic and monotonic for the
+    * sequential unoptioned-write case (the scan runs just before the
+    * store-locked merge; two CONCURRENT unoptioned writers can still
+    * read the same max and share an id, which the per-publish nonce
+    * disambiguates and the LWW sequence order — not batchId — resolves).
+    */
+  private def nextBatchId(spark: SparkSession): Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val pat = "manifest-(-?\\d+)-.*".r
+    val maxExisting =
+      if (!fs.exists(root)) -1L
+      else fs.listStatus(root).iterator.map(_.getPath.getName)
+        .collect { case pat(id) => id.toLong }
+        .foldLeft(-1L)(math.max)
+    math.max(0L, maxExisting + 1L)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -73,7 +99,7 @@ private[sources] class SnapshotBatchWrite(path: String, batchId: Option[Long],
     try {
       if (files.nonEmpty) {
         val delta = spark.read.parquet(files: _*)
-        val id = batchId.getOrElse(System.currentTimeMillis() / 1000)
+        val id = batchId.getOrElse(nextBatchId(spark))
         SnapshotStore.mergeIntoTarget(spark, path, delta, batchId = id)
       }
     } finally cleanup(spark)
@@ -92,18 +118,22 @@ private[sources] class SnapshotBatchWrite(path: String, batchId: Option[Long],
 private[sources] case class SnapshotWriteMessage(file: String, rows: Long)
     extends WriterCommitMessage
 
-private[sources] class SnapshotDataWriterFactory(staging: String, fieldIdx: Seq[Int])
+private[sources] class SnapshotDataWriterFactory(
+    staging: String, fieldIdx: Seq[Int],
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SnapshotDataWriter(s"$staging/part-$partitionId-$taskId.parquet", fieldIdx)
+    new SnapshotDataWriter(s"$staging/part-$partitionId-$taskId.parquet",
+      fieldIdx, conf.value)
 }
 
-private[sources] class SnapshotDataWriter(file: String, fieldIdx: Seq[Int])
+private[sources] class SnapshotDataWriter(file: String, fieldIdx: Seq[Int],
+                                          conf: Configuration)
     extends DataWriter[InternalRow] {
   private val factory = new SimpleGroupFactory(SnapshotWrite.ParquetSchema)
   private lazy val writer = ExampleParquetWriter
     .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
-      .fromPath(new Path(file), new Configuration()))
+      .fromPath(new Path(file), conf))
     .withType(SnapshotWrite.ParquetSchema)
     .withCompressionCodec(CompressionCodecName.SNAPPY)
     .build()

@@ -215,6 +215,28 @@ class DataSourceV2Spec extends SparkSpec {
     }
   }
 
+  test("unoptioned V2 writes take sequential batchIds: max retained manifest + 1") {
+    val dir = tmp("dsv2-autoid")
+    buildTarget(dir) // batches 1, 2, 3
+    def maxManifestId(): Long = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pat = "manifest-(-?\\d+)-.*".r
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).collect { case pat(id) => id.toLong }.max
+    }
+    assert(maxManifestId() === 3L)
+    delta(("k7", "PUT", "031", Some("""{"v":7}""")))
+      .write.format("graft-snapshot").mode("append").save(dir)
+    assert(maxManifestId() === 4L, "first unoptioned write = max + 1")
+    delta(("k8", "PUT", "032", Some("""{"v":8}""")))
+      .write.format("graft-snapshot").mode("append").save(dir)
+    assert(maxManifestId() === 5L,
+      "second unoptioned write in the same second must NOT reuse the id")
+    assert(collectRows(SnapshotStore.readTarget(spark, dir))
+      .map(_._1).intersect(Set("k7", "k8")) === Set("k7", "k8"))
+  }
+
   test("column pruning: a newImage-only projection still resolves correctly") {
     val dir = tmp("dsv2-prune")
     buildTarget(dir)

@@ -179,6 +179,10 @@ class SketchPropertiesSpec extends AnyFunSuite {
     val agg = new CountMinAgg(depth, width)
     intercept[IllegalArgumentException](agg.reduce(agg.zero, 1L << 60))
     intercept[IllegalArgumentException](agg.reduce(agg.zero, -1L))
+    // width > 1024 would let row r's index bits overlap row r+1's 10-bit
+    // slice (correlated rows → the 2N/width error bound breaks): refused
+    intercept[IllegalArgumentException](new CountMinAgg(4, 2048))
+    new CountMinAgg(4, 1024) // the boundary width is legal
   }
 
   test("KmvSketchAgg: sketch invariant under chunking, order, and duplication; " +
