@@ -2173,16 +2173,25 @@ object RelationalQueries {
     // curse of the last reducer", Suri & Vassilvitskii WWW'11); the fix
     // is the standard DEGREE ORIENTATION: orient every edge from the
     // (degree, id)-smaller endpoint, so each triangle is counted exactly
-    // once at its orientation-minimum vertex and per-node out-degree is
+    // once — apex a with a→b, a→c, b→c — and per-node out-degree is
     // bounded by O(√|E|) — wedge volume drops from Σdeg² to Σoutdeg²,
-    // the arboricity bound. Plan: edge list built ONCE (three consumers:
-    // degrees, wedges, closing join), degrees broadcast back, wedges =
-    // one self-equi-join on the oriented source, closing = one equi-join
-    // of wedge ends against the canonical undirected edge set — every
-    // stage an equi-join that shards on node keys at 100 TB. Output is
-    // the per-node triangle-count histogram with min/sum node checksums
-    // (Σ node participation = 3·triangles), so any mis-wired round
-    // changes row cardinality or a checksum — the oracle is
+    // the arboricity bound. EXECUTION is the edge-iterator form (r10;
+    // the r9 wedge self-join materialized 41 M wedge ROWS at sf0.1 and
+    // shuffled them through a closing join — three times over, because
+    // the unioned per-node projections each recomputed the triangle
+    // join): build the oriented out-adjacency list per node ONCE, ship
+    // it to each of the node's oriented edges, and count
+    // |out(u) ∩ out(v)| per edge — the wedge volume still exists (it
+    // must; it IS the triangle-counting work) but travels as PACKED
+    // ARRAY PAYLOAD inside |E| join rows instead of 41 M shuffled wedge
+    // rows, and the intersection runs in-memory per row. Per-node
+    // counts in ONE pass over the per-edge results: apex and middle
+    // each take |common|, every closing node takes 1 via a
+    // transform+explode whose total output is exactly 3·triangles rows.
+    // Every stage is an equi-join sharding on node keys at 100 TB.
+    // Output is the per-node triangle-count histogram with min/sum node
+    // checksums (Σ node participation = 3·triangles), so any mis-wired
+    // stage changes row cardinality or a checksum — the oracle is
     // algorithm-independent declarative SQL.
     QuerySpec(
       "graph_triangles",
@@ -2211,15 +2220,26 @@ object RelationalQueries {
             when(col("du") < col("dv") ||
               (col("du") === col("dv") && col("u") < col("v")), col("v"))
               .otherwise(col("u")).as("t"))
-        val tri = oe.as("e1")
-          .join(oe.as("e2"),
-            col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
-          .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
-          .join(edges.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
-        tri.select(col("a").as("n"))
-          .unionAll(tri.select(col("b").as("n")))
-          .unionAll(tri.select(col("c").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("n_tri"))
+        // out-adjacency per node, sorted so array_intersect runs over
+        // ordered arrays; |outs| ≤ O(√|E|) by the orientation bound
+        val adj = oe.groupBy(col("s").as("n"))
+          .agg(sort_array(collect_list(col("t"))).as("outs"))
+        // per oriented edge u→v: common = out(u) ∩ out(v) — each element
+        // c closes triangle (u, v, c) with u the apex (inner joins are
+        // right: a middle node with no out-edges closes nothing)
+        val withCommon = oe
+          .join(adj.select(col("n").as("s"), col("outs").as("ou")), "s")
+          .join(adj.select(col("n").as("t"), col("outs").as("ov")), "t")
+          .select(col("s"), col("t"),
+            array_intersect(col("ou"), col("ov")).as("common"))
+          .filter(size(col("common")) > 0)
+        withCommon.select(explode(concat(
+            array(
+              struct(col("s").as("n"), size(col("common")).cast("long").as("c")),
+              struct(col("t").as("n"), size(col("common")).cast("long").as("c"))),
+            transform(col("common"),
+              x => struct(x.as("n"), lit(1L).as("c"))))).as("e"))
+          .groupBy(col("e.n").as("n")).agg(sum(col("e.c")).as("n_tri"))
           .groupBy(col("n_tri").as("tri_per_node"))
           .agg(count(lit(1)).as("n_nodes"),
             min(col("n")).as("min_node"), sum(col("n")).as("node_sum"))
