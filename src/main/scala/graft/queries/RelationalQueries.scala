@@ -70,6 +70,102 @@ object RelationalQueries {
     """CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
                     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS DOUBLE) / 10000.0"""
 
+  /** Canonical part co-purchase edge list (u < v; distinct parts sharing
+    * an order — basket_pairs' pair stage, bounded by basket size per
+    * order), cached per (session, sfDir) so the graph-analytics family
+    * builds it once.
+    */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    graft.analytics.Corpus.cached(s, d, "triEdges") {
+      li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w")).select("u", "v")
+    }
+  }
+
+  /** Per-node triangle counts over [[coPurchaseEdges]] via degree
+    * orientation + edge-iterator intersection (see the graph_triangles
+    * doc comment for the full cost argument). Returns (n, n_tri) for
+    * every node in ≥ 1 triangle; zero-triangle nodes are absent (left
+    * join + coalesce at the consumer if needed). Also returns the
+    * undirected degree table (n, deg) computed from the same edge list.
+    */
+  private def triPerNode(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val edges = coPurchaseEdges(s, d)
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val oe = edges
+      .join(broadcast(deg.withColumnRenamed("n", "u")
+        .withColumnRenamed("deg", "du")), "u")
+      .join(broadcast(deg.withColumnRenamed("n", "v")
+        .withColumnRenamed("deg", "dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+    // out-adjacency per node, sorted so array_intersect runs over
+    // ordered arrays; |outs| ≤ O(√|E|) by the orientation bound
+    val adj = oe.groupBy(col("s").as("n"))
+      .agg(sort_array(collect_list(col("t"))).as("outs"))
+    // per oriented edge u→v: common = out(u) ∩ out(v) — each element
+    // c closes triangle (u, v, c) with u the apex (inner joins are
+    // right: a middle node with no out-edges closes nothing)
+    val withCommon = oe
+      .join(adj.select(col("n").as("s"), col("outs").as("ou")), "s")
+      .join(adj.select(col("n").as("t"), col("outs").as("ov")), "t")
+      .select(col("s"), col("t"),
+        array_intersect(col("ou"), col("ov")).as("common"))
+      .filter(size(col("common")) > 0)
+    val perNode = withCommon.select(explode(concat(
+        array(
+          struct(col("s").as("n"), size(col("common")).cast("long").as("c")),
+          struct(col("t").as("n"), size(col("common")).cast("long").as("c"))),
+        transform(col("common"),
+          x => struct(x.as("n"), lit(1L).as("c"))))).as("e"))
+      .groupBy(col("e.n").as("n")).agg(sum(col("e.c")).as("n_tri"))
+    (perNode, deg)
+  }
+
+  /** Shared oracle CTE prefix mirroring [[triPerNode]] declaratively
+    * (wedge formulation — algorithm-independent; DuckDB handles the
+    * wedge join fine at oracle SFs).
+    */
+  private val triOracleCtes: String = """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        deg AS (
+          SELECT x AS n, count(*) AS d FROM (
+            SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+          GROUP BY 1),
+        oe AS (
+          SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                      THEN e.u ELSE e.v END AS s,
+                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                      THEN e.v ELSE e.u END AS t
+          FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+        tri AS (
+          SELECT e1.s AS a, e1.t AS b, e2.t AS c
+          FROM oe e1 JOIN oe e2 ON e1.s = e2.s AND e1.t < e2.t
+          JOIN edges e3 ON e3.u = e1.t AND e3.v = e2.t),
+        pernode AS (
+          SELECT n, CAST(count(*) AS BIGINT) AS n_tri FROM (
+            SELECT a AS n FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY 1)"""
+
   val all: Seq[QuerySpec] = Seq(
 
     // ───── A4 hash aggregation, partial+final (TPC-H Q1 shape).
@@ -2196,85 +2292,53 @@ object RelationalQueries {
     QuerySpec(
       "graph_triangles",
       (s, d) => {
-        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-        val edges = graft.analytics.Corpus.cached(s, d, "triEdges") {
-          li.as("a")
-            .join(li.as("b"),
-              col("a.l_orderkey") === col("b.l_orderkey") &&
-                col("a.l_partkey") < col("b.l_partkey"))
-            .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-            .agg(count(lit(1)).as("w")).select("u", "v")
-        }
-        val deg = edges.select(col("u").as("n"))
-          .unionAll(edges.select(col("v").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("deg"))
-        val oe = edges
-          .join(broadcast(deg.withColumnRenamed("n", "u")
-            .withColumnRenamed("deg", "du")), "u")
-          .join(broadcast(deg.withColumnRenamed("n", "v")
-            .withColumnRenamed("deg", "dv")), "v")
-          .select(
-            when(col("du") < col("dv") ||
-              (col("du") === col("dv") && col("u") < col("v")), col("u"))
-              .otherwise(col("v")).as("s"),
-            when(col("du") < col("dv") ||
-              (col("du") === col("dv") && col("u") < col("v")), col("v"))
-              .otherwise(col("u")).as("t"))
-        // out-adjacency per node, sorted so array_intersect runs over
-        // ordered arrays; |outs| ≤ O(√|E|) by the orientation bound
-        val adj = oe.groupBy(col("s").as("n"))
-          .agg(sort_array(collect_list(col("t"))).as("outs"))
-        // per oriented edge u→v: common = out(u) ∩ out(v) — each element
-        // c closes triangle (u, v, c) with u the apex (inner joins are
-        // right: a middle node with no out-edges closes nothing)
-        val withCommon = oe
-          .join(adj.select(col("n").as("s"), col("outs").as("ou")), "s")
-          .join(adj.select(col("n").as("t"), col("outs").as("ov")), "t")
-          .select(col("s"), col("t"),
-            array_intersect(col("ou"), col("ov")).as("common"))
-          .filter(size(col("common")) > 0)
-        withCommon.select(explode(concat(
-            array(
-              struct(col("s").as("n"), size(col("common")).cast("long").as("c")),
-              struct(col("t").as("n"), size(col("common")).cast("long").as("c"))),
-            transform(col("common"),
-              x => struct(x.as("n"), lit(1L).as("c"))))).as("e"))
-          .groupBy(col("e.n").as("n")).agg(sum(col("e.c")).as("n_tri"))
+        val (perNode, _) = triPerNode(s, d)
+        perNode
           .groupBy(col("n_tri").as("tri_per_node"))
           .agg(count(lit(1)).as("n_nodes"),
             min(col("n")).as("min_node"), sum(col("n")).as("node_sum"))
       },
-      Some("""
-        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        edges AS (
-          SELECT a.l_partkey AS u, b.l_partkey AS v
-          FROM li a JOIN li b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          GROUP BY 1, 2),
-        deg AS (
-          SELECT x AS n, count(*) AS d FROM (
-            SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
-          GROUP BY 1),
-        oe AS (
-          SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
-                      THEN e.u ELSE e.v END AS s,
-                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
-                      THEN e.v ELSE e.u END AS t
-          FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
-        tri AS (
-          SELECT e1.s AS a, e1.t AS b, e2.t AS c
-          FROM oe e1 JOIN oe e2 ON e1.s = e2.s AND e1.t < e2.t
-          JOIN edges e3 ON e3.u = e1.t AND e3.v = e2.t),
-        pernode AS (
-          SELECT n, CAST(count(*) AS BIGINT) AS n_tri FROM (
-            SELECT a AS n FROM tri
-            UNION ALL SELECT b FROM tri
-            UNION ALL SELECT c FROM tri)
-          GROUP BY 1)
+      Some(triOracleCtes + """
         SELECT n_tri AS tri_per_node, count(*) AS n_nodes,
                CAST(min(n) AS BIGINT) AS min_node,
                CAST(sum(n) AS BIGINT) AS node_sum
         FROM pernode GROUP BY 1""")),
+
+    // ───── local clustering coefficient (r10): the per-node community-
+    // density metric (Watts & Strogatz, Nature 1998) — lcc(n) =
+    // 2·tri(n) / (deg(n)·(deg(n)−1)), the fraction of a node's
+    // neighbor pairs that are themselves connected. Built ON the
+    // edge-iterator triangle engine ([[triPerNode]], shared plan cache
+    // with graph_triangles): degrees LEFT-join the per-node triangle
+    // counts so zero-triangle nodes (absent from the tri stream by
+    // construction) enter at lcc = 0 — dropping them would bias the
+    // distribution upward, the classic mistake. All integer: lcc in
+    // per-mille via div (non-negative operands), histogram decile =
+    // lcc_pm div 100. Output: decile histogram with node counts,
+    // triangle mass, and min-node fingerprints — checksums over the
+    // whole joint (deg, tri) distribution.
+    QuerySpec(
+      "graph_clustering_coeff",
+      (s, d) => {
+        val (perNode, deg) = triPerNode(s, d)
+        deg.filter(col("deg") >= 2)
+          .join(perNode, Seq("n"), "left")
+          .withColumn("t", coalesce(col("n_tri"), lit(0L)))
+          .withColumn("lcc_pm", expr("2 * t * 1000 div (deg * (deg - 1))"))
+          .groupBy(expr("lcc_pm div 100").as("decile"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("t")).as("tri_sum"),
+            min(col("n")).as("min_node"))
+      },
+      Some(triOracleCtes + """,
+        lcc AS (
+          SELECT d.n, d.d, COALESCE(p.n_tri, 0) AS t,
+                 2 * COALESCE(p.n_tri, 0) * 1000 // (d.d * (d.d - 1)) AS lcc_pm
+          FROM deg d LEFT JOIN pernode p ON p.n = d.n
+          WHERE d.d >= 2)
+        SELECT lcc_pm // 100 AS decile, count(*) AS n_nodes,
+               CAST(SUM(t) AS BIGINT) AS tri_sum,
+               CAST(MIN(n) AS BIGINT) AS min_node
+        FROM lcc GROUP BY 1""")),
 
     // ───── mix-diversity monitor (r8): Gini impurity of the event-type
     // mix per hour-of-day — the diversity measure a training-data mix
@@ -3289,6 +3353,161 @@ object RelationalQueries {
                e.est <= x.exact_ord AS est_le_exact,
                (x.exact_ord - e.est) * 8 < GREATEST(e.est, 1) AS bound_ok
         FROM estv e JOIN exact x
-          ON e.event_type = x.event_type AND e.q = x.q"""))
+          ON e.event_type = x.event_type AND e.q = x.q""")),
+
+    // ───── U-shaped multi-touch attribution (r10): which channels get
+    // credit for each conversion — the position-based model every
+    // marketing-analytics stack ships next to first/last-touch (40% to
+    // the first touch, 40% to the last, 20% split across the middles).
+    // Journey segmentation: a running purchase count per user (one
+    // window over the per-user event order, total because (ts,
+    // event_id) is unique) assigns every touch to the NEXT purchase;
+    // journeys that never convert drop via the inner join against the
+    // conversion set. All credit in integer basis points — 10000 per
+    // conversion by construction: n=1 → 10000, n=2 → 5000/5000, else
+    // 4000/4000 ends and 2000 div (n−2) per middle with the remainder
+    // pinned to the first middle — so Σ credit_bp = 10000 · conversions
+    // is an oracle-visible invariant. Plan: two windows and a hash-agg,
+    // all partitioned by user_id (shards at 100 TB); no self-join of
+    // the event log.
+    QuerySpec(
+      "events_attribution",
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wJ = Window.partitionBy("user_id", "journey")
+        val ev = events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("cum_p",
+            sum(when(col("event_type") === "purchase", 1).otherwise(0)).over(wOrd))
+          .withColumn("journey",
+            when(col("event_type") === "purchase", col("cum_p"))
+              .otherwise(col("cum_p") + 1))
+        val convs = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "journey").distinct()
+        ev.filter(col("event_type") =!= "purchase")
+          .join(convs, Seq("user_id", "journey"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("user_id", "journey").orderBy(col("ts"), col("event_id"))))
+          .withColumn("n", count(lit(1)).over(wJ))
+          .withColumn("credit_bp",
+            when(col("n") === 1, 10000L)
+              .when(col("n") === 2, 5000L)
+              .when(col("pos") === 1 || col("pos") === col("n"), 4000L)
+              .otherwise(expr(
+                "2000L div (n - 2) + if(pos = 2, 2000L % (n - 2), 0L)")))
+          .groupBy(col("event_type").as("channel"))
+          .agg(count(lit(1)).as("n_touches"), sum("credit_bp").as("credit_bp"))
+      },
+      Some("""
+        WITH ord AS (
+          SELECT user_id, event_id, ts, event_type,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum_p
+          FROM events),
+        j AS (SELECT *, CASE WHEN event_type = 'purchase' THEN cum_p
+                             ELSE cum_p + 1 END AS journey FROM ord),
+        convs AS (SELECT DISTINCT user_id, journey FROM j
+                  WHERE event_type = 'purchase'),
+        pos AS (
+          SELECT j.event_type,
+                 ROW_NUMBER() OVER (PARTITION BY j.user_id, j.journey
+                                    ORDER BY j.ts, j.event_id) AS pos,
+                 COUNT(*) OVER (PARTITION BY j.user_id, j.journey) AS n
+          FROM j JOIN convs USING (user_id, journey)
+          WHERE j.event_type <> 'purchase'),
+        cred AS (
+          SELECT event_type,
+                 CASE WHEN n = 1 THEN 10000
+                      WHEN n = 2 THEN 5000
+                      WHEN pos = 1 OR pos = n THEN 4000
+                      ELSE 2000 // (n - 2)
+                           + CASE WHEN pos = 2 THEN 2000 % (n - 2) ELSE 0 END
+                 END AS credit_bp
+          FROM pos)
+        SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit_bp) AS BIGINT) AS credit_bp
+        FROM cred GROUP BY 1""")),
+
+    // ───── cohort LTV triangle (r10): the retention economics view —
+    // users cohorted by first-seen week, purchase revenue accumulated
+    // per (cohort, age-in-weeks) cell, with the cell's active-user
+    // count. The classic "LTV triangle" a growth team reads diagonally
+    // (calendar weeks) and horizontally (cohort maturation); the
+    // revenue companion to events_retention's activity triangle. Weeks
+    // via date_trunc('week', ·) — Monday-start in BOTH engines — and
+    // age as an exact day difference div 7 (non-negative by cohort
+    // minimality, so truncation equals floor cross-engine). Revenue in
+    // integer cents (floor(value·100), the shared discipline). Plan:
+    // cohort week is a per-user window min (one shuffle on user_id),
+    // then one hash-agg on the (cohort, age) key — the event log
+    // crosses the wire twice total, no self-join.
+    QuerySpec(
+      "events_cohort_ltv",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+          .withColumn("wk", to_date(date_trunc("week", col("ts"))))
+          .withColumn("cohort_wk",
+            min(col("wk")).over(Window.partitionBy("user_id")))
+        ev.withColumn("age_wk", expr("datediff(wk, cohort_wk) div 7"))
+          .groupBy("cohort_wk", "age_wk")
+          .agg(countDistinct("user_id").as("n_active"),
+            sum(when(col("event_type") === "purchase",
+              floor(col("value") * 100).cast("long")).otherwise(0L))
+              .as("purchase_cents"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+                 event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events),
+        co AS (SELECT *, MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk
+               FROM ev)
+        SELECT cohort_wk, CAST((wk - cohort_wk) // 7 AS BIGINT) AS age_wk,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents
+                             ELSE 0 END) AS BIGINT) AS purchase_cents
+        FROM co GROUP BY 1, 2""")),
+
+    // ───── l-diversity audit (r10): k-anonymity's successor check
+    // (Machanavajjhala et al., ICDE 2006) — a release is l-diverse when
+    // every quasi-identifier class carries ≥ l DISTINCT sensitive
+    // values, closing the homogeneity attack k-anonymity leaves open (a
+    // k=50 class whose 50 rows all share one diagnosis still leaks it).
+    // QI here: (nation, account-balance band — privacy_k_anon's ladder
+    // basis); sensitive attribute: market segment. Output is the
+    // l-histogram — for each observed diversity level, how many classes
+    // sit there, how many rows they cover, and the (nat·1000+band)
+    // fingerprint of the smallest class id — the shape a release
+    // pipeline alerts on (classes at l=1 are the leak). Two hash-aggs
+    // over QI cardinality, nothing joins; shards on the QI key.
+    QuerySpec(
+      "privacy_l_diversity",
+      (s, d) => {
+        customer(s, d).select(
+            col("c_nationkey").as("nat"),
+            expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000")
+              .as("band"),
+            col("c_mktsegment").as("sens"))
+          .groupBy("nat", "band")
+          .agg(countDistinct("sens").as("l"), count(lit(1)).as("cs"))
+          .groupBy("l")
+          .agg(count(lit(1)).as("n_classes"), sum("cs").as("n_rows"),
+            min(expr("nat * 1000 + band")).as("min_class_id"))
+      },
+      Some("""
+        WITH qi AS (
+          SELECT c_nationkey AS nat,
+                 (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+                   AS band,
+                 c_mktsegment AS sens
+          FROM customer),
+        classes AS (
+          SELECT nat, band, COUNT(DISTINCT sens) AS l, count(*) AS cs
+          FROM qi GROUP BY 1, 2)
+        SELECT CAST(l AS BIGINT) AS l, count(*) AS n_classes,
+               CAST(SUM(cs) AS BIGINT) AS n_rows,
+               CAST(MIN(nat * 1000 + band) AS BIGINT) AS min_class_id
+        FROM classes GROUP BY 1"""))
   )
 }
