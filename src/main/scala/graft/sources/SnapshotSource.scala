@@ -44,6 +44,15 @@ import graft.streaming.SnapshotStore
   *     over-acceptance is impossible by construction).
   *   - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): the reader
   *     materializes only requested fields.
+  *   - RUNTIME bucket pruning ([[SupportsRuntimeFiltering]], the
+  *     dynamic-partition-pruning analog): when this table is the probe
+  *     side of a key join with a selective build side, Spark hands the
+  *     build side's key set to the scan AT RUNTIME and only those keys'
+  *     buckets are read — a key-join against a 100 TB snapshot touches
+  *     the joined keys' buckets, not the table.
+  *   - LIMIT pushdown ([[SupportsPushDownLimit]], partial): resolution
+  *     still replays full chains (LWW needs every delta row) but each
+  *     partition emits at most `limit` resolved rows.
   *   - MERGE-ON-READ in the reader: each partition replays its chain
   *     through parquet-mr, keeping per key the LWW winner under the
   *     engine's (canonical-length, canonical, raw-length, raw) sequence
@@ -112,10 +121,12 @@ private[sources] class SnapshotTable(path: String) extends Table
 private[sources] class SnapshotScanBuilder(path: String,
                                             versionAsOf: Option[String] = None)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = SnapshotSource.Schema
   private var pushed: Array[Filter] = Array.empty
   private var keyLookups: Option[Set[String]] = None
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val keySets = filters.collect {
@@ -138,21 +149,59 @@ private[sources] class SnapshotScanBuilder(path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (requiredSchema.fields.nonEmpty) required = requiredSchema
 
-  override def build(): Scan = new SnapshotScan(path, required, keyLookups, versionAsOf)
+  /** LIMIT pushdown — PARTIAL by contract (isPartiallyPushed = true, so
+    * Spark keeps its own global limit): the reader still must replay
+    * each bucket's full chain (LWW needs every delta row) but caps the
+    * RESOLVED rows it emits, so a `LIMIT n` over a wide table stops
+    * serializing after n rows per bucket instead of streaming the whole
+    * resolved state into Spark's limit.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan =
+    new SnapshotScan(path, required, keyLookups, versionAsOf, limit)
 }
 
 private[sources] case class SnapshotInputPartition(
     bucket: Int, segmentDirs: Seq[String]) extends InputPartition
 
-private[sources] class SnapshotScan(path: String, required: StructType,
-                                    keyLookups: Option[Set[String]],
-                                    versionAsOf: Option[String] = None)
-    extends Scan with Batch {
+private[graft] class SnapshotScan(path: String, required: StructType,
+                                  keyLookups: Option[Set[String]],
+                                  versionAsOf: Option[String] = None,
+                                  limit: Option[Int] = None)
+    extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-snapshot $path${keyLookups.map(k => s" [${k.size} key lookups]").getOrElse("")}" +
       versionAsOf.map(v => s" asOf=$v").getOrElse("")
+
+  // ── RUNTIME bucket pruning (the dynamic-partition-pruning analog):
+  // when this table is the probe side of a join on `keys` and the build
+  // side is selective, Spark's PartitionPruning rule hands the build
+  // side's key set here AT RUNTIME (after the broadcast materializes) —
+  // the scan then reads only the buckets those keys hash into, so a
+  // key-join against a 100 TB snapshot touches the joined keys' buckets,
+  // not the table. Over-acceptance is impossible: the join itself
+  // re-applies its condition; pruning only has to be a superset.
+  private var runtimeLookups: Option[Set[String]] = None
+  /** Bucket count of the last planInputPartitions() — spec observability. */
+  @volatile private[graft] var lastPlannedBuckets: Int = -1
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("keys"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    // lenient value decode: the runtime path may deliver catalyst-side
+    // strings (UTF8String), not external java.lang.String
+    val sets = filters.collect {
+      case EqualTo("keys", v) if v != null => Set(v.toString)
+      case In("keys", vs) if vs != null =>
+        vs.filter(_ != null).map(_.toString).toSet
+    }
+    if (sets.nonEmpty) runtimeLookups = Some(sets.reduce(_ intersect _))
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -175,10 +224,14 @@ private[sources] class SnapshotScan(path: String, required: StructType,
               "retainVersions or pick a newer retained version"))))
       case None => SnapshotStore.currentManifest(spark, path)
     }
-    manifest match {
+    val planned: Array[InputPartition] = manifest match {
       case None => Array.empty
       case Some((_, m)) =>
-        val wanted = keyLookups.map(_.map(SnapshotSource.bucketOf(_, m.numBuckets)))
+        // compile-time and runtime key sets each prune independently; a
+        // bucket must be wanted by BOTH present sets
+        val wanted = Seq(keyLookups, runtimeLookups).flatten
+          .map(_.map(SnapshotSource.bucketOf(_, m.numBuckets)))
+          .reduceOption(_ intersect _)
         m.buckets.toSeq.sortBy(_._1)
           .filter { case (b, _) => wanted.forall(_.contains(b)) }
           .map { case (b, segs) =>
@@ -186,6 +239,8 @@ private[sources] class SnapshotScan(path: String, required: StructType,
               : InputPartition
           }.toArray
     }
+    lastPlannedBuckets = planned.length
+    planned
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -196,15 +251,16 @@ private[sources] class SnapshotScan(path: String, required: StructType,
     // any real object store
     new SnapshotReaderFactory(required.fieldNames.toSeq,
       new SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()), limit)
 }
 
 private[sources] class SnapshotReaderFactory(cols: Seq[String],
-                                             conf: SerializableConfiguration)
+                                             conf: SerializableConfiguration,
+                                             limit: Option[Int])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SnapshotPartitionReader(
-      partition.asInstanceOf[SnapshotInputPartition], cols, conf.value)
+      partition.asInstanceOf[SnapshotInputPartition], cols, conf.value, limit)
 }
 
 /** Per-bucket merge-on-read resolve through parquet-mr (the executor has
@@ -213,7 +269,8 @@ private[sources] class SnapshotReaderFactory(cols: Seq[String],
   * raw) — so segments stream in manifest order purely for locality.
   */
 private[sources] class SnapshotPartitionReader(
-    p: SnapshotInputPartition, cols: Seq[String], conf: Configuration)
+    p: SnapshotInputPartition, cols: Seq[String], conf: Configuration,
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   // key -> (ordKey, op, seq, image)
@@ -227,7 +284,7 @@ private[sources] class SnapshotPartitionReader(
       st <- fs.listStatus(new Path(dir)).toSeq.sortBy(_.getPath.getName)
       if st.isFile && st.getPath.getName.endsWith(".parquet")
     } readFile(conf, st.getPath, state)
-    state.iterator.collect {
+    val resolved = state.iterator.collect {
       case (k, (_, op, seq, img)) if op != "DELETE" =>
         val vals: Map[String, String] =
           Map("keys" -> k, "sequenceNumber" -> seq, "newImage" -> img)
@@ -235,6 +292,9 @@ private[sources] class SnapshotPartitionReader(
           cols.map(c => UTF8String.fromString(vals.getOrElse(c, null))
             : Any).toArray)
     }
+    // partial LIMIT pushdown: resolution needed every delta row, but at
+    // most `limit` resolved rows leave this partition
+    limit.fold(resolved: Iterator[InternalRow])(resolved.take)
   }
 
   private def ordKey(seq: String): Ord = {

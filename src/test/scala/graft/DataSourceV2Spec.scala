@@ -215,6 +215,74 @@ class DataSourceV2Spec extends SparkSpec {
     }
   }
 
+  test("runtime filtering: a key join prunes the scan to the probe keys' buckets") {
+    val dir = tmp("dsv2-dpp")
+    buildTarget(dir)
+    // a SELECTIVE build side (filtered dim) joined on keys — the
+    // dynamic-partition-pruning shape: Spark's PartitionPruning rule
+    // hands the dim's key set to SnapshotScan.filter at runtime, after
+    // the broadcast materializes. The dim must be a real SOURCE (not a
+    // LocalRelation, whose filter constant-folds away before the rule
+    // looks for a selective predicate)
+    val dimDir = tmp("dsv2-dpp-dim")
+    Seq(("k2", "y"), ("k5", "y"), ("k1", "n"), ("k4", "n"))
+      .toDF("keys", "cat").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("cat") === "y")
+    // let DPP plan its own value subquery: under reuseBroadcastOnly the
+    // filter stays a SubqueryAdaptiveBroadcast placeholder unless AQE
+    // happens to reuse the join's broadcast stage, and a placeholder
+    // translates to no runtime filter at all
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try {
+      val fact = spark.read.format("graft-snapshot").load(dir)
+      // inspect the SAME DataFrame that executes: a derived .select would
+      // plan (and prune) its own scan instance
+      val joined = fact.join(dim, "keys").select("keys", "newImage")
+      val got = joined.collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === Set("k2" -> """{"v":22}""", "k5" -> """{"v":5}"""))
+      // the executed scan planned only the buckets k2/k5 hash into.
+      // Unwrap AQE recursively: QueryStageExec nodes (incl. Spark 4's
+      // ResultQueryStage) are leaves, so a plain collect can't see
+      // inside them
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[graft.sources.SnapshotScan] = p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[graft.sources.SnapshotScan] =>
+          Seq(b.scan.asInstanceOf[graft.sources.SnapshotScan])
+      }.flatten
+      val scans = scansOf(joined.queryExecution.executedPlan)
+      assert(scans.nonEmpty, "V2 scan missing from the join plan")
+      val full = spark.read.format("graft-snapshot").load(dir)
+      val fullBuckets = full.rdd.getNumPartitions
+      val pruned = scans.head.lastPlannedBuckets
+      assert(pruned >= 1 && pruned <= 2,
+        s"runtime filter must prune to the 2 probe keys' buckets " +
+          s"(got $pruned of $fullBuckets)")
+      assert(pruned < fullBuckets,
+        s"no pruning happened: $pruned == full $fullBuckets")
+    } finally spark.conf.unset(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+  }
+
+  test("limit pushdown is partial and correct: LIMIT n caps per-partition emission") {
+    val dir = tmp("dsv2-limit")
+    buildTarget(dir)
+    val limited = spark.read.format("graft-snapshot").load(dir).limit(2)
+    assert(limited.count() === 2L)
+    // rows served are genuine resolved rows (a subset of readTarget)
+    val all = collectRows(SnapshotStore.readTarget(spark, dir))
+    assert(collectRows(limited).subsetOf(all))
+    // LIMIT larger than the table degrades to the full resolved state
+    assert(collectRows(
+      spark.read.format("graft-snapshot").load(dir).limit(100)) === all)
+  }
+
   test("unoptioned V2 writes take sequential batchIds: max retained manifest + 1") {
     val dir = tmp("dsv2-autoid")
     buildTarget(dir) // batches 1, 2, 3
