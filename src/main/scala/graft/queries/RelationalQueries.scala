@@ -1914,6 +1914,146 @@ object RelationalQueries {
                l + 7 * b AS forecast_7d_k
         FROM fin""")),
 
+    // ───── Holt-Winters additive seasonal smoothing (r10): the TRIPLE
+    // exponential recurrence — level, trend, AND a 7-slot day-of-week
+    // seasonal state — completing the forecasting ladder over
+    // events_forecast's Holt double smoothing (which models trend but
+    // rediscovers every weekend dip as level error). α=0.3, β=0.2,
+    // γ=0.1 as integer ratios at ×1000 scale, floor-normalized by the
+    // +1e9 offset (the events_forecast discipline — truncating div and
+    // flooring // agree after the shift). The 7-element seasonal array
+    // rides INSIDE the fold state (named_struct with an array field,
+    // updated by an indexed transform), so the whole series still folds
+    // in one aggregate HOF per key — time is the short axis, keys
+    // parallelize, no driver loop. The oracle replays the identical
+    // recurrence as a RECURSIVE CTE whose seasonal state is a DuckDB
+    // LIST column updated by slice concatenation — a genuinely
+    // different evaluation strategy converging on bit-identical
+    // (level, trend, seasonal checksum, 7-day-ahead forecast).
+    QuerySpec(
+      "events_holt_winters",
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy("event_type")
+        .agg(expr("transform(array_sort(collect_list(struct(day, y))), x -> x.y)").as("ys"))
+        .withColumn("fit", expr(
+          """aggregate(ys,
+               named_struct('i', 0L, 'l', 0L, 'b', 0L, 's', array_repeat(0L, 7)),
+               (a, y) -> if(a.i = 0,
+                 named_struct('i', 1L, 'l', y * 1000L, 'b', 0L, 's', a.s),
+                 element_at(transform(
+                   array((3L*(y*1000L - element_at(a.s, cast(a.i % 7 as int) + 1))
+                          + 7L*(a.l + a.b) + 1000000000L) div 10L - 100000000L),
+                   ln -> named_struct(
+                     'i', a.i + 1L,
+                     'l', ln,
+                     'b', (2L*(ln - a.l) + 8L*a.b + 1000000000L) div 10L - 100000000L,
+                     's', transform(a.s, (v, j) -> if(j = cast(a.i % 7 as int),
+                            (1L*(y*1000L - ln) + 9L*v + 1000000000L) div 10L
+                              - 100000000L, v)))), 1)))"""))
+        .select(col("event_type"),
+          expr("cast(size(ys) as bigint)").as("n_days"),
+          col("fit.l").as("level_k"), col("fit.b").as("trend_k"),
+          expr("aggregate(fit.s, 0L, (acc, v) -> acc + v)").as("seas_sum_k"),
+          expr("7L * fit.l + 28L * fit.b + aggregate(fit.s, 0L, (acc, v) -> acc + v)")
+            .as("forecast_7d_k")),
+      Some("""
+        WITH RECURSIVE daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        seq AS (
+          SELECT event_type, y,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t
+          FROM daily),
+        hw(event_type, t, l, b, s) AS (
+          SELECT event_type, t, y * 1000, 0::BIGINT,
+                 [0, 0, 0, 0, 0, 0, 0]::BIGINT[] FROM seq WHERE t = 1
+          UNION ALL
+          SELECT event_type, t, l,
+                 (2*(l - pl) + 8*pb + 1000000000) // 10 - 100000000,
+                 sl[1:pos-1]
+                   || [(1*(y1000 - l) + 9*sold + 1000000000) // 10 - 100000000]
+                   || sl[pos+1:7]
+          FROM (SELECT s.event_type, s.t, h.l AS pl, h.b AS pb, h.s AS sl,
+                       s.y * 1000 AS y1000,
+                       CAST(h.t % 7 AS INTEGER) + 1 AS pos,
+                       h.s[CAST(h.t % 7 AS INTEGER) + 1] AS sold,
+                       (3*(s.y*1000 - h.s[CAST(h.t % 7 AS INTEGER) + 1])
+                        + 7*(h.l + h.b) + 1000000000) // 10 - 100000000 AS l
+                FROM hw h JOIN seq s
+                  ON s.event_type = h.event_type AND s.t = h.t + 1)),
+        fin AS (
+          SELECT h.event_type, m.mt AS n_days, h.l, h.b,
+                 CAST(list_sum(h.s) AS BIGINT) AS ss
+          FROM hw h JOIN (SELECT event_type, MAX(t) AS mt FROM hw GROUP BY 1) m
+            ON m.event_type = h.event_type AND h.t = m.mt)
+        SELECT event_type, n_days, l AS level_k, b AS trend_k,
+               ss AS seas_sum_k, 7*l + 28*b + ss AS forecast_7d_k
+        FROM fin""")),
+
+    // ───── RFM segment migration (r10): the customer-lifecycle
+    // transition matrix — value tier in the FIRST half of the order
+    // history vs the SECOND half (the "which customers are churning /
+    // upgrading" view a CRM reads weekly; the dynamic companion to
+    // agg_rfm_segments' static snapshot). The timeline splits at the
+    // data-derived midpoint date; tiers are spend tertiles per half via
+    // ntile(3) under a TOTAL order (spend cents desc, custkey — ntile
+    // is deterministic only under total order, the window discipline),
+    // customers absent from a half enter tier 0. Output: the 4×4
+    // matrix with customer counts and min-custkey fingerprints. Plan:
+    // two hash-aggs + two calendar-cheap windows over customer
+    // cardinality, one full outer join on custkey; shards at 100 TB.
+    QuerySpec(
+      "events_rfm_migration",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_custkey"),
+          to_date(col("o_orderdate")).as("od"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val mid = o.agg(expr(
+          "date_add(min(od), cast(datediff(max(od), min(od)) div 2 as int))")
+          .as("mid"))
+        def tiers(half: DataFrame) = half
+          .groupBy("o_custkey").agg(sum("cents").as("spend"))
+          .withColumn("tier",
+            ntile(3).over(Window.orderBy(col("spend").desc, col("o_custkey"))))
+        val before = tiers(o.crossJoin(broadcast(mid))
+          .filter(col("od") <= col("mid")))
+          .select(col("o_custkey"), col("tier").as("tier_before"))
+        val after = tiers(o.crossJoin(broadcast(mid))
+          .filter(col("od") > col("mid")))
+          .select(col("o_custkey"), col("tier").as("tier_after"))
+        before.join(after, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            coalesce(col("tier_before"), lit(0)).as("t1"),
+            coalesce(col("tier_after"), lit(0)).as("t2"))
+          .groupBy("t1", "t2")
+          .agg(count(lit(1)).as("n_customers"), min("o_custkey").as("min_cust"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        mid AS (
+          SELECT MIN(od) + CAST((MAX(od) - MIN(od)) // 2 AS INTEGER) AS mid
+          FROM o),
+        before AS (
+          SELECT o_custkey,
+                 NTILE(3) OVER (ORDER BY SUM(cents) DESC, o_custkey) AS tier
+          FROM o, mid WHERE od <= mid GROUP BY o_custkey),
+        after AS (
+          SELECT o_custkey,
+                 NTILE(3) OVER (ORDER BY SUM(cents) DESC, o_custkey) AS tier
+          FROM o, mid WHERE od > mid GROUP BY o_custkey),
+        paired AS (
+          SELECT COALESCE(b.o_custkey, a.o_custkey) AS ck,
+                 COALESCE(b.tier, 0) AS t1, COALESCE(a.tier, 0) AS t2
+          FROM before b FULL OUTER JOIN after a ON a.o_custkey = b.o_custkey)
+        SELECT t1, t2, count(*) AS n_customers,
+               CAST(MIN(ck) AS BIGINT) AS min_cust
+        FROM paired GROUP BY 1, 2""")),
+
     // ───── F7/J4-surface — NOT EXISTS predicate subquery as SQL text:
     // customers with no big-ticket order. Catalyst's
     // RewritePredicateSubquery turns this into a LEFT ANTI equi-join —
