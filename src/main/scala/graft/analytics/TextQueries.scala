@@ -1587,6 +1587,88 @@ object TextQueries {
         FROM j GROUP BY doc_id ORDER BY doc_id"""))
   ,
 
+    // ───── Kneser-Ney smoothed bigram LM (r10): the smoothing that
+    // actually ships in n-gram language models (Kneser & Ney, ICASSP
+    // 1995; Chen & Goodman 1998's benchmark winner) — next to
+    // text_lm_score's raw-surprise heuristic, this is the principled
+    // estimator: P(w2|w1) = max(c12−δ,0)/c1 + λ(w1)·P_cont(w2), where
+    // the CONTINUATION probability P_cont(w2) = N1+(·w2)/|bigram types|
+    // ranks words by how many distinct contexts they FOLLOW (the
+    // "Francisco" fix: frequent-but-predictable words stop stealing
+    // mass), and λ(w1) = δ·N1+(w1·)/c1 returns exactly the discounted
+    // mass. δ = 3/4 as an integer ratio; every probability in exact ppm
+    // (positive operands — div equals //), so the whole model is under
+    // the hash gate. Sum of P over w2 per context lands ≤ 1e6 with only
+    // truncation loss — an oracle-visible normalization check. Plan:
+    // bigram hash-agg, two marginal hash-aggs (context totals,
+    // continuation types), one-row type-count broadcast, top-next via
+    // max + min-tiebreak join — everything shards on token keys.
+    QuerySpec(
+      "text_lm_kneser_ney",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bg = docs
+          .filter(expr("size(split(text, ' ')) >= 2"))
+          .select(explode(expr(Corpus.let("toks", "split(text, ' ')",
+            """transform(sequence(1, size(toks) - 1),
+                 i -> struct(element_at(toks, i) AS t1,
+                             element_at(toks, i + 1) AS t2))"""))).as("p"))
+          .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+          .agg(count(lit(1)).as("c12"))
+        val ctx = bg.groupBy("t1")
+          .agg(sum("c12").as("c1"), count(lit(1)).as("r1"))
+        val cont = bg.groupBy("t2").agg(count(lit(1)).as("l2"))
+        val btot = bg.agg(count(lit(1)).as("btypes"))
+        val scored = bg
+          .join(ctx, "t1").join(cont, "t2").crossJoin(broadcast(btot))
+          .withColumn("pkn_ppm", expr(
+            """greatest(4L * c12 - 3L, 0L) * 1000000L div (4L * c1)
+               + (3L * r1 * 1000000L div (4L * c1))
+                 * (l2 * 1000000L div btypes) div 1000000L"""))
+        val perCtx = scored.groupBy("t1")
+          .agg(max("c1").as("c1"), count(lit(1)).as("n_follow"),
+            sum("pkn_ppm").as("sum_pkn_ppm"), max("pkn_ppm").as("top_pkn_ppm"))
+        val topNext = scored
+          .join(perCtx.select(col("t1"), col("top_pkn_ppm").as("tp")), "t1")
+          .filter(col("pkn_ppm") === col("tp"))
+          .groupBy("t1").agg(min("t2").as("top_next"))
+        perCtx.join(topNext, "t1")
+      },
+      Some("""
+        WITH occ AS (
+          SELECT unnest([struct_pack(t1 := toks[i], t2 := toks[i + 1])
+                         for i in range(1, len(toks))]) AS p
+          FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 2),
+        bg AS (
+          SELECT p.t1 AS t1, p.t2 AS t2, CAST(count(*) AS BIGINT) AS c12
+          FROM occ GROUP BY 1, 2),
+        ctx AS (SELECT t1, CAST(sum(c12) AS BIGINT) AS c1,
+                       CAST(count(*) AS BIGINT) AS r1 FROM bg GROUP BY 1),
+        cont AS (SELECT t2, CAST(count(*) AS BIGINT) AS l2 FROM bg GROUP BY 1),
+        btot AS (SELECT CAST(count(*) AS BIGINT) AS btypes FROM bg),
+        scored AS (
+          SELECT b.t1, b.t2,
+                 GREATEST(4 * b.c12 - 3, 0) * 1000000 // (4 * x.c1)
+                 + (3 * x.r1 * 1000000 // (4 * x.c1))
+                   * (n.l2 * 1000000 // t.btypes) // 1000000 AS pkn_ppm,
+                 x.c1
+          FROM bg b JOIN ctx x USING (t1) JOIN cont n USING (t2)
+               CROSS JOIN btot t),
+        perctx AS (
+          SELECT t1, CAST(MAX(c1) AS BIGINT) AS c1, count(*) AS n_follow,
+                 CAST(SUM(pkn_ppm) AS BIGINT) AS sum_pkn_ppm,
+                 CAST(MAX(pkn_ppm) AS BIGINT) AS top_pkn_ppm
+          FROM scored GROUP BY 1),
+        topnext AS (
+          SELECT s.t1, MIN(s.t2) AS top_next
+          FROM scored s JOIN perctx p
+            ON p.t1 = s.t1 AND s.pkn_ppm = p.top_pkn_ppm
+          GROUP BY 1)
+        SELECT p.t1, p.c1, p.n_follow, p.sum_pkn_ppm, p.top_pkn_ppm, t.top_next
+        FROM perctx p JOIN topnext t USING (t1)"""))
+  ,
+
     // ───── feature hashing / the hashing-trick vectorizer (r9): each
     // document's bag-of-words projected into a FIXED 64-dim signed
     // integer vector — idx = 6 bits of the token's md5, sign = a 7th
