@@ -1914,6 +1914,65 @@ object RelationalQueries {
                l + 7 * b AS forecast_7d_k
         FROM fin""")),
 
+    // ───── Kaplan-Meier survival curve (r10): the nonparametric
+    // survival estimator (Kaplan & Meier, JASA 1958) over user
+    // lifetimes — S(t) = Π_{i≤t} (1 − d_i/n_i), where d_t = users whose
+    // activity span ENDS at day t and n_t = users still at risk. The
+    // churn-analysis primitive next to events_retention's cohort grid:
+    // retention reads raw proportions, KM composes conditional
+    // survival so the curve is monotone and censoring-ready. Lifetime =
+    // last-minus-first active day per user (one hash-agg); the product
+    // folds in exact ppm integers over the SORTED (t, d, n) array —
+    // time is the short axis (tens of distinct lifetimes), users
+    // parallelize, the per-step S(t) is an O(T²) prefix re-fold of a
+    // tiny array. The oracle replays the identical truncating
+    // recurrence as a RECURSIVE CTE over the lifetime index.
+    QuerySpec(
+      "events_survival",
+      (s, d) => {
+        val lives = events(s, d)
+          .groupBy("event_type", "user_id")
+          .agg(expr("datediff(max(to_date(ts)), min(to_date(ts)))").as("t"))
+          .groupBy("event_type", "t").agg(count(lit(1)).as("dt"))
+        val risk = lives
+          .withColumn("n", sum("dt").over(
+            Window.partitionBy("event_type").orderBy(col("t").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        risk.groupBy("event_type")
+          .agg(expr("array_sort(collect_list(struct(t, dt, n)))").as("arr"))
+          .select(col("event_type"), explode(expr(
+            """transform(arr, (x, i) -> struct(
+                 x.t AS t, x.dt AS d_t, x.n AS n_t,
+                 aggregate(slice(arr, 1, i + 1), 1000000L,
+                   (acc, y) -> acc * (y.n - y.dt) div y.n) AS s_ppm))"""))
+            .as("r"))
+          .select(col("event_type"), col("r.t").as("t"), col("r.d_t").as("d_t"),
+            col("r.n_t").as("n_t"), col("r.s_ppm").as("s_ppm"))
+      },
+      Some("""
+        WITH RECURSIVE lives AS (
+          SELECT event_type,
+                 CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT) AS t
+          FROM events GROUP BY event_type, user_id),
+        dd AS (SELECT event_type, t, CAST(count(*) AS BIGINT) AS dt
+               FROM lives GROUP BY 1, 2),
+        risk AS (
+          SELECT event_type, t, dt,
+                 CAST(SUM(dt) OVER (PARTITION BY event_type ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t)
+                      AS BIGINT) AS i
+          FROM dd),
+        km(event_type, i, t, dt, n, s_ppm) AS (
+          SELECT event_type, i, t, dt, n, 1000000 * (n - dt) // n
+          FROM risk WHERE i = 1
+          UNION ALL
+          SELECT r.event_type, r.i, r.t, r.dt, r.n, k.s_ppm * (r.n - r.dt) // r.n
+          FROM km k JOIN risk r
+            ON r.event_type = k.event_type AND r.i = k.i + 1)
+        SELECT event_type, t, dt AS d_t, n AS n_t, CAST(s_ppm AS BIGINT) AS s_ppm
+        FROM km""")),
+
     // ───── Holt-Winters additive seasonal smoothing (r10): the TRIPLE
     // exponential recurrence — level, trend, AND a 7-slot day-of-week
     // seasonal state — completing the forecasting ladder over
