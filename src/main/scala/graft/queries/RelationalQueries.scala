@@ -3570,7 +3570,7 @@ object RelationalQueries {
     // all partitioned by user_id (shards at 100 TB); no self-join of
     // the event log.
     QuerySpec(
-      "events_attribution",
+      "events_attribution_ushape",
       (s, d) => {
         val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         val wJ = Window.partitionBy("user_id", "journey")
