@@ -124,14 +124,19 @@ object RelationalQueries {
       .select(col("s"), col("t"),
         array_intersect(col("ou"), col("ov")).as("common"))
       .filter(size(col("common")) > 0)
-    val perNode = withCommon.select(explode(concat(
-        array(
-          struct(col("s").as("n"), size(col("common")).cast("long").as("c")),
-          struct(col("t").as("n"), size(col("common")).cast("long").as("c"))),
-        transform(col("common"),
-          x => struct(x.as("n"), lit(1L).as("c"))))).as("e"))
-      .groupBy(col("e.n").as("n")).agg(sum(col("e.c")).as("n_tri"))
-    (perNode, deg)
+    // cached: graph_triangles and graph_clustering_coeff share ONE run
+    // of the intersection stage per session (the expensive part — the
+    // wedge-volume work); deg is cheap but cached for plan reuse too
+    val perNode = graft.analytics.Corpus.cached(s, d, "triPerNode") {
+      withCommon.select(explode(concat(
+          array(
+            struct(col("s").as("n"), size(col("common")).cast("long").as("c")),
+            struct(col("t").as("n"), size(col("common")).cast("long").as("c"))),
+          transform(col("common"),
+            x => struct(x.as("n"), lit(1L).as("c"))))).as("e"))
+        .groupBy(col("e.n").as("n")).agg(sum(col("e.c")).as("n_tri"))
+    }
+    (perNode, graft.analytics.Corpus.cached(s, d, "triDeg")(deg))
   }
 
   /** Shared oracle CTE prefix mirroring [[triPerNode]] declaratively
