@@ -1919,6 +1919,152 @@ object RelationalQueries {
                l + 7 * b AS forecast_7d_k
         FROM fin""")),
 
+    // ───── Benford first-digit audit (r10): the fraud / data-quality
+    // screen (Benford 1938; Nigrini's forensic-accounting standard) —
+    // naturally-occurring multiplicative amounts put digit d first with
+    // probability log10(1+1/d), and fabricated or truncated data
+    // doesn't. Observed first-significant-digit shares of the order
+    // amounts vs the Benford table as FIXED per-mille literals (301,
+    // 176, 125, ... — the same public constants in both engines; no
+    // libm at query time), deviations in exact signed per-mille. First
+    // digit via string head of the integer cents — no float log. One
+    // hash-agg over 9 digit groups.
+    QuerySpec(
+      "agg_benford",
+      (s, d) => {
+        val bf = "array(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)"
+        orders(s, d)
+          .select(expr(
+            "cast(substring(cast(cast(round(o_totalprice * 100) as bigint) as string), 1, 1) as bigint)")
+            .as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+          .withColumn("total", sum("n").over(Window.partitionBy()))
+          .select(col("digit"), col("n"),
+            expr("n * 1000L div total").as("obs_pm"),
+            expr(s"element_at($bf, cast(digit as int))").as("benford_pm"),
+            expr(s"n * 1000L div total - element_at($bf, cast(digit as int))")
+              .as("dev_pm"))
+      },
+      Some("""
+        WITH digits AS (
+          SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                     AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM orders),
+        hist AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                 FROM digits GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist),
+        bf AS (SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97),
+                 (5, 79), (6, 67), (7, 58), (8, 51), (9, 46)) v(d, pm))
+        SELECT h.digit, h.n, h.n * 1000 // t.total AS obs_pm,
+               CAST(b.pm AS BIGINT) AS benford_pm,
+               h.n * 1000 // t.total - b.pm AS dev_pm
+        FROM hist h CROSS JOIN tot t JOIN bf b ON b.d = h.digit""")),
+
+    // ───── bot / automation detection via inter-event regularity
+    // (r10): humans are bursty, schedulers are metronomes — the
+    // training-data-quality screen that keeps scripted traffic out of a
+    // behavioral corpus. Per user with ≥ 20 events: consecutive gaps in
+    // exact seconds (one lag window under the unique (ts, event_id)
+    // order), then the squared coefficient of variation in per-mille —
+    // CV² = n·Σx²−(Σx)² over (Σx)² — all int64-safe at second scale
+    // (gaps ~1e5 s, squares ~1e10, sums ×20 well under 2^63), zero
+    // floats. is_regular pins the CV² < 0.2 verdict under the gate.
+    // One window + one hash-agg, both sharded by user.
+    QuerySpec(
+      "events_bot_regularity",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("gap",
+            // exact micros floored to whole seconds — unix_timestamp's
+            // floor vs DuckDB epoch()'s rounding disagree on the raw
+            // second values; the micros difference is exact in both
+            expr("(unix_micros(ts) - unix_micros(lag(ts, 1) over " +
+              "(partition by user_id order by ts, event_id))) div 1000000"))
+          .filter(col("gap").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sx"),
+            sum(expr("gap * gap")).as("sxx"))
+          .filter(col("n_gaps") >= 19)
+          .select(col("user_id"), col("n_gaps"),
+            expr("sx div n_gaps").as("mean_gap_s"),
+            expr("(n_gaps * sxx - sx * sx) * 1000L div (sx * sx)").as("cv2_pm"),
+            expr("(n_gaps * sxx - sx * sx) * 1000L div (sx * sx) < 200")
+              .as("is_regular"))
+      },
+      Some("""
+        WITH gaps AS (
+          SELECT user_id,
+                 (epoch_us(ts)
+                  - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id))) // 1000000
+                   AS gap
+          FROM events),
+        st AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(gap) AS BIGINT) AS sx,
+                 CAST(SUM(gap * gap) AS BIGINT) AS sxx
+          FROM gaps WHERE gap IS NOT NULL GROUP BY 1)
+        SELECT user_id, n_gaps, sx // n_gaps AS mean_gap_s,
+               (n_gaps * sxx - sx * sx) * 1000 // (sx * sx) AS cv2_pm,
+               (n_gaps * sxx - sx * sx) * 1000 // (sx * sx) < 200 AS is_regular
+        FROM st WHERE n_gaps >= 19""")),
+
+    // ───── quality-weighted mix apportionment (r10): allocate a fixed
+    // token budget across sources by LARGEST-REMAINDER (Hamilton)
+    // apportionment — the deterministic integer answer to "how many
+    // tokens from each source in the next training mix" (the static
+    // skeleton of DoReMi-style mixture tuning; sample_weighted_mix
+    // draws the rows, THIS decides the quotas). Exact: base quota =
+    // budget·w div W, the remainder goes +1 each to the sources with
+    // the largest fractional parts (budget·w mod W desc, source id
+    // tiebreak) — Σ alloc = budget BY CONSTRUCTION, visible to the
+    // oracle as a checksum. Weights = whitespace token counts per
+    // source (one hash-agg); the apportionment runs over |sources|
+    // rows.
+    QuerySpec(
+      "curation_mix_apportion",
+      (s, d) => {
+        val budget = 100000L
+        val w = graft.Tables.documents(s, d)
+          .groupBy("source")
+          .agg(sum(expr("size(split(text, ' '))")).as("w_tokens"))
+        val tot = w.agg(sum("w_tokens").as("wt"))
+        val quotas = w.crossJoin(broadcast(tot))
+          .select(col("source"), col("w_tokens"),
+            expr(s"${budget}L * w_tokens div wt").as("base"),
+            expr(s"${budget}L * w_tokens % wt").as("fr"))
+        val nsrc = quotas
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("fr").desc, col("source"))))
+          .withColumn("rem", expr(
+            s"${budget}L - sum(base) over ()"))
+        nsrc.select(col("source"), col("w_tokens"),
+          expr("base + if(rk <= rem, 1L, 0L)").as("alloc_tokens"),
+          expr("rk <= rem").as("got_extra"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT source,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS w_tokens
+          FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(SUM(w_tokens) AS BIGINT) AS wt FROM w),
+        q AS (
+          SELECT source, w_tokens,
+                 100000 * w_tokens // wt AS base,
+                 100000 * w_tokens % wt AS fr
+          FROM w CROSS JOIN tot),
+        r AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY fr DESC, source) AS BIGINT) AS rk,
+                 100000 - SUM(base) OVER () AS rem
+          FROM q)
+        SELECT source, w_tokens,
+               CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT)
+                 AS alloc_tokens,
+               rk <= rem AS got_extra
+        FROM r""")),
+
     // ───── Kaplan-Meier survival curve (r10): the nonparametric
     // survival estimator (Kaplan & Meier, JASA 1958) over user
     // lifetimes — S(t) = Π_{i≤t} (1 − d_i/n_i), where d_t = users whose
