@@ -59,8 +59,73 @@ object ScaleProbe {
     val recallOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("recall")
     // SPARK_GRAFT_PROBE=pagerank runs ONLY the pagerank-at-scale block
     val prOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("pagerank")
+    // SPARK_GRAFT_PROBE=triangles races the r10 edge-iterator triangle
+    // formulation against the r9 wedge self-join on the k×-replicated
+    // co-purchase graph (disconnected copies — wedge count scales k×)
+    val triOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("triangles")
     for (k <- factors) {
-      if (prOnly) {
+      if (triOnly) {
+        val li = spark.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_partkey").distinct()
+        val e0 = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u0"), col("b.l_partkey").as("v0"))
+          .agg(count(lit(1)).as("w"))
+        val edges = e0.crossJoin(spark.range(k).toDF("rep"))
+          .select((col("u0") * k + col("rep")).as("u"),
+            (col("v0") * k + col("rep")).as("v"))
+          .localCheckpoint(true)
+        val deg = edges.select(col("u").as("n"))
+          .unionAll(edges.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        // no broadcast hints and no second checkpoint here: at x64 the
+        // deg table is 12.8M rows (AQE picks the join) and a pinned oe
+        // would starve execution memory under the adjacency aggregation
+        val oe = edges
+          .join(deg.withColumnRenamed("n", "u")
+            .withColumnRenamed("deg", "du"), "u")
+          .join(deg.withColumnRenamed("n", "v")
+            .withColumnRenamed("deg", "dv"), "v")
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("u"))
+              .otherwise(col("v")).as("s"),
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("v"))
+              .otherwise(col("u")).as("t"))
+        // r10 shipped form: adjacency-array intersection, per-node
+        // counts in one explode pass — total triangles as checksum
+        var triIter = -1L
+        time(s"tri_edge_iterator_x$k") {
+          val adj = oe.groupBy(col("s").as("n"))
+            .agg(sort_array(collect_list(col("t"))).as("outs"))
+          triIter = oe
+            .join(adj.select(col("n").as("s"), col("outs").as("ou")), "s")
+            .join(adj.select(col("n").as("t"), col("outs").as("ov")), "t")
+            .select(size(array_intersect(col("ou"), col("ov"))).cast("long").as("c"))
+            .agg(sum("c")).collect()(0).getLong(0)
+          triIter
+        }
+        // r9 form: materialized wedge self-join + closing equi-join —
+        // only raced at small factors (its wedge volume scales k×)
+        if (k <= 4) {
+          var triWedge = -1L
+          time(s"tri_wedge_join_x$k") {
+            triWedge = oe.as("e1")
+              .join(oe.as("e2"),
+                col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+              .select(col("e1.t").as("b"), col("e2.t").as("c"))
+              .join(edges.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+              .count()
+            triWedge
+          }
+          require(triWedge == triIter,
+            s"formulations disagree at x$k: wedge=$triWedge iter=$triIter")
+        }
+        println(s"[probe] tri_x$k: edges=${edges.count()} triangles=$triIter")
+      } else if (prOnly) {
         // integer PageRank over the purchase graph replicated k× as
         // DISCONNECTED copies (node ids suffixed by replica — graph size
         // scales k×, diameter and round count stay constant, the
