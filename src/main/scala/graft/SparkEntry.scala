@@ -15,7 +15,7 @@ object SparkEntry {
     CdcQueries.all ++ RelationalQueries.all ++ TpchShapes.all ++
       TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++ StatQueries.all
 
   private lazy val maps = QuerySpec.toMaps(specs)
 

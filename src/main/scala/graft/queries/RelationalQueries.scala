@@ -2690,6 +2690,83 @@ object RelationalQueries {
                CAST(MIN(n) AS BIGINT) AS min_node
         FROM lcc GROUP BY 1""")),
 
+    // ───── k-core decomposition (r10): the fourth graph primitive next
+    // to components (connectivity), PageRank (centrality) and triangles
+    // (density) — the 2-core backbone of the REPEAT-co-purchase graph
+    // (parts bought together in ≥ 2 orders; the raw co-purchase graph is
+    // near-complete with min degree ~40, so its low-k cores are the
+    // whole graph — thresholding by repeat support is what makes the
+    // core structure informative, the standard move for association
+    // graphs). Seidman-1983 peel ("keep nodes with ≥ k surviving
+    // neighbors" to fixpoint), as a BOUNDED-ROUND contract like
+    // sql_recursive_chain's fixed depth: 8 synchronized rounds, each =
+    // one degree hash-agg + two semi-join filters (shards by node key
+    // at any scale; per-round lineage cut by localCheckpoint). The
+    // peel only REMOVES edges, so an unchanged edge COUNT means an
+    // unchanged edge SET means every later round is the identity — the
+    // early exit is exact, not approximate, and the oracle's full
+    // 8-round CTE unroll (no-op rounds included) proves it by matching.
+    // Output: core-membership count, node-id/degree checksums,
+    // surviving-edge count.
+    QuerySpec(
+      "graph_kcore",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        var e = graft.analytics.Corpus.cached(s, d, "kcoreEdges") {
+          li.as("a")
+            .join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+            .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("u", "v")
+        }.localCheckpoint(true)
+        var prev = e.count()
+        var done = false
+        for (_ <- 1 to 8 if !done) {
+          val deg = e.select(col("u").as("n"))
+            .unionAll(e.select(col("v").as("n")))
+            .groupBy("n").agg(count(lit(1)).as("dg"))
+          val keep = deg.filter(col("dg") >= 2).select("n")
+          e = e.join(keep.withColumnRenamed("n", "u"), "u")
+            .join(keep.withColumnRenamed("n", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(true)
+          val now = e.count()
+          done = now == prev
+          prev = now
+        }
+        e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+          .agg(count(lit(1)).as("n_core_nodes"), sum("n").as("node_sum"),
+            sum("dg").as("deg_sum"),
+            (sum("dg") / 2).cast("long").as("n_edges"))
+      },
+      Some {
+        val sb = new StringBuilder("""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2)""")
+        for (r <- 1 to 8) sb.append(s""",
+        d$r AS MATERIALIZED (SELECT x AS n, count(*) AS dg FROM
+                (SELECT u AS x FROM e${r - 1}
+                 UNION ALL SELECT v AS x FROM e${r - 1}) GROUP BY 1),
+        k$r AS MATERIALIZED (SELECT n FROM d$r WHERE dg >= 2),
+        e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+                JOIN k$r ku ON ku.n = e.u JOIN k$r kv ON kv.n = e.v)""")
+        sb.append(""",
+        fd AS (SELECT x AS n, count(*) AS dg FROM
+               (SELECT u AS x FROM e8 UNION ALL SELECT v AS x FROM e8)
+               GROUP BY 1)
+        SELECT COUNT(*) AS n_core_nodes, CAST(SUM(n) AS BIGINT) AS node_sum,
+               CAST(SUM(dg) AS BIGINT) AS deg_sum,
+               CAST(SUM(dg) // 2 AS BIGINT) AS n_edges
+        FROM fd""")
+        sb.toString
+      }),
+
     // ───── mix-diversity monitor (r8): Gini impurity of the event-type
     // mix per hour-of-day — the diversity measure a training-data mix
     // dashboard tracks (a collapsing mix drives impurity toward 0).

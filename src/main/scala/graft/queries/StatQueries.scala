@@ -1,0 +1,368 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Statistical / ranking / robustness operators (r10 batch): the metric
+  * layer a training-data curation stack reports on top of the relational
+  * core — ranking quality (AUC), distribution position (cume_dist),
+  * robust smoothing (moving median), temporal structure (autocorrelation),
+  * concentration (HHI), multi-objective frontier (skyline) and
+  * distribution-distance privacy (t-closeness).
+  *
+  * Determinism contract: every metric is computed in exact integer
+  * arithmetic (counts, cents, ppm via integer div) up to AT MOST one
+  * final correctly-rounded double division per output value, with the
+  * DuckDB oracle mirroring the same exact rational — the discipline
+  * established by agg_gini_mix / events_ab_chisq. No libm transcendental
+  * appears anywhere (AUC via rank-sums not sigmoid, ACF without the
+  * sqrt-normalized Pearson form, concentration via HHI not entropy).
+  */
+object StatQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ───── ROC AUC via the Mann-Whitney rank-sum identity: AUC =
+    // (R⁺ − P(P+1)/2) / (P·N) with average ranks over score ties —
+    // the ranking-quality metric for any scorer (here: does `value`
+    // rank purchase events above the rest). No per-row rank shuffle:
+    // rows collapse to per-SCORE (n_i, p_i) first — score is integer
+    // cents of a range-bounded value, so the ordered running sum runs
+    // over ≤ max_cents rows regardless of corpus size (the same
+    // cardinality-bound argument as supplier_pareto's key space, made
+    // explicit here: the window input is the per-score aggregate, never
+    // the event stream). All integer up to one division: ranks ×2 to
+    // absorb the (n_i+1)/2 tie midpoint.
+    QuerySpec(
+      "ml_auc_rank",
+      (s, d) => {
+        val byScore = events(s, d)
+          .select(expr("cast(round(value * 100) as bigint)").as("score"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+          .groupBy("score")
+          .agg(count(lit(1)).as("n_i"), sum("pos").as("p_i"))
+        // bounded-cardinality global window: ≤ 56k distinct cents by the
+        // value range, independent of row count
+        val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+        byScore
+          .withColumn("cum", coalesce(sum("n_i").over(w), lit(0L)))
+          .agg(
+            sum(col("p_i") * (col("cum") * 2 + col("n_i") + 1)).as("r2"),
+            sum(col("p_i")).as("p"),
+            sum(col("n_i") - col("p_i")).as("nneg"))
+          .select(col("p").as("n_pos"), col("nneg").as("n_neg"),
+            ((col("r2") - col("p") * (col("p") + 1)).cast("double") /
+              (col("p") * col("nneg") * 2L).cast("double")).as("auc"))
+      },
+      Some("""
+        WITH byscore AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS score, COUNT(*) AS n_i,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p_i
+          FROM events GROUP BY 1),
+        ranked AS (
+          SELECT p_i, n_i,
+                 COALESCE(SUM(n_i) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM byscore),
+        tot AS (
+          SELECT CAST(SUM(p_i * (2 * cum + n_i + 1)) AS BIGINT) AS r2,
+                 CAST(SUM(p_i) AS BIGINT) AS p,
+                 CAST(SUM(n_i - p_i) AS BIGINT) AS nneg
+          FROM ranked)
+        SELECT p AS n_pos, nneg AS n_neg,
+               CAST(r2 - p * (p + 1) AS DOUBLE)
+                 / CAST(p * nneg * 2 AS DOUBLE) AS auc
+        FROM tot""")),
+
+    // ───── cume_dist as exact integers: k = |peers ≤ x| via a RANGE
+    // frame (peer-inclusive by SQL semantics — exactly cume_dist's
+    // numerator), position in ppm by integer div, reported as the
+    // per-segment decile histogram with value checksums. The window
+    // partitions by segment, so at cluster scale each segment's sort
+    // shards independently; no global single-task ordering exists.
+    QuerySpec(
+      "window_cume_dist",
+      (s, d) => {
+        val c = customer(s, d).select(col("c_mktsegment").as("seg"),
+          expr("cast(round(c_acctbal * 100) as bigint)").as("cents"))
+        val wn = Window.partitionBy("seg")
+        val w = Window.partitionBy("seg").orderBy("cents")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        c.withColumn("k", count(lit(1)).over(w))
+          .withColumn("ntot", count(lit(1)).over(wn))
+          .withColumn("cd_ppm", expr("k * 1000000 div ntot"))
+          .groupBy(col("seg"), expr("cd_ppm div 100000").as("decile"))
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("cents_sum"),
+            min("cd_ppm").as("cd_ppm_min"), max("cd_ppm").as("cd_ppm_max"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT c_mktsegment AS seg,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer),
+        w AS (
+          SELECT seg, cents,
+                 COUNT(*) OVER (PARTITION BY seg ORDER BY cents
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+                 COUNT(*) OVER (PARTITION BY seg) AS ntot
+          FROM c),
+        p AS (SELECT seg, cents, k * 1000000 // ntot AS cd_ppm FROM w)
+        SELECT seg, cd_ppm // 100000 AS decile, COUNT(*) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS cents_sum,
+               CAST(MIN(cd_ppm) AS BIGINT) AS cd_ppm_min,
+               CAST(MAX(cd_ppm) AS BIGINT) AS cd_ppm_max
+        FROM p GROUP BY 1, 2""")),
+
+    // ───── centered 7-row moving MEDIAN of daily revenue — the robust
+    // smoother (outlier-immune, unlike the moving mean) every anomaly
+    // dashboard wants. Median stays integer by reporting 2×median:
+    // sorted frame w, med2 = w[(m+1)/2] + w[(m+2)/2] — twice the middle
+    // for odd m, the two middles' sum for even m (series edges), no
+    // float .5 anywhere. The window input is the DAILY aggregate —
+    // bounded by the date range, not the fact-row count — so the global
+    // ordering is over ~2.4k rows at any corpus size.
+    QuerySpec(
+      "window_moving_median",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("rev"))
+        val w = Window.orderBy("day").rowsBetween(-3, 3)
+        daily.withColumn("win", sort_array(collect_list(col("rev")).over(w)))
+          .select(col("day"), col("rev").as("rev_cents"),
+            (element_at(col("win"), expr("cast((size(win) + 1) div 2 as int)")) +
+              element_at(col("win"), expr("cast((size(win) + 2) div 2 as int)"))).as("med2_cents"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+          FROM orders GROUP BY 1),
+        win AS (
+          SELECT day, rev,
+                 list_sort(list(rev) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS w
+          FROM daily)
+        SELECT day, rev AS rev_cents,
+               w[(len(w) + 1) // 2] + w[(len(w) + 2) // 2] AS med2_cents
+        FROM win""")),
+
+    // ───── lag-1 / lag-7 autocorrelation of the daily event series per
+    // type — the temporal-structure probe behind seasonality detection
+    // (a high acf7 = weekly rhythm; acf1 ≈ 0 on white noise). The
+    // sqrt-free ACF form keeps everything rational: with centered terms
+    // scaled by n (c_t = n·x_t − Σx, an exact integer), r_k =
+    // Σ c_t·c_{t+k} / Σ c_t² — the standard sample ACF times n²/n²,
+    // one double division per lag. Per-type windows over the ~30-day
+    // daily aggregate; the 5-row stats table broadcasts.
+    QuerySpec(
+      "events_autocorrelation",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val stats = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily
+          .withColumn("x1", lead("x", 1).over(w))
+          .withColumn("x7", lead("x", 7).over(w))
+          .join(broadcast(stats), "event_type")
+          .withColumn("c", col("n") * col("x") - col("sx"))
+          .withColumn("c1", col("n") * col("x1") - col("sx"))
+          .withColumn("c7", col("n") * col("x7") - col("sx"))
+          .groupBy("event_type")
+          .agg(max("n").as("n_days"),
+            sum(col("c") * col("c")).as("den"),
+            sum(when(col("x1").isNotNull, col("c") * col("c1"))).as("num1"),
+            sum(when(col("x7").isNotNull, col("c") * col("c7"))).as("num7"))
+          .select(col("event_type"), col("n_days"),
+            (col("num1").cast("double") / col("den").cast("double")).as("acf1"),
+            (col("num7").cast("double") / col("den").cast("double")).as("acf7"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        stats AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx
+          FROM daily GROUP BY 1),
+        lagd AS (
+          SELECT d.event_type, s.n, s.sx, d.x,
+                 LEAD(x, 1) OVER (PARTITION BY d.event_type ORDER BY day) AS x1,
+                 LEAD(x, 7) OVER (PARTITION BY d.event_type ORDER BY day) AS x7
+          FROM daily d JOIN stats s ON s.event_type = d.event_type),
+        cc AS (
+          SELECT event_type, n, n * x - sx AS c,
+                 n * x1 - sx AS c1, n * x7 - sx AS c7
+          FROM lagd)
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN c1 IS NOT NULL THEN c * c1 END) AS DOUBLE)
+                 / CAST(SUM(c * c) AS DOUBLE) AS acf1,
+               CAST(SUM(CASE WHEN c7 IS NOT NULL THEN c * c7 END) AS DOUBLE)
+                 / CAST(SUM(c * c) AS DOUBLE) AS acf7
+        FROM cc GROUP BY 1""")),
+
+    // ───── Herfindahl–Hirschman concentration of supplier revenue per
+    // nation — the market-concentration dual of agg_gini_mix's diversity
+    // (HHI = Σ shareᵢ², 1/n for a uniform market → 1 for a monopoly);
+    // the metric a sourcing-mix monitor alarms on. Exact-integer all the
+    // way: shares in ppm by integer div, HHI as the ppm-squared sum
+    // rescaled by integer div — no division by a float total anywhere.
+    // Two hash-aggs + a broadcast of the 25-row nation totals.
+    QuerySpec(
+      "agg_hhi_concentration",
+      (s, d) => {
+        val rev = lineitem(s, d)
+          .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey").as("nat"), col("l_suppkey"))
+          .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("c"))
+        val tot = rev.groupBy("nat")
+          .agg(sum("c").as("t"), count(lit(1)).as("n_suppliers"))
+        rev.join(broadcast(tot), "nat")
+          .withColumn("sp", expr("c * 1000000 div t"))
+          .groupBy(col("nat"), col("n_suppliers"), col("t").as("total_cents"))
+          .agg(expr("sum(sp * sp) div 1000000").cast("long").as("hhi_ppm"),
+            max("sp").as("top_share_ppm"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT s_nationkey AS nat, l_suppkey,
+                 CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY 1, 2),
+        tot AS (
+          SELECT nat, CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS n_suppliers
+          FROM rev GROUP BY 1)
+        SELECT nat, n_suppliers, t AS total_cents,
+               CAST(SUM(sp * sp) // 1000000 AS BIGINT) AS hhi_ppm,
+               CAST(MAX(sp) AS BIGINT) AS top_share_ppm
+        FROM (SELECT r.nat, r.c * 1000000 // t.t AS sp, t.t, t.n_suppliers
+              FROM rev r JOIN tot t ON t.nat = r.nat)
+        GROUP BY 1, 2, 3""")),
+
+    // ───── 2-D skyline (Pareto frontier) per market segment: orders not
+    // dominated on (price ↓, recency ↑) — the multi-objective shortlist
+    // operator ("cheapest recent") that no single ORDER BY expresses.
+    // O(n log n), not the naive O(n²) dominance test: sort by price,
+    // then B is dominated iff the max order-day over STRICTLY cheaper
+    // orders reaches B's day (RANGE … 1 PRECEDING — strictness is the
+    // frame bound, price ties can't dominate each other through it) or a
+    // same-price order is strictly more recent. Windows partition by
+    // segment; equal (price, day) pairs are both on the frontier, so the
+    // result is set-deterministic with no tiebreaker needed.
+    QuerySpec(
+      "join_skyline",
+      (s, d) => {
+        val o = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("price"),
+            datediff(to_date(col("o_orderdate")), lit("1990-01-01")).as("dday"))
+        val wLower = Window.partitionBy("seg").orderBy("price")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wSame = Window.partitionBy("seg", "price")
+        o.withColumn("mlower", max("dday").over(wLower))
+          .withColumn("msame", max("dday").over(wSame))
+          .filter((col("mlower").isNull || col("mlower") < col("dday")) &&
+            col("msame") === col("dday"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n_skyline"),
+            min("price").as("min_price_cents"), max("dday").as("max_dday"),
+            sum("price").as("price_sum_cents"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT c_mktsegment AS seg, o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price,
+                 date_diff('day', DATE '1990-01-01',
+                           CAST(o_orderdate AS DATE)) AS dday
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        w AS (
+          SELECT seg, o_orderkey, price, dday,
+                 MAX(dday) OVER (PARTITION BY seg ORDER BY price
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlower,
+                 MAX(dday) OVER (PARTITION BY seg, price) AS msame
+          FROM o)
+        SELECT seg, COUNT(*) AS n_skyline,
+               CAST(MIN(price) AS BIGINT) AS min_price_cents,
+               MAX(dday) AS max_dday,
+               CAST(SUM(price) AS BIGINT) AS price_sum_cents,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM w
+        WHERE (mlower IS NULL OR mlower < dday) AND msame = dday
+        GROUP BY 1""")),
+
+    // ───── t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    // completes the anonymity-audit family (privacy_k_anon: group size;
+    // privacy_l_diversity: sensitive-value variety; t-closeness: the
+    // sensitive DISTRIBUTION may not diverge from the population's, the
+    // defense against skewness attacks the first two miss). Sensitive
+    // attribute = acctbal decile (ordered), distance = Earth Mover's on
+    // the ordered domain = mean |cumulative difference|. Exact integers:
+    // per-bucket diffs on the common denominator n_g·N (cnt·N − CNT·n_g),
+    // cumulated over the 10-bucket spine (zero-filled — absent buckets
+    // MUST contribute their deficit), t in ppm by integer div.
+    QuerySpec(
+      "privacy_t_closeness",
+      (s, d) => {
+        val c = customer(s, d).select(
+          col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          expr("""least(9L, greatest(0L,
+            (cast(round(c_acctbal * 100) as bigint) + 100000) div 110000))""").as("b"))
+        val glob = c.groupBy("b").agg(count(lit(1)).as("gcnt"))
+        val grp = c.groupBy("nat", "seg").agg(count(lit(1)).as("ng"))
+        val cell = c.groupBy("nat", "seg", "b").agg(count(lit(1)).as("cnt"))
+        val ntot = c.agg(count(lit(1)).as("ntot"))
+        val spine = grp.crossJoin(
+          broadcast(c.sparkSession.range(10).select(col("id").as("b"))))
+        val w = Window.partitionBy("nat", "seg").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(cell, Seq("nat", "seg", "b"), "left")
+          .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+          .join(broadcast(glob), "b")
+          .crossJoin(broadcast(ntot))
+          .withColumn("dcum",
+            sum(col("cnt") * col("ntot") - col("gcnt") * col("ng")).over(w))
+          .groupBy(col("nat"), col("seg"), col("ng"), col("ntot"))
+          .agg(sum(abs(col("dcum"))).as("absum"))
+          .select(col("nat"), col("seg"), col("ng").as("group_size"),
+            expr("absum * 1000000 div (9 * ng * ntot)").as("t_ppm"))
+          .withColumn("exceeds_015", col("t_ppm") > 150000L)
+      },
+      Some("""
+        WITH c AS (
+          SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                 LEAST(9, GREATEST(0,
+                   (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 110000)) AS b
+          FROM customer),
+        gdist AS (SELECT b, COUNT(*) AS gcnt FROM c GROUP BY 1),
+        grp  AS (SELECT nat, seg, COUNT(*) AS ng FROM c GROUP BY 1, 2),
+        cell AS (SELECT nat, seg, b, COUNT(*) AS cnt FROM c GROUP BY 1, 2, 3),
+        ntot AS (SELECT COUNT(*) AS n FROM c),
+        spine AS (
+          SELECT g.nat, g.seg, g.ng, gs.b
+          FROM grp g CROSS JOIN (SELECT UNNEST(range(10)) AS b) gs),
+        cum AS (
+          SELECT s.nat, s.seg, s.ng, ntot.n,
+                 SUM(COALESCE(cell.cnt, 0) * ntot.n - gdist.gcnt * s.ng)
+                   OVER (PARTITION BY s.nat, s.seg ORDER BY s.b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcum
+          FROM spine s
+          LEFT JOIN cell ON cell.nat = s.nat AND cell.seg = s.seg
+                        AND cell.b = s.b
+          JOIN gdist ON gdist.b = s.b
+          CROSS JOIN ntot),
+        agg AS (
+          SELECT nat, seg, ng, n, CAST(SUM(ABS(dcum)) AS BIGINT) AS absum
+          FROM cum GROUP BY 1, 2, 3, 4)
+        SELECT nat, seg, CAST(ng AS BIGINT) AS group_size,
+               absum * 1000000 // (9 * ng * n) AS t_ppm,
+               absum * 1000000 // (9 * ng * n) > 150000 AS exceeds_015
+        FROM agg"""))
+  )
+}
