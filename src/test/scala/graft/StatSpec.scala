@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Independent-reference checks for the StatQueries metric layer: each
+  * distributed formulation is compared against a brute-force Scala
+  * implementation of the DEFINITION (pairwise AUC, O(n²) dominance
+  * skyline, exact-fraction EMD, fixpoint peel) on sf0.001 — adversarial
+  * to the algebraic rewrites (rank-sum identity, window dominance test,
+  * common-denominator EMD, bounded-round peel) that the oracle SQL, being
+  * a mirror of the same rewrite, cannot catch.
+  */
+class StatSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("ml_auc_rank equals brute-force pairwise AUC") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("cast(round(value * 100) as bigint) as s",
+        "case when event_type = 'purchase' then 1 else 0 end as p")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    // definition: P(score_pos > score_neg) + ½·P(tie), all pairs
+    var num2 = 0L // ×2 to keep the tie half-credit integral
+    for (p <- pos; n <- neg)
+      num2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    val brute = num2.toDouble / (2.0 * pos.length * neg.length)
+    val got = run("ml_auc_rank").collect().head
+    assert(got.getLong(0) == pos.length && got.getLong(1) == neg.length)
+    assert(got.getDouble(2) == brute, s"rank-sum ${got.getDouble(2)} vs pairwise $brute")
+  }
+
+  test("join_skyline equals O(n^2) dominance filter") {
+    val base = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        org.apache.spark.sql.functions.expr("o_custkey = c_custkey"))
+      .selectExpr("c_mktsegment as seg", "o_orderkey",
+        "cast(round(o_totalprice * 100) as bigint) as price",
+        "datediff(to_date(o_orderdate), date'1990-01-01') as dday")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val bySeg = base.groupBy(_._1)
+    val brute = bySeg.map { case (seg, rs) =>
+      val sky = rs.filter { case (_, _, p, d) =>
+        !rs.exists { case (_, _, p2, d2) =>
+          p2 <= p && d2 >= d && (p2 < p || d2 > d) } }
+      seg -> (sky.length.toLong, sky.map(_._2).sum)
+    }
+    val got = run("join_skyline").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Long]("key_sum"))).toMap
+    assert(got.keySet == brute.keySet)
+    for ((seg, (n, ksum)) <- brute)
+      assert(got(seg) == ((n, ksum)), s"segment $seg: ${got(seg)} vs ($n, $ksum)")
+  }
+
+  test("privacy_t_closeness equals exact-fraction EMD") {
+    val cust = Tables.customer(spark, sf)
+      .selectExpr("c_nationkey as nat", "c_mktsegment as seg",
+        """least(9L, greatest(0L,
+           (cast(round(c_acctbal * 100) as bigint) + 100000) div 110000)) as b""")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val ntot = cust.length.toLong
+    val gdist = cust.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val brute = cust.groupBy(c => (c._1, c._2)).map { case (g, rs) =>
+      val ng = rs.length.toLong
+      val cnt = rs.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      var cum = BigInt(0); var absum = BigInt(0)
+      for (b <- 0L to 9L) {
+        cum += BigInt(cnt.getOrElse(b, 0L)) * ntot -
+          BigInt(gdist.getOrElse(b, 0L)) * ng
+        absum += cum.abs
+      }
+      g -> (absum * 1000000 / (BigInt(9) * ng * ntot)).toLong
+    }
+    val got = run("privacy_t_closeness").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getAs[Long]("t_ppm")).toMap
+    assert(got.keySet == brute.keySet)
+    for ((g, t) <- brute) assert(got(g) == t, s"group $g: ${got(g)} vs $t")
+  }
+
+  test("graph_kcore 8-round bound reaches the true fixpoint on this data") {
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }
+    var edges = pairs.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    // peel to the TRUE fixpoint, however many rounds it takes
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val next = edges.filter(e => deg(e._1) >= 2 && deg(e._2) >= 2)
+      changed = next.size != edges.size
+      edges = next
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val got = run("graph_kcore").collect().head
+    assert(got.getLong(0) == nodes.size.toLong, "core node count")
+    assert(got.getAs[Long]("node_sum") == nodes.sum, "node id checksum")
+    assert(got.getAs[Long]("n_edges") == edges.size.toLong, "surviving edges")
+  }
+
+  test("events_autocorrelation equals the exact-integer definition") {
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type", "to_date(ts) as day")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view
+      .mapValues(_.toSeq.map { case ((_, d), x) => (d, x) }.sortBy(_._1).map(_._2))
+      .toMap
+    val got = run("events_autocorrelation").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    for ((t, xs) <- daily) {
+      val n = xs.length.toLong; val sx = xs.sum
+      val c = xs.map(x => n * x - sx)
+      def acf(k: Int): Double = {
+        val num = c.dropRight(k).zip(c.drop(k)).map { case (a, b) => a * b }.sum
+        num.toDouble / c.map(v => v * v).sum.toDouble
+      }
+      assert(got(t)._1 == n)
+      assert(got(t)._2 == acf(1), s"$t acf1")
+      assert(got(t)._3 == acf(7), s"$t acf7")
+    }
+  }
+
+  test("window_moving_median equals brute per-day frame medians") {
+    val daily = Tables.orders(spark, sf)
+      .selectExpr("to_date(o_orderdate) as day",
+        "cast(round(o_totalprice * 100) as bigint) as c")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val byDay = daily.toArray
+    val brute = byDay.indices.map { i =>
+      val w = byDay.slice(math.max(0, i - 3), math.min(byDay.length, i + 4))
+        .map(_._2).sorted
+      byDay(i)._1 -> (w((w.length + 1) / 2 - 1) + w((w.length + 2) / 2 - 1))
+    }.toMap
+    val got = run("window_moving_median").collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("med2_cents")).toMap
+    assert(got.size == brute.size)
+    for ((d, m) <- brute) assert(got(d) == m, s"day $d")
+  }
+}
