@@ -363,6 +363,275 @@ object StatQueries {
         SELECT nat, seg, CAST(ng AS BIGINT) AS group_size,
                absum * 1000000 // (9 * ng * n) AS t_ppm,
                absum * 1000000 // (9 * ng * n) > 150000 AS exceeds_015
-        FROM agg"""))
+        FROM agg""")),
+
+    // ───── cumulative gains / lift table by score decile — the
+    // campaign-targeting companion to ml_auc_rank ("mailing the top 30%
+    // by score captures X% of converters at Y× random"). Same
+    // bounded-cardinality discipline as the AUC: rows collapse to
+    // per-score aggregates FIRST, the descending running sum assigns
+    // each score group the decile of its first row (groups straddling a
+    // boundary stay whole — deterministic, mirrored in the oracle), and
+    // the final cumulation is a 10-row window. Exact integers up to the
+    // reported ppm/per-mille divs.
+    QuerySpec(
+      "ml_gains_lift",
+      (s, d) => {
+        val byScore = events(s, d)
+          .select(expr("cast(round(value * 100) as bigint)").as("score"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+          .groupBy("score")
+          .agg(count(lit(1)).as("n_i"), sum("pos").as("p_i"))
+        val tot = byScore.agg(sum("n_i").as("ntot"), sum("p_i").as("ptot"))
+        val w = Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wd = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byScore
+          .withColumn("cumb", coalesce(sum("n_i").over(w), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("decile", expr("cumb * 10 div ntot"))
+          .groupBy("decile", "ntot", "ptot")
+          .agg(sum("n_i").as("n_rows"), sum("p_i").as("n_pos"))
+          .withColumn("cum_n", sum("n_rows").over(wd))
+          .withColumn("cum_pos", sum("n_pos").over(wd))
+          .select(col("decile"), col("n_rows"), col("n_pos"),
+            expr("cum_pos * 1000000 div ptot").as("gains_ppm"),
+            expr("cum_pos * ntot * 1000 div (cum_n * ptot)").as("lift_pm"))
+      },
+      Some("""
+        WITH byscore AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS score, COUNT(*) AS n_i,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p_i
+          FROM events GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(n_i) AS BIGINT) AS ntot,
+                 CAST(SUM(p_i) AS BIGINT) AS ptot
+          FROM byscore),
+        dec AS (
+          SELECT CAST(COALESCE(SUM(n_i) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   * 10 // ntot AS BIGINT) AS decile,
+                 n_i, p_i, ntot, ptot
+          FROM byscore CROSS JOIN tot),
+        g AS (
+          SELECT decile, ntot, ptot,
+                 CAST(SUM(n_i) AS BIGINT) AS n_rows,
+                 CAST(SUM(p_i) AS BIGINT) AS n_pos
+          FROM dec GROUP BY 1, 2, 3),
+        c AS (
+          SELECT decile, n_rows, n_pos, ntot, ptot,
+                 CAST(SUM(n_rows) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+                 CAST(SUM(n_pos) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+          FROM g)
+        SELECT decile, n_rows, n_pos,
+               cum_pos * 1000000 // ptot AS gains_ppm,
+               cum_pos * ntot * 1000 // (cum_n * ptot) AS lift_pm
+        FROM c""")),
+
+    // ───── EWMA with BINARY weights (α = ½), truncated at 10 lags —
+    // the exact-arithmetic exponential smoother: weight 2⁹⁻ⁱ on lag i
+    // makes numerator and denominator exact integers (the classic
+    // recursive EWMA carries an unbounded float tail; the 2⁻¹⁰ truncation
+    // error is below per-mille resolution and IDENTICAL on both engines
+    // by construction). Per-type daily series; series-head lags are
+    // skipped and the weight mass renormalizes — integer den, not a
+    // fixed 1023, so early rows are true partial-window averages.
+    QuerySpec(
+      "events_ewma",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        var df = daily
+        for (i <- 0 to 9)
+          df = df.withColumn(s"l$i", lag("x", i).over(w))
+        val num = (0 to 9).map(i => s"coalesce(l$i * ${1L << (9 - i)}, 0L)")
+          .mkString(" + ")
+        val den = (0 to 9).map(i =>
+          s"case when l$i is not null then ${1L << (9 - i)}L else 0L end")
+          .mkString(" + ")
+        df.select(col("event_type"), col("day"), col("x"),
+          expr(s"($num) * 1000 div ($den)").as("ewma_pm"))
+      },
+      Some {
+        val lags = (0 to 9).map(i =>
+          s"LAG(x, $i) OVER (PARTITION BY event_type ORDER BY day) AS l$i")
+          .mkString(", ")
+        val num = (0 to 9).map(i => s"COALESCE(l$i * ${1L << (9 - i)}, 0)")
+          .mkString(" + ")
+        val den = (0 to 9).map(i =>
+          s"CASE WHEN l$i IS NOT NULL THEN ${1L << (9 - i)} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        lagged AS (SELECT event_type, day, x, $lags FROM daily)
+        SELECT event_type, day, x,
+               ($num) * 1000 // ($den) AS ewma_pm
+        FROM lagged"""
+      }),
+
+    // ───── bounded-hop BFS from the max-degree seed of the repeat-
+    // co-purchase graph (graph_kcore's thresholded edge list) — the
+    // reachability / distance-distribution primitive next to components'
+    // global connectivity. Synchronized frontier expansion, 6 rounds:
+    // each = one edge join (both orientations) + distinct + anti-join
+    // against the visited set, all sharding by node key; the oracle
+    // unrolls the same 6 frontiers as materialized CTEs. Seed choice is
+    // deterministic (max degree, min id tiebreak) and its one-row pull
+    // to the driver is the documented one-row-collect class. Output:
+    // hop → (count, min-node, node-sum) histogram plus the unreached
+    // remainder as hop −1.
+    QuerySpec(
+      "graph_bfs_hops",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        val edges = graft.analytics.Corpus.cached(s, d, "kcoreEdges") {
+          li.as("a")
+            .join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+            .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("u", "v")
+        }.localCheckpoint(true)
+        val und = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+        val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("dg"))
+        val seed = deg.orderBy(col("dg").desc, col("n")).limit(1)
+          .select("n").collect()(0).getLong(0)
+        var visited = deg.sparkSession.range(1)
+          .select(lit(seed).as("n"), lit(0).as("hop"))
+          .localCheckpoint(true)
+        var frontier = visited.select("n")
+        for (r <- 1 to 6) {
+          frontier = und.join(frontier.withColumnRenamed("n", "u"), "u")
+            .select(col("v").as("n")).distinct()
+            .join(visited.select("n"), Seq("n"), "left_anti")
+            .localCheckpoint(true)
+          visited = visited
+            .unionAll(frontier.select(col("n"), lit(r).as("hop")))
+            .localCheckpoint(true)
+        }
+        val reached = visited.groupBy("hop")
+          .agg(count(lit(1)).as("n_nodes"), min("n").as("min_node"),
+            sum("n").as("node_sum"))
+        val unreached = deg.select("n")
+          .join(visited.select("n"), Seq("n"), "left_anti")
+          .agg(count(lit(1)).as("n_nodes"), min("n").as("min_node"),
+            sum("n").as("node_sum"))
+          .select(lit(-1).as("hop"), col("n_nodes"), col("min_node"),
+            col("node_sum"))
+        reached.unionAll(unreached)
+      },
+      Some {
+        val sb = new StringBuilder("""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS MATERIALIZED (
+          SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        deg AS MATERIALIZED (SELECT u AS n, count(*) AS dg FROM und GROUP BY 1),
+        f0 AS MATERIALIZED (
+          SELECT n FROM deg ORDER BY dg DESC, n LIMIT 1),
+        v0 AS MATERIALIZED (SELECT n FROM f0)""")
+        for (r <- 1 to 6) sb.append(s""",
+        f$r AS MATERIALIZED (
+          SELECT DISTINCT und.v AS n
+          FROM und JOIN f${r - 1} ON und.u = f${r - 1}.n
+          LEFT JOIN v${r - 1} vis ON vis.n = und.v
+          WHERE vis.n IS NULL),
+        v$r AS MATERIALIZED (
+          SELECT n FROM v${r - 1} UNION ALL SELECT n FROM f$r)""")
+        sb.append(s""",
+        hops AS (${(0 to 6).map(r => s"SELECT n, $r AS hop FROM f$r")
+          .mkString(" UNION ALL ")})
+        SELECT hop, COUNT(*) AS n_nodes, CAST(MIN(n) AS BIGINT) AS min_node,
+               CAST(SUM(n) AS BIGINT) AS node_sum
+        FROM hops GROUP BY 1
+        UNION ALL
+        SELECT -1 AS hop, COUNT(*), CAST(MIN(d.n) AS BIGINT),
+               CAST(SUM(d.n) AS BIGINT)
+        FROM deg d LEFT JOIN v6 ON v6.n = d.n WHERE v6.n IS NULL""")
+        sb.toString
+      }),
+
+    // ───── Fano factor (variance-to-mean ratio) of hourly event counts
+    // per type — the burstiness index: 1 for a Poisson arrival process,
+    // > 1 over-dispersed (bursty traffic / incident spikes), < 1
+    // under-dispersed (rate-limited or scripted regularity; the
+    // count-process complement to events_bot_regularity's per-user
+    // inter-arrival CV²). Fano = var/mean = (n·Σx² − S²)/(n·S): every
+    // term an exact integer over observed hours, reported in per-mille
+    // by integer div.
+    QuerySpec(
+      "events_fano_factor",
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), sum("x").as("sx"),
+          sum(expr("x * x")).as("sxx"))
+        .select(col("event_type"), col("n_hours"),
+          expr("sx * 1000 div n_hours").as("mean_pm"),
+          expr("(n_hours * sxx - sx * sx) * 1000 div (n_hours * sx)").as("fano_pm"),
+          expr("(n_hours * sxx - sx * sx) * 1000 div (n_hours * sx) > 1000")
+            .as("overdispersed")),
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type, COUNT(*) AS n_hours,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM hourly GROUP BY 1)
+        SELECT event_type, n_hours,
+               sx * 1000 // n_hours AS mean_pm,
+               (n_hours * sxx - sx * sx) * 1000 // (n_hours * sx) AS fano_pm,
+               (n_hours * sxx - sx * sx) * 1000 // (n_hours * sx) > 1000
+                 AS overdispersed
+        FROM st""")),
+
+    // ───── corpus vocabulary profile: hapax legomena (terms occurring
+    // once), dis legomena (twice), vocabulary size and top-term mass —
+    // the Zipf-tail health check a corpus-curation dashboard tracks
+    // (a shrinking hapax share signals template/boilerplate flooding;
+    // an exploding one, tokenizer breakage or OCR noise). One
+    // explode→hash-agg over term counts then a single-row rollup —
+    // the text_inverted_index one-shuffle discipline, integer ratios.
+    QuerySpec(
+      "text_hapax_ratio",
+      (s, d) => documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("vocab"),
+          sum("tf").as("tokens_total"),
+          sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("hapax"),
+          sum(when(col("tf") === 2L, 1L).otherwise(0L)).as("dis"),
+          max("tf").as("top_tf"))
+        .select(col("vocab"), col("tokens_total"), col("hapax"), col("dis"),
+          expr("hapax * 1000000 div vocab").as("hapax_ppm"),
+          expr("top_tf * 1000000 div tokens_total").as("top_mass_ppm")),
+      Some("""
+        WITH terms AS (
+          SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT term, COUNT(*) AS tf FROM terms GROUP BY 1),
+        st AS (
+          SELECT COUNT(*) AS vocab, CAST(SUM(tf) AS BIGINT) AS tokens_total,
+                 CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+                 CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+                 CAST(MAX(tf) AS BIGINT) AS top_tf
+          FROM tf)
+        SELECT vocab, tokens_total, hapax, dis,
+               hapax * 1000000 // vocab AS hapax_ppm,
+               top_tf * 1000000 // tokens_total AS top_mass_ppm
+        FROM st"""))
   )
 }
