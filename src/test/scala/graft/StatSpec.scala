@@ -145,4 +145,101 @@ class StatSpec extends SparkSpec {
     assert(got.size == brute.size)
     for ((d, m) <- brute) assert(got(d) == m, s"day $d")
   }
+
+  test("ml_gains_lift: gains are monotone, end at 100%, and decile masses sum to the corpus") {
+    val rows = run("ml_gains_lift").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("gains_ppm"), r.getAs[Long]("lift_pm")))
+      .sortBy(_._1)
+    val (ntot, ptot) = {
+      val ev = Tables.events(spark, sf)
+        .selectExpr("case when event_type = 'purchase' then 1 else 0 end p")
+        .collect().map(_.getInt(0))
+      (ev.length.toLong, ev.count(_ == 1).toLong)
+    }
+    assert(rows.map(_._2).sum == ntot, "decile row masses cover every event")
+    assert(rows.map(_._3).sum == ptot, "decile positives cover every conversion")
+    assert(rows.last._4 == 1000000L, "cumulative gains end at 100%")
+    assert(rows.map(_._4).sameElements(rows.map(_._4).sorted), "gains monotone")
+    // lift at full coverage is exactly 1000 per-mille by construction
+    assert(rows.last._5 == 1000L)
+  }
+
+  test("events_ewma equals the 10-lag binary-weight definition") {
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type", "to_date(ts) as day")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view
+      .mapValues(_.toSeq.map { case ((_, d), x) => (d, x) }.sortBy(_._1))
+      .toMap
+    val got = run("events_ewma").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getAs[Long]("ewma_pm"))
+      .toMap
+    for ((t, series) <- daily; i <- series.indices) {
+      val xs = series.map(_._2)
+      var num = 0L; var den = 0L
+      for (j <- 0 to 9 if i - j >= 0) {
+        num += xs(i - j) * (1L << (9 - j)); den += (1L << (9 - j))
+      }
+      assert(got((t, series(i)._1)) == num * 1000 / den, s"$t ${series(i)._1}")
+    }
+  }
+
+  test("graph_bfs_hops frontiers equal a brute BFS from the same seed") {
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }
+    val edges = pairs.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size).toMap
+    val seed = deg.toSeq.sortBy { case (n, d) => (-d, n) }.head._1
+    var dist = Map(seed -> 0)
+    var frontier = Set(seed)
+    for (r <- 1 to 6) {
+      frontier = frontier.flatMap(adj(_)).diff(dist.keySet)
+      dist ++= frontier.map(_ -> r)
+    }
+    val brute = dist.groupBy(_._2).view
+      .mapValues(m => (m.size.toLong, m.keys.sum)).toMap
+    val got = run("graph_bfs_hops").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getAs[Long]("node_sum")))
+      .toMap
+    for ((hop, v) <- brute) assert(got(hop) == v, s"hop $hop")
+    val unreachedN = deg.size - dist.size
+    assert(got(-1)._1 == unreachedN.toLong, "unreached count")
+  }
+
+  test("events_fano_factor equals the exact variance-to-mean definition") {
+    val hourly = Tables.events(spark, sf)
+      .selectExpr("event_type", "date_trunc('hour', ts) as h")
+      .collect().map(r => (r.getString(0), r.get(1).toString))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view.mapValues(_.values.toSeq).toMap
+    val got = run("events_fano_factor").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("fano_pm")).toMap
+    for ((t, xs) <- hourly) {
+      val n = xs.length.toLong; val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      assert(got(t) == (n * sxx - sx * sx) * 1000 / (n * sx), s"type $t")
+    }
+  }
+
+  test("text_hapax_ratio equals brute term-frequency profile") {
+    val tf = Tables.documents(spark, sf)
+      .selectExpr("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = run("text_hapax_ratio").collect().head
+    assert(got.getAs[Long]("vocab") == tf.size.toLong)
+    assert(got.getAs[Long]("tokens_total") == tf.values.sum)
+    assert(got.getAs[Long]("hapax") == tf.values.count(_ == 1L).toLong)
+    assert(got.getAs[Long]("dis") == tf.values.count(_ == 2L).toLong)
+    assert(got.getAs[Long]("top_mass_ppm") == tf.values.max * 1000000L / tf.values.sum)
+  }
 }
