@@ -63,8 +63,51 @@ object ScaleProbe {
     // formulation against the r9 wedge self-join on the k×-replicated
     // co-purchase graph (disconnected copies — wedge count scales k×)
     val triOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("triangles")
+    // SPARK_GRAFT_PROBE=auc races the bounded-histogram AUC (ml_auc_rank's
+    // shipped form: per-score collapse before the ordered window) against
+    // the naive per-row rank formulation whose global sort is single-task
+    val aucOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("auc")
     for (k <- factors) {
-      if (triOnly) {
+      if (aucOnly) {
+        val ev = spark.read.parquet(s"$d/events.parquet")
+          .select(expr("cast(round(value * 100) as bigint)").as("score"),
+            expr("case when event_type = 'purchase' then 1L else 0L end").as("pos"))
+        // verbatim k× replication: row count scales k×, the score-range-
+        // bounded histogram cardinality stays EXACTLY constant — the
+        // design claim is that AUC cost is the scan, not the ordering
+        val rep = ev.crossJoin(spark.range(k).toDF("rep"))
+          .select("score", "pos").localCheckpoint(true)
+        var aucHist = Double.NaN
+        time(s"auc_hist_x$k") {
+          val r = graft.streaming.StreamingMetrics.aucFromHistogram(
+            graft.streaming.StreamingMetrics.scoreHistogram(rep)).collect()(0)
+          aucHist = r.getDouble(2)
+          r.getLong(0) + r.getLong(1)
+        }
+        // naive form raced at small factors only: per-row average ranks
+        // through one GLOBAL sort window (single task by construction)
+        if (k <= 4) {
+          var aucRank = Double.NaN
+          time(s"auc_rowrank_x$k") {
+            import org.apache.spark.sql.expressions.Window
+            val r = rep
+              .withColumn("rmin", rank().over(Window.orderBy("score")))
+              .withColumn("cs", count(lit(1)).over(Window.partitionBy("score")))
+              .filter(col("pos") === 1)
+              .agg(sum(expr("2 * rmin + cs - 1")).as("r2"),
+                count(lit(1)).as("p"))
+              .crossJoin(rep.agg(count(lit(1)).as("n")))
+              .select(((col("r2") - col("p") * (col("p") + 1)).cast("double") /
+                ((col("n") - col("p")) * col("p") * 2L).cast("double")).as("auc"))
+              .collect()(0)
+            aucRank = r.getDouble(0)
+            1L
+          }
+          require(aucRank == aucHist,
+            s"formulations disagree at x$k: rank=$aucRank hist=$aucHist")
+        }
+        println(s"[probe] auc_x$k: rows=${rep.count()} auc=$aucHist")
+      } else if (triOnly) {
         val li = spark.read.parquet(s"$d/lineitem.parquet")
           .select("l_orderkey", "l_partkey").distinct()
         val e0 = li.as("a")

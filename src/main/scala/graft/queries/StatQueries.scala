@@ -39,23 +39,16 @@ object StatQueries {
     QuerySpec(
       "ml_auc_rank",
       (s, d) => {
-        val byScore = events(s, d)
-          .select(expr("cast(round(value * 100) as bigint)").as("score"),
-            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
-          .groupBy("score")
-          .agg(count(lit(1)).as("n_i"), sum("pos").as("p_i"))
-        // bounded-cardinality global window: ≤ 56k distinct cents by the
-        // value range, independent of row count
-        val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-        byScore
-          .withColumn("cum", coalesce(sum("n_i").over(w), lit(0L)))
-          .agg(
-            sum(col("p_i") * (col("cum") * 2 + col("n_i") + 1)).as("r2"),
-            sum(col("p_i")).as("p"),
-            sum(col("n_i") - col("p_i")).as("nneg"))
-          .select(col("p").as("n_pos"), col("nneg").as("n_neg"),
-            ((col("r2") - col("p") * (col("p") + 1)).cast("double") /
-              (col("p") * col("nneg") * 2L).cast("double")).as("auc"))
+        // histogram + rank-sum algebra shared with the MAINTAINED form
+        // (StreamingMetrics folds micro-batches into the same per-score
+        // statistic; this batch query is the one-shot histogram case).
+        // Bounded-cardinality global window: ≤ 56k distinct cents by
+        // the value range, independent of row count.
+        graft.streaming.StreamingMetrics.aucFromHistogram(
+          graft.streaming.StreamingMetrics.scoreHistogram(
+            events(s, d).select(
+              expr("cast(round(value * 100) as bigint)").as("score"),
+              when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))))
       },
       Some("""
         WITH byscore AS (
