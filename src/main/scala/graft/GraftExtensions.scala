@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{PackedVectorFunctions, SignatureFunctions, TextHashFunctions, VectorFunctions}
+import graft.functions.{ArraySetFunctions, PackedVectorFunctions, SignatureFunctions, TextHashFunctions, VectorFunctions}
 
 /** Engine extension pack, installed with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (wired in
@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(SignatureFunctions.minHash12Descriptor)
     e.injectFunction(SignatureFunctions.simHash32Descriptor)
     e.injectFunction(SignatureFunctions.shingleHash40Descriptor)
+    e.injectFunction(ArraySetFunctions.sortedIntersectLongDescriptor)
   }
 }

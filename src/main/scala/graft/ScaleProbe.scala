@@ -138,8 +138,10 @@ object ScaleProbe {
             when(col("du") < col("dv") ||
               (col("du") === col("dv") && col("u") < col("v")), col("v"))
               .otherwise(col("u")).as("t"))
-        // r10 shipped form: adjacency-array intersection, per-node
-        // counts in one explode pass — total triangles as checksum
+        // r10 shipped form: adjacency-array intersection via the NATIVE
+        // two-pointer SortedIntersectLong kernel (the shipped engine's
+        // exact hot path), per-node counts in one explode pass — total
+        // triangles as checksum
         var triIter = -1L
         time(s"tri_edge_iterator_x$k") {
           val adj = oe.groupBy(col("s").as("n"))
@@ -147,7 +149,8 @@ object ScaleProbe {
           triIter = oe
             .join(adj.select(col("n").as("s"), col("outs").as("ou")), "s")
             .join(adj.select(col("n").as("t"), col("outs").as("ov")), "t")
-            .select(size(array_intersect(col("ou"), col("ov"))).cast("long").as("c"))
+            .select(size(graft.functions.ArraySetFunctions
+              .sortedIntersectLong(col("ou"), col("ov"))).cast("long").as("c"))
             .agg(sum("c")).collect()(0).getLong(0)
           triIter
         }

@@ -118,11 +118,15 @@ object RelationalQueries {
     // per oriented edge u→v: common = out(u) ∩ out(v) — each element
     // c closes triangle (u, v, c) with u the apex (inner joins are
     // right: a middle node with no out-edges closes nothing)
+    // native two-pointer sorted intersection (SortedIntersectLong) — the
+    // adjacency arrays are sorted once at build, so the per-edge kernel
+    // skips array_intersect's per-row hash sets entirely
     val withCommon = oe
       .join(adj.select(col("n").as("s"), col("outs").as("ou")), "s")
       .join(adj.select(col("n").as("t"), col("outs").as("ov")), "t")
       .select(col("s"), col("t"),
-        array_intersect(col("ou"), col("ov")).as("common"))
+        graft.functions.ArraySetFunctions
+          .sortedIntersectLong(col("ou"), col("ov")).as("common"))
       .filter(size(col("common")) > 0)
     // cached: graph_triangles and graph_clustering_coeff share ONE run
     // of the intersection stage per session (the expensive part — the

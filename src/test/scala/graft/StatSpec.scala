@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{array_intersect, col}
 
 /** Independent-reference checks for the StatQueries metric layer: each
   * distributed formulation is compared against a brute-force Scala
@@ -241,5 +242,35 @@ class StatSpec extends SparkSpec {
     assert(got.getAs[Long]("hapax") == tf.values.count(_ == 1L).toLong)
     assert(got.getAs[Long]("dis") == tf.values.count(_ == 2L).toLong)
     assert(got.getAs[Long]("top_mass_ppm") == tf.values.max * 1000000L / tf.values.sum)
+  }
+
+  test("sorted_intersect_long equals array_intersect on sorted inputs, interpreted AND codegen") {
+    import spark.implicits._
+    // adversarial shapes: empty sides, disjoint, identical, duplicate
+    // runs, single-element overlaps at both ends, plus seeded random sets
+    val rng = new scala.util.Random(42)
+    val cases: Seq[(Seq[Long], Seq[Long])] = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 1L, 2L, 2L, 3L), Seq(2L, 2L, 3L, 3L, 4L)),
+      (Seq(-5L, 0L, 7L), Seq(-5L, 7L)),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue))
+    ) ++ (1 to 20).map { _ =>
+      (Seq.fill(rng.nextInt(40))(rng.nextInt(30).toLong).sorted,
+        Seq.fill(rng.nextInt(40))(rng.nextInt(30).toLong).sorted)
+    }
+    val df = cases.toDF("a", "b")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val rows = df.select(
+          graft.functions.ArraySetFunctions.sortedIntersectLong(col("a"), col("b")).as("fast"),
+          array_intersect(col("a"), col("b")).as("ref")).collect()
+        for (r <- rows)
+          assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"$codegen: $r")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
   }
 }
