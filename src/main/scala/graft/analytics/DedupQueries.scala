@@ -304,26 +304,42 @@ object DedupQueries {
   def connectedComponentsLSSS(pairs: org.apache.spark.sql.DataFrame,
                               maxRounds: Int = 40)
       : (org.apache.spark.sql.DataFrame, Int) = {
+    // LAZY localCheckpoints throughout: lineage still truncates (no
+    // cross-round plan growth) but materialization rides the round's one
+    // counting action instead of paying an eager job per checkpoint —
+    // the deep-chain graphs run ~6 rounds of TINY per-round work at
+    // bench scale, so the engine's cost there is job COUNT, not data.
     var e = pairs
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var c0 = e.count()
+    var sa0 = -1L; var sb0 = -1L // sums unknown pre-round-1: never a candidate
     val nodes = e.select(col("a").as("doc_id"))
       .unionAll(e.select(col("b").as("doc_id"))).distinct()
-      .localCheckpoint(true)
     var rounds = 0
-    var stable = e.isEmpty
-    while (!stable && rounds < maxRounds) {
+    var stable = c0 == 0L
+    // tiny-rounds knob: the per-round frames are a few MB, so 32-way
+    // shuffles pay pure task-scheduling tax; 8-way halves the stage
+    // latency floor at bench scale (scoped + restored; cluster runs
+    // size this from data via the usual conf)
+    val sess = pairs.sparkSession
+    val prevSp = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    try while (!stable && rounds < maxRounds) {
       // large-star over the symmetrized view
       val sym = e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // no mid-round distinct: large-star/small-star are multiset-correct
+      // and only the deduplicated ss feeds the convergence counting —
+      // the distinct here cost a full extra shuffle stage per round
       val ls = sym.join(mins, "u").filter(col("v") > col("u"))
         .select(col("m").as("x"), col("v").as("y"))
-        .filter(col("x") =!= col("y")).distinct()
-        .localCheckpoint(true)
+        .filter(col("x") =!= col("y"))
+        .localCheckpoint(false)
       // small-star on the (x < y) oriented result
       val sm = ls.groupBy("y").agg(min("x").as("m"))
       val ss = ls.join(sm, "y")
@@ -331,12 +347,24 @@ object DedupQueries {
         .filter(col("a") =!= col("b"))
         .unionAll(sm.select(col("m").as("a"), col("y").as("b")))
         .distinct()
-        .localCheckpoint(true)
-      val (c0, c1) = (e.count(), ss.count())
-      stable = c0 == c1 && ss.exceptAll(e).isEmpty
+        .localCheckpoint(false)
+      // ONE action per shrinking round: count + id-checksums together
+      // (materializes ls and ss through their lazy checkpoints). A
+      // round is a fixpoint CANDIDATE only when count and both sums
+      // match the previous round; only then does the exact set-equality
+      // confirm run (both sets distinct + equal count ⟹ |e ∪ ss| = c0
+      // ⟺ EQUAL) — deep-chain graphs keep a constant edge COUNT while
+      // still restructuring, so counting alone would probe every round
+      val st = ss.agg(count(lit(1)), sum("a"), sum("b")).collect()(0)
+      val (c1, sa1, sb1) = (st.getLong(0),
+        if (st.isNullAt(1)) 0L else st.getLong(1),
+        if (st.isNullAt(2)) 0L else st.getLong(2))
+      stable = c0 == c1 && sa0 == sa1 && sb0 == sb1 &&
+        e.unionAll(ss).distinct().count() == c0
       e = ss
+      c0 = c1; sa0 = sa1; sb0 = sb1
       rounds += 1
-    }
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevSp)
     require(stable, s"large-star/small-star did not converge in $rounds rounds")
     // fixpoint edges are (component-min, member) stars; roots label themselves
     val lab = e.groupBy("b").agg(min("a").as("lbl"))
