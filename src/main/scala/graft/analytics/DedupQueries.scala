@@ -468,6 +468,53 @@ object DedupQueries {
         $minhashPairsCtes
         SELECT doc_a, doc_b, jaccard FROM mpairs""")),
 
+    // ───── cross-SOURCE duplication overlap matrix: the verified
+    // near-dup pairs rolled up by (source, source) — the contamination
+    // map a multi-source corpus curator reads before setting mix
+    // weights ("how much of source B is already inside source A?";
+    // e.g. a web crawl vs a curated encyclopedia slice). Reuses the
+    // memoized [[minhashPairs]] — the expensive signature pipeline runs
+    // once per session — plus two source-lookup joins (variant ids map
+    // to their original's source via mod VariantOffset, exact in both
+    // engines). Source pairs normalize (least, greatest) so the matrix
+    // is upper-triangular; jaccard mass reported as the exact-integer
+    // ppm sum of identically-rounded doubles.
+    QuerySpec(
+      "dedup_source_overlap",
+      (s, d) => {
+        val src = graft.Tables.documents(s, d).select("doc_id", "source")
+        minhashPairs(s, d)
+          .withColumn("oa", expr(s"doc_a % ${Corpus.VariantOffset}L"))
+          .withColumn("ob", expr(s"doc_b % ${Corpus.VariantOffset}L"))
+          .join(src.select(col("doc_id").as("oa"), col("source").as("sa")),
+            "oa")
+          .join(src.select(col("doc_id").as("ob"), col("source").as("sb")),
+            "ob")
+          .groupBy(least(col("sa"), col("sb")).as("source_x"),
+            greatest(col("sa"), col("sb")).as("source_y"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(expr("cast(round(jaccard * 1000000) as bigint)"))
+              .as("jac_ppm_sum"),
+            min(col("doc_a")).as("min_doc_a"),
+            sum(col("doc_a") + col("doc_b")).as("id_sum"))
+      },
+      Some(s"""
+        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $minhashPairsCtes,
+        srcp AS (
+          SELECT p.doc_a, p.doc_b, p.jaccard, da.source AS sa, db.source AS sb
+          FROM mpairs p
+          JOIN documents da ON da.doc_id = p.doc_a % ${Corpus.VariantOffset}
+          JOIN documents db ON db.doc_id = p.doc_b % ${Corpus.VariantOffset})
+        SELECT LEAST(sa, sb) AS source_x, GREATEST(sa, sb) AS source_y,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(CAST(round(jaccard * 1000000) AS BIGINT)) AS BIGINT)
+                 AS jac_ppm_sum,
+               CAST(MIN(doc_a) AS BIGINT) AS min_doc_a,
+               CAST(SUM(doc_a + doc_b) AS BIGINT) AS id_sum
+        FROM srcp GROUP BY 1, 2""")),
+
     // ───── near-dup CLUSTERING: connect the verified LSH pairs into
     // components and pick one canonical survivor per component — the step
     // that turns a pair list into an actionable keep/drop set (pairs alone

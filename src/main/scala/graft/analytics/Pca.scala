@@ -1,0 +1,89 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact-integer PCA engine shared by `ann_pca_project` and its spec.
+  *
+  * Contract (mirrored CTE-for-CTE by the DuckDB oracle, so every step
+  * must be integer-exact and engine-independent):
+  *  - input is a frame of SHIFTED non-negative integer component arrays
+  *    (`qs`), so every integer division below has non-negative operands
+  *    (floor ≡ truncate across engines); covariance is shift-invariant,
+  *    so the shift changes nothing mathematically;
+  *  - the DISTRIBUTED stage accumulates the d(d+1)/2 upper-triangle
+  *    second-moment sums with a map-side pair-explode + one hash-agg
+  *    (no join; sufficient-sums scaling keeps every sum under 2⁶³ at
+  *    10¹⁰ rows), plus the d first-moment sums;
+  *  - the DRIVER stage (a constant-size d²-row pull, the k-means
+  *    centroid class) assembles m[i][j] = sxy div n − mu_i·mu_j and
+  *    runs `iters` integer power-iteration rounds, rescaling by
+  *    max|w| div 10⁶ with sign-safe division each round, then fixes
+  *    the global sign by the largest-|component| (min-index tiebreak).
+  */
+object Pca {
+
+  /** The shifted component frame: qv (centi-quantized, possibly
+    * negative) → qs = qv + shift ≥ 0. */
+  def shifted(base: DataFrame, shift: Long = 100L): DataFrame =
+    base.select(col("vec_id"),
+      expr(s"transform(qv, x -> x + ${shift}L)").as("qs"))
+
+  /** Sign-safe truncating division (both operands' signs handled the
+    * way DuckDB's `CASE WHEN x < 0 THEN -((-x) // d) ...` does, so the
+    * oracle can mirror it with non-negative-operand divisions only). */
+  private def sdiv(x: Long, d: Long): Long = if (x < 0) -((-x) / d) else x / d
+
+  /** Distributed sufficient sums → driver integer power iteration →
+    * the dominant-axis integer vector (|components| ≈ 10⁶ scale).
+    *
+    * TWO-PASS exact centering: pass 1 takes the d first-moment sums and
+    * computes integer means mu_i = sx div n (error < 1 each); pass 2
+    * accumulates products of CENTERED components c = x − mu_i. The
+    * one-pass form m = sxy div n − mu_i·mu_j is wrong at this
+    * resolution — each mean carries up to 1 unit of floor error, so the
+    * product term smears ±mu across the matrix, swamping real
+    * covariance entries (the planted-direction spec catches exactly
+    * this). Centered products are exact integers of magnitude n·var
+    * (no n²·x² blow-up), so the form is also the one that survives
+    * 10¹⁰-row corpora without int64 overflow; the final div n leaves
+    * < 1 unit of error against entries of magnitude var.
+    */
+  def dominantAxis(sq: DataFrame, dim: Int, iters: Int = 20): Array[Long] = {
+    val sums = sq.select(posexplode(col("qs")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum("x").as("sx"), count(lit(1)).as("cnt")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = sums(0)._2
+    val mu = (0 until dim).map(i => sums(i)._1 / n) // non-neg: floor ≡ trunc
+    val muLit = mu.map(m => s"${m}L").mkString("array(", ", ", ")")
+    val cs = sq.select(col("vec_id"), expr(
+      s"zip_with(qs, $muLit, (x, m) -> x - m)").as("cs"))
+    val prods = cs.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${dim - 1}), i ->
+             transform(sequence(i, ${dim - 1}), j ->
+               struct(i, j, element_at(cs, i + 1) * element_at(cs, j + 1) as p))))"""))
+        .as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("sxy"))
+    val m = Array.ofDim[Long](dim, dim)
+    prods.collect().foreach { r =>
+      val c = sdiv(r.getLong(2), n)
+      m(r.getInt(0))(r.getInt(1)) = c; m(r.getInt(1))(r.getInt(0)) = c
+    }
+    var v = Array.fill(dim)(1000000L)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => m(i)(j) * v(j)).sum)
+      val sden = math.max(w.map(math.abs).max / 1000000L, 1L)
+      v = w.map(sdiv(_, sden))
+    }
+    val lead = (0 until dim).minBy(i => (-math.abs(v(i)), i))
+    if (v(lead) < 0) v = v.map(-_)
+    v
+  }
+
+  /** Exact-integer projection column ⟨qv, axis⟩. */
+  def projection(axis: Array[Long]): Column =
+    aggregate(zip_with(col("qv"), array(axis.map(lit(_)): _*),
+      (x, y) => x * y), lit(0L), (acc, e) => acc + e)
+}

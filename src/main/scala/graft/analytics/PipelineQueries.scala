@@ -565,10 +565,14 @@ object PipelineQueries {
         val b = li.crossJoin(broadcast(mx))
           .withColumn("bp", expr("pk * 256L div (mxp + 1)"))
           .withColumn("bs", expr("sk * 256L div (mxs + 1)"))
-          .withColumn("z", expr(
-            """aggregate(sequence(0, 7), 0L, (acc, i) ->
-               acc + shiftleft((bp div shiftleft(1L, i)) % 2, 2*i+1)
-                   + shiftleft((bs div shiftleft(1L, i)) % 2, 2*i))"""))
+          // the 8-step interleave unrolled to a flat integer expression:
+          // the HOF form (aggregate over sequence(0,7)) allocated the
+          // sequence and dispatched an interpreted lambda 8× per row —
+          // off codegen, and measured as the query's dominant cost
+          .withColumn("z", expr((0 until 8).map(i =>
+            s"shiftleft((bp div ${1L << i}L) % 2, ${2 * i + 1}) + " +
+              s"shiftleft((bs div ${1L << i}L) % 2, ${2 * i})")
+            .mkString(" + ")))
           .withColumn("plo", expr("(mxp + 1) * 8 div 16"))
           .withColumn("phi", expr("(mxp + 1) * 9 div 16"))
           .withColumn("slo", expr("(mxs + 1) * 8 div 16"))
@@ -680,10 +684,11 @@ object PipelineQueries {
           .withColumn("bs", expr("sk * 8L div (mxs + 1)"))
           .withColumn("hd", expr(
             s"element_at($lutSql, cast(bs * 8 + bp as int) + 1)"))
-          .withColumn("z", expr(
-            """aggregate(sequence(0, 2), 0L, (acc, i) ->
-               acc + shiftleft((bp div shiftleft(1L, i)) % 2, 2*i+1)
-                   + shiftleft((bs div shiftleft(1L, i)) % 2, 2*i))"""))
+          // unrolled like layout_zorder's z — no per-row HOF dispatch
+          .withColumn("z", expr((0 until 3).map(i =>
+            s"shiftleft((bp div ${1L << i}L) % 2, ${2 * i + 1}) + " +
+              s"shiftleft((bs div ${1L << i}L) % 2, ${2 * i})")
+            .mkString(" + ")))
           .withColumn("plo", expr("(mxp + 1) * 8 div 16"))
           .withColumn("phi", expr("(mxp + 1) * 9 div 16"))
           .withColumn("slo", expr("(mxs + 1) * 8 div 16"))

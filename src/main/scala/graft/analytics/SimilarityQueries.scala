@@ -1799,6 +1799,77 @@ object SimilarityQueries {
         UNION ALL
         SELECT p.query_id, 'ivf_pq' AS method,
                CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 3 AS k
-        FROM probes p LEFT JOIN h_ipq h USING (query_id)"""))
+        FROM probes p LEFT JOIN h_ipq h USING (query_id)""")),
+
+    // ───── PCA projection onto the dominant principal component (r10):
+    // the dimensionality-REDUCTION primitive next to the sign-hash
+    // tier (random projection preserves distances obliviously; PCA
+    // finds the direction the corpus actually varies in — the axis a
+    // drift monitor watches and the first stage of a whitening
+    // pipeline). Fully deterministic and engine-exact end-to-end:
+    // (1) the DISTRIBUTED part — the d×d covariance from exact integer
+    // sufficient sums over the shared centi-quantized vectors, shifted
+    // non-negative so every integer div has non-negative operands
+    // (floor ≡ truncate; covariance is shift-invariant): one map-side
+    // d(d+1)/2 pair-explode per row + one hash-agg, no join, no
+    // per-iteration scan of the corpus — at 100 TB this is ONE pass
+    // producing a constant 2 080-row table (sufficient-sums scaling:
+    // sxy ≤ n·x², safely under 2⁶³ at 10¹⁰ rows);
+    // (2) the DRIVER part — 20 integer power-iteration rounds on the
+    // collected d×d matrix (a constant-size pull, the k-means
+    // centroid class), rescaling by max|w| div 10⁶ each round with
+    // sign-safe division, sign fixed by the largest-|component|
+    // (min-index tiebreak) — the oracle replays all 20 rounds as
+    // unrolled CTEs over the same integers, so the eigenvector, not
+    // just the sums, is hash-gated;
+    // (3) per-row projection = ⟨qv, v⟩ exact integer dot.
+    QuerySpec(
+      "ann_pca_project",
+      (s, d) => {
+        val base = Corpus.quantizedVectors(s, d)
+        val v = Pca.dominantAxis(Pca.shifted(base), 64)
+        graft.Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+          .join(base.select("vec_id", "qv"), "vec_id")
+          .select(col("vec_id"), col("label"), Pca.projection(v).as("proj"))
+      },
+      Some {
+        val iters = (1 to 20).map { k =>
+          s"""
+        w$k AS MATERIALIZED (SELECT m.i, CAST(SUM(m.c * v.x) AS BIGINT) AS w
+                FROM m JOIN v${k - 1} v ON v.i = m.j GROUP BY 1),
+        s$k AS MATERIALIZED (SELECT GREATEST(MAX(ABS(w)) // 1000000, 1) AS s FROM w$k),
+        v$k AS MATERIALIZED (SELECT i, CASE WHEN w < 0 THEN -((-w) // s)
+                               ELSE w // s END AS x FROM w$k, s$k)"""
+        }.mkString(",")
+        s"""
+        WITH base AS MATERIALIZED (${Corpus.quantizedVectorsSql}),
+        sq AS MATERIALIZED (
+          SELECT vec_id, i.i AS i, qv[i.i + 1] + 100 AS x
+          FROM base, (SELECT unnest(range(0, 64)) AS i) i),
+        nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM base),
+        mu AS MATERIALIZED (SELECT i, CAST(SUM(x) AS BIGINT) // n AS mu
+               FROM sq, nn GROUP BY i, n),
+        cs AS MATERIALIZED (
+          SELECT s.vec_id, s.i, s.x - m.mu AS c
+          FROM sq s JOIN mu m ON m.i = s.i),
+        prods AS MATERIALIZED (
+          SELECT a.i AS i, b.i AS j, CAST(SUM(a.c * b.c) AS BIGINT) AS sxy
+          FROM cs a JOIN cs b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2),
+        mup AS MATERIALIZED (
+          SELECT i, j, CASE WHEN sxy < 0 THEN -((-sxy) // n)
+                            ELSE sxy // n END AS c
+          FROM prods, nn),
+        m AS MATERIALIZED (SELECT i, j, c FROM mup
+              UNION ALL SELECT j AS i, i AS j, c FROM mup WHERE i < j),
+        v0 AS MATERIALIZED (SELECT unnest(range(0, 64)) AS i, 1000000::BIGINT AS x),$iters,
+        sgn AS (SELECT CASE WHEN x < 0 THEN -1 ELSE 1 END AS g
+                FROM v20 ORDER BY ABS(x) DESC, i LIMIT 1),
+        varr AS (SELECT list(x * g ORDER BY i) AS va FROM v20, sgn)
+        SELECT b.vec_id, e.label,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> b.qv[i] * varr.va[i])) AS BIGINT) AS proj
+        FROM base b JOIN embeddings e ON e.vec_id = b.vec_id, varr"""
+      })
   )
 }

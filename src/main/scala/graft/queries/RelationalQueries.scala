@@ -94,7 +94,18 @@ object RelationalQueries {
     * join + coalesce at the consumer if needed). Also returns the
     * undirected degree table (n, deg) computed from the same edge list.
     */
-  private def triPerNode(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** The shared degree-oriented edge-iterator intersection stage: per
+    * oriented edge s→t (oriented from the (degree, id)-smaller
+    * endpoint), common = out(s) ∩ out(t) — each element c closes
+    * triangle (s, t, c) with s the apex. Out-adjacency arrays are
+    * built once, sorted, and intersected by the native two-pointer
+    * kernel (SortedIntersectLong) — the wedge volume travels as packed
+    * array payload inside |E| join rows, never as shuffled wedge rows.
+    * Cached per (session, sfDir): graph_triangles,
+    * graph_clustering_coeff and graph_edge_jaccard share ONE run.
+    * Returns (withCommon, deg) — deg the undirected degree table.
+    */
+  private def triCommon(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val edges = coPurchaseEdges(s, d)
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
@@ -111,26 +122,30 @@ object RelationalQueries {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("t"))
-    // out-adjacency per node, sorted so array_intersect runs over
-    // ordered arrays; |outs| ≤ O(√|E|) by the orientation bound
+    // out-adjacency per node, sorted so the two-pointer intersect runs
+    // over ordered arrays; |outs| ≤ O(√|E|) by the orientation bound
     val adj = oe.groupBy(col("s").as("n"))
       .agg(sort_array(collect_list(col("t"))).as("outs"))
-    // per oriented edge u→v: common = out(u) ∩ out(v) — each element
-    // c closes triangle (u, v, c) with u the apex (inner joins are
-    // right: a middle node with no out-edges closes nothing)
-    // native two-pointer sorted intersection (SortedIntersectLong) — the
-    // adjacency arrays are sorted once at build, so the per-edge kernel
-    // skips array_intersect's per-row hash sets entirely
-    val withCommon = oe
-      .join(adj.select(col("n").as("s"), col("outs").as("ou")), "s")
-      .join(adj.select(col("n").as("t"), col("outs").as("ov")), "t")
-      .select(col("s"), col("t"),
-        graft.functions.ArraySetFunctions
-          .sortedIntersectLong(col("ou"), col("ov")).as("common"))
-      .filter(size(col("common")) > 0)
-    // cached: graph_triangles and graph_clustering_coeff share ONE run
-    // of the intersection stage per session (the expensive part — the
-    // wedge-volume work); deg is cheap but cached for plan reuse too
+    val withCommon = graft.analytics.Corpus.cached(s, d, "triCommon") {
+      oe.join(adj.select(col("n").as("s"), col("outs").as("ou")), "s")
+        .join(adj.select(col("n").as("t"), col("outs").as("ov")), "t")
+        .select(col("s"), col("t"),
+          graft.functions.ArraySetFunctions
+            .sortedIntersectLong(col("ou"), col("ov")).as("common"))
+        .filter(size(col("common")) > 0)
+    }
+    (withCommon, graft.analytics.Corpus.cached(s, d, "triDeg")(deg))
+  }
+
+  /** Per-node triangle counts over [[coPurchaseEdges]] via the shared
+    * [[triCommon]] stage (see the graph_triangles doc comment for the
+    * full cost argument). Returns (n, n_tri) for every node in ≥ 1
+    * triangle; zero-triangle nodes are absent (left join + coalesce at
+    * the consumer if needed). Also returns the undirected degree table
+    * (n, deg) computed from the same edge list.
+    */
+  private def triPerNode(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (withCommon, deg) = triCommon(s, d)
     val perNode = graft.analytics.Corpus.cached(s, d, "triPerNode") {
       withCommon.select(explode(concat(
           array(
@@ -140,7 +155,37 @@ object RelationalQueries {
             x => struct(x.as("n"), lit(1L).as("c"))))).as("e"))
         .groupBy(col("e.n").as("n")).agg(sum(col("e.c")).as("n_tri"))
     }
-    (perNode, graft.analytics.Corpus.cached(s, d, "triDeg")(deg))
+    (perNode, deg)
+  }
+
+  /** Per-EDGE triangle counts from the same cached [[triCommon]]
+    * stage: triangle (s, t, c) contains exactly the three undirected
+    * edges (s,t), (s,c), (t,c), so exploding three normalized
+    * (min, max) pairs per triangle and hash-aggregating yields
+    * |N(u) ∩ N(v)| for every edge in ≥ 1 triangle. Total explode
+    * output is 3·triangles rows — the same volume bound as the
+    * per-node pass, and the key insight that makes FULL-neighborhood
+    * edge similarity computable from the DEGREE-ORIENTED engine: the
+    * common-neighbor count of a connected pair IS its edge-triangle
+    * count, so no unoriented Σdeg² adjacency shipping ever happens.
+    */
+  private def triPerEdge(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (withCommon, deg) = triCommon(s, d)
+    val perEdge = graft.analytics.Corpus.cached(s, d, "triPerEdge") {
+      withCommon.select(explode(concat(
+          array(struct(least(col("s"), col("t")).as("x"),
+            greatest(col("s"), col("t")).as("y"),
+            size(col("common")).cast("long").as("c"))),
+          transform(col("common"), cc => struct(
+            least(col("s"), cc).as("x"), greatest(col("s"), cc).as("y"),
+            lit(1L).as("c"))),
+          transform(col("common"), cc => struct(
+            least(col("t"), cc).as("x"), greatest(col("t"), cc).as("y"),
+            lit(1L).as("c"))))).as("e"))
+        .groupBy(col("e.x").as("a"), col("e.y").as("b"))
+        .agg(sum(col("e.c")).as("tri_e"))
+    }
+    (perEdge, deg)
   }
 
   /** Shared oracle CTE prefix mirroring [[triPerNode]] declaratively
@@ -1380,20 +1425,25 @@ object RelationalQueries {
     QuerySpec(
       "sql_recursive_chain",
       (s, d) => {
-        orders(s, d).createOrReplaceTempView("orders_v")
+        // materialize the window-derived edge table ONCE before the
+        // recursion: the recursive arm references it every round, and
+        // as a plain CTE the UnionLoop re-evaluated the orders scan +
+        // per-customer window 25 times over — the checkpoint turns each
+        // round into a join against a fixed in-memory table
+        orders(s, d).select(col("o_custkey"),
+            lag("o_orderkey", 1).over(
+              Window.partitionBy("o_custkey").orderBy("o_orderkey")).as("prev"),
+            col("o_orderkey").as("nxt"))
+          .localCheckpoint(true)
+          .createOrReplaceTempView("chain_edges_v")
         s.sql("""
           WITH RECURSIVE
-          edges AS (
-            SELECT o_custkey,
-                   lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev,
-                   o_orderkey AS nxt
-            FROM orders_v),
           chain AS (
             SELECT o_custkey, nxt AS o_orderkey, 1 AS depth
-            FROM edges WHERE prev IS NULL
+            FROM chain_edges_v WHERE prev IS NULL
             UNION ALL
             SELECT e.o_custkey, e.nxt, c.depth + 1
-            FROM chain c JOIN edges e
+            FROM chain c JOIN chain_edges_v e
               ON e.o_custkey = c.o_custkey AND e.prev = c.o_orderkey)
           SELECT depth, count(*) AS n_orders, sum(o_orderkey) AS key_sum
           FROM chain GROUP BY depth""")
@@ -2536,15 +2586,28 @@ object RelationalQueries {
         val e0 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
           .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("cnode"),
-            concat(lit("s"), col("l_suppkey")).as("snode"))
+          // LONG node ids inside the iteration (customer = 2k, supplier
+          // = 2k+1): the rank walk shuffles |E| rows four times, and
+          // hashing/comparing packed longs beats per-row string concat
+          // + UTF8 keys; the oracle's 'c…'/'s…' labels are re-attached
+          // to the FINAL 20 rows only, before the tie-broken top-k (so
+          // the (pr desc, node-string) order is identical)
+          .select((col("o_custkey") * 2).as("cnode"),
+            (col("l_suppkey") * 2 + 1).as("snode"))
           .distinct()
         val edges = e0.select(col("cnode").as("src"), col("snode").as("dst"))
           .unionByName(e0.select(col("snode").as("src"), col("cnode").as("dst")))
-          .localCheckpoint(true) // reused by degree + every iteration
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        // the static (src, dst, deg) side materializes ONCE,
+        // pre-partitioned by the join key — localCheckpoint preserves
+        // the physical partitioning into the LogicalRDD, so each
+        // iteration's join re-shuffles only the |V|-row rank table, and
+        // the |E|-row edge payload never moves again (the previous form
+        // re-ran the degree agg AND re-shuffled all edges per round)
         val withDeg = edges.join(deg, "src")
-        var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+          .repartition(col("src")).localCheckpoint(true)
+        var ranks = withDeg.select(col("src").as("node")).distinct()
+          .select(col("node"), lit(1000000L).as("pr"))
         for (_ <- 1 to 4) {
           ranks = withDeg.join(ranks, col("src") === col("node"))
             .select(col("dst"),
@@ -2552,7 +2615,11 @@ object RelationalQueries {
             .groupBy(col("dst").as("node"))
             .agg((sum("contrib") + lit(150000L)).as("pr"))
         }
-        ranks.orderBy(col("pr").desc, col("node")).limit(20)
+        ranks
+          .select(concat(when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
+            expr("cast(node div 2 as string)")).as("node"),
+            col("pr"))
+          .orderBy(col("pr").desc, col("node")).limit(20)
       },
       Some {
         val iters = (1 to 4).map { t =>
@@ -2770,6 +2837,61 @@ object RelationalQueries {
         FROM fd""")
         sb.toString
       }),
+
+    // ───── neighborhood Jaccard per EDGE (r10): similarity of
+    // connected node pairs, J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v) \ {u,v}|
+    // — the "embeddedness" weight behind Jaccard graph sparsification
+    // (keep strongly-embedded edges, drop bridges) and common-neighbor
+    // link scoring. The naive form ships FULL adjacency per edge
+    // (Σ deg² volume — the exact blow-up the triangle engine's degree
+    // orientation exists to avoid); the identity that rescues it:
+    // |N(u)∩N(v)| for a CONNECTED pair is the edge's triangle count, so
+    // [[triPerEdge]] reads it off the cached oriented intersection
+    // stage at 3·triangles explode volume. Zero-triangle edges enter
+    // at J = 0 via the left join (dropping them would overstate
+    // embeddedness); both-endpoints-degree-1 edges have empty
+    // neighborhoods on both sides — identical sets, J := 1 by
+    // convention, pinned in both engines. Integer per-mille, decile
+    // histogram with node checksums.
+    QuerySpec(
+      "graph_edge_jaccard",
+      (s, d) => {
+        val (perEdge, deg) = triPerEdge(s, d)
+        coPurchaseEdges(s, d)
+          .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+          .join(perEdge, col("u") === col("a") && col("v") === col("b"),
+            "left")
+          .withColumn("t", coalesce(col("tri_e"), lit(0L)))
+          .withColumn("jac_pm", expr(
+            """case when du + dv - 2 - t <= 0 then 1000
+               else t * 1000 div (du + dv - 2 - t) end"""))
+          .groupBy(expr("jac_pm div 100").as("decile"))
+          .agg(count(lit(1)).as("n_edges"), sum("t").as("tri_sum"),
+            min("u").as("min_node"),
+            sum(col("u") + col("v")).as("node_sum"))
+      },
+      Some(triOracleCtes + """,
+        edgetri AS (
+          SELECT x AS a2, y AS b2, CAST(count(*) AS BIGINT) AS t FROM (
+            SELECT LEAST(a, b) AS x, GREATEST(a, b) AS y FROM tri
+            UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM tri
+            UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM tri)
+          GROUP BY 1, 2),
+        ej AS (
+          SELECT e.u, e.v, du.d AS du, dv.d AS dv, COALESCE(et.t, 0) AS t
+          FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+          LEFT JOIN edgetri et ON et.a2 = e.u AND et.b2 = e.v),
+        j AS (
+          SELECT u, v, t,
+                 CASE WHEN du + dv - 2 - t <= 0 THEN 1000
+                      ELSE t * 1000 // (du + dv - 2 - t) END AS jac_pm
+          FROM ej)
+        SELECT jac_pm // 100 AS decile, COUNT(*) AS n_edges,
+               CAST(SUM(t) AS BIGINT) AS tri_sum,
+               CAST(MIN(u) AS BIGINT) AS min_node,
+               CAST(SUM(u + v) AS BIGINT) AS node_sum
+        FROM j GROUP BY 1""")),
 
     // ───── mix-diversity monitor (r8): Gini impurity of the event-type
     // mix per hour-of-day — the diversity measure a training-data mix

@@ -625,6 +625,171 @@ object StatQueries {
         SELECT vocab, tokens_total, hapax, dis,
                hapax * 1000000 // vocab AS hapax_ppm,
                top_tf * 1000000 // tokens_total AS top_mass_ppm
-        FROM st"""))
+        FROM st""")),
+
+    // ───── precision / recall / F1 at score-decile thresholds — the
+    // operating-point table that turns ml_auc_rank's single ranking
+    // number into deployable cutoffs ("classify positive above decile
+    // d": what precision do we pay for what recall?). Same
+    // bounded-cardinality discipline as the AUC/gains pair: rows
+    // collapse to per-score (n_i, p_i) FIRST, the descending running
+    // sum assigns whole score-groups to deciles, and the threshold
+    // cumulation is a ≤10-row window. All exact integers; F1 avoids the
+    // harmonic-mean float via 2TP·10⁶ div (TP+FP + TP+FN).
+    QuerySpec(
+      "ml_pr_curve",
+      (s, d) => {
+        val byScore = events(s, d)
+          .select(expr("cast(round(value * 100) as bigint)").as("score"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+          .groupBy("score")
+          .agg(count(lit(1)).as("n_i"), sum("pos").as("p_i"))
+        val tot = byScore.agg(sum("n_i").as("ntot"), sum("p_i").as("ptot"))
+        val w = Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wd = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byScore
+          .withColumn("cumb", coalesce(sum("n_i").over(w), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("decile", expr("cumb * 10 div ntot"))
+          .groupBy("decile", "ntot", "ptot")
+          .agg(sum("n_i").as("n_rows"), sum("p_i").as("n_pos"))
+          .withColumn("tp", sum("n_pos").over(wd))
+          .withColumn("pred_pos", sum("n_rows").over(wd))
+          .select(col("decile"), col("tp"), col("pred_pos"),
+            expr("tp * 1000000 div pred_pos").as("precision_ppm"),
+            expr("tp * 1000000 div ptot").as("recall_ppm"),
+            expr("2 * tp * 1000000 div (pred_pos + ptot)").as("f1_ppm"))
+      },
+      Some("""
+        WITH byscore AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS score, COUNT(*) AS n_i,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p_i
+          FROM events GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(n_i) AS BIGINT) AS ntot,
+                 CAST(SUM(p_i) AS BIGINT) AS ptot
+          FROM byscore),
+        dec AS (
+          SELECT CAST(COALESCE(SUM(n_i) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   * 10 // ntot AS BIGINT) AS decile,
+                 n_i, p_i, ntot, ptot
+          FROM byscore CROSS JOIN tot),
+        g AS (
+          SELECT decile, ntot, ptot,
+                 CAST(SUM(n_i) AS BIGINT) AS n_rows,
+                 CAST(SUM(p_i) AS BIGINT) AS n_pos
+          FROM dec GROUP BY 1, 2, 3),
+        c AS (
+          SELECT decile, ptot,
+                 CAST(SUM(n_pos) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+                 CAST(SUM(n_rows) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pred_pos
+          FROM g)
+        SELECT decile, tp, pred_pos,
+               tp * 1000000 // pred_pos AS precision_ppm,
+               tp * 1000000 // ptot AS recall_ppm,
+               2 * tp * 1000000 // (pred_pos + ptot) AS f1_ppm
+        FROM c""")),
+
+    // ───── two-sample Kolmogorov–Smirnov statistic between the
+    // positive- and negative-class score distributions — the
+    // separation test reported next to AUC on every scorer dashboard
+    // (KS = max |F⁺(x) − F⁻(x)|; the alarm when a retrained model's
+    // classes stop separating). Exact integers on the common
+    // denominator P·N: D(x) = |cum_pos·N − cum_neg·P| cumulated over
+    // the per-score histogram (bounded window input, never the event
+    // stream); the argmax score tie-breaks to the SMALLEST score so
+    // the one-row answer is set-deterministic.
+    QuerySpec(
+      "ml_ks_stat",
+      (s, d) => {
+        val byScore = events(s, d)
+          .select(expr("cast(round(value * 100) as bigint)").as("score"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+          .groupBy("score")
+          .agg(sum("pos").as("p_i"),
+            sum(lit(1L) - col("pos")).as("q_i"))
+        val tot = byScore.agg(sum("p_i").as("p"), sum("q_i").as("q"))
+        val w = Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byScore
+          .withColumn("cp", sum("p_i").over(w))
+          .withColumn("cq", sum("q_i").over(w))
+          .crossJoin(broadcast(tot))
+          .withColumn("dnum", abs(col("cp") * col("q") - col("cq") * col("p")))
+          .orderBy(col("dnum").desc, col("score"))
+          .limit(1)
+          .select(col("p").as("n_pos"), col("q").as("n_neg"),
+            col("score").as("at_score"),
+            expr("dnum * 1000000 div (p * q)").as("ks_ppm"))
+      },
+      Some("""
+        WITH byscore AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS score,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p_i,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS q_i
+          FROM events GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(p_i) AS BIGINT) AS p, CAST(SUM(q_i) AS BIGINT) AS q
+          FROM byscore),
+        cum AS (
+          SELECT score,
+                 CAST(SUM(p_i) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+                 CAST(SUM(q_i) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cq
+          FROM byscore)
+        SELECT p AS n_pos, q AS n_neg, score AS at_score,
+               ABS(cp * q - cq * p) * 1000000 // (p * q) AS ks_ppm
+        FROM cum CROSS JOIN tot
+        ORDER BY ABS(cp * q - cq * p) DESC, score LIMIT 1""")),
+
+    // ───── randomized response (Warner 1965) — the LOCAL differential
+    // privacy mechanism: each row reports its sensitive bit truthfully
+    // with probability ¾ and flipped with probability ¼ (ln 3-LDP), and
+    // the aggregate debiases exactly: t = (obs − n·p)/(1−2p), which at
+    // p = ¼ is the exact integer 2·t̂ = 4·obs − n. The "coin" is the
+    // deterministic md5 residue the sampling family already uses, so
+    // both engines flip identical rows; the per-source report carries
+    // the true count alongside the estimate — the calibration audit a
+    // privacy pipeline runs on synthetic data before shipping the
+    // mechanism (on production data only obs/est leave the device).
+    QuerySpec(
+      "privacy_rand_response",
+      (s, d) => documents(s, d)
+        .select(col("source"), col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("b"))
+        .withColumn("flip",
+          expr("cast(conv(substring(md5(concat('rr:', cast(doc_id as string))), 1, 8), 16, 10) as long) % 4 = 0"))
+        .withColumn("r",
+          when(col("flip"), lit(1L) - col("b")).otherwise(col("b")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("r").as("obs"),
+          sum("b").as("true_cnt"))
+        .select(col("source"), col("n"), col("obs"),
+          (lit(4L) * col("obs") - col("n")).as("est_x2"),
+          col("true_cnt"),
+          (lit(4L) * col("obs") - col("n") - lit(2L) * col("true_cnt"))
+            .as("err_x2")),
+      Some("""
+        WITH coin AS (
+          SELECT source,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b,
+                 ('0x' || substr(md5('rr:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 = 0 AS flip
+          FROM documents),
+        rep AS (
+          SELECT source, b, CASE WHEN flip THEN 1 - b ELSE b END AS r
+          FROM coin),
+        agg AS (
+          SELECT source, COUNT(*) AS n, CAST(SUM(r) AS BIGINT) AS obs,
+                 CAST(SUM(b) AS BIGINT) AS true_cnt
+          FROM rep GROUP BY 1)
+        SELECT source, n, obs, 4 * obs - n AS est_x2, true_cnt,
+               4 * obs - n - 2 * true_cnt AS err_x2
+        FROM agg"""))
   )
 }

@@ -273,4 +273,164 @@ class StatSpec extends SparkSpec {
       } finally spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("ml_ks_stat equals brute max |F+ - F-| over all thresholds") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("cast(round(value * 100) as bigint) as s",
+        "case when event_type = 'purchase' then 1 else 0 end as p")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val p = rows.count(_._2 == 1).toLong
+    val q = rows.length - p
+    // definition: sweep every distinct score ascending, track exact
+    // cumulative counts, maximize the cross-multiplied gap
+    var best = -1L; var bestScore = Long.MaxValue
+    var cp = 0L; var cq = 0L
+    for (s0 <- rows.map(_._1).distinct.sorted) {
+      cp += rows.count(r => r._1 == s0 && r._2 == 1)
+      cq += rows.count(r => r._1 == s0 && r._2 == 0)
+      val d = math.abs(cp * q - cq * p)
+      // ascending sweep: strict > keeps the SMALLEST argmax score
+      if (d > best) { best = d; bestScore = s0 }
+    }
+    val got = run("ml_ks_stat").collect().head
+    assert(got.getAs[Long]("n_pos") == p && got.getAs[Long]("n_neg") == q)
+    assert(got.getAs[Long]("at_score") == bestScore, "argmax score")
+    assert(got.getAs[Long]("ks_ppm") == best * 1000000L / (p * q))
+  }
+
+  test("ml_pr_curve: precision/recall from explicit predicted-positive sets") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("cast(round(value * 100) as bigint) as s",
+        "case when event_type = 'purchase' then 1 else 0 end as p")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val ntot = rows.length.toLong
+    val ptot = rows.count(_._2 == 1).toLong
+    // decile of a score group = (# rows with strictly higher score)*10/n
+    val higher = rows.map(_._1).distinct.map { s0 =>
+      s0 -> rows.count(_._1 > s0).toLong
+    }.toMap
+    val decOf = higher.view.mapValues(h => h * 10 / ntot).toMap
+    val got = run("ml_pr_curve").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (d <- got.keys) {
+      val pred = rows.filter(r => decOf(r._1) <= d)
+      val tp = pred.count(_._2 == 1).toLong
+      val row = got(d)
+      assert(row.getAs[Long]("tp") == tp, s"decile $d tp")
+      assert(row.getAs[Long]("pred_pos") == pred.length.toLong)
+      assert(row.getAs[Long]("precision_ppm") == tp * 1000000L / pred.length)
+      assert(row.getAs[Long]("recall_ppm") == tp * 1000000L / ptot)
+      assert(row.getAs[Long]("f1_ppm") ==
+        2 * tp * 1000000L / (pred.length + ptot))
+    }
+  }
+
+  test("privacy_rand_response: exact debias identity + true counts") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("source", "case when lang = 'en' then 1 else 0 end as b")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val bySrc = docs.groupBy(_._1)
+    val got = run("privacy_rand_response").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == bySrc.keySet)
+    for ((src, rs) <- bySrc) {
+      val row = got(src)
+      val n = rs.length.toLong
+      assert(row.getAs[Long]("n") == n)
+      assert(row.getAs[Long]("true_cnt") == rs.count(_._2 == 1).toLong)
+      // the Warner debias at p=1/4 is the exact integer 4·obs − n,
+      // and err is est minus twice the truth — pure algebra, so any
+      // drift means the mechanism reported something else entirely
+      assert(row.getAs[Long]("est_x2") == 4 * row.getAs[Long]("obs") - n)
+      assert(row.getAs[Long]("err_x2") ==
+        row.getAs[Long]("est_x2") - 2 * row.getAs[Long]("true_cnt"))
+    }
+  }
+
+  test("graph_edge_jaccard equals brute full-neighborhood intersection") {
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val nbr = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = edges.toSeq.map { case (u, v) =>
+      val t = (nbr(u) & nbr(v)).size.toLong
+      val den = nbr(u).size.toLong + nbr(v).size.toLong - 2 - t
+      val jac = if (den <= 0) 1000L else t * 1000L / den
+      (u, v, t, jac / 100)
+    }
+    val exp = brute.groupBy(_._4).map { case (dec, rs) =>
+      dec -> (rs.length.toLong, rs.map(_._3).sum,
+        rs.map(_._1).min, rs.map(r => r._1 + r._2).sum)
+    }
+    val got = run("graph_edge_jaccard").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Long]("tri_sum"),
+        r.getAs[Long]("min_node"), r.getAs[Long]("node_sum"))).toMap
+    assert(got.keySet == exp.keySet, s"deciles ${got.keySet} vs ${exp.keySet}")
+    for ((dec, e) <- exp) assert(got(dec) == e, s"decile $dec")
+  }
+
+  test("Pca.dominantAxis recovers a planted dominant direction") {
+    // planted model: x = t·u + noise, with the signal variance along u
+    // an order of magnitude above the isotropic noise floor — the
+    // regime PCA exists for (the corpus embeddings are deliberately
+    // isotropic, so the planted check lives here, not on testdata)
+    import spark.implicits._
+    val dim = 8
+    val u = Array(5.0, -3.0, 4.0, 1.0, 0.0, 2.0, -1.0, 3.0)
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 400).map { id =>
+      val t = rng.nextGaussian() * 10
+      (id.toLong, (0 until dim).map(i =>
+        math.floor(t * u(i) + rng.nextGaussian() * 3).toLong).toArray.toSeq)
+    }
+    val df = rows.toDF("vec_id", "qv")
+    // shift keeps every component non-negative (|qv| well under 10 000)
+    val axis = graft.analytics.Pca.dominantAxis(
+      graft.analytics.Pca.shifted(df, 10000L), dim)
+    val nu = math.sqrt(u.map(x => x * x).sum)
+    val na = math.sqrt(axis.map(x => x.toDouble * x).sum)
+    val cos = u.zip(axis).map { case (a, b) => a * b.toDouble }.sum / (nu * na)
+    assert(math.abs(cos) > 0.99, s"planted-direction cosine $cos")
+  }
+
+  test("ann_pca_project equals an independent replay of the integer contract") {
+    // plumbing check on the real (isotropic) corpus: recompute the
+    // sufficient sums, the 20 integer rounds, and the projections in
+    // plain Scala from the raw table, and demand bit-equality —
+    // convergence direction is the planted test's job, exactness is this
+    // one's
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(floor(cast(x as double) * 100) as bigint)) as qv")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val dim = 64
+    val n = vecs.length.toLong
+    val qs = vecs.map { case (id, qv) => id -> qv.map(_ + 100L) }
+    def sdiv(x: Long, d: Long) = if (x < 0) -((-x) / d) else x / d
+    val mu = Array.tabulate(dim)(i => qs.map(_._2(i)).sum / n)
+    val cs = qs.map { case (_, x) =>
+      Array.tabulate(dim)(i => x(i) - mu(i)) }
+    val m = Array.tabulate(dim, dim)((i, j) =>
+      sdiv(cs.map(c => c(i) * c(j)).sum, n))
+    var v = Array.fill(dim)(1000000L)
+    for (_ <- 1 to 20) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => m(i)(j) * v(j)).sum)
+      val sden = math.max(w.map(math.abs).max / 1000000L, 1L)
+      v = w.map(sdiv(_, sden))
+    }
+    val lead = (0 until dim).minBy(i => (-math.abs(v(i)), i))
+    if (v(lead) < 0) v = v.map(-_)
+    val exp = vecs.map { case (id, qv) =>
+      id -> qv.zip(v).map { case (x, y) => x * y }.sum }.toMap
+    val got = run("ann_pca_project").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("proj")).toMap
+    assert(got == exp)
+  }
 }
