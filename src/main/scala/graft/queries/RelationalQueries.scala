@@ -577,6 +577,66 @@ object RelationalQueries {
          AND s.ts <= p.ts AND s.ts > p.ts - INTERVAL 7 DAY
         GROUP BY p.event_id, p.user_id""")),
 
+    // ───── J13 2-D grid-bucketed spatial radius join (r10): all
+    // (probe, base) pairs within Chebyshev radius r on a synthetic but
+    // deterministic 2-D embedding of customers (x = shifted acctbal
+    // cents, y = a Knuth-hash scatter of the key — non-negative on both
+    // axes so cell = coord div r floors identically in both engines).
+    // The scale shape is the standard grid-file join: probes explode to
+    // their 3×3 neighbor cells (a constant 9× fan-out), the join is an
+    // EQUI-join on cell id (shards at any scale; never the quadratic
+    // cross-filter), and the exact radius predicate prunes the
+    // candidates. Each true pair matches in exactly one cell — the
+    // base point's own — so no dedup pass is needed. The ORACLE is
+    // algorithm-independent: DuckDB evaluates the direct quadratic
+    // radius join, so a wrong neighbor enumeration (the classic
+    // missed-boundary-cell bug) loses pairs and fails the hash.
+    QuerySpec(
+      "join_radius_grid",
+      (s, d) => {
+        val r = 20000L
+        val pts = customer(s, d).select(
+          col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
+          (expr("cast(round(c_acctbal * 100) as bigint)") + 100000L).as("x"),
+          expr("(c_custkey * 2654435761) % 1000000").as("y"))
+        val probes = pts.filter(col("seg") === "BUILDING")
+          .select(col("id").as("pid"), col("x").as("px"), col("y").as("py"))
+          .withColumn("o", explode(expr(
+            (for (ox <- -1 to 1; oy <- -1 to 1)
+              yield s"struct($ox as ox, $oy as oy)")
+              .mkString("array(", ", ", ")"))))
+          .select(col("pid"), col("px"), col("py"),
+            (expr(s"px div ${r}L") + col("o.ox")).as("cx"),
+            (expr(s"py div ${r}L") + col("o.oy")).as("cy"))
+        val base = pts.filter(col("seg") =!= "BUILDING")
+          .select(col("id").as("bid"), col("x").as("bx"), col("y").as("by"),
+            expr(s"x div ${r}L").as("cx"), expr(s"y div ${r}L").as("cy"))
+        probes.join(base, Seq("cx", "cy"))
+          .filter(abs(col("px") - col("bx")) <= r &&
+            abs(col("py") - col("by")) <= r)
+          .groupBy(expr(s"greatest(abs(px - bx), abs(py - by)) * 10 div ${r}L")
+            .as("dist_decile"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("pid")).as("min_probe"),
+            sum(col("pid") + col("bid")).as("id_sum"))
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey AS id, c_mktsegment AS seg,
+                 CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS x,
+                 (c_custkey * 2654435761) % 1000000 AS y
+          FROM customer),
+        pairs AS (
+          SELECT a.id AS pid, b.id AS bid,
+                 GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS dc
+          FROM pts a JOIN pts b
+            ON a.seg = 'BUILDING' AND b.seg <> 'BUILDING'
+           AND ABS(a.x - b.x) <= 20000 AND ABS(a.y - b.y) <= 20000)
+        SELECT dc * 10 // 20000 AS dist_decile, COUNT(*) AS n_pairs,
+               CAST(MIN(pid) AS BIGINT) AS min_probe,
+               CAST(SUM(pid + bid) AS BIGINT) AS id_sum
+        FROM pairs GROUP BY 1""")),
+
     // ───── A6 distinct aggregation
     QuerySpec(
       "agg_distinct",

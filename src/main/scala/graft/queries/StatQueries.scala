@@ -790,6 +790,76 @@ object StatQueries {
           FROM rep GROUP BY 1)
         SELECT source, n, obs, 4 * obs - n AS est_x2, true_cnt,
                4 * obs - n - 2 * true_cnt AS err_x2
-        FROM agg"""))
+        FROM agg""")),
+
+    // ───── difference-in-differences uplift — the quasi-experimental
+    // causal estimate when randomization isn't available (rollout
+    // cohorts, staged launches): did = (T_post − T_pre) − (C_post −
+    // C_pre) on per-user purchase rates, which nets out both the
+    // stable group difference and the common time trend. Cohort =
+    // deterministic key residue (user_id % 7), period split at the
+    // fixed mid-month boundary; each cell mean is an exact ppm integer
+    // over the cohort's FULL user count (zero-activity users dilute
+    // the mean — the spine join makes them count, the classic DiD
+    // data-prep mistake is dropping them). One hash-agg over the event
+    // log + a 4-row pivot; the user spine aggregates per cohort only.
+    QuerySpec(
+      "events_did_uplift",
+      (s, d) => {
+        val ev = events(s, d)
+        val users = ev.select(col("user_id")).distinct()
+          .withColumn("grp", when(col("user_id") % 7 === 0, lit("t"))
+            .otherwise(lit("c")))
+        val sizes = users.groupBy("grp").agg(count(lit(1)).as("nu"))
+        val cells = ev.filter(col("event_type") === "purchase")
+          .withColumn("grp", when(col("user_id") % 7 === 0, lit("t"))
+            .otherwise(lit("c")))
+          .withColumn("per",
+            when(col("ts") < lit("2024-01-16").cast("timestamp"), lit("pre"))
+              .otherwise(lit("post")))
+          .groupBy("grp", "per").agg(count(lit(1)).as("np"))
+        cells.join(broadcast(sizes), "grp")
+          .withColumn("rate_ppm", expr("np * 1000000 div nu"))
+          .groupBy()
+          .agg(
+            max(when(col("grp") === "t" && col("per") === "pre",
+              col("rate_ppm"))).as("t_pre_ppm"),
+            max(when(col("grp") === "t" && col("per") === "post",
+              col("rate_ppm"))).as("t_post_ppm"),
+            max(when(col("grp") === "c" && col("per") === "pre",
+              col("rate_ppm"))).as("c_pre_ppm"),
+            max(when(col("grp") === "c" && col("per") === "post",
+              col("rate_ppm"))).as("c_post_ppm"))
+          .select(col("t_pre_ppm"), col("t_post_ppm"),
+            col("c_pre_ppm"), col("c_post_ppm"),
+            (col("t_post_ppm") - col("t_pre_ppm") -
+              (col("c_post_ppm") - col("c_pre_ppm"))).as("did_ppm"))
+      },
+      Some("""
+        WITH users AS (
+          SELECT DISTINCT user_id,
+                 CASE WHEN user_id % 7 = 0 THEN 't' ELSE 'c' END AS grp
+          FROM events),
+        sizes AS (SELECT grp, COUNT(*) AS nu FROM users GROUP BY 1),
+        cells AS (
+          SELECT CASE WHEN user_id % 7 = 0 THEN 't' ELSE 'c' END AS grp,
+                 CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'pre'
+                      ELSE 'post' END AS per,
+                 COUNT(*) AS np
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        rates AS (
+          SELECT c.grp, c.per, c.np * 1000000 // s.nu AS rate_ppm
+          FROM cells c JOIN sizes s ON s.grp = c.grp)
+        SELECT
+          MAX(CASE WHEN grp = 't' AND per = 'pre' THEN rate_ppm END) AS t_pre_ppm,
+          MAX(CASE WHEN grp = 't' AND per = 'post' THEN rate_ppm END) AS t_post_ppm,
+          MAX(CASE WHEN grp = 'c' AND per = 'pre' THEN rate_ppm END) AS c_pre_ppm,
+          MAX(CASE WHEN grp = 'c' AND per = 'post' THEN rate_ppm END) AS c_post_ppm,
+          MAX(CASE WHEN grp = 't' AND per = 'post' THEN rate_ppm END)
+            - MAX(CASE WHEN grp = 't' AND per = 'pre' THEN rate_ppm END)
+            - (MAX(CASE WHEN grp = 'c' AND per = 'post' THEN rate_ppm END)
+               - MAX(CASE WHEN grp = 'c' AND per = 'pre' THEN rate_ppm END))
+            AS did_ppm
+        FROM rates"""))
   )
 }

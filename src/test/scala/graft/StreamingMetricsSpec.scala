@@ -79,4 +79,96 @@ class StreamingMetricsSpec extends SparkSpec {
       "replayed batch folded onto state<1, not onto its own output")
     assert(once == Map(10L -> (2L, 1L), 20L -> (1L, 0L), 30L -> (1L, 1L)))
   }
+
+  // ───────────── StreamingVectorDrift: maintained covariance sums
+
+  private def sumsMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  test("maintained covariance sums equal batch sums; streamed axis is " +
+    "BIT-IDENTICAL to Pca.dominantAxis after every micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 64
+    val all = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(floor(cast(x as double) * 100) as bigint)) as qv")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val slices = Seq(all.take(50), all.slice(50, 350), all.drop(350))
+
+    val mem = MemoryStream[(Long, Seq[Long])]
+    val stateDir = tmp("drift-state"); val ckpt = tmp("drift-ckpt")
+    var delivered = Seq.empty[(Long, Seq[Long])]
+    for (slice <- slices) {
+      mem.addData(slice: _*)
+      delivered ++= slice
+      val q = graft.streaming.StreamingVectorDrift.maintain(
+        graft.analytics.Pca.shifted(mem.toDF().toDF("vec_id", "qv")),
+        dim, stateDir, ckpt)
+      q.awaitTermination(60000)
+      val deliveredDf = delivered.toDF("vec_id", "qv")
+      val expect = sumsMap(graft.streaming.StreamingVectorDrift.sumsOf(
+        graft.analytics.Pca.shifted(deliveredDf), dim))
+      assert(sumsMap(graft.streaming.StreamingVectorDrift
+        .readState(spark, stateDir)) == expect,
+        s"sums after ${delivered.size} vectors")
+      // the centering identity makes the maintained axis EQUAL the
+      // two-pass batch axis, element for element — not merely aligned
+      val streamedAxis = graft.streaming.StreamingVectorDrift.axisFromState(
+        graft.streaming.StreamingVectorDrift.readState(spark, stateDir), dim)
+      val batchAxis = graft.analytics.Pca.dominantAxis(
+        graft.analytics.Pca.shifted(deliveredDf), dim)
+      assert(streamedAxis.toSeq == batchAxis.toSeq,
+        s"axis after ${delivered.size} vectors")
+    }
+  }
+
+  test("drift monitor: crash-replay idempotent; rotated stream trips the alarm") {
+    import spark.implicits._
+    val dim = 8
+    val rng = new scala.util.Random(11)
+    def planted(u: Array[Double], n: Int, from: Int) = (0 until n).map { k =>
+      val t = rng.nextGaussian() * 10
+      ((from + k).toLong, (0 until dim).map(i =>
+        math.floor(t * u(i) + rng.nextGaussian() * 2).toLong + 10000L).toSeq)
+    }
+    val u1 = Array(5.0, -3.0, 4.0, 1.0, 0.0, 2.0, -1.0, 3.0)
+    val u2 = Array(3.0, 5.0, 0.0, 0.0, 7.0, 0.0, 0.0, 0.0) // ⟂ u1
+    require(u1.zip(u2).map { case (a, b) => a * b }.sum == 0.0)
+
+    val stateDir = tmp("drift2-state")
+    def applyBatch(rows: Seq[(Long, Seq[Long])], id: Long): Unit = {
+      val batch = rows.toDF("vec_id", "qs")
+      val prev = graft.streaming.StreamingVectorDrift
+        .readStateBefore(spark, stateDir, id)
+      graft.streaming.StreamingVectorDrift.merge(prev,
+          graft.streaming.StreamingVectorDrift.sumsOf(batch, dim))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$id")
+    }
+    val phase1 = planted(u1, 300, 0)
+    applyBatch(phase1, 0L)
+    val baseline = graft.streaming.StreamingVectorDrift.axisFromState(
+      graft.streaming.StreamingVectorDrift.readState(spark, stateDir), dim)
+    val selfAlign = graft.streaming.StreamingVectorDrift
+      .alignmentPpm(baseline, baseline)
+    assert(selfAlign > 999990L, s"self-alignment $selfAlign")
+
+    // crash-replay: re-deliver batch 0, state must not change
+    val before = sumsMap(graft.streaming.StreamingVectorDrift
+      .readState(spark, stateDir))
+    applyBatch(phase1, 0L)
+    assert(sumsMap(graft.streaming.StreamingVectorDrift
+      .readState(spark, stateDir)) == before, "replay double-counted")
+
+    // phase 2: 3× the mass arrives along the ORTHOGONAL direction —
+    // the dominant axis rotates and alignment vs baseline collapses
+    applyBatch(planted(u2, 900, 1000), 1L)
+    val current = graft.streaming.StreamingVectorDrift.axisFromState(
+      graft.streaming.StreamingVectorDrift.readState(spark, stateDir), dim)
+    val align = graft.streaming.StreamingVectorDrift
+      .alignmentPpm(baseline, current)
+    assert(math.abs(align) < 200000L,
+      s"rotated stream should trip the drift alarm, alignment = $align")
+  }
 }
