@@ -94,6 +94,38 @@ object RelationalQueries {
     * join + coalesce at the consumer if needed). Also returns the
     * undirected degree table (n, deg) computed from the same edge list.
     */
+  /** The per-customer order-chain edge list (lag over the per-customer
+    * window — DEEP PATHS, the adversarial regime for label
+    * propagation) and its LSSS component labels, memoized per
+    * (session, sfDir) in the componentsCache pattern: the LSSS rounds
+    * run driver-side actions, so this is an action-running memo
+    * (ConcurrentHashMap + putIfAbsent), NOT a Corpus.cached build —
+    * graph_components and graph_modularity share ONE run.
+    */
+  private val chainLabelsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def chainEdges(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+      .withColumn("prev", lag("o_orderkey", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("doc_a"), col("o_orderkey").as("doc_b"))
+  }
+
+  private def chainLabels(s: SparkSession, d: String): DataFrame = {
+    val k = (s.sparkContext.applicationId, d)
+    val got = chainLabelsCache.get(k)
+    if (got != null) got
+    else {
+      chainLabelsCache.keySet.removeIf(_._1 != k._1)
+      val (labels, _) = graft.analytics.DedupQueries
+        .connectedComponentsLSSS(chainEdges(s, d))
+      chainLabelsCache.putIfAbsent(k, labels.persist())
+      chainLabelsCache.get(k)
+    }
+  }
+
   /** The shared degree-oriented edge-iterator intersection stage: per
     * oriented edge s→t (oriented from the (degree, id)-smaller
     * endpoint), common = out(s) ∩ out(t) — each element c closes
@@ -2722,12 +2754,7 @@ object RelationalQueries {
     QuerySpec(
       "graph_components",
       (s, d) => {
-        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-        val e = orders(s, d).select(col("o_custkey"), col("o_orderkey"))
-          .withColumn("prev", lag("o_orderkey", 1).over(w))
-          .filter(col("prev").isNotNull)
-          .select(col("prev").as("doc_a"), col("o_orderkey").as("doc_b"))
-        val (labels, _) = graft.analytics.DedupQueries.connectedComponentsLSSS(e)
+        val labels = chainLabels(s, d)
         labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
           .groupBy("comp_size")
           .agg(count(lit(1)).as("n_comps"), sum("label").as("sum_min_label"))
@@ -2739,6 +2766,59 @@ object RelationalQueries {
                      MIN(o_orderkey) AS lbl
               FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 2)
         GROUP BY comp_size""")),
+
+    // ───── Newman modularity of a graph partition (r10): Q =
+    // Σ_c [e_c/m − (d_c/2m)²] — the partition-quality score every
+    // community-detection pipeline reports (Q ≈ 0: no better than
+    // random given the degree sequence; → 1: dense communities,
+    // sparse cuts). Computed GENERICALLY from (edge list, labels):
+    // intra-edge counts by joining labels onto both endpoints, degree
+    // mass per community from the label join — all node-keyed
+    // equi-joins — then the exact rational Q = Σ(4m·e_c − d_c²)/4m²
+    // in ppm (one integer div; numerator terms bounded by 4m·e_c ≤
+    // 4m², no overflow until m ~ 10⁹ edges, where the sum moves to
+    // the per-community pre-scaled form). Labels come from the SHARED
+    // LSSS run ([[chainLabels]] — graph_components pays it; this query
+    // rides the memo). On the chain graph the true components make
+    // every edge intra, so the oracle states Q declaratively from the
+    // per-customer counts — the generic plumbing must reproduce the
+    // closed form exactly.
+    QuerySpec(
+      "graph_modularity",
+      (s, d) => {
+        val e = chainEdges(s, d)
+        val lab = chainLabels(s, d)
+        val m = e.count()
+        val la = lab.select(col("doc_id").as("doc_a"), col("label").as("ca"))
+        val lb = lab.select(col("doc_id").as("doc_b"), col("label").as("cb"))
+        val intra = e.join(la, "doc_a").join(lb, "doc_b")
+          .filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("c")).agg(count(lit(1)).as("ec"))
+        val degm = e.select(col("doc_a").as("n"))
+          .unionAll(e.select(col("doc_b").as("n")))
+          .join(lab.withColumnRenamed("doc_id", "n"), "n")
+          .groupBy(col("label").as("c")).agg(count(lit(1)).as("dc"))
+        degm.join(intra, Seq("c"), "left")
+          .withColumn("ec", coalesce(col("ec"), lit(0L)))
+          .agg(count(lit(1)).as("n_communities"),
+            sum("ec").as("intra_edges"), sum("dc").as("degree_mass"),
+            sum(lit(4L) * m * col("ec") - col("dc") * col("dc")).as("qnum"))
+          .select(col("n_communities"), col("intra_edges"),
+            col("degree_mass"), lit(m).as("m_edges"),
+            expr(s"qnum * 1000000 div (4 * ${m}L * ${m}L)").as("q_ppm"))
+      },
+      Some("""
+        WITH sizes AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM orders
+          GROUP BY o_custkey HAVING COUNT(*) >= 2),
+        m AS (SELECT CAST(SUM(cnt - 1) AS BIGINT) AS m FROM sizes)
+        SELECT COUNT(*) AS n_communities,
+               CAST(SUM(cnt - 1) AS BIGINT) AS intra_edges,
+               CAST(SUM(2 * (cnt - 1)) AS BIGINT) AS degree_mass,
+               MAX(m.m) AS m_edges,
+               CAST(SUM(4 * m.m * (cnt - 1) - 4 * (cnt - 1) * (cnt - 1))
+                 AS BIGINT) * 1000000 // (4 * MAX(m.m) * MAX(m.m)) AS q_ppm
+        FROM sizes, m""")),
 
     // ───── triangle counting via degree orientation (r9): the third
     // graph-analytics operator next to components (connectivity) and

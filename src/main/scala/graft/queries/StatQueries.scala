@@ -860,6 +860,59 @@ object StatQueries {
             - (MAX(CASE WHEN grp = 'c' AND per = 'post' THEN rate_ppm END)
                - MAX(CASE WHEN grp = 'c' AND per = 'pre' THEN rate_ppm END))
             AS did_ppm
-        FROM rates"""))
+        FROM rates""")),
+
+    // ───── user-path mining: the top onboarding paths (each user's
+    // first four event types in time order) with conversion rates —
+    // the "what do converting users do first?" report next to
+    // events_transitions' pairwise matrix (paths keep ORDER across
+    // four steps; the matrix forgets it). Deterministic end to end:
+    // positions tie-break on the unique event_id, the path string
+    // assembles from position-pivoted columns (never a
+    // collection-ordered aggregate), conversion = purchase within the
+    // window, rate in ppm. One per-user window pass (shards by
+    // user key) + one path hash-agg.
+    QuerySpec(
+      "events_path_mining",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4)
+          .groupBy("user_id")
+          .agg(
+            concat_ws(">",
+              max(when(col("rn") === 1, col("event_type"))),
+              max(when(col("rn") === 2, col("event_type"))),
+              max(when(col("rn") === 3, col("event_type"))),
+              max(when(col("rn") === 4, col("event_type")))).as("path"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("converted"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n_users"), sum("converted").as("n_converted"),
+            min("user_id").as("min_user"))
+          .withColumn("conv_ppm", expr("n_converted * 1000000 div n_users"))
+      },
+      Some("""
+        WITH pos AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        paths AS (
+          SELECT user_id,
+                 concat_ws('>',
+                   MAX(CASE WHEN rn = 1 THEN event_type END),
+                   MAX(CASE WHEN rn = 2 THEN event_type END),
+                   MAX(CASE WHEN rn = 3 THEN event_type END),
+                   MAX(CASE WHEN rn = 4 THEN event_type END)) AS path,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+          FROM pos WHERE rn <= 4 GROUP BY user_id)
+        SELECT path, COUNT(*) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               CAST(MIN(user_id) AS BIGINT) AS min_user,
+               CAST(SUM(converted) AS BIGINT) * 1000000 // COUNT(*) AS conv_ppm
+        FROM paths GROUP BY 1"""))
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{array_intersect, col}
+import org.apache.spark.sql.functions.{array_intersect, col, lit}
 
 /** Independent-reference checks for the StatQueries metric layer: each
   * distributed formulation is compared against a brute-force Scala
@@ -373,6 +373,57 @@ class StatSpec extends SparkSpec {
         r.getAs[Long]("min_node"), r.getAs[Long]("node_sum"))).toMap
     assert(got.keySet == exp.keySet, s"deciles ${got.keySet} vs ${exp.keySet}")
     for ((dec, e) <- exp) assert(got(dec) == e, s"decile $dec")
+  }
+
+  test("events_path_mining equals brute per-user first-4 paths") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "cast(ts as string) as ts",
+        "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val brute = rows.groupBy(_._1).map { case (uid, es) =>
+      val first4 = es.sortBy(e => (e._3, e._2)).take(4)
+      val path = first4.map(_._4).mkString(">")
+      (uid, path, if (first4.exists(_._4 == "purchase")) 1L else 0L)
+    }
+    val exp = brute.groupBy(_._2).map { case (p, us) =>
+      p -> (us.size.toLong, us.map(_._3).sum, us.map(_._1).min)
+    }
+    val got = run("events_path_mining").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Long]("min_user"))).toMap
+    assert(got.keySet == exp.keySet)
+    for ((p, e) <- exp) assert(got(p) == e, s"path $p")
+  }
+
+  test("graph_modularity: generic plumbing matches a hand-built two-community graph") {
+    import spark.implicits._
+    // K3 ∪ K3 plus one bridge edge; true communities = the two
+    // triangles. m = 7; intra per community = 3; degrees: bridge
+    // endpoints 3, others 2 → d_c = 2·2+3 = 7 each.
+    // Q = Σ (3/7 − (7/14)²) · 2 = 2·(3/7 − 1/4) = 5/14 ≈ 0.3571
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("doc_id", "label")
+    val m = 7L
+    val la = lab.select(col("doc_id").as("doc_a"), col("label").as("ca"))
+    val lb = lab.select(col("doc_id").as("doc_b"), col("label").as("cb"))
+    val intra = e.join(la, "doc_a").join(lb, "doc_b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("ec"))
+    val degm = e.select(col("doc_a").as("n"))
+      .unionAll(e.select(col("doc_b").as("n")))
+      .join(lab.withColumnRenamed("doc_id", "n"), "n")
+      .groupBy(col("label").as("c"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("dc"))
+    val q = degm.join(intra, Seq("c"), "left")
+      .agg(org.apache.spark.sql.functions
+        .sum(lit(4L) * m * col("ec") - col("dc") * col("dc")).as("qnum"))
+      .selectExpr(s"qnum * 1000000 div (4 * ${m}L * ${m}L) as q_ppm")
+      .collect().head.getLong(0)
+    assert(q == 5L * 1000000 / 14, s"Q = $q, expected 5/14 in ppm")
   }
 
   test("Pca.dominantAxis recovers a planted dominant direction") {
