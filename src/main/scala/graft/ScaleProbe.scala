@@ -67,6 +67,17 @@ object ScaleProbe {
     // shipped form: per-score collapse before the ordered window) against
     // the naive per-row rank formulation whose global sort is single-task
     val aucOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("auc")
+    // SPARK_GRAFT_PROBE=jaccard races graph_edge_jaccard's triangle-
+    // identity form (per-edge common-neighbor counts read off the
+    // oriented intersection engine at 3·triangles volume) against the
+    // naive form that ships BOTH full adjacency arrays to every edge
+    // (Σ deg² payload). Measured verdict (BASELINE.md): on NEAR-REGULAR
+    // graphs the naive form is cheaper (no orientation / explode
+    // machinery; Σ deg² is linear there) — the identity form wins when
+    // degree SKEW grows, crossing over at x64 on the hub-skewed
+    // replication where hub payload grows k² per hub. Hence the probe
+    // replicates WITH shared hubs; both regimes are recorded honestly.
+    val jacOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("jaccard")
     for (k <- factors) {
       if (aucOnly) {
         val ev = spark.read.parquet(s"$d/events.parquet")
@@ -171,6 +182,108 @@ object ScaleProbe {
             s"formulations disagree at x$k: wedge=$triWedge iter=$triIter")
         }
         println(s"[probe] tri_x$k: edges=${edges.count()} triangles=$triIter")
+      } else if (jacOnly) {
+        val li = spark.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_partkey").distinct()
+        val e0 = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u0"), col("b.l_partkey").as("v0"))
+          .agg(count(lit(1)).as("w"))
+        // replication WITH SHARED HUBS: ~1% of parts (key % 97 = 0) keep
+        // ONE identity across all k replicas, so their degree grows k×
+        // while the rest stay constant — replicating the skew a real
+        // co-occurrence graph develops (stopword-like hub entities).
+        // Disconnected replication keeps degrees constant and Σ deg²
+        // linear, where the naive form is fine and slightly cheaper
+        // (measured; recorded in BASELINE.md) — hubs are WHY the
+        // triangle-identity form exists.
+        def nodeId(c0: org.apache.spark.sql.Column) =
+          when(c0 % 97 === 0, c0 * k).otherwise(c0 * k + col("rep"))
+        val edges = e0.crossJoin(spark.range(k).toDF("rep"))
+          .select(least(nodeId(col("u0")), nodeId(col("v0"))).as("u"),
+            greatest(nodeId(col("u0")), nodeId(col("v0"))).as("v"))
+          .distinct()
+          .localCheckpoint(true)
+        val deg = edges.select(col("u").as("n"))
+          .unionAll(edges.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        def jacHist(perEdge: org.apache.spark.sql.DataFrame) = edges
+          .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+          .join(perEdge, col("u") === col("a") && col("v") === col("b"), "left")
+          .withColumn("t", coalesce(col("tri_e"), lit(0L)))
+          .withColumn("jac_pm", expr(
+            """case when du + dv - 2 - t <= 0 then 1000
+               else t * 1000 div (du + dv - 2 - t) end"""))
+          .groupBy(expr("jac_pm div 100").as("dec"))
+          .agg(count(lit(1)).as("n"), sum("t").as("ts"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+        // shipped form: per-edge triangle counts from the oriented
+        // intersection engine — explode volume is exactly 3·triangles
+        var histTri: Seq[(Long, (Long, Long))] = null
+        time(s"jac_tri_identity_x$k") {
+          val oe = edges
+            .join(deg.withColumnRenamed("n", "u")
+              .withColumnRenamed("deg", "du"), "u")
+            .join(deg.withColumnRenamed("n", "v")
+              .withColumnRenamed("deg", "dv"), "v")
+            .select(
+              when(col("du") < col("dv") ||
+                (col("du") === col("dv") && col("u") < col("v")), col("u"))
+                .otherwise(col("v")).as("s"),
+              when(col("du") < col("dv") ||
+                (col("du") === col("dv") && col("u") < col("v")), col("v"))
+                .otherwise(col("u")).as("t"))
+          val adj = oe.groupBy(col("s").as("n"))
+            .agg(sort_array(collect_list(col("t"))).as("outs"))
+          val withCommon = oe
+            .join(adj.select(col("n").as("s"), col("outs").as("ou")), "s")
+            .join(adj.select(col("n").as("t"), col("outs").as("ov")), "t")
+            .select(col("s"), col("t"),
+              graft.functions.ArraySetFunctions
+                .sortedIntersectLong(col("ou"), col("ov")).as("common"))
+            .filter(size(col("common")) > 0)
+          val perEdge = withCommon.select(explode(concat(
+              array(struct(least(col("s"), col("t")).as("x"),
+                greatest(col("s"), col("t")).as("y"),
+                size(col("common")).cast("long").as("c"))),
+              transform(col("common"), cc => struct(
+                least(col("s"), cc).as("x"), greatest(col("s"), cc).as("y"),
+                lit(1L).as("c"))),
+              transform(col("common"), cc => struct(
+                least(col("t"), cc).as("x"), greatest(col("t"), cc).as("y"),
+                lit(1L).as("c"))))).as("e"))
+            .groupBy(col("e.x").as("a"), col("e.y").as("b"))
+            .agg(sum(col("e.c")).as("tri_e"))
+          histTri = jacHist(perEdge)
+          histTri.map(_._2._1).sum
+        }
+        // naive form raced at small factors: ship the FULL undirected
+        // adjacency array to BOTH sides of every edge — Σ deg² payload
+        if (k <= 64) {
+          var histNaive: Seq[(Long, (Long, Long))] = null
+          time(s"jac_full_adjacency_x$k") {
+            val und = edges.unionAll(
+              edges.select(col("v").as("u"), col("u").as("v")))
+            val fullAdj = und.groupBy(col("u").as("n"))
+              .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+            val perEdge = edges
+              .join(fullAdj.select(col("n").as("u"), col("nbrs").as("nu")), "u")
+              .join(fullAdj.select(col("n").as("v"), col("nbrs").as("nv")), "v")
+              .select(col("u").as("a"), col("v").as("b"),
+                size(graft.functions.ArraySetFunctions
+                  .sortedIntersectLong(col("nu"), col("nv")))
+                  .cast("long").as("tri_e"))
+            histNaive = jacHist(perEdge)
+            histNaive.map(_._2._1).sum
+          }
+          require(histNaive == histTri,
+            s"formulations disagree at x$k:\n$histNaive\n$histTri")
+        }
+        println(s"[probe] jac_x$k: edges=${edges.count()} hist=$histTri")
       } else if (prOnly) {
         // integer PageRank over the purchase graph replicated k× as
         // DISCONNECTED copies (node ids suffixed by replica — graph size
