@@ -913,6 +913,92 @@ object StatQueries {
                CAST(SUM(converted) AS BIGINT) AS n_converted,
                CAST(MIN(user_id) AS BIGINT) AS min_user,
                CAST(SUM(converted) AS BIGINT) * 1000000 // COUNT(*) AS conv_ppm
-        FROM paths GROUP BY 1"""))
+        FROM paths GROUP BY 1""")),
+
+    // ───── funnel step-latency distribution: exact median and p90 of
+    // the per-user lag across the ordered signup → view → purchase
+    // funnel — events_funnel reports conversion COUNTS and the mean
+    // wait; the distribution is what an on-call actually pages on
+    // (a healthy mean hides a bimodal tail). Step lags chain causally
+    // (first view AT/AFTER first signup; first purchase AT/AFTER that
+    // view). Exact integers via positional selection: row_number over
+    // (lat, user) within each step, median as the med2 = w[(n+1)/2] +
+    // w[(n+2)/2] trick (no float .5), p90 at ceil(9n/10) — the window
+    // input is per-step user rows, sharded by step.
+    QuerySpec(
+      "events_funnel_latency",
+      (s, d) => {
+        val per = events(s, d).groupBy("user_id")
+          .agg(min(when(col("event_type") === "signup", col("ts"))).as("fs"),
+            collect_list(when(col("event_type") === "view", col("ts")))
+              .as("views"),
+            collect_list(when(col("event_type") === "purchase", col("ts")))
+              .as("purchases"))
+          .filter(col("fs").isNotNull)
+          .withColumn("fv", expr("array_min(filter(views, t -> t >= fs))"))
+          .withColumn("fp", expr(
+            "array_min(filter(purchases, t -> fv is not null and t >= fv))"))
+        val lags = per.select(col("user_id"),
+            expr("""stack(3,
+              'signup>view',   unix_micros(fv) - unix_micros(fs),
+              'view>purchase', unix_micros(fp) - unix_micros(fv),
+              'signup>purchase', case when fp is not null
+                then unix_micros(fp) - unix_micros(fs) end) as (step, lat_us)"""))
+          .filter(col("lat_us").isNotNull)
+        val w = Window.partitionBy("step").orderBy("lat_us", "user_id")
+        val wn = Window.partitionBy("step")
+        lags.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy(col("step"), col("n").as("n_users"))
+          .agg(
+            sum(when(col("rn") === expr("(n + 1) div 2"), col("lat_us"))
+              .otherwise(0L)
+              + when(col("rn") === expr("(n + 2) div 2"), col("lat_us"))
+              .otherwise(0L)).as("med2_us"),
+            max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("lat_us")))
+              .as("p90_us"),
+            max("lat_us").as("max_us"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup' THEN ts END) AS fs,
+                 list(CASE WHEN event_type = 'view' THEN ts END) AS views,
+                 list(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS purchases
+          FROM events GROUP BY user_id),
+        fv0 AS (
+          SELECT user_id, fs,
+                 list_min(list_filter(views,
+                   t -> t IS NOT NULL AND t >= fs)) AS fv,
+                 purchases
+          FROM per WHERE fs IS NOT NULL),
+        fp0 AS (
+          SELECT user_id, fs, fv,
+                 list_min(list_filter(purchases,
+                   t -> t IS NOT NULL AND fv IS NOT NULL AND t >= fv)) AS fp
+          FROM fv0),
+        lags AS (
+          SELECT user_id, u.step, u.lat_us
+          FROM fp0, LATERAL (VALUES
+            ('signup>view',     epoch_us(fv) - epoch_us(fs)),
+            ('view>purchase',   epoch_us(fp) - epoch_us(fv)),
+            ('signup>purchase', CASE WHEN fp IS NOT NULL
+               THEN epoch_us(fp) - epoch_us(fs) END)) u(step, lat_us)
+          WHERE u.lat_us IS NOT NULL),
+        ranked AS (
+          SELECT step, lat_us,
+                 row_number() OVER (PARTITION BY step
+                                    ORDER BY lat_us, user_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY step) AS n
+          FROM lags)
+        SELECT step, CAST(n AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN lat_us ELSE 0 END)
+                  + SUM(CASE WHEN rn = (n + 2) // 2 THEN lat_us ELSE 0 END)
+                 AS BIGINT) AS med2_us,
+               CAST(MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN lat_us END)
+                 AS BIGINT) AS p90_us,
+               CAST(MAX(lat_us) AS BIGINT) AS max_us
+        FROM ranked GROUP BY 1, 2"""))
   )
 }

@@ -171,4 +171,50 @@ class StreamingMetricsSpec extends SparkSpec {
     assert(math.abs(align) < 200000L,
       s"rotated stream should trip the drift alarm, alignment = $align")
   }
+
+  // ───────────── StreamingHeavyHitters: bounded-state Misra–Gries
+
+  test("heavy hitters: Misra-Gries bound holds vs exact counts; " +
+    "bounded state; replay idempotent") {
+    import graft.streaming.StreamingHeavyHitters
+    val cap = 32
+    val tokens = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("explode(split(text, ' ')) as item")
+      .collect().map(_.getString(0)).toSeq
+    val slices = Seq(tokens.take(2000), tokens.slice(2000, 7000),
+      tokens.drop(7000))
+    val stateDir = tmp("hh-state")
+    import spark.implicits._
+    def applyBatch(rows: Seq[String], id: Long): Unit = {
+      val prev = StreamingHeavyHitters.readStateBefore(spark, stateDir, id)
+      StreamingHeavyHitters.fold(prev,
+          StreamingHeavyHitters.countsOf(rows.toDF("item")), cap)
+        .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$id")
+    }
+    var delivered = Seq.empty[String]
+    for ((slice, i) <- slices.zipWithIndex) {
+      applyBatch(slice, i.toLong)
+      delivered ++= slice
+      val state = StreamingHeavyHitters.readState(spark, stateDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(state.size <= cap, s"state ${state.size} rows exceeds cap")
+      val exact = delivered.groupBy(identity).view.mapValues(_.size.toLong)
+      val slack = delivered.size.toLong / (cap + 1)
+      for ((item, est) <- state) {
+        val t = exact.getOrElse(item, 0L)
+        assert(est <= t, s"$item overestimated: $est > $t")
+        assert(t - est <= slack, s"$item error ${t - est} > N/(cap+1)=$slack")
+      }
+      // no true heavy hitter is ever evicted
+      for ((item, t) <- exact if t > slack)
+        assert(state.contains(item), s"heavy hitter $item (count $t) evicted")
+    }
+    // crash-replay: re-deliver the last batch, state must not change
+    val before = StreamingHeavyHitters.readState(spark, stateDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    applyBatch(slices.last, (slices.size - 1).toLong)
+    val after = StreamingHeavyHitters.readState(spark, stateDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before, "replay double-counted")
+  }
 }
