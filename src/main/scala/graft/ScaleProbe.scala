@@ -78,6 +78,14 @@ object ScaleProbe {
     // replication where hub payload grows k² per hub. Hence the probe
     // replicates WITH shared hubs; both regimes are recorded honestly.
     val jacOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("jaccard")
+    // SPARK_GRAFT_PROBE=pca times ann_pca_project's distributed
+    // sufficient-sums pass on the k×-replicated embeddings and asserts
+    // the EXACTNESS-AT-SCALE invariant: under verbatim replication both
+    // the centered sums and n scale k×, so the integer covariance
+    // matrix — and therefore the power-iterated axis — must be
+    // BIT-EQUAL at every factor while the pass itself grows linearly
+    val pcaOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("pca")
+    var pcaAxisAtBase: Array[Long] = null
     for (k <- factors) {
       if (aucOnly) {
         val ev = spark.read.parquet(s"$d/events.parquet")
@@ -284,6 +292,22 @@ object ScaleProbe {
             s"formulations disagree at x$k:\n$histNaive\n$histTri")
         }
         println(s"[probe] jac_x$k: edges=${edges.count()} hist=$histTri")
+      } else if (pcaOnly) {
+        val rep = replicateVecs(spark, d, k)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(floor(cast(x as double) * 100) as bigint) + 100L)")
+              .as("qs"))
+          .localCheckpoint(true)
+        var axis: Array[Long] = null
+        time(s"pca_axis_x$k") {
+          axis = graft.analytics.Pca.dominantAxis(rep, 64)
+          rep.count()
+        }
+        if (k == factors.head) pcaAxisAtBase = axis
+        else require(axis.toSeq == pcaAxisAtBase.toSeq,
+          s"axis drifted under verbatim replication at x$k")
+        println(s"[probe] pca_x$k: vecs=${rep.count()} " +
+          s"axis_head=${axis.take(4).mkString(",")}")
       } else if (prOnly) {
         // integer PageRank over the purchase graph replicated k× as
         // DISCONNECTED copies (node ids suffixed by replica — graph size
