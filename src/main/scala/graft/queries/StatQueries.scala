@@ -999,6 +999,51 @@ object StatQueries {
                CAST(MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN lat_us END)
                  AS BIGINT) AS p90_us,
                CAST(MAX(lat_us) AS BIGINT) AS max_us
-        FROM ranked GROUP BY 1, 2"""))
+        FROM ranked GROUP BY 1, 2""")),
+
+    // ───── equi-depth histogram — the ANALYZE-TABLE statistics
+    // primitive behind CBO selectivity estimates and data-drift
+    // monitors (equal-ROW-COUNT buckets adapt to skew where equal-width
+    // buckets collapse into one hot bin). The bounded-cardinality
+    // discipline again: rows collapse to per-VALUE counts first, the
+    // ascending running sum assigns whole value-groups to buckets
+    // (bucket = cum·8 div n — identical rows can't straddle a boundary,
+    // exactly how engines build these), and the report is lo/hi bounds,
+    // row count, and exact NDV per bucket. Window input is the value
+    // histogram — bounded by the price domain, never the row count.
+    QuerySpec(
+      "profile_equidepth_hist",
+      (s, d) => {
+        val byVal = orders(s, d)
+          .select(expr("cast(round(o_totalprice * 100) as bigint)").as("v"))
+          .groupBy("v").agg(count(lit(1)).as("n_i"))
+        val tot = byVal.agg(sum("n_i").as("n"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byVal
+          .withColumn("cum", coalesce(sum("n_i").over(w), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("bucket", expr("cum * 8 div n"))
+          .groupBy("bucket")
+          .agg(min("v").as("lo_cents"), max("v").as("hi_cents"),
+            sum("n_i").as("n_rows"), count(lit(1)).as("ndv"))
+      },
+      Some("""
+        WITH byval AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                 COUNT(*) AS n_i
+          FROM orders GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n FROM byval),
+        cum AS (
+          SELECT v, n_i,
+                 CAST(COALESCE(SUM(n_i) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   * 8 // n AS BIGINT) AS bucket
+          FROM byval CROSS JOIN tot)
+        SELECT bucket, CAST(MIN(v) AS BIGINT) AS lo_cents,
+               CAST(MAX(v) AS BIGINT) AS hi_cents,
+               CAST(SUM(n_i) AS BIGINT) AS n_rows,
+               COUNT(*) AS ndv
+        FROM cum GROUP BY 1"""))
   )
 }
