@@ -31,21 +31,28 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StreamingVectorDrift {
 
   /** Raw additive sufficient sums of one slice of SHIFTED component
-    * arrays (`qs`, non-negative — [[graft.analytics.Pca.shifted]]). */
+    * arrays (`qs`, non-negative — [[graft.analytics.Pca.shifted]]).
+    * Accumulated by the mergeable [[graft.functions.CovSumsAgg]] (one
+    * in-place buffer per partition — per-batch cost O(|batch| + state),
+    * where the earlier pair-explode shuffled d(d+1)/2 structs PER ROW:
+    * a backfill-sized batch pays the difference), then unpacked into
+    * the (i, j, v) state rows the maintained-merge hash-agg expects.
+    */
   def sumsOf(sq: DataFrame, dim: Int): DataFrame = {
-    val firsts = sq.select(posexplode(col("qs")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(sum("x").as("v"))
-      .select(col("i"), lit(-1).as("j"), col("v"))
-    val seconds = sq.select(explode(expr(
-        s"""flatten(transform(sequence(0, ${dim - 1}), i ->
-             transform(sequence(i, ${dim - 1}), j ->
-               struct(i, j, element_at(qs, i + 1) * element_at(qs, j + 1) as p))))"""))
+    val cov = udaf(new graft.functions.CovSumsAgg(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    // index layout mirrors the agg buffer: slot 0 = n → (−1, −1);
+    // slots 1..d = first moments → (i, −1); then the upper triangle
+    // row-major → (i, j). Unpack with one posexplode over ONE row.
+    val pairs = (-1, -1) +: (0 until dim).map(i => (i, -1)) ++:
+      (for (i <- 0 until dim; j <- i until dim) yield (i, j))
+    val idx = pairs.map { case (i, j) => s"struct($i as i, $j as j)" }
+      .mkString("array(", ", ", ")")
+    sq.agg(cov(col("qs")).as("s"))
+      .select(explode(expr(
+        s"zip_with($idx, s, (ij, v) -> struct(ij.i as i, ij.j as j, v as v))"))
         .as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.p")).as("v"))
-    val n = sq.agg(count(lit(1)).as("v"))
-      .select(lit(-1).as("i"), lit(-1).as("j"), col("v"))
-    firsts.unionByName(seconds).unionByName(n)
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.v").as("v"))
   }
 
   /** Additive merge — associative and commutative. */
