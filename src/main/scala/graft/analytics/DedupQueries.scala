@@ -515,6 +515,59 @@ object DedupQueries {
                CAST(SUM(doc_a + doc_b) AS BIGINT) AS id_sum
         FROM srcp GROUP BY 1, 2""")),
 
+    // ───── dedup RECALL evaluation against KNOWN ground truth — the
+    // ann_recall of the dedup family: the injected variants (doc_id %
+    // 5 = 0, > 6 tokens → a trimmed copy at id + VariantOffset) are a
+    // labeled near-dup set, so the pipeline's recall is measurable,
+    // not asserted. Reports: planted pair count, recovered count
+    // (planted pairs present in the verified LSH output), recall in
+    // ppm, and the extra (non-planted) pair count — extras are NOT
+    // false positives per se (organically similar docs verify at
+    // jaccard ≥ 0.4 legitimately) but their volume is the knob-tuning
+    // signal. Rides the memoized pair set; the planted side is one
+    // filter over documents.
+    QuerySpec(
+      "dedup_recall_eval",
+      (s, d) => {
+        val off = Corpus.VariantOffset
+        val planted = graft.Tables.documents(s, d)
+          .filter(col("doc_id") % 5 === 0 &&
+            size(split(col("text"), " ")) > 6)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + off).as("doc_b"))
+        val pairs = minhashPairs(s, d).select("doc_a", "doc_b")
+        val recovered = planted.join(pairs, Seq("doc_a", "doc_b"),
+          "left_semi")
+        val extras = pairs.join(planted, Seq("doc_a", "doc_b"),
+          "left_anti")
+        planted.agg(count(lit(1)).as("n_planted"))
+          .crossJoin(recovered.agg(count(lit(1)).as("n_recovered")))
+          .crossJoin(extras.agg(count(lit(1)).as("n_extra")))
+          .select(col("n_planted"), col("n_recovered"),
+            expr("n_recovered * 1000000 div n_planted").as("recall_ppm"),
+            col("n_extra"))
+      },
+      Some(s"""
+        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $minhashPairsCtes,
+        planted AS (
+          SELECT doc_id AS doc_a, doc_id + ${Corpus.VariantOffset} AS doc_b
+          FROM documents
+          WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) > 6),
+        rec AS (
+          SELECT p.doc_a FROM planted p
+          JOIN mpairs m ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b),
+        extra AS (
+          SELECT m.doc_a FROM mpairs m
+          LEFT JOIN planted p ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b
+          WHERE p.doc_a IS NULL)
+        SELECT (SELECT COUNT(*) FROM planted) AS n_planted,
+               (SELECT COUNT(*) FROM rec) AS n_recovered,
+               (SELECT COUNT(*) FROM rec) * 1000000
+                 // (SELECT COUNT(*) FROM planted) AS recall_ppm,
+               (SELECT COUNT(*) FROM extra) AS n_extra""")),
+
     // ───── near-dup CLUSTERING: connect the verified LSH pairs into
     // components and pick one canonical survivor per component — the step
     // that turns a pair list into an actionable keep/drop set (pairs alone

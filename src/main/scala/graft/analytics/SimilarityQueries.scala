@@ -1801,6 +1801,70 @@ object SimilarityQueries {
                CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 3 AS k
         FROM probes p LEFT JOIN h_ipq h USING (query_id)""")),
 
+    // ───── per-label covariance statistics (r10): variance trace and
+    // the max-variance dimension per class label — the feature-quality
+    // report a training pipeline runs per slice (a collapsing trace =
+    // mode collapse in that class's embeddings; a single dominating
+    // dimension = a degenerate feature). The distributed stage is the
+    // mergeable [[graft.functions.CovSumsAgg]] under a groupBy — ONE
+    // buffer per (partition, label), proving the aggregate's
+    // re-aggregation algebra under the oracle (the global form is
+    // ann_pca_project's engine). Exact integers via the centering
+    // identity; per-label output stays d+1 sums wide here (the
+    // diagonal), so the oracle replays only Σx and Σx² per dim.
+    QuerySpec(
+      "agg_label_covariance",
+      (s, d) => {
+        val dim = 64
+        val cov = udaf(new graft.functions.CovSumsAgg(dim),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+        val sums = graft.Tables.embeddings(s, d)
+          .select(col("label"),
+            expr("transform(embedding, x -> cast(floor(cast(x as double) * 100) as bigint) + 100L)")
+              .as("qs"))
+          .groupBy("label").agg(cov(col("qs")).as("s"))
+        // variance of dim i in exact integer form: with mu = sx div n,
+        // var_i = (sxx − 2·mu·sx + n·mu²) div n — the 1-D centering
+        // identity; trace = Σ var_i, argmax tie-breaks to the lowest i.
+        // Buffer layout: diag(i) sits at 1 + dim + offset(i, i).
+        val diagIdx = (0 until dim).map(i =>
+          1 + dim + (0 until i).map(r => dim - r).sum)
+        val varExpr = (i: Int) => {
+          val (sx, sxx) = (s"s[${1 + i}]", s"s[${diagIdx(i)}]")
+          s"""element_at(transform(array($sx div s[0]), mu ->
+              ($sxx - 2 * mu * $sx + s[0] * mu * mu) div s[0]), 1)"""
+        }
+        val vars = (0 until dim).map(i => s"(${varExpr(i)})")
+          .mkString("array(", ", ", ")")
+        sums
+          .withColumn("v", expr(vars))
+          .select(col("label"), col("s")(0).as("n_vecs"),
+            expr("aggregate(v, 0L, (a, x) -> a + x)").as("var_trace"),
+            expr("array_position(v, array_max(v)) - 1").as("top_var_dim"),
+            expr("array_max(v)").as("top_var"))
+      },
+      Some("""
+        WITH sq AS (
+          SELECT label, i.i AS i,
+                 CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 100) AS BIGINT)
+                   + 100 AS x
+          FROM embeddings, (SELECT unnest(range(0, 64)) AS i) i),
+        st AS (
+          SELECT label, i, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM sq GROUP BY 1, 2),
+        vr AS (
+          SELECT label, i, n,
+                 (sxx - 2 * (sx // n) * sx + n * (sx // n) * (sx // n)) // n
+                   AS v
+          FROM st)
+        SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+               CAST(SUM(v) AS BIGINT) AS var_trace,
+               CAST(MIN(CASE WHEN v = mv THEN i END) AS BIGINT) AS top_var_dim,
+               CAST(MAX(mv) AS BIGINT) AS top_var
+        FROM (SELECT *, MAX(v) OVER (PARTITION BY label) AS mv FROM vr)
+        GROUP BY label""")),
+
     // ───── PCA projection onto the dominant principal component (r10):
     // the dimensionality-REDUCTION primitive next to the sign-hash
     // tier (random projection preserves distances obliviously; PCA
