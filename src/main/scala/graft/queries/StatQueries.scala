@@ -1044,6 +1044,98 @@ object StatQueries {
                CAST(MAX(v) AS BIGINT) AS hi_cents,
                CAST(SUM(n_i) AS BIGINT) AS n_rows,
                COUNT(*) AS ndv
-        FROM cum GROUP BY 1"""))
+        FROM cum GROUP BY 1""")),
+
+    // ───── peak concurrent sessions per day — the capacity-planning
+    // aggregate over interval data (max overlap of [start, end)
+    // session intervals; ends-exclusive, so a session ending exactly
+    // when another starts does NOT overlap — ties order ends first).
+    // The classic +1/−1 boundary sweep, made scale-shaped the
+    // supplier_pareto way: a GLOBAL ordered sweep would single-task,
+    // so phase 1 computes each day's CARRY-IN (sessions opened before
+    // the day and still open at its start — a broadcast range join
+    // against the tiny day spine), and phase 2 sweeps only WITHIN the
+    // day partition; peak = carry_in + max running sum. Sessions =
+    // 30-minute-gap runs per user (the cdc_sessionize rule).
+    QuerySpec(
+      "events_peak_concurrency",
+      (s, d) => {
+        val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = events(s, d)
+          .withColumn("prev", lag("ts", 1).over(wu))
+          .withColumn("brk", when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) >
+              1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sid", sum("brk").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min("ts").as("st"), max("ts").as("en"))
+        val bounds = sess.select(col("st").as("t"), lit(1L).as("delta"))
+          .unionAll(sess.select(col("en").as("t"), lit(-1L).as("delta")))
+          .withColumn("day", to_date(col("t")))
+        val days = bounds.select("day").distinct()
+        val carry = days.join(sess,
+            col("st") < col("day").cast("timestamp") &&
+              col("en") >= col("day").cast("timestamp"), "left")
+          .groupBy("day")
+          .agg(sum(when(col("st").isNotNull, 1L).otherwise(0L))
+            .as("carry_in"))
+        val ws = Window.partitionBy("day").orderBy("t", "delta")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bounds.withColumn("run", sum("delta").over(ws))
+          .groupBy("day")
+          .agg(max("run").as("peak_in_day"),
+            sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+          .join(broadcast(carry), "day")
+          .select(col("day"), col("n_starts"),
+            col("carry_in"),
+            (col("carry_in") + col("peak_in_day")).as("peak_concurrent"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, ts, event_id,
+                 LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events),
+        brk AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev IS NULL
+                        OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                      THEN 1 ELSE 0 END AS b
+          FROM seq),
+        sid AS (
+          SELECT user_id, ts,
+                 SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM brk),
+        sess AS (
+          SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+          FROM sid GROUP BY 1, 2),
+        bounds AS (
+          SELECT st AS t, 1 AS delta, CAST(st AS DATE) AS day FROM sess
+          UNION ALL
+          SELECT en AS t, -1 AS delta, CAST(en AS DATE) AS day FROM sess),
+        days AS (SELECT DISTINCT day FROM bounds),
+        carry AS (
+          SELECT d.day,
+                 CAST(SUM(CASE WHEN s.st IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS carry_in
+          FROM days d LEFT JOIN sess s
+            ON s.st < CAST(d.day AS TIMESTAMP)
+           AND s.en >= CAST(d.day AS TIMESTAMP)
+          GROUP BY 1),
+        swept AS (
+          SELECT day, delta,
+                 SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM bounds),
+        agg AS (
+          SELECT day, CAST(MAX(run) AS BIGINT) AS peak_in_day,
+                 CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_starts
+          FROM swept GROUP BY 1)
+        SELECT a.day, a.n_starts, c.carry_in,
+               c.carry_in + a.peak_in_day AS peak_concurrent
+        FROM agg a JOIN carry c ON c.day = a.day"""))
   )
 }
