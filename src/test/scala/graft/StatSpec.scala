@@ -426,6 +426,43 @@ class StatSpec extends SparkSpec {
     assert(q == 5L * 1000000 / 14, s"Q = $q, expected 5/14 in ppm")
   }
 
+  test("events_peak_concurrency equals brute interval-overlap counting") {
+    // definition-level check: sessions rebuilt independently, peak(day)
+    // = max over the day's boundary INSTANTS of |{sessions s: st ≤ t
+    // < en}| evaluated by direct counting (ends-exclusive), carry-in
+    // included because sessions open at midnight count at every t
+    val rows = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "cast(ts as string) as ts",
+        "unix_micros(ts) as us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val sessions = rows.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val breaks = sorted.zipWithIndex.filter { case (e, i) =>
+        i == 0 || e._4 - sorted(i - 1)._4 > 1800L * 1000000L }.map(_._2)
+      (breaks :+ sorted.length).sliding(2).map { w =>
+        (sorted(w(0))._4, sorted(w(1) - 1)._4) // (st, en) in micros
+      }
+    }.toSeq
+    def dayOf(us: Long) = (us / 86400000000L)
+    val bounds = sessions.flatMap { case (st, en) => Seq(st, en) }
+    val brute = bounds.groupBy(dayOf).map { case (day, ts) =>
+      // evaluate just AFTER each boundary instant (ends-exclusive:
+      // count st ≤ t < en at t = instant, ends processed first means
+      // the post-instant state is st ≤ t AND en > t)
+      day -> ts.distinct.map(t =>
+        sessions.count { case (st, en) => st <= t && en > t }).max.toLong
+    }
+    // keys align as epoch days: ts are UTC micros, the query's to_date
+    // runs under the UTC session
+    val got = run("events_peak_concurrency").collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+        r.getAs[Long]("peak_concurrent")).toMap
+    assert(got.keySet == brute.keySet)
+    for ((day, p) <- brute)
+      assert(got(day) == p, s"day $day: ${got(day)} vs $p")
+  }
+
   test("Pca.dominantAxis recovers a planted dominant direction") {
     // planted model: x = t·u + noise, with the signal variance along u
     // an order of magnitude above the isotropic noise floor — the
