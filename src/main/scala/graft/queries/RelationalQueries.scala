@@ -1645,47 +1645,27 @@ object RelationalQueries {
     // under 80%" — the knee row is included, everything after excluded,
     // no float division anywhere near the filter.
     //
-    // TWO-PHASE running sum (r6): supplier cardinality scales with the
-    // data, so a bare Window.orderBy would put the whole running sum on
-    // ONE task. Instead: range-repartition on the (cents DESC, s) sort
-    // key, run row_number + running sum WITHIN each partition (parallel
-    // windows), then lift them to global values by adding per-partition
-    // prefix offsets — a #partitions-row frame, cumulated in a window
-    // over ≤ |cluster partitions| rows and broadcast back. Partition-id
-    // consistency between the two consumers is pinned by persisting the
-    // ranged frame (one supplier-cardinality cache, the same trick a
-    // distributed sort-prefix-sum uses); range boundaries need not be
-    // balanced for correctness — any order-consistent split yields the
-    // identical global (r, cum), which the oracle hash-checks.
+    // TWO-PHASE running sum (r6, factored into ops.RankedPrefix in r11):
+    // supplier cardinality scales with the data, so a bare
+    // Window.orderBy would put the whole running sum on ONE task.
+    // RankedPrefix range-repartitions on the (cents DESC, s) sort key,
+    // runs row_number + running sum WITHIN each partition (parallel
+    // windows), then lifts them to global values via broadcast
+    // per-partition prefix offsets — see ops/RankedPrefix.scala for the
+    // full argument; the oracle hash-checks split-independence.
     QuerySpec(
       "supplier_pareto",
       (s, d) => {
-        val parted = graft.analytics.Corpus.cached(s, d, "paretoRanged") {
-          lineitem(s, d)
-            .groupBy(col("l_suppkey").as("s"))
-            .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("cents"))
-            .repartitionByRange(32, col("cents").desc, col("s"))
-            .withColumn("pid", spark_partition_id())
-        }
-        val wIn = Window.partitionBy("pid").orderBy(col("cents").desc, col("s"))
-        val within = parted
-          .withColumn("r_in", row_number().over(wIn).cast("long"))
-          .withColumn("cum_in", sum(col("cents")).over(wIn.rowsBetween(Long.MinValue, 0)))
-        val wP = Window.orderBy("pid") // #partitions rows — bounded, not data-sized
-        val offsets = parted.groupBy("pid")
-          .agg(sum(col("cents")).as("psum"), count(lit(1)).as("pcnt"))
-          .withColumn("coff",
-            coalesce(sum(col("psum")).over(wP.rowsBetween(Long.MinValue, -1)), lit(0L)))
-          .withColumn("roff",
-            coalesce(sum(col("pcnt")).over(wP.rowsBetween(Long.MinValue, -1)), lit(0L)))
-          .withColumn("total", sum(col("psum")).over(
-            Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)))
-          .select("pid", "coff", "roff", "total")
-        within.join(broadcast(offsets), "pid")
-          .withColumn("r", (col("r_in") + col("roff")).cast("int"))
-          .withColumn("cum", col("cum_in") + col("coff"))
+        val per = lineitem(s, d)
+          .groupBy(col("l_suppkey").as("s"))
+          .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("cents"))
+        graft.ops.RankedPrefix(s, d, "pareto", per,
+            part = Nil, order = Seq(col("cents").desc, col("s")),
+            rank = Some("r"),
+            running = Seq(("cum", col("cents"))),
+            totals = Seq(("total", col("cents"))))
           .filter((col("cum") - col("cents")) * 5 < col("total") * 4)
-          .select(col("s"), col("cents"), col("r"), col("cum"),
+          .select(col("s"), col("cents"), col("r").cast("int").as("r"), col("cum"),
             expr("cast((cum * 100) div total as bigint)").as("cum_pct"))
       },
       Some("""
@@ -1738,9 +1718,12 @@ object RelationalQueries {
     // recency / frequency / monetary quintiles (NTILE over a
     // deterministic (metric, key) order; both engines share ntile's
     // earlier-buckets-take-the-remainder rule) over the per-customer
-    // aggregate, reported as segment cells. The quintile windows run
-    // over CUSTOMER-cardinality rows — the order log itself crosses one
-    // hash-agg shuffle once; money stays in exact integer cents.
+    // aggregate, reported as segment cells. Customer cardinality SCALES
+    // WITH THE DATA, so the quintiles must not be bare global ntile
+    // windows (one task each at any scale — the r10 verdict's finding):
+    // each score rides RankedPrefix's two-phase global rank plus the
+    // integer ntile-from-rank formula, so every pass is a range exchange
+    // + parallel per-partition windows. Money stays in exact cents.
     QuerySpec(
       "agg_rfm_segments",
       (s, d) => {
@@ -1749,12 +1732,11 @@ object RelationalQueries {
           .agg(max(col("o_orderdate")).as("last_order"),
             count(lit(1)).as("freq"),
             sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
-        def quint(m: String) = ntile(5).over(
-          Window.orderBy(col(m), col("c"))).cast("int")
-        per
-          .withColumn("r_score", quint("last_order"))
-          .withColumn("f_score", quint("freq"))
-          .withColumn("m_score", quint("cents"))
+        def quint(df: DataFrame, m: String, out: String) =
+          graft.ops.RankedPrefix.withNtile(s, d, s"rfm:$m", df,
+            part = Nil, order = Seq(col(m), col("c")), buckets = 5, out = out)
+        quint(quint(quint(per,
+            "last_order", "r_score"), "freq", "f_score"), "cents", "m_score")
           .groupBy("r_score", "f_score", "m_score")
           .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("seg_cents"))
       },
@@ -2353,13 +2335,15 @@ object RelationalQueries {
     // history vs the SECOND half (the "which customers are churning /
     // upgrading" view a CRM reads weekly; the dynamic companion to
     // agg_rfm_segments' static snapshot). The timeline splits at the
-    // data-derived midpoint date; tiers are spend tertiles per half via
-    // ntile(3) under a TOTAL order (spend cents desc, custkey — ntile
-    // is deterministic only under total order, the window discipline),
-    // customers absent from a half enter tier 0. Output: the 4×4
-    // matrix with customer counts and min-custkey fingerprints. Plan:
-    // two hash-aggs + two calendar-cheap windows over customer
-    // cardinality, one full outer join on custkey; shards at 100 TB.
+    // data-derived midpoint date; tiers are spend tertiles per half
+    // under a TOTAL order (spend cents desc, custkey), computed via
+    // RankedPrefix's two-phase global rank + integer ntile-from-rank —
+    // customer cardinality scales with data, so a bare ntile window
+    // would single-task (the r10 verdict's finding). Customers absent
+    // from a half enter tier 0. Output: the 4×4 matrix with customer
+    // counts and min-custkey fingerprints. Plan: two hash-aggs + two
+    // range-exchanged parallel window passes over customer cardinality,
+    // one full outer join on custkey; shards at 100 TB.
     QuerySpec(
       "events_rfm_migration",
       (s, d) => {
@@ -2369,15 +2353,16 @@ object RelationalQueries {
         val mid = o.agg(expr(
           "date_add(min(od), cast(datediff(max(od), min(od)) div 2 as int))")
           .as("mid"))
-        def tiers(half: DataFrame) = half
-          .groupBy("o_custkey").agg(sum("cents").as("spend"))
-          .withColumn("tier",
-            ntile(3).over(Window.orderBy(col("spend").desc, col("o_custkey"))))
+        def tiers(half: DataFrame, key: String) =
+          graft.ops.RankedPrefix.withNtile(s, d, s"rfmMig:$key",
+            half.groupBy("o_custkey").agg(sum("cents").as("spend")),
+            part = Nil, order = Seq(col("spend").desc, col("o_custkey")),
+            buckets = 3, out = "tier")
         val before = tiers(o.crossJoin(broadcast(mid))
-          .filter(col("od") <= col("mid")))
+          .filter(col("od") <= col("mid")), "before")
           .select(col("o_custkey"), col("tier").as("tier_before"))
         val after = tiers(o.crossJoin(broadcast(mid))
-          .filter(col("od") > col("mid")))
+          .filter(col("od") > col("mid")), "after")
           .select(col("o_custkey"), col("tier").as("tier_after"))
         before.join(after, Seq("o_custkey"), "full_outer")
           .select(col("o_custkey"),

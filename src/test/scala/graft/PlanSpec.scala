@@ -251,15 +251,34 @@ class PlanSpec extends SparkSpec {
 
   test("supplier_pareto: running sum is two-phase — no data-sized single-task window") {
     val p = plan("supplier_pareto")
-    // r6: supplier cardinality scales with data, so the running sum must
-    // NOT be a bare global window (one task by construction). The plan
-    // carries a range repartition on the sort key and pid-partitioned
-    // (parallel) windows over the data side; only the #partitions-row
-    // offsets frame may use an empty partition spec.
+    // r6 (factored into ops.RankedPrefix in r11): supplier cardinality
+    // scales with data, so the running sum must NOT be a bare global
+    // window (one task by construction). The plan carries a range
+    // repartition on the sort key and pid-partitioned (parallel) windows
+    // over the data side; only the #partitions-row offsets frame may use
+    // an empty partition spec.
     assert(p.contains("Exchange rangepartitioning"),
       s"range repartition missing — running sum is single-task again:\n$p")
-    assert("windowspecdefinition\\(pid".r.findAllIn(p).nonEmpty,
+    assert("windowspecdefinition\\(__rp_pid".r.findAllIn(p).nonEmpty,
       s"per-partition window missing:\n$p")
+  }
+
+  test("ranked-prefix consumers: every data-proportional ordered pass is two-phase") {
+    // r11 (the r10 verdict's top item): these four ran global
+    // Window.orderBy over data-proportional frames — equi-depth money
+    // values are near-continuous (149,743 NDV on 150,000 orders), RFM
+    // ntiles run over customer cardinality, cume_dist's 5-segment
+    // partitioning sorts |customers|/5 per task. Pin RankedPrefix's
+    // shape: a range exchange on the sort key and __rp_pid-partitioned
+    // parallel windows over the data side.
+    for (q <- Seq("profile_equidepth_hist", "agg_rfm_segments",
+                  "events_rfm_migration", "window_cume_dist")) {
+      val p = plan(q)
+      assert(p.contains("Exchange rangepartitioning"),
+        s"$q: range repartition missing — ordered pass is single-task:\n$p")
+      assert("windowspecdefinition\\((seg#\\d+, )?__rp_pid".r.findAllIn(p).nonEmpty,
+        s"$q: per-partition window missing:\n$p")
+    }
   }
 
   test("agg_mode/profile_key_skew: global windows consume group-cardinality inputs only") {

@@ -521,4 +521,43 @@ class StatSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Long]("proj")).toMap
     assert(got == exp)
   }
+
+  test("RankedPrefix: rank/running-sum/ntile equal the single-task window forms") {
+    // the two-phase machinery must be VALUE-identical to the bare global
+    // window it replaces, across remainder shapes (n mod b ∈ {0, …}) and
+    // the n < buckets edge where every row gets its own tile
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (n <- Seq(3, 20, 101, 1000)) {
+      val df = spark.range(n.toLong).toDF("id")
+        .withColumn("g", expr("cast(id % 2 as int)"))
+        // a scrambled but deterministic sort key (multiplicative hash)
+        .withColumn("v", expr("(id * 2654435761) % 1000003"))
+        .withColumn("w", expr("id % 7 + 1"))
+      val naive = df
+        .withColumn("r", row_number().over(
+          Window.partitionBy("g").orderBy(col("v"), col("id"))).cast("long"))
+        .withColumn("cum", sum("w").over(
+          Window.partitionBy("g").orderBy(col("v"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("t3", ntile(3).over(
+          Window.partitionBy("g").orderBy(col("v"), col("id"))))
+        .withColumn("t5", ntile(5).over(
+          Window.partitionBy("g").orderBy(col("v"), col("id"))))
+        .select("id", "r", "cum", "t3", "t5")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+      val twoPhase = graft.ops.RankedPrefix(spark, s"mem:$n", s"spec:$n", df,
+        part = Seq("g"), order = Seq(col("v"), col("id")),
+        rank = Some("r"), running = Seq(("cum", col("w"))),
+        totals = Seq(("ntot", lit(1L))), numParts = 7)
+      val got = twoPhase
+        .withColumn("t3", graft.ops.RankedPrefix.ntileFromRank(col("r"), col("ntot"), 3))
+        .withColumn("t5", graft.ops.RankedPrefix.ntileFromRank(col("r"), col("ntot"), 5))
+        .select("id", "r", "cum", "t3", "t5")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+      assert(got == naive, s"n=$n")
+    }
+  }
 }
