@@ -85,6 +85,13 @@ object ScaleProbe {
     // matrix — and therefore the power-iterated axis — must be
     // BIT-EQUAL at every factor while the pass itself grows linearly
     val pcaOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("pca")
+    // SPARK_GRAFT_PROBE=prefix races RankedPrefix's two-phase global
+    // ordered pass (profile_equidepth_hist's shipped r11 form) against
+    // the naive bare Window.orderBy running sum whose input is ONE task
+    // by construction. Values are jittered per replica (v·64 + rep) so
+    // the NDV scales k× — verbatim replication would keep the collapsed
+    // frame constant and measure nothing.
+    val prefixOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("prefix")
     var pcaAxisAtBase: Array[Long] = null
     for (k <- factors) {
       if (aucOnly) {
@@ -292,6 +299,55 @@ object ScaleProbe {
             s"formulations disagree at x$k:\n$histNaive\n$histTri")
         }
         println(s"[probe] jac_x$k: edges=${edges.count()} hist=$histTri")
+      } else if (prefixOnly) {
+        // equi-depth histogram at k× NDV, both formulations. byVal is the
+        // per-value collapse — at 149,743 NDV per 150k sf0.1 orders it is
+        // data-sized, which is precisely why the bare window single-tasks.
+        val byVal = spark.read.parquet(s"$d/orders.parquet")
+          .select(expr("cast(round(o_totalprice * 100) as bigint)").as("v0"))
+          .crossJoin(spark.range(k).toDF("rep"))
+          .select(expr("v0 * 64 + rep").as("v"))
+          .groupBy("v").agg(count(lit(1)).as("n_i"))
+          .localCheckpoint(true)
+        var histTwoPhase: Seq[(Long, (Long, Long))] = null
+        time(s"prefix_twophase_x$k") {
+          val r = graft.ops.RankedPrefix(spark, s"probe:x$k", s"probeEq:x$k",
+              byVal, part = Nil, order = Seq(col("v")), rank = None,
+              running = Seq(("cum_incl", col("n_i"))),
+              totals = Seq(("n", col("n_i"))))
+            .withColumn("bucket", expr("(cum_incl - n_i) * 8 div n"))
+            .groupBy("bucket")
+            .agg(sum("n_i").as("n_rows"), count(lit(1)).as("ndv"))
+            .collect()
+          histTwoPhase = r.map(x => x.getLong(0) ->
+            (x.getLong(1), x.getLong(2))).toSeq.sortBy(_._1)
+          histTwoPhase.map(_._2._1).sum
+        }
+        // naive single-task form raced at every factor — its curve is the
+        // measured pathology (per-row cost constant but ALL rows on one
+        // task; the two-phase form amortizes across the cluster)
+        if (k <= 64) {
+          var histNaive: Seq[(Long, (Long, Long))] = null
+          time(s"prefix_naive_x$k") {
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, -1)
+            val tot = byVal.agg(sum("n_i").as("n"))
+            val r = byVal
+              .withColumn("cum", coalesce(sum("n_i").over(w), lit(0L)))
+              .crossJoin(broadcast(tot))
+              .withColumn("bucket", expr("cum * 8 div n"))
+              .groupBy("bucket")
+              .agg(sum("n_i").as("n_rows"), count(lit(1)).as("ndv"))
+              .collect()
+            histNaive = r.map(x => x.getLong(0) ->
+              (x.getLong(1), x.getLong(2))).toSeq.sortBy(_._1)
+            histNaive.map(_._2._1).sum
+          }
+          require(histNaive == histTwoPhase,
+            s"formulations disagree at x$k:\n$histNaive\n$histTwoPhase")
+        }
+        println(s"[probe] prefix_x$k: ndv=${byVal.count()} hist=$histTwoPhase")
       } else if (pcaOnly) {
         val rep = replicateVecs(spark, d, k)
           .select(col("vec_id"),
