@@ -37,17 +37,19 @@ object Pca {
   /** Distributed sufficient sums → driver integer power iteration →
     * the dominant-axis integer vector (|components| ≈ 10⁶ scale).
     *
-    * TWO-PASS exact centering: pass 1 takes the d first-moment sums and
-    * computes integer means mu_i = sx div n (error < 1 each); pass 2
-    * accumulates products of CENTERED components c = x − mu_i. The
-    * one-pass form m = sxy div n − mu_i·mu_j is wrong at this
-    * resolution — each mean carries up to 1 unit of floor error, so the
-    * product term smears ±mu across the matrix, swamping real
-    * covariance entries (the planted-direction spec catches exactly
-    * this). Centered products are exact integers of magnitude n·var
-    * (no n²·x² blow-up), so the form is also the one that survives
-    * 10¹⁰-row corpora without int64 overflow; the final div n leaves
-    * < 1 unit of error against entries of magnitude var.
+    * ONE distributed pass over RAW sums (n, Σx_i, Σx_i·x_j via
+    * CovSumsAgg), then EXACT centering on the driver through the
+    * identity Σ(x−mu_i)(x−mu_j) = sxy − mu_i·sx_j − mu_j·sx_i +
+    * n·mu_i·mu_j with integer means mu_i = sx_i div n. This is
+    * mathematically exact — every term is an integer and the identity
+    * holds for ANY mu, including the floored one — unlike the
+    * superficially similar rounded form m = sxy div n − mu_i·mu_j,
+    * where each pre-divided term carries its own floor error that
+    * smears ±mu across the matrix (the planted-direction spec catches
+    * that). The single final div n leaves < 1 unit of error against
+    * entries of magnitude var, and centered sums stay under 2⁶³ at
+    * 10¹⁰ rows because the identity is applied to shifted non-negative
+    * components of bounded magnitude.
     */
   def dominantAxis(sq: DataFrame, dim: Int, iters: Int = 20): Array[Long] = {
     // ONE pass: the mergeable CovSumsAgg accumulates n, first moments,
@@ -63,6 +65,7 @@ object Pca {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
     val s = sq.agg(cov(col("qs")).as("s")).collect()(0).getSeq[Long](0)
     val n = s(0)
+    require(n > 0, s"dominantAxis: empty input frame (n=$n) — no axis exists")
     val sx = Array.tabulate(dim)(i => s(1 + i))
     val mu = sx.map(_ / n) // non-negative: floor ≡ trunc
     val m = Array.ofDim[Long](dim, dim)

@@ -2790,7 +2790,13 @@ object RelationalQueries {
             sum(lit(4L) * m * col("ec") - col("dc") * col("dc")).as("qnum"))
           .select(col("n_communities"), col("intra_edges"),
             col("degree_mass"), lit(m).as("m_edges"),
-            expr(s"qnum * 1000000 div (4 * ${m}L * ${m}L)").as("q_ppm"))
+            // FLOOR division, not Spark's truncate-toward-zero `div`:
+            // Q < 0 is possible for a generic partition, and DuckDB's
+            // `//` floors — a truncating div would diverge by 1 ppm on
+            // any negative-Q labeling (ADVICE r10)
+            expr(s"case when qnum >= 0 then (qnum * 1000000) div (4 * ${m}L * ${m}L) " +
+              s"else -((-(qnum * 1000000) + 4 * ${m}L * ${m}L - 1) div (4 * ${m}L * ${m}L)) end")
+              .as("q_ppm"))
       },
       Some("""
         WITH sizes AS (

@@ -397,9 +397,15 @@ object StatQueries {
           .agg(sum("n_i").as("n_rows"), sum("p_i").as("n_pos"))
           .withColumn("cum_n", sum("n_rows").over(wd))
           .withColumn("cum_pos", sum("n_pos").over(wd))
+          // lift from PRE-DIVIDED ppm terms: the algebraically tidier
+          // cum_pos·ntot·1000 numerator overflows int64 at 10¹⁰ rows
+          // (≈10²³); gains_ppm and depth_ppm are each ≤10¹⁶ and the
+          // quotient ≤10⁹. depth_ppm ≥ 10⁵ by construction (decile 0
+          // holds ≥ ntot/10 rows), so the divisor can't hit zero.
           .select(col("decile"), col("n_rows"), col("n_pos"),
             expr("cum_pos * 1000000 div ptot").as("gains_ppm"),
-            expr("cum_pos * ntot * 1000 div (cum_n * ptot)").as("lift_pm"))
+            expr("(cum_pos * 1000000 div ptot) * 1000 div " +
+              "(cum_n * 1000000 div ntot)").as("lift_pm"))
       },
       Some("""
         WITH byscore AS (
@@ -430,7 +436,8 @@ object StatQueries {
           FROM g)
         SELECT decile, n_rows, n_pos,
                cum_pos * 1000000 // ptot AS gains_ppm,
-               cum_pos * ntot * 1000 // (cum_n * ptot) AS lift_pm
+               (cum_pos * 1000000 // ptot) * 1000
+                 // (cum_n * 1000000 // ntot) AS lift_pm
         FROM c""")),
 
     // ───── EWMA with BINARY weights (α = ½), truncated at 10 lags —

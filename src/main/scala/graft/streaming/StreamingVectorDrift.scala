@@ -70,6 +70,7 @@ object StreamingVectorDrift {
     val rows = state.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     val n = rows((-1, -1))
+    require(n > 0, s"axisFromState: no vectors folded yet (n=$n) — no axis exists")
     val sx = Array.tabulate(dim)(i => rows((i, -1)))
     val mu = sx.map(_ / n) // non-negative: floor ≡ trunc
     val m = Array.ofDim[Long](dim, dim)
