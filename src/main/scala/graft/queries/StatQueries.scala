@@ -1069,13 +1069,22 @@ object StatQueries {
     // aggregate over interval data (max overlap of [start, end)
     // session intervals; ends-exclusive, so a session ending exactly
     // when another starts does NOT overlap — ties order ends first).
-    // The classic +1/−1 boundary sweep, made scale-shaped the
-    // supplier_pareto way: a GLOBAL ordered sweep would single-task,
-    // so phase 1 computes each day's CARRY-IN (sessions opened before
-    // the day and still open at its start — a broadcast range join
-    // against the tiny day spine), and phase 2 sweeps only WITHIN the
-    // day partition; peak = carry_in + max running sum. Sessions =
-    // 30-minute-gap runs per user (the cdc_sessionize rule).
+    // The classic +1/−1 boundary sweep, sharded by HOUR TILE (r11; the
+    // r10 day-partition single-tasked a hot day, and its carry-in was a
+    // BroadcastNestedLoopJoin of |sess|·|days| predicate evaluations).
+    // The sweep needs only the boundary DELTAS, so every carry-in is a
+    // prefix of per-tile delta sums — no interval join at all: a
+    // session open at tile start contributes exactly +1 to the deltas
+    // before the tile (its start is before, its end is not), which is
+    // the same `st < t0 && en >= t0` count the old join computed.
+    // Phase 1: per-(day, hour) delta sums — hash-agg, shards anywhere;
+    // the tile-prefix window's input is CALENDAR-bounded (≤ days·24
+    // rows at any corpus size, the window_moving_median argument).
+    // Phase 2: the within-tile sweep partitions by (day, hour) — a hot
+    // day shards over its 24 tiles, and run_global = tile_carry +
+    // run_in_tile. Sessions = 30-minute-gap runs per user (the
+    // cdc_sessionize rule); ends-exclusive ties order ends first
+    // (delta ASC at equal t).
     QuerySpec(
       "events_peak_concurrency",
       (s, d) => {
@@ -1092,23 +1101,31 @@ object StatQueries {
         val bounds = sess.select(col("st").as("t"), lit(1L).as("delta"))
           .unionAll(sess.select(col("en").as("t"), lit(-1L).as("delta")))
           .withColumn("day", to_date(col("t")))
-        val days = bounds.select("day").distinct()
-        val carry = days.join(sess,
-            col("st") < col("day").cast("timestamp") &&
-              col("en") >= col("day").cast("timestamp"), "left")
-          .groupBy("day")
-          .agg(sum(when(col("st").isNotNull, 1L).otherwise(0L))
-            .as("carry_in"))
-        val ws = Window.partitionBy("day").orderBy("t", "delta")
+          .withColumn("hr", hour(col("t")))
+        val tileAgg = bounds.groupBy("day", "hr")
+          .agg(sum("delta").as("s_tile"))
+        val wTile = Window.orderBy("day", "hr")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tileCarry = tileAgg
+          .withColumn("tile_carry",
+            coalesce(sum("s_tile").over(wTile), lit(0L)))
+          .select("day", "hr", "tile_carry")
+        val dayCarry = tileAgg.groupBy("day")
+          .agg(sum("s_tile").as("s_day"))
+          .withColumn("carry_in",
+            coalesce(sum("s_day").over(Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("day", "carry_in")
+        val ws = Window.partitionBy("day", "hr").orderBy("t", "delta")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        bounds.withColumn("run", sum("delta").over(ws))
+        bounds.withColumn("run_in_tile", sum("delta").over(ws))
+          .join(broadcast(tileCarry), Seq("day", "hr"))
           .groupBy("day")
-          .agg(max("run").as("peak_in_day"),
+          .agg(max(col("tile_carry") + col("run_in_tile")).as("peak_concurrent"),
             sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
-          .join(broadcast(carry), "day")
-          .select(col("day"), col("n_starts"),
-            col("carry_in"),
-            (col("carry_in") + col("peak_in_day")).as("peak_concurrent"))
+          .join(broadcast(dayCarry), "day")
+          .select(col("day"), col("n_starts"), col("carry_in"),
+            col("peak_concurrent"))
       },
       Some("""
         WITH seq AS (

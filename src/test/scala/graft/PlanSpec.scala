@@ -263,6 +263,17 @@ class PlanSpec extends SparkSpec {
       s"per-partition window missing:\n$p")
   }
 
+  test("events_peak_concurrency: sweep shards by hour tile; carry-in is a prefix, not an interval join") {
+    val p = plan("events_peak_concurrency")
+    // r11: the within-day sweep partitions by (day, hr) so a hot day
+    // shards over its 24 tiles, and the carry-in comes from per-tile
+    // delta prefixes — the |sess|·|days| BroadcastNestedLoopJoin is gone
+    assert("windowspecdefinition\\(day#\\d+, hr#\\d+".r.findAllIn(p).nonEmpty,
+      s"hour-tile window missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"carry-in interval join resurfaced:\n$p")
+  }
+
   test("ranked-prefix consumers: every data-proportional ordered pass is two-phase") {
     // r11 (the r10 verdict's top item): these four ran global
     // Window.orderBy over data-proportional frames — equi-depth money
