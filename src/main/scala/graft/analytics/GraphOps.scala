@@ -1,0 +1,50 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives shared by the graph_* queries and their
+  * planted-structure specs.
+  *
+  * Reference anchor: the reference computes nothing graph-shaped (its
+  * 190 Python lines forward opaque CDC items); this file exists for the
+  * north-star analytics surface.
+  */
+object GraphOps {
+
+  /** Deterministic SYNCHRONOUS label propagation over an undirected
+    * edge list (u, v): every node starts with label = its own id; each
+    * round every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label (cnt DESC, label ASC
+    * under row_number — a total order, so rounds are replayable SQL).
+    * `rounds` is FIXED (no fixpoint probe): synchronous LPA can
+    * oscillate on bipartite structure, and a data-dependent stop would
+    * make the oracle non-replayable — the unrolled-iterations
+    * discipline used by BPE/Lloyd/perceptron training.
+    *
+    * Scale shape: each round is one equi-join of the both-direction
+    * edge list with the label table + one (node, label) hash-agg + one
+    * node-partitioned window — per-round O(|edges|), shards on node
+    * keys at any scale; nothing is driver-side and round count is a
+    * constant. Isolated nodes never appear (they have no edges and LPA
+    * over an edge list cannot move them off their own label anyway).
+    *
+    * Returns (n, label).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val both = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+    var labels = both.select(col("a").as("n")).distinct()
+      .select(col("n"), col("n").as("label"))
+    val w = Window.partitionBy("a").orderBy(col("cnt").desc, col("label"))
+    for (_ <- 1 to rounds)
+      labels = both
+        .join(labels.withColumnRenamed("n", "b"), "b")
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a").as("n"), col("label"))
+    labels
+  }
+}

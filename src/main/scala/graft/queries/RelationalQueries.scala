@@ -2811,6 +2811,67 @@ object RelationalQueries {
                  AS BIGINT) * 1000000 // (4 * MAX(m.m) * MAX(m.m)) AS q_ppm
         FROM sizes, m""")),
 
+    // ───── community DETECTION (r11) — graph_modularity SCORES a given
+    // partition; this FINDS one: deterministic synchronous label
+    // propagation (Raghavan et al. 2007's LPA, made replayable) over
+    // the part co-purchase graph — 4 fixed rounds, most-frequent
+    // neighbor label, ties to the smallest label (a total order). The
+    // oracle replays the unrolled rounds declaratively (the
+    // BPE/Lloyd/perceptron unrolled-iterations discipline), so the
+    // whole trajectory is hash-gated, not just a quality bound.
+    // Per-round cost is one edge-list equi-join + one (node, label)
+    // hash-agg + one node-partitioned window — O(|edges|) per round,
+    // round count constant; shards on node keys at 100 TB. Output: the
+    // community-size histogram with min/sum node checksums.
+    QuerySpec(
+      "graph_communities",
+      (s, d) => {
+        graft.analytics.GraphOps
+          .labelPropagation(coPurchaseEdges(s, d), rounds = 4)
+          .groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min("n").as("min_node"), sum("n").as("node_sum"))
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        both_e AS (
+          SELECT u AS a, v AS b FROM edges
+          UNION ALL SELECT v AS a, u AS b FROM edges),
+        l0 AS (SELECT DISTINCT a AS n, a AS label FROM both_e),
+        l1 AS (SELECT a AS n, label FROM (
+            SELECT e.a, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY e.a
+                     ORDER BY COUNT(*) DESC, l.label) AS rn
+            FROM both_e e JOIN l0 l ON l.n = e.b GROUP BY e.a, l.label) r
+          WHERE rn = 1),
+        l2 AS (SELECT a AS n, label FROM (
+            SELECT e.a, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY e.a
+                     ORDER BY COUNT(*) DESC, l.label) AS rn
+            FROM both_e e JOIN l1 l ON l.n = e.b GROUP BY e.a, l.label) r
+          WHERE rn = 1),
+        l3 AS (SELECT a AS n, label FROM (
+            SELECT e.a, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY e.a
+                     ORDER BY COUNT(*) DESC, l.label) AS rn
+            FROM both_e e JOIN l2 l ON l.n = e.b GROUP BY e.a, l.label) r
+          WHERE rn = 1),
+        l4 AS (SELECT a AS n, label FROM (
+            SELECT e.a, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY e.a
+                     ORDER BY COUNT(*) DESC, l.label) AS rn
+            FROM both_e e JOIN l3 l ON l.n = e.b GROUP BY e.a, l.label) r
+          WHERE rn = 1)
+        SELECT label AS community, COUNT(*) AS n_nodes,
+               CAST(MIN(n) AS BIGINT) AS min_node,
+               CAST(SUM(n) AS BIGINT) AS node_sum
+        FROM l4 GROUP BY 1""")),
+
     // ───── triangle counting via degree orientation (r9): the third
     // graph-analytics operator next to components (connectivity) and
     // PageRank (centrality) — triangles are the local-clustering /

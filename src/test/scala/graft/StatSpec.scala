@@ -522,6 +522,22 @@ class StatSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("graph_communities: LPA recovers a planted two-clique structure") {
+    import spark.implicits._
+    // two 6-cliques bridged by a single edge — LPA must converge each
+    // clique to one label and keep the cliques apart
+    val c1 = 1L to 6L
+    val c2 = 11L to 16L
+    def clique(ns: Seq[Long]) = for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(c1) ++ clique(c2) :+ (6L, 11L)).toDF("u", "v")
+    val labels = graft.analytics.GraphOps.labelPropagation(edges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (c1 ++ c2).toSet)
+    assert(c1.map(labels).toSet.size == 1, s"clique 1 split: $labels")
+    assert(c2.map(labels).toSet.size == 1, s"clique 2 split: $labels")
+    assert(labels(1L) != labels(16L), s"cliques merged: $labels")
+  }
+
   test("RankedPrefix: rank/running-sum/ntile equal the single-task window forms") {
     // the two-phase machinery must be VALUE-identical to the bare global
     // window it replaces, across remainder shapes (n mod b ∈ {0, …}) and
