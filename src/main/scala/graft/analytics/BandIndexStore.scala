@@ -1,0 +1,176 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.SnapshotStore
+
+/** Persisted MinHash BAND INDEX — the text dual of [[VectorIndexStore]]
+  * (r11, VERDICT r10 item 4): the existing corpus's LSH band index
+  * lives in SnapshotStore targets instead of being recomputed by every
+  * incremental-dedup run, and a daily crawl increment streams in
+  * through a checkpointed ingest sink.
+  *
+  * Two targets, the trained-artifact discipline:
+  *   - META: one row freezing the banding PLAN (rows-per-band, bands,
+  *     and the corpus count it derives from). The plan is corpus-size-
+  *     derived at BUILD time and frozen thereafter — later increments
+  *     must band exactly like the index they probe, or bucket keys
+  *     never collide (the quantizer-freeze argument of
+  *     [[VectorIndexStore.train]]).
+  *   - BANDS: one LWW row per (doc_id, band) holding the band's bucket
+  *     key. A re-ingested (updated) document supersedes its old band
+  *     rows per key; row count is |docs|·bands, ~40 B of payload each.
+  *
+  * Probing is an equi-join on (band, bkey) between the increment's
+  * bands and [[readIndex]] — old×new only, never old×old; exact-verify
+  * then runs on shingle sets exactly as the in-query pipeline, so the
+  * persisted form is provably the same pair set
+  * (`dedup_incremental_persisted` holds that equality under the
+  * DuckDB oracle; BandIndexSpec holds the maintenance story: chunked
+  * streamed ingest + checkpoint restart ≡ one-shot build).
+  */
+object BandIndexStore {
+
+  private val metaSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("rpb INT, nbands INT, n BIGINT")
+  private val bandSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("bkey STRING")
+
+  /** Distinct shingle-hash sets of a (doc_id, text) frame — the
+    * [[graft.functions.SignatureFunctions]] chain every dedup query
+    * uses; docs under 3 words carry no shingles and drop out.
+    */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.SignatureFunctions.shingleHash40(
+          graft.functions.TextHashFunctions.wordHash40(col("text"))).as("hs"))
+
+  /** Freeze the banding plan for a corpus of `corpusSize` docs into the
+    * meta target. One control-plane row.
+    */
+  def train(spark: SparkSession, corpusSize: Long, metaTarget: String): Unit = {
+    val (nBands, rpb) = Corpus.minhashBandPlan(corpusSize)
+    import spark.implicits._
+    SnapshotStore.mergeIntoTarget(spark, metaTarget,
+      Seq(("plan", "PUT", "0000000001",
+        s"""{"rpb":$rpb,"nbands":$nBands,"n":$corpusSize}"""))
+        .toDF("keys", "op", "sequenceNumber", "newImage"), 0L)
+  }
+
+  /** The frozen plan: (nBands, rowsPerBand). */
+  def readMeta(spark: SparkSession, metaTarget: String): (Int, Int) = {
+    val rows = SnapshotStore.readTarget(spark, metaTarget)
+      .filter(col("keys") === "plan")
+      .select(from_json(col("newImage"), metaSchema).as("m"))
+      .select(col("m.nbands"), col("m.rpb"))
+      .collect()
+    require(rows.nonEmpty, s"no band plan at '$metaTarget' — run train first")
+    (rows(0).getInt(0), rows(0).getInt(1))
+  }
+
+  /** Band a (doc_id, text) frame under a frozen plan:
+    * (doc_id, band, bkey). Pure per-row map + a bands-way posexplode —
+    * no shuffle, O(|docs|·bands).
+    */
+  def bandRows(docs: DataFrame, nBands: Int, rpb: Int): DataFrame =
+    shingleSets(docs)
+      .select(col("doc_id"),
+        graft.functions.SignatureFunctions.minHash12(col("hs")).as("mh"))
+      .select(col("doc_id"),
+        posexplode(Corpus.bandKeysExpr(nBands, rpb)).as(Seq("band", "bkey")))
+
+  private def encode(docs: DataFrame, nBands: Int, rpb: Int,
+                     seqBase: String): DataFrame =
+    bandRows(docs, nBands, rpb)
+      .select(
+        concat_ws("#", col("doc_id").cast("string"),
+          col("band").cast("string")).as("keys"),
+        lit("PUT").as("op"),
+        lit(seqBase).as("sequenceNumber"),
+        to_json(struct(col("bkey"))).as("newImage"))
+
+  /** Add one batch of documents (doc_id, text) to the bands target,
+    * banded under the persisted plan. Later batches supersede earlier
+    * rows for the same (doc_id, band) — LWW by batch seq.
+    */
+  def appendBatch(spark: SparkSession, docs: DataFrame, metaTarget: String,
+                  bandsTarget: String, batchId: Long): Unit = {
+    val (nBands, rpb) = readMeta(spark, metaTarget)
+    SnapshotStore.mergeIntoTarget(spark, bandsTarget,
+      encode(docs, nBands, rpb, seqBase = f"sb$batchId%012d"), batchId)
+  }
+
+  /** Incremental maintenance from the crawl stream: each micro-batch of
+    * (doc_id, text) rows bands against the FROZEN plan and merges into
+    * the bands target. Checkpointed; replays fold idempotently through
+    * the store's LWW merge (BandIndexSpec drives a mid-drain restart).
+    */
+  def ingestSink(newDocs: DataFrame, metaTarget: String, bandsTarget: String,
+                 checkpoint: String,
+                 trigger: org.apache.spark.sql.streaming.Trigger =
+                   org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the frozen plan is read ONCE at stream start, not per batch
+    lazy val plan = readMeta(newDocs.sparkSession, metaTarget)
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (nBands, rpb) = plan
+        SnapshotStore.mergeIntoTarget(batch.sparkSession, bandsTarget,
+          encode(batch, nBands, rpb, seqBase = f"sb$batchId%012d"), batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The persisted band index as the probe target: (doc_id, band, bkey). */
+  def readIndex(spark: SparkSession, bandsTarget: String): DataFrame =
+    SnapshotStore.readTarget(spark, bandsTarget)
+      .select(split(col("keys"), "#").as("kk"),
+        from_json(col("newImage"), bandSchema).as("b"))
+      .select(element_at(col("kk"), 1).cast("bigint").as("doc_id"),
+        element_at(col("kk"), 2).cast("int").as("band"),
+        col("b.bkey").as("bkey"))
+
+  // ── per-(session, corpus) memoized build for the oracle query ──────
+  // dedup_incremental_persisted needs a built index per testdata dir;
+  // the build is deterministic (integer signature chain + frozen plan),
+  // so building once per session per dir and probing it yields exactly
+  // the in-query formulation's pairs.
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  /** Train on the full-corpus count + bulk-add the EXISTING (original)
+    * docs into fresh temp store targets, once per (session, dir);
+    * returns (metaTarget, bandsTarget). The plan derives from the same
+    * corpus count the in-query `bandsOf` uses, so bucket keys agree by
+    * construction.
+    */
+  def ensureBuilt(s: SparkSession, d: String): (String, String) =
+    built.synchronized {
+      val app = s.sparkContext.applicationId
+      built.keySet.removeIf(_._1 != app)
+      val k = (app, d)
+      val got = built.get(k)
+      if (got != null) got
+      else {
+        val meta = java.nio.file.Files.createTempDirectory("graft-bidx-meta")
+          .toFile.getAbsolutePath
+        val bands = java.nio.file.Files.createTempDirectory("graft-bidx-bands")
+          .toFile.getAbsolutePath
+        train(s, Corpus.corpusDocCount(s, d), meta)
+        appendBatch(s,
+          Corpus.docsWithNearDups(s, d)
+            .filter(col("doc_id") < Corpus.VariantOffset)
+            .select("doc_id", "text"),
+          meta, bands, batchId = 1L)
+        built.put(k, (meta, bands))
+        (meta, bands)
+      }
+    }
+}

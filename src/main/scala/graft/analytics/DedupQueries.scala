@@ -654,6 +654,47 @@ object DedupQueries {
         SELECT doc_a, doc_b, jaccard FROM mpairs
         WHERE doc_a < ${Corpus.VariantOffset} AND doc_b >= ${Corpus.VariantOffset}""")),
 
+    // ───── incremental dedup against the PERSISTED band index (r11):
+    // the production form of dedup_incremental — the existing corpus's
+    // band index is a durable SnapshotStore target (built once,
+    // maintained by BandIndexStore.ingestSink as crawls land), so the
+    // daily increment probes stored (band, bkey) rows instead of
+    // recomputing the corpus side's signatures. The banding plan is
+    // FROZEN in the index meta (the quantizer-freeze discipline), the
+    // increment bands under that frozen plan, and the old×new bucket
+    // join + exact Jaccard verify are unchanged — provably the same
+    // pair set as the in-query form, which is what the oracle selects.
+    QuerySpec(
+      "dedup_incremental_persisted",
+      (s, d) => {
+        val off = Corpus.VariantOffset
+        val (metaT, bandsT) = BandIndexStore.ensureBuilt(s, d)
+        val (nBands, rpb) = BandIndexStore.readMeta(s, metaT)
+        val idx = BandIndexStore.readIndex(s, bandsT)
+        val newBands = BandIndexStore.bandRows(
+          Corpus.docsWithNearDups(s, d).filter(col("doc_id") >= off)
+            .select("doc_id", "text"), nBands, rpb)
+        val hsets = hsetsOf(s, d)
+        val cand = idx.as("a")
+          .join(newBands.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .dropDuplicates()
+        cand
+          .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+          .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+          .withColumn("jaccard", expr(
+            "cast(size(array_intersect(hs_a, hs_b)) as double) / size(array_union(hs_a, hs_b))"))
+          .filter(col("jaccard") >= 0.4)
+          .select("doc_a", "doc_b", "jaccard")
+      },
+      Some(s"""
+        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $minhashPairsCtes
+        SELECT doc_a, doc_b, jaccard FROM mpairs
+        WHERE doc_a < ${Corpus.VariantOffset} AND doc_b >= ${Corpus.VariantOffset}""")),
+
     // ───── cluster-size histogram over the near-dup components — the
     // one-page dedup report: how many pairs, triples, N-way mirror
     // groups a corpus carries (the number that decides whether near-dup
