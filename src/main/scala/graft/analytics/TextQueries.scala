@@ -259,6 +259,114 @@ object TextQueries {
           FROM w0),$iters"""
   }
 
+  // ── unigram LM tokenizer (r11): trainer for text_unigram_train /
+  // text_unigram_tokenize — the SentencePiece-style companion to BPE.
+  // Position-lattice EM, honestly simplified for exact cross-engine
+  // replay: full SentencePiece runs forward-backward over CONSISTENT
+  // segmentations; here every word position's outgoing arcs (its
+  // 1..3-char prefixes at that position) compete as a mixture, the
+  // E-step assigns integer per-mille responsibilities r = s(p)·1000
+  // div Σ s(q) over the arcs at that (word, position), and the M-step
+  // re-scores each piece as the occurrence-weighted responsibility
+  // mass. Fixed 3 iterations, no filtering after init, every step
+  // integer — the Lloyd/BPE/perceptron unrolled-iterations discipline.
+  // Scale shape: per iteration one arcs⋈scores equi-join + one (w, i)
+  // window over ≤3-row partitions + one piece hash-agg — O(|arcs|)
+  // per round, |arcs| ≤ 3·corpus chars; responsibility mass keeps
+  // scores ≤ 3000·total_chars < 2⁶³ through 10¹⁵ chars.
+  private val UniIters = 3
+  private val UniVocab = 24
+
+  /** Candidate arcs (w, cnt, i, piece): every 1..3-char substring at
+    * every position of every distinct word, occurrence-weighted.
+    */
+  private def uniArcs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Corpus.cached(s, d, "uniArcs") {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("w"), col("cnt"), explode(expr(
+          """flatten(transform(sequence(1, length(w)),
+               i -> transform(sequence(1, least(3, length(w) - i + 1)),
+                      j -> named_struct('i', i, 'piece', substring(w, i, j)))))"""))
+          .as("a"))
+        .select(col("w"), col("cnt"), col("a.i").as("i"), col("a.piece").as("piece"))
+    }
+
+  /** Final piece scores after the fixed EM rounds. Candidates: pieces
+    * with weighted occurrence ≥ 5, plus every single char (coverage —
+    * each position always has ≥ 1 live arc, so no denominator is 0;
+    * greatest(den, 1) guards the rounding-to-zero corner anyway).
+    */
+  private def uniScores(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val arcs = uniArcs(s, d)
+    var scores = arcs.groupBy("piece").agg(sum("cnt").as("score"))
+      .filter(col("score") >= 5 || length(col("piece")) === 1)
+    for (_ <- 1 to UniIters)
+      scores = arcs.join(scores, "piece")
+        .withColumn("den", sum("score").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("w", "i")))
+        .withColumn("r", expr("score * 1000 div greatest(den, 1)"))
+        .groupBy("piece").agg(sum(expr("cnt * r")).as("score"))
+    scores
+  }
+
+  private val uniVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(String, Int, Long)]]()
+
+  /** The trained vocab (piece, len, score): top-[[UniVocab]] multi-char
+    * pieces under the (score DESC, piece) total order — one bounded
+    * driver pull, memoized per (session, corpus) so tokenize applies
+    * exactly what train emits.
+    */
+  private def uniVocab(s: org.apache.spark.sql.SparkSession,
+                       d: String): Seq[(String, Int, Long)] =
+    uniVocabCache.synchronized {
+      val app = s.sparkContext.applicationId
+      uniVocabCache.keySet.removeIf(_._1 != app)
+      uniVocabCache.computeIfAbsent((app, d), _ =>
+        uniScores(s, d)
+          .filter(length(col("piece")) >= 2)
+          .orderBy(col("score").desc, col("piece"))
+          .limit(UniVocab)
+          .select(col("piece"), length(col("piece")).cast("int").as("len"),
+            col("score"))
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq)
+    }
+
+  /** Oracle CTEs: arcs + the unrolled EM rounds, yielding s0..s3 — the
+    * SQL mirror of [[uniScores]].
+    */
+  private def uniTrainCtesSql: String = {
+    val iters = (1 to UniIters).map { t =>
+      s"""
+        e$t AS (
+          SELECT a.piece, a.cnt,
+                 s.score * 1000 // greatest(SUM(s.score)
+                   OVER (PARTITION BY a.w, a.i), 1) AS r
+          FROM arcs a JOIN s${t - 1} s ON s.piece = a.piece),
+        s$t AS (
+          SELECT piece, CAST(SUM(cnt * r) AS BIGINT) AS score
+          FROM e$t GROUP BY piece)"""
+    }.mkString(",")
+    s"""w0 AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY w),
+        arcs AS (
+          SELECT w, cnt, a.i AS i, a.piece AS piece
+          FROM (SELECT w, cnt,
+                       unnest(flatten(list_transform(range(1, len(w) + 1),
+                         i -> list_transform(range(1, least(3, len(w) - i + 1) + 1),
+                                j -> {'i': i, 'piece': substr(w, i::INT, j::INT)}))))
+                         AS a
+                FROM w0)),
+        s0 AS (
+          SELECT piece, CAST(SUM(cnt) AS BIGINT) AS score
+          FROM arcs GROUP BY piece
+          HAVING SUM(cnt) >= 5 OR len(piece) = 1),$iters"""
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // ───── token statistics: whitespace tokens + a BPE-ish length/4
@@ -1234,6 +1342,101 @@ object TextQueries {
         FROM docw JOIN wordtok USING (w)
         GROUP BY doc_id"""
       }),
+
+    // ───── unigram-LM tokenizer TRAINING (r11): the SentencePiece-style
+    // trainer next to BPE — position-lattice EM over 1..3-char candidate
+    // pieces with integer per-mille responsibilities, 3 fixed rounds
+    // (see the uniScores doc for the honest simplification vs full
+    // forward-backward). The oracle replays the unrolled rounds, so the
+    // entire training trajectory is hash-gated; emitted rows are the
+    // vocab a tokenizer ships (piece, len, final score).
+    QuerySpec(
+      "text_unigram_train",
+      (s, d) => uniScores(s, d)
+        .filter(length(col("piece")) >= 2)
+        .orderBy(col("score").desc, col("piece"))
+        .limit(UniVocab)
+        .select(col("piece"), length(col("piece")).cast("int").as("len"),
+          col("score")),
+      Some(s"""
+        WITH $uniTrainCtesSql
+        SELECT piece, CAST(len(piece) AS INTEGER) AS len, score
+        FROM s$UniIters WHERE len(piece) >= 2
+        ORDER BY score DESC, piece LIMIT $UniVocab""")),
+
+    // ───── unigram-LM tokenization (r11): APPLY the trained vocab with
+    // greedy longest-match — per word, walk left to right trying a
+    // 3-char then 2-char vocab piece at the cursor, else consume one
+    // char; token count per document is the sum over its words. The
+    // walk is a bounded fold over word positions (Spark `aggregate` /
+    // DuckDB `list_reduce` with a [pos, count] state — same 1-based
+    // substring semantics both sides), the vocab rides as a ≤24-entry
+    // literal IN-list (a driver pull of the train query's own output,
+    // memoized). Pure per-row map — no shuffle, no join, O(chars).
+    QuerySpec(
+      "text_unigram_tokenize",
+      (s, d) => {
+        val vocab = uniVocab(s, d)
+        def inList(xs: Seq[String]) =
+          if (xs.isEmpty) "(' ')"
+          else xs.map(p => s"'${p.replace("'", "''")}'")
+            .mkString("(", ", ", ")")
+        val v3 = inList(vocab.filter(_._2 == 3).map(_._1))
+        val v2 = inList(vocab.filter(_._2 == 2).map(_._1))
+        Tables.documents(s, d).select(col("doc_id"),
+          expr("size(split(text, ' '))").cast("long").as("n_words"),
+          expr(s"""aggregate(
+              transform(split(text, ' '), w ->
+                aggregate(sequence(1, length(w)),
+                  named_struct('pos', 1, 'cnt', 0L),
+                  (acc, i) -> if(i = acc.pos,
+                    named_struct(
+                      'pos', acc.pos + (case
+                        when substring(w, acc.pos, 3) in $v3 then 3
+                        when substring(w, acc.pos, 2) in $v2 then 2
+                        else 1 end),
+                      'cnt', acc.cnt + 1L),
+                    acc)).cnt),
+              0L, (a, x) -> a + x)""").as("n_tokens"))
+      },
+      // the oracle re-derives the SAME vocab from its replayed training
+      // (no literal leak of engine output into the oracle) and runs the
+      // greedy walk as a RECURSIVE CTE over (doc, word-index) states —
+      // plain SQL, because DuckDB 1.0's list_reduce misaligns any
+      // non-literal value captured by its lambda across vectorized rows
+      // (measured: the same word got different token counts in
+      // different rows), so the fold form is un-oracle-able
+      Some(s"""
+        WITH RECURSIVE $uniTrainCtesSql,
+        vocab AS (
+          SELECT piece, len(piece) AS l FROM (
+            SELECT piece, score FROM s$UniIters WHERE len(piece) >= 2
+            ORDER BY score DESC, piece LIMIT $UniVocab)),
+        docw AS (
+          SELECT doc_id, u.wi AS wi, u.w AS w
+          FROM (SELECT doc_id,
+                       unnest([{'wi': i, 'w': ws[i]}
+                               for i in range(1, len(ws) + 1)]) AS u
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents))),
+        walk(doc_id, wi, w, pos, cnt) AS (
+          SELECT doc_id, wi, w, 1, 0 FROM docw
+          UNION ALL
+          SELECT doc_id, wi, w, pos + CASE
+                   WHEN substr(w, pos, 3) IN
+                     (SELECT piece FROM vocab WHERE l = 3) THEN 3
+                   WHEN substr(w, pos, 2) IN
+                     (SELECT piece FROM vocab WHERE l = 2) THEN 2
+                   ELSE 1 END,
+                 cnt + 1
+          FROM walk WHERE pos <= len(w)),
+        wt AS (SELECT doc_id, wi, MAX(cnt) AS c FROM walk GROUP BY 1, 2)
+        SELECT w0.doc_id, w0.n_words, t.n_tokens
+        FROM (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+              FROM documents) w0
+        JOIN (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens
+              FROM wt GROUP BY doc_id) t ON t.doc_id = w0.doc_id""")),
 
     // ───── repeated-span duplication profile (r8): per document, how
     // many of its tokens sit inside a ≥10-token span that also appears
