@@ -63,7 +63,8 @@ object VectorIndexStore {
     */
   def train(spark: SparkSession, base: DataFrame, metaTarget: String,
             k: Int = SimilarityQueries.TrainedK,
-            iters: Int = SimilarityQueries.TrainedIters): Unit = {
+            iters: Int = SimilarityQueries.TrainedIters,
+            generation: Long = 1L): Unit = {
     val cents = Clustering.kmeansSpherical(spark, base, k, iters)
     val bounds = base
       .select(posexplode(col("qv")).as(Seq("i", "x")))
@@ -73,14 +74,33 @@ object VectorIndexStore {
     def arrJson(xs: Seq[Long], cnn: Long): String =
       s"""{"comps":[${xs.mkString(",")}],"cnn":$cnn}"""
     import spark.implicits._
+    // generation stamps the LWW sequence: a later generation's meta rows
+    // supersede an earlier quantizer's (the drift-retrain path)
+    val seq = f"$generation%010d"
     val rows =
       cents.map { case (cid, cv, cnn) =>
-        (s"cent_$cid", "PUT", "0000000001", arrJson(cv.toSeq, cnn))
+        (s"cent_$cid", "PUT", seq, arrJson(cv.toSeq, cnn))
       } ++ Seq(
-        ("mn", "PUT", "0000000001", arrJson(bounds.map(_._2).toSeq, 0L)),
-        ("mx", "PUT", "0000000001", arrJson(bounds.map(_._3).toSeq, 0L)))
+        ("mn", "PUT", seq, arrJson(bounds.map(_._2).toSeq, 0L)),
+        ("mx", "PUT", seq, arrJson(bounds.map(_._3).toSeq, 0L)))
     SnapshotStore.mergeIntoTarget(spark, metaTarget,
-      rows.toSeq.toDF("keys", "op", "sequenceNumber", "newImage"), 0L)
+      rows.toSeq.toDF("keys", "op", "sequenceNumber", "newImage"), generation - 1L)
+  }
+
+  /** Drift-triggered RETRAIN (r11, VERDICT r10 item 6): freeze a NEW
+    * quantizer generation on `corpus` (vec_id, qv, nn) and re-encode
+    * `corpus` into the same targets. LWW supersession keeps search
+    * AVAILABLE throughout — readers resolve whatever meta+codes rows
+    * have landed (mid-retrain a reader may briefly decode old codes
+    * under new bounds: degraded accuracy, never an error or an empty
+    * index; the codes re-encode then supersedes per key). Post-retrain
+    * recall on the drifted distribution recovers — VectorIndexSpec's
+    * drift-alarm → retrain → recall case measures it.
+    */
+  def retrain(spark: SparkSession, corpus: DataFrame, metaTarget: String,
+              codesTarget: String, generation: Long, batchId: Long): Unit = {
+    train(spark, corpus, metaTarget, generation = generation)
+    appendBatch(spark, corpus, metaTarget, codesTarget, batchId)
   }
 
   /** The persisted quantizer: (centroids, mn bounds, mx bounds). */

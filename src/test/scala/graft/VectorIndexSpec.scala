@@ -164,4 +164,95 @@ class VectorIndexSpec extends SparkSpec {
     assert(stats.codeBytes === n * 64)
     assert(stats.cells > 1 && stats.minCell >= 1 && stats.maxCell < n)
   }
+
+  test("drift alarm triggers retrain; recall@3 on the drifted stream recovers; search stays available") {
+    import spark.implicits._
+    val dim = 8
+    val meta = tmp("vret-meta"); val codes = tmp("vret-codes")
+    val sdir = tmp("vret-state"); val ckpt = tmp("vret-ckpt")
+    val din = tmp("vret-din")
+
+    // planted two-regime corpus: the BASE cloud varies along u1
+    // (dims 0..3), the DRIFTED cloud along the orthogonal u2
+    // (dims 4..7) — a quantizer trained on base puts all its centroid
+    // variety and tight SQ8 bounds in the u1 subspace, so drifted
+    // vectors collapse into few cells with clamped codes
+    val rng = new scala.util.Random(7)
+    def planted(u: Array[Double], n: Int, from: Long) = (0 until n).map { k =>
+      val t = rng.nextGaussian() * 40
+      (from + k, (0 until dim).map(i =>
+        math.floor(t * u(i) + rng.nextGaussian() * 3).toLong + 1000L).toSeq)
+    }
+    val u1 = Array(5.0, -3.0, 4.0, 1.0, 0.0, 0.0, 0.0, 0.0)
+    val u2 = Array(0.0, 0.0, 0.0, 0.0, 3.0, 5.0, -2.0, 7.0)
+    val baseRows = planted(u1, 400, 0L)
+    val driftRows = planted(u2, 400, 100000L)
+    def qframe(rows: Seq[(Long, Seq[Long])]) = rows.toDF("vec_id", "qv")
+      .withColumn("nn", org.apache.spark.sql.functions
+        .expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+    val base = qframe(baseRows)
+    val drifted = qframe(driftRows)
+    val full = qframe(baseRows ++ driftRows)
+
+    // generation 1: train on base, index base, then the drifted batch
+    // arrives and is encoded under the FROZEN (now-wrong) quantizer
+    VectorIndexStore.train(spark, base, meta)
+    VectorIndexStore.appendBatch(spark, base, meta, codes, 1L)
+    VectorIndexStore.appendBatch(spark, drifted, meta, codes, 2L)
+
+    val queries = qframe(driftRows.take(10))
+    def recall3(): Int = {
+      val truth = graft.analytics.SimilarityQueries.topKPerProbe(
+        full.crossJoin(broadcast(queries.select(
+            col("vec_id").as("query_id"), col("qv").as("q_qv"),
+            col("nn").as("q_nn"))))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            graft.analytics.Corpus.dotCol("qv", "q_qv").as("dot"),
+            col("nn").as("na"), col("q_nn").as("nb")), 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = graft.analytics.SimilarityQueries.topKPerProbe(
+        VectorIndexStore.searchPairs(spark, queries, full, meta, codes, 3), 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth intersect got).size
+    }
+    val recallBefore = recall3()
+
+    // the drift monitor watches the arriving stream against the frozen
+    // baseline axis and fires the retrain callback when it rotates
+    val baseline = graft.analytics.Pca.dominantAxis(
+      graft.analytics.Pca.shifted(base), dim)
+    drifted.select("vec_id", "qv").coalesce(1).write.mode("append").parquet(din)
+    val schema = spark.read.parquet(din).schema
+    val alarms = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = graft.streaming.StreamingVectorDrift.maintainWithAlarm(
+      graft.analytics.Pca.shifted(
+        spark.readStream.schema(schema).parquet(din)),
+      dim, sdir, ckpt, baseline, thresholdPpm = 500000L,
+      onAlarm = _ => {
+        alarms.incrementAndGet()
+        // the wired response: new quantizer generation on the CURRENT
+        // corpus + re-encode into the same targets (LWW supersession)
+        VectorIndexStore.retrain(spark, full, meta, codes,
+          generation = 2L, batchId = 9L)
+      })
+    q.awaitTermination(120000)
+    assert(alarms.get() === 1, "orthogonal drift stream must trip the alarm once")
+
+    // search stayed available and got BETTER: the same queries against
+    // the same targets, now under the generation-2 quantizer
+    val recallAfter = recall3()
+    info(s"recall@3 over 10 drifted queries: $recallBefore/30 before retrain, $recallAfter/30 after")
+    assert(recallAfter > recallBefore,
+      s"retrain did not improve drifted recall: $recallBefore -> $recallAfter")
+    assert(recallAfter >= 24, // ≥80% of the 30 true neighbors
+      s"post-retrain recall@3 too low: $recallAfter/30 (before: $recallBefore)")
+
+    // the meta target resolves to exactly one generation's artifacts
+    // (k centroids + 2 bounds rows — gen-2 rows superseded gen-1's)
+    assert(graft.streaming.SnapshotStore.readTarget(spark, meta).count() ===
+      graft.analytics.SimilarityQueries.TrainedK + 2L)
+  }
 }
