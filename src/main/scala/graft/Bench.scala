@@ -58,7 +58,21 @@ object Bench {
     // Two full passes, min per query: an ambient machine-load spike during
     // one pass (the BENCH_r04 failure mode — a 0.8 s query recorded as
     // 144 s) cannot contaminate the reported number unless it spans both.
-    val names = picked.keys.toSeq
+    //
+    // Deterministic timing ORDER (r11): Map iteration order made the
+    // attribution of shared cached stages ordering luck — whichever
+    // triCommon consumer hashed first paid the triangle-engine build
+    // (graph_edge_jaccard recorded 4.8 s in r10 vs ~1.8 s isolated).
+    // Names are sorted, and the three engine consumers run FIRST with
+    // graph_triangles ahead: the engine build lands in the headline
+    // owner's slot every round, and the other two time warm — stable
+    // attribution, total still honest (the build is timed, once).
+    val names = {
+      val base = picked.keys.toSeq.sorted
+      val engine = Seq("graph_triangles", "graph_clustering_coeff",
+        "graph_edge_jaccard").filter(base.contains)
+      engine ++ base.filterNot(engine.toSet)
+    }
     val pass1 = names.map(n => n -> once(n, picked(n))).toMap
     val pass2 = names.map(n => n -> once(n, picked(n))).toMap
     val results = names.map { n =>
