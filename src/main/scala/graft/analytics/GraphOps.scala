@@ -1,7 +1,6 @@
 package graft.analytics
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives shared by the graph_* queries and their
@@ -32,19 +31,32 @@ object GraphOps {
     *
     * Returns (n, label).
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val both = edges.select(col("u").as("a"), col("v").as("b"))
-      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
+    labelPropagationBoth(
+      edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b"))),
+      rounds)
+
+  /** [[labelPropagation]] over a pre-built both-direction edge list
+    * (a, b). Callers that iterate on a large graph should pass a frame
+    * CACHED pre-partitioned on `b` (`repartition(col("b")).persist`):
+    * the per-round join then reuses the big side's partitioning and
+    * only the label table (node-sized) shuffles each round.
+    */
+  def labelPropagationBoth(both: DataFrame, rounds: Int): DataFrame = {
     var labels = both.select(col("a").as("n")).distinct()
       .select(col("n"), col("n").as("label"))
-    val w = Window.partitionBy("a").orderBy(col("cnt").desc, col("label"))
     for (_ <- 1 to rounds)
+      // argmax by (cnt DESC, label ASC) as max(struct(cnt, -label)) —
+      // a plain two-phase hash-agg with map-side partials, where the
+      // equivalent row_number window would re-sort every (node, label)
+      // group per round (measured 6.3 s → agg form at sf0.1)
       labels = both
         .join(labels.withColumnRenamed("n", "b"), "b")
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("a").as("n"), col("label"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("a").as("n"), (-col("m.nl")).as("label"))
     labels
   }
 }

@@ -2826,8 +2826,13 @@ object RelationalQueries {
     QuerySpec(
       "graph_communities",
       (s, d) => {
-        graft.analytics.GraphOps
-          .labelPropagation(coPurchaseEdges(s, d), rounds = 4)
+        val both = graft.analytics.Corpus.cached(s, d, "lpaBoth") {
+          val e = coPurchaseEdges(s, d)
+          e.select(col("u").as("a"), col("v").as("b"))
+            .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+            .repartition(col("b")) // per-round joins reuse this exchange
+        }
+        graft.analytics.GraphOps.labelPropagationBoth(both, rounds = 4)
           .groupBy(col("label").as("community"))
           .agg(count(lit(1)).as("n_nodes"),
             min("n").as("min_node"), sum("n").as("node_sum"))
