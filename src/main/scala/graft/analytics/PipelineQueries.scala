@@ -473,21 +473,20 @@ object PipelineQueries {
     // top 1% of keys hold. A top-heavy profile is the signal to salt
     // (ops/Salting) or lean on AQE skew handling; a flat one says plain
     // hash partitioning is fine. The data crosses ONE shuffle (the
-    // per-key count agg with map-side partials); the ranking windows run
-    // over the per-key COUNT table — key-cardinality-sized, not
-    // data-sized — and collapse to a single summary row.
+    // per-key count agg with map-side partials); the per-key COUNT
+    // table is key-cardinality-sized — which SCALES WITH DATA, so the
+    // ranking rides RankedPrefix's two-phase machinery (r11; the bare
+    // global window this query used through r10 was one task at any
+    // scale) and collapses to a single summary row.
     QuerySpec(
       "profile_key_skew",
       (s, d) => {
         val per = Tables.orders(s, d)
           .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n"))
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("k"))
-        val all_ = org.apache.spark.sql.expressions.Window
-          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-        per
-          .withColumn("r", row_number().over(w))
-          .withColumn("nk", count(lit(1)).over(all_))
-          .withColumn("total", sum(col("n")).over(all_))
+        graft.ops.RankedPrefix(s, d, "keySkew", per,
+            part = Nil, order = Seq(col("n").desc, col("k")),
+            rank = Some("r"),
+            totals = Seq(("nk", lit(1L)), ("total", col("n"))))
           .agg(
             max(col("nk")).as("n_keys"),
             max(col("total")).as("n_rows"),

@@ -283,7 +283,8 @@ class PlanSpec extends SparkSpec {
     // shape: a range exchange on the sort key and __rp_pid-partitioned
     // parallel windows over the data side.
     for (q <- Seq("profile_equidepth_hist", "agg_rfm_segments",
-                  "events_rfm_migration", "window_cume_dist")) {
+                  "events_rfm_migration", "window_cume_dist",
+                  "profile_key_skew")) {
       val p = plan(q)
       assert(p.contains("Exchange rangepartitioning"),
         s"$q: range repartition missing — ordered pass is single-task:\n$p")
@@ -292,13 +293,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("agg_mode/profile_key_skew: global windows consume group-cardinality inputs only") {
-    // these queries keep an empty-partition window BY DESIGN: their
-    // window input is a post-aggregation frame whose cardinality is the
-    // GROUP count (modes per group / one profile row), not the data —
-    // pin that an aggregate sits below the window so a refactor can't
-    // silently feed it data-sized input
-    for (q <- Seq("agg_mode", "profile_key_skew")) {
+  test("agg_mode: global windows consume group-cardinality inputs only") {
+    // this query keeps an empty-partition window BY DESIGN: its window
+    // input is a post-aggregation frame whose cardinality is the GROUP
+    // count (modes per group), not the data — pin that an aggregate
+    // sits below the window so a refactor can't silently feed it
+    // data-sized input. (profile_key_skew left this list in r11: its
+    // group count is CUSTOMER cardinality, which scales — it now rides
+    // RankedPrefix and is pinned in the two-phase test above.)
+    for (q <- Seq("agg_mode")) {
       val p = plan(q)
       val win = p.indexOf("Window")
       if (win >= 0) {
