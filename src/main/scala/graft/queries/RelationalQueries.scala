@@ -2877,6 +2877,72 @@ object RelationalQueries {
                CAST(SUM(n) AS BIGINT) AS node_sum
         FROM l4 GROUP BY 1""")),
 
+    // ───── link prediction via the resource-allocation index (r11):
+    // the recommender primitive over the co-purchase graph — score
+    // every NON-adjacent pair that shares a neighbor by
+    // RA(x,y) = Σ_{m ∈ N(x)∩N(y)} 1/deg(m) (Zhou et al. 2009), in
+    // exact ppm integers (Σ 1 000 000 div deg(m)). Candidates are
+    // 2-hop wedges, whose volume is Σ deg(m)² — quadratic at hubs (the
+    // r9 triangle lesson) — so middles are DEGREE-CAPPED at 64: a
+    // hub's per-middle RA contribution is < 15 625 ppm anyway (RA's
+    // 1/deg self-damping is exactly why the cap is principled — hubs
+    // connect everyone and predict nothing), and the cap bounds wedge
+    // fan-out per middle at a CONSTANT 64², making the stage linear in
+    // |edges| at any corpus size. The cap is part of the operator's
+    // declared semantics and the oracle applies the identical filter.
+    // Plan: per-middle self-join (equi-join on m, shards by middle),
+    // RA hash-agg, LEFT ANTI against the edge list (normalized x<y
+    // matches u<v), top-20 under the (score DESC, x, y) total order.
+    QuerySpec(
+      "graph_link_prediction",
+      (s, d) => {
+        val e = coPurchaseEdges(s, d)
+        val both = e.select(col("u").as("m"), col("v").as("b"))
+          .unionAll(e.select(col("v").as("m"), col("u").as("b")))
+        val dm = both.groupBy("m").agg(count(lit(1)).as("dm"))
+          .filter(col("dm") <= 64)
+        val small = both.join(dm, "m")
+        val wedges = small.as("l")
+          .join(small.as("r"),
+            col("l.m") === col("r.m") && col("l.b") < col("r.b"))
+          .select(col("l.b").as("x"), col("r.b").as("y"),
+            col("l.dm").as("dmid"))
+        wedges
+          .groupBy("x", "y")
+          .agg(sum(expr("1000000 div dmid")).as("ra_ppm"),
+            count(lit(1)).as("n_common"))
+          .join(e, col("x") === col("u") && col("y") === col("v"), "left_anti")
+          .orderBy(col("ra_ppm").desc, col("x"), col("y"))
+          .limit(20)
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        both_e AS (
+          SELECT u AS m, v AS b FROM edges
+          UNION ALL SELECT v AS m, u AS b FROM edges),
+        dm AS (
+          SELECT m, COUNT(*) AS dm FROM both_e GROUP BY m
+          HAVING COUNT(*) <= 64),
+        small AS (SELECT b.m, b.b, d.dm FROM both_e b JOIN dm d USING (m)),
+        wedges AS (
+          SELECT l.b AS x, r.b AS y, l.dm AS dmid
+          FROM small l JOIN small r ON l.m = r.m AND l.b < r.b),
+        scored AS (
+          SELECT x, y, CAST(SUM(1000000 // dmid) AS BIGINT) AS ra_ppm,
+                 COUNT(*) AS n_common
+          FROM wedges GROUP BY 1, 2),
+        nonedge AS (
+          SELECT s.* FROM scored s
+          LEFT JOIN edges e ON e.u = s.x AND e.v = s.y
+          WHERE e.u IS NULL)
+        SELECT x, y, ra_ppm, n_common FROM nonedge
+        ORDER BY ra_ppm DESC, x, y LIMIT 20""")),
+
     // ───── triangle counting via degree orientation (r9): the third
     // graph-analytics operator next to components (connectivity) and
     // PageRank (centrality) — triangles are the local-clustering /

@@ -118,6 +118,73 @@ object StatQueries {
                CAST(MAX(cd_ppm) AS BIGINT) AS cd_ppm_max
         FROM p GROUP BY 1, 2""")),
 
+    // ───── Theil–Sen robust trend (r11): the median of all pairwise
+    // slopes of daily revenue — the outlier-immune trend estimator (one
+    // flash-sale day wrecks an OLS slope; it moves the pairwise-slope
+    // MEDIAN by at most one position). Slopes in exact per-mille
+    // cents/day with EXPLICIT truncate-toward-zero division mirrored in
+    // both engines (negative slopes exist, and Spark's div truncates
+    // where DuckDB's // floors — the CASE makes them identical); the
+    // median is positional med2 (v[(n+1)/2] + v[(n+2)/2], no float .5)
+    // read off a per-value collapse + RankedPrefix running count. The
+    // pair stage is daily×daily — CALENDAR²-bounded (~2.4k days →
+    // ~2.9M pairs at ANY corpus size), the same constant-spine argument
+    // as the day-gapfill joins; everything upstream is one hash-agg
+    // over the fact table.
+    QuerySpec(
+      "events_theil_sen",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("rev"))
+        val pairs = daily.as("a").join(daily.as("b"),
+            col("a.day") < col("b.day"))
+          .select(expr(
+            """case when b.rev - a.rev >= 0
+               then ((b.rev - a.rev) * 1000) div datediff(b.day, a.day)
+               else -(((a.rev - b.rev) * 1000) div datediff(b.day, a.day))
+               end""").as("slope_pm"))
+        val byVal = pairs.groupBy("slope_pm").agg(count(lit(1)).as("n_i"))
+        graft.ops.RankedPrefix(s, d, "theilSen", byVal,
+            part = Nil, order = Seq(col("slope_pm")),
+            rank = None,
+            running = Seq(("k", col("n_i"))),
+            totals = Seq(("np", col("n_i"))))
+          .agg(
+            max(expr("np")).as("n_pairs"),
+            sum(expr(
+              """case when k - n_i < (np + 1) div 2 and (np + 1) div 2 <= k
+                 then slope_pm else 0 end""")).as("v1"),
+            sum(expr(
+              """case when k - n_i < (np + 2) div 2 and (np + 2) div 2 <= k
+                 then slope_pm else 0 end""")).as("v2"))
+          .select(col("n_pairs"), (col("v1") + col("v2")).as("med2_slope_pm"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+          FROM orders GROUP BY 1),
+        pairs AS (
+          SELECT CASE WHEN b.rev - a.rev >= 0
+                      THEN ((b.rev - a.rev) * 1000) // (b.day - a.day)
+                      ELSE -(((a.rev - b.rev) * 1000) // (b.day - a.day))
+                 END AS slope_pm
+          FROM daily a JOIN daily b ON a.day < b.day),
+        byval AS (SELECT slope_pm, COUNT(*) AS n_i FROM pairs GROUP BY 1),
+        ranked AS (
+          SELECT slope_pm, n_i,
+                 CAST(SUM(n_i) OVER (ORDER BY slope_pm
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k,
+                 CAST(SUM(n_i) OVER () AS BIGINT) AS np
+          FROM byval)
+        SELECT MAX(np) AS n_pairs,
+               CAST(SUM(CASE WHEN k - n_i < (np + 1) // 2 AND (np + 1) // 2 <= k
+                             THEN slope_pm ELSE 0 END) +
+                    SUM(CASE WHEN k - n_i < (np + 2) // 2 AND (np + 2) // 2 <= k
+                             THEN slope_pm ELSE 0 END) AS BIGINT) AS med2_slope_pm
+        FROM ranked""")),
+
     // ───── centered 7-row moving MEDIAN of daily revenue — the robust
     // smoother (outlier-immune, unlike the moving mean) every anomaly
     // dashboard wants. Median stays integer by reporting 2×median:
