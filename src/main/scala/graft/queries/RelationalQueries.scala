@@ -2877,6 +2877,67 @@ object RelationalQueries {
                CAST(SUM(n) AS BIGINT) AS node_sum
         FROM l4 GROUP BY 1""")),
 
+    // ───── degree assortativity (r11): Newman's r — the Pearson
+    // correlation of endpoint degrees over every edge, both
+    // orientations (the symmetric formulation, so hubs-link-to-hubs
+    // shows as r > 0 and hub-and-spoke as r < 0; THE one-number
+    // topology fingerprint that predicts whether degree-keyed
+    // partitioning will skew). Exact sufficient sums as DECIMAL(38)
+    // (degree products stay far inside), ONE fixed double formula at
+    // the end — the agg_correlation discipline. Plan: degree hash-agg +
+    // two node-keyed equi-joins + one sums agg; shards at any scale.
+    QuerySpec(
+      "graph_assortativity",
+      (s, d) => {
+        val e = coPurchaseEdges(s, d)
+        val both = e.select(col("u").as("a"), col("v").as("b"))
+          .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+        val deg = both.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
+        both
+          .join(deg.select(col("n").as("a"), col("deg").as("dx")), "a")
+          .join(deg.select(col("n").as("b"), col("deg").as("dy")), "b")
+          .select(col("dx").cast("decimal(38,0)").as("x"),
+            col("dy").cast("decimal(38,0)").as("y"))
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("n").cast("long").as("n_arcs"),
+            expr("""cast(
+                (cast(n AS double) * cast(sxy AS double) - cast(sx AS double) * cast(sy AS double))
+                / (sqrt(cast(n AS double) * cast(sxx AS double) - cast(sx AS double) * cast(sx AS double))
+                   * sqrt(cast(n AS double) * cast(syy AS double) - cast(sy AS double) * cast(sy AS double)))
+              AS double)""").as("assortativity"))
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        both_e AS (
+          SELECT u AS a, v AS b FROM edges
+          UNION ALL SELECT v AS a, u AS b FROM edges),
+        deg AS (SELECT a AS n, COUNT(*) AS deg FROM both_e GROUP BY 1),
+        sums AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(da.deg AS HUGEINT)) AS sx,
+                 SUM(CAST(db.deg AS HUGEINT)) AS sy,
+                 SUM(CAST(da.deg AS HUGEINT) * CAST(db.deg AS HUGEINT)) AS sxy,
+                 SUM(CAST(da.deg AS HUGEINT) * CAST(da.deg AS HUGEINT)) AS sxx,
+                 SUM(CAST(db.deg AS HUGEINT) * CAST(db.deg AS HUGEINT)) AS syy
+          FROM both_e e
+          JOIN deg da ON da.n = e.a
+          JOIN deg db ON db.n = e.b)
+        SELECT CAST(n AS BIGINT) AS n_arcs,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 AS assortativity
+        FROM sums""")),
+
     // ───── link prediction via the resource-allocation index (r11):
     // the recommender primitive over the co-purchase graph — score
     // every NON-adjacent pair that shares a neighbor by

@@ -118,6 +118,76 @@ object StatQueries {
                CAST(MAX(cd_ppm) AS BIGINT) AS cd_ppm_max
         FROM p GROUP BY 1, 2""")),
 
+    // ───── NDCG@10 (r11): the graded ranking-quality metric next to
+    // ml_auc_rank's pairwise one — "does the scorer put the purchases
+    // at the top, position-discounted". Per user, events rank by the
+    // (value DESC, event_id) total order (value plays the model score,
+    // purchase the binary relevance); DCG sums rel·disc over the top
+    // 10 with the 1/log2(i+1) discounts as FIXED ppm literals (the
+    // Benford-table trick — no libm at query time, identical constants
+    // in both engines), IDCG is the discount prefix sum at
+    // min(10, #positives), and NDCG = DCG·1e6 div IDCG in exact ppm.
+    // Report: the user-count histogram by NDCG decile with user-id
+    // checksums. Plan: one user-partitioned window (shards by user) +
+    // two hash-aggs + a user-keyed join; per-user state is 10 rows.
+    QuerySpec(
+      "ml_ndcg",
+      (s, d) => {
+        val disc = "array(1000000L, 630930L, 500000L, 430677L, 386853L, " +
+          "356207L, 333333L, 315465L, 301030L, 289065L)"
+        val pref = "array(1000000L, 1630930L, 2130930L, 2561607L, 2948460L, " +
+          "3304667L, 3638000L, 3953465L, 4254495L, 4543560L)"
+        val base = events(s, d).select(col("user_id"), col("event_id"),
+          col("value"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("rel"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("value").desc, col("event_id"))
+        val dcg = base
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .groupBy("user_id")
+          .agg(sum(expr(s"rel * element_at($disc, rn)")).as("dcg"))
+        val npos = base.groupBy("user_id").agg(sum("rel").as("np"))
+          .filter(col("np") >= 1)
+        npos.join(dcg, "user_id")
+          .withColumn("ndcg_ppm", expr(
+            s"dcg * 1000000 div element_at($pref, cast(least(10L, np) as int))"))
+          .groupBy(expr("ndcg_ppm div 100000").as("decile"))
+          .agg(count(lit(1)).as("n_users"),
+            min("ndcg_ppm").as("min_ppm"), max("ndcg_ppm").as("max_ppm"),
+            sum("user_id").as("user_sum"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT user_id, event_id, value,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+          FROM events),
+        ranked AS (
+          SELECT user_id, rel,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY value DESC, event_id) AS rn
+          FROM base),
+        dcg AS (
+          SELECT user_id,
+                 CAST(SUM(rel * ([1000000, 630930, 500000, 430677, 386853,
+                                  356207, 333333, 315465, 301030, 289065])[rn])
+                   AS BIGINT) AS dcg
+          FROM ranked WHERE rn <= 10 GROUP BY user_id),
+        npos AS (
+          SELECT user_id, CAST(SUM(rel) AS BIGINT) AS np
+          FROM base GROUP BY user_id HAVING SUM(rel) >= 1),
+        scored AS (
+          SELECT n.user_id,
+                 d.dcg * 1000000 // ([1000000, 1630930, 2130930, 2561607,
+                   2948460, 3304667, 3638000, 3953465, 4254495, 4543560]
+                   )[LEAST(10, n.np)::INT] AS ndcg_ppm
+          FROM npos n JOIN dcg d ON d.user_id = n.user_id)
+        SELECT ndcg_ppm // 100000 AS decile, COUNT(*) AS n_users,
+               CAST(MIN(ndcg_ppm) AS BIGINT) AS min_ppm,
+               CAST(MAX(ndcg_ppm) AS BIGINT) AS max_ppm,
+               CAST(SUM(user_id) AS BIGINT) AS user_sum
+        FROM scored GROUP BY 1""")),
+
     // ───── Theil–Sen robust trend (r11): the median of all pairwise
     // slopes of daily revenue — the outlier-immune trend estimator (one
     // flash-sale day wrecks an OLS slope; it moves the pairwise-slope
