@@ -92,6 +92,14 @@ object ScaleProbe {
     // the NDV scales k× — verbatim replication would keep the collapsed
     // frame constant and measure nothing.
     val prefixOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("prefix")
+    // SPARK_GRAFT_PROBE=lpa times graph_communities' 4-round label
+    // propagation on the k×-replicated co-purchase graph (DISCONNECTED
+    // copies, node ids offset per replica — community structure per copy
+    // preserved, |V| and |E| scale k×) and asserts REPLICATION
+    // INVARIANCE: copy 0's final labels must equal the base run's
+    // (label propagation is local, so disconnected copies cannot
+    // interact — any divergence means a nondeterministic tie-break).
+    val lpaOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("lpa")
     var pcaAxisAtBase: Array[Long] = null
     for (k <- factors) {
       if (aucOnly) {
@@ -299,6 +307,42 @@ object ScaleProbe {
             s"formulations disagree at x$k:\n$histNaive\n$histTri")
         }
         println(s"[probe] jac_x$k: edges=${edges.count()} hist=$histTri")
+      } else if (lpaOnly) {
+        val e0 = spark.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_partkey").distinct()
+        val base = e0.as("a")
+          .join(e0.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(count(lit(1))).select("u", "v")
+        val off = 100000000L
+        val rep = base.crossJoin(spark.range(k).toDF("rep"))
+          .select((col("u") + col("rep") * off).as("u"),
+            (col("v") + col("rep") * off).as("v"))
+        val both = rep.select(col("u").as("a"), col("v").as("b"))
+          .unionAll(rep.select(col("v").as("a"), col("u").as("b")))
+          .repartition(col("b")).localCheckpoint(true)
+        var labels: Map[Long, Long] = null
+        time(s"lpa_x$k") {
+          val r = graft.analytics.GraphOps.labelPropagationBoth(both, 4)
+            .collect()
+          labels = r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+          r.length.toLong
+        }
+        // replication invariance: copy 0 ≡ the unreplicated run
+        if (k == factors.head && k == 1) () // base IS copy 0
+        else {
+          val baseBoth = base.select(col("u").as("a"), col("v").as("b"))
+            .unionAll(base.select(col("v").as("a"), col("u").as("b")))
+          val baseLabels = graft.analytics.GraphOps
+            .labelPropagationBoth(baseBoth, 4)
+            .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+          val copy0 = labels.filter(_._1 < off)
+          require(copy0 == baseLabels,
+            s"copy-0 labels diverged from the base run at x$k")
+        }
+        println(s"[probe] lpa_x$k: nodes=${labels.size}")
       } else if (prefixOnly) {
         // equi-depth histogram at k× NDV, both formulations. byVal is the
         // per-value collapse — at 149,743 NDV per 150k sf0.1 orders it is
