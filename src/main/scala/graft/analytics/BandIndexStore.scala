@@ -36,6 +36,8 @@ object BandIndexStore {
     org.apache.spark.sql.types.StructType.fromDDL("rpb INT, nbands INT, n BIGINT")
   private val bandSchema =
     org.apache.spark.sql.types.StructType.fromDDL("bkey STRING")
+  private val sigSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("mh ARRAY<BIGINT>")
 
   /** Distinct shingle-hash sets of a (doc_id, text) frame — the
     * [[graft.functions.SignatureFunctions]] chain every dedup query
@@ -92,6 +94,42 @@ object BandIndexStore {
         lit(seqBase).as("sequenceNumber"),
         to_json(struct(col("bkey"))).as("newImage"))
 
+  /** The 12-slot MinHash signature of a (doc_id, text) frame:
+    * (doc_id, mh). The signature is what makes the index
+    * SELF-CONTAINED for estimate-verification: a pair's per-slot
+    * agreement m/12 estimates its Jaccard (dedup_minhash_estimate
+    * calibrates the estimator), so candidate pairs can be scored
+    * without fetching either document's shingle set — the production
+    * trade when the corpus side lives elsewhere.
+    */
+  def sigRows(docs: DataFrame): DataFrame =
+    shingleSets(docs)
+      .select(col("doc_id"),
+        graft.functions.SignatureFunctions.minHash12(col("hs")).as("mh"))
+
+  private def encodeSigs(docs: DataFrame, seqBase: String): DataFrame =
+    sigRows(docs)
+      .select(
+        col("doc_id").cast("string").as("keys"),
+        lit("PUT").as("op"),
+        lit(seqBase).as("sequenceNumber"),
+        to_json(struct(col("mh"))).as("newImage"))
+
+  /** Add one batch of documents' signatures to the sigs target (LWW by
+    * batch seq, the [[appendBatch]] discipline).
+    */
+  def appendSigs(spark: SparkSession, docs: DataFrame, sigsTarget: String,
+                 batchId: Long): Unit =
+    SnapshotStore.mergeIntoTarget(spark, sigsTarget,
+      encodeSigs(docs, seqBase = f"sb$batchId%012d"), batchId)
+
+  /** The persisted signatures: (doc_id, mh). */
+  def readSigs(spark: SparkSession, sigsTarget: String): DataFrame =
+    SnapshotStore.readTarget(spark, sigsTarget)
+      .select(col("keys").cast("bigint").as("doc_id"),
+        from_json(col("newImage"), sigSchema).as("s"))
+      .select(col("doc_id"), col("s.mh").as("mh"))
+
   /** Add one batch of documents (doc_id, text) to the bands target,
     * banded under the persisted plan. Later batches supersede earlier
     * rows for the same (doc_id, band) — LWW by batch seq.
@@ -110,6 +148,7 @@ object BandIndexStore {
     */
   def ingestSink(newDocs: DataFrame, metaTarget: String, bandsTarget: String,
                  checkpoint: String,
+                 sigsTarget: Option[String] = None,
                  trigger: org.apache.spark.sql.streaming.Trigger =
                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -119,8 +158,12 @@ object BandIndexStore {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (nBands, rpb) = plan
-        SnapshotStore.mergeIntoTarget(batch.sparkSession, bandsTarget,
-          encode(batch, nBands, rpb, seqBase = f"sb$batchId%012d"), batchId)
+        val b = batch.localCheckpoint(true) // two consumers, one compute
+        SnapshotStore.mergeIntoTarget(b.sparkSession, bandsTarget,
+          encode(b, nBands, rpb, seqBase = f"sb$batchId%012d"), batchId)
+        sigsTarget.foreach(t =>
+          SnapshotStore.mergeIntoTarget(b.sparkSession, t,
+            encodeSigs(b, seqBase = f"sb$batchId%012d"), batchId))
         ()
       }
       .trigger(trigger)
@@ -171,6 +214,33 @@ object BandIndexStore {
           meta, bands, batchId = 1L)
         built.put(k, (meta, bands))
         (meta, bands)
+      }
+    }
+
+  private val builtSigs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** Bulk-add the EXISTING docs' signatures into a fresh temp sigs
+    * target, once per (session, dir) — the [[ensureBuilt]] companion
+    * for estimate-verification queries.
+    */
+  def ensureSigsBuilt(s: SparkSession, d: String): String =
+    builtSigs.synchronized {
+      val app = s.sparkContext.applicationId
+      builtSigs.keySet.removeIf(_._1 != app)
+      val k = (app, d)
+      val got = builtSigs.get(k)
+      if (got != null) got
+      else {
+        val sigs = java.nio.file.Files.createTempDirectory("graft-bidx-sigs")
+          .toFile.getAbsolutePath
+        appendSigs(s,
+          Corpus.docsWithNearDups(s, d)
+            .filter(col("doc_id") < Corpus.VariantOffset)
+            .select("doc_id", "text"),
+          sigs, batchId = 1L)
+        builtSigs.put(k, sigs)
+        sigs
       }
     }
 }

@@ -695,6 +695,64 @@ object DedupQueries {
         SELECT doc_a, doc_b, jaccard FROM mpairs
         WHERE doc_a < ${Corpus.VariantOffset} AND doc_b >= ${Corpus.VariantOffset}""")),
 
+    // ───── incremental dedup, ESTIMATE-verified from the self-contained
+    // index (r11): the companion to dedup_incremental_persisted for the
+    // production case where the corpus side is NOT fetchable at verify
+    // time — the index stores each doc's 12-slot MinHash signature next
+    // to its band rows, and a candidate pair is scored by per-slot
+    // agreement m/12 (the estimator dedup_minhash_estimate calibrates)
+    // instead of exact Jaccard over shingle sets. Old×new band-bucket
+    // equi-join → two signature point-joins → a 12-slot zip — no shingle
+    // set ever leaves the increment. The oracle replays signature
+    // agreement RELATIONALLY (positions unnested to rows, no lambda over
+    // joined columns — the documented DuckDB list-lambda capture bug).
+    QuerySpec(
+      "dedup_incremental_estimate",
+      (s, d) => {
+        val off = Corpus.VariantOffset
+        val (metaT, bandsT) = BandIndexStore.ensureBuilt(s, d)
+        val sigsT = BandIndexStore.ensureSigsBuilt(s, d)
+        val (nBands, rpb) = BandIndexStore.readMeta(s, metaT)
+        val newDocs = Corpus.docsWithNearDups(s, d)
+          .filter(col("doc_id") >= off).select("doc_id", "text")
+        val cand = BandIndexStore.readIndex(s, bandsT).as("a")
+          .join(BandIndexStore.bandRows(newDocs, nBands, rpb).as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .dropDuplicates()
+        cand
+          .join(BandIndexStore.readSigs(s, sigsT)
+            .select(col("doc_id").as("doc_a"), col("mh").as("ma")), "doc_a")
+          .join(BandIndexStore.sigRows(newDocs)
+            .select(col("doc_id").as("doc_b"), col("mh").as("mb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            expr("aggregate(zip_with(ma, mb, (x, y) -> if(x = y, 1L, 0L)), " +
+              "0L, (acc, v) -> acc + v)").as("m12"))
+          .withColumn("est_ppm", expr("m12 * 1000000 div 12"))
+      },
+      Some(s"""
+        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $minhashPairsCtes,
+        icand AS (
+          SELECT doc_a, doc_b FROM cand
+          WHERE doc_a < ${Corpus.VariantOffset}
+            AND doc_b >= ${Corpus.VariantOffset}),
+        pairsig AS (
+          SELECT c.doc_a, c.doc_b, sa.minhash AS ma, sb.minhash AS mb
+          FROM icand c
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b),
+        slots AS (
+          SELECT doc_a, doc_b,
+                 CASE WHEN ma[p.p] = mb[p.p] THEN 1 ELSE 0 END AS eq
+          FROM pairsig, (SELECT unnest(range(1, 13)) AS p) p),
+        est AS (
+          SELECT doc_a, doc_b, CAST(SUM(eq) AS BIGINT) AS m12
+          FROM slots GROUP BY 1, 2)
+        SELECT doc_a, doc_b, m12, m12 * 1000000 // 12 AS est_ppm
+        FROM est""")),
+
     // ───── cluster-size histogram over the near-dup components — the
     // one-page dedup report: how many pairs, triples, N-way mirror
     // groups a corpus carries (the number that decides whether near-dup

@@ -23,6 +23,7 @@ class BandIndexSpec extends SparkSpec {
   test("streamed ingest (chunked, with checkpoint resume) equals one-shot batch build") {
     val meta = tmp("bidx-meta")
     val bandsStream = tmp("bidx-bs"); val bandsBatch = tmp("bidx-bb")
+    val sigsStream = tmp("bidx-ss"); val sigsBatch = tmp("bidx-sb")
     val in = tmp("bidx-in"); val ckpt = tmp("bidx-ckpt")
 
     val docs = Corpus.docsWithNearDups(spark, d).select("doc_id", "text")
@@ -32,10 +33,13 @@ class BandIndexSpec extends SparkSpec {
     BandIndexStore.train(spark, Corpus.corpusDocCount(spark, d), meta)
     BandIndexStore.appendBatch(spark, existing, meta, bandsStream, 1L)
     BandIndexStore.appendBatch(spark, existing, meta, bandsBatch, 1L)
+    BandIndexStore.appendSigs(spark, existing, sigsStream, 1L)
+    BandIndexStore.appendSigs(spark, existing, sigsBatch, 1L)
 
     // reference: the new docs added in ONE batch
     val newDocs = docs.filter(col("doc_id") % 7 === 0)
     BandIndexStore.appendBatch(spark, newDocs, meta, bandsBatch, 2L)
+    BandIndexStore.appendSigs(spark, newDocs, sigsBatch, 2L)
 
     // streamed: the same docs in 3 chunks, drained as separate
     // micro-batches, with a full stop + checkpoint resume in the middle
@@ -51,16 +55,24 @@ class BandIndexSpec extends SparkSpec {
     val schema = spark.read.parquet(in).schema
     def stream() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
-    val q1 = BandIndexStore.ingestSink(stream(), meta, bandsStream, ckpt)
+    val q1 = BandIndexStore.ingestSink(stream(), meta, bandsStream, ckpt,
+      sigsTarget = Some(sigsStream))
     q1.awaitTermination(120000)
     writeChunk(c2); writeChunk(c3)
-    val q2 = BandIndexStore.ingestSink(stream(), meta, bandsStream, ckpt)
+    val q2 = BandIndexStore.ingestSink(stream(), meta, bandsStream, ckpt,
+      sigsTarget = Some(sigsStream))
     q2.awaitTermination(120000)
 
     def indexRows(t: String) = BandIndexStore.readIndex(spark, t)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(indexRows(bandsStream) === indexRows(bandsBatch),
       "streamed band index diverged from the batch build")
+
+    // the signature face of the same stream: streamed ≡ batch
+    def sigRows(t: String) = BandIndexStore.readSigs(spark, t)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(sigRows(sigsStream) === sigRows(sigsBatch),
+      "streamed signature target diverged from the batch build")
 
     // probing either index finds the same candidate pairs
     val (nBands, rpb) = BandIndexStore.readMeta(spark, meta)
