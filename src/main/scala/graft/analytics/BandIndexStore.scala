@@ -170,6 +170,62 @@ object BandIndexStore {
       .start()
   }
 
+  /** Streaming DEDUP SERVING against the persisted index — the
+    * [[VectorIndexStore.searchSink]] analog: each micro-batch of
+    * (doc_id, text) crawl rows bands + signs under the FROZEN plan,
+    * probes the CURRENT bands target (old×new only; freshness is the
+    * store's own read semantics), scores candidates by per-slot
+    * signature agreement against the sigs target, and hands `sink`
+    * the pairs with m12 ≥ `minM12`. Stateless foreachBatch with
+    * checkpointed offsets: a replayed batch re-emits the same pairs
+    * (at-least-once emission; a keyed downstream consumer dedupes —
+    * the house contract).
+    */
+  def dedupSink(newDocs: DataFrame, metaTarget: String, bandsTarget: String,
+                sigsTarget: String, checkpoint: String,
+                sink: DataFrame => Unit, minM12: Int = 5,
+                trigger: org.apache.spark.sql.streaming.Trigger =
+                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    lazy val plan = readMeta(newDocs.sparkSession, metaTarget)
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val (nBands, rpb) = plan
+        val b = batch.localCheckpoint(true)
+        sink(probePairs(spark, b, bandsTarget, sigsTarget, nBands, rpb)
+          .filter(col("m12") >= minM12))
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Estimate-scored candidate pairs of an increment against the
+    * persisted index: (doc_a = stored, doc_b = increment, m12,
+    * est_ppm). The batch face of [[dedupSink]] — the
+    * `dedup_incremental_estimate` query is this with the memoized
+    * oracle targets.
+    */
+  def probePairs(spark: SparkSession, newDocs: DataFrame, bandsTarget: String,
+                 sigsTarget: String, nBands: Int, rpb: Int): DataFrame = {
+    val cand = readIndex(spark, bandsTarget).as("a")
+      .join(bandRows(newDocs, nBands, rpb).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates()
+    cand
+      .join(readSigs(spark, sigsTarget)
+        .select(col("doc_id").as("doc_a"), col("mh").as("ma")), "doc_a")
+      .join(sigRows(newDocs)
+        .select(col("doc_id").as("doc_b"), col("mh").as("mb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(zip_with(ma, mb, (x, y) -> if(x = y, 1L, 0L)), " +
+          "0L, (acc, v) -> acc + v)").as("m12"))
+      .withColumn("est_ppm", expr("m12 * 1000000 div 12"))
+  }
+
   /** The persisted band index as the probe target: (doc_id, band, bkey). */
   def readIndex(spark: SparkSession, bandsTarget: String): DataFrame =
     SnapshotStore.readTarget(spark, bandsTarget)

@@ -715,20 +715,7 @@ object DedupQueries {
         val (nBands, rpb) = BandIndexStore.readMeta(s, metaT)
         val newDocs = Corpus.docsWithNearDups(s, d)
           .filter(col("doc_id") >= off).select("doc_id", "text")
-        val cand = BandIndexStore.readIndex(s, bandsT).as("a")
-          .join(BandIndexStore.bandRows(newDocs, nBands, rpb).as("b"),
-            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .dropDuplicates()
-        cand
-          .join(BandIndexStore.readSigs(s, sigsT)
-            .select(col("doc_id").as("doc_a"), col("mh").as("ma")), "doc_a")
-          .join(BandIndexStore.sigRows(newDocs)
-            .select(col("doc_id").as("doc_b"), col("mh").as("mb")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            expr("aggregate(zip_with(ma, mb, (x, y) -> if(x = y, 1L, 0L)), " +
-              "0L, (acc, v) -> acc + v)").as("m12"))
-          .withColumn("est_ppm", expr("m12 * 1000000 div 12"))
+        BandIndexStore.probePairs(s, newDocs, bandsT, sigsT, nBands, rpb)
       },
       Some(s"""
         WITH corpus AS (${Corpus.docsWithNearDupsSql}),

@@ -103,4 +103,41 @@ class BandIndexSpec extends SparkSpec {
     // meta target is control-plane sized: exactly the one plan row
     assert(SnapshotStore.readTarget(spark, meta).count() === 1L)
   }
+
+  test("streaming dedup serving: streamed pairs equal the batch probe over the same index") {
+    val meta = tmp("bsrv-meta"); val bands = tmp("bsrv-bands")
+    val sigs = tmp("bsrv-sigs")
+    val in = tmp("bsrv-in"); val ckpt = tmp("bsrv-ckpt")
+
+    val docs = Corpus.docsWithNearDups(spark, d).select("doc_id", "text")
+    val existing = docs.filter(col("doc_id") < Corpus.VariantOffset)
+    BandIndexStore.train(spark, Corpus.corpusDocCount(spark, d), meta)
+    BandIndexStore.appendBatch(spark, existing, meta, bands, 1L)
+    BandIndexStore.appendSigs(spark, existing, sigs, 1L)
+
+    // the "crawl": variant docs stream in as two files/micro-batches
+    val inc = docs.filter(col("doc_id") >= Corpus.VariantOffset)
+    inc.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    inc.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = BandIndexStore.dedupSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+      meta, bands, sigs, ckpt,
+      sink = df => df.select("doc_a", "doc_b", "m12").collect()
+        .foreach(r => { got.add((r.getLong(0), r.getLong(1), r.getLong(2))); () }),
+      minM12 = 5)
+    q.awaitTermination(120000)
+
+    val (nBands, rpb) = BandIndexStore.readMeta(spark, meta)
+    val batch = BandIndexStore.probePairs(spark, inc, bands, sigs, nBands, rpb)
+      .filter(col("m12") >= 5)
+      .select("doc_a", "doc_b", "m12").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "planted variants must collide with their originals")
+    assert(got.toArray(Array.empty[(Long, Long, Long)]).toSet === batch,
+      "streamed dedup pairs diverged from the batch probe")
+  }
 }
