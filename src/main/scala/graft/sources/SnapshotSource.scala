@@ -122,11 +122,12 @@ private[sources] class SnapshotScanBuilder(path: String,
                                             versionAsOf: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var required: StructType = SnapshotSource.Schema
   private var pushed: Array[Filter] = Array.empty
   private var keyLookups: Option[Set[String]] = None
   private var limit: Option[Int] = None
+  private var aggCols: Option[Seq[SnapshotAggScan.AggCol]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val keySets = filters.collect {
@@ -159,8 +160,55 @@ private[sources] class SnapshotScanBuilder(path: String,
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan =
-    new SnapshotScan(path, required, keyLookups, versionAsOf, limit)
+  /** AGGREGATE pushdown (r11), PARTIAL by contract: a folded segment
+    * still carries DELETE markers and a chained bucket needs full LWW
+    * replay, so no aggregate over the RESOLVED state can be answered
+    * from parquet footers alone — but the reader resolves each bucket
+    * anyway, so it can emit ONE pre-aggregated row per bucket instead
+    * of streaming every resolved row into Spark's aggregate. A global
+    * COUNT/MIN/MAX over a 100 TB snapshot then ships |buckets| rows,
+    * not |table|. Spark applies the final merge (completePushDown =
+    * false). Grouping, DISTINCT, and interplay with pushed key lookups
+    * or limits are refused — Spark falls back to the row scan, which
+    * stays correct (our filters are residual, so Spark won't offer
+    * aggregates with unpushed predicates anyway; the guard is
+    * defensive).
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
+    if (agg.groupByExpressions.nonEmpty || keyLookups.isDefined ||
+        limit.isDefined) return false
+    def col(e: VExpr): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 &&
+          SnapshotSource.Schema.fieldNames.contains(f.fieldNames()(0)) =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    val specs: Seq[Option[SnapshotAggScan.AggCol]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some(SnapshotAggScan.AggCol("count_star", None))
+        case c: Count if !c.isDistinct =>
+          col(c.column).map(n => SnapshotAggScan.AggCol("count", Some(n)))
+        case m: Min => col(m.column).map(n => SnapshotAggScan.AggCol("min", Some(n)))
+        case m: Max => col(m.column).map(n => SnapshotAggScan.AggCol("max", Some(n)))
+        case _ => None
+      }
+    if (specs.isEmpty || specs.exists(_.isEmpty)) false
+    else { aggCols = Some(specs.flatten); true }
+  }
+
+  override def build(): Scan = aggCols match {
+    case Some(cols) => new SnapshotAggScan(path, cols, versionAsOf)
+    case None => new SnapshotScan(path, required, keyLookups, versionAsOf, limit)
+  }
 }
 
 private[sources] case class SnapshotInputPartition(
@@ -268,49 +316,181 @@ private[sources] class SnapshotReaderFactory(cols: Seq[String],
   * irrelevant to the result — the LWW order is total over (sequence,
   * raw) — so segments stream in manifest order purely for locality.
   */
-private[sources] class SnapshotPartitionReader(
-    p: SnapshotInputPartition, cols: Seq[String], conf: Configuration,
-    limit: Option[Int] = None)
-    extends PartitionReader[InternalRow] {
+/** Partial-aggregate scan (r11): one pre-aggregated row per bucket.
+  * Each partition replays its chain exactly like the row scan (shared
+  * [[SnapshotResolve]] — LWW + tombstones identical by construction)
+  * and emits a single row of per-bucket partials; Spark's final
+  * aggregate merges them. MIN/MAX compare as UTF8String — Spark's own
+  * string ordering — so the merged result is bit-equal to aggregating
+  * the row scan.
+  */
+private[graft] class SnapshotAggScan(path: String,
+                                     cols: Seq[SnapshotAggScan.AggCol],
+                                     versionAsOf: Option[String] = None)
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(cols.map {
+    case SnapshotAggScan.AggCol("count_star", _) =>
+      StructField("count_star", org.apache.spark.sql.types.LongType,
+        nullable = false)
+    case SnapshotAggScan.AggCol("count", Some(c)) =>
+      StructField(s"count_$c", org.apache.spark.sql.types.LongType,
+        nullable = false)
+    case SnapshotAggScan.AggCol(fn, c) =>
+      StructField(s"${fn}_${c.getOrElse("")}", StringType)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot-agg $path PushedAggregates: " +
+      cols.map(_.render).mkString("[", ", ", "]")
 
-  // key -> (ordKey, op, seq, image)
-  private type Ord = (Int, String, Int, String)
-
-  private lazy val rows: Iterator[InternalRow] = {
-    val fs = new Path(p.segmentDirs.head).getFileSystem(conf)
-    val state = mutable.HashMap.empty[String, (Ord, String, String, String)]
-    for {
-      dir <- p.segmentDirs
-      st <- fs.listStatus(new Path(dir)).toSeq.sortBy(_.getPath.getName)
-      if st.isFile && st.getPath.getName.endsWith(".parquet")
-    } readFile(conf, st.getPath, state)
-    val resolved = state.iterator.collect {
-      case (k, (_, op, seq, img)) if op != "DELETE" =>
-        val vals: Map[String, String] =
-          Map("keys" -> k, "sequenceNumber" -> seq, "newImage" -> img)
-        new GenericInternalRow(
-          cols.map(c => UTF8String.fromString(vals.getOrElse(c, null))
-            : Any).toArray)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val manifest = versionAsOf match {
+      case Some(v) =>
+        require(SnapshotStore.versions(spark, path).contains(v),
+          s"versionAsOf '$v' is not a committed retained version of '$path'")
+        Some(("", SnapshotStore.manifestNamed(spark, path, v).getOrElse(
+          throw new IllegalStateException(
+            s"versionAsOf '$v' of '$path' was committed but its manifest " +
+              "is gone — retention pruned it during planning"))))
+      case None => SnapshotStore.currentManifest(spark, path)
     }
-    // partial LIMIT pushdown: resolution needed every delta row, but at
-    // most `limit` resolved rows leave this partition
-    limit.fold(resolved: Iterator[InternalRow])(resolved.take)
+    val planned = manifest match {
+      case None => Array.empty[InputPartition]
+      case Some((_, m)) =>
+        m.buckets.toSeq.sortBy(_._1).map { case (b, segs) =>
+          SnapshotInputPartition(b, segs.map(new Path(path, _).toString))
+            : InputPartition
+        }.toArray
+    }
+    // an EMPTY table must still produce one zero-count partial: the
+    // final agg rewrites count(*) to a sum of partials, and a sum over
+    // zero rows is NULL where count over an empty table is 0
+    if (planned.isEmpty) Array(SnapshotInputPartition(0, Nil)) else planned
   }
 
-  private def ordKey(seq: String): Ord = {
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotAggReaderFactory(cols,
+      new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+}
+
+private[graft] object SnapshotAggScan {
+  /** fn ∈ {count_star, count, min, max}; col for the latter three. */
+  final case class AggCol(fn: String, col: Option[String]) {
+    def render: String = fn match {
+      case "count_star" => "COUNT(*)"
+      case f => s"${f.toUpperCase}(${col.getOrElse("")})"
+    }
+  }
+}
+
+private[sources] class SnapshotAggReaderFactory(
+    cols: Seq[SnapshotAggScan.AggCol], conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SnapshotAggPartitionReader(
+      p.asInstanceOf[SnapshotInputPartition], cols, conf.value)
+}
+
+private[sources] class SnapshotAggPartitionReader(
+    p: SnapshotInputPartition, cols: Seq[SnapshotAggScan.AggCol],
+    conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private lazy val rows: Iterator[InternalRow] = {
+    var n = 0L
+    val mins = mutable.HashMap.empty[String, UTF8String]
+    val maxs = mutable.HashMap.empty[String, UTF8String]
+    val needMin = cols.collect { case SnapshotAggScan.AggCol("min", Some(c)) => c }.toSet
+    val needMax = cols.collect { case SnapshotAggScan.AggCol("max", Some(c)) => c }.toSet
+    SnapshotResolve.resolved(p.segmentDirs, conf).foreach {
+      case (k, seq, img) =>
+        n += 1
+        val vals = Map("keys" -> k, "sequenceNumber" -> seq, "newImage" -> img)
+        for (c <- needMin; v = vals(c); if v != null) {
+          val u = UTF8String.fromString(v)
+          if (mins.get(c).forall(_.compareTo(u) > 0)) mins.update(c, u)
+        }
+        for (c <- needMax; v = vals(c); if v != null) {
+          val u = UTF8String.fromString(v)
+          if (maxs.get(c).forall(_.compareTo(u) < 0)) maxs.update(c, u)
+        }
+    }
+    val out = cols.map {
+      case SnapshotAggScan.AggCol("count_star", _) => (n: Any)
+      // the three resolved columns are never null, so count(col) = n
+      case SnapshotAggScan.AggCol("count", Some(_)) => (n: Any)
+      case SnapshotAggScan.AggCol("min", Some(c)) => (mins.get(c).orNull: Any)
+      case SnapshotAggScan.AggCol("max", Some(c)) => (maxs.get(c).orNull: Any)
+      case other => throw new IllegalStateException(s"unreachable agg $other")
+    }
+    Iterator.single(new GenericInternalRow(out.toArray))
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** The shared bucket-chain LWW replay — one resolution implementation
+  * for the row reader and the aggregate reader (r11), so the two paths
+  * cannot drift on sequence ordering or tombstone semantics.
+  */
+private[sources] object SnapshotResolve {
+  // key -> (ordKey, op, seq, image)
+  type Ord = (Int, String, Int, String)
+
+  def ordKey(seq: String): Ord = {
     val (cl, canon) = graft.ops.CdcOps.numericStringKey(seq)
     (cl, canon, seq.length, seq)
   }
 
-  private def readFile(conf: Configuration, file: Path,
-                       state: mutable.HashMap[String, (Ord, String, String, String)]): Unit =
-    ParquetSegments.foreachRow(conf, file) { (k, op, seq, img) =>
+  /** Replay a bucket's segment chain; yields resolved LIVE rows
+    * (keys, sequenceNumber, newImage) — tombstones dropped.
+    */
+  def resolved(segmentDirs: Seq[String], conf: Configuration)
+      : Iterator[(String, String, String)] = {
+    if (segmentDirs.isEmpty) return Iterator.empty
+    val fs = new Path(segmentDirs.head).getFileSystem(conf)
+    val state = mutable.HashMap.empty[String, (Ord, String, String, String)]
+    for {
+      dir <- segmentDirs
+      st <- fs.listStatus(new Path(dir)).toSeq.sortBy(_.getPath.getName)
+      if st.isFile && st.getPath.getName.endsWith(".parquet")
+    } ParquetSegments.foreachRow(conf, st.getPath) { (k, op, seq, img) =>
       val ord = ordKey(seq)
       val better = state.get(k).forall { case (o, _, _, _) =>
         Ordering[Ord].gt(ord, o)
       }
       if (better) state.update(k, (ord, op, seq, img))
     }
+    state.iterator.collect {
+      case (k, (_, op, seq, img)) if op != "DELETE" => (k, seq, img)
+    }
+  }
+}
+
+private[sources] class SnapshotPartitionReader(
+    p: SnapshotInputPartition, cols: Seq[String], conf: Configuration,
+    limit: Option[Int] = None)
+    extends PartitionReader[InternalRow] {
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val resolved = SnapshotResolve.resolved(p.segmentDirs, conf).map {
+      case (k, seq, img) =>
+        val vals: Map[String, String] =
+          Map("keys" -> k, "sequenceNumber" -> seq, "newImage" -> img)
+        new GenericInternalRow(
+          cols.map(c => UTF8String.fromString(vals.getOrElse(c, null))
+            : Any).toArray): InternalRow
+    }
+    // partial LIMIT pushdown: resolution needed every delta row, but at
+    // most `limit` resolved rows leave this partition
+    limit.fold(resolved)(resolved.take)
+  }
 
   private var current: InternalRow = _
   override def next(): Boolean =

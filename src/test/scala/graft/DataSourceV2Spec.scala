@@ -312,4 +312,55 @@ class DataSourceV2Spec extends SparkSpec {
       .select("newImage").as[String].collect().toSet
     assert(imgs === Set("""{"v":1}""", """{"v":22}""", """{"v":4}""", """{"v":5}"""))
   }
+
+  test("aggregate pushdown: COUNT/MIN/MAX ship one partial row per bucket, " +
+    "resolved semantics intact") {
+    val dir = tmp("dsv2-agg")
+    buildTarget(dir)
+    val v2 = spark.read.format("graft-snapshot").load(dir)
+
+    // the critical semantic: the pushed count must be the RESOLVED count
+    // (k3 deleted, k2 superseded twice) — raw segment rows are 8
+    val cnt = v2.agg(count(lit(1)).as("n"))
+    val cntPlan = cnt.queryExecution.executedPlan.toString
+    assert(cntPlan.contains("graft-snapshot-agg"),
+      s"aggregate not pushed to the scan:\n$cntPlan")
+    assert(cntPlan.contains("PushedAggregates"), cntPlan)
+    assert(cnt.collect()(0).getLong(0) === 4L)
+
+    // min/max over resolved keys and sequence numbers, Spark-ordering
+    val mm = v2.agg(min("keys").as("mn"), max("keys").as("mx"),
+      max("sequenceNumber").as("ms"))
+    assert(mm.queryExecution.executedPlan.toString.contains("graft-snapshot-agg"))
+    val row = mm.collect()(0)
+    assert((row.getString(0), row.getString(1), row.getString(2)) ===
+      ("k1", "k5", "015"))
+
+    // equality with the non-pushed path over the store's own read
+    val direct = SnapshotStore.readTarget(spark, dir)
+      .agg(count(lit(1)), min("keys"), max("keys"), max("sequenceNumber"))
+      .collect()(0)
+    assert((direct.getLong(0), direct.getString(1), direct.getString(2),
+      direct.getString(3)) === (4L, "k1", "k5", "015"))
+
+    // an EMPTY target counts 0, not NULL (the zero-partial partition)
+    val empty = tmp("dsv2-agg-empty")
+    SnapshotStore.mergeIntoTarget(spark, empty, batchId = 1,
+      delta = delta(("gone", "DELETE", "001", None)))
+    val ecnt = spark.read.format("graft-snapshot").load(empty)
+      .agg(count(lit(1)).as("n"))
+    assert(ecnt.queryExecution.executedPlan.toString.contains("graft-snapshot-agg"))
+    assert(ecnt.collect()(0).getLong(0) === 0L)
+
+    // grouping and filtered aggregates FALL BACK to the row scan —
+    // correctness over cleverness
+    val grouped = v2.groupBy("keys").agg(count(lit(1)))
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("graft-snapshot-agg"))
+    assert(grouped.count() === 4L)
+    val filtered = v2.filter(col("keys") === "k2").agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("graft-snapshot-agg"))
+    assert(filtered.collect()(0).getLong(0) === 1L)
+  }
 }
