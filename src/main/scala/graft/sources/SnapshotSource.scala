@@ -218,7 +218,37 @@ private[graft] class SnapshotScan(path: String, required: StructType,
                                   keyLookups: Option[Set[String]],
                                   versionAsOf: Option[String] = None,
                                   limit: Option[Int] = None)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+
+  /** Size statistics from the manifest's segment files (r11): without
+    * them a V2 relation reports `spark.sql.defaultSizeInBytes`
+    * (effectively infinite), so a 2 MB snapshot dimension NEVER
+    * broadcasts and every key join against it sort-merges. Reported
+    * size = Σ parquet file lengths over the COMPILE-TIME-pruned
+    * buckets — an upper bound on the resolved state (LWW supersession
+    * and tombstones only shrink it), which is the safe direction for a
+    * broadcast decision; row count is left unknown rather than guessed.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val bytes = planInputPartitions().collect {
+      case SnapshotInputPartition(_, dirs) => dirs.map { d =>
+        val p = new Path(d)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+      }.sum
+    }.sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =

@@ -363,4 +363,22 @@ class DataSourceV2Spec extends SparkSpec {
       .contains("graft-snapshot-agg"))
     assert(filtered.collect()(0).getLong(0) === 1L)
   }
+
+  test("reported statistics: a small snapshot dimension broadcasts in a key join") {
+    val dir = tmp("dsv2-stats")
+    buildTarget(dir)
+    // without SupportsReportStatistics the V2 relation reports
+    // defaultSizeInBytes (effectively infinite) and this join would
+    // sort-merge; with segment-file sizes it broadcasts under the
+    // default 10 MB threshold
+    val dim = spark.read.format("graft-snapshot").load(dir)
+    val fact = spark.range(100000)
+      .selectExpr("concat('k', id % 7) AS keys", "id AS v")
+    val joined = fact.join(dim, "keys")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"small snapshot side did not broadcast:\n$p")
+    assert(joined.count() === (100000L / 7 + 1) * 3 + (100000L / 7) * 1,
+      "join result wrong") // k1,k2,k4 hit id%7∈{1,2,4} (14286 each), k5 hits {5} (14285)
+  }
 }
