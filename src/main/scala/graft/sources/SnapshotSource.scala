@@ -97,7 +97,54 @@ object SnapshotSource {
 }
 
 private[sources] class SnapshotTable(path: String) extends Table
-    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM` (r11): key-addressed deletes become TOMBSTONE
+    * delta rows merged through the store's own locked commit — O(|live
+    * victims|), never a rewrite of any segment. The tombstone's
+    * sequence is the victim's current sequence with '0' APPENDED,
+    * which outranks it under the engine's numeric-string order for ANY
+    * current value (the canonical form gains a digit, so its length
+    * class strictly increases) — the delete wins the LWW race exactly
+    * once and an older in-flight PUT cannot resurrect the key.
+    * Accepted predicates: none (truncate = every live key),
+    * `keys = 'x'`, `keys IN (...)`, and conjunctions thereof; anything
+    * else is refused via canDeleteWhere so Spark raises a plan-time
+    * error instead of silently deleting the wrong rows.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall {
+      case EqualTo("keys", _) => true
+      case In("keys", _) => true
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case _ => false
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    require(canDeleteWhere(filters), s"unsupported delete predicates: " +
+      filters.mkString(", "))
+    val spark = SparkSession.active
+    val keySets = filters.collect {
+      case EqualTo("keys", v) if v != null => Set(v.toString)
+      case In("keys", vs) => vs.filter(_ != null).map(_.toString).toSet
+    }
+    val wanted = keySets.reduceOption(_ intersect _)
+    val live = SnapshotStore.readTarget(spark, path)
+      .select("keys", "sequenceNumber")
+    val victims = wanted.fold(live)(ks =>
+      if (ks.isEmpty) live.limit(0)
+      else live.filter(col("keys").isin(ks.toSeq: _*)))
+    val delta = victims.select(
+      col("keys"),
+      lit("DELETE").as("op"),
+      concat(col("sequenceNumber"), lit("0")).as("sequenceNumber"),
+      lit(null).cast("string").as("newImage"))
+    SnapshotStore.mergeIntoTarget(spark, path, delta,
+      batchId = SnapshotWriteIds.next(spark, path))
+  }
+
   override def name(): String = s"graft_snapshot $path"
   override def schema(): StructType = SnapshotSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =

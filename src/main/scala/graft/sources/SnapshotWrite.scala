@@ -50,14 +50,25 @@ private[sources] class SnapshotWriteBuilder(path: String, batchId: Option[Long],
                                             schema: org.apache.spark.sql.types.StructType)
     extends WriteBuilder {
   override def build(): Write = {
-    val missing = SnapshotWrite.Fields.filterNot(schema.fieldNames.contains)
+    // SQL `INSERT INTO ... VALUES` delivers ANONYMOUS positional names
+    // (col1..col4) because ACCEPT_ANY_SCHEMA skips table-schema
+    // resolution — accept that exact shape positionally as the 4-column
+    // delta (r11, the catalog SQL surface); named frames still bind by
+    // name so column order never matters for them
+    val positional = schema.fieldNames.toSeq ==
+      (1 to SnapshotWrite.Fields.length).map(i => s"col$i")
+    val missing =
+      if (positional) Nil
+      else SnapshotWrite.Fields.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
-      s"graft-snapshot write requires columns ${SnapshotWrite.Fields.mkString(", ")}; " +
+      s"graft-snapshot write requires columns ${SnapshotWrite.Fields.mkString(", ")} " +
+        s"(or exactly ${SnapshotWrite.Fields.length} positional VALUES columns); " +
         s"missing: ${missing.mkString(", ")}")
     new Write {
       override def toBatch: BatchWrite =
         new SnapshotBatchWrite(path, batchId,
-          SnapshotWrite.Fields.map(schema.fieldIndex))
+          if (positional) SnapshotWrite.Fields.indices
+          else SnapshotWrite.Fields.map(schema.fieldIndex))
     }
   }
 }
@@ -81,17 +92,8 @@ private[sources] class SnapshotBatchWrite(path: String, batchId: Option[Long],
     * read the same max and share an id, which the per-publish nonce
     * disambiguates and the LWW sequence order — not batchId — resolves).
     */
-  private def nextBatchId(spark: SparkSession): Long = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val pat = "manifest-(-?\\d+)-.*".r
-    val maxExisting =
-      if (!fs.exists(root)) -1L
-      else fs.listStatus(root).iterator.map(_.getPath.getName)
-        .collect { case pat(id) => id.toLong }
-        .foldLeft(-1L)(math.max)
-    math.max(0L, maxExisting + 1L)
-  }
+  private def nextBatchId(spark: SparkSession): Long =
+    SnapshotWriteIds.next(spark, path)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -154,4 +156,22 @@ private[sources] class SnapshotDataWriter(file: String, fieldIdx: Seq[Int],
   }
   override def abort(): Unit = writer.close()
   override def close(): Unit = ()
+}
+
+/** Shared default-batchId derivation: max batch id named by a retained
+  * manifest, + 1 — used by unoptioned V2 writes and by SQL DELETE
+  * (see [[SnapshotBatchWrite]]'s doc for the concurrency argument).
+  */
+private[sources] object SnapshotWriteIds {
+  def next(spark: SparkSession, path: String): Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val pat = "manifest-(-?\\d+)-.*".r
+    val maxExisting =
+      if (!fs.exists(root)) -1L
+      else fs.listStatus(root).iterator.map(_.getPath.getName)
+        .collect { case pat(id) => id.toLong }
+        .foldLeft(-1L)(math.max)
+    math.max(0L, maxExisting + 1L)
+  }
 }
