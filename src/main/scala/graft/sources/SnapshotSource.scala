@@ -149,6 +149,8 @@ private[sources] class SnapshotTable(path: String) extends Table
   override def schema(): StructType = SnapshotSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      // INSERT OVERWRITE / .mode("overwrite") → WriteBuilder.truncate()
+      TableCapability.TRUNCATE,
       // the WRITE shape is the 4-column CDC delta (keys, op,
       // sequenceNumber, newImage) while the READ shape is the resolved
       // 3-column state — ACCEPT_ANY_SCHEMA opts out of Spark's

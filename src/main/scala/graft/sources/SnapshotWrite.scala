@@ -48,7 +48,21 @@ private[sources] object SnapshotWrite {
 
 private[sources] class SnapshotWriteBuilder(path: String, batchId: Option[Long],
                                             schema: org.apache.spark.sql.types.StructType)
-    extends WriteBuilder {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  /** INSERT OVERWRITE / .mode("overwrite") (r11): the delta REPLACES
+    * the table state through [[SnapshotStore.writeTarget]]'s full
+    * locked publish (every bucket becomes a one-segment chain; prior
+    * committed versions stay time-travelable). This is the correct
+    * overwrite for an LWW table — tombstoning-then-merging in one
+    * batch would let a bumped tombstone outrank re-inserted keys.
+    */
+  private var overwrite = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+
   override def build(): Write = {
     // SQL `INSERT INTO ... VALUES` delivers ANONYMOUS positional names
     // (col1..col4) because ACCEPT_ANY_SCHEMA skips table-schema
@@ -68,13 +82,16 @@ private[sources] class SnapshotWriteBuilder(path: String, batchId: Option[Long],
       override def toBatch: BatchWrite =
         new SnapshotBatchWrite(path, batchId,
           if (positional) SnapshotWrite.Fields.indices
-          else SnapshotWrite.Fields.map(schema.fieldIndex))
+          else SnapshotWrite.Fields.map(schema.fieldIndex),
+          overwrite)
     }
   }
 }
 
 private[sources] class SnapshotBatchWrite(path: String, batchId: Option[Long],
-                                          fieldIdx: Seq[Int]) extends BatchWrite {
+                                          fieldIdx: Seq[Int],
+                                          overwrite: Boolean = false)
+    extends BatchWrite {
   private val staging = s"$path/_staging-${java.util.UUID.randomUUID().toString.take(12)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -102,7 +119,16 @@ private[sources] class SnapshotBatchWrite(path: String, batchId: Option[Long],
       if (files.nonEmpty) {
         val delta = spark.read.parquet(files: _*)
         val id = batchId.getOrElse(nextBatchId(spark))
-        SnapshotStore.mergeIntoTarget(spark, path, delta, batchId = id)
+        if (overwrite) SnapshotStore.writeTarget(delta, path, batchId = id)
+        else SnapshotStore.mergeIntoTarget(spark, path, delta, batchId = id)
+      } else if (overwrite) {
+        // overwrite with an EMPTY frame truncates: publish the empty
+        // state rather than silently keeping the old one
+        val id = batchId.getOrElse(nextBatchId(spark))
+        SnapshotStore.writeTarget(
+          spark.range(0).selectExpr(
+            SnapshotWrite.Fields.map(f => s"cast(null as string) as $f"): _*),
+          path, batchId = id)
       }
     } finally cleanup(spark)
   }

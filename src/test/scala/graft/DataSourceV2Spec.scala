@@ -402,6 +402,17 @@ class DataSourceV2Spec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
 
+    // INSERT OVERWRITE replaces the state (and stays time-travelable)
+    spark.sql("INSERT OVERWRITE graft.prod.t1 " +
+      """VALUES ('z1', 'PUT', '001', '{"v":100}')""")
+    assert(spark.sql("SELECT keys FROM graft.prod.t1").as[String]
+      .collect().toSeq === Seq("z1"))
+
+    // TRUNCATE TABLE = delete every live key (tombstones)
+    spark.sql("TRUNCATE TABLE graft.prod.t1")
+    assert(spark.sql("SELECT count(*) FROM graft.prod.t1")
+      .collect()(0).getLong(0) === 0L)
+
     // catalog DDL: list / create / drop
     buildTarget(s"$root/prod/t2")
     assert(spark.sql("SHOW TABLES IN graft.prod").select("tableName")
