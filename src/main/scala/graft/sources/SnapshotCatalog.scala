@@ -62,9 +62,23 @@ class SnapshotCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean = fs.exists(dirOf(ident))
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    new SnapshotTable(dirOf(ident).toString)
+    // `<name>__changes` is the table's CHANGE FEED companion (r11):
+    // `spark.readStream.table("graft.ns.t__changes")` streams the raw
+    // committed delta rows — name-addressed streaming consumption with
+    // no path in user code. Virtual: not listed, not creatable, reads
+    // the same directory.
+    val ChangesSuffix = "__changes"
+    if (ident.name().endsWith(ChangesSuffix)) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix(ChangesSuffix))
+      if (!tableExists(base))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(base)
+      new SnapshotChangesTable(dirOf(base).toString)
+    } else {
+      if (!tableExists(ident))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      new SnapshotTable(dirOf(ident).toString)
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,

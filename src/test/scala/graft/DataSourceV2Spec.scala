@@ -413,6 +413,23 @@ class DataSourceV2Spec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.prod.t1")
       .collect()(0).getLong(0) === 0L)
 
+    // the change-feed companion table streams the raw committed deltas
+    // by NAME — no path in user code
+    val out = tmp("dsv2-cat-feed"); val ckpt = tmp("dsv2-cat-ckpt")
+    val q = spark.readStream.table("graft.prod.t1__changes")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val feed = spark.read.parquet(out).select("keys", "op").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // the OVERWRITE above replaced every segment chain, so the feed's
+    // current state serves exactly the post-overwrite deltas: z1's
+    // insert and its truncate tombstone
+    assert(feed === Set(("z1", "PUT"), ("z1", "DELETE")),
+      s"feed rows: $feed")
+
     // catalog DDL: list / create / drop
     buildTarget(s"$root/prod/t2")
     assert(spark.sql("SHOW TABLES IN graft.prod").select("tableName")
