@@ -151,6 +151,8 @@ private[sources] class SnapshotTable(path: String) extends Table
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       // INSERT OVERWRITE / .mode("overwrite") → WriteBuilder.truncate()
       TableCapability.TRUNCATE,
+      // writeStream.toTable: epoch-id batches through the locked merge
+      TableCapability.STREAMING_WRITE,
       // the WRITE shape is the 4-column CDC delta (keys, op,
       // sequenceNumber, newImage) while the READ shape is the resolved
       // 3-column state — ACCEPT_ANY_SCHEMA opts out of Spark's

@@ -78,14 +78,68 @@ private[sources] class SnapshotWriteBuilder(path: String, batchId: Option[Long],
       s"graft-snapshot write requires columns ${SnapshotWrite.Fields.mkString(", ")} " +
         s"(or exactly ${SnapshotWrite.Fields.length} positional VALUES columns); " +
         s"missing: ${missing.mkString(", ")}")
+    val fieldIdx =
+      if (positional) SnapshotWrite.Fields.indices
+      else SnapshotWrite.Fields.map(schema.fieldIndex)
     new Write {
       override def toBatch: BatchWrite =
-        new SnapshotBatchWrite(path, batchId,
-          if (positional) SnapshotWrite.Fields.indices
-          else SnapshotWrite.Fields.map(schema.fieldIndex),
-          overwrite)
+        new SnapshotBatchWrite(path, batchId, fieldIdx, overwrite)
+      // STREAMING write (r11): `df.writeStream.toTable("graft.ns.t")` —
+      // each epoch's staged files merge as ONE delta batch with
+      // batchId = epochId, so Spark's checkpointed epoch replay lands
+      // on the store's idempotent LWW merge (the same exactly-once
+      // argument the foreachBatch sinks rely on)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new SnapshotStreamingWrite(path, fieldIdx)
     }
   }
+}
+
+private[sources] class SnapshotStreamingWrite(path: String, fieldIdx: Seq[Int])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val staging =
+    s"$path/_staging-${java.util.UUID.randomUUID().toString.take(12)}"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new SnapshotStreamingWriterFactory(staging, fieldIdx,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val files = messages.collect {
+      case m: SnapshotWriteMessage if m.rows > 0 => m.file
+    }
+    try {
+      if (files.nonEmpty)
+        SnapshotStore.mergeIntoTarget(spark, path,
+          spark.read.parquet(files: _*), batchId = epochId)
+    } finally cleanup(spark)
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    cleanup(SparkSession.active)
+
+  private def cleanup(spark: SparkSession): Unit = {
+    val p = new Path(staging)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+}
+
+private[sources] class SnapshotStreamingWriterFactory(
+    staging: String, fieldIdx: Seq[Int],
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriter(
+      s"$staging/epoch-$epochId-part-$partitionId-$taskId.parquet",
+      fieldIdx, conf.value)
 }
 
 private[sources] class SnapshotBatchWrite(path: String, batchId: Option[Long],

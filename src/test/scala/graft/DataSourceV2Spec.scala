@@ -430,10 +430,26 @@ class DataSourceV2Spec extends SparkSpec {
     assert(feed === Set(("z1", "PUT"), ("z1", "DELETE")),
       s"feed rows: $feed")
 
+    // streaming WRITE by name: writeStream.toTable merges each epoch
+    // as one delta batch through the store's locked commit
+    val sin = tmp("dsv2-cat-sin"); val sckpt = tmp("dsv2-cat-sckpt")
+    spark.sql("CREATE TABLE graft.prod.ts1")
+    delta(("s1", "PUT", "001", Some("""{"v":1}""")),
+        ("s2", "PUT", "002", Some("""{"v":2}""")))
+      .coalesce(1).write.mode("append").parquet(sin)
+    val sschema = spark.read.parquet(sin).schema
+    val sq = spark.readStream.schema(sschema).parquet(sin)
+      .writeStream.option("checkpointLocation", sckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.prod.ts1")
+    sq.awaitTermination(60000)
+    assert(spark.sql("SELECT keys FROM graft.prod.ts1").as[String]
+      .collect().toSet === Set("s1", "s2"))
+
     // catalog DDL: list / create / drop
     buildTarget(s"$root/prod/t2")
     assert(spark.sql("SHOW TABLES IN graft.prod").select("tableName")
-      .as[String].collect().toSet === Set("t1", "t2"))
+      .as[String].collect().toSet === Set("t1", "t2", "ts1"))
     spark.sql("CREATE TABLE graft.prod.t3")
     spark.sql("INSERT INTO graft.prod.t3 " +
       """VALUES ('a', 'PUT', '001', '{"v":0}')""")
@@ -441,7 +457,7 @@ class DataSourceV2Spec extends SparkSpec {
       .collect().toSeq === Seq("a"))
     spark.sql("DROP TABLE graft.prod.t3")
     assert(spark.sql("SHOW TABLES IN graft.prod").select("tableName")
-      .as[String].collect().toSet === Set("t1", "t2"))
+      .as[String].collect().toSet === Set("t1", "t2", "ts1"))
   }
 
   test("reported statistics: a small snapshot dimension broadcasts in a key join") {
