@@ -1378,7 +1378,7 @@ object TextQueries {
       (s, d) => {
         val vocab = uniVocab(s, d)
         def inList(xs: Seq[String]) =
-          if (xs.isEmpty) "(' ')"
+          if (xs.isEmpty) "('\u0000')"
           else xs.map(p => s"'${p.replace("'", "''")}'")
             .mkString("(", ", ", ")")
         val v3 = inList(vocab.filter(_._2 == 3).map(_._1))
