@@ -81,6 +81,17 @@ class SnapshotCatalog extends TableCatalog {
     }
   }
 
+  /** SQL time travel (r11): `SELECT ... FROM graft.ns.t VERSION AS OF
+    * '<manifest>'` — the catalog pins the retained committed version
+    * into the table, and the scan refuses orphans exactly like the
+    * option-based path ([[SnapshotScan.planInputPartitions]]).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new SnapshotTable(dirOf(ident).toString, pinnedVersion = Some(version))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {

@@ -96,7 +96,9 @@ object SnapshotSource {
   }
 }
 
-private[sources] class SnapshotTable(path: String) extends Table
+private[sources] class SnapshotTable(path: String,
+                                     pinnedVersion: Option[String] = None)
+    extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -161,7 +163,10 @@ private[sources] class SnapshotTable(path: String) extends Table
       // requirement)
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(path, Option(options.get("versionAsOf")))
+    // catalog time travel (VERSION AS OF) pins the version at loadTable
+    // time; the read option keeps working for path-based reads
+    new SnapshotScanBuilder(path,
+      Option(options.get("versionAsOf")).orElse(pinnedVersion))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =

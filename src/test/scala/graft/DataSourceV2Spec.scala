@@ -382,6 +382,19 @@ class DataSourceV2Spec extends SparkSpec {
     assert(spark.sql("SELECT newImage FROM graft.prod.t1 WHERE keys = 'k9'")
       .as[String].collect().toSeq === Seq("""{"v":9}"""))
 
+    // SQL time travel: VERSION AS OF the pre-insert manifest reads the
+    // old state by name (checked before later batches age it out of the
+    // 2-version retention); an unknown version fails loudly
+    val versions = SnapshotStore.versions(spark, s"$root/prod/t1")
+    val preInsert = versions.find(_.startsWith("manifest-000000000003")).getOrElse(
+      fail(s"no batch-3 manifest retained in $versions"))
+    assert(spark.sql(
+        s"SELECT keys FROM graft.prod.t1 VERSION AS OF '$preInsert'")
+      .as[String].collect().toSet === Set("k1", "k2", "k4", "k5"))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.prod.t1 VERSION AS OF 'nope'").collect()
+    }
+
     // DELETE FROM with key predicates: tombstones, not rewrites
     spark.sql("DELETE FROM graft.prod.t1 WHERE keys = 'k2'")
     spark.sql("DELETE FROM graft.prod.t1 WHERE keys IN ('k1', 'k9')")
