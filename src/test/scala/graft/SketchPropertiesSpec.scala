@@ -280,4 +280,30 @@ class SketchPropertiesSpec extends AnyFunSuite {
       VecPackU8(Literal.create(Seq(-1L), ArrayType(LongType))).eval(null)
     }
   }
+
+  test("RankedPrefix.ntileFromRank formula matches the remainder rule for every (n, buckets)") {
+    // the integer formula RankedPrefix.ntileFromRank evaluates in SQL,
+    // replicated verbatim in plain Long arithmetic and checked rank by
+    // rank against the first-buckets-take-the-remainder reference that
+    // Spark's and DuckDB's NTILE share — covers n < b, n = b, every
+    // remainder shape, and b = 1
+    val gen = for {
+      n <- Gen.chooseNum(1, 2000)
+      b <- Gen.chooseNum(1, 24)
+    } yield (n, b)
+    check(Prop.forAll(gen) { case (n, b) =>
+      val q = n / b
+      val rem = n % b
+      // reference: explicit bucket sizes, first rem buckets hold q+1
+      val sizes = Seq.fill(rem)(q + 1) ++ Seq.fill(b - rem)(q)
+      val expected = sizes.zipWithIndex
+        .flatMap { case (s, i) => Seq.fill(s)(i + 1L) } // rank → tile
+      def tile(r: Long): Long = {
+        val cut = rem.toLong * (q + 1)
+        if (r <= cut) (r - 1) / (q + 1) + 1
+        else rem + (r - cut - 1) / q + 1
+      }
+      (1 to n).forall(r => tile(r.toLong) == expected(r - 1))
+    })
+  }
 }
