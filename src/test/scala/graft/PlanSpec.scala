@@ -274,6 +274,28 @@ class PlanSpec extends SparkSpec {
       s"carry-in interval join resurfaced:\n$p")
   }
 
+  test("graph_link_prediction: wedge middles are degree-capped; no cartesian") {
+    val p = plan("graph_link_prediction")
+    // the Σdeg² wedge stage is bounded ONLY by the dm <= 64 middle cap —
+    // pin it so a refactor can't silently re-open the hub blowup
+    assert("dm#\\d+L? <= 64".r.findAllIn(p).nonEmpty,
+      s"degree cap missing from the middle filter:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian surfaced:\n$p")
+  }
+
+  test("events_theil_sen: the pairwise stage consumes the DAILY aggregate, never fact rows") {
+    val p = plan("events_theil_sen")
+    // the day×day inequality join is calendar²-bounded BY CONSTRUCTION —
+    // pin that an aggregate sits below the join so a refactor can't feed
+    // it order-grain rows (the agg_mode pattern), and that the median
+    // pass is the two-phase range exchange
+    val joinAt = p.indexOf("Join")
+    assert(joinAt >= 0 && p.indexOf("HashAggregate", joinAt) >= 0,
+      s"pair join not above an aggregate (input not calendar-bounded):\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"median pass lost its range exchange:\n$p")
+  }
+
   test("ranked-prefix consumers: every data-proportional ordered pass is two-phase") {
     // r11 (the r10 verdict's top item): these four ran global
     // Window.orderBy over data-proportional frames — equi-depth money
