@@ -81,10 +81,18 @@ class SnapshotSource extends TableProvider
 }
 
 object SnapshotSource {
-  /** Resolved-state schema of the canonical store layout. */
-  val Schema: StructType = StructType(
-    Seq("keys", "sequenceNumber", "newImage")
-      .map(StructField(_, StringType)))
+  /** Resolved-state schema of the canonical store layout (r11: includes
+    * `op` — the surviving row's operation, and the column that lets SQL
+    * INSERT align against the table schema with no ACCEPT_ANY_SCHEMA
+    * escape hatch; keys/op/sequenceNumber are non-nullable, which is
+    * both true of resolved state and REQUIRED for the row-id columns of
+    * the row-level operations).
+    */
+  val Schema: StructType = StructType(Seq(
+    StructField("keys", StringType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("sequenceNumber", StringType, nullable = false),
+    StructField("newImage", StringType, nullable = true)))
 
   /** Driver/executor-shared mirror of the store's bucket function:
     * pmod(xxhash64(keys), n) with Spark's default seed.
@@ -100,7 +108,18 @@ private[sources] class SnapshotTable(path: String,
                                      pinnedVersion: Option[String] = None)
     extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** MERGE INTO / UPDATE / complex-predicate DELETE (r11): the
+    * delta-based row-level contract — see
+    * [[graft.sources.SnapshotRowLevelOp]] for the sequence discipline
+    * that makes each statement win its own LWW race.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new SnapshotRowLevelBuilder(path, info)
 
   /** SQL `DELETE FROM` (r11): key-addressed deletes become TOMBSTONE
     * delta rows merged through the store's own locked commit — O(|live
@@ -154,14 +173,7 @@ private[sources] class SnapshotTable(path: String,
       // INSERT OVERWRITE / .mode("overwrite") → WriteBuilder.truncate()
       TableCapability.TRUNCATE,
       // writeStream.toTable: epoch-id batches through the locked merge
-      TableCapability.STREAMING_WRITE,
-      // the WRITE shape is the 4-column CDC delta (keys, op,
-      // sequenceNumber, newImage) while the READ shape is the resolved
-      // 3-column state — ACCEPT_ANY_SCHEMA opts out of Spark's
-      // write-vs-table-schema resolution and the WriteBuilder validates
-      // the delta shape itself (fails at plan time with the real
-      // requirement)
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // catalog time travel (VERSION AS OF) pins the version at loadTable
     // time; the read option keeps working for path-based reads
@@ -252,7 +264,10 @@ private[sources] class SnapshotScanBuilder(path: String,
         case _: CountStar =>
           Some(SnapshotAggScan.AggCol("count_star", None))
         case c: Count if !c.isDistinct =>
-          col(c.column).map(n => SnapshotAggScan.AggCol("count", Some(n)))
+          // count(col) = row count only for the NON-NULLABLE columns;
+          // newImage can be null, so it is refused (falls back to rows)
+          col(c.column).filter(_ != "newImage")
+            .map(n => SnapshotAggScan.AggCol("count", Some(n)))
         case m: Min => col(m.column).map(n => SnapshotAggScan.AggCol("min", Some(n)))
         case m: Max => col(m.column).map(n => SnapshotAggScan.AggCol("max", Some(n)))
         case _ => None
@@ -491,9 +506,10 @@ private[sources] class SnapshotAggPartitionReader(
     val needMin = cols.collect { case SnapshotAggScan.AggCol("min", Some(c)) => c }.toSet
     val needMax = cols.collect { case SnapshotAggScan.AggCol("max", Some(c)) => c }.toSet
     SnapshotResolve.resolved(p.segmentDirs, conf).foreach {
-      case (k, seq, img) =>
+      case (k, op, seq, img) =>
         n += 1
-        val vals = Map("keys" -> k, "sequenceNumber" -> seq, "newImage" -> img)
+        val vals = Map("keys" -> k, "op" -> op, "sequenceNumber" -> seq,
+          "newImage" -> img)
         for (c <- needMin; v = vals(c); if v != null) {
           val u = UTF8String.fromString(v)
           if (mins.get(c).forall(_.compareTo(u) > 0)) mins.update(c, u)
@@ -505,7 +521,7 @@ private[sources] class SnapshotAggPartitionReader(
     }
     val out = cols.map {
       case SnapshotAggScan.AggCol("count_star", _) => (n: Any)
-      // the three resolved columns are never null, so count(col) = n
+      // accepted count columns are non-nullable, so count(col) = n
       case SnapshotAggScan.AggCol("count", Some(_)) => (n: Any)
       case SnapshotAggScan.AggCol("min", Some(c)) => (mins.get(c).orNull: Any)
       case SnapshotAggScan.AggCol("max", Some(c)) => (maxs.get(c).orNull: Any)
@@ -538,7 +554,7 @@ private[sources] object SnapshotResolve {
     * (keys, sequenceNumber, newImage) — tombstones dropped.
     */
   def resolved(segmentDirs: Seq[String], conf: Configuration)
-      : Iterator[(String, String, String)] = {
+      : Iterator[(String, String, String, String)] = {
     if (segmentDirs.isEmpty) return Iterator.empty
     val fs = new Path(segmentDirs.head).getFileSystem(conf)
     val state = mutable.HashMap.empty[String, (Ord, String, String, String)]
@@ -554,7 +570,7 @@ private[sources] object SnapshotResolve {
       if (better) state.update(k, (ord, op, seq, img))
     }
     state.iterator.collect {
-      case (k, (_, op, seq, img)) if op != "DELETE" => (k, seq, img)
+      case (k, (_, op, seq, img)) if op != "DELETE" => (k, op, seq, img)
     }
   }
 }
@@ -566,9 +582,10 @@ private[sources] class SnapshotPartitionReader(
 
   private lazy val rows: Iterator[InternalRow] = {
     val resolved = SnapshotResolve.resolved(p.segmentDirs, conf).map {
-      case (k, seq, img) =>
+      case (k, op, seq, img) =>
         val vals: Map[String, String] =
-          Map("keys" -> k, "sequenceNumber" -> seq, "newImage" -> img)
+          Map("keys" -> k, "op" -> op, "sequenceNumber" -> seq,
+            "newImage" -> img)
         new GenericInternalRow(
           cols.map(c => UTF8String.fromString(vals.getOrElse(c, null))
             : Any).toArray): InternalRow

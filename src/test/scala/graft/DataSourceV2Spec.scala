@@ -33,6 +33,16 @@ class DataSourceV2Spec extends SparkSpec {
       ("k2", "PUT", "005", Some("""{"v":-9}""")))) // STALE: must lose to 012
   }
 
+  // ONE catalog root for every catalog test: Spark instantiates the
+  // catalog once per session and caches it, so a second conf.set of
+  // .root would be silently ignored — tests separate by NAMESPACE
+  private lazy val catalogRoot: String = {
+    val r = tmp("dsv2-catroot")
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", r)
+    r
+  }
+
   private def collectRows(df: org.apache.spark.sql.DataFrame) =
     df.select("keys", "sequenceNumber", "newImage").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
@@ -365,9 +375,7 @@ class DataSourceV2Spec extends SparkSpec {
   }
 
   test("catalog plugin: SELECT / INSERT INTO / DELETE FROM on name-addressed snapshot tables") {
-    val root = tmp("dsv2-cat")
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SnapshotCatalog")
-    spark.conf.set("spark.sql.catalog.graft.root", root)
+    val root = catalogRoot
     buildTarget(s"$root/prod/t1")
 
     // name-addressed SELECT through the same pruned V2 scan
@@ -408,12 +416,12 @@ class DataSourceV2Spec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.prod.t1")
       .collect()(0).getLong(0) === 2L)
 
-    // a non-key predicate is refused at PLAN time (canDeleteWhere),
-    // never silently mis-deleted
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM graft.prod.t1 WHERE newImage IS NULL")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // a non-key predicate routes through the ROW-LEVEL delete path
+    // (r11: SupportsRowLevelOperations) — here it matches nothing, so
+    // the state is untouched
+    spark.sql("DELETE FROM graft.prod.t1 WHERE newImage IS NULL")
+    assert(spark.sql("SELECT count(*) FROM graft.prod.t1")
+      .collect()(0).getLong(0) === 2L)
 
     // INSERT OVERWRITE replaces the state (and stays time-travelable)
     spark.sql("INSERT OVERWRITE graft.prod.t1 " +
@@ -471,6 +479,49 @@ class DataSourceV2Spec extends SparkSpec {
     spark.sql("DROP TABLE graft.prod.t3")
     assert(spark.sql("SHOW TABLES IN graft.prod").select("tableName")
       .as[String].collect().toSet === Set("t1", "t2", "ts1"))
+  }
+
+  test("row-level SQL: MERGE INTO / UPDATE / complex-predicate DELETE emit winning deltas") {
+    val root = catalogRoot
+    buildTarget(s"$root/rlo/t")
+    def state() = spark.sql("SELECT keys, newImage FROM graft.rlo.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // MERGE: update k2's image, delete k4, insert k7 — one statement
+    Seq(("k2", "777", """{"v":777}"""), ("k4", "778", null),
+        ("k7", "779", """{"v":7}"""))
+      .toDF("mk", "mseq", "mimg").createOrReplaceTempView("mergesrc")
+    spark.sql("""
+      MERGE INTO graft.rlo.t t USING mergesrc s ON t.keys = s.mk
+      WHEN MATCHED AND s.mimg IS NULL THEN DELETE
+      WHEN MATCHED THEN UPDATE SET newImage = s.mimg
+      WHEN NOT MATCHED THEN
+        INSERT (keys, op, sequenceNumber, newImage)
+        VALUES (s.mk, 'PUT', s.mseq, s.mimg)""")
+    val afterMerge = state()
+    assert(afterMerge("k2") === """{"v":777}""", s"merge update lost: $afterMerge")
+    assert(!afterMerge.contains("k4"), s"merge delete lost: $afterMerge")
+    assert(afterMerge("k7") === """{"v":7}""", s"merge insert lost: $afterMerge")
+    assert(afterMerge.keySet === Set("k1", "k2", "k5", "k7"))
+
+    // the stale k2 PUT (seq 005) must STILL lose to the merged update
+    delta(("k2", "PUT", "005", Some("""{"v":-9}""")))
+      .write.format("graft-snapshot").mode("append").save(s"$root/rlo/t")
+    assert(state()("k2") === """{"v":777}""", "stale PUT beat the merge update")
+
+    // UPDATE with a non-key predicate (no SupportsDelete shortcut)
+    spark.sql("UPDATE graft.rlo.t SET newImage = '{}' " +
+      "WHERE newImage = '{\"v\":1}'")
+    assert(state()("k1") === "{}")
+
+    // DELETE with a non-key predicate routes through the row-level op
+    spark.sql("DELETE FROM graft.rlo.t WHERE newImage = '{}'")
+    assert(!state().contains("k1"))
+    assert(state().keySet === Set("k2", "k5", "k7"))
+
+    // API read agrees — SQL row-level ops share the store format
+    assert(collectRows(SnapshotStore.readTarget(spark, s"$root/rlo/t"))
+      .map(_._1) === Set("k2", "k5", "k7"))
   }
 
   test("reported statistics: a small snapshot dimension broadcasts in a key join") {
