@@ -152,8 +152,11 @@ object BandIndexStore {
                  trigger: org.apache.spark.sql.streaming.Trigger =
                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // the frozen plan is read ONCE at stream start, not per batch
-    lazy val plan = readMeta(newDocs.sparkSession, metaTarget)
+    // the frozen plan is read EAGERLY here, before .start() — a lazy val
+    // would defer readMeta to the first micro-batch, letting a retrain
+    // that lands between query start and first batch band under a newer
+    // plan than this stream was started against
+    val plan = readMeta(newDocs.sparkSession, metaTarget)
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -187,7 +190,9 @@ object BandIndexStore {
                 trigger: org.apache.spark.sql.streaming.Trigger =
                   org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    lazy val plan = readMeta(newDocs.sparkSession, metaTarget)
+    // eager for the same reason as ingestSink: the plan is pinned at
+    // query start, not at first-batch time
+    val plan = readMeta(newDocs.sparkSession, metaTarget)
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -31,13 +31,19 @@ case class SortedIntersectLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull=true is rejected at analysis time: the two-pointer merge
+    // reads elements with getLong, which would silently decode a null slot
+    // as 0L. This function is session-registered SQL, so arbitrary callers
+    // (not just the null-free adjacency builders) can reach it — an
+    // analysis-time failure beats a silent wrong answer.
     def ok(t: DataType): Boolean = t match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<bigint> arguments, " +
+      s"$prettyName requires two array<bigint> arguments with non-nullable " +
+        s"elements (a null element would silently read as 0), " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -28,12 +28,30 @@ import graft.streaming.SnapshotStore
   *     ([[SupportsDelta.representUpdateAsDeleteAndInsert]]), and the
   *     reinsert lands at read-seq + "00" — strictly above its paired
   *     tombstone, so the updated image survives;
-  *   - INSERT (WHEN NOT MATCHED) writes the source-assigned sequence
-  *     verbatim — a brand-new key has no race to win.
+  *   - INSERT (WHEN NOT MATCHED) writes the source-assigned sequence,
+  *     BUMPED past the key's tombstone when one exists: a key
+  *     previously deleted via SQL DELETE reads as NOT MATCHED (the
+  *     tombstone hides it) yet its tombstone still guards the chain at
+  *     victim-seq + "0" — an insert whose sequence didn't outrank it
+  *     would merge invisibly. The commit path consults the chain's
+  *     tombstones (readTargetMarkers) and lifts any losing insert to
+  *     tombstone-seq + "0", so a SQL insert of a deleted key is always
+  *     visible — delete-then-reinsert behaves like SQL, not like a
+  *     stale CDC put.
   * A concurrent writer that lands between the scan and the commit can
   * still supersede the statement (its sequence may outrank read-seq +
   * "00") — the store's usual LWW semantics, not lost updates: both
   * versions are in the chain and the order is deterministic.
+  *
+  * CAVEAT — insert-only MERGE: Spark's RewriteMergeIntoTable turns a
+  * MERGE with ONLY `WHEN NOT MATCHED` clauses into a plain append
+  * (left-anti join + AppendData) before this class is ever consulted,
+  * so those inserts take the CDC append path and its verbatim LWW
+  * semantics: an insert whose sequence loses to a deleted key's
+  * tombstone stays invisible (exactly what a redelivered stale CDC put
+  * must do). To reinsert deleted keys by statement, include any
+  * `WHEN MATCHED` clause (engaging this tombstone-guarded path) or
+  * assign sequences that outrank the deletes.
   */
 private[sources] class SnapshotRowLevelBuilder(path: String,
                                                info: RowLevelOperationInfo)
@@ -84,10 +102,36 @@ private[sources] class SnapshotDeltaBatchWrite(path: String, rowCols: Seq[String
       case m: SnapshotWriteMessage if m.rows > 0 => m.file
     }
     try {
-      if (files.nonEmpty)
-        SnapshotStore.mergeIntoTarget(spark, path,
-          spark.read.parquet(files: _*),
+      if (files.nonEmpty) {
+        import org.apache.spark.sql.functions.{col, concat, lit, when}
+        import graft.ops.CdcOps.numericStringStruct
+        val staged = spark.read.parquet(files: _*)
+        // Tombstone guard (the delete-then-reinsert trap): a statement
+        // PUT for a key whose PRE-EXISTING chain holds a tombstone that
+        // outranks the staged sequence would merge invisibly — the row
+        // read as NOT MATCHED but the dead key's sequence guard still
+        // wins LWW. Lift such rows to tombstone-seq + "0" (strictly
+        // outranks: one more digit = higher length class). Statement
+        // DELETEs and UPDATE reinserts never need the lift (their
+        // read-row sequence already outranks any old tombstone, else
+        // the row wouldn't have been live) and are left alone by the
+        // losing-side predicate. Cost: one left join against the
+        // target's tombstone subset per statement — statement-level,
+        // not per-event, and the MERGE scan already read the target.
+        val tombs = SnapshotStore.readTargetMarkers(spark, path)
+          .filter(col("op") === "DELETE")
+          .select(col("keys"), col("sequenceNumber").as("__tomb_seq"))
+        val guarded = staged.join(tombs, Seq("keys"), "left")
+          .withColumn("sequenceNumber",
+            when(col("op") =!= "DELETE" && col("__tomb_seq").isNotNull &&
+                 numericStringStruct(col("__tomb_seq")) >=
+                   numericStringStruct(col("sequenceNumber")),
+              concat(col("__tomb_seq"), lit("0")))
+              .otherwise(col("sequenceNumber")))
+          .drop("__tomb_seq")
+        SnapshotStore.mergeIntoTarget(spark, path, guarded,
           batchId = SnapshotWriteIds.next(spark, path))
+      }
     } finally cleanup(spark)
   }
 

@@ -136,7 +136,12 @@ private[sources] class SnapshotTable(path: String,
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall {
-      case EqualTo("keys", _) => true
+      // a null-valued equality must be REFUSED, not accepted: deleteWhere
+      // derives key sets from non-null values only, so accepting
+      // EqualTo("keys", null) here would leave keySets empty → wanted=None
+      // → the no-predicate TRUNCATE branch, widening `keys = NULL`
+      // (matches nothing under SQL semantics) into delete-everything.
+      case EqualTo("keys", v) => v != null
       case In("keys", _) => true
       case _: org.apache.spark.sql.sources.AlwaysTrue => true
       case _ => false
@@ -301,11 +306,16 @@ private[graft] class SnapshotScan(path: String, required: StructType,
     * and tombstones only shrink it), which is the safe direction for a
     * broadcast decision; row count is left unknown rather than guessed.
     */
-  override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics = {
+  /** Listed-bytes sum, computed ONCE per Scan (Catalyst may request
+    * statistics several times while planning one query; each request
+    * used to re-run fs.listStatus over every pruned bucket). A Scan is
+    * per-query and the manifest it reads is pinned at plan time, so
+    * per-instance memoization is exactly per-(path, manifest).
+    */
+  private lazy val listedBytes: Long = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
-    val bytes = planInputPartitions().collect {
+    planInputPartitions().collect {
       case SnapshotInputPartition(_, dirs) => dirs.map { d =>
         val p = new Path(d)
         val fs = p.getFileSystem(conf)
@@ -313,6 +323,17 @@ private[graft] class SnapshotScan(path: String, required: StructType,
         else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
       }.sum
     }.sum
+  }
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    // Parquet bytes understate in-memory resolved size (dictionary +
+    // snappy compression), which is the UNSAFE direction for a broadcast
+    // decision — honor the same knob FileScan uses
+    // (spark.sql.sources.fileCompressionFactor, default 1.0) so
+    // deployments can scale the estimate without a code change.
+    val factor = SparkSession.active.sessionState.conf.fileCompressionFactor
+    val bytes = (listedBytes * factor).toLong
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)

@@ -64,11 +64,16 @@ private[sources] class SnapshotWriteBuilder(path: String, batchId: Option[Long],
   }
 
   override def build(): Write = {
-    // SQL `INSERT INTO ... VALUES` delivers ANONYMOUS positional names
-    // (col1..col4) because ACCEPT_ANY_SCHEMA skips table-schema
-    // resolution — accept that exact shape positionally as the 4-column
-    // delta (r11, the catalog SQL surface); named frames still bind by
-    // name so column order never matters for them
+    // SQL `INSERT INTO ... VALUES` resolves byPosition against the
+    // table schema but the incoming frame keeps Spark's ANONYMOUS
+    // generated names (col1..col4) — accept that exact shape
+    // positionally as the 4-column delta (r11, the catalog SQL
+    // surface). ASSUMPTION: a col1..col4 frame is one Spark generated
+    // for a positional write, so col1..col4 ARE (keys, op,
+    // sequenceNumber, newImage) in order; a hand-built DataFrame that
+    // happens to use those names with a different order binds wrong —
+    // name your columns (the named branch below) for programmatic
+    // writes. Named frames bind by name so column order never matters.
     val positional = schema.fieldNames.toSeq ==
       (1 to SnapshotWrite.Fields.length).map(i => s"col$i")
     val missing =

@@ -441,13 +441,41 @@ object SnapshotStore {
         else emptyCanonical(spark, keys)
     }
 
+  /** LWW winners INCLUDING tombstone rows (the `op` column retained) —
+    * the read a row-level statement uses to consult dead keys' sequence
+    * guards: a SQL-DELETEd key is invisible to [[readTarget]] (so a
+    * MERGE reads it as NOT MATCHED), but its tombstone still wins the
+    * LWW race against any insert whose sequence doesn't outrank it.
+    * Fallback cases (flat pre-seeded parquet, empty table) carry no
+    * tombstones; an op column of "PUT" is synthesized so callers can
+    * filter uniformly.
+    */
+  def readTargetMarkers(spark: SparkSession, targetDir: String,
+                        keys: Seq[String] = Seq("keys"), opCol: String = "op",
+                        seqCol: String = "sequenceNumber"): DataFrame =
+    currentManifest(spark, targetDir) match {
+      case Some((name, m)) =>
+        readManifestData(spark, targetDir, name, m, keys, opCol, seqCol,
+          keepMarkers = true)
+      case None =>
+        val base = readTarget(spark, targetDir, keys, opCol, seqCol)
+        if (base.columns.contains(opCol)) base
+        else base.withColumn(opCol, lit("PUT"))
+    }
+
   /** Resolve one manifest's applied state (shared by the live read and
     * the as-of read — identical semantics, different manifest).
+    * `keepMarkers` keeps each dead key's tombstone row and the op
+    * column (the [[readTargetMarkers]] face).
     */
   private def readManifestData(spark: SparkSession, targetDir: String,
                                name: String, m: Manifest, keys: Seq[String],
-                               opCol: String, seqCol: String): DataFrame =
-    if (m.buckets.isEmpty) emptyCanonical(spark, keys)
+                               opCol: String, seqCol: String,
+                               keepMarkers: Boolean = false): DataFrame =
+    if (m.buckets.isEmpty) {
+      val e = emptyCanonical(spark, keys)
+      if (keepMarkers) e.withColumn(opCol, lit("PUT")) else e
+    }
     else {
           val fs = fsOf(spark, targetDir)
           val paths = segmentPaths(targetDir, m)
@@ -469,7 +497,9 @@ object SnapshotStore {
           val df = spark.read.option("mergeSchema", "true")
             .parquet(paths.map(_.toString): _*)
           // metadata-less table (pure writeTarget publish): already state
-          if (!df.columns.contains(opCol)) df
+          if (!df.columns.contains(opCol)) {
+            if (keepMarkers) df.withColumn(opCol, lit("PUT")) else df
+          } else if (keepMarkers) compactMarkers(df, keys, seqCol)
           else compactState(df, keys, opCol, seqCol).drop(opCol)
         }
 

@@ -524,6 +524,55 @@ class DataSourceV2Spec extends SparkSpec {
       .map(_._1) === Set("k2", "k5", "k7"))
   }
 
+  test("delete-then-reinsert: a MERGE insert of a deleted key outranks its tombstone") {
+    val root = catalogRoot
+    buildTarget(s"$root/rli/t")
+    def state() = spark.sql("SELECT keys, newImage FROM graft.rli.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // SQL DELETE leaves an invisible tombstone at victim-seq + "0":
+    // k2 is live at 012 → tombstone 0120. k3 carries a seeded tombstone
+    // (013) from buildTarget already.
+    spark.sql("DELETE FROM graft.rli.t WHERE keys = 'k2'")
+    assert(!state().contains("k2"))
+
+    // MERGE inserts with sequences LOWER than the keys' tombstones: the
+    // rows read NOT MATCHED (tombstones hide them), and without the
+    // commit-path tombstone guard each insert would merge invisibly —
+    // LWW-lost to the dead key's sequence guard. The guard lifts the
+    // losing insert to tombstone-seq + "0". The WHEN MATCHED clause
+    // (which fires for no row here) matters: Spark rewrites an
+    // INSERT-ONLY merge to a plain append before the row-level
+    // framework engages (see the SnapshotRowLevelOps doc), and the
+    // append path keeps verbatim CDC LWW semantics by design.
+    Seq(("k2", "001", """{"v":222}"""), ("k3", "002", """{"v":33}"""),
+        ("k8", "003", """{"v":8}"""))
+      .toDF("mk", "mseq", "mimg").createOrReplaceTempView("reinssrc")
+    spark.sql("""
+      MERGE INTO graft.rli.t t USING reinssrc s ON t.keys = s.mk
+      WHEN MATCHED THEN UPDATE SET newImage = s.mimg
+      WHEN NOT MATCHED THEN
+        INSERT (keys, op, sequenceNumber, newImage)
+        VALUES (s.mk, 'PUT', s.mseq, s.mimg)""")
+    val after = state()
+    assert(after.get("k2") === Some("""{"v":222}"""),
+      s"reinsert of SQL-deleted key lost to its tombstone: $after")
+    assert(after.get("k3") === Some("""{"v":33}"""),
+      s"reinsert of CDC-deleted key lost to its tombstone: $after")
+    // a genuinely-new key keeps its source sequence VERBATIM (CDC LWW
+    // semantics preserved): a later stale put must still lose to it,
+    // and a newer one must win
+    assert(after.get("k8") === Some("""{"v":8}"""))
+    assert(collectRows(SnapshotStore.readTarget(spark, s"$root/rli/t"))
+      .collectFirst { case ("k8", seq, _) => seq } === Some("003"))
+
+    // the lifted reinsert now ALSO guards correctly: a second SQL
+    // delete of k2 must re-kill it (the new tombstone outranks the
+    // lifted sequence), proving the lift composes with later statements
+    spark.sql("DELETE FROM graft.rli.t WHERE keys = 'k2'")
+    assert(!state().contains("k2"))
+  }
+
   test("reported statistics: a small snapshot dimension broadcasts in a key join") {
     val dir = tmp("dsv2-stats")
     buildTarget(dir)

@@ -274,6 +274,27 @@ class StatSpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_long rejects nullable-element arrays at analysis time") {
+    import spark.implicits._
+    // getLong on a null slot would silently read 0 — the contract is
+    // enforced in checkInputDataTypes, so a nullable-element array must
+    // fail ANALYSIS, not produce a wrong row. array(lit(null).cast long)
+    // and Seq[Option[Long]] both carry containsNull=true.
+    val df = Seq((Seq(Some(1L), None), Seq(Some(1L), Some(2L)))).toDF("a", "b")
+    assert(df.schema("a").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.ArraySetFunctions
+        .sortedIntersectLong(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("non-nullable"))
+    // SQL surface takes the same path
+    val ex2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("select sorted_intersect_long(array(1L, cast(null as bigint)), array(1L))").collect()
+    }
+    assert(ex2.getMessage.contains("non-nullable"))
+  }
+
   test("ml_ks_stat equals brute max |F+ - F-| over all thresholds") {
     val rows = Tables.events(spark, sf)
       .selectExpr("cast(round(value * 100) as bigint) as s",
