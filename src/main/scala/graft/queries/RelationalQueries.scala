@@ -1267,18 +1267,30 @@ object RelationalQueries {
         WHERE event_type = 'purchase'""")),
 
     // ───── W2 ntile + dense_rank: quartiles of account balance WITHIN a
-    // market segment (partitioned window — parallel by segment, never a
-    // single global sort task). Deterministic: (c_acctbal, c_custkey) is
-    // a total order within each partition.
+    // market segment. r12: two-phase via RankedPrefix — partitioning by
+    // segment alone (5 values) still sorted |customers|/5 rows on ONE
+    // task per segment, linear in data at any scale; the range exchange
+    // shards each segment's ordered pass across all partitions, and
+    // quartile = integer ntile-from-rank over (global rank, group
+    // total). dense_rank's order (c_acctbal, c_custkey) is a TOTAL
+    // order, so every peer group is a single row and dense_rank IS the
+    // global rank — the oracle still computes DENSE_RANK and the hash
+    // gate proves the identity. Shares its ranged frame cache with
+    // window_percent_rank (same part/order/totals).
     QuerySpec(
       "window_ntile",
       (s, d) => {
-        val w = Window.partitionBy("c_mktsegment")
-          .orderBy(col("c_acctbal"), col("c_custkey"))
-        customer(s, d).select(
+        val ranked = graft.ops.RankedPrefix(s, d, "segBalance",
+          customer(s, d).select("c_custkey", "c_mktsegment", "c_acctbal"),
+          part = Seq("c_mktsegment"),
+          order = Seq(col("c_acctbal"), col("c_custkey")),
+          rank = Some("__r"),
+          totals = Seq(("__n", lit(1L))))
+        ranked.select(
           col("c_custkey"), col("c_mktsegment"),
-          ntile(4).over(w).as("quartile"),
-          dense_rank().over(w).as("bal_rank"))
+          graft.ops.RankedPrefix.ntileFromRank(col("__r"), col("__n"), 4)
+            .as("quartile"),
+          col("__r").cast("int").as("bal_rank"))
       },
       Some("""
         SELECT c_custkey, c_mktsegment,
@@ -1319,18 +1331,39 @@ object RelationalQueries {
     // an explicit ROWS frame. (c_acctbal, c_custkey) is a total order, so
     // peer groups are single rows and both engines agree exactly; the
     // rank ratios divide small exact integers (exactly-rounded IEEE).
+    // r12: two-phase via RankedPrefix (the last sibling of the r10
+    // data-proportional window class) — with single-row peer groups,
+    // percent_rank = (r−1)/(n−1) and cume_dist = r/n straight from the
+    // global rank + group total, both divisions the same IEEE doubles
+    // the window functions produce. first_value over the growing frame
+    // is the rank-1 row's balance and nth_value(…, 2) the rank-2 row's
+    // (null before rank 2): per-segment CONSTANTS, collapsed from the
+    // two head rows per segment and broadcast back — never a second
+    // ordered pass.
     QuerySpec(
       "window_percent_rank",
       (s, d) => {
-        val w = Window.partitionBy("c_mktsegment")
-          .orderBy(col("c_acctbal"), col("c_custkey"))
-        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        customer(s, d).select(
-          col("c_custkey"), col("c_mktsegment"),
-          percent_rank().over(w).as("pct_rank"),
-          cume_dist().over(w).as("cume"),
-          first_value(col("c_acctbal")).over(wf).as("seg_min_bal"),
-          nth_value(col("c_acctbal"), 2).over(wf).as("seg_2nd_bal"))
+        val ranked = graft.ops.RankedPrefix(s, d, "segBalance",
+          customer(s, d).select("c_custkey", "c_mktsegment", "c_acctbal"),
+          part = Seq("c_mktsegment"),
+          order = Seq(col("c_acctbal"), col("c_custkey")),
+          rank = Some("__r"),
+          totals = Seq(("__n", lit(1L))))
+        val heads = ranked.filter(col("__r") <= 2)
+          .groupBy("c_mktsegment")
+          .agg(min(when(col("__r") === 1, col("c_acctbal"))).as("__b1"),
+            min(when(col("__r") === 2, col("c_acctbal"))).as("__b2"))
+        ranked.join(broadcast(heads), Seq("c_mktsegment"))
+          .select(
+            col("c_custkey"), col("c_mktsegment"),
+            when(col("__n") > 1,
+              (col("__r") - 1).cast("double") /
+                (col("__n") - 1).cast("double"))
+              .otherwise(lit(0.0)).as("pct_rank"),
+            (col("__r").cast("double") / col("__n").cast("double"))
+              .as("cume"),
+            col("__b1").as("seg_min_bal"),
+            when(col("__r") >= 2, col("__b2")).as("seg_2nd_bal"))
       },
       Some("""
         SELECT c_custkey, c_mktsegment,

@@ -304,13 +304,19 @@ class PlanSpec extends SparkSpec {
     // partitioning sorts |customers|/5 per task. Pin RankedPrefix's
     // shape: a range exchange on the sort key and __rp_pid-partitioned
     // parallel windows over the data side.
+    // r12 adds the last two siblings (the r11 verdict's top item):
+    // window_ntile and window_percent_rank partitioned by c_mktsegment
+    // (5 values), so each task sorted |customers|/5 rows — linear in
+    // data at any scale. Their windows now partition by
+    // (c_mktsegment, __rp_pid).
     for (q <- Seq("profile_equidepth_hist", "agg_rfm_segments",
                   "events_rfm_migration", "window_cume_dist",
-                  "profile_key_skew")) {
+                  "profile_key_skew", "window_ntile",
+                  "window_percent_rank")) {
       val p = plan(q)
       assert(p.contains("Exchange rangepartitioning"),
         s"$q: range repartition missing — ordered pass is single-task:\n$p")
-      assert("windowspecdefinition\\((seg#\\d+, )?__rp_pid".r.findAllIn(p).nonEmpty,
+      assert("windowspecdefinition\\((\\w+#\\d+, )?__rp_pid".r.findAllIn(p).nonEmpty,
         s"$q: per-partition window missing:\n$p")
     }
   }
