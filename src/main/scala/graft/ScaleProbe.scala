@@ -330,6 +330,40 @@ object ScaleProbe {
           labels = r.map(x => x.getLong(0) -> x.getLong(1)).toMap
           r.length.toLong
         }
+        // r12 memory-pressure experiment (VERDICT r11 #4): the x4→x16
+        // superlinearity was attributed to single-node shuffle/persist
+        // pressure on the deserialized 46M-arc cache. Race two levers
+        // at each factor against the base form above: (ser) the edge
+        // cache stored serialized (MEMORY_AND_DISK_SER — ~4× smaller
+        // resident set for long-pair rows), and (ckpt) per-round label
+        // checkpointing (4 shallow jobs instead of one 12-stage DAG
+        // holding every round's shuffle live). Labels must be EQUAL to
+        // the base run — these are materialization levers, not
+        // semantics.
+        both.unpersist(blocking = true)
+        val bothSer = rep.select(col("u").as("a"), col("v").as("b"))
+          .unionAll(rep.select(col("v").as("a"), col("u").as("b")))
+          .repartition(col("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        bothSer.count()
+        var labelsSer: Map[Long, Long] = null
+        time(s"lpa_ser_x$k") {
+          val r = graft.analytics.GraphOps.labelPropagationBoth(bothSer, 4)
+            .collect()
+          labelsSer = r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+          r.length.toLong
+        }
+        require(labelsSer == labels, s"ser variant diverged at x$k")
+        var labelsCkpt: Map[Long, Long] = null
+        time(s"lpa_ckpt_x$k") {
+          val r = graft.analytics.GraphOps
+            .labelPropagationBoth(bothSer, 4, checkpointRounds = true)
+            .collect()
+          labelsCkpt = r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+          r.length.toLong
+        }
+        require(labelsCkpt == labels, s"ckpt variant diverged at x$k")
+        bothSer.unpersist(blocking = true)
         // replication invariance: copy 0 ≡ the unreplicated run
         if (k == factors.head && k == 1) () // base IS copy 0
         else {

@@ -42,11 +42,19 @@ object GraphOps {
     * CACHED pre-partitioned on `b` (`repartition(col("b")).persist`):
     * the per-round join then reuses the big side's partitioning and
     * only the label table (node-sized) shuffles each round.
+    *
+    * `checkpointRounds` materializes each round's label table eagerly
+    * (localCheckpoint), truncating the lineage so the final action runs
+    * `rounds` shallow jobs instead of one job whose DAG holds every
+    * round's shuffle live at once — the knob the LPA memory-pressure
+    * ScaleProbe experiment races (values are identical either way; the
+    * probe asserts it).
     */
-  def labelPropagationBoth(both: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagationBoth(both: DataFrame, rounds: Int,
+                           checkpointRounds: Boolean = false): DataFrame = {
     var labels = both.select(col("a").as("n")).distinct()
       .select(col("n"), col("n").as("label"))
-    for (_ <- 1 to rounds)
+    for (_ <- 1 to rounds) {
       // argmax by (cnt DESC, label ASC) as max(struct(cnt, -label)) —
       // a plain two-phase hash-agg with map-side partials, where the
       // equivalent row_number window would re-sort every (node, label)
@@ -57,6 +65,8 @@ object GraphOps {
         .groupBy(col("a"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("a").as("n"), (-col("m.nl")).as("label"))
+      if (checkpointRounds) labels = labels.localCheckpoint(true)
+    }
     labels
   }
 }

@@ -110,9 +110,61 @@ class SnapshotCatalog extends TableCatalog {
     new SnapshotTable(dir.toString)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-snapshot tables have a fixed schema; ALTER is not supported")
+  /** Schema evolution (r12): `ALTER TABLE graft.ns.t ADD COLUMNS
+    * (x BIGINT, ...)` / `DROP COLUMN x` — PROJECTED columns over the
+    * schemaless JSON images. The store's physical layout never changes
+    * (items stay opaque 4-column CDC deltas, exactly the reference's
+    * schemaless-item reality — app/lambdas/lambda-backfill/main.py:35-38
+    * passes images verbatim); an added column is a READ-SIDE projection
+    * `newImage.$.<name>` cast to the declared type, resolved in the
+    * scan. Rows of any generation read uniformly: images lacking the
+    * field (or holding an incompatible type) project NULL — the same
+    * aligned-as-nulls contract [[graft.streaming.SnapshotStore]]'s
+    * diffVersions applies across drifted schemas, lifted to the catalog.
+    * `cdc_schema_drift` (the streaming drift alarm) is the natural feed
+    * for deciding WHEN a field has stabilized enough to project.
+    *
+    * Base store columns can be neither added nor dropped; projected
+    * types are scalar (string/bigint/int/double/boolean) — nested
+    * extraction belongs in queries, not table metadata. ALTER is an
+    * admin-plane metadata write (last writer wins on `_COLUMNS`);
+    * concurrent ALTERs are not a supported workload.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val dir = dirOf(ident).toString
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val current = SnapshotProjectedColumns.read(conf, dir)
+    val updated = changes.foldLeft(current) {
+      case (cols, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          s"nested columns are not supported: ${add.fieldNames.mkString(".")}")
+        val n = add.fieldNames()(0)
+        require(!SnapshotSource.Schema.fieldNames.contains(n),
+          s"column '$n' is a base store column")
+        require(!cols.exists(_.name == n), s"column '$n' is already projected")
+        require(SnapshotProjectedColumns.supported(add.dataType),
+          s"projected columns must be string/bigint/int/double/boolean; " +
+            s"got ${add.dataType.catalogString} for '$n'")
+        cols :+ org.apache.spark.sql.types.StructField(n, add.dataType,
+          nullable = true)
+      case (cols, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames.length == 1,
+          s"nested columns are not supported: ${del.fieldNames.mkString(".")}")
+        val n = del.fieldNames()(0)
+        require(!SnapshotSource.Schema.fieldNames.contains(n),
+          s"column '$n' is a base store column and cannot be dropped")
+        require(cols.exists(_.name == n), s"column '$n' is not projected")
+        cols.filterNot(_.name == n)
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          s"graft-snapshot ALTER supports ADD/DROP of projected columns only; " +
+            s"got ${other.getClass.getSimpleName}")
+    }
+    SnapshotProjectedColumns.write(conf, dir, updated)
+    new SnapshotTable(dir)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && fs.delete(dirOf(ident), true)
@@ -124,5 +176,61 @@ class SnapshotCatalog extends TableCatalog {
     fs.mkdirs(dirOf(newIdent).getParent)
     require(fs.rename(dirOf(oldIdent), dirOf(newIdent)),
       s"rename $oldIdent -> $newIdent failed")
+  }
+}
+
+/** The `_COLUMNS` metadata file: one projected column per line as
+  * `name<TAB>catalogString`. Lives next to the table's manifests; read
+  * at table load (driver-side, one tiny file), written only by ALTER.
+  */
+private[sources] object SnapshotProjectedColumns {
+  import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType,
+    IntegerType, LongType, StringType, StructField}
+
+  private val FileName = "_COLUMNS"
+
+  def supported(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | DoubleType | BooleanType => true
+    case _ => false
+  }
+
+  def read(conf: org.apache.hadoop.conf.Configuration,
+           dir: String): Seq[StructField] = {
+    val p = new Path(dir, FileName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val txt =
+        try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(n, t) = line.split("\t", 2)
+        StructField(n, DataType.fromDDL(t), nullable = true)
+      }.toSeq
+    }
+  }
+
+  /** Tmp-write + swap (delete, rename): a reader racing the swap sees
+    * the old or the new file, never a partial one. The delete→rename
+    * window can drop ALL projections for a concurrent reader — an
+    * accepted admin-plane race (see alterTable's doc), never corruption.
+    */
+  def write(conf: org.apache.hadoop.conf.Configuration, dir: String,
+            cols: Seq[StructField]): Unit = {
+    val dst = new Path(dir, FileName)
+    val fs = dst.getFileSystem(conf)
+    val tmp = new Path(dir,
+      s"$FileName.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(cols.map(f => s"${f.name}\t${f.dataType.catalogString}")
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"failed to publish $dst")
   }
 }

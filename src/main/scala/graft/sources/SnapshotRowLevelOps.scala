@@ -53,19 +53,24 @@ import graft.streaming.SnapshotStore
   * `WHEN MATCHED` clause (engaging this tombstone-guarded path) or
   * assign sequences that outrank the deletes.
   */
-private[sources] class SnapshotRowLevelBuilder(path: String,
-                                               info: RowLevelOperationInfo)
+private[sources] class SnapshotRowLevelBuilder(
+    path: String, info: RowLevelOperationInfo,
+    tableSchema: org.apache.spark.sql.types.StructType)
     extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation = new SnapshotRowLevelOp(path, info)
+  override def build(): RowLevelOperation =
+    new SnapshotRowLevelOp(path, info, tableSchema)
 }
 
-private[sources] class SnapshotRowLevelOp(path: String,
-                                          info: RowLevelOperationInfo)
+private[sources] class SnapshotRowLevelOp(
+    path: String, info: RowLevelOperationInfo,
+    tableSchema: org.apache.spark.sql.types.StructType)
     extends RowLevelOperation with SupportsDelta {
   override def command(): RowLevelOperation.Command = info.command
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(path) // pruned candidate scan, same as reads
+    // pruned candidate scan, same as reads; the full table schema so a
+    // statement condition can reference projected columns
+    new SnapshotScanBuilder(path, tableSchema = tableSchema)
 
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column("keys"), Expressions.column("sequenceNumber"))

@@ -119,7 +119,7 @@ private[sources] class SnapshotTable(path: String,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new SnapshotRowLevelBuilder(path, info)
+    new SnapshotRowLevelBuilder(path, info, schema())
 
   /** SQL `DELETE FROM` (r11): key-addressed deletes become TOMBSTONE
     * delta rows merged through the store's own locked commit — O(|live
@@ -172,7 +172,18 @@ private[sources] class SnapshotTable(path: String,
   }
 
   override def name(): String = s"graft_snapshot $path"
-  override def schema(): StructType = SnapshotSource.Schema
+
+  /** Projected JSON-image columns added by `ALTER TABLE ... ADD COLUMNS`
+    * (r12, see [[SnapshotCatalog.alterTable]]): read once per table load
+    * — the table object is per-query, so a concurrent ALTER lands at the
+    * next load, like any catalog metadata change.
+    */
+  private lazy val projected: Seq[StructField] =
+    SnapshotProjectedColumns.read(
+      SparkSession.active.sessionState.newHadoopConf(), path)
+
+  override def schema(): StructType =
+    StructType(SnapshotSource.Schema.fields ++ projected)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       // INSERT OVERWRITE / .mode("overwrite") → WriteBuilder.truncate()
@@ -183,7 +194,7 @@ private[sources] class SnapshotTable(path: String,
     // catalog time travel (VERSION AS OF) pins the version at loadTable
     // time; the read option keeps working for path-based reads
     new SnapshotScanBuilder(path,
-      Option(options.get("versionAsOf")).orElse(pinnedVersion))
+      Option(options.get("versionAsOf")).orElse(pinnedVersion), schema())
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -192,11 +203,13 @@ private[sources] class SnapshotTable(path: String,
 }
 
 private[sources] class SnapshotScanBuilder(path: String,
-                                            versionAsOf: Option[String] = None)
+                                            versionAsOf: Option[String] = None,
+                                            tableSchema: StructType =
+                                              SnapshotSource.Schema)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
-  private var required: StructType = SnapshotSource.Schema
+  private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var keyLookups: Option[Set[String]] = None
   private var limit: Option[Int] = None
@@ -419,18 +432,18 @@ private[graft] class SnapshotScan(path: String, required: StructType,
     // `new Configuration()` would silently drop S3A/GCS credentials and
     // endpoints set through Spark conf — works on local FS, fails on
     // any real object store
-    new SnapshotReaderFactory(required.fieldNames.toSeq,
+    new SnapshotReaderFactory(required,
       new SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()), limit)
 }
 
-private[sources] class SnapshotReaderFactory(cols: Seq[String],
+private[sources] class SnapshotReaderFactory(schema: StructType,
                                              conf: SerializableConfiguration,
                                              limit: Option[Int])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SnapshotPartitionReader(
-      partition.asInstanceOf[SnapshotInputPartition], cols, conf.value, limit)
+      partition.asInstanceOf[SnapshotInputPartition], schema, conf.value, limit)
 }
 
 /** Per-bucket merge-on-read resolve through parquet-mr (the executor has
@@ -597,19 +610,37 @@ private[sources] object SnapshotResolve {
 }
 
 private[sources] class SnapshotPartitionReader(
-    p: SnapshotInputPartition, cols: Seq[String], conf: Configuration,
+    p: SnapshotInputPartition, schema: StructType, conf: Configuration,
     limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private lazy val rows: Iterator[InternalRow] = {
+    val fields = schema.fields
+    // projected JSON-image columns (r12 schema evolution): parse the
+    // image ONCE per resolved row iff any projected field is actually
+    // required — a base-columns-only scan never touches Jackson
+    val needJson =
+      fields.exists(f => !SnapshotSource.Schema.fieldNames.contains(f.name))
+    val mapper =
+      if (needJson) new com.fasterxml.jackson.databind.ObjectMapper else null
     val resolved = SnapshotResolve.resolved(p.segmentDirs, conf).map {
       case (k, op, seq, img) =>
-        val vals: Map[String, String] =
-          Map("keys" -> k, "op" -> op, "sequenceNumber" -> seq,
-            "newImage" -> img)
-        new GenericInternalRow(
-          cols.map(c => UTF8String.fromString(vals.getOrElse(c, null))
-            : Any).toArray): InternalRow
+        val node: com.fasterxml.jackson.databind.JsonNode =
+          if (mapper != null && img != null)
+            try mapper.readTree(img)
+            catch { case _: java.io.IOException => null } // malformed → nulls
+          else null
+        val arr = fields.map[Any] { f =>
+          f.name match {
+            case "keys" => UTF8String.fromString(k)
+            case "op" => UTF8String.fromString(op)
+            case "sequenceNumber" => UTF8String.fromString(seq)
+            case "newImage" =>
+              if (img == null) null else UTF8String.fromString(img)
+            case n => JsonProjection.extract(node, n, f.dataType)
+          }
+        }
+        new GenericInternalRow(arr.toArray): InternalRow
     }
     // partial LIMIT pushdown: resolution needed every delta row, but at
     // most `limit` resolved rows leave this partition
@@ -621,6 +652,41 @@ private[sources] class SnapshotPartitionReader(
     if (rows.hasNext) { current = rows.next(); true } else false
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+/** Typed extraction of a top-level JSON field for the projected-column
+  * read path (schema evolution, r12). NULL-lenient by contract: a
+  * missing field, JSON null, malformed image, or type-incompatible value
+  * all project NULL — old-generation rows written before an ALTER read
+  * uniformly with new ones (the diffVersions aligned-as-nulls rule at
+  * catalog level). StringType of a non-string scalar/object renders the
+  * compact JSON text (get_json_object's behavior).
+  */
+private[sources] object JsonProjection {
+  import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType,
+    IntegerType, LongType}
+
+  def extract(node: com.fasterxml.jackson.databind.JsonNode, name: String,
+              dt: DataType): Any = {
+    if (node == null) return null
+    val v = node.get(name)
+    if (v == null || v.isNull) return null
+    dt match {
+      case StringType =>
+        UTF8String.fromString(if (v.isTextual) v.asText else v.toString)
+      case LongType =>
+        if (v.isIntegralNumber) java.lang.Long.valueOf(v.longValue) else null
+      case IntegerType =>
+        if (v.isIntegralNumber && v.canConvertToInt)
+          java.lang.Integer.valueOf(v.intValue)
+        else null
+      case DoubleType =>
+        if (v.isNumber) java.lang.Double.valueOf(v.doubleValue) else null
+      case BooleanType =>
+        if (v.isBoolean) java.lang.Boolean.valueOf(v.booleanValue) else null
+      case _ => null // unreachable: alterTable gates the type set
+    }
+  }
 }
 
 /** Shared parquet-mr row walk over a segment file: yields each row's

@@ -74,14 +74,20 @@ private[sources] class SnapshotWriteBuilder(path: String, batchId: Option[Long],
     // happens to use those names with a different order binds wrong —
     // name your columns (the named branch below) for programmatic
     // writes. Named frames bind by name so column order never matters.
-    val positional = schema.fieldNames.toSeq ==
-      (1 to SnapshotWrite.Fields.length).map(i => s"col$i")
+    // col1..colN with N ≥ 4 (not exactly 4): an ALTERed table's schema
+    // carries projected columns after the canonical 4, so a positional
+    // INSERT VALUES on it arrives wider — the canonical prefix still
+    // binds, and the projected slots are ignored (those columns are
+    // DERIVED from newImage at read time; see SnapshotCatalog.alterTable)
+    val positional = schema.fieldNames.length >= SnapshotWrite.Fields.length &&
+      schema.fieldNames.toSeq ==
+        (1 to schema.fieldNames.length).map(i => s"col$i")
     val missing =
       if (positional) Nil
       else SnapshotWrite.Fields.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"graft-snapshot write requires columns ${SnapshotWrite.Fields.mkString(", ")} " +
-        s"(or exactly ${SnapshotWrite.Fields.length} positional VALUES columns); " +
+        s"(or ≥${SnapshotWrite.Fields.length} positional VALUES columns); " +
         s"missing: ${missing.mkString(", ")}")
     val fieldIdx =
       if (positional) SnapshotWrite.Fields.indices

@@ -573,6 +573,70 @@ class DataSourceV2Spec extends SparkSpec {
     assert(!state().contains("k2"))
   }
 
+  test("schema evolution: ALTER TABLE ADD COLUMNS projects image fields across generations") {
+    val root = catalogRoot
+    buildTarget(s"$root/evo/t") // old generation: images {"v":N}
+
+    // ALTER adds read-side projections over the schemaless JSON images;
+    // the store's physical layout (4-column CDC deltas) never changes
+    spark.sql("ALTER TABLE graft.evo.t ADD COLUMNS (v BIGINT, tag STRING)")
+
+    // new-generation delta carries an evolved image shape
+    delta(("k9", "PUT", "900", Some("""{"v":9,"tag":"fresh"}""")))
+      .write.format("graft-snapshot").mode("append").save(s"$root/evo/t")
+
+    // both generations read uniformly: old rows project v (the field
+    // existed all along) and NULL tag; the new row projects both
+    val got = spark.sql("SELECT keys, v, tag FROM graft.evo.t").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getLong(1): Any,
+        r.getString(2))).toSet
+    assert(got === Set(
+      ("k1", 1L, null), ("k2", 22L, null), ("k4", 4L, null),
+      ("k5", 5L, null), ("k9", 9L, "fresh")), s"got $got")
+
+    // projected columns filter/aggregate like any column
+    assert(spark.sql("SELECT keys FROM graft.evo.t WHERE tag = 'fresh'")
+      .as[String].collect().toSeq === Seq("k9"))
+    assert(spark.sql("SELECT sum(v) FROM graft.evo.t")
+      .collect()(0).getLong(0) === 41L)
+
+    // positional INSERT on the widened schema: canonical prefix binds,
+    // the projected slots are derived at read time (values ignored)
+    spark.sql("INSERT INTO graft.evo.t " +
+      """VALUES ('k10', 'PUT', '910', '{"v":10,"tag":"ins"}', NULL, NULL)""")
+    assert(spark.sql("SELECT v, tag FROM graft.evo.t WHERE keys = 'k10'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((10L, "ins")))
+
+    // type-incompatible and missing fields project NULL, never throw
+    delta(("k11", "PUT", "911", Some("""{"v":"not-a-number"}""")))
+      .write.format("graft-snapshot").mode("append").save(s"$root/evo/t")
+    val k11 = spark.sql("SELECT v, tag FROM graft.evo.t WHERE keys = 'k11'")
+      .collect()(0)
+    assert(k11.isNullAt(0) && k11.isNullAt(1))
+
+    // DROP COLUMN removes the projection; the image keeps the data
+    spark.sql("ALTER TABLE graft.evo.t DROP COLUMN tag")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT tag FROM graft.evo.t").collect()
+    }
+    assert(spark.sql("SELECT v FROM graft.evo.t WHERE keys = 'k9'")
+      .collect()(0).getLong(0) === 9L)
+
+    // guardrails: base columns immutable, duplicates refused, only
+    // scalar projection types accepted
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo.t DROP COLUMN keys")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo.t ADD COLUMNS (v BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo.t ADD COLUMNS (m MAP<STRING,STRING>)")
+    }
+  }
+
   test("reported statistics: a small snapshot dimension broadcasts in a key join") {
     val dir = tmp("dsv2-stats")
     buildTarget(dir)
