@@ -58,7 +58,8 @@ object RankedPrefix {
       rank: Option[String] = Some("r"),
       running: Seq[(String, Column)] = Nil,
       totals: Seq[(String, Column)] = Nil,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 32,
+      cached: Boolean = true): DataFrame = {
 
     // materialize running/total inputs as columns BEFORE the range
     // exchange so both consumers evaluate them identically
@@ -72,10 +73,16 @@ object RankedPrefix {
     }
 
     val rangeKeys = part.map(col) ++ order
-    val ranged = graft.analytics.Corpus.cached(s, d, s"rankedPrefix:$cacheKey") {
-      pre.repartitionByRange(numParts, rangeKeys: _*)
-        .withColumn("__rp_pid", spark_partition_id())
-    }
+    val rangedPlan = pre.repartitionByRange(numParts, rangeKeys: _*)
+      .withColumn("__rp_pid", spark_partition_id())
+    // cached=false (streaming/per-batch callers): pin pid consistency
+    // with a per-call localCheckpoint instead of the session-lifetime
+    // Corpus memo — a per-batch key would accumulate persisted frames
+    // across micro-batches; the checkpointed RDD frees with the Dataset
+    val ranged =
+      if (cached)
+        graft.analytics.Corpus.cached(s, d, s"rankedPrefix:$cacheKey")(rangedPlan)
+      else rangedPlan.localCheckpoint(true)
 
     // phase 2: parallel per-partition windows
     val wIn = Window.partitionBy((part :+ "__rp_pid").map(col): _*).orderBy(order: _*)
@@ -152,6 +159,28 @@ object RankedPrefix {
       .otherwise(rem + idiv(r - cut - lit(1L), q) + lit(1L))
       .cast("int")
   }
+
+  /** Exact equi-depth tiers from a per-VALUE count table (v, n_i) —
+    * the shared core of `profile_equidepth_hist` and its streaming
+    * maintainer ([[graft.streaming.StreamingEquiDepth]]): one
+    * semantics, two drivers, so the batch query and the maintained
+    * tier table cannot drift. Bucket assignment is the engine rule
+    * `(exclusive-prefix · buckets) div n` — whole value-groups land in
+    * one bucket, identical rows can never straddle a boundary.
+    */
+  def equiDepthTiers(s: SparkSession, d: String, cacheKey: String,
+                     counts: DataFrame, buckets: Int,
+                     cached: Boolean = true): DataFrame =
+    apply(s, d, cacheKey, counts,
+        part = Nil, order = Seq(col("v")),
+        rank = None,
+        running = Seq(("cum_incl", col("n_i"))),
+        totals = Seq(("n", col("n_i"))),
+        cached = cached)
+      .withColumn("bucket", expr(s"(cum_incl - n_i) * $buckets div n"))
+      .groupBy("bucket")
+      .agg(min("v").as("lo_cents"), max("v").as("hi_cents"),
+        sum("n_i").as("n_rows"), count(lit(1)).as("ndv"))
 
   /** One-column convenience: append `out` = ntile(buckets) over
     * (part, order) computed two-phase. Internal rank/total columns are

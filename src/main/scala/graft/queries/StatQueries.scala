@@ -1174,15 +1174,8 @@ object StatQueries {
         val byVal = orders(s, d)
           .select(expr("cast(round(o_totalprice * 100) as bigint)").as("v"))
           .groupBy("v").agg(count(lit(1)).as("n_i"))
-        graft.ops.RankedPrefix(s, d, "equiDepth", byVal,
-            part = Nil, order = Seq(col("v")),
-            rank = None,
-            running = Seq(("cum_incl", col("n_i"))),
-            totals = Seq(("n", col("n_i"))))
-          .withColumn("bucket", expr("(cum_incl - n_i) * 8 div n"))
-          .groupBy("bucket")
-          .agg(min("v").as("lo_cents"), max("v").as("hi_cents"),
-            sum("n_i").as("n_rows"), count(lit(1)).as("ndv"))
+        // shared core with the streaming maintainer (StreamingEquiDepth)
+        graft.ops.RankedPrefix.equiDepthTiers(s, d, "equiDepth", byVal, 8)
       },
       Some("""
         WITH byval AS (
