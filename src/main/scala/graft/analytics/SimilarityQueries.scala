@@ -1278,6 +1278,67 @@ object SimilarityQueries {
       (s, d) => topKPerProbe(brutePairs(s, d), 5),
       Some(annSelectSql(bruteCtesSql, 5))),
 
+    // ───── RANGE (radius) search (r12): "every vector within similarity
+    // τ of the probe" — the index operation the top-k family can't
+    // express (dedup wants ALL matches above a bar, not the best k; a
+    // recall-k query can't even tell you how many there are). τ is
+    // cos² ≥ 0.5, evaluated as the PURE-INTEGER predicate
+    // `dot > 0 AND 2·dot² ≥ na·nb` — no division, no floats, no
+    // overflow (|qv| ≤ ~100 ⇒ dot² and na·nb ≤ ~4·10¹¹), identical in
+    // both engines. Corpus = base ∪ injected near-dup variants, so the
+    // planted pairs (cos² ≈ 0.94) match while isotropic 64-dim
+    // strangers essentially never do — probes without matches REPORT
+    // with n=0 (the left join), which is itself the operator's contract.
+    // Scale shape: the same flat broadcast-probe scan as ann_brute
+    // (ScaleProbe-flat to 1.28M vecs) but with NO ordered stage at all —
+    // only per-probe count/sum/min/max partials cross the wire, so the
+    // reduce side is |probes| rows regardless of match volume.
+    QuerySpec(
+      "ann_range_search",
+      (s, d) => {
+        val base = Corpus.vecsWithNearDups(s, d)
+        val probes = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+            col("nn").as("q_nn"))
+        val matches = base.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("dot", Corpus.dotCol("qv", "q_qv"))
+          .filter(col("dot") > 0 &&
+            col("dot") * col("dot") * 2 >= col("nn") * col("q_nn"))
+          .select(col("query_id"), col("vec_id"),
+            col("nn").as("na"), col("q_nn").as("nb"), col("dot"))
+          .withColumn("score", Corpus.scoreCol)
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_matches"), sum("vec_id").as("id_sum"),
+            min("score").as("min_score"), max("score").as("max_score"))
+        probes.select("query_id").join(matches, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+            coalesce(col("id_sum"), lit(0L)).as("id_sum"),
+            col("min_score"), col("max_score"))
+      },
+      Some(s"""
+        WITH base AS (${Corpus.vecsWithNearDupsSql}),
+        probes AS (
+          SELECT vec_id AS query_id, qv, nn AS q_nn
+          FROM base WHERE vec_id < 10),
+        hits AS (
+          SELECT q.query_id, v.vec_id, v.nn AS na, q.q_nn AS nb, $dotSql AS dot
+          FROM base v JOIN probes q ON v.vec_id <> q.query_id),
+        m AS (
+          SELECT query_id, COUNT(*) AS n_matches,
+                 CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+                 MIN(${Corpus.scoreSql}) AS min_score,
+                 MAX(${Corpus.scoreSql}) AS max_score
+          FROM hits
+          WHERE dot > 0 AND 2 * dot * dot >= na * nb
+          GROUP BY 1)
+        SELECT p.query_id,
+               COALESCE(m.n_matches, 0) AS n_matches,
+               COALESCE(m.id_sum, 0) AS id_sum,
+               m.min_score, m.max_score
+        FROM probes p LEFT JOIN m ON m.query_id = p.query_id""")),
+
     // ───── random-projection ANN (r9): Johnson–Lindenstrauss sign
     // projection — the DIMENSIONALITY tier of the bytes-for-recall
     // spectrum, orthogonal to SQ8/PQ's bits-per-dim tier: 64 dims → 16

@@ -391,6 +391,57 @@ object TextQueries {
                CAST(ceil(len(text) / 4.0) AS BIGINT) AS est_subword_tokens
         FROM documents""")),
 
+    // ───── Flesch-style readability bands (r12): the grade-level
+    // filter next to text_quality's lexical ratios — training-data
+    // curricula bucket documents by reading difficulty, and the Flesch
+    // reading-ease formula needs only three countable surface features.
+    // EXACT-INTEGER form (206.835 − 1.015·w/s − 84.6·syll/w in
+    // milli-points, every division an integer div of positives, so
+    // both engines truncate identically): sentences = [.!?]+ runs,
+    // words = [a-z0-9]+ runs of the lowercased text, syllables = the
+    // classic vowel-GROUP heuristic [aeiouy]+ (a run of vowels is one
+    // nucleus — "beautiful" → eau+i+u = 3). Scores can go negative on
+    // dense text, so the report band shifts by +10 000 000 BEFORE its
+    // div (Spark div truncates toward zero where DuckDB // floors —
+    // the events_theil_sen sign discipline). Per-row regexp counts,
+    // one hash-agg: fully map-side until the (lang, band) collapse.
+    QuerySpec(
+      "text_readability",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("sents", expr(
+          "greatest(1L, cast(size(regexp_extract_all(text, '[.!?]+', 0)) as bigint))"))
+        .withColumn("words", expr(
+          "greatest(1L, cast(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) as bigint))"))
+        .withColumn("sylls", expr(
+          "greatest(1L, cast(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) as bigint))"))
+        .withColumn("fre_milli", expr(
+          "206835L - (1015L * (words * 1000L div sents)) div 1000L" +
+            " - (84600L * (sylls * 1000L div words)) div 1000L"))
+        .groupBy(col("lang"),
+          expr("(fre_milli + 10000000L) div 10000L").as("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("fre_milli").as("min_milli"), max("fre_milli").as("max_milli"),
+          sum("doc_id").as("doc_sum"), sum("words").as("word_sum")),
+      Some("""
+        WITH feats AS (
+          SELECT doc_id, lang,
+                 GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS sents,
+                 GREATEST(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS words,
+                 GREATEST(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS sylls
+          FROM documents),
+        scored AS (
+          SELECT doc_id, lang, words,
+                 206835 - (1015 * (words * 1000 // sents)) // 1000
+                        - (84600 * (sylls * 1000 // words)) // 1000 AS fre_milli
+          FROM feats)
+        SELECT lang, CAST((fre_milli + 10000000) // 10000 AS BIGINT) AS band,
+               COUNT(*) AS n_docs,
+               CAST(MIN(fre_milli) AS BIGINT) AS min_milli,
+               CAST(MAX(fre_milli) AS BIGINT) AS max_milli,
+               CAST(SUM(doc_id) AS BIGINT) AS doc_sum,
+               CAST(SUM(words) AS BIGINT) AS word_sum
+        FROM scored GROUP BY 1, 2""")),
+
     // ───── quality scoring: stopword ratio, type-token ratio, mean token
     // length → bucket (the C4/Gopher-style cheap filters)
     QuerySpec(

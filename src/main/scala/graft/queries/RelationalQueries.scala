@@ -2989,6 +2989,82 @@ object RelationalQueries {
     // Plan: per-middle self-join (equi-join on m, shards by middle),
     // RA hash-agg, LEFT ANTI against the edge list (normalized x<y
     // matches u<v), top-20 under the (score DESC, x, y) total order.
+    // ───── harmonic closeness centrality via MULTI-SOURCE BFS (r12):
+    // graph_bfs_hops' single-seed frontier generalized to 5 seeds in
+    // ONE synchronized pass — the state is (seed, node, hop), so the
+    // per-round cost is one edge equi-join for ALL seeds together
+    // (exactly how a 1000-executor cluster amortizes landmark-distance
+    // computations; per-seed sequential BFS would pay 5× the rounds).
+    // Harmonic form (Σ 1e6 div hop over reached nodes, 4 fixed rounds)
+    // rather than classic closeness: it is finite under disconnection
+    // and needs no reachability normalization. Seeds = top-5 by
+    // undirected degree (min-id tiebreak, a total order); the 5-row
+    // pull to the driver is the documented control-plane-collect class.
+    // Output per seed: nodes reached per hop band is collapsed to
+    // n_reached / harmonic_ppm / node-sum checksum — bounded 5 rows.
+    // The oracle unrolls the same 4 frontiers as materialized CTEs
+    // keyed by (seed, node).
+    QuerySpec(
+      "graph_closeness",
+      (s, d) => {
+        val e = coPurchaseEdges(s, d)
+        val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint(true)
+        val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("dg"))
+        val seeds = deg.orderBy(col("dg").desc, col("n")).limit(5)
+          .select("n").collect().map(_.getLong(0)).sorted
+        val s0 = seeds.map(x => (x, x, 0)).toSeq
+        var visited = s.createDataFrame(s0).toDF("seed", "n", "hop")
+          .localCheckpoint(true)
+        var frontier = visited.select("seed", "n")
+        for (r <- 1 to 4) {
+          frontier = und.join(frontier.withColumnRenamed("n", "u"), "u")
+            .select(col("seed"), col("v").as("n")).distinct()
+            .join(visited.select("seed", "n"), Seq("seed", "n"), "left_anti")
+            .localCheckpoint(true)
+          visited = visited
+            .unionAll(frontier.select(col("seed"), col("n"), lit(r).as("hop")))
+            .localCheckpoint(true)
+        }
+        visited.filter(col("hop") >= 1)
+          .groupBy("seed")
+          .agg(count(lit(1)).as("n_reached"),
+            sum(expr("1000000 div hop")).as("harmonic_ppm"),
+            sum("n").as("node_sum"))
+      },
+      Some {
+        val sb = new StringBuilder(s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        und AS MATERIALIZED (
+          SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        deg AS MATERIALIZED (SELECT u AS n, count(*) AS dg FROM und GROUP BY 1),
+        seeds AS MATERIALIZED (
+          SELECT n AS seed FROM deg ORDER BY dg DESC, n LIMIT 5),
+        f0 AS MATERIALIZED (SELECT seed, seed AS n FROM seeds),
+        v0 AS MATERIALIZED (SELECT seed, n FROM f0)""")
+        for (r <- 1 to 4) sb.append(s""",
+        f$r AS MATERIALIZED (
+          SELECT DISTINCT f.seed, und.v AS n
+          FROM und JOIN f${r - 1} f ON und.u = f.n
+          LEFT JOIN v${r - 1} vis ON vis.seed = f.seed AND vis.n = und.v
+          WHERE vis.n IS NULL),
+        v$r AS MATERIALIZED (
+          SELECT seed, n FROM v${r - 1} UNION ALL SELECT seed, n FROM f$r)""")
+        sb.append(s""",
+        hops AS (${(1 to 4).map(r => s"SELECT seed, n, $r AS hop FROM f$r")
+          .mkString(" UNION ALL ")})
+        SELECT seed, COUNT(*) AS n_reached,
+               CAST(SUM(1000000 // hop) AS BIGINT) AS harmonic_ppm,
+               CAST(SUM(n) AS BIGINT) AS node_sum
+        FROM hops GROUP BY 1""")
+        sb.toString
+      }),
+
     QuerySpec(
       "graph_link_prediction",
       (s, d) => {

@@ -188,6 +188,115 @@ object StatQueries {
                CAST(SUM(user_id) AS BIGINT) AS user_sum
         FROM scored GROUP BY 1""")),
 
+    // ───── MRR@10 (r12): mean reciprocal rank — the third leg of the
+    // ranking-eval suite next to ml_auc_rank (pairwise) and ml_ndcg
+    // (graded position-discounted): "how high does the FIRST relevant
+    // item rank". Per user, events rank by the (value DESC, event_id)
+    // total order; rr_ppm = 1e6 div rank of the first purchase when it
+    // lands in the top 10, else 0 (the standard cutoff convention —
+    // reciprocal ranks at 1..10 are the exact integers 1000000,
+    // 500000, …, 100000 under integer div, identical in both engines).
+    // Users with no purchase anywhere are excluded (MRR is over queries
+    // WITH a relevant answer). Report: user-count histogram by rr value
+    // (11 distinct values at most — bounded output) with id checksums,
+    // plus the corpus MRR numerator/denominator as exact integers.
+    // Plan: one user-partitioned window + two hash-aggs; per-user state
+    // is one row (min rank of a relevant event).
+    QuerySpec(
+      "ml_mrr",
+      (s, d) => {
+        val base = events(s, d).select(col("user_id"), col("event_id"),
+          col("value"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("rel"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("value").desc, col("event_id"))
+        val firstRel = base
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rel") === 1)
+          .groupBy("user_id").agg(min("rn").as("fr"))
+        firstRel
+          .withColumn("rr_ppm",
+            when(col("fr") <= 10, expr("1000000 div fr")).otherwise(lit(0L)))
+          .groupBy("rr_ppm")
+          .agg(count(lit(1)).as("n_users"), sum("user_id").as("user_sum"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT user_id, event_id, value,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+          FROM events),
+        ranked AS (
+          SELECT user_id, rel,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY value DESC, event_id) AS rn
+          FROM base),
+        firstrel AS (
+          SELECT user_id, MIN(rn) AS fr
+          FROM ranked WHERE rel = 1 GROUP BY user_id)
+        SELECT CAST(CASE WHEN fr <= 10 THEN 1000000 // fr ELSE 0 END AS BIGINT)
+                 AS rr_ppm,
+               COUNT(*) AS n_users,
+               CAST(SUM(user_id) AS BIGINT) AS user_sum
+        FROM firstrel GROUP BY 1""")),
+
+    // ───── Lorenz-curve revenue-concentration deciles (r12): the
+    // curve behind the Gini number (agg_gini_mix) — customers ranked
+    // ASCENDING by exact lifetime revenue cents, cut into 10
+    // equal-population tiles, each reporting its share and CUMULATIVE
+    // share of total revenue in exact ppm ("the bottom 50% of
+    // customers hold 21% of revenue"). Customer revenue is
+    // data-proportional cardinality, so the global rank + running sum
+    // ride RankedPrefix's two-phase pass (range exchange on
+    // (cents, custkey), per-pid windows, broadcast offsets) — another
+    // consumer of the r11 scale primitive, never a single-task sort;
+    // decile = integer ntile-from-rank; the per-decile collapse keeps
+    // only MAX(running) per tile, whose value at the tile's last row
+    // IS the cumulative sum (ascending order makes it monotone).
+    QuerySpec(
+      "agg_lorenz_deciles",
+      (s, d) => {
+        val byCust = orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+            .as("cents"))
+        graft.ops.RankedPrefix(s, d, "lorenz", byCust,
+            part = Nil, order = Seq(col("cents"), col("o_custkey")),
+            rank = Some("r"),
+            running = Seq(("cum_cents", col("cents"))),
+            totals = Seq(("tot_cents", col("cents")),
+              ("n_cust", lit(1L))))
+          .withColumn("decile",
+            graft.ops.RankedPrefix.ntileFromRank(col("r"), col("n_cust"), 10))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_cust"),
+            sum("cents").as("cents_sum"),
+            expr("max(cum_cents) * 1000000 div max(tot_cents)").as("cum_ppm"))
+      },
+      Some("""
+        WITH bycust AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM orders GROUP BY 1),
+        ranked AS (
+          SELECT o_custkey, cents,
+                 ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS r,
+                 SUM(cents) OVER (ORDER BY cents, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_cents,
+                 SUM(cents) OVER () AS tot_cents,
+                 COUNT(*) OVER () AS n_cust
+          FROM bycust),
+        tiled AS (
+          SELECT *, CAST(NTILE(10) OVER (ORDER BY cents, o_custkey)
+            AS INTEGER) AS decile
+          FROM ranked)
+        SELECT decile, COUNT(*) AS n_cust,
+               CAST(SUM(cents) AS BIGINT) AS cents_sum,
+               CAST(MAX(cum_cents) * 1000000 // MAX(tot_cents) AS BIGINT)
+                 AS cum_ppm
+        FROM tiled GROUP BY 1""")),
+
     // ───── Theil–Sen robust trend (r11): the median of all pairwise
     // slopes of daily revenue — the outlier-immune trend estimator (one
     // flash-sale day wrecks an OLS slope; it moves the pairwise-slope

@@ -309,10 +309,13 @@ class PlanSpec extends SparkSpec {
     // (5 values), so each task sorted |customers|/5 rows — linear in
     // data at any scale. Their windows now partition by
     // (c_mktsegment, __rp_pid).
+    // r12 also adds agg_lorenz_deciles (global revenue rank + running
+    // sum over customer cardinality — the exact shape the primitive
+    // exists for).
     for (q <- Seq("profile_equidepth_hist", "agg_rfm_segments",
                   "events_rfm_migration", "window_cume_dist",
                   "profile_key_skew", "window_ntile",
-                  "window_percent_rank")) {
+                  "window_percent_rank", "agg_lorenz_deciles")) {
       val p = plan(q)
       assert(p.contains("Exchange rangepartitioning"),
         s"$q: range repartition missing — ordered pass is single-task:\n$p")
