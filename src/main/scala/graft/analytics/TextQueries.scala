@@ -391,6 +391,41 @@ object TextQueries {
                CAST(ceil(len(text) / 4.0) AS BIGINT) AS est_subword_tokens
         FROM documents""")),
 
+    // ───── n-gram novelty profile (r12): per document, the fraction of
+    // its distinct 3-token shingles whose FIRST occurrence (min doc_id
+    // — the corpus-order proxy for ingestion time) is this document —
+    // the curriculum/memorization signal next to the dedup family
+    // (near-1 = fresh content, near-0 = assembled from seen text; the
+    // exact complement of dedup_containment's pairwise view, computed
+    // corpus-globally without any pair stage). Shape: the
+    // inverted-index discipline — one shingle explode, one min-agg per
+    // shingle, one join back, one per-doc collapse; no pairwise
+    // anything, linear in total shingle occurrences at any corpus size.
+    QuerySpec(
+      "text_novelty",
+      (s, d) => {
+        val ex = Corpus.withShingles(Tables.documents(s, d))
+          .select(col("doc_id"), explode(col("shingles")).as("g"))
+        val first = ex.groupBy("g").agg(min("doc_id").as("first_doc"))
+        ex.join(first, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))
+      },
+      Some(s"""
+        WITH sh AS (${Corpus.shinglesSql("documents")}),
+        ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        first AS (SELECT g, MIN(doc_id) AS first_doc FROM ex GROUP BY 1)
+        SELECT e.doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN e.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN e.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                 * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+        FROM ex e JOIN first f ON f.g = e.g
+        GROUP BY 1""")),
+
     // ───── Flesch-style readability bands (r12): the grade-level
     // filter next to text_quality's lexical ratios — training-data
     // curricula bucket documents by reading difficulty, and the Flesch

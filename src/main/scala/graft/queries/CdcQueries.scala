@@ -948,6 +948,69 @@ object CdcQueries {
           SELECT f.fact_id, f.user_id, f.ts, v.version_id, v.value, v.valid_to
           FROM facts f
           ASOF LEFT JOIN live v
-            ON v.user_id = f.user_id AND v.valid_from <= f.ts)"""))
+            ON v.user_id = f.user_id AND v.valid_from <= f.ts)""")),
+
+    // ───── late-arrival / out-of-order delivery audit (r12): the CDC
+    // ops metric that decides watermark delays and retention windows —
+    // per key, an event is LATE when its event time precedes the
+    // event-time high-water mark of earlier-DELIVERED events of that
+    // key, and the max lateness IS the watermarkDelay the streaming
+    // operators take as a parameter. The reference assumes perfectly
+    // ordered per-key FIFO delivery (cdk/lib/cdk-stack.ts:47 routes
+    // everything through one message group) — and this driver log IS
+    // perfectly ordered (measured: auditing the raw event_id order
+    // returns n_late = 0 for every type), so the delivery order under
+    // audit is a DETERMINISTIC jitter simulation: each event delivers
+    // at ts ± ≤60 s of md5-derived jitter (the md5-keyed rand-free
+    // house discipline), the shape a multi-shard consumer's interleave
+    // produces. The operator itself is order-agnostic — point
+    // `delivery_pos` at a real ingestion sequence and nothing else
+    // changes. One per-key window (shards by key) + one bounded
+    // hash-agg; lateness in exact microseconds; the p-max lands ~120 s
+    // = the jitter bound, which is the calibration check.
+    QuerySpec(
+      "cdc_late_arrival_audit",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("delivery_pos"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        events(s, d)
+          .withColumn("delivery_pos", expr(
+            "unix_micros(ts) + cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as long) % 120000000 - 60000000"))
+          .withColumn("hwm", max(expr("unix_micros(ts)")).over(w))
+          .withColumn("late_us",
+            when(col("hwm").isNotNull && expr("unix_micros(ts)") < col("hwm"),
+              col("hwm") - expr("unix_micros(ts)")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            count(col("late_us")).as("n_late"),
+            expr("count(late_us) * 1000000 div count(1)").as("late_ppm"),
+            max("late_us").as("max_late_us"),
+            sum("late_us").as("late_us_sum"))
+      },
+      Some("""
+        WITH delv AS (
+          SELECT event_type, user_id, event_id, epoch_us(ts) AS tus,
+                 epoch_us(ts)
+                   + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 120000000 - 60000000 AS delivery_pos
+          FROM events),
+        marked AS (
+          SELECT event_type, tus,
+                 MAX(tus) OVER (PARTITION BY user_id
+                   ORDER BY delivery_pos, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+          FROM delv),
+        lat AS (
+          SELECT event_type,
+                 CASE WHEN hwm IS NOT NULL AND tus < hwm
+                      THEN hwm - tus END AS late_us
+          FROM marked)
+        SELECT event_type, COUNT(*) AS n_events,
+               COUNT(late_us) AS n_late,
+               CAST(COUNT(late_us) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm,
+               CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+               CAST(SUM(late_us) AS BIGINT) AS late_us_sum
+        FROM lat GROUP BY 1"""))
   )
 }

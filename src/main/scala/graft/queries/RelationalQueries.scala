@@ -2989,6 +2989,43 @@ object RelationalQueries {
     // Plan: per-middle self-join (equi-join on m, shards by middle),
     // RA hash-agg, LEFT ANTI against the edge list (normalized x<y
     // matches u<v), top-20 under the (score DESC, x, y) total order.
+    // ───── degree distribution, power-of-2 binned (r12): THE one-scan
+    // graph profile read before choosing any partitioning strategy
+    // (G12's assortativity predicts skew correlation; this shows the
+    // skew itself — how heavy is the hub tail). Log-binning without
+    // libm: bin = bit length of the degree via length(bin(deg)) — an
+    // integer both engines compute identically (log2 would be a float).
+    // One hash-agg over nodes, output bounded by 64 bins.
+    QuerySpec(
+      "graph_degree_hist",
+      (s, d) => {
+        val e = coPurchaseEdges(s, d)
+        e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+          .groupBy(expr("length(bin(deg))").as("bin"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min("deg").as("min_deg"), max("deg").as("max_deg"),
+            sum("deg").as("deg_sum"), sum("n").as("node_sum"))
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        deg AS (
+          SELECT n, COUNT(*) AS deg FROM (
+            SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+          GROUP BY 1)
+        SELECT CAST(LENGTH(bin(deg)) AS INTEGER) AS bin,
+               COUNT(*) AS n_nodes,
+               CAST(MIN(deg) AS BIGINT) AS min_deg,
+               CAST(MAX(deg) AS BIGINT) AS max_deg,
+               CAST(SUM(deg) AS BIGINT) AS deg_sum,
+               CAST(SUM(n) AS BIGINT) AS node_sum
+        FROM deg GROUP BY 1""")),
+
     // ───── harmonic closeness centrality via MULTI-SOURCE BFS (r12):
     // graph_bfs_hops' single-seed frontier generalized to 5 seeds in
     // ONE synchronized pass — the state is (seed, node, hop), so the
