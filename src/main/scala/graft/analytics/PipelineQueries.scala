@@ -44,6 +44,93 @@ object PipelineQueries {
 
   val all: Seq[QuerySpec] = Seq(
 
+    // ───── curriculum manifest (r12): the composition query over two
+    // r12 signals — READABILITY chooses the difficulty tier (the Flesch
+    // milli-score thresholds at 60000/0, text_readability's exact
+    // integer form) and NOVELTY orders within the tier (fresh-content
+    // first, text_novelty's first-occurrence ppm) — producing the
+    // deterministic curriculum a staged training run reads tier by
+    // tier. The within-tier ordering is over document cardinality, so
+    // the global position rides RankedPrefix partitioned by tier (range
+    // exchange on (tier, novelty DESC, doc_id), per-pid windows,
+    // broadcast offsets — PlanSpec-pinned); positions collapse to
+    // integer deciles via ntile-from-rank, reported as the per-
+    // (tier, decile) manifest with doc checksums. Docs under 3 tokens
+    // carry no shingles and are excluded by the novelty inner join —
+    // identical in the oracle by the shingle CTE's length filter.
+    QuerySpec(
+      "curation_curriculum",
+      (s, d) => {
+        val feats = Tables.documents(s, d)
+          .withColumn("sents", expr(
+            "greatest(1L, cast(size(regexp_extract_all(text, '[.!?]+', 0)) as bigint))"))
+          .withColumn("words", expr(
+            "greatest(1L, cast(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) as bigint))"))
+          .withColumn("sylls", expr(
+            "greatest(1L, cast(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) as bigint))"))
+          .withColumn("fre_milli", expr(
+            "206835L - (1015L * (words * 1000L div sents)) div 1000L" +
+              " - (84600L * (sylls * 1000L div words)) div 1000L"))
+          .withColumn("tier", expr(
+            "case when fre_milli >= 60000 then 'easy' " +
+              "when fre_milli >= 0 then 'standard' else 'hard' end"))
+          .select("doc_id", "tier")
+        val ex = Corpus.withShingles(Tables.documents(s, d))
+          .select(col("doc_id"), explode(col("shingles")).as("g"))
+        val firstSeen = ex.groupBy("g").agg(min("doc_id").as("first_doc"))
+        val novelty = ex.join(firstSeen, "g")
+          .groupBy("doc_id")
+          .agg(expr(
+            "sum(case when doc_id = first_doc then 1L else 0L end)" +
+              " * 1000000 div count(1)").as("novelty_ppm"))
+        val ranked = graft.ops.RankedPrefix(s, d, "curriculum",
+          feats.join(novelty, "doc_id"),
+          part = Seq("tier"),
+          order = Seq(col("novelty_ppm").desc, col("doc_id")),
+          rank = Some("pos"),
+          totals = Seq(("n_tier", lit(1L))))
+        ranked
+          .withColumn("decile",
+            graft.ops.RankedPrefix.ntileFromRank(col("pos"), col("n_tier"), 10))
+          .groupBy("tier", "decile")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("doc_sum"),
+            min("novelty_ppm").as("min_nov"), max("novelty_ppm").as("max_nov"))
+      },
+      Some(s"""
+        WITH feats0 AS (
+          SELECT doc_id,
+                 GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS sents,
+                 GREATEST(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS words,
+                 GREATEST(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS sylls
+          FROM documents),
+        tiers AS (
+          SELECT doc_id,
+                 CASE WHEN 206835 - (1015 * (words * 1000 // sents)) // 1000
+                           - (84600 * (sylls * 1000 // words)) // 1000 >= 60000
+                      THEN 'easy'
+                      WHEN 206835 - (1015 * (words * 1000 // sents)) // 1000
+                           - (84600 * (sylls * 1000 // words)) // 1000 >= 0
+                      THEN 'standard' ELSE 'hard' END AS tier
+          FROM feats0),
+        sh AS (${Corpus.shinglesSql("documents")}),
+        ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        fs AS (SELECT g, MIN(doc_id) AS first_doc FROM ex GROUP BY 1),
+        nov AS (
+          SELECT e.doc_id,
+                 SUM(CASE WHEN e.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                   * 1000000 // COUNT(*) AS novelty_ppm
+          FROM ex e JOIN fs f ON f.g = e.g GROUP BY 1),
+        ranked AS (
+          SELECT t.tier, n.doc_id, n.novelty_ppm,
+                 CAST(NTILE(10) OVER (PARTITION BY t.tier
+                   ORDER BY n.novelty_ppm DESC, n.doc_id) AS INTEGER) AS decile
+          FROM tiers t JOIN nov n ON n.doc_id = t.doc_id)
+        SELECT tier, decile, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS doc_sum,
+               CAST(MIN(novelty_ppm) AS BIGINT) AS min_nov,
+               CAST(MAX(novelty_ppm) AS BIGINT) AS max_nov
+        FROM ranked GROUP BY 1, 2""")),
+
     // ───── stratified sampling: per-language rates (en kept at 50%, the
     // rest at 10%) over the md5 bucket — the corpus-rebalancing step of a
     // multilingual mix. Aggregated per stratum so the oracle checks

@@ -92,6 +92,33 @@ class SnapshotCatalog extends TableCatalog {
     new SnapshotTable(dirOf(ident).toString, pinnedVersion = Some(version))
   }
 
+  /** SQL `TIMESTAMP AS OF` (r12): Spark hands the literal as
+    * MICROSECONDS since epoch; the resolved version is the NEWEST
+    * retained committed manifest whose publish time (manifest file
+    * mtime — the wall clock of the locked pointer swap) is ≤ the asked
+    * instant, i.e. the state a reader at that moment would have seen.
+    * Fails loudly when the instant precedes the oldest retained commit
+    * (same contract as an unknown VERSION AS OF: a silently-latest or
+    * silently-empty result would look exactly like a valid answer).
+    * Orphaned manifests can't resolve — versions() reads the committed
+    * journal, never a directory listing.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    val tsMs = timestamp / 1000L
+    val vs = graft.streaming.SnapshotStore.versions(SparkSession.active,
+      dir.toString)
+    val eligible = vs
+      .map(n => n -> fs.getFileStatus(new Path(dir, n)).getModificationTime)
+      .filter(_._2 <= tsMs)
+    require(eligible.nonEmpty,
+      s"TIMESTAMP AS OF ${tsMs}ms precedes the oldest retained committed " +
+        s"version of $ident (retained: ${vs.mkString(", ")})")
+    new SnapshotTable(dir.toString, pinnedVersion = Some(eligible.last._1))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {

@@ -524,6 +524,68 @@ class DataSourceV2Spec extends SparkSpec {
       .map(_._1) === Set("k2", "k5", "k7"))
   }
 
+  test("TIMESTAMP AS OF resolves the newest version committed at or before the instant") {
+    val root = catalogRoot
+    buildTarget(s"$root/tt/t")
+    val dir = s"$root/tt/t"
+    // distinct publish mtimes for the two states we travel between
+    Thread.sleep(50)
+    spark.sql("INSERT INTO graft.tt.t " +
+      """VALUES ('k9', 'PUT', '020', '{"v":9}')""")
+    val vs = SnapshotStore.versions(spark, dir)
+    val mt = vs.map(n => n -> new java.io.File(dir, n).lastModified()).toMap
+    val preInsert = vs.init.last // newest version BEFORE the insert
+    def sqlTs(ms: Long): String =
+      java.time.Instant.ofEpochMilli(ms).toString.replace("T", " ")
+        .replace("Z", "")
+    // an instant between the two commits reads the pre-insert state
+    val mid = (mt(preInsert) + mt(vs.last)) / 2
+    assert(mt(preInsert) < mt(vs.last), s"commit mtimes not distinct: $mt")
+    assert(spark.sql(
+        s"SELECT keys FROM graft.tt.t TIMESTAMP AS OF '${sqlTs(mid)}'")
+      .as[String].collect().toSet === Set("k1", "k2", "k4", "k5"))
+    // an instant after the last commit reads the live state
+    assert(spark.sql(
+        s"SELECT keys FROM graft.tt.t TIMESTAMP AS OF '${sqlTs(mt(vs.last) + 1000)}'")
+      .as[String].collect().toSet === Set("k1", "k2", "k4", "k5", "k9"))
+    // an instant before the oldest retained commit fails loudly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.tt.t TIMESTAMP AS OF '2001-01-01 00:00:00'")
+        .collect()
+    }
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE deletes/updates target-only rows") {
+    val root = catalogRoot
+    buildTarget(s"$root/nmbs/t") // live: k1, k2, k4, k5
+    def state() = spark.sql("SELECT keys, newImage FROM graft.nmbs.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // source covers k2 (update) and k6 (insert); k1/k4/k5 are
+    // NOT MATCHED BY SOURCE — k1 gets deleted, the rest marked stale
+    Seq(("k2", "800", """{"v":222}"""), ("k6", "801", """{"v":6}"""))
+      .toDF("mk", "mseq", "mimg").createOrReplaceTempView("nmbssrc")
+    spark.sql("""
+      MERGE INTO graft.nmbs.t t USING nmbssrc s ON t.keys = s.mk
+      WHEN MATCHED THEN UPDATE SET newImage = s.mimg
+      WHEN NOT MATCHED THEN
+        INSERT (keys, op, sequenceNumber, newImage)
+        VALUES (s.mk, 'PUT', s.mseq, s.mimg)
+      WHEN NOT MATCHED BY SOURCE AND t.keys = 'k1' THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET newImage = '{"stale":1}'""")
+    val after = state()
+    assert(!after.contains("k1"), s"NOT MATCHED BY SOURCE delete lost: $after")
+    assert(after.get("k2") === Some("""{"v":222}"""))
+    assert(after.get("k6") === Some("""{"v":6}"""))
+    assert(after.get("k4") === Some("""{"stale":1}"""))
+    assert(after.get("k5") === Some("""{"stale":1}"""))
+    // the statement's deltas still win LWW over a stale concurrent put
+    delta(("k4", "PUT", "006", Some("""{"v":-4}""")))
+      .write.format("graft-snapshot").mode("append").save(s"$root/nmbs/t")
+    assert(state()("k4") === """{"stale":1}""",
+      "stale put beat the NOT MATCHED BY SOURCE update")
+  }
+
   test("delete-then-reinsert: a MERGE insert of a deleted key outranks its tombstone") {
     val root = catalogRoot
     buildTarget(s"$root/rli/t")

@@ -315,7 +315,8 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("profile_equidepth_hist", "agg_rfm_segments",
                   "events_rfm_migration", "window_cume_dist",
                   "profile_key_skew", "window_ntile",
-                  "window_percent_rank", "agg_lorenz_deciles")) {
+                  "window_percent_rank", "agg_lorenz_deciles",
+                  "curation_curriculum")) {
       val p = plan(q)
       assert(p.contains("Exchange rangepartitioning"),
         s"$q: range repartition missing — ordered pass is single-task:\n$p")
