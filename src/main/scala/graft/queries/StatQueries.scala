@@ -1304,6 +1304,39 @@ object StatQueries {
                COUNT(*) AS ndv
         FROM cum GROUP BY 1""")),
 
+    // ───── equi-WIDTH histogram (r12): the other ANALYZE-statistics
+    // primitive, completing the pair with profile_equidepth_hist —
+    // equal VALUE ranges (where equi-depth holds equal row counts), the
+    // form drift monitors diff cheaply because bucket BOUNDARIES are
+    // stable across runs. Bounds come from one global min/max hash-agg
+    // broadcast back as a one-row frame (the documented one-row
+    // composition class); bucket = (v−mn)·16 div (mx−mn+1), exact
+    // integers, last bucket inclusive by the +1. One scan + two
+    // hash-aggs, output ≤16 rows; NO ordered pass anywhere — the
+    // structural contrast to equi-depth is the point.
+    QuerySpec(
+      "profile_equiwidth_hist",
+      (s, d) => {
+        val v = orders(s, d)
+          .select(expr("cast(round(o_totalprice * 100) as bigint)").as("v"))
+        val bounds = v.agg(min("v").as("mn"), max("v").as("mx"))
+        v.crossJoin(broadcast(bounds))
+          .withColumn("bucket", expr("(v - mn) * 16 div (mx - mn + 1)"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"), min("v").as("lo_cents"),
+            max("v").as("hi_cents"), sum("v").as("cents_sum"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        b AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM v)
+        SELECT CAST((v - mn) * 16 // (mx - mn + 1) AS BIGINT) AS bucket,
+               COUNT(*) AS n_rows,
+               CAST(MIN(v) AS BIGINT) AS lo_cents,
+               CAST(MAX(v) AS BIGINT) AS hi_cents,
+               CAST(SUM(v) AS BIGINT) AS cents_sum
+        FROM v CROSS JOIN b GROUP BY 1""")),
+
     // ───── peak concurrent sessions per day — the capacity-planning
     // aggregate over interval data (max overlap of [start, end)
     // session intervals; ends-exclusive, so a session ending exactly
