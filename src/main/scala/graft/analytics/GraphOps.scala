@@ -37,6 +37,35 @@ object GraphOps {
         .unionAll(edges.select(col("v").as("a"), col("u").as("b"))),
       rounds)
 
+  /** Multi-source bounded BFS (r12): exact hop distances from every
+    * seed simultaneously — state keyed (seed, n), each round ONE edge
+    * equi-join + distinct + anti-join against the visited set for ALL
+    * seeds together (the landmark-distance amortization; sequential
+    * per-seed BFS pays |seeds|× the rounds). `und` is the
+    * both-direction edge list (u, v); returns (seed, n, hop) with
+    * hop ∈ [0, rounds], seeds included at hop 0. Each round is
+    * localCheckpointed: the frontier feeds both the next expansion and
+    * the visited union, and an unmaterialized plan would re-derive the
+    * whole prefix per round.
+    */
+  def multiSourceBfs(und: DataFrame, seeds: Seq[Long],
+                     rounds: Int): DataFrame = {
+    val s = und.sparkSession
+    var visited = s.createDataFrame(seeds.map(x => (x, x, 0)))
+      .toDF("seed", "n", "hop").localCheckpoint(true)
+    var frontier = visited.select("seed", "n")
+    for (r <- 1 to rounds) {
+      frontier = und.join(frontier.withColumnRenamed("n", "u"), "u")
+        .select(col("seed"), col("v").as("n")).distinct()
+        .join(visited.select("seed", "n"), Seq("seed", "n"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited
+        .unionAll(frontier.select(col("seed"), col("n"), lit(r).as("hop")))
+        .localCheckpoint(true)
+    }
+    visited
+  }
+
   /** [[labelPropagation]] over a pre-built both-direction edge list
     * (a, b). Callers that iterate on a large graph should pass a frame
     * CACHED pre-partitioned on `b` (`repartition(col("b")).persist`):

@@ -3049,21 +3049,9 @@ object RelationalQueries {
           .localCheckpoint(true)
         val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("dg"))
         val seeds = deg.orderBy(col("dg").desc, col("n")).limit(5)
-          .select("n").collect().map(_.getLong(0)).sorted
-        val s0 = seeds.map(x => (x, x, 0)).toSeq
-        var visited = s.createDataFrame(s0).toDF("seed", "n", "hop")
-          .localCheckpoint(true)
-        var frontier = visited.select("seed", "n")
-        for (r <- 1 to 4) {
-          frontier = und.join(frontier.withColumnRenamed("n", "u"), "u")
-            .select(col("seed"), col("v").as("n")).distinct()
-            .join(visited.select("seed", "n"), Seq("seed", "n"), "left_anti")
-            .localCheckpoint(true)
-          visited = visited
-            .unionAll(frontier.select(col("seed"), col("n"), lit(r).as("hop")))
-            .localCheckpoint(true)
-        }
-        visited.filter(col("hop") >= 1)
+          .select("n").collect().map(_.getLong(0)).sorted.toSeq
+        graft.analytics.GraphOps.multiSourceBfs(und, seeds, rounds = 4)
+          .filter(col("hop") >= 1)
           .groupBy("seed")
           .agg(count(lit(1)).as("n_reached"),
             sum(expr("1000000 div hop")).as("harmonic_ppm"),

@@ -559,6 +559,30 @@ class StatSpec extends SparkSpec {
     assert(labels(1L) != labels(16L), s"cliques merged: $labels")
   }
 
+  test("multiSourceBfs: exact hop distances on a planted two-component graph") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus a disjoint triangle 10-11-12: hand-checkable
+    // distances, a frontier that must NOT leak across components, and a
+    // node (6) past the 4-round horizon of seed 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("u", "v")
+    val und = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val got = graft.analytics.GraphOps.multiSourceBfs(und, Seq(1L, 10L), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val expected = Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1, (1L, 3L) -> 2, (1L, 4L) -> 3,
+      (1L, 5L) -> 4, // 6 is 5 hops away: absent at rounds = 4
+      (10L, 10L) -> 0, (10L, 11L) -> 1, (10L, 12L) -> 1)
+    assert(got === expected, s"got $got")
+    // the harmonic collapse graph_closeness runs on top: exact integers
+    // .toSeq first: collecting (key, value) pairs straight off a Map
+    // would rebuild a Map and silently keep one pair per seed
+    val harm = got.toSeq.collect { case ((s0, _), h) if h >= 1 => (s0, 1000000 / h) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(harm(1L) === 1000000 + 500000 + 333333 + 250000)
+    assert(harm(10L) === 2000000)
+  }
+
   test("RankedPrefix: rank/running-sum/ntile equal the single-task window forms") {
     // the two-phase machinery must be VALUE-identical to the bare global
     // window it replaces, across remainder shapes (n mod b ∈ {0, …}) and
