@@ -100,6 +100,10 @@ object ScaleProbe {
     // (label propagation is local, so disconnected copies cannot
     // interact — any divergence means a nondeterministic tie-break).
     val lpaOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("lpa")
+    // SPARK_GRAFT_PROBE=eqdepth decomposes the streaming equi-depth
+    // maintainer's per-batch cost (fixed-delta merge vs full-state tier
+    // recompute) at k× maintained NDV, equality-gated per factor.
+    val eqdepthOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("eqdepth")
     var pcaAxisAtBase: Array[Long] = null
     for (k <- factors) {
       if (aucOnly) {
@@ -377,6 +381,61 @@ object ScaleProbe {
             s"copy-0 labels diverged from the base run at x$k")
         }
         println(s"[probe] lpa_x$k: nodes=${labels.size}")
+      } else if (eqdepthOnly) {
+        // StreamingEquiDepth per-batch cost at k× maintained NDV — the
+        // sink's two stages measured separately: (merge) a FIXED
+        // 2000-value delta folded into a counts target pre-seeded with
+        // k×-NDV rows — claim O(delta), ~flat in k; (tiers) the exact
+        // tier recompute + locked publish over the full maintained
+        // state — claim the two-phase O(NDV) pass, linear in k with
+        // the RankedPrefix constant, never a single-task sort. Delta
+        // values are negative (disjoint from every jittered positive),
+        // so LWW PUTs at n=1 ARE the absolute counts the real sink's
+        // streaming aggregation would emit. Published tiers are
+        // equality-gated against a direct batch recompute before any
+        // time prints.
+        import graft.streaming.{SnapshotStore, StreamingEquiDepth}
+        val countsT = java.nio.file.Files
+          .createTempDirectory(s"eqd-counts-x$k").toString
+        val tiersT = java.nio.file.Files
+          .createTempDirectory(s"eqd-tiers-x$k").toString
+        val byVal = spark.read.parquet(s"$d/orders.parquet")
+          .select(expr("cast(round(o_totalprice * 100) as bigint)").as("v0"))
+          .crossJoin(spark.range(k).toDF("rep"))
+          .select(expr("v0 * 64 + rep").as("v"))
+          .groupBy("v").agg(count(lit(1)).as("n_i"))
+          .localCheckpoint(true)
+        def asDelta(df: org.apache.spark.sql.DataFrame, seq: String) =
+          df.select(col("v").cast("string").as("keys"), lit("PUT").as("op"),
+            lit(seq).as("sequenceNumber"),
+            to_json(struct(col("n_i").as("n"))).as("newImage"))
+        SnapshotStore.mergeIntoTarget(spark, countsT,
+          asDelta(byVal, "000000000001"), batchId = 1L)
+        val deltaVals = spark.range(2000)
+          .select((-(col("id") + 1)).as("v"), lit(1L).as("n_i"))
+          .localCheckpoint(true)
+        time(s"eqd_merge_x$k") {
+          SnapshotStore.mergeIntoTarget(spark, countsT,
+            asDelta(deltaVals, "000000000002"), batchId = 2L)
+          2000L
+        }
+        time(s"eqd_tiers_x$k") {
+          val t = graft.ops.RankedPrefix.equiDepthTiers(spark, "", "",
+            StreamingEquiDepth.readCounts(spark, countsT), 8, cached = false)
+          SnapshotStore.writeTarget(t, tiersT, batchId = 2L,
+            keys = Seq("bucket"))
+          8L
+        }
+        def tierSet(df: org.apache.spark.sql.DataFrame) = df
+          .select("bucket", "lo_cents", "hi_cents", "n_rows", "ndv")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        val published = tierSet(StreamingEquiDepth.readTiers(spark, tiersT))
+        val direct = tierSet(graft.ops.RankedPrefix.equiDepthTiers(
+          spark, "", "", byVal.unionByName(deltaVals), 8, cached = false))
+        require(published == direct,
+          s"maintained tiers diverged from the batch recompute at x$k")
+        println(s"[probe] eqd_x$k: ndv=${byVal.count() + 2000}")
       } else if (prefixOnly) {
         // equi-depth histogram at k× NDV, both formulations. byVal is the
         // per-value collapse — at 149,743 NDV per 150k sf0.1 orders it is
