@@ -1278,6 +1278,42 @@ object SimilarityQueries {
       (s, d) => topKPerProbe(brutePairs(s, d), 5),
       Some(annSelectSql(bruteCtesSql, 5))),
 
+    // ───── MIPS — maximum INNER-PRODUCT top-k (r12): the retrieval
+    // semantics recommendation scoring actually uses (user·item
+    // preference — magnitude matters), distinct from the cosine family
+    // (a long vector with middling angle outranks a short aligned one;
+    // rankings genuinely differ, which the oracle pins). Scores are the
+    // exact integer dots re-emitted as BIGINT; ranking ties break by
+    // vec_id under the same double total order as every ANN path. The
+    // brute form here is the exact baseline (flat broadcast-probe scan,
+    // bounded TopKScoredAgg — nothing but ≤k pairs per probe per
+    // partition crosses the wire); the standard scale path is the
+    // norm-augmentation reduction (append √(M²−‖v‖²) as an extra
+    // coordinate, making MIPS an L2-NN problem the trained-IVF index
+    // already serves — Bachrach et al., RecSys'14).
+    QuerySpec(
+      "ann_mips_topk",
+      (s, d) => {
+        val topk = udaf(new graft.functions.TopKScoredAgg(5),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+        brutePairs(s, d)
+          .withColumn("score", col("dot").cast("double"))
+          .groupBy("query_id")
+          .agg(topk(col("score"), col("vec_id")).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("query_id"), col("t._2").as("neighbor_id"),
+            (col("pos") + 1).cast("int").as("rank"),
+            col("t._1").cast("long").as("dot"))
+      },
+      Some(s"""
+        WITH $bruteCtesSql
+        SELECT query_id, vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dot DESC, vec_id) AS INTEGER) AS rank,
+               CAST(dot AS BIGINT) AS dot
+        FROM pairs
+        QUALIFY rank <= 5""")),
+
     // ───── RANGE (radius) search (r12): "every vector within similarity
     // τ of the probe" — the index operation the top-k family can't
     // express (dedup wants ALL matches above a bar, not the best k; a

@@ -1325,6 +1325,59 @@ object RelationalQueries {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY day_n
                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""")),
 
+    // ───── rolling OLS slope over a value-based RANGE frame (r12): per
+    // customer, the trend of order value over their trailing 30 days —
+    // the rolling-regression window (rolling beta) the frame family
+    // lacked. Sufficient sums only: Σx, Σy, Σxy, Σx², n accumulate as
+    // EXACT longs inside the frame (x = days-since-epoch, y = cents —
+    // far below overflow), and the slope's numerator/denominator
+    // n·Σxy−Σx·Σy / n·Σx²−(Σx)² are emitted as exact integers (the
+    // agg_regression discipline windowed); the denominator is 0 exactly
+    // when the frame holds a single distinct day — reported as NULLs,
+    // pinned in both engines. Windows shard by customer.
+    QuerySpec(
+      "window_rolling_slope",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("day_n"))
+          .rangeBetween(-30, Window.currentRow)
+        orders(s, d)
+          .withColumn("day_n",
+            datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+              .cast("long"))
+          .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+          .select(col("o_orderkey"), col("o_custkey"), col("day_n"),
+            count(lit(1)).over(w).as("n_30d"),
+            (count(lit(1)).over(w) * sum(expr("day_n * cents")).over(w)
+              - sum("day_n").over(w) * sum("cents").over(w)).as("slope_num"),
+            (count(lit(1)).over(w) * sum(expr("day_n * day_n")).over(w)
+              - sum("day_n").over(w) * sum("day_n").over(w)).as("slope_den"))
+          .withColumn("slope_num",
+            when(col("slope_den") =!= 0, col("slope_num")))
+          .withColumn("slope_den",
+            when(col("slope_den") =!= 0, col("slope_den")))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS BIGINT) AS day_n,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        s AS (
+          SELECT o_orderkey, o_custkey, day_n,
+                 COUNT(*) OVER w AS n_30d,
+                 COUNT(*) OVER w * SUM(day_n * cents) OVER w
+                   - SUM(day_n) OVER w * SUM(cents) OVER w AS num,
+                 COUNT(*) OVER w * SUM(day_n * day_n) OVER w
+                   - SUM(day_n) OVER w * SUM(day_n) OVER w AS den
+          FROM o
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY day_n
+                       RANGE BETWEEN 30 PRECEDING AND CURRENT ROW))
+        SELECT o_orderkey, o_custkey, day_n, n_30d,
+               CAST(CASE WHEN den <> 0 THEN num END AS BIGINT) AS slope_num,
+               CAST(CASE WHEN den <> 0 THEN den END AS BIGINT) AS slope_den
+        FROM s""")),
+
     // ───── W2 distribution + positional analytics: percent_rank /
     // cume_dist (rank-normalized position within a segment — the
     // percentile-flavored window pair) and first_value / nth_value over
