@@ -2133,6 +2133,97 @@ object RelationalQueries {
                l + 7 * b AS forecast_7d_k
         FROM fin""")),
 
+    // ───── forecast BACKTEST (r12): the eval loop the forecasting
+    // ladder (Holt, Holt-Winters) was missing — hold out the last 7
+    // calendar days, fit Holt double smoothing on the prefix (the
+    // identical integer recurrence events_forecast ships), forecast
+    // each held-out day at level + h·trend, and score MAE in exact
+    // k-units against BOTH the model and the naive last-value carry
+    // — "does the trend model beat persistence" as an oracle-gated
+    // boolean per series, the minimum honest bar any forecaster must
+    // clear (Hyndman's forecasting-principles baseline discipline).
+    // Only observed holdout days score (zero-event days are absent
+    // from the daily spine — the gapfill variant is its own query);
+    // the boundary is one global max broadcast back.
+    QuerySpec(
+      "events_forecast_eval",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val mx = daily.agg(max("day").as("mxd"))
+        val marked = daily.crossJoin(broadcast(mx))
+          .withColumn("holdout", col("day") > date_sub(col("mxd"), 7))
+        val fit = marked.filter(!col("holdout"))
+          .groupBy("event_type")
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(day, y))), x -> x.y)")
+            .as("ys"),
+            max("day").as("train_end"))
+          .withColumn("fit", expr(
+            """aggregate(ys, named_struct('i', 0L, 'l', 0L, 'b', 0L),
+               (a, y) -> if(a.i = 0,
+                 named_struct('i', 1L, 'l', y * 1000L, 'b', 0L),
+                 element_at(transform(
+                   array((3L*y*1000L + 7L*(a.l + a.b) + 1000000000L) div 10L - 100000000L),
+                   ln -> named_struct('i', a.i + 1L, 'l', ln,
+                     'b', (2L*(ln - a.l) + 8L*a.b + 1000000000L) div 10L - 100000000L)), 1)))"""))
+          .select(col("event_type"), col("train_end"),
+            col("fit.l").as("l"), col("fit.b").as("b"),
+            expr("element_at(ys, cast(size(ys) as int))").as("y_last"))
+        marked.filter(col("holdout"))
+          .join(fit, "event_type")
+          .withColumn("h", datediff(col("day"), col("train_end")).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_holdout"),
+            sum(abs(col("l") + col("h") * col("b") - col("y") * 1000))
+              .as("abs_err_model_k"),
+            sum(abs((col("y_last") - col("y")) * 1000))
+              .as("abs_err_naive_k"))
+          .withColumn("model_wins",
+            col("abs_err_model_k") < col("abs_err_naive_k"))
+      },
+      Some("""
+        WITH RECURSIVE daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        mx AS (SELECT MAX(day) AS mxd FROM daily),
+        marked AS (
+          SELECT d.*, d.day > m.mxd - INTERVAL 7 DAY AS holdout
+          FROM daily d CROSS JOIN mx m),
+        seq AS (
+          SELECT event_type, day, y,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   AS BIGINT) AS t
+          FROM marked WHERE NOT holdout),
+        holt(event_type, t, l, b) AS (
+          SELECT event_type, t, y * 1000, 0::BIGINT FROM seq WHERE t = 1
+          UNION ALL
+          SELECT event_type, t, l,
+                 (2*(l - pl) + 8*pb + 1000000000) // 10 - 100000000
+          FROM (SELECT s.event_type, s.t, h.l AS pl, h.b AS pb,
+                       (3*s.y*1000 + 7*(h.l + h.b) + 1000000000) // 10 - 100000000 AS l
+                FROM holt h JOIN seq s
+                  ON s.event_type = h.event_type AND s.t = h.t + 1)),
+        fit AS (
+          SELECT h.event_type, h.l, h.b, s.day AS train_end, s.y AS y_last
+          FROM holt h
+          JOIN (SELECT event_type, MAX(t) AS mt FROM holt GROUP BY 1) m
+            ON m.event_type = h.event_type AND h.t = m.mt
+          JOIN seq s ON s.event_type = h.event_type AND s.t = m.mt),
+        scored AS (
+          SELECT d.event_type,
+                 ABS(f.l + CAST(date_diff('day', f.train_end, d.day) AS BIGINT)
+                       * f.b - d.y * 1000) AS em,
+                 ABS((f.y_last - d.y) * 1000) AS en
+          FROM marked d JOIN fit f ON f.event_type = d.event_type
+          WHERE d.holdout)
+        SELECT event_type, COUNT(*) AS n_holdout,
+               CAST(SUM(em) AS BIGINT) AS abs_err_model_k,
+               CAST(SUM(en) AS BIGINT) AS abs_err_naive_k,
+               SUM(em) < SUM(en) AS model_wins
+        FROM scored GROUP BY 1""")),
+
     // ───── Benford first-digit audit (r10): the fraud / data-quality
     // screen (Benford 1938; Nigrini's forensic-accounting standard) —
     // naturally-occurring multiplicative amounts put digit d first with
