@@ -426,6 +426,47 @@ object TextQueries {
         FROM ex e JOIN first f ON f.g = e.g
         GROUP BY 1""")),
 
+    // ───── vocabulary growth curve (r12): new distinct shingles per
+    // corpus-order decile plus the cumulative count — the Heaps-law
+    // readout that sizes vocabulary/dedup-index growth before a crawl
+    // 10×es (a flattening curve means dedup state saturates; linear
+    // means provision for it). Rides the SAME first-occurrence frame
+    // text_novelty computes (min doc_id per shingle — one explode + one
+    // min-agg); deciles cut the observed doc-id range (ingestion-order
+    // proxy), and the cumulative sum runs over TEN rows (bounded
+    // empty-partition window — the agg_mode class, never data-sized).
+    QuerySpec(
+      "text_vocab_growth",
+      (s, d) => {
+        val ex = Corpus.withShingles(Tables.documents(s, d))
+          .select(col("doc_id"), explode(col("shingles")).as("g"))
+        val first = ex.groupBy("g").agg(min("doc_id").as("first_doc"))
+        val bounds = first.agg(min("first_doc").as("mn"),
+          max("first_doc").as("mx"))
+        first.crossJoin(broadcast(bounds))
+          .groupBy(expr("(first_doc - mn) * 10 div (mx - mn + 1)").as("decile"))
+          .agg(count(lit(1)).as("new_shingles"))
+          .withColumn("cum_shingles", {
+            val w = org.apache.spark.sql.expressions.Window
+            sum("new_shingles").over(w.orderBy("decile")
+              .rowsBetween(w.unboundedPreceding, w.currentRow))
+          })
+      },
+      Some(s"""
+        WITH sh AS (${Corpus.shinglesSql("documents")}),
+        ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        first AS (SELECT g, MIN(doc_id) AS first_doc FROM ex GROUP BY 1),
+        b AS (SELECT MIN(first_doc) AS mn, MAX(first_doc) AS mx FROM first),
+        dec AS (
+          SELECT CAST((first_doc - mn) * 10 // (mx - mn + 1) AS BIGINT) AS decile,
+                 COUNT(*) AS new_shingles
+          FROM first CROSS JOIN b GROUP BY 1)
+        SELECT decile, new_shingles,
+               CAST(SUM(new_shingles) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_shingles
+        FROM dec""")),
+
     // ───── Flesch-style readability bands (r12): the grade-level
     // filter next to text_quality's lexical ratios — training-data
     // curricula bucket documents by reading difficulty, and the Flesch

@@ -533,6 +533,33 @@ object RelationalQueries {
         INTERSECT
         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000""")),
 
+    // ───── §2.7 set ops, BAG semantics (r12): INTERSECT ALL / EXCEPT
+    // ALL — the multiset forms the distinct-semantics trio above can't
+    // express (multiplicities subtract and min instead of collapsing:
+    // a customer with 3 orders in 1995 and 1 in 1996 keeps 2 rows in
+    // the difference and 1 in the intersection). Both engines implement
+    // the SQL-standard multiplicity arithmetic; one tagged union holds
+    // the pair under a single oracle gate.
+    QuerySpec(
+      "setop_bag_all",
+      (s, d) => {
+        val o = orders(s, d)
+        val a = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+        val b = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+        a.exceptAll(b).withColumn("op", lit("except_all"))
+          .unionAll(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+      },
+      Some("""
+        SELECT o_custkey, 'except_all' AS op FROM (
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+          EXCEPT ALL
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        UNION ALL
+        SELECT o_custkey, 'intersect_all' AS op FROM (
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+          INTERSECT ALL
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)""")),
+
     // ───── A8 grouping sets: ROLLUP over flag×status
     QuerySpec(
       "agg_rollup",
