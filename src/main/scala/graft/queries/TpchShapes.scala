@@ -38,6 +38,40 @@ object TpchShapes {
 
   val all: Seq[QuerySpec] = Seq(
 
+    // ───── SQL LATERAL with correlated ORDER BY LIMIT (r12): per
+    // nation, its single top order — the per-group top-1 expressed in
+    // pure standard SQL lateral form (the shape every "latest row per
+    // key" dashboard query takes). The planner interest is the
+    // DECORRELATION: Spark must rewrite the correlated lateral subquery
+    // with its LIMIT into a window/join plan instead of re-running the
+    // customer⋈orders join once per outer nation row — 25 outer rows
+    // here, but the same SQL text runs against 25 million; DuckDB
+    // evaluates the identical standard form. Ties break by o_orderkey
+    // under the (o_totalprice DESC, o_orderkey) total order.
+    QuerySpec(
+      "sql_lateral_topn",
+      (s, d) => {
+        nation(s, d).createOrReplaceTempView("nation_v")
+        customer(s, d).createOrReplaceTempView("customer_v")
+        orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT n.n_name, l.o_orderkey, l.o_totalprice
+          FROM nation_v n,
+          LATERAL (
+            SELECT o.o_orderkey, o.o_totalprice
+            FROM customer_v c JOIN orders_v o ON o.o_custkey = c.c_custkey
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 1) l""")
+      },
+      Some("""
+        SELECT n.n_name, l.o_orderkey, l.o_totalprice
+        FROM nation n,
+        LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 1) l""")),
+
     // ───── Q4 shape: EXISTS-correlated priority count. The correlated
     // EXISTS (an equi key + a non-equi date residual) must decorrelate to
     // ONE left-semi join of orders against lineitem — per-outer-row
