@@ -278,6 +278,82 @@ object MultimodalQueries {
         WHERE $bandHammingSql <= 6"""
       }),
 
+    // ───── per-image luminance statistics (r12): the vision-curation
+    // quality screen (too-dark / too-flat frames drop before training)
+    // — a FULL-RASTER pass through the REAL JDK codec path, where
+    // mm_phash_dedup samples an 8×8 grid: 4-bin luminance histogram,
+    // exact luminance sum, and the exact variance NUMERATOR
+    // n·Σlum²−(Σlum)² (contrast without a float sqrt — the
+    // agg_regression sufficient-sums discipline applied to pixels).
+    // Images are the same deterministic closed-form pixel function the
+    // phash query uses (PNG is lossless, so decode(encode(x)) = x);
+    // the oracle replays the arithmetic WITHOUT any codec — equality
+    // proves the encode → ImageIO decode → raster walk exact
+    // end-to-end at every pixel, not just at 64 sample points.
+    QuerySpec(
+      "mm_image_stats",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200).as[Long]
+          .map { id =>
+            val w = 16 + (id % 16).toInt
+            val h = 16 + (id % 9).toInt
+            def px(i: Int): Int = ((id * 31 + i) % 256).toInt
+            val bi = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = (y * w + x) * 3
+                bi.setRGB(x, y,
+                  (px(base) << 16) | (px(base + 1) << 8) | px(base + 2))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(bi, "png", bos)
+            val (dw, dh, _, raster) = MediaCodecs.decodeImageIo(bos.toByteArray)
+            val n = dw * dh
+            val hist = new Array[Long](4)
+            var sum = 0L; var sq = 0L; var i = 0
+            while (i < n) {
+              val o = i * 3
+              val lum = ((raster(o) & 0xff) + (raster(o + 1) & 0xff) +
+                (raster(o + 2) & 0xff)) / 3
+              hist(lum / 64) += 1
+              sum += lum
+              sq += lum.toLong * lum
+              i += 1
+            }
+            (id, n.toLong, hist(0), hist(1), hist(2), hist(3),
+              sum, n * sq - sum * sum)
+          }
+          .toDF("img_id", "n_px", "b0", "b1", "b2", "b3",
+            "lum_sum", "var_num")
+      },
+      Some("""
+        WITH imgs AS (
+          SELECT doc_id AS id, 16 + doc_id % 16 AS w, 16 + doc_id % 9 AS h
+          FROM documents WHERE doc_id < 200),
+        lums AS (
+          SELECT id, w * h AS n,
+                 list_transform(range(0, w * h), i ->
+                   (((id*31 + 3*i) % 256) + ((id*31 + 3*i + 1) % 256)
+                    + ((id*31 + 3*i + 2) % 256)) // 3) AS lum
+          FROM imgs)
+        SELECT id AS img_id, CAST(n AS BIGINT) AS n_px,
+               CAST(len(list_filter(lum, x -> x // 64 = 0)) AS BIGINT) AS b0,
+               CAST(len(list_filter(lum, x -> x // 64 = 1)) AS BIGINT) AS b1,
+               CAST(len(list_filter(lum, x -> x // 64 = 2)) AS BIGINT) AS b2,
+               CAST(len(list_filter(lum, x -> x // 64 = 3)) AS BIGINT) AS b3,
+               CAST(list_sum(lum) AS BIGINT) AS lum_sum,
+               CAST(n * list_sum(list_transform(lum, x -> x * x))
+                    - list_sum(lum) * list_sum(lum) AS BIGINT) AS var_num
+        FROM lums""")),
+
     // ───── audio fingerprint near-dup (r8): the AUDIO dual of
     // mm_phash_dedup, through the engine's REAL WAV path. Per clip: a
     // closed-form deterministic waveform → hand-built RIFF/PCM-16
