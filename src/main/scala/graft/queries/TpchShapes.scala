@@ -49,7 +49,7 @@ object TpchShapes {
     // evaluates the identical standard form. Ties break by o_orderkey
     // under the (o_totalprice DESC, o_orderkey) total order.
     QuerySpec(
-      "sql_lateral_topn",
+      "sql_lateral_order_limit",
       (s, d) => {
         nation(s, d).createOrReplaceTempView("nation_v")
         customer(s, d).createOrReplaceTempView("customer_v")

@@ -18,12 +18,12 @@ class PlanSpec extends SparkSpec {
     assert(plan("q5_region_revenue").contains("BroadcastHashJoin"))
   }
 
-  test("sql_lateral_topn: correlated LATERAL LIMIT decorrelates to WindowGroupLimit") {
+  test("sql_lateral_order_limit: correlated LATERAL LIMIT decorrelates to WindowGroupLimit") {
     // the lateral subquery's per-outer-row ORDER BY LIMIT 1 must become
     // ONE map-side group-limit (partial WindowGroupLimit before the
     // exchange) + a hash join — never a nested loop re-running the
     // customer⋈orders join once per nation row
-    val p = plan("sql_lateral_topn")
+    val p = plan("sql_lateral_order_limit")
     assert(p.contains("WindowGroupLimit"),
       s"lateral LIMIT not rewritten to a group limit:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
