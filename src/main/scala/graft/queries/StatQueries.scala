@@ -188,6 +188,76 @@ object StatQueries {
                CAST(SUM(user_id) AS BIGINT) AS user_sum
         FROM scored GROUP BY 1""")),
 
+    // ───── skewness + excess kurtosis (r12): the distribution-shape
+    // moments the mean/variance family can't see — heavy-tail and
+    // asymmetry screens every feature-quality audit runs before
+    // standardizing a column. The graph_assortativity discipline one
+    // order higher: raw power sums Σx..Σx⁴ accumulate EXACTLY in
+    // DECIMAL(38)/HUGEINT (cents ≤ 1e5 ⇒ x⁴·n ≤ ~1e25, far inside 38
+    // digits), then ONE textually-identical double formula per engine
+    // (sqrt and multiplication only — no pow) computes g1 = m3/m2^1.5
+    // and excess g2 = m4/m2² − 3; IEEE ops in the same order are
+    // bit-identical, so the doubles hash-match. One hash-agg.
+    QuerySpec(
+      "agg_skew_kurtosis",
+      (s, d) => events(s, d)
+        .select(col("event_type"),
+          expr("cast(cast(round(value * 100) as bigint) as decimal(38,0))")
+            .as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        .select(col("event_type"), col("n").cast("long").as("n_rows"),
+          col("n").cast("double").as("dn"), col("s1").cast("double").as("d1"),
+          col("s2").cast("double").as("d2"), col("s3").cast("double").as("d3"),
+          col("s4").cast("double").as("d4"))
+        .withColumn("mean", expr("d1 / dn"))
+        .withColumn("m2", expr("d2 / dn - mean * mean"))
+        .withColumn("m3", expr(
+          "d3 / dn - 3.0 * mean * (d2 / dn) + 2.0 * mean * mean * mean"))
+        .withColumn("m4", expr(
+          "d4 / dn - 4.0 * mean * (d3 / dn) + 6.0 * mean * mean * (d2 / dn)" +
+            " - 3.0 * mean * mean * mean * mean"))
+        .select(col("event_type"), col("n_rows"),
+          col("mean").as("mean_cents"),
+          expr("m3 / (m2 * sqrt(m2))").as("skew"),
+          expr("m4 / (m2 * m2) - 3.0").as("kurt_excess")),
+      Some("""
+        WITH c AS (
+          SELECT event_type,
+                 CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS x
+          FROM events),
+        sums AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(x) AS s1, SUM(x*x) AS s2, SUM(x*x*x) AS s3,
+                 SUM(x*x*x*x) AS s4
+          FROM c GROUP BY 1),
+        d AS (
+          SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+                 CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
+                 CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+                 CAST(s4 AS DOUBLE) AS d4
+          FROM sums),
+        m AS (
+          SELECT event_type, n_rows, d1 / dn AS mean, dn, d2, d3, d4
+          FROM d),
+        mm AS (
+          SELECT event_type, n_rows, mean,
+                 d2 / dn - mean * mean AS m2,
+                 d3 / dn - 3.0 * mean * (d2 / dn)
+                   + 2.0 * mean * mean * mean AS m3,
+                 d4 / dn - 4.0 * mean * (d3 / dn)
+                   + 6.0 * mean * mean * (d2 / dn)
+                   - 3.0 * mean * mean * mean * mean AS m4
+          FROM m)
+        SELECT event_type, n_rows, mean AS mean_cents,
+               m3 / (m2 * sqrt(m2)) AS skew,
+               m4 / (m2 * m2) - 3.0 AS kurt_excess
+        FROM mm""")),
+
     // ───── MRR@10 (r12): mean reciprocal rank — the third leg of the
     // ranking-eval suite next to ml_auc_rank (pairwise) and ml_ndcg
     // (graded position-discounted): "how high does the FIRST relevant

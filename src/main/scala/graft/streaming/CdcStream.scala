@@ -28,6 +28,12 @@ final case class StateDelta(keys: String, sign: Int, seq: String,
 final case class SchemaAlarm(attr: String, avtype: String,
                              firstSeen: java.sql.Timestamp)
 
+/** Late-delivery alarm row for [[CdcStream.lateArrivalAlarms]]: an event
+  * whose event time precedes its key's delivered high-water mark, with
+  * the exact lateness in microseconds.
+  */
+final case class LateAlarm(keys: String, eventId: String, lateUs: Long)
+
 /** Structured Streaming drivers over the SAME batch operators (`CdcOps`) —
   * one semantics, two drivers (SURVEY §7.1). The reference's managed-service
   * behaviors map onto Spark primitives:
@@ -789,6 +795,82 @@ object CdcStream {
               else Iterator.empty
             }
         }
+    }
+  }
+
+  /** Streaming late-arrival monitor (r12) — the streaming dual of the
+    * batch `cdc_late_arrival_audit`: per key, an event whose event time
+    * precedes the key's DELIVERED event-time high-water mark alarms
+    * with its exact lateness in microseconds, in the micro-batch it
+    * arrives. The max observed lateness is precisely the
+    * `watermarkDelay` every stateful operator here takes as a
+    * parameter — this is the monitor that keeps that number honest in
+    * production instead of guessed at deploy time.
+    *
+    * Input: (keys, eventId, approxCreationTs, deliveryPos) — across
+    * micro-batches the delivery order IS arrival order (the state
+    * carries the HWM forward); within one batch events fold in
+    * (deliveryPos, eventId) order, so a source that delivers multiple
+    * events per key per batch stays deterministic. State per key is ONE
+    * long (the HWM); finite event-time retention by the house rule — a
+    * key idle past the window drops its HWM, so an extremely late
+    * event after eviction re-seeds silently (same contract as
+    * statefulLatest's TTL, documented trade).
+    */
+  def lateArrivalAlarms(cdc: DataFrame,
+                        retentionMs: Option[Long] = Some(DefaultRetentionMs),
+                        watermarkDelay: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[LateAlarm] = {
+    val spark = cdc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    requireEventTimeForRetention(cdc, retentionMs)
+    val src = cdc.select(col("keys"), col("eventId"),
+      col("approxCreationTs"), col("deliveryPos").cast("long"))
+
+    def fold(events: Iterator[(String, String, java.sql.Timestamp, Long)],
+             state: org.apache.spark.sql.streaming.GroupState[Long],
+             afterMaxTs: Long => Unit): Iterator[LateAlarm] = {
+      val ordered = events.toSeq.sortBy(t => (t._4, t._2))
+      var hwm = state.getOption.getOrElse(Long.MinValue)
+      var maxTs = Long.MinValue
+      val out = Seq.newBuilder[LateAlarm]
+      ordered.foreach { case (k, id, ts, _) =>
+        val us = ts.getTime * 1000L
+        maxTs = math.max(maxTs, ts.getTime)
+        if (us < hwm) out += LateAlarm(k, id, hwm - us)
+        else hwm = us
+      }
+      state.update(hwm)
+      afterMaxTs(maxTs)
+      out.result().iterator
+    }
+
+    retentionMs match {
+      case None =>
+        src.as[(String, String, java.sql.Timestamp, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Append(),
+            GroupStateTimeout.NoTimeout()) {
+            (_: String, events: Iterator[(String, String, java.sql.Timestamp, Long)],
+             state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+              fold(events, state, _ => ())
+          }
+      case Some(ret) =>
+        src.withWatermark("approxCreationTs", watermarkDelay)
+          .as[(String, String, java.sql.Timestamp, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Append(),
+            GroupStateTimeout.EventTimeTimeout()) {
+            (_: String, events: Iterator[(String, String, java.sql.Timestamp, Long)],
+             state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+              if (state.hasTimedOut) {
+                state.remove()
+                Iterator.empty: Iterator[LateAlarm]
+              } else fold(events, state, maxTs =>
+                state.setTimeoutTimestamp(
+                  math.max(maxTs + ret, state.getCurrentWatermarkMs + 1)))
+          }
     }
   }
 

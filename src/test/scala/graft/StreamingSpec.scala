@@ -1810,6 +1810,62 @@ class StreamingSpec extends SparkSpec {
     assert(dlqFiles === 0, "poison wire line must not deadletter valid batches")
   }
 
+  test("lateArrivalAlarms: streamed alarms equal the batch fold across chunks + restart") {
+    import spark.implicits._
+    // deterministic jittered delivery: 10 keys × 120 events at 30 s
+    // per-key spacing, delivery_pos = event-time ± ≤60 s hash jitter —
+    // the spacing/jitter ratio guarantees genuine reorders (lateness)
+    // while staying far inside the 10-minute watermark delay, so no
+    // input row can be dropped as late BETWEEN micro-batches
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = for (k <- 0 until 10; i <- 0 until 120) yield {
+      val id = k * 1000 + i
+      val tsMs = base + (i * 30000L) + k * 700L
+      val jitterUs = ((id * 2654435761L) % 120000000L) - 60000000L
+      (s"k$k", s"e$id", new java.sql.Timestamp(tsMs),
+        tsMs * 1000L + jitterUs)
+    }
+    // batch-fold ground truth: per key in (delivery_pos, eventId) order,
+    // alarm whenever event time dips under the delivered high-water mark
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      var hwm = Long.MinValue
+      evs.sortBy(t => (t._4, t._2)).flatMap { case (k, id, ts, _) =>
+        val us = ts.getTime * 1000L
+        if (us < hwm) Some((k, id, hwm - us))
+        else { hwm = us; None }
+      }
+    }.toSet
+    assert(expected.size > 50, s"jitter produced too few lates: ${expected.size}")
+
+    // stream the same rows in three delivery-ordered chunks with a full
+    // restart before the last one
+    val in = tmp("late-in"); val ckpt = tmp("late-ckpt"); val out = tmp("late-out")
+    val ordered = rows.sortBy(_._4)
+    val chunks = Seq(ordered.take(800), ordered.slice(800, 1600), ordered.drop(1600))
+    def writeChunk(c: Seq[(String, String, java.sql.Timestamp, Long)]): Unit = {
+      c.toDF("keys", "eventId", "approxCreationTs", "deliveryPos")
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(5)
+    }
+    def startQ() = CdcStream.lateArrivalAlarms(
+        spark.readStream
+          .schema("keys STRING, eventId STRING, approxCreationTs TIMESTAMP, deliveryPos BIGINT")
+          .option("maxFilesPerTrigger", 1).parquet(in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    writeChunk(chunks(0)); writeChunk(chunks(1))
+    val q1 = startQ(); q1.awaitTermination(120000)
+    writeChunk(chunks(2))
+    val q2 = startQ(); q2.awaitTermination(120000)
+
+    val got = spark.read.parquet(out)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === expected,
+      s"streamed alarms diverged: missing=${(expected -- got).take(5)} " +
+        s"extra=${(got -- expected).take(5)}")
+  }
+
   test("schemaDriftAlarm: novel (attr, type) pairs alarm once; repeats stay silent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
