@@ -170,6 +170,9 @@ class SnapshotCatalog extends TableCatalog {
         val n = add.fieldNames()(0)
         require(!SnapshotSource.Schema.fieldNames.contains(n),
           s"column '$n' is a base store column")
+        require(!n.startsWith("_"),
+          s"column '$n': underscore-prefixed names are reserved for " +
+            "metadata columns (_bucket) and internal files")
         require(!cols.exists(_.name == n), s"column '$n' is already projected")
         require(SnapshotProjectedColumns.supported(add.dataType),
           s"projected columns must be string/bigint/int/double/boolean; " +

@@ -109,7 +109,27 @@ private[sources] class SnapshotTable(path: String,
     extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Metadata columns (r12): `_bucket` — the manifest bucket a row's
+    * key hashes into (pmod(xxhash64(keys), N), the store's own write
+    * function). Hidden from `SELECT *`; naming it makes data-layout
+    * questions one query ("is this key set skewed across buckets",
+    * "which bucket does this hot key live in") instead of a
+    * hand-computed hash. Costs nothing to serve: the value IS the
+    * reader's partition id.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_bucket"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "manifest bucket of the row's key: pmod(xxhash64(keys), numBuckets)"
+    })
 
   /** MERGE INTO / UPDATE / complex-predicate DELETE (r11): the
     * delta-based row-level contract — see
@@ -637,6 +657,9 @@ private[sources] class SnapshotPartitionReader(
             case "sequenceNumber" => UTF8String.fromString(seq)
             case "newImage" =>
               if (img == null) null else UTF8String.fromString(img)
+            // the _bucket METADATA column is the partition's own id
+            // (one bucket per input partition by construction)
+            case "_bucket" => java.lang.Integer.valueOf(p.bucket)
             case n => JsonProjection.extract(node, n, f.dataType)
           }
         }

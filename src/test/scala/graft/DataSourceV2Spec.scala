@@ -699,6 +699,37 @@ class DataSourceV2Spec extends SparkSpec {
     }
   }
 
+  test("_bucket metadata column: hidden from *, equals the store's bucket function") {
+    val dir = tmp("dsv2-meta")
+    buildTarget(dir)
+    val t = spark.read.format("graft-snapshot").load(dir)
+    // hidden unless named
+    assert(!t.columns.contains("_bucket"))
+    // named: every row's _bucket equals pmod(xxhash64(keys), N) — the
+    // write-side function, via the reader's own partition id
+    val n = graft.sources.SnapshotSource.bucketOf("probe", 1) // force classload
+    val got = t.select(col("keys"), col("_bucket")).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(got.nonEmpty)
+    val buckets = SnapshotStore.currentManifest(spark, dir).get._2.numBuckets
+    got.foreach { case (k, b) =>
+      assert(b === graft.sources.SnapshotSource.bucketOf(k, buckets),
+        s"key $k reported bucket $b")
+    }
+    // SQL face through the catalog sees it too
+    val root = catalogRoot
+    buildTarget(s"$root/meta/t")
+    val viaSql = spark.sql("SELECT keys, _bucket FROM graft.meta.t").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    viaSql.foreach { case (k, b) =>
+      assert(b === graft.sources.SnapshotSource.bucketOf(k, buckets))
+    }
+    // reserved namespace: a projected column may not claim it
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.meta.t ADD COLUMNS (_bucket BIGINT)")
+    }
+  }
+
   test("reported statistics: a small snapshot dimension broadcasts in a key join") {
     val dir = tmp("dsv2-stats")
     buildTarget(dir)
