@@ -258,6 +258,98 @@ object StatQueries {
                m4 / (m2 * m2) - 3.0 AS kurt_excess
         FROM mm""")),
 
+    // ───── MAD robust outliers (r12): the median-absolute-deviation
+    // screen next to events_outliers' p95 threshold — a percentile
+    // cutoff always flags its top 5% even on clean data, where
+    // |x − median| > 3.5·MAD (the Iglewicz–Hoberg rule) flags only
+    // genuine tail mass and survives the very outliers it hunts
+    // (median and MAD have 50% breakdown; mean/stddev have 0%). Exact
+    // integers throughout: med2 = v[(n+1)/2]+v[(n+2)/2] (2×median),
+    // dv = |2x − med2| (2×|x−med|), mad4 = med2(dv) (4×MAD), and the
+    // rule becomes the cross-multiplied 4·dv > 7·mad4 — no halving, no
+    // floats. BOTH median passes ride RankedPrefix partitioned by
+    // event_type (value cardinality is data-proportional; the
+    // positional-med2 discipline of theil_sen, twice composed).
+    QuerySpec(
+      "events_outliers_mad",
+      (s, d) => {
+        val cents = events(s, d).select(col("event_id"), col("event_type"),
+          expr("cast(floor(value * 100) as bigint)").as("c"))
+        def med2(df: DataFrame, vcol: String, key: String,
+                 out: String): DataFrame =
+          graft.ops.RankedPrefix(s, d, key,
+              df.groupBy(col("event_type"), col(vcol).as("v"))
+                .agg(count(lit(1)).as("n_i")),
+              part = Seq("event_type"), order = Seq(col("v")),
+              rank = None, running = Seq(("k", col("n_i"))),
+              totals = Seq(("n", col("n_i"))))
+            .groupBy("event_type")
+            .agg((sum(expr(
+              "case when k - n_i < (n+1) div 2 and (n+1) div 2 <= k then v else 0 end"))
+              + sum(expr(
+              "case when k - n_i < (n+2) div 2 and (n+2) div 2 <= k then v else 0 end")))
+              .as(out))
+        val m = med2(cents, "c", "madMed", "med2_cents")
+        val dev = cents.join(broadcast(m), "event_type")
+          .withColumn("dv", abs(col("c") * 2 - col("med2_cents")))
+        val mad = med2(dev, "dv", "madMad", "mad4_cents")
+        dev.join(broadcast(mad), "event_type")
+          .withColumn("is_out", col("dv") * 4 > col("mad4_cents") * 7)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+            max("med2_cents").as("med2_cents"),
+            max("mad4_cents").as("mad4_cents"),
+            sum(when(col("is_out"), col("event_id")).otherwise(lit(0L)))
+              .as("out_id_sum"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_id, event_type,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events),
+        r1 AS (
+          SELECT event_type, v, n_i,
+                 SUM(n_i) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+                 SUM(n_i) OVER (PARTITION BY event_type) AS n
+          FROM (SELECT event_type, c AS v, COUNT(*) AS n_i
+                FROM c GROUP BY 1, 2)),
+        m AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN k-n_i < (n+1)//2 AND (n+1)//2 <= k
+                               THEN v ELSE 0 END)
+                    + SUM(CASE WHEN k-n_i < (n+2)//2 AND (n+2)//2 <= k
+                               THEN v ELSE 0 END) AS BIGINT) AS med2
+          FROM r1 GROUP BY 1),
+        dev AS (
+          SELECT c.event_id, c.event_type, ABS(c.c * 2 - m.med2) AS dv,
+                 m.med2
+          FROM c JOIN m ON m.event_type = c.event_type),
+        r2 AS (
+          SELECT event_type, v, n_i,
+                 SUM(n_i) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+                 SUM(n_i) OVER (PARTITION BY event_type) AS n
+          FROM (SELECT event_type, dv AS v, COUNT(*) AS n_i
+                FROM dev GROUP BY 1, 2)),
+        mad AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN k-n_i < (n+1)//2 AND (n+1)//2 <= k
+                               THEN v ELSE 0 END)
+                    + SUM(CASE WHEN k-n_i < (n+2)//2 AND (n+2)//2 <= k
+                               THEN v ELSE 0 END) AS BIGINT) AS mad4
+          FROM r2 GROUP BY 1)
+        SELECT d.event_type, COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN d.dv * 4 > x.mad4 * 7 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_outliers,
+               CAST(MAX(d.med2) AS BIGINT) AS med2_cents,
+               CAST(MAX(x.mad4) AS BIGINT) AS mad4_cents,
+               CAST(SUM(CASE WHEN d.dv * 4 > x.mad4 * 7 THEN d.event_id
+                             ELSE 0 END) AS BIGINT) AS out_id_sum
+        FROM dev d JOIN mad x ON x.event_type = d.event_type
+        GROUP BY 1""")),
+
     // ───── MRR@10 (r12): mean reciprocal rank — the third leg of the
     // ranking-eval suite next to ml_auc_rank (pairwise) and ml_ndcg
     // (graded position-discounted): "how high does the FIRST relevant
