@@ -426,6 +426,76 @@ object TextQueries {
         FROM ex e JOIN first f ON f.g = e.g
         GROUP BY 1""")),
 
+    // ───── term drift between corpus halves (r12): the vocabulary-
+    // shift detector a continuously-crawled corpus runs between
+    // snapshots — per term, the 2×2 chi-square of document frequency in
+    // the first vs second half of the corpus (doc_id order = ingestion
+    // proxy, split at the midpoint of the observed id range). Exact
+    // arithmetic at any scale: the cross term (a·N_b − b·N_a)² runs in
+    // DECIMAL(38) (N up to ~1e9 docs keeps it inside 38 digits — the
+    // agg_skew_kurtosis discipline), and the reported χ²·1000 is
+    // bounded by 1000·(a+b) so it always fits a BIGINT; top-20 under
+    // the (χ² DESC, term) total order through TakeOrderedAndProject.
+    // Per-doc DISTINCT terms (document frequency, not raw counts) keep
+    // one repetitive doc from faking corpus-wide drift.
+    QuerySpec(
+      "text_term_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bounds = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+        val toks = docs
+          .select(col("doc_id"),
+            explode(expr("array_distinct(split(text, ' '))")).as("term"))
+          .crossJoin(broadcast(bounds))
+          .withColumn("late", col("doc_id") * 2 > col("mn") + col("mx"))
+        val halves = docs.crossJoin(broadcast(bounds))
+          .agg(sum(when(col("doc_id") * 2 <= col("mn") + col("mx"), 1L)
+            .otherwise(0L)).as("na"),
+            sum(when(col("doc_id") * 2 > col("mn") + col("mx"), 1L)
+              .otherwise(0L)).as("nb"))
+        toks.groupBy("term")
+          .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("df_a"),
+            sum(when(col("late"), 1L).otherwise(0L)).as("df_b"))
+          .crossJoin(broadcast(halves))
+          .withColumn("chi2_milli", expr(
+            """cast((cast(df_a as decimal(38,0)) * cast(nb as decimal(38,0))
+                     - cast(df_b as decimal(38,0)) * cast(na as decimal(38,0)))
+                    * (cast(df_a as decimal(38,0)) * cast(nb as decimal(38,0))
+                       - cast(df_b as decimal(38,0)) * cast(na as decimal(38,0)))
+                    * 1000 div (cast(df_a + df_b as decimal(38,0))
+                                * cast(na as decimal(38,0))
+                                * cast(nb as decimal(38,0))) as bigint)"""))
+          .select("term", "df_a", "df_b", "chi2_milli")
+          .orderBy(col("chi2_milli").desc, col("term")).limit(20)
+      },
+      Some("""
+        WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+        toks AS (
+          SELECT d.doc_id, unnest(list_distinct(string_split(d.text, ' '))) AS term,
+                 d.doc_id * 2 > b.mn + b.mx AS late
+          FROM documents d CROSS JOIN b),
+        halves AS (
+          SELECT SUM(CASE WHEN d.doc_id * 2 <= b.mn + b.mx THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN d.doc_id * 2 > b.mn + b.mx THEN 1 ELSE 0 END) AS nb
+          FROM documents d CROSS JOIN b),
+        df AS (
+          SELECT term,
+                 SUM(CASE WHEN NOT late THEN 1 ELSE 0 END) AS df_a,
+                 SUM(CASE WHEN late THEN 1 ELSE 0 END) AS df_b
+          FROM toks GROUP BY 1),
+        scored AS (
+          SELECT term, CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+                 CAST((CAST(df_a AS HUGEINT) * CAST(nb AS HUGEINT)
+                       - CAST(df_b AS HUGEINT) * CAST(na AS HUGEINT))
+                      * (CAST(df_a AS HUGEINT) * CAST(nb AS HUGEINT)
+                         - CAST(df_b AS HUGEINT) * CAST(na AS HUGEINT))
+                      * 1000 // (CAST(df_a + df_b AS HUGEINT)
+                                 * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT))
+                   AS BIGINT) AS chi2_milli
+          FROM df CROSS JOIN halves)
+        SELECT term, df_a, df_b, chi2_milli
+        FROM scored ORDER BY chi2_milli DESC, term LIMIT 20""")),
+
     // ───── vocabulary growth curve (r12): new distinct shingles per
     // corpus-order decile plus the cumulative count — the Heaps-law
     // readout that sizes vocabulary/dedup-index growth before a crawl
