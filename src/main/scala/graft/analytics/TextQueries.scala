@@ -431,10 +431,17 @@ object TextQueries {
     // snapshots — per term, the 2×2 chi-square of document frequency in
     // the first vs second half of the corpus (doc_id order = ingestion
     // proxy, split at the midpoint of the observed id range). Exact
-    // arithmetic at any scale: the cross term (a·N_b − b·N_a)² runs in
-    // DECIMAL(38) (N up to ~1e9 docs keeps it inside 38 digits — the
-    // agg_skew_kurtosis discipline), and the reported χ²·1000 is
-    // bounded by 1000·(a+b) so it always fits a BIGINT; top-20 under
+    // arithmetic with a DOCUMENTED bound (r13 correction — the r12
+    // comment overstated the headroom): the intermediate
+    // (df_a·nb − df_b·na)²·1000 is bounded by (na·nb)²·1000, which
+    // stays inside DECIMAL(38)/HUGEINT only while na·nb ≤ ~3.2e17 —
+    // ≈ 3×10⁸ docs per half as the safe operating bound (≈ 5.6×10⁸
+    // balanced-halves worst case). Past that, Spark's non-ANSI decimal
+    // overflow makes chi2_milli NULL and the MOST-drifted terms would
+    // silently sort last; beyond ~3e8 docs/half, pre-scale df/na/nb by
+    // a common factor (χ² is invariant up to that factor) before
+    // scoring. The reported χ²·1000 itself is bounded by
+    // 1000·(df_a+df_b) so it always fits a BIGINT; top-20 under
     // the (χ² DESC, term) total order through TakeOrderedAndProject.
     // Per-doc DISTINCT terms (document frequency, not raw counts) keep
     // one repetitive doc from faking corpus-wide drift.

@@ -92,13 +92,18 @@ class SnapshotCatalog extends TableCatalog {
     new SnapshotTable(dirOf(ident).toString, pinnedVersion = Some(version))
   }
 
-  /** SQL `TIMESTAMP AS OF` (r12): Spark hands the literal as
-    * MICROSECONDS since epoch; the resolved version is the NEWEST
-    * retained committed manifest whose publish time (manifest file
-    * mtime — the wall clock of the locked pointer swap) is ≤ the asked
-    * instant, i.e. the state a reader at that moment would have seen.
-    * Fails loudly when the instant precedes the oldest retained commit
-    * (same contract as an unknown VERSION AS OF: a silently-latest or
+  /** SQL `TIMESTAMP AS OF` (r12; r13 hardening): Spark hands the
+    * literal as MICROSECONDS since epoch; the resolved version is the
+    * NEWEST retained committed manifest whose commit time is ≤ the
+    * asked instant, i.e. the state a reader at that moment would have
+    * seen. The commit time is the wall clock the WRITER recorded in
+    * the committed-version journal at publish (r13 — immune to
+    * filesystems with 1 s mtime granularity, where two commits could
+    * share or invert mtimes and resolve an instant to the wrong
+    * version); manifest mtime is the fallback only for versions
+    * journaled before the timestamped format existed. Fails loudly
+    * when the instant precedes the oldest retained commit (same
+    * contract as an unknown VERSION AS OF: a silently-latest or
     * silently-empty result would look exactly like a valid answer).
     * Orphaned manifests can't resolve — versions() reads the committed
     * journal, never a directory listing.
@@ -108,15 +113,21 @@ class SnapshotCatalog extends TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val dir = dirOf(ident)
     val tsMs = timestamp / 1000L
-    val vs = graft.streaming.SnapshotStore.versions(SparkSession.active,
-      dir.toString)
+    val spark = SparkSession.active
+    val vs = graft.streaming.SnapshotStore.versions(spark, dir.toString)
+    val journaled =
+      graft.streaming.SnapshotStore.commitTimes(spark, dir.toString)
     val eligible = vs
-      .map(n => n -> fs.getFileStatus(new Path(dir, n)).getModificationTime)
+      .map(n => n -> journaled.getOrElse(n,
+        fs.getFileStatus(new Path(dir, n)).getModificationTime))
       .filter(_._2 <= tsMs)
     require(eligible.nonEmpty,
       s"TIMESTAMP AS OF ${tsMs}ms precedes the oldest retained committed " +
         s"version of $ident (retained: ${vs.mkString(", ")})")
-    new SnapshotTable(dir.toString, pinnedVersion = Some(eligible.last._1))
+    // newest by COMMIT time (not by versions()' mtime order, which an
+    // mtime inversion could scramble); name breaks exact-time ties
+    new SnapshotTable(dir.toString,
+      pinnedVersion = Some(eligible.maxBy { case (n, t) => (t, n) }._1))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -245,22 +256,32 @@ private[sources] object SnapshotProjectedColumns {
     }
   }
 
-  /** Tmp-write + swap (delete, rename): a reader racing the swap sees
-    * the old or the new file, never a partial one. The delete→rename
-    * window can drop ALL projections for a concurrent reader — an
-    * accepted admin-plane race (see alterTable's doc), never corruption.
+  /** Tmp-write + OVERWRITE-rename (r13, was delete-then-rename): the
+    * swap is a single FileContext rename with Options.Rename.OVERWRITE,
+    * so there is no window in which dst is absent — a crash at any
+    * point leaves either the complete old file or the complete new one,
+    * never a silent revert to the base 4-column schema (the r12 form
+    * could lose ALL projected-column metadata to a crash between
+    * delete(dst) and rename(tmp, dst)). Stale `.tmp-*` files from prior
+    * crashed publishes are GC'd on the next write.
     */
   def write(conf: org.apache.hadoop.conf.Configuration, dir: String,
             cols: Seq[StructField]): Unit = {
     val dst = new Path(dir, FileName)
     val fs = dst.getFileSystem(conf)
+    fs.listStatus(new Path(dir)).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith(s"$FileName.tmp-"))
+        fs.delete(st.getPath, false)
+    }
     val tmp = new Path(dir,
       s"$FileName.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(cols.map(f => s"${f.name}\t${f.dataType.catalogString}")
       .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"failed to publish $dst")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(dst).toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

@@ -638,9 +638,14 @@ private[sources] class SnapshotPartitionReader(
     val fields = schema.fields
     // projected JSON-image columns (r12 schema evolution): parse the
     // image ONCE per resolved row iff any projected field is actually
-    // required — a base-columns-only scan never touches Jackson
-    val needJson =
-      fields.exists(f => !SnapshotSource.Schema.fieldNames.contains(f.name))
+    // required — a base-columns-only scan never touches Jackson. The
+    // _bucket METADATA column is served from the partition id, never
+    // from the image, so it must not trigger a parse either (r13 —
+    // a `SELECT _bucket` scan was paying a full Jackson parse per row
+    // whose result was never read).
+    val needJson = fields.exists(f =>
+      f.name != "_bucket" &&
+        !SnapshotSource.Schema.fieldNames.contains(f.name))
     val mapper =
       if (needJson) new com.fasterxml.jackson.databind.ObjectMapper else null
     val resolved = SnapshotResolve.resolved(p.segmentDirs, conf).map {

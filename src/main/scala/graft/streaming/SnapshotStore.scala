@@ -517,22 +517,56 @@ object SnapshotStore {
     */
   private val VersionsJournal = "_VERSIONS"
 
-  private def readJournal(fs: FileSystem, targetDir: String): Seq[String] =
+  /** Journal line format (r13): `manifest-name<TAB>commitEpochMs`. The
+    * commit time is stamped at journal-write time under the writer
+    * lock — the authoritative wall clock of the commit, recorded so
+    * `TIMESTAMP AS OF` never depends on filesystem mtime granularity
+    * (1 s on many local FS) or writer clock skew re-stamping a renamed
+    * file. Pre-r13 journals carry bare names; those parse with no time
+    * and time-based resolution falls back to manifest mtime for them.
+    */
+  private def readJournalEntries(fs: FileSystem, targetDir: String)
+      : Seq[(String, Option[Long])] =
     try readFully(fs, new Path(targetDir, VersionsJournal))
-      .linesIterator.map(_.trim).filter(_.startsWith("manifest-")).toSeq.distinct
+      .linesIterator.map(_.trim).filter(_.startsWith("manifest-"))
+      .map { line =>
+        line.split("\t", 2) match {
+          case Array(n, t) => n -> scala.util.Try(t.toLong).toOption
+          case _ => line -> None
+        }
+      }.toSeq.distinctBy(_._1)
     catch { case _: java.io.IOException => Seq.empty }
+
+  private def readJournal(fs: FileSystem, targetDir: String): Seq[String] =
+    readJournalEntries(fs, targetDir).map(_._1)
+
+  /** Commit wall-clock per retained committed version, where the
+    * journal recorded one (r13+ commits). Callers resolving a
+    * time-travel instant use these and fall back to manifest mtime
+    * only for pre-journal-format versions.
+    */
+  def commitTimes(spark: SparkSession, targetDir: String): Map[String, Long] =
+    readJournalEntries(fsOf(spark, targetDir), targetDir)
+      .collect { case (n, Some(t)) => n -> t }.toMap
 
   /** Rewrite the journal as (previous ∩ still-on-disk) + basis + the
     * newly committed name — called under the writer lock after a
-    * successful commit (and by GC, to drop pruned versions).
+    * successful commit (and by GC, to drop pruned versions). Existing
+    * entries keep their recorded commit time; entries journaled for
+    * the first time (the new commit, or a self-healed basis) are
+    * stamped with the current wall clock.
     */
   private def journalCommit(fs: FileSystem, targetDir: String,
                             committed: Seq[String]): Unit = {
-    val onDisk = readJournal(fs, targetDir)
-      .filter(n => fs.exists(new Path(targetDir, n)))
-    val next = (onDisk ++ committed.filter(n => fs.exists(new Path(targetDir, n))))
-      .distinct
-    writeFile(fs, new Path(targetDir, VersionsJournal), next.mkString("\n"))
+    val prior = readJournalEntries(fs, targetDir)
+      .filter { case (n, _) => fs.exists(new Path(targetDir, n)) }
+    val priorNames = prior.map(_._1).toSet
+    val now = System.currentTimeMillis()
+    val next = prior ++ committed
+      .filter(n => !priorNames.contains(n) && fs.exists(new Path(targetDir, n)))
+      .distinct.map(n => n -> Some(now))
+    writeFile(fs, new Path(targetDir, VersionsJournal),
+      next.map { case (n, t) => t.fold(n)(ms => s"$n\t$ms") }.mkString("\n"))
   }
 
   /** Retained COMMITTED snapshot versions (manifest names), oldest →

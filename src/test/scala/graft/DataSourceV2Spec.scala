@@ -747,4 +747,56 @@ class DataSourceV2Spec extends SparkSpec {
     assert(joined.count() === (100000L / 7 + 1) * 3 + (100000L / 7) * 1,
       "join result wrong") // k1,k2,k4 hit id%7∈{1,2,4} (14286 each), k5 hits {5} (14285)
   }
+
+  test("TIMESTAMP AS OF resolves from journal commit times, immune to mtime inversion") {
+    val root = catalogRoot
+    val dir = s"$root/ttj/t"
+    buildTarget(dir)
+    Thread.sleep(10) // keep the two journal wall-clocks distinct
+    spark.sql("INSERT INTO graft.ttj.t " +
+      """VALUES ('k9', 'PUT', '020', '{"v":9}')""")
+    val vs = SnapshotStore.versions(spark, dir)
+    val ct = SnapshotStore.commitTimes(spark, dir)
+    assert(vs.forall(ct.contains), s"journal missing commit times: $ct for $vs")
+    val latest = vs.maxBy(ct)
+    val preInsert = vs.filterNot(_ == latest).maxBy(ct)
+    assert(ct(preInsert) < ct(latest), s"journal times not distinct: $ct")
+    // sabotage mtimes: the OLD manifest now looks newer than the new one
+    // — a coarse-mtime / clock-skew filesystem at its worst
+    val now = System.currentTimeMillis()
+    assert(new java.io.File(dir, preInsert).setLastModified(now + 600000))
+    assert(new java.io.File(dir, latest).setLastModified(now - 600000))
+    def sqlTs(ms: Long): String =
+      java.time.Instant.ofEpochMilli(ms).toString.replace("T", " ")
+        .replace("Z", "")
+    // an instant between the two COMMIT times reads the pre-insert state
+    val mid = (ct(preInsert) + ct(latest)) / 2
+    assert(spark.sql(
+        s"SELECT keys FROM graft.ttj.t TIMESTAMP AS OF '${sqlTs(mid)}'")
+      .as[String].collect().toSet === Set("k1", "k2", "k4", "k5"))
+    // an instant after the newest commit reads the live state — even
+    // though that manifest's mtime now claims to be 10 minutes old
+    assert(spark.sql(
+        s"SELECT keys FROM graft.ttj.t TIMESTAMP AS OF '${sqlTs(ct(latest) + 1000)}'")
+      .as[String].collect().toSet === Set("k1", "k2", "k4", "k5", "k9"))
+  }
+
+  test("_COLUMNS publish: overwrite-rename keeps metadata durable and GCs stale tmps") {
+    val root = catalogRoot
+    buildTarget(s"$root/colgc/t")
+    spark.sql("ALTER TABLE graft.colgc.t ADD COLUMNS (v BIGINT)")
+    val dir = new java.io.File(s"$root/colgc/t")
+    assert(new java.io.File(dir, "_COLUMNS").exists)
+    // plant a stale tmp from a "crashed" prior publish
+    val stale = new java.io.File(dir, "_COLUMNS.tmp-deadbeef")
+    java.nio.file.Files.writeString(stale.toPath, "junk\tstring")
+    // second publish must overwrite-rename (dst EXISTS throughout) and
+    // sweep the orphan tmp
+    spark.sql("ALTER TABLE graft.colgc.t ADD COLUMNS (tag STRING)")
+    assert(!stale.exists, "stale _COLUMNS tmp not GC'd")
+    assert(new java.io.File(dir, "_COLUMNS").exists,
+      "_COLUMNS absent after republish — the delete-then-rename window is back")
+    val cols = spark.table("graft.colgc.t").columns.toSet
+    assert(Set("v", "tag").subsetOf(cols), s"projections lost: $cols")
+  }
 }
