@@ -180,6 +180,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("text_search_bm25: df broadcast back, top-20 via TakeOrderedAndProject") {
+    val p = plan("text_search_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the 3-term query filter must run BEFORE the (doc,term) tf agg —
+    // a post-agg filter would shuffle the whole token explosion
+    assert(p.indexOf("term#") > 0 && p.contains("spark"), p)
+  }
+
   test("text_pmi: unigram counts broadcast back twice, top-20 via TakeOrderedAndProject") {
     val p = plan("text_pmi")
     val bhj = "BroadcastHashJoin".r.findAllIn(p).length
