@@ -66,6 +66,49 @@ object GraphOps {
     visited
   }
 
+  /** Weighted single-source shortest paths (r13, VERDICT r12 #5):
+    * Bellman-Ford rounds over a both-direction weighted edge list
+    * (u, v, w) with non-negative INTEGER weights — each round relaxes
+    * every edge at once as one equi-join + one min-agg (the
+    * LSSS/k-core discipline: per-round O(|edges|), shards on node
+    * keys, nothing driver-side but the convergence boolean). Distances
+    * are exact for all shortest paths of ≤ `maxRounds` edges — the
+    * bounded-hop semantics consumers declare, like multiSourceBfs's
+    * hop horizon. MONOTONE EARLY-EXIT: distances only ever decrease,
+    * so a round that improves nothing proves the global fixpoint and
+    * later rounds are no-ops — the runner stops, while an oracle that
+    * unrolls the full bound gets identical rows by the same
+    * monotonicity (replayability without a data-dependent result).
+    * Rounds localCheckpoint: the dist table feeds both the next
+    * relaxation and the convergence probe.
+    *
+    * Returns (dist table (n, dist) — reached nodes only, source at 0 —
+    * and the number of relaxation rounds actually run).
+    */
+  def ssspWeighted(und: DataFrame, source: Long, maxRounds: Int)
+      : (DataFrame, Int) = {
+    val s = und.sparkSession
+    var dist = s.createDataFrame(Seq((source, 0L))).toDF("n", "dist")
+      .localCheckpoint(true)
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      r += 1
+      val relaxed = und
+        .join(dist.withColumnRenamed("n", "u"), "u")
+        .select(col("v").as("n"), (col("dist") + col("w")).as("dist"))
+        .unionAll(dist)
+        .groupBy("n").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      converged = relaxed.as("a")
+        .join(dist.as("b"), col("a.n") === col("b.n"), "left_outer")
+        .filter(col("b.n").isNull || col("a.dist") < col("b.dist"))
+        .isEmpty
+      dist = relaxed
+    }
+    (dist, r)
+  }
+
   /** [[labelPropagation]] over a pre-built both-direction edge list
     * (a, b). Callers that iterate on a large graph should pass a frame
     * CACHED pre-partitioned on `b` (`repartition(col("b")).persist`):

@@ -3261,6 +3261,78 @@ object RelationalQueries {
         sb.toString
       }),
 
+    // ───── weighted single-source shortest paths (r13, VERDICT r12
+    // #5): the graph family's hop counts upgraded to DISTANCE — the
+    // co-purchase graph weighted by inverse affinity (w = 1e6 div
+    // shared-order count: frequently-co-bought parts are "close"), 4
+    // Bellman-Ford rounds from the top-degree hub via
+    // GraphOps.ssspWeighted (each round ONE edge equi-join + one
+    // min-agg, O(|edges|), with the monotone early-exit — a round that
+    // improves nothing proves the fixpoint, and the oracle's full
+    // 4-round unroll is identical by the same monotonicity). Exact for
+    // shortest paths of ≤ 4 edges — the declared bounded-hop horizon,
+    // like graph_closeness. Output collapses to power-of-2 distance
+    // bands (length(bin(dist)) — the graph_degree_hist libm-free
+    // log-binning), bounded 64 rows; node_sum is the membership
+    // checksum. The 1-row source pull is the documented control-plane
+    // class; StatSpec holds the runner equal to a brute driver-side
+    // Dijkstra on a planted weighted graph.
+    QuerySpec(
+      "graph_sssp_weighted",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        val ew = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("w", expr("1000000 div c"))
+        val und = ew.select("u", "v", "w")
+          .unionAll(ew.select(col("v").as("u"), col("u").as("v"), col("w")))
+          .localCheckpoint(true)
+        val source = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("dg"))
+          .orderBy(col("dg").desc, col("n")).limit(1)
+          .select("n").collect()(0).getLong(0)
+        graft.analytics.GraphOps.ssspWeighted(und, source, maxRounds = 4)._1
+          .groupBy(expr("length(bin(dist))").as("band"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min("dist").as("min_dist"), max("dist").as("max_dist"),
+            sum("n").as("node_sum"))
+      },
+      Some {
+        val sb = new StringBuilder("""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ew AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v,
+                 1000000 // COUNT(*) AS w
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        und AS MATERIALIZED (
+          SELECT u, v, w FROM ew UNION ALL SELECT v AS u, u AS v, w FROM ew),
+        deg AS MATERIALIZED (SELECT u AS n, COUNT(*) AS dg FROM und GROUP BY 1),
+        d0 AS MATERIALIZED (
+          SELECT n, CAST(0 AS BIGINT) AS dist
+          FROM (SELECT n FROM deg ORDER BY dg DESC, n LIMIT 1))""")
+        for (r <- 1 to 4) sb.append(s""",
+        d$r AS MATERIALIZED (
+          SELECT n, MIN(dist) AS dist FROM (
+            SELECT n, dist FROM d${r - 1}
+            UNION ALL
+            SELECT e.v AS n, d.dist + e.w AS dist
+            FROM und e JOIN d${r - 1} d ON e.u = d.n)
+          GROUP BY 1)""")
+        sb.append("""
+        SELECT CAST(LENGTH(bin(dist)) AS INTEGER) AS band,
+               COUNT(*) AS n_nodes,
+               CAST(MIN(dist) AS BIGINT) AS min_dist,
+               CAST(MAX(dist) AS BIGINT) AS max_dist,
+               CAST(SUM(n) AS BIGINT) AS node_sum
+        FROM d4 GROUP BY 1""")
+        sb.toString
+      }),
+
     QuerySpec(
       "graph_link_prediction",
       (s, d) => {

@@ -583,6 +583,44 @@ class StatSpec extends SparkSpec {
     assert(harm(10L) === 2000000)
   }
 
+  test("ssspWeighted: equals brute Dijkstra on a planted weighted graph; early-exits at the fixpoint") {
+    import spark.implicits._
+    // weights chosen so the SHORTEST path is not the FEWEST-hops path:
+    // 1→2→3→4 costs 1+1+1=3 while the direct 1→4 edge costs 10, and the
+    // triangle 1-5-6 has a shortcut (1→6 direct 7 vs 1→5→6 = 2+3 = 5);
+    // node 9 is unreachable
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 10L),
+      (1L, 5L, 2L), (5L, 6L, 3L), (1L, 6L, 7L), (6L, 7L, 1L),
+      (8L, 9L, 1L)).toDF("u", "v", "w")
+    val und = edges.unionAll(
+      edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val (distDf, rounds) =
+      graft.analytics.GraphOps.ssspWeighted(und, source = 1L, maxRounds = 8)
+    val got = distDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute driver-side Dijkstra over the same adjacency
+    val adj = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 10L),
+      (1L, 5L, 2L), (5L, 6L, 3L), (1L, 6L, 7L), (6L, 7L, 1L), (8L, 9L, 1L))
+      .flatMap { case (u, v, w) => Seq((u, (v, w)), (v, (u, w))) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val dist = scala.collection.mutable.HashMap(1L -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, 1L))(
+      Ordering.by[(Long, Long), Long](-_._1))
+    val done = scala.collection.mutable.HashSet.empty[Long]
+    while (pq.nonEmpty) {
+      val (d0, n) = pq.dequeue()
+      if (done.add(n)) adj.getOrElse(n, Nil).foreach { case (m, w) =>
+        if (dist.get(m).forall(_ > d0 + w)) { dist(m) = d0 + w; pq.enqueue((d0 + w, m)) }
+      }
+    }
+    assert(got === dist.toMap, s"got $got\nexpected $dist")
+    assert(!got.contains(8L) && !got.contains(9L), "leaked across components")
+    // longest shortest path here is 3 edges (1→5→6→7): the monotone
+    // early-exit must stop at round 4 (the no-improvement proof round),
+    // well under the 8-round bound
+    assert(rounds === 4, s"early-exit did not fire: ran $rounds rounds")
+  }
+
   test("RankedPrefix: rank/running-sum/ntile equal the single-task window forms") {
     // the two-phase machinery must be VALUE-identical to the bare global
     // window it replaces, across remainder shapes (n mod b ∈ {0, …}) and
