@@ -224,7 +224,7 @@ class SnapshotCatalog extends TableCatalog {
   * `name<TAB>catalogString`. Lives next to the table's manifests; read
   * at table load (driver-side, one tiny file), written only by ALTER.
   */
-private[sources] object SnapshotProjectedColumns {
+private[graft] object SnapshotProjectedColumns {
   import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType,
     IntegerType, LongType, StringType, StructField}
 

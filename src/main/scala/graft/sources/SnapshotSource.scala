@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal, X
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -232,8 +232,16 @@ private[sources] class SnapshotScanBuilder(path: String,
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var keyLookups: Option[Set[String]] = None
+  private var zoneFilters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var aggCols: Option[Seq[SnapshotAggScan.AggCol]] = None
+
+  /** Projected (schema-evolution) columns of this table — the surface
+    * zone-map pruning applies to (r13). */
+  private lazy val projTypes: Map[String, org.apache.spark.sql.types.DataType] =
+    tableSchema.fields
+      .filterNot(f => SnapshotSource.Schema.fieldNames.contains(f.name))
+      .map(f => f.name -> f.dataType).toMap
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val keySets = filters.collect {
@@ -249,6 +257,13 @@ private[sources] class SnapshotScanBuilder(path: String,
         case _ => false
       }
     }
+    // zone-map pruning filters (r13): null-rejecting comparisons on
+    // projected columns — used to skip segments (and whole buckets)
+    // whose recorded min/max prove no row can satisfy them; always ALSO
+    // returned as residual, so over-acceptance is impossible
+    zoneFilters = filters.filter(f => ZonePrune.prunable(f, projTypes))
+    if (zoneFilters.nonEmpty)
+      pushed = (pushed ++ zoneFilters).distinct
     filters // everything re-applied post-scan: pruning, never semantics
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -290,7 +305,7 @@ private[sources] class SnapshotScanBuilder(path: String,
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
     if (agg.groupByExpressions.nonEmpty || keyLookups.isDefined ||
-        limit.isDefined) return false
+        zoneFilters.nonEmpty || limit.isDefined) return false
     def col(e: VExpr): Option[String] = e match {
       case f: NamedReference if f.fieldNames.length == 1 &&
           SnapshotSource.Schema.fieldNames.contains(f.fieldNames()(0)) =>
@@ -316,17 +331,28 @@ private[sources] class SnapshotScanBuilder(path: String,
 
   override def build(): Scan = aggCols match {
     case Some(cols) => new SnapshotAggScan(path, cols, versionAsOf)
-    case None => new SnapshotScan(path, required, keyLookups, versionAsOf, limit)
+    case None => new SnapshotScan(path, required, keyLookups, versionAsOf,
+      limit, zoneFilters, projTypes)
   }
 }
 
+/** `imageExcluded(i)` (r13): segment i's zone maps prove no row of it
+  * can satisfy the scan's pushed zone filters — the reader still
+  * replays its (keys, op, sequenceNumber) for LWW resolution but skips
+  * the image column's pages, and a WINNER resolved into such a segment
+  * is dropped (its value provably fails the residual filter Spark
+  * re-applies anyway). Empty = no exclusions.
+  */
 private[sources] case class SnapshotInputPartition(
-    bucket: Int, segmentDirs: Seq[String]) extends InputPartition
+    bucket: Int, segmentDirs: Seq[String],
+    imageExcluded: Seq[Boolean] = Nil) extends InputPartition
 
 private[graft] class SnapshotScan(path: String, required: StructType,
                                   keyLookups: Option[Set[String]],
                                   versionAsOf: Option[String] = None,
-                                  limit: Option[Int] = None)
+                                  limit: Option[Int] = None,
+                                  zoneFilters: Array[Filter] = Array.empty,
+                                  projTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -349,7 +375,7 @@ private[graft] class SnapshotScan(path: String, required: StructType,
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     planInputPartitions().collect {
-      case SnapshotInputPartition(_, dirs) => dirs.map { d =>
+      case SnapshotInputPartition(_, dirs, _) => dirs.map { d =>
         val p = new Path(d)
         val fs = p.getFileSystem(conf)
         if (!fs.exists(p)) 0L
@@ -391,6 +417,12 @@ private[graft] class SnapshotScan(path: String, required: StructType,
   private var runtimeLookups: Option[Set[String]] = None
   /** Bucket count of the last planInputPartitions() — spec observability. */
   @volatile private[graft] var lastPlannedBuckets: Int = -1
+  /** Segments whose IMAGE column the last plan will read (planned
+    * segments minus zone-map-excluded ones) — spec observability (r13).
+    */
+  @volatile private[graft] var lastImageSegments: Int = -1
+  /** Total segments across the last plan's kept buckets. */
+  @volatile private[graft] var lastPlannedSegments: Int = -1
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("keys"))
@@ -437,12 +469,32 @@ private[graft] class SnapshotScan(path: String, required: StructType,
           .reduceOption(_ intersect _)
         m.buckets.toSeq.sortBy(_._1)
           .filter { case (b, _) => wanted.forall(_.contains(b)) }
-          .map { case (b, segs) =>
-            SnapshotInputPartition(b, segs.map(new Path(path, _).toString))
-              : InputPartition
+          .flatMap { case (b, segs) =>
+            // zone-map pruning (r13): a segment whose recorded stats
+            // prove the pushed zone filters unsatisfiable is image-
+            // excluded (resolution still replays its keys/sequence); a
+            // bucket whose EVERY segment is excluded is skipped outright
+            // — no resolved row of it could survive the residual filter
+            val excl =
+              if (zoneFilters.isEmpty) Seq.fill(segs.length)(false)
+              else segs.map { seg =>
+                !ZonePrune.segmentCanSatisfy(zoneFilters,
+                  m.zoneMaps.getOrElse(seg, Nil), projTypes)
+              }
+            if (segs.nonEmpty && excl.forall(identity) && zoneFilters.nonEmpty)
+              None
+            else Some(SnapshotInputPartition(b,
+              segs.map(new Path(path, _).toString), excl): InputPartition)
           }.toArray
     }
     lastPlannedBuckets = planned.length
+    lastImageSegments = planned.collect {
+      case SnapshotInputPartition(_, dirs, ex) =>
+        dirs.length - ex.count(identity)
+    }.sum
+    lastPlannedSegments = planned.collect {
+      case SnapshotInputPartition(_, dirs, _) => dirs.length
+    }.sum
     planned
   }
 
@@ -608,25 +660,137 @@ private[sources] object SnapshotResolve {
     * (keys, sequenceNumber, newImage) — tombstones dropped.
     */
   def resolved(segmentDirs: Seq[String], conf: Configuration)
-      : Iterator[(String, String, String, String)] = {
+      : Iterator[(String, String, String, String)] =
+    resolvedEx(segmentDirs, Nil, conf)
+      .map { case (k, op, seq, img, _) => (k, op, seq, img) }
+
+  /** [[resolved]] with per-segment image exclusion (r13 zone maps).
+    * EVERY segment's (keys, op, sequenceNumber) columns are replayed —
+    * LWW resolution is exact even when a key's chain spans excluded and
+    * kept segments — but excluded segments' image pages are never read
+    * (parquet column projection), and a winner that resolves INTO an
+    * excluded segment is flagged `true` so the caller can drop it: the
+    * segment's zone maps prove every row of it fails the pushed
+    * filters, so the winner's resolved row would be discarded by the
+    * residual filter Spark re-applies regardless. An excluded segment
+    * can therefore hide an older LOSER from nobody (losers don't emit)
+    * and a newer WINNER from nobody (the flag drops exactly the rows
+    * the filter would).
+    */
+  def resolvedEx(segmentDirs: Seq[String], imageExcluded: Seq[Boolean],
+                 conf: Configuration)
+      : Iterator[(String, String, String, String, Boolean)] = {
     if (segmentDirs.isEmpty) return Iterator.empty
     val fs = new Path(segmentDirs.head).getFileSystem(conf)
-    val state = mutable.HashMap.empty[String, (Ord, String, String, String)]
+    val state =
+      mutable.HashMap.empty[String, (Ord, String, String, String, Boolean)]
     for {
-      dir <- segmentDirs
+      (dir, di) <- segmentDirs.zipWithIndex
+      skipImg = imageExcluded.lift(di).getOrElse(false)
       st <- fs.listStatus(new Path(dir)).toSeq.sortBy(_.getPath.getName)
       if st.isFile && st.getPath.getName.endsWith(".parquet")
-    } ParquetSegments.foreachRow(conf, st.getPath) { (k, op, seq, img) =>
+    } ParquetSegments.foreachRow(conf, st.getPath, skipImg) { (k, op, seq, img) =>
       val ord = ordKey(seq)
-      val better = state.get(k).forall { case (o, _, _, _) =>
+      val better = state.get(k).forall { case (o, _, _, _, _) =>
         Ordering[Ord].gt(ord, o)
       }
-      if (better) state.update(k, (ord, op, seq, img))
+      if (better) state.update(k, (ord, op, seq, img, skipImg))
     }
     state.iterator.collect {
-      case (k, (_, op, seq, img)) if op != "DELETE" => (k, op, seq, img)
+      case (k, (_, op, seq, img, ex)) if op != "DELETE" =>
+        (k, op, seq, img, ex)
     }
   }
+}
+
+/** Zone-map pruning predicates (r13): given a segment's recorded
+  * [[graft.streaming.SnapshotStore.ZoneStat]]s, decide whether a pushed
+  * filter COULD be satisfied by any row of the segment. Sound by
+  * construction: only null-rejecting single-column comparisons on
+  * projected columns participate; a missing stat, a type mismatch
+  * (column re-typed since the stat was written), or an incomparable
+  * value always answers "satisfiable". String comparisons use
+  * UTF8String byte order — Spark's own string ordering, the one the
+  * publish-time min/max were computed under.
+  */
+private[graft] object ZonePrune {
+  import graft.streaming.SnapshotStore.ZoneStat
+  import org.apache.spark.sql.types.DataType
+
+  def prunable(f: Filter, projTypes: Map[String, DataType]): Boolean =
+    f match {
+      case EqualTo(c, v) => v != null && projTypes.contains(c)
+      case GreaterThan(c, v) => v != null && projTypes.contains(c)
+      case GreaterThanOrEqual(c, v) => v != null && projTypes.contains(c)
+      case LessThan(c, v) => v != null && projTypes.contains(c)
+      case LessThanOrEqual(c, v) => v != null && projTypes.contains(c)
+      case In(c, vs) => vs != null && projTypes.contains(c)
+      case IsNotNull(c) => projTypes.contains(c)
+      case _ => false
+    }
+
+  def segmentCanSatisfy(filters: Seq[Filter], stats: Seq[ZoneStat],
+                        projTypes: Map[String, DataType]): Boolean = {
+    val byCol = stats.map(z => z.col -> z).toMap
+    // stat usable only when the recorded type matches the CURRENT
+    // declared type (an ALTER re-type makes old stats meaningless)
+    def stat(c: String): Option[ZoneStat] = byCol.get(c)
+      .filter(z => projTypes.get(c).exists(_.catalogString == z.typ))
+    filters.forall {
+      case IsNotNull(c) => stat(c).forall(!_.allNull)
+      case EqualTo(c, v) => stat(c).forall(z => !z.allNull &&
+        z.min.flatMap(cmp(z.typ, _, v)).forall(_ <= 0) &&
+        z.max.flatMap(cmp(z.typ, _, v)).forall(_ >= 0))
+      case GreaterThan(c, v) => stat(c).forall(z => !z.allNull &&
+        z.max.flatMap(cmp(z.typ, _, v)).forall(_ > 0))
+      case GreaterThanOrEqual(c, v) => stat(c).forall(z => !z.allNull &&
+        z.max.flatMap(cmp(z.typ, _, v)).forall(_ >= 0))
+      case LessThan(c, v) => stat(c).forall(z => !z.allNull &&
+        z.min.flatMap(cmp(z.typ, _, v)).forall(_ < 0))
+      case LessThanOrEqual(c, v) => stat(c).forall(z => !z.allNull &&
+        z.min.flatMap(cmp(z.typ, _, v)).forall(_ <= 0))
+      case In(c, vs) => stat(c).forall { z =>
+        val nonNull = vs.filter(_ != null)
+        nonNull.nonEmpty && !z.allNull && nonNull.exists(v =>
+          z.min.flatMap(cmp(z.typ, _, v)).forall(_ <= 0) &&
+            z.max.flatMap(cmp(z.typ, _, v)).forall(_ >= 0))
+      }
+      case _ => true
+    }
+  }
+
+  /** compare(recorded stat value, filter value) in the recorded type's
+    * domain; None = incomparable (never prune on it).
+    */
+  private def cmp(typ: String, statVal: String, v: Any): Option[Int] =
+    try typ match {
+      case "bigint" | "int" =>
+        val sv = statVal.toLong
+        v match {
+          case n @ (_: java.lang.Long | _: java.lang.Integer |
+                    _: java.lang.Short | _: java.lang.Byte) =>
+            Some(java.lang.Long.compare(sv, n.asInstanceOf[Number].longValue))
+          case _ => None
+        }
+      case "double" => v match {
+        case n: java.lang.Double =>
+          Some(java.lang.Double.compare(statVal.toDouble, n.doubleValue))
+        case n: java.lang.Float =>
+          Some(java.lang.Double.compare(statVal.toDouble, n.doubleValue))
+        case _ => None
+      }
+      case "string" => v match {
+        case t: String => Some(UTF8String.fromString(statVal)
+          .compareTo(UTF8String.fromString(t)))
+        case _ => None
+      }
+      case "boolean" => v match {
+        case b: java.lang.Boolean =>
+          Some(java.lang.Boolean.compare(statVal.toBoolean, b.booleanValue))
+        case _ => None
+      }
+      case _ => None
+    } catch { case _: IllegalArgumentException => None }
 }
 
 private[sources] class SnapshotPartitionReader(
@@ -648,8 +812,13 @@ private[sources] class SnapshotPartitionReader(
         !SnapshotSource.Schema.fieldNames.contains(f.name))
     val mapper =
       if (needJson) new com.fasterxml.jackson.databind.ObjectMapper else null
-    val resolved = SnapshotResolve.resolved(p.segmentDirs, conf).map {
-      case (k, op, seq, img) =>
+    // winners resolved into zone-map-excluded segments are dropped: the
+    // segment's stats prove their values fail the pushed filters (the
+    // residual filter above the scan would discard them anyway)
+    val resolved = SnapshotResolve
+      .resolvedEx(p.segmentDirs, p.imageExcluded, conf)
+      .collect { case (k, op, seq, img, false) => (k, op, seq, img) }
+      .map { case (k, op, seq, img) =>
         val node: com.fasterxml.jackson.databind.JsonNode =
           if (mapper != null && img != null)
             try mapper.readTree(img)
@@ -690,18 +859,31 @@ private[sources] class SnapshotPartitionReader(
   * catalog level). StringType of a non-string scalar/object renders the
   * compact JSON text (get_json_object's behavior).
   */
-private[sources] object JsonProjection {
+private[graft] object JsonProjection {
   import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType,
     IntegerType, LongType}
 
+  /** [[extractExternal]] with strings wrapped for Catalyst rows — the
+    * scan's per-row face.
+    */
   def extract(node: com.fasterxml.jackson.databind.JsonNode, name: String,
-              dt: DataType): Any = {
+              dt: DataType): Any = extractExternal(node, name, dt) match {
+    case s: String => UTF8String.fromString(s)
+    case x => x
+  }
+
+  /** The ONE definition of projected-column extraction, in external JVM
+    * types — shared by the scan (via [[extract]]) and the publish-time
+    * zone-map stats (via [[extractUdf]]), so recorded min/max can never
+    * disagree with what a scan materializes.
+    */
+  def extractExternal(node: com.fasterxml.jackson.databind.JsonNode,
+                      name: String, dt: DataType): Any = {
     if (node == null) return null
     val v = node.get(name)
     if (v == null || v.isNull) return null
     dt match {
-      case StringType =>
-        UTF8String.fromString(if (v.isTextual) v.asText else v.toString)
+      case StringType => if (v.isTextual) v.asText else v.toString
       case LongType =>
         if (v.isIntegralNumber) java.lang.Long.valueOf(v.longValue) else null
       case IntegerType =>
@@ -713,6 +895,37 @@ private[sources] object JsonProjection {
       case BooleanType =>
         if (v.isBoolean) java.lang.Boolean.valueOf(v.booleanValue) else null
       case _ => null // unreachable: alterTable gates the type set
+    }
+  }
+
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+
+  private def nodeOf(img: String): com.fasterxml.jackson.databind.JsonNode =
+    if (img == null) null
+    else try mapper.readTree(img)
+    catch { case _: java.io.IOException => null }
+
+  /** Column extraction as a Spark UDF — the zone-map writer's face
+    * (publish-time only, never in the scan hot path).
+    */
+  def extractUdf(name: String, dt: DataType)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    import org.apache.spark.sql.functions.udf
+    dt match {
+      case LongType => udf((img: String) =>
+        Option(extractExternal(nodeOf(img), name, dt)
+          .asInstanceOf[java.lang.Long]).map(_.longValue))
+      case IntegerType => udf((img: String) =>
+        Option(extractExternal(nodeOf(img), name, dt)
+          .asInstanceOf[java.lang.Integer]).map(_.intValue))
+      case DoubleType => udf((img: String) =>
+        Option(extractExternal(nodeOf(img), name, dt)
+          .asInstanceOf[java.lang.Double]).map(_.doubleValue))
+      case BooleanType => udf((img: String) =>
+        Option(extractExternal(nodeOf(img), name, dt)
+          .asInstanceOf[java.lang.Boolean]).map(_.booleanValue))
+      case _ => udf((img: String) =>
+        extractExternal(nodeOf(img), name, StringType).asInstanceOf[String])
     }
   }
 }
@@ -730,9 +943,10 @@ private[sources] object ParquetSegments {
       .map(_.getPath).sortBy(_.getName)
   }
 
-  def foreachRow(conf: Configuration, file: Path)
+  def foreachRow(conf: Configuration, file: Path,
+                 skipImage: Boolean = false)
                 (f: (String, String, String, String) => Unit): Unit = {
-    val it = new RowGroupIterator(conf, file)
+    val it = new RowGroupIterator(conf, file, skipImage)
     try it.foreach(_.foreach { case (k, op, seq, img) => f(k, op, seq, img) })
     finally it.close()
   }
@@ -745,11 +959,24 @@ private[sources] object ParquetSegments {
     * `close()` (the change-feed PartitionReader does, from its own
     * close()).
     */
-  final class RowGroupIterator(conf: Configuration, file: Path)
+  final class RowGroupIterator(conf: Configuration, file: Path,
+                               skipImage: Boolean = false)
       extends Iterator[Seq[(String, String, String, String)]] with AutoCloseable {
     private var reader: ParquetFileReader =
       ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    private val schema = reader.getFooter.getFileMetaData.getSchema
+    // zone-map image exclusion (r13): project the image column OUT of
+    // the requested schema, so its pages are never read from storage —
+    // resolution only needs (keys, op, sequenceNumber) from this file
+    private val schema = {
+      val full = reader.getFooter.getFileMetaData.getSchema
+      if (skipImage && full.containsField("newImage")) {
+        val kept = full.getFields.asScala.filterNot(_.getName == "newImage")
+        val projectedSchema =
+          new org.apache.parquet.schema.MessageType(full.getName, kept.asJava)
+        reader.setRequestedSchema(projectedSchema)
+        projectedSchema
+      } else full
+    }
     private def idx(n: String): Int =
       if (schema.containsField(n)) schema.getFieldIndex(n) else -1
     private val (ki, oi, si, ii) =

@@ -131,10 +131,31 @@ object SnapshotStore {
     */
   final class LockTimeoutException(msg: String) extends IllegalStateException(msg)
 
+  /** Per-segment zone-map entry (r13, VERDICT r12 #1): min/max/allNull
+    * of one PROJECTED column (schema-evolution columns — see
+    * SnapshotProjectedColumns) over one segment's rows, computed at
+    * publish with the exact read-path extraction semantics
+    * (JsonProjection). `typ` is the catalog type string recorded at
+    * write; a reader prunes with a stat only when the column's CURRENT
+    * declared type matches, so an ALTER that re-types a column can
+    * never mis-prune against stale stats. min/max render as the typed
+    * value's canonical string (base64 in the manifest so arbitrary
+    * string values survive the line format); None = no non-null values
+    * (allNull). Segments written before a column was projected (or
+    * before r13) simply have no entry — absent stats never prune.
+    */
+  final case class ZoneStat(col: String, typ: String, allNull: Boolean,
+                            min: Option[String], max: Option[String])
+
   /** bucket -> ordered segment chain, paths relative to targetDir
     * (absent bucket = empty; chain order is append order, oldest first).
+    * `zoneMaps`: per-segment-path projected-column stats (r13) — carried
+    * forward from the basis manifest for kept chains, computed fresh for
+    * this publish's segments; pinned to the version like the chains
+    * themselves, so time travel prunes with the stats of ITS manifest.
     */
-  final case class Manifest(numBuckets: Int, buckets: Map[Int, Seq[String]])
+  final case class Manifest(numBuckets: Int, buckets: Map[Int, Seq[String]],
+                            zoneMaps: Map[String, Seq[ZoneStat]] = Map.empty)
 
   /** Key-range bucket of a row: deterministic, version-stable 64-bit hash
     * (same xxhash64 the dedup pipeline uses) mod the table's bucket count.
@@ -308,11 +329,32 @@ object SnapshotStore {
     protocolFor(spark, targetDir)
       .currentName(fsOf(spark, targetDir), new Path(targetDir))
 
-  private def renderManifest(m: Manifest): String =
-    (s"v2 buckets=${m.numBuckets}" +:
-      m.buckets.toSeq.sortBy(_._1).map { case (b, segs) =>
-        s"$b\t${segs.mkString(";")}"
-      }).mkString("\n")
+  private def b64(s: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getUrlDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Manifest line format: header `v2 buckets=N`, chain lines
+    * `bucket<TAB>seg;seg;...`, and (r13) zone-map lines
+    * `zmap<TAB>segPath<TAB>col<TAB>typ<TAB>A|V<TAB>b64min<TAB>b64max`
+    * (A = all-null, empty min/max). Pre-r13 manifests have no zmap
+    * lines and parse to an empty zoneMaps — readers degrade to
+    * no-pruning, never to an error.
+    */
+  private def renderManifest(m: Manifest): String = {
+    val chains = m.buckets.toSeq.sortBy(_._1).map { case (b, segs) =>
+      s"$b\t${segs.mkString(";")}"
+    }
+    val zmaps = m.zoneMaps.toSeq.sortBy(_._1).flatMap { case (seg, stats) =>
+      stats.sortBy(_.col).map { z =>
+        s"zmap\t$seg\t${z.col}\t${z.typ}\t${if (z.allNull) "A" else "V"}" +
+          s"\t${z.min.fold("")(b64)}\t${z.max.fold("")(b64)}"
+      }
+    }
+    (s"v2 buckets=${m.numBuckets}" +: (chains ++ zmaps)).mkString("\n")
+  }
 
   private def parseManifest(text: String, name: String): Manifest = {
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
@@ -320,11 +362,22 @@ object SnapshotStore {
       throw new IllegalStateException(s"manifest '$name' is empty"))
     require(header.startsWith("v2 buckets="), s"manifest '$name': bad header '$header'")
     val n = header.stripPrefix("v2 buckets=").toInt
-    val entries = lines.tail.map { l =>
+    val (zmapLines, chainLines) = lines.tail.partition(_.startsWith("zmap\t"))
+    val entries = chainLines.map { l =>
       val Array(b, p) = l.split("\t", 2)
       b.toInt -> p.split(";").toSeq
     }.toMap
-    Manifest(n, entries)
+    val zoneMaps = zmapLines.map { l =>
+      l.split("\t", 7) match {
+        case Array(_, seg, c, t, nul, mn, mx) =>
+          seg -> ZoneStat(c, t, nul == "A",
+            if (mn.isEmpty) None else Some(unb64(mn)),
+            if (mx.isEmpty) None else Some(unb64(mx)))
+        case _ =>
+          throw new IllegalStateException(s"manifest '$name': bad zmap line '$l'")
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    Manifest(n, entries, zoneMaps)
   }
 
   /** A committed manifest by name (the V2 change-feed's lookup): None if
@@ -834,10 +887,22 @@ object SnapshotStore {
         val b = s.getPath.getName.stripPrefix(s"$BucketCol=").toInt
         b -> s"$dataName/${s.getPath.getName}"
       }.toMap
-    val manifest = Manifest(numBuckets,
-      keepChains ++ written.map { case (b, path) =>
-        b -> (prefixChains.getOrElse(b, Nil) :+ path)
-      })
+    val chains = keepChains ++ written.map { case (b, path) =>
+      b -> (prefixChains.getOrElse(b, Nil) :+ path)
+    }
+    // zone maps (r13): fresh stats for this publish's segments, prior
+    // stats carried forward for kept/prefix chains (they live in the
+    // basis manifest — a dropped carry-forward would only cost pruning,
+    // but carrying it keeps every retained version fully stat-covered)
+    val keptSegs = chains.values.flatten.toSet
+    val priorZm = basis
+      .flatMap(bn => manifestNamed(spark, targetDir, bn))
+      .map(_.zoneMaps).getOrElse(Map.empty)
+      .filter { case (seg, _) => keptSegs(seg) }
+    val freshZm = zoneStatsFor(spark, new Path(targetDir, dataName).toString,
+      written,
+      graft.sources.SnapshotProjectedColumns.read(fs.getConf, targetDir))
+    val manifest = Manifest(numBuckets, chains, priorZm ++ freshZm)
     val manifestName = f"manifest-$batchId%012d-$nonce"
     writeFile(fs, new Path(targetDir, manifestName), renderManifest(manifest))
     casSwapPointer(spark, targetDir, manifestName, basis)
@@ -871,6 +936,56 @@ object SnapshotStore {
     // basis / any journal entry GC just pruned) — after GC so the
     // on-disk filter reflects the retained set
     journalCommit(fs, targetDir, basis.toSeq :+ manifestName)
+  }
+
+  /** Per-written-segment projected-column stats for the zone maps
+    * (r13): one extra aggregate over this publish's OWN rows — min/max/
+    * non-null count per (bucket, projected column), extracted with the
+    * READ PATH's exact JSON semantics (JsonProjection's UDF face), so a
+    * stat can never disagree with what a scan would materialize. The
+    * collect is ≤ |touched buckets| rows (control-plane class). Zero
+    * cost when the table has no projected columns — the method returns
+    * before touching the data. Only the canonical `newImage` layout
+    * gets stats (custom payload layouts have no projected columns).
+    */
+  private def zoneStatsFor(spark: SparkSession, dataDir: String,
+                           written: Map[Int, String],
+                           projCols: Seq[org.apache.spark.sql.types.StructField])
+      : Map[String, Seq[ZoneStat]] = {
+    import org.apache.spark.sql.types._
+    val usable = projCols.filter(f => Seq[DataType](LongType, IntegerType,
+      DoubleType, BooleanType, StringType).contains(f.dataType))
+    if (usable.isEmpty || written.isEmpty) return Map.empty
+    // read BACK the just-written segments rather than re-evaluating the
+    // publish lineage (a fold path's lineage re-reads whole chains);
+    // column pruning makes this one newImage-column pass over the new
+    // files only, and BucketCol comes back as the partition column
+    val data = spark.read.parquet(dataDir)
+    if (!data.columns.contains("newImage")) return Map.empty
+    val exCols = usable.map { f =>
+      graft.sources.JsonProjection.extractUdf(f.name, f.dataType)(
+        col("newImage")).as(s"z_${f.name}")
+    }
+    val aggs = usable.flatMap { f =>
+      Seq(min(col(s"z_${f.name}")).as(s"mn_${f.name}"),
+        max(col(s"z_${f.name}")).as(s"mx_${f.name}"),
+        count(col(s"z_${f.name}")).as(s"nn_${f.name}"))
+    }
+    val rows = data.select(col(BucketCol) +: exCols: _*)
+      .groupBy(BucketCol).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.flatMap { r =>
+      val b = r.getInt(r.fieldIndex(BucketCol))
+      written.get(b).map { seg =>
+        seg -> usable.map { f =>
+          val mn = r.get(r.fieldIndex(s"mn_${f.name}"))
+          val mx = r.get(r.fieldIndex(s"mx_${f.name}"))
+          val nn = r.getLong(r.fieldIndex(s"nn_${f.name}"))
+          ZoneStat(f.name, f.dataType.catalogString, allNull = nn == 0L,
+            Option(mn).map(_.toString), Option(mx).map(_.toString))
+        }
+      }
+    }.toMap
   }
 
   /** Full (non-pruned) publish of `df` as the new table state — the seed /

@@ -748,6 +748,59 @@ class DataSourceV2Spec extends SparkSpec {
       "join result wrong") // k1,k2,k4 hit id%7∈{1,2,4} (14286 each), k5 hits {5} (14285)
   }
 
+  test("zone maps: projected-column predicate skips segments and buckets, LWW exact across skipped+kept") {
+    val root = catalogRoot
+    // project v BEFORE any data lands, so every publish records stats
+    spark.sql("CREATE TABLE graft.zm.t (keys STRING, op STRING, " +
+      "sequenceNumber STRING, newImage STRING) USING `graft-snapshot`")
+    spark.sql("ALTER TABLE graft.zm.t ADD COLUMNS (v BIGINT)")
+    // batch A: all-low values — its segments are excludable under v > 50
+    spark.sql("""INSERT INTO graft.zm.t VALUES
+      ('a1', 'PUT', '001', '{"v":1}', NULL),
+      ('a2', 'PUT', '002', '{"v":2}', NULL),
+      ('a3', 'PUT', '003', '{"v":3}', NULL)""")
+    // batch B: a1 goes HIGH (v=100), b2 high — kept segments
+    spark.sql("""INSERT INTO graft.zm.t VALUES
+      ('a1', 'PUT', '010', '{"v":100}', NULL),
+      ('b2', 'PUT', '011', '{"v":200}', NULL)""")
+    // batch C — the LWW trap: a1's NEWEST version (the winner) has a
+    // LOW value and is the ONLY row of its segment, so that segment is
+    // zone-excluded under v > 50 while a1's older v=100 row sits in a
+    // KEPT segment. A scan that skipped the segment from resolution
+    // would resurrect the stale v=100 row.
+    spark.sql("""INSERT INTO graft.zm.t VALUES
+      ('a1', 'PUT', '020', '{"v":5}', NULL)""")
+
+    val q = spark.sql("SELECT keys, v FROM graft.zm.t WHERE v > 50")
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("b2" -> 200L),
+      s"zone-pruned result wrong (a1 present = stale LWW resurrection): $got")
+
+    // pruning actually happened: fewer image-read segments than total,
+    // and whole all-low buckets dropped from the plan
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[graft.sources.SnapshotScan] =>
+        b.scan.asInstanceOf[graft.sources.SnapshotScan]
+    }
+    val scan = scansOf(q.queryExecution.executedPlan).head
+    val full = spark.sql("SELECT keys FROM graft.zm.t")
+    full.collect()
+    val fullScan = scansOf(full.queryExecution.executedPlan).head
+    val (fullBuckets, fullSegs) =
+      (fullScan.lastPlannedBuckets, fullScan.lastPlannedSegments)
+    assert(scan.lastPlannedBuckets < fullBuckets,
+      s"no bucket skipped: ${scan.lastPlannedBuckets} of $fullBuckets")
+    assert(scan.lastImageSegments < scan.lastPlannedSegments,
+      s"no kept-bucket segment image-excluded: ${scan.lastImageSegments}" +
+        s" of ${scan.lastPlannedSegments} (full table: $fullSegs segments)")
+    assert(scan.lastImageSegments < fullSegs,
+      s"pruned scan reads as many images as the full scan: $fullSegs")
+    // exactness vs the unpruned state: same rows as filtering in memory
+    val all = full.collect().map(_.getString(0)).toSet
+    assert(all === Set("a1", "a2", "a3", "b2"), s"base state wrong: $all")
+  }
+
   test("TIMESTAMP AS OF resolves from journal commit times, immune to mtime inversion") {
     val root = catalogRoot
     val dir = s"$root/ttj/t"
