@@ -47,12 +47,13 @@ object JoinIvm {
     * enriching PUTs against `bTarget`'s current state.
     */
   def applyFactDelta(spark: SparkSession, aDelta: DataFrame, aTarget: String,
-                     bTarget: String, vTarget: String, batchId: Long): Unit = {
+                     bTarget: String, vTarget: String, batchId: Long,
+                     retainVersions: Int = 2): Unit = {
     SnapshotStore.mergeIntoTarget(spark, aTarget,
       aDelta.select(col("keys"), col("op"), col("sequenceNumber"),
         when(col("op") =!= "DELETE",
           to_json(struct(col("fk"), col("a_image")))).as("newImage")),
-      batchId)
+      batchId, retainVersions = retainVersions)
     val bState = SnapshotStore.readTarget(spark, bTarget)
     val puts = enriched(
       aDelta.filter(col("op") =!= "DELETE")
@@ -60,7 +61,8 @@ object JoinIvm {
     val dels = aDelta.filter(col("op") === "DELETE")
       .select(col("keys"), col("op"), col("sequenceNumber"),
         lit(null: String).as("newImage"))
-    SnapshotStore.mergeIntoTarget(spark, vTarget, puts.unionByName(dels), batchId)
+    SnapshotStore.mergeIntoTarget(spark, vTarget, puts.unionByName(dels),
+      batchId, retainVersions = retainVersions)
   }
 
   /** Re-enrichment sequence: the view's LWW lives in the FACT sequence
@@ -182,7 +184,8 @@ object JoinIvm {
   def applyFactDeltaIndexed(spark: SparkSession, aDelta: DataFrame, aTarget: String,
                             bTarget: String, vTarget: String, iTarget: String,
                             batchId: Long, seqBase: String,
-                            indexShards: Int = 1): Unit = {
+                            indexShards: Int = 1,
+                            retainVersions: Int = 2): Unit = {
     // collapse the batch to each key's LWW winner first (a PUT and a
     // DELETE for one key can share a micro-batch; membership moves must
     // follow the winner the store's own merge will keep, same
@@ -234,8 +237,10 @@ object JoinIvm {
           try {
             // index FIRST (see merge-order contract above), then A + view
             if (!idxDelta.isEmpty)
-              SnapshotStore.mergeIntoTarget(spark, iTarget, idxDelta, batchId)
-            applyFactDelta(spark, aDelta, aTarget, bTarget, vTarget, batchId)
+              SnapshotStore.mergeIntoTarget(spark, iTarget, idxDelta, batchId,
+                retainVersions = retainVersions)
+            applyFactDelta(spark, aDelta, aTarget, bTarget, vTarget, batchId,
+              retainVersions)
           } finally { idxDelta.unpersist(); () }
         } finally { touchedFks.unpersist(); () }
       } finally { moves.unpersist(); () }
@@ -251,8 +256,10 @@ object JoinIvm {
     */
   def applyDimDeltaIndexed(spark: SparkSession, bDelta: DataFrame,
                            bTarget: String, vTarget: String, iTarget: String,
-                           batchId: Long, indexShards: Int = 1): Unit = {
-    SnapshotStore.mergeIntoTarget(spark, bTarget, bDelta, batchId)
+                           batchId: Long, indexShards: Int = 1,
+                           retainVersions: Int = 2): Unit = {
+    SnapshotStore.mergeIntoTarget(spark, bTarget, bDelta, batchId,
+      retainVersions = retainVersions)
     // sharded index: every shard row of each touched fk is a candidate
     // (delta × shards lookups — still delta-bounded)
     val lookups =
@@ -276,7 +283,8 @@ object JoinIvm {
         if (!touched.isEmpty) {
           val bState = SnapshotStore.readTarget(spark, bTarget)
           SnapshotStore.mergeIntoTarget(spark, vTarget,
-            enriched(touched, bState), batchId)
+            enriched(touched, bState), batchId,
+            retainVersions = retainVersions)
         }
       } finally { touched.unpersist(); () }
     } finally { refKeys.unpersist(); () }
@@ -310,19 +318,39 @@ object JoinIvm {
     * or gracefully stopped), never against a torn trio — a dim update
     * issued inside the torn window can miss the torn batch's rows
     * until it replays.
+    *
+    * GROUP MODE (r13, VERDICT r12 #3): pass `groupDir` and the torn
+    * window becomes INVISIBLE to readers — after each batch's last
+    * merge the sink publishes one
+    * [[graft.streaming.GroupCommit]] record naming all participants'
+    * just-committed versions; readers resolving through
+    * `GroupCommit.read` see the last COMPLETE batch's version set (the
+    * crash-injection drill in CommitProtocolSpec tears the trio at the
+    * fact pointer swap and proves group readers still see the previous
+    * batch everywhere, index included). Group mode raises the merges'
+    * retainVersions to 3 so the previous record stays readable through
+    * a crash+replay cycle.
     */
   def factSink(factCdc: DataFrame, aTarget: String, bTarget: String,
                vTarget: String, iTarget: String, checkpoint: String,
                trigger: org.apache.spark.sql.streaming.Trigger =
                  org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-               indexShards: Int = 1)
+               indexShards: Int = 1,
+               groupDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     factCdc.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // group mode (r13): retention floor 3 keeps the PREVIOUS group
+        // record's versions readable through a crash+replay cycle (two
+        // publishes per participant per group interval, worst case)
         applyFactDeltaIndexed(batch.sparkSession, batch,
           aTarget, bTarget, vTarget, iTarget, batchId,
-          seqBase = f"sb$batchId%012d", indexShards = indexShards)
+          seqBase = f"sb$batchId%012d", indexShards = indexShards,
+          retainVersions = if (groupDir.isDefined) 3 else 2)
+        groupDir.foreach(g => graft.streaming.GroupCommit.publish(
+          batch.sparkSession, g, batchId,
+          Seq(iTarget, aTarget, vTarget, bTarget)))
         ()
       }
       .trigger(trigger)
@@ -358,12 +386,14 @@ object JoinIvm {
                vTarget: String, iTarget: String, checkpoint: String,
                trigger: org.apache.spark.sql.streaming.Trigger =
                  org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-               indexShards: Int = 1)
+               indexShards: Int = 1,
+               groupDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     cdc.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val retain = if (groupDir.isDefined) 3 else 2
         // pin the micro-batch ONCE (the applySink discipline): both
         // channel filters read the checkpointed blocks, not the source
         val full = batch.localCheckpoint(true)
@@ -372,13 +402,15 @@ object JoinIvm {
             .select("keys", "op", "sequenceNumber", "newImage")
           if (!dims.isEmpty)
             applyDimDeltaIndexed(spark, dims, bTarget, vTarget, iTarget, batchId,
-              indexShards = indexShards)
+              indexShards = indexShards, retainVersions = retain)
           val facts = full.filter(col("channel") === "fact")
             .select("keys", "op", "sequenceNumber", "fk", "a_image")
           if (!facts.isEmpty)
             applyFactDeltaIndexed(spark, facts, aTarget, bTarget, vTarget,
               iTarget, batchId, seqBase = f"sb$batchId%012d",
-              indexShards = indexShards)
+              indexShards = indexShards, retainVersions = retain)
+          groupDir.foreach(g => graft.streaming.GroupCommit.publish(
+            spark, g, batchId, Seq(iTarget, aTarget, vTarget, bTarget)))
         } finally { full.unpersist(); () }
         ()
       }

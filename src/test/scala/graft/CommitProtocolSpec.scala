@@ -307,4 +307,90 @@ class CommitProtocolSpec extends SparkSpec {
       SnapshotStore.mergeIntoTarget(spark, local, delta(("k9", "PUT", "009", Some("z"))), 3L)
     }
   }
+
+  test("group commit record: a torn JoinIvm trio is INVISIBLE to group readers, not merely healed") {
+    ready
+    import graft.ops.JoinIvm
+    import graft.streaming.GroupCommit
+    // crash seam: the Nth commit PUT from now dies — arming countdown=1
+    // lets the batch's FIRST pointer swap (the index) commit and kills
+    // the SECOND (the fact table): the trio is genuinely torn
+    val crashy = new ConditionalPut.ObjectStoreClient {
+      @volatile var countdown = -1
+      def putIfNoneMatch(bucket: String, key: String, content: Array[Byte]): Boolean = {
+        if (countdown >= 0 && key.contains(CommitProtocol.CommitDir)) {
+          if (countdown == 0) {
+            countdown = -1
+            throw new RuntimeException("injected crash: died between the group's merges")
+          }
+          countdown -= 1
+        }
+        s3.putIfNoneMatch(bucket, key, content)
+      }
+    }
+    SnapshotStore.registerConditionalPut("nonatomic",
+      new ConditionalPut.ServiceConditionalPut(crashy))
+    val a = tmp("grp-a"); val b = tmp("grp-b"); val v = tmp("grp-v")
+    val i = tmp("grp-i"); val g = tmp("grp-g")
+    import spark.implicits._
+    SnapshotStore.mergeIntoTarget(spark, b, delta(
+      ("f1", "PUT", "001", Some("B1")), ("f2", "PUT", "002", Some("B2"))),
+      0L, retainVersions = 3)
+    def facts(rows: (String, String, String, String, String)*) =
+      rows.toDF("keys", "op", "sequenceNumber", "fk", "a_image")
+    def applyBatch(bid: Long, rows: (String, String, String, String, String)*): Unit =
+      JoinIvm.applyFactDeltaIndexed(spark, facts(rows: _*), a, b, v, i, bid,
+        seqBase = f"sb$bid%012d", retainVersions = 3)
+    def viewVia(face: String => org.apache.spark.sql.DataFrame): Map[String, String] =
+      face(v).select("keys", "newImage").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // batch 1, complete: merges + group record
+    applyBatch(1L, ("x1", "PUT", "101", "f1", "ax1"), ("x2", "PUT", "102", "f2", "ax2"))
+    GroupCommit.publish(spark, g, 1L, Seq(i, a, v, b))
+    val group1View = viewVia(GroupCommit.read(spark, g, _))
+    assert(group1View.keySet === Set("x1", "x2"))
+    val g1 = GroupCommit.currentVersions(spark, g).get
+
+    // batch 2 TORN: index pointer advances, fact pointer swap crashes,
+    // the view never merges — and NO group record is published (the
+    // sink publishes strictly after the last merge)
+    crashy.countdown = 1
+    val thrown = intercept[RuntimeException](applyBatch(2L,
+      ("x1", "PUT", "201", "f2", "ax1b"), ("x3", "PUT", "203", "f1", "ax3")))
+    assert(thrown.getMessage.contains("injected crash"))
+    // the tear is physically REAL on the raw pointers...
+    assert(SnapshotStore.pointerValue(spark, i).get !== g1(i),
+      "index did not advance — the tear never happened")
+    assert(SnapshotStore.pointerValue(spark, a).get === g1(a),
+      "fact table advanced — crash seam missed")
+    // ...but INVISIBLE through the group face: every participant reads
+    // the batch-1 state, INCLUDING the index that already advanced
+    assert(viewVia(GroupCommit.read(spark, g, _)) === group1View)
+    val idxGroupRead = GroupCommit.read(spark, g, i)
+      .select("keys", "newImage").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(idxGroupRead === Map("f1" -> """["x1"]""", "f2" -> """["x2"]"""),
+      s"group reader observed the torn index: $idxGroupRead")
+    // group record itself is unchanged
+    assert(GroupCommit.currentVersions(spark, g).get === g1)
+
+    // REPLAY batch 2 (idempotent merges repair all three), THEN the
+    // group record advances — readers flip atomically to batch 2
+    applyBatch(2L, ("x1", "PUT", "201", "f2", "ax1b"), ("x3", "PUT", "203", "f1", "ax3"))
+    GroupCommit.publish(spark, g, 2L, Seq(i, a, v, b))
+    val group2View = viewVia(GroupCommit.read(spark, g, _))
+    assert(group2View.keySet === Set("x1", "x2", "x3"))
+    assert(group2View("x1").contains("ax1b") && group2View("x1").contains("B2"),
+      s"x1 not re-enriched after replay: ${group2View("x1")}")
+    // and the group-read view equals the full recompute — consistency,
+    // not just visibility
+    val recomputed = JoinIvm.fullRecompute(spark, a, b)
+      .select("keys", "newImage").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(group2View === recomputed)
+    // a non-participant read fails loudly, as does a pre-record group
+    intercept[IllegalStateException](GroupCommit.read(spark, g, tmp("grp-zz")))
+    intercept[IllegalStateException](GroupCommit.read(spark, tmp("grp-empty"), v))
+  }
 }
