@@ -32,7 +32,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * main.py:34-44` retargets by table name); this catalog is that
   * name-not-path addressing for the Spark-native store.
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -129,6 +130,65 @@ class SnapshotCatalog extends TableCatalog {
     new SnapshotTable(dir.toString,
       pinnedVersion = Some(eligible.maxBy { case (n, t) => (t, n) }._1))
   }
+
+  /** SQL `CALL graft.system.analyze('ns.t')` (r13, VERDICT r12 #4):
+    * Spark's `ANALYZE TABLE` statement does not route to v2 catalogs,
+    * so ANALYZE enters through the V2 ProcedureCatalog instead. The
+    * procedure measures the table's RESOLVED state in one aggregate
+    * pass ([[SnapshotTableStats.analyze]]), persists `_STATS` pinned to
+    * the measured version, and returns one (version, rows, bytes)
+    * summary row.
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    import org.apache.spark.sql.connector.catalog.procedures._
+    require(ident.namespace.toSeq == Seq("system") && ident.name == "analyze",
+      s"unknown procedure $ident — this catalog serves graft.system.analyze")
+    new UnboundProcedure {
+      override def name(): String = "analyze"
+      override def description(): String =
+        "measure a graft-snapshot table's resolved state into _STATS"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "analyze"
+          override def description(): String =
+            "measure a graft-snapshot table's resolved state into _STATS"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table",
+              org.apache.spark.sql.types.StringType)
+              .comment("table as 'namespace.name' within this catalog")
+              .build())
+          override def isDeterministic: Boolean = false
+          override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+              : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val ref = input.getUTF8String(0).toString
+            val parts = ref.split("\\.")
+            require(parts.length >= 2,
+              s"analyze: expected 'namespace.name', got '$ref'")
+            val tblIdent = Identifier.of(parts.init, parts.last)
+            require(tableExists(tblIdent), s"analyze: no such table $tblIdent")
+            val st = SnapshotTableStats.analyze(SparkSession.active,
+              dirOf(tblIdent).toString)
+            val out = new org.apache.spark.sql.connector.read.LocalScan {
+              override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+                Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](
+                    org.apache.spark.unsafe.types.UTF8String.fromString(st.version),
+                    st.rows, st.bytes)))
+              override def readSchema(): StructType = StructType(Seq(
+                org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("rows", org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("bytes", org.apache.spark.sql.types.LongType)))
+            }
+            java.util.Collections.singletonList(
+              out: org.apache.spark.sql.connector.read.Scan).iterator()
+          }
+        }
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array("system"), "analyze"))
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],

@@ -384,21 +384,67 @@ private[graft] class SnapshotScan(path: String, required: StructType,
     }.sum
   }
 
+  /** ANALYZE'd statistics (r13): served only while their pinned version
+    * IS this scan's version (the live pointer, or the time-travel
+    * target) and the scan is unpruned — a write invalidates them back
+    * to file-size stats rather than ever serving a stale row count.
+    */
+  private lazy val analyzed: Option[SnapshotTableStats.TableStats] = {
+    val spark = SparkSession.active
+    if (keyLookups.isDefined || zoneFilters.nonEmpty) None
+    else SnapshotTableStats.read(spark.sessionState.newHadoopConf(), path)
+      .filter { st =>
+        versionAsOf.orElse(SnapshotStore.pointerValue(spark, path))
+          .contains(st.version)
+      }
+  }
+
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics = {
-    // Parquet bytes understate in-memory resolved size (dictionary +
-    // snappy compression), which is the UNSAFE direction for a broadcast
-    // decision — honor the same knob FileScan uses
-    // (spark.sql.sources.fileCompressionFactor, default 1.0) so
-    // deployments can scale the estimate without a code change.
-    val factor = SparkSession.active.sessionState.conf.fileCompressionFactor
-    val bytes = (listedBytes * factor).toLong
-    new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
-    }
+      : org.apache.spark.sql.connector.read.Statistics = analyzed match {
+    case Some(st) =>
+      // measured resolved-state stats: the honest sizeInBytes (segment
+      // file bytes overcount by the superseded-row history — a 20-
+      // generation LWW chain would report ~20x its live size and a
+      // broadcastable dimension would sort-merge), plus rowCount and
+      // per-column NDV/nullCount for the CBO
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(math.max(1L, st.bytes))
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(st.rows)
+        override def columnStats(): java.util.Map[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+          val m = new java.util.HashMap[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+          st.cols.filter(c => required.fieldNames.contains(c.name)).foreach { c =>
+            m.put(
+              org.apache.spark.sql.connector.expressions.Expressions.column(c.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(c.ndv)
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(c.nulls)
+              })
+          }
+          m
+        }
+      }
+    case None =>
+      // Parquet bytes understate in-memory resolved size (dictionary +
+      // snappy compression), which is the UNSAFE direction for a broadcast
+      // decision — honor the same knob FileScan uses
+      // (spark.sql.sources.fileCompressionFactor, default 1.0) so
+      // deployments can scale the estimate without a code change.
+      val factor = SparkSession.active.sessionState.conf.fileCompressionFactor
+      val bytes = (listedBytes * factor).toLong
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
   }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

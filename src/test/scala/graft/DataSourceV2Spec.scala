@@ -852,4 +852,70 @@ class DataSourceV2Spec extends SparkSpec {
     val cols = spark.table("graft.colgc.t").columns.toSet
     assert(Set("v", "tag").subsetOf(cols), s"projections lost: $cols")
   }
+
+  test("ANALYZE via CALL: measured resolved-state stats flip the broadcast decision; writes invalidate") {
+    val root = catalogRoot
+    val dir = s"$root/an/t"
+    // 20 generations of the SAME 400 keys with incompressible images:
+    // the segment files carry the whole superseded history (~20x the
+    // live state), so file-size statistics VASTLY overcount
+    def pad(g: Int, i: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 10).map(j => md.digest(s"$g-$i-$j".getBytes)
+        .map("%02x".format(_)).mkString).mkString
+    }
+    for (g <- 1 to 20) {
+      val rows = (0 until 400).map(i =>
+        (s"k$i", "PUT", f"$g%03d$i%04d", Some(s"""{"g":$g,"pad":"${pad(g, i)}"}""")))
+      SnapshotStore.mergeIntoTarget(spark, dir, delta(rows: _*),
+        batchId = g.toLong, foldThreshold = 100)
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (1024 * 1024).toString) // 1 MB: between resolved (~150 KB) and files (>1.5 MB)
+      // the fact side must itself be over the threshold (range stats:
+      // 8 B/row), or Spark just broadcasts IT and no flip is visible
+      val fact = spark.range(5000000)
+        .selectExpr("concat('k', id % 400) AS keys", "id AS vv")
+      def plan() = fact
+        .join(spark.read.format("graft-snapshot").load(dir), "keys")
+        .queryExecution.executedPlan
+      // without ANALYZE: file bytes (superseded history included) keep
+      // the snapshot side above the threshold -> sort-merge
+      assert(!plan().toString.contains("BroadcastHashJoin"),
+        s"pre-ANALYZE plan broadcast anyway:\n${plan()}")
+      // CALL through the V2 ProcedureCatalog; one summary row returns
+      val res = spark.sql("CALL graft.system.analyze('an.t')").collect()
+      assert(res.length === 1 && res(0).getLong(1) === 400L,
+        s"analyze summary wrong: ${res.mkString}")
+      // with ANALYZE: the honest resolved size broadcasts the dimension
+      val post = plan()
+      assert(post.toString.contains("BroadcastHashJoin"),
+        s"post-ANALYZE plan did not broadcast:\n$post")
+      // rowCount + per-column NDV/nullCount flow through the V2 stats API
+      // (fresh unpruned scan — the AQE wrapper hides the planned one)
+      val scan = new graft.sources.SnapshotScan(dir,
+        graft.sources.SnapshotSource.Schema, keyLookups = None)
+      val st = scan.estimateStatistics()
+      assert(st.numRows.getAsLong === 400L)
+      val colStats = st.columnStats()
+      assert(!colStats.isEmpty, "columnStats empty after ANALYZE")
+      var found = false
+      colStats.forEach { (ref, cs) =>
+        if (ref.fieldNames()(0) == "keys") {
+          assert(cs.distinctCount().getAsLong === 400L)
+          assert(cs.nullCount().getAsLong === 0L)
+          found = true
+        }
+      }
+      assert(found, s"keys column stats missing: $colStats")
+      // a WRITE invalidates: stats are pinned to their measured version,
+      // so the next plan degrades to file-size stats, never a stale count
+      SnapshotStore.mergeIntoTarget(spark, dir,
+        delta(("k0", "PUT", "9990000", Some("{}"))), 99L, foldThreshold = 100)
+      assert(!plan().toString.contains("BroadcastHashJoin"),
+        "stale ANALYZE stats served after a write")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
