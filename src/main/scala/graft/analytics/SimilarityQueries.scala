@@ -1329,6 +1329,190 @@ object SimilarityQueries {
     // (ScaleProbe-flat to 1.28M vecs) but with NO ordered stage at all —
     // only per-probe count/sum/min/max partials cross the wire, so the
     // reduce side is |probes| rows regardless of match volume.
+
+    // ───── bounded-beam GRAPH search prototype (r13, VERDICT r12 #7 —
+    // the HNSW/DiskANN adjudication made runnable): search walks a
+    // stored top-8 neighbor-list graph from 4 fixed entry points, 3
+    // synchronized beam rounds of width 8 — each round ONE equi-join of
+    // the per-probe frontier with the neighbor table + one bounded
+    // top-k agg (the multiSourceBfs shape with scoring), so a BATCH of
+    // probes amortizes rounds exactly like multi-source BFS. `scanned`
+    // (distinct candidates scored per probe) is the measured cost
+    // readout the adjudication needs: ≤ 4 + 3·(8 + 8·8) = a few hundred
+    // candidates regardless of corpus size, vs brute's |corpus| and
+    // IVF's |corpus|/k·nprobe. Graph CONSTRUCTION here is all-pairs —
+    // honest at test SF, and the documented reason this stays a
+    // prototype: at 100 TB the build IS the ANN problem (HNSW solves it
+    // with sequential random-access inserts that do not shard; a
+    // relational engine builds the neighbor list from its own IVF/LSH
+    // candidates), and the measured recall/scanned trade vs
+    // ivf_trained/sq8 is recorded in BASELINE.md. Every ordering is the
+    // (score DESC, vec_id) double total order; beam membership is
+    // monotone-improving (candidates always include the incumbent
+    // beam), so 3 rounds is a declared horizon, not a convergence guess.
+    QuerySpec(
+      "ann_beam_search",
+      (s, d) => {
+        val base = Corpus.quantizedVectors(s, d)
+        val allPairs = base.as("a").crossJoin(base.as("b"))
+          .filter(col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
+            Corpus.dotCol("a.qv", "b.qv").as("dot"),
+            col("b.nn").as("na"), col("a.nn").as("nb"))
+        val graph = topKPerProbe(allPairs, 8)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+          .localCheckpoint(true)
+        val probes = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+            col("nn").as("q_nn"))
+        val entries = base.orderBy("vec_id").limit(4).select("vec_id")
+        var beam = probes.select("query_id").crossJoin(broadcast(entries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .localCheckpoint(true)
+        var scannedAll = beam
+        var beamRanked: DataFrame = null
+        for (_ <- 1 to 3) {
+          val cands = beam.select("query_id", "vec_id")
+            .unionByName(beam.join(graph, col("vec_id") === col("src"))
+              .select(col("query_id"), col("dst").as("vec_id")))
+            .filter(col("vec_id") =!= col("query_id"))
+            .distinct().localCheckpoint(true)
+          val scoredPairs = cands.join(base, "vec_id")
+            .join(broadcast(probes), "query_id")
+            .select(col("query_id"), col("vec_id"),
+              Corpus.dotCol("qv", "q_qv").as("dot"),
+              col("nn").as("na"), col("q_nn").as("nb"))
+          beamRanked = topKPerProbe(scoredPairs, 8).localCheckpoint(true)
+          beam = beamRanked.select(col("query_id"),
+            col("neighbor_id").as("vec_id"))
+          scannedAll = scannedAll.unionByName(cands).localCheckpoint(true)
+        }
+        val bruteTop = topKPerProbe(brutePairs(s, d), 3)
+          .select("query_id", "neighbor_id")
+        val hitCounts = beamRanked.filter(col("rank") <= 3)
+          .select("query_id", "neighbor_id")
+          .join(bruteTop, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        val scanned = scannedAll.distinct()
+          .groupBy("query_id").agg(count(lit(1)).as("scanned"))
+        probes.select("query_id")
+          .join(hitCounts, Seq("query_id"), "left")
+          .join(scanned, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            col("scanned"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        WITH base AS MATERIALIZED (${Corpus.quantizedVectorsSql}),
+        probes AS MATERIALIZED (
+          SELECT vec_id AS query_id, qv, nn FROM base WHERE vec_id < 10),
+        allp AS MATERIALIZED (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+                 b.nn AS na, a.nn AS nb
+          FROM base a JOIN base b ON a.vec_id <> b.vec_id),
+        graph AS MATERIALIZED (
+          SELECT src, dst FROM (
+            SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+              ORDER BY CASE WHEN dot >= 0 THEN 1.0 ELSE -1.0 END * (CAST(dot * dot AS DOUBLE) / CAST(na * nb AS DOUBLE)) DESC, dst) AS r
+            FROM allp) WHERE r <= 8),
+        entries AS MATERIALIZED (SELECT vec_id FROM base ORDER BY vec_id LIMIT 4),
+        b0 AS MATERIALIZED (
+          SELECT p.query_id, e.vec_id FROM probes p CROSS JOIN entries e
+          WHERE e.vec_id <> p.query_id),
+        c1 AS MATERIALIZED (
+          SELECT DISTINCT query_id, vec_id FROM (
+            SELECT query_id, vec_id FROM b0
+            UNION ALL
+            SELECT b.query_id, g.dst AS vec_id FROM b0 b
+            JOIN graph g ON g.src = b.vec_id)
+          WHERE vec_id <> query_id),
+        s1 AS (
+          SELECT c.query_id, c.vec_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> v.qv[i] * p.qv[i])) AS BIGINT) AS dot,
+                 v.nn AS na, p.nn AS nb
+          FROM c1 c
+          JOIN base v ON v.vec_id = c.vec_id
+          JOIN probes p ON p.query_id = c.query_id),
+        b1 AS MATERIALIZED (
+          SELECT query_id, vec_id, r FROM (
+            SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY CASE WHEN dot >= 0 THEN 1.0 ELSE -1.0 END * (CAST(dot * dot AS DOUBLE) / CAST(na * nb AS DOUBLE)) DESC, vec_id) AS r
+            FROM s1) WHERE r <= 8),
+        c2 AS MATERIALIZED (
+          SELECT DISTINCT query_id, vec_id FROM (
+            SELECT query_id, vec_id FROM b1
+            UNION ALL
+            SELECT b.query_id, g.dst AS vec_id FROM b1 b
+            JOIN graph g ON g.src = b.vec_id)
+          WHERE vec_id <> query_id),
+        s2 AS (
+          SELECT c.query_id, c.vec_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> v.qv[i] * p.qv[i])) AS BIGINT) AS dot,
+                 v.nn AS na, p.nn AS nb
+          FROM c2 c
+          JOIN base v ON v.vec_id = c.vec_id
+          JOIN probes p ON p.query_id = c.query_id),
+        b2 AS MATERIALIZED (
+          SELECT query_id, vec_id, r FROM (
+            SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY CASE WHEN dot >= 0 THEN 1.0 ELSE -1.0 END * (CAST(dot * dot AS DOUBLE) / CAST(na * nb AS DOUBLE)) DESC, vec_id) AS r
+            FROM s2) WHERE r <= 8),
+        c3 AS MATERIALIZED (
+          SELECT DISTINCT query_id, vec_id FROM (
+            SELECT query_id, vec_id FROM b2
+            UNION ALL
+            SELECT b.query_id, g.dst AS vec_id FROM b2 b
+            JOIN graph g ON g.src = b.vec_id)
+          WHERE vec_id <> query_id),
+        s3 AS (
+          SELECT c.query_id, c.vec_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> v.qv[i] * p.qv[i])) AS BIGINT) AS dot,
+                 v.nn AS na, p.nn AS nb
+          FROM c3 c
+          JOIN base v ON v.vec_id = c.vec_id
+          JOIN probes p ON p.query_id = c.query_id),
+        b3 AS MATERIALIZED (
+          SELECT query_id, vec_id, r FROM (
+            SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY CASE WHEN dot >= 0 THEN 1.0 ELSE -1.0 END * (CAST(dot * dot AS DOUBLE) / CAST(na * nb AS DOUBLE)) DESC, vec_id) AS r
+            FROM s3) WHERE r <= 8),
+        brute AS MATERIALIZED (
+          SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, v.vec_id,
+                   CAST(list_sum(list_transform(range(1, 65),
+                     i -> v.qv[i] * q.qv[i])) AS BIGINT) AS dot,
+                   v.nn AS na, q.nn AS nb,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY CASE WHEN dot >= 0 THEN 1.0 ELSE -1.0 END * (CAST(dot * dot AS DOUBLE) / CAST(na * nb AS DOUBLE)) DESC, v.vec_id) AS r
+            FROM base v JOIN base q ON q.vec_id < 10 AND v.vec_id <> q.vec_id
+            QUALIFY r <= 3) ),
+        scanned AS (
+          SELECT query_id, COUNT(*) AS scanned FROM (
+            SELECT DISTINCT query_id, vec_id FROM (
+              SELECT query_id, vec_id FROM b0
+              UNION ALL SELECT query_id, vec_id FROM c1
+              UNION ALL SELECT query_id, vec_id FROM c2
+              UNION ALL SELECT query_id, vec_id FROM c3))
+          GROUP BY 1),
+        hitsq AS (
+          SELECT f.query_id, COUNT(*) AS hits
+          FROM (SELECT query_id, vec_id FROM b3 WHERE r <= 3) f
+          JOIN brute USING (query_id, vec_id)
+          GROUP BY 1)
+        SELECT p.query_id,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+               CAST(s.scanned AS BIGINT) AS scanned
+        FROM probes p
+        LEFT JOIN hitsq h ON h.query_id = p.query_id
+        LEFT JOIN scanned s ON s.query_id = p.query_id
+        ORDER BY p.query_id""")),
+
     QuerySpec(
       "ann_range_search",
       (s, d) => {
