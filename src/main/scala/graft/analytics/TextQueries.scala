@@ -1227,6 +1227,47 @@ object TextQueries {
         ORDER BY score DESC, doc_id
         LIMIT 20""")),
 
+    // ───── PHRASE search over a positional index (r13): the retrieval
+    // operation bag-of-words scoring (tfidf/BM25) cannot express —
+    // "these tokens ADJACENT, in order". Positions ride the token
+    // explode (posexplode — zero extra passes); each phrase term's
+    // posting list is filtered BEFORE the join, so only matching terms'
+    // (doc, pos) rows shuffle, and adjacency is one equi-join on
+    // (doc_id, pos) with the second term's positions shifted by −1 —
+    // the standard positional-index intersection, linear in the two
+    // posting lists at any corpus size (never in the corpus). Counts
+    // per doc, top-20 under the (n_phrase DESC, doc_id) total order via
+    // TakeOrderedAndProject. Position BASES differ across engines
+    // (Spark posexplode is 0-based, DuckDB ordinality 1-based) but only
+    // DIFFERENCES are compared, so adjacency is base-invariant.
+    QuerySpec(
+      "text_search_phrase",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        val t1 = toks.filter(col("term") === "stream")
+          .select(col("doc_id"), col("pos"))
+        val t2 = toks.filter(col("term") === "column")
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        t1.join(t2, Seq("doc_id", "pos"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_phrase"))
+          .orderBy(col("n_phrase").desc, col("doc_id")).limit(20)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, u.term, u.pos FROM (
+            SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+            UNNEST([{'term': tl[i], 'pos': i}
+                    for i in range(1, len(tl) + 1)]) AS t(u)),
+        t1 AS (SELECT doc_id, pos FROM toks WHERE term = 'stream'),
+        t2 AS (SELECT doc_id, pos - 1 AS pos FROM toks WHERE term = 'column')
+        SELECT doc_id, COUNT(*) AS n_phrase
+        FROM t1 JOIN t2 USING (doc_id, pos)
+        GROUP BY 1
+        ORDER BY n_phrase DESC, doc_id
+        LIMIT 20""")),
+
     // ───── sparse doc↔doc similarity (r8): tf-idf cosine over the
     // inverted index — the SPARSE retrieval complement to the dense ANN
     // family (same signed-cos² determinism contract, different vector

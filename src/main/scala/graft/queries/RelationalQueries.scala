@@ -1750,6 +1750,70 @@ object RelationalQueries {
         SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
         FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2""")),
 
+    // ───── stationary distribution of the behavior Markov chain (r13):
+    // events_transitions' matrix taken to its model — where does user
+    // attention CONCENTRATE under the observed dynamics. Row-stochastic
+    // transition probabilities in exact ppm (n·1e6 div row total), then
+    // 8 synchronized power-iteration rounds from the uniform vector,
+    // each round ONE tiny join + hash-agg with the division AFTER the
+    // sum (v'ⱼ = (Σᵢ vᵢ·pᵢⱼ) div 1e6 — one truncation per state per
+    // round, mirrored exactly). The heavy stage is the per-user lag
+    // window (user-partitioned, the events_transitions shape); the
+    // iteration runs on |event_types|-sized frames — control-plane
+    // cost, bounded output. Truncation leaks ≤ |states| ppm of mass per
+    // round and states with no outgoing transitions drain — both are
+    // the declared semantics of the observed-transition chain, not
+    // artifacts (a production run renormalizes at read time).
+    QuerySpec(
+      "events_markov_stationary",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val trans = events(s, d)
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("f"), col("event_type").as("t"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val p = trans
+          .join(trans.groupBy("f").agg(sum("n").as("tot")), "f")
+          .select(col("f"), col("t"), expr("n * 1000000L div tot").as("p_ppm"))
+          .localCheckpoint(true)
+        val states = p.select(col("f").as("state")).distinct()
+        val nStates = states.count() // control-plane scalar (|event_types|)
+        var v = states.select(col("state"), lit(1000000L / nStates).as("v"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 8) {
+          v = p.join(v.withColumnRenamed("state", "f"), "f")
+            .groupBy(col("t").as("state"))
+            .agg(expr("sum(v * p_ppm) div 1000000").as("v"))
+            .localCheckpoint(true)
+        }
+        v.select(col("state").as("event_type"), col("v").as("stationary_ppm"))
+      },
+      Some {
+        val sb = new StringBuilder("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        tr AS (
+          SELECT prev AS f, event_type AS t, COUNT(*) AS n
+          FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        p AS (
+          SELECT tr.f, tr.t, tr.n * 1000000 // tot.tot AS p_ppm
+          FROM tr JOIN (SELECT f, SUM(n) AS tot FROM tr GROUP BY 1) tot USING (f)),
+        ns AS (SELECT COUNT(DISTINCT f) AS n FROM p),
+        v0 AS (
+          SELECT DISTINCT f AS state, (SELECT 1000000 // n FROM ns) AS v FROM p)""")
+        for (r <- 1 to 8) sb.append(s""",
+        v$r AS (
+          SELECT p.t AS state, SUM(v.v * p.p_ppm) // 1000000 AS v
+          FROM p JOIN v${r - 1} v ON v.state = p.f GROUP BY 1)""")
+        sb.append("""
+        SELECT state AS event_type, CAST(v AS BIGINT) AS stationary_ppm FROM v8""")
+        sb.toString
+      }),
+
     // ───── Pareto head: the suppliers that cumulatively carry the first
     // 80% of revenue, with running share — the concentration report
     // behind every "80/20" decision (and the skew early-warning for

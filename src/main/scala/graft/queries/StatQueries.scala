@@ -364,6 +364,120 @@ object StatQueries {
     // plus the corpus MRR numerator/denominator as exact integers.
     // Plan: one user-partitioned window + two hash-aggs; per-user state
     // is one row (min rank of a relevant event).
+    // ───── Simpson diversity of the per-language SOURCE mix (r13): the
+    // corpus-composition readout a training-data pipeline checks before
+    // weighting sources — Shannon entropy needs libm (ln differs in the
+    // last ulp across engines, breaking the hash gate), so the engine
+    // reports the COLLISION form: Simpson index Σp² (probability two
+    // random docs share a source) and its inverse, the "effective
+    // source count" — both exact rationals over counts, emitted in ppm
+    // through one integer division in DECIMAL(38)/HUGEINT (n² ·1e6
+    // reaches ~1e24 at 1e9 docs/lang — past int64, inside 38 digits).
+    // Plan: one (lang, source) hash-agg then one lang hash-agg, both
+    // map-side partial; output bounded by |langs|.
+    QuerySpec(
+      "agg_simpson_diversity",
+      (s, d) => {
+        documents(s, d)
+          .groupBy("lang", "source").agg(count(lit(1)).as("ns"))
+          .groupBy("lang")
+          .agg(sum("ns").as("n_docs"), count(lit(1)).as("n_sources"),
+            sum(col("ns") * col("ns")).as("sumsq"))
+          .select(col("lang"), col("n_docs"), col("n_sources"),
+            expr("""cast(cast(sumsq as decimal(38,0)) * 1000000
+                    div (cast(n_docs as decimal(38,0)) * n_docs) as bigint)""")
+              .as("simpson_ppm"),
+            expr("""cast(cast(n_docs as decimal(38,0)) * n_docs * 1000000
+                    div cast(sumsq as decimal(38,0)) as bigint)""")
+              .as("effective_sources_ppm"))
+      },
+      Some("""
+        WITH bysrc AS (
+          SELECT lang, source, COUNT(*) AS ns FROM documents GROUP BY 1, 2),
+        agg AS (
+          SELECT lang, SUM(ns) AS n_docs, COUNT(*) AS n_sources,
+                 SUM(ns * ns) AS sumsq
+          FROM bysrc GROUP BY 1)
+        SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_sources AS BIGINT) AS n_sources,
+               CAST(CAST(sumsq AS HUGEINT) * 1000000
+                    // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS simpson_ppm,
+               CAST(CAST(n_docs AS HUGEINT) * n_docs * 1000000
+                    // CAST(sumsq AS HUGEINT) AS BIGINT) AS effective_sources_ppm
+        FROM agg""")),
+
+    // ───── Cohen's kappa between two labeling rubrics (r13): the
+    // inter-annotator-agreement statistic a labeling pipeline runs
+    // before trusting auto-labels — here between two deterministic doc-
+    // length rubrics (char-count bands vs token-count bands), which
+    // agree far above chance but not perfectly: exactly kappa's regime.
+    // All arithmetic exact: po − pe and 1 − pe cross-multiply to
+    // (agree·N − Σ aᶜ·bᶜ) / (N² − Σ aᶜ·bᶜ), emitted in ppm through one
+    // integer division in DECIMAL(38)/HUGEINT; the numerator CAN be
+    // negative (worse-than-chance raters), so both engines spell the
+    // toward-zero truncation explicitly (Spark div truncates, DuckDB //
+    // floors — the events_theil_sen sign discipline). Plan: one 9-row
+    // confusion hash-agg; everything after is control-plane-sized.
+    QuerySpec(
+      "ml_cohens_kappa",
+      (s, d) => {
+        val rated = documents(s, d).select(
+          expr("""CASE WHEN n_chars < 200 THEN 'short'
+                  WHEN n_chars < 1000 THEN 'medium' ELSE 'long' END""").as("ra"),
+          expr("""CASE WHEN size(split(text, ' ')) < 40 THEN 'short'
+                  WHEN size(split(text, ' ')) < 200 THEN 'medium'
+                  ELSE 'long' END""").as("rb"))
+        val cm = rated.groupBy("ra", "rb").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val margins = cm.groupBy("ra").agg(sum("n").as("na_"))
+          .join(cm.groupBy("rb").agg(sum("n").as("nb_")),
+            col("ra") === col("rb"))
+          .agg(sum(expr("na_ * nb_")).as("penum"))
+        cm.agg(sum("n").as("n"),
+            sum(when(col("ra") === col("rb"), col("n")).otherwise(0L))
+              .as("agree"))
+          .crossJoin(margins)
+          .select(col("n"), col("agree"),
+            expr("agree * 1000000L div n").as("po_ppm"),
+            expr("""cast(cast(penum as decimal(38,0)) * 1000000
+                    div (cast(n as decimal(38,0)) * n) as bigint)""")
+              .as("pe_ppm"),
+            expr("""cast(CASE WHEN cast(agree as decimal(38,0)) * n - penum >= 0
+                    THEN (cast(agree as decimal(38,0)) * n - penum) * 1000000
+                         div (cast(n as decimal(38,0)) * n - penum)
+                    ELSE -((penum - cast(agree as decimal(38,0)) * n) * 1000000
+                           div (cast(n as decimal(38,0)) * n - penum))
+                    END as bigint)""").as("kappa_ppm"))
+      },
+      Some("""
+        WITH rated AS (
+          SELECT CASE WHEN n_chars < 200 THEN 'short'
+                      WHEN n_chars < 1000 THEN 'medium' ELSE 'long' END AS ra,
+                 CASE WHEN len(string_split(text, ' ')) < 40 THEN 'short'
+                      WHEN len(string_split(text, ' ')) < 200 THEN 'medium'
+                      ELSE 'long' END AS rb
+          FROM documents),
+        cm AS (SELECT ra, rb, COUNT(*) AS n FROM rated GROUP BY 1, 2),
+        margins AS (
+          SELECT SUM(a.na_ * b.nb_) AS penum
+          FROM (SELECT ra, SUM(n) AS na_ FROM cm GROUP BY 1) a
+          JOIN (SELECT rb, SUM(n) AS nb_ FROM cm GROUP BY 1) b ON a.ra = b.rb),
+        tot AS (
+          SELECT SUM(n) AS n,
+                 SUM(CASE WHEN ra = rb THEN n ELSE 0 END) AS agree
+          FROM cm)
+        SELECT CAST(t.n AS BIGINT) AS n, CAST(t.agree AS BIGINT) AS agree,
+               CAST(t.agree * 1000000 // t.n AS BIGINT) AS po_ppm,
+               CAST(CAST(m.penum AS HUGEINT) * 1000000
+                    // (CAST(t.n AS HUGEINT) * t.n) AS BIGINT) AS pe_ppm,
+               CAST(CASE WHEN CAST(t.agree AS HUGEINT) * t.n - m.penum >= 0
+                    THEN (CAST(t.agree AS HUGEINT) * t.n - m.penum) * 1000000
+                         // (CAST(t.n AS HUGEINT) * t.n - m.penum)
+                    ELSE -((m.penum - CAST(t.agree AS HUGEINT) * t.n) * 1000000
+                           // (CAST(t.n AS HUGEINT) * t.n - m.penum))
+                    END AS BIGINT) AS kappa_ppm
+        FROM tot t CROSS JOIN margins m""")),
+
     QuerySpec(
       "ml_mrr",
       (s, d) => {
