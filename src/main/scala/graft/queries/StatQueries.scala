@@ -1720,6 +1720,274 @@ object StatQueries {
           FROM swept GROUP BY 1)
         SELECT a.day, a.n_starts, c.carry_in,
                c.carry_in + a.peak_in_day AS peak_concurrent
-        FROM agg a JOIN carry c ON c.day = a.day"""))
+        FROM agg a JOIN carry c ON c.day = a.day""")),
+
+    // ───── Spearman rank correlation (r13): the NONPARAMETRIC trend
+    // detector next to events_theil_sen (median slope) and
+    // agg_correlation (Pearson) — "does value drift monotonically over
+    // days, per event type", robust to the value distribution's shape.
+    // Midranks never touch per-row windows: both variables collapse to
+    // bounded-cardinality histograms first (value is integer cents of a
+    // range-bounded metric ≤ ~56k distinct; day is calendar-bounded —
+    // the ml_auc_rank cardinality argument), midranks come from a
+    // window over the HISTOGRAM, and broadcast back onto rows via two
+    // small-dim joins. Doubled midranks (2·prefix + n_v + 1) keep ties
+    // exact in integers; sums run in DECIMAL(38) (doubled rank ≤ 2N —
+    // at N=1e12 rank products reach 4e24, past int64, inside 38
+    // digits); rho is the one final double expression over six exact
+    // integers, identical in both engines.
+    QuerySpec(
+      "stat_spearman",
+      (s, d) => {
+        val c = events(s, d).select(col("event_type"),
+          expr("cast(floor(value * 100) as bigint)").as("x"),
+          date_trunc("day", col("ts")).as("dy"))
+        def midranks(df: DataFrame, k: String) = {
+          val w = Window.partitionBy("event_type").orderBy(k)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          df.groupBy(col("event_type"), col(k))
+            .agg(count(lit(1)).as("n_v"))
+            .withColumn(s"r_$k",
+              coalesce(sum("n_v").over(w), lit(0L)) * 2 + col("n_v") + 1)
+            .select(col("event_type"), col(k), col(s"r_$k"))
+        }
+        c.join(broadcast(midranks(c, "x")), Seq("event_type", "x"))
+          .join(broadcast(midranks(c, "dy")), Seq("event_type", "dy"))
+          .select(col("event_type"),
+            col("r_x").cast("decimal(38,0)").as("rx"),
+            col("r_dy").cast("decimal(38,0)").as("ry"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum("rx").as("sx"), sum("ry").as("sy"),
+            sum(col("rx") * col("ry")).as("sxy"),
+            sum(col("rx") * col("rx")).as("sxx"),
+            sum(col("ry") * col("ry")).as("syy"))
+          .select(col("event_type"), col("n").cast("long").as("n"),
+            expr("""cast(
+                (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))
+                / (sqrt(cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))
+                   * sqrt(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)))
+              as double)""").as("rho"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x,
+                 date_trunc('day', ts) AS dy
+          FROM events),
+        rx AS (
+          SELECT event_type, x,
+                 COALESCE(SUM(n_v) OVER (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+                 + n_v + 1 AS r_x
+          FROM (SELECT event_type, x, COUNT(*) AS n_v FROM c GROUP BY 1, 2)),
+        ry AS (
+          SELECT event_type, dy,
+                 COALESCE(SUM(n_v) OVER (PARTITION BY event_type ORDER BY dy
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+                 + n_v + 1 AS r_dy
+          FROM (SELECT event_type, dy, COUNT(*) AS n_v FROM c GROUP BY 1, 2)),
+        sums AS (
+          SELECT c.event_type, COUNT(*) AS n,
+                 SUM(CAST(r_x AS HUGEINT)) AS sx,
+                 SUM(CAST(r_dy AS HUGEINT)) AS sy,
+                 SUM(CAST(r_x AS HUGEINT) * r_dy) AS sxy,
+                 SUM(CAST(r_x AS HUGEINT) * r_x) AS sxx,
+                 SUM(CAST(r_dy AS HUGEINT) * r_dy) AS syy
+          FROM c
+          JOIN rx ON rx.event_type = c.event_type AND rx.x = c.x
+          JOIN ry ON ry.event_type = c.event_type AND ry.dy = c.dy
+          GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+        FROM sums""")),
+
+    // ───── Mann-Whitney U (r13): the two-sample location test behind
+    // ml_auc_rank's identity, surfaced as a TEST — "do purchase values
+    // stochastically dominate click values". Same bounded-cardinality
+    // discipline: both samples collapse to per-cent histograms, the
+    // midrank window runs over ≤56k pooled distinct cents, and the tie
+    // correction Σ(t³−t) is a sum over the SAME histogram — no per-row
+    // rank materializes anywhere. Doubled rank-sums keep the midrank ½
+    // exact; u2 = 2·R₁ − n₁(n₁+1) is the doubled U statistic; z is the
+    // one final double over five exact integers (normal approximation
+    // with tie-corrected variance; both engines evaluate the identical
+    // expression). Headroom: t³ ≤ N³ per cent — DECIMAL(38)/HUGEINT to
+    // N≈1e12 per cent bucket.
+    QuerySpec(
+      "stat_mann_whitney",
+      (s, d) => {
+        val h = events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(expr("cast(floor(value * 100) as bigint)").as("v"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+          .groupBy("v")
+          .agg(count(lit(1)).as("t"), sum("p").as("t1"))
+        val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = h.withColumn("before", coalesce(sum("t").over(w), lit(0L)))
+        ranked.agg(
+            sum("t1").cast("decimal(38,0)").as("n1"),
+            sum(col("t") - col("t1")).cast("decimal(38,0)").as("n2"),
+            sum(col("t1") * (col("before") * 2 + col("t") + 1))
+              .cast("decimal(38,0)").as("r1x2"),
+            sum(col("t").cast("decimal(38,0)") * col("t") * col("t")
+              - col("t").cast("decimal(38,0)")).as("tie_cubes"))
+          .select(col("n1").cast("long").as("n1"),
+            col("n2").cast("long").as("n2"),
+            (col("r1x2") - col("n1") * (col("n1") + 1))
+              .cast("long").as("u2"),
+            col("tie_cubes").cast("long").as("tie_cubes"),
+            expr("""cast(
+                (cast(u2 as double) / 2 - cast(n1 as double) * cast(n2 as double) / 2)
+                / sqrt(cast(n1 as double) * cast(n2 as double) / 12
+                       * ((cast(n1 as double) + cast(n2 as double) + 1)
+                          - cast(tie_cubes as double)
+                            / ((cast(n1 as double) + cast(n2 as double))
+                               * (cast(n1 as double) + cast(n2 as double) - 1))))
+              as double)""").as("z"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT CAST(floor(value * 100) AS BIGINT) AS v, COUNT(*) AS t,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS t1
+          FROM events WHERE event_type IN ('purchase', 'click')
+          GROUP BY 1),
+        ranked AS (
+          SELECT v, t, t1,
+                 COALESCE(SUM(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS before
+          FROM h),
+        sums AS (
+          SELECT CAST(SUM(t1) AS HUGEINT) AS n1,
+                 CAST(SUM(t - t1) AS HUGEINT) AS n2,
+                 SUM(CAST(t1 AS HUGEINT) * (before * 2 + t + 1)) AS r1x2,
+                 SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_cubes
+          FROM ranked)
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+               CAST(tie_cubes AS BIGINT) AS tie_cubes,
+               (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+                - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+               / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
+                      * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
+                         - CAST(tie_cubes AS DOUBLE)
+                           / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                              * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))) AS z
+        FROM sums""")),
+
+    // ───── Cramér's V (r13): categorical-categorical association —
+    // "is event mix hour-of-day dependent" (the load-shaping question
+    // events_seasonality answers for volume, asked for COMPOSITION).
+    // The contingency table is one hash-agg bounded by |types|·24;
+    // chi² is exact per cell: (o·N − r·c)² ·1000 div (N·r·c), every
+    // term nonnegative so Spark's truncating div and DuckDB's flooring
+    // // agree; V = sqrt(chi²/(N·min(r−1,c−1))) is the one final double.
+    // Headroom: o·N ≤ N² → squared ≤ N⁴·1e3 — DECIMAL(38) holds to
+    // N≈3e8 rows; beyond that scale the milli factor down (documented
+    // honestly; the text_term_drift advisor lesson).
+    QuerySpec(
+      "stat_cramers_v",
+      (s, d) => {
+        val cells = events(s, d)
+          .groupBy(col("event_type").as("et"), hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("o"))
+        val rows = cells.groupBy("et").agg(sum("o").as("r"))
+        val cols = cells.groupBy("hr").agg(sum("o").as("c"))
+        val tot = cells.agg(sum("o").as("n"),
+          countDistinct("et").as("nr"), countDistinct("hr").as("nc"))
+        cells.join(broadcast(rows), "et").join(broadcast(cols), "hr")
+          .crossJoin(broadcast(tot))
+          .select(expr("""cast(
+              (cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
+              * (cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
+              * 1000 div (cast(n as decimal(38,0)) * r * c) as decimal(38,0))""")
+            .as("term"), col("n"), col("nr"), col("nc"))
+          .groupBy("n", "nr", "nc")
+          .agg(sum("term").cast("long").as("chi2_milli"))
+          .select(col("n"), col("nr").as("n_rows"), col("nc").as("n_cols"),
+            col("chi2_milli"),
+            expr("""cast(sqrt(cast(chi2_milli as double) / 1000.0
+              / (cast(n as double) * cast(least(nr - 1, nc - 1) as double)))
+              as double)""").as("v"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT event_type AS et, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS o
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT et, SUM(o) AS r FROM cells GROUP BY 1),
+        c AS (SELECT hr, SUM(o) AS c FROM cells GROUP BY 1),
+        tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT et) AS nr,
+                       COUNT(DISTINCT hr) AS nc
+                FROM cells),
+        terms AS (
+          SELECT (CAST(o AS HUGEINT) * n - CAST(r.r AS HUGEINT) * c.c)
+                 * (CAST(o AS HUGEINT) * n - CAST(r.r AS HUGEINT) * c.c)
+                 * 1000 // (CAST(n AS HUGEINT) * r.r * c.c) AS term,
+                 n, nr, nc
+          FROM cells JOIN r USING (et) JOIN c USING (hr) CROSS JOIN tot)
+        SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows,
+               CAST(nc AS BIGINT) AS n_cols,
+               CAST(SUM(term) AS BIGINT) AS chi2_milli,
+               sqrt(CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE) / 1000.0
+                    / (CAST(n AS DOUBLE)
+                       * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE))) AS v
+        FROM terms GROUP BY n, nr, nc""")),
+
+    // ───── One-way ANOVA F (r13): does mean value DIFFER across event
+    // types — the parametric complement to stat_mann_whitney (which
+    // tests two groups rank-wise; F tests k groups on means). Built
+    // entirely from the agg_skew_kurtosis power-sum discipline: per
+    // group (n_g, S_g, Q_g) in one hash-agg, then the between/within
+    // decomposition in exact milli via one truncating DECIMAL(38)
+    // division per group (S_g²·1000 div n_g — nonnegative, so div and
+    // // agree): SSB = ΣT_g − S²/N, SSW = Q·1000 − ΣT_g; F is the one
+    // final double ratio with its df factors. Headroom: S_g² ·1000 at
+    // 1e12 rows × 5e4 cents ≈ 2.5e36 — inside 38 digits.
+    QuerySpec(
+      "stat_anova_f",
+      (s, d) => {
+        val g = events(s, d)
+          .select(col("event_type"),
+            expr("cast(floor(value * 100) as bigint)").as("x"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n_g"),
+            sum("x").cast("decimal(38,0)").as("s_g"),
+            sum(col("x").cast("decimal(38,0)") * col("x")).as("q_g"))
+          .select(col("n_g"), col("s_g"), col("q_g"),
+            expr("cast(s_g * s_g * 1000 div n_g as decimal(38,0))").as("t_g"))
+        g.agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+            sum("s_g").as("s"), sum("q_g").as("q"), sum("t_g").as("t"))
+          .select(col("k"), col("n").cast("long").as("n"),
+            (col("t") - expr("cast(s * s * 1000 div n as decimal(38,0))"))
+              .cast("long").as("ssb_milli"),
+            (col("q") * 1000 - col("t")).cast("long").as("ssw_milli"),
+            expr("""cast(
+                (cast(ssb_milli as double) / (cast(k as double) - 1))
+                / (cast(ssw_milli as double) / (cast(n as double) - cast(k as double)))
+              as double)""").as("f"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n_g,
+                 CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS HUGEINT) AS s_g,
+                 SUM(CAST(floor(value * 100) AS HUGEINT)
+                     * CAST(floor(value * 100) AS BIGINT)) AS q_g
+          FROM events GROUP BY 1),
+        t AS (
+          SELECT n_g, s_g, q_g, s_g * s_g * 1000 // n_g AS t_g FROM g),
+        sums AS (
+          SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(s_g) AS s,
+                 SUM(q_g) AS q, SUM(t_g) AS t
+          FROM t)
+        SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+               CAST(t - s * s * 1000 // n AS BIGINT) AS ssb_milli,
+               CAST(q * 1000 - t AS BIGINT) AS ssw_milli,
+               (CAST(CAST(t - s * s * 1000 // n AS BIGINT) AS DOUBLE)
+                  / (CAST(k AS DOUBLE) - 1))
+               / (CAST(CAST(q * 1000 - t AS BIGINT) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f
+        FROM sums"""))
   )
 }
