@@ -1988,6 +1988,234 @@ object StatQueries {
                   / (CAST(k AS DOUBLE) - 1))
                / (CAST(CAST(q * 1000 - t AS BIGINT) AS DOUBLE)
                   / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f
-        FROM sums"""))
+        FROM sums""")),
+
+    // ───── Maximum drawdown (r13): treat each type's cumulative daily
+    // net value as an equity curve and report its deepest peak-to-
+    // trough fall — the risk readout every revenue/traffic dashboard
+    // pairs with events_streaks (runs) and events_changepoint (level
+    // shifts). All windows run over the per-(type, day) aggregate —
+    // calendar-bounded frames, never the event stream (the
+    // events_seasonality discipline); the trough is argmax with a
+    // (dd DESC, day ASC) total-order tiebreak so both engines pick the
+    // same day. Exact integer cents throughout.
+    QuerySpec(
+      "events_max_drawdown",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("net"))
+        val wc = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val curve = daily
+          .withColumn("cum", sum("net").over(wc))
+          .withColumn("peak", max(col("cum")).over(wc))
+          .withColumn("dd", col("peak") - col("cum"))
+        val wr = Window.partitionBy("event_type")
+          .orderBy(col("dd").desc, col("day"))
+        curve.withColumn("rn", row_number().over(wr))
+          .withColumn("nd", count(lit(1)).over(
+            Window.partitionBy("event_type")))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("nd").as("n_days"),
+            col("dd").as("max_drawdown_cents"), col("day").as("trough_day"),
+            col("peak").as("peak_cents"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 SUM(CAST(round(value * 100) AS BIGINT)) AS net
+          FROM events GROUP BY 1, 2),
+        curve AS (
+          SELECT event_type, day,
+                 SUM(net) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM daily),
+        dd AS (
+          SELECT event_type, day, cum,
+                 MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nd
+          FROM curve),
+        ranked AS (
+          SELECT event_type, nd, peak - cum AS dd, day, peak,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY peak - cum DESC, day) AS rn
+          FROM dd)
+        SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+               CAST(dd AS BIGINT) AS max_drawdown_cents,
+               day AS trough_day, CAST(peak AS BIGINT) AS peak_cents
+        FROM ranked WHERE rn = 1""")),
+
+    // ───── Lagged cross-correlation (r13): does VIEW volume lead
+    // PURCHASE volume, and by how many days — the lead-lag sweep
+    // (lags −3..+3) every funnel-latency analysis starts from, here on
+    // the daily aggregate instead of per-user paths
+    // (events_funnel_latency's complement at population scale). Both
+    // series are calendar-bounded daily counts; the lag dimension is a
+    // 7-row generated axis crossed against one series, re-joined on
+    // shifted day — everything after the one daily hash-agg is
+    // calendar × 7 sized. Exact integer sums, one final double r per
+    // lag (the agg_correlation form).
+    QuerySpec(
+      "events_cross_correlation",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val x = daily.filter(col("event_type") === "view")
+          .select(col("day"), col("c").as("x"))
+        val y = daily.filter(col("event_type") === "purchase")
+          .select(col("day").as("yday"), col("c").as("y"))
+        val lags = s.range(-3, 4).select(col("id").cast("int").as("lag"))
+        x.crossJoin(broadcast(lags))
+          .join(y, date_add(col("day"), col("lag")) === col("yday"))
+          .select(col("lag"),
+            col("x").cast("decimal(38,0)").as("x"),
+            col("y").cast("decimal(38,0)").as("y"))
+          .groupBy("lag")
+          .agg(count(lit(1)).as("n_days"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("lag"), col("n_days"),
+            expr("""cast(
+                (cast(n_days as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))
+                / (sqrt(cast(n_days as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))
+                   * sqrt(cast(n_days as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)))
+              as double)""").as("r"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        x AS (SELECT day, c AS x FROM daily WHERE event_type = 'view'),
+        y AS (SELECT day AS yday, c AS y FROM daily WHERE event_type = 'purchase'),
+        sums AS (
+          SELECT t.lag, COUNT(*) AS n_days,
+                 SUM(CAST(x.x AS HUGEINT)) AS sx,
+                 SUM(CAST(y.y AS HUGEINT)) AS sy,
+                 SUM(CAST(x.x AS HUGEINT) * y.y) AS sxy,
+                 SUM(CAST(x.x AS HUGEINT) * x.x) AS sxx,
+                 SUM(CAST(y.y AS HUGEINT) * y.y) AS syy
+          FROM x CROSS JOIN (SELECT CAST(g AS INTEGER) AS lag
+                             FROM generate_series(-3, 3) t(g)) t
+          JOIN y ON x.day + t.lag = y.yday
+          GROUP BY 1)
+        SELECT lag, CAST(n_days AS BIGINT) AS n_days,
+               (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        FROM sums""")),
+
+    // ───── Brier score (r13): probability-calibration loss for the
+    // value-as-purchase-propensity scorer that ml_auc_rank ranks and
+    // ml_pr_curve sweeps — the mean squared error of p = cents/max
+    // against the binary outcome. Kept exact by clearing the
+    // denominator: Σ(cents − y·maxc)² is an integer (cents ≤ maxc so
+    // every term ≤ maxc²); Brier = sse / (N·maxc²) is the one final
+    // double. The scalar maxc rides a broadcast cross join (the
+    // one-row control-plane class). DECIMAL(38) holds sse to 1e12 rows
+    // at 5e4-cent values (2.5e9 per row → 2.5e21 total).
+    QuerySpec(
+      "ml_brier",
+      (s, d) => {
+        val base = events(s, d).select(
+          expr("cast(round(value * 100) as bigint)").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val maxc = base.agg(max("cents").as("maxc"))
+        base.crossJoin(broadcast(maxc))
+          .select(col("maxc"),
+            ((col("cents") - col("y") * col("maxc")).cast("decimal(38,0)")
+              * (col("cents") - col("y") * col("maxc"))).as("sq"))
+          .groupBy("maxc")
+          .agg(count(lit(1)).as("n"), sum("sq").cast("long").as("sse"))
+          .select(col("n"), col("maxc"), col("sse"),
+            expr("""cast(cast(sse as double)
+              / (cast(n as double) * cast(maxc as double) * cast(maxc as double))
+              as double)""").as("brier"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events),
+        m AS (SELECT MAX(cents) AS maxc FROM base),
+        sums AS (
+          SELECT COUNT(*) AS n, MAX(m.maxc) AS maxc,
+                 SUM(CAST(cents - y * m.maxc AS HUGEINT)
+                     * (cents - y * m.maxc)) AS sse
+          FROM base CROSS JOIN m)
+        SELECT CAST(n AS BIGINT) AS n, CAST(maxc AS BIGINT) AS maxc,
+               CAST(sse AS BIGINT) AS sse,
+               CAST(sse AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(maxc AS DOUBLE) * CAST(maxc AS DOUBLE))
+                 AS brier
+        FROM sums""")),
+
+    // ───── Inter-arrival percentiles (r13): median and p90 of the
+    // per-user gap between consecutive same-type events, in exact
+    // microseconds — the latency-SLO readout events_bot_regularity
+    // (gap variance) and cdc_late_arrival_audit (watermark delay)
+    // bracket from either side. Gaps come from ONE per-(type, user)
+    // lag window (per-key cardinality bounded); the order statistics
+    // ride RankedPrefix over the per-value gap histogram — the
+    // events_outliers_mad two-phase discipline, so no global ordered
+    // pass ever sees the event stream. Median is doubled (med2, exact
+    // at even counts); p90 is the value at rank ceil(0.9·n).
+    QuerySpec(
+      "events_interarrival",
+      (s, d) => {
+        val wu = Window.partitionBy("event_type", "user_id")
+          .orderBy("ts", "event_id")
+        val gaps = events(s, d)
+          .withColumn("prev", lag("ts", 1).over(wu))
+          .filter(col("prev").isNotNull)
+          .select(col("event_type"),
+            (unix_micros(col("ts")) - unix_micros(col("prev"))).as("g"))
+        graft.ops.RankedPrefix(s, d, "interarrivalHist",
+            gaps.groupBy(col("event_type"), col("g").as("v"))
+              .agg(count(lit(1)).as("n_i")),
+            part = Seq("event_type"), order = Seq(col("v")),
+            rank = None, running = Seq(("k", col("n_i"))),
+            totals = Seq(("n", col("n_i"))))
+          .groupBy("event_type")
+          .agg(max("n").as("n_gaps"),
+            (sum(expr(
+              "case when k - n_i < (n+1) div 2 and (n+1) div 2 <= k then v else 0 end"))
+              + sum(expr(
+              "case when k - n_i < (n+2) div 2 and (n+2) div 2 <= k then v else 0 end")))
+              .as("med2_us"),
+            sum(expr(
+              "case when k - n_i < (9*n+9) div 10 and (9*n+9) div 10 <= k then v else 0 end"))
+              .as("p90_us"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT event_type, user_id, ts, event_id,
+                 LAG(ts) OVER (PARTITION BY event_type, user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events),
+        gaps AS (
+          SELECT event_type, epoch_us(ts) - epoch_us(prev) AS g
+          FROM seq WHERE prev IS NOT NULL),
+        h AS (
+          SELECT event_type, g AS v, COUNT(*) AS n_i
+          FROM gaps GROUP BY 1, 2),
+        r AS (
+          SELECT event_type, v, n_i,
+                 SUM(n_i) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+                 SUM(n_i) OVER (PARTITION BY event_type) AS n
+          FROM h)
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+               CAST(SUM(CASE WHEN k-n_i < (n+1)//2 AND (n+1)//2 <= k
+                             THEN v ELSE 0 END)
+                  + SUM(CASE WHEN k-n_i < (n+2)//2 AND (n+2)//2 <= k
+                             THEN v ELSE 0 END) AS BIGINT) AS med2_us,
+               CAST(SUM(CASE WHEN k-n_i < (9*n+9)//10 AND (9*n+9)//10 <= k
+                             THEN v ELSE 0 END) AS BIGINT) AS p90_us
+        FROM r GROUP BY 1"""))
   )
 }
