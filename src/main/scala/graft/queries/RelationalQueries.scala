@@ -4828,6 +4828,243 @@ object RelationalQueries {
         SELECT CAST(l AS BIGINT) AS l, count(*) AS n_classes,
                CAST(SUM(cs) AS BIGINT) AS n_rows,
                CAST(MIN(nat * 1000 + band) AS BIGINT) AS min_class_id
-        FROM classes GROUP BY 1"""))
+        FROM classes GROUP BY 1""")),
+
+    // ───── HITS hubs/authorities (r13): the DIRECTED counterpart to
+    // graph_pagerank — the customer→supplier purchase graph is a
+    // natural hub/authority structure (customers that buy broadly are
+    // hubs; suppliers bought by good hubs are authorities). 4
+    // synchronized rounds, each ONE edge equi-join + ONE hash-agg per
+    // direction — per-round cost O(|E|), the distributed HITS shape.
+    // L1 normalization replaces the textbook L2 (sqrt-free): after
+    // each half-step scores rescale to ppm of their column total via
+    // one truncating DECIMAL(38) division per node (raw sums reach
+    // 1e6·|V|·deg ≈ 1e24 at 1e12 nodes — past int64, inside 38
+    // digits); both engines truncate identically, so the unrolled
+    // DuckDB replay is bit-exact. Top-10 per role with (score DESC,
+    // node) total-order tiebreak.
+    QuerySpec(
+      "graph_hits",
+      (s, d) => {
+        val e = graft.analytics.Corpus.cached(s, d, "hitsEdges") {
+          lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+            .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+            .distinct()
+        }
+        def l1ppm(df: DataFrame, key: String, raw: String) = {
+          val tot = df.agg(sum(raw).cast("decimal(38,0)").as("tot"))
+          df.crossJoin(broadcast(tot))
+            .select(col(key),
+              expr(s"cast(cast($raw as decimal(38,0)) * 1000000 div tot as bigint)")
+                .as(raw.dropRight(4)))
+        }
+        var h = e.select("c").distinct().select(col("c"), lit(1000000L).as("h"))
+        var a: DataFrame = null
+        for (_ <- 1 to 4) {
+          a = l1ppm(e.join(h, "c").groupBy("sup")
+            .agg(sum("h").as("a_raw")), "sup", "a_raw")
+          h = l1ppm(e.join(a, "sup").groupBy("c")
+            .agg(sum("a").as("h_raw")), "c", "h_raw")
+        }
+        val top = (df: DataFrame, role: String, key: String, sc: String) =>
+          df.select(lit(role).as("role"),
+              concat(lit(key.take(1)), col(key).cast("string")).as("node"),
+              col(sc).as("score_ppm"))
+            .orderBy(col("score_ppm").desc, col("node")).limit(10)
+        top(a, "authority", "sup", "a").unionAll(top(h, "hub", "c", "h"))
+      },
+      Some {
+        val rounds = (1 to 4).map { t =>
+          s"""
+        a${t}_raw AS MATERIALIZED (
+          SELECT e.sup, SUM(h.h) AS a_raw
+          FROM e JOIN h${t - 1} h ON h.c = e.c GROUP BY 1),
+        a$t AS MATERIALIZED (
+          SELECT sup, CAST(CAST(a_raw AS HUGEINT) * 1000000
+                 // (SELECT SUM(CAST(a_raw AS HUGEINT)) FROM a${t}_raw)
+                 AS BIGINT) AS a
+          FROM a${t}_raw),
+        h${t}_raw AS MATERIALIZED (
+          SELECT e.c, SUM(a.a) AS h_raw
+          FROM e JOIN a$t a ON a.sup = e.sup GROUP BY 1),
+        h$t AS MATERIALIZED (
+          SELECT c, CAST(CAST(h_raw AS HUGEINT) * 1000000
+                 // (SELECT SUM(CAST(h_raw AS HUGEINT)) FROM h${t}_raw)
+                 AS BIGINT) AS h
+          FROM h${t}_raw)"""
+        }.mkString(",")
+        s"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sup
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        h0 AS (SELECT DISTINCT c, 1000000 AS h FROM e),$rounds
+        SELECT * FROM (
+          SELECT 'authority' AS role, 's' || CAST(sup AS VARCHAR) AS node,
+                 a AS score_ppm
+          FROM a4 ORDER BY a DESC, node LIMIT 10)
+        UNION ALL
+        SELECT * FROM (
+          SELECT 'hub' AS role, 'c' || CAST(c AS VARCHAR) AS node,
+                 h AS score_ppm
+          FROM h4 ORDER BY h DESC, node LIMIT 10)"""
+      }),
+
+    // ───── Personalized PageRank (r13): "what's near THESE nodes" —
+    // the seeded variant behind related-item and local-community
+    // surfaces, next to graph_pagerank's global importance. Same
+    // packed-long symmetrized purchase graph and per-round
+    // edge-join + hash-agg cost; the difference is the teleport: all
+    // restart mass returns to the 5 seed customers (150000 ppm each),
+    // so rank decays with distance from the seed set and unreached
+    // nodes hold exact 0. Integer arithmetic end-to-end (contrib =
+    // pr·85 div (100·deg)); mass truncation leaks identically in both
+    // engines; 4 unrolled rounds; top-20 with total-order tiebreak.
+    QuerySpec(
+      "graph_ppr",
+      (s, d) => {
+        val e0 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("cnode"),
+            (col("l_suppkey") * 2 + 1).as("snode"))
+          .distinct()
+        val edges = e0.select(col("cnode").as("src"), col("snode").as("dst"))
+          .unionByName(e0.select(col("snode").as("src"), col("cnode").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val withDeg = graft.analytics.Corpus.cached(s, d, "pprEdges") {
+          edges.join(deg, "src").repartition(col("src"))
+        }
+        // seeds: customers 1..5 (packed nodes 2,4,6,8,10)
+        val seedBonus = when(col("node").isin(2L, 4L, 6L, 8L, 10L),
+          lit(150000L)).otherwise(lit(0L))
+        var ranks = withDeg.select(col("src").as("node")).distinct()
+          .select(col("node"),
+            when(col("node").isin(2L, 4L, 6L, 8L, 10L), lit(1000000L))
+              .otherwise(lit(0L)).as("pr"))
+        for (_ <- 1 to 4) {
+          ranks = withDeg.join(ranks, col("src") === col("node"))
+            .select(col("dst"), expr("(pr * 85) div (100 * deg)").as("contrib"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum("contrib").as("inflow"))
+            .select(col("node"), (col("inflow") + seedBonus).as("pr"))
+        }
+        ranks.filter(col("pr") > 0)
+          .select(concat(when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
+            expr("cast(node div 2 as string)")).as("node"), col("pr"))
+          .orderBy(col("pr").desc, col("node")).limit(20)
+      },
+      Some {
+        val iters = (1 to 4).map { t =>
+          s"""
+        r$t AS (
+          SELECT node,
+                 CAST(SUM(contrib)
+                      + CASE WHEN node IN (2, 4, 6, 8, 10) THEN 150000
+                             ELSE 0 END AS BIGINT) AS pr
+          FROM (SELECT e.dst AS node,
+                       (r.pr * 85) // (100 * d.deg) AS contrib
+                FROM edges e JOIN r${t - 1} r ON r.node = e.src
+                             JOIN deg d ON d.src = e.src)
+          GROUP BY node)"""
+        }.mkString(",")
+        s"""
+        WITH e0 AS (
+          SELECT DISTINCT o.o_custkey * 2 AS cnode,
+                          l.l_suppkey * 2 + 1 AS snode
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        edges AS MATERIALIZED (
+          SELECT cnode AS src, snode AS dst FROM e0
+          UNION ALL
+          SELECT snode AS src, cnode AS dst FROM e0),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM edges GROUP BY 1),
+        r0 AS (
+          SELECT DISTINCT src AS node,
+                 CASE WHEN src IN (2, 4, 6, 8, 10) THEN 1000000
+                      ELSE 0 END AS pr
+          FROM edges),$iters
+        SELECT * FROM (
+          SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END
+                 || CAST(node // 2 AS VARCHAR) AS node, pr
+          FROM r4 WHERE pr > 0
+          ORDER BY pr DESC, node LIMIT 20)"""
+      }),
+
+    // ───── k-truss (r13, k=4): the cohesion peel one level above
+    // graph_kcore — keep only edges supported by ≥ 2 triangles,
+    // re-checking support after each removal wave (removing an edge
+    // can break its neighbors' triangles). Per round: ONE symmetrized
+    // adjacency self-join computes every edge's support — cost
+    // O(Σ deg(u)·deg(v)) over surviving edges, the standard
+    // distributed truss-decomposition round — then a semi-join drops
+    // unsupported edges. Spark early-exits when a wave removes
+    // nothing (further rounds are no-ops, so the fixed-3-round oracle
+    // replay is identical — the graph_kcore discipline). Runs on the
+    // w≥2 co-purchase graph so the triangle join is bounded.
+    QuerySpec(
+      "graph_ktruss",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        var e = graft.analytics.Corpus.cached(s, d, "ktrussEdges") {
+          li.as("a")
+            .join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+            .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("u", "v")
+        }.localCheckpoint(true)
+        var prev = e.count()
+        var done = false
+        for (_ <- 1 to 3 if !done) {
+          val adj = e.select(col("u").as("x"), col("v").as("y"))
+            .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+          val sup = e.as("e")
+            .join(adj.as("au"), col("au.x") === col("e.u"))
+            .join(adj.as("av"),
+              col("av.x") === col("e.v") && col("av.y") === col("au.y"))
+            .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+            .agg(count(lit(1)).as("sup"))
+          e = sup.filter(col("sup") >= 2).select("u", "v").localCheckpoint(true)
+          val now = e.count()
+          done = now == prev
+          prev = now
+        }
+        e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+          .agg(count(lit(1)).as("n_truss_nodes"), sum("n").as("node_sum"),
+            sum("dg").as("deg_sum"),
+            (sum("dg") / 2).cast("long").as("n_edges"))
+      },
+      Some {
+        val sb = new StringBuilder("""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2)""")
+        for (r <- 1 to 3) sb.append(s""",
+        adj$r AS MATERIALIZED (
+          SELECT u AS x, v AS y FROM e${r - 1}
+          UNION ALL SELECT v AS x, u AS y FROM e${r - 1}),
+        e$r AS MATERIALIZED (
+          SELECT u, v FROM (
+            SELECT e.u, e.v, COUNT(*) AS sup
+            FROM e${r - 1} e
+            JOIN adj$r au ON au.x = e.u
+            JOIN adj$r av ON av.x = e.v AND av.y = au.y
+            GROUP BY 1, 2)
+          WHERE sup >= 2)""")
+        sb.append("""
+        SELECT COUNT(*) AS n_truss_nodes, CAST(SUM(n) AS BIGINT) AS node_sum,
+               CAST(SUM(dg) AS BIGINT) AS deg_sum,
+               CAST(SUM(dg) // 2 AS BIGINT) AS n_edges
+        FROM (SELECT x AS n, count(*) AS dg FROM
+              (SELECT u AS x FROM e3 UNION ALL SELECT v AS x FROM e3)
+              GROUP BY 1)""")
+        sb.toString
+      })
   )
 }
