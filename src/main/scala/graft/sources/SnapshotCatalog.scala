@@ -33,7 +33,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * name-not-path addressing for the Spark-native store.
   */
 class SnapshotCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -45,6 +46,22 @@ class SnapshotCatalog extends TableCatalog
         s"catalog '$name' requires spark.sql.catalog.$name.root=<dir>"))
   }
   override def name(): String = catalogName
+
+  /** FunctionCatalog face (r13): exposes the store's `bucket` transform
+    * so Spark's storage-partitioned-join machinery can resolve the
+    * KeyGroupedPartitioning every [[SnapshotScan]] reports — the enabler
+    * for zero-exchange snapshot ⋈ snapshot key joins.
+    */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      SnapshotSource.BucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private def dirOf(ident: Identifier): Path =
     new Path((root +: ident.namespace().toSeq :+ ident.name()).mkString("/"))

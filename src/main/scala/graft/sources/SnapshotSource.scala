@@ -102,6 +102,43 @@ object SnapshotSource {
       .eval(InternalRow.empty).asInstanceOf[Long]
     (((h % n) + n) % n).toInt
   }
+
+  /** The store's bucket transform as a V2 catalog function (r13) —
+    * the missing piece for STORAGE-PARTITIONED JOINS: a scan reports
+    * `KeyGroupedPartitioning(bucket(numBuckets, keys))`, Spark resolves
+    * the named `bucket` transform against the table's FunctionCatalog
+    * ([[SnapshotCatalog]]), and two snapshot tables with equal bucket
+    * counts join with ZERO exchange — neither side of a 100 TB ⋈
+    * 100 TB key join moves. The bound function is the write path's own
+    * pmod(xxhash64(keys), n) ([[bucketOf]]), so the reported clustering
+    * can never disagree with where rows physically live.
+    */
+  object BucketFunction
+      extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+    import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+    import org.apache.spark.sql.types.{DataType, IntegerType}
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(numBuckets, keys): the snapshot store's write-side bucket id"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2 &&
+        inputType.fields(0).dataType == IntegerType &&
+        inputType.fields(1).dataType == StringType,
+        s"bucket expects (int, string), got $inputType")
+      Bound
+    }
+    private object Bound extends ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, StringType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer =
+        Integer.valueOf(
+          bucketOf(input.getUTF8String(1).toString, input.getInt(0)))
+    }
+  }
 }
 
 private[sources] class SnapshotTable(path: String,
@@ -228,12 +265,14 @@ private[sources] class SnapshotScanBuilder(path: String,
                                               SnapshotSource.Schema)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var keyLookups: Option[Set[String]] = None
   private var zoneFilters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var topN: Option[(Seq[(String, Boolean)], Int)] = None
   private var aggCols: Option[Seq[SnapshotAggScan.AggCol]] = None
 
   /** Projected (schema-evolution) columns of this table — the surface
@@ -281,6 +320,35 @@ private[sources] class SnapshotScanBuilder(path: String,
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
+  /** TOP-N pushdown (r13), PARTIAL by contract: `ORDER BY <base cols>
+    * LIMIT n` over a snapshot keeps the full per-bucket LWW replay (the
+    * winner for any key can hide in any segment) but each bucket then
+    * emits only its n best rows through a bounded heap — a top-10 over
+    * a 100 TB table ships |buckets|·10 rows into Spark's global TopN
+    * instead of the resolved state. Accepted orderings: the always-
+    * non-null base string columns (keys / op / sequenceNumber), any
+    * direction — so null ordering can't diverge. Projected (schema-
+    * evolution) columns, newImage (nullable), and _bucket are refused
+    * and fall back to the ordinary scan.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val sortable = Set("keys", "op", "sequenceNumber")
+    val cols: Seq[Option[(String, Boolean)]] = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            sortable.contains(nr.fieldNames()(0)) =>
+          Some((nr.fieldNames()(0),
+            o.direction() == SortDirection.DESCENDING))
+        case _ => None
+      }
+    }
+    if (cols.isEmpty || cols.exists(_.isEmpty)) false
+    else { topN = Some((cols.flatten, n)); true }
+  }
+
   /** AGGREGATE pushdown (r11), PARTIAL by contract: a folded segment
     * still carries DELETE markers and a chained bucket needs full LWW
     * replay, so no aggregate over the RESOLVED state can be answered
@@ -305,7 +373,7 @@ private[sources] class SnapshotScanBuilder(path: String,
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
     if (agg.groupByExpressions.nonEmpty || keyLookups.isDefined ||
-        zoneFilters.nonEmpty || limit.isDefined) return false
+        zoneFilters.nonEmpty || limit.isDefined || topN.isDefined) return false
     def col(e: VExpr): Option[String] = e match {
       case f: NamedReference if f.fieldNames.length == 1 &&
           SnapshotSource.Schema.fieldNames.contains(f.fieldNames()(0)) =>
@@ -332,7 +400,7 @@ private[sources] class SnapshotScanBuilder(path: String,
   override def build(): Scan = aggCols match {
     case Some(cols) => new SnapshotAggScan(path, cols, versionAsOf)
     case None => new SnapshotScan(path, required, keyLookups, versionAsOf,
-      limit, zoneFilters, projTypes)
+      limit, zoneFilters, projTypes, topN)
   }
 }
 
@@ -346,15 +414,24 @@ private[sources] class SnapshotScanBuilder(path: String,
 private[sources] case class SnapshotInputPartition(
     bucket: Int, segmentDirs: Seq[String],
     imageExcluded: Seq[Boolean] = Nil) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** Storage-partitioned-join identity (r13): every resolved row of
+    * this partition satisfies bucket(numBuckets, keys) = `bucket` by
+    * the write path's construction.
+    */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 private[graft] class SnapshotScan(path: String, required: StructType,
                                   keyLookups: Option[Set[String]],
                                   versionAsOf: Option[String] = None,
                                   limit: Option[Int] = None,
                                   zoneFilters: Array[Filter] = Array.empty,
-                                  projTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
+                                  projTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+                                  private[graft] val topN: Option[(Seq[(String, Boolean)], Int)] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportPartitioning {
 
   /** Size statistics from the manifest's segment files (r11): without
     * them a V2 relation reports `spark.sql.defaultSizeInBytes`
@@ -450,7 +527,10 @@ private[graft] class SnapshotScan(path: String, required: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-snapshot $path${keyLookups.map(k => s" [${k.size} key lookups]").getOrElse("")}" +
-      versionAsOf.map(v => s" asOf=$v").getOrElse("")
+      versionAsOf.map(v => s" asOf=$v").getOrElse("") +
+      topN.map { case (o, n) =>
+        s" topN=$n(${o.map { case (c, d) => c + (if (d) " DESC" else "") }.mkString(",")})"
+      }.getOrElse("")
 
   // ── RUNTIME bucket pruning (the dynamic-partition-pruning analog):
   // when this table is the probe side of a join on `keys` and the build
@@ -484,13 +564,37 @@ private[graft] class SnapshotScan(path: String, required: StructType,
     if (sets.nonEmpty) runtimeLookups = Some(sets.reduce(_ intersect _))
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Reported physical layout (r13): resolved rows are grouped by the
+    * write path's bucket(numBuckets, keys) and each [[SnapshotInputPartition]]
+    * carries its bucket id as a partition key — so Spark's
+    * storage-partitioned-join machinery (spark.sql.sources.v2.bucketing
+    * .enabled) can equi-join two snapshot tables with equal bucket
+    * counts WITHOUT shuffling either side. The named `bucket` transform
+    * resolves via [[SnapshotCatalog]]'s FunctionCatalog face to
+    * [[SnapshotSource.BucketFunction]].
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    val planned = planInputPartitions()
+    resolveManifest() match {
+      case Some((_, m)) if planned.nonEmpty =>
+        new KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(m.numBuckets, "keys")),
+          planned.length)
+      case _ => new UnknownPartitioning(planned.length)
+    }
+  }
+
+  /** TIME TRAVEL: .option("versionAsOf", <manifest>) reads a retained
+    * committed version through the same pruned/parallel scan; the
+    * committed-set check mirrors readTargetAsOf (a crashed publish's
+    * orphan manifest must not be readable as if it had committed).
+    */
+  private def resolveManifest(): Option[(String, SnapshotStore.Manifest)] = {
     val spark = SparkSession.active
-    // TIME TRAVEL: .option("versionAsOf", <manifest>) reads a retained
-    // committed version through the same pruned/parallel scan; the
-    // committed-set check mirrors readTargetAsOf (a crashed publish's
-    // orphan manifest must not be readable as if it had committed)
-    val manifest = versionAsOf match {
+    versionAsOf match {
       case Some(v) =>
         require(SnapshotStore.versions(spark, path).contains(v),
           s"versionAsOf '$v' is not a committed retained version of '$path'")
@@ -505,6 +609,10 @@ private[graft] class SnapshotScan(path: String, required: StructType,
               "retainVersions or pick a newer retained version"))))
       case None => SnapshotStore.currentManifest(spark, path)
     }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val manifest = resolveManifest()
     val planned: Array[InputPartition] = manifest match {
       case None => Array.empty
       case Some((_, m)) =>
@@ -552,16 +660,18 @@ private[graft] class SnapshotScan(path: String, required: StructType,
     // any real object store
     new SnapshotReaderFactory(required,
       new SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()), limit)
+        SparkSession.active.sessionState.newHadoopConf()), limit, topN)
 }
 
 private[sources] class SnapshotReaderFactory(schema: StructType,
                                              conf: SerializableConfiguration,
-                                             limit: Option[Int])
+                                             limit: Option[Int],
+                                             topN: Option[(Seq[(String, Boolean)], Int)] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SnapshotPartitionReader(
-      partition.asInstanceOf[SnapshotInputPartition], schema, conf.value, limit)
+      partition.asInstanceOf[SnapshotInputPartition], schema, conf.value,
+      limit, topN)
 }
 
 /** Per-bucket merge-on-read resolve through parquet-mr (the executor has
@@ -841,7 +951,8 @@ private[graft] object ZonePrune {
 
 private[sources] class SnapshotPartitionReader(
     p: SnapshotInputPartition, schema: StructType, conf: Configuration,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    topN: Option[(Seq[(String, Boolean)], Int)] = None)
     extends PartitionReader[InternalRow] {
 
   private lazy val rows: Iterator[InternalRow] = {
@@ -861,9 +972,58 @@ private[sources] class SnapshotPartitionReader(
     // winners resolved into zone-map-excluded segments are dropped: the
     // segment's stats prove their values fail the pushed filters (the
     // residual filter above the scan would discard them anyway)
-    val resolved = SnapshotResolve
+    val tuples = SnapshotResolve
       .resolvedEx(p.segmentDirs, p.imageExcluded, conf)
       .collect { case (k, op, seq, img, false) => (k, op, seq, img) }
+    // partial TOP-N pushdown: keep this bucket's n best under the pushed
+    // ordering through a bounded heap (memory O(n), not O(bucket)).
+    // Strings compare as UTF-8 BYTES — Spark orders strings as
+    // UTF8String binary, and java.lang.String.compareTo (UTF-16 code
+    // units) disagrees above the BMP; a divergent per-bucket prune
+    // could drop a row Spark's global TopN would have kept. Ties at the
+    // boundary keep an arbitrary n — safe: resolved keys are unique per
+    // bucket, and for op/sequence ties any minimal n-multiset feeds
+    // Spark's final TopN the same answer set.
+    val pruned = topN match {
+      case Some((ord, n)) =>
+        def cmpStr(a: String, b: String): Int = {
+          val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val m = math.min(x.length, y.length)
+          while (i < m) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+        val tupleOrd = new Ordering[(String, String, String, String)] {
+          private def field(t: (String, String, String, String),
+                            c: String): String = c match {
+            case "keys" => t._1
+            case "op" => t._2
+            case _ => t._3
+          }
+          override def compare(a: (String, String, String, String),
+                               b: (String, String, String, String)): Int = {
+            ord.foreach { case (c, desc) =>
+              val r = cmpStr(field(a, c), field(b, c))
+              if (r != 0) return if (desc) -r else r
+            }
+            0
+          }
+        }
+        val pq = scala.collection.mutable.PriorityQueue
+          .empty[(String, String, String, String)](tupleOrd)
+        tuples.foreach { t =>
+          pq.enqueue(t)
+          if (pq.size > n) pq.dequeue() // evict the current worst
+        }
+        pq.dequeueAll.reverse.iterator
+      case None => tuples
+    }
+    val resolved = pruned
       .map { case (k, op, seq, img) =>
         val node: com.fasterxml.jackson.databind.JsonNode =
           if (mapper != null && img != null)

@@ -293,6 +293,46 @@ class DataSourceV2Spec extends SparkSpec {
       spark.read.format("graft-snapshot").load(dir).limit(100)) === all)
   }
 
+  test("top-N pushdown: ORDER BY base column LIMIT n reaches the scan; " +
+    "results exact both directions") {
+    val dir = tmp("dsv2-topn")
+    buildTarget(dir)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[graft.sources.SnapshotScan] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[graft.sources.SnapshotScan] =>
+        Seq(b.scan.asInstanceOf[graft.sources.SnapshotScan])
+    }.flatten
+    val v2 = spark.read.format("graft-snapshot").load(dir)
+    val asc = v2.orderBy("keys").limit(2)
+    val ascScan = scansOf(asc.queryExecution.executedPlan)
+    assert(ascScan.nonEmpty && ascScan.head.topN ===
+      Some((Seq(("keys", false)), 2)), "topN not pushed for ASC")
+    assert(asc.select("keys").as[String].collect().toSeq === Seq("k1", "k2"))
+    val desc = v2.orderBy(org.apache.spark.sql.functions.col("sequenceNumber").desc)
+      .limit(2)
+    val descScan = scansOf(desc.queryExecution.executedPlan)
+    assert(descScan.nonEmpty && descScan.head.topN ===
+      Some((Seq(("sequenceNumber", true)), 2)), "topN not pushed for DESC")
+    // resolved state sequences: k1=001, k2=012, k4=004, k5=015
+    assert(desc.select("sequenceNumber").as[String].collect().toSeq ===
+      Seq("015", "012"))
+    // LWW must hold THROUGH the pruned emission: k2's winner is 012,
+    // never the stale 005 delivered later
+    assert(!desc.select("newImage").as[String].collect()
+      .contains("""{"v":-9}"""))
+    // nullable / projected orderings are refused: plain scan, exact result
+    val img = v2.orderBy("newImage").limit(2)
+    val imgScan = scansOf(img.queryExecution.executedPlan)
+    assert(imgScan.isEmpty || imgScan.head.topN.isEmpty,
+      "nullable newImage ordering must not push")
+    assert(img.count() === 2L)
+  }
+
   test("unoptioned V2 writes take sequential batchIds: max retained manifest + 1") {
     val dir = tmp("dsv2-autoid")
     buildTarget(dir) // batches 1, 2, 3
@@ -372,6 +412,52 @@ class DataSourceV2Spec extends SparkSpec {
     assert(!filtered.queryExecution.executedPlan.toString
       .contains("graft-snapshot-agg"))
     assert(filtered.collect()(0).getLong(0) === 1L)
+  }
+
+  test("storage-partitioned join: snapshot ⋈ snapshot on keys runs with ZERO exchange") {
+    val root = catalogRoot
+    buildTarget(s"$root/spj/a")
+    SnapshotStore.mergeIntoTarget(spark, s"$root/spj/b", batchId = 1, delta = delta(
+      ("k1", "PUT", "101", Some("""{"w":1}""")),
+      ("k2", "PUT", "102", Some("""{"w":2}""")),
+      ("k6", "PUT", "106", Some("""{"w":6}"""))))
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = spark.sql(
+        """SELECT a.keys AS keys, a.newImage AS ai, b.newImage AS bi
+           FROM graft.spj.a a JOIN graft.spj.b b ON a.keys = b.keys""")
+      val got = j.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2))).toSet
+      // a's resolved state: k1, k2(v22), k4, k5; b: k1, k2, k6 → k1, k2
+      assert(got === Set(
+        ("k1", """{"v":1}""", """{"w":1}"""),
+        ("k2", """{"v":22}""", """{"w":2}""")))
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan) :+ a
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          nodes(q.plan) :+ q
+        case other => Seq(other)
+      }.flatten
+      val all = nodes(j.queryExecution.executedPlan)
+      val exchanges = all.filter(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      assert(exchanges.isEmpty,
+        s"storage-partitioned join must not exchange either side:\n" +
+          exchanges.map(_.nodeName).mkString(", "))
+      // the join really is keyed (not a degenerate cartesian fallback)
+      assert(all.exists(n => n.nodeName.toLowerCase.contains("join")),
+        "no join node found")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("catalog plugin: SELECT / INSERT INTO / DELETE FROM on name-addressed snapshot tables") {
