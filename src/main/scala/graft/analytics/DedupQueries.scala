@@ -1413,6 +1413,64 @@ object DedupQueries {
           JOIN good g ON g.selg = a.selg
           GROUP BY 1, 2)
         SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
-        FROM pairs WHERE n_shared >= 2"""))
+        FROM pairs WHERE n_shared >= 2""")),
+
+    // ───── Canonical pick among exact-content duplicates (r13): the
+    // KEEP side of deduplication — dedup_exact counts what survives,
+    // this operator decides WHICH copy survives when the same text
+    // arrives from multiple sources (original vs mirror crawl). Policy:
+    // lowest source-priority rank wins (originals over 'mirror'), then
+    // min doc_id as the total-order tiebreak — the standard curation
+    // rule "prefer the earliest authoritative copy". Groups ride ONE
+    // hash shuffle on the content key; the per-group argmin is a
+    // window over group-sized frames (duplicate multiplicity, never
+    // corpus-sized). Output is the per-language keep/drop ledger with
+    // id checksums so the exact pick set is hash-gated.
+    QuerySpec(
+      "dedup_keep_best",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val mirrored = docs.unionAll(
+          docs.filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"),
+              col("lang"), lit("mirror").as("source"), col("n_chars")))
+        val prio = when(col("source") === "mirror", 1).otherwise(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "text").orderBy(prio.asc, col("doc_id").asc)
+        mirrored
+          .withColumn("rn", row_number().over(w))
+          .withColumn("keep", col("rn") === 1)
+          .groupBy("lang")
+          .agg(
+            // group count = winners count (one rn=1 per group) — no
+            // distinct-agg over full text payloads
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_groups"),
+            count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+            sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"),
+            sum(when(col("keep"), 0L).otherwise(col("doc_id"))).as("dropped_id_sum"))
+      },
+      Some("""
+        WITH mirrored AS (
+          SELECT doc_id, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000000, text, lang, 'mirror'
+          FROM documents WHERE doc_id % 4 = 0),
+        ranked AS (
+          SELECT lang, text, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang, text
+                   ORDER BY CASE WHEN source = 'mirror' THEN 1 ELSE 0 END,
+                            doc_id) AS rn
+          FROM mirrored)
+        SELECT lang, CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_groups,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_dropped,
+               CAST(SUM(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+                 AS kept_id_sum,
+               CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE doc_id END) AS BIGINT)
+                 AS dropped_id_sum
+        FROM ranked GROUP BY 1"""))
   )
 }

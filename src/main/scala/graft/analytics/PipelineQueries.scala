@@ -972,6 +972,45 @@ object PipelineQueries {
           GROUP BY 1, 2)
         SELECT s.strategy, s.split, s.n_docs, s.n_groups,
                CAST(COALESCE(l.leak_pairs, 0) AS BIGINT) AS cross_split_pairs
-        FROM stats s LEFT JOIN leak l USING (strategy, split)"""))
+        FROM stats s LEFT JOIN leak l USING (strategy, split)""")),
+
+    // ───── Systematic 1-in-k sampling (r13): every 97th document in a
+    // deterministic hash order — the equal-spacing complement to
+    // sample_hash's threshold rule (systematic sampling guarantees the
+    // sample is spread EVENLY through the (hashed) population, never
+    // clustered, and its size is exactly ⌈n/97⌉ rather than
+    // binomially distributed). The global position rides RankedPrefix
+    // under the total order (md5(seed ‖ doc_id), doc_id) — the
+    // rand-free md5-keyed discipline every sampler here follows; rank
+    // % 97 = 1 picks the sample in both engines identically.
+    QuerySpec(
+      "sample_systematic",
+      (s, d) => {
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            md5(concat(lit("sys13:"), col("doc_id").cast("string"))).as("h"))
+        graft.ops.RankedPrefix(s, d, "sysSample", keyed,
+            part = Nil, order = Seq(col("h"), col("doc_id")),
+            rank = Some("r"))
+          .filter(col("r") % 97 === 1)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum("doc_id").as("id_sum"),
+            min("r").as("first_pos"), max("r").as("last_pos"))
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id, lang,
+                 md5('sys13:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (ORDER BY h, doc_id) AS r
+          FROM keyed)
+        SELECT lang, COUNT(*) AS n_sampled,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+               CAST(MIN(r) AS BIGINT) AS first_pos,
+               CAST(MAX(r) AS BIGINT) AS last_pos
+        FROM ranked WHERE r % 97 = 1 GROUP BY 1"""))
   )
 }

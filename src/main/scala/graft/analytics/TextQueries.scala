@@ -2238,6 +2238,50 @@ object TextQueries {
                CAST(count(CASE WHEN v <> 0 THEN 1 END) AS BIGINT) AS nnz,
                CAST(SUM(abs(v)) AS BIGINT) AS l1,
                CAST(SUM(v * (dim + 1)) AS BIGINT) AS checksum
-        FROM v GROUP BY doc_id"""))
+        FROM v GROUP BY doc_id""")),
+
+    // ───── Zipf rank-frequency profile (r13): the corpus-health
+    // readout behind text_vocab_growth's Heaps curve — Zipf's law says
+    // rank·frequency ≈ constant, so the per-decade mean r·f exposes
+    // both the head's conformance and the tail's deviation (a corpus
+    // whose bands diverge wildly is template- or spam-heavy). Term
+    // counts are ONE hash-agg over exploded tokens; the global
+    // frequency rank rides RankedPrefix over the VOCABULARY (not the
+    // corpus — the inverted-index cardinality argument) under the
+    // total order (tf DESC, term); the decade band is the rank's
+    // DIGIT COUNT (length of its decimal string — exact ⌊log10⌋+1 in
+    // both engines, no libm). mean_rf truncates identically via div.
+    QuerySpec(
+      "text_zipf_band",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(explode(expr("split(text, ' ')")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("tf"))
+        graft.ops.RankedPrefix(s, d, "zipfRank", tf,
+            part = Nil, order = Seq(col("tf").desc, col("term")),
+            rank = Some("r"))
+          .withColumn("band", length(col("r").cast("string")))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_terms"),
+            sum("tf").as("mass"),
+            sum(col("r") * col("tf")).as("rf_sum"))
+          .select(col("band"), col("n_terms"), col("mass"),
+            expr("rf_sum div n_terms").as("mean_rf"))
+      },
+      Some("""
+        WITH tf AS (
+          SELECT term, COUNT(*) AS tf
+          FROM (SELECT unnest(string_split(text, ' ')) AS term
+                FROM documents)
+          GROUP BY 1),
+        ranked AS (
+          SELECT tf, term,
+                 ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS r
+          FROM tf)
+        SELECT CAST(length(CAST(r AS VARCHAR)) AS INTEGER) AS band,
+               COUNT(*) AS n_terms,
+               CAST(SUM(tf) AS BIGINT) AS mass,
+               CAST(SUM(r * tf) // COUNT(*) AS BIGINT) AS mean_rf
+        FROM ranked GROUP BY 1"""))
   )
 }

@@ -2216,6 +2216,45 @@ object StatQueries {
                              THEN v ELSE 0 END) AS BIGINT) AS med2_us,
                CAST(SUM(CASE WHEN k-n_i < (9*n+9)//10 AND (9*n+9)//10 <= k
                              THEN v ELSE 0 END) AS BIGINT) AS p90_us
-        FROM r GROUP BY 1"""))
+        FROM r GROUP BY 1""")),
+
+    // ───── Confusion matrix at a fixed operating point (r13): the
+    // deployment-time readout of the value≥50.00 purchase predictor
+    // whose full sweep ml_pr_curve draws and whose ranking ml_auc_rank
+    // scores — TP/FP/FN/TN plus precision/recall/F1 in exact ppm (one
+    // truncating integer division each, nonnegative so div and //
+    // agree). ONE map-side hash-agg over the event stream; everything
+    // after is a single row.
+    QuerySpec(
+      "ml_confusion",
+      (s, d) => events(s, d)
+        .select(
+          (expr("cast(round(value * 100) as bigint)") >= 5000L).as("pred"),
+          (col("event_type") === "purchase").as("act"))
+        .agg(
+          sum(when(col("pred") && col("act"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && !col("act"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && col("act"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("pred") && !col("act"), 1L).otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
+          expr("tp * 1000000 div (tp + fn)").as("recall_ppm"),
+          expr("2 * tp * 1000000 div (2 * tp + fp + fn)").as("f1_ppm")),
+      Some("""
+        WITH m AS (
+          SELECT CAST(round(value * 100) AS BIGINT) >= 5000 AS pred,
+                 event_type = 'purchase' AS act
+          FROM events),
+        c AS (
+          SELECT CAST(SUM(CASE WHEN pred AND act THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN pred AND NOT act THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN NOT pred AND act THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                 CAST(SUM(CASE WHEN NOT pred AND NOT act THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM m)
+        SELECT tp, fp, fn, tn,
+               CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+               CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_ppm,
+               CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm
+        FROM c"""))
   )
 }
