@@ -5065,6 +5065,127 @@ object RelationalQueries {
               (SELECT u AS x FROM e3 UNION ALL SELECT v AS x FROM e3)
               GROUP BY 1)""")
         sb.toString
-      })
+      }),
+
+    // ───── Seeded betweenness centrality (r13): Brandes' algorithm
+    // from 2 seed sources over a 3-hop horizon — the brokerage readout
+    // (who sits ON the shortest paths) complementing graph_closeness
+    // (who is NEAR everything). Forward phase: level sets L0..L3 with
+    // path counts σ, each level ONE adjacency equi-join + hash-agg +
+    // anti-join against the visited set (the multiSourceBfs shape,
+    // σ summed along the BFS DAG). Backward phase: dependency δ flows
+    // level-by-level, δ(u) += σ(u)·(1000 + δ(v)) div σ(v) over DAG
+    // edges u→v — the one rational in Brandes, in milli with
+    // truncating integer division so both engines leak identically.
+    // Exact-bounded seeds (the 2 smallest nodes — no collect, the seed
+    // frame stays a DataFrame); per-level cost O(|E|); the unrolled
+    // oracle replays levels as materialized CTEs with NOT EXISTS
+    // visited checks. Top-15 brokers by (bc_milli DESC, node).
+    QuerySpec(
+      "graph_betweenness",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        val e = graft.analytics.Corpus.cached(s, d, "kcoreEdges") {
+          li.as("a")
+            .join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+            .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("u", "v")
+        }
+        val adj = e.select(col("u").as("x"), col("v").as("y"))
+          .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+        val seeds = adj.select(col("x").as("s")).distinct()
+          .orderBy("s").limit(2)
+        val l0 = seeds.select(col("s").as("seed"), col("s").as("node"),
+          lit(1L).as("sigma")).localCheckpoint(true)
+        def expand(lv: DataFrame, visited: DataFrame): DataFrame =
+          adj.join(lv.select(col("seed"), col("node").as("x"), col("sigma")), "x")
+            .groupBy(col("seed"), col("y").as("node"))
+            .agg(sum("sigma").as("sigma"))
+            .join(visited, Seq("seed", "node"), "left_anti")
+            .localCheckpoint(true)
+        val v0 = l0.select("seed", "node")
+        val l1 = expand(l0, v0)
+        val v1 = v0.unionAll(l1.select("seed", "node")).localCheckpoint(true)
+        val l2 = expand(l1, v1)
+        val v2 = v1.unionAll(l2.select("seed", "node")).localCheckpoint(true)
+        val l3 = expand(l2, v2)
+        def backprop(lv: DataFrame, next: DataFrame,
+                     deltaNext: DataFrame): DataFrame =
+          adj.join(lv.select(col("seed"), col("node").as("x"),
+              col("sigma").as("sigma_u")), "x")
+            .join(next.select(col("seed"), col("node").as("y"),
+              col("sigma").as("sigma_v")), Seq("seed", "y"))
+            .join(deltaNext.select(col("seed"), col("u").as("y"),
+              col("delta").as("dnext")), Seq("seed", "y"), "left")
+            .select(col("seed"), col("x").as("u"),
+              expr("sigma_u * (1000 + coalesce(dnext, 0)) div sigma_v")
+                .as("term"))
+            .groupBy("seed", "u").agg(sum("term").as("delta"))
+        val emptyDelta = l0.select(col("seed"), col("node").as("u"),
+          col("sigma").as("delta")).limit(0)
+        val d2 = backprop(l2, l3, emptyDelta).localCheckpoint(true)
+        val d1 = backprop(l1, l2, d2)
+        d1.unionAll(d2)
+          .groupBy(col("u").as("node"))
+          .agg(sum("delta").as("bc_milli"))
+          .orderBy(col("bc_milli").desc, col("node")).limit(15)
+      },
+      Some("""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        adj AS MATERIALIZED (
+          SELECT u AS x, v AS y FROM e0
+          UNION ALL SELECT v AS x, u AS y FROM e0),
+        seeds AS (SELECT DISTINCT x AS s FROM adj ORDER BY x LIMIT 2),
+        l0 AS MATERIALIZED (
+          SELECT s AS seed, s AS node, CAST(1 AS BIGINT) AS sigma FROM seeds),
+        l1 AS MATERIALIZED (
+          SELECT g.seed, g.node, g.sigma FROM (
+            SELECT l.seed, a.y AS node, SUM(l.sigma) AS sigma
+            FROM l0 l JOIN adj a ON a.x = l.node GROUP BY 1, 2) g
+          WHERE NOT EXISTS (SELECT 1 FROM l0 v
+                            WHERE v.seed = g.seed AND v.node = g.node)),
+        l2 AS MATERIALIZED (
+          SELECT g.seed, g.node, g.sigma FROM (
+            SELECT l.seed, a.y AS node, SUM(l.sigma) AS sigma
+            FROM l1 l JOIN adj a ON a.x = l.node GROUP BY 1, 2) g
+          WHERE NOT EXISTS (SELECT 1 FROM l0 v
+                            WHERE v.seed = g.seed AND v.node = g.node)
+            AND NOT EXISTS (SELECT 1 FROM l1 v
+                            WHERE v.seed = g.seed AND v.node = g.node)),
+        l3 AS MATERIALIZED (
+          SELECT g.seed, g.node, g.sigma FROM (
+            SELECT l.seed, a.y AS node, SUM(l.sigma) AS sigma
+            FROM l2 l JOIN adj a ON a.x = l.node GROUP BY 1, 2) g
+          WHERE NOT EXISTS (SELECT 1 FROM l0 v
+                            WHERE v.seed = g.seed AND v.node = g.node)
+            AND NOT EXISTS (SELECT 1 FROM l1 v
+                            WHERE v.seed = g.seed AND v.node = g.node)
+            AND NOT EXISTS (SELECT 1 FROM l2 v
+                            WHERE v.seed = g.seed AND v.node = g.node)),
+        d2 AS MATERIALIZED (
+          SELECT l.seed, l.node AS u,
+                 CAST(SUM(l.sigma * 1000 // t.sigma) AS BIGINT) AS delta
+          FROM l2 l JOIN adj a ON a.x = l.node
+          JOIN l3 t ON t.seed = l.seed AND t.node = a.y
+          GROUP BY 1, 2),
+        d1 AS MATERIALIZED (
+          SELECT l.seed, l.node AS u,
+                 CAST(SUM(l.sigma * (1000 + COALESCE(dn.delta, 0)) // t.sigma)
+                   AS BIGINT) AS delta
+          FROM l1 l JOIN adj a ON a.x = l.node
+          JOIN l2 t ON t.seed = l.seed AND t.node = a.y
+          LEFT JOIN d2 dn ON dn.seed = t.seed AND dn.u = t.node
+          GROUP BY 1, 2)
+        SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_milli
+        FROM (SELECT seed, u AS node, delta FROM d1
+              UNION ALL SELECT seed, u, delta FROM d2)
+        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 15"""))
   )
 }

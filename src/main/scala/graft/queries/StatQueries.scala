@@ -2255,6 +2255,199 @@ object StatQueries {
                CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
                CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_ppm,
                CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm
-        FROM c"""))
+        FROM c""")),
+
+    // ───── Kendall tau-b trend test (r13): the third nonparametric
+    // trend detector next to stat_spearman (rank correlation) and
+    // events_theil_sen (median slope) — tau counts concordant vs
+    // discordant day pairs of the daily purchase series, so it is
+    // robust to ANY monotone distortion of the counts. The pair
+    // enumeration is a self-join over the CALENDAR-bounded daily
+    // aggregate (30 days → ≤435 pairs at any corpus size — the
+    // events_seasonality frame argument), never the event stream.
+    // Days strictly order (no x-ties), so tau-b's tie correction
+    // reduces to the y side: tau = (C−D)/sqrt(n0·(n0−n2)), all terms
+    // exact integers, one final double.
+    QuerySpec(
+      "stat_kendall_tau",
+      (s, d) => {
+        val daily = events(s, d).filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val pairs = daily.as("a").join(daily.as("b"),
+            col("a.day") < col("b.day"))
+          .agg(
+            sum(when(col("a.c") < col("b.c"), 1L).otherwise(0L)).as("concordant"),
+            sum(when(col("a.c") > col("b.c"), 1L).otherwise(0L)).as("discordant"),
+            sum(when(col("a.c") === col("b.c"), 1L).otherwise(0L)).as("y_ties"))
+        val n = daily.agg(count(lit(1)).as("n_days"))
+        pairs.crossJoin(n)
+          .select(col("n_days"), col("concordant"), col("discordant"),
+            expr("""cast(
+                (cast(concordant as double) - cast(discordant as double))
+                / sqrt((cast(n_days as double) * (cast(n_days as double) - 1) / 2)
+                       * (cast(n_days as double) * (cast(n_days as double) - 1) / 2
+                          - cast(y_ties as double)))
+              as double)""").as("tau"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        pairs AS (
+          SELECT CAST(SUM(CASE WHEN a.c < b.c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS concordant,
+                 CAST(SUM(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS discordant,
+                 CAST(SUM(CASE WHEN a.c = b.c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS y_ties
+          FROM daily a JOIN daily b ON a.day < b.day),
+        n AS (SELECT COUNT(*) AS n_days FROM daily)
+        SELECT CAST(n_days AS BIGINT) AS n_days, concordant, discordant,
+               (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+               / sqrt((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1) / 2)
+                      * (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1) / 2
+                         - CAST(y_ties AS DOUBLE))) AS tau
+        FROM pairs CROSS JOIN n""")),
+
+    // ───── Wald–Wolfowitz runs test (r13): is the daily event volume
+    // RANDOM around its median, or does it streak (autocorrelated
+    // load, regime shifts)? Completes the nonparametric suite:
+    // stat_mann_whitney (location), stat_kendall_tau (trend), runs
+    // (independence). The median is the doubled positional med2 over
+    // the calendar-bounded daily aggregate; a day is 'above' iff
+    // 2·count > med2 (ties are below, spelled in both engines); runs
+    // count via ONE lag window over days; z is the final double from
+    // exact integers. Everything after the daily hash-agg is
+    // calendar-sized.
+    QuerySpec(
+      "stat_runs_test",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.orderBy("c", "day")
+        val med = daily
+          .withColumn("r", row_number().over(w))
+          .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"))))
+          .agg((sum(expr("case when r = (n+1) div 2 then c else 0 end"))
+            + sum(expr("case when r = (n+2) div 2 then c else 0 end")))
+            .as("med2"))
+        val signed = daily.crossJoin(broadcast(med))
+          .withColumn("above", (col("c") * 2 > col("med2")).cast("long"))
+        val wd = Window.orderBy("day")
+        signed
+          .withColumn("prev", lag("above", 1).over(wd))
+          .agg(count(lit(1)).as("n_days"),
+            sum("above").as("n_above"),
+            (count(lit(1)) - sum("above")).as("n_below"),
+            (sum(when(col("prev").isNull ||
+              col("prev") =!= col("above"), 1L).otherwise(0L))).as("runs"))
+          .select(col("n_days"), col("n_above"), col("n_below"), col("runs"),
+            expr("""cast(
+                (cast(runs as double)
+                 - (1 + 2 * cast(n_above as double) * cast(n_below as double)
+                        / cast(n_days as double)))
+                / sqrt(2 * cast(n_above as double) * cast(n_below as double)
+                       * (2 * cast(n_above as double) * cast(n_below as double)
+                          - cast(n_days as double))
+                       / (cast(n_days as double) * cast(n_days as double)
+                          * (cast(n_days as double) - 1)))
+              as double)""").as("z"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+          FROM events GROUP BY 1),
+        med AS (
+          SELECT CAST(SUM(CASE WHEN r = (n+1)//2 THEN c ELSE 0 END)
+                    + SUM(CASE WHEN r = (n+2)//2 THEN c ELSE 0 END) AS BIGINT)
+                   AS med2
+          FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c, day) AS r,
+                       COUNT(*) OVER () AS n
+                FROM daily)),
+        signed AS (
+          SELECT day, CASE WHEN c * 2 > med.med2 THEN 1 ELSE 0 END AS above
+          FROM daily CROSS JOIN med),
+        seq AS (
+          SELECT above, LAG(above) OVER (ORDER BY day) AS prev FROM signed),
+        sums AS (
+          SELECT COUNT(*) AS n_days,
+                 CAST(SUM(above) AS BIGINT) AS n_above,
+                 CAST(COUNT(*) - SUM(above) AS BIGINT) AS n_below,
+                 CAST(SUM(CASE WHEN prev IS NULL OR prev <> above
+                               THEN 1 ELSE 0 END) AS BIGINT) AS runs
+          FROM seq)
+        SELECT CAST(n_days AS BIGINT) AS n_days, n_above, n_below, runs,
+               (CAST(runs AS DOUBLE)
+                - (1 + 2 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                       / CAST(n_days AS DOUBLE)))
+               / sqrt(2 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                      * (2 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                         - CAST(n_days AS DOUBLE))
+                      / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                         * (CAST(n_days AS DOUBLE) - 1))) AS z
+        FROM sums""")),
+
+    // ───── Winsorized mean (r13): the robust location estimate that
+    // CLAMPS tails instead of dropping them (sample_trim_tails removes
+    // rows; winsorizing preserves mass, the estimator production
+    // metric pipelines prefer when row counts must reconcile). The
+    // p05/p95 cut points are exact order statistics over the per-cent
+    // value histogram (bounded by the value domain — the ml_auc_rank
+    // cardinality argument); rows then clamp via one broadcast join +
+    // least/greatest, and the winsorized mean is exact milli through
+    // one truncating division. Two hash-aggs + one bounded window.
+    QuerySpec(
+      "agg_winsorized_mean",
+      (s, d) => {
+        val cents = events(s, d).select(col("event_type"),
+          expr("cast(floor(value * 100) as bigint)").as("c"))
+        val h = cents.groupBy(col("event_type"), col("c").as("v"))
+          .agg(count(lit(1)).as("n_i"))
+        val w = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cuts = h
+          .withColumn("k", sum("n_i").over(w))
+          .withColumn("n", sum("n_i").over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(
+            sum(expr("case when k - n_i < (n+19) div 20 and (n+19) div 20 <= k then v else 0 end")).as("lo_cents"),
+            sum(expr("case when k - n_i < (19*n+19) div 20 and (19*n+19) div 20 <= k then v else 0 end")).as("hi_cents"))
+        cents.join(broadcast(cuts), "event_type")
+          .select(col("event_type"), col("lo_cents"), col("hi_cents"),
+            greatest(col("lo_cents"), least(col("hi_cents"), col("c"))).as("wc"))
+          .groupBy("event_type", "lo_cents", "hi_cents")
+          .agg(count(lit(1)).as("n"),
+            // DECIMAL(38) headroom: Σwc·1000 reaches 5e19 at 1e12 rows
+            // of 5e4-cent values — past int64
+            expr("""cast(cast(sum(wc) as decimal(38,0)) * 1000
+                    div count(1) as bigint)""").as("wmean_milli"))
+      },
+      Some("""
+        WITH cents AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events),
+        h AS (
+          SELECT event_type, c AS v, COUNT(*) AS n_i
+          FROM cents GROUP BY 1, 2),
+        r AS (
+          SELECT event_type, v, n_i,
+                 SUM(n_i) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+                 SUM(n_i) OVER (PARTITION BY event_type) AS n
+          FROM h),
+        cuts AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN k - n_i < (n+19)//20 AND (n+19)//20 <= k
+                               THEN v ELSE 0 END) AS BIGINT) AS lo_cents,
+                 CAST(SUM(CASE WHEN k - n_i < (19*n+19)//20 AND (19*n+19)//20 <= k
+                               THEN v ELSE 0 END) AS BIGINT) AS hi_cents
+          FROM r GROUP BY 1)
+        SELECT c.event_type, cu.lo_cents, cu.hi_cents, COUNT(*) AS n,
+               CAST(SUM(GREATEST(cu.lo_cents, LEAST(cu.hi_cents, c.c))) * 1000
+                    // COUNT(*) AS BIGINT) AS wmean_milli
+        FROM cents c JOIN cuts cu ON cu.event_type = c.event_type
+        GROUP BY 1, 2, 3"""))
   )
 }
