@@ -4853,9 +4853,15 @@ object RelationalQueries {
             .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
             .distinct()
         }
+        // each half-step MATERIALIZES (localCheckpoint) before its L1
+        // total: the scalar aggregate and the row consumer read the
+        // SAME frame, and an unmaterialized lineage would re-derive
+        // the whole prefix for both — doubling work per half-step,
+        // 2^8 by round 4 (measured: the bench run that caught it)
         def l1ppm(df: DataFrame, key: String, raw: String) = {
-          val tot = df.agg(sum(raw).cast("decimal(38,0)").as("tot"))
-          df.crossJoin(broadcast(tot))
+          val mat = df.localCheckpoint(true)
+          val tot = mat.agg(sum(raw).cast("decimal(38,0)").as("tot"))
+          mat.crossJoin(broadcast(tot))
             .select(col(key),
               expr(s"cast(cast($raw as decimal(38,0)) * 1000000 div tot as bigint)")
                 .as(raw.dropRight(4)))

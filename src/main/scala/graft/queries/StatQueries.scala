@@ -2448,6 +2448,70 @@ object StatQueries {
                CAST(SUM(GREATEST(cu.lo_cents, LEAST(cu.hi_cents, c.c))) * 1000
                     // COUNT(*) AS BIGINT) AS wmean_milli
         FROM cents c JOIN cuts cu ON cu.event_type = c.event_type
-        GROUP BY 1, 2, 3"""))
+        GROUP BY 1, 2, 3""")),
+
+    // ───── Deterministic resampling CI (r13): an uncertainty band on
+    // the per-type mean value WITHOUT distributional assumptions — the
+    // bootstrap idea under the house rand-free rule: rep r ∈ [0,32)
+    // weights each event by md5("bs13:" ‖ r ‖ event_id) mod 3 ∈
+    // {0,1,2} (mean-1 integer weights; variance 2/3 of Poisson(1)
+    // bootstrap — a deterministic RESAMPLING scheme, stated as such,
+    // not an exact bootstrap replica). Each rep is one weighted mean
+    // in exact milli; the 32-rep band collapses to min/med2/max over a
+    // 32-row frame (the agg_mode bounded-global-window class). ONE
+    // pass over events × 32 reps via a generated rep axis — no
+    // per-rep scan, no rand(), replayable bit-exact in both engines.
+    QuerySpec(
+      "events_bootstrap_ci",
+      (s, d) => {
+        val reps = s.range(0, 32).select(col("id").cast("int").as("rep"))
+        val weighted = events(s, d)
+          .select(col("event_type"), col("event_id"),
+            expr("cast(floor(value * 100) as bigint)").as("c"))
+          .crossJoin(broadcast(reps))
+          .withColumn("w",
+            expr("""cast(conv(substring(md5(concat('bs13:', cast(rep as string),
+                    ':', cast(event_id as string))), 1, 8), 16, 10) as bigint) % 3"""))
+        val repMeans = weighted.groupBy("event_type", "rep")
+          .agg(expr("""cast(cast(sum(w * c) as decimal(38,0)) * 1000
+                       div sum(w) as bigint)""").as("mean_milli"))
+        val w32 = Window.partitionBy("event_type").orderBy("mean_milli", "rep")
+        repMeans
+          .withColumn("r", row_number().over(w32))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_reps"),
+            min("mean_milli").as("lo_milli"),
+            (sum(expr("case when r = 16 then mean_milli else 0 end"))
+              + sum(expr("case when r = 17 then mean_milli else 0 end")))
+              .as("med2_milli"),
+            max("mean_milli").as("hi_milli"))
+      },
+      Some("""
+        WITH reps AS (SELECT CAST(g AS INTEGER) AS rep
+                      FROM generate_series(0, 31) t(g)),
+        weighted AS (
+          SELECT e.event_type, r.rep,
+                 CAST(floor(e.value * 100) AS BIGINT) AS c,
+                 CAST(CAST('0x' || substring(md5('bs13:' || CAST(r.rep AS VARCHAR)
+                      || ':' || CAST(e.event_id AS VARCHAR)), 1, 8) AS BIGINT)
+                      AS BIGINT) % 3 AS w
+          FROM events e CROSS JOIN reps r),
+        repmeans AS (
+          SELECT event_type, rep,
+                 CAST(CAST(SUM(w * c) AS HUGEINT) * 1000
+                      // SUM(w) AS BIGINT) AS mean_milli
+          FROM weighted GROUP BY 1, 2),
+        ranked AS (
+          SELECT event_type, mean_milli,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY mean_milli, rep) AS r
+          FROM repmeans)
+        SELECT event_type, COUNT(*) AS n_reps,
+               CAST(MIN(mean_milli) AS BIGINT) AS lo_milli,
+               CAST(SUM(CASE WHEN r = 16 THEN mean_milli ELSE 0 END)
+                  + SUM(CASE WHEN r = 17 THEN mean_milli ELSE 0 END) AS BIGINT)
+                 AS med2_milli,
+               CAST(MAX(mean_milli) AS BIGINT) AS hi_milli
+        FROM ranked GROUP BY 1"""))
   )
 }
