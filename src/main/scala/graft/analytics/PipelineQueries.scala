@@ -1011,6 +1011,53 @@ object PipelineQueries {
                CAST(SUM(doc_id) AS BIGINT) AS id_sum,
                CAST(MIN(r) AS BIGINT) AS first_pos,
                CAST(MAX(r) AS BIGINT) AS last_pos
-        FROM ranked WHERE r % 97 = 1 GROUP BY 1"""))
+        FROM ranked WHERE r % 97 = 1 GROUP BY 1""")),
+
+    // ───── Token-budget cut (r13): the question every training run
+    // actually asks — "I can afford B tokens; which documents make the
+    // cut?" Documents rank under the declared priority order
+    // (n_chars DESC — longest-first is the stated policy, any total
+    // order slots in; doc_id tiebreak), the INCLUSIVE running token
+    // sum rides RankedPrefix (corpus-proportional prefix sums shard;
+    // the single-task window would be the job at 100 TB), and a doc is
+    // IN iff its running sum ≤ B = 100k tokens. Per-language ledger
+    // with id checksums hash-gates the exact cut set; the budget
+    // boundary is deterministic because the order is total.
+    QuerySpec(
+      "curation_token_budget",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            expr("size(split(text, ' '))").cast("long").as("tok"))
+        graft.ops.RankedPrefix(s, d, "tokBudget", toks,
+            part = Nil, order = Seq(col("n_chars").desc, col("doc_id")),
+            rank = Some("r"), running = Seq(("cum_tok", col("tok"))))
+          .withColumn("kept", col("cum_tok") <= 100000L)
+          .groupBy("lang")
+          .agg(
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), col("tok")).otherwise(0L)).as("tok_kept"),
+            sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, n_chars,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, lang, tok,
+                 SUM(tok) OVER (ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+          FROM toks)
+        SELECT lang,
+               CAST(SUM(CASE WHEN cum_tok <= 100000 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN cum_tok <= 100000 THEN tok ELSE 0 END) AS BIGINT)
+                 AS tok_kept,
+               CAST(SUM(CASE WHEN cum_tok <= 100000 THEN doc_id ELSE 0 END) AS BIGINT)
+                 AS kept_id_sum
+        FROM ranked GROUP BY 1"""))
   )
 }

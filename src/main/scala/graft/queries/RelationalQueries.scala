@@ -5192,6 +5192,80 @@ object RelationalQueries {
         SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_milli
         FROM (SELECT seed, u AS node, delta FROM d1
               UNION ALL SELECT seed, u, delta FROM d2)
-        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 15"""))
+        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 15""")),
+
+    // ───── Time-decay attribution (r13): the multi-touch model between
+    // events_attribution's last-touch (one winner) and the U-shape
+    // (fixed positions) — EVERY view/click in the 7-day lookback gets
+    // credit, halving per day of age. Exact by clearing the dyadic
+    // denominator: weight = 2^(30−age_days) via shiftleft (age ≤ 7 by
+    // the window), per-purchase total W rides a (user, purchase)-keyed
+    // window over the pair frame, credit = cents·w div W truncating —
+    // the only rational, identical in both engines; touchless
+    // purchases credit 'direct' in full (anti-join). Pairs come from a
+    // user-keyed equi-join with the time predicate (the
+    // join_pit_features class: per-user touch×purchase fan-out, never
+    // cross-user).
+    QuerySpec(
+      "events_attribution_decay",
+      (s, d) => {
+        val ev = events(s, d)
+        val touches = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("event_type").as("channel"),
+            unix_micros(col("ts")).as("t_us"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"),
+            unix_micros(col("ts")).as("p_us"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+        val pairs = purch.join(touches, Seq("user_id"))
+          .filter(col("t_us") < col("p_us") &&
+            col("p_us") - col("t_us") <= lit(7L * 86400L * 1000000L))
+          .withColumn("w", expr(
+            "shiftleft(1L, cast(30 - (p_us - t_us) div 86400000000 as int))"))
+        val wp = Window.partitionBy("user_id", "pid")
+        val credited = pairs
+          .withColumn("wtot", sum("w").over(wp))
+          .select(col("channel"),
+            expr("cents * w div wtot").as("credit_cents"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_touches"),
+            sum("credit_cents").as("credit_cents"))
+        val direct = purch.join(
+            pairs.select("pid").distinct(), Seq("pid"), "left_anti")
+          .agg(count(lit(1)).as("n_touches"), sum("cents").as("credit_cents"))
+          .select(lit("direct").as("channel"), col("n_touches"),
+            coalesce(col("credit_cents"), lit(0L)).as("credit_cents"))
+        credited.unionByName(direct)
+      },
+      Some("""
+        WITH touches AS (
+          SELECT user_id, event_type AS channel, epoch_us(ts) AS t_us
+          FROM events WHERE event_type IN ('view', 'click')),
+        purch AS (
+          SELECT user_id, event_id AS pid, epoch_us(ts) AS p_us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        pairs AS (
+          SELECT p.pid, p.user_id, p.cents, t.channel,
+                 (1::BIGINT << CAST(30 - (p.p_us - t.t_us) // 86400000000
+                               AS INTEGER)) AS w
+          FROM purch p JOIN touches t ON t.user_id = p.user_id
+          WHERE t.t_us < p.p_us
+            AND p.p_us - t.t_us <= 604800000000::BIGINT)
+        SELECT channel, n_touches, credit_cents FROM (
+          SELECT channel,
+                 COUNT(*) AS n_touches,
+                 CAST(SUM(credit) AS BIGINT) AS credit_cents
+          FROM (
+            SELECT channel,
+                   cents * w // SUM(w) OVER (PARTITION BY user_id, pid)
+                     AS credit
+            FROM pairs)
+          GROUP BY 1
+          UNION ALL
+          SELECT 'direct', COUNT(*),
+                 CAST(COALESCE(SUM(p.cents), 0) AS BIGINT)
+          FROM purch p
+          WHERE NOT EXISTS (SELECT 1 FROM pairs x WHERE x.pid = p.pid))"""))
   )
 }

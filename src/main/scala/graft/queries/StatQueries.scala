@@ -2512,6 +2512,149 @@ object StatQueries {
                   + SUM(CASE WHEN r = 17 THEN mean_milli ELSE 0 END) AS BIGINT)
                  AS med2_milli,
                CAST(MAX(mean_milli) AS BIGINT) AS hi_milli
-        FROM ranked GROUP BY 1"""))
+        FROM ranked GROUP BY 1""")),
+
+    // ───── Cohen's d effect size (r13): HOW MUCH do purchase values
+    // exceed click values — the magnitude readout paired with
+    // stat_mann_whitney's significance (a huge corpus makes any
+    // difference "significant"; d is what decides if it matters).
+    // Pooled-SD standardized mean difference from exact power sums
+    // (the agg_skew_kurtosis discipline): per group (n, S, Q) in one
+    // map-side hash-agg, d as ONE final double formula over six exact
+    // integers — identical in both engines.
+    QuerySpec(
+      "stat_cohens_d",
+      (s, d) => events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"),
+          expr("cast(floor(value * 100) as bigint)").as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").cast("decimal(38,0)").as("sx"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
+        .agg(
+          sum(when(col("event_type") === "purchase", col("n"))).as("n1"),
+          sum(when(col("event_type") === "click", col("n"))).as("n2"),
+          sum(when(col("event_type") === "purchase", col("sx"))).as("s1"),
+          sum(when(col("event_type") === "click", col("sx"))).as("s2"),
+          sum(when(col("event_type") === "purchase", col("q"))).as("q1"),
+          sum(when(col("event_type") === "click", col("q"))).as("q2"))
+        .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+          expr("""cast(
+              (cast(s1 as double) / cast(n1 as double)
+               - cast(s2 as double) / cast(n2 as double))
+              / sqrt(((cast(q1 as double)
+                       - cast(s1 as double) * cast(s1 as double) / cast(n1 as double))
+                      + (cast(q2 as double)
+                       - cast(s2 as double) * cast(s2 as double) / cast(n2 as double)))
+                     / (cast(n1 as double) + cast(n2 as double) - 2))
+            as double)""").as("d")),
+      Some("""
+        WITH g AS (
+          SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS HUGEINT) AS sx,
+                 SUM(CAST(floor(value * 100) AS HUGEINT)
+                     * CAST(floor(value * 100) AS BIGINT)) AS q
+          FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+        w AS (
+          SELECT SUM(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+                 SUM(CASE WHEN event_type = 'click' THEN n END) AS n2,
+                 SUM(CASE WHEN event_type = 'purchase' THEN sx END) AS s1,
+                 SUM(CASE WHEN event_type = 'click' THEN sx END) AS s2,
+                 SUM(CASE WHEN event_type = 'purchase' THEN q END) AS q1,
+                 SUM(CASE WHEN event_type = 'click' THEN q END) AS q2
+          FROM g)
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+               / sqrt(((CAST(q1 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       + (CAST(q2 AS DOUBLE)
+                        - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2)) AS d
+        FROM w""")),
+
+    // ───── Brown–Forsythe / Levene variance-homogeneity test (r13):
+    // do the groups stat_anova_f compares even HAVE comparable
+    // variances (ANOVA's own assumption, checked with ANOVA's own
+    // machinery): per-group positional medians from the bounded
+    // per-cent histogram (the agg_winsorized_mean cut-point pass,
+    // doubled so z = |2c − med2| stays integer), then the one-way F
+    // on the absolute deviations via exact milli power sums with one
+    // truncating DECIMAL(38) division per group. Two hash-aggs + one
+    // bounded window + one broadcast join.
+    QuerySpec(
+      "stat_levene",
+      (s, d) => {
+        val cents = events(s, d).select(col("event_type"),
+          expr("cast(floor(value * 100) as bigint)").as("c"))
+        val w = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val med = cents.groupBy(col("event_type"), col("c").as("v"))
+          .agg(count(lit(1)).as("n_i"))
+          .withColumn("k", sum("n_i").over(w))
+          .withColumn("n", sum("n_i").over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg((sum(expr(
+            "case when k - n_i < (n+1) div 2 and (n+1) div 2 <= k then v else 0 end"))
+            + sum(expr(
+            "case when k - n_i < (n+2) div 2 and (n+2) div 2 <= k then v else 0 end")))
+            .as("med2"))
+        val g = cents.join(broadcast(med), "event_type")
+          .select(col("event_type"), abs(col("c") * 2 - col("med2")).as("z"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n_g"),
+            sum("z").cast("decimal(38,0)").as("s_g"),
+            sum(col("z").cast("decimal(38,0)") * col("z")).as("q_g"))
+          .select(col("n_g"), col("s_g"), col("q_g"),
+            expr("cast(s_g * s_g * 1000 div n_g as decimal(38,0))").as("t_g"))
+        g.agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+            sum("s_g").as("s"), sum("q_g").as("q"), sum("t_g").as("t"))
+          .select(col("k"), col("n").cast("long").as("n"),
+            (col("t") - expr("cast(s * s * 1000 div n as decimal(38,0))"))
+              .cast("long").as("ssb_milli"),
+            (col("q") * 1000 - col("t")).cast("long").as("ssw_milli"),
+            expr("""cast(
+                (cast(ssb_milli as double) / (cast(k as double) - 1))
+                / (cast(ssw_milli as double) / (cast(n as double) - cast(k as double)))
+              as double)""").as("f"))
+      },
+      Some("""
+        WITH cents AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events),
+        r AS (
+          SELECT event_type, v, n_i,
+                 SUM(n_i) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+                 SUM(n_i) OVER (PARTITION BY event_type) AS n
+          FROM (SELECT event_type, c AS v, COUNT(*) AS n_i
+                FROM cents GROUP BY 1, 2)),
+        med AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN k-n_i < (n+1)//2 AND (n+1)//2 <= k
+                               THEN v ELSE 0 END)
+                    + SUM(CASE WHEN k-n_i < (n+2)//2 AND (n+2)//2 <= k
+                               THEN v ELSE 0 END) AS BIGINT) AS med2
+          FROM r GROUP BY 1),
+        g AS (
+          SELECT c.event_type, CAST(COUNT(*) AS HUGEINT) AS n_g,
+                 CAST(SUM(ABS(c.c * 2 - m.med2)) AS HUGEINT) AS s_g,
+                 SUM(CAST(ABS(c.c * 2 - m.med2) AS HUGEINT)
+                     * ABS(c.c * 2 - m.med2)) AS q_g
+          FROM cents c JOIN med m ON m.event_type = c.event_type
+          GROUP BY 1),
+        t AS (SELECT n_g, s_g, q_g, s_g * s_g * 1000 // n_g AS t_g FROM g),
+        sums AS (
+          SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(s_g) AS s,
+                 SUM(q_g) AS q, SUM(t_g) AS t
+          FROM t)
+        SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+               CAST(t - s * s * 1000 // n AS BIGINT) AS ssb_milli,
+               CAST(q * 1000 - t AS BIGINT) AS ssw_milli,
+               (CAST(CAST(t - s * s * 1000 // n AS BIGINT) AS DOUBLE)
+                  / (CAST(k AS DOUBLE) - 1))
+               / (CAST(CAST(q * 1000 - t AS BIGINT) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f
+        FROM sums"""))
   )
 }

@@ -565,4 +565,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"bucket histogram must combine map-side:\n$p")
   }
+
+  test("graph_hits / graph_ppr / graph_betweenness: iterative rounds stay equi-joins") {
+    for (q <- Seq("graph_hits", "graph_ppr", "graph_betweenness")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q round degenerated to a cartesian:\n$p")
+    }
+  }
+
+  test("graph_hits: per-round totals ride materialized frames (no lineage re-derive)") {
+    // the 404 s -> seconds fix: each normalization half-step's scalar
+    // total must read a localCheckpointed frame, visible as Scan
+    // ExistingRDD nodes in the final plan instead of 2^8 nested joins
+    val p = plan("graph_hits")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"hits rounds must materialize:\n$p")
+  }
+
+  test("stat_spearman: midranks broadcast back onto rows (histogram-sized builds)") {
+    val p = plan("stat_spearman")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank re-attach must broadcast the bounded histogram:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("text_zipf_band / sample_systematic: global rank is the two-phase RankedPrefix " +
+    "(range exchange), not a single-task window") {
+    for (q <- Seq("text_zipf_band", "sample_systematic")) {
+      val p = plan(q)
+      assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+        s"$q must range-repartition for the global rank:\n$p")
+    }
+  }
+
+  test("agg_winsorized_mean: clamp thresholds broadcast; no cartesian") {
+    val p = plan("agg_winsorized_mean")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cut points must broadcast back onto rows:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ml_confusion / stat_anova_f: single map-side-partial hash-agg shape") {
+    for (q <- Seq("ml_confusion", "stat_anova_f")) {
+      val p = plan(q)
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$q must combine map-side:\n$p")
+      assert(!p.contains("Join"), s"$q should be agg-only:\n$p")
+    }
+  }
 }
