@@ -276,13 +276,20 @@ object SimilarityQueries {
     * neighbors that sit just across a cell boundary — the standard
     * IVF recall knob (FAISS nprobe).
     */
-  private def ivfTrainedPairs(s: SparkSession, d: String): DataFrame = {
+  private def ivfTrainedPairs(s: SparkSession, d: String): DataFrame =
+    ivfTrainedPairsN(s, d, TrainedNProbe)
+
+  /** [[ivfTrainedPairs]] with the nprobe knob exposed — the sweep query
+    * walks it; every other consumer stays on [[TrainedNProbe]].
+    */
+  private def ivfTrainedPairsN(s: SparkSession, d: String,
+                               nprobe: Int): DataFrame = {
     val base = Corpus.quantizedVectors(s, d)
     val cents = trainedCents(s, d)
     val assigned = assignToCentroids(base, cents).select("vec_id", "qv", "nn", "c_id")
     val probes = base.filter(col("vec_id") < 10)
       .withColumn("cell",
-        explode(slice(sort_array(centScoredArr(cents), asc = false), 1, TrainedNProbe)))
+        explode(slice(sort_array(centScoredArr(cents), asc = false), 1, nprobe)))
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("nn").as("q_nn"), (-col("cell.negcid")).as("c_id"))
     assigned.join(broadcast(probes), Seq("c_id"))
@@ -2215,6 +2222,104 @@ object SimilarityQueries {
                CAST(list_sum(list_transform(range(1, 65),
                  i -> b.qv[i] * varr.va[i])) AS BIGINT) AS proj
         FROM base b JOIN embeddings e ON e.vec_id = b.vec_id, varr"""
+      }),
+
+    // ───── nprobe tuning sweep (r13): THE operational curve every IVF
+    // deployment reads before picking its recall/cost point — recall@3
+    // and candidates-scored at nprobe ∈ {1, 2, 4} over the SAME trained
+    // index (one k-means train, one assignment; only the probe-cell
+    // slice varies). Cost is explicit in the output: candidates_total
+    // IS the scan work (the ann_beam_search `scanned` discipline), so
+    // the row set is the measured trade-off, not prose. Train/assign
+    // CTEs are shared once in the oracle (MATERIALIZED) across the
+    // three sweep arms; everything downstream of the cell join is
+    // bounded per probe.
+    QuerySpec(
+      "ann_nprobe_sweep",
+      (s, d) => {
+        val gt = topKPerProbe(brutePairs(s, d), 3)
+          .select("query_id", "neighbor_id")
+        val probes = gt.select("query_id").distinct()
+        Seq(1, 2, 4).map { np =>
+          val pairs = ivfTrainedPairsN(s, d, np)
+          val cand = pairs.groupBy("query_id").agg(count(lit(1)).as("cand"))
+          val hits = gt.join(
+              topKPerProbe(pairs, 3).select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("hits"))
+          probes
+            .join(hits, Seq("query_id"), "left")
+            .join(cand, Seq("query_id"), "left")
+            .select(lit(np).as("nprobe"),
+              coalesce(col("hits"), lit(0L)).as("hits"),
+              coalesce(col("cand"), lit(0L)).as("cand"))
+        }.reduce(_ unionByName _)
+          .groupBy("nprobe")
+          .agg(count(lit(1)).as("n_probes"),
+            sum("hits").as("hits_total"),
+            sum("cand").as("candidates_total"))
+      },
+      Some {
+        val arms = Seq(1, 2, 4).map { np =>
+          s"""
+        pc_$np AS (
+          SELECT vec_id AS query_id, qv AS q_qv, nn AS q_nn, cid AS c_id
+          FROM rankedprobe WHERE rk <= $np),
+        pairs_$np AS MATERIALIZED (
+          SELECT q.query_id, v.vec_id AS vec_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> v.qv[i] * q.q_qv[i])) AS BIGINT) AS dot,
+                 v.nn AS na, q.q_nn AS nb
+          FROM assigned v JOIN pc_$np q
+            ON v.c_id = q.c_id AND v.vec_id <> q.query_id),
+        top_$np AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ${Corpus.scoreSql} DESC, vec_id) AS rk2
+            FROM pairs_$np) WHERE rk2 <= 3),
+        h_$np AS (
+          SELECT g.query_id, COUNT(*) AS hits
+          FROM gt g JOIN top_$np t
+            ON t.query_id = g.query_id AND t.vec_id = g.neighbor_id
+          GROUP BY 1),
+        c_$np AS (
+          SELECT query_id, COUNT(*) AS cand FROM pairs_$np GROUP BY 1)"""
+        }.mkString(",")
+        val unions = Seq(1, 2, 4).map { np =>
+          s"""
+        SELECT $np AS nprobe, COUNT(*) AS n_probes,
+               CAST(SUM(COALESCE(h.hits, 0)) AS BIGINT) AS hits_total,
+               CAST(SUM(COALESCE(c.cand, 0)) AS BIGINT) AS candidates_total
+        FROM probes p
+        LEFT JOIN h_$np h ON h.query_id = p.query_id
+        LEFT JOIN c_$np c ON c.query_id = p.query_id"""
+        }.mkString("\n        UNION ALL")
+        s"""
+        WITH base AS (${Corpus.quantizedVectorsSql}),${
+          kmeansSqlCtes(TrainedK, TrainedIters)},
+        csc AS MATERIALIZED (
+          SELECT b.vec_id, b.qv, b.nn, c.cid,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> b.qv[i] * c.cv[i])) AS BIGINT) AS dot,
+                 b.nn AS na, c.cnn AS nb
+          FROM base b CROSS JOIN cents$TrainedIters c),
+        assigned AS MATERIALIZED (
+          SELECT vec_id, qv, nn, cid AS c_id FROM (
+            SELECT vec_id, qv, nn, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY ${Corpus.scoreSql} DESC, cid) AS rk
+            FROM csc) WHERE rk = 1),
+        rankedprobe AS MATERIALIZED (
+          SELECT vec_id, qv, nn, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY ${Corpus.scoreSql} DESC, cid) AS rk
+          FROM csc WHERE vec_id < 10),
+        gt AS (
+          SELECT query_id, neighbor_id
+          FROM (${annSelectSql(bruteCtesSql, 3)})),
+        probes AS (SELECT DISTINCT query_id FROM gt),$arms
+        $unions"""
       })
   )
 }

@@ -2655,6 +2655,91 @@ object StatQueries {
                   / (CAST(k AS DOUBLE) - 1))
                / (CAST(CAST(q * 1000 - t AS BIGINT) AS DOUBLE)
                   / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f
-        FROM sums"""))
+        FROM sums""")),
+
+    // ───── Pairwise correlation matrix in ONE pass (r13): Pearson r
+    // for every pair among (value cents, hour-of-day, ISO weekday) —
+    // the multi-column dependence profile a feature store reports,
+    // where agg_correlation does one pair. All nine sufficient sums
+    // ride a single map-side hash-agg (no per-pair scans); each pair's
+    // r is one final double over exact DECIMAL(38) integers. Output is
+    // the 3-value upper triangle in one row.
+    QuerySpec(
+      "profile_corr_matrix",
+      (s, d) => {
+        val base = events(s, d).select(
+          expr("cast(floor(value * 100) as bigint)").cast("decimal(38,0)").as("a"),
+          hour(col("ts")).cast("decimal(38,0)").as("b"),
+          (weekday(col("ts")) + 1).cast("decimal(38,0)").as("c"))
+        val sums = base.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("a").as("sa"), sum("b").as("sb"), sum("c").as("sc"),
+          sum(col("a") * col("a")).as("saa"),
+          sum(col("b") * col("b")).as("sbb"),
+          sum(col("c") * col("c")).as("scc"),
+          sum(col("a") * col("b")).as("sab"),
+          sum(col("a") * col("c")).as("sac"),
+          sum(col("b") * col("c")).as("sbc"))
+        def r(x: String, y: String, xy: String, nm: String) = expr(s"""
+          cast((cast(n as double) * cast($xy as double)
+                - cast(s$x as double) * cast(s$y as double))
+            / (sqrt(cast(n as double) * cast(s$x$x as double)
+                    - cast(s$x as double) * cast(s$x as double))
+               * sqrt(cast(n as double) * cast(s$y$y as double)
+                      - cast(s$y as double) * cast(s$y as double)))
+            as double)""").as(nm)
+        sums.select(col("n").cast("long").as("n"),
+          r("a", "b", "sab", "r_value_hour"),
+          r("a", "c", "sac", "r_value_dow"),
+          r("b", "c", "sbc", "r_hour_dow"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(floor(value * 100) AS HUGEINT) AS a,
+                 CAST(EXTRACT(hour FROM ts) AS HUGEINT) AS b,
+                 CAST(isodow(ts) AS HUGEINT) AS c
+          FROM events),
+        sums AS (
+          SELECT COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc,
+                 SUM(a*a) AS saa, SUM(b*b) AS sbb, SUM(c*c) AS scc,
+                 SUM(a*b) AS sab, SUM(a*c) AS sac, SUM(b*c) AS sbc
+          FROM base)
+        SELECT CAST(n AS BIGINT) AS n,
+               (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                 AS r_value_hour,
+               (CAST(n AS DOUBLE) * CAST(sac AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sc AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)))
+                 AS r_value_dow,
+               (CAST(n AS DOUBLE) * CAST(sbc AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sc AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)))
+                 AS r_hour_dow
+        FROM sums""")),
+
+    // ───── Engagement distribution (r13): how many users are 1-day
+    // drive-bys vs daily habituals — the per-user active-day histogram
+    // behind events_dau_wau's aggregate ratio and events_retention's
+    // cohort curves. Two hash-aggs (user×day collapse, then the
+    // day-count histogram); output bounded by the calendar.
+    QuerySpec(
+      "events_active_days_hist",
+      (s, d) => events(s, d)
+        .groupBy("user_id")
+        .agg(countDistinct(to_date(col("ts"))).as("active_days"),
+          count(lit(1)).as("ev"))
+        .groupBy("active_days")
+        .agg(count(lit(1)).as("n_users"), sum("ev").as("n_events"),
+          sum("user_id").as("user_id_sum")),
+      Some("""
+        WITH peruser AS (
+          SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+                 COUNT(*) AS ev
+          FROM events GROUP BY 1)
+        SELECT active_days, COUNT(*) AS n_users,
+               CAST(SUM(ev) AS BIGINT) AS n_events,
+               CAST(SUM(user_id) AS BIGINT) AS user_id_sum
+        FROM peruser GROUP BY 1"""))
   )
 }
