@@ -1471,6 +1471,55 @@ object DedupQueries {
                  AS kept_id_sum,
                CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE doc_id END) AS BIGINT)
                  AS dropped_id_sum
-        FROM ranked GROUP BY 1"""))
+        FROM ranked GROUP BY 1""")),
+
+    // ───── Jaccard threshold sweep (r13): the dedup analog of
+    // ann_nprobe_sweep — how many pairs (and how many documents) a
+    // near-dup policy removes at each similarity cut, measured on ONE
+    // verified candidate set (the memoized minhash-LSH pairs; no
+    // re-banding per threshold). The curve is what a curator reads
+    // before committing to a threshold: too low deletes distinct
+    // content, too high leaves near-dups in. Thresholds start at the
+    // candidate verify floor (0.4); each arm is a filter + two bounded
+    // aggregates over the cached pair frame. Jaccard compares as the
+    // single exact int/int IEEE division both engines compute
+    // identically (the minhash_lsh contract).
+    QuerySpec(
+      "dedup_threshold_sweep",
+      (s, d) => {
+        val p = minhashPairs(s, d)
+        Seq(400, 500, 700, 900).map { t =>
+          val sel = p.filter(col("jaccard") >= t / 1000.0)
+          val docs = sel.select(col("doc_a").as("dd"))
+            .unionAll(sel.select(col("doc_b").as("dd"))).distinct()
+          sel.agg(count(lit(1)).as("n_pairs"),
+              coalesce(sum(col("doc_a") + col("doc_b")), lit(0L))
+                .as("pair_id_sum"))
+            .crossJoin(docs.agg(count(lit(1)).as("n_docs_affected")))
+            .select(lit(t).as("threshold_milli"), col("n_pairs"),
+              col("pair_id_sum"), col("n_docs_affected"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        val blocks = Seq(400, 500, 700, 900).map { t =>
+          val c = s"jaccard >= $t / 1000.0"
+          s"""
+        SELECT $t AS threshold_milli,
+               COUNT(*) AS n_pairs,
+               CAST(COALESCE(SUM(doc_a + doc_b), 0) AS BIGINT) AS pair_id_sum,
+               (SELECT COUNT(*) FROM (
+                  SELECT DISTINCT dd FROM (
+                    SELECT doc_a AS dd FROM msel WHERE $c
+                    UNION ALL SELECT doc_b FROM msel WHERE $c)))
+                 AS n_docs_affected
+        FROM msel WHERE $c"""
+        }.mkString("\n        UNION ALL")
+        s"""
+        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $minhashPairsCtes,
+        msel AS MATERIALIZED (SELECT doc_a, doc_b, jaccard FROM mpairs)
+        $blocks"""
+      })
   )
 }

@@ -1190,6 +1190,40 @@ object SnapshotStore {
         retainedVersions = versions(spark, targetDir).length)
     }
 
+  /** Write-amplification report (r13): how much SUPERSEDED history the
+    * live version drags — rawRows (every delta row across the current
+    * manifest's chains, from parquet FOOTER record counts: metadata-
+    * only, no data scan) vs resolvedRows (the LWW-live state, one
+    * resolve pass), with amplification in exact ppm. The operator
+    * signal that times compaction: a ratio near 1e6 means chains are
+    * mostly live; a high ratio means folds are overdue (every read
+    * replays rows that can never win). The spec drives overwrite waves
+    * and asserts the ratio rises, then collapses after the fold.
+    */
+  final case class AmplificationReport(rawRows: Long, resolvedRows: Long,
+                                       amplificationPpm: Long)
+
+  def amplificationReport(spark: SparkSession,
+                          targetDir: String): Option[AmplificationReport] =
+    currentManifest(spark, targetDir).map { case (_, m) =>
+      val conf = hconf(spark)
+      val raw = m.buckets.values.flatten.toSet[String].toSeq.map { rel =>
+        val dir = new Path(targetDir, rel)
+        val fs = dir.getFileSystem(conf)
+        if (!fs.exists(dir)) 0L
+        else fs.listStatus(dir).filter(s => s.isFile &&
+            s.getPath.getName.endsWith(".parquet")).map { st =>
+          val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              st.getPath, conf))
+          try in.getRecordCount finally in.close()
+        }.sum
+      }.sum
+      val resolved = readTarget(spark, targetDir).count()
+      AmplificationReport(raw, resolved,
+        if (resolved == 0) 0L else raw * 1000000L / resolved)
+    }
+
   /** Fork a snapshot to `dstDir` as an independent table — the backup /
     * fork-for-experiment primitive (the store-level analog of the
     * reference's restore-to-new-table: a consistent point-in-time copy

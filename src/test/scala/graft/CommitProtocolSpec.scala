@@ -393,4 +393,38 @@ class CommitProtocolSpec extends SparkSpec {
     intercept[IllegalStateException](GroupCommit.read(spark, g, tmp("grp-zz")))
     intercept[IllegalStateException](GroupCommit.read(spark, tmp("grp-empty"), v))
   }
+
+  test("write-amplification report: ratio rises with LWW overwrites, collapses after fold") {
+    val dir = tmp("amp")
+    // 5 keys, then 8 overwrite waves of the SAME keys: raw rows pile up
+    // in the chains while the resolved state stays 5 rows
+    SnapshotStore.mergeIntoTarget(spark, dir, batchId = 1,
+      delta = delta((1 to 5).map(i =>
+        (s"k$i", "PUT", f"$i%03d", Some(s"""{"v":$i}"""))): _*))
+    val a0 = SnapshotStore.amplificationReport(spark, dir).get
+    assert(a0.rawRows === 5L && a0.resolvedRows === 5L &&
+      a0.amplificationPpm === 1000000L)
+    var lastPpm = a0.amplificationPpm
+    for (w <- 2 to 6) {
+      SnapshotStore.mergeIntoTarget(spark, dir, batchId = w,
+        delta = delta((1 to 5).map(i =>
+          (s"k$i", "PUT", f"${w * 100 + i}%03d", Some(s"""{"v":$w$i}"""))): _*))
+      val a = SnapshotStore.amplificationReport(spark, dir).get
+      assert(a.resolvedRows === 5L, "overwrites must not change live rows")
+      assert(a.amplificationPpm > lastPpm,
+        s"wave $w must raise amplification: ${a.amplificationPpm} <= $lastPpm")
+      lastPpm = a.amplificationPpm
+    }
+    assert(lastPpm >= 6000000L, s"6 waves of full overwrite ⇒ ≥6×: $lastPpm")
+    // waves 7..9 cross FoldThreshold per touched bucket → chains fold;
+    // the report must collapse back toward 1×
+    for (w <- 7 to 9)
+      SnapshotStore.mergeIntoTarget(spark, dir, batchId = w,
+        delta = delta((1 to 5).map(i =>
+          (s"k$i", "PUT", f"${w * 100 + i}%03d", Some(s"""{"v":$w$i}"""))): _*))
+    val af = SnapshotStore.amplificationReport(spark, dir).get
+    assert(af.resolvedRows === 5L)
+    assert(af.amplificationPpm < lastPpm,
+      s"fold must reduce amplification: ${af.amplificationPpm} >= $lastPpm")
+  }
 }
