@@ -5266,6 +5266,91 @@ object RelationalQueries {
           SELECT 'direct', COUNT(*),
                  CAST(COALESCE(SUM(p.cents), 0) AS BIGINT)
           FROM purch p
-          WHERE NOT EXISTS (SELECT 1 FROM pairs x WHERE x.pid = p.pid))"""))
+          WHERE NOT EXISTS (SELECT 1 FROM pairs x WHERE x.pid = p.pid))""")),
+
+    // ───── Daily value-percentile trend (r13): p50/p90 of event value
+    // per day — the latency-SLO-style trend readout (is the
+    // distribution's TAIL drifting, not just events_forecast's mean).
+    // Positional quantiles come from the per-(day, cent) histogram —
+    // windows partitioned BY DAY over cent-bounded frames (≤56k rows
+    // per day at any corpus size, the ml_auc_rank argument); p50 is
+    // the doubled med2 (exact at even counts), p90 the value at rank
+    // ⌈0.9n⌉. Calendar-sized output.
+    QuerySpec(
+      "events_quantile_bands",
+      (s, d) => {
+        val h = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"),
+            expr("cast(floor(value * 100) as bigint)").as("v"))
+          .agg(count(lit(1)).as("n_i"))
+        val w = Window.partitionBy("day").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("k", sum("n_i").over(w))
+          .withColumn("n", sum("n_i").over(Window.partitionBy("day")))
+          .groupBy("day")
+          .agg(max("n").as("n"),
+            (sum(expr(
+              "case when k - n_i < (n+1) div 2 and (n+1) div 2 <= k then v else 0 end"))
+              + sum(expr(
+              "case when k - n_i < (n+2) div 2 and (n+2) div 2 <= k then v else 0 end")))
+              .as("p50_cents_x2"),
+            sum(expr(
+              "case when k - n_i < (9*n+9) div 10 and (9*n+9) div 10 <= k then v else 0 end"))
+              .as("p90_cents"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(floor(value * 100) AS BIGINT) AS v, COUNT(*) AS n_i
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT day, v, n_i,
+                 SUM(n_i) OVER (PARTITION BY day ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+                 SUM(n_i) OVER (PARTITION BY day) AS n
+          FROM h)
+        SELECT day, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN k-n_i < (n+1)//2 AND (n+1)//2 <= k
+                             THEN v ELSE 0 END)
+                  + SUM(CASE WHEN k-n_i < (n+2)//2 AND (n+2)//2 <= k
+                             THEN v ELSE 0 END) AS BIGINT) AS p50_cents_x2,
+               CAST(SUM(CASE WHEN k-n_i < (9*n+9)//10 AND (9*n+9)//10 <= k
+                             THEN v ELSE 0 END) AS BIGINT) AS p90_cents
+        FROM r GROUP BY 1""")),
+
+    // ───── Burst-rate screen (r13): the per-user peak minute-rate —
+    // the rate-limit / bot screen complementing events_bot_regularity's
+    // gap-variance signature (a scraper shows BOTH regular gaps AND
+    // bursts; a human shows neither). Two hash-aggs (user × minute,
+    // then per-user max/total) + one bounded histogram by the peak's
+    // power-of-2 band (bit-length — libm-free, the graph_degree_hist
+    // discipline); id checksums gate the exact user partition.
+    QuerySpec(
+      "events_burst_screen",
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("m"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(max("c").as("peak"), sum("c").as("total"),
+          count(lit(1)).as("active_minutes"))
+        .groupBy(length(expr("bin(peak)")).as("peak_band"))
+        .agg(count(lit(1)).as("n_users"),
+          sum("total").as("n_events"),
+          sum("active_minutes").as("active_minutes"),
+          sum("user_id").as("user_id_sum")),
+      Some("""
+        WITH perminute AS (
+          SELECT user_id, date_trunc('minute', ts) AS m, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        peruser AS (
+          SELECT user_id, MAX(c) AS peak, SUM(c) AS total,
+                 COUNT(*) AS active_minutes
+          FROM perminute GROUP BY 1)
+        SELECT CAST(length(bin(peak)) AS INTEGER) AS peak_band,
+               COUNT(*) AS n_users,
+               CAST(SUM(total) AS BIGINT) AS n_events,
+               CAST(SUM(active_minutes) AS BIGINT) AS active_minutes,
+               CAST(SUM(user_id) AS BIGINT) AS user_id_sum
+        FROM peruser GROUP BY 1"""))
   )
 }

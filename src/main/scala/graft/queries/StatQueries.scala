@@ -2740,6 +2740,139 @@ object StatQueries {
         SELECT active_days, COUNT(*) AS n_users,
                CAST(SUM(ev) AS BIGINT) AS n_events,
                CAST(SUM(user_id) AS BIGINT) AS user_id_sum
-        FROM peruser GROUP BY 1"""))
+        FROM peruser GROUP BY 1""")),
+
+    // ───── Welch's t (r13): the unequal-variance two-sample test that
+    // PAIRS with stat_cohens_d (same exact power sums, the test
+    // statistic instead of the effect size) and drops stat_mann_whitney's
+    // rank machinery when a mean test suffices. t and the
+    // Welch–Satterthwaite df are TWO final double formulas over the
+    // same six exact integers — no intermediate double ever sums
+    // across rows.
+    QuerySpec(
+      "stat_welch_t",
+      (s, d) => events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"),
+          expr("cast(floor(value * 100) as bigint)").as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").cast("decimal(38,0)").as("sx"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
+        .agg(
+          sum(when(col("event_type") === "purchase", col("n"))).as("n1"),
+          sum(when(col("event_type") === "click", col("n"))).as("n2"),
+          sum(when(col("event_type") === "purchase", col("sx"))).as("s1"),
+          sum(when(col("event_type") === "click", col("sx"))).as("s2"),
+          sum(when(col("event_type") === "purchase", col("q"))).as("q1"),
+          sum(when(col("event_type") === "click", col("q"))).as("q2"))
+        .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+          expr("""cast(
+              (cast(s1 as double) / cast(n1 as double)
+               - cast(s2 as double) / cast(n2 as double))
+              / sqrt((cast(q1 as double) - cast(s1 as double) * cast(s1 as double) / cast(n1 as double))
+                       / (cast(n1 as double) - 1) / cast(n1 as double)
+                     + (cast(q2 as double) - cast(s2 as double) * cast(s2 as double) / cast(n2 as double))
+                       / (cast(n2 as double) - 1) / cast(n2 as double))
+            as double)""").as("t"),
+          // pow() is libm — squares spell out as products (one IEEE
+          // multiply, exactly rounded, identical in both engines)
+          expr("""cast(
+              ((cast(q1 as double) - cast(s1 as double) * cast(s1 as double) / cast(n1 as double))
+                 / (cast(n1 as double) - 1) / cast(n1 as double)
+               + (cast(q2 as double) - cast(s2 as double) * cast(s2 as double) / cast(n2 as double))
+                 / (cast(n2 as double) - 1) / cast(n2 as double))
+              * ((cast(q1 as double) - cast(s1 as double) * cast(s1 as double) / cast(n1 as double))
+                   / (cast(n1 as double) - 1) / cast(n1 as double)
+                 + (cast(q2 as double) - cast(s2 as double) * cast(s2 as double) / cast(n2 as double))
+                   / (cast(n2 as double) - 1) / cast(n2 as double))
+              / (((cast(q1 as double) - cast(s1 as double) * cast(s1 as double) / cast(n1 as double))
+                    / (cast(n1 as double) - 1) / cast(n1 as double))
+                 * ((cast(q1 as double) - cast(s1 as double) * cast(s1 as double) / cast(n1 as double))
+                    / (cast(n1 as double) - 1) / cast(n1 as double)) / (cast(n1 as double) - 1)
+                 + ((cast(q2 as double) - cast(s2 as double) * cast(s2 as double) / cast(n2 as double))
+                    / (cast(n2 as double) - 1) / cast(n2 as double))
+                 * ((cast(q2 as double) - cast(s2 as double) * cast(s2 as double) / cast(n2 as double))
+                    / (cast(n2 as double) - 1) / cast(n2 as double)) / (cast(n2 as double) - 1))
+            as double)""").as("df")),
+      Some("""
+        WITH g AS (
+          SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS HUGEINT) AS sx,
+                 SUM(CAST(floor(value * 100) AS HUGEINT)
+                     * CAST(floor(value * 100) AS BIGINT)) AS q
+          FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+        w AS (
+          SELECT SUM(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+                 SUM(CASE WHEN event_type = 'click' THEN n END) AS n2,
+                 SUM(CASE WHEN event_type = 'purchase' THEN sx END) AS s1,
+                 SUM(CASE WHEN event_type = 'click' THEN sx END) AS s2,
+                 SUM(CASE WHEN event_type = 'purchase' THEN q END) AS q1,
+                 SUM(CASE WHEN event_type = 'click' THEN q END) AS q2
+          FROM g),
+        v AS (
+          SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                 CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                 CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                 (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE) - 1) / CAST(n1 AS DOUBLE) AS v1,
+                 (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   / (CAST(n2 AS DOUBLE) - 1) / CAST(n2 AS DOUBLE) AS v2
+          FROM w)
+        SELECT n1, n2,
+               (m1 - m2) / sqrt(v1 + v2) AS t,
+               (v1 + v2) * (v1 + v2)
+               / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1)) AS df
+        FROM v""")),
+
+    // ───── Wilson score interval (r13): the conversion-rate confidence
+    // band per hour-of-day — the UNCERTAINTY that events_ab_chisq's
+    // point test and stat_cramers_v's association readout both lack.
+    // Wilson (not Wald): correct coverage at small counts and extreme
+    // rates, the production choice for rate dashboards. (k, n) are
+    // exact integers from one hash-agg; lo/hi are two final double
+    // formulas with the z=1.96 literal — every double op an IEEE
+    // correctly-rounded function of the same exact integers in both
+    // engines. 24 output rows.
+    QuerySpec(
+      "ml_wilson_ci",
+      (s, d) => events(s, d)
+        .groupBy(hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+        .select(col("hr"), col("k"), col("n"),
+          expr("""cast(
+              (cast(k as double) / cast(n as double)
+               + 1.96 * 1.96 / (2 * cast(n as double))
+               - 1.96 * sqrt((cast(k as double) / cast(n as double))
+                             * (1 - cast(k as double) / cast(n as double)) / cast(n as double)
+                             + 1.96 * 1.96 / (4 * cast(n as double) * cast(n as double))))
+              / (1 + 1.96 * 1.96 / cast(n as double)) as double)""").as("p_lo"),
+          expr("""cast(
+              (cast(k as double) / cast(n as double)
+               + 1.96 * 1.96 / (2 * cast(n as double))
+               + 1.96 * sqrt((cast(k as double) / cast(n as double))
+                             * (1 - cast(k as double) / cast(n as double)) / cast(n as double)
+                             + 1.96 * 1.96 / (4 * cast(n as double) * cast(n as double))))
+              / (1 + 1.96 * 1.96 / cast(n as double)) as double)""").as("p_hi")),
+      Some("""
+        WITH c AS (
+          SELECT EXTRACT(hour FROM ts) AS hr, COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS k
+          FROM events GROUP BY 1)
+        SELECT hr, k, n,
+               (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                + 1.96 * 1.96 / (2 * CAST(n AS DOUBLE))
+                - 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                              + 1.96 * 1.96 / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+               / (1 + 1.96 * 1.96 / CAST(n AS DOUBLE)) AS p_lo,
+               (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                + 1.96 * 1.96 / (2 * CAST(n AS DOUBLE))
+                + 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                              + 1.96 * 1.96 / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+               / (1 + 1.96 * 1.96 / CAST(n AS DOUBLE)) AS p_hi
+        FROM c"""))
   )
 }
