@@ -1520,6 +1520,70 @@ object DedupQueries {
         $minhashPairsCtes,
         msel AS MATERIALIZED (SELECT doc_a, doc_b, jaccard FROM mpairs)
         $blocks"""
-      })
+      }),
+
+    // ───── NEAR-dup cluster canonicalization (r13): dedup_keep_best
+    // lifted from exact-content groups to the minhash-LSH CLUSTERS —
+    // within each connected near-dup component keep the LONGEST copy
+    // (min doc_id tiebreak): the curation rule that preserves the
+    // superset document when crawl variants truncate (the injected
+    // variants here are 3-token-shorter tails, so quality-pick ≠
+    // min-id pick exactly when the variant carries the smaller id —
+    // `n_pick_changed` counts how often the quality rule REVERSES
+    // dedup_cluster's min-id canonical, the readout that justifies
+    // the policy). Labels ride the memoized LSSS components; the
+    // argmax is a window over cluster-sized frames.
+    QuerySpec(
+      "dedup_cluster_canonical",
+      (s, d) => {
+        val labels = componentsOf(s, d)
+        val lens = Corpus.docsWithNearDups(s, d)
+          .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("label").orderBy(col("len").desc, col("doc_id"))
+        labels.join(lens, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .agg(
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_clusters"),
+            count(lit(1)).as("n_docs"),
+            sum(when(col("rn") =!= 1, 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(col("rn") === 1, col("doc_id")).otherwise(0L))
+              .as("kept_id_sum"),
+            sum(when(col("rn") =!= 1, col("doc_id")).otherwise(0L))
+              .as("dropped_id_sum"),
+            sum(when(col("rn") === 1 && col("doc_id") =!= col("label"), 1L)
+              .otherwise(0L)).as("n_pick_changed"))
+      },
+      Some(s"""
+        WITH RECURSIVE corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $minhashPairsCtes,
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM mpairs
+          UNION
+          SELECT doc_b AS u, doc_a AS v FROM mpairs),
+        reach(src, dst) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+        comp AS (
+          SELECT src AS doc_id, MIN(dst) AS label FROM reach GROUP BY src),
+        ranked AS (
+          SELECT c.doc_id, c.label,
+                 ROW_NUMBER() OVER (PARTITION BY c.label
+                   ORDER BY length(k.text) DESC, c.doc_id) AS rn
+          FROM comp c JOIN corpus k ON k.doc_id = c.doc_id)
+        SELECT CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clusters,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               CAST(SUM(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+                 AS kept_id_sum,
+               CAST(SUM(CASE WHEN rn <> 1 THEN doc_id ELSE 0 END) AS BIGINT)
+                 AS dropped_id_sum,
+               CAST(SUM(CASE WHEN rn = 1 AND doc_id <> label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pick_changed
+        FROM ranked"""))
   )
 }
