@@ -5351,6 +5351,146 @@ object RelationalQueries {
                CAST(SUM(total) AS BIGINT) AS n_events,
                CAST(SUM(active_minutes) AS BIGINT) AS active_minutes,
                CAST(SUM(user_id) AS BIGINT) AS user_id_sum
-        FROM peruser GROUP BY 1"""))
+        FROM peruser GROUP BY 1""")),
+
+    // ───── Association lift (r13): basket_pairs' co-occurrence counts
+    // upgraded to the MODEL a recommender actually ranks by — lift =
+    // P(ab)/(P(a)·P(b)) and confidence = P(b|a), both exact ppm
+    // rationals over order counts (n_ab·N·1e6 div (n_a·n_b) in
+    // DECIMAL(38): n_ab·N·1e6 ≈ 1e28 at 1e9 orders — past int64,
+    // inside 38 digits). Supports come from the SAME distinct
+    // (order, part) frame — one extra hash-agg next to the pair join,
+    // broadcast back onto pairs. min-support n_ab ≥ 2 declared (lift
+    // on singletons is noise); top-20 under the (lift DESC, pair)
+    // total order via TakeOrderedAndProject.
+    QuerySpec(
+      "basket_lift",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        val nOrders = li.select("l_orderkey").distinct()
+          .agg(count(lit(1)).as("n_total"))
+        val support = li.groupBy(col("l_partkey").as("p"))
+          .agg(count(lit(1)).as("n_p"))
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        pairs
+          .join(broadcast(support.select(col("p").as("part_a"), col("n_p").as("n_a"))), "part_a")
+          .join(broadcast(support.select(col("p").as("part_b"), col("n_p").as("n_b"))), "part_b")
+          .crossJoin(broadcast(nOrders))
+          .select(col("part_a"), col("part_b"), col("n_ab"),
+            expr("""cast(cast(n_ab as decimal(38,0)) * n_total * 1000000
+                    div (cast(n_a as decimal(38,0)) * n_b) as bigint)""")
+              .as("lift_ppm"),
+            expr("n_ab * 1000000 div n_a").as("confidence_ppm"))
+          .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_total FROM li),
+        support AS (SELECT l_partkey AS p, COUNT(*) AS n_p FROM li GROUP BY 1),
+        pairs AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 COUNT(*) AS n_ab
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        SELECT part_a, part_b, n_ab,
+               CAST(CAST(n_ab AS HUGEINT) * n.n_total * 1000000
+                    // (CAST(sa.n_p AS HUGEINT) * sb.n_p) AS BIGINT) AS lift_ppm,
+               CAST(n_ab * 1000000 // sa.n_p AS BIGINT) AS confidence_ppm
+        FROM pairs
+        JOIN support sa ON sa.p = part_a
+        JOIN support sb ON sb.p = part_b
+        CROSS JOIN n
+        ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""")),
+
+    // ───── Day-over-day / week-over-week growth (r13): the dashboard
+    // deltas every volume metric ships with — growth in exact ppm via
+    // lag windows over the CALENDAR-bounded per-(type, day) aggregate
+    // (the events_seasonality frame argument); ppm division truncates
+    // toward zero identically in both engines for the negative-growth
+    // days (the theil_sen sign discipline: numerator sign times the
+    // positive-magnitude division).
+    QuerySpec(
+      "events_dod_growth",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily
+          .withColumn("prev_d", lag("c", 1).over(w))
+          .withColumn("prev_w", lag("c", 7).over(w))
+          .select(col("event_type"), col("day"), col("c"),
+            expr("""case when prev_d is null then null else
+                (case when c >= prev_d then 1 else -1 end)
+                * (abs(c - prev_d) * 1000000 div prev_d) end""").as("dod_ppm"),
+            expr("""case when prev_w is null then null else
+                (case when c >= prev_w then 1 else -1 end)
+                * (abs(c - prev_w) * 1000000 div prev_w) end""").as("wow_ppm"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        lagged AS (
+          SELECT event_type, day, c,
+                 LAG(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_d,
+                 LAG(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS prev_w
+          FROM daily)
+        SELECT event_type, day, c,
+               CASE WHEN prev_d IS NULL THEN NULL ELSE
+                 (CASE WHEN c >= prev_d THEN 1 ELSE -1 END)
+                 * CAST(abs(c - prev_d) * 1000000 // prev_d AS BIGINT) END
+                 AS dod_ppm,
+               CASE WHEN prev_w IS NULL THEN NULL ELSE
+                 (CASE WHEN c >= prev_w THEN 1 ELSE -1 END)
+                 * CAST(abs(c - prev_w) * 1000000 // prev_w AS BIGINT) END
+                 AS wow_ppm
+        FROM lagged""")),
+
+    // ───── New vs returning split (r13): each day's volume decomposed
+    // by whether the user is FIRST-SEEN that day — the acquisition-vs-
+    // retention read every growth dashboard leads with, and the daily
+    // marginal of events_retention's cohort matrix. First-seen day is
+    // one user-keyed hash-agg joined back on user (equi-join, shards
+    // on user at any scale); everything after is calendar-sized.
+    QuerySpec(
+      "events_new_vs_returning",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val first = ev.groupBy("user_id").agg(min("day").as("first_day"))
+        ev.join(first, "user_id")
+          .groupBy("day")
+          .agg(
+            countDistinct(when(col("day") === col("first_day"), col("user_id")))
+              .as("n_new_users"),
+            sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+              .as("n_events_new"),
+            sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+              .as("n_events_returning"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        fst AS (
+          SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY 1)
+        SELECT day,
+               CAST(COUNT(DISTINCT CASE WHEN day = first_day
+                                        THEN ev.user_id END) AS BIGINT)
+                 AS n_new_users,
+               CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_events_new,
+               CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_events_returning
+        FROM ev JOIN fst ON fst.user_id = ev.user_id
+        GROUP BY 1"""))
   )
 }
