@@ -2873,6 +2873,69 @@ object StatQueries {
                               * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
                               + 1.96 * 1.96 / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
                / (1 + 1.96 * 1.96 / CAST(n AS DOUBLE)) AS p_hi
-        FROM c"""))
+        FROM c""")),
+
+    // ───── Tukey IQR fences (r13): the boxplot outlier rule — the
+    // third robust screen next to events_outliers_mad (50% breakdown)
+    // and the p95 cutoff (always fires): flag x outside
+    // [Q1 − 1.5·IQR, Q3 + 1.5·IQR]. Quartiles are exact positional
+    // order statistics over the bounded per-cent histogram (rank
+    // ⌈n/4⌉ / ⌈3n/4⌉, type-1, declared); the 1.5 factor clears to
+    // integers by doubling — lo×2 = 5·Q1 − 3·Q3, hi×2 = 5·Q3 − 3·Q1,
+    // outlier iff 2c < lo×2 or 2c > hi×2 — no float anywhere. Two
+    // hash-aggs + one bounded window + one broadcast join.
+    QuerySpec(
+      "agg_iqr_fences",
+      (s, d) => {
+        val cents = events(s, d).select(col("event_type"),
+          expr("cast(floor(value * 100) as bigint)").as("c"),
+          col("event_id"))
+        val w = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val q = cents.groupBy(col("event_type"), col("c").as("v"))
+          .agg(count(lit(1)).as("n_i"))
+          .withColumn("k", sum("n_i").over(w))
+          .withColumn("n", sum("n_i").over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(
+            sum(expr("case when k - n_i < (n+3) div 4 and (n+3) div 4 <= k then v else 0 end")).as("q1_cents"),
+            sum(expr("case when k - n_i < (3*n+3) div 4 and (3*n+3) div 4 <= k then v else 0 end")).as("q3_cents"))
+        cents.join(broadcast(q), "event_type")
+          .withColumn("is_out",
+            col("c") * 2 < col("q1_cents") * 5 - col("q3_cents") * 3 ||
+              col("c") * 2 > col("q3_cents") * 5 - col("q1_cents") * 3)
+          .groupBy("event_type", "q1_cents", "q3_cents")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+            sum(when(col("is_out"), col("event_id")).otherwise(0L))
+              .as("out_id_sum"))
+      },
+      Some("""
+        WITH cents AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c, event_id
+          FROM events),
+        r AS (
+          SELECT event_type, v, n_i,
+                 SUM(n_i) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+                 SUM(n_i) OVER (PARTITION BY event_type) AS n
+          FROM (SELECT event_type, c AS v, COUNT(*) AS n_i
+                FROM cents GROUP BY 1, 2)),
+        q AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN k-n_i < (n+3)//4 AND (n+3)//4 <= k
+                               THEN v ELSE 0 END) AS BIGINT) AS q1_cents,
+                 CAST(SUM(CASE WHEN k-n_i < (3*n+3)//4 AND (3*n+3)//4 <= k
+                               THEN v ELSE 0 END) AS BIGINT) AS q3_cents
+          FROM r GROUP BY 1)
+        SELECT c.event_type, q.q1_cents, q.q3_cents, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN c.c * 2 < q.q1_cents * 5 - q.q3_cents * 3
+                               OR c.c * 2 > q.q3_cents * 5 - q.q1_cents * 3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(SUM(CASE WHEN c.c * 2 < q.q1_cents * 5 - q.q3_cents * 3
+                               OR c.c * 2 > q.q3_cents * 5 - q.q1_cents * 3
+                             THEN c.event_id ELSE 0 END) AS BIGINT) AS out_id_sum
+        FROM cents c JOIN q ON q.event_type = c.event_type
+        GROUP BY 1, 2, 3"""))
   )
 }
