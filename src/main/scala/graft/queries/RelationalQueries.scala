@@ -5491,6 +5491,113 @@ object RelationalQueries {
                CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_events_returning
         FROM ev JOIN fst ON fst.user_id = ev.user_id
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ───── Peak-to-mean load factor (r13): per type, the ratio of the
+    // busiest hour to the average hour in exact ppm — THE capacity-
+    // provisioning number (a 3× load factor means 3× the mean capacity
+    // just for the peak; events_seasonality shows WHEN, this shows HOW
+    // MUCH). One hourly hash-agg then a per-type collapse — both
+    // calendar-bounded; peak·n·1e6 div total is one nonnegative
+    // truncating division.
+    QuerySpec(
+      "events_peak_to_mean",
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), sum("c").as("n_events"),
+          max("c").as("peak_hour_events"))
+        .select(col("event_type"), col("n_hours"), col("n_events"),
+          col("peak_hour_events"),
+          expr("peak_hour_events * n_hours * 1000000 div n_events")
+            .as("load_factor_ppm")),
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, COUNT(*) AS n_hours,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(MAX(c) AS BIGINT) AS peak_hour_events,
+               CAST(MAX(c) * COUNT(*) * 1000000 // SUM(c) AS BIGINT)
+                 AS load_factor_ppm
+        FROM hourly GROUP BY 1""")),
+
+    // ───── Repeat-purchase latency (r13): the distribution of time
+    // from a user's FIRST purchase to their SECOND — the
+    // repeat-conversion metric events_funnel (cross-type) and
+    // events_retention (daily grain) both miss. First/second purchase
+    // per user via one user-partitioned window (per-key frames);
+    // median (doubled) + p90 of the gap ride RankedPrefix over the
+    // per-value gap histogram (the events_interarrival discipline);
+    // one-time purchasers are COUNTED (the conversion denominator)
+    // but contribute no gap.
+    QuerySpec(
+      "events_repeat_latency",
+      (s, d) => {
+        val purch = events(s, d).filter(col("event_type") === "purchase")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val firstTwo = purch
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_p"),
+            max(when(col("rn") === 1, unix_micros(col("ts")))).as("t1"),
+            max(when(col("rn") === 2, unix_micros(col("ts")))).as("t2"))
+        val gaps = firstTwo.filter(col("n_p") === 2)
+          .select((col("t2") - col("t1")).as("g"))
+        val counts = firstTwo.agg(
+          count(lit(1)).as("n_buyers"),
+          sum(when(col("n_p") === 2, 1L).otherwise(0L)).as("n_repeat"))
+        val q = graft.ops.RankedPrefix(s, d, "repeatLatencyHist",
+            gaps.groupBy(col("g").as("v")).agg(count(lit(1)).as("n_i")),
+            part = Nil, order = Seq(col("v")),
+            rank = None, running = Seq(("k", col("n_i"))),
+            totals = Seq(("n", col("n_i"))))
+          .agg((sum(expr(
+            "case when k - n_i < (n+1) div 2 and (n+1) div 2 <= k then v else 0 end"))
+            + sum(expr(
+            "case when k - n_i < (n+2) div 2 and (n+2) div 2 <= k then v else 0 end")))
+            .as("med2_us"),
+            sum(expr(
+              "case when k - n_i < (9*n+9) div 10 and (9*n+9) div 10 <= k then v else 0 end"))
+              .as("p90_us"))
+        counts.crossJoin(q)
+      },
+      Some("""
+        WITH purch AS (
+          SELECT user_id, ts, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn
+          FROM events WHERE event_type = 'purchase'),
+        firsttwo AS (
+          SELECT user_id, COUNT(*) AS n_p,
+                 MAX(CASE WHEN rn = 1 THEN epoch_us(ts) END) AS t1,
+                 MAX(CASE WHEN rn = 2 THEN epoch_us(ts) END) AS t2
+          FROM purch WHERE rn <= 2 GROUP BY 1),
+        counts AS (
+          SELECT COUNT(*) AS n_buyers,
+                 CAST(SUM(CASE WHEN n_p = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repeat
+          FROM firsttwo),
+        h AS (
+          SELECT t2 - t1 AS v, COUNT(*) AS n_i
+          FROM firsttwo WHERE n_p = 2 GROUP BY 1),
+        r AS (
+          SELECT v, n_i,
+                 SUM(n_i) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+                 SUM(n_i) OVER () AS n
+          FROM h),
+        q AS (
+          SELECT CAST(SUM(CASE WHEN k-n_i < (n+1)//2 AND (n+1)//2 <= k
+                               THEN v ELSE 0 END)
+                    + SUM(CASE WHEN k-n_i < (n+2)//2 AND (n+2)//2 <= k
+                               THEN v ELSE 0 END) AS BIGINT) AS med2_us,
+                 CAST(SUM(CASE WHEN k-n_i < (9*n+9)//10 AND (9*n+9)//10 <= k
+                               THEN v ELSE 0 END) AS BIGINT) AS p90_us
+          FROM r)
+        SELECT c.n_buyers, c.n_repeat, q.med2_us, q.p90_us
+        FROM counts c CROSS JOIN q"""))
   )
 }
