@@ -2936,6 +2936,62 @@ object StatQueries {
                                OR c.c * 2 > q.q3_cents * 5 - q.q1_cents * 3
                              THEN c.event_id ELSE 0 END) AS BIGINT) AS out_id_sum
         FROM cents c JOIN q ON q.event_type = c.event_type
-        GROUP BY 1, 2, 3"""))
+        GROUP BY 1, 2, 3""")),
+
+    // ───── Paired sign test (r13): completes the nonparametric suite
+    // with its PAIRED member (X72 location, X83 trend, X84 runs — all
+    // unpaired): on each DAY, does view volume exceed purchase volume
+    // — pairs are days, the statistic is the sign of the within-day
+    // difference, ties drop (the textbook rule, spelled identically).
+    // k/n exact from the calendar-bounded daily pivot; z with the
+    // continuity correction as the one final double.
+    QuerySpec(
+      "stat_sign_test",
+      (s, d) => {
+        val daily = events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+        daily.agg(
+            count(lit(1)).as("n_days"),
+            sum(when(col("v") > col("p"), 1L).otherwise(0L)).as("k_view_gt"),
+            sum(when(col("v") =!= col("p"), 1L).otherwise(0L)).as("n_untied"))
+          .select(col("n_days"), col("k_view_gt"), col("n_untied"),
+            expr("""cast(
+                (cast(k_view_gt as double) - cast(n_untied as double) / 2
+                 - (case when cast(k_view_gt as double)
+                           > cast(n_untied as double) / 2 then 0.5
+                         when cast(k_view_gt as double)
+                           < cast(n_untied as double) / 2 then -0.5
+                         else 0.0 end))
+                / (sqrt(cast(n_untied as double)) / 2) as double)""").as("z"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS v,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS p
+          FROM events WHERE event_type IN ('view', 'purchase')
+          GROUP BY 1),
+        s AS (
+          SELECT COUNT(*) AS n_days,
+                 CAST(SUM(CASE WHEN v > p THEN 1 ELSE 0 END) AS BIGINT)
+                   AS k_view_gt,
+                 CAST(SUM(CASE WHEN v <> p THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_untied
+          FROM daily)
+        SELECT n_days, k_view_gt, n_untied,
+               (CAST(k_view_gt AS DOUBLE) - CAST(n_untied AS DOUBLE) / 2
+                - (CASE WHEN CAST(k_view_gt AS DOUBLE)
+                          > CAST(n_untied AS DOUBLE) / 2 THEN 0.5
+                        WHEN CAST(k_view_gt AS DOUBLE)
+                          < CAST(n_untied AS DOUBLE) / 2 THEN -0.5
+                        ELSE 0.0 END))
+               / (sqrt(CAST(n_untied AS DOUBLE)) / 2) AS z
+        FROM s"""))
   )
 }
