@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gate for the bench's outlier-adjudication priors (r13 verdict #1).
+  *
+  * The r13 close shipped 2–6× inflated tail numbers because the prior
+  * parser matched `"name":seconds` pairs against the driver's wrapper
+  * `BENCH_r*.json`, where every pair is ESCAPED inside the `"tail"`
+  * string (`\"name\":0.49`) — zero priors parsed, so the third-pass
+  * adjudication was inert. This spec feeds BOTH on-disk shapes (a
+  * verbatim driver-wrapper fixture and the flat self-produced line) and
+  * pins that priors parse, wrapper scalars are excluded, and the 2×
+  * threshold logic has real numbers to fire against.
+  */
+class BenchPriorSpec extends AnyFunSuite {
+
+  test("driver-wrapper BENCH format (escaped tail) yields priors") {
+    // Verbatim shape of the driver's artifact: metadata scalars + the
+    // bench's stdout line re-embedded as one escaped JSON string. The
+    // tail is truncated at the front mid-pair, as real captures are.
+    val wrapper =
+      """{
+        |  "n": 13,
+        |  "rc": 0,
+        |  "cpus": 32,
+        |  "sf": 0.1,
+        |  "tail": "hens_d\":0.259,\"stat_cramers_v\":0.70268303,\"stat_levene\":0.91200342,\"text_compression_ratio\":0.702,\"graph_closeness\":5.39},\"calibration\":{\"first\":0.38,\"last\":0.27,\"pin\":0.33,\"ratio\":0.985},\"sf\":\"/root/testdata/sf0.1\"}",
+        |  "parsed": null
+        |}""".stripMargin
+    val p = Bench.parsePriors(wrapper)
+    assert(p.get("stat_cramers_v").contains(0.70268303))
+    assert(p.get("text_compression_ratio").contains(0.702))
+    assert(p.get("graph_closeness").contains(5.39))
+    // wrapper scalars and calibration sub-keys must NOT look like priors
+    for (k <- Seq("n", "rc", "cpus", "sf", "first", "last", "pin", "ratio"))
+      assert(!p.contains(k), s"wrapper key $k leaked into priors")
+    // the 2x adjudication predicate now has a live prior to fire against:
+    // a min-of-two of 4.16 s vs prior 0.702 s must trip the third pass
+    assert(p("text_compression_ratio") * 2 < 4.16)
+  }
+
+  test("flat self-produced bench_out.json format still parses") {
+    val flat =
+      """{"metric":"total","value":228.5,"unit":"sec","queries":{"q1_agg":0.41,"graph_hits":6.5},"calibration":{"first":0.38,"last":0.27,"pin":0.33,"ratio":0.985},"sf":"/root/testdata/sf0.1"}"""
+    val p = Bench.parsePriors(flat)
+    assert(p.get("q1_agg").contains(0.41))
+    assert(p.get("graph_hits").contains(6.5))
+    assert(!p.contains("value") && !p.contains("pin"))
+  }
+
+  test("real BENCH_r13.json on disk parses to a non-empty prior map") {
+    val f = new java.io.File("BENCH_r13.json")
+    assume(f.exists(), "driver artifact present in working directory")
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+    val p = Bench.parsePriors(txt)
+    assert(p.nonEmpty, "zero priors parsed from the real driver artifact")
+    // spot: every parsed value is a plausible seconds reading
+    assert(p.values.forall(v => v >= 0 && v < 10000))
+  }
+}
