@@ -113,10 +113,26 @@ object Bench {
     // graph_triangles ahead: the engine build lands in the headline
     // owner's slot every round, and the other two time warm — stable
     // attribution, total still honest (the build is timed, once).
+    // r14 extends the rule to the whole graph family: GraphArtifacts
+    // memoizes the two base graphs (the part co-purchase join and the
+    // customer↔supplier purchase join) plus their symmetrized /
+    // filtered / weighted derivations, so each artifact's build must
+    // land in a FIXED owner's slot: basket_pairs owns the co-purchase
+    // root (first consumer below), graph_triangles the triCommon
+    // engine, graph_closeness the undirected frame, graph_bfs_hops the
+    // filtered frame, graph_sssp_weighted the weighted frame, and
+    // graph_pagerank the purchase-graph frames — every later consumer
+    // times warm, the builds are each timed exactly once.
     val names = {
       val base = picked.keys.toSeq.sorted
-      val engine = Seq("graph_triangles", "graph_clustering_coeff",
-        "graph_edge_jaccard").filter(base.contains)
+      val engine = Seq(
+        "basket_pairs", "basket_lift",
+        "graph_triangles", "graph_clustering_coeff", "graph_edge_jaccard",
+        "graph_degree_hist", "graph_closeness", "graph_assortativity",
+        "graph_link_prediction", "graph_bfs_hops", "graph_kcore",
+        "graph_ktruss", "graph_betweenness", "graph_sssp_weighted",
+        "graph_communities", "graph_pagerank", "graph_ppr", "graph_hits"
+      ).filter(base.contains)
       engine ++ base.filterNot(engine.toSet)
     }
     // Warm-isolated slots (r12, VERDICT r11 #3; protocol EQUALIZED r13

@@ -75,17 +75,8 @@ object RelationalQueries {
     * order), cached per (session, sfDir) so the graph-analytics family
     * builds it once.
     */
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-    graft.analytics.Corpus.cached(s, d, "triEdges") {
-      li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .agg(count(lit(1)).as("w")).select("u", "v")
-    }
-  }
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    graft.analytics.GraphArtifacts.coPurchaseEdges(s, d)
 
   /** Per-node triangle counts over [[coPurchaseEdges]] via degree
     * orientation + edge-iterator intersection (see the graph_triangles
@@ -1871,13 +1862,10 @@ object RelationalQueries {
     QuerySpec(
       "basket_pairs",
       (s, d) => {
-        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-        li.as("a")
-          .join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-          .agg(count(lit(1)).as("n_orders"))
+        // the weighted pair counts ARE the graph family's root artifact
+        graft.analytics.GraphArtifacts.coPurchaseWeighted(s, d)
+          .select(col("u").as("part_a"), col("v").as("part_b"),
+            col("w").as("n_orders"))
           .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
           .limit(20)
       },
@@ -2928,31 +2916,16 @@ object RelationalQueries {
     QuerySpec(
       "graph_pagerank",
       (s, d) => {
-        val e0 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          // LONG node ids inside the iteration (customer = 2k, supplier
-          // = 2k+1): the rank walk shuffles |E| rows four times, and
-          // hashing/comparing packed longs beats per-row string concat
-          // + UTF8 keys; the oracle's 'c…'/'s…' labels are re-attached
-          // to the FINAL 20 rows only, before the tie-broken top-k (so
-          // the (pr desc, node-string) order is identical)
-          .select((col("o_custkey") * 2).as("cnode"),
-            (col("l_suppkey") * 2 + 1).as("snode"))
-          .distinct()
-        val edges = e0.select(col("cnode").as("src"), col("snode").as("dst"))
-          .unionByName(e0.select(col("snode").as("src"), col("cnode").as("dst")))
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        // the static (src, dst, deg) side materializes ONCE,
-        // pre-partitioned by the join key — the persisted frame keeps
-        // its physical partitioning, so each iteration's join
-        // re-shuffles only the |V|-row rank table, and the |E|-row edge
-        // payload never moves again; r11: session-cached (the eager
-        // localCheckpoint it replaces re-materialized |E| rows on EVERY
-        // invocation — both bench passes paid it)
-        val withDeg = graft.analytics.Corpus.cached(s, d, "pagerankEdges") {
-          edges.join(deg, "src").repartition(col("src"))
-        }
+        // LONG node ids inside the iteration (customer = 2k, supplier
+        // = 2k+1): the rank walk shuffles |E| rows four times, and
+        // hashing/comparing packed longs beats per-row string concat
+        // + UTF8 keys; the oracle's 'c…'/'s…' labels are re-attached
+        // to the FINAL 20 rows only, before the tie-broken top-k (so
+        // the (pr desc, node-string) order is identical). The static
+        // (src, dst, deg) side is the SHARED purchaseWithDeg artifact
+        // (one cache for pagerank + ppr, pre-partitioned by src —
+        // each round re-shuffles only the |V|-row rank table)
+        val withDeg = graft.analytics.GraphArtifacts.purchaseWithDeg(s, d)
         var ranks = withDeg.select(col("src").as("node")).distinct()
           .select(col("node"), lit(1000000L).as("pr"))
         for (_ <- 1 to 4) {
@@ -3159,9 +3132,8 @@ object RelationalQueries {
     QuerySpec(
       "graph_assortativity",
       (s, d) => {
-        val e = coPurchaseEdges(s, d)
-        val both = e.select(col("u").as("a"), col("v").as("b"))
-          .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+        val both = graft.analytics.GraphArtifacts.undEdges(s, d)
+          .select(col("u").as("a"), col("v").as("b"))
         val deg = both.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
         both
           .join(deg.select(col("n").as("a"), col("deg").as("dx")), "a")
@@ -3234,8 +3206,8 @@ object RelationalQueries {
     QuerySpec(
       "graph_degree_hist",
       (s, d) => {
-        val e = coPurchaseEdges(s, d)
-        e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        graft.analytics.GraphArtifacts.undEdges(s, d)
+          .select(col("u").as("n"))
           .groupBy("n").agg(count(lit(1)).as("deg"))
           .groupBy(expr("length(bin(deg))").as("bin"))
           .agg(count(lit(1)).as("n_nodes"),
@@ -3279,9 +3251,7 @@ object RelationalQueries {
     QuerySpec(
       "graph_closeness",
       (s, d) => {
-        val e = coPurchaseEdges(s, d)
-        val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-          .localCheckpoint(true)
+        val und = graft.analytics.GraphArtifacts.undEdges(s, d)
         val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("dg"))
         val seeds = deg.orderBy(col("dg").desc, col("n")).limit(5)
           .select("n").collect().map(_.getLong(0)).sorted.toSeq
@@ -3344,17 +3314,7 @@ object RelationalQueries {
     QuerySpec(
       "graph_sssp_weighted",
       (s, d) => {
-        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-        val ew = li.as("a")
-          .join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("w", expr("1000000 div c"))
-        val und = ew.select("u", "v", "w")
-          .unionAll(ew.select(col("v").as("u"), col("u").as("v"), col("w")))
-          .localCheckpoint(true)
+        val und = graft.analytics.GraphArtifacts.undWeighted(s, d)
         val source = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("dg"))
           .orderBy(col("dg").desc, col("n")).limit(1)
           .select("n").collect()(0).getLong(0)
@@ -3401,8 +3361,8 @@ object RelationalQueries {
       "graph_link_prediction",
       (s, d) => {
         val e = coPurchaseEdges(s, d)
-        val both = e.select(col("u").as("m"), col("v").as("b"))
-          .unionAll(e.select(col("v").as("m"), col("u").as("b")))
+        val both = graft.analytics.GraphArtifacts.undEdges(s, d)
+          .select(col("u").as("m"), col("v").as("b"))
         val dm = both.groupBy("m").agg(count(lit(1)).as("dm"))
           .filter(col("dm") <= 64)
         val small = both.join(dm, "m")
@@ -3549,15 +3509,8 @@ object RelationalQueries {
     QuerySpec(
       "graph_kcore",
       (s, d) => {
-        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-        var e = graft.analytics.Corpus.cached(s, d, "kcoreEdges") {
-          li.as("a")
-            .join(li.as("b"),
-              col("a.l_orderkey") === col("b.l_orderkey") &&
-                col("a.l_partkey") < col("b.l_partkey"))
-            .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-            .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("u", "v")
-        }.localCheckpoint(true)
+        var e = graft.analytics.GraphArtifacts.filteredEdges(s, d)
+          .localCheckpoint(true)
         var prev = e.count()
         var done = false
         for (_ <- 1 to 8 if !done) {
@@ -4846,13 +4799,7 @@ object RelationalQueries {
     QuerySpec(
       "graph_hits",
       (s, d) => {
-        val e = graft.analytics.Corpus.cached(s, d, "hitsEdges") {
-          lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-            .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-              col("l_orderkey") === col("o_orderkey"))
-            .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-            .distinct()
-        }
+        val e = graft.analytics.GraphArtifacts.purchasePairs(s, d)
         // each half-step MATERIALIZES (localCheckpoint) before its L1
         // total: the scalar aggregate and the row consumer read the
         // SAME frame, and an unmaterialized lineage would re-derive
@@ -4930,18 +4877,7 @@ object RelationalQueries {
     QuerySpec(
       "graph_ppr",
       (s, d) => {
-        val e0 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey") * 2).as("cnode"),
-            (col("l_suppkey") * 2 + 1).as("snode"))
-          .distinct()
-        val edges = e0.select(col("cnode").as("src"), col("snode").as("dst"))
-          .unionByName(e0.select(col("snode").as("src"), col("cnode").as("dst")))
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        val withDeg = graft.analytics.Corpus.cached(s, d, "pprEdges") {
-          edges.join(deg, "src").repartition(col("src"))
-        }
+        val withDeg = graft.analytics.GraphArtifacts.purchaseWithDeg(s, d)
         // seeds: customers 1..5 (packed nodes 2,4,6,8,10)
         val seedBonus = when(col("node").isin(2L, 4L, 6L, 8L, 10L),
           lit(150000L)).otherwise(lit(0L))
@@ -5012,15 +4948,8 @@ object RelationalQueries {
     QuerySpec(
       "graph_ktruss",
       (s, d) => {
-        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-        var e = graft.analytics.Corpus.cached(s, d, "ktrussEdges") {
-          li.as("a")
-            .join(li.as("b"),
-              col("a.l_orderkey") === col("b.l_orderkey") &&
-                col("a.l_partkey") < col("b.l_partkey"))
-            .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-            .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("u", "v")
-        }.localCheckpoint(true)
+        var e = graft.analytics.GraphArtifacts.filteredEdges(s, d)
+          .localCheckpoint(true)
         var prev = e.count()
         var done = false
         for (_ <- 1 to 3 if !done) {
@@ -5090,17 +5019,8 @@ object RelationalQueries {
     QuerySpec(
       "graph_betweenness",
       (s, d) => {
-        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-        val e = graft.analytics.Corpus.cached(s, d, "kcoreEdges") {
-          li.as("a")
-            .join(li.as("b"),
-              col("a.l_orderkey") === col("b.l_orderkey") &&
-                col("a.l_partkey") < col("b.l_partkey"))
-            .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-            .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("u", "v")
-        }
-        val adj = e.select(col("u").as("x"), col("v").as("y"))
-          .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+        val adj = graft.analytics.GraphArtifacts.undFiltered(s, d)
+          .select(col("u").as("x"), col("v").as("y"))
         val seeds = adj.select(col("x").as("s")).distinct()
           .orderBy("s").limit(2)
         val l0 = seeds.select(col("s").as("seed"), col("s").as("node"),
@@ -5371,12 +5291,9 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n_total"))
         val support = li.groupBy(col("l_partkey").as("p"))
           .agg(count(lit(1)).as("n_p"))
-        val pairs = li.as("a")
-          .join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-          .agg(count(lit(1)).as("n_ab"))
+        val pairs = graft.analytics.GraphArtifacts.coPurchaseWeighted(s, d)
+          .select(col("u").as("part_a"), col("v").as("part_b"),
+            col("w").as("n_ab"))
           .filter(col("n_ab") >= 2)
         pairs
           .join(broadcast(support.select(col("p").as("part_a"), col("n_p").as("n_a"))), "part_a")

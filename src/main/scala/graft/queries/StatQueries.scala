@@ -1021,16 +1021,7 @@ object StatQueries {
     QuerySpec(
       "graph_bfs_hops",
       (s, d) => {
-        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-        val edges = graft.analytics.Corpus.cached(s, d, "kcoreEdges") {
-          li.as("a")
-            .join(li.as("b"),
-              col("a.l_orderkey") === col("b.l_orderkey") &&
-                col("a.l_partkey") < col("b.l_partkey"))
-            .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-            .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("u", "v")
-        }.localCheckpoint(true)
-        val und = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+        val und = graft.analytics.GraphArtifacts.undFiltered(s, d)
         val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("dg"))
         val seed = deg.orderBy(col("dg").desc, col("n")).limit(1)
           .select("n").collect()(0).getLong(0)
