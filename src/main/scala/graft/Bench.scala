@@ -130,7 +130,8 @@ object Bench {
         "graph_triangles", "graph_clustering_coeff", "graph_edge_jaccard",
         "graph_degree_hist", "graph_closeness", "graph_assortativity",
         "graph_link_prediction", "graph_bfs_hops", "graph_kcore",
-        "graph_ktruss", "graph_betweenness", "graph_sssp_weighted",
+        "graph_core_number", "graph_ktruss", "graph_betweenness",
+        "graph_sssp_weighted",
         "graph_communities", "graph_pagerank", "graph_ppr", "graph_hits"
       ).filter(base.contains)
       engine ++ base.filterNot(engine.toSet)

@@ -583,6 +583,33 @@ class StatSpec extends SparkSpec {
     assert(harm(10L) === 2000000)
   }
 
+  test("coreNumbers: exact coreness on a planted graph; chain forces multi-round peel") {
+    import spark.implicits._
+    // planted structure with hand-checkable coreness:
+    //   K4 on 1-2-3-4                  → coreness 3 for all four
+    //   triangle 10-11-12 + pendant 13 → 2,2,2 and 1
+    //   chain 20-21-22-23-24           → coreness 1, but the k=2 peel
+    //     must run MULTIPLE synchronous rounds (each round only strips
+    //     the current endpoints) — the fixpoint-within-bound claim
+    //     is exercised, not just the one-shot case
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L)).toDF("u", "v")
+    val got = graft.analytics.GraphOps.coreNumbers(edges, maxK = 4, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 2L, 11L -> 2L, 12L -> 2L, 13L -> 1L,
+      20L -> 1L, 21L -> 1L, 22L -> 1L, 23L -> 1L, 24L -> 1L)
+    assert(got === expected, s"got $got")
+    // fixpoint equality: a second decomposition with double the round
+    // budget must be IDENTICAL — the bound was not binding
+    val got24 = graft.analytics.GraphOps.coreNumbers(edges, maxK = 4, maxRounds = 24)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got24 === got)
+  }
+
   test("ssspWeighted: equals brute Dijkstra on a planted weighted graph; early-exits at the fixpoint") {
     import spark.implicits._
     // weights chosen so the SHORTEST path is not the FEWEST-hops path:
