@@ -1011,6 +1011,107 @@ object CdcQueries {
                CAST(COUNT(late_us) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm,
                CAST(MAX(late_us) AS BIGINT) AS max_late_us,
                CAST(SUM(late_us) AS BIGINT) AS late_us_sum
-        FROM lat GROUP BY 1"""))
+        FROM lat GROUP BY 1""")),
+
+    // ───── Conditional-write apply, batch face (r14, VERDICT r13 #7):
+    // DynamoDB's per-item concurrency primitive — ConditionExpression
+    // with attribute_not_exists(pk) (insert-if-absent) or a version
+    // guard (optimistic concurrency) — evaluated against prior state
+    // via the GetItem-batch semi-join (the A10 shape; the streaming
+    // face is SnapshotStore.mergeConditional under
+    // ConditionalWriteSpec). Fixture: base = the tombstone-resolved
+    // LWW state at T (latest ≤T event of type 'error' ⇒ key ABSENT —
+    // the restore-replay semantics) with version = the user's event
+    // count ≤ T; the write batch = each user's latest event in
+    // (T, T2], LWW-compacted to one write per key (the batch-face
+    // discipline), op = create (put-if-absent) when that event is a
+    // 'click', else a version-guarded update whose expected version is
+    // the count the writer READ — stale for even user_ids (snapshot at
+    // T0 < T), current for odd: the deterministic stale-reader split
+    // that makes version guards bite. Outcomes: create applies iff the
+    // key is absent/tombstoned; update applies iff the key is live AND
+    // versions match; rejected writes audit as rejected_exists /
+    // rejected_absent / rejected_version. Three hash-aggs + two
+    // key-equi-joins, all sharding on user_id — no windows, no
+    // driver-side state; bounded ≤5-row audit summary with exact
+    // key-sum and value-cents checksums per outcome class.
+    QuerySpec(
+      "cdc_conditional_write",
+      (s, d) => {
+        val T0 = "2024-01-08 00:00:00" // the stale readers' snapshot
+        val ev = events(s, d)
+        val base = ev.filter(col("ts") <= lit(T).cast("timestamp"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_base"),
+            max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+          .filter(col("m.event_type") =!= "error")
+          .select(col("user_id"), col("n_base"))
+        val stale = ev
+          .filter(col("ts") <= when(col("user_id") % 2 === 0, lit(T0))
+            .otherwise(lit(T)).cast("timestamp"))
+          .groupBy("user_id").agg(count(lit(1)).as("n_stale"))
+        val writes = ev
+          .filter(col("ts") > lit(T).cast("timestamp") &&
+            col("ts") <= lit(T2).cast("timestamp"))
+          .groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+            col("value"))).as("m"))
+          .select(col("user_id"),
+            when(col("m.event_type") === "click", lit("create"))
+              .otherwise(lit("update")).as("op"),
+            col("m.value").as("value"))
+        writes.join(base, Seq("user_id"), "left")
+          .join(stale, Seq("user_id"), "left")
+          .select(col("op"), col("user_id"), col("value"),
+            when(col("op") === "create" && col("n_base").isNull, "applied")
+              .when(col("op") === "create", "rejected_exists")
+              .when(col("n_base").isNull, "rejected_absent")
+              .when(col("n_stale") <=> col("n_base"), "applied")
+              .otherwise("rejected_version").as("outcome"))
+          .groupBy("op", "outcome")
+          .agg(count(lit(1)).as("n_writes"), sum("user_id").as("key_sum"),
+            sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      },
+      Some(s"""
+        WITH pre AS (
+          SELECT user_id, event_type,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_base,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) rn
+          FROM events WHERE ts <= TIMESTAMP '$T'),
+        base AS (
+          SELECT user_id, n_base FROM pre WHERE rn = 1 AND event_type <> 'error'),
+        stale AS (
+          SELECT user_id, COUNT(*) AS n_stale FROM events
+          WHERE ts <= (CASE WHEN user_id % 2 = 0
+                            THEN TIMESTAMP '2024-01-08 00:00:00'
+                            ELSE TIMESTAMP '$T' END)
+          GROUP BY 1),
+        w AS (
+          SELECT user_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) rn
+          FROM events WHERE ts > TIMESTAMP '$T' AND ts <= TIMESTAMP '$T2'),
+        writes AS (
+          SELECT user_id,
+                 CASE WHEN event_type = 'click' THEN 'create'
+                      ELSE 'update' END AS op,
+                 value
+          FROM w WHERE rn = 1),
+        j AS (
+          SELECT wr.op, wr.user_id, wr.value, b.n_base,
+                 COALESCE(st.n_stale, 0) AS n_stale
+          FROM writes wr LEFT JOIN base b ON b.user_id = wr.user_id
+                         LEFT JOIN stale st ON st.user_id = wr.user_id)
+        SELECT op,
+               CASE WHEN op = 'create' AND n_base IS NULL THEN 'applied'
+                    WHEN op = 'create' THEN 'rejected_exists'
+                    WHEN n_base IS NULL THEN 'rejected_absent'
+                    WHEN n_stale = n_base THEN 'applied'
+                    ELSE 'rejected_version' END AS outcome,
+               COUNT(*) AS n_writes,
+               CAST(SUM(user_id) AS BIGINT) AS key_sum,
+               CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM j GROUP BY 1, 2"""))
   )
 }
