@@ -241,7 +241,9 @@ object CdcStream {
                 trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
                 retryAttempts: Int = 3,
                 retrySleep: Long => Unit = Thread.sleep,
-                compactEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+                compactEvery: Int = 0,
+                compactAtPpm: Long = 0,
+                amplifyCheckEvery: Int = 1): DataStreamWriter[org.apache.spark.sql.Row] =
     cdc.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -276,6 +278,25 @@ object CdcStream {
                 case scala.util.control.NonFatal(e) =>
                   System.err.println(
                     s"[applySink] best-effort compaction at batch $batchId failed: ${e.getMessage}")
+              }
+            }
+            // Amplification-driven auto-compaction (r14, VERDICT r13 #3):
+            // the measured signal decides, not a blind cadence — chains
+            // fold only when the footer-counted raw/resolved ratio says
+            // readers are actually paying for them. Same sink-thread /
+            // best-effort contract as compactEvery; `amplifyCheckEvery`
+            // bounds the check's own cost (footer pass + one resolved
+            // count) on fast triggers.
+            if (compactAtPpm > 0 && (batchId + 1) % math.max(1, amplifyCheckEvery) == 0) {
+              try SnapshotStore.compactIfAmplified(spark, targetDir, compactAtPpm)
+                .foreach(rep => System.err.println(
+                  s"[applySink] amplification ${rep.amplificationPpm} ppm > " +
+                    s"$compactAtPpm at batch $batchId: compacted " +
+                    s"(${rep.rawRows} raw / ${rep.resolvedRows} resolved rows)"))
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  System.err.println(
+                    s"[applySink] best-effort amplification check at batch $batchId failed: ${e.getMessage}")
               }
             }
           } catch {

