@@ -39,10 +39,150 @@ object SnapshotTableStats {
   private val FileName = "_STATS"
   private val NumericTypes = Set("bigint", "int", "double")
 
+  /** Incremental maintenance (r14, VERDICT r13 #4): HLL precision for
+    * the per-column NDV sketches persisted alongside the exact ANALYZE
+    * numbers. p=12 → m=4096 registers (4 KB/column packed): standard
+    * error 1.04/√m ≈ 1.6%. THE NDV ERROR CONTRACT after any fold:
+    * served NDV is the HLL estimate — ±~1.6% expected relative error
+    * (with linear-counting correction below 2.5·m), and register
+    * monotonicity means DELETIONS NEVER SHRINK it until the next full
+    * ANALYZE resets to exact. Row/byte/null-count folds are exact (from
+    * the pre/post point reads), modulo the op column's octet share
+    * being carried at 3 B/row.
+    */
+  val SketchP: Int = 12
+  private val SketchM: Int = 1 << SketchP
+  private val SketchW: Int = 60 - SketchP
+  /** Columns the fold maintains — the store's canonical resolved shape
+    * ([[graft.streaming.SnapshotStore.readKeysDf]] output). `op` is a
+    * near-constant live-row marker (stats carried from ANALYZE);
+    * projected columns disable maintenance entirely (their values
+    * derive from newImage and are not visible to the store layer).
+    */
+  val MaintainedCols: Seq[String] = Seq("keys", "sequenceNumber", "newImage")
+
   final case class ColStat(name: String, typ: String, ndv: Long, nulls: Long,
-                           min: Option[String], max: Option[String])
+                           min: Option[String], max: Option[String],
+                           regs: Option[Array[Byte]] = None)
   final case class TableStats(version: String, rows: Long, bytes: Long,
-                              cols: Seq[ColStat])
+                              cols: Seq[ColStat], exact: Boolean = true)
+
+  /** The cross-engine 60-bit hash discipline (the A20 shape) — here
+    * driver-consumed only, so nulls may collapse onto the 0 hash (≤1
+    * NDV perturbation, under the sketch's own error). */
+  private def hash60(name: String) = coalesce(
+    expr(s"cast(conv(substring(md5(cast(`$name` as string)), 1, 15), 16, 10) as long)"),
+    lit(0L))
+
+  private def hllAgg = udaf(new graft.functions.HllRegistersAgg(SketchP),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+
+  /** HLL estimate from packed registers, WITH the small-range
+    * linear-counting correction (Heule et al. 2013) — unlike the
+    * oracle-gated A20 query this is driver-side planner input, so ln is
+    * fine. */
+  def hllEstimate(regs: Array[Byte]): Long = {
+    val m = regs.length
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    var s = 0.0; var zeros = 0
+    regs.foreach { r =>
+      s += math.pow(2.0, -r.toDouble)
+      if (r == 0) zeros += 1
+    }
+    val raw = alpha * m * m / s
+    val e = if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+            else raw
+    math.max(0L, math.round(e))
+  }
+
+  private def packRegs(longs: Seq[Long]): Array[Byte] =
+    longs.map(l => math.min(l, 127L).toByte).toArray
+  private def mergeRegs(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    a.zip(b).map { case (x, y) => if (x >= y) x else y }
+
+  /** One-pass stats contribution of a resolved-rows frame in the
+    * canonical (keys, sequenceNumber, newImage) shape: row count, byte
+    * estimate, per-column null counts, and (when `withSketch`) HLL
+    * registers of each column's values. The `op` column of the resolved
+    * face is a constant-width live marker: carried at 3 octets/row.
+    */
+  final case class Contribution(n: Long, bytes: Long,
+                                nulls: Map[String, Long],
+                                regs: Map[String, Array[Byte]])
+
+  def contribution(df: org.apache.spark.sql.DataFrame,
+                   withSketch: Boolean): Contribution = {
+    val rowBytes = MaintainedCols.map(c =>
+      coalesce(octet_length(col(c).cast("string")).cast("long"), lit(0L)))
+      .reduce(_ + _) + lit(3L + 16L)
+    val aggs = Seq(count(lit(1)).as("n"),
+      coalesce(sum(rowBytes), lit(0L)).as("bytes")) ++
+      MaintainedCols.map(c => count(col(c)).as(s"nn_$c")) ++
+      (if (withSketch) MaintainedCols.map(c => hllAgg(hash60(c)).as(s"rg_$c"))
+       else Nil)
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(r.fieldIndex("n"))
+    Contribution(n,
+      r.getLong(r.fieldIndex("bytes")),
+      MaintainedCols.map(c => c -> (n - r.getLong(r.fieldIndex(s"nn_$c")))).toMap,
+      if (!withSketch) Map.empty
+      else MaintainedCols.map(c =>
+        c -> packRegs(r.getSeq[Long](r.fieldIndex(s"rg_$c")))).toMap)
+  }
+
+  /** Whether `_STATS` at `dir` is LIVE against `basisVersion` and
+    * foldable: carries sketches for every maintained column, and the
+    * table has no projected columns (their byte/NDV shares are not
+    * separable at the store layer — ALTERed tables degrade to the
+    * pre-r14 behavior, re-ANALYZE to refresh).
+    */
+  def maintainable(conf: Configuration, dir: String,
+                   basisVersion: String): Option[TableStats] =
+    read(conf, dir)
+      .filter(_.version == basisVersion)
+      .filter(st => MaintainedCols.forall(c =>
+        st.cols.exists(cs => cs.name == c && cs.regs.isDefined)))
+      .filter(_ => SnapshotProjectedColumns.read(conf, dir).isEmpty)
+
+  /** Fold one publish's pre/post contributions into live stats and
+    * re-pin them to `newVersion`: rows/bytes/null counts adjust exactly
+    * (state delta = post − pre over exactly the touched keys); NDV
+    * becomes the register-merged HLL estimate (error contract at
+    * [[SketchP]]); min/max are dropped for maintained columns (a
+    * deletion can retract an extremum — serving a stale one would be
+    * wrong in the unsafe direction); untouched columns (`op`,
+    * ANALYZE-time extras) carry forward.
+    */
+  def fold(conf: Configuration, dir: String, st: TableStats,
+           pre: Contribution, post: Contribution,
+           newVersion: String): TableStats = {
+    val cols = st.cols.map { c =>
+      if (!MaintainedCols.contains(c.name)) c
+      else {
+        val merged = c.regs.map(r => mergeRegs(r, post.regs(c.name)))
+        c.copy(
+          ndv = merged.fold(c.ndv)(hllEstimate),
+          nulls = math.max(0L,
+            c.nulls - pre.nulls(c.name) + post.nulls(c.name)),
+          min = None, max = None,
+          regs = merged)
+      }
+    }
+    val folded = TableStats(newVersion,
+      rows = math.max(0L, st.rows - pre.n + post.n),
+      bytes = math.max(0L, st.bytes - pre.bytes + post.bytes),
+      cols = cols, exact = false)
+    write(conf, dir, folded)
+    folded
+  }
+
+  /** Re-pin live stats to a new version WITHOUT changing the numbers —
+    * the state-preserving maintenance case (full compaction rewrites
+    * segments but resolves to the identical rows).
+    */
+  def repin(conf: Configuration, dir: String, st: TableStats,
+            newVersion: String): Unit =
+    write(conf, dir, st.copy(version = newVersion))
 
   /** Measure the resolved state and persist `_STATS` (atomic
     * overwrite-rename, the `_COLUMNS` discipline). One aggregate pass;
@@ -72,7 +212,12 @@ object SnapshotTableStats {
           base ++ Seq(min(col(f.name)).cast("string").as(s"mn_${f.name}"),
             max(col(f.name)).cast("string").as(s"mx_${f.name}"))
         else base
-      }
+      } ++
+      // HLL registers for the maintainable columns (r14): ANALYZE stays
+      // exact; the sketches are the mergeable basis later publish folds
+      // build on (see the SketchP error contract)
+      MaintainedCols.filter(c => fields.exists(_.name == c))
+        .map(c => hllAgg(hash60(c)).as(s"rg_$c"))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val rows = r.getLong(r.fieldIndex("n"))
     val bytes = if (r.isNullAt(r.fieldIndex("bytes"))) 0L
@@ -85,7 +230,10 @@ object SnapshotTableStats {
       ColStat(f.name, f.dataType.catalogString,
         ndv = r.getLong(r.fieldIndex(s"ndv_${f.name}")),
         nulls = rows - r.getLong(r.fieldIndex(s"nn_${f.name}")),
-        min = opt(s"mn_${f.name}"), max = opt(s"mx_${f.name}"))
+        min = opt(s"mn_${f.name}"), max = opt(s"mx_${f.name}"),
+        regs = if (r.schema.fieldNames.contains(s"rg_${f.name}"))
+          Some(packRegs(r.getSeq[Long](r.fieldIndex(s"rg_${f.name}"))))
+        else None)
     }
     val stats = TableStats(version, rows, bytes, cols)
     write(spark.sessionState.newHadoopConf(), dir, stats)
@@ -102,9 +250,11 @@ object SnapshotTableStats {
     val tmp = new Path(dir,
       s"$FileName.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val lines = Seq(s"version\t${st.version}",
+      s"mode\t${if (st.exact) "exact" else "incremental"}",
       s"table\t${st.rows}\t${st.bytes}") ++
       st.cols.map(c => s"col\t${c.name}\t${c.typ}\t${c.ndv}\t${c.nulls}" +
-        s"\t${c.min.getOrElse("")}\t${c.max.getOrElse("")}")
+        s"\t${c.min.getOrElse("")}\t${c.max.getOrElse("")}" +
+        s"\t${c.regs.map(java.util.Base64.getEncoder.encodeToString).getOrElse("")}")
     val out = fs.create(tmp, true)
     try out.write(lines.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -136,13 +286,19 @@ object SnapshotTableStats {
         case l if l.startsWith("table\t") =>
           val a = l.split("\t"); (a(1).toLong, a(2).toLong)
       }.getOrElse(return None)
+      val exact = lines.collectFirst {
+        case l if l.startsWith("mode\t") => l.split("\t", 2)(1) == "exact"
+      }.getOrElse(true) // pre-r14 files carry no mode line: exact
       val cols = lines.filter(_.startsWith("col\t")).map { l =>
-        val a = l.split("\t", 7)
+        val a = l.split("\t", 8)
         ColStat(a(1), a(2), a(3).toLong, a(4).toLong,
           if (a.length > 5 && a(5).nonEmpty) Some(a(5)) else None,
-          if (a.length > 6 && a(6).nonEmpty) Some(a(6)) else None)
+          if (a.length > 6 && a(6).nonEmpty) Some(a(6)) else None,
+          if (a.length > 7 && a(7).nonEmpty)
+            Some(java.util.Base64.getDecoder.decode(a(7)))
+          else None)
       }
-      Some(TableStats(version, rows, bytes, cols))
+      Some(TableStats(version, rows, bytes, cols, exact))
     } catch { case _: Exception => None } // malformed/unreadable: no stats
   }
 }

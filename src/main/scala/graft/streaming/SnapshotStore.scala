@@ -1044,6 +1044,25 @@ object SnapshotStore {
             val touched = d.select(BucketCol).distinct() // ≤ n rows — driver-safe
               .collect().map(_.getInt(0)).toSet
             if (touched.nonEmpty) {
+              // Incremental ANALYZE maintenance (r14, VERDICT r13 #4):
+              // when _STATS is LIVE against this basis (and the table is
+              // the canonical shape with no projected columns), capture
+              // the touched keys' PRE-publish contribution now; the
+              // matching POST-publish contribution folds after the swap,
+              // so the stats stay pinned to the NEW version instead of
+              // fail-safe-degrading on every write. Cost when live: two
+              // delta-keyed point reads (the readKeysDf cost model) —
+              // zero when no _STATS exists (one metadata read).
+              val canonicalShape = keys == Seq("keys") && opCol == "op" &&
+                seqCol == "sequenceNumber" && payload == Seq("newImage")
+              val maintSt =
+                if (!canonicalShape) None
+                else graft.sources.SnapshotTableStats.maintainable(
+                  hconf(spark), targetDir, basisName)
+              val preContrib = maintSt.map(_ =>
+                graft.sources.SnapshotTableStats.contribution(
+                  readKeysDf(spark, targetDir, d.select("keys")),
+                  withSketch = false))
               val foldSet = touched.filter(b =>
                 m.buckets.getOrElse(b, Nil).length + 1 > foldThreshold)
               val appendSet = touched -- foldSet
@@ -1073,6 +1092,23 @@ object SnapshotStore {
                 keepChains = m.buckets -- touched,
                 prefixChains = appendSet.map(b => b -> m.buckets.getOrElse(b, Nil)).toMap,
                 basis = Some(basisName), batchId, n, retainVersions)
+              // fold the stats forward onto the just-committed version;
+              // best-effort — the merge is already durable, and a failed
+              // fold leaves a stale pin that degrades fail-safe as before
+              maintSt.foreach { st =>
+                try {
+                  val post = graft.sources.SnapshotTableStats.contribution(
+                    readKeysDf(spark, targetDir, d.select("keys")),
+                    withSketch = true)
+                  pointerValue(spark, targetDir).foreach { v =>
+                    graft.sources.SnapshotTableStats.fold(
+                      hconf(spark), targetDir, st, preContrib.get, post, v)
+                  }
+                } catch {
+                  case scala.util.control.NonFatal(e) => System.err.println(
+                    s"[mergeIntoTarget] stats fold failed (stats degrade): ${e.getMessage}")
+                }
+              }
             }
           } finally { d.unpersist(); () }
         case None =>
@@ -1185,10 +1221,23 @@ object SnapshotStore {
           // null-op compacted rows still read as PUT (compactState
           // coalesces null op).
           val state = readTarget(spark, targetDir, keys, opCol, seqCol)
+          // compaction resolves to IDENTICAL rows, so live stats stay
+          // numerically true — re-pin them to the new version (r14)
+          // instead of letting the version move orphan them
+          val liveStats = graft.sources.SnapshotTableStats.read(
+            hconf(spark), targetDir).filter(_.version == basisName)
           publish(spark, targetDir,
             state.withColumn(BucketCol, bucketExpr(keys, m.numBuckets)),
             keepChains = Map.empty, prefixChains = Map.empty,
             basis = Some(basisName), batchId = -1L, m.numBuckets, retainVersions)
+          liveStats.foreach { st =>
+            try pointerValue(spark, targetDir).foreach(v =>
+              graft.sources.SnapshotTableStats.repin(hconf(spark), targetDir, st, v))
+            catch {
+              case scala.util.control.NonFatal(e) => System.err.println(
+                s"[compactTarget] stats re-pin failed (stats degrade): ${e.getMessage}")
+            }
+          }
       }
     }
 

@@ -939,7 +939,7 @@ class DataSourceV2Spec extends SparkSpec {
     assert(Set("v", "tag").subsetOf(cols), s"projections lost: $cols")
   }
 
-  test("ANALYZE via CALL: measured resolved-state stats flip the broadcast decision; writes invalidate") {
+  test("ANALYZE via CALL: stats flip the broadcast decision; incremental folds survive writes") {
     val root = catalogRoot
     val dir = s"$root/an/t"
     // 20 generations of the SAME 400 keys with incompressible images:
@@ -996,12 +996,59 @@ class DataSourceV2Spec extends SparkSpec {
         }
       }
       assert(found, s"keys column stats missing: $colStats")
-      // a WRITE invalidates: stats are pinned to their measured version,
-      // so the next plan degrades to file-size stats, never a stale count
+
+      // ── incremental maintenance (r14, VERDICT r13 #4): writes no
+      // longer orphan the stats — each publish folds its delta's
+      // pre/post contributions into _STATS and re-pins the version, so
+      // the BROADCAST DECISION SURVIVES N WRITES with no re-ANALYZE
+      for (w <- 1 to 3) {
+        val rows = (0 until 50).map(i =>
+          (s"k${400 + w * 100 + i}", "PUT", s"999$w$i",
+            Some(s"""{"w":$w}"""))) :+
+          (s"k$w", "PUT", s"9998$w", Some("""{"upd":true}"""))
+        SnapshotStore.mergeIntoTarget(spark, dir, delta(rows: _*),
+          batchId = 90L + w, foldThreshold = 100)
+      }
+      assert(plan().toString.contains("BroadcastHashJoin"),
+        s"stats did not survive 3 writes:\n${plan()}")
+      val scan2 = new graft.sources.SnapshotScan(dir,
+        graft.sources.SnapshotSource.Schema, keyLookups = None)
+      val st2 = scan2.estimateStatistics()
+      // rows fold EXACTLY: 400 base + 3×50 inserts (the 3 re-PUTs of
+      // existing keys are updates, not inserts)
+      assert(st2.numRows.getAsLong === 550L,
+        s"folded row count wrong: ${st2.numRows}")
+      // NDV error contract: after folding, keys-NDV is the HLL(p=12)
+      // estimate — ±1.04/√4096 ≈ 1.6% expected; assert within 5%
+      var ndv = -1L
+      st2.columnStats().forEach { (ref, cs) =>
+        if (ref.fieldNames()(0) == "keys") ndv = cs.distinctCount().getAsLong
+      }
+      assert(math.abs(ndv - 550L) <= 550L * 5 / 100,
+        s"folded keys NDV $ndv outside the 5% contract around 550")
+      // a DELETE folds the row count DOWN (exact), while NDV — register
+      // monotonicity, the stated contract — does not shrink
       SnapshotStore.mergeIntoTarget(spark, dir,
-        delta(("k0", "PUT", "9990000", Some("{}"))), 99L, foldThreshold = 100)
-      assert(!plan().toString.contains("BroadcastHashJoin"),
-        "stale ANALYZE stats served after a write")
+        delta(("k1", "DELETE", "999999999", None)), 94L, foldThreshold = 100)
+      val st3 = new graft.sources.SnapshotScan(dir,
+        graft.sources.SnapshotSource.Schema, keyLookups = None)
+        .estimateStatistics()
+      assert(st3.numRows.getAsLong === 549L,
+        s"delete did not fold rows down: ${st3.numRows}")
+      // compaction preserves state: stats re-pin and keep serving
+      SnapshotStore.compactTarget(spark, dir)
+      assert(plan().toString.contains("BroadcastHashJoin"),
+        "stats orphaned by compaction")
+      // INSERT OVERWRITE replaces state wholesale: the fold chain breaks
+      // and stats degrade FAIL-SAFE back to file-size estimates
+      spark.range(10).selectExpr("concat('z', id) AS keys", "'PUT' AS op",
+          "cast(id as string) AS sequenceNumber", "'{}' AS newImage")
+        .write.format("graft-snapshot").mode("overwrite").save(dir)
+      val st4 = new graft.sources.SnapshotScan(dir,
+        graft.sources.SnapshotSource.Schema, keyLookups = None)
+        .estimateStatistics()
+      assert(!st4.numRows.isPresent,
+        s"stale stats served after overwrite: ${st4.numRows}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
