@@ -104,7 +104,12 @@ object ScaleProbe {
     // maintainer's per-batch cost (fixed-delta merge vs full-state tier
     // recompute) at k× maintained NDV, equality-gated per factor.
     val eqdepthOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("eqdepth")
+    // SPARK_GRAFT_PROBE=ktruss races graph_ktruss's per-wave support
+    // join (the double adjacency equi-join) across factors (r14,
+    // VERDICT r13 #6) with the replication-invariance equality gate
+    val ktrussOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("ktruss")
     var pcaAxisAtBase: Array[Long] = null
+    var ktrussSupAtBase: Long = -1L
     for (k <- factors) {
       if (aucOnly) {
         val ev = spark.read.parquet(s"$d/events.parquet")
@@ -209,6 +214,62 @@ object ScaleProbe {
             s"formulations disagree at x$k: wedge=$triWedge iter=$triIter")
         }
         println(s"[probe] tri_x$k: edges=${edges.count()} triangles=$triIter")
+      } else if (ktrussOnly) {
+        // k-truss SUPPORT JOIN growth (r14, VERDICT r13 #6): the one new
+        // r13 graph stage without a measured curve. Per peel wave,
+        // support(u,v) = |N(u) ∩ N(v)| comes from the double adjacency
+        // equi-join e ⋈ adj(x=u) ⋈ adj(x=v, shared y) — its shuffled
+        // intermediate is the WEDGE volume Σ_n deg(n)² anchored at
+        // surviving edges, and its output is 3·triangles support rows.
+        // Disconnected k× replication keeps every degree constant, so
+        // both quantities scale exactly k× — the measured curve must be
+        // ~linear, and the per-copy support mass must be REPLICATION-
+        // INVARIANT (sup_sum(xk) = k·sup_sum(x1), the equality gate).
+        val li = spark.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_partkey").distinct()
+        val e0 = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u0"), col("b.l_partkey").as("v0"))
+          .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+        val edges = e0.crossJoin(spark.range(k).toDF("rep"))
+          .select((col("u0") * k + col("rep")).as("u"),
+            (col("v0") * k + col("rep")).as("v"))
+          .localCheckpoint(true)
+        var supSum = -1L; var supEdges = -1L
+        time(s"ktruss_support_x$k") {
+          val adj = edges.select(col("u").as("x"), col("v").as("y"))
+            .unionAll(edges.select(col("v").as("x"), col("u").as("y")))
+          val sup = edges.as("e")
+            .join(adj.as("au"), col("au.x") === col("e.u"))
+            .join(adj.as("av"),
+              col("av.x") === col("e.v") && col("av.y") === col("au.y"))
+            .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+            .agg(count(lit(1)).as("sup"))
+          val r = sup.agg(sum("sup").as("s"), count(lit(1)).as("n")).collect()(0)
+          supSum = r.getLong(0); supEdges = r.getLong(1)
+          supEdges
+        }
+        if (k == factors.min) ktrussSupAtBase = supSum
+        else require(supSum == ktrussSupAtBase * k / factors.min,
+          s"support mass not replication-invariant at x$k: " +
+            s"$supSum vs base $ktrussSupAtBase")
+        // one full peel WAVE on top (filter + recount — what the query
+        // iterates): times the marginal wave cost at this factor
+        time(s"ktruss_wave_x$k") {
+          val adj = edges.select(col("u").as("x"), col("v").as("y"))
+            .unionAll(edges.select(col("v").as("x"), col("u").as("y")))
+          edges.as("e")
+            .join(adj.as("au"), col("au.x") === col("e.u"))
+            .join(adj.as("av"),
+              col("av.x") === col("e.v") && col("av.y") === col("au.y"))
+            .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+            .agg(count(lit(1)).as("sup"))
+            .filter(col("sup") >= 2).count()
+        }
+        println(s"[probe] ktruss_x$k: edges=${edges.count()} " +
+          s"sup_edges=$supEdges sup_sum=$supSum")
       } else if (jacOnly) {
         val li = spark.read.parquet(s"$d/lineitem.parquet")
           .select("l_orderkey", "l_partkey").distinct()
