@@ -938,39 +938,39 @@ object SimilarityQueries {
     * kmeansSpherical). Expects a CTE `base` = (vec_id, qv, nn); yields
     * `cents$iters` = (cid, cv, cnn).
     */
-  private def kmeansSqlCtes(k: Int, iters: Int): String = {
+  private def kmeansSqlCtes(k: Int, iters: Int, p: String = ""): String = {
     val init = s"""
-    cents0 AS (
+    ${p}cents0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
              qv AS cv, nn AS cnn
       FROM (SELECT vec_id, qv, nn FROM base ORDER BY vec_id LIMIT $k))"""
     val its = (1 to iters).map { t =>
       s"""
-    scored$t AS (
+    ${p}scored$t AS (
       SELECT b.vec_id, b.qv, c.cid,
              CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i] * c.cv[i])) AS BIGINT) AS dot,
              b.nn AS na, c.cnn AS nb
-      FROM base b CROSS JOIN cents${t - 1} c),
-    asg$t AS (
+      FROM base b CROSS JOIN ${p}cents${t - 1} c),
+    ${p}asg$t AS (
       SELECT vec_id, qv, cid FROM (
         SELECT vec_id, qv, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${Corpus.scoreSql} DESC, cid) AS rk
-        FROM scored$t) WHERE rk = 1),
-    upd$t AS (
+        FROM ${p}scored$t) WHERE rk = 1),
+    ${p}upd$t AS (
       SELECT cid, list(m ORDER BY i) AS cv FROM (
         SELECT a.cid, t.i,
                CAST(floor(CAST(SUM(a.qv[t.i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m
-        FROM asg$t a CROSS JOIN range(1, 65) t(i)
+        FROM ${p}asg$t a CROSS JOIN range(1, 65) t(i)
         GROUP BY a.cid, t.i)
       GROUP BY cid),
-    cents$t AS (
+    ${p}cents$t AS (
       SELECT c.cid,
              CASE WHEN u.cv IS NULL OR list_sum(list_transform(u.cv, x -> x * x)) = 0
                   THEN c.cv ELSE u.cv END AS cv,
              CAST(list_sum(list_transform(
                CASE WHEN u.cv IS NULL OR list_sum(list_transform(u.cv, x -> x * x)) = 0
                     THEN c.cv ELSE u.cv END, x -> x * x)) AS BIGINT) AS cnn
-      FROM cents${t - 1} c LEFT JOIN upd$t u ON u.cid = c.cid)"""
+      FROM ${p}cents${t - 1} c LEFT JOIN ${p}upd$t u ON u.cid = c.cid)"""
     }
     (init +: its).mkString(",")
   }
@@ -2320,6 +2320,82 @@ object SimilarityQueries {
           FROM (${annSelectSql(bruteCtesSql, 3)})),
         probes AS (SELECT DISTINCT query_id FROM gt),$arms
         $unions"""
+      }),
+
+    // ───── k-means ELBOW sweep (r14): inertia vs k — the model-selection
+    // readout that turns the engine's k-means (V4, previously spec-only)
+    // into an oracle-gated surface. For k ∈ {2,4,8}: two integer Lloyd
+    // iterations ([[Clustering.kmeansSpherical]] — deterministic first-k
+    // init, floor-mean updates, empty/degenerate carry-forward), then
+    // every vector scores its winning cell and contributes spherical
+    // inertia 1e6 − signed-cos²·1e6 (EXACT: dot²·1e6 div (na·nb) in
+    // DECIMAL(38)/HUGEINT — the one rational, truncating identically;
+    // the assignment argmax reuses the exactly-rounded double score with
+    // the (score DESC, cid) total order). Per-k cost is one broadcast
+    // centroid scan per iteration — O(n·k·d), no shuffle beyond the
+    // floor-mean hash-agg; the oracle replays all three Lloyd chains as
+    // prefixed unrolled CTEs (the kmeansSqlCtes discipline). Output:
+    // 3 rows (k, n, inertia sum, cell checksums) — inertia must fall
+    // as k grows, and the drop-off shape is the elbow.
+    QuerySpec(
+      "ann_kmeans_elbow",
+      (s, d) => {
+        val vecs = Corpus.quantizedVectors(s, d).select("vec_id", "qv", "nn")
+        Seq(2, 4, 8).map { k =>
+          val cents = Clustering.kmeansSpherical(s, vecs, k, iters = 2)
+          val cdf = s.createDataFrame(cents.map { case (cid, cv, cnn) =>
+            (cid, cv.toSeq, cnn) }).toDF("c_id", "cv", "cnn")
+          assignToCentroids(vecs, cents)
+            .join(broadcast(cdf), "c_id")
+            .select(col("vec_id"), col("c_id"),
+              Corpus.dotCol("qv", "cv").as("dot"),
+              col("nn").as("na"), col("cnn").as("nb"))
+            .select(col("vec_id"), col("c_id"), expr(
+              """1000000 - cast(
+                   (case when dot >= 0 then 1 else -1 end) *
+                   ((cast(dot as decimal(38,0)) * dot * 1000000)
+                      div (cast(na as decimal(38,0)) * nb)) as bigint)""")
+              .as("inertia_ppm"))
+            .groupBy(lit(k).as("k"))
+            .agg(count(lit(1)).as("n_vecs"),
+              sum("inertia_ppm").as("inertia_sum"),
+              sum("c_id").as("cid_sum"),
+              count_distinct(col("c_id")).as("n_cells"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        val chains = Seq(2, 4, 8).map(k => kmeansSqlCtes(k, 2, s"e${k}_"))
+          .mkString(",")
+        val aggs = Seq(2, 4, 8).map { k =>
+          val p = s"e${k}_"
+          s"""
+        ${p}fsc AS (
+          SELECT b.vec_id, c.cid,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> b.qv[i] * c.cv[i])) AS BIGINT) AS dot,
+                 b.nn AS na, c.cnn AS nb
+          FROM base b CROSS JOIN ${p}cents2 c),
+        ${p}win AS (
+          SELECT vec_id, cid, dot, na, nb FROM (
+            SELECT vec_id, cid, dot, na, nb,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY ${Corpus.scoreSql} DESC, cid) AS rk
+            FROM ${p}fsc) WHERE rk = 1),
+        ${p}agg AS (
+          SELECT $k AS k, COUNT(*) AS n_vecs,
+                 CAST(SUM(1000000 - CAST((CASE WHEN dot >= 0 THEN 1 ELSE -1 END)
+                   * ((CAST(dot AS HUGEINT) * dot * 1000000)
+                      // (CAST(na AS HUGEINT) * nb)) AS BIGINT)) AS BIGINT)
+                   AS inertia_sum,
+                 CAST(SUM(cid) AS BIGINT) AS cid_sum,
+                 CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_cells
+          FROM ${p}win)"""
+        }.mkString(",")
+        s"""
+        WITH base AS MATERIALIZED (${Corpus.quantizedVectorsSql}),$chains,$aggs
+        SELECT * FROM e2_agg
+        UNION ALL SELECT * FROM e4_agg
+        UNION ALL SELECT * FROM e8_agg"""
       })
   )
 }

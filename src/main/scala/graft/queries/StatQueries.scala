@@ -2983,6 +2983,188 @@ object StatQueries {
                           < CAST(n_untied AS DOUBLE) / 2 THEN -0.5
                         ELSE 0.0 END))
                / (sqrt(CAST(n_untied AS DOUBLE)) / 2) AS z
-        FROM s"""))
+        FROM s""")),
+
+    // ───── Kruskal–Wallis H (r14): the k-GROUP extension of
+    // stat_mann_whitney (two-sample ranks) completing the location
+    // family — do the five event types draw values from the same
+    // distribution? GLOBAL doubled midranks come from the cents-bounded
+    // value histogram (the stat_spearman discipline: the ordered window
+    // runs over the ≤56k-value domain, never the event stream), then
+    // the per-group rank-sum terms use the stat_anova_f fixed-point
+    // move — T_g = S_g²·1000 div n_g in DECIMAL(38)/HUGEINT, truncating
+    // identically in both engines — so the cross-group sum is exact
+    // integer milli at any corpus size (S_g²·1000 ≈ 1.6e34 at 1e8 rows,
+    // inside 38 digits). H and its tie-corrected form are the one final
+    // double expression per output value, spelled identically in both
+    // engines; with doubled ranks Σ(Σr'_g)²/n_g = T/4000.
+    QuerySpec(
+      "stat_kruskal_wallis",
+      (s, d) => {
+        val c = events(s, d).select(col("event_type"),
+          expr("cast(floor(value * 100) as bigint)").as("x"))
+        val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+        val ranks = c.groupBy("x").agg(count(lit(1)).as("n_v"))
+          .withColumn("r",
+            coalesce(sum("n_v").over(w), lit(0L)) * 2 + col("n_v") + 1)
+        val ties = ranks.agg(
+          sum(expr("cast(n_v as decimal(38,0)) * n_v * n_v - n_v")).as("tsum"))
+        c.join(broadcast(ranks.select("x", "r")), "x")
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n_g"),
+            sum(col("r").cast("decimal(38,0)")).as("s_g"))
+          .select(col("n_g"), col("s_g"),
+            expr("cast(s_g * s_g * 1000 div n_g as decimal(38,0))").as("t_g"))
+          .agg(count(lit(1)).as("k"), sum("n_g").as("nd"), sum("t_g").as("t"))
+          .crossJoin(broadcast(ties))
+          .select(col("k"), col("nd").cast("long").as("n"),
+            col("t").cast("long").as("t_milli"),
+            col("tsum").cast("long").as("tie_sum"))
+          .selectExpr("k", "n", "t_milli", "tie_sum",
+            """12.0 / (cast(n as double) * (cast(n as double) + 1.0))
+               * (cast(t_milli as double) / 4000.0)
+               - 3.0 * (cast(n as double) + 1.0) as h""",
+            """(12.0 / (cast(n as double) * (cast(n as double) + 1.0))
+               * (cast(t_milli as double) / 4000.0)
+               - 3.0 * (cast(n as double) + 1.0))
+               / (1.0 - cast(tie_sum as double)
+                  / (cast(n as double) * cast(n as double) * cast(n as double)
+                     - cast(n as double))) as h_tie""")
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x
+          FROM events),
+        hist AS (SELECT x, COUNT(*) AS n_v FROM c GROUP BY 1),
+        ranks AS (
+          SELECT x,
+                 COALESCE(SUM(n_v) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+                 + n_v + 1 AS r
+          FROM hist),
+        ties AS (
+          SELECT CAST(SUM(CAST(n_v AS HUGEINT) * n_v * n_v - n_v) AS HUGEINT)
+            AS tsum FROM hist),
+        g AS (
+          SELECT c.event_type, CAST(COUNT(*) AS HUGEINT) AS n_g,
+                 CAST(SUM(CAST(r AS HUGEINT)) AS HUGEINT) AS s_g
+          FROM c JOIN ranks ON ranks.x = c.x
+          GROUP BY 1),
+        sums AS (
+          SELECT COUNT(*) AS k, SUM(n_g) AS nd,
+                 SUM(s_g * s_g * 1000 // n_g) AS t
+          FROM g),
+        fin AS (
+          SELECT CAST(k AS BIGINT) AS k, CAST(nd AS BIGINT) AS n,
+                 CAST(t AS BIGINT) AS t_milli,
+                 CAST((SELECT tsum FROM ties) AS BIGINT) AS tie_sum
+          FROM sums)
+        SELECT k, n, t_milli, tie_sum,
+               12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                 * (CAST(t_milli AS DOUBLE) / 4000.0)
+                 - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+               (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                 * (CAST(t_milli AS DOUBLE) / 4000.0)
+                 - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                 / (1.0 - CAST(tie_sum AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(n AS DOUBLE))) AS h_tie
+        FROM fin""")),
+
+    // ───── Matthews correlation coefficient sweep (r14): the
+    // single-number binary-classifier quality that stays honest under
+    // class imbalance (F1 ignores TN; accuracy saturates), swept over
+    // three operating points — ml_confusion's one-threshold table
+    // generalized to the thresholds ml_pr_curve walks. Numerator
+    // TP·TN − FP·FN exact in DECIMAL(38)/HUGEINT; denominator is ONE
+    // sqrt of the exact integer product of the four margins (the
+    // stat_cramers_v shape); zero margin ⇒ MCC := 0 by convention,
+    // spelled identically in both engines.
+    QuerySpec(
+      "ml_matthews_corr",
+      (s, d) => {
+        val m = events(s, d).select(
+          expr("cast(round(value * 100) as bigint)").as("sc"),
+          (col("event_type") === "purchase").as("act"))
+        Seq(2500L, 5000L, 7500L).map { thr =>
+          m.select((col("sc") >= thr).as("pred"), col("act"))
+            .agg(
+              sum(when(col("pred") && col("act"), 1L).otherwise(0L)).as("tp"),
+              sum(when(col("pred") && !col("act"), 1L).otherwise(0L)).as("fp"),
+              sum(when(!col("pred") && col("act"), 1L).otherwise(0L)).as("fn"),
+              sum(when(!col("pred") && !col("act"), 1L).otherwise(0L)).as("tn"))
+            .select(lit(thr).as("thr_cents"), col("tp"), col("fp"),
+              col("fn"), col("tn"))
+        }.reduce(_ unionByName _)
+          .selectExpr("thr_cents", "tp", "fp", "fn", "tn",
+            """case when (tp + fp) * (tp + fn) = 0
+                     or (tn + fp) * (tn + fn) = 0 then 0.0
+               else cast(cast(tp as decimal(38,0)) * tn
+                         - cast(fp as decimal(38,0)) * fn as double)
+                    / sqrt(cast(cast(tp + fp as decimal(38,0)) * (tp + fn)
+                                * (tn + fp) * (tn + fn) as double))
+               end as mcc""")
+      },
+      Some {
+        val arms = Seq(2500L, 5000L, 7500L).map { thr =>
+          s"""
+        SELECT $thr AS thr_cents,
+               CAST(SUM(CASE WHEN sc >= $thr AND act THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN sc >= $thr AND NOT act THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN sc < $thr AND act THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN sc < $thr AND NOT act THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM m"""
+        }.mkString("\n        UNION ALL")
+        s"""
+        WITH m AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS sc,
+                 event_type = 'purchase' AS act
+          FROM events),
+        c AS ($arms)
+        SELECT thr_cents, tp, fp, fn, tn,
+               CASE WHEN (tp + fp) * (tp + fn) = 0
+                      OR (tn + fp) * (tn + fn) = 0 THEN 0.0
+                    ELSE CAST(CAST(tp AS HUGEINT) * tn
+                              - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+                         / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+                                     * (tn + fp) * (tn + fn) AS DOUBLE))
+               END AS mcc
+        FROM c"""
+      }),
+
+    // ───── Chi-square goodness-of-fit (r14): is traffic UNIFORM across
+    // event types? The one-way sibling of events_ab_chisq (2×2) and
+    // stat_cramers_v (r×c): observed per-type counts against the
+    // uniform expectation E = N/k. Exactness by clearing the rational
+    // expectation: (O − N/k)²/(N/k) = (O·k − N)²/(N·k), so
+    // chi2_milli = 1000·Σ(O·k−N)² div (N·k) is ONE truncating integer
+    // division over exact sums — no float accumulates across the k
+    // cells. Per-cell deviation rows (exact milli) plus the k-row
+    // bounded output make the statistic auditable, not just a number.
+    QuerySpec(
+      "stat_chi2_gof",
+      (s, d) => {
+        val obs = events(s, d).groupBy("event_type")
+          .agg(count(lit(1)).as("o"))
+        val tot = obs.agg(sum("o").as("nn"), count(lit(1)).as("k"))
+        obs.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("o"), col("nn").as("n"), col("k"),
+            expr("""cast(1000 * (cast(o as decimal(38,0)) * k - nn)
+                    * (cast(o as decimal(38,0)) * k - nn)
+                    div (cast(nn as decimal(38,0)) * k) as bigint)""")
+              .as("dev_milli"))
+      },
+      Some("""
+        WITH obs AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS o
+          FROM events GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(o) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
+          FROM obs)
+        SELECT event_type, o, n, k,
+               CAST(1000 * (CAST(o AS HUGEINT) * k - n)
+                    * (CAST(o AS HUGEINT) * k - n)
+                    // (CAST(n AS HUGEINT) * k) AS BIGINT) AS dev_milli
+        FROM obs, tot"""))
   )
 }
