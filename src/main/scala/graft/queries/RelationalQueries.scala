@@ -1683,6 +1683,99 @@ object RelationalQueries {
         FROM days d JOIN ud u ON u.day <= d.day AND u.day > d.day - 7
         GROUP BY d.day""")),
 
+    // ───── Stickiness ratio (r14): DAU over trailing-28-day MAU — the
+    // engagement-frequency number every growth dashboard pairs with
+    // events_dau_wau's raw actives (a product whose stickiness rises is
+    // becoming habitual even with flat DAU). Same scale shape as
+    // dau_wau: the (day, user) distinct frame is ONE hash-agg over the
+    // log, the trailing window is a ≤28-way broadcast day-expansion of
+    // that frame (constant factor, calendar-bounded output), and the
+    // ratio is exact integer ppm.
+    QuerySpec(
+      "events_stickiness",
+      (s, d) => {
+        val ud = events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val days = ud.select("day").distinct()
+        ud.as("u").join(broadcast(days.as("d")),
+            col("u.day") <= col("d.day") &&
+              col("u.day") > date_sub(col("d.day"), 28))
+          .groupBy(col("d.day").as("day"))
+          .agg(
+            countDistinct(when(col("u.day") === col("d.day"), col("user_id")))
+              .as("dau"),
+            countDistinct(col("user_id")).as("mau"))
+          .select(col("day"), col("dau"), col("mau"),
+            expr("dau * 1000000 div mau").as("stickiness_ppm"))
+      },
+      Some("""
+        WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        days AS (SELECT DISTINCT day FROM ud),
+        agg AS (
+          SELECT d.day,
+                 COUNT(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS dau,
+                 COUNT(DISTINCT u.user_id) AS mau
+          FROM days d JOIN ud u ON u.day <= d.day AND u.day > d.day - 28
+          GROUP BY d.day)
+        SELECT day, dau, mau,
+               CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm
+        FROM agg""")),
+
+    // ───── Bounce rate (r14): share of sessions that contain exactly
+    // ONE event, per day — the classic engagement-quality readout the
+    // funnel family lacks (events_funnel measures who progresses;
+    // bounce measures who never started). Sessionization is the
+    // cdc_sessionize 30-minute-gap discipline — one per-user window
+    // (shards by user at any scale), then one (user, session) hash-agg;
+    // a session is dated by its FIRST event so day boundaries cannot
+    // split attribution. Output is calendar-bounded with exact ppm.
+    QuerySpec(
+      "events_bounce_rate",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = 30L * 60 * 1000000
+        val sess = events(s, d)
+          .withColumn("new_sess",
+            when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w) > gapUs
+              || lag(col("ts"), 1).over(w).isNull, lit(1)).otherwise(lit(0)))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"), min(to_date(col("ts"))).as("day"))
+        sess.groupBy("day")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+          .select(col("day"), col("n_sessions"), col("n_bounces"),
+            expr("n_bounces * 1000000 div n_sessions").as("bounce_ppm"))
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 30 * 60 * 1000000
+                      OR LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        sessed AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM marked),
+        sess AS (
+          SELECT user_id, sess_id, COUNT(*) AS n_events,
+                 MIN(CAST(ts AS DATE)) AS day
+          FROM sessed GROUP BY 1, 2),
+        agg AS (
+          SELECT day, COUNT(*) AS n_sessions,
+                 CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bounces
+          FROM sess GROUP BY 1)
+        SELECT day, n_sessions, n_bounces,
+               CAST(n_bounces * 1000000 // n_sessions AS BIGINT) AS bounce_ppm
+        FROM agg""")),
+
     // ───── cumulative adoption curve: per event_type, the running count
     // of DISTINCT users who have EVER used it by each day — "distinct
     // over a growing window", the classic query that is quadratic if

@@ -3165,6 +3165,128 @@ object StatQueries {
                CAST(1000 * (CAST(o AS HUGEINT) * k - n)
                     * (CAST(o AS HUGEINT) * k - n)
                     // (CAST(n AS HUGEINT) * k) AS BIGINT) AS dev_milli
-        FROM obs, tot"""))
+        FROM obs, tot""")),
+
+    // ───── Trimmed mean (r14): agg_winsorized_mean's sibling — the
+    // 5%-tails are DROPPED, not clamped (the robust-location estimator
+    // evaluation suites actually report). Entirely a computation over
+    // the cents-bounded per-type histogram: each histogram row (v, n_i)
+    // occupies the rank interval (k−n_i, k], its kept mass is the
+    // interval's overlap with [lo_pos, hi_pos], and the trimmed sum is
+    // Σ v·kept — NO join back to the event stream, one shuffle total
+    // (the supplier_pareto bounded-window argument). Rank cuts use the
+    // same (n+19) div 20 integer positions as the winsorized cuts, so
+    // the two estimators are directly comparable. DECIMAL(38) headroom
+    // on Σv·kept·1000 (5e19 at 1e12 rows of 5e4-cent values).
+    QuerySpec(
+      "agg_trimmed_mean",
+      (s, d) => {
+        val h = events(s, d)
+          .select(col("event_type"),
+            expr("cast(floor(value * 100) as bigint)").as("v"))
+          .groupBy("event_type", "v").agg(count(lit(1)).as("n_i"))
+        val w = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("k", sum("n_i").over(w))
+          .withColumn("n", sum("n_i").over(Window.partitionBy("event_type")))
+          .withColumn("lo_pos", expr("(n + 19) div 20"))
+          .withColumn("hi_pos", expr("(19 * n + 19) div 20"))
+          .withColumn("kept", expr(
+            """greatest(0L, least(k, hi_pos)
+               - greatest(k - n_i + 1, lo_pos) + 1)"""))
+          .groupBy("event_type")
+          .agg(max("n").as("n"), sum("kept").as("n_kept"),
+            expr("""cast(sum(cast(v as decimal(38,0)) * kept) * 1000
+                    div sum(kept) as bigint)""").as("tmean_milli"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,
+                 COUNT(*) AS n_i
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT event_type, v, n_i,
+                 SUM(n_i) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+                 SUM(n_i) OVER (PARTITION BY event_type) AS n
+          FROM h),
+        kept AS (
+          SELECT event_type, v, n,
+                 GREATEST(0, LEAST(k, (19*n+19)//20)
+                   - GREATEST(k - n_i + 1, (n+19)//20) + 1) AS kept
+          FROM r)
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               CAST(SUM(CAST(v AS HUGEINT) * kept) * 1000
+                    // SUM(CAST(kept AS HUGEINT)) AS BIGINT) AS tmean_milli
+        FROM kept GROUP BY 1""")),
+
+    // ───── Mood's median test (r14): do the event types sit on the
+    // same MEDIAN? The grand median comes off the global cents-bounded
+    // histogram (rank (N+1) div 2 — the weighted-median two-phase
+    // shape), each type splits into above/not-above, and the 2×k
+    // χ² clears its rational expectations to
+    // (O·N − rt·ct)²·1000 div (N·rt·ct) — one truncating division per
+    // cell over exact integers (headroom bound: N⁴·1000 < 10³⁸ ⇒
+    // N ≲ 5×10⁸ rows; past that, widen the milli scale). Per-type
+    // audit rows with both cell deviations; the statistic is their sum.
+    QuerySpec(
+      "stat_mood_median",
+      (s, d) => {
+        val c = events(s, d).select(col("event_type"),
+          expr("cast(floor(value * 100) as bigint)").as("x"))
+        val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val med = c.groupBy(col("x").as("v")).agg(count(lit(1)).as("n_i"))
+          .withColumn("k", sum("n_i").over(w))
+          .withColumn("n", sum("n_i").over())
+          .filter(expr("k - n_i < (n + 1) div 2 and (n + 1) div 2 <= k"))
+          .select(col("v").as("med"))
+        val g = c.crossJoin(broadcast(med))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_g"),
+            sum(when(col("x") > col("med"), 1L).otherwise(0L)).as("o_above"))
+        val tot = g.agg(sum("n_g").as("nn"), sum("o_above").as("a"))
+        g.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("n_g"), col("o_above"),
+            expr("""cast(1000 * (cast(o_above as decimal(38,0)) * nn - cast(n_g as decimal(38,0)) * a)
+                    * (cast(o_above as decimal(38,0)) * nn - cast(n_g as decimal(38,0)) * a)
+                    div (cast(nn as decimal(38,0)) * n_g * a) as bigint)""")
+              .as("dev_above_milli"),
+            expr("""cast(1000 * (cast(n_g - o_above as decimal(38,0)) * nn - cast(n_g as decimal(38,0)) * (nn - a))
+                    * (cast(n_g - o_above as decimal(38,0)) * nn - cast(n_g as decimal(38,0)) * (nn - a))
+                    div (cast(nn as decimal(38,0)) * n_g * (nn - a)) as bigint)""")
+              .as("dev_below_milli"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x
+          FROM events),
+        r AS (
+          SELECT v, n_i,
+                 SUM(n_i) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+                 SUM(n_i) OVER () AS n
+          FROM (SELECT x AS v, COUNT(*) AS n_i FROM c GROUP BY 1)),
+        med AS (
+          SELECT v AS med FROM r
+          WHERE k - n_i < (n + 1) // 2 AND (n + 1) // 2 <= k),
+        g AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(CASE WHEN x > (SELECT med FROM med)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS o_above
+          FROM c GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+                 CAST(SUM(o_above) AS BIGINT) AS a
+          FROM g)
+        SELECT event_type, n_g, o_above,
+               CAST(1000 * (CAST(o_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * a)
+                    * (CAST(o_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * a)
+                    // (CAST(nn AS HUGEINT) * n_g * a) AS BIGINT) AS dev_above_milli,
+               CAST(1000 * (CAST(n_g - o_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * (nn - a))
+                    * (CAST(n_g - o_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * (nn - a))
+                    // (CAST(nn AS HUGEINT) * n_g * (nn - a)) AS BIGINT) AS dev_below_milli
+        FROM g, tot"""))
   )
 }
