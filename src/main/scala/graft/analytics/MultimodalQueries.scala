@@ -354,6 +354,93 @@ object MultimodalQueries {
                     - list_sum(lum) * list_sum(lum) AS BIGINT) AS var_num
         FROM lums""")),
 
+    // ───── Dominant color through the REAL codec (r14): the palette
+    // readout behind thumbnail placeholders and near-dup color
+    // prefilters — per image, every pixel quantizes to a 64-cell RGB
+    // cube (2 bits per channel: (r div 64)·16 + (g div 64)·4 + b div
+    // 64), the dominant cell is the mode with a smallest-code tiebreak
+    // (a total order), and the corpus rolls up per dominant code. The
+    // Spark side ENCODES the closed-form raster as a real PNG and
+    // DECODES it back through [[MediaCodecs.decodeImageIo]] (the same
+    // round-trip proof shape as mm_image_stats — equality against the
+    // pixel-formula oracle proves the codec path is lossless end to
+    // end); the oracle computes the identical quantization from the
+    // formula with no codec anywhere. Per-image work is a bounded
+    // 64-cell count; the rollup is one hash-agg.
+    QuerySpec(
+      "mm_dominant_color",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200).as[Long]
+          .map { id =>
+            val w = 16 + (id % 16).toInt
+            val h = 16 + (id % 9).toInt
+            def px(i: Int): Int = ((id * 31 + i) % 256).toInt
+            val bi = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = (y * w + x) * 3
+                bi.setRGB(x, y,
+                  (px(base) << 16) | (px(base + 1) << 8) | px(base + 2))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(bi, "png", bos)
+            val (dw, dh, _, raster) = MediaCodecs.decodeImageIo(bos.toByteArray)
+            val counts = new Array[Long](64)
+            var i = 0
+            val n = dw * dh
+            while (i < n) {
+              val o = i * 3
+              counts(((raster(o) & 0xff) / 64) * 16 +
+                ((raster(o + 1) & 0xff) / 64) * 4 +
+                ((raster(o + 2) & 0xff) / 64)) += 1
+              i += 1
+            }
+            var best = 0
+            var c = 1
+            while (c < 64) { if (counts(c) > counts(best)) best = c; c += 1 }
+            (id, best, counts(best), n.toLong)
+          }
+          .toDF("img_id", "dom_code", "dom_n", "n_px")
+          .groupBy("dom_code")
+          .agg(count(lit(1)).as("n_images"), sum("dom_n").as("dom_n_sum"),
+            sum("n_px").as("px_sum"), min("img_id").as("min_img"),
+            sum("img_id").as("img_sum"))
+      },
+      Some("""
+        WITH imgs AS (
+          SELECT doc_id AS id, 16 + doc_id % 16 AS w, 16 + doc_id % 9 AS h
+          FROM documents WHERE doc_id < 200),
+        codes AS (
+          SELECT id, w * h AS n,
+                 unnest(list_transform(range(0, w * h), i ->
+                   ((id*31 + 3*i) % 256) // 64 * 16
+                   + ((id*31 + 3*i + 1) % 256) // 64 * 4
+                   + ((id*31 + 3*i + 2) % 256) // 64)) AS code
+          FROM imgs),
+        hist AS (
+          SELECT id, n, code, COUNT(*) AS cnt FROM codes GROUP BY 1, 2, 3),
+        dom AS (
+          SELECT id, n, code AS dom_code, cnt AS dom_n FROM (
+            SELECT id, n, code, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                     ORDER BY cnt DESC, code ASC) AS rk
+            FROM hist) WHERE rk = 1)
+        SELECT CAST(dom_code AS INTEGER) AS dom_code,
+               COUNT(*) AS n_images,
+               CAST(SUM(dom_n) AS BIGINT) AS dom_n_sum,
+               CAST(SUM(n) AS BIGINT) AS px_sum,
+               CAST(MIN(id) AS BIGINT) AS min_img,
+               CAST(SUM(id) AS BIGINT) AS img_sum
+        FROM dom GROUP BY 1""")),
+
     // ───── audio fingerprint near-dup (r8): the AUDIO dual of
     // mm_phash_dedup, through the engine's REAL WAV path. Per clip: a
     // closed-form deterministic waveform → hand-built RIFF/PCM-16

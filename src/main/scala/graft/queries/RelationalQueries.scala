@@ -687,6 +687,82 @@ object RelationalQueries {
                CAST(SUM(pid + bid) AS BIGINT) AS id_sum
         FROM pairs GROUP BY 1""")),
 
+    // ───── Grid-bucketed spatial kNN JOIN (r14): join_radius_grid's
+    // sibling with per-probe TOP-K semantics — "each store's 3 nearest
+    // warehouses", the spatial analog of the ANN top-k. Same 2-D grid
+    // decomposition (candidates = the probe's 3×3 cell neighborhood at
+    // cell size r, an equi-join on cell ids — never point×point), then
+    // the BOUNDED per-probe top-3 rides TopKPairsAgg-style map-side
+    // combine ([[graft.functions.TopKScoredAgg]]): ≤3 pairs per probe
+    // per partition cross the wire, where a row_number window would
+    // shuffle every candidate into |probes| partitions (the
+    // agg_group_topk scale argument). Semantics are bounded-radius kNN
+    // (neighbors past Chebyshev r are not candidates — the standard
+    // grid-kNN first tier; probes with fewer than 3 in-range neighbors
+    // return fewer rows). The (−dist, id) double score is exact for
+    // integer dists < 2^53, so the (dist ASC, id ASC) total order is
+    // engine-identical. Output: per-rank checksum rows.
+    QuerySpec(
+      "join_knn_grid",
+      (s, d) => {
+        val r = 20000L
+        val pts = customer(s, d).select(
+          col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
+          (expr("cast(round(c_acctbal * 100) as bigint)") + 100000L).as("x"),
+          expr("(c_custkey * 2654435761) % 1000000").as("y"))
+        val probes = pts.filter(col("seg") === "BUILDING")
+          .select(col("id").as("pid"), col("x").as("px"), col("y").as("py"))
+          .withColumn("o", explode(expr(
+            (for (ox <- -1 to 1; oy <- -1 to 1)
+              yield s"struct($ox as ox, $oy as oy)")
+              .mkString("array(", ", ", ")"))))
+          .select(col("pid"), col("px"), col("py"),
+            (expr(s"px div ${r}L") + col("o.ox")).as("cx"),
+            (expr(s"py div ${r}L") + col("o.oy")).as("cy"))
+        val base = pts.filter(col("seg") =!= "BUILDING")
+          .select(col("id").as("bid"), col("x").as("bx"), col("y").as("by"),
+            expr(s"x div ${r}L").as("cx"), expr(s"y div ${r}L").as("cy"))
+        val topk = udaf(new graft.functions.TopKScoredAgg(3),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+        probes.join(base, Seq("cx", "cy"))
+          .select(col("pid"), col("bid"),
+            greatest(abs(col("px") - col("bx")),
+              abs(col("py") - col("by"))).as("dc"))
+          .filter(col("dc") <= r)
+          .groupBy("pid")
+          .agg(topk((-col("dc")).cast("double"), col("bid")).as("top"))
+          .select(col("pid"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("pid"), (col("pos") + 1).as("rank"),
+            col("t._2").as("bid"), (-col("t._1")).cast("long").as("dc"))
+          .groupBy("rank")
+          .agg(count(lit(1)).as("n_probes"),
+            sum(col("pid")).as("probe_sum"), sum(col("bid")).as("nbr_sum"),
+            sum(col("dc")).as("dist_sum"), min(col("pid")).as("min_probe"))
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey AS id, c_mktsegment AS seg,
+                 CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS x,
+                 (c_custkey * 2654435761) % 1000000 AS y
+          FROM customer),
+        pairs AS (
+          SELECT a.id AS pid, b.id AS bid,
+                 GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS dc
+          FROM pts a JOIN pts b
+            ON a.seg = 'BUILDING' AND b.seg <> 'BUILDING'
+           AND ABS(a.x - b.x) <= 20000 AND ABS(a.y - b.y) <= 20000),
+        ranked AS (
+          SELECT pid, bid, dc,
+                 ROW_NUMBER() OVER (PARTITION BY pid
+                   ORDER BY dc ASC, bid ASC) AS rank
+          FROM pairs)
+        SELECT rank, COUNT(*) AS n_probes,
+               CAST(SUM(pid) AS BIGINT) AS probe_sum,
+               CAST(SUM(bid) AS BIGINT) AS nbr_sum,
+               CAST(SUM(dc) AS BIGINT) AS dist_sum,
+               CAST(MIN(pid) AS BIGINT) AS min_probe
+        FROM ranked WHERE rank <= 3 GROUP BY 1""")),
+
     // ───── A6 distinct aggregation
     QuerySpec(
       "agg_distinct",

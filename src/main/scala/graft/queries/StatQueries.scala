@@ -3287,6 +3287,109 @@ object StatQueries {
                CAST(1000 * (CAST(n_g - o_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * (nn - a))
                     * (CAST(n_g - o_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * (nn - a))
                     // (CAST(nn AS HUGEINT) * n_g * (nn - a)) AS BIGINT) AS dev_below_milli
-        FROM g, tot"""))
+        FROM g, tot""")),
+
+    // ───── One-sample Kolmogorov–Smirnov vs UNIFORM (r14): is the
+    // value distribution flat over its own [lo, hi] range? The
+    // one-sample sibling of ml_ks_stat (two-sample): D = sup |ECDF − U|
+    // evaluated at both sides of every ECDF step — entirely over the
+    // cents-bounded histogram (the AUC/winsorized window discipline),
+    // with denominators cleared so each candidate deviation is ONE
+    // exact integer: |k·(hi−lo) − (v−lo)·N|·1e6 div (N·(hi−lo)) ppm.
+    // The sup and its location take the (d DESC, v ASC) total order.
+    QuerySpec(
+      "stat_ks_uniform",
+      (s, d) => {
+        val h = events(s, d)
+          .select(expr("cast(floor(value * 100) as bigint)").as("v"))
+          .groupBy("v").agg(count(lit(1)).as("n_i"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("k", sum("n_i").over(w))
+          .withColumn("n", sum("n_i").over())
+          .withColumn("lo", min("v").over())
+          .withColumn("hi", max("v").over())
+          .select(col("v"), col("n"), col("lo"), col("hi"),
+            greatest(
+              abs(expr("""cast((cast(k as decimal(38,0)) * (hi - lo)
+                    - cast(v - lo as decimal(38,0)) * n) * 1000000
+                    div (cast(n as decimal(38,0)) * (hi - lo)) as bigint)""")),
+              abs(expr("""cast((cast(k - n_i as decimal(38,0)) * (hi - lo)
+                    - cast(v - lo as decimal(38,0)) * n) * 1000000
+                    div (cast(n as decimal(38,0)) * (hi - lo)) as bigint)""")))
+              .as("d_ppm"))
+          .select(col("n"), col("lo"), col("hi"),
+            struct(col("d_ppm"), (-col("v")).as("nv")).as("cand"))
+          .groupBy("n", "lo", "hi")
+          .agg(max("cand").as("m"))
+          .select(col("n"), col("lo"), col("hi"),
+            col("m.d_ppm").as("d_ppm"), (-col("m.nv")).as("at_v"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT CAST(floor(value * 100) AS BIGINT) AS v, COUNT(*) AS n_i
+          FROM events GROUP BY 1),
+        r AS (
+          SELECT v, n_i,
+                 SUM(n_i) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+                 SUM(n_i) OVER () AS n,
+                 MIN(v) OVER () AS lo, MAX(v) OVER () AS hi
+          FROM h),
+        cand AS (
+          SELECT v, n, lo, hi,
+                 GREATEST(
+                   ABS(CAST((CAST(k AS HUGEINT) * (hi - lo)
+                     - CAST(v - lo AS HUGEINT) * n) * 1000000
+                     // (CAST(n AS HUGEINT) * (hi - lo)) AS BIGINT)),
+                   ABS(CAST((CAST(k - n_i AS HUGEINT) * (hi - lo)
+                     - CAST(v - lo AS HUGEINT) * n) * 1000000
+                     // (CAST(n AS HUGEINT) * (hi - lo)) AS BIGINT))) AS d_ppm
+          FROM r)
+        SELECT CAST(n AS BIGINT) AS n, CAST(lo AS BIGINT) AS lo,
+               CAST(hi AS BIGINT) AS hi, d_ppm, v AS at_v FROM (
+          SELECT n, lo, hi, d_ppm, v,
+                 ROW_NUMBER() OVER (ORDER BY d_ppm DESC, v ASC) AS rk
+          FROM cand) WHERE rk = 1""")),
+
+    // ───── Harmonic mean (r14): the rate-average (latency per item,
+    // price per unit) where the arithmetic mean overstates — completes
+    // the Pythagorean trio next to the exact arithmetic mean and the
+    // (libm-free-impossible) geometric mean. Per positive value,
+    // reciprocal mass = 1e12 div cents — each term ONE truncating
+    // integer division, so the cross-row sum is exact in both engines
+    // (the per-term error is deterministic, not float drift);
+    // HM_milli = n·1e12·1000 div Σ. Defined on positive values; the
+    // excluded non-positive count is reported, not hidden.
+    QuerySpec(
+      "agg_harmonic_mean",
+      (s, d) => events(s, d)
+        .select(col("event_type"),
+          expr("cast(floor(value * 100) as bigint)").as("c"))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("c") <= 0, 1L).otherwise(0L)).as("n_excluded"),
+          sum(when(col("c") > 0, expr("1000000000000 div c"))
+            .otherwise(0L)).as("recip_psum"))
+        .select(col("event_type"), col("n_pos"), col("n_excluded"),
+          col("recip_psum"),
+          expr("""cast(cast(n_pos as decimal(38,0)) * 1000000000000 * 1000
+                  div recip_psum as bigint)""").as("hmean_milli")),
+      Some("""
+        WITH c AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events),
+        g AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 CAST(SUM(CASE WHEN c <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded,
+                 CAST(SUM(CASE WHEN c > 0 THEN 1000000000000 // c ELSE 0 END)
+                   AS BIGINT) AS recip_psum
+          FROM c GROUP BY 1)
+        SELECT event_type, n_pos, n_excluded, recip_psum,
+               CAST(CAST(n_pos AS HUGEINT) * 1000000000000 * 1000
+                    // recip_psum AS BIGINT) AS hmean_milli
+        FROM g"""))
   )
 }
