@@ -774,6 +774,54 @@ object RelationalQueries {
                COUNT(*) AS n_orders
         FROM orders GROUP BY o_orderpriority""")),
 
+    // ───── ANSI LISTAGG / string_agg (r14): deterministic grouped
+    // string aggregation — the report-building surface every SQL
+    // dialect ships and every naive port gets WRONG by collecting in
+    // partition order (non-deterministic across retries/engines). The
+    // discipline: an explicit total order INSIDE the aggregate — Spark
+    // sorts the collected array before joining, DuckDB orders inside
+    // string_agg — so the output string is a pure function of the set.
+    // Bounded by construction here (nations per region, ship modes per
+    // priority ≤ 7 distinct); for data-sized groups the right tool is
+    // agg_group_topk's bounded aggregate, not an unbounded listagg.
+    QuerySpec(
+      "agg_listagg",
+      (s, d) => {
+        val regions = nation(s, d)
+          .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("grp"))
+          .agg(count(lit(1)).as("n_members"),
+            array_join(sort_array(collect_list(col("n_name"))), ",")
+              .as("members"))
+          .select(lit("region_nations").as("family"), col("grp"),
+            col("n_members"), col("members"))
+        val flags = lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"),
+            concat(col("l_returnflag"), col("l_linestatus")).as("fl"))
+          .distinct()
+          .groupBy(col("o_orderpriority").as("grp"))
+          .agg(count(lit(1)).as("n_members"),
+            array_join(sort_array(collect_list(col("fl"))), ",").as("members"))
+          .select(lit("priority_flagstates").as("family"), col("grp"),
+            col("n_members"), col("members"))
+        regions.unionByName(flags)
+      },
+      Some("""
+        SELECT 'region_nations' AS family, r_name AS grp,
+               COUNT(*) AS n_members,
+               string_agg(n_name, ',' ORDER BY n_name) AS members
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        UNION ALL
+        SELECT 'priority_flagstates' AS family, o_orderpriority AS grp,
+               COUNT(*) AS n_members,
+               string_agg(fl, ',' ORDER BY fl) AS members
+        FROM (SELECT DISTINCT o_orderpriority,
+                     l_returnflag || l_linestatus AS fl
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority""")),
+
     // ───── A4 pivot: event counts spread into one column per event type
     // (explicit value list — no extra distinct-values pass, and the
     // output schema is static, which a production pipeline needs anyway)

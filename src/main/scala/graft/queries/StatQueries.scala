@@ -3390,6 +3390,133 @@ object StatQueries {
         SELECT event_type, n_pos, n_excluded, recip_psum,
                CAST(CAST(n_pos AS HUGEINT) * 1000000000000 * 1000
                     // recip_psum AS BIGINT) AS hmean_milli
-        FROM g"""))
+        FROM g""")),
+
+    // ───── Jarque–Bera normality test (r14): the omnibus check that
+    // rides agg_skew_kurtosis's EXACT power sums — JB = n/6·(S² + K²/4)
+    // from the same bias-uncorrected moments, so the whole double tail
+    // is one expression tree spelled identically in both engines over
+    // identical integers (the skew_kurtosis determinism argument,
+    // extended one step). Flags which value distributions a
+    // normal-theory test (welch_t, anova_f) can be trusted on.
+    QuerySpec(
+      "stat_jarque_bera",
+      (s, d) => events(s, d)
+        .select(col("event_type"),
+          expr("cast(cast(round(value * 100) as bigint) as decimal(38,0))")
+            .as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        .select(col("event_type"), col("n").cast("long").as("n_rows"),
+          col("n").cast("double").as("dn"), col("s1").cast("double").as("d1"),
+          col("s2").cast("double").as("d2"), col("s3").cast("double").as("d3"),
+          col("s4").cast("double").as("d4"))
+        .withColumn("mean", expr("d1 / dn"))
+        .withColumn("m2", expr("d2 / dn - mean * mean"))
+        .withColumn("m3", expr(
+          "d3 / dn - 3.0 * mean * (d2 / dn) + 2.0 * mean * mean * mean"))
+        .withColumn("m4", expr(
+          "d4 / dn - 4.0 * mean * (d3 / dn) + 6.0 * mean * mean * (d2 / dn)" +
+            " - 3.0 * mean * mean * mean * mean"))
+        .withColumn("s", expr("m3 / (m2 * sqrt(m2))"))
+        .withColumn("kx", expr("m4 / (m2 * m2) - 3.0"))
+        .select(col("event_type"), col("n_rows"), col("s").as("skew"),
+          col("kx").as("kurt_excess"),
+          expr("dn / 6.0 * (s * s + kx * kx / 4.0)").as("jb")),
+      Some("""
+        WITH c AS (
+          SELECT event_type,
+                 CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS x
+          FROM events),
+        sums AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(x) AS s1, SUM(x*x) AS s2, SUM(x*x*x) AS s3,
+                 SUM(x*x*x*x) AS s4
+          FROM c GROUP BY 1),
+        d AS (
+          SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+                 CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
+                 CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+                 CAST(s4 AS DOUBLE) AS d4
+          FROM sums),
+        m AS (
+          SELECT event_type, n_rows, dn,
+                 d1 / dn AS mean,
+                 d2 / dn - (d1 / dn) * (d1 / dn) AS m2,
+                 d3 / dn - 3.0 * (d1 / dn) * (d2 / dn)
+                   + 2.0 * (d1 / dn) * (d1 / dn) * (d1 / dn) AS m3,
+                 d4 / dn - 4.0 * (d1 / dn) * (d3 / dn)
+                   + 6.0 * (d1 / dn) * (d1 / dn) * (d2 / dn)
+                   - 3.0 * (d1 / dn) * (d1 / dn) * (d1 / dn) * (d1 / dn) AS m4
+          FROM d),
+        sk AS (
+          SELECT event_type, n_rows, dn,
+                 m3 / (m2 * sqrt(m2)) AS s,
+                 m4 / (m2 * m2) - 3.0 AS kx
+          FROM m)
+        SELECT event_type, n_rows, s AS skew, kx AS kurt_excess,
+               dn / 6.0 * (s * s + kx * kx / 4.0) AS jb
+        FROM sk""")),
+
+    // ───── Cochran's Q (r14): the PAIRED k-treatment binary test
+    // completing the matched family past stat_sign_test (k=2) — blocks
+    // are USERS, treatments the five event types, x_ij = "user i
+    // engaged with type j at all". Every term is a hash-agg integer:
+    // column totals C_j (per-type engaged-user counts), per-block row
+    // sums R_i ∈ [0, k] (bounded, so ΣR and ΣR² are exact at any
+    // corpus size), Q = (k−1)(kΣC²−(ΣC)²)/(kΣR−ΣR²) with the single
+    // final double division. No window, no driver state — three
+    // aggregations over the (user, type) distinct frame.
+    QuerySpec(
+      "stat_cochran_q",
+      (s, d) => {
+        // x_ij = "user i is a HEAVY user of type j" (≥10 events — mere
+        // presence is degenerate on this fixture: every user touches
+        // every type, making Q's denominator exactly 0)
+        val ut = events(s, d).groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c"))
+          .select(col("user_id"), col("event_type"),
+            when(col("c") >= 10, 1L).otherwise(0L).as("x"))
+        val k = lit(5L)
+        val cj = ut.groupBy("event_type")
+          .agg(sum("x").cast("decimal(38,0)").as("c_j"))
+          .agg(sum(col("c_j")).as("c_sum"), sum(col("c_j") * col("c_j")).as("c_sq"))
+        val ri = ut.groupBy("user_id")
+          .agg(sum("x").cast("decimal(38,0)").as("r_i"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("r_i")).as("r_sum"), sum(col("r_i") * col("r_i")).as("r_sq"))
+        cj.crossJoin(ri)
+          .select(k.as("k"), col("n_users"),
+            ((k - 1) * (k * col("c_sq") - col("c_sum") * col("c_sum")))
+              .cast("long").as("q_num"),
+            (k * col("r_sum") - col("r_sq")).cast("long").as("q_den"))
+          .withColumn("q", expr("cast(q_num as double) / cast(q_den as double)"))
+      },
+      Some("""
+        WITH ut AS (
+          SELECT user_id, event_type,
+                 CASE WHEN COUNT(*) >= 10 THEN 1 ELSE 0 END AS x
+          FROM events GROUP BY 1, 2),
+        cj AS (
+          SELECT CAST(SUM(CAST(c_j AS HUGEINT)) AS HUGEINT) AS c_sum,
+                 CAST(SUM(CAST(c_j AS HUGEINT) * c_j) AS HUGEINT) AS c_sq
+          FROM (SELECT event_type, SUM(x) AS c_j FROM ut GROUP BY 1)),
+        ri AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(CAST(r_i AS HUGEINT)) AS HUGEINT) AS r_sum,
+                 CAST(SUM(CAST(r_i AS HUGEINT) * r_i) AS HUGEINT) AS r_sq
+          FROM (SELECT user_id, SUM(x) AS r_i FROM ut GROUP BY 1)),
+        fin AS (
+          SELECT 5 AS k, n_users,
+                 CAST((5 - 1) * (5 * c_sq - c_sum * c_sum) AS BIGINT) AS q_num,
+                 CAST(5 * r_sum - r_sq AS BIGINT) AS q_den
+          FROM cj, ri)
+        SELECT CAST(k AS BIGINT) AS k, n_users, q_num, q_den,
+               CAST(q_num AS DOUBLE) / CAST(q_den AS DOUBLE) AS q
+        FROM fin"""))
   )
 }
