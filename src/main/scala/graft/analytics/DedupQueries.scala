@@ -1330,7 +1330,83 @@ object DedupQueries {
         ver AS (
           SELECT dirty_id, c_custkey FROM cand WHERE levenshtein(dname, c_name) <= 1)
         SELECT dirty_id, CAST(count(*) AS BIGINT) AS n_matches, MIN(c_custkey) AS best_match
-        FROM ver GROUP BY dirty_id ORDER BY dirty_id"""))
+        FROM ver GROUP BY dirty_id ORDER BY dirty_id""")),
+
+    // ───── Sorted-neighborhood blocking (r14): the THIRD classical
+    // entity-resolution candidate strategy next to dedup_fuzzy_names'
+    // deletion neighborhood (hash blocking) and the LSH band family —
+    // sort the unified name universe on a total key, compare each
+    // record only to its w nearest sorted neighbors (Hernández &
+    // Stolfo's merge/purge). The global sort rank rides
+    // [[graft.ops.RankedPrefix]] (range exchange + per-pid windows —
+    // never a single-task window over the data-sized universe), and
+    // the neighbor pairing is an EQUI-join on rank+offset (offsets
+    // exploded 1..w, the grid-join trick) — so candidates are exactly
+    // |U|·w rows, sharded by rank, at any corpus size. Verification is
+    // the shared levenshtein ≤ 1 rule. Honest fixture note: TPC-H's
+    // serial "Customer#000NNNNNN" names make CONSECUTIVE clean names
+    // themselves edit-distance-1 (one digit apart), so the per-offset
+    // match counts are dominated by numbering adjacency with the
+    // planted typo copies on top — what the query certifies is the
+    // blocking MECHANICS (distributed rank + rank-offset equi-join +
+    // verify), and the per-offset decay is still the window-size trade.
+    QuerySpec(
+      "dedup_sorted_neighborhood",
+      (s, d) => {
+        val dirty = Tables.customer(s, d)
+          .filter(col("c_custkey") % 7 === 0)
+          .select(
+            (col("c_custkey") + 1000000000L).as("id"),
+            expr("""concat(substring(c_name, 1, cast(c_custkey % 10 + 8 as int)),
+                           substring(c_name, cast(c_custkey % 10 + 10 as int)))""").as("nm"))
+        val uni = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+          .unionByName(dirty)
+        val ranked = graft.ops.RankedPrefix(s, d, "snbRank", uni,
+          part = Nil, order = Seq(col("nm"), col("id")), rank = Some("r"))
+          .select("r", "id", "nm")
+        val pairs = ranked
+          .withColumn("off", explode(expr("sequence(1, 4)")))
+          .select((col("r") + col("off")).as("r2"), col("off"),
+            col("id").as("id_a"), col("nm").as("nm_a"))
+          .join(ranked.select(col("r").as("r2"), col("id").as("id_b"),
+            col("nm").as("nm_b")), "r2")
+        pairs
+          .withColumn("hit", when(levenshtein(col("nm_a"), col("nm_b")) <= 1
+            && col("nm_a") =!= col("nm_b"), 1L).otherwise(0L))
+          .groupBy("off")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum("hit").as("n_matches"),
+            sum(when(col("hit") === 1, col("id_a") + col("id_b"))
+              .otherwise(0L)).as("match_id_sum"))
+      },
+      Some("""
+        WITH dirty AS (
+          SELECT c_custkey + 1000000000 AS id,
+                 substr(c_name, 1, CAST(c_custkey % 10 + 8 AS INTEGER))
+                   || substr(c_name, CAST(c_custkey % 10 + 10 AS INTEGER)) AS nm
+          FROM customer WHERE c_custkey % 7 = 0),
+        uni AS (
+          SELECT c_custkey AS id, c_name AS nm FROM customer
+          UNION ALL SELECT id, nm FROM dirty),
+        ranked AS (
+          SELECT id, nm, ROW_NUMBER() OVER (ORDER BY nm, id) AS r FROM uni),
+        pairs AS (
+          SELECT o.off, a.id AS id_a, a.nm AS nm_a, b.id AS id_b, b.nm AS nm_b
+          FROM ranked a
+          CROSS JOIN (SELECT unnest(range(1, 5)) AS off) o
+          JOIN ranked b ON b.r = a.r + o.off),
+        h AS (
+          SELECT off,
+                 CASE WHEN levenshtein(nm_a, nm_b) <= 1 AND nm_a <> nm_b
+                      THEN 1 ELSE 0 END AS hit,
+                 id_a, id_b
+          FROM pairs)
+        SELECT CAST(off AS INTEGER) AS off, COUNT(*) AS n_candidates,
+               CAST(SUM(hit) AS BIGINT) AS n_matches,
+               CAST(SUM(CASE WHEN hit = 1 THEN id_a + id_b ELSE 0 END)
+                 AS BIGINT) AS match_id_sum
+        FROM h GROUP BY 1"""))
   ,
 
     // ───── winnowing fingerprints (r9): the MOSS selection scheme

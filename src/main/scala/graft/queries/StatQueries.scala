@@ -3517,6 +3517,66 @@ object StatQueries {
           FROM cj, ri)
         SELECT CAST(k AS BIGINT) AS k, n_users, q_num, q_den,
                CAST(q_num AS DOUBLE) / CAST(q_den AS DOUBLE) AS q
-        FROM fin"""))
+        FROM fin""")),
+
+    // ───── Score-distribution drift, χ² homogeneity (r14): has the
+    // VALUE distribution shifted between the first and second half of
+    // the window? The numeric-score sibling of text_term_drift (vocab
+    // χ²) and the k-bin extension of events_ab_chisq (2×2): scores
+    // bin by cents div 1000 (bounded by the value domain — ≤ ~56
+    // bins, the ml_auc_rank histogram argument), each bin×half cell
+    // clears its rational expectation to
+    // (O·N − rt·ct)²·1000 div (N·rt·ct) — exact integers, per-bin
+    // audit rows, the statistic is the column sum. The production
+    // monitor this feeds: a drifted score distribution invalidates
+    // trained thresholds (ml_confusion's operating points) before
+    // accuracy visibly moves.
+    QuerySpec(
+      "ml_score_drift",
+      (s, d) => {
+        val half = lit("2024-01-16 00:00:00").cast("timestamp")
+        val b = events(s, d).select(
+          expr("cast(round(value * 100) as bigint) div 1000").as("bin"),
+          when(col("ts") < half, lit("a")).otherwise(lit("b")).as("w"))
+        val cells = b.groupBy("bin")
+          .agg(sum(when(col("w") === "a", 1L).otherwise(0L)).as("o_a"),
+            sum(when(col("w") === "b", 1L).otherwise(0L)).as("o_b"))
+        val tot = cells.agg(sum(col("o_a") + col("o_b")).as("nn"),
+          sum("o_a").as("ca"), sum("o_b").as("cb"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("bin"), col("o_a"), col("o_b"),
+            expr("""cast(1000 * (cast(o_a as decimal(38,0)) * nn - cast(o_a + o_b as decimal(38,0)) * ca)
+                    * (cast(o_a as decimal(38,0)) * nn - cast(o_a + o_b as decimal(38,0)) * ca)
+                    div (cast(nn as decimal(38,0)) * (o_a + o_b) * ca) as bigint)""")
+              .as("dev_a_milli"),
+            expr("""cast(1000 * (cast(o_b as decimal(38,0)) * nn - cast(o_a + o_b as decimal(38,0)) * cb)
+                    * (cast(o_b as decimal(38,0)) * nn - cast(o_a + o_b as decimal(38,0)) * cb)
+                    div (cast(nn as decimal(38,0)) * (o_a + o_b) * cb) as bigint)""")
+              .as("dev_b_milli"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS bin,
+                 CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 'a' ELSE 'b' END AS w
+          FROM events),
+        cells AS (
+          SELECT bin,
+                 CAST(SUM(CASE WHEN w = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+                 CAST(SUM(CASE WHEN w = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS o_b
+          FROM b GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(o_a + o_b) AS BIGINT) AS nn,
+                 CAST(SUM(o_a) AS BIGINT) AS ca,
+                 CAST(SUM(o_b) AS BIGINT) AS cb
+          FROM cells)
+        SELECT bin, o_a, o_b,
+               CAST(1000 * (CAST(o_a AS HUGEINT) * nn - CAST(o_a + o_b AS HUGEINT) * ca)
+                    * (CAST(o_a AS HUGEINT) * nn - CAST(o_a + o_b AS HUGEINT) * ca)
+                    // (CAST(nn AS HUGEINT) * (o_a + o_b) * ca) AS BIGINT) AS dev_a_milli,
+               CAST(1000 * (CAST(o_b AS HUGEINT) * nn - CAST(o_a + o_b AS HUGEINT) * cb)
+                    * (CAST(o_b AS HUGEINT) * nn - CAST(o_a + o_b AS HUGEINT) * cb)
+                    // (CAST(nn AS HUGEINT) * (o_a + o_b) * cb) AS BIGINT) AS dev_b_milli
+        FROM cells, tot"""))
   )
 }
