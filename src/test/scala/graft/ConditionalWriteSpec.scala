@@ -83,6 +83,39 @@ class ConditionalWriteSpec extends SparkSpec {
     assert(state(target)("k1") === "v3")
   }
 
+  test("streaming face: conditionalApplySink merges accepted rows, audits rejected ones") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val target = tmp("conds-target"); val ckpt = tmp("conds-ckpt")
+    val auditDir = tmp("conds-audit")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[
+      (String, String, String, Option[String], Option[String], Option[String])]
+    val df = in.toDF().toDF(
+      "keys", "op", "sequenceNumber", "newImage", "cond", "expectSeq")
+    in.addData(
+      ("k1", "PUT", "001", Some("v1"), Some("not_exists"), None),
+      ("k2", "PUT", "002", Some("w1"), Some("version"), Some("000")))
+    val q = CdcStream.conditionalApplySink(df, target, ckpt, auditDir,
+      trigger = Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(state(target) === Map("k1" -> "v1"))
+    // second wave through the SAME checkpoint: the repeat create rejects,
+    // the correct-version update applies
+    in.addData(
+      ("k1", "PUT", "003", Some("v1b"), Some("not_exists"), None),
+      ("k1", "PUT", "004", Some("v2"), Some("version"), Some("001")))
+    val q2 = CdcStream.conditionalApplySink(df, target, ckpt, auditDir,
+      trigger = Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(state(target) === Map("k1" -> "v2"))
+    val audits = spark.read.parquet(auditDir)
+      .select("keys", "reason", "batchId").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(audits === Set(
+      ("k2", "absent", 0L), ("k1", "exists", 1L)), s"audit rows: $audits")
+  }
+
   test("batch-atomic declaration: conditions see the pre-batch state; LWW resolves intra-batch") {
     val target = tmp("cond-batch")
     SnapshotStore.mergeConditional(spark, target, delta(
