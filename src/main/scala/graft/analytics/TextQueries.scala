@@ -1072,6 +1072,55 @@ object TextQueries {
         GROUP BY term
         HAVING COUNT(DISTINCT doc_id) >= 20""")),
 
+    // ───── Term burstiness (r14): Church/Gale dispersion — a term that
+    // appears in bursts (many times in few docs) carries topical
+    // signal; one spread evenly (stopword-like) doesn't. Fano factor of
+    // PER-DOC counts INCLUDING zero-docs, computed without ever
+    // materializing zeros: with S = Σc and Q = Σc² over the term's
+    // posting rows and N the corpus size, Fano = (N·Q − S²)/(N·S) —
+    // exact milli via one truncating DECIMAL division. Rides the
+    // inverted-index one-shuffle discipline (per-doc-distinct terms
+    // with local counts); top-20 by (tf DESC, term) through
+    // TakeOrderedAndProject. The temporal sibling is events_fano_factor.
+    QuerySpec(
+      "text_term_burstiness",
+      (s, d) => {
+        val posting = Tables.documents(s, d)
+          .select(col("doc_id"), explode(expr(Corpus.let("toks", "split(text, ' ')",
+            """transform(array_distinct(toks),
+                 t -> struct(t AS term, size(filter(toks, x -> x = t)) AS cnt))""")))
+            .as("tc"))
+        val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        posting
+          .groupBy(col("tc.term").as("term"))
+          .agg(count(lit(1)).as("df"),
+            sum(col("tc.cnt").cast("decimal(38,0)")).as("s"),
+            sum(col("tc.cnt").cast("decimal(38,0)") * col("tc.cnt")).as("q"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("term"), col("df"), col("s").cast("long").as("tf_total"),
+            expr("""cast((cast(n_docs as decimal(38,0)) * q - s * s) * 1000
+                    div (cast(n_docs as decimal(38,0)) * s) as bigint)""")
+              .as("fano_milli"))
+          .orderBy(col("tf_total").desc, col("term")).limit(20)
+      },
+      Some("""
+        WITH posting AS (
+          SELECT doc_id, term, COUNT(*) AS cnt
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents)
+          GROUP BY 1, 2),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        g AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(SUM(CAST(cnt AS HUGEINT)) AS HUGEINT) AS s,
+                 CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS q
+          FROM posting GROUP BY 1)
+        SELECT term, df, CAST(s AS BIGINT) AS tf_total,
+               CAST((CAST(n_docs AS HUGEINT) * q - s * s) * 1000
+                    // (CAST(n_docs AS HUGEINT) * s) AS BIGINT) AS fano_milli
+        FROM g, nd
+        ORDER BY tf_total DESC, term LIMIT 20""")),
+
     // ───── token co-occurrence: adjacent-bigram counts (the PMI numerator
     // for phrase mining / tokenizer quality). Same one-shuffle discipline
     // as the inverted index: per-document DISTINCT bigrams with local

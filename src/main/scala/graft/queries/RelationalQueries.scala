@@ -822,6 +822,52 @@ object RelationalQueries {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
         GROUP BY o_orderpriority""")),
 
+    // ───── ANSI UNPIVOT (r14): the wide→long inverse of agg_pivot as
+    // the SQL-surface statement (Spark and DuckDB both ship the
+    // standard `UNPIVOT (value FOR name IN (...))` clause) — the shape
+    // every metrics warehouse round-trips: pivot per-day type counts to
+    // 5 columns, UNPIVOT back to (day, event_type, cnt), and aggregate
+    // per type. The round-trip totals must equal the direct per-type
+    // counts, so the oracle proves the statement's semantics, not just
+    // that it parses; zero-count cells survive the round trip as
+    // explicit zeros (the gapfill discipline), making n_days the
+    // calendar length for every type.
+    QuerySpec(
+      "sql_unpivot",
+      (s, d) => {
+        events(s, d).createOrReplaceTempView("events_v")
+        s.sql("""
+          WITH p AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+            FROM events_v GROUP BY 1)
+          SELECT event_type, COUNT(*) AS n_days,
+                 CAST(SUM(cnt) AS BIGINT) AS n_events,
+                 CAST(MIN(cnt) AS BIGINT) AS min_daily,
+                 CAST(MAX(cnt) AS BIGINT) AS max_daily
+          FROM p UNPIVOT (cnt FOR event_type IN (click, error, purchase, signup, view))
+          GROUP BY event_type""")
+      },
+      Some("""
+        WITH p AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                 SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                 SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                 SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+          FROM events GROUP BY 1)
+        SELECT event_type, COUNT(*) AS n_days,
+               CAST(SUM(cnt) AS BIGINT) AS n_events,
+               CAST(MIN(cnt) AS BIGINT) AS min_daily,
+               CAST(MAX(cnt) AS BIGINT) AS max_daily
+        FROM p UNPIVOT (cnt FOR event_type IN (click, error, purchase, signup, view))
+        GROUP BY event_type""")),
+
     // ───── A4 pivot: event counts spread into one column per event type
     // (explicit value list — no extra distinct-values pass, and the
     // output schema is static, which a production pipeline needs anyway)

@@ -3577,6 +3577,78 @@ object StatQueries {
                CAST(1000 * (CAST(o_b AS HUGEINT) * nn - CAST(o_a + o_b AS HUGEINT) * cb)
                     * (CAST(o_b AS HUGEINT) * nn - CAST(o_a + o_b AS HUGEINT) * cb)
                     // (CAST(nn AS HUGEINT) * (o_a + o_b) * cb) AS BIGINT) AS dev_b_milli
-        FROM cells, tot"""))
+        FROM cells, tot""")),
+
+    // ───── Wilcoxon signed-rank test (r14): the MAGNITUDE-aware paired
+    // test stat_sign_test deliberately isn't (sign ignores |d|) —
+    // completing the paired family on the same per-day view-vs-purchase
+    // fixture. Differences d = v − p over the CALENDAR-bounded daily
+    // pivot (≤ days rows at any corpus size), zeros dropped (the
+    // textbook rule, spelled identically), DOUBLED midranks of |d|
+    // (the spearman integral-rank trick) so W⁺ and the tie term are
+    // exact integers; z with the normal approximation's tie-corrected
+    // variance is the one final double expression, identical text in
+    // both engines.
+    QuerySpec(
+      "stat_wilcoxon_signed_rank",
+      (s, d) => {
+        val daily = events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+          .select(col("day"), (col("v") - col("p")).as("dd"))
+          .filter(col("dd") =!= 0)
+          .select(col("day"), col("dd"), abs(col("dd")).as("ad"))
+        val w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+        val ranks = daily.groupBy("ad").agg(count(lit(1)).as("n_v"))
+          .withColumn("r2",
+            coalesce(sum("n_v").over(w), lit(0L)) * 2 + col("n_v") + 1)
+        val ties = ranks.agg(
+          sum(expr("n_v * n_v * n_v - n_v")).as("tie_sum"))
+        daily.join(broadcast(ranks.select("ad", "r2")), "ad")
+          .agg(count(lit(1)).as("n_used"),
+            sum(when(col("dd") > 0, col("r2")).otherwise(0L)).as("w_plus2"))
+          .crossJoin(broadcast(ties))
+          .selectExpr("n_used", "w_plus2", "tie_sum",
+            """(cast(w_plus2 as double) / 2.0
+                - cast(n_used as double) * (cast(n_used as double) + 1.0) / 4.0)
+               / sqrt((cast(n_used as double) * (cast(n_used as double) + 1.0)
+                       * (2.0 * cast(n_used as double) + 1.0)
+                       - cast(tie_sum as double) / 2.0) / 24.0) as z""")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT)
+                 - CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS dd
+          FROM events WHERE event_type IN ('view', 'purchase')
+          GROUP BY 1),
+        nz AS (SELECT day, dd, ABS(dd) AS ad FROM daily WHERE dd <> 0),
+        ranks AS (
+          SELECT ad,
+                 COALESCE(SUM(n_v) OVER (ORDER BY ad
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+                 + n_v + 1 AS r2
+          FROM (SELECT ad, COUNT(*) AS n_v FROM nz GROUP BY 1)),
+        ties AS (
+          SELECT CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_sum
+          FROM (SELECT ad, COUNT(*) AS n_v FROM nz GROUP BY 1)),
+        agg AS (
+          SELECT COUNT(*) AS n_used,
+                 CAST(SUM(CASE WHEN dd > 0 THEN r2 ELSE 0 END) AS BIGINT)
+                   AS w_plus2
+          FROM nz JOIN ranks ON ranks.ad = nz.ad)
+        SELECT n_used, w_plus2, (SELECT tie_sum FROM ties) AS tie_sum,
+               (CAST(w_plus2 AS DOUBLE) / 2.0
+                - CAST(n_used AS DOUBLE) * (CAST(n_used AS DOUBLE) + 1.0) / 4.0)
+               / sqrt((CAST(n_used AS DOUBLE) * (CAST(n_used AS DOUBLE) + 1.0)
+                       * (2.0 * CAST(n_used AS DOUBLE) + 1.0)
+                       - CAST((SELECT tie_sum FROM ties) AS DOUBLE) / 2.0) / 24.0)
+                 AS z
+        FROM agg"""))
   )
 }
