@@ -1013,6 +1013,35 @@ object CdcQueries {
                CAST(SUM(late_us) AS BIGINT) AS late_us_sum
         FROM lat GROUP BY 1""")),
 
+    // ───── CDC op-mix profile (r14): the write-side composition of the
+    // change log per day — PUT/DELETE counts, tombstone share, keys
+    // touched, and re-write pressure (writes per touched key) — the
+    // capacity readout that pairs with cdc_capacity_plan (throughput)
+    // and cdc_cardinality_timeline (live-key census): a rising
+    // tombstone share means compaction debt, a rising writes/key means
+    // hot-key LWW churn. One hash-agg over one scan; exact ppm.
+    QuerySpec(
+      "cdc_op_mix",
+      (s, d) => events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_writes"),
+          sum(when(isRemove, 1L).otherwise(0L)).as("n_deletes"),
+          countDistinct(col("user_id")).as("n_keys"))
+        .select(col("day"), col("n_writes"), col("n_deletes"), col("n_keys"),
+          expr("n_deletes * 1000000 div n_writes").as("tombstone_ppm"),
+          expr("n_writes * 1000 div n_keys").as("writes_per_key_milli")),
+      Some("""
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) AS n_writes,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_deletes,
+               COUNT(DISTINCT user_id) AS n_keys,
+               CAST(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000 // COUNT(*) AS BIGINT) AS tombstone_ppm,
+               CAST(COUNT(*) * 1000 // COUNT(DISTINCT user_id) AS BIGINT)
+                 AS writes_per_key_milli
+        FROM events GROUP BY 1""")),
+
     // ───── Conditional-write apply, batch face (r14, VERDICT r13 #7):
     // DynamoDB's per-item concurrency primitive — ConditionExpression
     // with attribute_not_exists(pk) (insert-if-absent) or a version

@@ -822,6 +822,39 @@ object RelationalQueries {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
         GROUP BY o_orderpriority""")),
 
+    // ───── ANSI GROUPING SETS (r14): the general form rollup/cube are
+    // special cases of — arbitrary grouping combinations in ONE pass
+    // with GROUPING() disambiguating the NULL-as-total rows from real
+    // NULLs (the correctness detail naive ports lose). Spark plans one
+    // Expand + hash-agg (each input row fans out once per set — k×
+    // map-side, no extra shuffles); the oracle runs the identical
+    // standard syntax.
+    QuerySpec(
+      "sql_grouping_sets",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders_gs_v")
+        s.sql("""
+          SELECT o_orderpriority, o_orderstatus,
+                 GROUPING(o_orderpriority) AS g_pri,
+                 GROUPING(o_orderstatus) AS g_st,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM orders_gs_v
+          GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                  (o_orderpriority), (o_orderstatus), ())""")
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())""")),
+
     // ───── ANSI UNPIVOT (r14): the wide→long inverse of agg_pivot as
     // the SQL-surface statement (Spark and DuckDB both ship the
     // standard `UNPIVOT (value FOR name IN (...))` clause) — the shape
@@ -1852,6 +1885,38 @@ object RelationalQueries {
                COUNT(DISTINCT u.user_id) AS wau
         FROM days d JOIN ud u ON u.day <= d.day AND u.day > d.day - 7
         GROUP BY d.day""")),
+
+    // ───── User lifespan distribution (r14): calendar span between a
+    // user's first and last event, power-of-2 banded (the
+    // graph_degree_hist libm-free log-binning) — the lifecycle readout
+    // next to events_active_days_hist (which counts ENGAGED days; span
+    // measures tenure, and span ≫ active-days = a returning-but-idle
+    // base). One hash-agg for (first, last) per user — the only stage
+    // that touches the log — then a bounded-band rollup.
+    QuerySpec(
+      "events_user_lifespan",
+      (s, d) => events(s, d)
+        .groupBy("user_id")
+        .agg((datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1)
+          .cast("long").as("span_days"))
+        .groupBy(expr("length(bin(span_days))").as("band"))
+        .agg(count(lit(1)).as("n_users"),
+          min("span_days").as("min_span"), max("span_days").as("max_span"),
+          sum("span_days").as("span_sum"), sum("user_id").as("user_sum")),
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                                MAX(CAST(ts AS DATE))) + 1 AS BIGINT)
+                   AS span_days
+          FROM events GROUP BY 1)
+        SELECT CAST(LENGTH(bin(span_days)) AS INTEGER) AS band,
+               COUNT(*) AS n_users,
+               CAST(MIN(span_days) AS BIGINT) AS min_span,
+               CAST(MAX(span_days) AS BIGINT) AS max_span,
+               CAST(SUM(span_days) AS BIGINT) AS span_sum,
+               CAST(SUM(user_id) AS BIGINT) AS user_sum
+        FROM u GROUP BY 1""")),
 
     // ───── Stickiness ratio (r14): DAU over trailing-28-day MAU — the
     // engagement-frequency number every growth dashboard pairs with
