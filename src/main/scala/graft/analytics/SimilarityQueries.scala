@@ -2322,6 +2322,84 @@ object SimilarityQueries {
         $unions"""
       }),
 
+    // ───── Simplified silhouette (r14): per-vector clustering-quality
+    // readout complementing ann_kmeans_elbow's corpus-level inertia —
+    // s = (b − a)/max(a, b) with a = distance to the OWN centroid and
+    // b = distance to the NEAREST OTHER (the "simplified" variant:
+    // centroid distances, not all-pairs — the only form that scales,
+    // and the reason this is computable as |corpus|×k rows instead of
+    // |corpus|²). All distances are exact integers (1e6 − signed-cos²
+    // ppm via DECIMAL/HUGEINT truncating div), and the own/nearest
+    // pick uses the (distance ASC, cid ASC) total order INSIDE a
+    // k-bounded per-vector window (8 rows per partition — bounded by
+    // k, never by data). Output: s-band histogram (200k-ppm bands,
+    // s ∈ [−1e6, 1e6]) with vector checksums; well-clustered corpora
+    // mass in the high bands.
+    QuerySpec(
+      "ann_silhouette",
+      (s, d) => {
+        val vecs = Corpus.quantizedVectors(s, d).select("vec_id", "qv", "nn")
+        val cents = Clustering.kmeansSpherical(s, vecs, k = 8, iters = 2)
+        val cdf = s.createDataFrame(cents.map { case (cid, cv, cnn) =>
+          (cid, cv.toSeq, cnn) }).toDF("cid", "cv", "cnn")
+        val scored = vecs.crossJoin(broadcast(cdf))
+          .select(col("vec_id"), col("cid"),
+            Corpus.dotCol("qv", "cv").as("dot"),
+            col("nn").as("na"), col("cnn").as("nb"))
+          .select(col("vec_id"), col("cid"), expr(
+            """1000000 - cast(
+                 (case when dot >= 0 then 1 else -1 end) *
+                 ((cast(dot as decimal(38,0)) * dot * 1000000)
+                    div (cast(na as decimal(38,0)) * nb)) as bigint)""")
+            .as("dist"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy("dist", "cid")
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 2)
+          .groupBy("vec_id")
+          .agg(min(when(col("rk") === 1, col("dist"))).as("a"),
+            min(when(col("rk") === 2, col("dist"))).as("b"))
+          .select(col("vec_id"),
+            expr("(b - a) * 1000000 div greatest(a, b, 1L)").as("s_ppm"))
+          .groupBy(expr("s_ppm div 200000").as("band"))
+          .agg(count(lit(1)).as("n_vecs"), min("s_ppm").as("min_s"),
+            max("s_ppm").as("max_s"), sum("vec_id").as("vec_sum"))
+      },
+      Some {
+        s"""
+        WITH base AS MATERIALIZED (${Corpus.quantizedVectorsSql}),${
+          kmeansSqlCtes(8, 2, "sil_")},
+        scored AS (
+          SELECT vec_id, cid,
+                 1000000 - CAST((CASE WHEN dot >= 0 THEN 1 ELSE -1 END)
+                   * ((CAST(dot AS HUGEINT) * dot * 1000000)
+                      // (CAST(na AS HUGEINT) * nb)) AS BIGINT) AS dist
+          FROM (SELECT b.vec_id, c.cid,
+                       CAST(list_sum(list_transform(range(1, 65),
+                         i -> b.qv[i] * c.cv[i])) AS BIGINT) AS dot,
+                       b.nn AS na, c.cnn AS nb
+                FROM base b CROSS JOIN sil_cents2 c)),
+        ranked AS (
+          SELECT vec_id, dist,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY dist ASC, cid ASC) AS rk
+          FROM scored),
+        ab AS (
+          SELECT vec_id,
+                 MIN(CASE WHEN rk = 1 THEN dist END) AS a,
+                 MIN(CASE WHEN rk = 2 THEN dist END) AS b
+          FROM ranked WHERE rk <= 2 GROUP BY 1),
+        sil AS (
+          SELECT vec_id,
+                 (b - a) * 1000000 // GREATEST(a, b, 1) AS s_ppm
+          FROM ab)
+        SELECT s_ppm // 200000 AS band, COUNT(*) AS n_vecs,
+               CAST(MIN(s_ppm) AS BIGINT) AS min_s,
+               CAST(MAX(s_ppm) AS BIGINT) AS max_s,
+               CAST(SUM(vec_id) AS BIGINT) AS vec_sum
+        FROM sil GROUP BY 1"""
+      }),
+
     // ───── k-means ELBOW sweep (r14): inertia vs k — the model-selection
     // readout that turns the engine's k-means (V4, previously spec-only)
     // into an oracle-gated surface. For k ∈ {2,4,8}: two integer Lloyd

@@ -3579,6 +3579,105 @@ object StatQueries {
                     // (CAST(nn AS HUGEINT) * (o_a + o_b) * cb) AS BIGINT) AS dev_b_milli
         FROM cells, tot""")),
 
+    // ───── Randomization (permutation) test (r14): the assumption-free
+    // significance check for the view-vs-purchase mean-value gap — no
+    // normality, no variance model, just "how often does a random
+    // relabeling produce a gap this large?". 32 deterministic
+    // relabelings via the md5 rep discipline (events_bootstrap_ci's
+    // rand-free resampling: hash(rep‖event_id) mod N < n_view keeps the
+    // expected group ratio — the binomial-relabel variant of the
+    // permutation test, declared as such); each rep's mean gap exact in
+    // truncating milli, p = share of |gap_r| ≥ |gap_obs| in exact ppm.
+    // Cost: 32× one hash-agg over the two groups' rows — linear, no
+    // windows, no driver state.
+    QuerySpec(
+      "stat_permutation_test",
+      (s, d) => {
+        val base = events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("event_id"), col("event_type"),
+            expr("cast(floor(value * 100) as bigint)").as("c"))
+        val sizes = base.agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"),
+          count(lit(1)).as("nn"))
+        val obs = base.groupBy()
+          .agg(
+            sum(when(col("event_type") === "view", col("c"))).as("sv"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv0"),
+            sum(when(col("event_type") === "purchase", col("c"))).as("sp"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np0"))
+          .select(col("nv0"), col("np0"),
+            (expr("sv * 1000 div nv0") - expr("sp * 1000 div np0"))
+              .as("gap_obs_milli"))
+        val reps = s.range(0, 32).select(col("id").cast("int").as("rep"))
+        val repGaps = base.crossJoin(broadcast(reps))
+          .crossJoin(broadcast(sizes))
+          .withColumn("lab", expr(
+            """case when cast(conv(substring(md5(concat('perm14:',
+               cast(rep as string), ':', cast(event_id as string))), 1, 15),
+               16, 10) as bigint) % nn < nv then 1 else 0 end"""))
+          .groupBy("rep")
+          .agg((expr("""sum(case when lab = 1 then c else 0 end) * 1000
+                      div sum(case when lab = 1 then 1 else 0 end)""")
+            - expr("""sum(case when lab = 0 then c else 0 end) * 1000
+                      div sum(case when lab = 0 then 1 else 0 end)"""))
+            .as("gap_milli"))
+        repGaps.crossJoin(broadcast(obs))
+          .agg(max("nv0").as("n_view"), max("np0").as("n_purchase"),
+            max("gap_obs_milli").as("gap_obs_milli"),
+            sum(when(abs(col("gap_milli")) >= abs(col("gap_obs_milli")), 1L)
+              .otherwise(0L)).as("n_extreme"))
+          .select(col("n_view"), col("n_purchase"), col("gap_obs_milli"),
+            col("n_extreme"),
+            expr("n_extreme * 1000000 div 32").as("p_ppm"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events WHERE event_type IN ('view', 'purchase')),
+        sizes AS (
+          SELECT CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nv,
+                 CAST(COUNT(*) AS BIGINT) AS nn
+          FROM base),
+        obs AS (
+          SELECT CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nv0,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS np0,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN c END) * 1000
+                   // SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 - SUM(CASE WHEN event_type = 'purchase' THEN c END) * 1000
+                   // SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS gap_obs_milli
+          FROM base),
+        reps AS (SELECT CAST(g AS INTEGER) AS rep
+                 FROM generate_series(0, 31) t(g)),
+        rel AS (
+          SELECT r.rep, b.c,
+                 CASE WHEN CAST(('0x' || substring(md5('perm14:'
+                        || CAST(r.rep AS VARCHAR) || ':'
+                        || CAST(b.event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % s.nn < s.nv
+                      THEN 1 ELSE 0 END AS lab
+          FROM base b, reps r, sizes s),
+        gaps AS (
+          SELECT rep,
+                 CAST(SUM(CASE WHEN lab = 1 THEN c ELSE 0 END) * 1000
+                   // SUM(CASE WHEN lab = 1 THEN 1 ELSE 0 END)
+                 - SUM(CASE WHEN lab = 0 THEN c ELSE 0 END) * 1000
+                   // SUM(CASE WHEN lab = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS gap_milli
+          FROM rel GROUP BY 1)
+        SELECT o.nv0 AS n_view, o.np0 AS n_purchase, o.gap_obs_milli,
+               CAST(SUM(CASE WHEN ABS(g.gap_milli) >= ABS(o.gap_obs_milli)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+               CAST(SUM(CASE WHEN ABS(g.gap_milli) >= ABS(o.gap_obs_milli)
+                             THEN 1 ELSE 0 END) * 1000000 // 32 AS BIGINT)
+                 AS p_ppm
+        FROM gaps g, obs o
+        GROUP BY 1, 2, 3""")),
+
     // ───── Wilcoxon signed-rank test (r14): the MAGNITUDE-aware paired
     // test stat_sign_test deliberately isn't (sign ignores |d|) —
     // completing the paired family on the same per-day view-vs-purchase
