@@ -3532,6 +3532,46 @@ object RelationalQueries {
     // integer both engines compute identically (log2 would be a float).
     // One hash-agg over nodes, output bounded by 64 bins.
     QuerySpec(
+      "graph_knn_curve",
+      (s, d) => {
+        // average neighbor degree per degree band — knn(k), the
+        // assortativity readout as a CURVE instead of one coefficient
+        // (graph_assortativity's r compresses this to a scalar; the
+        // curve shows WHERE mixing changes). One degree table off the
+        // shared undirected frame, one self-join edge⋈deg(both ends),
+        // power-2 degree bands (the libm-free log-binning); exact
+        // integer milli mean.
+        val und = graft.analytics.GraphArtifacts.undEdges(s, d)
+        val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("dg"))
+        und
+          .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
+          .groupBy(expr("length(bin(du))").as("band"))
+          .agg(count(lit(1)).as("n_arcs"),
+            min("du").as("min_deg"), max("du").as("max_deg"),
+            expr("cast(cast(sum(dv) as decimal(38,0)) * 1000 div count(1) as bigint)")
+              .as("knn_milli"))
+      },
+      Some("""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        und AS MATERIALIZED (
+          SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        deg AS MATERIALIZED (SELECT u AS n, COUNT(*) AS dg FROM und GROUP BY 1)
+        SELECT CAST(LENGTH(bin(a.dg)) AS INTEGER) AS band,
+               COUNT(*) AS n_arcs,
+               CAST(MIN(a.dg) AS BIGINT) AS min_deg,
+               CAST(MAX(a.dg) AS BIGINT) AS max_deg,
+               CAST(CAST(SUM(b.dg) AS HUGEINT) * 1000 // COUNT(*) AS BIGINT)
+                 AS knn_milli
+        FROM und JOIN deg a ON a.n = und.u JOIN deg b ON b.n = und.v
+        GROUP BY 1""")),
+
+    QuerySpec(
       "graph_degree_hist",
       (s, d) => {
         graft.analytics.GraphArtifacts.undEdges(s, d)

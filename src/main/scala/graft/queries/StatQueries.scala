@@ -3579,6 +3579,66 @@ object StatQueries {
                     // (CAST(nn AS HUGEINT) * (o_a + o_b) * cb) AS BIGINT) AS dev_b_milli
         FROM cells, tot""")),
 
+    // ───── Top-k ranking overlap curve (r14): agreement between two
+    // rankers as a FUNCTION of depth — overlap@k for k = 1..10 between
+    // "parts by revenue" and "parts by order count" (the rank-biased-
+    // overlap readout without its geometric weights, which would need
+    // libm; the curve itself is the actionable artifact). Both
+    // rankings are bounded top-10 pulls (TakeOrderedAndProject with
+    // total-order tiebreaks), the depth expansion is 10×10 rows, and
+    // overlap counts are exact — nothing here scales with the corpus
+    // beyond the two ranking aggregations. Complements ml_ndcg/ml_mrr
+    // (graded/single-relevant) with the two-system-agreement face.
+    QuerySpec(
+      "ml_overlap_at_k",
+      (s, d) => {
+        val byRev = lineitem(s, d)
+          .groupBy(col("l_partkey").as("p"))
+          .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .as("rev"))
+          .orderBy(col("rev").desc, col("p")).limit(10)
+          .select(col("p"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("rev").desc, col("p"))).as("rk_a"))
+        val byCnt = lineitem(s, d)
+          .groupBy(col("l_partkey").as("p"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("p")).limit(10)
+          .select(col("p"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("p"))).as("rk_b"))
+        val depths = s.range(1, 11).select(col("id").cast("int").as("k"))
+        depths
+          .join(byRev.crossJoin(byCnt.select(col("p").as("p2"), col("rk_b")))
+            .filter(col("p") === col("p2")), col("rk_a") <= col("k") &&
+            col("rk_b") <= col("k"), "left")
+          .groupBy("k")
+          .agg(count(col("p")).as("n_common"),
+            expr("count(p) * 1000000 div max(k)").as("overlap_ppm"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT p, ROW_NUMBER() OVER (ORDER BY rev DESC, p) AS rk_a
+          FROM (SELECT l_partkey AS p,
+                       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         AS BIGINT) AS rev
+                FROM lineitem GROUP BY 1)
+          ORDER BY rev DESC, p LIMIT 10),
+        b AS (
+          SELECT p, ROW_NUMBER() OVER (ORDER BY cnt DESC, p) AS rk_b
+          FROM (SELECT l_partkey AS p, COUNT(*) AS cnt
+                FROM lineitem GROUP BY 1)
+          ORDER BY cnt DESC, p LIMIT 10),
+        depths AS (SELECT CAST(g AS INTEGER) AS k
+                   FROM generate_series(1, 10) t(g)),
+        common AS (
+          SELECT a.p, a.rk_a, b.rk_b FROM a JOIN b ON b.p = a.p)
+        SELECT d.k, COUNT(c.p) AS n_common,
+               CAST(COUNT(c.p) * 1000000 // d.k AS BIGINT) AS overlap_ppm
+        FROM depths d
+        LEFT JOIN common c ON c.rk_a <= d.k AND c.rk_b <= d.k
+        GROUP BY d.k""")),
+
     // ───── Randomization (permutation) test (r14): the assumption-free
     // significance check for the view-vs-purchase mean-value gap — no
     // normality, no variance model, just "how often does a random
