@@ -3579,6 +3579,60 @@ object StatQueries {
                     // (CAST(nn AS HUGEINT) * (o_a + o_b) * cb) AS BIGINT) AS dev_b_milli
         FROM cells, tot""")),
 
+    // ───── Multiclass confusion + per-class P/R (r14): ml_confusion's
+    // binary table generalized to the 5-class case — the evaluation
+    // face a label-balancing curation pipeline reads before reweighting
+    // (macro-averaged metrics need per-class rows, which is why the
+    // binary collapse loses information). Predictor: deterministic
+    // value-band rule (cents div 10000 capped to 5 bands mapped onto
+    // the type vocabulary's alphabetical order — a fixed, engine-
+    // replayable stand-in for a learned classifier; the perceptron's
+    // learned face is text_classifier_*). One hash-agg for the k×k
+    // matrix collapsed to per-class TP/FP/FN with exact ppm P/R/F1.
+    QuerySpec(
+      "ml_multiclass_confusion",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val predExpr = expr(
+          "case " + types.zipWithIndex.map { case (t, i) =>
+            s"when least(cast(round(value * 100) as bigint) div 10000, 4L) = $i then '$t'"
+          }.mkString(" ") + " end")
+        val m = events(s, d).select(col("event_type").as("act"),
+          predExpr.as("pred"))
+        m.groupBy(col("act").as("clazz"))
+          .agg(count(lit(1)).as("n_actual"),
+            sum(when(col("pred") === col("act"), 1L).otherwise(0L)).as("tp"))
+          .join(
+            m.groupBy(col("pred").as("clazz"))
+              .agg(count(lit(1)).as("n_predicted")), Seq("clazz"), "left")
+          .select(col("clazz"), col("n_actual"),
+            coalesce(col("n_predicted"), lit(0L)).as("n_predicted"), col("tp"),
+            expr("case when coalesce(n_predicted, 0) = 0 then 0L " +
+              "else tp * 1000000 div n_predicted end").as("precision_ppm"),
+            expr("tp * 1000000 div n_actual").as("recall_ppm"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT event_type AS act,
+                 CASE LEAST(CAST(round(value * 100) AS BIGINT) // 10000, 4)
+                   WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+                   WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+                   ELSE 'view' END AS pred
+          FROM events),
+        a AS (
+          SELECT act AS clazz, COUNT(*) AS n_actual,
+                 CAST(SUM(CASE WHEN pred = act THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tp
+          FROM m GROUP BY 1),
+        p AS (SELECT pred AS clazz, COUNT(*) AS n_predicted FROM m GROUP BY 1)
+        SELECT a.clazz, a.n_actual,
+               CAST(COALESCE(p.n_predicted, 0) AS BIGINT) AS n_predicted, a.tp,
+               CAST(CASE WHEN COALESCE(p.n_predicted, 0) = 0 THEN 0
+                    ELSE a.tp * 1000000 // p.n_predicted END AS BIGINT)
+                 AS precision_ppm,
+               CAST(a.tp * 1000000 // a.n_actual AS BIGINT) AS recall_ppm
+        FROM a LEFT JOIN p ON p.clazz = a.clazz""")),
+
     // ───── Top-k ranking overlap curve (r14): agreement between two
     // rankers as a FUNCTION of depth — overlap@k for k = 1..10 between
     // "parts by revenue" and "parts by order count" (the rank-biased-
