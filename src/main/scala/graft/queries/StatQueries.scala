@@ -3579,6 +3579,64 @@ object StatQueries {
                     // (CAST(nn AS HUGEINT) * (o_a + o_b) * cb) AS BIGINT) AS dev_b_milli
         FROM cells, tot""")),
 
+    // ───── Friedman test (r14): the ORDINAL repeated-measures test
+    // completing the family — stat_cochran_q handles paired BINARY
+    // outcomes, Friedman ranks each block's k treatment values (blocks
+    // = days, treatments = event types, value = daily count). Within-
+    // block doubled midranks come from a k×k self-join per block
+    // (25 rows/day — bounded by k², never by data): r2 = 2·|{strictly
+    // less}| + |{equal incl. self}| + 1 ≡ 2·midrank, exactly. Column
+    // rank sums, the tie-corrected statistic's S and C terms, all
+    // exact integers (S4 = Σ_j (R2_j − n(k+1))², C4 = Σr2² −
+    // n·k·(k+1)²); χ²_F = (k−1)·S4/C4 is the one final double.
+    QuerySpec(
+      "stat_friedman",
+      (s, d) => {
+        val vals = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val r2 = vals.as("a")
+          .join(vals.as("b"), col("a.day") === col("b.day"))
+          .groupBy(col("a.day").as("day"), col("a.event_type").as("typ"))
+          .agg((sum(when(col("b.c") < col("a.c"), 2L).otherwise(0L))
+            + sum(when(col("b.c") === col("a.c"), 1L).otherwise(0L)) + 1L)
+            .as("r2"))
+        val nDays = r2.select("day").distinct().count()
+        val colSums = r2.groupBy("typ").agg(sum("r2").as("rs"))
+          .agg(count(lit(1)).as("k"),
+            sum(expr(s"(rs - ${nDays}L * 6) * (rs - ${nDays}L * 6)")).as("s4"))
+        val cTerm = r2.agg(
+          (sum(expr("r2 * r2")) - lit(nDays) * 180L).as("c4"))
+        colSums.crossJoin(cTerm)
+          .select(col("k"), lit(nDays).as("n_blocks"), col("s4"), col("c4"),
+            expr("cast((k - 1) as double) * cast(s4 as double) / cast(c4 as double)")
+              .as("chi2_f"))
+      },
+      Some("""
+        WITH vals AS (
+          SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        r2 AS (
+          SELECT a.day, a.event_type AS typ,
+                 CAST(SUM(CASE WHEN b.c < a.c THEN 2 ELSE 0 END)
+                   + SUM(CASE WHEN b.c = a.c THEN 1 ELSE 0 END) + 1 AS BIGINT)
+                   AS r2
+          FROM vals a JOIN vals b ON b.day = a.day
+          GROUP BY 1, 2),
+        nd AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n FROM r2),
+        cs AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM((rs - (SELECT n FROM nd) * 6)
+                          * (rs - (SELECT n FROM nd) * 6)) AS BIGINT) AS s4
+          FROM (SELECT typ, CAST(SUM(r2) AS BIGINT) AS rs FROM r2 GROUP BY 1)),
+        ct AS (
+          SELECT CAST(SUM(r2 * r2) - (SELECT n FROM nd) * 180 AS BIGINT) AS c4
+          FROM r2)
+        SELECT k, (SELECT n FROM nd) AS n_blocks, s4, c4,
+               CAST(k - 1 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(c4 AS DOUBLE)
+                 AS chi2_f
+        FROM cs, ct""")),
+
     // ───── Multiclass confusion + per-class P/R (r14): ml_confusion's
     // binary table generalized to the 5-class case — the evaluation
     // face a label-balancing curation pipeline reads before reweighting
