@@ -2207,6 +2207,107 @@ object RelationalQueries {
         FROM pairs GROUP BY 1, 2
         ORDER BY n_orders DESC, part_a, part_b LIMIT 20""")),
 
+    // ───── Item-kNN collaborative filtering (r14): the full RECOMMEND
+    // step, not just the co-occurrence table — basket_pairs/basket_lift
+    // score item pairs; this query carries them through to "top-3 new
+    // parts per customer". Item-item similarity = cosine² in exact ppm
+    // (w²·1e6 div (pop_u·pop_v), w = shared-order count off the shared
+    // coPurchaseWeighted artifact); each part keeps only its TOP-8
+    // neighbors through the bounded TopKScoredAgg (≤8 pairs/part/
+    // partition cross the wire — the index stays O(|parts|·8) at any
+    // corpus size, the item-kNN production shape); recommendations =
+    // owned ⋈ neighbor-index (fan-out ≤ 8·|owned|) → anti-join owned →
+    // per-user score sum → bounded top-3. Every ordering is the
+    // (score DESC, id ASC) total order both engines share; integer
+    // scores are exact in the double sort key below 2^53. Output:
+    // per-rank checksum rows.
+    QuerySpec(
+      "rec_item_knn",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        val owned = li
+          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("uid"), col("l_partkey").as("p"))
+          .distinct()
+        val pop = li.groupBy(col("l_partkey").as("p"))
+          .agg(count(lit(1)).as("np"))
+        val pr = graft.analytics.GraphArtifacts.coPurchaseWeighted(s, d)
+        val sym = pr.select(col("u"), col("v"), col("w"))
+          .unionAll(pr.select(col("v").as("u"), col("u").as("v"), col("w")))
+        val scored = sym
+          .join(pop.select(col("p").as("u"), col("np").as("nu")), "u")
+          .join(pop.select(col("p").as("v"), col("np").as("nv")), "v")
+          .select(col("u").as("p"), col("v").as("nbr"),
+            expr("""cast(cast(w as decimal(38,0)) * w * 1000000
+                    div (cast(nu as decimal(38,0)) * nv) as bigint)""").as("sc"))
+        val top8 = udaf(new graft.functions.TopKScoredAgg(8),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+        val nbrs = scored.groupBy("p")
+          .agg(top8(col("sc").cast("double"), col("nbr")).as("top"))
+          .select(col("p"), explode(col("top")).as("t"))
+          .select(col("p"), col("t._2").as("nbr"),
+            col("t._1").cast("long").as("sc"))
+        val top3 = udaf(new graft.functions.TopKScoredAgg(3),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+        owned.join(nbrs, "p")
+          .join(owned.select(col("uid"), col("p").as("nbr")),
+            Seq("uid", "nbr"), "left_anti")
+          .groupBy("uid", "nbr")
+          .agg(sum("sc").as("score"))
+          .groupBy("uid")
+          .agg(top3(col("score").cast("double"), col("nbr")).as("top"))
+          .select(col("uid"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("uid"), (col("pos") + 1).as("rank"),
+            col("t._2").as("cand"), col("t._1").cast("long").as("score"))
+          .groupBy("rank")
+          .agg(count(lit(1)).as("n_users"), sum("uid").as("uid_sum"),
+            sum("cand").as("cand_sum"), sum("score").as("score_sum"))
+      },
+      Some("""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        owned AS MATERIALIZED (
+          SELECT DISTINCT o.o_custkey AS uid, l.l_partkey AS p
+          FROM li l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        pop AS MATERIALIZED (
+          SELECT l_partkey AS p, COUNT(*) AS np FROM li GROUP BY 1),
+        pr AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        sym AS (
+          SELECT u, v, w FROM pr UNION ALL SELECT v AS u, u AS v, w FROM pr),
+        scored AS (
+          SELECT s.u AS p, s.v AS nbr,
+                 CAST(CAST(s.w AS HUGEINT) * s.w * 1000000
+                      // (CAST(pa.np AS HUGEINT) * pb.np) AS BIGINT) AS sc
+          FROM sym s JOIN pop pa ON pa.p = s.u JOIN pop pb ON pb.p = s.v),
+        nbrs AS MATERIALIZED (
+          SELECT p, nbr, sc FROM (
+            SELECT p, nbr, sc,
+                   ROW_NUMBER() OVER (PARTITION BY p
+                     ORDER BY sc DESC, nbr ASC) AS rk
+            FROM scored) WHERE rk <= 8),
+        raw AS (
+          SELECT o.uid, n.nbr, n.sc
+          FROM owned o JOIN nbrs n ON n.p = o.p
+          WHERE NOT EXISTS (SELECT 1 FROM owned o2
+                            WHERE o2.uid = o.uid AND o2.p = n.nbr)),
+        agg AS (
+          SELECT uid, nbr, CAST(SUM(sc) AS BIGINT) AS score
+          FROM raw GROUP BY 1, 2),
+        top3 AS (
+          SELECT uid, nbr AS cand, score,
+                 ROW_NUMBER() OVER (PARTITION BY uid
+                   ORDER BY score DESC, nbr ASC) AS rank
+          FROM agg)
+        SELECT rank, COUNT(*) AS n_users,
+               CAST(SUM(uid) AS BIGINT) AS uid_sum,
+               CAST(SUM(cand) AS BIGINT) AS cand_sum,
+               CAST(SUM(score) AS BIGINT) AS score_sum
+        FROM top3 WHERE rank <= 3 GROUP BY 1""")),
+
     // ───── RFM segmentation: the classic customer-analytics rollup —
     // recency / frequency / monetary quintiles (NTILE over a
     // deterministic (metric, key) order; both engines share ntile's

@@ -3579,6 +3579,98 @@ object StatQueries {
                     // (CAST(nn AS HUGEINT) * (o_a + o_b) * cb) AS BIGINT) AS dev_b_milli
         FROM cells, tot""")),
 
+    // ───── Smoothed target encoding (r14): the feature-prep operator
+    // every tabular-ML pipeline runs before training — replace a
+    // categorical with its smoothed target rate, enc = (pos_c + m·prior)
+    // / (n_c + m), m = 100 virtual prior rows (the additive-smoothing
+    // form whose two integer divisions both engines truncate
+    // identically; leave-one-out is the train-time variant — this is
+    // the serving table). Category = market segment, target = "customer
+    // has ≥1 order" via one LEFT SEMI join; small categories shrink
+    // toward the global prior, exactly what the smoothing is for.
+    QuerySpec(
+      "ml_target_encoding",
+      (s, d) => {
+        val buyers = customer(s, d)
+          .join(orders(s, d).select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_semi")
+          .select(col("c_custkey"), lit(1L).as("pos"))
+        val base = customer(s, d)
+          .join(buyers.select("c_custkey", "pos"), Seq("c_custkey"), "left")
+          .select(col("c_mktsegment").as("segment"),
+            coalesce(col("pos"), lit(0L)).as("pos"))
+        val g = base.groupBy("segment")
+          .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+        val prior = g.agg(sum("n").as("nn"), sum("n_pos").as("np"))
+          .select(expr("np * 1000000 div nn").as("prior_ppm"))
+        g.crossJoin(broadcast(prior))
+          .select(col("segment"), col("n"), col("n_pos"), col("prior_ppm"),
+            expr("n_pos * 1000000 div n").as("raw_ppm"),
+            expr("(n_pos * 1000000 + 100 * prior_ppm) div (n + 100)")
+              .as("smoothed_ppm"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT c.c_mktsegment AS segment,
+                 CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey)
+                      THEN 1 ELSE 0 END AS pos
+          FROM customer c),
+        g AS (
+          SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(pos) AS BIGINT) AS n_pos
+          FROM base GROUP BY 1),
+        prior AS (
+          SELECT CAST(SUM(n_pos) * 1000000 // SUM(n) AS BIGINT) AS prior_ppm
+          FROM g)
+        SELECT segment, n, n_pos, prior_ppm,
+               CAST(n_pos * 1000000 // n AS BIGINT) AS raw_ppm,
+               CAST((n_pos * 1000000 + 100 * prior_ppm) // (n + 100) AS BIGINT)
+                 AS smoothed_ppm
+        FROM g, prior""")),
+
+    // ───── Data-quality scorecard (r14): the per-source DQ rollup a
+    // pipeline gate reads before admitting a batch — completeness
+    // (null payloads), uniqueness (duplicate event ids), and freshness
+    // (staleness of the source's newest event vs the corpus watermark,
+    // exact integer minutes) in ONE scan + one distinct-agg, next to
+    // the deeper single-facet tools (profile_columns, audit_referential,
+    // cdc_schema_drift). Exact ppm; no windows.
+    QuerySpec(
+      "dq_scorecard",
+      (s, d) => {
+        val wm = events(s, d).agg(max(col("ts")).as("wm"))
+        events(s, d).crossJoin(broadcast(wm))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null_props"),
+            countDistinct(col("event_id")).as("n_distinct_ids"),
+            min(expr("(unix_micros(wm) - unix_micros(ts)) div 60000000"))
+              .as("freshness_min"))
+          .select(col("event_type"), col("n_rows"),
+            expr("n_null_props * 1000000 div n_rows").as("null_ppm"),
+            (col("n_rows") - col("n_distinct_ids")).as("n_dup_ids"),
+            expr("(n_rows - n_distinct_ids) * 1000000 div n_rows").as("dup_ppm"),
+            col("freshness_min"))
+      },
+      Some("""
+        WITH wm AS (SELECT MAX(ts) AS wm FROM events),
+        g AS (
+          SELECT event_type, COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_props,
+                 COUNT(DISTINCT event_id) AS n_distinct_ids,
+                 CAST(MIN((epoch_us((SELECT wm FROM wm)) - epoch_us(ts))
+                   // 60000000) AS BIGINT) AS freshness_min
+          FROM events GROUP BY 1)
+        SELECT event_type, n_rows,
+               CAST(n_null_props * 1000000 // n_rows AS BIGINT) AS null_ppm,
+               CAST(n_rows - n_distinct_ids AS BIGINT) AS n_dup_ids,
+               CAST((n_rows - n_distinct_ids) * 1000000 // n_rows AS BIGINT)
+                 AS dup_ppm,
+               freshness_min
+        FROM g""")),
+
     // ───── Friedman test (r14): the ORDINAL repeated-measures test
     // completing the family — stat_cochran_q handles paired BINARY
     // outcomes, Friedman ranks each block's k treatment values (blocks
