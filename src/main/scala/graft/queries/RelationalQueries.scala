@@ -78,6 +78,51 @@ object RelationalQueries {
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
     graft.analytics.GraphArtifacts.coPurchaseEdges(s, d)
 
+  /** Per-user top-3 item-kNN recommendations (uid, rank, cand, score) —
+    * the shared engine behind `rec_item_knn` (per-rank rollup) and
+    * `rec_coverage` (catalog coverage), session-cached so both pay the
+    * pipeline once. See rec_item_knn's doc comment for the cost model.
+    */
+  private def recTop3(s: SparkSession, d: String): DataFrame =
+    graft.analytics.Corpus.cached(s, d, "recTop3") {
+      val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      val owned = li
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("uid"), col("l_partkey").as("p"))
+        .distinct()
+      val pop = li.groupBy(col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("np"))
+      val pr = graft.analytics.GraphArtifacts.coPurchaseWeighted(s, d)
+      val sym = pr.select(col("u"), col("v"), col("w"))
+        .unionAll(pr.select(col("v").as("u"), col("u").as("v"), col("w")))
+      val scored = sym
+        .join(pop.select(col("p").as("u"), col("np").as("nu")), "u")
+        .join(pop.select(col("p").as("v"), col("np").as("nv")), "v")
+        .select(col("u").as("p"), col("v").as("nbr"),
+          expr("""cast(cast(w as decimal(38,0)) * w * 1000000
+                  div (cast(nu as decimal(38,0)) * nv) as bigint)""").as("sc"))
+      val top8 = udaf(new graft.functions.TopKScoredAgg(8),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+      val nbrs = scored.groupBy("p")
+        .agg(top8(col("sc").cast("double"), col("nbr")).as("top"))
+        .select(col("p"), explode(col("top")).as("t"))
+        .select(col("p"), col("t._2").as("nbr"),
+          col("t._1").cast("long").as("sc"))
+      val top3 = udaf(new graft.functions.TopKScoredAgg(3),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+      owned.join(nbrs, "p")
+        .join(owned.select(col("uid"), col("p").as("nbr")),
+          Seq("uid", "nbr"), "left_anti")
+        .groupBy("uid", "nbr")
+        .agg(sum("sc").as("score"))
+        .groupBy("uid")
+        .agg(top3(col("score").cast("double"), col("nbr")).as("top"))
+        .select(col("uid"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("uid"), (col("pos") + 1).as("rank"),
+          col("t._2").as("cand"), col("t._1").cast("long").as("score"))
+    }
+
   /** Per-node triangle counts over [[coPurchaseEdges]] via degree
     * orientation + edge-iterator intersection (see the graph_triangles
     * doc comment for the full cost argument). Returns (n, n_tri) for
@@ -2207,6 +2252,10 @@ object RelationalQueries {
         FROM pairs GROUP BY 1, 2
         ORDER BY n_orders DESC, part_a, part_b LIMIT 20""")),
 
+    // (shared engine for rec_item_knn + rec_coverage: the per-user
+    // top-3 recommendation frame, session-cached — the triCommon
+    // consumer-sharing discipline)
+    //
     // ───── Item-kNN collaborative filtering (r14): the full RECOMMEND
     // step, not just the co-occurrence table — basket_pairs/basket_lift
     // score item pairs; this query carries them through to "top-3 new
@@ -2223,47 +2272,10 @@ object RelationalQueries {
     // per-rank checksum rows.
     QuerySpec(
       "rec_item_knn",
-      (s, d) => {
-        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-        val owned = li
-          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("uid"), col("l_partkey").as("p"))
-          .distinct()
-        val pop = li.groupBy(col("l_partkey").as("p"))
-          .agg(count(lit(1)).as("np"))
-        val pr = graft.analytics.GraphArtifacts.coPurchaseWeighted(s, d)
-        val sym = pr.select(col("u"), col("v"), col("w"))
-          .unionAll(pr.select(col("v").as("u"), col("u").as("v"), col("w")))
-        val scored = sym
-          .join(pop.select(col("p").as("u"), col("np").as("nu")), "u")
-          .join(pop.select(col("p").as("v"), col("np").as("nv")), "v")
-          .select(col("u").as("p"), col("v").as("nbr"),
-            expr("""cast(cast(w as decimal(38,0)) * w * 1000000
-                    div (cast(nu as decimal(38,0)) * nv) as bigint)""").as("sc"))
-        val top8 = udaf(new graft.functions.TopKScoredAgg(8),
-          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
-        val nbrs = scored.groupBy("p")
-          .agg(top8(col("sc").cast("double"), col("nbr")).as("top"))
-          .select(col("p"), explode(col("top")).as("t"))
-          .select(col("p"), col("t._2").as("nbr"),
-            col("t._1").cast("long").as("sc"))
-        val top3 = udaf(new graft.functions.TopKScoredAgg(3),
-          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
-        owned.join(nbrs, "p")
-          .join(owned.select(col("uid"), col("p").as("nbr")),
-            Seq("uid", "nbr"), "left_anti")
-          .groupBy("uid", "nbr")
-          .agg(sum("sc").as("score"))
-          .groupBy("uid")
-          .agg(top3(col("score").cast("double"), col("nbr")).as("top"))
-          .select(col("uid"), posexplode(col("top")).as(Seq("pos", "t")))
-          .select(col("uid"), (col("pos") + 1).as("rank"),
-            col("t._2").as("cand"), col("t._1").cast("long").as("score"))
-          .groupBy("rank")
-          .agg(count(lit(1)).as("n_users"), sum("uid").as("uid_sum"),
-            sum("cand").as("cand_sum"), sum("score").as("score_sum"))
-      },
+      (s, d) => recTop3(s, d)
+        .groupBy("rank")
+        .agg(count(lit(1)).as("n_users"), sum("uid").as("uid_sum"),
+          sum("cand").as("cand_sum"), sum("score").as("score_sum")),
       Some("""
         WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         owned AS MATERIALIZED (
@@ -2307,6 +2319,83 @@ object RelationalQueries {
                CAST(SUM(cand) AS BIGINT) AS cand_sum,
                CAST(SUM(score) AS BIGINT) AS score_sum
         FROM top3 WHERE rank <= 3 GROUP BY 1""")),
+
+    // ───── Recommender coverage (r14): the evaluation face of
+    // rec_item_knn — what share of the catalog do the top-3 lists ever
+    // surface (low coverage = popularity-biased recommender, the
+    // diversity failure mode), plus the concentration of exposure
+    // (distinct candidates vs recommendation rows). Rides the SHARED
+    // session-cached recTop3 frame (the triCommon discipline: the
+    // pipeline runs once for both queries); the rollup is two
+    // distinct-aggs over its bounded 3·|users| rows.
+    QuerySpec(
+      "rec_coverage",
+      (s, d) => {
+        val catalog = lineitem(s, d).select(col("l_partkey")).distinct()
+          .agg(count(lit(1)).as("n_parts"))
+        recTop3(s, d)
+          .agg(count(lit(1)).as("n_rec_rows"),
+            countDistinct(col("uid")).as("n_users"),
+            countDistinct(col("cand")).as("n_recommended"))
+          .crossJoin(broadcast(catalog))
+          .select(col("n_parts"), col("n_users"), col("n_rec_rows"),
+            col("n_recommended"),
+            expr("n_recommended * 1000000 div n_parts").as("coverage_ppm"),
+            expr("n_rec_rows * 1000 div n_recommended")
+              .as("exposure_per_item_milli"))
+      },
+      Some("""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        owned AS MATERIALIZED (
+          SELECT DISTINCT o.o_custkey AS uid, l.l_partkey AS p
+          FROM li l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        pop AS MATERIALIZED (
+          SELECT l_partkey AS p, COUNT(*) AS np FROM li GROUP BY 1),
+        pr AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        sym AS (
+          SELECT u, v, w FROM pr UNION ALL SELECT v AS u, u AS v, w FROM pr),
+        scored AS (
+          SELECT s.u AS p, s.v AS nbr,
+                 CAST(CAST(s.w AS HUGEINT) * s.w * 1000000
+                      // (CAST(pa.np AS HUGEINT) * pb.np) AS BIGINT) AS sc
+          FROM sym s JOIN pop pa ON pa.p = s.u JOIN pop pb ON pb.p = s.v),
+        nbrs AS MATERIALIZED (
+          SELECT p, nbr, sc FROM (
+            SELECT p, nbr, sc,
+                   ROW_NUMBER() OVER (PARTITION BY p
+                     ORDER BY sc DESC, nbr ASC) AS rk
+            FROM scored) WHERE rk <= 8),
+        raw AS (
+          SELECT o.uid, n.nbr, n.sc
+          FROM owned o JOIN nbrs n ON n.p = o.p
+          WHERE NOT EXISTS (SELECT 1 FROM owned o2
+                            WHERE o2.uid = o.uid AND o2.p = n.nbr)),
+        agg AS (
+          SELECT uid, nbr, CAST(SUM(sc) AS BIGINT) AS score
+          FROM raw GROUP BY 1, 2),
+        top3 AS (
+          SELECT uid, nbr AS cand FROM (
+            SELECT uid, nbr, score,
+                   ROW_NUMBER() OVER (PARTITION BY uid
+                     ORDER BY score DESC, nbr ASC) AS rank
+            FROM agg) WHERE rank <= 3),
+        cat AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+                FROM li),
+        r AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rec_rows,
+                 COUNT(DISTINCT uid) AS n_users,
+                 COUNT(DISTINCT cand) AS n_recommended
+          FROM top3)
+        SELECT n_parts, n_users, n_rec_rows, n_recommended,
+               CAST(n_recommended * 1000000 // n_parts AS BIGINT)
+                 AS coverage_ppm,
+               CAST(n_rec_rows * 1000 // n_recommended AS BIGINT)
+                 AS exposure_per_item_milli
+        FROM r, cat""")),
 
     // ───── RFM segmentation: the classic customer-analytics rollup —
     // recency / frequency / monetary quintiles (NTILE over a

@@ -3579,6 +3579,135 @@ object StatQueries {
                     // (CAST(nn AS HUGEINT) * (o_a + o_b) * cb) AS BIGINT) AS dev_b_milli
         FROM cells, tot""")),
 
+    // ───── McNemar's test (r14): the paired 2×2 before/after check —
+    // did users' purchasing STATUS change between the month's halves?
+    // Only the DISCORDANT users carry information (b01 = converted,
+    // b10 = churned); χ² with continuity correction =
+    // (|b01−b10|−1)²/(b01+b10), exact milli via one truncating
+    // division. Completes the paired family: McNemar (binary, 2
+    // periods), Cochran's Q (binary, k treatments), sign/Wilcoxon
+    // (ordinal), Friedman (ordinal, k). One (user → two flags)
+    // hash-agg + one global agg.
+    QuerySpec(
+      "stat_mcnemar",
+      (s, d) => {
+        val half = lit("2024-01-16 00:00:00").cast("timestamp")
+        events(s, d)
+          .groupBy("user_id")
+          .agg(
+            max(when(col("event_type") === "purchase" && col("ts") < half, 1L)
+              .otherwise(0L)).as("a"),
+            max(when(col("event_type") === "purchase" && col("ts") >= half, 1L)
+              .otherwise(0L)).as("b"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+              .as("b01"),
+            sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+              .as("b10"))
+          .select(col("n_users"), col("b01"), col("b10"),
+            expr("""case when b01 + b10 = 0 then 0L
+                    else (abs(b01 - b10) - 1) * (abs(b01 - b10) - 1) * 1000
+                         div (b01 + b10) end""").as("chi2_milli"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'purchase'
+                          AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                          THEN 1 ELSE 0 END) AS a,
+                 MAX(CASE WHEN event_type = 'purchase'
+                          AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                          THEN 1 ELSE 0 END) AS b
+          FROM events GROUP BY 1),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b01,
+                 CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b10
+          FROM u)
+        SELECT n_users, b01, b10,
+               CAST(CASE WHEN b01 + b10 = 0 THEN 0
+                    ELSE (ABS(b01 - b10) - 1) * (ABS(b01 - b10) - 1) * 1000
+                         // (b01 + b10) END AS BIGINT) AS chi2_milli
+        FROM g""")),
+
+    // ───── Bootstrap CI for AUC (r14): the metric layer's point
+    // estimates (ml_auc_rank) get an UNCERTAINTY band — 32
+    // md5-deterministic resampling weights (the events_bootstrap_ci
+    // rep discipline) over the SAME bounded score histogram, one
+    // rank-sum AUC per rep (the per-rep window orders the ≤56k-cent
+    // histogram within its rep — bounded at any corpus size), and the
+    // envelope reported as min / middle-two-sum / max under the
+    // (auc, rep) total order (no averaging of floats across reps —
+    // the bootstrap_ci med2 discipline).
+    QuerySpec(
+      "ml_auc_bootstrap_ci",
+      (s, d) => {
+        val reps = s.range(0, 32).select(col("id").cast("int").as("rep"))
+        val hist = events(s, d)
+          .select(col("event_id"),
+            expr("cast(round(value * 100) as bigint)").as("score"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+          .crossJoin(broadcast(reps))
+          .withColumn("w",
+            expr("""cast(conv(substring(md5(concat('auc14:', cast(rep as string),
+                    ':', cast(event_id as string))), 1, 8), 16, 10) as bigint) % 3"""))
+          .groupBy("rep", "score")
+          .agg(sum("w").as("n_i"), sum(col("w") * col("pos")).as("p_i"))
+        val w = Window.partitionBy("rep").orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val perRep = hist
+          .withColumn("cum", coalesce(sum("n_i").over(w), lit(0L)))
+          .groupBy("rep")
+          .agg(sum(expr("p_i * (cum * 2 + n_i + 1)")).as("r2"),
+            sum("p_i").as("p"), sum(expr("n_i - p_i")).as("nneg"))
+          .select(col("rep"),
+            ((col("r2") - col("p") * (col("p") + 1)).cast("double") /
+              (col("p") * col("nneg") * 2L).cast("double")).as("auc"))
+        val w32 = Window.orderBy("auc", "rep")
+        perRep.withColumn("r", row_number().over(w32))
+          .agg(count(lit(1)).as("n_reps"),
+            min("auc").as("auc_lo"),
+            (sum(when(col("r") === 16, col("auc")).otherwise(0.0))
+              + sum(when(col("r") === 17, col("auc")).otherwise(0.0)))
+              .as("auc_med2"),
+            max("auc").as("auc_hi"))
+      },
+      Some("""
+        WITH reps AS (SELECT CAST(g AS INTEGER) AS rep
+                      FROM generate_series(0, 31) t(g)),
+        wtd AS (
+          SELECT r.rep, CAST(round(e.value * 100) AS BIGINT) AS score,
+                 CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+                 CAST(('0x' || substring(md5('auc14:' || CAST(r.rep AS VARCHAR)
+                   || ':' || CAST(e.event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 3 AS w
+          FROM events e, reps r),
+        hist AS (
+          SELECT rep, score, CAST(SUM(w) AS BIGINT) AS n_i,
+                 CAST(SUM(w * pos) AS BIGINT) AS p_i
+          FROM wtd GROUP BY 1, 2),
+        ranked AS (
+          SELECT rep, p_i, n_i,
+                 COALESCE(SUM(n_i) OVER (PARTITION BY rep ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM hist),
+        perrep AS (
+          SELECT rep,
+                 CAST(SUM(p_i * (2 * cum + n_i + 1)) - SUM(p_i) * (SUM(p_i) + 1)
+                   AS DOUBLE)
+                 / CAST(SUM(p_i) * SUM(n_i - p_i) * 2 AS DOUBLE) AS auc
+          FROM ranked GROUP BY 1),
+        ordered AS (
+          SELECT auc, ROW_NUMBER() OVER (ORDER BY auc, rep) AS r
+          FROM perrep)
+        SELECT COUNT(*) AS n_reps, MIN(auc) AS auc_lo,
+               SUM(CASE WHEN r = 16 THEN auc ELSE 0.0 END)
+                 + SUM(CASE WHEN r = 17 THEN auc ELSE 0.0 END) AS auc_med2,
+               MAX(auc) AS auc_hi
+        FROM ordered""")),
+
     // ───── Smoothed target encoding (r14): the feature-prep operator
     // every tabular-ML pipeline runs before training — replace a
     // categorical with its smoothed target rate, enc = (pos_c + m·prior)
