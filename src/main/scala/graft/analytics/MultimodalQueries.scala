@@ -456,6 +456,69 @@ object MultimodalQueries {
     // closed-form samples WITHOUT any codec — equality proves PCM-16
     // encode → RIFF walk → decode → windowed energy exact end-to-end.
     QuerySpec(
+      "mm_audio_silence",
+      (s, d) => {
+        // Silence/level profiling through the REAL WAV path (r14): the
+        // trim-silence / gain-staging readout every audio-ingest
+        // pipeline runs before feature extraction — per clip, the share
+        // of samples under the |s| < 256 silence floor, the peak level,
+        // and the exact integer energy sum, all computed from
+        // [[MediaCodecs.decodePcmWav]]'s decoded samples on the same
+        // closed-form RIFF/PCM-16 fixture as mm_audio_fingerprint
+        // (equality against the codec-free formula oracle proves the
+        // PCM path bit-exact, the M-family discipline).
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 120).as[Long]
+          .map { id =>
+            def sample(i: Int): Int =
+              ((id * 31 + i.toLong * 17) % 2048).toInt - 1024
+            def le16(v: Int) = Array[Byte](
+              (v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+            def le32(v: Int) = Array[Byte](
+              (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+              ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+            val data = Array.tabulate(1024)(sample).flatMap(le16)
+            val fmt = le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+              le16(2) ++ le16(16)
+            val wav = "RIFF".getBytes ++
+              le32(4 + 8 + fmt.length + 8 + data.length) ++
+              "WAVE".getBytes ++ "fmt ".getBytes ++ le32(fmt.length) ++ fmt ++
+              "data".getBytes ++ le32(data.length) ++ data
+            val (_, _, wf) = MediaCodecs.decodePcmWav(wav)
+            var quiet = 0L; var peak = 0L; var energy = 0L
+            var i = 0
+            while (i < wf.length) {
+              val a = math.abs(wf(i).toLong)
+              if (a < 256) quiet += 1
+              if (a > peak) peak = a
+              energy += a * a
+              i += 1
+            }
+            (id, wf.length.toLong, quiet, quiet * 1000000L / wf.length,
+              peak, energy)
+          }
+          .toDF("clip_id", "n_samples", "n_quiet", "silence_ppm",
+            "peak", "energy_sum")
+      },
+      Some("""
+        WITH clips AS (
+          SELECT doc_id AS id FROM documents WHERE doc_id < 120),
+        samp AS (
+          SELECT id,
+                 list_transform(range(0, 1024), i ->
+                   ABS(((id * 31 + i * 17) % 2048) - 1024)) AS a
+          FROM clips)
+        SELECT id AS clip_id, CAST(1024 AS BIGINT) AS n_samples,
+               CAST(len(list_filter(a, x -> x < 256)) AS BIGINT) AS n_quiet,
+               CAST(len(list_filter(a, x -> x < 256)) * 1000000 // 1024
+                 AS BIGINT) AS silence_ppm,
+               CAST(list_max(a) AS BIGINT) AS peak,
+               CAST(list_sum(list_transform(a, x -> x * x)) AS BIGINT)
+                 AS energy_sum
+        FROM samp""")),
+
+    QuerySpec(
       "mm_audio_fingerprint",
       (s, d) => {
         import s.implicits._
