@@ -16,7 +16,8 @@ object Bench {
     */
   def parsePriors(txt: String): Map[String, Double] = {
     val nonQuery = Set("n", "rc", "cpus", "sf", "value",
-      "first", "last", "pin", "ratio", "min", "prior", "isolated")
+      "first", "last", "pin", "ratio", "min", "prior", "isolated",
+      "priorCount") // r14's own liveness field must not become a prior
     val flat = txt.replace("\\\"", "\"")
     "\"([A-Za-z0-9_]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(flat)
       .map(m => m.group(1) -> m.group(2))
@@ -119,8 +120,8 @@ object Bench {
     // filtered / weighted derivations, so each artifact's build must
     // land in a FIXED owner's slot: basket_pairs owns the co-purchase
     // root (first consumer below), graph_triangles the triCommon
-    // engine, graph_closeness the undirected frame, graph_bfs_hops the
-    // filtered frame, graph_sssp_weighted the weighted frame, and
+    // engine, graph_degree_hist the undirected frame, graph_bfs_hops
+    // the filtered frame, graph_sssp_weighted the weighted frame, and
     // graph_pagerank the purchase-graph frames — every later consumer
     // times warm, the builds are each timed exactly once.
     val names = {

@@ -110,6 +110,7 @@ object ScaleProbe {
     val ktrussOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("ktruss")
     var pcaAxisAtBase: Array[Long] = null
     var ktrussSupAtBase: Long = -1L
+    var ktrussBaseK: Int = 1
     for (k <- factors) {
       if (aucOnly) {
         val ev = spark.read.parquet(s"$d/events.parquet")
@@ -251,10 +252,13 @@ object ScaleProbe {
           supSum = r.getLong(0); supEdges = r.getLong(1)
           supEdges
         }
-        if (k == factors.min) ktrussSupAtBase = supSum
-        else require(supSum == ktrussSupAtBase * k / factors.min,
+        // ratio gate against the FIRST factor actually run (argument
+        // order must not matter): sup_sum/k is replication-invariant,
+        // so cross-multiplied equality is exact in integers
+        if (ktrussSupAtBase < 0) { ktrussSupAtBase = supSum; ktrussBaseK = k }
+        else require(supSum * ktrussBaseK == ktrussSupAtBase * k,
           s"support mass not replication-invariant at x$k: " +
-            s"$supSum vs base $ktrussSupAtBase")
+            s"$supSum vs base $ktrussSupAtBase (x$ktrussBaseK)")
         // one full peel WAVE on top (filter + recount — what the query
         // iterates): times the marginal wave cost at this factor
         time(s"ktruss_wave_x$k") {

@@ -3249,13 +3249,18 @@ object StatQueries {
         val tot = g.agg(sum("n_g").as("nn"), sum("o_above").as("a"))
         g.crossJoin(broadcast(tot))
           .select(col("event_type"), col("n_g"), col("o_above"),
-            expr("""cast(1000 * (cast(o_above as decimal(38,0)) * nn - cast(n_g as decimal(38,0)) * a)
+            // zero-margin guard (the stat_mcnemar discipline): a grand
+            // median equal to the max value gives a = 0 — deviation is
+            // DEFINED 0 rather than a cross-engine div-by-zero split
+            expr("""case when a = 0 then 0L else
+                    cast(1000 * (cast(o_above as decimal(38,0)) * nn - cast(n_g as decimal(38,0)) * a)
                     * (cast(o_above as decimal(38,0)) * nn - cast(n_g as decimal(38,0)) * a)
-                    div (cast(nn as decimal(38,0)) * n_g * a) as bigint)""")
+                    div (cast(nn as decimal(38,0)) * n_g * a) as bigint) end""")
               .as("dev_above_milli"),
-            expr("""cast(1000 * (cast(n_g - o_above as decimal(38,0)) * nn - cast(n_g as decimal(38,0)) * (nn - a))
+            expr("""case when nn - a = 0 then 0L else
+                    cast(1000 * (cast(n_g - o_above as decimal(38,0)) * nn - cast(n_g as decimal(38,0)) * (nn - a))
                     * (cast(n_g - o_above as decimal(38,0)) * nn - cast(n_g as decimal(38,0)) * (nn - a))
-                    div (cast(nn as decimal(38,0)) * n_g * (nn - a)) as bigint)""")
+                    div (cast(nn as decimal(38,0)) * n_g * (nn - a)) as bigint) end""")
               .as("dev_below_milli"))
       },
       Some("""
@@ -3281,12 +3286,14 @@ object StatQueries {
                  CAST(SUM(o_above) AS BIGINT) AS a
           FROM g)
         SELECT event_type, n_g, o_above,
-               CAST(1000 * (CAST(o_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * a)
+               CAST(CASE WHEN a = 0 THEN 0 ELSE
+                    1000 * (CAST(o_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * a)
                     * (CAST(o_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * a)
-                    // (CAST(nn AS HUGEINT) * n_g * a) AS BIGINT) AS dev_above_milli,
-               CAST(1000 * (CAST(n_g - o_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * (nn - a))
+                    // (CAST(nn AS HUGEINT) * n_g * a) END AS BIGINT) AS dev_above_milli,
+               CAST(CASE WHEN nn - a = 0 THEN 0 ELSE
+                    1000 * (CAST(n_g - o_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * (nn - a))
                     * (CAST(n_g - o_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * (nn - a))
-                    // (CAST(nn AS HUGEINT) * n_g * (nn - a)) AS BIGINT) AS dev_below_milli
+                    // (CAST(nn AS HUGEINT) * n_g * (nn - a)) END AS BIGINT) AS dev_below_milli
         FROM g, tot""")),
 
     // ───── One-sample Kolmogorov–Smirnov vs UNIFORM (r14): is the
@@ -3310,13 +3317,16 @@ object StatQueries {
           .withColumn("lo", min("v").over())
           .withColumn("hi", max("v").over())
           .select(col("v"), col("n"), col("lo"), col("hi"),
-            greatest(
+            // degenerate single-valued histogram (hi = lo): D := 0 by
+            // definition (the ECDF IS the point mass), never a
+            // cross-engine div-by-zero split
+            when(col("hi") === col("lo"), lit(0L)).otherwise(greatest(
               abs(expr("""cast((cast(k as decimal(38,0)) * (hi - lo)
                     - cast(v - lo as decimal(38,0)) * n) * 1000000
-                    div (cast(n as decimal(38,0)) * (hi - lo)) as bigint)""")),
+                    div (cast(n as decimal(38,0)) * greatest(hi - lo, 1L)) as bigint)""")),
               abs(expr("""cast((cast(k - n_i as decimal(38,0)) * (hi - lo)
                     - cast(v - lo as decimal(38,0)) * n) * 1000000
-                    div (cast(n as decimal(38,0)) * (hi - lo)) as bigint)""")))
+                    div (cast(n as decimal(38,0)) * greatest(hi - lo, 1L)) as bigint)"""))))
               .as("d_ppm"))
           .select(col("n"), col("lo"), col("hi"),
             struct(col("d_ppm"), (-col("v")).as("nv")).as("cand"))
@@ -3338,13 +3348,14 @@ object StatQueries {
           FROM h),
         cand AS (
           SELECT v, n, lo, hi,
-                 GREATEST(
+                 CASE WHEN hi = lo THEN 0 ELSE GREATEST(
                    ABS(CAST((CAST(k AS HUGEINT) * (hi - lo)
                      - CAST(v - lo AS HUGEINT) * n) * 1000000
-                     // (CAST(n AS HUGEINT) * (hi - lo)) AS BIGINT)),
+                     // (CAST(n AS HUGEINT) * GREATEST(hi - lo, 1)) AS BIGINT)),
                    ABS(CAST((CAST(k - n_i AS HUGEINT) * (hi - lo)
                      - CAST(v - lo AS HUGEINT) * n) * 1000000
-                     // (CAST(n AS HUGEINT) * (hi - lo)) AS BIGINT))) AS d_ppm
+                     // (CAST(n AS HUGEINT) * GREATEST(hi - lo, 1)) AS BIGINT)))
+                 END AS d_ppm
           FROM r)
         SELECT CAST(n AS BIGINT) AS n, CAST(lo AS BIGINT) AS lo,
                CAST(hi AS BIGINT) AS hi, d_ppm, v AS at_v FROM (
@@ -3360,7 +3371,13 @@ object StatQueries {
     // integer division, so the cross-row sum is exact in both engines
     // (the per-term error is deterministic, not float drift);
     // HM_milli = n·1e12·1000 div Σ. Defined on positive values; the
-    // excluded non-positive count is reported, not hidden.
+    // excluded non-positive count is reported, not hidden. The
+    // reciprocal sum accumulates in DECIMAL(38)/HUGEINT (a plain int64
+    // would silently wrap past ~9.2e6 worst-case 1-cent rows on the
+    // Spark side while DuckDB widened — the silent-vs-crash split);
+    // the recip_psum OUTPUT column stays BIGINT with the documented
+    // bound n·(1e12/min_cents) < 2^63 — ~9e6 rows at a 1-cent floor,
+    // ~1.8e9 at this fixture's ~200-cent mean; past it, rescale 1e12.
     QuerySpec(
       "agg_harmonic_mean",
       (s, d) => events(s, d)
@@ -3370,8 +3387,10 @@ object StatQueries {
         .agg(
           sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_pos"),
           sum(when(col("c") <= 0, 1L).otherwise(0L)).as("n_excluded"),
-          sum(when(col("c") > 0, expr("1000000000000 div c"))
-            .otherwise(0L)).as("recip_psum"))
+          sum(when(col("c") > 0,
+            expr("cast(1000000000000 div c as decimal(38,0))"))
+            .otherwise(expr("cast(0 as decimal(38,0))")))
+            .cast("long").as("recip_psum"))
         .select(col("event_type"), col("n_pos"), col("n_excluded"),
           col("recip_psum"),
           expr("""cast(cast(n_pos as decimal(38,0)) * 1000000000000 * 1000
@@ -3813,30 +3832,50 @@ object StatQueries {
     QuerySpec(
       "stat_friedman",
       (s, d) => {
-        val vals = events(s, d)
+        // DENSE day×type grid with explicit zero counts (the gapfill
+        // discipline): a day missing a type must rank it LOWEST, not
+        // drop it from the block — incomplete blocks would silently
+        // distort the statistic in BOTH engines (gate-invisible). k and
+        // n come from the grid (two control-plane scalars, the seed-
+        // pull class), so the centering constants are never hardcoded.
+        val vals0 = events(s, d)
           .groupBy(to_date(col("ts")).as("day"), col("event_type"))
           .agg(count(lit(1)).as("c"))
+        val days = vals0.select("day").distinct()
+        val types = vals0.select("event_type").distinct()
+        val vals = days.crossJoin(broadcast(types))
+          .join(vals0, Seq("day", "event_type"), "left")
+          .select(col("day"), col("event_type"),
+            coalesce(col("c"), lit(0L)).as("c"))
         val r2 = vals.as("a")
           .join(vals.as("b"), col("a.day") === col("b.day"))
           .groupBy(col("a.day").as("day"), col("a.event_type").as("typ"))
           .agg((sum(when(col("b.c") < col("a.c"), 2L).otherwise(0L))
             + sum(when(col("b.c") === col("a.c"), 1L).otherwise(0L)) + 1L)
             .as("r2"))
-        val nDays = r2.select("day").distinct().count()
+        val nDays = days.count()
+        val k = types.count()
         val colSums = r2.groupBy("typ").agg(sum("r2").as("rs"))
           .agg(count(lit(1)).as("k"),
-            sum(expr(s"(rs - ${nDays}L * 6) * (rs - ${nDays}L * 6)")).as("s4"))
+            sum(expr(s"(rs - ${nDays}L * ${k + 1}L) * (rs - ${nDays}L * ${k + 1}L)"))
+              .as("s4"))
         val cTerm = r2.agg(
-          (sum(expr("r2 * r2")) - lit(nDays) * 180L).as("c4"))
+          (sum(expr("r2 * r2")) - lit(nDays * k * (k + 1) * (k + 1))).as("c4"))
         colSums.crossJoin(cTerm)
           .select(col("k"), lit(nDays).as("n_blocks"), col("s4"), col("c4"),
             expr("cast((k - 1) as double) * cast(s4 as double) / cast(c4 as double)")
               .as("chi2_f"))
       },
       Some("""
-        WITH vals AS (
+        WITH vals0 AS (
           SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
           FROM events GROUP BY 1, 2),
+        days AS (SELECT DISTINCT day FROM vals0),
+        types AS (SELECT DISTINCT event_type FROM vals0),
+        vals AS (
+          SELECT d.day, t.event_type, COALESCE(v.c, 0) AS c
+          FROM days d CROSS JOIN types t
+          LEFT JOIN vals0 v ON v.day = d.day AND v.event_type = t.event_type),
         r2 AS (
           SELECT a.day, a.event_type AS typ,
                  CAST(SUM(CASE WHEN b.c < a.c THEN 2 ELSE 0 END)
@@ -3844,14 +3883,19 @@ object StatQueries {
                    AS r2
           FROM vals a JOIN vals b ON b.day = a.day
           GROUP BY 1, 2),
-        nd AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n FROM r2),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM days),
+        kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
         cs AS (
           SELECT CAST(COUNT(*) AS BIGINT) AS k,
-                 CAST(SUM((rs - (SELECT n FROM nd) * 6)
-                          * (rs - (SELECT n FROM nd) * 6)) AS BIGINT) AS s4
+                 CAST(SUM((rs - (SELECT n FROM nd) * ((SELECT k FROM kk) + 1))
+                          * (rs - (SELECT n FROM nd) * ((SELECT k FROM kk) + 1)))
+                   AS BIGINT) AS s4
           FROM (SELECT typ, CAST(SUM(r2) AS BIGINT) AS rs FROM r2 GROUP BY 1)),
         ct AS (
-          SELECT CAST(SUM(r2 * r2) - (SELECT n FROM nd) * 180 AS BIGINT) AS c4
+          SELECT CAST(SUM(r2 * r2)
+                 - (SELECT n FROM nd) * (SELECT k FROM kk)
+                   * ((SELECT k FROM kk) + 1) * ((SELECT k FROM kk) + 1)
+                 AS BIGINT) AS c4
           FROM r2)
         SELECT k, (SELECT n FROM nd) AS n_blocks, s4, c4,
                CAST(k - 1 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(c4 AS DOUBLE)
@@ -3872,10 +3916,15 @@ object StatQueries {
       "ml_multiclass_confusion",
       (s, d) => {
         val types = Seq("click", "error", "purchase", "signup", "view")
+        // clamped band (GREATEST..LEAST) + terminal otherwise: every
+        // value maps to SOME class in both engines — an unguarded CASE
+        // would NULL out-of-domain rows on the Spark side while the
+        // oracle's ELSE assigned 'view' (cross-engine divergence on
+        // negative values; fixture-safe today, contract-safe now)
         val predExpr = expr(
-          "case " + types.zipWithIndex.map { case (t, i) =>
-            s"when least(cast(round(value * 100) as bigint) div 10000, 4L) = $i then '$t'"
-          }.mkString(" ") + " end")
+          "case " + types.zipWithIndex.take(4).map { case (t, i) =>
+            s"when least(greatest(cast(round(value * 100) as bigint) div 10000, 0L), 4L) = $i then '$t'"
+          }.mkString(" ") + " else 'view' end")
         val m = events(s, d).select(col("event_type").as("act"),
           predExpr.as("pred"))
         m.groupBy(col("act").as("clazz"))
@@ -3893,7 +3942,7 @@ object StatQueries {
       Some("""
         WITH m AS (
           SELECT event_type AS act,
-                 CASE LEAST(CAST(round(value * 100) AS BIGINT) // 10000, 4)
+                 CASE LEAST(GREATEST(CAST(round(value * 100) AS BIGINT) // 10000, 0), 4)
                    WHEN 0 THEN 'click' WHEN 1 THEN 'error'
                    WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
                    ELSE 'view' END AS pred

@@ -97,8 +97,15 @@ object SnapshotTableStats {
 
   private def packRegs(longs: Seq[Long]): Array[Byte] =
     longs.map(l => math.min(l, 127L).toByte).toArray
-  private def mergeRegs(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+  private def mergeRegs(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    // fail LOUDLY on a width mismatch (a _STATS file from a different
+    // SketchP, or a corrupt base64 field that still decodes): zip would
+    // silently truncate and serve a wrong NDV to the planner — the
+    // fold's catch turns this into the standard stats-degrade path
+    require(a.length == b.length,
+      s"HLL register width mismatch: ${a.length} vs ${b.length} — re-ANALYZE")
     a.zip(b).map { case (x, y) => if (x >= y) x else y }
+  }
 
   /** One-pass stats contribution of a resolved-rows frame in the
     * canonical (keys, sequenceNumber, newImage) shape: row count, byte
@@ -141,7 +148,8 @@ object SnapshotTableStats {
     read(conf, dir)
       .filter(_.version == basisVersion)
       .filter(st => MaintainedCols.forall(c =>
-        st.cols.exists(cs => cs.name == c && cs.regs.isDefined)))
+        st.cols.exists(cs => cs.name == c &&
+          cs.regs.exists(_.length == SketchM))))
       .filter(_ => SnapshotProjectedColumns.read(conf, dir).isEmpty)
 
   /** Fold one publish's pre/post contributions into live stats and

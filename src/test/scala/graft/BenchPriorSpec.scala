@@ -25,7 +25,7 @@ class BenchPriorSpec extends AnyFunSuite {
         |  "rc": 0,
         |  "cpus": 32,
         |  "sf": 0.1,
-        |  "tail": "hens_d\":0.259,\"stat_cramers_v\":0.70268303,\"stat_levene\":0.91200342,\"text_compression_ratio\":0.702,\"graph_closeness\":5.39},\"calibration\":{\"first\":0.38,\"last\":0.27,\"pin\":0.33,\"ratio\":0.985},\"sf\":\"/root/testdata/sf0.1\"}",
+        |  "tail": "hens_d\":0.259,\"stat_cramers_v\":0.70268303,\"stat_levene\":0.91200342,\"text_compression_ratio\":0.702,\"graph_closeness\":5.39},\"calibration\":{\"first\":0.38,\"last\":0.27,\"pin\":0.33,\"ratio\":0.985,\"loadedStartRerun\":false,\"priorCount\":60},\"sf\":\"/root/testdata/sf0.1\"}",
         |  "parsed": null
         |}""".stripMargin
     val p = Bench.parsePriors(wrapper)
@@ -33,7 +33,10 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(p.get("text_compression_ratio").contains(0.702))
     assert(p.get("graph_closeness").contains(5.39))
     // wrapper scalars and calibration sub-keys must NOT look like priors
-    for (k <- Seq("n", "rc", "cpus", "sf", "first", "last", "pin", "ratio"))
+    // (incl. the r14 liveness field priorCount — the bench's OWN new
+    // numeric output must not become next round's phantom prior)
+    for (k <- Seq("n", "rc", "cpus", "sf", "first", "last", "pin", "ratio",
+        "priorCount", "loadedStartRerun"))
       assert(!p.contains(k), s"wrapper key $k leaked into priors")
     // the 2x adjudication predicate now has a live prior to fire against:
     // a min-of-two of 4.16 s vs prior 0.702 s must trip the third pass
