@@ -91,9 +91,22 @@ object RelationalQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("uid"), col("l_partkey").as("p"))
         .distinct()
+      recTop3Pipeline(li, owned,
+        graft.analytics.GraphArtifacts.coPurchaseWeighted(s, d))
+    }
+
+  /** The item-kNN scoring pipeline shared by the full-data face
+    * ([[recTop3]], serving rec_item_knn/rec_coverage) and the
+    * leave-last-out TRAIN face (rec_hitrate): cosine²-ppm similarity off
+    * the (u<v, shared-order count) pair frame `pr`, bounded top-8
+    * neighbor index, owned anti-join, per-user bounded top-3. One
+    * implementation, so the accuracy eval measures exactly the model the
+    * production face serves. Returns (uid, rank ∈ 1..3, cand, score).
+    */
+  private def recTop3Pipeline(li: DataFrame, owned: DataFrame,
+                              pr: DataFrame): DataFrame = {
       val pop = li.groupBy(col("l_partkey").as("p"))
         .agg(count(lit(1)).as("np"))
-      val pr = graft.analytics.GraphArtifacts.coPurchaseWeighted(s, d)
       val sym = pr.select(col("u"), col("v"), col("w"))
         .unionAll(pr.select(col("v").as("u"), col("u").as("v"), col("w")))
       val scored = sym
@@ -121,7 +134,7 @@ object RelationalQueries {
         .select(col("uid"), posexplode(col("top")).as(Seq("pos", "t")))
         .select(col("uid"), (col("pos") + 1).as("rank"),
           col("t._2").as("cand"), col("t._1").cast("long").as("score"))
-    }
+  }
 
   /** Per-node triangle counts over [[coPurchaseEdges]] via degree
     * orientation + edge-iterator intersection (see the graph_triangles
@@ -2396,6 +2409,151 @@ object RelationalQueries {
                CAST(n_rec_rows * 1000 // n_recommended AS BIGINT)
                  AS exposure_per_item_milli
         FROM r, cat""")),
+
+    // ───── Recommender accuracy: leave-last-out hit-rate@k (r15,
+    // VERDICT r14 #2) — the eval every CF deployment runs; without it
+    // the recommender's quality is asserted, not measured (the
+    // ann_recall precedent). Protocol: per customer, hold out ONE item
+    // from their most recent order (latest by (o_orderdate, o_orderkey);
+    // among that order's parts never bought in an earlier order, the
+    // smallest partkey — a deterministic pick, and requiring the item be
+    // NEW in the last order makes the target genuinely predictive, not a
+    // repeat purchase the owned anti-join would mask). Customers whose
+    // last order contains no new part are excluded from the denominator
+    // (standard leave-one-out practice). LEAKAGE-SAFE retrain: the
+    // entire model — co-purchase pairs, popularity, neighbor index,
+    // owned sets — is rebuilt from the train split (lineitem MINUS the
+    // held (order, part) rows) through the SAME [[recTop3Pipeline]] the
+    // production face serves, so the measured hit-rate is the deployed
+    // model's, not a leaked twin's. Scale: the holdout adds one
+    // per-customer bounded window over orders (≈10 rows/customer) and
+    // two anti-joins; the retrain costs one rec pipeline build — all
+    // equi-join/bounded-topk shapes, no all-pairs stage anywhere.
+    QuerySpec(
+      "rec_hitrate",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        val ord = orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        val lastOrd = ord.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("o_custkey").as("uid"), col("o_orderkey").as("last_ok"))
+        val lastParts = li.join(lastOrd, col("l_orderkey") === col("last_ok"))
+          .select(col("uid"), col("last_ok"), col("l_partkey").as("p"))
+        val earlier = li
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(lastOrd, col("o_custkey") === lastOrd("uid")
+            && col("o_orderkey") =!= col("last_ok"))
+          .select(lastOrd("uid"), col("l_partkey").as("p"))
+          .distinct()
+        val held = lastParts.join(earlier, Seq("uid", "p"), "left_anti")
+          .groupBy("uid", "last_ok").agg(min("p").as("held_p"))
+          .localCheckpoint(true) // consumed by train split AND the eval join
+        val trainLi = li.join(
+          held.select(col("last_ok").as("l_orderkey"),
+            col("held_p").as("l_partkey")),
+          Seq("l_orderkey", "l_partkey"), "left_anti")
+          // four consumers (owned, both sides of the pair self-join, pop):
+          // materialize once instead of re-running the anti-join per branch
+          .localCheckpoint(true)
+        val ownedT = trainLi
+          .join(ord.select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("uid"), col("l_partkey").as("p"))
+          .distinct()
+        val prT = trainLi.select(col("l_orderkey"), col("l_partkey").as("u"))
+          .join(trainLi.select(col("l_orderkey"), col("l_partkey").as("v")),
+            "l_orderkey")
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        val top3 = recTop3Pipeline(trainLi, ownedT, prT)
+        held.join(top3,
+            held("uid") === top3("uid") && col("cand") === col("held_p"),
+            "left")
+          .groupBy(held("uid")).agg(min("rank").as("hit_rank"))
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("hit_rank") === 1, 1L).otherwise(0L)).as("hits_at_1"),
+            sum(when(col("hit_rank").isNotNull, 1L).otherwise(0L))
+              .as("hits_at_3"))
+          .select(col("n_eval"), col("hits_at_1"), col("hits_at_3"),
+            expr("hits_at_3 * 1000000 div n_eval").as("hitrate3_ppm"))
+      },
+      Some("""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        lasto AS MATERIALIZED (
+          SELECT uid, last_ok FROM (
+            SELECT o_custkey AS uid, o_orderkey AS last_ok,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+            FROM orders) WHERE rk = 1),
+        earlier AS MATERIALIZED (
+          SELECT DISTINCT t.uid, l.l_partkey AS p
+          FROM li l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN lasto t ON t.uid = o.o_custkey AND o.o_orderkey <> t.last_ok),
+        held AS MATERIALIZED (
+          SELECT lp.uid, lp.last_ok, MIN(lp.p) AS held_p
+          FROM (SELECT t.uid, t.last_ok, l.l_partkey AS p
+                FROM lasto t JOIN li l ON l.l_orderkey = t.last_ok) lp
+          WHERE NOT EXISTS (SELECT 1 FROM earlier e
+                            WHERE e.uid = lp.uid AND e.p = lp.p)
+          GROUP BY 1, 2),
+        tli AS MATERIALIZED (
+          SELECT l.l_orderkey, l.l_partkey FROM li l
+          WHERE NOT EXISTS (SELECT 1 FROM held h
+                            WHERE h.last_ok = l.l_orderkey
+                              AND h.held_p = l.l_partkey)),
+        owned AS MATERIALIZED (
+          SELECT DISTINCT o.o_custkey AS uid, l.l_partkey AS p
+          FROM tli l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        pop AS MATERIALIZED (
+          SELECT l_partkey AS p, COUNT(*) AS np FROM tli GROUP BY 1),
+        pr AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+          FROM tli a JOIN tli b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        sym AS (
+          SELECT u, v, w FROM pr UNION ALL SELECT v AS u, u AS v, w FROM pr),
+        scored AS (
+          SELECT s.u AS p, s.v AS nbr,
+                 CAST(CAST(s.w AS HUGEINT) * s.w * 1000000
+                      // (CAST(pa.np AS HUGEINT) * pb.np) AS BIGINT) AS sc
+          FROM sym s JOIN pop pa ON pa.p = s.u JOIN pop pb ON pb.p = s.v),
+        nbrs AS MATERIALIZED (
+          SELECT p, nbr, sc FROM (
+            SELECT p, nbr, sc,
+                   ROW_NUMBER() OVER (PARTITION BY p
+                     ORDER BY sc DESC, nbr ASC) AS rk
+            FROM scored) WHERE rk <= 8),
+        raw AS (
+          SELECT o.uid, n.nbr, n.sc
+          FROM owned o JOIN nbrs n ON n.p = o.p
+          WHERE NOT EXISTS (SELECT 1 FROM owned o2
+                            WHERE o2.uid = o.uid AND o2.p = n.nbr)),
+        agg AS (
+          SELECT uid, nbr, CAST(SUM(sc) AS BIGINT) AS score
+          FROM raw GROUP BY 1, 2),
+        top3 AS MATERIALIZED (
+          SELECT uid, nbr AS cand, rank FROM (
+            SELECT uid, nbr, score,
+                   ROW_NUMBER() OVER (PARTITION BY uid
+                     ORDER BY score DESC, nbr ASC) AS rank
+            FROM agg) WHERE rank <= 3),
+        hits AS (
+          SELECT h.uid, MIN(t.rank) AS hit_rank
+          FROM held h LEFT JOIN top3 t
+            ON t.uid = h.uid AND t.cand = h.held_p
+          GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(CASE WHEN hit_rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hits_at_1,
+               CAST(SUM(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hits_at_3,
+               CAST(SUM(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1000000 // COUNT(*) AS BIGINT) AS hitrate3_ppm
+        FROM hits""")),
 
     // ───── RFM segmentation: the classic customer-analytics rollup —
     // recency / frequency / monetary quintiles (NTILE over a

@@ -3024,12 +3024,20 @@ object StatQueries {
             """12.0 / (cast(n as double) * (cast(n as double) + 1.0))
                * (cast(t_milli as double) / 4000.0)
                - 3.0 * (cast(n as double) + 1.0) as h""",
-            """(12.0 / (cast(n as double) * (cast(n as double) + 1.0))
+            // degenerate guard (r14 advisor): every value tied (or n=1)
+            // makes the tie denominator exactly 0.0 — define h_tie := 0
+            // like the siblings (mood_median, mcnemar, matthews), spelled
+            // identically in both engines so the hash gate can't split on
+            // an Inf/NaN rendering
+            """case when cast(tie_sum as double)
+                    = cast(n as double) * cast(n as double) * cast(n as double)
+                      - cast(n as double) then 0.0
+               else (12.0 / (cast(n as double) * (cast(n as double) + 1.0))
                * (cast(t_milli as double) / 4000.0)
                - 3.0 * (cast(n as double) + 1.0))
                / (1.0 - cast(tie_sum as double)
                   / (cast(n as double) * cast(n as double) * cast(n as double)
-                     - cast(n as double))) as h_tie""")
+                     - cast(n as double))) end as h_tie""")
       },
       Some("""
         WITH c AS (
@@ -3063,12 +3071,15 @@ object StatQueries {
                12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
                  * (CAST(t_milli AS DOUBLE) / 4000.0)
                  - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
-               (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+               CASE WHEN CAST(tie_sum AS DOUBLE)
+                      = CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        - CAST(n AS DOUBLE) THEN 0.0
+               ELSE (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
                  * (CAST(t_milli AS DOUBLE) / 4000.0)
                  - 3.0 * (CAST(n AS DOUBLE) + 1.0))
                  / (1.0 - CAST(tie_sum AS DOUBLE)
                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                       - CAST(n AS DOUBLE))) AS h_tie
+                       - CAST(n AS DOUBLE))) END AS h_tie
         FROM fin""")),
 
     // ───── Matthews correlation coefficient sweep (r14): the

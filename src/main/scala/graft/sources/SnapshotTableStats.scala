@@ -147,8 +147,15 @@ object SnapshotTableStats {
                    basisVersion: String): Option[TableStats] =
     read(conf, dir)
       .filter(_.version == basisVersion)
+      // The maintained columns must be catalog-typed STRING: contribution()
+      // costs every value at octet_length(cast(c as string)) while
+      // analyze() charges fixed-width scalars at 8 B, so a non-string
+      // sequenceNumber/newImage would fold byte deltas on a different
+      // cost model than the ANALYZE baseline and drift the planner's size
+      // estimate across folds. Degrade to the fail-safe re-ANALYZE path
+      // instead (r14 advisor).
       .filter(st => MaintainedCols.forall(c =>
-        st.cols.exists(cs => cs.name == c &&
+        st.cols.exists(cs => cs.name == c && cs.typ == "string" &&
           cs.regs.exists(_.length == SketchM))))
       .filter(_ => SnapshotProjectedColumns.read(conf, dir).isEmpty)
 

@@ -1179,8 +1179,17 @@ object SnapshotStore {
     val judged = delta
       .join(cur, Seq(keyCol), "left")
       .withColumn("_reject_reason",
-        when(col(condCol) === "not_exists" && col("_cur_live").isNotNull,
-          lit("exists"))
+        // A condition value outside the contract is REJECTED, never
+        // silently applied: DynamoDB fails an invalid ConditionExpression
+        // with a ValidationException, so a producer typo ('NOT_EXISTS',
+        // 'put-if-absent') must not become an unguarded overwrite — the
+        // exact inversion the r14 advisor flagged. NULL and 'none' mean
+        // unconditional by contract; everything else must be one of the
+        // two guards or it lands in the audit stream as invalid_condition.
+        when(!(col(condCol).isNull || col(condCol).isin("none", "not_exists", "version")),
+          lit("invalid_condition"))
+          .when(col(condCol) === "not_exists" && col("_cur_live").isNotNull,
+            lit("exists"))
           .when(col(condCol) === "version" && col("_cur_live").isNull,
             lit("absent"))
           .when(col(condCol) === "version" &&
@@ -1191,8 +1200,16 @@ object SnapshotStore {
       .select((Seq(keyCol, opCol, seqCol) ++ payload).map(col): _*)
     mergeIntoTarget(spark, targetDir, accepted, batchId, Seq(keyCol),
       opCol, seqCol, payload, numBuckets, foldThreshold, retainVersions)
+    // Audit rows carry the rejected write's OWN sequenceNumber: the
+    // at-least-once contract in CdcStream.conditionalApplySink tells
+    // consumers to dedupe on (keys, sequenceNumber) — a checkpoint replay
+    // re-judges an already-accepted write against the now-updated state
+    // and emits a false reject, and without the seq the consumer could
+    // not correlate it (for not_exists, 'expected' is null, leaving only
+    // the key). Flagged by the r14 advisor.
     judged.filter(col("_reject_reason").isNotNull)
-      .select(col(keyCol), col(condCol).as("cond"),
+      .select(col(keyCol), col(seqCol).as("sequenceNumber"),
+        col(condCol).as("cond"),
         col(expectCol).as("expected"), col("_cur_seq").as("found"),
         col("_reject_reason").as("reason"))
   }

@@ -52,6 +52,30 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(!p.contains("value") && !p.contains("pin"))
   }
 
+  test("prior = MIN across rounds; one round's artifact cannot launder the next") {
+    // The exact r14 failure: r13 recorded text_compression_ratio at 4.16 s
+    // (itself an ambient artifact; honest r12 recording was 0.70 s). With
+    // newest-only priors the 2× guard compared 7.63 < 2×4.16 and never
+    // fired. Min-across-all-rounds keeps the honest 0.70 alive, so the
+    // guard fires (7.63 > 2×0.70) no matter how many bad rounds intervene.
+    val r12 = """{"metric":"total","queries":{"text_compression_ratio":0.70,"graph_hits":6.5}}"""
+    val r13 = """{"n":13,"tail":"{\"queries\":{\"text_compression_ratio\":4.16,\"graph_hits\":5.8,\"cpus\":31}}"}"""
+    val allow = Set("text_compression_ratio", "graph_hits")
+    val p = Bench.minPriors(Seq(r12, r13), allow)
+    assert(p("text_compression_ratio") == 0.70)
+    assert(p("graph_hits") == 5.8)
+    assert(7.63 > 2 * p("text_compression_ratio"), "guard must fire on the r14 artifact")
+  }
+
+  test("allowlist: unknown numeric keys can never become phantom priors") {
+    // A future driver wrapper field ("budget":12.5) or bench field
+    // ("sectionReruns":2) that no denylist anticipated must be dropped
+    // because it is not in the known query universe.
+    val txt = """{"queries":{"q1_agg":0.41,"budget":12.5,"sectionReruns":2}}"""
+    val p = Bench.minPriors(Seq(txt), Set("q1_agg"))
+    assert(p == Map("q1_agg" -> 0.41))
+  }
+
   test("real BENCH_r13.json on disk parses to a non-empty prior map") {
     val f = new java.io.File("BENCH_r13.json")
     assume(f.exists(), "driver artifact present in working directory")

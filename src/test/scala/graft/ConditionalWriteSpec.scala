@@ -116,6 +116,28 @@ class ConditionalWriteSpec extends SparkSpec {
       ("k2", "absent", 0L), ("k1", "exists", 1L)), s"audit rows: $audits")
   }
 
+  test("audit rows carry the rejected write's sequenceNumber; unknown conds reject, never apply") {
+    val target = tmp("cond-audit")
+    SnapshotStore.mergeConditional(spark, target, delta(
+      ("k1", "PUT", "001", Some("v1"), Some("not_exists"), None)), 0L)
+    // k1: legitimate reject (exists). k2/k3: producer typos — DynamoDB
+    // fails an invalid ConditionExpression, so a misspelled guard must
+    // NOT become an unguarded overwrite (r14 advisor). Every audit row
+    // must carry the rejected write's own sequenceNumber — the
+    // documented at-least-once dedupe key (keys, sequenceNumber).
+    val a = SnapshotStore.mergeConditional(spark, target, delta(
+      ("k1", "PUT", "002", Some("v2"), Some("not_exists"), None),
+      ("k2", "PUT", "003", Some("w1"), Some("NOT_EXISTS"), None),
+      ("k3", "PUT", "004", Some("x1"), Some("put-if-absent"), None)), 1L)
+    val rows = a.select("keys", "sequenceNumber", "reason").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows === Set(
+      ("k1", "002", "exists"),
+      ("k2", "003", "invalid_condition"),
+      ("k3", "004", "invalid_condition")))
+    assert(state(target) === Map("k1" -> "v1"))
+  }
+
   test("batch-atomic declaration: conditions see the pre-batch state; LWW resolves intra-batch") {
     val target = tmp("cond-batch")
     SnapshotStore.mergeConditional(spark, target, delta(
