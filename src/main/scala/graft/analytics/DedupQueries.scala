@@ -266,6 +266,204 @@ object DedupQueries {
   private val componentsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String),
       org.apache.spark.sql.DataFrame]()
+  /** Canopy clustering (McCallum, Nigam & Ungar, KDD 2000) — the FOURTH
+    * classical ER candidate strategy next to hash blocking
+    * (dedup_fuzzy_names), the LSH band family, and sorted-neighborhood
+    * (r14): group records into OVERLAPPING canopies with a CHEAP metric,
+    * then run expensive comparison only within canopies. Cheap metric
+    * here: Jaccard (exact ppm) over each document's RARE-SHINGLE set —
+    * the existing shared shingle machinery ([[hsetsOf]]) restricted to
+    * shingle hashes with df ∈ [2, 50] (the corpus-bounded inverted-index
+    * discipline; df≥2 drops hapax shingles that can never generate a
+    * pair, df≤50 caps bucket fan-out, so the cheap-pair stage is
+    * equi-join-bounded at any corpus size, never doc×doc). Word-level
+    * tokens were measured unusable on this corpus (nearly every word is
+    * hapax or df>50 — 30 of 600 docs survived, recall 5%); rare shingles
+    * give the discriminative middle band canopy needs.
+    *
+    * Canopy formation is the classical greedy: centers picked in doc_id
+    * order among remaining points; picking c removes every point within
+    * the TIGHT threshold of c from future center candidacy; membership
+    * uses the LOOSE threshold over ALL points. Because the pick rule is
+    * "minimum id among remaining", the center set equals the
+    * lexicographically-first maximal independent set of the tight graph
+    * — computed DISTRIBUTED as the standard fixpoint: a point becomes a
+    * center when every smaller-id tight-neighbor is decided non-center,
+    * and non-center when some smaller-id tight-neighbor is a center.
+    * [[CanopyRounds]] rounds decide chains of length ≤ 2·rounds; the
+    * residual `n_undecided` is REPORTED in the output (0 on this corpus
+    * = converged, and the oracle computes the identical bounded unroll,
+    * so a non-converged state would still gate equal). Rounds follow the
+    * LSSS localCheckpoint discipline — each round's frames are
+    * materialized, so lineage stays O(1) per round.
+    *
+    * Thresholds in similarity space: loose T1 = 0.20 (membership), tight
+    * T2 = 0.50 (center suppression) — T2 > T1 as canopy requires (every
+    * tight pair is also loose). Docs with zero rare tokens are singleton
+    * canopies by definition and contribute no candidates (excluded from
+    * the universe; counted in neither n_docs nor the pair stages).
+    */
+  private val CanopyLooseT = 200000L
+  private val CanopyTightT = 500000L
+  private val CanopyRounds = 4
+
+  private[analytics] final case class CanopyFrames(
+      docs: org.apache.spark.sql.DataFrame,
+      centers: org.apache.spark.sql.DataFrame,
+      undecided: org.apache.spark.sql.DataFrame,
+      members: org.apache.spark.sql.DataFrame,
+      candidates: org.apache.spark.sql.DataFrame)
+
+  /** Memoized like [[componentsOf]] (NOT Corpus.cached — the rounds RUN
+    * JOBS via localCheckpoint). */
+  private val canopyCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), CanopyFrames]()
+
+  private[analytics] def canopyOf(s: org.apache.spark.sql.SparkSession,
+                                  d: String): CanopyFrames = {
+    val k = (s.sparkContext.applicationId, d)
+    val got = canopyCache.get(k)
+    if (got != null) got
+    else {
+      canopyCache.keySet.removeIf(_._1 != k._1)
+      val toks = hsetsOf(s, d)
+        .select(col("doc_id"), explode(col("hs")).as("tok"))
+      val dfc = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val rare = toks.join(
+        dfc.filter(col("df").between(2, 50)).select("tok"), "tok")
+      val nt = rare.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        .localCheckpoint(true)
+      val jac = rare.as("a").join(rare.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+        .agg(count(lit(1)).as("o"))
+        .join(nt.select(col("doc_id").as("u"), col("nt").as("nu")), "u")
+        .join(nt.select(col("doc_id").as("v"), col("nt").as("nv")), "v")
+        .select(col("u"), col("v"),
+          expr("o * 1000000 div (nu + nv - o)").as("jac_ppm"))
+        .localCheckpoint(true)
+      val loose = jac.filter(col("jac_ppm") >= CanopyLooseT).select("u", "v")
+      val tight = jac.filter(col("jac_ppm") >= CanopyTightT).select("u", "v")
+      var u = nt.select("doc_id")
+      var c = u.filter(lit(false))
+      for (_ <- 1 to CanopyRounds) {
+        val blockers = u.unionByName(c)
+        val blocked = tight
+          .join(blockers.withColumnRenamed("doc_id", "u"), "u")
+          .select(col("v").as("doc_id")).distinct()
+        val newC = u.join(blocked, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        c = c.unionByName(newC).localCheckpoint(true)
+        val killed = tight.join(c.withColumnRenamed("doc_id", "u"), "u")
+          .select(col("v").as("doc_id")).distinct()
+        u = u.join(newC, Seq("doc_id"), "left_anti")
+          .join(killed, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      }
+      val members = loose.join(c.withColumnRenamed("doc_id", "u"), "u")
+          .select(col("u").as("c"), col("v").as("p"))
+        .unionByName(loose.join(c.withColumnRenamed("doc_id", "v"), "v")
+          .select(col("v").as("c"), col("u").as("p")))
+        .unionByName(c.select(col("doc_id").as("c"), col("doc_id").as("p")))
+        .distinct().localCheckpoint(true)
+      val cand = members.as("m1").join(members.as("m2"),
+          col("m1.c") === col("m2.c") && col("m1.p") < col("m2.p"))
+        .select(col("m1.p").as("doc_a"), col("m2.p").as("doc_b"))
+        .distinct().localCheckpoint(true)
+      val built = CanopyFrames(nt, c, u, members, cand)
+      canopyCache.putIfAbsent(k, built)
+      canopyCache.get(k)
+    }
+  }
+
+  /** Oracle CTE chain mirroring [[canopyOf]] — expects the `corpus` CTE
+    * upstream; yields `cnt` (doc universe), `ccent` (centers), `cu4`
+    * (undecided residue), `cmem` (canopy membership), `ccand`
+    * (candidate pairs). The MIS rounds are the same bounded unroll,
+    * MATERIALIZED per round (the graph_hits discipline).
+    */
+  private[analytics] val canopyCtes: String = {
+    val rounds = (1 to CanopyRounds).map { k =>
+      val prevU = s"cu${k - 1}"
+      val prevCs = (1 until k).map(i => s"cc$i")
+      // round k centers: p ∈ U with no smaller tight-neighbor still in
+      // U ∪ C (round 1: every tight endpoint is in u0, so the blocker
+      // test degenerates to "no smaller neighbor at all")
+      val blockerCond =
+        if (k == 1) ""
+        else (Seq(prevU) ++ prevCs)
+          .map(t => s"t.u IN (SELECT doc_id FROM $t)")
+          .mkString(" AND (", " OR ", ")")
+      val killCond = (prevCs :+ s"cc$k")
+        .map(t => s"t.u IN (SELECT doc_id FROM $t)")
+        .mkString("(", " OR ", ")")
+      s"""
+        cc$k AS MATERIALIZED (
+          SELECT doc_id FROM $prevU p
+          WHERE NOT EXISTS (SELECT 1 FROM ctight t
+                            WHERE t.v = p.doc_id$blockerCond)),
+        cu$k AS MATERIALIZED (
+          SELECT doc_id FROM $prevU p
+          WHERE doc_id NOT IN (SELECT doc_id FROM cc$k)
+            AND NOT EXISTS (SELECT 1 FROM ctight t
+                            WHERE t.v = p.doc_id AND $killCond))"""
+    }.mkString(",")
+    val centUnion = (1 to CanopyRounds)
+      .map(k => s"SELECT doc_id FROM cc$k").mkString(" UNION ALL ")
+    s"""
+        ctoks AS MATERIALIZED (
+          SELECT doc_id, unnest(hs) AS tok FROM hsets),
+        cdf AS (SELECT tok, COUNT(*) AS df FROM ctoks GROUP BY 1),
+        crare AS MATERIALIZED (
+          SELECT t.doc_id, t.tok FROM ctoks t JOIN cdf f ON f.tok = t.tok
+          WHERE f.df BETWEEN 2 AND 50),
+        cnt AS MATERIALIZED (
+          SELECT doc_id, COUNT(*) AS nt FROM crare GROUP BY 1),
+        cjac AS MATERIALIZED (
+          SELECT p.u, p.v,
+                 CAST(p.o * 1000000 // (nu.nt + nv.nt - p.o) AS BIGINT)
+                   AS jac_ppm
+          FROM (SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS o
+                FROM crare a JOIN crare b
+                  ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2) p
+          JOIN cnt nu ON nu.doc_id = p.u
+          JOIN cnt nv ON nv.doc_id = p.v),
+        cloose AS MATERIALIZED (
+          SELECT u, v FROM cjac WHERE jac_ppm >= $CanopyLooseT),
+        ctight AS MATERIALIZED (
+          SELECT u, v FROM cjac WHERE jac_ppm >= $CanopyTightT),
+        cu0 AS MATERIALIZED (SELECT doc_id FROM cnt),$rounds,
+        ccent AS MATERIALIZED ($centUnion),
+        cmem AS MATERIALIZED (
+          SELECT DISTINCT c, p FROM (
+            SELECT l.u AS c, l.v AS p
+            FROM cloose l JOIN ccent ct ON ct.doc_id = l.u
+            UNION ALL
+            SELECT l.v AS c, l.u AS p
+            FROM cloose l JOIN ccent ct ON ct.doc_id = l.v
+            UNION ALL
+            SELECT doc_id AS c, doc_id AS p FROM ccent)),
+        ccand AS MATERIALIZED (
+          SELECT DISTINCT m1.p AS doc_a, m2.p AS doc_b
+          FROM cmem m1 JOIN cmem m2 ON m1.c = m2.c AND m1.p < m2.p)"""
+  }
+
+  /** Planted near-dup ground-truth pairs (original, trimmed variant) —
+    * the corpus construction's own dup injections, shared by the canopy
+    * recall readout and the cross-strategy comparison. */
+  private def plantedPairs(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 5 === 0 && size(split(col("text"), " ")) > 6)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + Corpus.VariantOffset).as("doc_b"))
+
+  private val plantedCte: String = s"""
+        planted AS MATERIALIZED (
+          SELECT doc_id AS doc_a, doc_id + ${Corpus.VariantOffset} AS doc_b
+          FROM documents
+          WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) > 6)"""
+
   private[analytics] def componentsOf(s: org.apache.spark.sql.SparkSession,
                                       d: String): org.apache.spark.sql.DataFrame = {
     val k = (s.sparkContext.applicationId, d)
@@ -1660,6 +1858,124 @@ object DedupQueries {
                  AS dropped_id_sum,
                CAST(SUM(CASE WHEN rn = 1 AND doc_id <> label THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_pick_changed
-        FROM ranked"""))
+        FROM ranked""")),
+
+    // ───── Canopy clustering (r15, VERDICT r14 #3): the fourth
+    // classical ER candidate strategy — see [[canopyOf]] for the full
+    // algorithm + scale contract. Output is the one-row ledger: universe
+    // size, center count, MIS residue (0 = the bounded unroll converged
+    // — and the oracle unrolls identically, so even a non-zero residue
+    // gates equal), membership and candidate-pair volumes with an id
+    // checksum, and recall against the corpus's own planted
+    // trimmed-variant dups.
+    QuerySpec(
+      "dedup_canopy",
+      (s, d) => {
+        val cf = canopyOf(s, d)
+        val pl = plantedPairs(s, d)
+        cf.docs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(cf.centers.agg(count(lit(1)).as("n_centers")))
+          .crossJoin(cf.undecided.agg(count(lit(1)).as("n_undecided")))
+          .crossJoin(cf.members.agg(count(lit(1)).as("n_members")))
+          .crossJoin(cf.candidates.agg(
+            count(lit(1)).as("n_candidates"),
+            coalesce(sum(col("doc_a") + col("doc_b")), lit(0L))
+              .as("cand_id_sum")))
+          .crossJoin(pl.agg(count(lit(1)).as("n_planted")))
+          .crossJoin(pl.join(cf.candidates, Seq("doc_a", "doc_b"))
+            .agg(count(lit(1)).as("n_hit")))
+          .select(col("n_docs"), col("n_centers"), col("n_undecided"),
+            col("n_members"), col("n_candidates"), col("cand_id_sum"),
+            col("n_planted"), col("n_hit"),
+            expr("n_hit * 1000000 div n_planted").as("recall_ppm"))
+      },
+      Some(s"""
+        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $canopyCtes,
+        $plantedCte
+        SELECT (SELECT COUNT(*) FROM cnt) AS n_docs,
+               (SELECT COUNT(*) FROM ccent) AS n_centers,
+               (SELECT COUNT(*) FROM cu$CanopyRounds) AS n_undecided,
+               (SELECT COUNT(*) FROM cmem) AS n_members,
+               (SELECT COUNT(*) FROM ccand) AS n_candidates,
+               (SELECT CAST(COALESCE(SUM(doc_a + doc_b), 0) AS BIGINT)
+                FROM ccand) AS cand_id_sum,
+               (SELECT COUNT(*) FROM planted) AS n_planted,
+               (SELECT COUNT(*) FROM planted p JOIN ccand c
+                  ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b) AS n_hit,
+               CAST((SELECT COUNT(*) FROM planted p JOIN ccand c
+                       ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b) * 1000000
+                    // (SELECT COUNT(*) FROM planted) AS BIGINT)
+                 AS recall_ppm""")),
+
+    // ───── Cross-strategy candidate-set comparison (r15, VERDICT r14
+    // #3, the dedup_threshold_sweep shape): the SAME corpus and the SAME
+    // planted ground truth scored across three independent candidate
+    // generators — the minhash-LSH band index (the production near-dup
+    // path), canopy clustering (above), and single-key min-hash blocking
+    // (one minwise permutation as the block key — the cheapest possible
+    // blocking, the baseline both must beat on recall). The readout is
+    // the candidate-volume vs recall trade each strategy makes; every
+    // candidate set rides its already-memoized artifact (bands / canopy
+    // frames / hsets), so the comparison row costs three bounded rollups,
+    // not three pipeline rebuilds.
+    QuerySpec(
+      "dedup_strategy_compare",
+      (s, d) => {
+        val pl = plantedPairs(s, d).localCheckpoint(true)
+        def row(name: String, cand: org.apache.spark.sql.DataFrame) =
+          cand.agg(count(lit(1)).as("n_candidates"))
+            .crossJoin(pl.agg(count(lit(1)).as("n_planted")))
+            .crossJoin(pl.join(cand, Seq("doc_a", "doc_b"))
+              .agg(count(lit(1)).as("n_hit")))
+            .select(lit(name).as("strategy"), col("n_candidates"),
+              col("n_planted"), col("n_hit"),
+              expr("n_hit * 1000000 div n_planted").as("recall_ppm"))
+        val bands = bandsOf(s, d)
+        val lshCand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        val mk = hsetsOf(s, d)
+          .select(col("doc_id"), array_min(col("hs")).as("mk"))
+        val blockCand = mk.as("a").join(mk.as("b"),
+            col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        row("canopy", canopyOf(s, d).candidates)
+          .unionByName(row("lsh_bands", lshCand))
+          .unionByName(row("minmer_block", blockCand))
+      },
+      Some(s"""
+        WITH corpus AS (${Corpus.docsWithNearDupsSql}),
+        $hsetsCte,
+        $minhashPairsCtes,
+        $canopyCtes,
+        $plantedCte,
+        mk AS MATERIALIZED (SELECT doc_id, list_min(hs) AS mk FROM hsets),
+        mbl AS MATERIALIZED (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM mk a JOIN mk b ON a.mk = b.mk AND a.doc_id < b.doc_id),
+        np AS (SELECT COUNT(*) AS n_planted FROM planted),
+        stats AS (
+          SELECT 'canopy' AS strategy,
+                 (SELECT COUNT(*) FROM ccand) AS n_candidates,
+                 (SELECT COUNT(*) FROM planted p JOIN ccand c
+                    ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b) AS n_hit
+          UNION ALL
+          SELECT 'lsh_bands',
+                 (SELECT COUNT(*) FROM cand),
+                 (SELECT COUNT(*) FROM planted p JOIN cand c
+                    ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b)
+          UNION ALL
+          SELECT 'minmer_block',
+                 (SELECT COUNT(*) FROM mbl),
+                 (SELECT COUNT(*) FROM planted p JOIN mbl c
+                    ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b))
+        SELECT s.strategy, s.n_candidates, np.n_planted, s.n_hit,
+               CAST(s.n_hit * 1000000 // np.n_planted AS BIGINT)
+                 AS recall_ppm
+        FROM stats s, np"""))
   )
 }
