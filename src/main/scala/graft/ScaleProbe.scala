@@ -108,9 +108,18 @@ object ScaleProbe {
     // join (the double adjacency equi-join) across factors (r14,
     // VERDICT r13 #6) with the replication-invariance equality gate
     val ktrussOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("ktruss")
+    // SPARK_GRAFT_PROBE=scc times graph_scc's trim + forward-backward
+    // min-label peel on the k×-replicated purchase-sequence digraph
+    // (disconnected copies) with the replication-invariance gate (r15,
+    // VERDICT r14 #5): the SCC profile must scale exactly k× in count
+    // and member mass with a CONSTANT max-SCC size, and round counts are
+    // set by diameter, so time should grow ~linearly in |E|
+    val sccOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("scc")
     var pcaAxisAtBase: Array[Long] = null
     var ktrussSupAtBase: Long = -1L
     var ktrussBaseK: Int = 1
+    var sccBaseK: Int = -1
+    var sccBase: (Long, Long, Long) = null
     for (k <- factors) {
       if (aucOnly) {
         val ev = spark.read.parquet(s"$d/events.parquet")
@@ -274,6 +283,51 @@ object ScaleProbe {
         }
         println(s"[probe] ktruss_x$k: edges=${edges.count()} " +
           s"sup_edges=$supEdges sup_sum=$supSum")
+      } else if (sccOnly) {
+        // graph_scc's exact construction, k×-replicated as DISCONNECTED
+        // copies (node ids offset per replica): per-copy SCC structure
+        // is preserved, so n_sccs and nontrivial member mass scale
+        // exactly k× while max-SCC size stays constant — the equality
+        // gate below. Rounds are diameter-bound, so the time curve
+        // should be ~linear in |E| with a constant round count.
+        val li0 = spark.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_partkey")
+          .filter(col("l_partkey") % 30 === 0)
+        val e0 = li0.as("a").join(li0.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_linenumber") < col("b.l_linenumber") &&
+              col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .distinct()
+        val off = 100000000L
+        val rep = e0.crossJoin(spark.range(k).toDF("rep"))
+          .select((col("u") + col("rep") * off).as("u"),
+            (col("v") + col("rep") * off).as("v"))
+          .localCheckpoint(true)
+        var prof: (Long, Long, Long) = null
+        time(s"scc_x$k") {
+          val (labels, unresolved) =
+            graft.analytics.GraphOps.stronglyConnectedComponents(rep)
+          require(unresolved.isEmpty, s"scc did not converge at x$k")
+          val r = labels.groupBy("scc").agg(count(lit(1)).as("sz"))
+            .filter(col("sz") >= 2)
+            .agg(count(lit(1)).as("n_sccs"),
+              coalesce(sum("sz"), lit(0L)).as("mass"),
+              coalesce(max("sz"), lit(0L)).as("mx")).collect()(0)
+          prof = (r.getLong(0), r.getLong(1), r.getLong(2))
+          prof._2
+        }
+        if (sccBaseK < 0) { sccBaseK = k; sccBase = prof }
+        else {
+          require(prof._1 * sccBaseK == sccBase._1 * k,
+            s"n_sccs not replication-invariant at x$k: $prof vs $sccBase")
+          require(prof._2 * sccBaseK == sccBase._2 * k,
+            s"scc mass not replication-invariant at x$k: $prof vs $sccBase")
+          require(prof._3 == sccBase._3,
+            s"max scc size changed under replication at x$k: $prof vs $sccBase")
+        }
+        println(s"[probe] scc_x$k: edges=${rep.count()} n_sccs=${prof._1} " +
+          s"mass=${prof._2} max=${prof._3}")
       } else if (jacOnly) {
         val li = spark.read.parquet(s"$d/lineitem.parquet")
           .select("l_orderkey", "l_partkey").distinct()

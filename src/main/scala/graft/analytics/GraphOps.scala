@@ -193,4 +193,178 @@ object GraphOps {
     }
     core
   }
+
+  /** Strongly connected components (r15, VERDICT r14 #5): the last
+    * classic iterative-graph gap — the graph family was entirely
+    * undirected except the walk queries. Input: a DIRECTED distinct
+    * edge list (u, v), u ≠ v. Returns (labels, unresolved): `labels` =
+    * (n, scc) with scc = the SCC's minimum member id for EVERY resolved
+    * node (singletons label themselves), `unresolved` = nodes still
+    * undecided when the outer bound hit (empty = fully converged; the
+    * consumer reports its count, so non-convergence is visible, never
+    * silent).
+    *
+    * Algorithm — distributed trim + forward-backward min-label peeling
+    * (the FW-BW family: Fleischer/Hendrickson/Pınar 2000; min-label
+    * inner passes as in Orzan-style coloring):
+    *
+    *  1. TRIM: a node with no in-edge or no out-edge in the active
+    *     induced subgraph can sit on no cycle — it is its own SCC.
+    *     Iterated to fixpoint (each pass peels the whole current
+    *     source/sink layer, so a DAG periphery drains in diameter
+    *     passes — this is what makes pure-chain inputs converge, where
+    *     f/b peeling alone would decide one node per outer round).
+    *  2. f/b min-label fixpoint: f(v) = min id that reaches v, b(v) =
+    *     min id v reaches (self included), both propagated as ONE
+    *     direction-tagged frame (one join per round for both
+    *     directions). f(v) = b(v) = m ⟺ m→v and v→m ⟺ v ∈ SCC(m), and
+    *     m is then exactly SCC(v)'s minimum (a smaller same-SCC member
+    *     would lower both labels) — sound AND label-canonical. The
+    *     global-min active node's whole SCC always decides, so every
+    *     outer round makes progress.
+    *  3. Peel decided SCCs and repeat. Peeling is safe: a path between
+    *     two same-SCC active nodes can never route through a decided
+    *     node (it would merge the SCCs — contradiction), so the induced
+    *     subgraph preserves remaining SCCs exactly.
+    *
+    * Scale shape: every step is an equi-join / hash-agg / anti-join on
+    * node keys over frames of size O(|V| + |E|); per-round frames are
+    * localCheckpointed (the LSSS discipline) and the only driver-side
+    * values are the convergence counts. Round counts are set by graph
+    * DIAMETER, not size — replication-invariant (the ScaleProbe scc
+    * slot gates this).
+    */
+  /** localCheckpoint + STATS RESET for checkpoint-per-round loops.
+    * `Dataset.localCheckpoint` preserves the source plan's ESTIMATED
+    * statistics on the resulting LogicalRDD (originStats) — so a loop
+    * that checkpoints every round COMPOUNDS the join-size products:
+    * round r's estimate is a product over round r−1's estimates, the
+    * BigInteger bit-length grows geometrically, and the non-CBO stats
+    * visitor (SizeInBytesOnlyStatsPlanVisitor, which multiplies children
+    * sizes per join) turns planning cost exponential in the round index.
+    * Measured (r15 graph_scc, 316-node active graph, frames of ~600
+    * rows): round 6 = 2.3 s, round 8 = 12.5 s, round 9 = 34 s — all
+    * driver CPU inside BigInteger.multiplyToomCook3. Re-wrapping the
+    * checkpointed RDD through createDataFrame drops originStats (falls
+    * back to flat defaults, constant bits per round); AQE re-plans every
+    * join from RUNTIME sizes anyway, which is the estimate that matters.
+    */
+  private def ckpt(df: DataFrame, rows: Long): DataFrame =
+    org.apache.spark.sql.GraftSqlBridge.localCheckpointWithStats(df, rows)
+
+  /** checkpoint + count in one materialization: the count doubles as the
+    * loop's convergence scalar AND the honest stats figure. */
+  private def ckptCounted(df: DataFrame): (DataFrame, Long) = {
+    val c = df.localCheckpoint(true)
+    val n = c.count()
+    (org.apache.spark.sql.GraftSqlBridge.localCheckpointWithStats(c, n), n)
+  }
+
+  def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 12,
+                                  maxInner: Int = 128)
+      : (DataFrame, DataFrame) = {
+    val (e0, ne) = ckptCounted(edges.select(col("u"), col("v")).distinct())
+    var labels = ckpt(e0.select(col("u").as("n"), col("u").as("scc"))
+      .filter(lit(false)), 0L)
+    var labelCount = 0L
+    var (active, activeCount) = ckptCounted(e0.select(col("u").as("n"))
+      .unionAll(e0.select(col("v").as("n"))).distinct())
+    var outer = 0
+    while (activeCount > 0 && outer < maxOuter) {
+      var (ea, eaCount) =
+        if (outer == 0) (e0, ne)
+        else ckptCounted(e0.join(active.withColumnRenamed("n", "u"), "u")
+          .join(active.withColumnRenamed("n", "v"), "v")
+          .select("u", "v"))
+      // trim to fixpoint: each pass keeps only nodes with both an
+      // in-edge and an out-edge in the current induced subgraph — one
+      // materialize+count per pass; the dropped singletons are folded
+      // into labels ONCE after the loop (pre-trim active minus
+      // post-trim active), not per pass
+      val preTrim = active
+      val preTrimCount = activeCount
+      var trimming = true
+      var trimRounds = 0
+      while (trimming && trimRounds < maxInner && activeCount > 0) {
+        val (keep, kc) = ckptCounted(ea.select(col("u").as("n")).distinct()
+          .join(ea.select(col("v").as("n")).distinct(), Seq("n")))
+        val nd = activeCount - kc
+        if (sys.env.contains("GRAFT_SCC_DEBUG"))
+          System.err.println(s"[scc] outer=$outer trim=$trimRounds dropped=$nd active=$activeCount")
+        if (nd == 0) trimming = false
+        else {
+          active = keep
+          activeCount = kc
+          ea = ea.join(keep.withColumnRenamed("n", "u"), "u")
+            .join(keep.withColumnRenamed("n", "v"), "v")
+            .select("u", "v")
+        }
+        trimRounds += 1
+      }
+      if (activeCount < preTrimCount) { // at least one pass dropped nodes
+        val (ea2, ec2) = ckptCounted(ea)
+        ea = ea2; eaCount = ec2
+        labelCount += preTrimCount - activeCount
+        labels = ckpt(labels.unionByName(
+          preTrim.join(active, Seq("n"), "left_anti")
+            .select(col("n"), col("n").as("scc"))), labelCount)
+      }
+      if (activeCount > 0) {
+        // dir 0 = forward (labels flow u→v: min ancestor), dir 1 =
+        // backward (labels flow v→u: min descendant)
+        val prop = ckpt(ea.select(col("u").as("src"), col("v").as("dst"),
+            lit(0).as("dir"))
+          .unionByName(ea.select(col("v").as("src"), col("u").as("dst"),
+            lit(1).as("dir"))), 2 * eaCount)
+        var lab = ckpt(active.select(col("n"),
+            explode(array(lit(0), lit(1))).as("dir"), col("n").as("lab")),
+          2 * activeCount)
+        var changed = 1L
+        var inner = 0
+        while (changed > 0 && inner < maxInner) {
+          val tR0 = System.nanoTime()
+          // shortcut edges (lab(v) → v) are transitive-closure edges —
+          // f(v)=m certifies m reaches v, b(v)=m that v reaches m — so
+          // propagating across them is sound and gives pointer-doubling
+          // convergence: O(log diameter)-ish rounds instead of O(diameter)
+          val shortcuts = lab.select(col("lab").as("src"),
+            col("n").as("dst"), col("dir"))
+          val viaEdge = prop.unionByName(shortcuts)
+            .join(lab.select(col("n").as("src"), col("dir"), col("lab")),
+              Seq("src", "dir"))
+            .groupBy(col("dst").as("n"), col("dir"))
+            .agg(min("lab").as("mlab"))
+          val nlab = ckpt(lab.join(viaEdge, Seq("n", "dir"), "left")
+            .select(col("n"), col("dir"),
+              least(col("lab"), coalesce(col("mlab"), col("lab"))).as("lab")),
+            2 * activeCount)
+          inner += 1
+          // convergence probe every SECOND round: labels only decrease,
+          // so the worst case is one no-op extra round — half the count
+          // jobs (driver round-latency dominates at small active sets)
+          if (inner % 2 == 0 || inner >= maxInner)
+            changed = nlab
+              .join(lab.withColumnRenamed("lab", "lab0"), Seq("n", "dir"))
+              .filter(col("lab") < col("lab0")).count()
+          lab = nlab
+          if (sys.env.contains("GRAFT_SCC_DEBUG"))
+            System.err.println(s"[scc] outer=$outer inner=$inner changed=$changed active=$activeCount sec=${(System.nanoTime() - tR0) / 1e9}")
+        }
+        val (decided, ndec) = ckptCounted(lab.filter(col("dir") === 0)
+          .select(col("n"), col("lab").as("fl"))
+          .join(lab.filter(col("dir") === 1)
+            .select(col("n"), col("lab").as("bl")), "n")
+          .filter(col("fl") === col("bl"))
+          .select(col("n"), col("fl").as("scc")))
+        labelCount += ndec
+        labels = ckpt(labels.unionByName(decided), labelCount)
+        active = ckpt(active.join(decided.select("n"), Seq("n"), "left_anti"),
+          activeCount - ndec)
+        activeCount -= ndec
+        if (ndec == 0) outer = maxOuter // cannot happen post-trim; belt
+      }
+      outer += 1
+    }
+    (labels, active)
+  }
 }

@@ -4204,6 +4204,95 @@ object RelationalQueries {
                CAST(MIN(n) AS BIGINT) AS min_node
         FROM lcc GROUP BY 1""")),
 
+    // ───── Strongly connected components (r15, VERDICT r14 #5): the
+    // directed-graph completion — the family's one remaining classic.
+    // Graph: the purchase-SEQUENCE graph — part a → part b when a
+    // precedes b by line number within an order (cycles arise across
+    // orders: a before b in one order, b before a in another), node set
+    // deterministically subsampled to l_partkey % 30 = 0 so the
+    // oracle's independent transitive-closure formulation stays
+    // feasible while the Spark side runs the real distributed
+    // algorithm (trim + forward-backward min-label peeling,
+    // [[graft.analytics.GraphOps.stronglyConnectedComponents]] — the
+    // two formulations share NOTHING structurally, the strongest gate
+    // shape). Measured structure: the classic bowtie — one giant
+    // strongly connected core (37 of 39 cycle nodes at sf0.01, 316 at
+    // sf0.1) plus trimmed periphery. Output: node/edge counts, the
+    // nontrivial-SCC profile (count, max size, member count, min-member
+    // label checksum), singleton count, and the unresolved residue
+    // (0 = the peel converged; reported, never silent).
+    QuerySpec(
+      "graph_scc",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey")
+          .filter(col("l_partkey") % 30 === 0)
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_linenumber") < col("b.l_linenumber") &&
+              col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .distinct().localCheckpoint(true)
+        val (labels, unresolved) =
+          graft.analytics.GraphOps.stronglyConnectedComponents(e)
+        val sizes = labels.groupBy("scc").agg(count(lit(1)).as("sz"))
+          .localCheckpoint(true)
+        val nontrivialNodes = labels
+          .join(sizes.filter(col("sz") >= 2).select("scc"), "scc")
+        e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+          .distinct().agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(sizes.filter(col("sz") >= 2)
+            .agg(count(lit(1)).as("n_sccs_nontrivial"),
+              coalesce(max("sz"), lit(0L)).as("max_scc"),
+              coalesce(sum("sz"), lit(0L)).as("nodes_in_nontrivial")))
+          .crossJoin(nontrivialNodes
+            .agg(coalesce(sum("scc"), lit(0L)).as("nontrivial_label_sum")))
+          .crossJoin(sizes.filter(col("sz") === 1)
+            .agg(count(lit(1)).as("n_singletons")))
+          .crossJoin(unresolved.agg(count(lit(1)).as("n_unresolved")))
+      },
+      Some("""
+        WITH RECURSIVE e AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+               AND a.l_linenumber < b.l_linenumber
+          WHERE a.l_partkey % 30 = 0 AND b.l_partkey % 30 = 0
+            AND a.l_partkey <> b.l_partkey),
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT n FROM (
+            SELECT u AS n FROM e UNION ALL SELECT v FROM e)),
+        reach(src, dst) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.dst),
+        mutual AS MATERIALIZED (
+          SELECT a.src AS u, a.dst AS v
+          FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+        lab AS MATERIALIZED (
+          SELECT u AS n, MIN(LEAST(u, v)) AS scc FROM mutual GROUP BY 1),
+        full_lab AS MATERIALIZED (
+          SELECT n, scc FROM lab
+          UNION ALL
+          SELECT n, n AS scc FROM nodes
+          WHERE n NOT IN (SELECT n FROM lab)),
+        sizes AS MATERIALIZED (
+          SELECT scc, COUNT(*) AS sz FROM full_lab GROUP BY 1)
+        SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+               (SELECT COUNT(*) FROM e) AS n_edges,
+               (SELECT COUNT(*) FROM sizes WHERE sz >= 2)
+                 AS n_sccs_nontrivial,
+               CAST(COALESCE((SELECT MAX(sz) FROM sizes WHERE sz >= 2), 0)
+                 AS BIGINT) AS max_scc,
+               CAST(COALESCE((SELECT SUM(sz) FROM sizes WHERE sz >= 2), 0)
+                 AS BIGINT) AS nodes_in_nontrivial,
+               CAST(COALESCE((SELECT SUM(f.scc) FROM full_lab f
+                  JOIN sizes z ON z.scc = f.scc AND z.sz >= 2), 0)
+                 AS BIGINT) AS nontrivial_label_sum,
+               (SELECT COUNT(*) FROM sizes WHERE sz = 1) AS n_singletons,
+               CAST(0 AS BIGINT) AS n_unresolved""")),
+
     // ───── k-core decomposition (r10): the fourth graph primitive next
     // to components (connectivity), PageRank (centrality) and triangles
     // (density) — the 2-core backbone of the REPEAT-co-purchase graph
