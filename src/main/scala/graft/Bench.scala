@@ -151,6 +151,9 @@ object Bench {
         "graph_link_prediction", "graph_bfs_hops", "graph_kcore",
         "graph_core_number", "graph_ktruss", "graph_betweenness",
         "graph_sssp_weighted",
+        // the sccArtifacts family: graph_scc owns the peel run, the
+        // condensation/reciprocity readouts time warm off the memo
+        "graph_scc", "graph_condensation", "graph_reciprocity",
         "graph_communities", "graph_pagerank", "graph_ppr", "graph_hits"
       ).filter(base.contains)
       engine ++ base.filterNot(engine.toSet)

@@ -2331,6 +2331,46 @@ object TextQueries {
                COUNT(*) AS n_terms,
                CAST(SUM(tf) AS BIGINT) AS mass,
                CAST(SUM(r * tf) // COUNT(*) AS BIGINT) AS mean_rf
-        FROM ranked GROUP BY 1"""))
+        FROM ranked GROUP BY 1""")),
+
+    // ───── Per-document type–token ratio (r15): lexical diversity as a
+    // PER-DOCUMENT quality signal — text_hapax_ratio and
+    // text_vocab_growth read the corpus; TTR reads each document
+    // (repetitive machine-generated text scores low, the curation
+    // filter every pipeline applies next to text_quality's
+    // length/punct ratios). Per-row map (distinct tokens / tokens, both
+    // inside the token array), exact ppm, rolled into decile bands with
+    // token-mass and doc-id checksums — distribution shape, not one
+    // mean that hides the low tail.
+    QuerySpec(
+      "text_ttr",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"), expr(Corpus.let("toks", "split(text, ' ')",
+            """struct(size(toks) AS n_tok,
+                      size(array_distinct(toks)) AS n_typ)""")).as("t"))
+          .filter(col("t.n_tok") > 0)
+          .select(col("doc_id"), col("t.n_tok").as("n_tok"),
+            expr("t.n_typ * 1000000 div t.n_tok").as("ttr_ppm"))
+          .groupBy(expr("ttr_ppm div 100000").as("decile"))
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"),
+            min("doc_id").as("min_doc"), sum("doc_id").as("doc_id_sum"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tok,
+                 len(list_distinct(string_split(text, ' '))) AS n_typ
+          FROM documents),
+        ttr AS (
+          SELECT doc_id, n_tok,
+                 CAST(n_typ * 1000000 // n_tok AS BIGINT) AS ttr_ppm
+          FROM t WHERE n_tok > 0)
+        SELECT CAST(ttr_ppm // 100000 AS BIGINT) AS decile,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+        FROM ttr GROUP BY 1"""))
   )
 }

@@ -136,6 +136,51 @@ object RelationalQueries {
           col("t._2").as("cand"), col("t._1").cast("long").as("score"))
   }
 
+  /** Oracle CTE chain reproducing [[recTop3]] (li → owned → pop → pr →
+    * sym → scored → top-8 nbrs → anti-join → per-user top3) — shared by
+    * the r15 rec_novelty oracle; the r14 rec_item_knn/rec_coverage
+    * oracles predate it and keep their verbatim inline copies.
+    */
+  private val recPipelineSqlCtes: String = """
+        li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        owned AS MATERIALIZED (
+          SELECT DISTINCT o.o_custkey AS uid, l.l_partkey AS p
+          FROM li l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        pop AS MATERIALIZED (
+          SELECT l_partkey AS p, COUNT(*) AS np FROM li GROUP BY 1),
+        pr AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        sym AS (
+          SELECT u, v, w FROM pr UNION ALL SELECT v AS u, u AS v, w FROM pr),
+        scored AS (
+          SELECT s.u AS p, s.v AS nbr,
+                 CAST(CAST(s.w AS HUGEINT) * s.w * 1000000
+                      // (CAST(pa.np AS HUGEINT) * pb.np) AS BIGINT) AS sc
+          FROM sym s JOIN pop pa ON pa.p = s.u JOIN pop pb ON pb.p = s.v),
+        nbrs AS MATERIALIZED (
+          SELECT p, nbr, sc FROM (
+            SELECT p, nbr, sc,
+                   ROW_NUMBER() OVER (PARTITION BY p
+                     ORDER BY sc DESC, nbr ASC) AS rk
+            FROM scored) WHERE rk <= 8),
+        raw AS (
+          SELECT o.uid, n.nbr, n.sc
+          FROM owned o JOIN nbrs n ON n.p = o.p
+          WHERE NOT EXISTS (SELECT 1 FROM owned o2
+                            WHERE o2.uid = o.uid AND o2.p = n.nbr)),
+        agg AS (
+          SELECT uid, nbr, CAST(SUM(sc) AS BIGINT) AS score
+          FROM raw GROUP BY 1, 2),
+        top3 AS MATERIALIZED (
+          SELECT uid, cand, rank FROM (
+            SELECT uid, nbr AS cand, score,
+                   ROW_NUMBER() OVER (PARTITION BY uid
+                     ORDER BY score DESC, nbr ASC) AS rank
+            FROM agg) WHERE rank <= 3)"""
+
   /** Per-node triangle counts over [[coPurchaseEdges]] via degree
     * orientation + edge-iterator intersection (see the graph_triangles
     * doc comment for the full cost argument). Returns (n, n_tri) for
@@ -151,6 +196,73 @@ object RelationalQueries {
     * (ConcurrentHashMap + putIfAbsent), NOT a Corpus.cached build —
     * graph_components and graph_modularity share ONE run.
     */
+  /** The directed purchase-SEQUENCE subgraph (graph_scc's construction)
+    * plus its SCC labels and unresolved residue, memoized per (session,
+    * input) in the action-running-memo pattern (the SCC peel runs jobs):
+    * graph_scc, graph_condensation and graph_reciprocity share ONE
+    * build; Bench orders graph_scc first so the build lands in its slot.
+    */
+  private val sccCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, DataFrame, DataFrame)]()
+
+  private def sccArtifacts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val k = (s.sparkContext.applicationId, d)
+    val got = sccCache.get(k)
+    if (got != null) got
+    else {
+      sccCache.keySet.removeIf(_._1 != k._1)
+      val li = lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .filter(col("l_partkey") % 30 === 0)
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_linenumber") < col("b.l_linenumber") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct().localCheckpoint(true)
+      val (labels, unresolved) =
+        graft.analytics.GraphOps.stronglyConnectedComponents(e)
+      sccCache.putIfAbsent(k, (e, labels, unresolved))
+      sccCache.get(k)
+    }
+  }
+
+  /** Oracle CTE chain shared by graph_scc / graph_condensation: the
+    * directed edge list, the node universe, the transitive closure, and
+    * the full SCC labeling (nontrivial labels from mutual reachability,
+    * singletons labeling themselves) with per-SCC sizes. An INDEPENDENT
+    * formulation of what the Spark side computes iteratively — the
+    * strongest gate shape. Requires WITH RECURSIVE upstream.
+    */
+  private val sccOracleCtes: String = """
+        e AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+               AND a.l_linenumber < b.l_linenumber
+          WHERE a.l_partkey % 30 = 0 AND b.l_partkey % 30 = 0
+            AND a.l_partkey <> b.l_partkey),
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT n FROM (
+            SELECT u AS n FROM e UNION ALL SELECT v FROM e)),
+        reach(src, dst) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.dst),
+        mutual AS MATERIALIZED (
+          SELECT a.src AS u, a.dst AS v
+          FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+        lab AS MATERIALIZED (
+          SELECT u AS n, MIN(LEAST(u, v)) AS scc FROM mutual GROUP BY 1),
+        full_lab AS MATERIALIZED (
+          SELECT n, scc FROM lab
+          UNION ALL
+          SELECT n, n AS scc FROM nodes
+          WHERE n NOT IN (SELECT n FROM lab)),
+        sizes AS MATERIALIZED (
+          SELECT scc, COUNT(*) AS sz FROM full_lab GROUP BY 1)"""
+
   private val chainLabelsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
@@ -2410,6 +2522,69 @@ object RelationalQueries {
                  AS exposure_per_item_milli
         FROM r, cat""")),
 
+    // ───── Recommender novelty / popularity bias (r15): coverage says
+    // how much of the catalog surfaces; novelty says WHICH END — a
+    // recommender that only re-ranks bestsellers scores high accuracy
+    // and zero discovery value. Two readouts off the SHARED recTop3
+    // frame joined to item popularity: mean inverse popularity
+    // (Σ 1e6 div np over rec rows — the log-free self-information
+    // proxy, higher = nicher) and the share of recommendations drawn
+    // from the catalog's top-popularity decile (threshold = the
+    // smallest np where at most ⌈P/10⌉ parts are ≥ it, from the
+    // bounded np-value histogram — popularity counts are small ints,
+    // so the ordered window runs over a tiny value domain, never the
+    // catalog).
+    QuerySpec(
+      "rec_novelty",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        val pop = li.groupBy(col("l_partkey").as("p"))
+          .agg(count(lit(1)).as("np"))
+        val npHist = pop.groupBy("np").agg(count(lit(1)).as("cnt"))
+        val wDesc = Window.orderBy(col("np").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val thr = npHist
+          .withColumn("cum_ge", sum("cnt").over(wDesc))
+          .crossJoin(broadcast(pop.agg(count(lit(1)).as("n_parts"))))
+          .filter(col("cum_ge") * 10 <= col("n_parts") + 9)
+          .agg(coalesce(min("np"), lit(Long.MaxValue)).as("np_thr"))
+        recTop3(s, d)
+          .join(pop.withColumnRenamed("p", "cand"), "cand")
+          .crossJoin(broadcast(thr))
+          .agg(count(lit(1)).as("n_rec_rows"),
+            sum(expr("1000000 div np")).as("inv_pop_sum_ppm"),
+            sum(when(col("np") >= col("np_thr"), 1L).otherwise(0L))
+              .as("n_top_decile"),
+            max("np_thr").as("np_thr"))
+          .select(col("n_rec_rows"), col("np_thr"),
+            expr("inv_pop_sum_ppm div n_rec_rows").as("mean_inv_pop_ppm"),
+            col("n_top_decile"),
+            expr("n_top_decile * 1000000 div n_rec_rows")
+              .as("top_decile_share_ppm"))
+      },
+      Some(s"""
+        WITH $recPipelineSqlCtes,
+        nphist AS (SELECT np, COUNT(*) AS cnt FROM pop GROUP BY 1),
+        npc AS (SELECT COUNT(*) AS n_parts FROM pop),
+        thr AS (
+          SELECT COALESCE(MIN(np), 9223372036854775807) AS np_thr FROM (
+            SELECT np, SUM(cnt) OVER (ORDER BY np DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge
+            FROM nphist), npc
+          WHERE cum_ge * 10 <= n_parts + 9),
+        r AS (
+          SELECT t.uid, t.cand, p.np FROM top3 t JOIN pop p ON p.p = t.cand)
+        SELECT COUNT(*) AS n_rec_rows,
+               (SELECT np_thr FROM thr) AS np_thr,
+               CAST(SUM(1000000 // np) // COUNT(*) AS BIGINT)
+                 AS mean_inv_pop_ppm,
+               CAST(SUM(CASE WHEN np >= (SELECT np_thr FROM thr)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_top_decile,
+               CAST(SUM(CASE WHEN np >= (SELECT np_thr FROM thr)
+                             THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                 AS BIGINT) AS top_decile_share_ppm
+        FROM r""")),
+
     // ───── Recommender accuracy: leave-last-out hit-rate@k (r15,
     // VERDICT r14 #2) — the eval every CF deployment runs; without it
     // the recommender's quality is asserted, not measured (the
@@ -4224,17 +4399,7 @@ object RelationalQueries {
     QuerySpec(
       "graph_scc",
       (s, d) => {
-        val li = lineitem(s, d)
-          .select("l_orderkey", "l_linenumber", "l_partkey")
-          .filter(col("l_partkey") % 30 === 0)
-        val e = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_linenumber") < col("b.l_linenumber") &&
-              col("a.l_partkey") =!= col("b.l_partkey"))
-          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-          .distinct().localCheckpoint(true)
-        val (labels, unresolved) =
-          graft.analytics.GraphOps.stronglyConnectedComponents(e)
+        val (e, labels, unresolved) = sccArtifacts(s, d)
         val sizes = labels.groupBy("scc").agg(count(lit(1)).as("sz"))
           .localCheckpoint(true)
         val nontrivialNodes = labels
@@ -4252,33 +4417,8 @@ object RelationalQueries {
             .agg(count(lit(1)).as("n_singletons")))
           .crossJoin(unresolved.agg(count(lit(1)).as("n_unresolved")))
       },
-      Some("""
-        WITH RECURSIVE e AS MATERIALIZED (
-          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-          FROM lineitem a JOIN lineitem b
-            ON a.l_orderkey = b.l_orderkey
-               AND a.l_linenumber < b.l_linenumber
-          WHERE a.l_partkey % 30 = 0 AND b.l_partkey % 30 = 0
-            AND a.l_partkey <> b.l_partkey),
-        nodes AS MATERIALIZED (
-          SELECT DISTINCT n FROM (
-            SELECT u AS n FROM e UNION ALL SELECT v FROM e)),
-        reach(src, dst) AS (
-          SELECT u, v FROM e
-          UNION
-          SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.dst),
-        mutual AS MATERIALIZED (
-          SELECT a.src AS u, a.dst AS v
-          FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
-        lab AS MATERIALIZED (
-          SELECT u AS n, MIN(LEAST(u, v)) AS scc FROM mutual GROUP BY 1),
-        full_lab AS MATERIALIZED (
-          SELECT n, scc FROM lab
-          UNION ALL
-          SELECT n, n AS scc FROM nodes
-          WHERE n NOT IN (SELECT n FROM lab)),
-        sizes AS MATERIALIZED (
-          SELECT scc, COUNT(*) AS sz FROM full_lab GROUP BY 1)
+      Some(s"""
+        WITH RECURSIVE $sccOracleCtes
         SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
                (SELECT COUNT(*) FROM e) AS n_edges,
                (SELECT COUNT(*) FROM sizes WHERE sz >= 2)
@@ -4292,6 +4432,106 @@ object RelationalQueries {
                  AS BIGINT) AS nontrivial_label_sum,
                (SELECT COUNT(*) FROM sizes WHERE sz = 1) AS n_singletons,
                CAST(0 AS BIGINT) AS n_unresolved""")),
+
+    // ───── Condensation DAG profile (r15): the SCC quotient graph —
+    // contract every SCC to one node (its min-member label from the
+    // shared [[sccArtifacts]] run); condensation edges are the distinct
+    // (scc(u), scc(v)) pairs of original edges crossing SCCs. The
+    // classic theorem says the condensation is ACYCLIC — emitted here
+    // as a measured invariant (`n_mutual_cond_pairs` must be 0): a
+    // labeling bug on either engine would surface as a nonzero count or
+    // a checksum split, so the gate checks the THEOREM, not just the
+    // numbers. Output also profiles the DAG: node/edge counts, edge
+    // checksum, max out-degree (how concentrated the flow structure is).
+    QuerySpec(
+      "graph_condensation",
+      (s, d) => {
+        val (e, labels, _) = sccArtifacts(s, d)
+        val ce = e
+          .join(labels.select(col("n").as("u"), col("scc").as("scc_u")), "u")
+          .join(labels.select(col("n").as("v"), col("scc").as("scc_v")), "v")
+          .filter(col("scc_u") =!= col("scc_v"))
+          .select("scc_u", "scc_v").distinct().localCheckpoint(true)
+        val mutualPairs = ce.as("a").join(ce.as("b"),
+          col("a.scc_u") === col("b.scc_v") && col("a.scc_v") === col("b.scc_u"))
+        labels.select(col("scc")).distinct()
+          .agg(count(lit(1)).as("n_cond_nodes"))
+          .crossJoin(ce.agg(count(lit(1)).as("n_cond_edges"),
+            coalesce(sum(col("scc_u") + col("scc_v")), lit(0L))
+              .as("cond_edge_sum")))
+          .crossJoin(mutualPairs.agg(count(lit(1)).as("n_mutual_cond_pairs")))
+          .crossJoin(ce.groupBy("scc_u").agg(count(lit(1)).as("od"))
+            .agg(coalesce(max("od"), lit(0L)).as("max_out_degree")))
+      },
+      Some(s"""
+        WITH RECURSIVE $sccOracleCtes,
+        ce AS MATERIALIZED (
+          SELECT DISTINCT lu.scc AS scc_u, lv.scc AS scc_v
+          FROM e
+          JOIN full_lab lu ON lu.n = e.u
+          JOIN full_lab lv ON lv.n = e.v
+          WHERE lu.scc <> lv.scc)
+        SELECT (SELECT COUNT(DISTINCT scc) FROM full_lab) AS n_cond_nodes,
+               (SELECT COUNT(*) FROM ce) AS n_cond_edges,
+               (SELECT CAST(COALESCE(SUM(scc_u + scc_v), 0) AS BIGINT)
+                FROM ce) AS cond_edge_sum,
+               (SELECT COUNT(*) FROM ce a JOIN ce b
+                  ON a.scc_u = b.scc_v AND a.scc_v = b.scc_u)
+                 AS n_mutual_cond_pairs,
+               CAST(COALESCE((SELECT MAX(od) FROM (
+                  SELECT scc_u, COUNT(*) AS od FROM ce GROUP BY 1)), 0)
+                 AS BIGINT) AS max_out_degree""")),
+
+    // ───── Directed reciprocity + dyad census (r15): the basic
+    // directed-graph statistic the undirected family cannot express —
+    // on the purchase-sequence digraph (shared [[sccArtifacts]] edge
+    // frame), what share of edges have their reverse present
+    // (reciprocity = the cycle feedstock graph_scc peels), and the
+    // Holland–Leinhardt dyad census (mutual / asymmetric dyads; null
+    // dyads are the non-edges, reported as the complement count). One
+    // self-equi-join on the reversed key — never node×node.
+    QuerySpec(
+      "graph_reciprocity",
+      (s, d) => {
+        val (e, _, _) = sccArtifacts(s, d)
+        val mutual = e.join(
+          e.select(col("v").as("u"), col("u").as("v")), Seq("u", "v"))
+        val nodes = e.select(col("u").as("n"))
+          .unionAll(e.select(col("v").as("n"))).distinct()
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(mutual.agg(count(lit(1)).as("n_mutual_edges")))
+          .crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
+          .select(col("n_nodes"), col("n_edges"), col("n_mutual_edges"),
+            expr("n_mutual_edges * 1000000 div n_edges")
+              .as("reciprocity_ppm"),
+            (col("n_mutual_edges") / 2).cast("long").as("n_mutual_dyads"),
+            (col("n_edges") - col("n_mutual_edges")).as("n_asym_dyads"),
+            expr("""n_nodes * (n_nodes - 1) div 2
+                    - n_mutual_edges div 2
+                    - (n_edges - n_mutual_edges)""").as("n_null_dyads"))
+      },
+      Some("""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+               AND a.l_linenumber < b.l_linenumber
+          WHERE a.l_partkey % 30 = 0 AND b.l_partkey % 30 = 0
+            AND a.l_partkey <> b.l_partkey),
+        m AS (SELECT COUNT(*) AS n_mutual_edges
+              FROM e a JOIN e b ON a.u = b.v AND a.v = b.u),
+        nn AS (SELECT COUNT(*) AS n_nodes FROM (
+                 SELECT DISTINCT n FROM (
+                   SELECT u AS n FROM e UNION ALL SELECT v FROM e))),
+        ne AS (SELECT COUNT(*) AS n_edges FROM e)
+        SELECT n_nodes, n_edges, n_mutual_edges,
+               CAST(n_mutual_edges * 1000000 // n_edges AS BIGINT)
+                 AS reciprocity_ppm,
+               CAST(n_mutual_edges // 2 AS BIGINT) AS n_mutual_dyads,
+               CAST(n_edges - n_mutual_edges AS BIGINT) AS n_asym_dyads,
+               CAST(n_nodes * (n_nodes - 1) // 2 - n_mutual_edges // 2
+                    - (n_edges - n_mutual_edges) AS BIGINT) AS n_null_dyads
+        FROM m, nn, ne""")),
 
     // ───── k-core decomposition (r10): the fourth graph primitive next
     // to components (connectivity), PageRank (centrality) and triangles
@@ -4560,6 +4800,191 @@ object RelationalQueries {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
           WHERE event_type = 'purchase')
         GROUP BY channel""")),
+
+    // ───── Session statistics (r15): the engagement-shape rollup on
+    // top of sessionization (cdc_sessionize ships the CDC face; this is
+    // the events face the product team reads) — 30-minute inactivity
+    // gap, per-user ordered window (bounded by per-user event counts),
+    // session id = running count of gap-openers. Output: session count,
+    // single-event (bounce) sessions, mean events/session and mean
+    // duration in exact milli/micros, and the longest session — the
+    // dashboard row behind events_bounce_rate's page-level number.
+    QuerySpec(
+      "events_session_stats",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = events(s, d)
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              expr("unix_micros(ts) - unix_micros(prev_ts)")
+                > 30L * 60L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sid", sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("n_ev"),
+            (max(expr("unix_micros(ts)")) - min(expr("unix_micros(ts)")))
+              .as("dur_us"))
+        sess.agg(count(lit(1)).as("n_sessions"),
+            sum("n_ev").as("n_events"),
+            sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"),
+            sum("dur_us").as("dur_us_sum"),
+            max("n_ev").as("max_session_events"))
+          .select(col("n_sessions"), col("n_events"), col("n_bounce"),
+            expr("n_bounce * 1000000 div n_sessions").as("bounce_ppm"),
+            expr("n_events * 1000 div n_sessions").as("mean_events_milli"),
+            expr("dur_us_sum div n_sessions").as("mean_dur_us"),
+            col("max_session_events"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 LAG(ts, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        tagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM o),
+        sid AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM tagged),
+        sess AS (
+          SELECT user_id, sid, COUNT(*) AS n_ev,
+                 MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
+          FROM sid GROUP BY 1, 2),
+        agg AS (
+          SELECT COUNT(*) AS n_sessions,
+                 CAST(SUM(n_ev) AS BIGINT) AS n_events,
+                 CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bounce,
+                 CAST(SUM(dur_us) AS BIGINT) AS dur_us_sum,
+                 CAST(MAX(n_ev) AS BIGINT) AS max_session_events
+          FROM sess)
+        SELECT n_sessions, n_events, n_bounce,
+               CAST(n_bounce * 1000000 // n_sessions AS BIGINT) AS bounce_ppm,
+               CAST(n_events * 1000 // n_sessions AS BIGINT)
+                 AS mean_events_milli,
+               CAST(dur_us_sum // n_sessions AS BIGINT) AS mean_dur_us,
+               max_session_events
+        FROM agg""")),
+
+    // ───── functional-dependency discovery (r15): does LHS → RHS hold
+    // in the data — the profiling step schema-inference and
+    // normalization tools run before declaring keys (Huhtala et al.'s
+    // TANE checks these candidate-by-candidate; here the candidate list
+    // is the declared audit set). Per candidate: one LHS hash-agg with
+    // a distinct-RHS count — n_violating = LHS groups seeing >1 RHS
+    // value, max_rhs the worst fan-out; holds = 1 iff zero violations.
+    // Covers a true key FD (the lineitem composite PK), a hierarchy FD
+    // (nation → region), and three expected failures — a discovery
+    // report that only ever says "holds" is untrustworthy.
+    QuerySpec(
+      "profile_fd",
+      (s, d) => {
+        def fd(name: String, df: DataFrame, lhs: Seq[String], rhs: String) =
+          df.groupBy(lhs.map(col): _*)
+            .agg(countDistinct(col(rhs)).as("k"))
+            .agg(count(lit(1)).as("n_groups"),
+              sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violating"),
+              max("k").as("max_rhs"))
+            .select(lit(name).as("fd"), col("n_groups"),
+              col("n_violating"), col("max_rhs"),
+              when(col("n_violating") === 0, 1L).otherwise(0L).as("holds"))
+        fd("n_nationkey->n_regionkey", nation(s, d),
+            Seq("n_nationkey"), "n_regionkey")
+          .unionByName(fd("l_orderkey,l_linenumber->l_partkey",
+            lineitem(s, d), Seq("l_orderkey", "l_linenumber"), "l_partkey"))
+          .unionByName(fd("o_custkey->o_orderpriority", orders(s, d),
+            Seq("o_custkey"), "o_orderpriority"))
+          .unionByName(fd("p_brand->p_type", part(s, d),
+            Seq("p_brand"), "p_type"))
+          .unionByName(fd("s_nationkey->s_name", supplier(s, d),
+            Seq("s_nationkey"), "s_name"))
+      },
+      Some {
+        def fd(name: String, table: String, lhs: String, rhs: String) =
+          s"""
+        SELECT '$name' AS fd, COUNT(*) AS n_groups,
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating,
+               CAST(MAX(k) AS BIGINT) AS max_rhs,
+               CAST(CASE WHEN SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS holds
+        FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS k
+              FROM $table GROUP BY $lhs)"""
+        Seq(
+          fd("n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+          fd("l_orderkey,l_linenumber->l_partkey", "lineitem",
+            "l_orderkey, l_linenumber", "l_partkey"),
+          fd("o_custkey->o_orderpriority", "orders", "o_custkey",
+            "o_orderpriority"),
+          fd("p_brand->p_type", "part", "p_brand", "p_type"),
+          fd("s_nationkey->s_name", "supplier", "s_nationkey", "s_name"))
+          .mkString("\n        UNION ALL")
+      }),
+
+    // ───── inclusion-dependency discovery (r15): is every value of A.x
+    // present in B.y — the foreign-key discovery half of profile_fd's
+    // key discovery (De Marchi et al.; real catalogs audit declared FKs
+    // with exactly this). Per candidate: distinct-LHS anti-join count —
+    // n_missing = LHS values with no RHS partner, coverage in exact
+    // ppm. The candidate set covers the three true FKs of the schema
+    // and one DELIBERATE reverse direction (customers without orders —
+    // an IND report must demonstrate it can say no).
+    QuerySpec(
+      "profile_inclusion",
+      (s, d) => {
+        def ind(name: String, a: DataFrame, ac: String,
+                b: DataFrame, bc: String) = {
+          val lhs = a.select(col(ac).as("v")).distinct()
+            .localCheckpoint(true) // consumed by both counts
+          lhs.agg(count(lit(1)).as("n_lhs"))
+            .crossJoin(lhs.join(b.select(col(bc).as("v")).distinct(),
+              Seq("v"), "left_anti").agg(count(lit(1)).as("n_missing")))
+            .select(lit(name).as("ind"), col("n_lhs"), col("n_missing"),
+              expr("(n_lhs - n_missing) * 1000000 div n_lhs")
+                .as("coverage_ppm"),
+              when(col("n_missing") === 0, 1L).otherwise(0L).as("holds"))
+        }
+        ind("lineitem.l_orderkey<=orders.o_orderkey",
+            lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey")
+          .unionByName(ind("orders.o_custkey<=customer.c_custkey",
+            orders(s, d), "o_custkey", customer(s, d), "c_custkey"))
+          .unionByName(ind("lineitem.l_suppkey<=supplier.s_suppkey",
+            lineitem(s, d), "l_suppkey", supplier(s, d), "s_suppkey"))
+          .unionByName(ind("customer.c_custkey<=orders.o_custkey",
+            customer(s, d), "c_custkey", orders(s, d), "o_custkey"))
+      },
+      Some {
+        def ind(name: String, ta: String, ca: String, tb: String, cb: String) =
+          s"""
+        SELECT '$name' AS ind, n_lhs, n_missing,
+               CAST((n_lhs - n_missing) * 1000000 // n_lhs AS BIGINT)
+                 AS coverage_ppm,
+               CAST(CASE WHEN n_missing = 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS holds
+        FROM (SELECT (SELECT COUNT(DISTINCT $ca) FROM $ta) AS n_lhs,
+                     (SELECT COUNT(*) FROM
+                        (SELECT DISTINCT $ca AS v FROM $ta) l
+                      WHERE NOT EXISTS (SELECT 1 FROM $tb
+                                        WHERE $cb = l.v)) AS n_missing)"""
+        Seq(
+          ind("lineitem.l_orderkey<=orders.o_orderkey",
+            "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          ind("orders.o_custkey<=customer.c_custkey",
+            "orders", "o_custkey", "customer", "c_custkey"),
+          ind("lineitem.l_suppkey<=supplier.s_suppkey",
+            "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          ind("customer.c_custkey<=orders.o_custkey",
+            "customer", "c_custkey", "orders", "o_custkey"))
+          .mkString("\n        UNION ALL")
+      }),
 
     // ───── column-level data profiling (r8): per-column row / null /
     // distinct counts over the CDC log — the DESCRIBE-statistics report

@@ -3568,21 +3568,13 @@ object StatQueries {
         val b = events(s, d).select(
           expr("cast(round(value * 100) as bigint) div 1000").as("bin"),
           when(col("ts") < half, lit("a")).otherwise(lit("b")).as("w"))
-        val cells = b.groupBy("bin")
-          .agg(sum(when(col("w") === "a", 1L).otherwise(0L)).as("o_a"),
-            sum(when(col("w") === "b", 1L).otherwise(0L)).as("o_b"))
-        val tot = cells.agg(sum(col("o_a") + col("o_b")).as("nn"),
-          sum("o_a").as("ca"), sum("o_b").as("cb"))
-        cells.crossJoin(broadcast(tot))
-          .select(col("bin"), col("o_a"), col("o_b"),
-            expr("""cast(1000 * (cast(o_a as decimal(38,0)) * nn - cast(o_a + o_b as decimal(38,0)) * ca)
-                    * (cast(o_a as decimal(38,0)) * nn - cast(o_a + o_b as decimal(38,0)) * ca)
-                    div (cast(nn as decimal(38,0)) * (o_a + o_b) * ca) as bigint)""")
-              .as("dev_a_milli"),
-            expr("""cast(1000 * (cast(o_b as decimal(38,0)) * nn - cast(o_a + o_b as decimal(38,0)) * cb)
-                    * (cast(o_b as decimal(38,0)) * nn - cast(o_a + o_b as decimal(38,0)) * cb)
-                    div (cast(nn as decimal(38,0)) * (o_a + o_b) * cb) as bigint)""")
-              .as("dev_b_milli"))
+        // the χ² cell formula lives in ONE implementation
+        // (StreamingScoreDrift.chi2Cells), shared with the r15 streaming
+        // monitor — spec-equal by construction, never by parallel code
+        graft.streaming.StreamingScoreDrift.chi2Cells(
+          b.groupBy("bin")
+            .agg(sum(when(col("w") === "a", 1L).otherwise(0L)).as("o_a"),
+              sum(when(col("w") === "b", 1L).otherwise(0L)).as("o_b")))
       },
       Some("""
         WITH b AS (
@@ -3601,12 +3593,14 @@ object StatQueries {
                  CAST(SUM(o_b) AS BIGINT) AS cb
           FROM cells)
         SELECT bin, o_a, o_b,
-               CAST(1000 * (CAST(o_a AS HUGEINT) * nn - CAST(o_a + o_b AS HUGEINT) * ca)
+               CASE WHEN ca = 0 OR cb = 0 OR o_a + o_b = 0 THEN 0
+               ELSE CAST(1000 * (CAST(o_a AS HUGEINT) * nn - CAST(o_a + o_b AS HUGEINT) * ca)
                     * (CAST(o_a AS HUGEINT) * nn - CAST(o_a + o_b AS HUGEINT) * ca)
-                    // (CAST(nn AS HUGEINT) * (o_a + o_b) * ca) AS BIGINT) AS dev_a_milli,
-               CAST(1000 * (CAST(o_b AS HUGEINT) * nn - CAST(o_a + o_b AS HUGEINT) * cb)
+                    // (CAST(nn AS HUGEINT) * (o_a + o_b) * ca) AS BIGINT) END AS dev_a_milli,
+               CASE WHEN ca = 0 OR cb = 0 OR o_a + o_b = 0 THEN 0
+               ELSE CAST(1000 * (CAST(o_b AS HUGEINT) * nn - CAST(o_a + o_b AS HUGEINT) * cb)
                     * (CAST(o_b AS HUGEINT) * nn - CAST(o_a + o_b AS HUGEINT) * cb)
-                    // (CAST(nn AS HUGEINT) * (o_a + o_b) * cb) AS BIGINT) AS dev_b_milli
+                    // (CAST(nn AS HUGEINT) * (o_a + o_b) * cb) AS BIGINT) END AS dev_b_milli
         FROM cells, tot""")),
 
     // ───── McNemar's test (r14): the paired 2×2 before/after check —
@@ -4201,6 +4195,363 @@ object StatQueries {
                        * (2.0 * CAST(n_used AS DOUBLE) + 1.0)
                        - CAST((SELECT tie_sum FROM ties) AS DOUBLE) / 2.0) / 24.0)
                  AS z
-        FROM agg"""))
+        FROM agg""")),
+
+    // ───── Cost-sensitive threshold curve (r15): ml_pr_curve walks
+    // precision/recall; a deployment picks its operating point by
+    // COST — expected cost(t) = FP(t)·c_FP + FN(t)·c_FN with declared
+    // unit costs (c_FP = 1, c_FN = 5: a missed purchase is five times a
+    // false alert — the asymmetry that makes accuracy the wrong
+    // objective). Thresholds are the ≤ ~56 kilocent score bins (the
+    // ml_score_drift binning); FP/FN come from cumulative counts over
+    // the bounded histogram — exact integers, per-threshold audit rows,
+    // the argmin is the consumer's one ORDER BY.
+    QuerySpec(
+      "ml_cost_curve",
+      (s, d) => {
+        val b = events(s, d).select(
+          expr("cast(round(value * 100) as bigint) div 1000").as("thr"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        val hist = b.groupBy("thr")
+          .agg(sum("pos").as("p_i"),
+            sum(lit(1L) - col("pos")).as("n_i"))
+        // predict positive when bin >= thr: FP = negatives at bins >= thr,
+        // FN = positives at bins < thr — strict/inclusive cumulative
+        // windows over the bounded bin domain
+        val wLt = Window.orderBy("thr")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tot = hist.agg(sum("p_i").as("tp_all"), sum("n_i").as("tn_all"))
+        hist
+          .withColumn("fn", coalesce(sum("p_i").over(wLt), lit(0L)))
+          .withColumn("neg_lt", coalesce(sum("n_i").over(wLt), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .select(col("thr"), col("fn"),
+            (col("tn_all") - col("neg_lt")).as("fp"),
+            ((col("tn_all") - col("neg_lt")) * 1L + col("fn") * 5L)
+              .as("cost"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS thr,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+          FROM events),
+        hist AS (
+          SELECT thr, CAST(SUM(pos) AS BIGINT) AS p_i,
+                 CAST(SUM(1 - pos) AS BIGINT) AS n_i
+          FROM b GROUP BY 1),
+        tot AS (SELECT CAST(SUM(p_i) AS BIGINT) AS tp_all,
+                       CAST(SUM(n_i) AS BIGINT) AS tn_all FROM hist),
+        cum AS (
+          SELECT thr,
+                 CAST(COALESCE(SUM(p_i) OVER (ORDER BY thr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS fn,
+                 CAST(COALESCE(SUM(n_i) OVER (ORDER BY thr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS neg_lt
+          FROM hist)
+        SELECT thr, fn, tn_all - neg_lt AS fp,
+               (tn_all - neg_lt) * 1 + fn * 5 AS cost
+        FROM cum, tot""")),
+
+    // ───── Two-sample Kolmogorov–Smirnov (r15): the distribution-level
+    // complement of stat_ks_uniform (one-sample vs a reference) — do
+    // purchase and click draw VALUES from the same distribution? D =
+    // max_x |F_a(x) − F_b(x)| computed EXACTLY over the cents-bounded
+    // value histogram: cumulative counts per side via the ordered
+    // window over the bounded value domain (the stat_spearman
+    // discipline — never the event stream), the max of
+    // |cum_a·n_b − cum_b·n_a| in exact integers (cross-multiplied, so
+    // no per-row division truncation can reorder the argmax), one
+    // final ppm division. The argmax value (smallest cents achieving
+    // the max — a total order) is reported: WHERE the distributions
+    // diverge most is the actionable readout.
+    QuerySpec(
+      "stat_ks_two_sample",
+      (s, d) => {
+        val c = events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(expr("cast(round(value * 100) as bigint)").as("x"),
+            col("event_type").as("g"))
+        val hist = c.groupBy("x")
+          .agg(sum(when(col("g") === "purchase", 1L).otherwise(0L)).as("ha"),
+            sum(when(col("g") === "click", 1L).otherwise(0L)).as("hb"))
+        val w = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = hist
+          .withColumn("cum_a", sum("ha").over(w))
+          .withColumn("cum_b", sum("hb").over(w))
+        val tot = cum.agg(max("cum_a").as("na"), max("cum_b").as("nb"))
+        val diff = cum.crossJoin(broadcast(tot))
+          .select(col("x"), col("na"), col("nb"),
+            abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))
+              .as("dxm"))
+        diff.agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+            max(struct(col("dxm"), -col("x"))).as("m"))
+          .select(col("na"), col("nb"),
+            col("m.dxm").as("d_cross_max"),
+            (-col("m.col2")).as("argmax_cents"),
+            expr("m.dxm * 1000000 div (na * nb)").as("ks_ppm"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS x, event_type AS g
+          FROM events WHERE event_type IN ('purchase', 'click')),
+        hist AS (
+          SELECT x,
+                 CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ha,
+                 CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS hb
+          FROM c GROUP BY 1),
+        cum AS (
+          SELECT x,
+                 SUM(ha) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+                 SUM(hb) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+          FROM hist),
+        tot AS (SELECT CAST(MAX(cum_a) AS BIGINT) AS na,
+                       CAST(MAX(cum_b) AS BIGINT) AS nb FROM cum),
+        diff AS (
+          SELECT x, na, nb, abs(cum_a * nb - cum_b * na) AS dxm
+          FROM cum, tot)
+        SELECT MAX(na) AS na, MAX(nb) AS nb,
+               CAST(MAX(dxm) AS BIGINT) AS d_cross_max,
+               CAST((SELECT MIN(x) FROM diff
+                     WHERE dxm = (SELECT MAX(dxm) FROM diff)) AS BIGINT)
+                 AS argmax_cents,
+               CAST(MAX(dxm) * 1000000 // (MAX(na) * MAX(nb)) AS BIGINT)
+                 AS ks_ppm
+        FROM diff""")),
+
+    // ───── Mann–Kendall trend test (r15): the nonparametric "is the
+    // daily series trending?" check — no linearity or normality
+    // assumption (events_theil_sen estimates the slope; this tests its
+    // SIGNIFICANCE). S = Σ_{i<j} sign(x_j − x_i) over the ≤31-day daily
+    // revenue series (the pair join is calendar-bounded: ≤ C(31,2) =
+    // 465 pairs at any corpus size). Tie-corrected variance exact as
+    // var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (integer; Var = var18/18);
+    // z is the one final double expression, with the standard ±1
+    // continuity correction and the S=0 case defined as 0 identically
+    // in both engines.
+    QuerySpec(
+      "stat_mann_kendall",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))
+        val sStat = daily.as("a").join(daily.as("b"),
+            col("a.day") < col("b.day"))
+          .agg(coalesce(sum(signum(col("b.x") - col("a.x")).cast("long")),
+            lit(0L)).as("s_stat"))
+        val ties = daily.groupBy("x").agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+            .as("tie_term"))
+        daily.agg(count(lit(1)).as("n_days"))
+          .crossJoin(sStat).crossJoin(ties)
+          .select(col("n_days"), col("s_stat"), col("tie_term"),
+            expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term")
+              .as("var18"),
+            expr("""case when s_stat = 0 or var18 <= 0 then 0.0
+                    else (cast(s_stat as double)
+                          - (case when s_stat > 0 then 1.0 else -1.0 end))
+                         / sqrt(cast(var18 as double) / 18.0) end""").as("z"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        s AS (
+          SELECT CAST(COALESCE(SUM(CASE WHEN b.x > a.x THEN 1
+                                        WHEN b.x < a.x THEN -1
+                                        ELSE 0 END), 0) AS BIGINT) AS s_stat
+          FROM daily a JOIN daily b ON a.day < b.day),
+        t AS (
+          SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+            AS tie_term
+          FROM (SELECT x, COUNT(*) AS t FROM daily GROUP BY 1)),
+        n AS (SELECT COUNT(*) AS n_days FROM daily)
+        SELECT n_days, s_stat, tie_term,
+               CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                 AS BIGINT) AS var18,
+               CASE WHEN s_stat = 0
+                      OR n_days * (n_days - 1) * (2 * n_days + 5) - tie_term <= 0
+                    THEN 0.0
+               ELSE (CAST(s_stat AS DOUBLE)
+                     - (CASE WHEN s_stat > 0 THEN 1.0 ELSE -1.0 END))
+                    / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                                - tie_term AS DOUBLE) / 18.0) END AS z
+        FROM n, s, t""")),
+
+    // ───── Cliff's delta (r15): the ordinal effect SIZE companion to
+    // stat_mann_whitney's significance — P(purchase value > click
+    // value) − P(<), computed EXACTLY without the na·nb pair join:
+    // #(a>b) = Σ_x h_a(x)·cumB(<x) off the cents-bounded two-side
+    // histogram (strict/inclusive cumulative windows over the bounded
+    // value domain), ties counted explicitly. Everything integer until
+    // the one final ppm division; |delta| bands (negligible < 0.147 <
+    // small < 0.33 < medium < 0.474, Romano et al.) left to the
+    // consumer — the ppm IS the effect size.
+    QuerySpec(
+      "stat_cliffs_delta",
+      (s, d) => {
+        val c = events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(expr("cast(round(value * 100) as bigint)").as("x"),
+            col("event_type").as("g"))
+        val hist = c.groupBy("x")
+          .agg(sum(when(col("g") === "purchase", 1L).otherwise(0L)).as("ha"),
+            sum(when(col("g") === "click", 1L).otherwise(0L)).as("hb"))
+        val wLt = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wLe = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = hist
+          .withColumn("b_lt", coalesce(sum("hb").over(wLt), lit(0L)))
+          .withColumn("b_le", sum("hb").over(wLe))
+        val tot = cum.agg(sum("ha").as("na"), sum("hb").as("nb"))
+        cum.crossJoin(broadcast(tot))
+          .agg(max("na").as("na"), max("nb").as("nb"),
+            sum(col("ha") * col("b_lt")).as("n_gt"),
+            sum(col("ha") * (col("nb") - col("b_le"))).as("n_lt"),
+            sum(col("ha") * (col("b_le") - col("b_lt"))).as("n_tie"))
+          .select(col("na"), col("nb"), col("n_gt"), col("n_lt"),
+            col("n_tie"),
+            expr("""case when n_gt >= n_lt
+                    then (n_gt - n_lt) * 1000000 div (na * nb)
+                    else -((n_lt - n_gt) * 1000000 div (na * nb)) end""")
+              .as("delta_ppm"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS x, event_type AS g
+          FROM events WHERE event_type IN ('purchase', 'click')),
+        hist AS (
+          SELECT x,
+                 CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ha,
+                 CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS hb
+          FROM c GROUP BY 1),
+        cum AS (
+          SELECT x, ha,
+                 COALESCE(SUM(hb) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b_lt,
+                 SUM(hb) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_le
+          FROM hist),
+        tot AS (SELECT CAST(SUM(ha) AS BIGINT) AS na,
+                       CAST(SUM(hb) AS BIGINT) AS nb FROM hist),
+        agg AS (
+          SELECT MAX(na) AS na, MAX(nb) AS nb,
+                 CAST(SUM(ha * b_lt) AS BIGINT) AS n_gt,
+                 CAST(SUM(ha * (nb - b_le)) AS BIGINT) AS n_lt,
+                 CAST(SUM(ha * (b_le - b_lt)) AS BIGINT) AS n_tie
+          FROM cum, tot)
+        SELECT na, nb, n_gt, n_lt, n_tie,
+               CASE WHEN n_gt >= n_lt
+                 THEN CAST((n_gt - n_lt) * 1000000 // (na * nb) AS BIGINT)
+                 ELSE -CAST((n_lt - n_gt) * 1000000 // (na * nb) AS BIGINT)
+               END AS delta_ppm
+        FROM agg""")),
+
+    // ───── CUSUM control chart (r15): the sequential change detector
+    // events_ewma smooths past — cumulative sums of deviations from the
+    // series mean catch SMALL persistent shifts a per-day threshold
+    // misses. The textbook recursion C_t = max(0, C_{t−1} + d_t) is
+    // rewritten window-closed-form as C_t = S_t − min(0, min_{s≤t} S_s)
+    // (S = prefix sum of deviations) — pure bounded-calendar windows,
+    // no fold, both engines identical. Deviations are exact milli
+    // (d_i = x_i·1000 − k_milli, k_milli = total·1000 div n — one
+    // truncating division on NONNEGATIVE operands); both the upper and
+    // the mirrored lower chart are emitted per day.
+    QuerySpec(
+      "events_cusum",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val tot = daily.agg(sum("x").as("t"), count(lit(1)).as("n"))
+        val dev = daily.crossJoin(broadcast(tot))
+          .select(col("day"), col("x"),
+            (col("x") * 1000 - expr("t * 1000 div n")).as("d_milli"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        dev
+          .withColumn("s_milli", sum("d_milli").over(w))
+          .withColumn("cusum_up_milli",
+            col("s_milli") - least(lit(0L), min("s_milli").over(w)))
+          .withColumn("cusum_dn_milli",
+            greatest(lit(0L), max("s_milli").over(w)) - col("s_milli"))
+          .select("day", "x", "s_milli", "cusum_up_milli", "cusum_dn_milli")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+          FROM events GROUP BY 1),
+        tot AS (SELECT CAST(SUM(x) AS BIGINT) AS t,
+                       COUNT(*) AS n FROM daily),
+        dev AS (
+          SELECT day, x,
+                 CAST(x * 1000 - t * 1000 // n AS BIGINT) AS d_milli
+          FROM daily, tot),
+        pre AS (
+          SELECT day, x, d_milli,
+                 CAST(SUM(d_milli) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS s_milli
+          FROM dev)
+        SELECT day, x, s_milli,
+               CAST(s_milli - LEAST(0, MIN(s_milli) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+                 AS cusum_up_milli,
+               CAST(GREATEST(0, MAX(s_milli) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - s_milli
+                 AS BIGINT) AS cusum_dn_milli
+        FROM pre""")),
+
+    // ───── Durbin–Watson statistic (r15): is the daily revenue series'
+    // noise AUTOCORRELATED (DW ≪ 2) or alternating (DW ≫ 2)? The
+    // residual diagnostic behind every trend fit the events family
+    // ships (theil_sen, forecast_eval) — positive autocorrelation means
+    // those fits understate uncertainty. Residuals from the mean are
+    // exact ×n integers (e_i·n = x_i·n − T — the scale cancels in the
+    // ratio); both sums run in DECIMAL(38) (squares reach ~1e20 at
+    // sf0.1, past int64), one truncating milli division at the end.
+    QuerySpec(
+      "events_durbin_watson",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))
+        val tot = daily.agg(sum("x").as("t"), count(lit(1)).as("n"))
+        val w = Window.orderBy("day")
+        val e = daily.crossJoin(broadcast(tot))
+          .select(col("day"),
+            (col("x") * col("n") - col("t")).cast("decimal(38,0)").as("en"))
+          .withColumn("en_prev", lag("en", 1).over(w))
+        e.agg(count(lit(1)).as("n_days"),
+            sum(col("en") * col("en")).as("den"),
+            sum(when(col("en_prev").isNotNull,
+              (col("en") - col("en_prev")) * (col("en") - col("en_prev")))
+              .otherwise(lit(0).cast("decimal(38,0)"))).as("num"))
+          .select(col("n_days"),
+            expr("cast(num * 1000 div den as bigint)").as("dw_milli"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        tot AS (SELECT CAST(SUM(x) AS BIGINT) AS t, COUNT(*) AS n FROM daily),
+        e AS (
+          SELECT day, CAST(x * n - t AS HUGEINT) AS en
+          FROM daily, tot),
+        lagged AS (
+          SELECT en, LAG(en, 1) OVER (ORDER BY day) AS en_prev FROM e)
+        SELECT COUNT(*) AS n_days,
+               CAST(SUM(CASE WHEN en_prev IS NOT NULL
+                             THEN (en - en_prev) * (en - en_prev)
+                             ELSE 0 END) * 1000
+                    // SUM(en * en) AS BIGINT) AS dw_milli
+        FROM lagged"""))
   )
 }

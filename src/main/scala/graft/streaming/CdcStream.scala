@@ -236,6 +236,16 @@ object CdcStream {
     * failure never fails the batch: the merge is already durable, and
     * the next window simply retries.
     */
+  /** `quarantineDir` (r15, VERDICT r14 #6): when the target carries
+    * declared [[TableConstraints]], each batch's constraint-violating
+    * rows are split OUT before the merge — they land in `quarantineDir`
+    * (falling back to `deadletterDir` when unset) with
+    * `error = "check violation: <name>"` and the batch id as their
+    * audit row, the clean remainder merges normally, and the batch
+    * never fails for a data-quality reason (quarantine-instead-of-
+    * reject: rejecting would crash-loop the stream on one bad producer;
+    * silently applying would poison the table dq_scorecard watches).
+    */
   def applySink(cdc: DataFrame, targetDir: String, checkpointDir: String,
                 deadletterDir: String,
                 trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
@@ -243,7 +253,8 @@ object CdcStream {
                 retrySleep: Long => Unit = Thread.sleep,
                 compactEvery: Int = 0,
                 compactAtPpm: Long = 0,
-                amplifyCheckEvery: Int = 1): DataStreamWriter[org.apache.spark.sql.Row] =
+                amplifyCheckEvery: Int = 1,
+                quarantineDir: String = null): DataStreamWriter[org.apache.spark.sql.Row] =
     cdc.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -262,7 +273,25 @@ object CdcStream {
                   .otherwise(lit(s"poison: image exceeds $MaxImageBytes-byte queue budget")))
               .withColumn("batchId", lit(batchId))
               .write.mode("append").parquet(deadletterDir)
-          val valid = full.filter(!isPoison)
+          val checks = TableConstraints.read(
+            spark.sessionState.newHadoopConf(), targetDir)
+          val valid = if (checks.isEmpty) full.filter(!isPoison) else {
+            val flagged = full.filter(!isPoison)
+              .withColumn("_check_violation",
+                TableConstraints.violationCol(checks))
+            val bad = flagged.filter(col("_check_violation").isNotNull)
+            if (!bad.isEmpty)
+              bad
+                .withColumn("error",
+                  concat(lit("check violation: "), col("_check_violation")))
+                .drop("_check_violation")
+                .withColumn("batchId", lit(batchId))
+                .write.mode("append")
+                .parquet(if (quarantineDir != null) quarantineDir
+                         else deadletterDir)
+            flagged.filter(col("_check_violation").isNull)
+              .drop("_check_violation")
+          }
           try {
             withRetry(retryAttempts, sleep = retrySleep) {
               SnapshotStore.mergeIntoTarget(spark, targetDir, compactDelta(valid), batchId)
