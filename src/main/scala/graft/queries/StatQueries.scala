@@ -4197,6 +4197,150 @@ object StatQueries {
                  AS z
         FROM agg""")),
 
+    // ───── In-engine decision-stump trainer (r15): the simplest
+    // tree-family model trained ENTIRELY as relational algebra — the
+    // missing member next to the perceptron (text_classifier_train),
+    // the unigram/KN LMs, BPE and k-means. Features are the bounded
+    // domains hour-of-day (24), kilocents (≤~57) and day-of-week (7);
+    // label = purchase. TEMPORAL holdout (train < Jan 16 < test — the
+    // leakage-safe split the eval family standardizes on). Split search
+    // is exact: per-feature value histograms (bounded), strict
+    // cumulative windows give each candidate "f ≤ t"'s left/right
+    // (n, pos) counts, and the weighted-Gini objective is maximized as
+    // the DECLARED fixed-point score Σ_side (pos²+neg²)·1e6 div n in
+    // DECIMAL(38) (pos² ~1e16 at 1e8 rows — past int64) — the argmax
+    // rides a ROW_NUMBER over the ≤88 candidate rows (a bounded-domain
+    // window). Per-leaf majority vote from TRAIN counts, then test
+    // accuracy vs the majority baseline — a trainer without an eval is
+    // asserted, not measured.
+    QuerySpec(
+      "ml_tree_stump",
+      (s, d) => {
+        val half = lit("2024-01-16 00:00:00").cast("timestamp")
+        val base = events(s, d).select(
+          (col("ts") < half).as("is_train"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+          hour(col("ts")).cast("long").as("hour"),
+          expr("cast(round(value * 100) as bigint) div 1000").as("kc"),
+          dayofweek(col("ts")).cast("long").as("dow"))
+        val train = base.filter(col("is_train"))
+        val hist = Seq(("hour", "hour"), ("kc", "kc"), ("dow", "dow"))
+          .map { case (name, c) =>
+            train.groupBy(col(c).as("v"))
+              .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+              .select(lit(name).as("feat"), col("v"), col("n"), col("pos"))
+          }.reduce(_ unionByName _)
+        val w = Window.partitionBy("feat").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = train.agg(count(lit(1)).as("nt"), sum("y").as("post"))
+        val cand = hist
+          .withColumn("nl", sum("n").over(w))
+          .withColumn("posl", sum("pos").over(w))
+          .crossJoin(broadcast(tot))
+          .filter(col("nl") < col("nt")) // both sides non-empty
+          .select(col("feat"), col("v").as("thr"),
+            col("nl"), col("posl"),
+            (col("nt") - col("nl")).as("nr"),
+            (col("post") - col("posl")).as("posr"))
+          .withColumn("score", expr(
+            """cast((cast(posl as decimal(38,0)) * posl
+                     + cast(nl - posl as decimal(38,0)) * (nl - posl))
+                    * 1000000 div nl
+                    + (cast(posr as decimal(38,0)) * posr
+                       + cast(nr - posr as decimal(38,0)) * (nr - posr))
+                      * 1000000 div nr as decimal(38,0))"""))
+        val wBest = Window.orderBy(col("score").desc, col("feat"), col("thr"))
+        val best = cand.withColumn("rk", row_number().over(wBest))
+          .filter(col("rk") === 1)
+          .select(col("feat"), col("thr"),
+            col("score").cast("string").as("score"),
+            when(col("posl") * 2 > col("nl"), 1L).otherwise(0L).as("pred_l"),
+            when(col("posr") * 2 > col("nr"), 1L).otherwise(0L).as("pred_r"))
+        val test = base.filter(!col("is_train"))
+        test.crossJoin(broadcast(best))
+          .withColumn("fv", when(col("feat") === "hour", col("hour"))
+            .when(col("feat") === "kc", col("kc")).otherwise(col("dow")))
+          .withColumn("pred",
+            when(col("fv") <= col("thr"), col("pred_l"))
+              .otherwise(col("pred_r")))
+          .agg(max("feat").as("feat"), max("thr").as("thr"),
+            max("score").as("score"),
+            count(lit(1)).as("n_test"),
+            sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("hits"),
+            sum(when(col("y") === 0, 1L).otherwise(0L)).as("n_neg"))
+          .select(col("feat"), col("thr"), col("score"), col("n_test"),
+            expr("hits * 1000000 div n_test").as("acc_ppm"),
+            expr("""case when n_neg * 2 >= n_test
+                    then n_neg * 1000000 div n_test
+                    else (n_test - n_neg) * 1000000 div n_test end""")
+              .as("baseline_ppm"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT (ts < TIMESTAMP '2024-01-16 00:00:00') AS is_train,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                 CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                 CAST(round(value * 100) AS BIGINT) // 1000 AS kc,
+                 CAST(EXTRACT(dow FROM ts) + 1 AS BIGINT) AS dow
+          FROM events),
+        train AS (SELECT * FROM base WHERE is_train),
+        hist AS (
+          SELECT 'hour' AS feat, hour AS v, COUNT(*) AS n,
+                 CAST(SUM(y) AS BIGINT) AS pos FROM train GROUP BY 2
+          UNION ALL
+          SELECT 'kc', kc, COUNT(*), CAST(SUM(y) AS BIGINT)
+          FROM train GROUP BY 2
+          UNION ALL
+          SELECT 'dow', dow, COUNT(*), CAST(SUM(y) AS BIGINT)
+          FROM train GROUP BY 2),
+        tot AS (SELECT COUNT(*) AS nt, CAST(SUM(y) AS BIGINT) AS post
+                FROM train),
+        cum AS (
+          SELECT feat, v AS thr,
+                 CAST(SUM(n) OVER (PARTITION BY feat ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS nl,
+                 CAST(SUM(pos) OVER (PARTITION BY feat ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS posl
+          FROM hist),
+        cand AS (
+          SELECT feat, thr, nl, posl, nt - nl AS nr, post - posl AS posr,
+                 (CAST(posl AS HUGEINT) * posl
+                  + CAST(nl - posl AS HUGEINT) * (nl - posl)) * 1000000 // nl
+                 + (CAST(post - posl AS HUGEINT) * (post - posl)
+                    + CAST((nt - nl) - (post - posl) AS HUGEINT)
+                      * ((nt - nl) - (post - posl))) * 1000000 // (nt - nl)
+                   AS score
+          FROM cum, tot WHERE nl < nt),
+        best AS (
+          SELECT feat, thr, CAST(score AS VARCHAR) AS score,
+                 CASE WHEN posl * 2 > nl THEN 1 ELSE 0 END AS pred_l,
+                 CASE WHEN posr * 2 > nr THEN 1 ELSE 0 END AS pred_r
+          FROM (SELECT *, ROW_NUMBER() OVER (
+                  ORDER BY score DESC, feat, thr) AS rk FROM cand)
+          WHERE rk = 1),
+        test AS (SELECT * FROM base WHERE NOT is_train),
+        scored AS (
+          SELECT b.feat, b.thr, b.score, t.y,
+                 CASE WHEN (CASE WHEN b.feat = 'hour' THEN t.hour
+                                 WHEN b.feat = 'kc' THEN t.kc
+                                 ELSE t.dow END) <= b.thr
+                      THEN b.pred_l ELSE b.pred_r END AS pred
+          FROM test t, best b)
+        SELECT MAX(feat) AS feat, CAST(MAX(thr) AS BIGINT) AS thr,
+               MAX(score) AS score, COUNT(*) AS n_test,
+               CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS acc_ppm,
+               CAST(CASE WHEN SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) * 2
+                           >= COUNT(*)
+                    THEN SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) * 1000000
+                         // COUNT(*)
+                    ELSE (COUNT(*) - SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END))
+                         * 1000000 // COUNT(*) END AS BIGINT)
+                 AS baseline_ppm
+        FROM scored""")),
+
     // ───── Cost-sensitive threshold curve (r15): ml_pr_curve walks
     // precision/recall; a deployment picks its operating point by
     // COST — expected cost(t) = FP(t)·c_FP + FN(t)·c_FN with declared

@@ -614,4 +614,42 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$q should be agg-only:\n$p")
     }
   }
+
+  test("graph_scc / graph_condensation: readouts ride the materialized peel (ExistingRDD), no cartesian") {
+    // the SCC labels come from the checkpointed iterative peel — the
+    // consuming plans must read the materialized frames, never re-derive
+    // the rounds (the graph_hits lineage discipline), and the quotient
+    // join must stay an equi-join
+    for (q <- Seq("graph_scc", "graph_condensation")) {
+      val p = plan(q)
+      assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+        s"$q must consume the checkpointed peel:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+    }
+  }
+
+  test("rec_hitrate: retrain + eval stay equi-join shaped (no catalog×users stage)") {
+    val p = plan("rec_hitrate")
+    assert(!p.contains("CartesianProduct"), s"rec_hitrate grew a cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"rec_hitrate lost its equi-joins:\n$p")
+  }
+
+  test("ml_tree_stump: split search is windows over bounded histograms, " +
+      "apply is one broadcast of the 1-row model") {
+    val p = plan("ml_tree_stump")
+    assert(!p.contains("CartesianProduct"), s"stump grew a cartesian:\n$p")
+    // the only nested-loop is the broadcast of the single best-split row
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"stump model must broadcast:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"histograms must combine map-side:\n$p")
+  }
+
+  test("dedup_canopy: candidate generation is the membership equi-join, never doc×doc") {
+    val p = plan("dedup_canopy")
+    assert(!p.contains("CartesianProduct"), s"canopy grew a cartesian:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"canopy must ride the checkpointed MIS frames:\n$p")
+  }
 }
