@@ -4801,6 +4801,81 @@ object RelationalQueries {
           WHERE event_type = 'purchase')
         GROUP BY channel""")),
 
+    // ───── Nearest as-of join (r15): join_pit_features ships the
+    // BACKWARD as-of (last value at-or-before — the leakage-safe
+    // feature join); sensor/trading alignment also needs NEAREST
+    // semantics: match each purchase to the closest click by the same
+    // user in EITHER direction, ties to the earlier (backward) side.
+    // Implemented as two per-user ordered windows (last click strictly
+    // before / first click strictly after — bounded by per-user event
+    // counts, never a time-cross-join); emits the direction mix, the
+    // unmatched count, and exact microsecond-distance aggregates.
+    QuerySpec(
+      "join_asof_nearest",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+        val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+        val isClick = col("event_type") === "click"
+        events(s, d)
+          .withColumn("prev_us", last(when(isClick,
+            expr("unix_micros(ts)")), ignoreNulls = true).over(wPrev))
+          .withColumn("next_us", first(when(isClick,
+            expr("unix_micros(ts)")), ignoreNulls = true).over(wNext))
+          .filter(col("event_type") === "purchase")
+          .withColumn("d_prev",
+            when(col("prev_us").isNotNull,
+              expr("unix_micros(ts)") - col("prev_us")))
+          .withColumn("d_next",
+            when(col("next_us").isNotNull,
+              col("next_us") - expr("unix_micros(ts)")))
+          .withColumn("side",
+            when(col("d_prev").isNull && col("d_next").isNull, lit("none"))
+              .when(col("d_next").isNull, lit("backward"))
+              .when(col("d_prev").isNull, lit("forward"))
+              .when(col("d_prev") <= col("d_next"), lit("backward"))
+              .otherwise(lit("forward")))
+          .withColumn("dist_us",
+            when(col("side") === "backward", col("d_prev"))
+              .when(col("side") === "forward", col("d_next")))
+          .groupBy("side")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum("dist_us"), lit(0L)).as("dist_us_sum"),
+            coalesce(max("dist_us"), lit(0L)).as("max_dist_us"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'click'
+                                 THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_us,
+                 FIRST_VALUE(CASE WHEN event_type = 'click'
+                                  THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_us
+          FROM events),
+        p AS (
+          SELECT CASE WHEN prev_us IS NULL AND next_us IS NULL THEN 'none'
+                      WHEN next_us IS NULL THEN 'backward'
+                      WHEN prev_us IS NULL THEN 'forward'
+                      WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts)
+                        THEN 'backward'
+                      ELSE 'forward' END AS side,
+                 CASE WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+                      WHEN next_us IS NULL THEN epoch_us(ts) - prev_us
+                      WHEN prev_us IS NULL THEN next_us - epoch_us(ts)
+                      WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts)
+                        THEN epoch_us(ts) - prev_us
+                      ELSE next_us - epoch_us(ts) END AS dist_us
+          FROM o WHERE event_type = 'purchase')
+        SELECT side, COUNT(*) AS n,
+               CAST(COALESCE(SUM(dist_us), 0) AS BIGINT) AS dist_us_sum,
+               CAST(COALESCE(MAX(dist_us), 0) AS BIGINT) AS max_dist_us
+        FROM p GROUP BY 1""")),
+
     // ───── Session statistics (r15): the engagement-shape rollup on
     // top of sessionization (cdc_sessionize ships the CDC face; this is
     // the events face the product team reads) — 30-minute inactivity

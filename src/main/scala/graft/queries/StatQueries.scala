@@ -1321,6 +1321,107 @@ object StatQueries {
                4 * obs - n - 2 * true_cnt AS err_x2
         FROM agg""")),
 
+    // ───── CUPED variance reduction (r15): the industry-standard A/B
+    // speedup (Deng et al., WSDM 2013) — regress each user's POST-period
+    // metric on their PRE-period covariate and measure how much metric
+    // variance the adjustment removes (reduction = ρ², so an experiment
+    // needs (1−ρ²)× the sample for the same power). Per-user pre/post
+    // purchase-revenue cents off the full user spine (zero-activity
+    // periods count as 0 — dropping them is the classic CUPED prep
+    // mistake); θ and the reduction are computed from DECLARED
+    // milli-precision moment ratios (cov·1000 div n², var·1000 div n² —
+    // keeps every product inside DECIMAL(38)/HUGEINT at any corpus
+    // size, where the raw (nΣxy−ΣxΣy)² form overflows); degenerate
+    // zero-variance inputs are defined as 0 identically in both engines.
+    QuerySpec(
+      "events_cuped",
+      (s, d) => {
+        val half = lit("2024-01-16 00:00:00").cast("timestamp")
+        val per = events(s, d)
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("event_type") === "purchase" && col("ts") < half,
+              expr("cast(round(value * 100) as bigint)")).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "purchase" && col("ts") >= half,
+              expr("cast(round(value * 100) as bigint)")).otherwise(0L))
+              .as("y"))
+        per.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum(col("y").cast("decimal(38,0)")).as("sy"),
+            sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+            sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+            sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+          .select(col("n").cast("long").as("n_users"),
+            col("sx").cast("long").as("sum_pre_cents"),
+            col("sy").cast("long").as("sum_post_cents"),
+            // cov can be NEGATIVE: truncation spelled toward zero
+            // explicitly (the theil_sen sign discipline)
+            expr("""case when n * sxy >= sx * sy then 1 else -1 end
+                    * (abs(n * sxy - sx * sy) * 1000 div (n * n))""")
+              .cast("long")
+              .as("cov_milli"),
+            expr("cast((n * sxx - sx * sx) * 1000 div (n * n) as bigint)")
+              .as("var_pre_milli"),
+            expr("cast((n * syy - sy * sy) * 1000 div (n * n) as bigint)")
+              .as("var_post_milli"))
+          .select(col("n_users"), col("sum_pre_cents"),
+            col("sum_post_cents"), col("cov_milli"), col("var_pre_milli"),
+            col("var_post_milli"),
+            expr("""case when var_pre_milli = 0 then 0
+                    else (case when cov_milli >= 0 then 1L else -1L end)
+                         * (abs(cov_milli) * 1000 div var_pre_milli) end""")
+              .as("theta_milli"),
+            expr("""case when var_pre_milli = 0 or var_post_milli = 0 then 0
+                    else cast(cast(cov_milli as decimal(38,0)) * cov_milli
+                         * 1000000 div (cast(var_pre_milli as decimal(38,0))
+                                        * var_post_milli) as bigint) end""")
+              .as("var_reduction_ppm"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                               THEN CAST(round(value * 100) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                               THEN CAST(round(value * 100) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        m AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                 CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+          FROM per),
+        milli AS (
+          SELECT CAST(n AS BIGINT) AS n_users,
+                 CAST(sx AS BIGINT) AS sum_pre_cents,
+                 CAST(sy AS BIGINT) AS sum_post_cents,
+                 CAST((CASE WHEN n * sxy >= sx * sy THEN 1 ELSE -1 END)
+                      * (abs(n * sxy - sx * sy) * 1000 // (n * n))
+                      AS BIGINT) AS cov_milli,
+                 CAST((n * sxx - sx * sx) * 1000 // (n * n) AS BIGINT)
+                   AS var_pre_milli,
+                 CAST((n * syy - sy * sy) * 1000 // (n * n) AS BIGINT)
+                   AS var_post_milli
+          FROM m)
+        SELECT n_users, sum_pre_cents, sum_post_cents, cov_milli,
+               var_pre_milli, var_post_milli,
+               CASE WHEN var_pre_milli = 0 THEN 0
+                 ELSE CAST((CASE WHEN cov_milli >= 0 THEN 1 ELSE -1 END)
+                      * (abs(cov_milli) * 1000 // var_pre_milli) AS BIGINT)
+                 END AS theta_milli,
+               CASE WHEN var_pre_milli = 0 OR var_post_milli = 0 THEN 0
+                 ELSE CAST(CAST(cov_milli AS HUGEINT) * cov_milli * 1000000
+                      // (CAST(var_pre_milli AS HUGEINT) * var_post_milli)
+                      AS BIGINT) END AS var_reduction_ppm
+        FROM milli""")),
+
     // ───── difference-in-differences uplift — the quasi-experimental
     // causal estimate when randomization isn't available (rollout
     // cohorts, staged launches): did = (T_post − T_pre) − (C_post −
