@@ -518,6 +518,149 @@ object MultimodalQueries {
                  AS energy_sum
         FROM samp""")),
 
+    // ───── Color-diversity Gini through the REAL codec (r15): the
+    // log-free complexity score curation uses to separate flat
+    // synthetic graphics from textured photographic content — per
+    // image, Gini impurity of the 64-cell RGB-cube histogram
+    // (1 − Σ(c/n)², exact ppm: 1e6 − Σc²·1e6 div n²) plus the distinct
+    // cell count, computed from the SAME PNG encode→ImageIO decode
+    // round-trip as mm_dominant_color (equality vs the pixel-formula
+    // oracle keeps proving the codec path lossless); corpus rollup by
+    // impurity decile.
+    QuerySpec(
+      "mm_color_gini",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200).as[Long]
+          .map { id =>
+            val w = 16 + (id % 16).toInt
+            val h = 16 + (id % 9).toInt
+            def px(i: Int): Int = ((id * 31 + i) % 256).toInt
+            val bi = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = (y * w + x) * 3
+                bi.setRGB(x, y,
+                  (px(base) << 16) | (px(base + 1) << 8) | px(base + 2))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(bi, "png", bos)
+            val (dw, dh, _, raster) = MediaCodecs.decodeImageIo(bos.toByteArray)
+            val counts = new Array[Long](64)
+            var i = 0
+            val n = (dw * dh).toLong
+            while (i < n) {
+              val o = i.toInt * 3
+              counts(((raster(o) & 0xff) / 64) * 16 +
+                ((raster(o + 1) & 0xff) / 64) * 4 +
+                ((raster(o + 2) & 0xff) / 64)) += 1
+              i += 1
+            }
+            val sumsq = counts.map(c => c * c).sum
+            val nCodes = counts.count(_ > 0).toLong
+            (id, n, nCodes, 1000000L - sumsq * 1000000L / (n * n))
+          }
+          .toDF("img_id", "n_px", "n_codes", "gini_ppm")
+          .groupBy(expr("gini_ppm div 100000").as("decile"))
+          .agg(count(lit(1)).as("n_images"), sum("n_px").as("px_sum"),
+            sum("n_codes").as("codes_sum"), min("img_id").as("min_img"),
+            sum("img_id").as("img_sum"))
+      },
+      Some("""
+        WITH imgs AS (
+          SELECT doc_id AS id, 16 + doc_id % 16 AS w, 16 + doc_id % 9 AS h
+          FROM documents WHERE doc_id < 200),
+        codes AS (
+          SELECT id, w * h AS n,
+                 unnest(list_transform(range(0, w * h), i ->
+                   ((id*31 + 3*i) % 256) // 64 * 16
+                   + ((id*31 + 3*i + 1) % 256) // 64 * 4
+                   + ((id*31 + 3*i + 2) % 256) // 64)) AS code
+          FROM imgs),
+        hist AS (
+          SELECT id, n, code, COUNT(*) AS cnt FROM codes GROUP BY 1, 2, 3),
+        per AS (
+          SELECT id, MAX(n) AS n, COUNT(*) AS n_codes,
+                 CAST(1000000 - SUM(cnt * cnt) * 1000000 // (MAX(n) * MAX(n))
+                   AS BIGINT) AS gini_ppm
+          FROM hist GROUP BY 1)
+        SELECT CAST(gini_ppm // 100000 AS BIGINT) AS decile,
+               COUNT(*) AS n_images,
+               CAST(SUM(n) AS BIGINT) AS px_sum,
+               CAST(SUM(n_codes) AS BIGINT) AS codes_sum,
+               CAST(MIN(id) AS BIGINT) AS min_img,
+               CAST(SUM(id) AS BIGINT) AS img_sum
+        FROM per GROUP BY 1""")),
+
+    // ───── Zero-crossing rate through the REAL WAV path (r15): the
+    // classic voiced/unvoiced + noisiness feature (high ZCR = noise or
+    // fricatives, low = tonal), per clip from
+    // [[MediaCodecs.decodePcmWav]]'s samples on the closed-form
+    // RIFF/PCM-16 fixture — a strict sign change between consecutive
+    // samples (zero samples break no crossing), exact ppm over n−1
+    // adjacencies; the codec-free formula oracle proves the PCM path
+    // end-to-end (the M-family discipline).
+    QuerySpec(
+      "mm_audio_zcr",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 120).as[Long]
+          .map { id =>
+            def sample(i: Int): Int =
+              ((id * 31 + i.toLong * 17) % 2048).toInt - 1024
+            def le16(v: Int) = Array[Byte](
+              (v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+            def le32(v: Int) = Array[Byte](
+              (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+              ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+            val data = Array.tabulate(1024)(sample).flatMap(le16)
+            val fmt = le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+              le16(2) ++ le16(16)
+            val wav = "RIFF".getBytes ++
+              le32(4 + 8 + fmt.length + 8 + data.length) ++
+              "WAVE".getBytes ++ "fmt ".getBytes ++ le32(fmt.length) ++ fmt ++
+              "data".getBytes ++ le32(data.length) ++ data
+            val (_, _, wf) = MediaCodecs.decodePcmWav(wav)
+            var zc = 0L
+            var i = 0
+            while (i < wf.length - 1) {
+              if ((wf(i) > 0 && wf(i + 1) < 0) ||
+                  (wf(i) < 0 && wf(i + 1) > 0)) zc += 1
+              i += 1
+            }
+            (id, wf.length.toLong, zc,
+              zc * 1000000L / (wf.length - 1))
+          }
+          .toDF("clip_id", "n_samples", "n_crossings", "zcr_ppm")
+      },
+      Some("""
+        WITH clips AS (
+          SELECT doc_id AS id FROM documents WHERE doc_id < 120),
+        pairs AS (
+          SELECT id, unnest(range(0, 1023)) AS i FROM clips),
+        s AS (
+          SELECT id,
+                 ((id * 31 + i * 17) % 2048) - 1024 AS s0,
+                 ((id * 31 + (i + 1) * 17) % 2048) - 1024 AS s1
+          FROM pairs)
+        SELECT id AS clip_id, CAST(1024 AS BIGINT) AS n_samples,
+               CAST(SUM(CASE WHEN (s0 > 0 AND s1 < 0)
+                               OR (s0 < 0 AND s1 > 0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
+               CAST(SUM(CASE WHEN (s0 > 0 AND s1 < 0)
+                               OR (s0 < 0 AND s1 > 0)
+                             THEN 1 ELSE 0 END) * 1000000 // 1023 AS BIGINT)
+                 AS zcr_ppm
+        FROM s GROUP BY 1""")),
+
     QuerySpec(
       "mm_audio_fingerprint",
       (s, d) => {

@@ -4499,6 +4499,81 @@ object StatQueries {
                (tn_all - neg_lt) * 1 + fn * 5 AS cost
         FROM cum, tot""")),
 
+    // ───── Ansari–Bradley scale test (r15): do purchase and click
+    // values differ in DISPERSION (mann_whitney/ks answer location/
+    // shape)? Each combined-ranking position scores min(rank, N+1−rank)
+    // — extremes score low, the center high — and the statistic is the
+    // purchase side's score sum; ties take midrank scores. Computed
+    // exactly over the cents-bounded histogram with DOUBLED midranks
+    // (the stat_kruskal discipline): score'(x) = min(R'(x),
+    // 2(N+1)−R'(x)) in doubled units, AB×2 = Σ ha(x)·score'(x) exact;
+    // the H0 mean (n_a(N+2)²/(4(N+1)) odd / n_a(N+2)/4 even) is emitted
+    // in exact milli so the consumer reads the deviation directly.
+    QuerySpec(
+      "stat_ansari_bradley",
+      (s, d) => {
+        val c = events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(expr("cast(round(value * 100) as bigint)").as("x"),
+            col("event_type").as("g"))
+        val hist = c.groupBy("x")
+          .agg(sum(when(col("g") === "purchase", 1L).otherwise(0L)).as("ha"),
+            sum(when(col("g") === "click", 1L).otherwise(0L)).as("hb"))
+        val w = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val mid = hist
+          .withColumn("before", coalesce(sum(col("ha") + col("hb")).over(w),
+            lit(0L)))
+        val tot = hist.agg(sum("ha").as("na"), sum("hb").as("nb"),
+          sum(col("ha") + col("hb")).as("nn"))
+        mid.crossJoin(broadcast(tot))
+          .select(col("ha"), col("na"), col("nb"), col("nn"),
+            // doubled midrank, then doubled AB score
+            (col("before") * 2 + col("ha") + col("hb") + 1).as("r2"))
+          .select(col("ha"), col("na"), col("nb"), col("nn"),
+            least(col("r2"), (col("nn") + 1) * 2 - col("r2")).as("sc2"))
+          .agg(max("na").as("n_a"), max("nb").as("n_b"), max("nn").as("n"),
+            sum(col("ha") * col("sc2")).as("ab_x2"))
+          // doubled scores → single-unit milli (×500 exact), so the
+          // statistic and its H0 mean read in the same unit
+          .select(col("n_a"), col("n_b"), col("n"),
+            (col("ab_x2") * 500).as("ab_milli"),
+            expr("""case when n % 2 = 0
+                    then n_a * (n + 2) * 1000 div 4
+                    else n_a * (n + 1) * (n + 1) * 1000
+                         div (4 * n) end""").as("h0_mean_milli"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS x, event_type AS g
+          FROM events WHERE event_type IN ('purchase', 'click')),
+        hist AS (
+          SELECT x,
+                 CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ha,
+                 CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS hb
+          FROM c GROUP BY 1),
+        mid AS (
+          SELECT ha, hb,
+                 COALESCE(SUM(ha + hb) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS before
+          FROM hist),
+        tot AS (SELECT CAST(SUM(ha) AS BIGINT) AS na,
+                       CAST(SUM(hb) AS BIGINT) AS nb,
+                       CAST(SUM(ha + hb) AS BIGINT) AS nn FROM hist),
+        sc AS (
+          SELECT ha, na, nb, nn,
+                 LEAST(before * 2 + ha + hb + 1,
+                       (nn + 1) * 2 - (before * 2 + ha + hb + 1)) AS sc2
+          FROM mid, tot)
+        SELECT MAX(na) AS n_a, MAX(nb) AS n_b, MAX(nn) AS n,
+               CAST(SUM(ha * sc2) * 500 AS BIGINT) AS ab_milli,
+               CASE WHEN MAX(nn) % 2 = 0
+                 THEN CAST(MAX(na) * (MAX(nn) + 2) * 1000 // 4 AS BIGINT)
+                 ELSE CAST(MAX(na) * (MAX(nn) + 1) * (MAX(nn) + 1) * 1000
+                      // (4 * MAX(nn)) AS BIGINT) END AS h0_mean_milli
+        FROM sc""")),
+
     // ───── Two-sample Kolmogorov–Smirnov (r15): the distribution-level
     // complement of stat_ks_uniform (one-sample vs a reference) — do
     // purchase and click draw VALUES from the same distribution? D =

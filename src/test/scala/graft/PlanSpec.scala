@@ -628,11 +628,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("rec_hitrate: retrain + eval stay equi-join shaped (no catalog×users stage)") {
+  test("rec_hitrate: rollup rides the memoized hit-rank frame (ExistingRDD), no cartesian") {
+    // the retrain + eval joins run once at the session memo's build
+    // (recHitRanks — the recTop3 attribution discipline); the query plan
+    // itself must be the materialized frame + one two-phase agg
     val p = plan("rec_hitrate")
     assert(!p.contains("CartesianProduct"), s"rec_hitrate grew a cartesian:\n$p")
-    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
-      s"rec_hitrate lost its equi-joins:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"rec_hitrate must consume the memoized hit ranks:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"rec_hitrate rollup must combine map-side:\n$p")
   }
 
   test("ml_tree_stump: split search is windows over bounded histograms, " +
