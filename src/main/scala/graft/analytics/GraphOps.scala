@@ -253,11 +253,13 @@ object GraphOps {
     org.apache.spark.sql.GraftSqlBridge.localCheckpointWithStats(df, rows)
 
   /** checkpoint + count in one materialization: the count doubles as the
-    * loop's convergence scalar AND the honest stats figure. */
+    * loop's convergence scalar AND the honest stats figure. The stats
+    * re-wrap reuses the SAME checkpointed RDD (rewrapWithStats) — one
+    * cached copy and one job per round, not two. */
   private def ckptCounted(df: DataFrame): (DataFrame, Long) = {
     val c = df.localCheckpoint(true)
     val n = c.count()
-    (org.apache.spark.sql.GraftSqlBridge.localCheckpointWithStats(c, n), n)
+    (org.apache.spark.sql.GraftSqlBridge.rewrapWithStats(c, n), n)
   }
 
   def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 12,

@@ -4538,9 +4538,13 @@ object StatQueries {
           // statistic and its H0 mean read in the same unit
           .select(col("n_a"), col("n_b"), col("n"),
             (col("ab_x2") * 500).as("ab_milli"),
+            // H0-mean products run ~n_a*n^2*1000 — already ~3.2e16 at
+            // sf0.1 and past int64 at ~10x that; DECIMAL(38,0)/HUGEINT
+            // (the events_cuped moment-ratio discipline) so Spark
+            // non-ANSI can never wrap where DuckDB BIGINT would raise.
             expr("""case when n % 2 = 0
-                    then n_a * (n + 2) * 1000 div 4
-                    else n_a * (n + 1) * (n + 1) * 1000
+                    then cast(n_a as decimal(38,0)) * (n + 2) * 1000 div 4
+                    else cast(n_a as decimal(38,0)) * (n + 1) * (n + 1) * 1000
                          div (4 * n) end""").as("h0_mean_milli"))
       },
       Some("""
@@ -4569,8 +4573,10 @@ object StatQueries {
         SELECT MAX(na) AS n_a, MAX(nb) AS n_b, MAX(nn) AS n,
                CAST(SUM(ha * sc2) * 500 AS BIGINT) AS ab_milli,
                CASE WHEN MAX(nn) % 2 = 0
-                 THEN CAST(MAX(na) * (MAX(nn) + 2) * 1000 // 4 AS BIGINT)
-                 ELSE CAST(MAX(na) * (MAX(nn) + 1) * (MAX(nn) + 1) * 1000
+                 THEN CAST(CAST(MAX(na) AS HUGEINT) * (MAX(nn) + 2) * 1000
+                      // 4 AS BIGINT)
+                 ELSE CAST(CAST(MAX(na) AS HUGEINT) * (MAX(nn) + 1)
+                      * (MAX(nn) + 1) * 1000
                       // (4 * MAX(nn)) AS BIGINT) END AS h0_mean_milli
         FROM sc""")),
 
@@ -4611,7 +4617,10 @@ object StatQueries {
           .select(col("na"), col("nb"),
             col("m.dxm").as("d_cross_max"),
             (-col("m.col2")).as("argmax_cents"),
-            expr("m.dxm * 1000000 div (na * nb)").as("ks_ppm"))
+            // ppm numerator ~n^2*1e6 — DECIMAL(38,0)/HUGEINT before the
+            // multiply (the h0_mean_milli overflow class).
+            expr("cast(m.dxm as decimal(38,0)) * 1000000 div (na * nb)")
+              .as("ks_ppm"))
       },
       Some("""
         WITH c AS (
@@ -4639,8 +4648,8 @@ object StatQueries {
                CAST((SELECT MIN(x) FROM diff
                      WHERE dxm = (SELECT MAX(dxm) FROM diff)) AS BIGINT)
                  AS argmax_cents,
-               CAST(MAX(dxm) * 1000000 // (MAX(na) * MAX(nb)) AS BIGINT)
-                 AS ks_ppm
+               CAST(CAST(MAX(dxm) AS HUGEINT) * 1000000
+                 // (MAX(na) * MAX(nb)) AS BIGINT) AS ks_ppm
         FROM diff""")),
 
     // ───── Mann–Kendall trend test (r15): the nonparametric "is the
@@ -4737,9 +4746,13 @@ object StatQueries {
             sum(col("ha") * (col("b_le") - col("b_lt"))).as("n_tie"))
           .select(col("na"), col("nb"), col("n_gt"), col("n_lt"),
             col("n_tie"),
+            // ppm numerators ~n^2*1e6 — DECIMAL(38,0)/HUGEINT before
+            // the multiply (the h0_mean_milli overflow class).
             expr("""case when n_gt >= n_lt
-                    then (n_gt - n_lt) * 1000000 div (na * nb)
-                    else -((n_lt - n_gt) * 1000000 div (na * nb)) end""")
+                    then cast(n_gt - n_lt as decimal(38,0)) * 1000000
+                         div (na * nb)
+                    else -(cast(n_lt - n_gt as decimal(38,0)) * 1000000
+                           div (na * nb)) end""")
               .as("delta_ppm"))
       },
       Some("""
@@ -4768,8 +4781,10 @@ object StatQueries {
           FROM cum, tot)
         SELECT na, nb, n_gt, n_lt, n_tie,
                CASE WHEN n_gt >= n_lt
-                 THEN CAST((n_gt - n_lt) * 1000000 // (na * nb) AS BIGINT)
-                 ELSE -CAST((n_lt - n_gt) * 1000000 // (na * nb) AS BIGINT)
+                 THEN CAST(CAST(n_gt - n_lt AS HUGEINT) * 1000000
+                      // (na * nb) AS BIGINT)
+                 ELSE -CAST(CAST(n_lt - n_gt AS HUGEINT) * 1000000
+                      // (na * nb) AS BIGINT)
                END AS delta_ppm
         FROM agg""")),
 
@@ -4854,7 +4869,11 @@ object StatQueries {
               (col("en") - col("en_prev")) * (col("en") - col("en_prev")))
               .otherwise(lit(0).cast("decimal(38,0)"))).as("num"))
           .select(col("n_days"),
-            expr("cast(num * 1000 div den as bigint)").as("dw_milli"))
+            // zero-variance guard (the stat_kruskal h_tie / chi2Cells
+            // degenerate class): a constant daily series must yield 0
+            // identically on both engines, not Spark-NULL/DuckDB-error.
+            expr("cast(case when den = 0 then 0 else num * 1000 div den end" +
+              " as bigint)").as("dw_milli"))
       },
       Some("""
         WITH daily AS (
@@ -4868,10 +4887,11 @@ object StatQueries {
         lagged AS (
           SELECT en, LAG(en, 1) OVER (ORDER BY day) AS en_prev FROM e)
         SELECT COUNT(*) AS n_days,
-               CAST(SUM(CASE WHEN en_prev IS NOT NULL
+               CAST(CASE WHEN SUM(en * en) = 0 THEN 0
+                    ELSE SUM(CASE WHEN en_prev IS NOT NULL
                              THEN (en - en_prev) * (en - en_prev)
                              ELSE 0 END) * 1000
-                    // SUM(en * en) AS BIGINT) AS dw_milli
+                    // SUM(en * en) END AS BIGINT) AS dw_milli
         FROM lagged"""))
   )
 }

@@ -276,10 +276,21 @@ object CdcStream {
           val checks = TableConstraints.read(
             spark.sessionState.newHadoopConf(), targetDir)
           val valid = if (checks.isEmpty) full.filter(!isPoison) else {
+            // One constraint evaluation per batch: the flagged frame is
+            // consumed three times (empty probe, quarantine write, clean
+            // filter), so checkpoint it once instead of re-running every
+            // CHECK expression per consumer.
             val flagged = full.filter(!isPoison)
               .withColumn("_check_violation",
                 TableConstraints.violationCol(checks))
+              .localCheckpoint(true)
             val bad = flagged.filter(col("_check_violation").isNotNull)
+            // Quarantine delivery contract (same as deadletter): AT LEAST
+            // ONCE. The audit append lands before the merge, so a merge
+            // failure + foreachBatch retry re-appends the same batch's
+            // quarantine rows. Consumers must dedupe on
+            // (keys, sequenceNumber, batchId) — unique per logical CDC
+            // record and stable across retries.
             if (!bad.isEmpty)
               bad
                 .withColumn("error",

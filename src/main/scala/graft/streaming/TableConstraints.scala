@@ -70,8 +70,14 @@ object TableConstraints {
     require(checks.forall(_.name.nonEmpty), "constraint names must be non-empty")
     require(checks.map(_.name).distinct.size == checks.size,
       s"duplicate constraint names: ${checks.map(_.name).mkString(", ")}")
-    require(checks.forall(c => !c.name.contains("\t") && !c.expr.contains("\n")),
-      "constraint names must not contain tabs; expressions must be single-line")
+    // Names may contain neither tab NOR newline (and exprs no newline):
+    // a '\n' in a name would serialize as a corrupt _CONSTRAINTS line
+    // that read() only crashes on inside a later micro-batch — the
+    // fail-at-enforcement inversion this method exists to prevent.
+    require(checks.forall(c => !c.name.exists(ch => ch == '\t' || ch == '\n'
+        || ch == '\r') && !c.expr.exists(ch => ch == '\n' || ch == '\r')),
+      "constraint names must not contain tabs or line breaks; " +
+        "expressions must be single-line")
     val probe = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(

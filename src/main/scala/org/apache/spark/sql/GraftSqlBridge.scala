@@ -29,8 +29,19 @@ object GraftSqlBridge {
     * the checkpointed plan is not the expected LogicalRDD shape.
     */
   def localCheckpointWithStats(df: Dataset[Row], rows: Long,
-                               bytesPerRow: Long = 48L): Dataset[Row] = {
-    val c = df.localCheckpoint(true).asInstanceOf[classic.Dataset[Row]]
+                               bytesPerRow: Long = 48L): Dataset[Row] =
+    rewrapWithStats(df.localCheckpoint(true), rows, bytesPerRow)
+
+  /** Stats-reset for a Dataset that is ALREADY checkpointed: re-wraps
+    * its LogicalRDD with fresh honest stats WITHOUT re-checkpointing —
+    * a caller that needed the materialization anyway (e.g. for a
+    * convergence count) must not pay a second cached RDD copy and an
+    * extra job per round. No-op passthrough when the plan is not a
+    * LogicalRDD.
+    */
+  def rewrapWithStats(df: Dataset[Row], rows: Long,
+                      bytesPerRow: Long = 48L): Dataset[Row] = {
+    val c = df.asInstanceOf[classic.Dataset[Row]]
     c.queryExecution.analyzed match {
       case lr: execution.LogicalRDD =>
         val stats = catalyst.plans.logical.Statistics(
