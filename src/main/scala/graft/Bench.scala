@@ -45,6 +45,18 @@ object Bench {
     texts.flatMap(t => parsePriors(t).toSeq)
       .filter { case (k, _) => allow(k) }
       .groupMapReduce(_._1)(_._2)(math.min)
+
+  /** The `"artifacts"` JSON fragment: measured once-per-session memo
+    * build times (see MemoTimings). Empty map → empty fragment, so a
+    * subset run that touched no memoized family emits no block.
+    */
+  def artifactsJson(artifacts: Map[String, Double]): String =
+    if (artifacts.isEmpty) ""
+    else ",\"artifacts\":" + artifacts.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" +
+          f"$v%.3f" }
+      .mkString("{", ",", "}")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -176,13 +188,20 @@ object Bench {
     // valid, merely colder, sample). Protocol recorded in BASELINE.md.
     val warmIsolated = Set("graph_communities", "graph_pagerank",
       "graph_assortativity", "text_compression_ratio")
+    val appId = spark.sparkContext.applicationId
     def slot(name: String): Either[String, Double] = {
       val first = once(name, picked(name))
       if (!warmIsolated(name)) first
-      else (first, once(name, picked(name))) match {
-        case (_, Right(b))       => Right(b)
-        case (Right(a), Left(_)) => Right(a)
-        case (_, second)         => second
+      else {
+        // the warming run's cost lands in wall clock but never in a
+        // slot — record it in the artifacts block (first pass's figure
+        // wins via putIfAbsent) so total + artifacts ≈ real suite cost
+        first.foreach(t => MemoTimings.record(appId, s"warmup:$name", t))
+        (first, once(name, picked(name))) match {
+          case (_, Right(b))       => Right(b)
+          case (Right(a), Left(_)) => Right(a)
+          case (_, second)         => second
+        }
       }
     }
     def merge(a: Either[String, Double], b: Either[String, Double]) =
@@ -297,6 +316,17 @@ object Bench {
         val isoStr = iso.fold(e => jstr(s"error: $e"), _.toString)
         jstr(n) + s""":{"min":$min2,"prior":${prior(n)},"isolated":$isoStr}"""
       }.mkString("{", ",", "}")
+    // Session-memo attribution (r15 verdict "what's wrong" #1): builds
+    // that run once per session (the SCC peel, the rec retrain, the
+    // cachedTimed family roots, warm-isolated warming runs) escape every
+    // recorded slot under min-over-passes — their measured times are
+    // recorded at the build site (MemoTimings) and emitted here as an
+    // "artifacts" block, so recorded total + artifacts ≈ suite wall
+    // clock instead of silently diverging from it. Artifact names are
+    // memo/family names (never registry query names) and warmup keys
+    // carry a ':' — both out of reach of the prior allowlist, so an
+    // artifact figure can never masquerade as a query prior.
+    val artJson = artifactsJson(MemoTimings.snapshot(appId))
     val calLast = calibrate()
     val calRatio = ((calFirst + calLast) / 2.0) / CalibrationPinSec
     // priorCount is recorded as LIVENESS EVIDENCE for the adjudication
@@ -306,7 +336,7 @@ object Bench {
       f""","calibration":{"first":$calFirst%.3f,"last":$calLast%.3f,"pin":$CalibrationPinSec,"ratio":$calRatio%.3f,"loadedStartRerun":$calRerun,"priorCount":${prior.size},"probes":$probesJson,"sectionReruns":$sectionReruns}"""
     val total = times.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$outJson$calJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$outJson$artJson$calJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: stdout tails get truncated by log capture
     // (the BENCH_r06 artifact kept only 2 KB), and a file survives that.

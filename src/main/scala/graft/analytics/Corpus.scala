@@ -49,6 +49,10 @@ object Corpus {
     * identity hash, can never collide with a later restarted session.
     */
   def cached(s: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame =
+    cachedImpl(s, d, name)(build)._1
+
+  private def cachedImpl(s: SparkSession, d: String, name: String)
+      (build: => DataFrame): (DataFrame, Boolean) =
     // synchronized, NOT computeIfAbsent: cached builders nest (the pair
     // cache builds from the hsets/bands caches), and a nested
     // computeIfAbsent on one ConcurrentHashMap throws "Recursive update".
@@ -62,9 +66,33 @@ object Corpus {
       frameCache.keySet.removeIf(_._1 != app)
       val k = (app, d, name)
       val got = frameCache.get(k)
-      if (got != null) got
-      else { val b = build.persist(); frameCache.put(k, b); b }
+      if (got != null) (got, false)
+      else { val b = build.persist(); frameCache.put(k, b); (b, true) }
     }
+
+  /** [[cached]] with MEASURED eager materialization: a FRESH build is
+    * forced (count over the persisted frame) under a timer and the
+    * seconds recorded in [[graft.MemoTimings]] under `name` — the bench
+    * emits those as its `"artifacts"` block, so once-per-session family
+    * builds stay visible even when every consumer slot times warm under
+    * min-over-passes (r15 verdict "what's wrong" #1). Use for the HEAVY
+    * family roots only (co-purchase join, minhash signatures, the rec
+    * pipeline, triangle engine); cheap derived frames stay on the lazy
+    * [[cached]]. The count itself adds nothing at steady state — the
+    * first consumer forced the same materialization anyway; it merely
+    * moves the build a few ms earlier inside the same owner slot.
+    * Caveat: a cachedTimed nested INSIDE another builder runs its count
+    * while the outer holds the (reentrant) memo monitor — other threads'
+    * cache lookups wait out the build, which is redundant-latency-safe,
+    * never wrong (all builds are deterministic).
+    */
+  def cachedTimed(s: SparkSession, d: String, name: String)
+      (build: => DataFrame): DataFrame = {
+    val (df, fresh) = cachedImpl(s, d, name)(build)
+    if (fresh)
+      graft.MemoTimings.timed(s.sparkContext.applicationId, name)(df.count())
+    df
+  }
 
   /** Re-key offset for injected near-dup variants. 10^11 sits far above
     * any realistic doc/vec id (a 100 TB corpus is ~10^10 documents), so a

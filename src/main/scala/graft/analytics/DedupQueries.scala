@@ -49,7 +49,7 @@ object DedupQueries {
     * queries, which scan it from multiple join sides.
     */
   private def hsetsOf(s: org.apache.spark.sql.SparkSession, d: String) =
-    Corpus.cached(s, d, "minhash_hsets") {
+    Corpus.cachedTimed(s, d, "minhash_hsets") {
       Corpus.docsWithNearDups(s, d)
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"),
@@ -83,7 +83,7 @@ object DedupQueries {
     */
   private[analytics] def minhashPairs(s: org.apache.spark.sql.SparkSession,
                                       d: String): org.apache.spark.sql.DataFrame =
-    Corpus.cached(s, d, "minhash_pairs") {
+    Corpus.cachedTimed(s, d, "minhash_pairs") {
       // The whole pipeline runs on NUMERIC shingle hashes: one md5 per
       // WORD (40 bits), a shingle hash combines three consecutive word
       // hashes with small multipliers (every product/sum stays under
@@ -130,7 +130,7 @@ object DedupQueries {
       .select(col("doc_id"),
         graft.functions.SignatureFunctions.minHash12(col("hs")).as("mh"))
       .select(col("doc_id"), Corpus.bandKeysExpr(nBands, rowsPerBand).as("bkeys"))
-    Corpus.cached(s, d, "minhash_bands") {
+    Corpus.cachedTimed(s, d, "minhash_bands") {
       bkeys.select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
     }
   }
@@ -471,7 +471,10 @@ object DedupQueries {
     if (got != null) got
     else {
       componentsCache.keySet.removeIf(_._1 != k._1)
-      val built = connectedComponents(minhashPairs(s, d))
+      // timed → the bench "artifacts" block (action-running memo: the
+      // LPA loop's cost escapes every min-over-passes slot once warm)
+      val built = graft.MemoTimings.timed(k._1, "dedupComponents")(
+        connectedComponents(minhashPairs(s, d)))
       componentsCache.putIfAbsent(k, built)
       componentsCache.get(k)
     }

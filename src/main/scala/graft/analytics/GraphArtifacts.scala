@@ -49,7 +49,7 @@ object GraphArtifacts {
     */
   def coPurchaseWeighted(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-    Corpus.cached(s, d, "coPurchaseW") {
+    Corpus.cachedTimed(s, d, "coPurchaseW") {
       li.as("a")
         .join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -109,7 +109,7 @@ object GraphArtifacts {
     * packed-long nodes from the same cached pairs.
     */
   def purchasePairs(s: SparkSession, d: String): DataFrame =
-    Corpus.cached(s, d, "purchasePairs") {
+    Corpus.cachedTimed(s, d, "purchasePairs") {
       lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))

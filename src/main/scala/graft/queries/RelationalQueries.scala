@@ -84,7 +84,7 @@ object RelationalQueries {
     * pipeline once. See rec_item_knn's doc comment for the cost model.
     */
   private def recTop3(s: SparkSession, d: String): DataFrame =
-    graft.analytics.Corpus.cached(s, d, "recTop3") {
+    graft.analytics.Corpus.cachedTimed(s, d, "recTop3") {
       val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
       val owned = li
         .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
@@ -212,18 +212,23 @@ object RelationalQueries {
     if (got != null) got
     else {
       sccCache.keySet.removeIf(_._1 != k._1)
-      val li = lineitem(s, d)
-        .select("l_orderkey", "l_linenumber", "l_partkey")
-        .filter(col("l_partkey") % 30 === 0)
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_linenumber") < col("b.l_linenumber") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct().localCheckpoint(true)
-      val (labels, unresolved) =
-        graft.analytics.GraphOps.stronglyConnectedComponents(e)
-      sccCache.putIfAbsent(k, (e, labels, unresolved))
+      // timed → the bench "artifacts" block: the peel is the classic
+      // once-per-session build whose cost min-over-passes would hide
+      val built = graft.MemoTimings.timed(k._1, "sccArtifacts") {
+        val li = lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey")
+          .filter(col("l_partkey") % 30 === 0)
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_linenumber") < col("b.l_linenumber") &&
+              col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .distinct().localCheckpoint(true)
+        val (labels, unresolved) =
+          graft.analytics.GraphOps.stronglyConnectedComponents(e)
+        (e, labels, unresolved)
+      }
+      sccCache.putIfAbsent(k, built)
       sccCache.get(k)
     }
   }
@@ -280,6 +285,9 @@ object RelationalQueries {
     if (got != null) got
     else {
       recHitRanksCache.keySet.removeIf(_._1 != k._1)
+      // timed → the bench "artifacts" block (the leakage-safe retrain is
+      // the other once-per-session cost min-over-passes hid in r15)
+      graft.MemoTimings.timed(k._1, "recHitRanks") {
       val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
       val ord = orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderdate")
@@ -323,6 +331,7 @@ object RelationalQueries {
         .groupBy(held("uid")).agg(min("rank").as("hit_rank"))
         .localCheckpoint(true)
       recHitRanksCache.putIfAbsent(k, built)
+      } // MemoTimings.timed
       recHitRanksCache.get(k)
     }
   }
@@ -383,7 +392,7 @@ object RelationalQueries {
     // over ordered arrays; |outs| ≤ O(√|E|) by the orientation bound
     val adj = oe.groupBy(col("s").as("n"))
       .agg(sort_array(collect_list(col("t"))).as("outs"))
-    val withCommon = graft.analytics.Corpus.cached(s, d, "triCommon") {
+    val withCommon = graft.analytics.Corpus.cachedTimed(s, d, "triCommon") {
       oe.join(adj.select(col("n").as("s"), col("outs").as("ou")), "s")
         .join(adj.select(col("n").as("t"), col("outs").as("ov")), "t")
         .select(col("s"), col("t"),

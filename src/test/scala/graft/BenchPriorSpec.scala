@@ -76,6 +76,38 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(p == Map("q1_agg" -> 0.41))
   }
 
+  test("artifacts block: emitted, sorted, and inert to the prior allowlist") {
+    // r15 verdict "what's wrong" #1: once-per-session memo builds (SCC
+    // peel ~12 s, rec retrain ~8 s) escape every slot under min-over-
+    // passes; the bench must emit their measured times as an
+    // "artifacts" block so total + artifacts ≈ suite wall clock.
+    val frag = Bench.artifactsJson(Map(
+      "sccArtifacts" -> 12.0345, "recHitRanks" -> 8.1,
+      "warmup:graph_communities" -> 2.345))
+    assert(frag.startsWith(",\"artifacts\":{"), frag)
+    assert(frag.contains("\"sccArtifacts\":12.035"))
+    assert(frag.contains("\"warmup:graph_communities\":2.345"))
+    // empty map → no block (subset runs that touch no memoized family)
+    assert(Bench.artifactsJson(Map.empty) == "")
+    // a full bench line CONTAINING the block must not leak artifact
+    // figures into query priors: memo names are not registry names and
+    // warmup keys carry ':' (unmatchable by the pair regex) — and the
+    // allowlist drops anything else.
+    val line = """{"metric":"total","value":100.0,"queries":{"graph_scc":0.28}""" +
+      frag + ""","sf":"/root/testdata/sf0.1"}"""
+    val p = Bench.minPriors(Seq(line), Set("graph_scc", "graph_communities"))
+    assert(p == Map("graph_scc" -> 0.28), s"artifact leaked into priors: $p")
+  }
+
+  test("MemoTimings: first build wins, snapshot scoped to the application") {
+    MemoTimings.record("appA", "fam", 5.0)
+    MemoTimings.record("appA", "fam", 9.0) // re-build after eviction: keep first
+    assert(MemoTimings.snapshot("appA")("fam") == 5.0)
+    MemoTimings.record("appB", "other", 1.0) // new app purges the old one's entries
+    assert(MemoTimings.snapshot("appA").isEmpty)
+    assert(MemoTimings.snapshot("appB") == Map("other" -> 1.0))
+  }
+
   test("real BENCH_r13.json on disk parses to a non-empty prior map") {
     val f = new java.io.File("BENCH_r13.json")
     assume(f.exists(), "driver artifact present in working directory")
