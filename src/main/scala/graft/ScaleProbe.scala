@@ -115,6 +115,19 @@ object ScaleProbe {
     // and member mass with a CONSTANT max-SCC size, and round counts are
     // set by diameter, so time should grow ~linearly in |E|
     val sccOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("scc")
+    // SPARK_GRAFT_PROBE=anf times graph_anf's HyperBall register
+    // propagation (GraphOps.anfPerNode — the SAME shipped core) on the
+    // k×-replicated w≥2 co-purchase graph as DISCONNECTED copies with
+    // per-replica node-id offsets, and gates REPLICATION INVARIANCE of
+    // copy 0: registers depend only on node ids inside a copy and
+    // copy 0 keeps its original ids, so its per-hop (n_nodes, nf_est)
+    // profile must EQUAL the base run's exactly at every factor (the
+    // register algebra is deterministic — any drift is a bug, not
+    // sketch noise). Per-round cost is one |E| equi-join + one (n, idx)
+    // hash-agg with a diameter-pinned round count, so the time curve
+    // should be ~linear in |E|.
+    val anfOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("anf")
+    var anfBase: Map[Int, (Long, Long)] = null
     var pcaAxisAtBase: Array[Long] = null
     var ktrussSupAtBase: Long = -1L
     var ktrussBaseK: Int = 1
@@ -328,6 +341,39 @@ object ScaleProbe {
         }
         println(s"[probe] scc_x$k: edges=${rep.count()} n_sccs=${prof._1} " +
           s"mass=${prof._2} max=${prof._3}")
+      } else if (anfOnly) {
+        val li = spark.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_partkey").distinct()
+        val e0 = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u0"), col("b.l_partkey").as("v0"))
+          .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+        val off = 100000000L
+        val rep0 = e0.crossJoin(spark.range(k).toDF("rep"))
+          .select((col("u0") + col("rep") * off).as("u"),
+            (col("v0") + col("rep") * off).as("v"))
+        val und = rep0.unionAll(rep0.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint(true)
+        var prof: Map[Int, (Long, Long)] = null
+        time(s"anf_x$k") {
+          // anfPerNode checkpoints each round eagerly, so the timed
+          // region covers the FULL k× propagation even though the gate
+          // below aggregates only copy 0
+          val per = graft.analytics.GraphOps.anfPerNode(und, 4)
+          val r = per.filter(col("n") < off)
+            .groupBy("hop")
+            .agg(count(lit(1)).as("n_nodes"), sum("est").as("nf"))
+            .collect()
+          prof = r.map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2))).toMap
+          prof.values.map(_._1).sum
+        }
+        if (anfBase == null) anfBase = prof
+        else require(prof == anfBase,
+          s"copy-0 ANF profile diverged at x$k: $prof vs $anfBase")
+        println(s"[probe] anf_x$k: edges=${und.count()} " +
+          s"profile=${prof.toSeq.sortBy(_._1)}")
       } else if (jacOnly) {
         val li = spark.read.parquet(s"$d/lineitem.parquet")
           .select("l_orderkey", "l_partkey").distinct()

@@ -37,6 +37,67 @@ object GraphOps {
         .unionAll(edges.select(col("v").as("a"), col("u").as("b"))),
       rounds)
 
+  /** HyperBall register propagation (the graph_anf core; Boldi, Rosa &
+    * Vigna, "HyperANF", WWW 2011): per node, an HLL sketch (p=6, m=64)
+    * of the ≤h-hop ball, in SPARSE relational form (n, idx, rho) —
+    * round r is regs ∪ (e ⋈ regs) → groupBy(n, idx).max(rho). Max-merge
+    * is associative/commutative/idempotent, so the register trajectory
+    * is EXACT (hash-identical on any engine seeding the same
+    * md5-hex→60-bit node hash). Estimation is libm-free: raw HLL
+    * (α₆₄·m²·2⁵⁵/S with S exact in BIGINT, one correctly-rounded double
+    * division + floor) switching to linear counting under the classic
+    * 2.5m threshold via a 64-entry literal lookup (V, the
+    * empty-register count, has only 64 possible values, so the ln lives
+    * in precomputed integer constants; hop 0 is exactly 1 per node).
+    *
+    * `e` must carry BOTH directions (u, v). Returns one row per
+    * (hop, n) with the ball-size estimate `est`, hop ∈ [0, hops].
+    * Per-round cost is one |E| equi-join + one (n, idx) hash-agg over
+    * ≤ m·|V| sparse register rows; rounds are diameter-bound. Each
+    * round is localCheckpointed — the register frame feeds both the
+    * next expansion and its hop's estimate, the dual-consumption
+    * lineage class.
+    */
+  def anfPerNode(e: DataFrame, hops: Int): DataFrame = {
+    // floor(64·ln(64/V) + 0.5) for V = 1..64 (index = V)
+    val lcTable = "266,222,196,177,163,151,142,133,126,119,113,107," +
+      "102,97,93,89,85,81,78,74,71,68,65,63,60,58,55,53,51,48,46,44," +
+      "42,40,39,37,35,33,32,30,28,27,25,24,23,21,20,18,17,16,15,13," +
+      "12,11,10,9,7,6,5,4,3,2,1,0"
+    var cur = e.select(col("u").as("n")).distinct()
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(n as string)), 1, 15), 16, 10) as long)"))
+      .select(col("n"), expr("h % 64").as("idx"),
+        expr("""cast(case when h div 64 = 0 then 55
+                else 55 - length(bin(h div 64)) end as bigint)""").as("rho"))
+      .localCheckpoint(true)
+    def est(regs: DataFrame, hop: Int): DataFrame =
+      regs.groupBy("n")
+        .agg(sum(expr("shiftleft(1L, 55 - cast(rho as int))")).as("s_present"),
+          count(lit(1)).as("cnt"))
+        .select(col("n"),
+          (col("s_present")
+            + (lit(64L) - col("cnt")) * lit(1L << 55)).as("s_sum"),
+          (lit(64L) - col("cnt")).as("v_cnt"))
+        .withColumn("raw", expr(
+          "cast(floor(1.04629932386080576765952e20 " +
+            "/ cast(s_sum as double)) as bigint)"))
+        .select(lit(hop).as("hop"), col("n"), expr(
+          s"""case when v_cnt > 0 and raw <= 160
+              then cast(element_at(array($lcTable), cast(v_cnt as int)) as bigint)
+              else raw end""").as("est"))
+    var out = est(cur, 0)
+    for (hop <- 1 to hops) {
+      cur = cur.unionAll(
+          e.join(cur, e("v") === cur("n"))
+            .select(e("u").as("n"), cur("idx"), cur("rho")))
+        .groupBy("n", "idx").agg(max("rho").as("rho"))
+        .localCheckpoint(true)
+      out = out.unionAll(est(cur, hop))
+    }
+    out
+  }
+
   /** Multi-source bounded BFS (r12): exact hop distances from every
     * seed simultaneously — state keyed (seed, n), each round ONE edge
     * equi-join + distinct + anti-join against the visited set for ALL

@@ -6922,6 +6922,110 @@ object RelationalQueries {
                                THEN v ELSE 0 END) AS BIGINT) AS p90_us
           FROM r)
         SELECT c.n_buyers, c.n_repeat, q.med2_us, q.p90_us
-        FROM counts c CROSS JOIN q"""))
+        FROM counts c CROSS JOIN q""")),
+
+    // ───── HyperBall / approximate neighborhood function (r16, VERDICT
+    // r15 #4; Boldi, Rosa & Vigna, "HyperANF", WWW 2011): per node, an
+    // HLL register sketch of the ≤h-hop BALL on the w≥2 co-purchase
+    // graph — N(h) = Σ_n |B_h(n)| estimated in ONE edge-join +
+    // register-max-merge per round, where exact per-node BFS from every
+    // node would be |V| traversals. The sketch state is the
+    // [[graft.functions.HllRegistersAgg]] algebra in SPARSE relational
+    // form (node, idx, rho): round r is regs ∪ (edges ⋈ regs) →
+    // groupBy(node, idx).max(rho) — max-merge is associative/
+    // commutative/idempotent, so the whole trajectory is exact on the
+    // registers and hash-identical cross-engine (both engines hash the
+    // node id through the same md5-hex→60-bit literal; p=6, m=64,
+    // rho = 55 − bitlength(h div 64), empty-rem → 55). Estimation is
+    // libm-free: raw HLL (alpha_64·m²·2^55/S with S exact in BIGINT,
+    // one pinned float division + floor) switches to LINEAR COUNTING
+    // below the classic 2.5m threshold via a 64-entry LITERAL lookup
+    // (floor(64·ln(64/V)+0.5) precomputed — V, the empty-register
+    // count, has only 64 possible values, so the ln lives in constants
+    // both engines read identically; this also makes hop 0 exactly
+    // |V| — every singleton ball takes the V=63 entry = 1). Readouts:
+    // per-hop N(h), its per-mille of N(4), and the effective diameter
+    // (smallest h with N(h) ≥ 0.9·N(4)) — the HyperANF headline
+    // statistic. Scale shape: per-round shuffle is |E|·(≤m) sparse
+    // register rows — the honest HyperBall cost; at 100 TB the same
+    // rounds run with registers packed into one binary column per node
+    // (m× fewer shuffle rows) under the identical max-merge algebra;
+    // rounds are diameter-bound, not size-bound. nf_pm goes through
+    // DECIMAL(38,0)/HUGEINT (the h0_mean_milli overflow class).
+    QuerySpec(
+      "graph_anf",
+      (s, d) => {
+        val e = graft.analytics.GraphArtifacts.undFiltered(s, d)
+        val out = graft.analytics.GraphOps.anfPerNode(e, 4)
+          .groupBy("hop")
+          .agg(count(lit(1)).as("n_nodes"), sum("est").as("nf_est"))
+        val fin = out.filter(col("hop") === 4)
+          .select(col("nf_est").as("nf_final"))
+        val pm = out.crossJoin(broadcast(fin))
+          .withColumn("nf_pm", expr(
+            "cast(cast(nf_est as decimal(38,0)) * 1000 div nf_final as bigint)"))
+        val effd = pm.filter(col("nf_pm") >= 900)
+          .agg(min("hop").as("eff_diameter_hops"))
+        pm.crossJoin(broadcast(effd))
+          .select(col("hop"), col("n_nodes"), col("nf_est"), col("nf_pm"),
+            col("eff_diameter_hops"))
+      },
+      Some {
+        val lcTable = "266,222,196,177,163,151,142,133,126,119,113,107," +
+          "102,97,93,89,85,81,78,74,71,68,65,63,60,58,55,53,51,48,46,44," +
+          "42,40,39,37,35,33,32,30,28,27,25,24,23,21,20,18,17,16,15,13," +
+          "12,11,10,9,7,6,5,4,3,2,1,0"
+        val sb = new StringBuilder(s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        hh AS (
+          SELECT n, CAST(('0x' || substring(md5(CAST(n AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+          FROM (SELECT DISTINCT u AS n FROM und)),
+        r0 AS MATERIALIZED (
+          SELECT n, h % 64 AS idx,
+                 CAST(CASE WHEN h // 64 = 0 THEN 55
+                      ELSE 55 - length(bin(h // 64)) END AS BIGINT) AS rho
+          FROM hh)""")
+        for (r <- 1 to 4) sb.append(s""",
+        r$r AS MATERIALIZED (
+          SELECT n, idx, MAX(rho) AS rho FROM (
+            SELECT n, idx, rho FROM r${r - 1}
+            UNION ALL
+            SELECT e.u AS n, p.idx, p.rho
+            FROM und e JOIN r${r - 1} p ON p.n = e.v)
+          GROUP BY 1, 2)""")
+        for (r <- 0 to 4) sb.append(s""",
+        nf$r AS (
+          SELECT $r AS hop, COUNT(*) AS n_nodes,
+                 CAST(SUM(CASE WHEN v_cnt > 0 AND raw <= 160
+                          THEN CAST(list_extract([$lcTable], CAST(v_cnt AS INTEGER)) AS BIGINT)
+                          ELSE raw END) AS BIGINT) AS nf_est
+          FROM (
+            SELECT n, 64 - COUNT(*) AS v_cnt,
+                   CAST(floor(1.04629932386080576765952e20
+                     / CAST(SUM(1::BIGINT << CAST(55 - rho AS INTEGER))
+                       + (64 - COUNT(*)) * (1::BIGINT << 55) AS DOUBLE))
+                     AS BIGINT) AS raw
+            FROM r$r GROUP BY n))""")
+        sb.append(s""",
+        allh AS (${(0 to 4).map(r => s"SELECT * FROM nf$r")
+          .mkString(" UNION ALL ")}),
+        fin AS (SELECT nf_est AS nf_final FROM allh WHERE hop = 4),
+        pm AS (
+          SELECT hop, n_nodes, nf_est,
+                 CAST(CAST(nf_est AS HUGEINT) * 1000 // nf_final AS BIGINT)
+                   AS nf_pm
+          FROM allh, fin),
+        effd AS (SELECT MIN(hop) AS eff_diameter_hops FROM pm WHERE nf_pm >= 900)
+        SELECT hop, n_nodes, nf_est, nf_pm, eff_diameter_hops FROM pm, effd""")
+        sb.toString
+      })
   )
 }
