@@ -1276,6 +1276,155 @@ object TextQueries {
         ORDER BY score DESC, doc_id
         LIMIT 20""")),
 
+    // ───── Proximity-weighted BM25 (r16, VERDICT r15 #7): the ranking
+    // layer every production search stack adds on top of bag-of-words
+    // BM25 (Rasolofo & Savoy ECIR 2003 / Büttcher SIGIR 2006 class) —
+    // documents where DISTINCT query terms co-occur NEAR each other
+    // outrank bag-equal documents. Scoring = text_search_bm25's exact
+    // integer rationals (identical w formula) + a proximity bonus per
+    // close pair of distinct query terms: for occurrences at distance
+    // d ∈ [1, 8], bonus = (idf_a + idf_b)·500 div d² micro-points — the
+    // 1/d² kernel in exact integer division, idf-weighted so rare-term
+    // adjacency dominates (all declared rationals, libm-free). The pair
+    // search is NOT a per-doc position cross join with a band filter:
+    // each of the 16 signed offsets becomes its own EXACT equi-join key
+    // (posting row exploded to pos+δ), so matching is one (doc, pos)
+    // hash join on the 3-term posting lists — linear in posting mass at
+    // any corpus size, the text_search_phrase shifted-join discipline
+    // generalized to a distance band. Readout is the ranking DELTA the
+    // bonus causes (the nprobe-sweep evidence pattern): top-20 under
+    // the proximity score with each doc's plain-BM25 rank alongside
+    // (rank_plain via a 20-row broadcast count-join against the full
+    // plain scoring — never a data-sized window; rank_prox is a window
+    // over the 20-row result). Position bases differ across engines
+    // (0- vs 1-based) but only differences enter.
+    QuerySpec(
+      "text_search_bm25_prox",
+      (s, d) => {
+        val terms = Seq("spark", "stream", "vector")
+        val (n, l) = {
+          val r = Tables.documents(s, d)
+            .agg(count(lit(1)), sum(expr("size(split(text, ' '))"))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("size(split(text, ' '))").as("dl"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+          .filter(col("term").isin(terms: _*))
+          .localCheckpoint(true) // feeds tf AND both prox join sides
+        val tf = toks.groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .withColumn("idf_milli",
+            expr(s"((2L * ${n}L - 2L * df + 1L) * 1000L) div (2L * df + 1L)"))
+        val plain = tf.join(broadcast(dfreq), "term")
+          .withColumn("w", expr(
+            s"""cast(cast(idf_milli as decimal(38,0)) * 22 * ${l}L * tf * 1000
+                div (10 * cast(${l}L as decimal(38,0)) * tf + 3 * ${l}L
+                     + 9 * cast(dl as decimal(38,0)) * ${n}L) as bigint)"""))
+          .groupBy("doc_id").agg(sum("w").as("sp"))
+          .localCheckpoint(true) // feeds the top-20 AND the rank count-join
+        val exp = toks.select(col("doc_id"), col("term").as("tb"), col("pos"),
+            explode(expr(
+              "array(-8,-7,-6,-5,-4,-3,-2,-1,1,2,3,4,5,6,7,8)")).as("delta"))
+          .select(col("doc_id"), col("tb"),
+            (col("pos") + col("delta")).as("pos"),
+            abs(col("delta")).as("dist"))
+        val bonus = toks.select(col("doc_id"), col("term").as("ta"), col("pos"))
+          .join(exp, Seq("doc_id", "pos"))
+          .filter(col("ta") < col("tb"))
+          .join(broadcast(dfreq.select(col("term").as("ta"),
+            col("idf_milli").as("ia"))), "ta")
+          .join(broadcast(dfreq.select(col("term").as("tb"),
+            col("idf_milli").as("ib"))), "tb")
+          .withColumn("bw", expr("(ia + ib) * 500 div cast(dist * dist as bigint)"))
+          .groupBy("doc_id").agg(sum("bw").as("bonus_micro"))
+        val top = plain.join(bonus, Seq("doc_id"), "left")
+          .withColumn("bonus_micro", coalesce(col("bonus_micro"), lit(0L)))
+          .withColumn("score", col("sp") + col("bonus_micro"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .localCheckpoint(true) // 20 rows; feeds the rank join + window
+        val ranked = top.as("t").join(plain.as("p"),
+            col("p.sp") > col("t.sp") ||
+              (col("p.sp") === col("t.sp") && col("p.doc_id") < col("t.doc_id")),
+            "left")
+          .groupBy(col("t.doc_id").as("doc_id"), col("t.score").as("score"),
+            col("t.sp").as("score_plain"), col("t.bonus_micro").as("bonus_micro"))
+          .agg(sum(when(col("p.doc_id").isNotNull, 1L).otherwise(0L))
+            .as("n_better"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+        ranked
+          .withColumn("rank_prox", row_number().over(wr).cast("long"))
+          .withColumn("rank_plain", col("n_better") + 1)
+          .select(col("doc_id"), col("score"), col("score_plain"),
+            col("bonus_micro"), col("rank_prox"), col("rank_plain"),
+            (col("rank_plain") - col("rank_prox")).as("rank_delta"))
+      },
+      Some("""
+        WITH stats AS MATERIALIZED (
+          SELECT COUNT(*) AS n, SUM(len(string_split(text, ' '))) AS l
+          FROM documents),
+        toks AS MATERIALIZED (
+          SELECT doc_id, dl, u.term, u.pos FROM (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                   string_split(text, ' ') AS tl FROM documents),
+            UNNEST([{'term': tl[i], 'pos': i}
+                    for i in range(1, len(tl) + 1)]) AS t(u)
+          WHERE u.term IN ('spark', 'stream', 'vector')),
+        tf AS (
+          SELECT doc_id, term, dl, COUNT(*) AS tf
+          FROM toks GROUP BY 1, 2, 3),
+        dfreq AS MATERIALIZED (
+          SELECT term, COUNT(*) AS df,
+                 ((2 * (SELECT n FROM stats) - 2 * COUNT(*) + 1) * 1000)
+                   // (2 * COUNT(*) + 1) AS idf_milli
+          FROM tf GROUP BY term),
+        plain AS MATERIALIZED (
+          SELECT tf.doc_id,
+                 CAST(SUM(CAST(dfreq.idf_milli AS HUGEINT)
+                      * 22 * s.l * tf.tf * 1000
+                      // (10 * CAST(s.l AS HUGEINT) * tf.tf + 3 * s.l
+                          + 9 * CAST(tf.dl AS HUGEINT) * s.n))
+                   AS BIGINT) AS sp
+          FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+          GROUP BY 1),
+        exp AS (
+          SELECT doc_id, term AS tb, pos + dd.delta AS pos,
+                 abs(dd.delta) AS dist
+          FROM toks CROSS JOIN (
+            SELECT unnest([-8,-7,-6,-5,-4,-3,-2,-1,1,2,3,4,5,6,7,8])
+              AS delta) dd),
+        bonus AS (
+          SELECT a.doc_id,
+                 CAST(SUM((da.idf_milli + db.idf_milli) * 500
+                          // (e.dist * e.dist)) AS BIGINT) AS bonus_micro
+          FROM toks a
+          JOIN exp e ON a.doc_id = e.doc_id AND a.pos = e.pos
+                     AND a.term < e.tb
+          JOIN dfreq da ON da.term = a.term
+          JOIN dfreq db ON db.term = e.tb
+          GROUP BY 1),
+        top AS MATERIALIZED (
+          SELECT p.doc_id, p.sp,
+                 COALESCE(b.bonus_micro, 0) AS bonus_micro,
+                 p.sp + COALESCE(b.bonus_micro, 0) AS score
+          FROM plain p LEFT JOIN bonus b USING (doc_id)
+          ORDER BY score DESC, doc_id LIMIT 20)
+        SELECT t.doc_id, CAST(t.score AS BIGINT) AS score,
+               t.sp AS score_plain, CAST(t.bonus_micro AS BIGINT) AS bonus_micro,
+               ROW_NUMBER() OVER (ORDER BY t.score DESC, t.doc_id)
+                 AS rank_prox,
+               1 + (SELECT COUNT(*) FROM plain p
+                    WHERE p.sp > t.sp
+                       OR (p.sp = t.sp AND p.doc_id < t.doc_id)) AS rank_plain,
+               1 + (SELECT COUNT(*) FROM plain p
+                    WHERE p.sp > t.sp
+                       OR (p.sp = t.sp AND p.doc_id < t.doc_id))
+               - ROW_NUMBER() OVER (ORDER BY t.score DESC, t.doc_id)
+                 AS rank_delta
+        FROM top t""")),
+
     // ───── PHRASE search over a positional index (r13): the retrieval
     // operation bag-of-words scoring (tfidf/BM25) cannot express —
     // "these tokens ADJACENT, in order". Positions ride the token
