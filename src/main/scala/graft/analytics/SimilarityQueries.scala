@@ -256,7 +256,7 @@ object SimilarityQueries {
     * ann_recall leg share ONE Lloyd run instead of retraining per query
     * (the pqTrainedCodebook discipline).
     */
-  private def trainedCents(s: SparkSession,
+  private[analytics] def trainedCents(s: SparkSession,
                            d: String): Seq[(Int, Array[Long], Long)] =
     centCache.synchronized {
       val app = s.sparkContext.applicationId
@@ -429,18 +429,18 @@ object SimilarityQueries {
   // STRUCTURE is what's exercised; trained per-subspace Lloyd swaps in
   // without changing the plan); encoding ties break on codeword id so
   // both engines agree exactly.
-  private val PqM = 8    // subspaces
-  private val PqSub = 8  // dims per subspace (M × sub = 64)
-  private val PqK = 16   // codewords per subspace
+  private[graft] val PqM = 8    // subspaces
+  private[analytics] val PqSub = 8  // dims per subspace (M × sub = 64)
+  private[graft] val PqK = 16   // codewords per subspace
   /** PQ's rerank pool is DEEPER than SQ8's (8·k vs 4·k): an 8-byte code
     * is far coarser than 64 SQ8 bytes, so approximate ranks are noisier
     * and the exact rerank needs more survivors to recover — the
     * standard PQ posture (PQ generates candidates; rerank decides).
     */
-  private val PqCandMult = 8
+  private[analytics] val PqCandMult = 8
 
   // shared PQ expression fragments (expect columns `qv` and `cb`)
-  private def pqEncodeExpr: String = s"""
+  private[analytics] def pqEncodeExpr: String = s"""
         transform(sequence(0, ${PqM - 1}), m ->
           array_min(transform(sequence(0, ${PqK - 1}), j ->
             struct(aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, i) ->
@@ -449,18 +449,18 @@ object SimilarityQueries {
                   * (element_at(qv, m * $PqSub + i + 1)
                      - element_at(element_at(element_at(cb, m + 1), j + 1), i + 1))),
               j))).j)"""
-  private def pqRnnExpr: String = s"""
+  private[analytics] def pqRnnExpr: String = s"""
         aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) ->
           acc + aggregate(
             element_at(element_at(cb, m + 1), element_at(code, m + 1) + 1),
             0L, (a2, x) -> a2 + x * x))"""
-  private def pqLutExpr: String = s"""
+  private[analytics] def pqLutExpr: String = s"""
           transform(sequence(0, ${PqM - 1}), m ->
             transform(sequence(0, ${PqK - 1}), j ->
               aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, i) ->
                 acc + element_at(qv, m * $PqSub + i + 1)
                     * element_at(element_at(element_at(cb, m + 1), j + 1), i + 1))))"""
-  private def pqAdotExpr: String = s"""
+  private[analytics] def pqAdotExpr: String = s"""
           aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) ->
             acc + element_at(element_at(lut, m + 1), element_at(code, m + 1) + 1))"""
 
@@ -485,10 +485,10 @@ object SimilarityQueries {
     * 8-dim slice. Every step is oracle-replayable; the per-subspace
     * chains unroll in SQL exactly like the spherical trainer's.
     */
-  private val PqTrainIters = 2
+  private[analytics] val PqTrainIters = 2
   private val pqCbCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[Seq[Seq[Long]]]]()
-  private def pqTrainedCodebook(s: SparkSession, d: String): Seq[Seq[Seq[Long]]] =
+  private[analytics] def pqTrainedCodebook(s: SparkSession, d: String): Seq[Seq[Seq[Long]]] =
     // memoized per (session, corpus): training is deterministic and the
     // codebook is 8×16×8 longs — ann_pq_trained and ann_recall's
     // pq_trained leg share one training run (the 8 × 2-iteration Lloyd
@@ -1902,6 +1902,30 @@ object SimilarityQueries {
             base, meta, codes, kk = 3), 3)
       },
       Some(annSelectSql(ivfSq8CtesSql(3), 3))),
+
+    // IVF × PQ over the PERSISTED index (r16, VERDICT r15 #5): the
+    // FAISS IndexIVFPQ layout under the same train-once/maintain-
+    // incrementally posture as ann_ivf_sq8_persisted — coarse centroids
+    // AND the M×K per-subspace codebooks live as meta target rows, the
+    // codes target stores the M-BYTE packed PQ code per vector (VecPack
+    // U8 on write, the codegen'd VecUnpackU8 on read — 64× below the
+    // long-array form), and search replays the exact ann_ivf_pq
+    // pipeline from the store ([[VectorIndexStore.searchPairsPq]]).
+    // Training is the same deterministic integer Lloyd chains, so the
+    // oracle SQL is IDENTICAL to ann_ivf_pq's — the persisted search
+    // must reproduce the in-query formulation row for row. PqIndexSpec
+    // holds the maintenance story (chunked streamed ingest, restart,
+    // LWW supersession ≡ batch build).
+    QuerySpec(
+      "ann_ivf_pq_persisted",
+      (s, d) => {
+        val (meta, codes) = VectorIndexStore.ensureBuiltPq(s, d)
+        val base = Corpus.quantizedVectors(s, d)
+        topKPerProbe(
+          VectorIndexStore.searchPairsPq(s, base.filter(col("vec_id") < 10),
+            base, meta, codes, kk = 3), 3)
+      },
+      Some(annSelectSql(ivfPqCtesSql(3), 3))),
 
     // Semantic dedup (the SemDeDup shape, r8): k-means-cluster the
     // embedding space, then look for near-duplicate pairs ONLY within a

@@ -305,6 +305,215 @@ object VectorIndexStore {
       maxCell = cells.map(_.getLong(1)).max))
   }
 
+  // ───────────────────────── PQ face (r16, VERDICT r15 #5) ──────────
+  // The persisted IVF×PQ index — the FAISS IndexIVFPQ "train once,
+  // add forever" posture next to the SQ8 face above. Same store
+  // anatomy: a control-plane meta target (coarse centroids under the
+  // cent_* keys PLUS the M×K per-subspace codewords under cb_$m_$j
+  // keys, all LWW by generation) and a codes target whose rows carry
+  // the cell id, the reconstructed norm, and the PQ code PACKED to
+  // M = 8 bytes ([[graft.functions.VecPackU8]]; ids ≤ 15 each) — 64×
+  // smaller than the long-array vector, 8× smaller than SQ8's codes.
+  // Read-side unpacking is the codegen'd [[graft.functions
+  // .VecUnpackU8]] kernel, so the packed layout costs nothing at scan
+  // time. Encoding against the FROZEN codebooks is a pure per-row map
+  // (broadcast literals, no shuffle); search is the exact `ann_ivf_pq`
+  // pipeline (nprobe cell prune → per-probe ADC lookup table → deep
+  // 8·k rerank pool → exact integer rerank), so
+  // `ann_ivf_pq_persisted` holds row-for-row equality with the
+  // in-query formulation under the DuckDB oracle, and PqIndexSpec
+  // holds the maintenance story (chunked streamed ingest + restart +
+  // LWW supersession ≡ batch build).
+
+  /** Train the coarse quantizer + per-subspace PQ codebooks on `base`
+    * (vec_id, qv, nn) and persist both into the meta target. Training
+    * matches the in-query `ann_ivf_pq` exactly: spherical Lloyd for
+    * cells, L2 Lloyd per 8-dim subspace for codewords — deterministic
+    * integer chains, so a rebuild lands bit-identical artifacts.
+    */
+  def trainPq(spark: SparkSession, base: DataFrame, metaTarget: String,
+              generation: Long = 1L): Unit = {
+    import SimilarityQueries.{PqM, PqSub, PqK}
+    val cents = Clustering.kmeansSpherical(spark, base,
+      SimilarityQueries.TrainedK, SimilarityQueries.TrainedIters)
+    val cb: Seq[Seq[Seq[Long]]] = (0 until PqM).map { m =>
+      val sub = base
+        .select(col("vec_id"), expr(s"slice(qv, ${m * PqSub + 1}, $PqSub)").as("qv"))
+        .withColumn("nn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+      Clustering.kmeansQuantized(spark, sub, PqK, SimilarityQueries.PqTrainIters)
+        ._1.sortBy(_._1).map(_._2.toSeq).toSeq
+    }
+    def arrJson(xs: Seq[Long], cnn: Long): String =
+      s"""{"comps":[${xs.mkString(",")}],"cnn":$cnn}"""
+    import spark.implicits._
+    val seq = f"$generation%010d"
+    val rows =
+      cents.map { case (cid, cv, cnn) =>
+        (s"cent_$cid", "PUT", seq, arrJson(cv.toSeq, cnn))
+      } ++
+      (for { m <- 0 until PqM; j <- 0 until PqK } yield
+        (s"cb_${m}_$j", "PUT", seq, arrJson(cb(m)(j), 0L)))
+    SnapshotStore.mergeIntoTarget(spark, metaTarget,
+      rows.toDF("keys", "op", "sequenceNumber", "newImage"), generation - 1L)
+  }
+
+  /** The persisted PQ quantizer: (coarse centroids, M×K×sub codebooks). */
+  def readMetaPq(spark: SparkSession, metaTarget: String)
+      : (Seq[(Int, Array[Long], Long)], Seq[Seq[Seq[Long]]]) = {
+    import SimilarityQueries.{PqM, PqK}
+    val rows = SnapshotStore.readTarget(spark, metaTarget)
+      .select(col("keys"), from_json(col("newImage"), metaSchema).as("m"))
+      .select(col("keys"), col("m.comps").as("comps"), col("m.cnn").as("cnn"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2)))
+    require(rows.nonEmpty, s"no trained PQ meta at '$metaTarget' — run trainPq first")
+    val cents = rows.filter(_._1.startsWith("cent_"))
+      .map { case (k, comps, cnn) =>
+        (k.stripPrefix("cent_").toInt, comps.toArray, cnn)
+      }.sortBy(_._1).toSeq
+    val cbm = rows.filter(_._1.startsWith("cb_"))
+      .map { case (k, comps, _) =>
+        val Array(m, j) = k.stripPrefix("cb_").split("_").map(_.toInt)
+        ((m, j), comps.toSeq)
+      }.toMap
+    require(cbm.size == PqM * PqK,
+      s"PQ meta at '$metaTarget' has ${cbm.size} codewords, expected ${PqM * PqK}")
+    val cb = (0 until PqM).map(m => (0 until PqK).map(j => cbm((m, j))).toSeq)
+    (cents, cb)
+  }
+
+  /** Encode a quantized batch against the FROZEN coarse quantizer +
+    * codebooks: cell id, packed M-byte PQ code, reconstructed norm —
+    * canonical LWW delta rows. Pure per-row map, no shuffle.
+    */
+  private def encodePq(batch: DataFrame, cents: Seq[(Int, Array[Long], Long)],
+                       cb: Seq[Seq[Seq[Long]]], seqBase: String): DataFrame =
+    SimilarityQueries.assignToCentroids(batch, cents)
+      .withColumn("cb", typedLit(cb))
+      .withColumn("code", expr(SimilarityQueries.pqEncodeExpr))
+      .withColumn("code_b", graft.functions.PackedVectorFunctions
+        .vecPackU8(expr("transform(code, x -> cast(x as bigint))")))
+      .withColumn("rnn", expr(SimilarityQueries.pqRnnExpr))
+      .select(
+        col("vec_id").cast("string").as("keys"),
+        lit("PUT").as("op"),
+        lit(seqBase).as("sequenceNumber"),
+        to_json(struct(col("c_id"),
+          col("rnn"), base64(col("code_b")).as("code"))).as("newImage"))
+
+  /** Add one batch of quantized vectors to the PQ codes target. */
+  def appendBatchPq(spark: SparkSession, batch: DataFrame, metaTarget: String,
+                    codesTarget: String, batchId: Long): Unit = {
+    val (cents, cb) = readMetaPq(spark, metaTarget)
+    SnapshotStore.mergeIntoTarget(spark, codesTarget,
+      encodePq(batch, cents, cb, seqBase = f"sb$batchId%012d"), batchId)
+  }
+
+  /** Incremental PQ maintenance from the raw vector stream — the
+    * [[ingestSink]] contract under frozen codebooks: checkpointed,
+    * replay-idempotent LWW merges of O(|batch|) encoded rows.
+    */
+  def ingestSinkPq(newVecs: DataFrame, metaTarget: String, codesTarget: String,
+                   checkpoint: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    lazy val meta = readMetaPq(newVecs.sparkSession, metaTarget)
+    newVecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (cents, cb) = meta
+        SnapshotStore.mergeIntoTarget(batch.sparkSession, codesTarget,
+          encodePq(quantize(batch), cents, cb, seqBase = f"sb$batchId%012d"),
+          batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The persisted PQ codes target as the ADC scan side:
+    * (vec_id, c_id, code — unpacked to the M codeword ids, rnn).
+    */
+  def readIndexPq(spark: SparkSession, codesTarget: String): DataFrame =
+    SnapshotStore.readTarget(spark, codesTarget)
+      .select(col("keys").cast("bigint").as("vec_id"),
+        from_json(col("newImage"), codeSchema).as("c"))
+      .select(col("vec_id"), col("c.c_id").as("c_id"),
+        graft.functions.PackedVectorFunctions
+          .vecUnpackU8(unbase64(col("c.code"))).as("code_l"),
+        col("c.rnn").as("rnn"))
+      .select(col("vec_id"), col("c_id"),
+        expr("transform(code_l, x -> cast(x as int))").as("code"),
+        col("rnn"))
+
+  /** IVF×PQ search over the PERSISTED index — the exact `ann_ivf_pq`
+    * pipeline with the trained artifacts swapped for the store's:
+    * nprobe cell prune → per-probe ADC lookup table (M lookups+adds
+    * per scanned code) → deep 8·k pool → exact integer rerank against
+    * `exact`'s full vectors.
+    */
+  def searchPairsPq(spark: SparkSession, probesBase: DataFrame, exact: DataFrame,
+                    metaTarget: String, codesTarget: String, kk: Int,
+                    nprobe: Int = SimilarityQueries.TrainedNProbe): DataFrame = {
+    val (cents, cb) = readMetaPq(spark, metaTarget)
+    val index = readIndexPq(spark, codesTarget)
+    val probeCells = probesBase
+      .withColumn("cell",
+        explode(slice(sort_array(SimilarityQueries.centScoredArr(cents), asc = false),
+          1, nprobe)))
+      .withColumn("cb", typedLit(cb))
+      .select(
+        col("vec_id").as("query_id"), col("nn").as("q_nn"),
+        (-col("cell.negcid")).as("c_id"),
+        expr(SimilarityQueries.pqLutExpr).as("lut"))
+    val apairs = index.join(broadcast(probeCells), Seq("c_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr(SimilarityQueries.pqAdotExpr).as("adot"),
+        col("rnn").as("ana"), col("q_nn").as("anb"))
+    val topc = udaf(new graft.functions.TopKScoredAgg(SimilarityQueries.PqCandMult * kk),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val cands = apairs
+      .withColumn("ascore", expr(SimilarityQueries.sq8ApproxScoreSql))
+      .groupBy("query_id").agg(topc(col("ascore"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t._2").as("vec_id"))
+    val probesExact = probesBase
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
+    exact.join(broadcast(cands), "vec_id")
+      .join(broadcast(probesExact), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Corpus.dotCol("qv", "q_qv").as("dot"),
+        col("nn").as("na"), col("q_nn").as("nb"))
+  }
+
+  private val builtPq =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  /** Train + bulk-add the full corpus at `d` into fresh temp PQ store
+    * targets, once per (session, dir) — the [[ensureBuilt]] memo for
+    * the `ann_ivf_pq_persisted` oracle query.
+    */
+  def ensureBuiltPq(s: SparkSession, d: String): (String, String) =
+    builtPq.synchronized {
+      val app = s.sparkContext.applicationId
+      builtPq.keySet.removeIf(_._1 != app)
+      val k = (app, d)
+      val got = builtPq.get(k)
+      if (got != null) got
+      else {
+        val meta = java.nio.file.Files.createTempDirectory("graft-vidx-pq-meta")
+          .toFile.getAbsolutePath
+        val codes = java.nio.file.Files.createTempDirectory("graft-vidx-pq-codes")
+          .toFile.getAbsolutePath
+        val base = Corpus.quantizedVectors(s, d)
+        trainPq(s, base, meta)
+        appendBatchPq(s, base, meta, codes, batchId = 1L)
+        builtPq.put(k, (meta, codes))
+        (meta, codes)
+      }
+    }
+
   // ── per-(session, corpus) memoized build for the oracle query ──────
   // ann_ivf_sq8_persisted needs a built index per testdata dir; the
   // build is deterministic (integer Lloyd + integer bounds + integer

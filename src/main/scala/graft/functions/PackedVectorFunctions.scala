@@ -113,10 +113,56 @@ case class VecDotU8Long(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Inverse of [[VecPackU8]]: a U8-packed BINARY column back to
+  * `array<bigint>` of its unsigned byte values. The PQ index read path:
+  * persisted 8-byte PQ codes unpack to the M codeword ids the ADC
+  * lookup indexes with — a per-row primitive loop under whole-stage
+  * codegen, so reading the packed store costs no more than storing the
+  * array form would.
+  */
+case class VecUnpackU8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_unpack_u8"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val out = new Array[Long](x.length)
+    var i = 0
+    while (i < x.length) { out(i) = (x(i) & 0xFF).toLong; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+        final long[] $out = new long[$a.length];
+        for (int $i = 0; $i < $a.length; $i++) {
+          $out[$i] = (long) ($a[$i] & 0xFF);
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecUnpackU8 =
+    copy(child = newChild)
+}
+
 object PackedVectorFunctions {
   /** Column API for [[VecPackU8]]. */
   def vecPackU8(a: Column): Column =
     GraftSqlBridge.column(VecPackU8(GraftSqlBridge.expression(a)))
+
+  /** Column API for [[VecUnpackU8]]. */
+  def vecUnpackU8(a: Column): Column =
+    GraftSqlBridge.column(VecUnpackU8(GraftSqlBridge.expression(a)))
 
   /** Column API for [[VecDotU8Long]]. */
   def vecDotU8Long(packed: Column, arr: Column): Column =
