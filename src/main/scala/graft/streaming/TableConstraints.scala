@@ -112,6 +112,89 @@ object TableConstraints {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  // ── discovery → enforcement bridge (r16, VERDICT r15 #6) ──────────
+  // profile_fd / profile_inclusion DISCOVER dependencies as report
+  // rows; this closes the loop: profile the target's CURRENT resolved
+  // state for predicates that HOLD and emit them as candidate Check
+  // rows a caller can promote into the _CONSTRAINTS contract via
+  // [[declare]] — the Salting.decideFromProfile signal→action pattern
+  // applied to data quality. A CHECK is row-local, so only row-
+  // expressible discoveries are proposed: NOT-NULL, numeric range, and
+  // — the FD case — a functional dependency whose LHS domain is
+  // control-plane sized (≤ ndvCap), promoted by EMBEDDING the
+  // discovered mapping as a literal map lookup (an unseen future LHS
+  // value makes the lookup NULL, which PASSES — the constraint judges
+  // only the mappings it observed; a drifted mapping violates). Values
+  // are vetted against a safe charset before being spliced into
+  // expression text, and every proposal re-analyzes through declare()'s
+  // loud validation when promoted.
+
+  private def jsonField(f: String): String = {
+    require(f.matches("[A-Za-z0-9_]+"),
+      s"field name '$f' is not a simple identifier")
+    s"get_json_object(newImage, '$$.$f')"
+  }
+
+  private def safeLiteral(v: String): Boolean =
+    v != null && v.matches("[A-Za-z0-9_ .:\\-]*")
+
+  /** Candidate checks discovered from the target's current resolved
+    * state: per field in `fields`, `<f>_not_null` when every row
+    * carries it and `<f>_in_range` (the observed [min, max]) when every
+    * value parses as BIGINT; per (lhs, rhs) in `fdCandidates`,
+    * `fd_<lhs>_determines_<rhs>` when the FD holds and ndv(lhs) ≤
+    * `ndvCap`, with the discovered mapping embedded as a sorted literal
+    * map. Aggregates are one hash-agg per candidate over the resolved
+    * state; only ndv-sized mappings are pulled to the driver.
+    */
+  def propose(spark: SparkSession, dir: String, fields: Seq[String],
+              fdCandidates: Seq[(String, String)] = Nil,
+              ndvCap: Int = 64): Seq[Check] = {
+    val state = SnapshotStore.readTarget(spark, dir)
+      .select(col("newImage")).localCheckpoint(true)
+    val fieldChecks = fields.flatMap { f =>
+      val g = jsonField(f)
+      val r = state.agg(
+        count(lit(1)).as("n"),
+        sum(when(expr(g).isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(expr(s"try_cast($g AS BIGINT)").isNull && expr(g).isNotNull,
+          1L).otherwise(0L)).as("n_nonnum"),
+        min(expr(s"try_cast($g AS BIGINT)")).as("lo"),
+        max(expr(s"try_cast($g AS BIGINT)")).as("hi")).head()
+      val (n, nNull, nNonnum) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      (if (n > 0 && nNull == 0)
+        Seq(Check(s"${f}_not_null", s"$g IS NOT NULL")) else Nil) ++
+      (if (n > 0 && nNull == 0 && nNonnum == 0)
+        Seq(Check(s"${f}_in_range",
+          s"CAST($g AS BIGINT) BETWEEN ${r.getLong(3)} AND ${r.getLong(4)}"))
+       else Nil)
+    }
+    val fdChecks = fdCandidates.flatMap { case (a, b) =>
+      val (ga, gb) = (jsonField(a), jsonField(b))
+      val grp = state.filter(expr(ga).isNotNull && expr(gb).isNotNull)
+        .groupBy(expr(ga).as("va"))
+        .agg(countDistinct(expr(gb)).as("k"), max(expr(gb)).as("vb"))
+        .localCheckpoint(true) // feeds the holds-probe AND the mapping pull
+      val prof = grp.agg(count(lit(1)).as("ndv"),
+        coalesce(max("k"), lit(0L)).as("maxk")).head()
+      if (prof.getLong(0) == 0 || prof.getLong(0) > ndvCap ||
+          prof.getLong(1) != 1L) Nil
+      else {
+        val pairs = grp.select("va", "vb").collect()
+          .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+        if (!pairs.forall(p => safeLiteral(p._1) && safeLiteral(p._2))) Nil
+        else {
+          val mapLit = pairs
+            .map { case (k, v) => s"'$k', '$v'" }.mkString("map(", ", ", ")")
+          Seq(Check(s"fd_${a}_determines_$b",
+            s"CASE WHEN $ga IS NULL OR $gb IS NULL THEN TRUE " +
+              s"ELSE $gb = element_at($mapLit, $ga) END"))
+        }
+      }
+    }
+    fieldChecks ++ fdChecks
+  }
+
   /** First violated constraint's name per row, NULL when the row passes.
     * SQL-standard CHECK (FALSE violates, NULL passes); REMOVEs skipped.
     */
