@@ -827,9 +827,13 @@ object SnapshotStore {
   private def gc(fs: FileSystem, targetDir: String, retainManifests: Set[String],
                  retainData: Set[String]): Unit = {
     val root = new Path(targetDir)
-    // referenced relpaths look like "data-x/__bucket=3": group by top dir
+    // referenced relpaths look like "data-x/__bucket=3" (or, for a
+    // clustered publish, "data-x/__bucket=3/zs=5"): group by top dir and
+    // compare at the BUCKET-dir level — a clustered bucket's slices are
+    // always referenced together (one atomic publish), so keeping the
+    // whole bucket dir when any of its slices is live is exact
     val liveByDir = retainData.map { rel =>
-      val Array(top, sub) = rel.split("/", 2); (top, sub)
+      val Array(top, sub) = rel.split("/", 2); (top, sub.split("/")(0))
     }.groupBy(_._1).map { case (t, s) => t -> s.map(_._2) }
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
@@ -870,25 +874,44 @@ object SnapshotStore {
                       prefixChains: Map[Int, Seq[String]],
                       basis: Option[String],
                       batchId: Long, numBuckets: Int,
-                      retainVersions: Int = 2): Unit = {
+                      retainVersions: Int = 2,
+                      sliceCol: Option[String] = None): Unit = {
     val fs = fsOf(spark, targetDir)
     fs.mkdirs(new Path(targetDir))
     // nonce so a retried batch never collides with its failed attempt's dir
     val nonce = System.nanoTime().toHexString
     val dataName = f"data-$batchId%012d-$nonce"
-    // whole buckets per task → one file per touched bucket per publish
-    data.repartition(col(BucketCol))
-      .write.partitionBy(BucketCol)
-      .parquet(new Path(targetDir, dataName).toString)
+    // whole buckets per task → one file per touched bucket per publish;
+    // a clustered publish (r16) additionally splits each bucket into
+    // its slice subdirs — one SEGMENT per (bucket, slice), so the
+    // reader's per-segment zone maps can exclude within a bucket
+    sliceCol match {
+      case Some(zs) =>
+        data.repartition(col(BucketCol), col(zs))
+          .write.partitionBy(BucketCol, zs)
+          .parquet(new Path(targetDir, dataName).toString)
+      case None =>
+        data.repartition(col(BucketCol))
+          .write.partitionBy(BucketCol)
+          .parquet(new Path(targetDir, dataName).toString)
+    }
     // empty buckets write no dir: the manifest simply drops them
-    val written = fs.listStatus(new Path(targetDir, dataName))
+    val written: Map[Int, Seq[String]] = fs
+      .listStatus(new Path(targetDir, dataName))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
       .map { s =>
         val b = s.getPath.getName.stripPrefix(s"$BucketCol=").toInt
-        b -> s"$dataName/${s.getPath.getName}"
+        val segs = sliceCol match {
+          case Some(zs) => fs.listStatus(s.getPath)
+            .filter(c => c.isDirectory && c.getPath.getName.startsWith(s"$zs="))
+            .map(c => s"$dataName/${s.getPath.getName}/${c.getPath.getName}")
+            .sortBy(identity).toSeq
+          case None => Seq(s"$dataName/${s.getPath.getName}")
+        }
+        b -> segs
       }.toMap
-    val chains = keepChains ++ written.map { case (b, path) =>
-      b -> (prefixChains.getOrElse(b, Nil) :+ path)
+    val chains = keepChains ++ written.map { case (b, paths) =>
+      b -> (prefixChains.getOrElse(b, Nil) ++ paths)
     }
     // zone maps (r13): fresh stats for this publish's segments, prior
     // stats carried forward for kept/prefix chains (they live in the
@@ -900,7 +923,7 @@ object SnapshotStore {
       .map(_.zoneMaps).getOrElse(Map.empty)
       .filter { case (seg, _) => keptSegs(seg) }
     val freshZm = zoneStatsFor(spark, new Path(targetDir, dataName).toString,
-      written,
+      dataName, written.values.flatten.toSet, sliceCol,
       graft.sources.SnapshotProjectedColumns.read(fs.getConf, targetDir))
     val manifest = Manifest(numBuckets, chains, priorZm ++ freshZm)
     val manifestName = f"manifest-$batchId%012d-$nonce"
@@ -949,17 +972,19 @@ object SnapshotStore {
     * gets stats (custom payload layouts have no projected columns).
     */
   private def zoneStatsFor(spark: SparkSession, dataDir: String,
-                           written: Map[Int, String],
+                           dataName: String, writtenSegs: Set[String],
+                           sliceCol: Option[String],
                            projCols: Seq[org.apache.spark.sql.types.StructField])
       : Map[String, Seq[ZoneStat]] = {
     import org.apache.spark.sql.types._
     val usable = projCols.filter(f => Seq[DataType](LongType, IntegerType,
       DoubleType, BooleanType, StringType).contains(f.dataType))
-    if (usable.isEmpty || written.isEmpty) return Map.empty
+    if (usable.isEmpty || writtenSegs.isEmpty) return Map.empty
     // read BACK the just-written segments rather than re-evaluating the
     // publish lineage (a fold path's lineage re-reads whole chains);
     // column pruning makes this one newImage-column pass over the new
-    // files only, and BucketCol comes back as the partition column
+    // files only, and BucketCol (plus the slice column for a clustered
+    // publish) comes back as a partition column
     val data = spark.read.parquet(dataDir)
     if (!data.columns.contains("newImage")) return Map.empty
     val exCols = usable.map { f =>
@@ -971,20 +996,25 @@ object SnapshotStore {
         max(col(s"z_${f.name}")).as(s"mx_${f.name}"),
         count(col(s"z_${f.name}")).as(s"nn_${f.name}"))
     }
-    val rows = data.select(col(BucketCol) +: exCols: _*)
-      .groupBy(BucketCol).agg(aggs.head, aggs.tail: _*)
+    val grpCols = Seq(col(BucketCol)) ++ sliceCol.map(col)
+    val rows = data.select(grpCols ++ exCols: _*)
+      .groupBy(grpCols: _*).agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.flatMap { r =>
       val b = r.getInt(r.fieldIndex(BucketCol))
-      written.get(b).map { seg =>
-        seg -> usable.map { f =>
-          val mn = r.get(r.fieldIndex(s"mn_${f.name}"))
-          val mx = r.get(r.fieldIndex(s"mx_${f.name}"))
-          val nn = r.getLong(r.fieldIndex(s"nn_${f.name}"))
-          ZoneStat(f.name, f.dataType.catalogString, allNull = nn == 0L,
-            Option(mn).map(_.toString), Option(mx).map(_.toString))
-        }
+      val seg = sliceCol match {
+        case Some(zs) =>
+          s"$dataName/$BucketCol=$b/$zs=${r.getInt(r.fieldIndex(zs))}"
+        case None => s"$dataName/$BucketCol=$b"
       }
+      if (!writtenSegs(seg)) None
+      else Some(seg -> usable.map { f =>
+        val mn = r.get(r.fieldIndex(s"mn_${f.name}"))
+        val mx = r.get(r.fieldIndex(s"mx_${f.name}"))
+        val nn = r.getLong(r.fieldIndex(s"nn_${f.name}"))
+        ZoneStat(f.name, f.dataType.catalogString, allNull = nn == 0L,
+          Option(mn).map(_.toString), Option(mx).map(_.toString))
+      })
     }.toMap
   }
 
@@ -1253,6 +1283,123 @@ object SnapshotStore {
             catch {
               case scala.util.control.NonFatal(e) => System.err.println(
                 s"[compactTarget] stats re-pin failed (stats degrade): ${e.getMessage}")
+            }
+          }
+      }
+    }
+
+  /** Clustered compaction — OPTIMIZE ZORDER for the store (r16,
+    * VERDICT r15 #2; the Delta/Iceberg production feature, measured by
+    * `layout_zorder` as a model and delivered here on the real table).
+    * [[compactTarget]] folds each bucket to ONE arrival-ordered
+    * segment, so the per-segment zone maps (r13) can only exclude
+    * whole BUCKETS — and buckets are key-hash-assigned, so a value
+    * predicate on a projected column almost never excludes anything
+    * after a fold. This mode instead sorts each bucket's resolved rows
+    * by the Z-ORDER of the declared cluster columns (the layout_zorder
+    * interleave generalized to N columns: 8-bit equi-width value
+    * buckets from one broadcast min/max scalar pull, bits interleaved
+    * into one flat integer expression — no rank window) and splits the
+    * bucket into `slicesPerBucket` z-contiguous SEGMENTS, so each
+    * slice's zone map covers a narrow value box and the V2 source's
+    * existing per-segment exclusion prunes WITHIN buckets
+    * (ClusteredCompactionSpec pins the image-segment counter dropping).
+    *
+    * Exactness is the S16 exclusion argument, strengthened: slices
+    * partition the RESOLVED state, so every key lives in exactly one
+    * segment and cross-segment LWW can never be consulted — reads are
+    * bit-identical to an unclustered compaction (oracle-neutral).
+    * Scale shape: one repartition on the bucket column (what every
+    * publish already pays) + an in-bucket sort — the inherent cost of
+    * clustering, parallel across buckets; the bounds pull is
+    * |clusterCols| scalars. Cluster columns must be declared projected
+    * columns (they are what zone filters prune on) of numeric type.
+    */
+  def compactTargetClustered(spark: SparkSession, targetDir: String,
+                             clusterCols: Seq[String],
+                             slicesPerBucket: Int = 8,
+                             keys: Seq[String] = Seq("keys"),
+                             opCol: String = "op",
+                             seqCol: String = "sequenceNumber",
+                             retainVersions: Int = 2): Unit =
+    withTargetLock(spark, targetDir) {
+      currentManifest(spark, targetDir) match {
+        case None => ()
+        case Some((basisName, m)) =>
+          import org.apache.spark.sql.types._
+          require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+          require(slicesPerBucket >= 2 && slicesPerBucket <= 256,
+            s"slicesPerBucket must be in [2, 256], got $slicesPerBucket")
+          val proj = graft.sources.SnapshotProjectedColumns.read(
+            hconf(spark), targetDir)
+          val fields = clusterCols.map { c =>
+            proj.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+              s"cluster column '$c' is not a declared projected column of " +
+                s"'$targetDir' — declare it first (zone filters prune on " +
+                "projected columns only)"))
+          }
+          fields.foreach(f => require(
+            Seq[DataType](LongType, IntegerType, DoubleType).contains(f.dataType),
+            s"cluster column '${f.name}' must be numeric, " +
+              s"got ${f.dataType.catalogString}"))
+          val state = readTarget(spark, targetDir, keys, opCol, seqCol)
+          require(state.columns.contains("newImage"),
+            "clustered compaction requires the canonical newImage layout")
+          val stateCols = state.columns.toSeq
+          val withVals = fields.zipWithIndex.foldLeft(state) {
+            case (df, (f, i)) => df.withColumn(s"__zv$i",
+              graft.sources.JsonProjection.extractUdf(f.name, f.dataType)(
+                col("newImage")).cast("double"))
+          }.localCheckpoint(true) // feeds the bounds pull AND the write
+          val bounds = withVals.agg(
+            expr(fields.indices.map(i =>
+              s"struct(min(__zv$i) AS mn, max(__zv$i) AS mx)")
+              .mkString("struct(", ", ", ") AS b"))).head()
+            .getStruct(0)
+          val nc = fields.length
+          // per-column 8-bit equi-width bucket; nulls and degenerate
+          // spans sort first (bucket 0)
+          val zExpr = fields.indices.map { i =>
+            val bi = bounds.getStruct(i)
+            val (mn, mx) = (Option(bi.get(0)), Option(bi.get(1)))
+            val (lo, hi) = (mn.map(_.toString.toDouble).getOrElse(0.0),
+              mx.map(_.toString.toDouble).getOrElse(0.0))
+            val bcol =
+              if (hi > lo)
+                s"cast(least(255.0d, greatest(0.0d, floor((coalesce(__zv$i, " +
+                  s"$lo" + s"d) - ${lo}d) * 256.0d / ${hi - lo}d))) as bigint)"
+              else "0L"
+            (i, bcol)
+          }.flatMap { case (j, bcol) =>
+            (0 until 8).map(bit =>
+              s"shiftleft((($bcol) div ${1L << bit}L) % 2, ${bit * nc + j})")
+          }.mkString(" + ")
+          val wOrd = org.apache.spark.sql.expressions.Window
+            .partitionBy(BucketCol)
+            .orderBy(col("__z") +: keys.map(col): _*)
+          val wAll = org.apache.spark.sql.expressions.Window
+            .partitionBy(BucketCol)
+          val clustered = withVals
+            .withColumn(BucketCol, bucketExpr(keys, m.numBuckets))
+            .withColumn("__z", expr(zExpr))
+            .withColumn("__rn", row_number().over(wOrd).cast("long"))
+            .withColumn("__cnt", count(lit(1)).over(wAll))
+            .withColumn("zs",
+              expr(s"cast((__rn - 1) * $slicesPerBucket div __cnt as int)"))
+            .select((stateCols.map(col) :+ col(BucketCol) :+ col("zs")): _*)
+          val liveStats = graft.sources.SnapshotTableStats.read(
+            hconf(spark), targetDir).filter(_.version == basisName)
+          publish(spark, targetDir, clustered,
+            keepChains = Map.empty, prefixChains = Map.empty,
+            basis = Some(basisName), batchId = -1L, m.numBuckets,
+            retainVersions, sliceCol = Some("zs"))
+          liveStats.foreach { st =>
+            try pointerValue(spark, targetDir).foreach(v =>
+              graft.sources.SnapshotTableStats.repin(hconf(spark), targetDir, st, v))
+            catch {
+              case scala.util.control.NonFatal(e) => System.err.println(
+                s"[compactTargetClustered] stats re-pin failed (stats " +
+                  s"degrade): ${e.getMessage}")
             }
           }
       }
