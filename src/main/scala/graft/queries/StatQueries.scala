@@ -4734,6 +4734,118 @@ object StatQueries {
                (tn_all - neg_lt) * 1 + fn * 5 AS cost
         FROM cum, tot""")),
 
+    // ───── Isotonic calibration (r16): PAVA's monotone-nondecreasing
+    // fit of purchase rate vs score — the calibration map production
+    // scorers ship next to the reliability diagram
+    // (text_classifier_calibration measures miscalibration; this FIXES
+    // it). No sequential pool-adjacent-violators loop: over the ≤~57
+    // bounded kilocent bins the exact PAVA solution is the MINIMAX
+    // closed form ŷ_i = max_{j≤i} min_{k≥i} avg(pos over bins j..k)
+    // (Ayer et al. 1955; Robertson–Wright–Dykstra §1.2) — interval
+    // averages from cumulative sums over the bounded bin domain, one
+    // bounded (bin × interval) join (≤ B³ ≈ 2e5 rows at B=57, corpus-
+    // size-INDEPENDENT), min-then-max aggregation. Interval rates are
+    // truncated to ppm BEFORE the min/max (declared fixed point — both
+    // engines order identical integers; the ≤1 ppm fit perturbation is
+    // the house truncation contract). Readout: per-bin raw vs isotonic
+    // ppm plus the binned Brier sums (exact DECIMAL(38)/HUGEINT
+    // products, averaged to ppm² in BIGINT) for both maps — measuring
+    // the COST of imposing monotonicity: the unconstrained per-bin
+    // rates always fit the training bins at least as well, so the
+    // Brier gap (zero iff the raw curve is already monotone) is what
+    // the calibrator pays for an invertible score map; the fit's value
+    // is on FUTURE data, which the temporal-holdout evals measure
+    // elsewhere.
+    QuerySpec(
+      "ml_calibration_isotonic",
+      (s, d) => {
+        val hist = events(s, d).select(
+            expr("cast(round(value * 100) as bigint) div 1000").as("bin"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum("pos").as("p"))
+        val wCum = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val pre = hist
+          .withColumn("cn", sum("n").over(wCum))
+          .withColumn("cp", sum("p").over(wCum))
+          .withColumn("cnx", col("cn") - col("n"))
+          .withColumn("cpx", col("cp") - col("p"))
+          .localCheckpoint(true) // feeds intervals twice + the bin list
+        val iv = pre.select(col("bin").as("j"), col("cnx"), col("cpx"))
+          .join(pre.select(col("bin").as("k"), col("cn"), col("cp")),
+            col("j") <= col("k"))
+          .select(col("j"), col("k"),
+            expr("(cp - cpx) * 1000000 div (cn - cnx)").as("appm"))
+        val iso = pre.select(col("bin"))
+          .join(iv, col("j") <= col("bin") && col("k") >= col("bin"))
+          .groupBy("bin", "j").agg(min("appm").as("mn"))
+          .groupBy("bin").agg(max("mn").as("iso_ppm"))
+        hist.join(iso, "bin")
+          .withColumn("raw_ppm", expr("p * 1000000 div n"))
+          .crossJoin(broadcast(hist.join(iso, "bin")
+            .withColumn("raw_ppm", expr("p * 1000000 div n"))
+            .agg(sum("n").as("nt"),
+              sum(expr("""cast(p as decimal(38,0))
+                          * (1000000 - raw_ppm) * (1000000 - raw_ppm)
+                          + cast(n - p as decimal(38,0)) * raw_ppm * raw_ppm"""))
+                .as("br_raw"),
+              sum(expr("""cast(p as decimal(38,0))
+                          * (1000000 - iso_ppm) * (1000000 - iso_ppm)
+                          + cast(n - p as decimal(38,0)) * iso_ppm * iso_ppm"""))
+                .as("br_iso"))
+            .select(
+              expr("cast(br_raw div nt as bigint)").as("brier_raw_ppm2"),
+              expr("cast(br_iso div nt as bigint)").as("brier_iso_ppm2"))))
+          .select(col("bin"), col("n"), col("p"), col("raw_ppm"),
+            col("iso_ppm"), col("brier_raw_ppm2"), col("brier_iso_ppm2"))
+      },
+      Some("""
+        WITH hist AS MATERIALIZED (
+          SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS bin,
+                 COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS p
+          FROM events GROUP BY 1),
+        pre AS MATERIALIZED (
+          SELECT bin, n, p,
+                 CAST(SUM(n) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cn,
+                 CAST(SUM(p) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cp
+          FROM hist),
+        iv AS MATERIALIZED (
+          SELECT j.bin AS j, k.bin AS k,
+                 (k.cp - (j.cp - j.p)) * 1000000
+                   // (k.cn - (j.cn - j.n)) AS appm
+          FROM pre j JOIN pre k ON j.bin <= k.bin),
+        iso AS MATERIALIZED (
+          SELECT bin, CAST(MAX(mn) AS BIGINT) AS iso_ppm FROM (
+            SELECT b.bin, iv.j, MIN(iv.appm) AS mn
+            FROM (SELECT bin FROM hist) b
+            JOIN iv ON iv.j <= b.bin AND iv.k >= b.bin
+            GROUP BY 1, 2)
+          GROUP BY 1),
+        per AS MATERIALIZED (
+          SELECT h.bin, h.n, h.p, h.p * 1000000 // h.n AS raw_ppm,
+                 i.iso_ppm
+          FROM hist h JOIN iso i USING (bin)),
+        briers AS (
+          SELECT CAST(SUM(CAST(p AS HUGEINT)
+                     * (1000000 - raw_ppm) * (1000000 - raw_ppm)
+                     + CAST(n - p AS HUGEINT) * raw_ppm * raw_ppm)
+                   // SUM(n) AS BIGINT) AS brier_raw_ppm2,
+                 CAST(SUM(CAST(p AS HUGEINT)
+                     * (1000000 - iso_ppm) * (1000000 - iso_ppm)
+                     + CAST(n - p AS HUGEINT) * iso_ppm * iso_ppm)
+                   // SUM(n) AS BIGINT) AS brier_iso_ppm2
+          FROM per)
+        SELECT per.bin, per.n, per.p, per.raw_ppm, per.iso_ppm,
+               b.brier_raw_ppm2, b.brier_iso_ppm2
+        FROM per, briers b""")),
+
     // ───── Ansari–Bradley scale test (r15): do purchase and click
     // values differ in DISPERSION (mann_whitney/ks answer location/
     // shape)? Each combined-ranking position scores min(rank, N+1−rank)
