@@ -98,6 +98,59 @@ object GraphOps {
     out
   }
 
+  /** Distributed Borůvka minimum spanning forest (the graph_mst core,
+    * r16). `e` is a single-direction weighted edge list (u, v, w) with
+    * u < v. Per round every component picks its minimum outgoing edge
+    * under the STRICT struct order (w, u, v) — the total tie-break that
+    * keeps the chosen set acyclic even with equal weights — and merging
+    * is TRUE connected components of the chosen graph (a partial merge
+    * could re-admit intra-tree edges and cycle the forest, so per-round
+    * completeness is a correctness requirement). `rounds` is fixed
+    * (≥ 2^rounds× component reduction — Borůvka at least halves);
+    * callers report the residual honestly.
+    *
+    * Returns (forest edges (u, v, w), final component labels (n, c)).
+    * Per-round cost: one |E| equi-join + per-component min hash-agg +
+    * a components-sized CC fixpoint; every frame that feeds two
+    * consumers is localCheckpointed.
+    */
+  def minimumSpanningForest(e: DataFrame, rounds: Int = 6)
+      : (DataFrame, DataFrame) = {
+    var comp = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n"))).distinct()
+      .select(col("n"), col("n").as("c"))
+      .localCheckpoint(true)
+    var mst: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val cross = e
+        .join(comp.select(col("n").as("u"), col("c").as("cu")), "u")
+        .join(comp.select(col("n").as("v"), col("c").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+      val bi = cross.select(col("u"), col("v"), col("w"),
+          col("cu").as("c"), col("cv").as("cother"))
+        .unionAll(cross.select(col("u"), col("v"), col("w"),
+          col("cv").as("c"), col("cu").as("cother")))
+      val cand = bi
+        .groupBy("c")
+        .agg(min(struct(col("w"), col("u"), col("v"), col("cother")))
+          .as("m"))
+        .select(col("c"), col("m.w").as("w"), col("m.u").as("u"),
+          col("m.v").as("v"), col("m.cother").as("cother"))
+        .localCheckpoint(true) // feeds the forest set AND the merge
+      val chosen = cand.select("u", "v", "w").distinct()
+      mst = if (mst == null) chosen else mst.unionAll(chosen)
+      val newlab = DedupQueries.connectedComponents(
+        cand.select(least(col("c"), col("cother")).as("doc_a"),
+          greatest(col("c"), col("cother")).as("doc_b")).distinct())
+      comp = comp.join(
+          newlab.select(col("doc_id").as("c"), col("label")),
+          Seq("c"), "left")
+        .select(col("n"), coalesce(col("label"), col("c")).as("c"))
+        .localCheckpoint(true)
+    }
+    (mst.localCheckpoint(true), comp)
+  }
+
   /** Multi-source bounded BFS (r12): exact hop distances from every
     * seed simultaneously — state keyed (seed, n), each round ONE edge
     * equi-join + distinct + anti-join against the visited set for ALL

@@ -7026,6 +7026,127 @@ object RelationalQueries {
         effd AS (SELECT MIN(hop) AS eff_diameter_hops FROM pm WHERE nf_pm >= 900)
         SELECT hop, n_nodes, nf_est, nf_pm, eff_diameter_hops FROM pm, effd""")
         sb.toString
+      }),
+
+    // ───── Minimum spanning forest via distributed Borůvka (r16): the
+    // classic parallel MST — per round, EVERY component picks its
+    // minimum outgoing edge simultaneously (one equi-join + one
+    // per-component min over the struct order (w, u, v) — the STRICT
+    // total tie-break that makes chosen edges provably acyclic even
+    // with equal weights), chosen edges merge components, repeat.
+    // Merging is TRUE connected components of the ≤|components|-edge
+    // chosen graph per round ([[DedupQueries.connectedComponents]]'s
+    // min-label fixpoint — a partial merge could re-admit intra-tree
+    // edges and cycle the forest, so completeness per round is a
+    // CORRECTNESS requirement, not a convergence nicety). 6 unrolled
+    // rounds ≥ 64× component reduction (Borůvka halves per round at
+    // worst); `resid_mergeable` counts components still owning outgoing
+    // edges — 0 = the spanning forest is complete, reported honestly
+    // otherwise. Graph: the %30-subsampled co-purchase graph (the
+    // graph_scc oracle-feasibility discipline) with inverse-affinity
+    // weights (1e6 div shared-order count — undWeighted's semantics).
+    // The oracle replays the SAME rounds: per-round min via ROW_NUMBER
+    // under the identical order, merges via a recursive min-label
+    // closure per round (set-semantics UNION — the sql_recursive_chain
+    // UnionLoop machinery). Scale shape: per-round cost is one |E|
+    // equi-join + hash-aggs; the chosen graph is components-sized;
+    // rounds are log-bound. Output: every forest edge + the summary
+    // (nodes, final components, edges, total weight, residual).
+    QuerySpec(
+      "graph_mst",
+      (s, d) => {
+        val li0 = lineitem(s, d)
+          .select("l_orderkey", "l_partkey")
+          .filter(col("l_partkey") % 30 === 0).distinct()
+        val e = li0.as("a").join(li0.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(expr("1000000 div count(1)").as("w"))
+          .localCheckpoint(true)
+        val (forest, comp) =
+          graft.analytics.GraphOps.minimumSpanningForest(e, rounds = 6)
+        val crossFin = e
+          .join(comp.select(col("n").as("u"), col("c").as("cu")), "u")
+          .join(comp.select(col("n").as("v"), col("c").as("cv")), "v")
+          .filter(col("cu") =!= col("cv"))
+        val summary = comp.agg(count(lit(1)).as("n_nodes"),
+            countDistinct("c").as("n_components"))
+          .crossJoin(forest.agg(count(lit(1)).as("n_mst_edges"),
+            sum("w").as("total_w")))
+          .crossJoin(crossFin
+            .select(col("cu").as("c"))
+            .unionAll(crossFin.select(col("cv").as("c")))
+            .agg(countDistinct("c").as("resid_mergeable")))
+        forest.crossJoin(broadcast(summary))
+      },
+      Some {
+        val sb = new StringBuilder("""
+        WITH RECURSIVE li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          WHERE l_partkey % 30 = 0),
+        e AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v,
+                 1000000 // COUNT(*) AS w
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        c0 AS MATERIALIZED (
+          SELECT n, n AS c FROM
+            (SELECT u AS n FROM e UNION SELECT v FROM e))""")
+        for (r <- 1 to 6) sb.append(s""",
+        cross$r AS MATERIALIZED (
+          SELECT e.u, e.v, e.w, a.c AS cu, b.c AS cv
+          FROM e JOIN c${r - 1} a ON a.n = e.u
+                 JOIN c${r - 1} b ON b.n = e.v
+          WHERE a.c <> b.c),
+        cand$r AS MATERIALIZED (
+          SELECT c, u, v, w, cother FROM (
+            SELECT cu AS c, u, v, w, cv AS cother,
+                   ROW_NUMBER() OVER (PARTITION BY cu ORDER BY w, u, v)
+                     AS rk
+            FROM (SELECT u, v, w, cu, cv FROM cross$r
+                  UNION ALL
+                  SELECT u, v, w, cv AS cu, cu AS cv FROM cross$r))
+          WHERE rk = 1),
+        gboth$r AS MATERIALIZED (
+          SELECT DISTINCT LEAST(c, cother) AS a, GREATEST(c, cother) AS b
+          FROM cand$r),
+        gbi$r AS MATERIALIZED (
+          SELECT a, b FROM gboth$r UNION ALL SELECT b, a FROM gboth$r),
+        reach$r(c, lab) AS (
+          SELECT a AS c, a AS lab FROM
+            (SELECT a FROM gbi$r UNION SELECT b FROM gbi$r)
+          UNION
+          SELECT g.a, rr.lab
+          FROM reach$r rr JOIN gbi$r g ON g.b = rr.c),
+        newlab$r AS MATERIALIZED (
+          SELECT c, MIN(lab) AS lab FROM reach$r GROUP BY 1),
+        c$r AS MATERIALIZED (
+          SELECT p.n, COALESCE(nl.lab, p.c) AS c
+          FROM c${r - 1} p LEFT JOIN newlab$r nl ON nl.c = p.c)""")
+        sb.append(s""",
+        allmst AS MATERIALIZED (
+          SELECT DISTINCT u, v, w FROM (${(1 to 6)
+            .map(r => s"SELECT DISTINCT u, v, w FROM cand$r")
+            .mkString(" UNION ALL ")})),
+        crossfin AS (
+          SELECT a.c AS cu, b.c AS cv
+          FROM e JOIN c6 a ON a.n = e.u JOIN c6 b ON b.n = e.v
+          WHERE a.c <> b.c),
+        summary AS (
+          SELECT (SELECT COUNT(*) FROM c6) AS n_nodes,
+                 (SELECT COUNT(DISTINCT c) FROM c6) AS n_components,
+                 (SELECT COUNT(*) FROM allmst) AS n_mst_edges,
+                 (SELECT CAST(SUM(w) AS BIGINT) FROM allmst) AS total_w,
+                 (SELECT COUNT(DISTINCT c) FROM
+                    (SELECT cu AS c FROM crossfin
+                     UNION ALL SELECT cv FROM crossfin))
+                   AS resid_mergeable)
+        SELECT m.u, m.v, m.w, s.n_nodes, s.n_components, s.n_mst_edges,
+               s.total_w, s.resid_mergeable
+        FROM allmst m, summary s""")
+        sb.toString
       })
   )
 }

@@ -648,6 +648,38 @@ class StatSpec extends SparkSpec {
     assert(rounds === 4, s"early-exit did not fire: ran $rounds rounds")
   }
 
+  test("Borůvka MSF equals driver-side Kruskal on a planted graph (ties + disconnection)") {
+    import spark.implicits._
+    // two components; equal-weight ties (edges of weight 2) force the
+    // strict (w, u, v) tie-break; a cycle 1-2-3 with a heavy closing
+    // edge the MST must drop; 10-11-12 is a separate path component
+    val edges = Seq(
+      (1L, 2L, 2L), (2L, 3L, 2L), (1L, 3L, 9L),
+      (3L, 4L, 1L), (4L, 5L, 5L), (2L, 5L, 4L),
+      (10L, 11L, 7L), (11L, 12L, 7L), (10L, 12L, 7L))
+    val (forestDf, compDf) = graft.analytics.GraphOps
+      .minimumSpanningForest(edges.toDF("u", "v", "w"), rounds = 4)
+    val got = forestDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver-side Kruskal under the SAME (w, u, v) total order
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val expected = edges.sortBy { case (u, v, w) => (w, u, v) }
+      .filter { case (u, v, _) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru == rv) false else { parent(ru) = rv; true }
+      }.toSet
+    assert(got === expected, s"forest $got != kruskal $expected")
+    // component labels: {1..5} and {10,11,12} under canonical min ids
+    val comps = compDf.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("RankedPrefix: rank/running-sum/ntile equal the single-task window forms") {
     // the two-phase machinery must be VALUE-identical to the bare global
     // window it replaces, across remainder shapes (n mod b ∈ {0, …}) and
