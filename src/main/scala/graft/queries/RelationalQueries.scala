@@ -233,6 +233,79 @@ object RelationalQueries {
     }
   }
 
+  // ── shared HyperBall artifacts (graph_anf / graph_hyperball_radii):
+  // the 4-round register propagation is the family's once-per-session
+  // build — memoized (checkpointed per-node estimates) with its cost
+  // recorded for the bench "artifacts" block.
+  private val anfCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), DataFrame]()
+  private def anfArtifacts(s: SparkSession, d: String): DataFrame = {
+    val k = (s.sparkContext.applicationId, d)
+    val got = anfCache.get(k)
+    if (got != null) got
+    else {
+      anfCache.keySet.removeIf(_._1 != k._1)
+      val built = graft.MemoTimings.timed(k._1, "anfArtifacts") {
+        graft.analytics.GraphOps.anfPerNode(
+          graft.analytics.GraphArtifacts.undFiltered(s, d), 4)
+          .localCheckpoint(true)
+      }
+      anfCache.putIfAbsent(k, built)
+      anfCache.get(k)
+    }
+  }
+
+  /** Shared HyperBall oracle CTE chain: the w>=2 co-purchase graph,
+    * sparse registers unrolled 4 rounds, and per-hop per-node ball
+    * estimates pn0..pn4 (n, est) — consumed by graph_anf (per-hop
+    * aggregation) and graph_hyperball_radii (per-node min-hop).
+    */
+  private def anfOracleCtes: String = {
+    val lcTable = "266,222,196,177,163,151,142,133,126,119,113,107," +
+      "102,97,93,89,85,81,78,74,71,68,65,63,60,58,55,53,51,48,46,44," +
+      "42,40,39,37,35,33,32,30,28,27,25,24,23,21,20,18,17,16,15,13," +
+      "12,11,10,9,7,6,5,4,3,2,1,0"
+    val sb = new StringBuilder(s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        hh AS (
+          SELECT n, CAST(('0x' || substring(md5(CAST(n AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+          FROM (SELECT DISTINCT u AS n FROM und)),
+        r0 AS MATERIALIZED (
+          SELECT n, h % 64 AS idx,
+                 CAST(CASE WHEN h // 64 = 0 THEN 55
+                      ELSE 55 - length(bin(h // 64)) END AS BIGINT) AS rho
+          FROM hh)""")
+    for (r <- 1 to 4) sb.append(s""",
+        r$r AS MATERIALIZED (
+          SELECT n, idx, MAX(rho) AS rho FROM (
+            SELECT n, idx, rho FROM r${r - 1}
+            UNION ALL
+            SELECT e.u AS n, p.idx, p.rho
+            FROM und e JOIN r${r - 1} p ON p.n = e.v)
+          GROUP BY 1, 2)""")
+    for (r <- 0 to 4) sb.append(s""",
+        pn$r AS MATERIALIZED (
+          SELECT n, CAST(CASE WHEN v_cnt > 0 AND raw <= 160
+                 THEN CAST(list_extract([$lcTable], CAST(v_cnt AS INTEGER)) AS BIGINT)
+                 ELSE raw END AS BIGINT) AS est
+          FROM (
+            SELECT n, 64 - COUNT(*) AS v_cnt,
+                   CAST(floor(1.04629932386080576765952e20
+                     / CAST(SUM(1::BIGINT << CAST(55 - rho AS INTEGER))
+                       + (64 - COUNT(*)) * (1::BIGINT << 55) AS DOUBLE))
+                     AS BIGINT) AS raw
+            FROM r$r GROUP BY n))""")
+    sb.toString
+  }
+
   /** Oracle CTE chain shared by graph_scc / graph_condensation: the
     * directed edge list, the node universe, the transitive closure, and
     * the full SCC labeling (nontrivial labels from mutual reachability,
@@ -6955,8 +7028,7 @@ object RelationalQueries {
     QuerySpec(
       "graph_anf",
       (s, d) => {
-        val e = graft.analytics.GraphArtifacts.undFiltered(s, d)
-        val out = graft.analytics.GraphOps.anfPerNode(e, 4)
+        val out = anfArtifacts(s, d)
           .groupBy("hop")
           .agg(count(lit(1)).as("n_nodes"), sum("est").as("nf_est"))
         val fin = out.filter(col("hop") === 4)
@@ -6971,50 +7043,11 @@ object RelationalQueries {
             col("eff_diameter_hops"))
       },
       Some {
-        val lcTable = "266,222,196,177,163,151,142,133,126,119,113,107," +
-          "102,97,93,89,85,81,78,74,71,68,65,63,60,58,55,53,51,48,46,44," +
-          "42,40,39,37,35,33,32,30,28,27,25,24,23,21,20,18,17,16,15,13," +
-          "12,11,10,9,7,6,5,4,3,2,1,0"
-        val sb = new StringBuilder(s"""
-        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        e0 AS MATERIALIZED (
-          SELECT a.l_partkey AS u, b.l_partkey AS v
-          FROM li a JOIN li b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          GROUP BY 1, 2 HAVING count(*) >= 2),
-        und AS MATERIALIZED (
-          SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
-        hh AS (
-          SELECT n, CAST(('0x' || substring(md5(CAST(n AS VARCHAR)), 1, 15))
-                    AS BIGINT) AS h
-          FROM (SELECT DISTINCT u AS n FROM und)),
-        r0 AS MATERIALIZED (
-          SELECT n, h % 64 AS idx,
-                 CAST(CASE WHEN h // 64 = 0 THEN 55
-                      ELSE 55 - length(bin(h // 64)) END AS BIGINT) AS rho
-          FROM hh)""")
-        for (r <- 1 to 4) sb.append(s""",
-        r$r AS MATERIALIZED (
-          SELECT n, idx, MAX(rho) AS rho FROM (
-            SELECT n, idx, rho FROM r${r - 1}
-            UNION ALL
-            SELECT e.u AS n, p.idx, p.rho
-            FROM und e JOIN r${r - 1} p ON p.n = e.v)
-          GROUP BY 1, 2)""")
-        for (r <- 0 to 4) sb.append(s""",
-        nf$r AS (
-          SELECT $r AS hop, COUNT(*) AS n_nodes,
-                 CAST(SUM(CASE WHEN v_cnt > 0 AND raw <= 160
-                          THEN CAST(list_extract([$lcTable], CAST(v_cnt AS INTEGER)) AS BIGINT)
-                          ELSE raw END) AS BIGINT) AS nf_est
-          FROM (
-            SELECT n, 64 - COUNT(*) AS v_cnt,
-                   CAST(floor(1.04629932386080576765952e20
-                     / CAST(SUM(1::BIGINT << CAST(55 - rho AS INTEGER))
-                       + (64 - COUNT(*)) * (1::BIGINT << 55) AS DOUBLE))
-                     AS BIGINT) AS raw
-            FROM r$r GROUP BY n))""")
-        sb.append(s""",
+        anfOracleCtes + s""",
+        ${(0 to 4).map(r =>
+          s"nf$r AS (SELECT $r AS hop, COUNT(*) AS n_nodes, " +
+            s"CAST(SUM(est) AS BIGINT) AS nf_est FROM pn$r)")
+          .mkString(", ")},
         allh AS (${(0 to 4).map(r => s"SELECT * FROM nf$r")
           .mkString(" UNION ALL ")}),
         fin AS (SELECT nf_est AS nf_final FROM allh WHERE hop = 4),
@@ -7024,8 +7057,46 @@ object RelationalQueries {
                    AS nf_pm
           FROM allh, fin),
         effd AS (SELECT MIN(hop) AS eff_diameter_hops FROM pm WHERE nf_pm >= 900)
-        SELECT hop, n_nodes, nf_est, nf_pm, eff_diameter_hops FROM pm, effd""")
-        sb.toString
+        SELECT hop, n_nodes, nf_est, nf_pm, eff_diameter_hops FROM pm, effd"""
+      }),
+
+    // ───── Per-node effective-radius distribution (r16): HyperBall's
+    // SECOND readout — graph_anf aggregates N(h) globally; here each
+    // node reads its own trajectory: effective radius = the smallest h
+    // whose ball already holds ≥90% of the node's 4-hop ball (est_h·10
+    // ≥ 9·est_4 in DECIMAL(38)/HUGEINT — est can reach ~1.6e18, so ×10
+    // would overflow int64). The radius histogram separates CORE nodes
+    // (radius 1-2: most of their reachable set is immediate) from
+    // PERIPHERAL ones — the centrality-for-free readout HyperBall was
+    // built for (Boldi–Vigna §4). Rides the session-memoized register
+    // trajectory (anfArtifacts — the sccArtifacts family pattern, build
+    // cost in the bench artifacts block); the marginal cost is one
+    // join + two bounded hash-aggs over the 5·|V| per-node frame.
+    QuerySpec(
+      "graph_hyperball_radii",
+      (s, d) => {
+        val per = anfArtifacts(s, d)
+        val fin = per.filter(col("hop") === 4)
+          .select(col("n"), col("est").as("est4"))
+        per.join(fin, "n")
+          .filter(expr("cast(est as decimal(38,0)) * 10 >= cast(est4 as decimal(38,0)) * 9"))
+          .groupBy("n").agg(min("hop").as("radius"), max("est4").as("ball4"))
+          .groupBy("radius")
+          .agg(count(lit(1)).as("n_nodes"), sum("ball4").as("sum_ball4"))
+      },
+      Some {
+        anfOracleCtes + s""",
+        pall AS (${(0 to 4).map(r =>
+          s"SELECT $r AS hop, n, est FROM pn$r").mkString(" UNION ALL ")}),
+        fin AS (SELECT n, est AS est4 FROM pn4),
+        radii AS (
+          SELECT p.n, MIN(p.hop) AS radius, MAX(f.est4) AS ball4
+          FROM pall p JOIN fin f ON f.n = p.n
+          WHERE CAST(p.est AS HUGEINT) * 10 >= CAST(f.est4 AS HUGEINT) * 9
+          GROUP BY 1)
+        SELECT radius, COUNT(*) AS n_nodes,
+               CAST(SUM(ball4) AS BIGINT) AS sum_ball4
+        FROM radii GROUP BY 1"""
       }),
 
     // ───── Minimum spanning forest via distributed Borůvka (r16): the
