@@ -5168,6 +5168,61 @@ object RelationalQueries {
           .mkString("\n        UNION ALL")
       }),
 
+    // ───── unique-column-combination discovery (r16): is a column set
+    // a KEY of its table — the third leg of the dependency-discovery
+    // family (profile_fd: LHS→RHS; profile_inclusion: FK direction;
+    // this: candidate keys, the HyUCC/TANE audit). Per candidate one
+    // hash-agg: group by the set, count groups / duplicate groups /
+    // rows trapped in duplicate groups (the dedup workload size if the
+    // key were enforced). Candidates cover the true PKs, a true
+    // composite, and two deliberate failures — a key report that only
+    // confirms is untrustworthy (the profile_fd discipline).
+    QuerySpec(
+      "profile_ucc",
+      (s, d) => {
+        def ucc(name: String, df: DataFrame, cols: Seq[String]) =
+          df.groupBy(cols.map(col): _*)
+            .agg(count(lit(1)).as("k"))
+            .agg(count(lit(1)).as("n_groups"),
+              sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+              sum(when(col("k") > 1, col("k")).otherwise(0L)).as("n_dup_rows"),
+              sum("k").as("n_rows"))
+            .select(lit(name).as("ucc"), col("n_rows"), col("n_groups"),
+              col("n_dup_groups"), col("n_dup_rows"),
+              when(col("n_dup_groups") === 0, 1L).otherwise(0L).as("holds"))
+        ucc("orders:o_orderkey", orders(s, d), Seq("o_orderkey"))
+          .unionByName(ucc("customer:c_custkey", customer(s, d),
+            Seq("c_custkey")))
+          .unionByName(ucc("lineitem:l_orderkey,l_linenumber",
+            lineitem(s, d), Seq("l_orderkey", "l_linenumber")))
+          .unionByName(ucc("lineitem:l_orderkey", lineitem(s, d),
+            Seq("l_orderkey")))
+          .unionByName(ucc("orders:o_custkey,o_orderdate", orders(s, d),
+            Seq("o_custkey", "o_orderdate")))
+      },
+      Some {
+        def ucc(name: String, table: String, cols: String) =
+          s"""
+        SELECT '$name' AS ucc, CAST(SUM(k) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_groups,
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_groups,
+               CAST(SUM(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT)
+                 AS n_dup_rows,
+               CAST(CASE WHEN SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS holds
+        FROM (SELECT $cols, COUNT(*) AS k FROM $table GROUP BY $cols)"""
+        Seq(
+          ucc("orders:o_orderkey", "orders", "o_orderkey"),
+          ucc("customer:c_custkey", "customer", "c_custkey"),
+          ucc("lineitem:l_orderkey,l_linenumber", "lineitem",
+            "l_orderkey, l_linenumber"),
+          ucc("lineitem:l_orderkey", "lineitem", "l_orderkey"),
+          ucc("orders:o_custkey,o_orderdate", "orders",
+            "o_custkey, o_orderdate"))
+          .mkString("\n        UNION ALL")
+      }),
+
     // ───── column-level data profiling (r8): per-column row / null /
     // distinct counts over the CDC log — the DESCRIBE-statistics report
     // every ingest pipeline publishes before a table goes live (the

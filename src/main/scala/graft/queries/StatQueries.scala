@@ -5135,6 +5135,132 @@ object StatQueries {
                END AS delta_ppm
         FROM agg""")),
 
+    // ───── Page–Hinkley change detection (r16): CUSUM's sibling for
+    // drifting baselines — where CUSUM sums deviations from the fixed
+    // GLOBAL mean, Page–Hinkley scores each day against the RUNNING
+    // mean so far (m_t = Σ_{s≤t} (x_s − x̄_s − δ)), alarming when m has
+    // fallen λ below its running minimum's complement (PH_t = m_t −
+    // min_{s≤t} m_s ≥ λ). The per-term running mean x̄_s = S_s/s is a
+    // varying-denominator rational; each term truncates to milli
+    // BEFORE the outer sum (declared fixed point — nonnegative counts,
+    // identical truncation both engines), so no sequential fold
+    // appears: prefix sum, prefix count, prefix min — all bounded-
+    // calendar windows. δ = 0.5 events (500 milli) and λ = 20 events
+    // (20000 milli) are declared constants of the chart.
+    QuerySpec(
+      "events_page_hinkley",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily
+          .withColumn("s_pre", sum("x").over(w))
+          .withColumn("t_idx", count(lit(1)).over(w))
+          .withColumn("term_milli",
+            expr("x * 1000 - (s_pre * 1000 div t_idx) - 500"))
+          .withColumn("m_milli", sum("term_milli").over(w))
+          .withColumn("ph_milli", col("m_milli") - min("m_milli").over(w))
+          .withColumn("alarm",
+            when(col("ph_milli") >= 20000, 1L).otherwise(0L))
+          .select("day", "x", "m_milli", "ph_milli", "alarm")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+          FROM events GROUP BY 1),
+        pre AS (
+          SELECT day, x,
+                 CAST(SUM(x) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS s_pre,
+                 CAST(COUNT(*) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS t_idx
+          FROM daily),
+        terms AS (
+          SELECT day, x,
+                 CAST(x * 1000 - (s_pre * 1000 // t_idx) - 500 AS BIGINT)
+                   AS term_milli
+          FROM pre),
+        m AS (
+          SELECT day, x,
+                 CAST(SUM(term_milli) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS m_milli
+          FROM terms)
+        SELECT day, x, m_milli,
+               CAST(m_milli - MIN(m_milli) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS ph_milli,
+               CAST(CASE WHEN m_milli - MIN(m_milli) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) >= 20000
+                 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        FROM m""")),
+
+    // ───── Cochran–Armitage trend test (r16): is the purchase
+    // proportion MONOTONICALLY trending across an ordered factor (hour
+    // of day, scores s_i = i) — the 2×k chi-square (events_ab_chisq
+    // class) answers "different anywhere"; this answers "trending with
+    // the order", the dose-response test. N·T = Σ s_i (N·x_i − n_i·X)
+    // exact through DECIMAL(38)/HUGEINT (N²-scale products — the
+    // h0_mean_milli overflow class), Var pieces B = X(N−X) and
+    // C = N·Σ s_i²n_i − (Σ s_i n_i)² likewise; z = A/sqrt(B·C/N) with
+    // each exact integer converted to double SEPARATELY and one
+    // final sqrt/division (the sq8ApproxScoreSql contract). Groups are
+    // the 24 bounded hours — the aggregate is one hash-agg.
+    QuerySpec(
+      "stat_cochran_armitage",
+      (s, d) => {
+        val g = events(s, d).select(
+            hour(col("ts")).cast("long").as("si"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+          .groupBy("si")
+          .agg(count(lit(1)).as("n_i"), sum("y").as("x_i"))
+        g.agg(sum("n_i").as("n"), sum("x_i").as("x"),
+            sum(expr("si * n_i")).as("sn"), sum(expr("si * x_i")).as("sx"),
+            sum(expr("si * si * n_i")).as("s2n"))
+          .select(col("n"), col("x"),
+            expr("""cast(cast(n as decimal(38,0)) * sx
+                    - cast(x as decimal(38,0)) * sn as decimal(38,0))""")
+              .cast("string").as("a"),
+            expr("""cast(cast(n as decimal(38,0)) * s2n
+                    - cast(sn as decimal(38,0)) * sn as decimal(38,0))""")
+              .cast("string").as("c"),
+            expr("""cast(cast(n as decimal(38,0)) * sx
+                         - cast(x as decimal(38,0)) * sn as double)
+                    / sqrt(cast(cast(x as decimal(38,0)) * (n - x) as double)
+                           * cast(cast(n as decimal(38,0)) * s2n
+                                  - cast(sn as decimal(38,0)) * sn as double)
+                           / cast(n as double))""").as("z"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS si,
+                 COUNT(*) AS n_i,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x_i
+          FROM events GROUP BY 1),
+        agg AS (
+          SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(x_i) AS BIGINT) AS x,
+                 CAST(SUM(si * n_i) AS BIGINT) AS sn,
+                 CAST(SUM(si * x_i) AS BIGINT) AS sx,
+                 CAST(SUM(si * si * n_i) AS BIGINT) AS s2n
+          FROM g)
+        SELECT n, x,
+               CAST(CAST(n AS HUGEINT) * sx - CAST(x AS HUGEINT) * sn
+                 AS VARCHAR) AS a,
+               CAST(CAST(n AS HUGEINT) * s2n - CAST(sn AS HUGEINT) * sn
+                 AS VARCHAR) AS c,
+               CAST(CAST(n AS HUGEINT) * sx - CAST(x AS HUGEINT) * sn
+                 AS DOUBLE)
+               / sqrt(CAST(CAST(x AS HUGEINT) * (n - x) AS DOUBLE)
+                      * CAST(CAST(n AS HUGEINT) * s2n
+                             - CAST(sn AS HUGEINT) * sn AS DOUBLE)
+                      / CAST(n AS DOUBLE)) AS z
+        FROM agg""")),
+
     // ───── CUSUM control chart (r15): the sequential change detector
     // events_ewma smooths past — cumulative sums of deviations from the
     // series mean catch SMALL persistent shifts a per-day threshold
