@@ -4589,6 +4589,85 @@ object RelationalQueries {
                   SELECT scc_u, COUNT(*) AS od FROM ce GROUP BY 1)), 0)
                  AS BIGINT) AS max_out_degree""")),
 
+    // ───── Condensation topological levels (r16): the LAYERING of the
+    // SCC quotient DAG — level(c) = longest path from any source to c,
+    // the "how deep in the precedence structure" readout (critical-path
+    // layering; scheduling depth). graph_condensation proved the DAG
+    // acyclic as a measured invariant, which is exactly what makes the
+    // monotone fixpoint lev(n) ← max(lev(n), 1 + max_{p→n} lev(p))
+    // converge — at DAG depth, here bounded by 16 unrolled rounds over
+    // the COMPONENTS-sized condensation edge list (each round one
+    // equi-join + hash-agg; rides the shared sccArtifacts memo).
+    // `unconverged` counts nodes a 17th round would still raise —
+    // 0 = the layering is exact, reported honestly otherwise. Output:
+    // per-level SCC counts + max level (the condensation's critical-
+    // path length) — the DAG-depth complement to graph_anf's
+    // effective-diameter estimate on the undirected side.
+    QuerySpec(
+      "graph_condensation_levels",
+      (s, d) => {
+        val (e, labels, _) = sccArtifacts(s, d)
+        val ce = e
+          .join(labels.select(col("n").as("u"), col("scc").as("scc_u")), "u")
+          .join(labels.select(col("n").as("v"), col("scc").as("scc_v")), "v")
+          .filter(col("scc_u") =!= col("scc_v"))
+          .select("scc_u", "scc_v").distinct().localCheckpoint(true)
+        def raised(lev: DataFrame): DataFrame = ce
+          .join(lev.select(col("n").as("scc_u"), col("lev").as("pl")),
+            "scc_u")
+          .groupBy(col("scc_v").as("n"))
+          .agg(max(expr("pl + 1")).as("cand"))
+        var lev = labels.select(col("scc").as("n")).distinct()
+          .withColumn("lev", lit(0L)).localCheckpoint(true)
+        for (_ <- 1 to 16)
+          lev = lev.join(raised(lev), Seq("n"), "left")
+            .select(col("n"),
+              greatest(col("lev"), coalesce(col("cand"), lit(0L))).as("lev"))
+            .localCheckpoint(true)
+        val resid = lev.join(raised(lev), Seq("n"), "left")
+          .filter(col("cand") > col("lev"))
+          .agg(count(lit(1)).as("unconverged"))
+        lev.groupBy("lev").agg(count(lit(1)).as("n_sccs"))
+          .crossJoin(broadcast(
+            lev.agg(max("lev").as("max_level"))))
+          .crossJoin(broadcast(resid))
+          .select(col("lev"), col("n_sccs"), col("max_level"),
+            col("unconverged"))
+      },
+      Some {
+        val sb = new StringBuilder(s"""
+        WITH RECURSIVE $sccOracleCtes,
+        ce AS MATERIALIZED (
+          SELECT DISTINCT lu.scc AS scc_u, lv.scc AS scc_v
+          FROM e
+          JOIN full_lab lu ON lu.n = e.u
+          JOIN full_lab lv ON lv.n = e.v
+          WHERE lu.scc <> lv.scc),
+        lv0 AS MATERIALIZED (
+          SELECT DISTINCT scc AS n, CAST(0 AS BIGINT) AS lev FROM full_lab)""")
+        for (k <- 1 to 16) sb.append(s""",
+        lv$k AS MATERIALIZED (
+          SELECT l.n,
+                 CAST(GREATEST(l.lev, COALESCE(u.cand, 0)) AS BIGINT) AS lev
+          FROM lv${k - 1} l LEFT JOIN (
+            SELECT ce.scc_v AS n, MAX(p.lev + 1) AS cand
+            FROM ce JOIN lv${k - 1} p ON p.n = ce.scc_u
+            GROUP BY 1) u ON u.n = l.n)""")
+        sb.append("""
+        , resid AS (
+          SELECT COUNT(*) AS unconverged
+          FROM lv16 l JOIN (
+            SELECT ce.scc_v AS n, MAX(p.lev + 1) AS cand
+            FROM ce JOIN lv16 p ON p.n = ce.scc_u
+            GROUP BY 1) u ON u.n = l.n
+          WHERE u.cand > l.lev)
+        SELECT lev, COUNT(*) AS n_sccs,
+               (SELECT CAST(MAX(lev) AS BIGINT) FROM lv16) AS max_level,
+               (SELECT unconverged FROM resid) AS unconverged
+        FROM lv16 GROUP BY 1""")
+        sb.toString
+      }),
+
     // ───── Directed reciprocity + dyad census (r15): the basic
     // directed-graph statistic the undirected family cannot express —
     // on the purchase-sequence digraph (shared [[sccArtifacts]] edge
