@@ -104,37 +104,11 @@ object RelationalQueries {
     * production face serves. Returns (uid, rank ∈ 1..3, cand, score).
     */
   private def recTop3Pipeline(li: DataFrame, owned: DataFrame,
-                              pr: DataFrame): DataFrame = {
-      val pop = li.groupBy(col("l_partkey").as("p"))
-        .agg(count(lit(1)).as("np"))
-      val sym = pr.select(col("u"), col("v"), col("w"))
-        .unionAll(pr.select(col("v").as("u"), col("u").as("v"), col("w")))
-      val scored = sym
-        .join(pop.select(col("p").as("u"), col("np").as("nu")), "u")
-        .join(pop.select(col("p").as("v"), col("np").as("nv")), "v")
-        .select(col("u").as("p"), col("v").as("nbr"),
-          expr("""cast(cast(w as decimal(38,0)) * w * 1000000
-                  div (cast(nu as decimal(38,0)) * nv) as bigint)""").as("sc"))
-      val top8 = udaf(new graft.functions.TopKScoredAgg(8),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
-      val nbrs = scored.groupBy("p")
-        .agg(top8(col("sc").cast("double"), col("nbr")).as("top"))
-        .select(col("p"), explode(col("top")).as("t"))
-        .select(col("p"), col("t._2").as("nbr"),
-          col("t._1").cast("long").as("sc"))
-      val top3 = udaf(new graft.functions.TopKScoredAgg(3),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
-      owned.join(nbrs, "p")
-        .join(owned.select(col("uid"), col("p").as("nbr")),
-          Seq("uid", "nbr"), "left_anti")
-        .groupBy("uid", "nbr")
-        .agg(sum("sc").as("score"))
-        .groupBy("uid")
-        .agg(top3(col("score").cast("double"), col("nbr")).as("top"))
-        .select(col("uid"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("uid"), (col("pos") + 1).as("rank"),
-          col("t._2").as("cand"), col("t._1").cast("long").as("score"))
-  }
+                              pr: DataFrame): DataFrame =
+    // stages live in [[graft.analytics.RecScoring]] (r16) so the
+    // streaming serving face runs literally this model code
+    graft.analytics.RecScoring.top3(owned,
+      graft.analytics.RecScoring.neighborIndex(li, pr))
 
   /** Oracle CTE chain reproducing [[recTop3]] (li → owned → pop → pr →
     * sym → scored → top-8 nbrs → anti-join → per-user top3) — shared by
