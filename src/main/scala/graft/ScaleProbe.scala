@@ -128,6 +128,18 @@ object ScaleProbe {
     // should be ~linear in |E|.
     val anfOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("anf")
     var anfBase: Map[Int, (Long, Long)] = null
+    // SPARK_GRAFT_PROBE=mst times graph_mst's Borůvka rounds
+    // (GraphOps.minimumSpanningForest — the shipped core) on the
+    // k×-replicated weighted co-purchase graph as DISCONNECTED copies
+    // and gates REPLICATION INVARIANCE: per-copy weights and structure
+    // are preserved, so forest-edge count and total weight must scale
+    // exactly k× (cross-multiplied integer equality) with the same
+    // zero residual. Per-round cost is one |E| join + per-component
+    // min + a components-sized CC fixpoint — the curve should be
+    // ~linear in |E| at a constant round count.
+    val mstOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("mst")
+    var mstBaseK: Int = -1
+    var mstBase: (Long, Long) = null
     var pcaAxisAtBase: Array[Long] = null
     var ktrussSupAtBase: Long = -1L
     var ktrussBaseK: Int = 1
@@ -341,6 +353,44 @@ object ScaleProbe {
         }
         println(s"[probe] scc_x$k: edges=${rep.count()} n_sccs=${prof._1} " +
           s"mass=${prof._2} max=${prof._3}")
+      } else if (mstOnly) {
+        val li = spark.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_partkey")
+          .filter(col("l_partkey") % 30 === 0).distinct()
+        val e0 = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u0"), col("b.l_partkey").as("v0"))
+          .agg(expr("1000000 div count(1)").as("w"))
+        val off = 100000000L
+        val rep = e0.crossJoin(spark.range(k).toDF("rep"))
+          .select((col("u0") + col("rep") * off).as("u"),
+            (col("v0") + col("rep") * off).as("v"), col("w"))
+          .localCheckpoint(true)
+        var prof: (Long, Long) = null
+        time(s"mst_x$k") {
+          val (forest, comp) =
+            graft.analytics.GraphOps.minimumSpanningForest(rep, rounds = 6)
+          val crossFin = rep
+            .join(comp.select(col("n").as("u"), col("c").as("cu")), "u")
+            .join(comp.select(col("n").as("v"), col("c").as("cv")), "v")
+            .filter(col("cu") =!= col("cv"))
+          require(crossFin.isEmpty,
+            s"mst did not complete at x$k: mergeable components remain")
+          val r = forest.agg(count(lit(1)).as("n"), sum("w").as("tw")).head()
+          prof = (r.getLong(0), r.getLong(1))
+          prof._1
+        }
+        if (mstBaseK < 0) { mstBaseK = k; mstBase = prof }
+        else {
+          require(prof._1 * mstBaseK == mstBase._1 * k,
+            s"forest size not replication-invariant at x$k: $prof vs $mstBase")
+          require(prof._2 * mstBaseK == mstBase._2 * k,
+            s"forest weight not replication-invariant at x$k: $prof vs $mstBase")
+        }
+        println(s"[probe] mst_x$k: edges=${rep.count()} " +
+          s"forest=${prof._1} weight=${prof._2}")
       } else if (anfOnly) {
         val li = spark.read.parquet(s"$d/lineitem.parquet")
           .select("l_orderkey", "l_partkey").distinct()

@@ -599,6 +599,110 @@ object MultimodalQueries {
                CAST(SUM(id) AS BIGINT) AS img_sum
         FROM per GROUP BY 1""")),
 
+    // ───── Edge density through the REAL codec (r16): the gradient-
+    // energy complexity feature curation uses to separate flat
+    // graphics / screenshots from photographic detail (and the cheap
+    // blur proxy: blurry images have low gradient mass) — per interior
+    // pixel the L1 gradient |dx|+|dy| of integer luma (299/587/114
+    // milli-weights, exact // 1000), edge when ≥ 40; per image edge_ppm
+    // over the (w−1)(h−1) interior cells + total gradient mass, from
+    // the SAME PNG encode→ImageIO decode round-trip as mm_color_gini
+    // (the codec-free pixel-formula oracle keeps proving the raster
+    // path lossless byte-for-byte — a single channel swap or stride
+    // bug shifts every gradient). Corpus rollup by edge-ppm decile.
+    QuerySpec(
+      "mm_edge_density",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200).as[Long]
+          .map { id =>
+            val w = 16 + (id % 16).toInt
+            val h = 16 + (id % 9).toInt
+            def px(i: Int): Int = ((id * 31 + i) % 256).toInt
+            val bi = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = (y * w + x) * 3
+                bi.setRGB(x, y,
+                  (px(base) << 16) | (px(base + 1) << 8) | px(base + 2))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(bi, "png", bos)
+            val (dw, dh, _, raster) = MediaCodecs.decodeImageIo(bos.toByteArray)
+            def lum(x: Int, yy: Int): Long = {
+              val o = (yy * dw + x) * 3
+              ((raster(o) & 0xff) * 299L + (raster(o + 1) & 0xff) * 587L +
+                (raster(o + 2) & 0xff) * 114L) / 1000L
+            }
+            var nEdge = 0L
+            var gradSum = 0L
+            var yy = 0
+            while (yy < dh - 1) {
+              var x = 0
+              while (x < dw - 1) {
+                val g = math.abs(lum(x + 1, yy) - lum(x, yy)) +
+                  math.abs(lum(x, yy + 1) - lum(x, yy))
+                gradSum += g
+                if (g >= 40) nEdge += 1
+                x += 1
+              }
+              yy += 1
+            }
+            val cells = (dw - 1).toLong * (dh - 1)
+            (id, cells, nEdge, nEdge * 1000000L / cells, gradSum)
+          }
+          .toDF("img_id", "n_cells", "n_edge", "edge_ppm", "grad_sum")
+          .groupBy(expr("edge_ppm div 100000").as("decile"))
+          .agg(count(lit(1)).as("n_images"), sum("n_cells").as("cells_sum"),
+            sum("n_edge").as("edge_sum"), sum("grad_sum").as("grad_total"),
+            min("img_id").as("min_img"), sum("img_id").as("img_sum"))
+      },
+      Some("""
+        WITH imgs AS (
+          SELECT doc_id AS id, 16 + doc_id % 16 AS w, 16 + doc_id % 9 AS h
+          FROM documents WHERE doc_id < 200),
+        grads AS (
+          SELECT id, (w - 1) * (h - 1) AS cells,
+                 unnest(list_transform(range(0, (w - 1) * (h - 1)), j ->
+                   ABS((((id*31 + 3*((j // (w-1)) * w + (j % (w-1)) + 1)) % 256) * 299
+                        + ((id*31 + 3*((j // (w-1)) * w + (j % (w-1)) + 1) + 1) % 256) * 587
+                        + ((id*31 + 3*((j // (w-1)) * w + (j % (w-1)) + 1) + 2) % 256) * 114) // 1000
+                       - (((id*31 + 3*((j // (w-1)) * w + (j % (w-1)))) % 256) * 299
+                          + ((id*31 + 3*((j // (w-1)) * w + (j % (w-1))) + 1) % 256) * 587
+                          + ((id*31 + 3*((j // (w-1)) * w + (j % (w-1))) + 2) % 256) * 114) // 1000)
+                   + ABS((((id*31 + 3*(((j // (w-1)) + 1) * w + (j % (w-1)))) % 256) * 299
+                          + ((id*31 + 3*(((j // (w-1)) + 1) * w + (j % (w-1))) + 1) % 256) * 587
+                          + ((id*31 + 3*(((j // (w-1)) + 1) * w + (j % (w-1))) + 2) % 256) * 114) // 1000
+                         - (((id*31 + 3*((j // (w-1)) * w + (j % (w-1)))) % 256) * 299
+                            + ((id*31 + 3*((j // (w-1)) * w + (j % (w-1))) + 1) % 256) * 587
+                            + ((id*31 + 3*((j // (w-1)) * w + (j % (w-1))) + 2) % 256) * 114) // 1000))) AS g
+          FROM imgs),
+        per AS (
+          SELECT id, MAX(cells) AS cells,
+                 CAST(SUM(CASE WHEN g >= 40 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_edge,
+                 CAST(SUM(g) AS BIGINT) AS grad_sum
+          FROM grads GROUP BY 1),
+        scored AS (
+          SELECT id, cells, n_edge,
+                 n_edge * 1000000 // cells AS edge_ppm, grad_sum
+          FROM per)
+        SELECT CAST(edge_ppm // 100000 AS BIGINT) AS decile,
+               COUNT(*) AS n_images,
+               CAST(SUM(cells) AS BIGINT) AS cells_sum,
+               CAST(SUM(n_edge) AS BIGINT) AS edge_sum,
+               CAST(SUM(grad_sum) AS BIGINT) AS grad_total,
+               CAST(MIN(id) AS BIGINT) AS min_img,
+               CAST(SUM(id) AS BIGINT) AS img_sum
+        FROM scored GROUP BY 1""")),
+
     // ───── Zero-crossing rate through the REAL WAV path (r15): the
     // classic voiced/unvoiced + noisiness feature (high ZCR = noise or
     // fricatives, low = tonal), per clip from

@@ -7207,6 +7207,57 @@ object RelationalQueries {
         FROM radii GROUP BY 1"""
       }),
 
+    // ───── 4-cycle (quadrangle) census (r16): the bipartite-ish motif
+    // the triangle family cannot see — co-purchase graphs grown from
+    // baskets are locally bipartite (part↔part links via shared
+    // orders), so SQUARES, not triangles, carry much of their motif
+    // mass (quadrangle counting is the standard "triangle-free doesn't
+    // mean structureless" census). Exact identity: C4 = ½·Σ_{a<b}
+    // C(codeg(a,b), 2) over UNORDERED pairs — every 4-cycle has exactly
+    // two opposite pairs, each contributing one {wedge-center} choice
+    // pair. codeg comes from ONE wedge self-join on the shared center +
+    // one (a, b) hash-agg — the Σ deg² wedge volume, the same honest
+    // cost class as the triangle engine (no 4-path enumeration, which
+    // would be Σ deg³). All exact integers; the //2 is exact by the
+    // two-opposite-pairs theorem (an odd sum would be a bug).
+    QuerySpec(
+      "graph_quadrangles",
+      (s, d) => {
+        val e = graft.analytics.GraphArtifacts.undFiltered(s, d)
+        val wedge = e.as("e1").join(e.as("e2"),
+            col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+          .groupBy(col("e1.v").as("a"), col("e2.v").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        wedge.agg(
+          count(lit(1)).as("n_pairs_common"),
+          sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_pairs_2plus"),
+          max("cnt").as("max_common"),
+          sum(expr("cnt * (cnt - 1) div 2")).as("opp_choices"))
+          .select(col("n_pairs_common"), col("n_pairs_2plus"),
+            col("max_common"),
+            expr("opp_choices div 2").as("c4_count"))
+      },
+      Some("""
+        WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        wedge AS (
+          SELECT e1.v AS a, e2.v AS b, COUNT(*) AS cnt
+          FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+          GROUP BY 1, 2)
+        SELECT COUNT(*) AS n_pairs_common,
+               CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pairs_2plus,
+               CAST(MAX(cnt) AS BIGINT) AS max_common,
+               CAST(SUM(cnt * (cnt - 1) // 2) // 2 AS BIGINT) AS c4_count
+        FROM wedge""")),
+
     // ───── Minimum spanning forest via distributed Borůvka (r16): the
     // classic parallel MST — per round, EVERY component picks its
     // minimum outgoing edge simultaneously (one equi-join + one

@@ -23,16 +23,19 @@ class ClusteredCompactionSpec extends SparkSpec {
   }
 
   test("value predicate skips intra-bucket slice segments after clustering; reads stay exact") {
+    // a suite-unique catalog NAME: Spark caches v2 catalog instances
+    // per session by name, so reusing "graft" after another suite has
+    // instantiated it would silently keep THAT suite's root
     val root = tmp("zc-catroot")
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.SnapshotCatalog")
-    spark.conf.set("spark.sql.catalog.graft.root", root)
+    spark.conf.set("spark.sql.catalog.graftzc", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.graftzc.root", root)
     val dir = s"$root/zc/t"
-    spark.sql("CREATE TABLE graft.zc.t (keys STRING, op STRING, " +
+    spark.sql("CREATE TABLE graftzc.zc.t (keys STRING, op STRING, " +
       "sequenceNumber STRING, newImage STRING) USING `graft-snapshot`")
-    spark.sql("ALTER TABLE graft.zc.t ADD COLUMNS (v BIGINT)")
+    spark.sql("ALTER TABLE graftzc.zc.t ADD COLUMNS (v BIGINT)")
 
     def ins(rows: Seq[(String, Long, Int)]): Unit =
-      spark.sql("INSERT INTO graft.zc.t VALUES " + rows.map {
+      spark.sql("INSERT INTO graftzc.zc.t VALUES " + rows.map {
         case (k, v, seq) => f"""('$k', 'PUT', '$seq%06d', '{"v":$v}', NULL)"""
       }.mkString(", "))
     // two arrival-ordered batches spanning the full value range each —
@@ -48,7 +51,7 @@ class ClusteredCompactionSpec extends SparkSpec {
       .map(i => f"k$i%03d" -> i.toLong) :+ ("k300" -> 110L)).toMap
 
     def query() = {
-      val q = spark.sql("SELECT keys, v FROM graft.zc.t WHERE v BETWEEN 100 AND 119")
+      val q = spark.sql("SELECT keys, v FROM graftzc.zc.t WHERE v BETWEEN 100 AND 119")
       val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val scan = scansOf(q.queryExecution.executedPlan).head
       (got, scan.lastPlannedSegments, scan.lastImageSegments)
@@ -97,7 +100,7 @@ class ClusteredCompactionSpec extends SparkSpec {
     // a later delta still merges and resolves against clustered slices
     ins(Seq(("k101", 7L, 2001)))
     val afterDelta = spark
-      .sql("SELECT keys, v FROM graft.zc.t WHERE v BETWEEN 100 AND 119")
+      .sql("SELECT keys, v FROM graftzc.zc.t WHERE v BETWEEN 100 AND 119")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(afterDelta === expected - "k101",
       "post-clustering delta did not supersede its clustered row")
