@@ -640,6 +640,126 @@ object StatQueries {
                              THEN slope_pm ELSE 0 END) AS BIGINT) AS med2_slope_pm
         FROM ranked""")),
 
+    // ───── Interrupted time series (r16): the before/after causal
+    // readout for a KNOWN intervention date — did the level and the
+    // trend change at T0 (2024-01-16, the eval family's declared
+    // temporal split)? Classic ITS fits segmented OLS; here both
+    // segments get the ROBUST pair: positional med2 of the daily count
+    // (level) and the Theil–Sen med2 pairwise slope (trend) — one
+    // flash-crowd day cannot fake an intervention effect (the
+    // events_theil_sen argument, segmented). Slopes use the explicit
+    // truncate-toward-zero sign split; medians are positional med2 (no
+    // float .5); pair joins are per-segment calendar²-bounded; the
+    // level/slope windows run over (segment × bounded value domain).
+    // Readout: one row per segment plus the deltas (post − pre) every
+    // ITS report leads with — in 2×-units for the medians.
+    QuerySpec(
+      "events_its",
+      (s, d) => {
+        val t0 = lit("2024-01-16").cast("date")
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("seg", when(col("day") < t0, "pre").otherwise("post"))
+          .localCheckpoint(true) // feeds pairs AND levels
+        val pairs = daily.as("a").join(daily.as("b"),
+            col("a.seg") === col("b.seg") && col("a.day") < col("b.day"))
+          .select(col("a.seg").as("seg"), expr(
+            """case when b.x - a.x >= 0
+               then ((b.x - a.x) * 1000) div datediff(b.day, a.day)
+               else -(((a.x - b.x) * 1000) div datediff(b.day, a.day))
+               end""").as("slope_pm"))
+        def med2(df: DataFrame, v: String, outN: String, outM: String) = {
+          val byVal = df.groupBy(col("seg"), col(v).as("v"))
+            .agg(count(lit(1)).as("n_i"))
+          val wS = Window.partitionBy("seg").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+          byVal
+            .withColumn("k", sum("n_i").over(wS))
+            .withColumn("np", sum("n_i").over(Window.partitionBy("seg")))
+            .groupBy("seg")
+            .agg(max("np").as(outN),
+              (sum(expr(
+                """case when k - n_i < (np + 1) div 2 and (np + 1) div 2 <= k
+                   then v else 0 end""")) +
+               sum(expr(
+                 """case when k - n_i < (np + 2) div 2 and (np + 2) div 2 <= k
+                    then v else 0 end"""))).as(outM))
+        }
+        val per = med2(pairs, "slope_pm", "n_pairs", "med2_slope_pm")
+          .join(med2(daily, "x", "n_days", "med2_level"), "seg")
+        val deltas = per.agg(
+          sum(when(col("seg") === "post", col("med2_slope_pm"))
+            .otherwise(-col("med2_slope_pm"))).as("slope_delta_pm"),
+          sum(when(col("seg") === "post", col("med2_level"))
+            .otherwise(-col("med2_level"))).as("level_delta"))
+        per.crossJoin(broadcast(deltas))
+          .select(col("seg"), col("n_days"), col("n_pairs"),
+            col("med2_slope_pm"), col("med2_level"),
+            col("slope_delta_pm"), col("level_delta"))
+      },
+      Some("""
+        WITH daily AS MATERIALIZED (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x,
+                 CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                      THEN 'pre' ELSE 'post' END AS seg
+          FROM events GROUP BY 1),
+        pairs AS (
+          SELECT a.seg,
+                 CASE WHEN b.x - a.x >= 0
+                      THEN ((b.x - a.x) * 1000) // (b.day - a.day)
+                      ELSE -(((a.x - b.x) * 1000) // (b.day - a.day))
+                 END AS slope_pm
+          FROM daily a JOIN daily b
+            ON a.seg = b.seg AND a.day < b.day),
+        sby AS (
+          SELECT seg, slope_pm AS v, COUNT(*) AS n_i FROM pairs GROUP BY 1, 2),
+        sr AS (
+          SELECT seg, v, n_i,
+                 CAST(SUM(n_i) OVER (PARTITION BY seg ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS k,
+                 CAST(SUM(n_i) OVER (PARTITION BY seg) AS BIGINT) AS np
+          FROM sby),
+        slopes AS (
+          SELECT seg, MAX(np) AS n_pairs,
+                 CAST(SUM(CASE WHEN k - n_i < (np + 1) // 2
+                                AND (np + 1) // 2 <= k THEN v ELSE 0 END)
+                    + SUM(CASE WHEN k - n_i < (np + 2) // 2
+                                AND (np + 2) // 2 <= k THEN v ELSE 0 END)
+                   AS BIGINT) AS med2_slope_pm
+          FROM sr GROUP BY 1),
+        lby AS (
+          SELECT seg, x AS v, COUNT(*) AS n_i FROM daily GROUP BY 1, 2),
+        lr AS (
+          SELECT seg, v, n_i,
+                 CAST(SUM(n_i) OVER (PARTITION BY seg ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS k,
+                 CAST(SUM(n_i) OVER (PARTITION BY seg) AS BIGINT) AS np
+          FROM lby),
+        levels AS (
+          SELECT seg, MAX(np) AS n_days,
+                 CAST(SUM(CASE WHEN k - n_i < (np + 1) // 2
+                                AND (np + 1) // 2 <= k THEN v ELSE 0 END)
+                    + SUM(CASE WHEN k - n_i < (np + 2) // 2
+                                AND (np + 2) // 2 <= k THEN v ELSE 0 END)
+                   AS BIGINT) AS med2_level
+          FROM lr GROUP BY 1),
+        per AS MATERIALIZED (
+          SELECT s.seg, l.n_days, s.n_pairs, s.med2_slope_pm, l.med2_level
+          FROM slopes s JOIN levels l USING (seg)),
+        deltas AS (
+          SELECT CAST(SUM(CASE WHEN seg = 'post' THEN med2_slope_pm
+                          ELSE -med2_slope_pm END) AS BIGINT)
+                   AS slope_delta_pm,
+                 CAST(SUM(CASE WHEN seg = 'post' THEN med2_level
+                          ELSE -med2_level END) AS BIGINT) AS level_delta
+          FROM per)
+        SELECT p.seg, p.n_days, p.n_pairs, p.med2_slope_pm, p.med2_level,
+               d.slope_delta_pm, d.level_delta
+        FROM per p, deltas d""")),
+
     // ───── centered 7-row moving MEDIAN of daily revenue — the robust
     // smoother (outlier-immune, unlike the moving mean) every anomaly
     // dashboard wants. Median stays integer by reporting 2×median:

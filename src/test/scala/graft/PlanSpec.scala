@@ -657,4 +657,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"),
       s"canopy must ride the checkpointed MIS frames:\n$p")
   }
+
+  test("text_search_bm25_prox: distance band is EQUI-join keyed, top-20 bounded") {
+    val p = plan("text_search_bm25_prox")
+    assert(!p.contains("CartesianProduct"), s"prox grew a cartesian:\n$p")
+    // the final plan sits on the CHECKPOINTED 20-row top frame (the
+    // TakeOrderedAndProject lives inside that build); the only BNLJ is
+    // the 20-row rank count-join against the plain scoring — its build
+    // side must be the checkpointed 20-row frame, never the posting
+    // lists (a per-doc position cross join with a band filter would
+    // BNLJ those instead of the 16-offset (doc, pos) equi-join)
+    assert(p.contains("ExistingRDD"),
+      s"top-20/plain frames must ride their checkpoints:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"only the bounded rank count-join may BNLJ ($bnlj):\n$p")
+  }
+
+  test("ml_calibration_isotonic: bounded-bin minimax — no cartesian, partial aggs") {
+    val p = plan("ml_calibration_isotonic")
+    assert(!p.contains("CartesianProduct"), s"isotonic grew a cartesian:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"bin histogram must combine map-side:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the cumulative-bin frame must ride its checkpoint:\n$p")
+  }
+
+  test("graph_quadrangles: one wedge equi-join + hash agg — no BNLJ, no cartesian") {
+    val p = plan("graph_quadrangles")
+    assert(!p.contains("CartesianProduct"), s"quadrangles grew a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the wedge self-join must stay an equi-join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"codeg counts must combine map-side:\n$p")
+  }
+
+  test("ml_tree_boosted: rounds ride checkpointed reweights; vote lattice bounded") {
+    val p = plan("ml_tree_boosted")
+    assert(!p.contains("CartesianProduct"), s"boosted grew a cartesian:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"per-round train frames must ride their checkpoints:\n$p")
+  }
 }
