@@ -1276,6 +1276,109 @@ object TextQueries {
         ORDER BY score DESC, doc_id
         LIMIT 20""")),
 
+    // ───── Burrows' Delta (r16): the standard stylometric distance
+    // between sources (authorship attribution's workhorse since
+    // Burrows 2002) — over the corpus's 50 most frequent words, each
+    // source's relative frequency z-scores against the across-source
+    // mean/std per word, and Delta(s1, s2) = mean |z₁ − z₂|. Everything
+    // exact fixed-point: frequencies in ppm of the source's token
+    // count; per-word std as floor(sqrt(exact-integer variance)) — ONE
+    // correctly-rounded double sqrt per word (the house budget),
+    // floored back to an integer before any z so the |z| sums are exact
+    // integer milli, never an order-dependent double sum; sign-split
+    // truncating division for the (possibly negative) z numerators.
+    // Plan: one token hash-agg, a 50-row broadcast of the vocabulary,
+    // sources × 50 control-plane frames, a (sources choose 2) pair join
+    // — corpus cost is the single token pass.
+    QuerySpec(
+      "text_burrows_delta",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .localCheckpoint(true) // feeds vocab AND per-source counts
+        val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w")).limit(50)
+          .select(col("w"))
+        val perSrc = toks.groupBy("source").agg(count(lit(1)).as("ntok"))
+        val tf = toks.join(broadcast(vocab), "w")
+          .groupBy("source", "w").agg(count(lit(1)).as("tf"))
+        // COMPLETE (source × vocab) lattice: a source missing a top-50
+        // word contributes its zero frequency (and its z = −mean/std),
+        // it does not silently drop from the pair join
+        val f = perSrc.crossJoin(broadcast(vocab))
+          .join(tf, Seq("source", "w"), "left")
+          .select(col("source"), col("w"),
+            expr("coalesce(tf, 0L) * 1000000 div ntok").as("fppm"))
+          .localCheckpoint(true) // feeds word stats AND z join
+        val nsrc = f.select("source").distinct().count()
+        val stats = f.groupBy("w")
+          .agg(sum("fppm").as("sf"),
+            sum(expr("fppm * fppm")).as("sf2"),
+            count(lit(1)).as("npresent"))
+          // absent (source, word) pairs are zeros: complete the moments
+          .select(col("w"),
+            expr(s"sf div ${nsrc}L").as("mean_ppm"),
+            expr(
+              s"""cast(floor(sqrt(cast(
+                    (sf2 - 2 * (sf div ${nsrc}L) * sf
+                     + ${nsrc}L * (sf div ${nsrc}L) * (sf div ${nsrc}L))
+                    div ${nsrc}L as double))) as bigint)""").as("std_ppm"))
+        val z = f.join(broadcast(stats), "w")
+          .select(col("source"), col("w"),
+            expr("""case when std_ppm <= 0 then 0L
+                    when fppm >= mean_ppm
+                    then ((fppm - mean_ppm) * 1000) div std_ppm
+                    else -(((mean_ppm - fppm) * 1000) div std_ppm)
+                    end""").as("z_milli"))
+        z.as("a").join(z.as("b"),
+            col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(expr("abs(a.z_milli - b.z_milli)")).as("abs_z_sum"))
+          .select(col("src_a"), col("src_b"), col("n_words"),
+            expr("abs_z_sum div n_words").as("delta_milli"))
+      },
+      Some("""
+        WITH toks AS MATERIALIZED (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        vocab AS MATERIALIZED (
+          SELECT w FROM (
+            SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1
+            ORDER BY cnt DESC, w LIMIT 50)),
+        persrc AS (SELECT source, COUNT(*) AS ntok FROM toks GROUP BY 1),
+        tf AS (
+          SELECT source, w, COUNT(*) AS tf
+          FROM toks JOIN vocab USING (w) GROUP BY 1, 2),
+        f AS MATERIALIZED (
+          SELECT p.source, v.w,
+                 COALESCE(t.tf, 0) * 1000000 // p.ntok AS fppm
+          FROM persrc p CROSS JOIN vocab v
+          LEFT JOIN tf t ON t.source = p.source AND t.w = v.w),
+        nsrc AS (SELECT COUNT(DISTINCT source) AS ns FROM f),
+        stats AS MATERIALIZED (
+          SELECT w, sf // ns AS mean_ppm,
+                 CAST(floor(sqrt(CAST(
+                   (sf2 - 2 * (sf // ns) * sf + ns * (sf // ns) * (sf // ns))
+                   // ns AS DOUBLE))) AS BIGINT) AS std_ppm
+          FROM (SELECT w, CAST(SUM(fppm) AS BIGINT) AS sf,
+                       CAST(SUM(fppm * fppm) AS BIGINT) AS sf2
+                FROM f GROUP BY 1), nsrc),
+        z AS MATERIALIZED (
+          SELECT f.source, f.w,
+                 CASE WHEN s.std_ppm <= 0 THEN 0
+                      WHEN f.fppm >= s.mean_ppm
+                      THEN ((f.fppm - s.mean_ppm) * 1000) // s.std_ppm
+                      ELSE -(((s.mean_ppm - f.fppm) * 1000) // s.std_ppm)
+                 END AS z_milli
+          FROM f JOIN stats s USING (w))
+        SELECT a.source AS src_a, b.source AS src_b,
+               COUNT(*) AS n_words,
+               CAST(SUM(ABS(a.z_milli - b.z_milli))
+                    // COUNT(*) AS BIGINT) AS delta_milli
+        FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2""")),
+
     // ───── Proximity-weighted BM25 (r16, VERDICT r15 #7): the ranking
     // layer every production search stack adds on top of bag-of-words
     // BM25 (Rasolofo & Savoy ECIR 2003 / Büttcher SIGIR 2006 class) —

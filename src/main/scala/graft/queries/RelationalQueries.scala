@@ -7207,6 +7207,64 @@ object RelationalQueries {
         FROM radii GROUP BY 1"""
       }),
 
+    // ───── Rich-club coefficient (r16): do the HUBS of the co-purchase
+    // graph preferentially connect to each other — φ(k) = E_{>k} /
+    // C(N_{>k}, 2), the density among nodes of degree > k (Colizza et
+    // al. 2006; the flat-vs-elite structure readout). For each declared
+    // k ∈ {2, 4, 8, 16}: one degree hash-agg, one broadcast-filtered
+    // edge count among qualifying endpoints, exact ppm. The degree
+    // frame is checkpointed once and reused across the 4 thresholds —
+    // never a per-k rescan of the pair join.
+    QuerySpec(
+      "graph_rich_club",
+      (s, d) => {
+        val e = graft.analytics.GraphArtifacts.undFiltered(s, d)
+        val deg = e.groupBy(col("u").as("n"))
+          .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+        val single = e.filter(col("u") < col("v")).localCheckpoint(true)
+        Seq(2L, 4L, 8L, 16L).map { k =>
+          val club = deg.filter(col("deg") > k)
+          val nk = club.agg(count(lit(1)).as("n_club"))
+          val ek = single
+            .join(club.select(col("n").as("u")), "u")
+            .join(club.select(col("n").as("v")), "v")
+            .agg(count(lit(1)).as("e_club"))
+          nk.crossJoin(ek).select(lit(k).as("k"), col("n_club"), col("e_club"),
+            expr("""case when n_club >= 2
+                    then e_club * 2000000 div (n_club * (n_club - 1))
+                    else 0 end""").as("phi_ppm"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        val one = (k: Int) => s"""
+        SELECT CAST($k AS BIGINT) AS k,
+               (SELECT COUNT(*) FROM deg WHERE deg > $k) AS n_club,
+               (SELECT COUNT(*) FROM single e
+                JOIN deg a ON a.n = e.u JOIN deg b ON b.n = e.v
+                WHERE a.deg > $k AND b.deg > $k) AS e_club,
+               CAST(CASE WHEN (SELECT COUNT(*) FROM deg WHERE deg > $k) >= 2
+                    THEN (SELECT COUNT(*) FROM single e
+                          JOIN deg a ON a.n = e.u JOIN deg b ON b.n = e.v
+                          WHERE a.deg > $k AND b.deg > $k) * 2000000
+                         // ((SELECT COUNT(*) FROM deg WHERE deg > $k)
+                            * ((SELECT COUNT(*) FROM deg WHERE deg > $k) - 1))
+                    ELSE 0 END AS BIGINT) AS phi_ppm"""
+        s"""
+        WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        deg AS MATERIALIZED (
+          SELECT u AS n, COUNT(*) AS deg FROM und GROUP BY 1),
+        single AS MATERIALIZED (SELECT u, v FROM und WHERE u < v)
+        ${Seq(2, 4, 8, 16).map(one).mkString("\n        UNION ALL")}"""
+      }),
+
     // ───── 4-cycle (quadrangle) census (r16): the bipartite-ish motif
     // the triangle family cannot see — co-purchase graphs grown from
     // baskets are locally bipartite (part↔part links via shared
