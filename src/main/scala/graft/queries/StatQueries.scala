@@ -5255,6 +5255,68 @@ object StatQueries {
                END AS delta_ppm
         FROM agg""")),
 
+    // ───── Total-variation drift distance (r16): the log-free
+    // companion to ml_score_drift's chi-square — TV(P, Q) = ½·Σ|p−q|
+    // between the first and second half-month score distributions is
+    // the tightest "what fraction of mass moved" statement (PSI needs
+    // ln and breaks on empty bins; TV is exact in ppm and bounded
+    // [0, 1e6]). Cross-multiplied integer form: |p_i·N_b − q_i·N_a|
+    // summed in DECIMAL(38)/HUGEINT, divided once by 2·N_a·N_b —
+    // kilocent bins (≤~57), one hash-agg + one bounded fold; per-bin
+    // signed contributions emitted so the consumer sees WHERE mass
+    // moved, not just how much.
+    QuerySpec(
+      "ml_tv_distance",
+      (s, d) => {
+        val half = lit("2024-01-16 00:00:00").cast("timestamp")
+        val hist = events(s, d).select(
+            expr("cast(round(value * 100) as bigint) div 1000").as("bin"),
+            when(col("ts") < half, 1L).otherwise(0L).as("is_a"))
+          .groupBy("bin")
+          .agg(sum("is_a").as("a_i"), sum(lit(1L) - col("is_a")).as("b_i"))
+        val tot = hist.agg(sum("a_i").as("na"), sum("b_i").as("nb"))
+        val per = hist.crossJoin(broadcast(tot))
+          .withColumn("num", expr(
+            "cast(a_i as decimal(38,0)) * nb - cast(b_i as decimal(38,0)) * na"))
+          .select(col("bin"), col("a_i"), col("b_i"), col("na"), col("nb"),
+            expr("""case when num >= 0
+                    then cast(num * 1000000 div (cast(na as decimal(38,0)) * nb)
+                         as bigint)
+                    else -cast((-num) * 1000000
+                         div (cast(na as decimal(38,0)) * nb) as bigint)
+                    end""").as("shift_ppm"))
+        per.select(col("bin"), col("shift_ppm"))
+          .crossJoin(broadcast(per
+            .agg(sum(expr("abs(shift_ppm)")).as("abs_sum"))
+            .select(expr("abs_sum div 2").as("tv_ppm"))))
+      },
+      Some("""
+        WITH hist AS (
+          SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS bin,
+                 CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS a_i,
+                 CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                          THEN 0 ELSE 1 END) AS BIGINT) AS b_i
+          FROM events GROUP BY 1),
+        tot AS (SELECT CAST(SUM(a_i) AS BIGINT) AS na,
+                       CAST(SUM(b_i) AS BIGINT) AS nb FROM hist),
+        per AS MATERIALIZED (
+          SELECT bin,
+                 CASE WHEN CAST(a_i AS HUGEINT) * nb
+                           - CAST(b_i AS HUGEINT) * na >= 0
+                      THEN CAST((CAST(a_i AS HUGEINT) * nb
+                                 - CAST(b_i AS HUGEINT) * na) * 1000000
+                           // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+                      ELSE -CAST((CAST(b_i AS HUGEINT) * na
+                                  - CAST(a_i AS HUGEINT) * nb) * 1000000
+                           // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+                 END AS shift_ppm
+          FROM hist, tot)
+        SELECT bin, shift_ppm,
+               (SELECT CAST(SUM(ABS(shift_ppm)) // 2 AS BIGINT) FROM per)
+                 AS tv_ppm
+        FROM per""")),
+
     // ───── Page–Hinkley change detection (r16): CUSUM's sibling for
     // drifting baselines — where CUSUM sums deviations from the fixed
     // GLOBAL mean, Page–Hinkley scores each day against the RUNNING
