@@ -121,7 +121,10 @@ object GraphOps {
       .select(col("n"), col("n").as("c"))
       .localCheckpoint(true)
     var mst: DataFrame = null
-    for (_ <- 1 to rounds) {
+    var round = 0
+    var done = false
+    while (round < rounds && !done) {
+      round += 1
       val cross = e
         .join(comp.select(col("n").as("u"), col("c").as("cu")), "u")
         .join(comp.select(col("n").as("v"), col("c").as("cv")), "v")
@@ -137,18 +140,29 @@ object GraphOps {
         .select(col("c"), col("m.w").as("w"), col("m.u").as("u"),
           col("m.v").as("v"), col("m.cother").as("cother"))
         .localCheckpoint(true) // feeds the forest set AND the merge
-      val chosen = cand.select("u", "v", "w").distinct()
-      mst = if (mst == null) chosen else mst.unionAll(chosen)
-      val newlab = DedupQueries.connectedComponents(
-        cand.select(least(col("c"), col("cother")).as("doc_a"),
-          greatest(col("c"), col("cother")).as("doc_b")).distinct())
-      comp = comp.join(
-          newlab.select(col("doc_id").as("c"), col("label")),
-          Seq("c"), "left")
-        .select(col("n"), coalesce(col("label"), col("c")).as("c"))
-        .localCheckpoint(true)
+      // early exit once no cross-component edge remains: the remaining
+      // rounds are provable no-ops (empty cand → empty chosen, comp
+      // unchanged), so the RESULT is identical to running all `rounds`
+      // — this only skips their round-trip latency (oracle-neutral; the
+      // unrolled oracle replays the no-op rounds as empty CTEs)
+      if (cand.isEmpty) done = true
+      else {
+        val chosen = cand.select("u", "v", "w").distinct()
+        mst = if (mst == null) chosen else mst.unionAll(chosen)
+        val newlab = DedupQueries.connectedComponents(
+          cand.select(least(col("c"), col("cother")).as("doc_a"),
+            greatest(col("c"), col("cother")).as("doc_b")).distinct())
+        comp = comp.join(
+            newlab.select(col("doc_id").as("c"), col("label")),
+            Seq("c"), "left")
+          .select(col("n"), coalesce(col("label"), col("c")).as("c"))
+          .localCheckpoint(true)
+      }
     }
-    (mst.localCheckpoint(true), comp)
+    val forest =
+      if (mst == null) e.select("u", "v", "w").limit(0).localCheckpoint(true)
+      else mst.localCheckpoint(true)
+    (forest, comp)
   }
 
   /** Multi-source bounded BFS (r12): exact hop distances from every

@@ -4591,13 +4591,16 @@ object RelationalQueries {
             "scc_u")
           .groupBy(col("scc_v").as("n"))
           .agg(max(expr("pl + 1")).as("cand"))
-        var lev = labels.select(col("scc").as("n")).distinct()
-          .withColumn("lev", lit(0L)).localCheckpoint(true)
-        for (_ <- 1 to 16)
-          lev = lev.join(raised(lev), Seq("n"), "left")
+        def step(lev: DataFrame): DataFrame =
+          lev.join(raised(lev), Seq("n"), "left")
             .select(col("n"),
               greatest(col("lev"), coalesce(col("cand"), lit(0L))).as("lev"))
-            .localCheckpoint(true)
+        var lev = labels.select(col("scc").as("n")).distinct()
+          .withColumn("lev", lit(0L)).localCheckpoint(true)
+        // TWO monotone steps per checkpoint: lineage depth stays 2 and
+        // the 16 semantic rounds cost 8 round-trips, not 16
+        for (_ <- 1 to 8)
+          lev = step(step(lev)).localCheckpoint(true)
         val resid = lev.join(raised(lev), Seq("n"), "left")
           .filter(col("cand") > col("lev"))
           .agg(count(lit(1)).as("unconverged"))
