@@ -7210,6 +7210,83 @@ object RelationalQueries {
         FROM radii GROUP BY 1"""
       }),
 
+    // ───── Weight-threshold percolation curve (r16): how does the
+    // co-purchase graph FRAGMENT as weak ties are removed — per
+    // threshold t ∈ {1, 2, 3, 5}, keep edges with shared-order count
+    // ≥ t and report actives/edges/components/giant-component size
+    // (bond percolation's robustness readout: the giant component's
+    // collapse point is where "the network" stops existing — the
+    // validation every tie-strength cutoff needs before a production
+    // graph pipeline picks its w filter). %30-subsampled nodes (the
+    // graph_scc oracle-feasibility discipline); per threshold one
+    // [[DedupQueries.connectedComponents]] min-label fixpoint over the
+    // surviving edges — thresholds are declared constants, so the
+    // sweep is 4 bounded CC runs, not a data-driven loop. The oracle
+    // replays each threshold's labels with the recursive min-label
+    // closure.
+    QuerySpec(
+      "graph_percolation",
+      (s, d) => {
+        val li0 = lineitem(s, d)
+          .select("l_orderkey", "l_partkey")
+          .filter(col("l_partkey") % 30 === 0).distinct()
+        val e = li0.as("a").join(li0.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .localCheckpoint(true)
+        Seq(1L, 2L, 3L, 5L).map { t =>
+          val et = e.filter(col("w") >= t)
+          val labs = graft.analytics.DedupQueries.connectedComponents(
+            et.select(col("u").as("doc_a"), col("v").as("doc_b")))
+          val comps = labs.groupBy("label").agg(count(lit(1)).as("sz"))
+          et.agg(count(lit(1)).as("n_edges"))
+            .crossJoin(comps.agg(
+              coalesce(sum("sz"), lit(0L)).as("n_active"),
+              count(lit(1)).as("n_components"),
+              coalesce(max("sz"), lit(0L)).as("giant_size")))
+            .select(lit(t).as("thr"), col("n_active"), col("n_edges"),
+              col("n_components"), col("giant_size"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        val sb = new StringBuilder("""
+        WITH RECURSIVE li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          WHERE l_partkey % 30 = 0),
+        e AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2)""")
+        for (t <- Seq(1, 2, 3, 5)) sb.append(s""",
+        et$t AS MATERIALIZED (SELECT u, v FROM e WHERE w >= $t),
+        bi$t AS MATERIALIZED (
+          SELECT u AS a, v AS b FROM et$t
+          UNION ALL SELECT v AS a, u AS b FROM et$t),
+        reach$t(c, lab) AS (
+          SELECT a AS c, a AS lab FROM (SELECT DISTINCT a FROM bi$t)
+          UNION
+          SELECT g.a, rr.lab FROM reach$t rr JOIN bi$t g ON g.b = rr.c),
+        lab$t AS MATERIALIZED (
+          SELECT c, MIN(lab) AS lab FROM reach$t GROUP BY 1),
+        comp$t AS (
+          SELECT lab, COUNT(*) AS sz FROM lab$t GROUP BY 1),
+        row$t AS (
+          SELECT CAST($t AS BIGINT) AS thr,
+                 (SELECT CAST(COALESCE(SUM(sz), 0) AS BIGINT) FROM comp$t)
+                   AS n_active,
+                 (SELECT COUNT(*) FROM et$t) AS n_edges,
+                 (SELECT COUNT(*) FROM comp$t) AS n_components,
+                 (SELECT CAST(COALESCE(MAX(sz), 0) AS BIGINT) FROM comp$t)
+                   AS giant_size)""")
+        sb.append(s"""
+        ${Seq(1, 2, 3, 5).map(t => s"SELECT * FROM row$t")
+          .mkString(" UNION ALL ")}""")
+        sb.toString
+      }),
+
     // ───── Rich-club coefficient (r16): do the HUBS of the co-purchase
     // graph preferentially connect to each other — φ(k) = E_{>k} /
     // C(N_{>k}, 2), the density among nodes of degree > k (Colizza et

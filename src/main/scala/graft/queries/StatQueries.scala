@@ -5255,6 +5255,83 @@ object StatQueries {
                END AS delta_ppm
         FROM agg""")),
 
+    // ───── Hodges–Lehmann shift estimator (r16): the LOCATION-SHIFT
+    // companion to stat_mann_whitney's significance — "purchases run
+    // HOW MUCH higher than views", as the median of all pairwise
+    // differences (the estimator whose breakdown point and efficiency
+    // made it the robust default; Hodges & Lehmann 1963). Values are
+    // declared KILOCENT bins, so the pair lattice is the bounded
+    // histogram cross (≤ ~57² weighted cells, corpus-size-independent
+    // — never the event×event pair join); the weighted positional med2
+    // rides cumulative windows over the ≤113-value difference domain.
+    // Readout: med2 shift (2× units, no float .5), the exact pair
+    // count, and the fraction of pairs with positive difference
+    // (P(X>Y) in ppm — the probability-of-superiority face of the same
+    // lattice).
+    QuerySpec(
+      "stat_hodges_lehmann",
+      (s, d) => {
+        val base = events(s, d)
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(expr("cast(round(value * 100) as bigint) div 1000").as("b"),
+            col("event_type").as("t"))
+          .groupBy("b", "t").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // feeds both sides of the lattice
+        val ha = base.filter(col("t") === "purchase")
+          .select(col("b").as("ba"), col("n").as("na"))
+        val hb = base.filter(col("t") === "view")
+          .select(col("b").as("bb"), col("n").as("nb"))
+        val diffs = ha.crossJoin(hb)
+          .groupBy((col("ba") - col("bb")).as("dv"))
+          .agg(sum(expr("na * nb")).as("w"))
+        val wC = Window.orderBy("dv")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        diffs
+          .withColumn("k", sum("w").over(wC))
+          .withColumn("np", sum("w").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .agg(max("np").as("n_pairs"),
+            (sum(expr(
+              """case when k - w < (np + 1) div 2 and (np + 1) div 2 <= k
+                 then dv else 0 end""")) +
+             sum(expr(
+               """case when k - w < (np + 2) div 2 and (np + 2) div 2 <= k
+                  then dv else 0 end"""))).as("med2_shift_kc"),
+            sum(when(col("dv") > 0, col("w")).otherwise(0L)).as("n_pos"))
+          .select(col("n_pairs"), col("med2_shift_kc"),
+            expr("""cast(cast(n_pos as decimal(38,0)) * 1000000
+                    div n_pairs as bigint)""").as("superiority_ppm"))
+      },
+      Some("""
+        WITH base AS MATERIALIZED (
+          SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS b,
+                 event_type AS t, COUNT(*) AS n
+          FROM events WHERE event_type IN ('purchase', 'view')
+          GROUP BY 1, 2),
+        diffs AS (
+          SELECT a.b - v.b AS dv, CAST(SUM(a.n * v.n) AS BIGINT) AS w
+          FROM (SELECT b, n FROM base WHERE t = 'purchase') a
+          CROSS JOIN (SELECT b, n FROM base WHERE t = 'view') v
+          GROUP BY 1),
+        ranked AS (
+          SELECT dv, w,
+                 CAST(SUM(w) OVER (ORDER BY dv
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS k,
+                 CAST(SUM(w) OVER () AS BIGINT) AS np
+          FROM diffs)
+        SELECT MAX(np) AS n_pairs,
+               CAST(SUM(CASE WHEN k - w < (np + 1) // 2
+                              AND (np + 1) // 2 <= k THEN dv ELSE 0 END)
+                  + SUM(CASE WHEN k - w < (np + 2) // 2
+                              AND (np + 2) // 2 <= k THEN dv ELSE 0 END)
+                 AS BIGINT) AS med2_shift_kc,
+               CAST(CAST(SUM(CASE WHEN dv > 0 THEN w ELSE 0 END)
+                      AS HUGEINT) * 1000000 // MAX(np) AS BIGINT)
+                 AS superiority_ppm
+        FROM ranked""")),
+
     // ───── Total-variation drift distance (r16): the log-free
     // companion to ml_score_drift's chi-square — TV(P, Q) = ½·Σ|p−q|
     // between the first and second half-month score distributions is
