@@ -5255,6 +5255,143 @@ object StatQueries {
                END AS delta_ppm
         FROM agg""")),
 
+    // ───── A/B power / minimum-detectable-effect planner (r16): before
+    // events_ab_chisq judges an experiment, a team must SIZE it — at
+    // the current daily traffic and baseline conversion, what absolute
+    // lift is detectable at α=0.05 (two-sided) with 80% power?
+    // MDE = (z_{α/2} + z_power)·sqrt(2·p̂(1−p̂)/n_per_arm) with the two
+    // z's as LITERAL constants (1.959964, 0.841621 — quantiles of a
+    // FIXED declared design live in constants, not libm calls), p̂ the
+    // exact purchase rate, and ONE sqrt + multiply as the final double
+    // per row. Emitted per candidate experiment length (7/14/28 days,
+    // both-arms traffic = mean daily events × days): mde_ppm and the
+    // relative lift it implies — the table a growth team reads off.
+    QuerySpec(
+      "events_power_mde",
+      (s, d) => {
+        val agg = events(s, d).agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purch"),
+          countDistinct(to_date(col("ts"))).as("n_days"))
+        val days = Seq(7L, 14L, 28L).map(x => lit(x)).toArray
+        agg.select(col("n_events"), col("n_purch"), col("n_days"),
+            expr("n_purch * 1000000 div n_events").as("p_ppm"),
+            explode(array(days: _*)).as("exp_days"))
+          .withColumn("n_per_arm",
+            expr("(n_events div n_days) * exp_days div 2"))
+          .withColumn("mde_ppm", expr(
+            """cast(floor((1.959964 + 0.841621)
+                    * sqrt(2.0 * (cast(p_ppm as double) / 1000000.0)
+                           * (1.0 - cast(p_ppm as double) / 1000000.0)
+                           / cast(n_per_arm as double)) * 1000000.0)
+                    as bigint)"""))
+          .select(col("exp_days"), col("n_per_arm"), col("p_ppm"),
+            col("mde_ppm"),
+            expr("""case when p_ppm > 0
+                    then mde_ppm * 1000000 div p_ppm else 0 end""")
+              .as("rel_lift_ppm"))
+      },
+      Some("""
+        WITH agg AS (
+          SELECT COUNT(*) AS n_events,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_purch,
+                 CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+          FROM events),
+        per AS (
+          SELECT n_events, n_purch, n_days,
+                 n_purch * 1000000 // n_events AS p_ppm,
+                 unnest([7, 14, 28]) AS exp_days
+          FROM agg),
+        sized AS (
+          SELECT exp_days,
+                 (n_events // n_days) * exp_days // 2 AS n_per_arm,
+                 p_ppm
+          FROM per)
+        SELECT CAST(exp_days AS BIGINT) AS exp_days, n_per_arm, p_ppm,
+               CAST(floor((1.959964 + 0.841621)
+                    * sqrt(2.0 * (CAST(p_ppm AS DOUBLE) / 1000000.0)
+                           * (1.0 - CAST(p_ppm AS DOUBLE) / 1000000.0)
+                           / CAST(n_per_arm AS DOUBLE)) * 1000000.0)
+                 AS BIGINT) AS mde_ppm,
+               CAST(CASE WHEN p_ppm > 0
+                    THEN CAST(floor((1.959964 + 0.841621)
+                         * sqrt(2.0 * (CAST(p_ppm AS DOUBLE) / 1000000.0)
+                                * (1.0 - CAST(p_ppm AS DOUBLE) / 1000000.0)
+                                / CAST(n_per_arm AS DOUBLE)) * 1000000.0)
+                         AS BIGINT) * 1000000 // p_ppm
+                    ELSE 0 END AS BIGINT) AS rel_lift_ppm
+        FROM sized""")),
+
+    // ───── Disparate-impact audit (r16): the four-fifths rule on a
+    // scorer's positive rate across cohorts — the responsible-ML
+    // release gate (EEOC 80% rule; every fairness toolkit leads with
+    // it). Decision = the deployed stump's own split (kilocent bin
+    // ≥ 25 ⇒ predict purchase); cohorts = weekday vs weekend sessions.
+    // Exact ppm rates per cohort; DI ratio in ppm as a cross-
+    // multiplied truncating division of exact counts (never a
+    // double÷double); the 800000-ppm gate emitted as a flag row per
+    // cohort pair — measured, not asserted.
+    QuerySpec(
+      "ml_disparate_impact",
+      (s, d) => {
+        val base = events(s, d).select(
+            when(dayofweek(col("ts")).isin(1, 7), "weekend")
+              .otherwise("weekday").as("cohort"),
+            when(expr("cast(round(value * 100) as bigint) div 1000") >= 25,
+              1L).otherwise(0L).as("pred"))
+          .groupBy("cohort")
+          .agg(count(lit(1)).as("n"), sum("pred").as("n_pos"))
+          .withColumn("rate_ppm", expr("n_pos * 1000000 div n"))
+        base.as("a").join(base.as("b"),
+            col("a.cohort") < col("b.cohort"))
+          .select(col("a.cohort").as("cohort_a"),
+            col("b.cohort").as("cohort_b"),
+            col("a.n").as("n_a"), col("b.n").as("n_b"),
+            col("a.rate_ppm").as("rate_a_ppm"),
+            col("b.rate_ppm").as("rate_b_ppm"),
+            expr("""case when a.n_pos * b.n = 0 then 0
+                    when a.n_pos * b.n <= b.n_pos * a.n
+                    then cast(cast(a.n_pos as decimal(38,0)) * b.n * 1000000
+                         div (cast(b.n_pos as decimal(38,0)) * a.n) as bigint)
+                    else cast(cast(b.n_pos as decimal(38,0)) * a.n * 1000000
+                         div (cast(a.n_pos as decimal(38,0)) * b.n) as bigint)
+                    end""").as("di_ratio_ppm"))
+          .withColumn("passes_four_fifths",
+            when(col("di_ratio_ppm") >= 800000, 1L).otherwise(0L))
+      },
+      Some("""
+        WITH base AS MATERIALIZED (
+          SELECT CASE WHEN EXTRACT(dow FROM ts) IN (0, 6)
+                      THEN 'weekend' ELSE 'weekday' END AS cohort,
+                 COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN CAST(round(value * 100) AS BIGINT) // 1000
+                                    >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos
+          FROM events GROUP BY 1),
+        rated AS (SELECT cohort, n, n_pos,
+                         n_pos * 1000000 // n AS rate_ppm FROM base)
+        SELECT a.cohort AS cohort_a, b.cohort AS cohort_b,
+               a.n AS n_a, b.n AS n_b,
+               a.rate_ppm AS rate_a_ppm, b.rate_ppm AS rate_b_ppm,
+               CAST(CASE WHEN a.n_pos * b.n = 0 THEN 0
+                    WHEN a.n_pos * b.n <= b.n_pos * a.n
+                    THEN CAST(a.n_pos AS HUGEINT) * b.n * 1000000
+                         // (CAST(b.n_pos AS HUGEINT) * a.n)
+                    ELSE CAST(b.n_pos AS HUGEINT) * a.n * 1000000
+                         // (CAST(a.n_pos AS HUGEINT) * b.n)
+                    END AS BIGINT) AS di_ratio_ppm,
+               CAST(CASE WHEN CAST(CASE WHEN a.n_pos * b.n = 0 THEN 0
+                    WHEN a.n_pos * b.n <= b.n_pos * a.n
+                    THEN CAST(a.n_pos AS HUGEINT) * b.n * 1000000
+                         // (CAST(b.n_pos AS HUGEINT) * a.n)
+                    ELSE CAST(b.n_pos AS HUGEINT) * a.n * 1000000
+                         // (CAST(a.n_pos AS HUGEINT) * b.n)
+                    END AS BIGINT) >= 800000 THEN 1 ELSE 0 END AS BIGINT)
+                 AS passes_four_fifths
+        FROM rated a JOIN rated b ON a.cohort < b.cohort""")),
+
     // ───── Hodges–Lehmann shift estimator (r16): the LOCATION-SHIFT
     // companion to stat_mann_whitney's significance — "purchases run
     // HOW MUCH higher than views", as the median of all pairwise
