@@ -52,11 +52,19 @@ object GraphOps {
     *
     * `e` must carry BOTH directions (u, v). Returns one row per
     * (hop, n) with the ball-size estimate `est`, hop ∈ [0, hops].
-    * Per-round cost is one |E| equi-join + one (n, idx) hash-agg over
-    * ≤ m·|V| sparse register rows; rounds are diameter-bound. Each
-    * round is localCheckpointed — the register frame feeds both the
-    * next expansion and its hop's estimate, the dual-consumption
-    * lineage class.
+    *
+    * The registers are carried PACKED — one 64-element array column
+    * per node, max-merged by [[graft.functions.RegisterMaxAgg]] — so
+    * each round's shuffle is one row per (node, neighbor) edge instead
+    * of m sparse (node, idx, rho) rows: the m× row cut that keeps
+    * 4 rounds over 10^11 edges shuffle-bound, not row-overhead-bound.
+    * The register VALUES are identical to the sparse formulation the
+    * DuckDB oracle replays (rho ≥ 1 for any present slot, so 0 ≡
+    * empty is unambiguous); the algebra (elementwise max) is exact.
+    * Per-round cost: one |E| equi-join + one per-node max-merge
+    * hash-agg; rounds are diameter-bound. Each round is
+    * localCheckpointed — the register frame feeds both the next
+    * expansion and its hop's estimate, the dual-consumption class.
     */
   def anfPerNode(e: DataFrame, hops: Int): DataFrame = {
     // floor(64·ln(64/V) + 0.5) for V = 1..64 (index = V)
@@ -64,21 +72,23 @@ object GraphOps {
       "102,97,93,89,85,81,78,74,71,68,65,63,60,58,55,53,51,48,46,44," +
       "42,40,39,37,35,33,32,30,28,27,25,24,23,21,20,18,17,16,15,13," +
       "12,11,10,9,7,6,5,4,3,2,1,0"
+    val regMax = udaf(new graft.functions.RegisterMaxAgg(64),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
     var cur = e.select(col("u").as("n")).distinct()
       .withColumn("h", expr(
         "cast(conv(substring(md5(cast(n as string)), 1, 15), 16, 10) as long)"))
-      .select(col("n"), expr("h % 64").as("idx"),
-        expr("""cast(case when h div 64 = 0 then 55
-                else 55 - length(bin(h div 64)) end as bigint)""").as("rho"))
+      .select(col("n"), expr(
+        """transform(sequence(0, 63), i ->
+             case when cast(i as bigint) = h % 64
+                  then cast(case when h div 64 = 0 then 55
+                            else 55 - length(bin(h div 64)) end as bigint)
+                  else 0L end)""").as("regs"))
       .localCheckpoint(true)
-    def est(regs: DataFrame, hop: Int): DataFrame =
-      regs.groupBy("n")
-        .agg(sum(expr("shiftleft(1L, 55 - cast(rho as int))")).as("s_present"),
-          count(lit(1)).as("cnt"))
-        .select(col("n"),
-          (col("s_present")
-            + (lit(64L) - col("cnt")) * lit(1L << 55)).as("s_sum"),
-          (lit(64L) - col("cnt")).as("v_cnt"))
+    def est(frame: DataFrame, hop: Int): DataFrame =
+      frame.select(col("n"),
+          expr("""aggregate(regs, 0L, (acc, r) ->
+                    acc + shiftleft(1L, 55 - cast(r as int)))""").as("s_sum"),
+          expr("cast(size(filter(regs, r -> r = 0)) as bigint)").as("v_cnt"))
         .withColumn("raw", expr(
           "cast(floor(1.04629932386080576765952e20 " +
             "/ cast(s_sum as double)) as bigint)"))
@@ -90,8 +100,8 @@ object GraphOps {
     for (hop <- 1 to hops) {
       cur = cur.unionAll(
           e.join(cur, e("v") === cur("n"))
-            .select(e("u").as("n"), cur("idx"), cur("rho")))
-        .groupBy("n", "idx").agg(max("rho").as("rho"))
+            .select(e("u").as("n"), cur("regs")))
+        .groupBy("n").agg(regMax(col("regs")).as("regs"))
         .localCheckpoint(true)
       out = out.unionAll(est(cur, hop))
     }

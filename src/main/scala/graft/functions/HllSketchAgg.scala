@@ -58,3 +58,41 @@ class HllRegistersAgg(p: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
+
+/** Elementwise-MAX merge of register ARRAYS (r16) — the
+  * [[HllRegistersAgg]] algebra lifted to whole-register inputs, for
+  * iterative sketch propagation (HyperBall / graph_anf): each round
+  * every node max-merges its neighbors' full register vectors, so the
+  * round's shuffle carries ONE m-register row per (node, neighbor)
+  * edge instead of m sparse (node, idx, rho) rows — the m× row-count
+  * cut that keeps 4 rounds over 10^11 edges shuffle-bound rather than
+  * row-overhead-bound. Same algebra, same exactness: max is
+  * associative/commutative/idempotent, so map-side combine and
+  * re-aggregation are exact on the registers.
+  */
+class RegisterMaxAgg(m: Int)
+    extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+  require(m > 0 && m <= 65536, s"register count must be in (0, 65536], got $m")
+
+  override def zero: Array[Long] = new Array[Long](m)
+
+  override def reduce(buf: Array[Long], regs: Seq[Long]): Array[Long] = {
+    require(regs.length == m, s"expected $m registers, got ${regs.length}")
+    var i = 0
+    while (i < m) { val v = regs(i); if (v > buf(i)) buf(i) = v; i += 1 }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
