@@ -271,6 +271,62 @@ object PipelineQueries {
 
     // ───── sequence packing: fill 2048-token context windows per shard.
     // Offset-based packing: docs are laid out in shard order and a doc
+    // ───── Padding-waste accounting (r16): the OTHER batching policy —
+    // pack_sequences concatenates; many training stacks instead pad
+    // each document to a fixed context length and pay the padding as
+    // wasted FLOPs. For each candidate context length L ∈ {512, 1024,
+    // 2048, 4096}: documents that FIT (tokens ≤ L), their token mass,
+    // the padded capacity they consume (n_fit·L), the overflow mass
+    // that must truncate or split, and utilization in exact ppm — the
+    // table that picks L (too small truncates, too large pads; the
+    // measured elbow is the decision). One token-estimate map + one
+    // hash-agg per L over the same frame (ceil(chars/4), the
+    // text_tokens proxy); no data-sized anything.
+    QuerySpec(
+      "pack_padding_waste",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(expr("cast(ceil(length(text) / 4.0) as bigint)").as("t"))
+          .localCheckpoint(true) // reused by the 4 candidate lengths
+        Seq(512L, 1024L, 2048L, 4096L).map { l =>
+          toks.agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("t") <= l, 1L).otherwise(0L)).as("n_fit"),
+            sum(when(col("t") <= l, col("t")).otherwise(0L)).as("fit_tokens"),
+            sum(when(col("t") > l, col("t")).otherwise(0L)).as("overflow_tokens"))
+            .select(lit(l).as("ctx_len"), col("n_docs"), col("n_fit"),
+              col("fit_tokens"),
+              (col("n_fit") * l).as("padded_capacity"),
+              col("overflow_tokens"),
+              expr(s"""case when n_fit > 0
+                       then cast(cast(fit_tokens as decimal(38,0)) * 1000000
+                            div (n_fit * ${l}L) as bigint)
+                       else 0 end""").as("utilization_ppm"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        val one = (l: Int) => s"""
+        SELECT CAST($l AS BIGINT) AS ctx_len, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN t <= $l THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fit,
+               CAST(SUM(CASE WHEN t <= $l THEN t ELSE 0 END) AS BIGINT)
+                 AS fit_tokens,
+               CAST(SUM(CASE WHEN t <= $l THEN 1 ELSE 0 END) * $l AS BIGINT)
+                 AS padded_capacity,
+               CAST(SUM(CASE WHEN t > $l THEN t ELSE 0 END) AS BIGINT)
+                 AS overflow_tokens,
+               CAST(CASE WHEN SUM(CASE WHEN t <= $l THEN 1 ELSE 0 END) > 0
+                    THEN CAST(SUM(CASE WHEN t <= $l THEN t ELSE 0 END)
+                         AS HUGEINT) * 1000000
+                         // (SUM(CASE WHEN t <= $l THEN 1 ELSE 0 END) * $l)
+                    ELSE 0 END AS BIGINT) AS utilization_ppm
+        FROM toks"""
+        s"""
+        WITH toks AS MATERIALIZED (
+          SELECT CAST(ceil(len(text) / 4.0) AS BIGINT) AS t FROM documents)
+        ${Seq(512, 1024, 2048, 4096).map(one).mkString("\n        UNION ALL")}"""
+      }),
+
     // belongs to the bin its FIRST token falls in (exclusive prefix sum /
     // 2048) — the streaming-friendly approximation of greedy bin packing
     // (no sequential dependency, one window pass; a doc spanning a

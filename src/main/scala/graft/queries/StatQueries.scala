@@ -769,6 +769,70 @@ object StatQueries {
     // bounded by the date range, not the fact-row count — so the global
     // ordering is over ~2.4k rows at any corpus size.
     QuerySpec(
+      "window_bollinger",
+      (s, d) => {
+        // Bollinger bands (r16): the volatility envelope next to
+        // window_moving_median's robust center — centered 7-day moving
+        // mean ± 2σ of daily revenue. Window sums stay EXACT integers
+        // (Σx, Σx² in cents; cents² ≤ ~1e17·7 fits BIGINT at sf0.1,
+        // DECIMAL(38) the moment they would not); per-row mean and σ
+        // are each ONE final double expression (σ via the population
+        // form ((m·Σx² − (Σx)²)/m²)^½ — identical text both engines,
+        // floor()'d into cents before the band arithmetic so the
+        // emitted bands are integers and the breakout flag compares
+        // integers, the events_power_mde cast discipline). Window
+        // input is the calendar-bounded daily aggregate.
+        val daily = orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("rev"))
+        val w = Window.orderBy("day").rowsBetween(-3, 3)
+        daily
+          .withColumn("m", count(lit(1)).over(w))
+          .withColumn("sx", sum("rev").over(w))
+          .withColumn("sx2", sum(expr(
+            "cast(rev as decimal(38,0)) * rev")).over(w))
+          .withColumn("mean_cents", expr("sx div m"))
+          .withColumn("sd_cents", expr(
+            """cast(floor(sqrt(cast(m * sx2 - cast(sx as decimal(38,0)) * sx
+                                as double))
+                          / cast(m as double)) as bigint)"""))
+          .select(col("day"), col("rev").as("rev_cents"),
+            col("mean_cents"), col("sd_cents"),
+            (col("mean_cents") + col("sd_cents") * 2).as("upper_cents"),
+            (col("mean_cents") - col("sd_cents") * 2).as("lower_cents"),
+            when(col("rev") > col("mean_cents") + col("sd_cents") * 2, 1L)
+              .when(col("rev") < col("mean_cents") - col("sd_cents") * 2, -1L)
+              .otherwise(0L).as("breakout"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev
+          FROM orders GROUP BY 1),
+        win AS (
+          SELECT day, rev,
+                 CAST(COUNT(*) OVER wnd AS BIGINT) AS m,
+                 CAST(SUM(rev) OVER wnd AS BIGINT) AS sx,
+                 CAST(SUM(CAST(rev AS HUGEINT) * rev) OVER wnd AS HUGEINT)
+                   AS sx2
+          FROM daily
+          WINDOW wnd AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        bands AS (
+          SELECT day, rev, m, sx // m AS mean_cents,
+                 CAST(floor(sqrt(CAST(m * sx2 - CAST(sx AS HUGEINT) * sx
+                                  AS DOUBLE))
+                            / CAST(m AS DOUBLE)) AS BIGINT) AS sd_cents
+          FROM win)
+        SELECT day, rev AS rev_cents, mean_cents, sd_cents,
+               mean_cents + 2 * sd_cents AS upper_cents,
+               mean_cents - 2 * sd_cents AS lower_cents,
+               CAST(CASE WHEN rev > mean_cents + 2 * sd_cents THEN 1
+                    WHEN rev < mean_cents - 2 * sd_cents THEN -1
+                    ELSE 0 END AS BIGINT) AS breakout
+        FROM bands""")),
+
+    QuerySpec(
       "window_moving_median",
       (s, d) => {
         val daily = orders(s, d)
