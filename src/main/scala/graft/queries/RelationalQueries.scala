@@ -5224,6 +5224,62 @@ object RelationalQueries {
           .mkString("\n        UNION ALL")
       }),
 
+    // ───── value-shape discovery (r16): what PATTERNS do a string
+    // column's values follow — the Potter's Wheel / profiling-tool
+    // move that catches mixed formats before they break a parser:
+    // digits→9, lowercase→a, uppercase→A, runs compressed ('(.)\\1+'→
+    // one symbol), punctuation kept verbatim. Per column the top-3
+    // shapes by count (rank window over the bounded shape domain) with
+    // coverage ppm — a column whose top shapes don't cover ~everything
+    // has format drift. One regexp map + one (col, shape) hash-agg per
+    // column; the replacement-backreference syntax differs across
+    // engines ($1 vs \\1) but the OUTPUT shapes are identical.
+    QuerySpec(
+      "profile_value_shapes",
+      (s, d) => {
+        def shapes(name: String, df: DataFrame, c: String) = {
+          val sh = df.select(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(
+                col(c), "[0-9]+", "9"), "[a-z]+", "a"),
+              "[A-Z]+", "A"), "9+", "9"), "a+", "a"), "A+", "A").as("shape"))
+            .groupBy("shape").agg(count(lit(1)).as("n"))
+          val tot = sh.agg(sum("n").as("nt"))
+          sh.crossJoin(broadcast(tot))
+            .withColumn("rk", row_number().over(
+              Window.orderBy(col("n").desc, col("shape"))))
+            .filter(col("rk") <= 3)
+            .select(lit(name).as("col_name"), col("rk").cast("long").as("rk"),
+              col("shape"), col("n"),
+              expr("n * 1000000 div nt").as("coverage_ppm"))
+        }
+        shapes("orders.o_orderpriority", orders(s, d), "o_orderpriority")
+          .unionByName(shapes("customer.c_name", customer(s, d), "c_name"))
+          .unionByName(shapes("part.p_type", part(s, d), "p_type"))
+          .unionByName(shapes("customer.c_mktsegment", customer(s, d),
+            "c_mktsegment"))
+      },
+      Some {
+        def shapes(name: String, table: String, c: String) = s"""
+        SELECT '$name' AS col_name, rk, shape, n, coverage_ppm FROM (
+          SELECT shape, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, shape) AS rk,
+                 CAST(n * 1000000 // SUM(n) OVER () AS BIGINT)
+                   AS coverage_ppm
+          FROM (
+            SELECT regexp_replace(regexp_replace(regexp_replace(
+                     $c, '[0-9]+', '9', 'g'),
+                     '[a-z]+', 'a', 'g'), '[A-Z]+', 'A', 'g') AS shape,
+                   COUNT(*) AS n
+            FROM $table GROUP BY 1))
+        WHERE rk <= 3"""
+        Seq(
+          shapes("orders.o_orderpriority", "orders", "o_orderpriority"),
+          shapes("customer.c_name", "customer", "c_name"),
+          shapes("part.p_type", "part", "p_type"),
+          shapes("customer.c_mktsegment", "customer", "c_mktsegment"))
+          .mkString("\n        UNION ALL")
+      }),
+
     // ───── unique-column-combination discovery (r16): is a column set
     // a KEY of its table — the third leg of the dependency-discovery
     // family (profile_fd: LHS→RHS; profile_inclusion: FK direction;
