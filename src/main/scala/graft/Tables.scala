@@ -47,6 +47,34 @@ object Tables {
 
   def events(s: SparkSession, d: String): DataFrame =
     normalizeTs(table(s, d, "events"), "ts")
+
+  /** Fan heavy per-row compute out to the session's full parallelism when
+    * the upstream's natural partitioning is below it.
+    *
+    * WHY: parquet scans parallelize at row-group granularity, and a table
+    * written as one row group (every `/root/testdata` table is) yields a
+    * ONE-task scan — so every map-side stage up to the first exchange
+    * (rep-axis md5 expansion, tokenization, vector math against broadcast
+    * codebooks, including the partial aggregation fused into that stage)
+    * runs on a single core no matter how many the session has. This is the
+    * optimization guide's §2.5 "input skew: one huge unsplittable file —
+    * repartition immediately after the read".
+    *
+    * Scale-adaptive by construction, NOT a local-mode constant: the target
+    * is `sparkContext.defaultParallelism` (the session's core budget, from
+    * `SPARK_GRAFT_CPUS` locally, the executor fleet on a cluster), and the
+    * repartition only fires when the input's partitioning is BELOW it — at
+    * cluster scale a real table scan already carries hundreds of splits and
+    * this is an identity. The explicit-N round-robin repartition is exempt
+    * from AQE coalescing (REPARTITION_BY_NUM), so the fan-out survives to
+    * execution. Only order-insensitive consumers may sit downstream (exact
+    * integer/decimal aggregation — the house determinism rule); callers
+    * with order-sensitive folds must not use this.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

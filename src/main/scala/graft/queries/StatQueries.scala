@@ -2741,9 +2741,13 @@ object StatQueries {
       "events_bootstrap_ci",
       (s, d) => {
         val reps = s.range(0, 32).select(col("id").cast("int").as("rep"))
-        val weighted = events(s, d)
+        // fanOut: the ×32 rep expansion and its md5 weights are fused into
+        // the scan stage, which is ONE task over the single-row-group
+        // events file — spread the rows across the session's cores first
+        // (guide §2.5; the downstream agg is exact-integer, order-free)
+        val weighted = graft.Tables.fanOut(events(s, d)
           .select(col("event_type"), col("event_id"),
-            expr("cast(floor(value * 100) as bigint)").as("c"))
+            expr("cast(floor(value * 100) as bigint)").as("c")))
           .crossJoin(broadcast(reps))
           .withColumn("w",
             expr("""cast(conv(substring(md5(concat('bs13:', cast(rep as string),
@@ -3954,10 +3958,12 @@ object StatQueries {
       "ml_auc_bootstrap_ci",
       (s, d) => {
         val reps = s.range(0, 32).select(col("id").cast("int").as("rep"))
-        val hist = events(s, d)
+        // fanOut: see events_bootstrap_ci — the ×32 md5 weight expansion
+        // otherwise runs inside the one-task scan stage
+        val hist = graft.Tables.fanOut(events(s, d)
           .select(col("event_id"),
             expr("cast(round(value * 100) as bigint)").as("score"),
-            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos")))
           .crossJoin(broadcast(reps))
           .withColumn("w",
             expr("""cast(conv(substring(md5(concat('auc14:', cast(rep as string),
@@ -4342,7 +4348,9 @@ object StatQueries {
             (expr("sv * 1000 div nv0") - expr("sp * 1000 div np0"))
               .as("gap_obs_milli"))
         val reps = s.range(0, 32).select(col("id").cast("int").as("rep"))
-        val repGaps = base.crossJoin(broadcast(reps))
+        // fanOut: see events_bootstrap_ci — the ×32 md5 relabeling
+        // otherwise runs inside the one-task scan stage
+        val repGaps = graft.Tables.fanOut(base).crossJoin(broadcast(reps))
           .crossJoin(broadcast(sizes))
           .withColumn("lab", expr(
             """case when cast(conv(substring(md5(concat('perm14:',
