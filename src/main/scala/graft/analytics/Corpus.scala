@@ -106,6 +106,10 @@ object Corpus {
     * words dropped).
     */
   def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
+    // NOT fanned out (measured this round): most consumers' pre-shuffle
+    // map work over this corpus is light, and the added exchange cost
+    // more than the parallelism won — heavy derivations (the shingle
+    // hash-set builder) fan out at their own build site instead
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val variants = docs
       .filter(col("doc_id") % 5 === 0 && size(split(col("text"), " ")) > 6)
@@ -173,6 +177,11 @@ object Corpus {
     */
   def quantizedVectors(s: SparkSession, d: String): DataFrame =
     cached(s, d, "quantizedVectors") {
+      // NOT fanned out (measured this round): the Lloyd trainers run many
+      // tiny control-plane jobs over this frame, and 32-task scheduling
+      // per round cost more than the parallel map work won (elbow/nprobe
+      // sweep regressed 2×) — the PQ encode/ADC kernels fan out at their
+      // own sites instead
       Tables.embeddings(s, d).select(
         col("vec_id"),
         expr("transform(embedding, x -> cast(floor(cast(x as double) * 100) as bigint))")

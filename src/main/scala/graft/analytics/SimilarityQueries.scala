@@ -512,7 +512,9 @@ object SimilarityQueries {
     val base = Corpus.quantizedVectors(s, d)
     val cbl = typedLit(cb)
     // INDEX: M codeword ids + reconstructed norm — 8 B of code/vector
-    val coded = base
+    // fanOut: the M×K×sub encode kernel is the heaviest per-row HOF in
+    // the ANN family — parallelize it out of the one-task scan stage
+    val coded = graft.Tables.fanOut(base)
       .withColumn("cb", cbl)
       .withColumn("code", expr(pqEncodeExpr))
       .withColumn("rnn", expr(pqRnnExpr))
@@ -568,7 +570,9 @@ object SimilarityQueries {
   private def ivfPqPairs(s: SparkSession, d: String, kk: Int): DataFrame = {
     val base = Corpus.quantizedVectors(s, d)
     val cents = trainedCents(s, d)
-    val assigned = assignToCentroids(base, cents).select("vec_id", "qv", "nn", "c_id")
+    // fanOut: assignment + PQ encode are the two heaviest per-row kernels
+    val assigned = assignToCentroids(graft.Tables.fanOut(base), cents)
+      .select("vec_id", "qv", "nn", "c_id")
     val cbl = typedLit(pqTrainedCodebook(s, d))
     val index = assigned
       .withColumn("cb", cbl)
