@@ -75,6 +75,28 @@ object Tables {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
   }
+
+  /** Keyed repartition of a persisted ITERATION INPUT to the session's
+    * parallelism floor — the [[fanOut]] idea for join-output roots
+    * (where `df.rdd` would force AQE stage execution, so the partition
+    * count cannot be probed for free): AQE's small-shuffle coalescing
+    * collapses a tiny build's output to one or two partitions, and every
+    * later per-round join/aggregate over the persisted frame inherits
+    * that near-serial layout, rounds × consumers times over (guide §2.4:
+    * establish the partitioning once, where it is reused). Hash-
+    * partitioning by the per-round join key also means only the rank /
+    * frontier side of each round's join moves — the edge payload never
+    * re-shuffles (the purchaseWithDeg pattern). The width is
+    * max(defaultParallelism, spark.sql.shuffle.partitions): the session's
+    * core budget locally, the configured shuffle width on a cluster —
+    * never a hard-coded local constant.
+    */
+  def spread(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame = {
+    val s = df.sparkSession
+    val p = math.max(s.sparkContext.defaultParallelism,
+      s.sessionState.conf.numShufflePartitions)
+    df.repartition(p, cols: _*)
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -50,12 +50,15 @@ object GraphArtifacts {
   def coPurchaseWeighted(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
     Corpus.cachedTimed(s, d, "coPurchaseW") {
-      li.as("a")
+      // spread: AQE coalesces this small build's output to ~1 partition,
+      // and every downstream per-round join/agg over the persisted frame
+      // would inherit that near-serial layout (Tables.spread scaladoc)
+      graft.Tables.spread(li.as("a")
         .join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
         .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .agg(count(lit(1)).as("w"))
+        .agg(count(lit(1)).as("w")), col("u"))
     }
   }
 
@@ -79,7 +82,9 @@ object GraphArtifacts {
   def undEdges(s: SparkSession, d: String): DataFrame = {
     val e = coPurchaseEdges(s, d)
     Corpus.cached(s, d, "undEdges") {
-      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      // spread by u: BFS/degree consumers join & aggregate on u per round
+      graft.Tables.spread(
+        e.unionAll(e.select(col("v").as("u"), col("u").as("v"))), col("u"))
     }
   }
 
@@ -87,7 +92,8 @@ object GraphArtifacts {
   def undFiltered(s: SparkSession, d: String): DataFrame = {
     val e = filteredEdges(s, d)
     Corpus.cached(s, d, "undFilteredEdges") {
-      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      graft.Tables.spread(
+        e.unionAll(e.select(col("v").as("u"), col("u").as("v"))), col("u"))
     }
   }
 
@@ -100,7 +106,9 @@ object GraphArtifacts {
     val ew = coPurchaseWeighted(s, d)
       .select(col("u"), col("v"), expr("1000000 div w").as("w"))
     Corpus.cached(s, d, "undWeightedEdges") {
-      ew.unionAll(ew.select(col("v").as("u"), col("u").as("v"), col("w")))
+      graft.Tables.spread(
+        ew.unionAll(ew.select(col("v").as("u"), col("u").as("v"), col("w"))),
+        col("u"))
     }
   }
 
@@ -110,11 +118,15 @@ object GraphArtifacts {
     */
   def purchasePairs(s: SparkSession, d: String): DataFrame =
     Corpus.cachedTimed(s, d, "purchasePairs") {
-      lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-        .distinct()
+      // spread by c: the HITS half-steps alternate joining on c and sup;
+      // partitioning by c keeps the c-keyed half shuffle-free while the
+      // sup half moves only |V|-row score frames
+      graft.Tables.spread(
+        lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+          .distinct(), col("c"))
     }
 
   /** Packed-long symmetrized purchase graph with out-degree, physically
