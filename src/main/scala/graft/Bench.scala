@@ -338,6 +338,15 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$outJson$artJson$calJson,"sf":"$sfDir"}"""
     println(line)
+    // Compact trailer (r17, VERDICT r16 #7): the full line above is ~14 KB
+    // at 414 queries and the driver wrapper keeps only a stdout TAIL, so
+    // its parser saw a truncated fragment both r15 and r16 (PERF parsed:
+    // null). The LAST stdout line is now a compact summary that fits any
+    // tail window — the total at least always survives. The full line,
+    // bench_out.json and BENCH_HISTORY.jsonl (the audit channel that
+    // worked) are unchanged; "n"/"value" are outside the prior allowlist,
+    // so this line can never masquerade as a per-query prior.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${times.size},"nErrors":${errors.size},"sf":"$sfDir"}""")
     // Also persist to a file: stdout tails get truncated by log capture
     // (the BENCH_r06 artifact kept only 2 KB), and a file survives that.
     // A SPARK_GRAFT_ONLY subset run writes to a SEPARATE file — in r15 a

@@ -112,6 +112,27 @@ object GraphArtifacts {
     }
   }
 
+  /** The %30-SUBSAMPLED weighted co-purchase graph (u < v, w =
+    * shared-order count over parts with l_partkey % 30 = 0) — the
+    * oracle-feasibility subgraph graph_mst AND graph_percolation iterate
+    * on (r17): each previously rebuilt the identical lineitem self-join
+    * per invocation (twice per bench pass). One [[Corpus.cachedTimed]]
+    * build, spread by u like every other iteration root; mst derives its
+    * inverse-affinity weights as a projection of the cached frame.
+    */
+  def sub30CoPurchaseWeighted(s: SparkSession, d: String): DataFrame =
+    Corpus.cachedTimed(s, d, "sub30CoPurchaseW") {
+      val li0 = lineitem(s, d)
+        .select("l_orderkey", "l_partkey")
+        .filter(col("l_partkey") % 30 === 0).distinct()
+      graft.Tables.spread(li0.as("a")
+        .join(li0.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w")), col("u"))
+    }
+
   /** ROOT of the purchase family: distinct (customer, supplier) pairs
     * from orders⋈lineitem — hits consumes raw ids; pagerank/ppr derive
     * packed-long nodes from the same cached pairs.
@@ -127,6 +148,18 @@ object GraphArtifacts {
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
           .distinct(), col("c"))
+    }
+
+  /** [[purchasePairs]] re-keyed by sup (r17): the HITS h half-step joins
+    * on sup, and with only the c-keyed cache each of its rounds
+    * re-shuffled the FULL |E|-row edge frame by sup (4× per query; the
+    * score frames are |V|-row). Two cached layouts of a two-column frame
+    * cost a few bytes/row; each half-step now moves only its score table
+    * (guide §2.4 — establish the partitioning once, where it is reused).
+    */
+  def purchasePairsBySup(s: SparkSession, d: String): DataFrame =
+    Corpus.cached(s, d, "purchasePairsBySup") {
+      graft.Tables.spread(purchasePairs(s, d), col("sup"))
     }
 
   /** Packed-long symmetrized purchase graph with out-degree, physically

@@ -124,17 +124,60 @@ object GraphOps {
     * a components-sized CC fixpoint; every frame that feeds two
     * consumers is localCheckpointed.
     */
+  /** Weakly-connected components of a Borůvka CHOSEN graph (r17). Input
+    * is one round's cand frame projected to (c, cother): every active
+    * component has EXACTLY ONE out-pointer (its min cross edge), so the
+    * chosen graph is a functional pseudo-forest whose only cycles are
+    * 2-cycles — along any pointer cycle the chosen edges are
+    * non-increasing under the strict (w, u, v) total order, so a cycle
+    * forces one shared edge, i.e. length 2. Components therefore resolve
+    * by 2-cycle breaking (root = the pair minimum) + pointer DOUBLING:
+    * ⌈log₂ depth⌉ self-joins, each ONE exchange — where a general CC
+    * (min-label or large-star/small-star) pays 3-5 exchanges per round
+    * over the same frame (profiled: the LSSS merge was 122 of
+    * graph_mst's 185 jobs). Returns (c, root); root is canonical per
+    * component (the 2-cycle minimum), NOT the component min id — callers
+    * needing min-id labels canonicalize once at the end.
+    */
+  private[analytics] def pointerComponents(cand: DataFrame): DataFrame = {
+    val par0 = cand.select(col("c"), col("cother").as("p"))
+    val look0 = par0.select(col("c").as("p"), col("p").as("pp"))
+    var p = par0.join(look0, "p")
+      .select(col("c"),
+        when(col("pp") === col("c"), least(col("c"), col("p")))
+          .otherwise(col("p")).as("p"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var guard = 0
+    while (changed > 0) {
+      guard += 1
+      require(guard <= 64, "pointer doubling did not converge (impossible for <2^64 nodes)")
+      val next = p.join(p.select(col("c").as("p"), col("p").as("np")), "p")
+        .select(col("c"), col("p"), col("np"))
+        .localCheckpoint(false)
+      // one action per round: the convergence probe materializes the jump
+      changed = next.filter(col("np") =!= col("p")).count()
+      p = next.select(col("c"), col("np").as("p")) // flat projection of the checkpointed frame
+    }
+    p.select(col("c"), col("p").as("root"))
+  }
+
   def minimumSpanningForest(e: DataFrame, rounds: Int = 6)
       : (DataFrame, DataFrame) = {
-    var comp = e.select(col("u").as("n"))
+    // counted checkpoint (r17): the node count is the loop-invariant
+    // honest stats figure for every later comp rewrap — the r15
+    // localCheckpointWithStats lesson applied here (plain per-round
+    // localCheckpoint compounds join-size estimates geometrically)
+    var (comp, nNodes) = ckptCounted(e.select(col("u").as("n"))
       .unionAll(e.select(col("v").as("n"))).distinct()
-      .select(col("n"), col("n").as("c"))
-      .localCheckpoint(true)
+      .select(col("n"), col("n").as("c")))
     var mst: DataFrame = null
     var round = 0
     var done = false
+    val sc = e.sparkSession.sparkContext
     while (round < rounds && !done) {
       round += 1
+      sc.setJobDescription(s"mst: round $round min-edge")
       val cross = e
         .join(comp.select(col("n").as("u"), col("c").as("cu")), "u")
         .join(comp.select(col("n").as("v"), col("c").as("cv")), "v")
@@ -143,32 +186,63 @@ object GraphOps {
           col("cu").as("c"), col("cv").as("cother"))
         .unionAll(cross.select(col("u"), col("v"), col("w"),
           col("cv").as("c"), col("cu").as("cother")))
-      val cand = bi
+      // LAZY checkpoint + count in ONE action (r17): the eager
+      // checkpoint + separate isEmpty probe paid two jobs per round for
+      // one materialization — the count doubles as the early-exit probe
+      // and as cand's honest stats
+      val cand0 = bi
         .groupBy("c")
         .agg(min(struct(col("w"), col("u"), col("v"), col("cother")))
           .as("m"))
         .select(col("c"), col("m.w").as("w"), col("m.u").as("u"),
           col("m.v").as("v"), col("m.cother").as("cother"))
-        .localCheckpoint(true) // feeds the forest set AND the merge
+        .localCheckpoint(false) // feeds the forest set AND the merge
+      val nCand = cand0.count()
+      val cand = org.apache.spark.sql.GraftSqlBridge
+        .rewrapWithStats(cand0, nCand)
       // early exit once no cross-component edge remains: the remaining
       // rounds are provable no-ops (empty cand → empty chosen, comp
       // unchanged), so the RESULT is identical to running all `rounds`
       // — this only skips their round-trip latency (oracle-neutral; the
       // unrolled oracle replays the no-op rounds as empty CTEs)
-      if (cand.isEmpty) done = true
+      if (nCand == 0) done = true
       else {
         val chosen = cand.select("u", "v", "w").distinct()
         mst = if (mst == null) chosen else mst.unionAll(chosen)
-        val newlab = DedupQueries.connectedComponents(
-          cand.select(least(col("c"), col("cother")).as("doc_a"),
-            greatest(col("c"), col("cother")).as("doc_b")).distinct())
-        comp = comp.join(
-            newlab.select(col("doc_id").as("c"), col("label")),
+        // LSSS, not min-label (r17): Borůvka's chosen graphs are the
+        // adversarial regime for min-label propagation — each tree is a
+        // chain of merged components, so min-label needs O(depth) rounds
+        // (profiled: the nested CC loops were ~2/3 of graph_mst's 198
+        // jobs); large-star/small-star converges in O(log n) rounds with
+        // ONE action per round. Labels are the component minimum in both
+        // implementations, so the merge trajectory — and therefore every
+        // later round's cand set — is unchanged.
+        sc.setJobDescription(s"mst: round $round merge")
+        // pointer-doubling over the chosen pseudo-forest (see
+        // [[pointerComponents]]): the same partition a full CC computes,
+        // at one exchange per doubling round. Intermediate labels are
+        // pointer roots, not component minima — every consumer of the
+        // intermediate labels (per-component min-edge grouping, cross
+        // filters, merge edges) depends only on the PARTITION, and the
+        // returned labels are canonicalized to min ids below.
+        val newlab = pointerComponents(cand.select(col("c"), col("cother")))
+        sc.setJobDescription(s"mst: round $round relabel")
+        comp = ckpt(comp.join(
+            newlab.select(col("c"), col("root").as("label")),
             Seq("c"), "left")
-          .select(col("n"), coalesce(col("label"), col("c")).as("c"))
-          .localCheckpoint(true)
+          .select(col("n"), coalesce(col("label"), col("c")).as("c")),
+          nNodes)
       }
     }
+    // canonicalize to min-member-id labels ONCE (two exchanges at the
+    // end instead of a min-label fixpoint per round): with min-label
+    // merging each component's label was inductively its minimum node
+    // id; min-per-root + remap reproduces exactly that
+    sc.setJobDescription("mst: canonicalize labels")
+    comp = ckpt(comp
+      .join(comp.groupBy("c").agg(min("n").as("cmin")), "c")
+      .select(col("n"), col("cmin").as("c")), nNodes)
+    sc.setJobDescription(null)
     val forest =
       if (mst == null) e.select("u", "v", "w").limit(0).localCheckpoint(true)
       else mst.localCheckpoint(true)
@@ -193,13 +267,21 @@ object GraphOps {
       .toDF("seed", "n", "hop").localCheckpoint(true)
     var frontier = visited.select("seed", "n")
     for (r <- 1 to rounds) {
+      // LAZY checkpoints (r17): the loop runs NO action of its own (fixed
+      // rounds, no convergence probe), so eager per-round checkpoints
+      // paid 2 driver job round-trips per hop purely to materialize.
+      // Lazy checkpoints still truncate lineage per hop (each round's
+      // plan is flat over the previous round's RDD) and the consumer's
+      // single action materializes the whole cascade — ~1 job instead of
+      // 2·rounds; the dual consumers (next expansion + visited union)
+      // read the once-computed cached RDD. `visited` needs no checkpoint
+      // at all: it is a flat union of checkpointed frontiers.
       frontier = und.join(frontier.withColumnRenamed("n", "u"), "u")
         .select(col("seed"), col("v").as("n")).distinct()
         .join(visited.select("seed", "n"), Seq("seed", "n"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       visited = visited
         .unionAll(frontier.select(col("seed"), col("n"), lit(r).as("hop")))
-        .localCheckpoint(true)
     }
     visited
   }
@@ -230,6 +312,16 @@ object GraphOps {
       .localCheckpoint(true)
     var r = 0
     var converged = false
+    // Fused convergence probe (r17): distances are MONOTONE — the node
+    // set only grows and each dist only decreases — so round r changed
+    // nothing ⟺ (count, Σdist) both match round r−1 (equal count ⇒ same
+    // node set; then equal exact sum ⇒ no per-node decrease). One
+    // count+checksum action per round (which also materializes the lazy
+    // checkpoint) replaces the eager checkpoint job + compare-join job.
+    // Σ is exact in DECIMAL(38) at any scale; same-result guarantee as
+    // the old probe by the same monotonicity the scaladoc argues.
+    var prevCnt = -1L
+    var prevSum = java.math.BigDecimal.ZERO
     while (r < maxRounds && !converged) {
       r += 1
       val relaxed = und
@@ -237,11 +329,14 @@ object GraphOps {
         .select(col("v").as("n"), (col("dist") + col("w")).as("dist"))
         .unionAll(dist)
         .groupBy("n").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
-      converged = relaxed.as("a")
-        .join(dist.as("b"), col("a.n") === col("b.n"), "left_outer")
-        .filter(col("b.n").isNull || col("a.dist") < col("b.dist"))
-        .isEmpty
+        .localCheckpoint(false)
+      val st = relaxed
+        .agg(count(lit(1)), sum(col("dist").cast("decimal(38,0)"))).collect()(0)
+      val (cnt, sm) = (st.getLong(0),
+        if (st.isNullAt(1)) java.math.BigDecimal.ZERO
+        else st.getDecimal(1))
+      converged = cnt == prevCnt && sm.compareTo(prevSum) == 0
+      prevCnt = cnt; prevSum = sm
       dist = relaxed
     }
     (dist, r)
@@ -393,9 +488,11 @@ object GraphOps {
   /** checkpoint + count in one materialization: the count doubles as the
     * loop's convergence scalar AND the honest stats figure. The stats
     * re-wrap reuses the SAME checkpointed RDD (rewrapWithStats) — one
-    * cached copy and one job per round, not two. */
+    * cached copy and one job per round, not two. LAZY checkpoint (r17):
+    * the count is the materializing action, so the eager form's separate
+    * checkpoint job was pure driver round-trip. */
   private def ckptCounted(df: DataFrame): (DataFrame, Long) = {
-    val c = df.localCheckpoint(true)
+    val c = df.localCheckpoint(false)
     val n = c.count()
     (org.apache.spark.sql.GraftSqlBridge.rewrapWithStats(c, n), n)
   }
@@ -461,6 +558,12 @@ object GraphOps {
           2 * activeCount)
         var changed = 1L
         var inner = 0
+        // checksum convergence (r17): the (n, dir) universe is FIXED and
+        // labels only DECREASE, so a round changed something ⟺ Σlab
+        // dropped — one agg action instead of the old nlab⋈lab compare
+        // join (2 exchanges + a count per probe). Exact in DECIMAL(38)
+        // at any scale; probing still every second round.
+        var prevSum: java.math.BigDecimal = null
         while (changed > 0 && inner < maxInner) {
           val tR0 = System.nanoTime()
           // shortcut edges (lab(v) → v) are transitive-closure edges —
@@ -469,23 +572,32 @@ object GraphOps {
           // convergence: O(log diameter)-ish rounds instead of O(diameter)
           val shortcuts = lab.select(col("lab").as("src"),
             col("n").as("dst"), col("dir"))
-          val viaEdge = prop.unionByName(shortcuts)
-            .join(lab.select(col("n").as("src"), col("dir"), col("lab")),
-              Seq("src", "dir"))
-            .groupBy(col("dst").as("n"), col("dir"))
-            .agg(min("lab").as("mlab"))
-          val nlab = ckpt(lab.join(viaEdge, Seq("n", "dir"), "left")
-            .select(col("n"), col("dir"),
-              least(col("lab"), coalesce(col("mlab"), col("lab"))).as("lab")),
+          // FUSED round (r17): lab'(v) = min(lab(v), min over incoming
+          // labels) as ONE union + ONE hash-agg — the old shape ran the
+          // incoming-min as its own aggregation and then a LEFT JOIN back
+          // onto lab (a third exchange per round for what min-over-union
+          // computes directly). LAZY checkpoint: probe rounds materialize
+          // the cascade; non-probe rounds run no driver action at all.
+          val nlab = org.apache.spark.sql.GraftSqlBridge.rewrapWithStats(
+            prop.unionByName(shortcuts)
+              .join(lab.select(col("n").as("src"), col("dir"), col("lab")),
+                Seq("src", "dir"))
+              .select(col("dst").as("n"), col("dir"), col("lab"))
+              .unionByName(lab)
+              .groupBy(col("n"), col("dir"))
+              .agg(min("lab").as("lab"))
+              .localCheckpoint(false),
             2 * activeCount)
           inner += 1
           // convergence probe every SECOND round: labels only decrease,
           // so the worst case is one no-op extra round — half the count
           // jobs (driver round-latency dominates at small active sets)
-          if (inner % 2 == 0 || inner >= maxInner)
-            changed = nlab
-              .join(lab.withColumnRenamed("lab", "lab0"), Seq("n", "dir"))
-              .filter(col("lab") < col("lab0")).count()
+          if (inner % 2 == 0 || inner >= maxInner) {
+            val sm = nlab.agg(sum(col("lab").cast("decimal(38,0)")))
+              .collect()(0).getDecimal(0)
+            changed = if (prevSum != null && sm.compareTo(prevSum) == 0) 0L else 1L
+            prevSum = sm
+          }
           lab = nlab
           if (sys.env.contains("GRAFT_SCC_DEBUG"))
             System.err.println(s"[scc] outer=$outer inner=$inner changed=$changed active=$activeCount sec=${(System.nanoTime() - tR0) / 1e9}")

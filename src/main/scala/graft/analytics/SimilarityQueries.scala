@@ -1365,21 +1365,31 @@ object SimilarityQueries {
       "ann_beam_search",
       (s, d) => {
         val base = Corpus.quantizedVectors(s, d)
-        val allPairs = base.as("a").crossJoin(base.as("b"))
+        // fanOut the STREAM side of the n×n graph-construction scan: the
+        // persisted corpus publishes at scan width (one task locally), so
+        // the n²·64-dim dot stage — the query's dominant compute — ran on
+        // one core (guide §2.5; the r16 revert covered the |probes|·n
+        // brute scan, which is 200× lighter than this n×n site)
+        val allPairs = graft.Tables.fanOut(base).as("a").crossJoin(base.as("b"))
           .filter(col("a.vec_id") =!= col("b.vec_id"))
           .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
             Corpus.dotCol("a.qv", "b.qv").as("dot"),
             col("b.nn").as("na"), col("a.nn").as("nb"))
         val graph = topKPerProbe(allPairs, 8)
           .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val probes = base.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
             col("nn").as("q_nn"))
         val entries = base.orderBy("vec_id").limit(4).select("vec_id")
+        // LAZY checkpoints throughout the hop loop (r17): the loop runs
+        // no convergence probe (fixed 3 hops), so every eager checkpoint
+        // was a driver job paid purely to materialize; lazy checkpoints
+        // keep lineage flat per hop and the final action cascades — the
+        // dual consumers read the once-computed cached RDD
         var beam = probes.select("query_id").crossJoin(broadcast(entries))
           .filter(col("vec_id") =!= col("query_id"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         var scannedAll = beam
         var beamRanked: DataFrame = null
         for (_ <- 1 to 3) {
@@ -1387,16 +1397,20 @@ object SimilarityQueries {
             .unionByName(beam.join(graph, col("vec_id") === col("src"))
               .select(col("query_id"), col("dst").as("vec_id")))
             .filter(col("vec_id") =!= col("query_id"))
-            .distinct().localCheckpoint(true)
+            .distinct().localCheckpoint(false)
           val scoredPairs = cands.join(base, "vec_id")
             .join(broadcast(probes), "query_id")
             .select(col("query_id"), col("vec_id"),
               Corpus.dotCol("qv", "q_qv").as("dot"),
               col("nn").as("na"), col("q_nn").as("nb"))
-          beamRanked = topKPerProbe(scoredPairs, 8).localCheckpoint(true)
+          beamRanked = topKPerProbe(scoredPairs, 8).localCheckpoint(false)
           beam = beamRanked.select(col("query_id"),
             col("neighbor_id").as("vec_id"))
-          scannedAll = scannedAll.unionByName(cands).localCheckpoint(true)
+          // NO checkpoint: every union leg (the seed beam and each round's
+          // cands) is already materialized above, so this union is a flat
+          // scan of cached frames — checkpointing it re-copied the growing
+          // set once per round (3 extra jobs for a single final consumer)
+          scannedAll = scannedAll.unionByName(cands)
         }
         val bruteTop = topKPerProbe(brutePairs(s, d), 3)
           .select("query_id", "neighbor_id")

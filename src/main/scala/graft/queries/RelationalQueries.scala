@@ -85,12 +85,18 @@ object RelationalQueries {
     */
   private def recTop3(s: SparkSession, d: String): DataFrame =
     graft.analytics.Corpus.cachedTimed(s, d, "recTop3") {
+      // checkpoints (r17): li feeds pop AND the owned build; owned feeds
+      // BOTH sides of the anti-join in RecScoring.top3 — unmaterialized,
+      // each reuse re-ran the lineitem distinct / orders join shuffle
+      // (profiled: the two biggest stages of this 5 s build, twice each)
       val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint(true)
       val owned = li
         .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("uid"), col("l_partkey").as("p"))
         .distinct()
+        .localCheckpoint(true)
       recTop3Pipeline(li, owned,
         graft.analytics.GraphArtifacts.coPurchaseWeighted(s, d))
     }
@@ -335,7 +341,11 @@ object RelationalQueries {
       // timed → the bench "artifacts" block (the leakage-safe retrain is
       // the other once-per-session cost min-over-passes hid in r15)
       graft.MemoTimings.timed(k._1, "recHitRanks") {
+      // checkpoints (r17): li feeds lastParts, earlier AND the trainLi
+      // anti-join; lastOrd feeds lastParts AND earlier — unmaterialized,
+      // each reuse re-ran the lineitem distinct / per-customer window
       val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint(true)
       val ord = orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderdate")
       val w = Window.partitionBy("o_custkey")
@@ -343,6 +353,7 @@ object RelationalQueries {
       val lastOrd = ord.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("o_custkey").as("uid"), col("o_orderkey").as("last_ok"))
+        .localCheckpoint(true)
       val lastParts = li.join(lastOrd, col("l_orderkey") === col("last_ok"))
         .select(col("uid"), col("last_ok"), col("l_partkey").as("p"))
       val earlier = li
@@ -437,10 +448,21 @@ object RelationalQueries {
           .otherwise(col("u")).as("t"))
     // out-adjacency per node, sorted so the two-pointer intersect runs
     // over ordered arrays; |outs| ≤ O(√|E|) by the orientation bound
-    val adj = oe.groupBy(col("s").as("n"))
+    val adjDef = oe.groupBy(col("s").as("n"))
       .agg(sort_array(collect_list(col("t"))).as("outs"))
     val withCommon = graft.analytics.Corpus.cachedTimed(s, d, "triCommon") {
-      oe.join(adj.select(col("n").as("s"), col("outs").as("ou")), "s")
+      // r17 (VERDICT #1): the old shape joined `oe` with `adj` TWICE —
+      // three independent recomputations of the oriented-edge subtree,
+      // two of the collect_list aggregation, and two array-payload
+      // shuffles. The adjacency is checkpointed ONCE, the (s, t) edge
+      // stream is recovered by exploding it (an oriented edge IS an
+      // adjacency entry — no join needed to attach ou), and only the
+      // t-side lookup remains a join: 1 agg + 1 join instead of
+      // 2 aggs + 2 joins, and the Σ deg_out² wedge payload crosses an
+      // exchange at most once. Row set is identical by construction.
+      val adj = adjDef.localCheckpoint(true)
+      adj.select(col("n").as("s"), col("outs").as("ou"),
+          explode(col("outs")).as("t"))
         .join(adj.select(col("n").as("t"), col("outs").as("ov")), "t")
         .select(col("s"), col("t"),
           graft.functions.ArraySetFunctions
@@ -6447,13 +6469,24 @@ object RelationalQueries {
       "graph_hits",
       (s, d) => {
         val e = graft.analytics.GraphArtifacts.purchasePairs(s, d)
+        // sup-keyed twin for the h half-step: e is c-partitioned, so the
+        // a half-step's join is edge-stationary, but the h half-step
+        // joins on sup and re-shuffled the whole |E| frame every round —
+        // the second cached layout makes BOTH half-steps move only the
+        // |V|-row score table (r17; guide §2.4)
+        val eSup = graft.analytics.GraphArtifacts.purchasePairsBySup(s, d)
         // each half-step MATERIALIZES (localCheckpoint) before its L1
         // total: the scalar aggregate and the row consumer read the
         // SAME frame, and an unmaterialized lineage would re-derive
         // the whole prefix for both — doubling work per half-step,
         // 2^8 by round 4 (measured: the bench run that caught it)
         def l1ppm(df: DataFrame, key: String, raw: String) = {
-          val mat = df.localCheckpoint(true)
+          // LAZY checkpoint (r17): the dual consumption (scalar total +
+          // row consumer) still reads ONE materialization — the
+          // checkpointed RDD caches on first compute — but the loop no
+          // longer pays an eager driver job per half-step; the final
+          // top-10 action cascades the materializations
+          val mat = df.localCheckpoint(false)
           val tot = mat.agg(sum(raw).cast("decimal(38,0)").as("tot"))
           mat.crossJoin(broadcast(tot))
             .select(col(key),
@@ -6465,7 +6498,7 @@ object RelationalQueries {
         for (_ <- 1 to 4) {
           a = l1ppm(e.join(h, "c").groupBy("sup")
             .agg(sum("h").as("a_raw")), "sup", "a_raw")
-          h = l1ppm(e.join(a, "sup").groupBy("c")
+          h = l1ppm(eSup.join(a, "sup").groupBy("c")
             .agg(sum("a").as("h_raw")), "c", "h_raw")
         }
         val top = (df: DataFrame, role: String, key: String, sc: String) =>
@@ -7283,28 +7316,36 @@ object RelationalQueries {
     QuerySpec(
       "graph_percolation",
       (s, d) => {
-        val li0 = lineitem(s, d)
-          .select("l_orderkey", "l_partkey")
-          .filter(col("l_partkey") % 30 === 0).distinct()
-        val e = li0.as("a").join(li0.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-          .agg(count(lit(1)).as("w"))
-          .localCheckpoint(true)
-        Seq(1L, 2L, 3L, 5L).map { t =>
-          val et = e.filter(col("w") >= t)
-          val labs = graft.analytics.DedupQueries.connectedComponents(
-            et.select(col("u").as("doc_a"), col("v").as("doc_b")))
-          val comps = labs.groupBy("label").agg(count(lit(1)).as("sz"))
-          et.agg(count(lit(1)).as("n_edges"))
-            .crossJoin(comps.agg(
-              coalesce(sum("sz"), lit(0L)).as("n_active"),
-              count(lit(1)).as("n_components"),
-              coalesce(max("sz"), lit(0L)).as("giant_size")))
-            .select(lit(t).as("thr"), col("n_active"), col("n_edges"),
-              col("n_components"), col("giant_size"))
-        }.reduce(_ unionByName _)
+        // shared %30 co-purchase root (r17) — see graph_mst
+        val e = graft.analytics.GraphArtifacts.sub30CoPurchaseWeighted(s, d)
+        // the 4 thresholds are INDEPENDENT min-label fixpoints, each
+        // driver-blocking on its per-round convergence count over tiny
+        // frames — overlapped from a small thread pool (guide §2.6:
+        // actions are only sequential because the driver calls them
+        // sequentially), the sweep's wall is max instead of sum; every
+        // loop reads only the shared checkpointed edge frame, and the
+        // per-threshold results are byte-identical to the sequential run
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val futs = Seq(1L, 2L, 3L, 5L).map { t =>
+          scala.concurrent.Future {
+            val et = e.filter(col("w") >= t)
+            val labs = graft.analytics.DedupQueries.connectedComponents(
+              et.select(col("u").as("doc_a"), col("v").as("doc_b")))
+            val comps = labs.groupBy("label").agg(count(lit(1)).as("sz"))
+            et.agg(count(lit(1)).as("n_edges"))
+              .crossJoin(comps.agg(
+                coalesce(sum("sz"), lit(0L)).as("n_active"),
+                count(lit(1)).as("n_components"),
+                coalesce(max("sz"), lit(0L)).as("giant_size")))
+              .select(lit(t).as("thr"), col("n_active"), col("n_edges"),
+                col("n_components"), col("giant_size"))
+          }(ec)
+        }
+        val rows = futs.map(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+        pool.shutdown()
+        rows.reduce(_ unionByName _)
       },
       Some {
         val sb = new StringBuilder("""
@@ -7479,15 +7520,12 @@ object RelationalQueries {
     QuerySpec(
       "graph_mst",
       (s, d) => {
-        val li0 = lineitem(s, d)
-          .select("l_orderkey", "l_partkey")
-          .filter(col("l_partkey") % 30 === 0).distinct()
-        val e = li0.as("a").join(li0.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-          .agg(expr("1000000 div count(1)").as("w"))
-          .localCheckpoint(true)
+        // shared %30 co-purchase root (r17): the same self-join
+        // graph_percolation iterates on — built once per session
+        // (GraphArtifacts.sub30CoPurchaseWeighted), weights derived as a
+        // projection of the cached frame
+        val e = graft.analytics.GraphArtifacts.sub30CoPurchaseWeighted(s, d)
+          .select(col("u"), col("v"), expr("1000000 div w").as("w"))
         val (forest, comp) =
           graft.analytics.GraphOps.minimumSpanningForest(e, rounds = 6)
         val crossFin = e
