@@ -175,6 +175,10 @@ object GraphArtifacts {
       val edges = e0.select(col("cnode").as("src"), col("snode").as("dst"))
         .unionByName(e0.select(col("snode").as("src"), col("cnode").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      edges.join(deg, "src").repartition(col("src"))
+      // spread, not bare repartition (r17): AQE coalesced the keyed
+      // repartition to ~1 partition at bench scale, so every
+      // pagerank/ppr round ran its |E| join near-serially (the narrow-
+      // publish failure class); width follows the session/cluster conf
+      graft.Tables.spread(edges.join(deg, "src"), col("src"))
     }
 }

@@ -83,7 +83,7 @@ object GraphOps {
                   then cast(case when h div 64 = 0 then 55
                             else 55 - length(bin(h div 64)) end as bigint)
                   else 0L end)""").as("regs"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def est(frame: DataFrame, hop: Int): DataFrame =
       frame.select(col("n"),
           expr("""aggregate(regs, 0L, (acc, r) ->
@@ -98,11 +98,14 @@ object GraphOps {
               else raw end""").as("est"))
     var out = est(cur, 0)
     for (hop <- 1 to hops) {
+      // LAZY checkpoints (r17): fixed hops, no probe — the consumer's one
+      // action materializes the cascade; the dual consumers (next round's
+      // expansion + this hop's estimate) read the once-computed cached RDD
       cur = cur.unionAll(
           e.join(cur, e("v") === cur("n"))
             .select(e("u").as("n"), cur("regs")))
         .groupBy("n").agg(regMax(col("regs")).as("regs"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       out = out.unionAll(est(cur, hop))
     }
     out
@@ -139,7 +142,7 @@ object GraphOps {
     * component (the 2-cycle minimum), NOT the component min id — callers
     * needing min-id labels canonicalize once at the end.
     */
-  private[analytics] def pointerComponents(cand: DataFrame): DataFrame = {
+  private[graft] def pointerComponents(cand: DataFrame): DataFrame = {
     val par0 = cand.select(col("c"), col("cother").as("p"))
     val look0 = par0.select(col("c").as("p"), col("p").as("pp"))
     var p = par0.join(look0, "p")
@@ -408,10 +411,11 @@ object GraphOps {
           .unionAll(e.select(col("v").as("n")))
           .groupBy("n").agg(count(lit(1)).as("dg"))
         val keep = deg.filter(col("dg") >= k).select("n")
+        // LAZY checkpoint (r17): the count is the materializing action
         e = e.join(keep.withColumnRenamed("n", "u"), "u")
           .join(keep.withColumnRenamed("n", "v"), "v")
           .select("u", "v")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val now = e.count()
         done = now == prev || now == 0L
         prev = now
@@ -422,7 +426,7 @@ object GraphOps {
         .select(col("n"),
           when(col("m").isNotNull, lit(k.toLong))
             .otherwise(col("core_k")).as("core_k"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // no per-level action reads core — lazy
     }
     core
   }

@@ -40,6 +40,19 @@ object TextQueries {
   }
 
   // ── batch perceptron (r8): linear-classifier TRAINING in-engine ──
+  /** Exploded (doc_id, 3-gram shingle) occurrences over the BASE
+    * documents table — session-cached (r17): text_novelty scans it from
+    * two sides and text_vocab_growth derives the same first-occurrence
+    * frame; each previously re-ran the tokenize+shingle map inside the
+    * one-task documents scan stage (fanOut: identity at cluster scale).
+    */
+  private def shingleOccurrences(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.sql.DataFrame =
+    Corpus.cached(s, d, "textShingleEx") {
+      Corpus.withShingles(graft.Tables.fanOut(Tables.documents(s, d)))
+        .select(col("doc_id"), explode(col("shingles")).as("g"))
+    }
+
   private val PerceptronIters = 8
   private val PerceptronFeats = Seq("x_ttr", "x_stop", "x_len", "x_tok")
   private val PerceptronMargin = 40
@@ -404,8 +417,11 @@ object TextQueries {
     QuerySpec(
       "text_novelty",
       (s, d) => {
-        val ex = Corpus.withShingles(Tables.documents(s, d))
-          .select(col("doc_id"), explode(col("shingles")).as("g"))
+        // shared + fanned (r17): the shingle explode ran inside the
+        // one-task documents scan TWICE here (the min-agg and the join
+        // side) and a third time in text_vocab_growth — one session-
+        // cached build at full parallelism serves all three scans
+        val ex = shingleOccurrences(s, d)
         val first = ex.groupBy("g").agg(min("doc_id").as("first_doc"))
         ex.join(first, "g")
           .groupBy("doc_id")
@@ -515,8 +531,7 @@ object TextQueries {
     QuerySpec(
       "text_vocab_growth",
       (s, d) => {
-        val ex = Corpus.withShingles(Tables.documents(s, d))
-          .select(col("doc_id"), explode(col("shingles")).as("g"))
+        val ex = shingleOccurrences(s, d) // shared with text_novelty (r17)
         val first = ex.groupBy("g").agg(min("doc_id").as("first_doc"))
         val bounds = first.agg(min("first_doc").as("mn"),
           max("first_doc").as("mx"))

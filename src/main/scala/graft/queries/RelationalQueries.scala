@@ -83,12 +83,23 @@ object RelationalQueries {
     * `rec_coverage` (catalog coverage), session-cached so both pay the
     * pipeline once. See rec_item_knn's doc comment for the cost model.
     */
-  private def recTop3(s: SparkSession, d: String): DataFrame =
-    graft.analytics.Corpus.cachedTimed(s, d, "recTop3") {
-      // checkpoints (r17): li feeds pop AND the owned build; owned feeds
-      // BOTH sides of the anti-join in RecScoring.top3 — unmaterialized,
-      // each reuse re-ran the lineitem distinct / orders join shuffle
-      // (profiled: the two biggest stages of this 5 s build, twice each)
+  /** Checkpointed (liDistinct, ownedFull) — shared (r17) by the rec full
+    * face and the leave-last-out retrain, which previously each
+    * re-derived their own copies (the lineitem distinct and ownership
+    * shuffles, twice per consumer under dual consumption). Action-running
+    * memo (localCheckpoint runs jobs), NOT Corpus.cached — checkpointed
+    * row RDDs beat a columnar persist for these consumed-a-few-times
+    * frames (measured: the persist variant cost ~2 s extra per build).
+    */
+  private val recBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]()
+
+  private def recBase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val k = (s.sparkContext.applicationId, d)
+    val got = recBaseCache.get(k)
+    if (got != null) got
+    else {
+      recBaseCache.keySet.removeIf(_._1 != k._1)
       val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
         .localCheckpoint(true)
       val owned = li
@@ -97,6 +108,14 @@ object RelationalQueries {
         .select(col("o_custkey").as("uid"), col("l_partkey").as("p"))
         .distinct()
         .localCheckpoint(true)
+      recBaseCache.putIfAbsent(k, (li, owned))
+      recBaseCache.get(k)
+    }
+  }
+
+  private def recTop3(s: SparkSession, d: String): DataFrame =
+    graft.analytics.Corpus.cachedTimed(s, d, "recTop3") {
+      val (li, owned) = recBase(s, d)
       recTop3Pipeline(li, owned,
         graft.analytics.GraphArtifacts.coPurchaseWeighted(s, d))
     }
@@ -341,19 +360,36 @@ object RelationalQueries {
       // timed → the bench "artifacts" block (the leakage-safe retrain is
       // the other once-per-session cost min-over-passes hid in r15)
       graft.MemoTimings.timed(k._1, "recHitRanks") {
-      // checkpoints (r17): li feeds lastParts, earlier AND the trainLi
-      // anti-join; lastOrd feeds lastParts AND earlier — unmaterialized,
-      // each reuse re-ran the lineitem distinct / per-customer window
-      val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-        .localCheckpoint(true)
+      // INCREMENTAL train split (r17): the retrain previously re-ran the
+      // full lineitem pair self-join and the full ownership distinct over
+      // trainLi — 98% of which is identical to the full-face artifacts,
+      // since the holdout removes exactly ONE (order, part) row per user.
+      // The train-side pair weights / ownership are therefore MAINTAINED
+      // from the cached full artifacts by subtracting each held row's
+      // contribution (the JoinIvm delta discipline):
+      //   pr_T(u,v)  = pr_full(u,v) − #{held orders whose held part is
+      //                u or v and whose basket contains the other}
+      //     (exact: one held row per order, so a basket never loses two
+      //      parts, and a pair loses exactly one order per held order
+      //      that contains it through its held part);
+      //   owned_T    = owned_full minus the (uid, held_p) pairs (held_p
+      //                never occurs in the user's other orders by the
+      //                anti-join construction, so subtraction is exact);
+      //   pop_T      = row counts over trainLi (one cheap anti-join+agg —
+      //                no self-join).
+      // Profiled r17: the retrain's pair self-join + owned distinct were
+      // ~5 s of the 7.5 s build; the deltas are |held|-sized joins.
+      val (li, ownedF) = recBase(s, d)
+      val sc0 = s.sparkContext
       val ord = orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderdate")
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      sc0.setJobDescription("recHitRanks: lastOrd")
       val lastOrd = ord.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("o_custkey").as("uid"), col("o_orderkey").as("last_ok"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // feeds lastParts AND earlier
       val lastParts = li.join(lastOrd, col("l_orderkey") === col("last_ok"))
         .select(col("uid"), col("last_ok"), col("l_partkey").as("p"))
       val earlier = li
@@ -362,32 +398,47 @@ object RelationalQueries {
           && col("o_orderkey") =!= col("last_ok"))
         .select(lastOrd("uid"), col("l_partkey").as("p"))
         .distinct()
+      sc0.setJobDescription("recHitRanks: held")
       val held = lastParts.join(earlier, Seq("uid", "p"), "left_anti")
         .groupBy("uid", "last_ok").agg(min("p").as("held_p"))
-        .localCheckpoint(true) // consumed by train split AND the eval join
+        .localCheckpoint(true) // consumed by all three deltas AND the eval join
       val trainLi = li.join(
         held.select(col("last_ok").as("l_orderkey"),
           col("held_p").as("l_partkey")),
-        Seq("l_orderkey", "l_partkey"), "left_anti")
-        // four consumers (owned, both sides of the pair self-join, pop):
-        // materialize once instead of re-running the anti-join per branch
+        Seq("l_orderkey", "l_partkey"), "left_anti") // feeds pop only
+      // checkpointed: consumed by BOTH sides of the top3 anti-join
+      sc0.setJobDescription("recHitRanks: ownedT")
+      val ownedT = ownedF
+        .join(held.select(col("uid"), col("held_p").as("p")),
+          Seq("uid", "p"), "left_anti")
         .localCheckpoint(true)
-      val ownedT = trainLi
-        .join(ord.select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("uid"), col("l_partkey").as("p"))
-        .distinct()
-      val prT = trainLi.select(col("l_orderkey"), col("l_partkey").as("u"))
-        .join(trainLi.select(col("l_orderkey"), col("l_partkey").as("v")),
+      val delta = li
+        .join(held.select(col("last_ok").as("l_orderkey"), col("held_p")),
           "l_orderkey")
-        .filter(col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .filter(col("l_partkey") =!= col("held_p"))
+        .select(least(col("l_partkey"), col("held_p")).as("u"),
+          greatest(col("l_partkey"), col("held_p")).as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("dw"))
+      // the delta (|held|-sized) is checkpointed; the maintained pr is
+      // LEFT AS A PLAN over the persisted full artifact + broadcast
+      // delta, so the scoring's two union legs re-run a cheap broadcast
+      // join instead of scanning a full row-RDD copy of pr (the
+      // full-face pattern: pr is read twice from the columnar cache)
+      sc0.setJobDescription("recHitRanks: prT delta")
+      val deltaCk = delta.localCheckpoint(true)
+      val prT = graft.analytics.GraphArtifacts.coPurchaseWeighted(s, d)
+        .join(broadcast(deltaCk), Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          (col("w") - coalesce(col("dw"), lit(0L))).as("w"))
+        .filter(col("w") > 0)
       val top3 = recTop3Pipeline(trainLi, ownedT, prT)
+      sc0.setJobDescription("recHitRanks: score+eval")
       val built = held.join(top3,
           held("uid") === top3("uid") && col("cand") === col("held_p"),
           "left")
         .groupBy(held("uid")).agg(min("rank").as("hit_rank"))
         .localCheckpoint(true)
+      sc0.setJobDescription(null)
       recHitRanksCache.putIfAbsent(k, built)
       } // MemoTimings.timed
       recHitRanksCache.get(k)
@@ -4025,9 +4076,16 @@ object RelationalQueries {
       (s, d) => {
         val both = graft.analytics.Corpus.cached(s, d, "lpaBoth") {
           val e = coPurchaseEdges(s, d)
-          e.select(col("u").as("a"), col("v").as("b"))
-            .unionAll(e.select(col("v").as("a"), col("u").as("b")))
-            .repartition(col("b")) // per-round joins reuse this exchange
+          // spread, not bare repartition (r17): AQE coalesces the keyed
+          // repartition of this ~26 MB build to ~1 partition, so every
+          // LPA round's join + both aggregations ran near-serially — the
+          // same narrow-publish failure the r16 spread fixes closed on
+          // the other artifact roots; per-round joins still reuse the
+          // b-keyed exchange
+          graft.Tables.spread(
+            e.select(col("u").as("a"), col("v").as("b"))
+              .unionAll(e.select(col("v").as("a"), col("u").as("b"))),
+            col("b"))
         }
         graft.analytics.GraphOps.labelPropagationBoth(both, rounds = 4)
           .groupBy(col("label").as("community"))
@@ -4613,16 +4671,25 @@ object RelationalQueries {
             "scc_u")
           .groupBy(col("scc_v").as("n"))
           .agg(max(expr("pl + 1")).as("cand"))
+        // FUSED step (r17): lev'(n) = max over (current lev ∪ raised
+        // candidates) in ONE union + hash-agg — the old shape aggregated
+        // the candidates separately and LEFT-JOINED them back (a third
+        // exchange per step for what max-over-union computes directly;
+        // identical values: the lev row is always in the union, so the
+        // absent-candidate coalesce case is subsumed)
         def step(lev: DataFrame): DataFrame =
-          lev.join(raised(lev), Seq("n"), "left")
-            .select(col("n"),
-              greatest(col("lev"), coalesce(col("cand"), lit(0L))).as("lev"))
+          lev.unionByName(ce
+              .join(lev.select(col("n").as("scc_u"), col("lev").as("pl")),
+                "scc_u")
+              .select(col("scc_v").as("n"), expr("pl + 1").as("lev")))
+            .groupBy("n").agg(max("lev").as("lev"))
         var lev = labels.select(col("scc").as("n")).distinct()
           .withColumn("lev", lit(0L)).localCheckpoint(true)
-        // TWO monotone steps per checkpoint: lineage depth stays 2 and
-        // the 16 semantic rounds cost 8 round-trips, not 16
+        // TWO monotone steps per checkpoint; LAZY (r17): no action runs
+        // inside the loop, so the final consumers cascade one
+        // materialization chain instead of 8 eager checkpoint jobs
         for (_ <- 1 to 8)
-          lev = step(step(lev)).localCheckpoint(true)
+          lev = step(step(lev)).localCheckpoint(false)
         val resid = lev.join(raised(lev), Seq("n"), "left")
           .filter(col("cand") > col("lev"))
           .agg(count(lit(1)).as("unconverged"))
@@ -5202,8 +5269,12 @@ object RelationalQueries {
       (s, d) => {
         def ind(name: String, a: DataFrame, ac: String,
                 b: DataFrame, bc: String) = {
+          // LAZY (r17): eager checkpoints here ran 4 serial driver jobs
+          // at plan-construction time; lazy ones materialize inside the
+          // query's single action, where the 4 candidates' stages
+          // overlap — still one evaluation per lhs (dual-consumed)
           val lhs = a.select(col(ac).as("v")).distinct()
-            .localCheckpoint(true) // consumed by both counts
+            .localCheckpoint(false) // consumed by both counts
           lhs.agg(count(lit(1)).as("n_lhs"))
             .crossJoin(lhs.join(b.select(col(bc).as("v")).distinct(),
               Seq("v"), "left_anti").agg(count(lit(1)).as("n_missing")))

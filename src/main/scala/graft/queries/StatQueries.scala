@@ -592,7 +592,16 @@ object StatQueries {
         val daily = orders(s, d)
           .groupBy(to_date(col("o_orderdate")).as("day"))
           .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("rev"))
-        val pairs = daily.as("a").join(daily.as("b"),
+        // fan the pair-generation STREAM side to the session's cores
+        // (r17): the daily aggregate is calendar-bounded (~2.4k rows at
+        // ANY corpus size), so AQE coalesces it to one partition and the
+        // ~3M-pair slope stage ran on a single core; the explicit width
+        // is the session parallelism, not a local constant, and the
+        // spine never grows past calendar days — the repartition is a
+        // constant-cost broadcast-side fan-out at every scale
+        val pairs = daily
+          .repartition(s.sparkContext.defaultParallelism).as("a")
+          .join(daily.as("b"),
             col("a.day") < col("b.day"))
           .select(expr(
             """case when b.rev - a.rev >= 0

@@ -648,6 +648,30 @@ class StatSpec extends SparkSpec {
     assert(rounds === 4, s"early-exit did not fire: ran $rounds rounds")
   }
 
+  test("pointerComponents partitions a Borůvka pointer graph like full CC") {
+    import spark.implicits._
+    // a Borůvka chosen graph: out-degree exactly 1 per component, only
+    // 2-cycles (1↔2, 10↔11), with a depth-4 chain hanging off the first
+    // cycle and a singleton-attached pair off the second — the shapes a
+    // merge round actually produces
+    val cand = Seq(
+      (1L, 2L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (6L, 5L),
+      (10L, 11L), (11L, 10L), (12L, 10L))
+      .toDF("c", "cother")
+    val roots = graft.analytics.GraphOps.pointerComponents(cand)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the partition must equal the undirected connected components of
+    // the same edge set, and every root must be its 2-cycle's minimum
+    val labels = graft.analytics.DedupQueries.connectedComponents(
+        cand.select(col("c").as("doc_a"), col("cother").as("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotGroups = roots.groupBy(_._2).values.map(_.keySet).toSet
+    val ccGroups = labels.groupBy(_._2).values.map(_.keySet).toSet
+    assert(gotGroups === ccGroups, s"partition $gotGroups != CC $ccGroups")
+    assert(roots(6L) === 1L && roots(12L) === 10L,
+      s"roots must be the 2-cycle minima: $roots")
+  }
+
   test("Borůvka MSF equals driver-side Kruskal on a planted graph (ties + disconnection)") {
     import spark.implicits._
     // two components; equal-weight ties (edges of weight 2) force the
